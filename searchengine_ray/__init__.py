@@ -1,0 +1,22 @@
+"""Ray-Data-native full-text index + BM25 search engine.
+
+A from-scratch rebuild of the capabilities of AlexNickG/searchengine
+(Java/Spring lemma-based site search, reference at /root/reference) as
+idiomatic ``ray.data`` pipelines over Parquet transcripts
+``(conv_id, turn_idx, role, text, tool, ts)``.
+
+Public surface:
+
+- :mod:`searchengine_ray.textproc` — deterministic tokenizer / significance
+  filter / lemma normalizer (reference ``services/LemmaFinder.java``).
+- :mod:`searchengine_ray.build` — distributed inverted-index build.
+- :mod:`searchengine_ray.query` — BM25 top-k search over the built index.
+- :mod:`searchengine_ray.oracle` — exact single-process oracle for tests.
+- :mod:`searchengine_ray.pipelines` — dedup / similarity / text-analysis /
+  multimodal training-data pipelines.
+"""
+
+from searchengine_ray.config import EngineConfig
+
+__all__ = ["EngineConfig"]
+__version__ = "0.1.0"

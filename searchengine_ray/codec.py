@@ -1,0 +1,174 @@
+"""Delta + varbyte posting-list codec with per-block skip/max metadata.
+
+The reference stores postings as exploded SQL rows ``(page_id, lemma_id,
+rank)`` (``model/Index.java:12-23``) with no ordering, compression or skip
+structure — every search loads full posting rows
+(``Repositories/IndexRepository.java:27``, ``SearchServiceImpl.java:121-123``).
+The rebuild replaces that with the standard IR layout the north star mandates:
+per-lemma docid-sorted posting lists, gap-encoded and varbyte-compressed, cut
+into fixed-size blocks carrying ``(last_docid, max_tf, byte offsets)`` so the
+query engine can skip whole blocks during conjunctive intersection and bound
+scores block-max-style without decoding.
+
+Everything here is vectorized numpy — no Python loop over postings; loops run
+over the ≤9 possible varbyte lengths / block count only.
+
+Encoding convention: little-endian 7-bit groups; the high bit is SET on
+continuation bytes and CLEAR on the terminal byte of each value.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+_THRESHOLDS = [1 << (7 * k) for k in range(1, 9)]  # value widths 2..9 bytes
+
+
+def vb_encode(values: np.ndarray) -> bytes:
+    """Varbyte-encode a uint64-compatible array (vectorized)."""
+    a = np.ascontiguousarray(values, dtype=np.uint64)
+    if a.size == 0:
+        return b""
+    nbytes = np.ones(a.size, dtype=np.int64)
+    for t in _THRESHOLDS:
+        nbytes += a >= t
+    offsets = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+    out = np.zeros(int(nbytes.sum()), dtype=np.uint8)
+    for j in range(int(nbytes.max())):
+        mask = nbytes > j
+        byte = (a[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        cont = (nbytes[mask] - 1 > j).astype(np.uint8) << 7
+        out[offsets[mask] + j] = byte.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def vb_decode(buf: bytes | memoryview) -> np.ndarray:
+    """Decode a varbyte buffer back to uint64 (vectorized)."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    ends = np.nonzero((b & 0x80) == 0)[0]
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lengths = ends - starts + 1
+    out = np.zeros(ends.size, dtype=np.uint64)
+    for j in range(int(lengths.max())):
+        mask = lengths > j
+        out[mask] |= (b[starts[mask] + j].astype(np.uint64) & np.uint64(0x7F)) << np.uint64(7 * j)
+    return out
+
+
+@dataclass
+class EncodedPostings:
+    """One lemma's (or one lemma-segment's) compressed posting list."""
+
+    n: int
+    doc_blob: bytes  # varbyte gaps of sorted docids (gap 0 = docid[0] + 1)
+    tf_blob: bytes  # varbyte term frequencies, posting-aligned
+    block_last_docid: bytes  # int64[nblocks] little-endian
+    block_max_tf: bytes  # int32[nblocks]
+    block_doc_off: bytes  # int64[nblocks] byte offset of block start in doc_blob
+    block_tf_off: bytes  # int64[nblocks] byte offset in tf_blob
+
+
+def encode_postings(docids: np.ndarray, tfs: np.ndarray, block_size: int = 128) -> EncodedPostings:
+    """Encode an ascending, duplicate-free docid array + aligned tfs.
+
+    Blocks are encoded back-to-back in one buffer; per-block byte offsets plus
+    the previous block's ``last_docid`` make any block independently
+    decodable (``decode_blocks``). The first gap is ``docid[0] + 1`` so the
+    whole structure is prefix-sum-reconstructible with base -1.
+    """
+    docids = np.ascontiguousarray(docids, dtype=np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    n = docids.size
+    assert tfs.size == n
+    if n == 0:
+        empty = np.empty(0, dtype=np.int64).tobytes()
+        return EncodedPostings(0, b"", b"", empty, empty, empty, empty)
+    gaps = np.empty(n, dtype=np.uint64)
+    gaps[0] = np.uint64(docids[0] + 1)
+    np.subtract(docids[1:], docids[:-1], out=gaps[1:], casting="unsafe")
+
+    nblocks = (n + block_size - 1) // block_size
+    doc_parts: list[bytes] = []
+    tf_parts: list[bytes] = []
+    doc_off = np.zeros(nblocks, dtype=np.int64)
+    tf_off = np.zeros(nblocks, dtype=np.int64)
+    last_docid = np.zeros(nblocks, dtype=np.int64)
+    max_tf = np.zeros(nblocks, dtype=np.int32)
+    dpos = tpos = 0
+    for bi in range(nblocks):
+        lo, hi = bi * block_size, min((bi + 1) * block_size, n)
+        doc_off[bi], tf_off[bi] = dpos, tpos
+        dblob = vb_encode(gaps[lo:hi])
+        tblob = vb_encode(tfs[lo:hi].astype(np.uint64))
+        doc_parts.append(dblob)
+        tf_parts.append(tblob)
+        dpos += len(dblob)
+        tpos += len(tblob)
+        last_docid[bi] = docids[hi - 1]
+        max_tf[bi] = tfs[lo:hi].max()
+    return EncodedPostings(
+        n=n,
+        doc_blob=b"".join(doc_parts),
+        tf_blob=b"".join(tf_parts),
+        block_last_docid=last_docid.tobytes(),
+        block_max_tf=max_tf.tobytes(),
+        block_doc_off=doc_off.tobytes(),
+        block_tf_off=tf_off.tobytes(),
+    )
+
+
+def decode_postings(enc: EncodedPostings) -> tuple[np.ndarray, np.ndarray]:
+    """Full decode → (docids int64 asc, tfs int64)."""
+    if enc.n == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    gaps = vb_decode(enc.doc_blob).astype(np.int64)
+    docids = np.cumsum(gaps) - 1
+    tfs = vb_decode(enc.tf_blob).astype(np.int64)
+    return docids, tfs
+
+
+def decode_blocks(enc: EncodedPostings, block_idx: np.ndarray, block_size: int = 128) -> tuple[np.ndarray, np.ndarray]:
+    """Decode only the selected blocks (sorted unique indices) —
+    the skip path used by conjunctive intersection. Returns concatenated
+    (docids, tfs) of those blocks."""
+    if enc.n == 0 or block_idx.size == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    last = np.frombuffer(enc.block_last_docid, dtype=np.int64)
+    doc_off = np.frombuffer(enc.block_doc_off, dtype=np.int64)
+    tf_off = np.frombuffer(enc.block_tf_off, dtype=np.int64)
+    nblocks = last.size
+    doc_end = np.concatenate((doc_off[1:], [len(enc.doc_blob)]))
+    tf_end = np.concatenate((tf_off[1:], [len(enc.tf_blob)]))
+    docs_out: list[np.ndarray] = []
+    tfs_out: list[np.ndarray] = []
+    dview = memoryview(enc.doc_blob)
+    tview = memoryview(enc.tf_blob)
+    for bi in block_idx:
+        bi = int(bi)
+        if bi >= nblocks:
+            continue
+        gaps = vb_decode(dview[doc_off[bi] : doc_end[bi]]).astype(np.int64)
+        base = last[bi - 1] if bi > 0 else -1
+        docs_out.append(base + np.cumsum(gaps))
+        tfs_out.append(vb_decode(tview[tf_off[bi] : tf_end[bi]]).astype(np.int64))
+    if not docs_out:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    return np.concatenate(docs_out), np.concatenate(tfs_out)
+
+
+def blocks_for_candidates(enc: EncodedPostings, candidates: np.ndarray) -> np.ndarray:
+    """Skip selection: which blocks could contain any of the (sorted)
+    candidate docids. A block covers ``(prev_last, last]``; binary search on
+    ``block_last_docid`` — no decode."""
+    last = np.frombuffer(enc.block_last_docid, dtype=np.int64)
+    if last.size == 0 or candidates.size == 0:
+        return np.empty(0, dtype=np.int64)
+    idx = np.searchsorted(last, candidates, side="left")
+    idx = idx[idx < last.size]
+    return np.unique(idx)

@@ -1,0 +1,68 @@
+"""Engine configuration.
+
+Reference analogue: ``config/Config.java:13-18`` + ``application.yaml:34-97``
+(lemma POS exceptions, search frequency filter, concurrency knobs). The
+rebuild exposes the same knobs as a plain dataclass passed to pipelines and
+actors via constructor args (no Spring, no DB).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """All tunables for index build + query.
+
+    Text semantics knobs mirror the reference:
+
+    - ``search_filter``: query-time frequency gate percent — a non-identifier
+      lemma is dropped when ``100 * df / N > search_filter``
+      (``services/SearchServiceImpl.java:108-110``; default 100 = pass-through,
+      ``application.yaml:96-97``).
+    - ``analyzer``: ``"ru"`` reproduces the reference tokenizer + significance
+      semantics (``services/LemmaFinder.java:124-161``) with a deterministic
+      lemma normalizer replacing RussianLuceneMorphology; ``"simple"`` is an
+      ASCII analyzer whose semantics are exactly expressible in ANSI SQL
+      (used for the DuckDB oracle checks).
+
+    Scale knobs (no reference analogue — the reference is a single JVM):
+
+    - ``num_segments``: range-partitioned posting "salt" — postings of one
+      lemma are built as up to ``num_segments`` docid-range-disjoint segments
+      so a stopword-sized posting list never lands in a single reduce task
+      (SURVEY.md §4 "Skew").
+    - ``num_buckets``: lemma-hash bucket count for the on-disk posting layout
+      (point reads at query time touch one bucket per lemma).
+    - ``block_size``: postings per skip block; per-block ``last_docid`` /
+      ``max_tf`` metadata drives conjunctive block skipping and block-max
+      scoring bounds.
+    """
+
+    # --- text semantics ---
+    analyzer: str = "ru"
+    search_filter: int = 100
+    # --- BM25 ---
+    k1: float = 1.2
+    b: float = 0.75
+    # --- index layout / shuffle ---
+    num_segments: int = 8
+    num_buckets: int = 16
+    block_size: int = 128
+    # --- execution sizing ---
+    batch_size: int = 4096
+    lemmatizer_concurrency: int | tuple[int, int] = 4
+    # --- build sharding (resume unit) ---
+    num_shards: int = 1
+    # --- snippet semantics (services/SearchServiceImpl.java:237-249) ---
+    snippet_window: int = 5
+    snippet_max_windows: int = 3
+
+    def replace(self, **kw) -> "EngineConfig":
+        from dataclasses import replace
+
+        return replace(self, **kw)
+
+
+DEFAULT_CONFIG = EngineConfig()

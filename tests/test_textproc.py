@@ -1,0 +1,141 @@
+"""Golden-vector tests for tokenizer / significance / lemma semantics
+(SURVEY.md §5.1; reference services/LemmaFinder.java)."""
+
+from searchengine_ray.textproc import (
+    Analyzer,
+    is_case_id,
+    is_court_case,
+    is_digit_sequence,
+    is_identifier,
+    is_significant,
+    lemma_of,
+    tokenize,
+    tokenize_simple,
+)
+
+
+class TestTokenize:
+    def test_lowercase_and_symbol_strip(self):
+        # chars outside [а-яА-Яa-zA-Z0-9/\-\s] become spaces (LemmaFinder.java:39)
+        assert tokenize("Привет, Мир! (тест)") == ["привет", "мир", "тест"]
+
+    def test_hyphen_slash_preserved(self):
+        assert tokenize("дело А33-5678/2023 закрыто") == ["дело", "а33-5678/2023", "закрыто"]
+
+    def test_empty_and_whitespace(self):
+        assert tokenize("") == []
+        assert tokenize("   ") == []
+        assert tokenize("?!.,") == []
+
+    def test_yo_becomes_space(self):
+        # Java range а-я excludes ё → ё is stripped to a space
+        assert tokenize("ёж") == ["ж"]
+
+    def test_mixed_scripts_survive_tokenizer(self):
+        assert tokenize("Hello мир 42") == ["hello", "мир", "42"]
+
+    def test_quotes_guillemets(self):
+        assert tokenize('«суд» "дело"') == ["суд", "дело"]
+
+
+class TestIdentifiers:
+    def test_court_case(self):
+        assert is_court_case("а33-5678/2023")
+        assert is_court_case("2а-1234/2024")
+        assert is_court_case("7-890/2024")
+        assert not is_court_case("а33-5678/202")  # 3-digit year
+        assert not is_court_case("а33/2023")  # no hyphen part
+        assert not is_court_case("а-б-в/2023")  # 3 groups
+
+    def test_case_id(self):
+        assert is_case_id("66ov0001-01-2021-000076-43")
+        assert is_case_id("a-b-c")
+        assert not is_case_id("a-b")  # needs 2+ hyphen groups
+        assert not is_case_id("аб-вг-де")  # Cyrillic not in the case-id class
+
+    def test_digit_sequence(self):
+        assert is_digit_sequence("42")
+        assert is_digit_sequence("337")
+        assert not is_digit_sequence("7")  # length >= 2 required
+        assert not is_digit_sequence("4a")
+
+    def test_identifier_union(self):
+        assert is_identifier("337")
+        assert is_identifier("а33-5678/2023")
+        assert not is_identifier("суд")
+
+
+class TestSignificance:
+    def test_identifiers_always_pass(self):
+        assert is_significant("337")
+        assert is_significant("а33-5678/2023")
+        assert is_significant("66ov0001-01-2021-000076-43")
+
+    def test_latin_words_dropped(self):
+        # RussianLuceneMorphology.checkString fails for Latin (LemmaFinder.java:128-130)
+        assert not is_significant("hello")
+        assert not is_significant("ray")
+
+    def test_function_words_dropped(self):
+        for w in ["и", "в", "на", "не", "же", "ли", "ох"]:
+            assert not is_significant(w), w
+
+    def test_content_words_pass(self):
+        for w in ["суд", "дело", "закон", "решение"]:
+            assert is_significant(w), w
+
+    def test_single_digit_dropped(self):
+        assert not is_significant("7")
+
+
+class TestLemma:
+    def test_identifiers_verbatim(self):
+        assert lemma_of("а33-5678/2023") == "а33-5678/2023"
+        assert lemma_of("337") == "337"
+
+    def test_inflections_merge(self):
+        base = lemma_of("суд")
+        for form in ["суда", "суду", "судом", "суды", "судов"]:
+            assert lemma_of(form) == base, form
+
+    def test_exception_table(self):
+        assert lemma_of("люди") == "человек"
+        assert lemma_of("людей") == "человек"
+        assert lemma_of("дети") == "ребенок"
+
+    def test_short_words_not_overstripped(self):
+        # stripping never leaves a stem shorter than 3 chars
+        assert len(lemma_of("дом")) >= 3
+        assert lemma_of("дом") == "дом"
+
+    def test_deterministic(self):
+        assert lemma_of("решение") == lemma_of("решение")
+
+
+class TestAnalyzer:
+    def test_lemma_counts(self):
+        a = Analyzer("ru")
+        counts = a.lemma_counts("Суд рассмотрел дело. Суд вынес решение по делу!")
+        base = lemma_of("суд")
+        assert counts[base] == 2
+
+    def test_query_lemmas_dedup(self):
+        a = Analyzer("ru")
+        assert len(a.query_lemmas("суд суд суда")) == 1
+
+    def test_empty_text(self):
+        a = Analyzer("ru")
+        assert a.lemma_counts("") == {}
+        assert a.lemma_counts("   ") == {}
+
+    def test_simple_mode(self):
+        a = Analyzer("simple")
+        assert a.tokens("Hello, World-42!") == ["hello", "world", "42"]
+        assert not a.significant("a")  # len < 2
+        assert not a.significant("the")  # stopword
+        assert a.significant("hello")
+        assert a.lemma("running") == "running"  # identity
+
+    def test_simple_tokenize_matches_sql_regex(self):
+        # must equal DuckDB regexp_extract_all(lower(text), '[a-z0-9]+')
+        assert tokenize_simple("Ray-Data 2.0; naïve") == ["ray", "data", "2", "0", "na", "ve"]
