@@ -1,0 +1,172 @@
+"""On-disk index layout + reader.
+
+Layout written by :mod:`searchengine_ray.build`::
+
+    index_dir/
+      manifest.json            # global stats + per-shard lineage (resume unit)
+      conv_dict.parquet        # ascending conv_id; row index == conv_rank
+      dictionary.parquet       # (lemma, df, cf) ascending lemma
+      shards/shard=K/
+        _MANIFEST.json         # shard lineage: input files, counts, timings
+        postings/*.parquet     # (lemma, seg, bucket, df, sum_tf, blobs…)
+        docs/*.parquet         # doc store sorted by docid (hydration)
+
+Replaces the reference's four Postgres tables (SURVEY.md §1.1): `lemma` →
+dictionary.parquet, `index` → encoded posting segments, `page` → doc store,
+`site` → manifest. The reader keeps the dictionary + conv dict + doc lengths
+warm in memory (ST7 QueryActor state, SURVEY.md §2.3) and point-reads posting
+segments per query with an LRU cache — query terms are few, so posting
+fetches are targeted parquet reads (row-group pruned by lemma, which the
+build's groupby sort clusters), never a shuffle (SURVEY.md §2.4 J1/J2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import OrderedDict
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from searchengine_ray.build import DOCLEN_LEMMA
+from searchengine_ray.codec import EncodedPostings, decode_postings
+
+_POSTING_COLS = [
+    "lemma",
+    "seg",
+    "df",
+    "doc_blob",
+    "tf_blob",
+    "block_last_docid",
+    "block_max_tf",
+    "block_doc_off",
+    "block_tf_off",
+]
+
+
+class IndexReader:
+    """Warm-state reader over a built index directory."""
+
+    def __init__(self, index_dir: str, postings_cache_size: int = 256):
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        self.n_docs: int = self.manifest["n_docs"]
+        self.avgdl: float = self.manifest["avgdl"]
+
+        self.conv_ids = pq.read_table(os.path.join(index_dir, "conv_dict.parquet"))[
+            "conv_id"
+        ].to_numpy(zero_copy_only=False)
+
+        dt = pq.read_table(os.path.join(index_dir, "dictionary.parquet"))
+        self.df_map: dict[str, int] = dict(
+            zip(dt["lemma"].to_pylist(), dt["df"].to_numpy(zero_copy_only=False).tolist())
+        )
+
+        self._shard_posting_dirs = [
+            os.path.join(index_dir, "shards", s, "postings")
+            for s in sorted(os.listdir(os.path.join(index_dir, "shards")))
+        ]
+        self._doc_dirs = [
+            os.path.join(index_dir, "shards", s, "docs")
+            for s in sorted(os.listdir(os.path.join(index_dir, "shards")))
+        ]
+
+        self._cache: OrderedDict[str, list[EncodedPostings]] = OrderedDict()
+        self._cache_size = postings_cache_size
+
+        # Doc lengths: decode the sentinel segments once (BM25 norms; the
+        # Lucene-norms analogue). Sorted docid + aligned dl arrays; at
+        # 10^12-doc scale this becomes a per-shard mmap, same contract.
+        segs = self.postings_segments(DOCLEN_LEMMA)
+        if segs:
+            parts = [decode_postings(e) for e in segs]
+            docids = np.concatenate([p[0] for p in parts])
+            dls = np.concatenate([p[1] for p in parts])
+            order = np.argsort(docids, kind="stable")
+            self._dl_docids = docids[order]
+            self._dl = dls[order]
+        else:
+            self._dl_docids = np.empty(0, dtype=np.int64)
+            self._dl = np.empty(0, dtype=np.int64)
+
+    # -- dictionary -----------------------------------------------------
+
+    def df(self, lemma: str) -> int:
+        return self.df_map.get(lemma, 0)
+
+    def has(self, lemma: str) -> bool:
+        return lemma in self.df_map
+
+    # -- postings -------------------------------------------------------
+
+    def postings_segments(self, lemma: str) -> list[EncodedPostings]:
+        """All encoded segments of a lemma, in (shard, seg) order. Segments
+        within a shard are docid-range-disjoint and ascending (range salt);
+        across shards docid ranges may interleave — callers merge."""
+        cached = self._cache.get(lemma)
+        if cached is not None:
+            self._cache.move_to_end(lemma)
+            return cached
+        segs: list[EncodedPostings] = []
+        for d in self._shard_posting_dirs:
+            t = pq.read_table(d, columns=_POSTING_COLS, filters=[("lemma", "=", lemma)])
+            if t.num_rows == 0:
+                continue
+            order = np.argsort(t["seg"].to_numpy(zero_copy_only=False), kind="stable")
+            for i in order:
+                segs.append(
+                    EncodedPostings(
+                        n=int(t["df"][int(i)].as_py()),
+                        doc_blob=t["doc_blob"][int(i)].as_py(),
+                        tf_blob=t["tf_blob"][int(i)].as_py(),
+                        block_last_docid=t["block_last_docid"][int(i)].as_py(),
+                        block_max_tf=t["block_max_tf"][int(i)].as_py(),
+                        block_doc_off=t["block_doc_off"][int(i)].as_py(),
+                        block_tf_off=t["block_tf_off"][int(i)].as_py(),
+                    )
+                )
+        if lemma != DOCLEN_LEMMA:
+            self._cache[lemma] = segs
+            if len(self._cache) > self._cache_size:
+                self._cache.popitem(last=False)
+        return segs
+
+    def decode_lemma(self, lemma: str) -> tuple[np.ndarray, np.ndarray]:
+        """Full (docids, tfs) for a lemma, globally docid-sorted."""
+        segs = self.postings_segments(lemma)
+        if not segs:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        parts = [decode_postings(e) for e in segs]
+        docids = np.concatenate([p[0] for p in parts])
+        tfs = np.concatenate([p[1] for p in parts])
+        if len(parts) > 1:
+            order = np.argsort(docids, kind="stable")
+            docids, tfs = docids[order], tfs[order]
+        return docids, tfs
+
+    # -- doc lengths ----------------------------------------------------
+
+    def doc_lengths(self, docids: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(self._dl_docids, docids)
+        return self._dl[idx]
+
+    # -- doc store ------------------------------------------------------
+
+    def fetch_docs(self, docids: list[int]) -> dict[int, dict]:
+        """Point-hydration of result docs (J3, SearchServiceImpl.java:176):
+        parquet predicate pushdown over the docid-sorted doc store."""
+        out: dict[int, dict] = {}
+        if not docids:
+            return out
+        want = sorted(set(int(d) for d in docids))
+        for d in self._doc_dirs:
+            t = pq.read_table(
+                d,
+                columns=["docid", "conv_id", "turn_idx", "role", "text"],
+                filters=[("docid", "in", want)],
+            )
+            for row in t.to_pylist():
+                out[row["docid"]] = row
+        return out

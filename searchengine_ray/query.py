@@ -1,0 +1,238 @@
+"""Query engine: multi-lemma AND search with BM25 top-k over the built index.
+
+Reference pipeline reproduced (``services/SearchServiceImpl.java:53-203``,
+SURVEY.md §3.2), with the north star's scoring/skipping upgrades:
+
+1. query analysis via the shared analyzer (M7, :91-97),
+2. D2 all-lemmas-present gate (:105-107), D3 frequency gate with Java integer
+   division + identifier bypass (:108-110, :269-274),
+3. O1 rarest-lemma-first ordering (:112) with canonical (df, lemma) tie-break,
+4. D1 conjunctive intersection (:126-137) — here over sorted compressed
+   posting segments with **block skipping**: after the rarest list seeds the
+   candidate set, each further lemma decodes only blocks whose
+   ``last_docid`` straddles a candidate (``codec.blocks_for_candidates``) —
+   the conjunctive form of block-max evaluation; candidate set shrinks
+   monotonically, early exit on empty,
+5. BM25 float64 scoring accumulated strictly in canonical term order
+   (rank-identical to the oracle; ``tf_sum`` parity mode reproduces the
+   reference's normalized tf-sum :141-161),
+6. total count + offset/limit pagination (O3, :167-175,199-201),
+   top-k ordering ``(score desc, docid asc)`` == ``(score desc, conv_id asc,
+   turn_idx asc)`` because docids are order-preserving (keys.py),
+7. hydration of only the result page from the doc store + M8 snippets.
+
+Serving state (dictionary, conv dict, doc lengths, posting LRU) loads once in
+``__init__`` — wrap in an actor pool (``QueryActor``) for concurrent serving;
+a query itself never launches a Ray job (SURVEY.md §7 hard part 6).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from searchengine_ray import scoring
+from searchengine_ray.codec import blocks_for_candidates, decode_blocks, decode_postings
+from searchengine_ray.config import EngineConfig
+from searchengine_ray.index_store import IndexReader
+from searchengine_ray.keys import TURN_BITS, TURN_MASK
+from searchengine_ray.results import (
+    ERROR_EMPTY_QUERY,
+    ERROR_NO_SIGNIFICANT,
+    ERROR_NOTHING_FOUND,
+    error_response,
+    hit,
+    ok_response,
+)
+from searchengine_ray.snippets import build_snippet
+from searchengine_ray.textproc import Analyzer
+
+
+class QueryEngine:
+    def __init__(self, index_dir: str, mode: str = "bm25"):
+        self.reader = IndexReader(index_dir)
+        m = self.reader.manifest
+        self.config = EngineConfig(
+            analyzer=m["analyzer"],
+            search_filter=m["search_filter"],
+            k1=m["k1"],
+            b=m["b"],
+            num_segments=m["num_segments"],
+            num_buckets=m["num_buckets"],
+            block_size=m["block_size"],
+        )
+        self.analyzer = Analyzer(self.config.analyzer)
+        self.mode = mode
+
+    # -- retrieval core -------------------------------------------------
+
+    def _match_and_score(self, kept: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """AND-intersect posting lists rarest-first with block skipping;
+        return (docids, scores) for every matching doc (unsorted)."""
+        reader = self.reader
+        order = scoring.canonical_term_order({l: reader.df(l) for l in kept})
+
+        # Seed: full decode of the rarest lemma.
+        docids, tf0 = reader.decode_lemma(order[0])
+        tf_by_term: list[np.ndarray] = [tf0]
+        for lemma in order[1:]:
+            if docids.size == 0:
+                break
+            segs = reader.postings_segments(lemma)
+            got_docs: list[np.ndarray] = []
+            got_tfs: list[np.ndarray] = []
+            for enc in segs:
+                sel = blocks_for_candidates(enc, docids)
+                if sel.size == 0:
+                    continue
+                d, t = decode_blocks(enc, sel, block_size=self.config.block_size)
+                got_docs.append(d)
+                got_tfs.append(t)
+            if not got_docs:
+                docids = docids[:0]
+                break
+            ld = np.concatenate(got_docs)
+            lt = np.concatenate(got_tfs)
+            if len(got_docs) > 1:
+                o = np.argsort(ld, kind="stable")
+                ld, lt = ld[o], lt[o]
+            pos = np.searchsorted(ld, docids)
+            pos_c = np.minimum(pos, ld.size - 1)
+            match = ld[pos_c] == docids
+            match &= pos < ld.size
+            docids = docids[match]
+            tf_by_term = [t[match] for t in tf_by_term]
+            tf_by_term.append(lt[pos_c[match]])
+
+        if docids.size == 0:
+            return docids, np.empty(0, dtype=np.float64)
+
+        if self.mode == "bm25":
+            dls = reader.doc_lengths(docids)
+            k1, b = self.config.k1, self.config.b
+            scores = np.zeros(docids.size, dtype=np.float64)
+            for lemma, tfs in zip(order, tf_by_term):
+                term_idf = scoring.idf(reader.n_docs, reader.df(lemma))
+                scores += term_idf * scoring.tf_norm_vec(tfs, dls, reader.avgdl, k1, b)
+        else:  # reference parity: tf-sum / max (A4/A5)
+            scores = np.zeros(docids.size, dtype=np.float64)
+            for tfs in tf_by_term:
+                scores += tfs.astype(np.float64)
+            scores = scores / scores.max()
+        return docids, scores
+
+    # -- public API -----------------------------------------------------
+
+    def search(self, query: str, offset: int = 0, limit: int = 10) -> dict:
+        reader = self.reader
+        if query == "":
+            return error_response(ERROR_EMPTY_QUERY)
+        q_lemmas = self.analyzer.query_lemmas(query)
+        if not q_lemmas:
+            return error_response(ERROR_NO_SIGNIFICANT)
+        if any(not reader.has(l) for l in q_lemmas):
+            return error_response(ERROR_NOTHING_FOUND)
+        kept = [
+            l
+            for l in q_lemmas
+            if self.analyzer.is_identifier(l)
+            or (100 * reader.df(l)) // reader.n_docs <= self.config.search_filter
+        ]
+        if not kept:
+            return error_response(ERROR_NOTHING_FOUND)
+
+        docids, scores = self._match_and_score(kept)
+        if docids.size == 0:
+            return error_response(ERROR_NOTHING_FOUND)
+
+        # (score desc, docid asc) — docid order IS (conv_id, turn_idx) order.
+        rank = np.lexsort((docids, -scores))
+        total = int(docids.size)
+        page_idx = rank[offset : offset + limit]
+        page_docids = docids[page_idx]
+        page_scores = scores[page_idx]
+
+        docs = reader.fetch_docs(page_docids.tolist())
+        data = []
+        for docid, score in zip(page_docids.tolist(), page_scores.tolist()):
+            row = docs.get(docid)
+            if row is None:  # doc store gap — should not happen
+                conv_rank, turn = docid >> TURN_BITS, docid & TURN_MASK
+                row = {
+                    "conv_id": str(reader.conv_ids[conv_rank]),
+                    "turn_idx": int(turn),
+                    "role": "",
+                    "text": "",
+                }
+            words = self.analyzer.tokens(row["text"] or "")
+            snip = build_snippet(
+                words,
+                q_lemmas,
+                self.analyzer,
+                window=self.config.snippet_window,
+                max_windows=self.config.snippet_max_windows,
+            )
+            data.append(hit(row["conv_id"], row["turn_idx"], score, snip, row.get("role", "")))
+        return ok_response(total, data)
+
+    def explain(self, query: str) -> dict:
+        """Term-level diagnostics (df, gate decisions, evaluation order) —
+        observable rarest-first behavior for tests (SURVEY.md §5.3)."""
+        q_lemmas = self.analyzer.query_lemmas(query)
+        terms = []
+        for l in sorted(q_lemmas):
+            df = self.reader.df(l)
+            gated = not (
+                self.analyzer.is_identifier(l)
+                or (100 * df) // self.reader.n_docs <= self.config.search_filter
+            )
+            terms.append({"lemma": l, "df": df, "present": self.reader.has(l), "gated": gated})
+        kept = {t["lemma"]: t["df"] for t in terms if t["present"] and not t["gated"]}
+        return {
+            "terms": terms,
+            "eval_order": scoring.canonical_term_order(kept),
+            "n_docs": self.reader.n_docs,
+            "avgdl": self.reader.avgdl,
+        }
+
+
+class QueryActor:
+    """Actor wrapper for parallel query serving (ST7, SURVEY.md §2.3):
+    ``ray.remote(QueryActor).remote(index_dir)`` → pool; each actor holds a
+    warm QueryEngine. Also usable directly via ``map_batches`` over a query
+    table for batch evaluation."""
+
+    def __init__(self, index_dir: str, mode: str = "bm25"):
+        self.engine = QueryEngine(index_dir, mode=mode)
+
+    def search(self, query: str, offset: int = 0, limit: int = 10) -> dict:
+        return self.engine.search(query, offset, limit)
+
+    def __call__(self, batch) -> dict:
+        """Batch mode: dict/pandas batch with columns (query_id, query,
+        offset, limit) → one row per (query, rank) hit."""
+        import pandas as pd
+
+        qids, ranks, convs, turns, scores_out = [], [], [], [], []
+        counts = []
+        df = pd.DataFrame(batch) if not isinstance(batch, pd.DataFrame) else batch
+        for _, row in df.iterrows():
+            r = self.engine.search(
+                str(row["query"]), int(row.get("offset", 0)), int(row.get("limit", 10))
+            )
+            for i, d in enumerate(r["data"]):
+                qids.append(row["query_id"])
+                ranks.append(i)
+                convs.append(d["conv_id"])
+                turns.append(d["turn_idx"])
+                scores_out.append(d["relevance"])
+                counts.append(r["count"])
+        return pd.DataFrame(
+            {
+                "query_id": qids,
+                "rank": ranks,
+                "conv_id": convs,
+                "turn_idx": turns,
+                "score": scores_out,
+                "count": counts,
+            }
+        )

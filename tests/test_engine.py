@@ -1,0 +1,197 @@
+"""Distributed engine vs exact oracle: index content, search ranking,
+resume (SURVEY.md §5.2-5.5)."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from searchengine_ray.build import DOCLEN_LEMMA, _build_shard, _expand_input, _shard_files, build_conv_dict, build_index
+from searchengine_ray.config import EngineConfig
+from searchengine_ray.corpus import reference_queries, write_transcripts
+from searchengine_ray.keys import TURN_BITS, TURN_MASK
+from searchengine_ray.oracle import OracleIndex, OracleSearcher
+from searchengine_ray.query import QueryEngine
+
+CFG = EngineConfig(num_shards=2, num_segments=4, lemmatizer_concurrency=2, batch_size=512)
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tiny_corpus, tmp_path_factory):
+    """One distributed build of F1-tiny reused by every test in the module."""
+    root = tmp_path_factory.mktemp("engine")
+    corpus_dir = str(root / "corpus")
+    os.makedirs(corpus_dir)
+    import pyarrow.parquet as pq
+
+    n = tiny_corpus.num_rows
+    per = (n + 7) // 8
+    for i in range(8):
+        chunk = tiny_corpus.slice(i * per, min(per, n - i * per))
+        if chunk.num_rows:
+            pq.write_table(chunk, f"{corpus_dir}/part-{i:05d}.parquet")
+    index_dir = str(root / "index")
+    manifest = build_index(corpus_dir, index_dir, CFG)
+    engine = QueryEngine(index_dir)
+    oracle = OracleSearcher(OracleIndex(tiny_corpus, CFG))
+    return manifest, engine, oracle, corpus_dir, index_dir
+
+
+class TestIndexContent:
+    def test_global_stats_match_oracle(self, built):
+        manifest, engine, oracle, *_ = built
+        assert engine.reader.n_docs == oracle.index.n_docs
+        assert engine.reader.avgdl == oracle.index.avgdl  # exact float equality
+
+    def test_dictionary_matches_oracle(self, built):
+        _, engine, oracle, *_ = built
+        assert set(engine.reader.df_map) == set(oracle.index.postings)
+        for l, post in oracle.index.postings.items():
+            assert engine.reader.df_map[l] == len(post), l
+
+    def test_postings_match_oracle_exactly(self, built):
+        """Decode every lemma and compare (conv_id, turn_idx, tf) sets."""
+        _, engine, oracle, *_ = built
+        conv_ids = engine.reader.conv_ids
+        for l, expect in oracle.index.postings.items():
+            docids, tfs = engine.reader.decode_lemma(l)
+            assert np.all(np.diff(docids) > 0), f"postings not strictly sorted for {l}"
+            got = {
+                (str(conv_ids[d >> TURN_BITS]), int(d & TURN_MASK)): int(tf)
+                for d, tf in zip(docids.tolist(), tfs.tolist())
+            }
+            assert got == dict(expect), l
+
+    def test_doc_lengths_match_oracle(self, built):
+        _, engine, oracle, *_ = built
+        r = engine.reader
+        docids = r._dl_docids
+        for d, dl in zip(docids.tolist(), r._dl.tolist()):
+            key = (str(r.conv_ids[d >> TURN_BITS]), int(d & TURN_MASK))
+            assert oracle.index.doc_len[key] == dl
+        assert len(docids) == oracle.index.n_docs
+
+    def test_doclen_sentinel_not_in_dictionary(self, built):
+        _, engine, *_ = built
+        assert DOCLEN_LEMMA not in engine.reader.df_map
+
+
+class TestSearchParity:
+    def _assert_same(self, r_e, r_o, label=""):
+        assert r_e["result"] == r_o["result"], label
+        assert r_e["count"] == r_o["count"], label
+        assert r_e["error"] == r_o["error"], label
+        got = [(d["uri"], d["relevance"], d["snippet"]) for d in r_e["data"]]
+        exp = [(d["uri"], d["relevance"], d["snippet"]) for d in r_o["data"]]
+        assert got == exp, label  # rank-identical docids + exact float64 scores
+
+    def test_reference_query_set(self, built):
+        _, engine, oracle, *_ = built
+        for q in reference_queries():
+            self._assert_same(
+                engine.search(q["query"], q["offset"], q["limit"]),
+                oracle.search(q["query"], q["offset"], q["limit"]),
+                q["query_id"],
+            )
+
+    def test_randomized_queries(self, built):
+        """Property layer (SURVEY.md §5.5): random 1-3 term queries drawn from
+        corpus vocabulary + unknown words; engine ≡ oracle end-to-end."""
+        _, engine, oracle, *_ = built
+        rng = np.random.default_rng(123)
+        vocab = [
+            "суд", "суда", "судом", "дело", "дела", "решение", "закон",
+            "договор", "жалоба", "статья", "срок", "штраф", "налог",
+            "компания", "работа", "вопрос", "люди", "hello", "337", "105",
+            "и", "в", "zzz-неизвестное",
+        ]
+        for i in range(40):
+            k = int(rng.integers(1, 4))
+            words = [vocab[int(j)] for j in rng.integers(0, len(vocab), size=k)]
+            q = " ".join(words)
+            off = int(rng.integers(0, 3)) * 5
+            self._assert_same(
+                engine.search(q, off, 10), oracle.search(q, off, 10), q
+            )
+
+    def test_explain_rarest_first(self, built):
+        _, engine, oracle, *_ = built
+        ex = engine.explain("суд решение закон")
+        dfs = [t["df"] for t in ex["terms"] if t["lemma"] in ex["eval_order"]]
+        order_dfs = [engine.reader.df(l) for l in ex["eval_order"]]
+        assert order_dfs == sorted(order_dfs)
+
+    def test_tf_sum_parity_mode(self, built):
+        """Reference-parity scoring: normalized tf-sum (SearchServiceImpl
+        :141-161) must also match the oracle's tf_sum mode."""
+        _, engine, oracle, _, index_dir = built
+        eng2 = QueryEngine(index_dir, mode="tf_sum")
+        or2 = OracleSearcher(oracle.index, mode="tf_sum")
+        for q in ["суд", "суд решение", "337"]:
+            self._assert_same(eng2.search(q), or2.search(q), q)
+
+
+class TestResume:
+    def test_interrupted_build_resumes_partition_exact(
+        self, ray_session, tiny_corpus, tmp_path_factory, built
+    ):
+        """F6: build killed after shard 0 of 4 → rerun → identical index."""
+        import ray
+
+        root = tmp_path_factory.mktemp("resume")
+        corpus_dir = str(root / "corpus")
+        os.makedirs(corpus_dir)
+        import pyarrow.parquet as pq
+
+        n = tiny_corpus.num_rows
+        per = (n + 7) // 8
+        for i in range(8):
+            chunk = tiny_corpus.slice(i * per, min(per, n - i * per))
+            if chunk.num_rows:
+                pq.write_table(chunk, f"{corpus_dir}/part-{i:05d}.parquet")
+
+        cfg = CFG.replace(num_shards=4)
+        files = _expand_input(corpus_dir)
+
+        # simulate the interrupted run: conv dict + shard 0 only, no finalize
+        idx_resumed = str(root / "idx_resumed")
+        os.makedirs(idx_resumed)
+        conv_arr = build_conv_dict(files, idx_resumed)
+        conv_ref = ray.put(conv_arr)
+        shards = _shard_files(files, cfg.num_shards)
+        m0 = _build_shard(0, shards[0], idx_resumed, conv_ref, len(conv_arr), cfg)
+        assert m0["status"] == "complete"
+        assert not os.path.exists(os.path.join(idx_resumed, "manifest.json"))
+
+        # resumed run must reuse shard 0 (mtime unchanged) and finish the rest
+        mtime_before = os.path.getmtime(
+            os.path.join(idx_resumed, "shards", "shard=00000", "_MANIFEST.json")
+        )
+        manifest_r = build_index(corpus_dir, idx_resumed, cfg)
+        assert (
+            os.path.getmtime(
+                os.path.join(idx_resumed, "shards", "shard=00000", "_MANIFEST.json")
+            )
+            == mtime_before
+        )
+
+        # uninterrupted build for comparison
+        idx_full = str(root / "idx_full")
+        manifest_f = build_index(corpus_dir, idx_full, cfg)
+
+        assert manifest_r["n_docs"] == manifest_f["n_docs"]
+        assert manifest_r["avgdl"] == manifest_f["avgdl"]
+        assert manifest_r["n_lemmas"] == manifest_f["n_lemmas"]
+        assert len(manifest_r["shards"]) == len(shards)
+        assert all(s["status"] == "complete" for s in manifest_r["shards"])
+
+        e_r, e_f = QueryEngine(idx_resumed), QueryEngine(idx_full)
+        assert e_r.reader.df_map == e_f.reader.df_map
+        for l in list(e_f.reader.df_map)[:50]:
+            dr, tr = e_r.reader.decode_lemma(l)
+            df_, tf_ = e_f.reader.decode_lemma(l)
+            assert np.array_equal(dr, df_) and np.array_equal(tr, tf_), l
+        for q in ["суд", "суд решение", "337"]:
+            a, b = e_r.search(q), e_f.search(q)
+            assert a == b, q
