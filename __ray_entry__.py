@@ -1,16 +1,19 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (inverted-index build + BM25 search
+over transcripts derived from sf0.001 documents). ``queries()`` exposes one
+callable per implemented pipeline (SURVEY.md §2 + the training-data ops);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every SQL-expressible
+one (non-expressible ops — LSH/SimHash/winnowing/multimodal — are rows-only
+by design and noted in their docstrings).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ``ray.init()`` / ``ray.shutdown()``.
+
+Naming/typing conventions shared with the SQL (so value-hashes match):
+ints are int64 (BIGINT), scores/ratios are float64 rounded half-away-from-
+zero to 4 dp (DuckDB ROUND semantics) with ``_r`` suffix, ranks are 0-based
+and cut AFTER rounding with deterministic tie-breaks.
 """
 
 from __future__ import annotations
@@ -18,27 +21,258 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from searchengine_ray.textproc import EN_STOPWORDS
+
+# --- shared SQL fragments --------------------------------------------------
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in sorted(EN_STOPWORDS))
+
+# significant-token explosion over documents (simple analyzer, mirrored from
+# searchengine_ray.textproc.tokenize_simple / is_significant_simple)
+_TOKS = f"""
+toks AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        FROM documents)
+  WHERE length(token) >= 2 AND token NOT IN ({_STOP_SQL})
+  GROUP BY doc_id, token
+)"""
+
+
+def _bm25_sql(terms: list[str], k: int = 10) -> str:
+    tl = ", ".join(f"'{t}'" for t in terms)
+    n = len(terms)
+    return f"""
+WITH {_TOKS},
+ dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+ stats AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n_docs,
+                  CAST((SELECT sum(tf) FROM toks) AS DOUBLE) AS total),
+ dfs AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM toks
+         WHERE token IN ({tl}) GROUP BY token),
+ matched AS (
+   SELECT t.doc_id,
+          sum( ln(1 + (s.n_docs - f.df + 0.5)/(f.df + 0.5))
+               * (t.tf*(1.2+1.0)) / (t.tf + 1.2*(1.0 - 0.75 + 0.75*(d.dl/(s.total/s.n_docs)))) ) AS score,
+          count(*) AS nt
+   FROM toks t
+   JOIN dfs f ON t.token = f.token
+   JOIN dl d ON t.doc_id = d.doc_id
+   CROSS JOIN stats s
+   GROUP BY t.doc_id
+   HAVING count(*) = {n} AND (SELECT count(*) FROM dfs) = {n}
+ )
+SELECT CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id ASC) - 1 AS BIGINT) AS rank,
+       doc_id, round(score, 4) AS score_r
+FROM matched
+QUALIFY rank < {k}
+"""
+
+
+_TS_DOCS = """
+tdocs AS (
+  SELECT 'conv-' || lpad(CAST(doc_id // 8 AS VARCHAR), 6, '0') AS conv_id,
+         CAST(doc_id % 8 AS INTEGER) AS turn_idx, text
+  FROM documents
+)"""
+
+_TS_TOKS = f"""
+ttoks AS (
+  SELECT conv_id, turn_idx, token, count(*) AS tf
+  FROM (SELECT conv_id, turn_idx,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        FROM tdocs)
+  WHERE length(token) >= 2 AND token NOT IN ({_STOP_SQL})
+  GROUP BY conv_id, turn_idx, token
+)"""
+
+
+def _transcript_search_sql() -> str:
+    """UNION ALL of the fixed query set over the derived transcripts —
+    mirrors pipelines.transcripts.transcript_search (engine path)."""
+    from searchengine_ray.pipelines.transcripts import FIXED_QUERIES
+    from searchengine_ray.textproc import Analyzer
+
+    analyzer = Analyzer("simple")
+    parts = []
+    for qid, qtext in FIXED_QUERIES:
+        terms = sorted({w for w in analyzer.tokens(qtext) if analyzer.significant(w)})
+        if not terms:
+            continue  # engine emits no rows; omit from the union
+        tl = ", ".join(f"'{t}'" for t in terms)
+        n = len(terms)
+        parts.append(
+            f"""
+SELECT '{qid}' AS query_id,
+       CAST(row_number() OVER (ORDER BY round(score, 4) DESC, conv_id ASC, turn_idx ASC) - 1 AS BIGINT) AS rank,
+       conv_id, turn_idx, round(score, 4) AS score_r,
+       CAST(count(*) OVER () AS BIGINT) AS count
+FROM (
+  WITH {_TS_DOCS}, {_TS_TOKS},
+   dl AS (SELECT conv_id, turn_idx, CAST(sum(tf) AS BIGINT) AS dl FROM ttoks GROUP BY conv_id, turn_idx),
+   stats AS (SELECT CAST((SELECT count(*) FROM tdocs) AS DOUBLE) AS n_docs,
+                    CAST((SELECT sum(tf) FROM ttoks) AS DOUBLE) AS total),
+   dfs AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM ttoks
+           WHERE token IN ({tl}) GROUP BY token)
+  SELECT t.conv_id, t.turn_idx,
+         sum( ln(1 + (s.n_docs - f.df + 0.5)/(f.df + 0.5))
+              * (t.tf*(1.2+1.0)) / (t.tf + 1.2*(1.0 - 0.75 + 0.75*(d.dl/(s.total/s.n_docs)))) ) AS score
+  FROM ttoks t
+  JOIN dfs f ON t.token = f.token
+  JOIN dl d ON t.conv_id = d.conv_id AND t.turn_idx = d.turn_idx
+  CROSS JOIN stats s
+  GROUP BY t.conv_id, t.turn_idx
+  HAVING count(*) = {n} AND (SELECT count(*) FROM dfs) = {n}
+)
+QUALIFY rank < 10"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+# --- driver contract -------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the inverted index over sf0.001-derived transcripts
+    and serve the fixed query set (rows of ranked hits)."""
+    from searchengine_ray.pipelines.transcripts import transcript_search
+
+    return transcript_search("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from searchengine_ray.pipelines import dedup, fulltext, multimodal, similarity, textstats
+    from searchengine_ray.pipelines.transcripts import (
+        transcript_index_dictionary,
+        transcript_search,
+    )
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- inverted-index data flows over documents (SURVEY.md §2) ---
+        "postings": fulltext.postings,
+        "lemma_df": fulltext.lemma_df,
+        "doc_lengths": fulltext.doc_lengths,
+        "doc_stats": fulltext.doc_stats,
+        "top_terms": fulltext.top_terms,
+        "bm25_adhoc": lambda sf: fulltext.bm25_adhoc(sf, "scan column"),
+        "search_count": lambda sf: fulltext.search_count(sf, "hash join"),
+        # --- flagship engine path: real index build + BM25 serving ---
+        "transcript_search": transcript_search,
+        "transcript_dictionary": transcript_index_dictionary,
+        # --- dedup family ---
+        "dedup_exact": dedup.exact_dedup,
+        "dedup_minhash": dedup.minhash_dups,          # rows-only (LSH)
+        "dedup_simhash": dedup.simhash_dups,          # rows-only (Hamming)
+        "ngram_jaccard": dedup.ngram_jaccard_dups,    # rows-only (LSH)
+        # --- similarity search ---
+        "knn_cosine": lambda sf: similarity.knn_cosine(sf, query_vec_id=0, k=10),
+        "lsh_knn": lambda sf: similarity.lsh_knn(sf, query_vec_id=0, k=10),  # rows-only (ANN)
+        "embedding_neardup": lambda sf: similarity.embedding_neardup(sf, 0.95),  # rows-only (fp boundary)
+        # --- text analysis ---
+        "langid": textstats.langid,
+        "token_count": textstats.token_count,
+        "quality_score": textstats.quality_score,
+        "fingerprint": textstats.fingerprint,
+        "fingerprint_rolling": textstats.fingerprint_rolling,  # rows-only (winnowing)
+        # --- multimodal plumbing (stubbed decoder) ---
+        "multimodal_features": multimodal.multimodal_features,  # rows-only (binary payloads)
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "postings": f"WITH {_TOKS} SELECT token AS lemma, doc_id, tf FROM toks",
+        "lemma_df": f"""
+WITH {_TOKS}
+SELECT token AS lemma, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+FROM toks GROUP BY token""",
+        "doc_lengths": f"""
+WITH {_TOKS}
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM toks GROUP BY doc_id""",
+        "doc_stats": f"""
+WITH {_TOKS}
+SELECT (SELECT count(*) FROM documents) AS n_docs,
+       CAST((SELECT coalesce(sum(tf), 0) FROM toks) AS BIGINT) AS n_tokens,
+       round(CAST((SELECT coalesce(sum(tf), 0) FROM toks) AS DOUBLE)
+             / (SELECT count(*) FROM documents), 4) AS avgdl_r""",
+        "top_terms": f"""
+WITH {_TOKS},
+ d AS (SELECT token AS lemma, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+       FROM toks GROUP BY token)
+SELECT CAST(row_number() OVER (ORDER BY cf DESC, lemma ASC) - 1 AS BIGINT) AS rank,
+       lemma, df, cf
+FROM d QUALIFY rank < 20""",
+        "bm25_adhoc": _bm25_sql(["column", "scan"], k=10),
+        "search_count": f"""
+WITH {_TOKS}
+SELECT CAST(count(*) AS BIGINT) AS n_matches FROM (
+  SELECT doc_id FROM toks WHERE token IN ('hash', 'join')
+  GROUP BY doc_id HAVING count(*) = 2)""",
+        "transcript_search": _transcript_search_sql(),
+        "transcript_dictionary": f"""
+WITH {_TOKS}
+SELECT token AS lemma, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+FROM toks GROUP BY token""",
+        "dedup_exact": """
+SELECT md5(text) AS text_hash, min(doc_id) AS rep_doc_id, count(*) AS n_dups
+FROM documents GROUP BY md5(text)""",
+        "knn_cosine": """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+SELECT CAST(row_number() OVER (ORDER BY round(sim, 4) DESC, vec_id ASC) - 1 AS BIGINT) AS rank,
+       vec_id, round(sim, 4) AS sim_r
+FROM (SELECT e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS sim
+      FROM embeddings e CROSS JOIN q)
+QUALIFY rank < 10""",
+        "langid": """
+WITH raw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+             FROM documents),
+ v AS (SELECT doc_id,
+   CAST(sum(CASE WHEN token IN ('der','die','das','und','nicht','ein','ist') THEN 1 ELSE 0 END) AS BIGINT) AS v_de,
+   CAST(sum(CASE WHEN token IN ('the','and','was','with','that','this') THEN 1 ELSE 0 END) AS BIGINT) AS v_en,
+   CAST(sum(CASE WHEN token IN ('el','los','las','una','por','como','que') THEN 1 ELSE 0 END) AS BIGINT) AS v_es,
+   CAST(sum(CASE WHEN token IN ('le','les','des','est','une','dans','et') THEN 1 ELSE 0 END) AS BIGINT) AS v_fr
+   FROM raw GROUP BY doc_id)
+SELECT d.doc_id,
+  CASE WHEN length(d.text) = 0 THEN 'unknown'
+       WHEN CAST(length(regexp_replace(d.text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+            / length(d.text) < 0.35 THEN 'zh'
+       WHEN coalesce(greatest(v.v_de, v.v_en, v.v_es, v.v_fr), 0) = 0 THEN 'unknown'
+       WHEN v.v_de = greatest(v.v_de, v.v_en, v.v_es, v.v_fr) THEN 'de'
+       WHEN v.v_en = greatest(v.v_de, v.v_en, v.v_es, v.v_fr) THEN 'en'
+       WHEN v.v_es = greatest(v.v_de, v.v_en, v.v_es, v.v_fr) THEN 'es'
+       ELSE 'fr' END AS pred_lang
+FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id""",
+        "token_count": f"""
+WITH raw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+             FROM documents),
+ a AS (SELECT doc_id, count(*) AS n_tokens, count(DISTINCT token) AS n_unique,
+              CAST(sum(CASE WHEN length(token) >= 2 AND token NOT IN ({_STOP_SQL})
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_sig
+       FROM raw GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+       coalesce(a.n_unique, 0) AS n_unique, coalesce(a.n_sig, 0) AS n_sig
+FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id""",
+        "quality_score": f"""
+WITH raw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+             FROM documents),
+ a AS (SELECT doc_id, count(*) AS n_tokens,
+              CAST(sum(CASE WHEN token IN ({_STOP_SQL}) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+              CAST(sum(CASE WHEN length(token) >= 2 AND token NOT IN ({_STOP_SQL})
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_sig
+       FROM raw GROUP BY doc_id)
+SELECT d.doc_id,
+  coalesce(a.n_tokens, 0) AS n_tokens,
+  round(CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0.0
+             ELSE CAST(a.n_stop AS DOUBLE) / a.n_tokens END, 4) AS stop_ratio_r,
+  round(CASE WHEN length(d.text) = 0 THEN 0.0
+             ELSE CAST(length(regexp_replace(d.text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                  / length(d.text) END, 4) AS alpha_ratio_r,
+  round(least(1.0, coalesce(a.n_sig, 0) / 50.0)
+        * (1.0 - CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0.0
+                      ELSE CAST(a.n_stop AS DOUBLE) / a.n_tokens END), 4) AS quality_r
+FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id""",
+        "fingerprint": r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g'))) AS fp
+FROM documents""",
+    }

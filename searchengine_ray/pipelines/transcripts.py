@@ -1,0 +1,111 @@
+"""The flagship pipeline for the driver's testdata: build the real inverted
+index + BM25 engine over transcripts derived from the ``documents`` table and
+serve a fixed query set.
+
+The derivation (``corpus.transcripts_from_documents``) and the simple
+analyzer are both exactly SQL-expressible, so this end-to-end path — Ray
+Data index build → compressed posting segments → conjunctive BM25 top-k —
+is oracle-checked against DuckDB in ``__ray_entry__``.
+
+Scores are rounded (half-away, 4 dp) and re-ranked ``(score_r desc, conv_id,
+turn_idx)`` before the top-10 cut so float summation-order noise cannot flip
+ranks between engine and SQL.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from searchengine_ray.build import build_index
+from searchengine_ray.config import EngineConfig
+from searchengine_ray.corpus import transcripts_from_documents
+from searchengine_ray.pipelines.fulltext import _round_vec
+
+# Fixed reference query set over the documents vocabulary.
+FIXED_QUERIES: list[tuple[str, str]] = [
+    ("ts-single", "window"),
+    ("ts-and2", "scan column"),
+    ("ts-and3", "hash join merge"),
+    ("ts-rare", "dup"),
+    ("ts-missing", "window qzqzqzqz"),
+    ("ts-stopword", "the a of"),
+]
+
+TRANSCRIPT_CFG = EngineConfig(
+    analyzer="simple",
+    num_shards=2,
+    num_segments=4,
+    num_buckets=8,
+    lemmatizer_concurrency=2,
+    batch_size=2048,
+)
+
+
+def ensure_transcript_index(sf_dir: str, root: str = "/tmp/searchengine_ray_idx") -> str:
+    """Build (once per sf_dir; resumable) the engine index over the derived
+    transcripts. Returns the index directory."""
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|v1".encode()).hexdigest()[:12]
+    base = os.path.join(root, key)
+    corpus_dir = os.path.join(base, "corpus")
+    index_dir = os.path.join(base, "index")
+    if os.path.exists(os.path.join(index_dir, "manifest.json")):
+        return index_dir
+    os.makedirs(corpus_dir, exist_ok=True)
+    table = transcripts_from_documents(sf_dir)
+    # deterministic 4-file layout → 2 build shards
+    n = table.num_rows
+    per = (n + 3) // 4
+    for i in range(4):
+        chunk = table.slice(i * per, min(per, n - i * per))
+        if chunk.num_rows:
+            pq.write_table(chunk, os.path.join(corpus_dir, f"part-{i:05d}.parquet"))
+    build_index(corpus_dir, index_dir, TRANSCRIPT_CFG)
+    return index_dir
+
+
+def transcript_search(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """(query_id, rank, conv_id, turn_idx, score_r, count) for the fixed
+    query set — one row per hit in the rounded-score top-k."""
+    from searchengine_ray.query import QueryEngine
+
+    index_dir = ensure_transcript_index(sf_dir)
+    engine = QueryEngine(index_dir)
+    frames = []
+    for qid, qtext in FIXED_QUERIES:
+        r = engine.search_ids(qtext)
+        if r["count"] == 0:
+            continue
+        score_r = _round_vec(r["score"])
+        df = pd.DataFrame(
+            {
+                "conv_id": r["conv_id"],
+                "turn_idx": r["turn_idx"].astype("int32"),
+                "score_r": score_r,
+            }
+        )
+        df = df.sort_values(
+            ["score_r", "conv_id", "turn_idx"], ascending=[False, True, True], kind="stable"
+        ).head(k)
+        df = df.reset_index(drop=True)
+        df.insert(0, "rank", df.index.astype("int64"))
+        df.insert(0, "query_id", qid)
+        df["count"] = np.int64(r["count"])
+        frames.append(df)
+    if not frames:
+        return pd.DataFrame(
+            columns=["query_id", "rank", "conv_id", "turn_idx", "score_r", "count"]
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
+def transcript_index_dictionary(sf_dir: str) -> pd.DataFrame:
+    """Dictionary (lemma, df, cf) of the built transcript index — the
+    index-content surface of the engine, oracle-checked in SQL."""
+    index_dir = ensure_transcript_index(sf_dir)
+    t = pq.read_table(os.path.join(index_dir, "dictionary.parquet"))
+    return t.to_pandas()

@@ -174,6 +174,44 @@ class QueryEngine:
             data.append(hit(row["conv_id"], row["turn_idx"], score, snip, row.get("role", "")))
         return ok_response(total, data)
 
+    def search_ids(self, query: str, limit: int | None = None) -> dict:
+        """Hydration-free search: all matching (conv_id, turn_idx, score)
+        plus total count — the bulk-evaluation path (no doc-store reads, no
+        snippets). Results ordered (score desc, conv_id asc, turn_idx asc)."""
+        reader = self.reader
+        empty = {
+            "count": 0,
+            "conv_id": np.empty(0, dtype=object),
+            "turn_idx": np.empty(0, dtype=np.int64),
+            "score": np.empty(0, dtype=np.float64),
+        }
+        if query == "":
+            return empty
+        q_lemmas = self.analyzer.query_lemmas(query)
+        if not q_lemmas or any(not reader.has(l) for l in q_lemmas):
+            return empty
+        kept = [
+            l
+            for l in q_lemmas
+            if self.analyzer.is_identifier(l)
+            or (100 * reader.df(l)) // reader.n_docs <= self.config.search_filter
+        ]
+        if not kept:
+            return empty
+        docids, scores = self._match_and_score(kept)
+        if docids.size == 0:
+            return empty
+        rank = np.lexsort((docids, -scores))
+        if limit is not None:
+            rank = rank[:limit]
+        conv_rank, turn = docids[rank] >> TURN_BITS, docids[rank] & TURN_MASK
+        return {
+            "count": int(docids.size),
+            "conv_id": reader.conv_ids[conv_rank],
+            "turn_idx": turn,
+            "score": scores[rank],
+        }
+
     def explain(self, query: str) -> dict:
         """Term-level diagnostics (df, gate decisions, evaluation order) —
         observable rarest-first behavior for tests (SURVEY.md §5.3)."""
