@@ -1,0 +1,199 @@
+"""Benchmark harness — the driver runs this per round and records the JSON line.
+
+Headline pipeline: inverted-index build (turns/sec) + BM25 query serving
+(p50/p99 latency over the reference query set) on the deterministic synthetic
+transcripts corpus (corpus.generate_transcripts — same seed → same bytes),
+plus wall-time for every driver-table pipeline over ``$GRAFT_SF_DIR``.
+
+Prints ONE JSON line::
+
+    {"metric": "...", "value": <headline build sec>, "unit": "sec",
+     "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N}
+
+``--scaling`` runs the identical headline build+query job twice in FRESH
+subprocesses (num_cpus=8 then num_cpus=32; override via
+``GRAFT_SCALE_LO/HI``) on the same pre-generated input and reports
+throughput at both plus efficiency = (T_hi/T_lo)/(hi/lo). Results land in
+BASELINE.md's measured-numbers section (update by hand from the output).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# ~170k turns at the default; scales the synthetic headline corpus.
+BENCH_CONVS = int(os.environ.get("GRAFT_BENCH_CONVS", "14000"))
+BENCH_CORPUS_DIR = os.environ.get(
+    "GRAFT_BENCH_CORPUS", f"/tmp/searchengine_ray_bench/corpus_c{BENCH_CONVS}"
+)
+
+
+def ensure_bench_corpus() -> tuple[str, int]:
+    """Generate (once) the synthetic transcripts corpus; returns (dir, rows)."""
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.corpus import write_transcripts
+
+    meta = os.path.join(BENCH_CORPUS_DIR, "_meta.json")
+    if os.path.exists(meta):
+        with open(meta) as f:
+            return BENCH_CORPUS_DIR, json.load(f)["rows"]
+    paths = write_transcripts(
+        BENCH_CORPUS_DIR, n_convs=BENCH_CONVS, avg_turns=12.0, seed=42, n_files=64
+    )
+    rows = sum(pq.read_metadata(p).num_rows for p in paths)
+    with open(meta, "w") as f:
+        json.dump({"rows": rows, "n_convs": BENCH_CONVS}, f)
+    return BENCH_CORPUS_DIR, rows
+
+
+def run_headline(num_cpus: int, tag: str) -> dict:
+    """Fresh-index build + query latency on the synthetic corpus.
+    Assumes ray already initialised in THIS process."""
+    import shutil
+
+    import numpy as np
+
+    from searchengine_ray.build import build_index
+    from searchengine_ray.config import EngineConfig
+    from searchengine_ray.corpus import reference_queries
+    from searchengine_ray.query import QueryEngine
+
+    corpus_dir, rows = ensure_bench_corpus()
+    index_dir = f"/tmp/searchengine_ray_bench/index_{tag}_c{BENCH_CONVS}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+
+    # Leave CPU headroom for the read + shuffle stages: a fixed-size actor
+    # pool equal to num_cpus starves ReadParquet and stalls the pipeline.
+    pool = (2, max(2, num_cpus - 4))
+    cfg = EngineConfig(
+        analyzer="ru",
+        num_shards=4,
+        num_segments=max(8, num_cpus),
+        num_buckets=32,
+        lemmatizer_concurrency=pool,
+        batch_size=4096,
+    )
+    t0 = time.time()
+    manifest = build_index(corpus_dir, index_dir, cfg)
+    build_sec = time.time() - t0
+
+    engine = QueryEngine(index_dir)
+    queries = [q for q in reference_queries() if q["query"]]
+    lat: list[float] = []
+    for _ in range(3):  # warm + measured repeats
+        for q in queries:
+            t1 = time.perf_counter()
+            engine.search(q["query"], q["offset"], q["limit"])
+            lat.append(time.perf_counter() - t1)
+    lat_arr = np.asarray(lat[len(queries):])  # drop cold pass
+    out = {
+        "build_sec": round(build_sec, 3),
+        "turns": rows,
+        "turns_per_sec": round(rows / build_sec, 1),
+        "n_lemmas": manifest["n_lemmas"],
+        "query_p50_ms": round(float(np.percentile(lat_arr, 50)) * 1e3, 3),
+        "query_p99_ms": round(float(np.percentile(lat_arr, 99)) * 1e3, 3),
+        "num_cpus": num_cpus,
+    }
+    shutil.rmtree(index_dir, ignore_errors=True)
+    return out
+
+
+def run_driver_pipelines(sf_dir: str) -> dict[str, float]:
+    """Wall-time per driver-contract pipeline over the testdata tables."""
+    import shutil
+
+    import __ray_entry__ as entrymod
+
+    # transcript pipelines cache their index under /tmp — clear so the
+    # bench measures a real build, not a cache hit.
+    shutil.rmtree("/tmp/searchengine_ray_idx", ignore_errors=True)
+    times: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.time()
+        res = fn(sf_dir)
+        # force execution for lazy Datasets
+        if hasattr(res, "materialize"):
+            res = res.materialize()
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def main_single() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    headline = run_headline(NUM_CPUS, tag=f"cpu{NUM_CPUS}")
+    queries = run_driver_pipelines(SF_DIR)
+    queries["index_build"] = headline["build_sec"]
+    result = {
+        "metric": "index_build_sec_plus_query_latency",
+        "value": headline["build_sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "headline": headline,
+    }
+    print(json.dumps(result))
+    ray.shutdown()
+
+
+def main_scaling() -> None:
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
+    ensure_bench_corpus()  # generate outside the timed subprocesses
+    results = {}
+    for n in (lo, hi):
+        code = (
+            "import sys, json, ray; sys.path.insert(0, %r); "
+            "ray.init(address='local', num_cpus=%d, include_dashboard=False); "
+            "from bench import run_headline; "
+            "print('RESULT::' + json.dumps(run_headline(%d, tag='scale%d'))); "
+            "ray.shutdown()" % (os.path.dirname(os.path.abspath(__file__)), n, n, n)
+        )
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True, timeout=3000
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("RESULT::")]
+        if not line:
+            sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:] + "\n")
+            raise RuntimeError(f"scaling run at num_cpus={n} failed")
+        results[n] = json.loads(line[0][len("RESULT::"):])
+    tp_lo, tp_hi = results[lo]["turns_per_sec"], results[hi]["turns_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "value": round(eff, 3),
+                "unit": "efficiency",
+                "lo": results[lo],
+                "hi": results[hi],
+                "throughput_lo_turns_per_sec": tp_lo,
+                "throughput_hi_turns_per_sec": tp_hi,
+                "cpus": [lo, hi],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    args = ap.parse_args()
+    if args.scaling:
+        main_scaling()
+    else:
+        main_single()

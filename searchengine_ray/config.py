@@ -52,7 +52,10 @@ class EngineConfig:
     block_size: int = 128
     # --- execution sizing ---
     batch_size: int = 4096
-    lemmatizer_concurrency: int | tuple[int, int] = 4
+    # Autoscaling (min, max) actor pool. A FIXED pool equal to the session's
+    # CPU count reserves every CPU and starves the upstream read tasks — the
+    # pipeline deadlocks. Keep this a tuple (or < session CPUs) always.
+    lemmatizer_concurrency: int | tuple[int, int] = (1, 4)
     # --- build sharding (resume unit) ---
     num_shards: int = 1
     # --- snippet semantics (services/SearchServiceImpl.java:237-249) ---
