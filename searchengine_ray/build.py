@@ -267,7 +267,8 @@ def _build_shard(
     encoded = exploded.groupby("gkey").map_groups(
         _make_encode_group(config), batch_format="pyarrow"
     )
-    encoded.write_parquet(os.path.join(tmp_dir, "postings"))
+    # small row groups → lemma-filter point reads prune to a few row groups
+    encoded.write_parquet(os.path.join(tmp_dir, "postings"), row_group_size=512)
 
     # Doc store for hydration/snippets: input + docid, sorted by docid so
     # parquet row-group stats give point reads (reference analogue: the
@@ -284,8 +285,9 @@ def _build_shard(
         return batch.append_column("docid", pa.array(docid, type=pa.int64()))
 
     docs = rd.read_parquet(files, columns=["conv_id", "turn_idx", "role", "text"])
+    # small row groups → query-time hydration decodes ~one row group per hit
     docs.map_batches(add_docid, batch_format="pyarrow").sort("docid").write_parquet(
-        os.path.join(tmp_dir, "docs")
+        os.path.join(tmp_dir, "docs"), row_group_size=2048
     )
 
     manifest = {

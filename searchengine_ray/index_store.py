@@ -27,6 +27,7 @@ import os
 from collections import OrderedDict
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 from searchengine_ray.build import DOCLEN_LEMMA
@@ -101,6 +102,36 @@ class IndexReader:
 
     # -- postings -------------------------------------------------------
 
+    def _posting_rg_index(self):
+        """Footer-statistics index over the posting files: per row group the
+        (lemma_min, lemma_max) range plus (file, rg). Built once — postings
+        are written lemma-sorted with small row groups, so a term's segments
+        live in very few row groups and a point read decodes only those."""
+        if getattr(self, "_prg_meta", None) is not None:
+            return self._prg_meta
+        files: list[str] = []
+        lo: list[str] = []
+        hi: list[str] = []
+        fidx: list[int] = []
+        rgidx: list[int] = []
+        for d in self._shard_posting_dirs:
+            for name in sorted(os.listdir(d)):
+                if not name.endswith(".parquet"):
+                    continue
+                path = os.path.join(d, name)
+                meta = pq.read_metadata(path)
+                col = meta.schema.to_arrow_schema().get_field_index("lemma")
+                fi = len(files)
+                files.append(path)
+                for rg in range(meta.num_row_groups):
+                    st = meta.row_group(rg).column(col).statistics
+                    lo.append(st.min)
+                    hi.append(st.max)
+                    fidx.append(fi)
+                    rgidx.append(rg)
+        self._prg_meta = (lo, hi, fidx, rgidx, files)
+        return self._prg_meta
+
     def postings_segments(self, lemma: str) -> list[EncodedPostings]:
         """All encoded segments of a lemma, in (shard, seg) order. Segments
         within a shard are docid-range-disjoint and ascending (range salt);
@@ -109,11 +140,17 @@ class IndexReader:
         if cached is not None:
             self._cache.move_to_end(lemma)
             return cached
+        lo, hi, fidx, rgidx, files = self._posting_rg_index()
+        tables = []
+        for i in range(len(lo)):
+            if lo[i] <= lemma <= hi[i]:
+                t = pq.ParquetFile(files[i]).read_row_group(rgidx[i], columns=_POSTING_COLS)
+                mask = np.asarray(t["lemma"].to_numpy(zero_copy_only=False) == lemma)
+                if mask.any():
+                    tables.append((files[i], t.filter(pa.array(mask))))
         segs: list[EncodedPostings] = []
-        for d in self._shard_posting_dirs:
-            t = pq.read_table(d, columns=_POSTING_COLS, filters=[("lemma", "=", lemma)])
-            if t.num_rows == 0:
-                continue
+        # file paths sort as shards/shard=K/... — (shard, seg) order preserved
+        for _, t in sorted(tables, key=lambda x: x[0]):
             order = np.argsort(t["seg"].to_numpy(zero_copy_only=False), kind="stable")
             for i in order:
                 segs.append(
@@ -154,19 +191,86 @@ class IndexReader:
 
     # -- doc store ------------------------------------------------------
 
+    _DOC_COLS = ["docid", "conv_id", "turn_idx", "role", "text"]
+
+    def _doc_rg_index(self):
+        """Row-group index over the docid-sorted doc store: parallel arrays
+        (rg_min_docid, rg_max_docid, file_idx, rg_idx), globally sorted by
+        min docid. Built once from parquet footer statistics — O(row groups)
+        memory, never O(docs); the scale path is the same metadata held per
+        docid-range-owning serving actor."""
+        if getattr(self, "_rg_meta", None) is not None:
+            return self._rg_meta
+        files: list[str] = []
+        mins: list[int] = []
+        maxs: list[int] = []
+        fidx: list[int] = []
+        rgidx: list[int] = []
+        for d in self._doc_dirs:
+            for name in sorted(os.listdir(d)):
+                if not name.endswith(".parquet"):
+                    continue
+                path = os.path.join(d, name)
+                meta = pq.read_metadata(path)
+                fi = len(files)
+                files.append(path)
+                col = meta.schema.to_arrow_schema().get_field_index("docid")
+                for rg in range(meta.num_row_groups):
+                    st = meta.row_group(rg).column(col).statistics
+                    mins.append(int(st.min))
+                    maxs.append(int(st.max))
+                    fidx.append(fi)
+                    rgidx.append(rg)
+        order = np.argsort(np.asarray(mins, dtype=np.int64), kind="stable")
+        self._rg_meta = (
+            np.asarray(mins, dtype=np.int64)[order],
+            np.asarray(maxs, dtype=np.int64)[order],
+            np.asarray(fidx, dtype=np.int64)[order],
+            np.asarray(rgidx, dtype=np.int64)[order],
+            files,
+        )
+        self._rg_cache: OrderedDict[tuple[int, int], dict] = OrderedDict()
+        return self._rg_meta
+
+    def _read_row_group(self, fi: int, rg: int, files: list[str]) -> dict:
+        """One decoded row group as {docid_sorted: np.ndarray, table}, LRU'd."""
+        key = (fi, rg)
+        hit = self._rg_cache.get(key)
+        if hit is not None:
+            self._rg_cache.move_to_end(key)
+            return hit
+        t = pq.ParquetFile(files[fi]).read_row_group(rg, columns=self._DOC_COLS)
+        ids = t["docid"].to_numpy(zero_copy_only=False)
+        entry = {"ids": ids, "table": t}
+        self._rg_cache[key] = entry
+        if len(self._rg_cache) > 64:
+            self._rg_cache.popitem(last=False)
+        return entry
+
     def fetch_docs(self, docids: list[int]) -> dict[int, dict]:
         """Point-hydration of result docs (J3, SearchServiceImpl.java:176):
-        parquet predicate pushdown over the docid-sorted doc store."""
+        footer-statistics row-group pruning over the docid-sorted doc store —
+        only row groups whose [min, max] straddles a wanted docid are read."""
         out: dict[int, dict] = {}
         if not docids:
             return out
-        want = sorted(set(int(d) for d in docids))
-        for d in self._doc_dirs:
-            t = pq.read_table(
-                d,
-                columns=["docid", "conv_id", "turn_idx", "role", "text"],
-                filters=[("docid", "in", want)],
-            )
-            for row in t.to_pylist():
+        mins, maxs, fidx, rgidx, files = self._doc_rg_index()
+        want = np.unique(np.asarray(docids, dtype=np.int64))
+        # a row group is a candidate iff some wanted docid falls in [min, max]
+        # (exact even when shard docid ranges interleave)
+        lo = np.searchsorted(want, mins, side="left")
+        hit = (lo < want.size) & (want[np.minimum(lo, want.size - 1)] <= maxs)
+        hit_rg = np.nonzero(hit)[0]
+        for p in hit_rg.tolist():
+            entry = self._read_row_group(int(fidx[p]), int(rgidx[p]), files)
+            ids = entry["ids"]
+            sel = np.searchsorted(ids, want)
+            sel_c = np.minimum(sel, ids.size - 1)
+            found = want[ids[sel_c] == want]
+            if found.size == 0:
+                continue
+            rows = np.searchsorted(ids, found)
+            sub = entry["table"].take(rows)
+            for row in sub.to_pylist():
                 out[row["docid"]] = row
         return out
