@@ -44,6 +44,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 import zlib
 
@@ -59,6 +60,36 @@ from searchengine_ray.textproc import Analyzer
 # appear in a real token (the tokenizer strips it), so no collision.
 DOCLEN_LEMMA = "\x00doclen"
 _GKEY_SEP = "\x01"
+
+def _pin_fsspec_http_stub() -> None:
+    """Ray Data's path resolution tries ``from fsspec.implementations.http
+    import HTTPFileSystem`` on every read/write. When aiohttp is absent that
+    import FAILS, Python does not cache failed imports, and concurrent
+    shard-build threads re-importing it race — one thread sees the module
+    partially initialized and gets an uncaught ImportError. Pin a sentinel
+    module once so every later import deterministically succeeds; the class
+    is only ever used in isinstance checks, which are False for the local
+    filesystems this engine reads."""
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except ModuleNotFoundError:
+        import sys
+        import types
+
+        mod = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # sentinel for isinstance checks only
+            pass
+
+        mod.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = mod
+
+
+_pin_fsspec_http_stub()
+
+# Belt-and-braces: Dataset construction is cheap and lazy — serialize it so
+# any remaining lazy-import in the ctor path is single-threaded.
+_DATASET_CTOR_LOCK = threading.Lock()
 
 
 def lemma_bucket(lemma: str, num_buckets: int) -> int:
@@ -251,7 +282,8 @@ def _build_shard(
     shutil.rmtree(tmp_dir, ignore_errors=True)
     os.makedirs(os.path.join(tmp_dir, "postings"), exist_ok=True)
 
-    ds = rd.read_parquet(files, columns=["conv_id", "turn_idx", "text"])
+    with _DATASET_CTOR_LOCK:
+        ds = rd.read_parquet(files, columns=["conv_id", "turn_idx", "text"])
     n_input = ds.count()  # parquet metadata — no scan
     exploded = ds.map_batches(
         ExplodePostings,
@@ -284,7 +316,8 @@ def _build_shard(
         docid = (ranks << TURN_BITS) | turn
         return batch.append_column("docid", pa.array(docid, type=pa.int64()))
 
-    docs = rd.read_parquet(files, columns=["conv_id", "turn_idx", "role", "text"])
+    with _DATASET_CTOR_LOCK:
+        docs = rd.read_parquet(files, columns=["conv_id", "turn_idx", "role", "text"])
     # small row groups → query-time hydration decodes ~one row group per hit
     docs.map_batches(add_docid, batch_format="pyarrow").sort("docid").write_parquet(
         os.path.join(tmp_dir, "docs"), row_group_size=2048
@@ -391,9 +424,31 @@ def build_index(
     conv_ref = ray.put(conv_arr)
     n_convs = len(conv_arr)
 
-    manifests = []
-    for shard_id, shard in enumerate(_shard_files(files, config.num_shards)):
-        manifests.append(
-            _build_shard(shard_id, shard, index_dir, conv_ref, n_convs, config)
-        )
+    shards = _shard_files(files, config.num_shards)
+    # Shards build concurrently (driver threads, one streaming Dataset job
+    # each); Ray's scheduler interleaves their tasks, so a small shard's job
+    # overhead overlaps a big shard's compute. On a multi-node cluster this
+    # is the per-shard pipeline schedule; each shard stays an independent
+    # resume unit either way.
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    # ≥4 CPUs per concurrent shard job, else concurrent fixed-size pools can
+    # over-demand a small session and deadlock each other
+    workers = max(1, min(config.build_concurrency, len(shards), cpus // 4))
+    if workers <= 1:
+        manifests = [
+            _build_shard(i, s, index_dir, conv_ref, n_convs, config)
+            for i, s in enumerate(shards)
+        ]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            manifests = list(
+                pool.map(
+                    lambda arg: _build_shard(
+                        arg[0], arg[1], index_dir, conv_ref, n_convs, config
+                    ),
+                    enumerate(shards),
+                )
+            )
     return _finalize(index_dir, config, manifests)

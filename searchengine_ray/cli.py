@@ -1,0 +1,157 @@
+"""CLI entry points — the rebuild of the reference's REST API surface
+(``controllers/ApiController.java:26-69``):
+
+=====================  =======================================================
+Reference endpoint      CLI command
+=====================  =======================================================
+GET /api/startIndexing  ``build  --input DIR --index DIR [--analyzer ru]``
+GET /api/search         ``search --index DIR --query Q [--offset N --limit N]``
+GET /api/statistics     ``stats  --index DIR``
+DELETE /api/deleteAll   ``clear  --index DIR``
+=====================  =======================================================
+
+Run locally (``python -m searchengine_ray build ...``) or via
+``ray job submit -- python -m searchengine_ray build ...`` on a cluster.
+The CLI owns its Ray session (guarded init + shutdown); library code never
+initialises Ray.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+
+
+def _ensure_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(address="local", **kwargs)
+
+
+def cmd_build(args: argparse.Namespace) -> int:
+    from searchengine_ray.build import build_index
+    from searchengine_ray.config import EngineConfig
+
+    _ensure_ray(args.num_cpus)
+    cfg = EngineConfig(
+        analyzer=args.analyzer,
+        num_shards=args.num_shards,
+        num_segments=args.num_segments,
+        num_buckets=args.num_buckets,
+        batch_size=args.batch_size,
+        lemmatizer_concurrency=(1, args.max_actors),
+    )
+    manifest = build_index(args.input, args.index, cfg)
+    print(
+        json.dumps(
+            {
+                "result": True,
+                "n_docs": manifest["n_docs"],
+                "n_lemmas": manifest["n_lemmas"],
+                "avgdl": round(manifest["avgdl"], 4),
+                "shards": len(manifest["shards"]),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_search(args: argparse.Namespace) -> int:
+    from searchengine_ray.query import QueryEngine
+
+    engine = QueryEngine(args.index, mode=args.mode)
+    print(json.dumps(engine.search(args.query, args.offset, args.limit), ensure_ascii=False))
+    return 0
+
+
+def cmd_stats(args: argparse.Namespace) -> int:
+    """Statistics endpoint analogue (``services/StatisticsServiceImpl.java:30-62``):
+    global totals + per-shard detail from the lineage manifests."""
+    import os
+
+    with open(os.path.join(args.index, "manifest.json")) as f:
+        m = json.load(f)
+    print(
+        json.dumps(
+            {
+                "result": True,
+                "statistics": {
+                    "total": {
+                        "docs": m["n_docs"],
+                        "lemmas": m["n_lemmas"],
+                        "avgdl": round(m["avgdl"], 4),
+                        "shards": len(m["shards"]),
+                        "indexing": False,
+                    },
+                    "detailed": [
+                        {
+                            "shard": s["shard"],
+                            "status": s["status"],
+                            "rows": s["n_input_rows"],
+                            "wall_sec": s["wall_sec"],
+                        }
+                        for s in m["shards"]
+                    ],
+                },
+            }
+        )
+    )
+    return 0
+
+
+def cmd_clear(args: argparse.Namespace) -> int:
+    shutil.rmtree(args.index, ignore_errors=True)
+    print(json.dumps({"result": True}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="searchengine_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build (or resume) the inverted index")
+    b.add_argument("--input", required=True, help="parquet file/dir of transcripts")
+    b.add_argument("--index", required=True, help="output index directory")
+    b.add_argument("--analyzer", default="ru", choices=["ru", "simple"])
+    b.add_argument("--num-shards", type=int, default=4)
+    b.add_argument("--num-segments", type=int, default=8)
+    b.add_argument("--num-buckets", type=int, default=16)
+    b.add_argument("--batch-size", type=int, default=4096)
+    b.add_argument("--max-actors", type=int, default=8)
+    b.add_argument("--num-cpus", type=int, default=None)
+    b.set_defaults(fn=cmd_build)
+
+    s = sub.add_parser("search", help="query a built index")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("--offset", type=int, default=0)
+    s.add_argument("--limit", type=int, default=10)
+    s.add_argument("--mode", default="bm25", choices=["bm25", "tf_sum"])
+    s.set_defaults(fn=cmd_search)
+
+    st = sub.add_parser("stats", help="index statistics")
+    st.add_argument("--index", required=True)
+    st.set_defaults(fn=cmd_stats)
+
+    c = sub.add_parser("clear", help="delete a built index")
+    c.add_argument("--index", required=True)
+    c.set_defaults(fn=cmd_clear)
+
+    args = p.parse_args(argv)
+    rc = args.fn(args)
+
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

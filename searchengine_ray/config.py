@@ -58,6 +58,9 @@ class EngineConfig:
     lemmatizer_concurrency: int | tuple[int, int] = (1, 4)
     # --- build sharding (resume unit) ---
     num_shards: int = 1
+    # concurrent shard builds (driver threads; each shard is one streaming
+    # Dataset job — Ray interleaves their tasks across the cluster)
+    build_concurrency: int = 4
     # --- snippet semantics (services/SearchServiceImpl.java:237-249) ---
     snippet_window: int = 5
     snippet_max_windows: int = 3

@@ -144,12 +144,14 @@ class IndexReader:
         tables = []
         for i in range(len(lo)):
             if lo[i] <= lemma <= hi[i]:
-                t = pq.ParquetFile(files[i]).read_row_group(rgidx[i], columns=_POSTING_COLS)
+                path = files[fidx[i]]
+                t = pq.ParquetFile(path).read_row_group(rgidx[i], columns=_POSTING_COLS)
                 mask = np.asarray(t["lemma"].to_numpy(zero_copy_only=False) == lemma)
                 if mask.any():
-                    tables.append((files[i], t.filter(pa.array(mask))))
+                    tables.append(((path, rgidx[i]), t.filter(pa.array(mask))))
         segs: list[EncodedPostings] = []
-        # file paths sort as shards/shard=K/... — (shard, seg) order preserved
+        # (shard-path, row-group) sort groups a shard's segments together;
+        # consumers re-sort postings by docid, so exact seg order is cosmetic
         for _, t in sorted(tables, key=lambda x: x[0]):
             order = np.argsort(t["seg"].to_numpy(zero_copy_only=False), kind="stable")
             for i in order:

@@ -41,7 +41,7 @@ TRANSCRIPT_CFG = EngineConfig(
     num_shards=2,
     num_segments=4,
     num_buckets=8,
-    lemmatizer_concurrency=2,
+    lemmatizer_concurrency=(1, 2),
     batch_size=2048,
 )
 

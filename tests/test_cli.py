@@ -1,0 +1,54 @@
+"""CLI surface tests (reference ApiController analogue, SURVEY.md §2.10)."""
+
+import json
+
+import pytest
+
+from searchengine_ray.cli import main
+from searchengine_ray.corpus import write_transcripts
+
+
+@pytest.fixture(scope="module")
+def cli_index(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    write_transcripts(str(root / "corpus"), n_convs=30)
+    rc = main(
+        [
+            "build",
+            "--input", str(root / "corpus"),
+            "--index", str(root / "index"),
+            "--num-shards", "2",
+            "--max-actors", "2",
+        ]
+    )
+    assert rc == 0
+    return root / "index"
+
+
+def test_build_then_search(cli_index, capsys):
+    rc = main(["search", "--index", str(cli_index), "--query", "суд решение"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["result"] is True
+    assert out["count"] >= 1
+    assert out["data"][0]["relevance"] > 0
+
+
+def test_stats(cli_index, capsys):
+    rc = main(["stats", "--index", str(cli_index)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["statistics"]["total"]["docs"] > 0
+    assert out["statistics"]["total"]["shards"] == 2
+    assert all(s["status"] == "complete" for s in out["statistics"]["detailed"])
+
+
+def test_clear(cli_index, capsys, tmp_path):
+    # clear a copy, not the shared fixture index
+    import shutil
+
+    victim = tmp_path / "index_copy"
+    shutil.copytree(cli_index, victim)
+    rc = main(["clear", "--index", str(victim)])
+    assert rc == 0
+    assert not victim.exists()

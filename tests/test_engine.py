@@ -14,7 +14,7 @@ from searchengine_ray.keys import TURN_BITS, TURN_MASK
 from searchengine_ray.oracle import OracleIndex, OracleSearcher
 from searchengine_ray.query import QueryEngine
 
-CFG = EngineConfig(num_shards=2, num_segments=4, lemmatizer_concurrency=2, batch_size=512)
+CFG = EngineConfig(num_shards=2, num_segments=4, lemmatizer_concurrency=(1, 2), batch_size=512)
 
 
 @pytest.fixture(scope="module")
