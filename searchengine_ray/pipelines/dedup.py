@@ -74,18 +74,64 @@ def _hash64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
 
 
-def word_shingles(text: str, k: int = 3) -> set[int]:
+_token_hash_memo: dict[str, int] = {}
+
+
+def _token_hash(tok: str) -> int:
+    h = _token_hash_memo.get(tok)
+    if h is None:
+        h = _token_hash_memo[tok] = _hash64(tok)
+        if len(_token_hash_memo) > 1_000_000:
+            _token_hash_memo.clear()
+    return h
+
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
+
+
+def word_shingle_array(text: str, k: int = 3) -> np.ndarray:
+    """Sorted unique uint64 word-k-gram shingles: per-token blake2b hashes
+    (memoized — Zipf makes the hit rate high) combined with a polynomial mix.
+    Fully vectorized over the token sequence."""
     toks = tokenize_simple(normalize_for_fp(text))
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    hs = np.fromiter((_token_hash(t) for t in toks), dtype=np.uint64, count=len(toks))
     if len(toks) < k:
-        return {_hash64(" ".join(toks))} if toks else set()
-    return {_hash64(" ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)}
+        v = hs[0]
+        for h in hs[1:]:
+            v = v * _MIX + h
+        return np.asarray([v], dtype=np.uint64)
+    v = hs[:-2] * _MIX + hs[1:-1]
+    v = v * _MIX + hs[2:]
+    return np.unique(v)
+
+
+def char_shingle_array(text: str, k: int = 3) -> np.ndarray:
+    """Sorted unique uint64 char-3-gram shingles, EXACT (collision-free):
+    three 21-bit codepoints packed into one uint64 via UTF-32 reinterpret —
+    no Python loop, no hashing."""
+    s = normalize_for_fp(text)
+    if not s:
+        return np.empty(0, dtype=np.uint64)
+    codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    if codes.size < k:
+        v = codes[0]
+        for c in codes[1:]:
+            v = (v << np.uint64(21)) | c
+        return np.asarray([v], dtype=np.uint64)
+    v = (codes[:-2] << np.uint64(42)) | (codes[1:-1] << np.uint64(21)) | codes[2:]
+    return np.unique(v)
+
+
+def word_shingles(text: str, k: int = 3) -> set[int]:
+    """Set view of ``word_shingle_array`` (brute-force/oracle path)."""
+    return set(word_shingle_array(text, k).tolist())
 
 
 def char_shingles(text: str, k: int = 3) -> set[int]:
-    s = normalize_for_fp(text)
-    if len(s) < k:
-        return {_hash64(s)} if s else set()
-    return {_hash64(s[i : i + k]) for i in range(len(s) - k + 1)}
+    """Set view of ``char_shingle_array`` (brute-force/oracle path)."""
+    return set(char_shingle_array(text, k).tolist())
 
 
 class MinHashBands:
@@ -94,13 +140,13 @@ class MinHashBands:
 
     def __init__(self, shingler: str = "word"):
         self.a, self.b = _perm_params()
-        self.shingler = word_shingles if shingler == "word" else char_shingles
+        self.shingler = word_shingle_array if shingler == "word" else char_shingle_array
 
     def signature(self, text: str) -> np.ndarray | None:
-        sh = self.shingler(text)
-        if not sh:
+        x = self.shingler(text)
+        if x.size == 0:
             return None
-        x = np.fromiter(sh, dtype=np.uint64, count=len(sh)) % _MERSENNE
+        x = x % _MERSENNE
         # h_i(x) = (a_i * x + b_i) mod p, vectorized over (perm, shingle)
         vals = (self.a[:, None] * x[None, :] + self.b[:, None]) % _MERSENNE
         return vals.min(axis=1)
@@ -126,19 +172,25 @@ class MinHashBands:
         )
 
 
-def _candidate_pairs(bands_ds, max_bucket: int = 64) -> set[tuple[int, int]]:
-    """groupby LSH bucket → all pairs within a bucket. Oversized buckets are
-    truncated (logged via the returned count) — a salted/stricter-banding
-    retry is the scale path; at test scale buckets are tiny."""
+def _candidate_pairs(bands_ds, max_bucket: int = 64) -> tuple[np.ndarray, np.ndarray]:
+    """groupby LSH bucket → all pairs within a bucket, deduped across bands.
+    Pure-array path (no Python tuples): pairs are emitted via ``triu_indices``
+    and deduped by packing (a, b) into one uint64. Oversized buckets are
+    truncated — a salted/stricter-banding retry is the scale path; at test
+    scale buckets are tiny. Returns (a, b) int64 arrays with a < b."""
 
-    def pairs(group) -> "pa.Table":
-        ids = sorted(set(group["doc_id"].to_pylist()))[:max_bucket]
-        a, b = [], []
-        for x, y in itertools.combinations(ids, 2):
-            a.append(x)
-            b.append(y)
+    def pairs(group: pa.Table) -> pa.Table:
+        ids = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))[:max_bucket]
+        if ids.size < 2:
+            return pa.table(
+                {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
+            )
+        ia, ib = np.triu_indices(ids.size, k=1)
         return pa.table(
-            {"a": pa.array(a, type=pa.int64()), "b": pa.array(b, type=pa.int64())}
+            {
+                "a": pa.array(ids[ia], type=pa.int64()),
+                "b": pa.array(ids[ib], type=pa.int64()),
+            }
         )
 
     out = (
@@ -146,18 +198,35 @@ def _candidate_pairs(bands_ds, max_bucket: int = 64) -> set[tuple[int, int]]:
         .map_groups(pairs, batch_format="pyarrow")
         .to_pandas()
     )
-    return set(zip(out["a"].tolist(), out["b"].tolist()))
+    a = out["a"].to_numpy(dtype=np.int64)
+    b = out["b"].to_numpy(dtype=np.int64)
+    packed = np.unique((a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64))
+    return (packed >> np.uint64(32)).astype(np.int64), (
+        packed & np.uint64(0xFFFFFFFF)
+    ).astype(np.int64)
 
 
-def _verify_jaccard(sf_dir: str, cand: set[tuple[int, int]], shingler, threshold: float):
+_DISTRIBUTE_PAIRS = 20_000
+
+
+def _verify_jaccard(
+    sf_dir: str, cand: tuple[np.ndarray, np.ndarray], shingler, threshold: float
+):
     """Exact Jaccard for candidate pairs only: re-read just the candidate
-    docs (parquet predicate pushdown), shingle, compare."""
-    import pyarrow.parquet as pq
+    docs (parquet predicate pushdown), shingle into sorted uint64 arrays,
+    ``np.intersect1d`` per pair. Candidate sets are orders of magnitude
+    smaller than the corpus; above ``_DISTRIBUTE_PAIRS`` the per-pair work
+    fans out via ``map_batches`` with the shingle dict broadcast once
+    (``ray.put``), never re-shipped per batch. Returns (a, b, jaccard)
+    tuples sorted by (a, b)."""
     import os
 
-    if not cand:
+    import pyarrow.parquet as pq
+
+    ca, cb = cand
+    if ca.size == 0:
         return []
-    involved = sorted({d for p in cand for d in p})
+    involved = np.unique(np.concatenate((ca, cb))).tolist()
     t = pq.read_table(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text"],
@@ -167,15 +236,48 @@ def _verify_jaccard(sf_dir: str, cand: set[tuple[int, int]], shingler, threshold
         did: shingler(text or "")
         for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
     }
-    out = []
-    for a, b in sorted(cand):
-        sa, sb = sh.get(a, set()), sh.get(b, set())
-        if not sa or not sb:
-            continue
-        j = len(sa & sb) / len(sa | sb)
-        if j >= threshold:
-            out.append((a, b, j))
-    return out
+
+    def verify(a_arr, b_arr, shingle_map):
+        rows = []
+        get = shingle_map.get
+        for a, b in zip(a_arr.tolist(), b_arr.tolist()):
+            sa = get(a)
+            sb = get(b)
+            if sa is None or sb is None or sa.size == 0 or sb.size == 0:
+                continue
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            j = inter / (sa.size + sb.size - inter)
+            if j >= threshold:
+                rows.append((a, b, j))
+        return rows
+
+    if ca.size <= _DISTRIBUTE_PAIRS:
+        return verify(ca, cb, sh)
+
+    import ray
+    import ray.data as rd
+
+    sh_ref = ray.put(sh)
+
+    def verify_batch(batch: pa.Table) -> pa.Table:
+        m = ray.get(sh_ref)
+        rows = verify(
+            batch["a"].to_numpy(zero_copy_only=False),
+            batch["b"].to_numpy(zero_copy_only=False),
+            m,
+        )
+        return _pairs_table(rows)
+
+    pair_tbl = pa.table(
+        {"a": pa.array(ca, type=pa.int64()), "b": pa.array(cb, type=pa.int64())}
+    )
+    out = (
+        rd.from_arrow(pair_tbl)
+        .map_batches(verify_batch, batch_format="pyarrow", batch_size=65536)
+        .to_pandas()
+    )
+    out = out.sort_values(["doc_a", "doc_b"], kind="stable")
+    return list(out.itertuples(index=False, name=None))
 
 
 def _pairs_table(rows) -> pa.Table:
@@ -201,7 +303,7 @@ def minhash_dups(sf_dir: str, threshold: float = 0.8):
         batch_format="pyarrow", batch_size=1024, concurrency=2,
     )
     cand = _candidate_pairs(bands)
-    return _pairs_table(_verify_jaccard(sf_dir, cand, word_shingles, threshold))
+    return _pairs_table(_verify_jaccard(sf_dir, cand, word_shingle_array, threshold))
 
 
 def ngram_jaccard_dups(sf_dir: str, threshold: float = 0.8):
@@ -212,7 +314,7 @@ def ngram_jaccard_dups(sf_dir: str, threshold: float = 0.8):
         batch_format="pyarrow", batch_size=1024, concurrency=2,
     )
     cand = _candidate_pairs(bands)
-    return _pairs_table(_verify_jaccard(sf_dir, cand, char_shingles, threshold))
+    return _pairs_table(_verify_jaccard(sf_dir, cand, char_shingle_array, threshold))
 
 
 # ---------------------------------------------------------------------------
