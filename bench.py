@@ -30,59 +30,66 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-# ~170k turns at the default; scales the synthetic headline corpus.
+# ~170k turns at the default; scales the synthetic headline corpus. The
+# scaling run uses a larger corpus (~1M turns) so compute dominates the
+# fixed per-job overhead — efficiency at two CPU counts is meaningless when
+# the whole build is overhead-bound.
 BENCH_CONVS = int(os.environ.get("GRAFT_BENCH_CONVS", "14000"))
-BENCH_CORPUS_DIR = os.environ.get(
-    "GRAFT_BENCH_CORPUS", f"/tmp/searchengine_ray_bench/corpus_c{BENCH_CONVS}"
-)
+SCALE_CONVS = int(os.environ.get("GRAFT_SCALE_CONVS", "90000"))
 
 
-def ensure_bench_corpus() -> tuple[str, int]:
+def ensure_bench_corpus(n_convs: int = BENCH_CONVS) -> tuple[str, int]:
     """Generate (once) the synthetic transcripts corpus; returns (dir, rows)."""
     import pyarrow.parquet as pq
 
     from searchengine_ray.corpus import write_transcripts
 
-    meta = os.path.join(BENCH_CORPUS_DIR, "_meta.json")
+    corpus_dir = f"/tmp/searchengine_ray_bench/corpus_c{n_convs}"
+    meta = os.path.join(corpus_dir, "_meta.json")
     if os.path.exists(meta):
         with open(meta) as f:
-            return BENCH_CORPUS_DIR, json.load(f)["rows"]
+            return corpus_dir, json.load(f)["rows"]
     paths = write_transcripts(
-        BENCH_CORPUS_DIR, n_convs=BENCH_CONVS, avg_turns=12.0, seed=42, n_files=64
+        corpus_dir, n_convs=n_convs, avg_turns=12.0, seed=42, n_files=64
     )
     rows = sum(pq.read_metadata(p).num_rows for p in paths)
     with open(meta, "w") as f:
-        json.dump({"rows": rows, "n_convs": BENCH_CONVS}, f)
-    return BENCH_CORPUS_DIR, rows
+        json.dump({"rows": rows, "n_convs": n_convs}, f)
+    return corpus_dir, rows
 
 
-def run_headline(num_cpus: int, tag: str) -> dict:
+def run_headline(num_cpus: int, tag: str, n_convs: int = BENCH_CONVS) -> dict:
     """Fresh-index build + query latency on the synthetic corpus.
     Assumes ray already initialised in THIS process."""
     import shutil
 
     import numpy as np
+    import ray.data as rd
 
     from searchengine_ray.build import build_index
     from searchengine_ray.config import EngineConfig
     from searchengine_ray.corpus import reference_queries
     from searchengine_ray.query import QueryEngine
 
-    corpus_dir, rows = ensure_bench_corpus()
-    index_dir = f"/tmp/searchengine_ray_bench/index_{tag}_c{BENCH_CONVS}"
+    corpus_dir, rows = ensure_bench_corpus(n_convs)
+    index_dir = f"/tmp/searchengine_ray_bench/index_{tag}_c{n_convs}"
     shutil.rmtree(index_dir, ignore_errors=True)
 
+    # Index-layout params are FIXED (independent of num_cpus) so scaling
+    # runs build byte-identical indexes; only execution sizing varies.
     # Leave CPU headroom for the read + shuffle stages: a fixed-size actor
     # pool equal to num_cpus starves ReadParquet and stalls the pipeline.
-    pool = (2, max(2, num_cpus - 4))
     cfg = EngineConfig(
         analyzer="ru",
-        num_shards=4,
-        num_segments=max(8, num_cpus),
+        num_shards=8,
+        num_segments=32,
         num_buckets=32,
-        lemmatizer_concurrency=pool,
+        lemmatizer_concurrency=(2, max(2, num_cpus - 4)),
         batch_size=4096,
+        build_concurrency=8,  # build_index caps it at num_cpus // 4
     )
+    # Warm the worker pool (process spawn + import cost) outside the timing.
+    rd.range(10_000).map_batches(lambda b: b, batch_format="pyarrow").materialize()
     t0 = time.time()
     manifest = build_index(corpus_dir, index_dir, cfg)
     build_sec = time.time() - t0
@@ -153,15 +160,16 @@ def main_single() -> None:
 def main_scaling() -> None:
     lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
-    ensure_bench_corpus()  # generate outside the timed subprocesses
+    ensure_bench_corpus(SCALE_CONVS)  # generate outside the timed subprocesses
     results = {}
     for n in (lo, hi):
         code = (
             "import sys, json, ray; sys.path.insert(0, %r); "
             "ray.init(address='local', num_cpus=%d, include_dashboard=False); "
             "from bench import run_headline; "
-            "print('RESULT::' + json.dumps(run_headline(%d, tag='scale%d'))); "
-            "ray.shutdown()" % (os.path.dirname(os.path.abspath(__file__)), n, n, n)
+            "print('RESULT::' + json.dumps(run_headline(%d, tag='scale%d', n_convs=%d))); "
+            "ray.shutdown()"
+            % (os.path.dirname(os.path.abspath(__file__)), n, n, n, SCALE_CONVS)
         )
         out = subprocess.run(
             [sys.executable, "-c", code], capture_output=True, text=True, timeout=3000

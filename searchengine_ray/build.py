@@ -59,7 +59,6 @@ from searchengine_ray.textproc import Analyzer
 # Sentinel "lemma" whose postings are (docid, doc_len) pairs; \x00 cannot
 # appear in a real token (the tokenizer strips it), so no collision.
 DOCLEN_LEMMA = "\x00doclen"
-_GKEY_SEP = "\x01"
 
 def _pin_fsspec_http_stub() -> None:
     """Ray Data's path resolution tries ``from fsspec.implementations.http
@@ -160,6 +159,7 @@ class ExplodePostings:
         self.analyzer = Analyzer(config.analyzer)
         self._sig_memo: dict[str, bool] = {}
         self._lem_memo: dict[str, str] = {}
+        self._bucket_memo: dict[str, int] = {}
 
     def _doc_counts(self, text: str) -> dict[str, int]:
         counts: dict[str, int] = {}
@@ -178,6 +178,14 @@ class ExplodePostings:
         return counts
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Batch → per-(lemma, seg) MINI posting segments (map-side partial
+        aggregation): one output row per distinct (lemma, seg) in the batch
+        carrying raw little-endian docid/tf arrays. The shuffle then moves
+        ~thousands of blob rows per batch instead of one row per posting —
+        ~30× fewer rows through the sort, with per-lemma merge deferred to
+        the (bucket, seg) reduce."""
+        import pandas as pd
+
         conv_ids = batch["conv_id"].to_pylist()
         turn_idx = batch["turn_idx"].to_numpy(zero_copy_only=False)
         texts = batch["text"].to_pylist()
@@ -205,51 +213,124 @@ class ExplodePostings:
             tfs.append(dl)
 
         docid_arr = np.asarray(docids, dtype=np.int64)
-        seg = ((docid_arr >> TURN_BITS) * S // self.n_convs).astype(np.int32)
-        gkey = [f"{l}{_GKEY_SEP}{s}" for l, s in zip(lemmas, seg)]
+        tf_arr = np.asarray(tfs, dtype=np.int32)
+        seg = ((docid_arr >> TURN_BITS) * S // self.n_convs).astype(np.int64)
+
+        lem_codes, lem_uniques = pd.factorize(np.asarray(lemmas, dtype=object))
+        # group rows by (lemma, seg) within the batch; docid order preserved
+        # inside each group (stable sort) — rows arrive docid-ascending only
+        # per input file, the reduce re-sorts anyway
+        gkey = lem_codes.astype(np.int64) * S + seg
+        order = np.argsort(gkey, kind="stable")
+        gkey_s = gkey[order]
+        starts = np.concatenate(([0], np.nonzero(np.diff(gkey_s))[0] + 1, [gkey_s.size]))
+        d_sorted = docid_arr[order]
+        t_sorted = tf_arr[order]
+
+        bmemo = self._bucket_memo
+        nb = self.config.num_buckets
+        out_pkey: list[int] = []
+        out_lemma: list[str] = []
+        out_seg: list[int] = []
+        out_doc: list[bytes] = []
+        out_tf: list[bytes] = []
+        for i in range(starts.size - 1):
+            lo, hi = starts[i], starts[i + 1]
+            g = int(gkey_s[lo])
+            l = lem_uniques[g // S]
+            s = g % S
+            b = bmemo.get(l)
+            if b is None:
+                b = bmemo[l] = lemma_bucket(l, nb)
+            out_pkey.append(b * S + s)
+            out_lemma.append(l)
+            out_seg.append(s)
+            out_doc.append(d_sorted[lo:hi].tobytes())
+            out_tf.append(t_sorted[lo:hi].tobytes())
         return pa.table(
             {
-                "gkey": pa.array(gkey, type=pa.string()),
-                "lemma": pa.array(lemmas, type=pa.string()),
-                "seg": pa.array(seg, type=pa.int32()),
-                "docid": pa.array(docid_arr, type=pa.int64()),
-                "tf": pa.array(np.asarray(tfs, dtype=np.int32)),
+                "pkey": pa.array(out_pkey, type=pa.int32()),
+                "lemma": pa.array(out_lemma, type=pa.string()),
+                "seg": pa.array(out_seg, type=pa.int32()),
+                "docid_raw": pa.array(out_doc, type=pa.binary()),
+                "tf_raw": pa.array(out_tf, type=pa.binary()),
             }
         )
 
 
 def _make_encode_group(config: EngineConfig):
-    """Reduce: one (lemma, seg) group → one encoded posting-segment row."""
-    from searchengine_ray.codec import encode_postings
+    """Reduce: one (bucket, seg) group of MINI segments — MANY lemmas, many
+    minis per lemma — → one encoded posting-segment row per lemma. The
+    minis are concatenated into flat arrays, sorted ONCE by (lemma, docid),
+    and encoded in one vectorized ``codec.encode_many`` pass."""
+    from searchengine_ray.codec import encode_many
 
     block_size = config.block_size
-    num_buckets = config.num_buckets
+    S = config.num_segments
 
     def encode_group(group: pa.Table) -> pa.Table:
-        lemma = group["lemma"][0].as_py()
-        seg = group["seg"][0].as_py()
-        docids = group["docid"].to_numpy(zero_copy_only=False)
-        tfs = group["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(docids, kind="stable")
-        docids, tfs = docids[order], tfs[order]
-        enc = encode_postings(docids, tfs, block_size=block_size)
+        import pandas as pd
+
+        pkey = int(group["pkey"][0].as_py())
+        seg = pkey % S
+        bucket = pkey // S
+        lem_codes, lem_uniques = pd.factorize(
+            group["lemma"].to_numpy(zero_copy_only=False), sort=True
+        )
+        doc_raw = group["docid_raw"].to_pylist()
+        tf_raw = group["tf_raw"].to_pylist()
+        mini_lens = np.fromiter(
+            (len(b) >> 3 for b in doc_raw), dtype=np.int64, count=len(doc_raw)
+        )
+        docids = np.frombuffer(b"".join(doc_raw), dtype=np.int64)
+        tfs = np.frombuffer(b"".join(tf_raw), dtype=np.int32).astype(np.int64)
+        post_codes = np.repeat(lem_codes.astype(np.int64), mini_lens)
+        order = np.lexsort((docids, post_codes))
+        post_codes = post_codes[order]
+        docids = docids[order]
+        tfs = tfs[order]
+        starts = np.concatenate(
+            ([0], np.nonzero(np.diff(post_codes))[0] + 1, [post_codes.size])
+        )
+        encs = encode_many(docids, tfs, starts, block_size=block_size)
+
+        n_lem = starts.size - 1
+        lemma_per_list = lem_uniques[post_codes[starts[:-1]]] if n_lem else []
+        df = np.diff(starts)
+        sum_tf = np.add.reduceat(tfs, starts[:-1]) if tfs.size else np.empty(0, np.int64)
         return pa.table(
             {
-                "lemma": pa.array([lemma], type=pa.string()),
-                "seg": pa.array([seg], type=pa.int32()),
-                "bucket": pa.array([lemma_bucket(lemma, num_buckets)], type=pa.int32()),
-                "df": pa.array([int(docids.size)], type=pa.int64()),
-                "sum_tf": pa.array([int(tfs.sum()) if tfs.size else 0], type=pa.int64()),
-                "doc_blob": pa.array([enc.doc_blob], type=pa.binary()),
-                "tf_blob": pa.array([enc.tf_blob], type=pa.binary()),
-                "block_last_docid": pa.array([enc.block_last_docid], type=pa.binary()),
-                "block_max_tf": pa.array([enc.block_max_tf], type=pa.binary()),
-                "block_doc_off": pa.array([enc.block_doc_off], type=pa.binary()),
-                "block_tf_off": pa.array([enc.block_tf_off], type=pa.binary()),
+                "lemma": pa.array(list(lemma_per_list), type=pa.string()),
+                "seg": pa.array(np.full(n_lem, seg, dtype=np.int32)),
+                "bucket": pa.array(np.full(n_lem, bucket, dtype=np.int32)),
+                "df": pa.array(df, type=pa.int64()),
+                "sum_tf": pa.array(sum_tf, type=pa.int64()),
+                "doc_blob": pa.array([e.doc_blob for e in encs], type=pa.binary()),
+                "tf_blob": pa.array([e.tf_blob for e in encs], type=pa.binary()),
+                "block_last_docid": pa.array(
+                    [e.block_last_docid for e in encs], type=pa.binary()
+                ),
+                "block_max_tf": pa.array([e.block_max_tf for e in encs], type=pa.binary()),
+                "block_doc_off": pa.array([e.block_doc_off for e in encs], type=pa.binary()),
+                "block_tf_off": pa.array([e.block_tf_off for e in encs], type=pa.binary()),
             }
         )
 
     return encode_group
+
+
+def _input_fingerprint(files: list[str]) -> str:
+    """Stable lineage fingerprint of a shard's input files (path, size,
+    mtime_ns). A resumed build reuses a shard only when its fingerprint
+    matches; otherwise the shard is rebuilt — the partition-granular
+    incremental-reindex path."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    for f in files:
+        st = os.stat(f)
+        h.update(f"{f}|{st.st_size}|{st.st_mtime_ns}\n".encode())
+    return h.hexdigest()
 
 
 def _shard_files(files: list[str], num_shards: int) -> list[list[str]]:
@@ -271,11 +352,16 @@ def _build_shard(
 
     shard_dir = os.path.join(index_dir, "shards", f"shard={shard_id:05d}")
     manifest_path = os.path.join(shard_dir, "_MANIFEST.json")
+    fingerprint = _input_fingerprint(files)
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             m = json.load(f)
-        if m.get("status") == "complete":
-            return m  # resume: partition already built
+        if m.get("status") == "complete" and m.get("input_fingerprint") == fingerprint:
+            return m  # resume: partition already built from identical input
+        # input changed since the last build → rebuild just this shard (the
+        # incremental path: reference's updatePage df-decrement dance,
+        # services/PageProcessorService.java:34-46, becomes "re-derive the
+        # partition", which the doc-disjoint layout makes exact)
 
     t0 = time.time()
     tmp_dir = shard_dir + ".tmp"
@@ -296,11 +382,9 @@ def _build_shard(
         batch_size=config.batch_size,
         concurrency=config.lemmatizer_concurrency,
     )
-    encoded = exploded.groupby("gkey").map_groups(
+    encoded = exploded.groupby("pkey").map_groups(
         _make_encode_group(config), batch_format="pyarrow"
     )
-    # small row groups → lemma-filter point reads prune to a few row groups
-    encoded.write_parquet(os.path.join(tmp_dir, "postings"), row_group_size=512)
 
     # Doc store for hydration/snippets: input + docid, sorted by docid so
     # parquet row-group stats give point reads (reference analogue: the
@@ -314,19 +398,46 @@ def _build_shard(
         turn = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
         ranks = np.fromiter((rank[c] for c in conv_ids), dtype=np.int64, count=len(conv_ids))
         docid = (ranks << TURN_BITS) | turn
-        return batch.append_column("docid", pa.array(docid, type=pa.int64()))
+        batch = batch.append_column("docid", pa.array(docid, type=pa.int64()))
+        # LOCAL docid sort only — hydration prunes by row-group min/max
+        # stats, which need ranges to be tight per group, not globally
+        # disjoint. Input files are conv-contiguous (input_hint: stable
+        # (conv_id, turn_idx) ordering), so local sorting yields
+        # near-disjoint ranges without an all-to-all shuffle of the full
+        # text payload.
+        order = np.argsort(docid, kind="stable")
+        if not np.array_equal(order, np.arange(order.size)):
+            batch = batch.take(pa.array(order))
+        return batch
 
     with _DATASET_CTOR_LOCK:
         docs = rd.read_parquet(files, columns=["conv_id", "turn_idx", "role", "text"])
-    # small row groups → query-time hydration decodes ~one row group per hit
-    docs.map_batches(add_docid, batch_format="pyarrow").sort("docid").write_parquet(
-        os.path.join(tmp_dir, "docs"), row_group_size=2048
-    )
+
+    # Postings and doc-store jobs are independent passes over the same input
+    # — run them concurrently so the shard's wall is max(), not sum().
+    def _write_postings():
+        # small row groups → bucket point reads prune to a few row groups
+        encoded.write_parquet(os.path.join(tmp_dir, "postings"), row_group_size=512)
+
+    def _write_docs():
+        # small row groups → query-time hydration decodes ~one group per hit
+        docs.map_batches(add_docid, batch_format="pyarrow").write_parquet(
+            os.path.join(tmp_dir, "docs"), row_group_size=2048
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as two:
+        fp = two.submit(_write_postings)
+        fd = two.submit(_write_docs)
+        fp.result()
+        fd.result()
 
     manifest = {
         "shard": shard_id,
         "status": "complete",
         "input_files": files,
+        "input_fingerprint": fingerprint,
         "n_input_rows": int(n_input),
         "wall_sec": round(time.time() - t0, 3),
         "config": {
@@ -434,6 +545,17 @@ def build_index(
     # ≥4 CPUs per concurrent shard job, else concurrent fixed-size pools can
     # over-demand a small session and deadlock each other
     workers = max(1, min(config.build_concurrency, len(shards), cpus // 4))
+    if isinstance(config.lemmatizer_concurrency, tuple):
+        # Re-bound the autoscaling range per concurrent shard job: raise the
+        # MIN so the pool starts near its budget (Ray Data's autoscaler
+        # ramps far too slowly for short jobs — observed 4× explode-stage
+        # underutilization from a min of 2), and cap the MAX so concurrent
+        # shard jobs + their doc-store sorts keep CPU headroom.
+        lo, hi = config.lemmatizer_concurrency
+        budget = max(1, (cpus - 2 * workers) // workers - 1)
+        new_lo = max(1, min(max(lo, (2 * budget) // 3), hi, budget))
+        new_hi = max(new_lo, min(hi, budget))
+        config = config.replace(lemmatizer_concurrency=(new_lo, new_hi))
     if workers <= 1:
         manifests = [
             _build_shard(i, s, index_dir, conv_ref, n_convs, config)

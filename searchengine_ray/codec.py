@@ -26,22 +26,32 @@ import numpy as np
 _THRESHOLDS = [1 << (7 * k) for k in range(1, 9)]  # value widths 2..9 bytes
 
 
-def vb_encode(values: np.ndarray) -> bytes:
-    """Varbyte-encode a uint64-compatible array (vectorized)."""
+def vb_encode_with_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Varbyte-encode a uint64-compatible array (vectorized). Returns the
+    buffer plus per-value byte offsets (size n+1) so callers can slice out
+    any value range without re-encoding."""
     a = np.ascontiguousarray(values, dtype=np.uint64)
     if a.size == 0:
-        return b""
+        return b"", np.zeros(1, dtype=np.int64)
     nbytes = np.ones(a.size, dtype=np.int64)
     for t in _THRESHOLDS:
         nbytes += a >= t
-    offsets = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
-    out = np.zeros(int(nbytes.sum()), dtype=np.uint8)
+    bounds = np.empty(a.size + 1, dtype=np.int64)
+    bounds[0] = 0
+    np.cumsum(nbytes, out=bounds[1:])
+    offsets = bounds[:-1]
+    out = np.zeros(int(bounds[-1]), dtype=np.uint8)
     for j in range(int(nbytes.max())):
         mask = nbytes > j
         byte = (a[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
         cont = (nbytes[mask] - 1 > j).astype(np.uint8) << 7
         out[offsets[mask] + j] = byte.astype(np.uint8) | cont
-    return out.tobytes()
+    return out.tobytes(), bounds
+
+
+def vb_encode(values: np.ndarray) -> bytes:
+    """Varbyte-encode a uint64-compatible array (vectorized)."""
+    return vb_encode_with_offsets(values)[0]
 
 
 def vb_decode(buf: bytes | memoryview) -> np.ndarray:
@@ -121,6 +131,77 @@ def encode_postings(docids: np.ndarray, tfs: np.ndarray, block_size: int = 128) 
         block_doc_off=doc_off.tobytes(),
         block_tf_off=tf_off.tobytes(),
     )
+
+
+def encode_many(
+    docids: np.ndarray, tfs: np.ndarray, starts: np.ndarray, block_size: int = 128
+) -> list[EncodedPostings]:
+    """Encode MANY posting lists in one vectorized pass.
+
+    ``docids``/``tfs`` hold all lists back-to-back; ``starts`` (size m+1)
+    bounds each list. Each list must be ascending and duplicate-free. The
+    gap transform, varbyte encoding, and per-block metadata (last_docid /
+    max_tf via ``np.maximum.reduceat``) are computed over the concatenated
+    arrays once; per-list blobs are byte-slices of the shared buffers —
+    equivalent to calling ``encode_postings`` per list, ~100× fewer numpy
+    dispatches when lists are short (the reduce-side hot path)."""
+    docids = np.ascontiguousarray(docids, dtype=np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    m = starts.size - 1
+    n = docids.size
+    if n == 0:
+        empty = np.empty(0, dtype=np.int64).tobytes()
+        return [EncodedPostings(0, b"", b"", empty, empty, empty, empty) for _ in range(m)]
+
+    gaps = np.empty(n, dtype=np.uint64)
+    np.subtract(docids[1:], docids[:-1], out=gaps[1:], casting="unsafe")
+    heads = starts[:-1][starts[:-1] < n]
+    gaps[heads] = (docids[heads] + 1).astype(np.uint64)
+
+    lens = np.diff(starts)
+    nblocks = (lens + block_size - 1) // block_size  # 0 for empty lists
+    total_blocks = int(nblocks.sum())
+    # global posting index of each block start: lemma start + k*block_size
+    rep_start = np.repeat(starts[:-1], nblocks)
+    block_ord = np.arange(total_blocks, dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(nblocks)[:-1])), nblocks
+    )
+    bstart = rep_start + block_ord * block_size
+    bend = np.minimum(bstart + block_size, np.repeat(starts[1:], nblocks))
+
+    block_last = docids[bend - 1]
+    block_max_tf = np.maximum.reduceat(tfs, bstart).astype(np.int32) if total_blocks else np.empty(0, np.int32)
+
+    doc_buf, doc_bounds = vb_encode_with_offsets(gaps)
+    tf_buf, tf_bounds = vb_encode_with_offsets(tfs.astype(np.uint64))
+    doc_view = memoryview(doc_buf)
+    tf_view = memoryview(tf_buf)
+
+    # per-list slices
+    blk_bounds = np.concatenate(([0], np.cumsum(nblocks)))
+    out: list[EncodedPostings] = []
+    for i in range(m):
+        lo, hi = int(starts[i]), int(starts[i + 1])
+        if lo == hi:
+            empty = np.empty(0, dtype=np.int64).tobytes()
+            out.append(EncodedPostings(0, b"", b"", empty, empty, empty, empty))
+            continue
+        blo, bhi = int(blk_bounds[i]), int(blk_bounds[i + 1])
+        d0 = int(doc_bounds[lo])
+        t0 = int(tf_bounds[lo])
+        out.append(
+            EncodedPostings(
+                n=hi - lo,
+                doc_blob=bytes(doc_view[d0 : int(doc_bounds[hi])]),
+                tf_blob=bytes(tf_view[t0 : int(tf_bounds[hi])]),
+                block_last_docid=block_last[blo:bhi].tobytes(),
+                block_max_tf=block_max_tf[blo:bhi].tobytes(),
+                block_doc_off=(doc_bounds[bstart[blo:bhi]] - d0).tobytes(),
+                block_tf_off=(tf_bounds[bstart[blo:bhi]] - t0).tobytes(),
+            )
+        )
+    return out
 
 
 def decode_postings(enc: EncodedPostings) -> tuple[np.ndarray, np.ndarray]:

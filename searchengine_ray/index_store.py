@@ -104,14 +104,15 @@ class IndexReader:
 
     def _posting_rg_index(self):
         """Footer-statistics index over the posting files: per row group the
-        (lemma_min, lemma_max) range plus (file, rg). Built once — postings
-        are written lemma-sorted with small row groups, so a term's segments
-        live in very few row groups and a point read decodes only those."""
+        (bucket_min, bucket_max) range plus (file, rg). Built once — posting
+        files are written in (bucket, seg) shuffle-key order with small row
+        groups, so a term's segments live in very few row groups and a point
+        read decodes only those."""
         if getattr(self, "_prg_meta", None) is not None:
             return self._prg_meta
         files: list[str] = []
-        lo: list[str] = []
-        hi: list[str] = []
+        lo: list[int] = []
+        hi: list[int] = []
         fidx: list[int] = []
         rgidx: list[int] = []
         for d in self._shard_posting_dirs:
@@ -120,13 +121,13 @@ class IndexReader:
                     continue
                 path = os.path.join(d, name)
                 meta = pq.read_metadata(path)
-                col = meta.schema.to_arrow_schema().get_field_index("lemma")
+                col = meta.schema.to_arrow_schema().get_field_index("bucket")
                 fi = len(files)
                 files.append(path)
                 for rg in range(meta.num_row_groups):
                     st = meta.row_group(rg).column(col).statistics
-                    lo.append(st.min)
-                    hi.append(st.max)
+                    lo.append(int(st.min))
+                    hi.append(int(st.max))
                     fidx.append(fi)
                     rgidx.append(rg)
         self._prg_meta = (lo, hi, fidx, rgidx, files)
@@ -136,14 +137,17 @@ class IndexReader:
         """All encoded segments of a lemma, in (shard, seg) order. Segments
         within a shard are docid-range-disjoint and ascending (range salt);
         across shards docid ranges may interleave — callers merge."""
+        from searchengine_ray.build import lemma_bucket
+
         cached = self._cache.get(lemma)
         if cached is not None:
             self._cache.move_to_end(lemma)
             return cached
+        bucket = lemma_bucket(lemma, self.manifest["num_buckets"])
         lo, hi, fidx, rgidx, files = self._posting_rg_index()
         tables = []
         for i in range(len(lo)):
-            if lo[i] <= lemma <= hi[i]:
+            if lo[i] <= bucket <= hi[i]:
                 path = files[fidx[i]]
                 t = pq.ParquetFile(path).read_row_group(rgidx[i], columns=_POSTING_COLS)
                 mask = np.asarray(t["lemma"].to_numpy(zero_copy_only=False) == lemma)

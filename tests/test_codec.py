@@ -108,3 +108,33 @@ def test_boundary_sizes(n):
     enc = encode_postings(docids, tfs, block_size=16)
     d, t = decode_postings(enc)
     assert np.array_equal(d, docids)
+
+
+class TestEncodeMany:
+    def test_matches_per_list_encode(self):
+        import numpy as np
+
+        from searchengine_ray.codec import decode_postings, encode_many, encode_postings
+
+        rng = np.random.default_rng(7)
+        lists = []
+        for n in (0, 1, 5, 127, 128, 129, 1000):
+            d = np.unique(rng.integers(0, 1 << 40, size=n))
+            t = rng.integers(1, 1000, size=d.size)
+            lists.append((d.astype(np.int64), t.astype(np.int64)))
+        docids = np.concatenate([d for d, _ in lists])
+        tfs = np.concatenate([t for _, t in lists])
+        starts = np.concatenate(([0], np.cumsum([d.size for d, _ in lists])))
+        many = encode_many(docids, tfs, starts, block_size=128)
+        assert len(many) == len(lists)
+        for (d, t), enc in zip(lists, many):
+            ref = encode_postings(d, t, block_size=128)
+            assert enc.n == ref.n
+            assert enc.doc_blob == ref.doc_blob
+            assert enc.tf_blob == ref.tf_blob
+            assert enc.block_last_docid == ref.block_last_docid
+            assert enc.block_max_tf == ref.block_max_tf
+            assert enc.block_doc_off == ref.block_doc_off
+            assert enc.block_tf_off == ref.block_tf_off
+            dd, tt = decode_postings(enc)
+            assert np.array_equal(dd, d) and np.array_equal(tt, t)

@@ -195,3 +195,64 @@ class TestResume:
         for q in ["суд", "суд решение", "337"]:
             a, b = e_r.search(q), e_f.search(q)
             assert a == b, q
+
+
+class TestIncrementalReindex:
+    def test_changed_input_rebuilds_only_that_shard(
+        self, ray_session, tiny_corpus, tmp_path_factory
+    ):
+        """Reference updatePage analogue: editing one input file rebuilds
+        only its shard; the index then matches a from-scratch oracle of the
+        edited corpus."""
+        import pyarrow.parquet as pq
+
+        root = tmp_path_factory.mktemp("increm")
+        corpus_dir = str(root / "corpus")
+        os.makedirs(corpus_dir)
+        n = tiny_corpus.num_rows
+        per = (n + 3) // 4
+        for i in range(4):
+            chunk = tiny_corpus.slice(i * per, min(per, n - i * per))
+            if chunk.num_rows:
+                pq.write_table(chunk, f"{corpus_dir}/part-{i:05d}.parquet")
+
+        cfg = CFG.replace(num_shards=4)
+        idx = str(root / "idx")
+        build_index(corpus_dir, idx, cfg)
+        import json
+
+        mtimes = {}
+        for s in range(4):
+            p = os.path.join(idx, "shards", f"shard={s:05d}", "_MANIFEST.json")
+            mtimes[s] = os.path.getmtime(p)
+
+        # edit file 2: drop its last row (a delete/update of those turns)
+        t2 = pq.read_table(f"{corpus_dir}/part-00002.parquet")
+        edited = t2.slice(0, t2.num_rows - 1)
+        pq.write_table(edited, f"{corpus_dir}/part-00002.parquet")
+
+        manifest = build_index(corpus_dir, idx, cfg)
+        for s in range(4):
+            p = os.path.join(idx, "shards", f"shard={s:05d}", "_MANIFEST.json")
+            if s == 2:
+                assert os.path.getmtime(p) > mtimes[s], "edited shard must rebuild"
+            else:
+                assert os.path.getmtime(p) == mtimes[s], "untouched shards must be reused"
+
+        # index content matches the oracle over the edited corpus
+        import pyarrow as pa
+
+        frames = [
+            pq.read_table(f"{corpus_dir}/part-{i:05d}.parquet") for i in range(4)
+        ]
+        edited_corpus = pa.concat_tables(frames)
+        oracle = OracleIndex(edited_corpus, config=cfg)
+        assert manifest["n_docs"] == oracle.n_docs
+        eng = QueryEngine(idx)
+        osearch = OracleSearcher(oracle)
+        for q in reference_queries():
+            r1 = eng.search(q["query"], q["offset"], q["limit"])
+            r2 = osearch.search(q["query"], q["offset"], q["limit"])
+            ids1 = [(d["conv_id"], d["turn_idx"]) for d in r1.get("data", [])]
+            ids2 = [(d["conv_id"], d["turn_idx"]) for d in r2.get("data", [])]
+            assert ids1 == ids2 and r1["count"] == r2["count"], q["query_id"]
