@@ -157,78 +157,91 @@ class ExplodePostings:
         self.n_convs = max(1, n_convs)
         self.config = config
         self.analyzer = Analyzer(config.analyzer)
-        self._sig_memo: dict[str, bool] = {}
-        self._lem_memo: dict[str, str] = {}
-        self._bucket_memo: dict[str, int] = {}
+        # token → lemma id (-1 = insignificant); lemma id → (string, bucket).
+        # Memoized per actor: Zipf makes the distinct-token set tiny relative
+        # to the token stream, so all Python-level text work is amortized.
+        self._tok_lid: dict[str, int] = {}
+        self._lemmas: list[str] = []
+        self._lemma_bucket: list[int] = []
+        self._lemma_ids: dict[str, int] = {}
+        self._doclen_lid = self._lemma_id(DOCLEN_LEMMA)
 
-    def _doc_counts(self, text: str) -> dict[str, int]:
-        counts: dict[str, int] = {}
-        sig, lem = self._sig_memo, self._lem_memo
+    def _lemma_id(self, lemma: str) -> int:
+        lid = self._lemma_ids.get(lemma)
+        if lid is None:
+            lid = self._lemma_ids[lemma] = len(self._lemmas)
+            self._lemmas.append(lemma)
+            self._lemma_bucket.append(lemma_bucket(lemma, self.config.num_buckets))
+        return lid
+
+    def _eval_vocab(self, vocab: list[str]) -> np.ndarray:
+        """lemma id (or -1) for each distinct token of the batch."""
+        out = np.empty(len(vocab), dtype=np.int64)
+        memo = self._tok_lid
         analyzer = self.analyzer
-        for w in analyzer.tokens(text):
-            s = sig.get(w)
-            if s is None:
-                s = sig[w] = analyzer.significant(w)
-            if not s:
-                continue
-            l = lem.get(w)
-            if l is None:
-                l = lem[w] = analyzer.lemma(w)
-            counts[l] = counts.get(l, 0) + 1
-        return counts
+        for i, w in enumerate(vocab):
+            lid = memo.get(w)
+            if lid is None:
+                if analyzer.significant(w):
+                    lid = self._lemma_id(analyzer.lemma(w))
+                else:
+                    lid = -1
+                memo[w] = lid
+            out[i] = lid
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         """Batch → per-(lemma, seg) MINI posting segments (map-side partial
         aggregation): one output row per distinct (lemma, seg) in the batch
-        carrying raw little-endian docid/tf arrays. The shuffle then moves
-        ~thousands of blob rows per batch instead of one row per posting —
-        ~30× fewer rows through the sort, with per-lemma merge deferred to
-        the (bucket, seg) reduce."""
-        import pandas as pd
+        carrying raw little-endian docid/tf arrays. Tokenization runs as
+        Arrow kernels (``textproc.tokens_flat_arrow``); Python-level
+        significance/lemma logic touches only the batch's DISTINCT tokens
+        via dictionary encoding; counting and grouping are pure numpy."""
+        from searchengine_ray.textproc import tokens_flat_arrow
 
         conv_ids = batch["conv_id"].to_pylist()
-        turn_idx = batch["turn_idx"].to_numpy(zero_copy_only=False)
-        texts = batch["text"].to_pylist()
+        turn_idx = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_docs = len(conv_ids)
         S = self.config.num_segments
 
-        lemmas: list[str] = []
-        docids: list[int] = []
-        tfs: list[int] = []
-        for c, t, x in zip(conv_ids, turn_idx, texts):
-            r = self.rank[c]
-            t = int(t)
-            if t > TURN_MASK:
-                raise ValueError(f"turn_idx {t} exceeds {TURN_MASK} (keys.TURN_BITS)")
-            docid = (r << TURN_BITS) | t
-            counts = self._doc_counts(x or "")
-            dl = 0
-            for l, tf in counts.items():
-                lemmas.append(l)
-                docids.append(docid)
-                tfs.append(tf)
-                dl += tf
-            # sentinel doc-length row (also makes empty docs count toward N)
-            lemmas.append(DOCLEN_LEMMA)
-            docids.append(docid)
-            tfs.append(dl)
+        if np.any(turn_idx > TURN_MASK):
+            raise ValueError(f"turn_idx exceeds {TURN_MASK} (keys.TURN_BITS)")
+        rank = self.rank
+        ranks = np.fromiter((rank[c] for c in conv_ids), dtype=np.int64, count=n_docs)
+        docid_by_row = (ranks << TURN_BITS) | turn_idx
 
-        docid_arr = np.asarray(docids, dtype=np.int64)
-        tf_arr = np.asarray(tfs, dtype=np.int32)
-        seg = ((docid_arr >> TURN_BITS) * S // self.n_convs).astype(np.int64)
+        flat, parents = tokens_flat_arrow(batch["text"], self.analyzer.mode)
+        enc = flat.dictionary_encode()
+        idx = np.asarray(enc.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
+        vocab_lid = self._eval_vocab(enc.dictionary.to_pylist())
 
-        lem_codes, lem_uniques = pd.factorize(np.asarray(lemmas, dtype=object))
-        # group rows by (lemma, seg) within the batch; docid order preserved
-        # inside each group (stable sort) — rows arrive docid-ascending only
-        # per input file, the reduce re-sorts anyway
-        gkey = lem_codes.astype(np.int64) * S + seg
-        order = np.argsort(gkey, kind="stable")
+        tok_lid = vocab_lid[idx]
+        keep = tok_lid >= 0
+        rows = parents[keep]
+        lids = tok_lid[keep]
+
+        # tf per (row, lemma): pack into one key, count via np.unique
+        pair = (rows << np.int64(32)) | lids
+        upair, tf = np.unique(pair, return_counts=True)
+        prow = (upair >> np.int64(32)).astype(np.int64)
+        plid = (upair & np.int64(0xFFFFFFFF)).astype(np.int64)
+
+        # doc lengths (0 for docs with no significant tokens) → sentinel rows
+        dl = np.bincount(rows, minlength=n_docs)
+        all_lids = np.concatenate((plid, np.full(n_docs, self._doclen_lid, dtype=np.int64)))
+        all_docids = np.concatenate((docid_by_row[prow], docid_by_row))
+        all_tfs = np.concatenate((tf, dl)).astype(np.int32)
+
+        seg = ((all_docids >> TURN_BITS) * S // self.n_convs).astype(np.int64)
+        gkey = all_lids * S + seg
+        order = np.argsort(gkey, kind="stable")  # docid order kept per group
         gkey_s = gkey[order]
+        d_sorted = all_docids[order]
+        t_sorted = all_tfs[order]
         starts = np.concatenate(([0], np.nonzero(np.diff(gkey_s))[0] + 1, [gkey_s.size]))
-        d_sorted = docid_arr[order]
-        t_sorted = tf_arr[order]
 
-        bmemo = self._bucket_memo
-        nb = self.config.num_buckets
+        lemmas_list = self._lemmas
+        bucket_list = self._lemma_bucket
         out_pkey: list[int] = []
         out_lemma: list[str] = []
         out_seg: list[int] = []
@@ -237,13 +250,10 @@ class ExplodePostings:
         for i in range(starts.size - 1):
             lo, hi = starts[i], starts[i + 1]
             g = int(gkey_s[lo])
-            l = lem_uniques[g // S]
+            lid = g // S
             s = g % S
-            b = bmemo.get(l)
-            if b is None:
-                b = bmemo[l] = lemma_bucket(l, nb)
-            out_pkey.append(b * S + s)
-            out_lemma.append(l)
+            out_pkey.append(bucket_list[lid] * S + s)
+            out_lemma.append(lemmas_list[lid])
             out_seg.append(s)
             out_doc.append(d_sorted[lo:hi].tobytes())
             out_tf.append(t_sorted[lo:hi].tobytes())
@@ -382,6 +392,9 @@ def _build_shard(
         batch_size=config.batch_size,
         concurrency=config.lemmatizer_concurrency,
     )
+    nparts = config.shuffle_partitions
+    if nparts and nparts > 0:
+        exploded = exploded.repartition(nparts)
     encoded = exploded.groupby("pkey").map_groups(
         _make_encode_group(config), batch_format="pyarrow"
     )
@@ -556,6 +569,8 @@ def build_index(
         new_lo = max(1, min(max(lo, (2 * budget) // 3), hi, budget))
         new_hi = max(new_lo, min(hi, budget))
         config = config.replace(lemmatizer_concurrency=(new_lo, new_hi))
+    if config.shuffle_partitions is None:
+        config = config.replace(shuffle_partitions=max(8, min(128, 2 * cpus // workers)))
     if workers <= 1:
         manifests = [
             _build_shard(i, s, index_dir, conv_ref, n_convs, config)

@@ -58,6 +58,12 @@ class EngineConfig:
     lemmatizer_concurrency: int | tuple[int, int] = (1, 4)
     # --- build sharding (resume unit) ---
     num_shards: int = 1
+    # blocks entering the (bucket, seg) shuffle. The mini-segment stream is
+    # small but arrives in many blocks; coalescing before the sort turns an
+    # O(blocks²) shard-object explosion into O(partitions²). None → resolved
+    # from session CPUs in build_index; set explicitly on big clusters
+    # (≈ 2× total cores).
+    shuffle_partitions: int | None = None
     # concurrent shard builds (driver threads; each shard is one streaming
     # Dataset job — Ray interleaves their tasks across the cluster)
     build_concurrency: int = 4

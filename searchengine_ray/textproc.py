@@ -210,6 +210,36 @@ def is_significant_simple(word: str) -> bool:
 # ---------------------------------------------------------------------------
 
 
+def tokens_flat_arrow(texts, mode: str = "ru"):
+    """Vectorized tokenizer over a pyarrow string array: returns
+    ``(flat_tokens: pa.StringArray, parents: np.ndarray)`` where ``parents``
+    maps each token to its row index. Token-for-token identical to calling
+    ``tokenize``/``tokenize_simple`` per row (asserted by tests): lower →
+    replace the disallowed char class with space → split on whitespace →
+    drop empties. RE2's ``\\s`` is ASCII-only while Python's is
+    Unicode-aware, but the two pipelines agree because any Unicode space is
+    either replaced with ' ' by the cleaner (RE2 path) or consumed by the
+    splitter (Python path) — both yield a token boundary."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.array(texts, type=pa.string())
+    low = pc.utf8_lower(texts)
+    pattern = r"[^а-яА-Яa-zA-Z0-9/\-\s]" if mode == "ru" else r"[^a-z0-9]"
+    cleaned = pc.replace_substring_regex(low, pattern=pattern, replacement=" ")
+    split = pc.split_pattern_regex(cleaned, pattern=r"\s+")
+    flat = pc.list_flatten(split)
+    parents = pc.list_parent_indices(split)
+    mask = pc.not_equal(flat, "")
+    flat = flat.filter(mask)
+    parents = parents.filter(mask)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    return flat, np.asarray(parents.to_numpy(zero_copy_only=False), dtype=np.int64)
+
+
 class Analyzer:
     """Mode-dispatched text pipeline. ``ru`` = reference semantics;
     ``simple`` = SQL-expressible ASCII mode. Stateless and cheap to construct;

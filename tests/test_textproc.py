@@ -139,3 +139,58 @@ class TestAnalyzer:
     def test_simple_tokenize_matches_sql_regex(self):
         # must equal DuckDB regexp_extract_all(lower(text), '[a-z0-9]+')
         assert tokenize_simple("Ray-Data 2.0; naïve") == ["ray", "data", "2", "0", "na", "ve"]
+
+
+class TestArrowTokenizerParity:
+    CASES = [
+        "Суды и Дела: по-закону!  test123",
+        "ёлка объём всё",  # ё handling
+        "А33-5678/2023 и 66OV0001-01-2021-000076-43",
+        "hello,world«quoted»(paren)",
+        "   ",
+        "",
+        "a b c\td",  # unicode spaces
+        "цифры 42 и 7",
+        "дефис-слово и слэш/путь",
+    ]
+
+    def test_ru_matches_python_tokenizer(self):
+        from searchengine_ray.textproc import tokenize, tokens_flat_arrow
+
+        flat, parents = tokens_flat_arrow(self.CASES, mode="ru")
+        got = [[] for _ in self.CASES]
+        for tok, p in zip(flat.to_pylist(), parents.tolist()):
+            got[p].append(tok)
+        for case, toks in zip(self.CASES, got):
+            assert toks == tokenize(case), case
+
+    def test_simple_matches_python_tokenizer(self):
+        from searchengine_ray.textproc import tokenize_simple, tokens_flat_arrow
+
+        flat, parents = tokens_flat_arrow(self.CASES, mode="simple")
+        got = [[] for _ in self.CASES]
+        for tok, p in zip(flat.to_pylist(), parents.tolist()):
+            got[p].append(tok)
+        for case, toks in zip(self.CASES, got):
+            assert toks == tokenize_simple(case), case
+
+    def test_corpus_parity(self):
+        from searchengine_ray.corpus import generate_transcripts
+        from searchengine_ray.textproc import tokenize, tokens_flat_arrow
+
+        texts = generate_transcripts(n_convs=60)["text"].to_pylist()
+        flat, parents = tokens_flat_arrow(texts, mode="ru")
+        got = [[] for _ in texts]
+        for tok, p in zip(flat.to_pylist(), parents.tolist()):
+            got[p].append(tok)
+        for t, toks in zip(texts, got):
+            assert toks == tokenize(t)
+
+    def test_null_text_yields_no_tokens(self):
+        import pyarrow as pa
+
+        from searchengine_ray.textproc import tokens_flat_arrow
+
+        flat, parents = tokens_flat_arrow(pa.array(["суд", None, "дело"]), mode="ru")
+        assert flat.to_pylist() == ["суд", "дело"]
+        assert parents.tolist() == [0, 2]
