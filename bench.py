@@ -35,22 +35,28 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # fixed per-job overhead — efficiency at two CPU counts is meaningless when
 # the whole build is overhead-bound.
 BENCH_CONVS = int(os.environ.get("GRAFT_BENCH_CONVS", "14000"))
-SCALE_CONVS = int(os.environ.get("GRAFT_SCALE_CONVS", "90000"))
+# Scaling corpus: same conv count but long conversations (~20M turns) so the
+# build is compute-bound — efficiency between two CPU counts is meaningless
+# when fixed per-job latency dominates.
+SCALE_CONVS = int(os.environ.get("GRAFT_SCALE_CONVS", "250000"))
+SCALE_TURNS = float(os.environ.get("GRAFT_SCALE_TURNS", "80"))
 
 
-def ensure_bench_corpus(n_convs: int = BENCH_CONVS) -> tuple[str, int]:
+def ensure_bench_corpus(
+    n_convs: int = BENCH_CONVS, avg_turns: float = 12.0
+) -> tuple[str, int]:
     """Generate (once) the synthetic transcripts corpus; returns (dir, rows)."""
     import pyarrow.parquet as pq
 
     from searchengine_ray.corpus import write_transcripts
 
-    corpus_dir = f"/tmp/searchengine_ray_bench/corpus_c{n_convs}"
+    corpus_dir = f"/tmp/searchengine_ray_bench/corpus_c{n_convs}_t{int(avg_turns)}"
     meta = os.path.join(corpus_dir, "_meta.json")
     if os.path.exists(meta):
         with open(meta) as f:
             return corpus_dir, json.load(f)["rows"]
     paths = write_transcripts(
-        corpus_dir, n_convs=n_convs, avg_turns=12.0, seed=42, n_files=64
+        corpus_dir, n_convs=n_convs, avg_turns=avg_turns, seed=42, n_files=64
     )
     rows = sum(pq.read_metadata(p).num_rows for p in paths)
     with open(meta, "w") as f:
@@ -58,7 +64,20 @@ def ensure_bench_corpus(n_convs: int = BENCH_CONVS) -> tuple[str, int]:
     return corpus_dir, rows
 
 
-def run_headline(num_cpus: int, tag: str, n_convs: int = BENCH_CONVS) -> dict:
+def _warm_page_cache(corpus_dir: str) -> None:
+    """Read every corpus file once so the first timed run isn't penalized
+    by cold page cache relative to the second."""
+    for name in sorted(os.listdir(corpus_dir)):
+        p = os.path.join(corpus_dir, name)
+        if name.endswith(".parquet"):
+            with open(p, "rb") as f:
+                while f.read(1 << 22):
+                    pass
+
+
+def run_headline(
+    num_cpus: int, tag: str, n_convs: int = BENCH_CONVS, avg_turns: float = 12.0
+) -> dict:
     """Fresh-index build + query latency on the synthetic corpus.
     Assumes ray already initialised in THIS process."""
     import shutil
@@ -71,9 +90,10 @@ def run_headline(num_cpus: int, tag: str, n_convs: int = BENCH_CONVS) -> dict:
     from searchengine_ray.corpus import reference_queries
     from searchengine_ray.query import QueryEngine
 
-    corpus_dir, rows = ensure_bench_corpus(n_convs)
+    corpus_dir, rows = ensure_bench_corpus(n_convs, avg_turns)
     index_dir = f"/tmp/searchengine_ray_bench/index_{tag}_c{n_convs}"
     shutil.rmtree(index_dir, ignore_errors=True)
+    _warm_page_cache(corpus_dir)
 
     # Index-layout params are FIXED (independent of num_cpus) so scaling
     # runs build byte-identical indexes; only execution sizing varies.
@@ -160,16 +180,16 @@ def main_single() -> None:
 def main_scaling() -> None:
     lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
-    ensure_bench_corpus(SCALE_CONVS)  # generate outside the timed subprocesses
+    ensure_bench_corpus(SCALE_CONVS, SCALE_TURNS)  # generate before timing
     results = {}
     for n in (lo, hi):
         code = (
             "import sys, json, ray; sys.path.insert(0, %r); "
             "ray.init(address='local', num_cpus=%d, include_dashboard=False); "
             "from bench import run_headline; "
-            "print('RESULT::' + json.dumps(run_headline(%d, tag='scale%d', n_convs=%d))); "
+            "print('RESULT::' + json.dumps(run_headline(%d, tag='scale%d', n_convs=%d, avg_turns=%f))); "
             "ray.shutdown()"
-            % (os.path.dirname(os.path.abspath(__file__)), n, n, n, SCALE_CONVS)
+            % (os.path.dirname(os.path.abspath(__file__)), n, n, n, SCALE_CONVS, SCALE_TURNS)
         )
         out = subprocess.run(
             [sys.executable, "-c", code], capture_output=True, text=True, timeout=3000

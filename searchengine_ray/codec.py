@@ -224,23 +224,56 @@ def decode_blocks(enc: EncodedPostings, block_idx: np.ndarray, block_size: int =
     doc_off = np.frombuffer(enc.block_doc_off, dtype=np.int64)
     tf_off = np.frombuffer(enc.block_tf_off, dtype=np.int64)
     nblocks = last.size
+    block_idx = block_idx[block_idx < nblocks]
+    if block_idx.size == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
     doc_end = np.concatenate((doc_off[1:], [len(enc.doc_blob)]))
     tf_end = np.concatenate((tf_off[1:], [len(enc.tf_blob)]))
-    docs_out: list[np.ndarray] = []
-    tfs_out: list[np.ndarray] = []
     dview = memoryview(enc.doc_blob)
     tview = memoryview(enc.tf_blob)
-    for bi in block_idx:
-        bi = int(bi)
-        if bi >= nblocks:
-            continue
-        gaps = vb_decode(dview[doc_off[bi] : doc_end[bi]]).astype(np.int64)
-        base = last[bi - 1] if bi > 0 else -1
+    # Decode CONTIGUOUS RUNS of selected blocks in one varbyte pass each:
+    # gap chains are continuous across adjacent blocks (the encoder slices
+    # one gap stream), so a run needs a single cumsum from the run's base.
+    # Frequent lemmas select dense runs → ~1 decode per segment instead of
+    # one per 128-posting block.
+    cuts = np.nonzero(np.diff(block_idx) > 1)[0] + 1
+    run_starts = np.concatenate(([0], cuts))
+    run_ends = np.concatenate((cuts, [block_idx.size]))
+    docs_out: list[np.ndarray] = []
+    tfs_out: list[np.ndarray] = []
+    for rs, re_ in zip(run_starts.tolist(), run_ends.tolist()):
+        b0 = int(block_idx[rs])
+        b1 = int(block_idx[re_ - 1])
+        gaps = vb_decode(dview[doc_off[b0] : doc_end[b1]]).astype(np.int64)
+        base = last[b0 - 1] if b0 > 0 else -1
         docs_out.append(base + np.cumsum(gaps))
-        tfs_out.append(vb_decode(tview[tf_off[bi] : tf_end[bi]]).astype(np.int64))
-    if not docs_out:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        tfs_out.append(vb_decode(tview[tf_off[b0] : tf_end[b1]]).astype(np.int64))
+    if len(docs_out) == 1:
+        return docs_out[0], tfs_out[0]
     return np.concatenate(docs_out), np.concatenate(tfs_out)
+
+
+def first_docid(enc: EncodedPostings) -> int:
+    """Smallest docid of the segment, decoded from the first varbyte value
+    (≤9 bytes) — no full decode. Used to range-narrow candidate arrays
+    before block selection."""
+    if enc.n == 0:
+        return -1
+    val = 0
+    shift = 0
+    for b in enc.doc_blob[:10]:
+        val |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            break
+        shift += 7
+    return val - 1  # first gap = docid0 + 1
+
+
+def last_docid(enc: EncodedPostings) -> int:
+    """Largest docid of the segment, from block metadata — no decode."""
+    if enc.n == 0:
+        return -1
+    return int(np.frombuffer(enc.block_last_docid, dtype=np.int64)[-1])
 
 
 def blocks_for_candidates(enc: EncodedPostings, candidates: np.ndarray) -> np.ndarray:

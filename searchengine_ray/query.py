@@ -31,7 +31,13 @@ from __future__ import annotations
 import numpy as np
 
 from searchengine_ray import scoring
-from searchengine_ray.codec import blocks_for_candidates, decode_blocks, decode_postings
+from searchengine_ray.codec import (
+    blocks_for_candidates,
+    decode_blocks,
+    decode_postings,
+    first_docid,
+    last_docid,
+)
 from searchengine_ray.config import EngineConfig
 from searchengine_ray.index_store import IndexReader
 from searchengine_ray.keys import TURN_BITS, TURN_MASK
@@ -81,7 +87,15 @@ class QueryEngine:
             got_docs: list[np.ndarray] = []
             got_tfs: list[np.ndarray] = []
             for enc in segs:
-                sel = blocks_for_candidates(enc, docids)
+                # Range-narrow the candidate array to this segment's docid
+                # span first (O(log C)) — otherwise every segment pays a
+                # full O(C log B) block-selection scan of all candidates.
+                lo = np.searchsorted(docids, first_docid(enc), side="left")
+                hi = np.searchsorted(docids, last_docid(enc), side="right")
+                if lo >= hi:
+                    continue
+                cand = docids[lo:hi]
+                sel = blocks_for_candidates(enc, cand)
                 if sel.size == 0:
                     continue
                 d, t = decode_blocks(enc, sel, block_size=self.config.block_size)
