@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from searchengine_ray.pipelines.transcripts import (
         transcript_index_dictionary,
         transcript_search,
+        transcript_search_actor,
     )
 
     return {
@@ -157,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_count": lambda sf: fulltext.search_count(sf, "hash join"),
         # --- flagship engine path: real index build + BM25 serving ---
         "transcript_search": transcript_search,
+        "transcript_search_actor": transcript_search_actor,  # rows-only (actor pool)
         "transcript_dictionary": transcript_index_dictionary,
         # --- dedup family ---
         "dedup_exact": dedup.exact_dedup,
@@ -175,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_rolling": textstats.fingerprint_rolling,  # rows-only (winnowing)
         # --- multimodal plumbing (stubbed decoder) ---
         "multimodal_features": multimodal.multimodal_features,  # rows-only (binary payloads)
+        "frame_sample": multimodal.frame_sample,  # rows-only (binary payloads)
     }
 
 

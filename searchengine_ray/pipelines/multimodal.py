@@ -96,3 +96,47 @@ def multimodal_features(sf_dir: str):
     return media_from_documents(sf_dir).map_batches(
         FeatureExtract, batch_format="pyarrow", batch_size=256, concurrency=2
     )
+
+
+class FrameSample:
+    """Actor-pool frame-sampling stage for video-like payloads: treat the
+    payload as fixed-size frames, keep every ``stride``-th frame, emit one
+    row per kept frame with its byte slice. Real decoders slot in via
+    ``decoder=``; the plumbing (explode shape, per-frame metadata, memory
+    sizing) is what this stage demonstrates."""
+
+    def __init__(self, frame_bytes: int = 64, stride: int = 4, decoder=fake_decode):
+        self.frame_bytes = frame_bytes
+        self.stride = stride
+        self.decoder = decoder
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        media_ids, frame_idx, frames = [], [], []
+        fb, stride = self.frame_bytes, self.stride
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            arr = self.decoder(payload or b"")
+            n_frames = arr.size // fb
+            for k in range(0, n_frames, stride):
+                media_ids.append(mid)
+                frame_idx.append(k)
+                frames.append(arr[k * fb : (k + 1) * fb].tobytes())
+        return pa.table(
+            {
+                "media_id": pa.array(media_ids, type=pa.int64()),
+                "frame_idx": pa.array(frame_idx, type=pa.int32()),
+                "frame": pa.array(frames, type=pa.binary()),
+            }
+        )
+
+
+def frame_sample(sf_dir: str, stride: int = 4):
+    """Frame-sampled media table (rows-only check: binary payloads)."""
+    return media_from_documents(sf_dir).map_batches(
+        FrameSample,
+        fn_constructor_kwargs={"stride": stride},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+    )

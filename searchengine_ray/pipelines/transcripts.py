@@ -49,7 +49,7 @@ TRANSCRIPT_CFG = EngineConfig(
 def ensure_transcript_index(sf_dir: str, root: str = "/tmp/searchengine_ray_idx") -> str:
     """Build (once per sf_dir; resumable) the engine index over the derived
     transcripts. Returns the index directory."""
-    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|v1".encode()).hexdigest()[:12]
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|v2".encode()).hexdigest()[:12]
     base = os.path.join(root, key)
     corpus_dir = os.path.join(base, "corpus")
     index_dir = os.path.join(base, "index")
@@ -101,6 +101,35 @@ def transcript_search(sf_dir: str, k: int = 10) -> pd.DataFrame:
             columns=["query_id", "rank", "conv_id", "turn_idx", "score_r", "count"]
         )
     return pd.concat(frames, ignore_index=True)
+
+
+def transcript_search_actor(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """The distributed serving path (ST7): the fixed query set evaluated by a
+    ``QueryActor`` POOL via ``map_batches`` over a query table — each actor
+    holds a warm engine (dictionary + doc-length norms + posting LRU built
+    once in ``__init__``). Rows-only check: raw-score rank ties may legally
+    differ from the rounded-score SQL ordering."""
+    import ray.data as rd
+
+    from searchengine_ray.query import QueryActor
+
+    index_dir = ensure_transcript_index(sf_dir)
+    queries = [
+        {"query_id": qid, "query": q, "offset": 0, "limit": k}
+        for qid, q in FIXED_QUERIES
+    ]
+    out = (
+        rd.from_items(queries)
+        .map_batches(
+            QueryActor,
+            fn_constructor_kwargs={"index_dir": index_dir},
+            batch_format="pandas",
+            batch_size=4,
+            concurrency=2,
+        )
+        .to_pandas()
+    )
+    return out.sort_values(["query_id", "rank"], kind="stable").reset_index(drop=True)
 
 
 def transcript_index_dictionary(sf_dir: str) -> pd.DataFrame:

@@ -53,6 +53,25 @@ from searchengine_ray.snippets import build_snippet
 from searchengine_ray.textproc import Analyzer
 
 
+def _topk_order(scores: np.ndarray, docids: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the top-k by (score desc, docid asc) WITHOUT sorting the
+    full match set: threshold-select via np.partition (O(n)), lexsort only
+    the ≤k-plus-ties survivors. Equal to ``np.lexsort((docids, -scores))[:k]``
+    (exact, deterministic — boundary ties are all retained, then broken by
+    docid). Falls back to the full lexsort when k covers most of the set."""
+    n = scores.size
+    if k <= 0:
+        return np.empty(0, dtype=np.int64)
+    if k >= n or k * 4 >= n:
+        return np.lexsort((docids, -scores))
+    thresh = np.partition(scores, n - k)[n - k]  # k-th largest
+    keep = np.nonzero(scores >= thresh)[0]
+    if keep.size * 2 >= n:  # massive tie plateau — full sort is cheaper
+        return np.lexsort((docids, -scores))
+    sub = np.lexsort((docids[keep], -scores[keep]))
+    return keep[sub]
+
+
 class QueryEngine:
     def __init__(self, index_dir: str, mode: str = "bm25"):
         self.reader = IndexReader(index_dir)
@@ -159,7 +178,7 @@ class QueryEngine:
             return error_response(ERROR_NOTHING_FOUND)
 
         # (score desc, docid asc) — docid order IS (conv_id, turn_idx) order.
-        rank = np.lexsort((docids, -scores))
+        rank = _topk_order(scores, docids, offset + limit)
         total = int(docids.size)
         page_idx = rank[offset : offset + limit]
         page_docids = docids[page_idx]
@@ -215,7 +234,9 @@ class QueryEngine:
         docids, scores = self._match_and_score(kept)
         if docids.size == 0:
             return empty
-        rank = np.lexsort((docids, -scores))
+        rank = np.lexsort((docids, -scores)) if limit is None else _topk_order(
+            scores, docids, limit
+        )
         if limit is not None:
             rank = rank[:limit]
         conv_rank, turn = docids[rank] >> TURN_BITS, docids[rank] & TURN_MASK

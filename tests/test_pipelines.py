@@ -197,3 +197,53 @@ class TestMultimodal:
 
         with pytest.raises(NotImplementedError):
             decode_image(b"\x89PNG")
+
+
+class TestMultimodalFrameSample:
+    def test_frame_sample_shape(self, ray_session, docs):
+        from searchengine_ray.pipelines.multimodal import FrameSample, frame_sample
+
+        out = frame_sample(SF, stride=4).to_pandas()
+        assert set(out.columns) == {"media_id", "frame_idx", "frame"}
+        assert (out["frame_idx"] % 4 == 0).all()
+        # spot-check one doc against a local run of the stage
+        mid = int(out["media_id"].iloc[0])
+        payload = (docs[mid] or "").encode("utf-8")
+        fs = FrameSample(stride=4)
+        import pyarrow as pa
+
+        local = fs(
+            pa.table(
+                {
+                    "media_id": pa.array([mid], type=pa.int64()),
+                    "payload": pa.array([payload], type=pa.binary()),
+                }
+            )
+        )
+        sub = out[out["media_id"] == mid].reset_index(drop=True)
+        assert local["frame_idx"].to_pylist() == sub["frame_idx"].tolist()
+        assert local["frame"].to_pylist() == sub["frame"].tolist()
+
+
+class TestQueryActorBatch:
+    def test_actor_pool_matches_inprocess_engine(self, ray_session):
+        from searchengine_ray.pipelines.transcripts import (
+            transcript_search_actor,
+        )
+
+        out = transcript_search_actor("/root/testdata/sf0.001")
+        assert not out.empty
+        # parity with the in-process engine on (query, rank) → (conv, turn)
+        from searchengine_ray.pipelines.transcripts import (
+            FIXED_QUERIES,
+            ensure_transcript_index,
+        )
+        from searchengine_ray.query import QueryEngine
+
+        eng = QueryEngine(ensure_transcript_index("/root/testdata/sf0.001"))
+        for qid, qtext in FIXED_QUERIES:
+            sub = out[out["query_id"] == qid]
+            r = eng.search(qtext, 0, 10)
+            got = list(zip(sub["conv_id"], sub["turn_idx"]))
+            want = [(d["conv_id"], d["turn_idx"]) for d in r.get("data", [])]
+            assert got == want, qid
