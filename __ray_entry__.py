@@ -140,7 +140,14 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from searchengine_ray.pipelines import dedup, fulltext, multimodal, similarity, textstats
+    from searchengine_ray.pipelines import (
+        dedup,
+        fulltext,
+        multimodal,
+        relational,
+        similarity,
+        textstats,
+    )
     from searchengine_ray.pipelines.transcripts import (
         transcript_index_dictionary,
         transcript_search,
@@ -160,6 +167,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_search": transcript_search,
         "transcript_search_actor": transcript_search_actor,  # rows-only (actor pool)
         "transcript_dictionary": transcript_index_dictionary,
+        # --- windowed aggregate + broadcast join (wide-op patterns) ---
+        "windowed_events": relational.windowed_events,
+        "broadcast_join_orders": relational.broadcast_join_orders,
         # --- dedup family ---
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash": dedup.minhash_dups,          # rows-only (LSH)
@@ -215,6 +225,20 @@ SELECT CAST(count(*) AS BIGINT) AS n_matches FROM (
 WITH {_TOKS}
 SELECT token AS lemma, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
 FROM toks GROUP BY token""",
+        "windowed_events": """
+SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS window_us,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value_r
+FROM events GROUP BY 1, 2""",
+        "broadcast_join_orders": """
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS revenue_r
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name""",
         "dedup_exact": """
 SELECT md5(text) AS text_hash, min(doc_id) AS rep_doc_id, count(*) AS n_dups
 FROM documents GROUP BY md5(text)""",

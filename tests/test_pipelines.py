@@ -247,3 +247,44 @@ class TestQueryActorBatch:
             got = list(zip(sub["conv_id"], sub["turn_idx"]))
             want = [(d["conv_id"], d["turn_idx"]) for d in r.get("data", [])]
             assert got == want, qid
+
+
+class TestRelational:
+    def test_windowed_events_matches_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.pipelines.relational import WINDOW_US, windowed_events
+
+        out = windowed_events(SF)
+        t = pq.read_table(f"{SF}/events.parquet", columns=["ts", "event_type", "value"])
+        import pandas as pd
+
+        df = t.to_pandas()
+        df["window_us"] = (df["ts"].astype("int64") // WINDOW_US) * WINDOW_US
+        brute = df.groupby(["window_us", "event_type"], as_index=False).agg(
+            n_events=("value", "size"), sv=("value", "sum")
+        )
+        merged = out.merge(brute, on=["window_us", "event_type"], how="outer")
+        assert len(merged) == len(out) == len(brute)
+        assert (merged["n_events_x"] == merged["n_events_y"]).all()
+        assert (abs(merged["sum_value_r"] - merged["sv"]) < 1e-3).all()
+
+    def test_broadcast_join_matches_pandas(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.pipelines.relational import broadcast_join_orders
+
+        out = broadcast_join_orders(SF)
+        o = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+        c = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+        n = pq.read_table(f"{SF}/nation.parquet").to_pandas()
+        j = o.merge(c, left_on="o_custkey", right_on="c_custkey").merge(
+            n, left_on="c_nationkey", right_on="n_nationkey"
+        )
+        brute = j.groupby("n_name", as_index=False).agg(
+            n_orders=("o_orderkey", "size"), rev=("o_totalprice", "sum")
+        )
+        merged = out.merge(brute, on="n_name", how="outer")
+        assert len(merged) == len(out) == len(brute)
+        assert (merged["n_orders_x"] == merged["n_orders_y"]).all()
+        assert (abs(merged["revenue_r"] - merged["rev"].round(2)) < 1e-6).all()
