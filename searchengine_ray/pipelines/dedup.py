@@ -180,7 +180,14 @@ def _candidate_pairs(bands_ds, max_bucket: int = 64) -> tuple[np.ndarray, np.nda
     scale buckets are tiny. Returns (a, b) int64 arrays with a < b."""
 
     def pairs(group: pa.Table) -> pa.Table:
-        ids = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))[:max_bucket]
+        ids = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
+        if ids.size > max_bucket:  # no silent cap: surface the truncation
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "LSH bucket truncated: %d > %d docs", ids.size, max_bucket
+            )
+            ids = ids[:max_bucket]
         if ids.size < 2:
             return pa.table(
                 {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
@@ -356,35 +363,99 @@ def simhash_signatures(sf_dir: str):
     )
 
 
-def simhash_dups(sf_dir: str, max_hamming: int = 3):
-    """Near-dup pairs at Hamming ≤ max_hamming via pigeonhole banding over 4
-    16-bit blocks (any such pair agrees on ≥1 block)."""
-    sig = simhash_signatures(sf_dir).to_pandas()
-    vals = np.array([int(s, 16) for s in sig["simhash"]], dtype=np.uint64)
-    ids = sig["doc_id"].to_numpy()
-    cand: set[tuple[int, int]] = set()
-    for blk in range(4):
-        key = (vals >> np.uint64(16 * blk)) & np.uint64(0xFFFF)
-        import pandas as pd
+_POPCOUNT8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
 
-        for _, grp in pd.DataFrame({"k": key, "i": np.arange(len(ids))}).groupby("k"):
-            idxs = grp["i"].tolist()
-            if len(idxs) < 2:
-                continue
-            for x, y in itertools.combinations(idxs, 2):
-                a, b = int(ids[x]), int(ids[y])
-                if a > b:
-                    a, b = b, a
-                cand.add((a, b, x, y))
-    rows = []
-    for a, b, x, y in sorted(cand):
-        ham = int(bin(int(vals[x]) ^ int(vals[y])).count("1"))
-        if ham <= max_hamming and int(vals[x]) != 0 and int(vals[y]) != 0:
-            rows.append((a, b, ham))
+
+def _hamming_matrix(vals: np.ndarray) -> np.ndarray:
+    """Pairwise Hamming distances of a uint64 vector (vectorized byte-table
+    popcount over the XOR outer product)."""
+    x = vals[:, None] ^ vals[None, :]
+    b = x.view(np.uint8).reshape(vals.size, vals.size, 8)
+    return _POPCOUNT8[b].sum(axis=2)
+
+
+def simhash_dups(sf_dir: str, max_hamming: int = 3, max_bucket: int = 256):
+    """Near-dup pairs at Hamming ≤ max_hamming via pigeonhole banding over 4
+    16-bit blocks (any such pair agrees on ≥1 block). Fully distributed:
+    signatures map-side → explode to (block, block_key, doc_id, simhash)
+    rows → groupby bucket → in-bucket vectorized Hamming verify → driver
+    dedups the (already tiny) verified pair set."""
+    sig_ds = simhash_signatures(sf_dir)
+
+    def explode_blocks(batch: pa.Table) -> pa.Table:
+        vals = np.array([int(s, 16) for s in batch["simhash"].to_pylist()], dtype=np.uint64)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        nz = vals != 0  # empty docs don't band
+        vals, ids = vals[nz], ids[nz]
+        blks = np.repeat(np.arange(4, dtype=np.int32), vals.size)
+        v4 = np.tile(vals, 4)
+        i4 = np.tile(ids, 4)
+        keys = (v4 >> (np.uint64(16) * blks.astype(np.uint64))) & np.uint64(0xFFFF)
+        return pa.table(
+            {
+                "blk": pa.array(blks),
+                "key": pa.array(keys.astype(np.int64)),
+                "doc_id": pa.array(i4, type=pa.int64()),
+                "sim": pa.array(v4.astype(np.int64)),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        sims = group["sim"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.argsort(ids, kind="stable")
+        ids, sims = ids[order], sims[order]
+        if ids.size > max_bucket:  # no silent cap: surface the truncation
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "simhash bucket truncated: %d > %d docs", ids.size, max_bucket
+            )
+            ids, sims = ids[:max_bucket], sims[:max_bucket]
+        if ids.size < 2:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], type=pa.int64()),
+                    "doc_b": pa.array([], type=pa.int64()),
+                    "hamming": pa.array([], type=pa.int32()),
+                }
+            )
+        ham = _hamming_matrix(sims)
+        ia, ib = np.triu_indices(ids.size, k=1)
+        ok = ham[ia, ib] <= max_hamming
+        return pa.table(
+            {
+                "doc_a": pa.array(ids[ia[ok]], type=pa.int64()),
+                "doc_b": pa.array(ids[ib[ok]], type=pa.int64()),
+                "hamming": pa.array(ham[ia[ok], ib[ok]].astype(np.int32)),
+            }
+        )
+
+    out = (
+        sig_ds.map_batches(explode_blocks, batch_format="pyarrow", batch_size=4096)
+        .groupby(["blk", "key"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if out.empty:
+        return pa.table(
+            {
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "hamming": pa.array([], type=pa.int32()),
+            }
+        )
+    a = out["doc_a"].to_numpy(dtype=np.int64)
+    b = out["doc_b"].to_numpy(dtype=np.int64)
+    h = out["hamming"].to_numpy(dtype=np.int64)
+    packed = (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
+    _, first = np.unique(packed, return_index=True)
+    order = np.argsort(packed[first], kind="stable")
+    sel = first[order]
     return pa.table(
         {
-            "doc_a": pa.array([r[0] for r in rows], type=pa.int64()),
-            "doc_b": pa.array([r[1] for r in rows], type=pa.int64()),
-            "hamming": pa.array([r[2] for r in rows], type=pa.int32()),
+            "doc_a": pa.array(a[sel], type=pa.int64()),
+            "doc_b": pa.array(b[sel], type=pa.int64()),
+            "hamming": pa.array(h[sel].astype(np.int32)),
         }
     )
