@@ -176,8 +176,24 @@ class IndexReader:
                 self._cache.popitem(last=False)
         return segs
 
+    # Decoded-postings LRU: hot lemmas (stopword-scale df) cost tens of ms
+    # to re-decode per query; cache the decoded arrays under a byte budget.
+    # Sized for a dedicated serving actor (a handful of stopword-scale lists
+    # on a 10M-doc partition ≈ hundreds of MB); undersizing thrashes — a
+    # re-decode costs more than the block path it replaced.
+    _DECODED_BUDGET = 1 << 30
+
     def decode_lemma(self, lemma: str) -> tuple[np.ndarray, np.ndarray]:
-        """Full (docids, tfs) for a lemma, globally docid-sorted."""
+        """Full (docids, tfs) for a lemma, globally docid-sorted. Decoded
+        arrays are LRU-cached under a byte budget (callers never mutate
+        them in place)."""
+        if not hasattr(self, "_dec_cache"):
+            self._dec_cache: OrderedDict[str, tuple[np.ndarray, np.ndarray]] = OrderedDict()
+            self._dec_bytes = 0
+        hit = self._dec_cache.get(lemma)
+        if hit is not None:
+            self._dec_cache.move_to_end(lemma)
+            return hit
         segs = self.postings_segments(lemma)
         if not segs:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
@@ -187,9 +203,27 @@ class IndexReader:
         if len(parts) > 1:
             order = np.argsort(docids, kind="stable")
             docids, tfs = docids[order], tfs[order]
+        nbytes = docids.nbytes + tfs.nbytes
+        if nbytes < self._DECODED_BUDGET:
+            self._dec_cache[lemma] = (docids, tfs)
+            self._dec_bytes += nbytes
+            while self._dec_bytes > self._DECODED_BUDGET and self._dec_cache:
+                _, (d, t) = self._dec_cache.popitem(last=False)
+                self._dec_bytes -= d.nbytes + t.nbytes
         return docids, tfs
 
     # -- doc lengths ----------------------------------------------------
+
+    def decoded_if_cached(self, lemma: str):
+        """Decoded (docids, tfs) if already in the decoded LRU, else None —
+        lets the intersection skip block selection for hot cached terms."""
+        cache = getattr(self, "_dec_cache", None)
+        if cache is None:
+            return None
+        hit = cache.get(lemma)
+        if hit is not None:
+            cache.move_to_end(lemma)
+        return hit
 
     def doc_lengths(self, docids: np.ndarray) -> np.ndarray:
         idx = np.searchsorted(self._dl_docids, docids)

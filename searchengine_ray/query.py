@@ -87,6 +87,10 @@ class QueryEngine:
         )
         self.analyzer = Analyzer(self.config.analyzer)
         self.mode = mode
+        # Per-term BM25 contributions are static for a built index — cache
+        # the score vector of hot SINGLE-term queries (aligned with the
+        # decoded docid array), bounded by entry count.
+        self._term_score_cache: dict[str, np.ndarray] = {}
 
     # -- retrieval core -------------------------------------------------
 
@@ -102,6 +106,25 @@ class QueryEngine:
         for lemma in order[1:]:
             if docids.size == 0:
                 break
+            # When the candidates straddle most blocks, block selection
+            # decodes ~the whole list anyway — take the full decode
+            # (LRU-cached) instead. Blocks touched ≈ min(candidates, nblocks).
+            cached = reader.decoded_if_cached(lemma)
+            df_l = reader.df(lemma)
+            bs = self.config.block_size
+            touched = min(docids.size, df_l // bs + 1) * bs
+            if cached is None and 2 * touched >= df_l:
+                cached = reader.decode_lemma(lemma)
+            if cached is not None:
+                ld, lt = cached
+                pos = np.searchsorted(ld, docids)
+                pos_c = np.minimum(pos, ld.size - 1)
+                match = ld[pos_c] == docids
+                match &= pos < ld.size
+                docids = docids[match]
+                tf_by_term = [t[match] for t in tf_by_term]
+                tf_by_term.append(lt[pos_c[match]])
+                continue
             segs = reader.postings_segments(lemma)
             got_docs: list[np.ndarray] = []
             got_tfs: list[np.ndarray] = []
@@ -140,12 +163,20 @@ class QueryEngine:
             return docids, np.empty(0, dtype=np.float64)
 
         if self.mode == "bm25":
+            if len(order) == 1:
+                cached_scores = self._term_score_cache.get(order[0])
+                if cached_scores is not None and cached_scores.size == docids.size:
+                    return docids, cached_scores
             dls = reader.doc_lengths(docids)
             k1, b = self.config.k1, self.config.b
             scores = np.zeros(docids.size, dtype=np.float64)
             for lemma, tfs in zip(order, tf_by_term):
                 term_idf = scoring.idf(reader.n_docs, reader.df(lemma))
                 scores += term_idf * scoring.tf_norm_vec(tfs, dls, reader.avgdl, k1, b)
+            if len(order) == 1:
+                if len(self._term_score_cache) >= 16:
+                    self._term_score_cache.pop(next(iter(self._term_score_cache)))
+                self._term_score_cache[order[0]] = scores
         else:  # reference parity: tf-sum / max (A4/A5)
             scores = np.zeros(docids.size, dtype=np.float64)
             for tfs in tf_by_term:
