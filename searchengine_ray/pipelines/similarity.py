@@ -123,6 +123,76 @@ def lsh_knn(sf_dir: str, query_vec_id: int = 0, k: int = 10, multiprobe: int = 1
     )
 
 
+# --- IVF ANN (coarse k-means quantizer; the other scale path) -------------
+
+
+def _kmeans_cosine(mat_norm: np.ndarray, k: int, iters: int = 8, seed: int = 42) -> np.ndarray:
+    """Deterministic spherical k-means on L2-normalized vectors."""
+    rng = np.random.default_rng(seed)
+    cent = mat_norm[rng.choice(mat_norm.shape[0], size=k, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(mat_norm @ cent.T, axis=1)
+        for j in range(k):
+            members = mat_norm[assign == j]
+            if members.size:
+                c = members.sum(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    cent[j] = c / n
+    return cent
+
+
+def ivf_assignments(sf_dir: str, nlist: int = 16):
+    """(vec_id, list_id) for every vector: centroids trained driver-side on
+    the (small) corpus, assignment distributed via ``map_batches`` with the
+    centroid matrix broadcast once — the IVF build shape; at scale the
+    training sample is a ``ds.random_sample`` collect."""
+    import ray
+
+    ids, mat = _embedding_matrix(sf_dir)
+    norm = mat / np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+    cent = _kmeans_cosine(norm, nlist)
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        m = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        m = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "list_id": pa.array(np.argmax(m @ c.T, axis=1).astype(np.int32)),
+            }
+        )
+
+    return read_embeddings(sf_dir).map_batches(assign, batch_format="pyarrow", batch_size=4096)
+
+
+def ivf_knn(sf_dir: str, query_vec_id: int = 0, k: int = 10, nlist: int = 16, nprobe: int = 4):
+    """Approximate top-k: probe the ``nprobe`` centroid lists nearest to the
+    query, brute-force only their members. Returns
+    (rank, vec_id, sim_r, probed)."""
+    q = _query_vector(sf_dir, query_vec_id)
+    ids, mat = _embedding_matrix(sf_dir)
+    norm = mat / np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+    cent = _kmeans_cosine(norm, nlist)
+    assign = np.argmax(norm @ cent.T, axis=1)
+    qn = q / np.sqrt((q * q).sum())
+    probe = np.argsort(-(cent @ qn))[:nprobe]
+    mask = np.isin(assign, probe)
+    sub_ids, sub = ids[mask], norm[mask]
+    sims_r = _round_vec(sub @ qn)
+    order = np.lexsort((sub_ids, -sims_r))[:k]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(order)), type=pa.int64()),
+            "vec_id": pa.array(sub_ids[order], type=pa.int64()),
+            "sim_r": pa.array(sims_r[order], type=pa.float64()),
+            "probed": pa.array([int(mask.sum())] * len(order), type=pa.int64()),
+        }
+    )
+
+
 def embedding_neardup(sf_dir: str, threshold: float = 0.95):
     """All-pairs cosine ≥ threshold (doc_a < doc_b): blocked matmul of each
     batch against the broadcast L2-normalized matrix."""

@@ -288,3 +288,28 @@ class TestRelational:
         assert len(merged) == len(out) == len(brute)
         assert (merged["n_orders_x"] == merged["n_orders_y"]).all()
         assert (abs(merged["revenue_r"] - merged["rev"].round(2)) < 1e-6).all()
+
+
+class TestIVF:
+    def test_ivf_knn_subset_and_sound(self, ray_session, emb):
+        import numpy as np
+
+        from searchengine_ray.pipelines.similarity import ivf_knn
+
+        ids, mat = emb
+        out = ivf_knn(SF, query_vec_id=0, k=10, nlist=8, nprobe=8).to_pandas()
+        # nprobe == nlist probes everything → must equal brute force top-k
+        q = mat[ids == 0][0]
+        qn = q / np.linalg.norm(q)
+        norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = np.round(norm @ qn, 4)
+        order = np.lexsort((ids, -sims))[:10]
+        assert out["vec_id"].tolist() == ids[order].tolist()
+
+    def test_ivf_assignments_cover_all(self, ray_session, emb):
+        from searchengine_ray.pipelines.similarity import ivf_assignments
+
+        ids, _ = emb
+        out = ivf_assignments(SF, nlist=8).to_pandas()
+        assert sorted(out["vec_id"].tolist()) == sorted(ids.tolist())
+        assert out["list_id"].between(0, 7).all()
