@@ -194,3 +194,59 @@ class TestArrowTokenizerParity:
         flat, parents = tokens_flat_arrow(pa.array(["суд", None, "дело"]), mode="ru")
         assert flat.to_pylist() == ["суд", "дело"]
         assert parents.tolist() == [0, 2]
+
+
+class TestPropertyBased:
+    """Randomized property tests (hypothesis) — SURVEY.md §5.5."""
+
+    def test_arrow_tokenizer_parity_random(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from searchengine_ray.textproc import tokenize, tokens_flat_arrow
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.lists(st.text(max_size=60), min_size=1, max_size=8))
+        def prop(texts):
+            flat, parents = tokens_flat_arrow(texts, mode="ru")
+            got = [[] for _ in texts]
+            for tok, p in zip(flat.to_pylist(), parents.tolist()):
+                got[p].append(tok)
+            for t, toks in zip(texts, got):
+                assert toks == tokenize(t)
+
+        prop()
+
+    def test_char_shingles_exact_random(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from searchengine_ray.pipelines.dedup import char_shingle_array
+        from searchengine_ray.pipelines.textstats import normalize_for_fp
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.text(max_size=120))
+        def prop(text):
+            s = normalize_for_fp(text)
+            naive = {s[i : i + 3] for i in range(len(s) - 2)} if len(s) >= 3 else (
+                {s} if s else set()
+            )
+            # exact packing → shingle count must equal distinct 3-gram count
+            assert char_shingle_array(text).size == len(naive)
+
+        prop()
+
+    def test_vb_roundtrip_random(self):
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from searchengine_ray.codec import vb_decode, vb_encode
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.lists(st.integers(min_value=0, max_value=(1 << 62) - 1), max_size=200))
+        def prop(vals):
+            a = np.asarray(vals, dtype=np.uint64)
+            assert np.array_equal(vb_decode(vb_encode(a)), a)
+
+        prop()
