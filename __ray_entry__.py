@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_dictionary": transcript_index_dictionary,
         # --- windowed aggregate + broadcast join (wide-op patterns) ---
         "windowed_events": relational.windowed_events,
+        "sessionize_events": relational.sessionize_events,
         "broadcast_join_orders": relational.broadcast_join_orders,
         # --- dedup family ---
         "dedup_exact": dedup.exact_dedup,
@@ -232,6 +233,24 @@ SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS window_us,
        CAST(count(*) AS BIGINT) AS n_events,
        round(sum(value), 4) AS sum_value_r
 FROM events GROUP BY 1, 2""",
+        "sessionize_events": """
+WITH marked AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+              OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+ assigned AS (
+  SELECT user_id, ts_us,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked)
+SELECT user_id,
+       CAST(min(ts_us) AS BIGINT) AS session_start_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(ts_us) - min(ts_us) AS BIGINT) AS duration_us
+FROM assigned GROUP BY user_id, sess_id""",
         "broadcast_join_orders": """
 SELECT n.n_name,
        CAST(count(*) AS BIGINT) AS n_orders,

@@ -68,6 +68,50 @@ def windowed_events(sf_dir: str):
     return out[["window_us", "event_type", "n_events", "sum_value_r"]]
 
 
+SESSION_GAP_US = 1_800_000_000  # 30 minutes
+
+
+def sessionize_events(sf_dir: str):
+    """Gap-based session windows per user (gap > 30 min starts a new
+    session): (user_id, session_start_us, n_events, duration_us_max).
+
+    Shape: ``groupby(user_id).map_groups`` — sessions need a per-user time
+    sort, which the groupby co-locates; each group is one user's events
+    (bounded: sessions never span users, so there is no global sort). The
+    SQL mirror is the classic lag/cumsum session assignment."""
+    import pandas as pd
+    import ray.data as rd
+
+    def sessions(group: pa.Table) -> pa.Table:
+        ts = np.sort(group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False))
+        uid = group["user_id"][0].as_py()
+        new_sess = np.empty(ts.size, dtype=bool)
+        new_sess[0] = True
+        new_sess[1:] = (ts[1:] - ts[:-1]) > SESSION_GAP_US
+        sess_id = np.cumsum(new_sess) - 1
+        starts = ts[new_sess]
+        n_events = np.bincount(sess_id)
+        ends = np.maximum.reduceat(ts, np.nonzero(new_sess)[0])
+        return pa.table(
+            {
+                "user_id": pa.array([uid] * starts.size, type=pa.int64()),
+                "session_start_us": pa.array(starts, type=pa.int64()),
+                "n_events": pa.array(n_events, type=pa.int64()),
+                "duration_us": pa.array(ends - starts, type=pa.int64()),
+            }
+        )
+
+    out = (
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values(["user_id", "session_start_us"], kind="stable").reset_index(
+        drop=True
+    )
+
+
 def broadcast_join_orders(sf_dir: str):
     """Revenue per nation: orders ⋈ customer ⋈ nation with the dimension
     side broadcast. Returns (n_name, n_orders, revenue_r)."""

@@ -256,3 +256,51 @@ class TestIncrementalReindex:
             ids1 = [(d["conv_id"], d["turn_idx"]) for d in r1.get("data", [])]
             ids2 = [(d["conv_id"], d["turn_idx"]) for d in r2.get("data", [])]
             assert ids1 == ids2 and r1["count"] == r2["count"], q["query_id"]
+
+
+class TestSkew:
+    def test_stopword_scale_lemma_splits_into_segments(
+        self, ray_session, tmp_path_factory
+    ):
+        """North-rule skew handling: a lemma present in EVERY doc must build
+        as multiple docid-range-disjoint segments (no single reduce group
+        holds the whole posting list), and still query correctly."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.build import build_index
+        from searchengine_ray.index_store import IndexReader
+        from searchengine_ray.query import QueryEngine
+
+        root = tmp_path_factory.mktemp("skew")
+        n = 600
+        rows = {
+            "conv_id": [f"conv-{i//4:06d}" for i in range(n)],
+            "turn_idx": pa.array([i % 4 for i in range(n)], type=pa.int32()),
+            "role": ["user"] * n,
+            # "суд" in every turn; "дело" in half
+            "text": [("суд дело" if i % 2 == 0 else "суд") for i in range(n)],
+            "tool": [""] * n,
+            "ts": pa.array([0] * n, type=pa.timestamp("us")),
+        }
+        corpus = root / "corpus"
+        corpus.mkdir()
+        t = pa.table(rows)
+        for i in range(4):
+            pq.write_table(t.slice(i * 150, 150), str(corpus / f"p-{i:05d}.parquet"))
+
+        cfg = CFG.replace(num_shards=2, num_segments=4)
+        idx = str(root / "idx")
+        build_index(str(corpus), idx, cfg)
+
+        reader = IndexReader(idx)
+        segs = reader.postings_segments("суд")
+        assert len(segs) >= 4  # ≥ num_segments splits across shards
+        assert sum(s.n for s in segs) == n
+        assert max(s.n for s in segs) <= n // 2  # no segment holds everything
+
+        eng = QueryEngine(idx)
+        r = eng.search_ids("суд")
+        assert r["count"] == n
+        r2 = eng.search_ids("суд дело")
+        assert r2["count"] == n // 2

@@ -313,3 +313,21 @@ class TestIVF:
         out = ivf_assignments(SF, nlist=8).to_pandas()
         assert sorted(out["vec_id"].tolist()) == sorted(ids.tolist())
         assert out["list_id"].between(0, 7).all()
+
+    def test_sessionize_events_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.pipelines.relational import SESSION_GAP_US, sessionize_events
+
+        out = sessionize_events(SF)
+        t = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "ts"]).to_pandas()
+        t["ts_us"] = t["ts"].astype("int64")
+        total_sessions = 0
+        for uid, grp in t.groupby("user_id"):
+            ts = grp["ts_us"].sort_values().to_numpy()
+            n_sess = 1 + int(((ts[1:] - ts[:-1]) > SESSION_GAP_US).sum()) if ts.size else 0
+            sub = out[out["user_id"] == uid]
+            assert len(sub) == n_sess, uid
+            assert sub["n_events"].sum() == ts.size
+            total_sessions += n_sess
+        assert len(out) == total_sessions
