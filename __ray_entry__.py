@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- windowed aggregate + broadcast join (wide-op patterns) ---
         "windowed_events": relational.windowed_events,
         "sessionize_events": relational.sessionize_events,
+        "asof_join_events": relational.asof_join_events,
         "broadcast_join_orders": relational.broadcast_join_orders,
         # --- dedup family ---
         "dedup_exact": dedup.exact_dedup,
@@ -251,6 +252,14 @@ SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(max(ts_us) - min(ts_us) AS BIGINT) AS duration_us
 FROM assigned GROUP BY user_id, sess_id""",
+        "asof_join_events": """
+SELECT c.event_id, c.user_id,
+       CAST(epoch_us(c.ts) AS BIGINT) AS ts_us,
+       CAST(epoch_us(v.ts) AS BIGINT) AS view_ts_us,
+       round(v.value, 4) AS view_value_r
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND v.ts <= c.ts""",
         "broadcast_join_orders": """
 SELECT n.n_name,
        CAST(count(*) AS BIGINT) AS n_orders,

@@ -112,6 +112,55 @@ def sessionize_events(sf_dir: str):
     )
 
 
+def asof_join_events(sf_dir: str):
+    """As-of join (an operator Ray Data lacks): each 'click' event matched
+    to the SAME user's most recent 'view' event at ts ≤ click ts. Composed
+    as one read + side tags + ``groupby(user_id).map_groups`` with a sorted
+    ``searchsorted`` merge per user — the partitioning assumption is that
+    one user's history fits a task (same as sessionization); range-salting
+    by time would bound pathological users. Returns
+    (event_id, user_id, ts_us, view_ts_us, view_value_r)."""
+    import ray.data as rd
+
+    def per_user(group: pa.Table) -> pa.Table:
+        et = group["event_type"].to_numpy(zero_copy_only=False)
+        ts = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        val = group["value"].to_numpy(zero_copy_only=False)
+        uid = group["user_id"][0].as_py()
+        is_view = et == "view"
+        is_click = et == "click"
+        vts = ts[is_view]
+        vval = val[is_view]
+        o = np.argsort(vts, kind="stable")
+        vts, vval = vts[o], vval[o]
+        cts = ts[is_click]
+        ceid = eid[is_click]
+        pos = np.searchsorted(vts, cts, side="right") - 1
+        ok = pos >= 0
+        return pa.table(
+            {
+                "event_id": pa.array(ceid[ok], type=pa.int64()),
+                "user_id": pa.array(np.full(int(ok.sum()), uid), type=pa.int64()),
+                "ts_us": pa.array(cts[ok], type=pa.int64()),
+                "view_ts_us": pa.array(vts[pos[ok]], type=pa.int64()),
+                "view_value_r": pa.array(_round_vec(vval[pos[ok]]), type=pa.float64()),
+            }
+        )
+
+    out = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "user_id", "ts", "event_type", "value"],
+        )
+        .filter(lambda r: r["event_type"] in ("view", "click"))
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("event_id", kind="stable").reset_index(drop=True)
+
+
 def broadcast_join_orders(sf_dir: str):
     """Revenue per nation: orders ⋈ customer ⋈ nation with the dimension
     side broadcast. Returns (n_name, n_orders, revenue_r)."""

@@ -331,3 +331,28 @@ class TestIVF:
             assert sub["n_events"].sum() == ts.size
             total_sessions += n_sess
         assert len(out) == total_sessions
+
+    def test_asof_join_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.pipelines.relational import asof_join_events
+
+        out = asof_join_events(SF)
+        t = pq.read_table(
+            f"{SF}/events.parquet", columns=["event_id", "user_id", "ts", "event_type", "value"]
+        ).to_pandas()
+        t["ts_us"] = t["ts"].astype("int64")
+        got = dict(zip(out["event_id"], out["view_ts_us"]))
+        n_matched = 0
+        for _, row in t[t["event_type"] == "click"].iterrows():
+            views = t[
+                (t["user_id"] == row["user_id"])
+                & (t["event_type"] == "view")
+                & (t["ts_us"] <= row["ts_us"])
+            ]
+            if views.empty:
+                assert row["event_id"] not in got
+            else:
+                n_matched += 1
+                assert got[row["event_id"]] == views["ts_us"].max()
+        assert n_matched == len(out)
