@@ -121,6 +121,13 @@ def build_conv_dict(files: list[str], index_dir: str) -> np.ndarray:
     comes back to the driver; at 10^12-turn scale this pass would stay
     distributed (sort distinct + cumulative offsets) — the output contract
     (rank = row index of the ascending-sorted parquet) is the same.
+
+    Scale limit of the CURRENT in-memory shape: each explode actor holds the
+    full conv_id→rank dict (~100 MB per 10^6 convs). Beyond ~10^7 convs the
+    dict becomes a broadcast sorted array + ``np.searchsorted`` (zero-copy
+    from the object store), and beyond worker memory it shards by conv-id
+    prefix with per-shard rank offsets — docids stay order-preserving under
+    both, so nothing downstream changes.
     """
     import ray.data as rd
 
