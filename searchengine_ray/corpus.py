@@ -111,8 +111,11 @@ def generate_transcripts(
     n_convs: int = 20,
     avg_turns: float = 10.0,
     seed: int = 42,
+    conv_offset: int = 0,
 ) -> pa.Table:
-    """Seeded transcript table; same args → byte-identical table."""
+    """Seeded transcript table; same args → byte-identical table.
+    ``conv_offset`` shifts the conv-id numbering so chunked generation
+    (``write_transcripts_chunked``) produces disjoint conversations."""
     rng = np.random.default_rng(seed)
     words, probs, _ = _vocab_and_probs()
     V = len(words)
@@ -121,7 +124,10 @@ def generate_transcripts(
     total_turns = int(n_turns_per_conv.sum())
 
     conv_ids = np.repeat(
-        np.array([f"conv-{i:06d}" for i in range(n_convs)], dtype=object), n_turns_per_conv
+        np.array(
+            [f"conv-{i + conv_offset:06d}" for i in range(n_convs)], dtype=object
+        ),
+        n_turns_per_conv,
     )
     turn_idx = np.concatenate([np.arange(n) for n in n_turns_per_conv]).astype(np.int32)
     roles = np.array(_ROLES, dtype=object)[rng.integers(0, 4, size=total_turns)]
@@ -208,6 +214,33 @@ def write_transcripts(
         path = os.path.join(out_dir, f"part-{i:05d}.parquet")
         pq.write_table(chunk, path)
         paths.append(path)
+    return paths
+
+
+def write_transcripts_chunked(
+    out_dir: str,
+    n_convs: int,
+    avg_turns: float = 10.0,
+    seed: int = 42,
+    convs_per_file: int = 50_000,
+) -> list[str]:
+    """Memory-bounded corpus writer for very large corpora: one deterministic
+    chunk (disjoint conv range, derived seed) per file — peak RAM is one
+    chunk, not the whole corpus."""
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    i = 0
+    off = 0
+    while off < n_convs:
+        n = min(convs_per_file, n_convs - off)
+        table = generate_transcripts(
+            n_convs=n, avg_turns=avg_turns, seed=seed + i, conv_offset=off
+        )
+        path = os.path.join(out_dir, f"part-{i:05d}.parquet")
+        pq.write_table(table, path)
+        paths.append(path)
+        off += n
+        i += 1
     return paths
 
 
