@@ -49,7 +49,17 @@ _POSTING_COLS = [
 class IndexReader:
     """Warm-state reader over a built index directory."""
 
-    def __init__(self, index_dir: str, postings_cache_size: int = 256):
+    def __init__(
+        self,
+        index_dir: str,
+        postings_cache_size: int = 256,
+        shards: list[str] | None = None,
+    ):
+        """``shards`` restricts the reader to a subset of shard directory
+        names (e.g. ``["shard=00000"]``) — the partition-serving mode:
+        shards are doc-disjoint, so per-shard match sets union exactly, while
+        global stats (N, avgdl, df) always come from the full manifest and
+        dictionary so BM25 scores are identical to whole-index evaluation."""
         self.index_dir = index_dir
         with open(os.path.join(index_dir, "manifest.json")) as f:
             self.manifest = json.load(f)
@@ -65,13 +75,18 @@ class IndexReader:
             zip(dt["lemma"].to_pylist(), dt["df"].to_numpy(zero_copy_only=False).tolist())
         )
 
+        all_shards = sorted(os.listdir(os.path.join(index_dir, "shards")))
+        if shards is not None:
+            unknown = set(shards) - set(all_shards)
+            if unknown:
+                raise ValueError(f"unknown shards: {sorted(unknown)}")
+            all_shards = sorted(shards)
+        self.shard_names = all_shards
         self._shard_posting_dirs = [
-            os.path.join(index_dir, "shards", s, "postings")
-            for s in sorted(os.listdir(os.path.join(index_dir, "shards")))
+            os.path.join(index_dir, "shards", s, "postings") for s in all_shards
         ]
         self._doc_dirs = [
-            os.path.join(index_dir, "shards", s, "docs")
-            for s in sorted(os.listdir(os.path.join(index_dir, "shards")))
+            os.path.join(index_dir, "shards", s, "docs") for s in all_shards
         ]
 
         self._cache: OrderedDict[str, list[EncodedPostings]] = OrderedDict()

@@ -73,8 +73,8 @@ def _topk_order(scores: np.ndarray, docids: np.ndarray, k: int) -> np.ndarray:
 
 
 class QueryEngine:
-    def __init__(self, index_dir: str, mode: str = "bm25"):
-        self.reader = IndexReader(index_dir)
+    def __init__(self, index_dir: str, mode: str = "bm25", shards: list[str] | None = None):
+        self.reader = IndexReader(index_dir, shards=shards)
         m = self.reader.manifest
         self.config = EngineConfig(
             analyzer=m["analyzer"],
@@ -302,14 +302,18 @@ class QueryEngine:
 class QueryActor:
     """Actor wrapper for parallel query serving (ST7, SURVEY.md §2.3):
     ``ray.remote(QueryActor).remote(index_dir)`` → pool; each actor holds a
-    warm QueryEngine. Also usable directly via ``map_batches`` over a query
-    table for batch evaluation."""
+    warm QueryEngine (optionally over a shard subset — the docid-range
+    partition-serving mode). Also usable directly via ``map_batches`` over a
+    query table for batch evaluation."""
 
-    def __init__(self, index_dir: str, mode: str = "bm25"):
-        self.engine = QueryEngine(index_dir, mode=mode)
+    def __init__(self, index_dir: str, mode: str = "bm25", shards: list[str] | None = None):
+        self.engine = QueryEngine(index_dir, mode=mode, shards=shards)
 
     def search(self, query: str, offset: int = 0, limit: int = 10) -> dict:
         return self.engine.search(query, offset, limit)
+
+    def search_ids(self, query: str, limit: int | None = None) -> dict:
+        return self.engine.search_ids(query, limit)
 
     def __call__(self, batch) -> dict:
         """Batch mode: dict/pandas batch with columns (query_id, query,
@@ -340,3 +344,55 @@ class QueryActor:
                 "count": counts,
             }
         )
+
+
+class ShardedQueryService:
+    """Partition-serving pool: each `QueryActor` owns a disjoint subset of
+    the index's shards (docid ranges); a query fans out to every actor and
+    the driver merges — counts sum exactly (shards are doc-disjoint) and
+    per-partition top-k lists merge under the same canonical order
+    ``(score desc, conv_id asc, turn_idx asc)``, so results are identical to
+    single-process evaluation while each actor's decoded-posting cache only
+    ever holds its partition's lists. This is the serving shape for indexes
+    too large for one process (BASELINE.md scale notes)."""
+
+    def __init__(self, index_dir: str, num_actors: int = 2, mode: str = "bm25"):
+        import os
+
+        import ray
+
+        shard_names = sorted(os.listdir(os.path.join(index_dir, "shards")))
+        num_actors = max(1, min(num_actors, len(shard_names)))
+        groups = [shard_names[i::num_actors] for i in range(num_actors)]
+        Actor = ray.remote(QueryActor)
+        self.actors = [
+            Actor.remote(index_dir, mode=mode, shards=g) for g in groups if g
+        ]
+
+    def search_ids(self, query: str, limit: int | None = None) -> dict:
+        import numpy as np
+        import ray
+
+        parts = ray.get([a.search_ids.remote(query, limit) for a in self.actors])
+        count = int(sum(p["count"] for p in parts))
+        if count == 0:
+            return parts[0] if parts else {"count": 0}
+        conv = np.concatenate([np.asarray(p["conv_id"], dtype=object) for p in parts])
+        turn = np.concatenate([np.asarray(p["turn_idx"], dtype=np.int64) for p in parts])
+        score = np.concatenate([np.asarray(p["score"], dtype=np.float64) for p in parts])
+        order = np.lexsort((turn, conv, -score))
+        if limit is not None:
+            order = order[:limit]
+        return {
+            "count": count,
+            "conv_id": conv[order],
+            "turn_idx": turn[order],
+            "score": score[order],
+        }
+
+    def shutdown(self) -> None:
+        import ray
+
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

@@ -304,3 +304,30 @@ class TestSkew:
         assert r["count"] == n
         r2 = eng.search_ids("суд дело")
         assert r2["count"] == n // 2
+
+
+class TestShardedServing:
+    def test_sharded_results_identical_to_single_engine(self, ray_session, built):
+        """Partition-serving: per-shard actors + driver merge must equal
+        whole-index evaluation exactly (counts, ids, scores)."""
+        import numpy as np
+
+        from searchengine_ray.query import QueryEngine, ShardedQueryService
+
+        *_, index_dir = built
+        single = QueryEngine(index_dir)
+        svc = ShardedQueryService(index_dir, num_actors=2)
+        try:
+            for q in reference_queries():
+                if not q["query"]:
+                    continue
+                a = single.search_ids(q["query"], limit=10)
+                b = svc.search_ids(q["query"], limit=10)
+                assert a["count"] == b["count"], q["query_id"]
+                if a["count"] == 0:
+                    continue
+                assert list(a["conv_id"]) == list(b["conv_id"]), q["query_id"]
+                assert list(a["turn_idx"]) == list(b["turn_idx"]), q["query_id"]
+                assert np.allclose(a["score"], b["score"], rtol=0, atol=0), q["query_id"]
+        finally:
+            svc.shutdown()
