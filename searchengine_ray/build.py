@@ -536,18 +536,37 @@ def build_index(
     input_path: str | list[str],
     index_dir: str,
     config: EngineConfig = DEFAULT_CONFIG,
+    validate_unique_keys: bool = False,
 ) -> dict:
     """Build (or resume) the full index. Returns the global manifest.
 
     Resume contract (SURVEY.md §4 checkpoint row): shards whose
     ``_MANIFEST.json`` is complete are skipped; the finalize step is
     idempotent (recomputed from shard outputs every run). Input must be
-    duplicate-free on ``(conv_id, turn_idx)``.
+    duplicate-free on ``(conv_id, turn_idx)`` — violations silently inflate
+    df/doc counts, so ``validate_unique_keys=True`` adds one counting pass
+    (a groupby over the key columns) that raises before building. The D4
+    first-wins dedup itself is a caller-side
+    ``groupby(["conv_id","turn_idx"]).map_groups(take_first)`` when inputs
+    may legitimately contain duplicates.
     """
     files = _expand_input(input_path)
     if not files:
         raise ValueError(f"no parquet files under {input_path}")
     os.makedirs(index_dir, exist_ok=True)
+
+    if validate_unique_keys:
+        import ray.data as rd
+
+        with _DATASET_CTOR_LOCK:
+            keys = rd.read_parquet(files, columns=["conv_id", "turn_idx"])
+        n_rows = keys.count()
+        n_distinct = keys.groupby(["conv_id", "turn_idx"]).count().count()
+        if n_distinct != n_rows:
+            raise ValueError(
+                f"input has {n_rows - n_distinct} duplicate (conv_id, turn_idx) keys; "
+                "dedup first (groupby first-wins) or fix the upstream writer"
+            )
 
     import ray
 

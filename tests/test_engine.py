@@ -331,3 +331,28 @@ class TestShardedServing:
                 assert np.allclose(a["score"], b["score"], rtol=0, atol=0), q["query_id"]
         finally:
             svc.shutdown()
+
+
+class TestInputValidation:
+    def test_duplicate_keys_rejected(self, ray_session, tiny_corpus, tmp_path_factory):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import pytest as _pytest
+
+        root = tmp_path_factory.mktemp("dupes")
+        corpus = root / "corpus"
+        corpus.mkdir()
+        dup = pa.concat_tables([tiny_corpus, tiny_corpus.slice(0, 5)])
+        pq.write_table(dup, str(corpus / "p.parquet"))
+        with _pytest.raises(ValueError, match="duplicate"):
+            build_index(str(corpus), str(root / "idx"), CFG, validate_unique_keys=True)
+
+    def test_clean_input_passes_validation(self, ray_session, tiny_corpus, tmp_path_factory):
+        import pyarrow.parquet as pq
+
+        root = tmp_path_factory.mktemp("clean")
+        corpus = root / "corpus"
+        corpus.mkdir()
+        pq.write_table(tiny_corpus, str(corpus / "p.parquet"))
+        m = build_index(str(corpus), str(root / "idx"), CFG, validate_unique_keys=True)
+        assert m["n_docs"] == tiny_corpus.num_rows
