@@ -130,8 +130,6 @@ def build_conv_dict(files: list[str], index_dir: str) -> np.ndarray:
     both, so nothing downstream changes.
     """
     path = os.path.join(index_dir, "conv_dict.parquet")
-    if os.path.exists(path):
-        return pq.read_table(path)["conv_id"].to_numpy(zero_copy_only=False)
     total_bytes = sum(os.path.getsize(f) for f in files)
     if total_bytes < 1 << 30:
         # small input: a column-pruned pyarrow read beats a Ray job's fixed
@@ -139,15 +137,28 @@ def build_conv_dict(files: list[str], index_dir: str) -> np.ndarray:
         import pyarrow.compute as pc
 
         cols = [pq.read_table(f, columns=["conv_id"])["conv_id"] for f in files]
-        convs = pc.unique(pa.chunked_array(cols).combine_chunks()).to_pylist()
-        arr = np.array(sorted(convs), dtype=object)
+        convs = sorted(pc.unique(pa.chunked_array(cols).combine_chunks()).to_pylist())
     else:
         import ray.data as rd
 
         with _DATASET_CTOR_LOCK:
             ds = rd.read_parquet(files, columns=["conv_id"])
         convs = sorted(ds.unique("conv_id"))
-        arr = np.array(convs, dtype=object)
+
+    if os.path.exists(path):
+        saved = pq.read_table(path)["conv_id"].to_numpy(zero_copy_only=False)
+        saved_set = set(saved.tolist())
+        if all(c in saved_set for c in convs):
+            # Saved dict is a superset: every rank is still valid (vanished
+            # convs keep harmless stale entries), so existing shard outputs
+            # stay docid-consistent — resume may proceed.
+            return saved
+        # NEW conv_ids shift the dense ranking, which would make resumed
+        # shards' docids inconsistent with rebuilt ones — invalidate all
+        # shard outputs and re-rank from scratch.
+        shutil.rmtree(os.path.join(index_dir, "shards"), ignore_errors=True)
+
+    arr = np.array(convs, dtype=object)
     tmp = path + ".tmp"
     pq.write_table(pa.table({"conv_id": pa.array(arr, type=pa.string())}), tmp)
     os.replace(tmp, path)
@@ -347,6 +358,18 @@ def _make_encode_group(config: EngineConfig):
     return encode_group
 
 
+def _config_signature(config: EngineConfig) -> dict:
+    """The layout-affecting config fields. A resumed shard is reused only
+    when these match — text semantics or on-disk layout changes (analyzer,
+    segments, buckets, block size) make old outputs wrong, not just stale."""
+    return {
+        "analyzer": config.analyzer,
+        "num_segments": config.num_segments,
+        "num_buckets": config.num_buckets,
+        "block_size": config.block_size,
+    }
+
+
 def _input_fingerprint(files: list[str]) -> str:
     """Stable lineage fingerprint of a shard's input files (path, size,
     mtime_ns). A resumed build reuses a shard only when its fingerprint
@@ -381,11 +404,16 @@ def _build_shard(
     shard_dir = os.path.join(index_dir, "shards", f"shard={shard_id:05d}")
     manifest_path = os.path.join(shard_dir, "_MANIFEST.json")
     fingerprint = _input_fingerprint(files)
+    cfg_sig = _config_signature(config)
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             m = json.load(f)
-        if m.get("status") == "complete" and m.get("input_fingerprint") == fingerprint:
-            return m  # resume: partition already built from identical input
+        if (
+            m.get("status") == "complete"
+            and m.get("input_fingerprint") == fingerprint
+            and m.get("config") == cfg_sig
+        ):
+            return m  # resume: same input AND same layout config
         # input changed since the last build → rebuild just this shard (the
         # incremental path: reference's updatePage df-decrement dance,
         # services/PageProcessorService.java:34-46, becomes "re-derive the
@@ -471,12 +499,7 @@ def _build_shard(
         "input_fingerprint": fingerprint,
         "n_input_rows": int(n_input),
         "wall_sec": round(time.time() - t0, 3),
-        "config": {
-            "analyzer": config.analyzer,
-            "num_segments": config.num_segments,
-            "num_buckets": config.num_buckets,
-            "block_size": config.block_size,
-        },
+        "config": cfg_sig,
     }
     with open(os.path.join(tmp_dir, "_MANIFEST.json"), "w") as f:
         json.dump(manifest, f, indent=1)
@@ -586,6 +609,15 @@ def build_index(
     n_convs = len(conv_arr)
 
     shards = _shard_files(files, config.num_shards)
+    # Prune shard outputs beyond the current shard count (shrunk input or
+    # lowered num_shards): _finalize and IndexReader consume every directory
+    # under shards/, so orphans would serve stale/duplicate documents.
+    shards_root = os.path.join(index_dir, "shards")
+    if os.path.isdir(shards_root):
+        expected = {f"shard={i:05d}" for i in range(len(shards))}
+        for name in os.listdir(shards_root):
+            if name.split(".")[0] not in expected:
+                shutil.rmtree(os.path.join(shards_root, name), ignore_errors=True)
     # Shards build concurrently (driver threads, one streaming Dataset job
     # each); Ray's scheduler interleaves their tasks, so a small shard's job
     # overhead overlaps a big shard's compute. On a multi-node cluster this

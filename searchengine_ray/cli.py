@@ -146,10 +146,12 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
     rc = args.fn(args)
 
-    import ray
+    # only build initialises Ray; don't pay the import on query-only paths
+    if "ray" in sys.modules:
+        import ray
 
-    if ray.is_initialized():
-        ray.shutdown()
+        if ray.is_initialized():
+            ray.shutdown()
     return rc
 
 

@@ -319,12 +319,12 @@ class IndexReader:
         for p in hit_rg.tolist():
             entry = self._read_row_group(int(fidx[p]), int(rgidx[p]), files)
             ids = entry["ids"]
-            sel = np.searchsorted(ids, want)
-            sel_c = np.minimum(sel, ids.size - 1)
-            found = want[ids[sel_c] == want]
-            if found.size == 0:
+            # membership test, NOT binary search: a row group's ids are only
+            # locally sorted per write batch (the build sorts within batches;
+            # blocks may coalesce several), so ordering can't be assumed
+            rows = np.nonzero(np.isin(ids, want))[0]
+            if rows.size == 0:
                 continue
-            rows = np.searchsorted(ids, found)
             sub = entry["table"].take(rows)
             for row in sub.to_pylist():
                 out[row["docid"]] = row

@@ -91,8 +91,8 @@ _MIX = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
 
 def word_shingle_array(text: str, k: int = 3) -> np.ndarray:
     """Sorted unique uint64 word-k-gram shingles: per-token blake2b hashes
-    (memoized — Zipf makes the hit rate high) combined with a polynomial mix.
-    Fully vectorized over the token sequence."""
+    (memoized — Zipf makes the hit rate high) combined with a polynomial
+    mix. Fully vectorized over the token sequence; any k ≥ 1."""
     toks = tokenize_simple(normalize_for_fp(text))
     if not toks:
         return np.empty(0, dtype=np.uint64)
@@ -102,15 +102,20 @@ def word_shingle_array(text: str, k: int = 3) -> np.ndarray:
         for h in hs[1:]:
             v = v * _MIX + h
         return np.asarray([v], dtype=np.uint64)
-    v = hs[:-2] * _MIX + hs[1:-1]
-    v = v * _MIX + hs[2:]
+    n = hs.size - k + 1
+    v = hs[:n].copy()
+    for j in range(1, k):
+        v = v * _MIX + hs[j : j + n]
     return np.unique(v)
 
 
 def char_shingle_array(text: str, k: int = 3) -> np.ndarray:
     """Sorted unique uint64 char-3-gram shingles, EXACT (collision-free):
     three 21-bit codepoints packed into one uint64 via UTF-32 reinterpret —
-    no Python loop, no hashing."""
+    no Python loop, no hashing. The packing is 3-gram-specific; other k are
+    rejected rather than silently computing 3-grams."""
+    if k != 3:
+        raise ValueError("char_shingle_array packs exactly 3 codepoints (k=3)")
     s = normalize_for_fp(text)
     if not s:
         return np.empty(0, dtype=np.uint64)
@@ -207,10 +212,18 @@ def _candidate_pairs(bands_ds, max_bucket: int = 64) -> tuple[np.ndarray, np.nda
     )
     a = out["a"].to_numpy(dtype=np.int64)
     b = out["b"].to_numpy(dtype=np.int64)
-    packed = np.unique((a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64))
-    return (packed >> np.uint64(32)).astype(np.int64), (
-        packed & np.uint64(0xFFFFFFFF)
-    ).astype(np.int64)
+    return _dedup_pairs(a, b)
+
+
+def _dedup_pairs(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized exact dedup of (a, b) int64 pairs, sorted by (a, b) —
+    structured-dtype np.unique, valid for the FULL int64 doc-id range (a
+    32-bit packing would silently collide pairs at >2^32 ids)."""
+    pairs = np.empty(a.size, dtype=[("a", "<i8"), ("b", "<i8")])
+    pairs["a"] = a
+    pairs["b"] = b
+    uniq = np.unique(pairs)
+    return uniq["a"].copy(), uniq["b"].copy()
 
 
 _DISTRIBUTE_PAIRS = 20_000
@@ -448,10 +461,14 @@ def simhash_dups(sf_dir: str, max_hamming: int = 3, max_bucket: int = 256):
     a = out["doc_a"].to_numpy(dtype=np.int64)
     b = out["doc_b"].to_numpy(dtype=np.int64)
     h = out["hamming"].to_numpy(dtype=np.int64)
-    packed = (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
-    _, first = np.unique(packed, return_index=True)
-    order = np.argsort(packed[first], kind="stable")
-    sel = first[order]
+    # structured-dtype dedup — exact for the full int64 id range
+    pairs = np.empty(a.size, dtype=[("a", "<i8"), ("b", "<i8")])
+    pairs["a"] = a
+    pairs["b"] = b
+    _, first = np.unique(pairs, return_index=True)
+    sel = np.sort(first)
+    order = np.lexsort((b[sel], a[sel]))
+    sel = sel[order]
     return pa.table(
         {
             "doc_a": pa.array(a[sel], type=pa.int64()),

@@ -191,14 +191,16 @@ def broadcast_join_orders(sf_dir: str):
         ok = ck[pos] == ocust
         natkeys = cn[pos[ok]]
         npos = np.searchsorted(nk, natkeys)
-        names = nn[np.minimum(npos, nk.size - 1)]
+        npos_c = np.minimum(npos, nk.size - 1)
+        # inner-join semantics on BOTH hops: drop rows whose nation key is
+        # absent instead of attributing them to a neighboring nation
+        nok = nk[npos_c] == natkeys
+        names = nn[npos_c[nok]]
+        prices = batch["o_totalprice"].to_numpy(zero_copy_only=False)[ok][nok]
         return pa.table(
             {
                 "n_name": pa.array(names, type=pa.string()),
-                "price": pa.array(
-                    batch["o_totalprice"].to_numpy(zero_copy_only=False)[ok],
-                    type=pa.float64(),
-                ),
+                "price": pa.array(prices, type=pa.float64()),
             }
         )
 

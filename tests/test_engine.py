@@ -356,3 +356,106 @@ class TestInputValidation:
         pq.write_table(tiny_corpus, str(corpus / "p.parquet"))
         m = build_index(str(corpus), str(root / "idx"), CFG, validate_unique_keys=True)
         assert m["n_docs"] == tiny_corpus.num_rows
+
+
+class TestRebuildConsistency:
+    def _write_corpus(self, tiny_corpus, corpus_dir, n_files=4):
+        import pyarrow.parquet as pq
+
+        n = tiny_corpus.num_rows
+        per = (n + n_files - 1) // n_files
+        for i in range(n_files):
+            chunk = tiny_corpus.slice(i * per, min(per, n - i * per))
+            if chunk.num_rows:
+                pq.write_table(chunk, f"{corpus_dir}/part-{i:05d}.parquet")
+
+    def test_new_conv_id_triggers_full_rerank(
+        self, ray_session, tiny_corpus, tmp_path_factory
+    ):
+        """A rebuild whose input adds a NEW conv_id must invalidate all
+        shards (dense ranks shift) and still match a fresh oracle."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        root = tmp_path_factory.mktemp("newconv")
+        corpus_dir = str(root / "corpus")
+        os.makedirs(corpus_dir)
+        self._write_corpus(tiny_corpus, corpus_dir)
+        cfg = CFG.replace(num_shards=4)
+        idx = str(root / "idx")
+        build_index(corpus_dir, idx, cfg)
+
+        # new conversation whose id sorts BEFORE every existing one
+        extra = pa.table(
+            {
+                "conv_id": pa.array(["aaaa-new-conv"] * 2, type=pa.string()),
+                "turn_idx": pa.array([0, 1], type=pa.int32()),
+                "role": pa.array(["user", "assistant"], type=pa.string()),
+                "text": pa.array(["суд решение", "закон"], type=pa.string()),
+                "tool": pa.array(["", ""], type=pa.string()),
+                "ts": pa.array([0, 1], type=pa.timestamp("us")),
+            }
+        )
+        pq.write_table(extra, f"{corpus_dir}/part-00000b.parquet")
+        manifest = build_index(corpus_dir, idx, cfg)
+
+        combined = pa.concat_tables(
+            [extra.cast(tiny_corpus.schema), tiny_corpus]
+        ) if extra.schema != tiny_corpus.schema else pa.concat_tables([extra, tiny_corpus])
+        oracle = OracleSearcher(OracleIndex(combined, cfg))
+        assert manifest["n_docs"] == oracle.index.n_docs
+        eng = QueryEngine(idx)
+        for q in reference_queries():
+            r1 = eng.search(q["query"], q["offset"], q["limit"])
+            r2 = oracle.search(q["query"], q["offset"], q["limit"])
+            ids1 = [(d["conv_id"], d["turn_idx"]) for d in r1.get("data", [])]
+            ids2 = [(d["conv_id"], d["turn_idx"]) for d in r2.get("data", [])]
+            assert ids1 == ids2 and r1["count"] == r2["count"], q["query_id"]
+
+    def test_config_change_rebuilds_shards(
+        self, ray_session, tiny_corpus, tmp_path_factory
+    ):
+        """Changing a layout-affecting config field must rebuild shards, not
+        silently reuse outputs written under the old layout."""
+        root = tmp_path_factory.mktemp("cfgchange")
+        corpus_dir = str(root / "corpus")
+        os.makedirs(corpus_dir)
+        self._write_corpus(tiny_corpus, corpus_dir)
+        idx = str(root / "idx")
+        build_index(corpus_dir, idx, CFG.replace(num_shards=2, num_buckets=16))
+        # different bucket count → same files, different layout
+        build_index(corpus_dir, idx, CFG.replace(num_shards=2, num_buckets=4))
+        eng = QueryEngine(idx)
+        oracle = OracleSearcher(OracleIndex(tiny_corpus, CFG))
+        for q in reference_queries():
+            r1 = eng.search(q["query"], q["offset"], q["limit"])
+            r2 = oracle.search(q["query"], q["offset"], q["limit"])
+            ids1 = [(d["conv_id"], d["turn_idx"]) for d in r1.get("data", [])]
+            ids2 = [(d["conv_id"], d["turn_idx"]) for d in r2.get("data", [])]
+            assert ids1 == ids2 and r1["count"] == r2["count"], q["query_id"]
+
+    def test_shrunk_input_prunes_orphan_shards(
+        self, ray_session, tiny_corpus, tmp_path_factory
+    ):
+        """Removing input files must not leave stale shard outputs serving
+        deleted documents."""
+        root = tmp_path_factory.mktemp("shrink")
+        corpus_dir = str(root / "corpus")
+        os.makedirs(corpus_dir)
+        self._write_corpus(tiny_corpus, corpus_dir, n_files=8)
+        cfg = CFG.replace(num_shards=8)
+        idx = str(root / "idx")
+        build_index(corpus_dir, idx, cfg)
+        # delete the last half of the input
+        kept_rows = 0
+        import pyarrow.parquet as pq
+
+        for i in range(8):
+            p = f"{corpus_dir}/part-{i:05d}.parquet"
+            if i >= 4:
+                os.remove(p)
+            elif os.path.exists(p):
+                kept_rows += pq.read_metadata(p).num_rows
+        manifest = build_index(corpus_dir, idx, cfg)
+        assert manifest["n_docs"] == kept_rows
+        assert len(os.listdir(os.path.join(idx, "shards"))) == len(manifest["shards"])
