@@ -63,6 +63,29 @@ def cmd_build(args: argparse.Namespace) -> int:
 
 
 def cmd_search(args: argparse.Namespace) -> int:
+    if args.actors > 1:
+        # partition-serving mode: per-shard QueryActors + exact driver merge
+        from searchengine_ray.query import ShardedQueryService
+
+        _ensure_ray(args.num_cpus)
+        svc = ShardedQueryService(args.index, num_actors=args.actors, mode=args.mode)
+        r = svc.search_ids(args.query, limit=args.offset + args.limit)
+        out = {
+            "result": bool(r["count"]),
+            "count": r["count"],
+            "data": [
+                {"conv_id": c, "turn_idx": int(t), "relevance": float(s)}
+                for c, t, s in zip(
+                    list(r.get("conv_id", []))[args.offset :],
+                    list(r.get("turn_idx", []))[args.offset :],
+                    list(r.get("score", []))[args.offset :],
+                )
+            ],
+        }
+        svc.shutdown()
+        print(json.dumps(out, ensure_ascii=False))
+        return 0
+
     from searchengine_ray.query import QueryEngine
 
     engine = QueryEngine(args.index, mode=args.mode)
@@ -133,6 +156,8 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--offset", type=int, default=0)
     s.add_argument("--limit", type=int, default=10)
     s.add_argument("--mode", default="bm25", choices=["bm25", "tf_sum"])
+    s.add_argument("--actors", type=int, default=1, help="shard-serving actor count (>1 needs Ray)")
+    s.add_argument("--num-cpus", type=int, default=None)
     s.set_defaults(fn=cmd_search)
 
     st = sub.add_parser("stats", help="index statistics")

@@ -52,3 +52,18 @@ def test_clear(cli_index, capsys, tmp_path):
     rc = main(["clear", "--index", str(victim)])
     assert rc == 0
     assert not victim.exists()
+
+
+def test_sharded_search_cli(cli_index, capsys):
+    rc = main(
+        ["search", "--index", str(cli_index), "--query", "суд решение", "--actors", "2"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # compare against the single-engine CLI result
+    rc = main(["search", "--index", str(cli_index), "--query", "суд решение"])
+    single = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["count"] == single["count"]
+    got = [(d["conv_id"], d["turn_idx"]) for d in out["data"]]
+    want = [(d["conv_id"], d["turn_idx"]) for d in single["data"]]
+    assert got == want
