@@ -361,6 +361,11 @@ class ShardedQueryService:
 
         import ray
 
+        if mode != "bm25":
+            # tf_sum normalizes by the per-evaluation max (A5) — each
+            # partition would normalize by ITS max, making merged scores
+            # incomparable. Serve tf_sum single-process.
+            raise ValueError("ShardedQueryService supports mode='bm25' only")
         shard_names = sorted(os.listdir(os.path.join(index_dir, "shards")))
         num_actors = max(1, min(num_actors, len(shard_names)))
         groups = [shard_names[i::num_actors] for i in range(num_actors)]
@@ -388,6 +393,28 @@ class ShardedQueryService:
             "conv_id": conv[order],
             "turn_idx": turn[order],
             "score": score[order],
+        }
+
+    def search(self, query: str, offset: int = 0, limit: int = 10) -> dict:
+        """Full SearchResponse (hydrated hits + snippets): each actor returns
+        its partition's top-(offset+limit) hydrated page, the driver merges
+        under (relevance desc, uri asc) — identical scores across partitions
+        (global stats) make the merge exact."""
+        import ray
+
+        k = offset + limit
+        parts = ray.get([a.search.remote(query, 0, k) for a in self.actors])
+        errors = [p for p in parts if not p.get("result")]
+        hits = [d for p in parts if p.get("result") for d in p["data"]]
+        count = sum(p.get("count", 0) for p in parts)
+        if not hits:
+            return errors[0] if errors else {"result": False, "count": 0, "data": []}
+        hits.sort(key=lambda d: (-d["relevance"], d["conv_id"], d["turn_idx"]))
+        return {
+            "result": True,
+            "error": None,
+            "count": count,
+            "data": hits[offset : offset + limit],
         }
 
     def shutdown(self) -> None:

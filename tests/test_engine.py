@@ -459,3 +459,30 @@ class TestRebuildConsistency:
         manifest = build_index(corpus_dir, idx, cfg)
         assert manifest["n_docs"] == kept_rows
         assert len(os.listdir(os.path.join(idx, "shards"))) == len(manifest["shards"])
+
+    def test_sharded_full_search_matches_single(self, ray_session, built):
+        from searchengine_ray.query import ShardedQueryService
+
+        *_, index_dir = built
+        single = QueryEngine(index_dir)
+        svc = ShardedQueryService(index_dir, num_actors=2)
+        try:
+            for q in reference_queries():
+                a = single.search(q["query"], q["offset"], q["limit"])
+                b = svc.search(q["query"], q["offset"], q["limit"])
+                assert a["result"] == b["result"], q["query_id"]
+                assert a.get("count", 0) == b.get("count", 0), q["query_id"]
+                ga = [(d["conv_id"], d["turn_idx"], d["snippet"]) for d in a.get("data", [])]
+                gb = [(d["conv_id"], d["turn_idx"], d["snippet"]) for d in b.get("data", [])]
+                assert ga == gb, q["query_id"]
+        finally:
+            svc.shutdown()
+
+    def test_sharded_rejects_tf_sum(self, ray_session, built):
+        import pytest as _pytest
+
+        from searchengine_ray.query import ShardedQueryService
+
+        *_, index_dir = built
+        with _pytest.raises(ValueError, match="bm25"):
+            ShardedQueryService(index_dir, num_actors=2, mode="tf_sum")
