@@ -16,7 +16,31 @@ Public surface:
   multimodal training-data pipelines.
 """
 
-from searchengine_ray.config import EngineConfig
+from searchengine_ray.config import DEFAULT_CONFIG, EngineConfig
 
-__all__ = ["EngineConfig"]
+__all__ = [
+    "DEFAULT_CONFIG",
+    "EngineConfig",
+    "build_index",
+    "QueryEngine",
+    "QueryActor",
+    "ShardedQueryService",
+    "IndexReader",
+]
 __version__ = "0.1.0"
+
+
+def __getattr__(name):  # lazy: keep `import searchengine_ray` Ray-free
+    if name == "build_index":
+        from searchengine_ray.build import build_index
+
+        return build_index
+    if name in ("QueryEngine", "QueryActor", "ShardedQueryService"):
+        import searchengine_ray.query as _q
+
+        return getattr(_q, name)
+    if name == "IndexReader":
+        from searchengine_ray.index_store import IndexReader
+
+        return IndexReader
+    raise AttributeError(name)

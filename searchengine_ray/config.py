@@ -8,7 +8,7 @@ actors via constructor args (no Spring, no DB).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)

@@ -17,7 +17,6 @@ Scale shapes (ray_guide patterns):
 from __future__ import annotations
 
 import hashlib
-import itertools
 
 import numpy as np
 import pyarrow as pa

@@ -119,8 +119,6 @@ def doc_lengths(sf_dir: str):
 
     def first_dl(batch: pa.Table) -> pa.Table:
         # one (doc_id, dl) per doc; explode emits identical dl on each row
-        import pandas as pd
-
         df = batch.select(["doc_id", "dl"]).to_pandas().drop_duplicates("doc_id")
         return pa.Table.from_pandas(df, preserve_index=False)
 

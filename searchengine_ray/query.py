@@ -34,7 +34,6 @@ from searchengine_ray import scoring
 from searchengine_ray.codec import (
     blocks_for_candidates,
     decode_blocks,
-    decode_postings,
     first_docid,
     last_docid,
 )
