@@ -142,16 +142,74 @@ def _kmeans_cosine(mat_norm: np.ndarray, k: int, iters: int = 8, seed: int = 42)
     return cent
 
 
-def ivf_assignments(sf_dir: str, nlist: int = 16):
-    """(vec_id, list_id) for every vector: centroids trained driver-side on
-    the (small) corpus, assignment distributed via ``map_batches`` with the
-    centroid matrix broadcast once — the IVF build shape; at scale the
-    training sample is a ``ds.random_sample`` collect."""
+def ivf_train_distributed(
+    sf_dir: str, nlist: int = 16, iters: int = 8, seed: int = 42
+) -> np.ndarray:
+    """Spherical k-means trained as MAP-REDUCE Lloyd iterations: each pass
+    is one ``map_batches`` over the corpus emitting per-centroid partial
+    (vector-sum, count) rows with the current centroids broadcast via
+    ``ray.put``; the driver reduces ~nlist tiny partials and renormalizes.
+    The corpus is never collected — this is the 100-TB training shape
+    (deterministic init from the first batch's rows, fixed seed)."""
+    import pyarrow.parquet as pq
     import ray
 
-    ids, mat = _embedding_matrix(sf_dir)
-    norm = mat / np.sqrt((mat * mat).sum(axis=1, keepdims=True))
-    cent = _kmeans_cosine(norm, nlist)
+    # deterministic init: nlist rows sampled (seeded) from the FIRST file's
+    # footer-known row count — tiny read, no full collect
+    first = os.path.join(sf_dir, "embeddings.parquet")
+    n_first = pq.read_metadata(first).num_rows
+    rng = np.random.default_rng(seed)
+    init_rows = np.sort(rng.choice(n_first, size=min(nlist, n_first), replace=False))
+    t = pq.read_table(first, columns=["embedding"])
+    cent = np.asarray(
+        [t["embedding"][int(i)].as_py() for i in init_rows], dtype=np.float64
+    )
+    cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+
+        def partial_sums(batch: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref)
+            m = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+            m = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
+            assign = np.argmax(m @ c.T, axis=1)
+            ks, sums, counts = [], [], []
+            for k in np.unique(assign):
+                members = m[assign == k]
+                ks.append(int(k))
+                sums.append(members.sum(axis=0).tolist())
+                counts.append(int(members.shape[0]))
+            return pa.table(
+                {
+                    "k": pa.array(ks, type=pa.int32()),
+                    "vsum": pa.array(sums, type=pa.list_(pa.float64())),
+                    "n": pa.array(counts, type=pa.int64()),
+                }
+            )
+
+        parts = (
+            read_embeddings(sf_dir)
+            .map_batches(partial_sums, batch_format="pyarrow", batch_size=4096)
+            .to_pandas()
+        )
+        new = cent.copy()
+        for k, grp in parts.groupby("k"):
+            s = np.sum(np.stack(grp["vsum"].to_numpy()), axis=0)
+            nrm = np.linalg.norm(s)
+            if nrm > 0:
+                new[int(k)] = s / nrm
+        cent = new
+    return cent
+
+
+def ivf_assignments(sf_dir: str, nlist: int = 16):
+    """(vec_id, list_id) for every vector: centroids trained DISTRIBUTED
+    (``ivf_train_distributed`` — map-reduce Lloyd passes), assignment via
+    ``map_batches`` with the centroid matrix broadcast once."""
+    import ray
+
+    cent = ivf_train_distributed(sf_dir, nlist)
     cent_ref = ray.put(cent)
 
     def assign(batch: pa.Table) -> pa.Table:

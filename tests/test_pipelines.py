@@ -356,3 +356,26 @@ class TestIVF:
                 n_matched += 1
                 assert got[row["event_id"]] == views["ts_us"].max()
         assert n_matched == len(out)
+
+    def test_distributed_training_matches_quality(self, ray_session, emb):
+        """Distributed Lloyd's must produce a comparable-quality quantizer:
+        every vector's assigned centroid similarity within a small margin of
+        the driver-side k-means result (inits differ, so exact equality is
+        not expected)."""
+        import numpy as np
+
+        from searchengine_ray.pipelines.similarity import (
+            _kmeans_cosine,
+            ivf_train_distributed,
+        )
+
+        ids, mat = emb
+        norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        cd = ivf_train_distributed(SF, nlist=8, iters=6)
+        cl = _kmeans_cosine(norm, 8, iters=6)
+        qd = (norm @ cd.T).max(axis=1).mean()
+        ql = (norm @ cl.T).max(axis=1).mean()
+        assert qd > ql - 0.05
+        # deterministic across runs
+        cd2 = ivf_train_distributed(SF, nlist=8, iters=6)
+        assert np.array_equal(cd, cd2)
