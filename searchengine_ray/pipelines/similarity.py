@@ -96,6 +96,32 @@ def _bucket_of(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return (bits * (1 << np.arange(_LSH_BITS))).sum(axis=1).astype(np.int64)
 
 
+def lsh_assignments(sf_dir: str):
+    """(vec_id, bucket) for every vector — the BUILD side of the LSH index
+    (at scale: write partitioned by bucket; queries then read only their
+    probe buckets). Hyperplanes are seeded constants broadcast via closure;
+    assignment is one vectorized ``map_batches`` pass."""
+    import pyarrow.parquet as pq
+
+    dim = len(
+        pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+        )["embedding"][0].as_py()
+    )
+    planes = _hyperplanes(dim)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        m = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "bucket": pa.array(_bucket_of(m, planes), type=pa.int64()),
+            }
+        )
+
+    return read_embeddings(sf_dir).map_batches(assign, batch_format="pyarrow", batch_size=4096)
+
+
 def lsh_knn(sf_dir: str, query_vec_id: int = 0, k: int = 10, multiprobe: int = 1):
     """Approximate top-k: random-hyperplane bucket + Hamming-≤multiprobe
     neighbor buckets only. Returns (rank, vec_id, sim_r, probed)."""

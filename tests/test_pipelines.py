@@ -379,3 +379,19 @@ class TestIVF:
         # deterministic across runs
         cd2 = ivf_train_distributed(SF, nlist=8, iters=6)
         assert np.array_equal(cd, cd2)
+
+    def test_lsh_assignments_consistent_with_query_path(self, ray_session, emb):
+        import numpy as np
+
+        from searchengine_ray.pipelines.similarity import (
+            _bucket_of,
+            _hyperplanes,
+            lsh_assignments,
+        )
+
+        ids, mat = emb
+        out = lsh_assignments(SF).to_pandas().sort_values("vec_id")
+        planes = _hyperplanes(mat.shape[1])
+        order = np.argsort(ids)
+        want = _bucket_of(mat[order], planes)
+        assert out["bucket"].to_numpy().tolist() == want.tolist()
