@@ -181,6 +181,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": lambda sf: similarity.knn_cosine(sf, query_vec_id=0, k=10),
         "lsh_knn": lambda sf: similarity.lsh_knn(sf, query_vec_id=0, k=10),  # rows-only (ANN)
         "ivf_knn": lambda sf: similarity.ivf_knn(sf, query_vec_id=0, k=10),  # rows-only (ANN)
+        "ivf_assignments": similarity.ivf_assignments,  # rows-only (k-means)
+        "lsh_assignments": similarity.lsh_assignments,  # rows-only (hyperplanes)
         "embedding_neardup": lambda sf: similarity.embedding_neardup(sf, 0.95),  # rows-only (fp boundary)
         # --- text analysis ---
         "langid": textstats.langid,
