@@ -97,6 +97,22 @@ def lemma_bucket(lemma: str, num_buckets: int) -> int:
     return zlib.crc32(lemma.encode("utf-8")) % num_buckets
 
 
+_SHARD_NAME_RE = __import__("re").compile(r"shard=\d{5}")
+
+
+def list_shard_names(shards_root: str) -> list[str]:
+    """Exact ``shard=NNNNN`` directory names under ``shards/``, sorted.
+    Anything else (``*.tmp`` leftovers from a crashed rebuild, stray files)
+    is excluded — consuming a stale tmp would silently inflate df/n_docs
+    and serve duplicate or partial postings."""
+    return sorted(
+        n
+        for n in os.listdir(shards_root)
+        if _SHARD_NAME_RE.fullmatch(n)
+        and os.path.isdir(os.path.join(shards_root, n))
+    )
+
+
 def _expand_input(input_path: str | list[str]) -> list[str]:
     if isinstance(input_path, (list, tuple)):
         return sorted(input_path)
@@ -413,7 +429,11 @@ def _build_shard(
             and m.get("input_fingerprint") == fingerprint
             and m.get("config") == cfg_sig
         ):
-            return m  # resume: same input AND same layout config
+            # Resume: same input AND same layout config. Clean any stale
+            # sibling tmp from a crashed later rebuild so nothing downstream
+            # can ever mistake it for shard output.
+            shutil.rmtree(shard_dir + ".tmp", ignore_errors=True)
+            return m
         # input changed since the last build → rebuild just this shard (the
         # incremental path: reference's updatePage df-decrement dance,
         # services/PageProcessorService.java:34-46, becomes "re-derive the
@@ -520,7 +540,7 @@ def _finalize(index_dir: str, config: EngineConfig, shard_manifests: list[dict])
     Repositories/LemmaRepository.java:25-30)."""
     shards_root = os.path.join(index_dir, "shards")
     frames = []
-    for shard in sorted(os.listdir(shards_root)):
+    for shard in list_shard_names(shards_root):
         p = os.path.join(shards_root, shard, "postings")
         frames.append(pq.read_table(p, columns=["lemma", "df", "sum_tf"]))
     t = pa.concat_tables(frames)

@@ -64,24 +64,15 @@ def cmd_build(args: argparse.Namespace) -> int:
 
 def cmd_search(args: argparse.Namespace) -> int:
     if args.actors > 1:
-        # partition-serving mode: per-shard QueryActors + exact driver merge
+        # Partition-serving mode: per-shard QueryActors + exact driver merge.
+        # Routed through ShardedQueryService.search so the response contract
+        # (hydrated hits with snippets/role, error envelope) is IDENTICAL to
+        # the single-process path — the CLI shape must not depend on --actors.
         from searchengine_ray.query import ShardedQueryService
 
         _ensure_ray(args.num_cpus)
         svc = ShardedQueryService(args.index, num_actors=args.actors, mode=args.mode)
-        r = svc.search_ids(args.query, limit=args.offset + args.limit)
-        out = {
-            "result": bool(r["count"]),
-            "count": r["count"],
-            "data": [
-                {"conv_id": c, "turn_idx": int(t), "relevance": float(s)}
-                for c, t, s in zip(
-                    list(r.get("conv_id", []))[args.offset :],
-                    list(r.get("turn_idx", []))[args.offset :],
-                    list(r.get("score", []))[args.offset :],
-                )
-            ],
-        }
+        out = svc.search(args.query, args.offset, args.limit)
         svc.shutdown()
         print(json.dumps(out, ensure_ascii=False))
         return 0

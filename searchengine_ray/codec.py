@@ -215,15 +215,20 @@ def decode_postings(enc: EncodedPostings) -> tuple[np.ndarray, np.ndarray]:
 
 
 def decode_blocks(enc: EncodedPostings, block_idx: np.ndarray, block_size: int = 128) -> tuple[np.ndarray, np.ndarray]:
-    """Decode only the selected blocks (sorted unique indices) —
-    the skip path used by conjunctive intersection. Returns concatenated
-    (docids, tfs) of those blocks."""
+    """Decode only the selected blocks — the skip path used by conjunctive
+    intersection. Returns concatenated (docids, tfs) of those blocks in
+    ascending-block order. ``block_idx`` is normalized with ``np.unique``
+    (the contiguous-run gap decoding below REQUIRES sorted unique indices:
+    an unsorted array would cumsum runs from the wrong base docid); callers
+    like ``blocks_for_candidates`` already pass sorted-unique, for which
+    unique is a cheap no-op relative to the decode itself."""
     if enc.n == 0 or block_idx.size == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
     last = np.frombuffer(enc.block_last_docid, dtype=np.int64)
     doc_off = np.frombuffer(enc.block_doc_off, dtype=np.int64)
     tf_off = np.frombuffer(enc.block_tf_off, dtype=np.int64)
     nblocks = last.size
+    block_idx = np.unique(block_idx)
     block_idx = block_idx[block_idx < nblocks]
     if block_idx.size == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)

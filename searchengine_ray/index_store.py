@@ -30,7 +30,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from searchengine_ray.build import DOCLEN_LEMMA
+from searchengine_ray.build import DOCLEN_LEMMA, list_shard_names
 from searchengine_ray.codec import EncodedPostings, decode_postings
 
 _POSTING_COLS = [
@@ -75,7 +75,8 @@ class IndexReader:
             zip(dt["lemma"].to_pylist(), dt["df"].to_numpy(zero_copy_only=False).tolist())
         )
 
-        all_shards = sorted(os.listdir(os.path.join(index_dir, "shards")))
+        # exact shard=NNNNN names only — never consume a stale .tmp leftover
+        all_shards = list_shard_names(os.path.join(index_dir, "shards"))
         if shards is not None:
             unknown = set(shards) - set(all_shards)
             if unknown:

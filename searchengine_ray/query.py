@@ -116,6 +116,13 @@ class QueryEngine:
                 cached = reader.decode_lemma(lemma)
             if cached is not None:
                 ld, lt = cached
+                if ld.size == 0:
+                    # Lemma is in the global dictionary (df > 0) but has no
+                    # postings in THIS reader's shard subset — empty
+                    # intersection, not an index error (partition-serving
+                    # mode: rare terms live in few shards).
+                    docids = docids[:0]
+                    break
                 pos = np.searchsorted(ld, docids)
                 pos_c = np.minimum(pos, ld.size - 1)
                 match = ld[pos_c] == docids
@@ -360,12 +367,14 @@ class ShardedQueryService:
 
         import ray
 
+        from searchengine_ray.build import list_shard_names
+
         if mode != "bm25":
             # tf_sum normalizes by the per-evaluation max (A5) — each
             # partition would normalize by ITS max, making merged scores
             # incomparable. Serve tf_sum single-process.
             raise ValueError("ShardedQueryService supports mode='bm25' only")
-        shard_names = sorted(os.listdir(os.path.join(index_dir, "shards")))
+        shard_names = list_shard_names(os.path.join(index_dir, "shards"))
         num_actors = max(1, min(num_actors, len(shard_names)))
         groups = [shard_names[i::num_actors] for i in range(num_actors)]
         Actor = ray.remote(QueryActor)

@@ -67,3 +67,24 @@ def test_sharded_search_cli(cli_index, capsys):
     got = [(d["conv_id"], d["turn_idx"]) for d in out["data"]]
     want = [(d["conv_id"], d["turn_idx"]) for d in single["data"]]
     assert got == want
+
+
+def test_sharded_search_cli_shape_matches_single(cli_index, capsys):
+    """ADVICE r1 (low): the CLI response contract (hydrated hits with
+    snippet/role, error envelope) must not depend on --actors."""
+    rc = main(
+        ["search", "--index", str(cli_index), "--query", "суд решение", "--actors", "2"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["result"] is True
+    hit = out["data"][0]
+    assert {"conv_id", "turn_idx", "relevance", "snippet", "title", "uri"} <= set(hit)
+    # error envelope parity on a nothing-found query
+    rc = main(
+        ["search", "--index", str(cli_index), "--query", "qqqzzzqqq", "--actors", "2"]
+    )
+    sharded_err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    rc = main(["search", "--index", str(cli_index), "--query", "qqqzzzqqq"])
+    single_err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sharded_err == single_err

@@ -138,3 +138,22 @@ class TestEncodeMany:
             assert enc.block_tf_off == ref.block_tf_off
             dd, tt = decode_postings(enc)
             assert np.array_equal(dd, d) and np.array_equal(tt, t)
+
+
+def test_decode_blocks_order_independent():
+    """ADVICE r1 (low): decode_blocks must normalize unsorted block indices
+    (the run-decoder cumsums from each run's base docid)."""
+    import numpy as np
+
+    from searchengine_ray.codec import decode_blocks, encode_postings
+
+    rng = np.random.default_rng(3)
+    docids = np.cumsum(rng.integers(1, 50, size=1000)).astype(np.int64)
+    tfs = rng.integers(1, 9, size=1000).astype(np.int64)
+    enc = encode_postings(docids, tfs, block_size=64)
+    sel_sorted = np.array([0, 3, 4, 9, 10], dtype=np.int64)
+    d1, t1 = decode_blocks(enc, sel_sorted, block_size=64)
+    d2, t2 = decode_blocks(enc, sel_sorted[::-1].copy(), block_size=64)
+    d3, t3 = decode_blocks(enc, np.array([4, 0, 10, 3, 9, 4], dtype=np.int64), block_size=64)
+    assert np.array_equal(d1, d2) and np.array_equal(t1, t2)
+    assert np.array_equal(d1, d3) and np.array_equal(t1, t3)

@@ -486,3 +486,86 @@ class TestRebuildConsistency:
         *_, index_dir = built
         with _pytest.raises(ValueError, match="bm25"):
             ShardedQueryService(index_dir, num_actors=2, mode="tf_sum")
+
+
+class TestShardSubsetServing:
+    def test_lemma_absent_from_shard_subset_is_empty_not_error(
+        self, ray_session, tmp_path_factory
+    ):
+        """ADVICE r1 (high): a query lemma with df>0 in the GLOBAL dictionary
+        but no postings in the reader's shard subset must yield an empty
+        intersection, not an IndexError — rare terms are exactly the ones
+        confined to few shards."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.query import ShardedQueryService
+
+        root = tmp_path_factory.mktemp("subset")
+        corpus = root / "corpus"
+        corpus.mkdir()
+        # file 0 → shard 0: alpha+beta together once, beta alone twice
+        pq.write_table(
+            pa.table(
+                {
+                    "conv_id": ["c0", "c0", "c1"],
+                    "turn_idx": [0, 1, 0],
+                    "role": ["user"] * 3,
+                    "text": ["alpha beta", "beta beta", "beta"],
+                }
+            ),
+            str(corpus / "part-00000.parquet"),
+        )
+        # file 1 → shard 1: alpha only — beta has NO postings here
+        pq.write_table(
+            pa.table(
+                {
+                    "conv_id": ["c2"],
+                    "turn_idx": [0],
+                    "role": ["user"],
+                    "text": ["alpha"],
+                }
+            ),
+            str(corpus / "part-00001.parquet"),
+        )
+        idx = str(root / "idx")
+        build_index(str(corpus), idx, CFG.replace(analyzer="simple", num_shards=2))
+        # global df: alpha=2 < beta=3 → alpha seeds, beta is the later term
+        sub = QueryEngine(idx, shards=["shard=00001"])
+        r = sub.search_ids("alpha beta")
+        assert r["count"] == 0
+        assert sub.search("alpha beta")["result"] is False
+        # fan-out across both partitions still finds the real match
+        svc = ShardedQueryService(idx, num_actors=2)
+        try:
+            full = svc.search_ids("alpha beta")
+            assert full["count"] == 1
+            assert list(full["conv_id"]) == ["c0"]
+        finally:
+            svc.shutdown()
+
+
+class TestStaleTmpShards:
+    def test_tmp_leftovers_ignored_and_cleaned(self, ray_session, built):
+        """ADVICE r1 (medium): a crashed rebuild's ``shard=NNNNN.tmp`` dir
+        must never be consumed as a real shard by the reader or finalize,
+        and a resumed build must clean it up."""
+        import shutil as _sh
+
+        manifest, engine, oracle, corpus_dir, index_dir = built
+        shards_root = os.path.join(index_dir, "shards")
+        real = sorted(os.listdir(shards_root))[0]
+        tmp = os.path.join(shards_root, real + ".tmp")
+        _sh.copytree(os.path.join(shards_root, real), tmp)
+        try:
+            from searchengine_ray.index_store import IndexReader
+
+            r = IndexReader(index_dir)
+            assert all(not s.endswith(".tmp") for s in r.shard_names)
+            # resumed build: same stats as the original, tmp removed
+            m2 = build_index(corpus_dir, index_dir, CFG)
+            assert m2["n_docs"] == manifest["n_docs"]
+            assert m2["n_lemmas"] == manifest["n_lemmas"]
+            assert not os.path.exists(tmp)
+        finally:
+            _sh.rmtree(tmp, ignore_errors=True)
