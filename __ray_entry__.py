@@ -183,7 +183,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_knn": lambda sf: similarity.ivf_knn(sf, query_vec_id=0, k=10),  # rows-only (ANN)
         "ivf_assignments": similarity.ivf_assignments,  # rows-only (k-means)
         "lsh_assignments": similarity.lsh_assignments,  # rows-only (hyperplanes)
-        "embedding_neardup": lambda sf: similarity.embedding_neardup(sf, 0.95),  # rows-only (fp boundary)
+        # rows-only; plant=True derives deterministic near-dup fixtures so
+        # the check is non-vacuous (synthetic embeddings have no natural dups)
+        "embedding_neardup": lambda sf: similarity.embedding_neardup(sf, 0.95, plant=True),
         # --- text analysis ---
         "langid": textstats.langid,
         "token_count": textstats.token_count,

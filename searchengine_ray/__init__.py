@@ -16,7 +16,27 @@ Public surface:
   multimodal training-data pipelines.
 """
 
+import logging as _logging
+
 from searchengine_ray.config import DEFAULT_CONFIG, EngineConfig
+
+
+class _SchemaHashNoise(_logging.Filter):
+    """Drop Ray Data's per-block "Failed to hash the schemas (for
+    deduplication): unhashable type: 'dict'" warning. Root cause: a
+    ``pyarrow.Schema`` that carries key/value metadata (written by pandas /
+    parquet) is unhashable, so Ray's schema-dedup fast path logs a WARNING
+    for every block — pure noise that buries real warnings (VERDICT r1
+    item 10). Only this exact message is filtered; the module's real
+    unification errors still surface."""
+
+    def filter(self, record: _logging.LogRecord) -> bool:  # pragma: no cover
+        return "Failed to hash the schemas" not in record.getMessage()
+
+
+_logging.getLogger("ray.data._internal.arrow_ops.transform_pyarrow").addFilter(
+    _SchemaHashNoise()
+)
 
 __all__ = [
     "DEFAULT_CONFIG",

@@ -5,6 +5,8 @@
 Reference endpoint      CLI command
 =====================  =======================================================
 GET /api/startIndexing  ``build  --input DIR --index DIR [--analyzer ru]``
+GET /api/stopIndexing   ``stop   --index DIR`` (cooperative, resumable)
+POST /api/indexPage     ``reindex --index DIR [--input PATH]`` (shard-grain)
 GET /api/search         ``search --index DIR --query Q [--offset N --limit N]``
 GET /api/statistics     ``stats  --index DIR``
 DELETE /api/deleteAll   ``clear  --index DIR``
@@ -48,6 +50,18 @@ def cmd_build(args: argparse.Namespace) -> int:
         lemmatizer_concurrency=(1, args.max_actors),
     )
     manifest = build_index(args.input, args.index, cfg)
+    if manifest.get("stopped"):
+        print(
+            json.dumps(
+                {
+                    "result": True,
+                    "stopped": True,
+                    "shards_complete": len(manifest["shards"]),
+                    "shards_total": manifest["n_shards_total"],
+                }
+            )
+        )
+        return 0
     print(
         json.dumps(
             {
@@ -56,6 +70,67 @@ def cmd_build(args: argparse.Namespace) -> int:
                 "n_lemmas": manifest["n_lemmas"],
                 "avgdl": round(manifest["avgdl"], 4),
                 "shards": len(manifest["shards"]),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_stop(args: argparse.Namespace) -> int:
+    """Cooperative stop of a running build (reference ``GET
+    /api/stopIndexing``): the build finishes in-flight shards and exits
+    with a resumable partial state."""
+    from searchengine_ray.build import request_stop
+
+    request_stop(args.index)
+    print(json.dumps({"result": True}))
+    return 0
+
+
+def cmd_reindex(args: argparse.Namespace) -> int:
+    """Incremental re-index (reference ``POST /api/indexPage``,
+    ``services/PageProcessorService.java:34-46``, at shard grain): re-run
+    the build over the recorded (or given) input; shards whose input
+    fingerprint is unchanged are reused, changed ones are rebuilt, and the
+    dictionary/stats re-finalize exactly. Reports which shards rebuilt."""
+    import os
+
+    from searchengine_ray.build import build_index
+    from searchengine_ray.config import EngineConfig
+
+    with open(os.path.join(args.index, "manifest.json")) as f:
+        m = json.load(f)
+    input_path = args.input
+    if input_path is None:
+        input_path = sorted({f for s in m["shards"] for f in s["input_files"]})
+    cfg = EngineConfig(
+        analyzer=m["analyzer"],
+        k1=m["k1"],
+        b=m["b"],
+        search_filter=m["search_filter"],
+        num_shards=len(m["shards"]),
+        num_segments=m["num_segments"],
+        num_buckets=m["num_buckets"],
+        block_size=m["block_size"],
+        lemmatizer_concurrency=(1, args.max_actors),
+    )
+    pre = {s["shard"]: s["input_fingerprint"] for s in m["shards"]}
+    _ensure_ray(args.num_cpus)
+    m2 = build_index(input_path, args.index, cfg)
+    if m2.get("stopped"):
+        print(json.dumps({"result": True, "stopped": True}))
+        return 0
+    rebuilt = [
+        s["shard"] for s in m2["shards"] if pre.get(s["shard"]) != s["input_fingerprint"]
+    ]
+    print(
+        json.dumps(
+            {
+                "result": True,
+                "n_docs": m2["n_docs"],
+                "n_lemmas": m2["n_lemmas"],
+                "rebuilt_shards": rebuilt,
+                "reused_shards": [s["shard"] for s in m2["shards"] if s["shard"] not in rebuilt],
             }
         )
     )
@@ -154,6 +229,17 @@ def main(argv: list[str] | None = None) -> int:
     st = sub.add_parser("stats", help="index statistics")
     st.add_argument("--index", required=True)
     st.set_defaults(fn=cmd_stats)
+
+    sp = sub.add_parser("stop", help="cooperatively stop a running build (resumable)")
+    sp.add_argument("--index", required=True)
+    sp.set_defaults(fn=cmd_stop)
+
+    ri = sub.add_parser("reindex", help="incremental re-index: rebuild only changed shards")
+    ri.add_argument("--index", required=True)
+    ri.add_argument("--input", default=None, help="parquet file/dir (default: recorded input)")
+    ri.add_argument("--max-actors", type=int, default=8)
+    ri.add_argument("--num-cpus", type=int, default=None)
+    ri.set_defaults(fn=cmd_reindex)
 
     c = sub.add_parser("clear", help="delete a built index")
     c.add_argument("--index", required=True)

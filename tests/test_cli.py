@@ -88,3 +88,68 @@ def test_sharded_search_cli_shape_matches_single(cli_index, capsys):
     rc = main(["search", "--index", str(cli_index), "--query", "qqqzzzqqq"])
     single_err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert sharded_err == single_err
+
+
+def test_reindex_cli_rebuilds_only_changed_shard(ray_session, tmp_path, capsys):
+    """reindex (reference POST /api/indexPage at shard grain): a one-file
+    edit rebuilds exactly that shard; the result equals a fresh build."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.corpus import write_transcripts
+
+    corpus = tmp_path / "corpus"
+    write_transcripts(str(corpus), n_convs=40)
+    idx = tmp_path / "index"
+    rc = main(
+        ["build", "--input", str(corpus), "--index", str(idx),
+         "--num-shards", "4", "--max-actors", "2"]
+    )
+    assert rc == 0
+    capsys.readouterr()
+
+    # no-op reindex: everything reused
+    rc = main(["reindex", "--index", str(idx)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rebuilt_shards"] == []
+
+    # edit one input file → exactly its shard rebuilds
+    files = sorted(os.listdir(corpus))
+    victim = corpus / files[-1]
+    t = pq.read_table(str(victim))
+    texts = t["text"].to_pylist()
+    texts[0] = (texts[0] or "") + " новыйтермин"
+    import pyarrow as pa
+
+    pq.write_table(
+        t.set_column(t.schema.get_field_index("text"), "text", pa.array(texts)),
+        str(victim),
+    )
+    rc = main(["reindex", "--index", str(idx)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out["rebuilt_shards"]) == 1
+
+    # final index equals a from-scratch build of the edited corpus
+    idx2 = tmp_path / "index2"
+    rc = main(
+        ["build", "--input", str(corpus), "--index", str(idx2),
+         "--num-shards", "4", "--max-actors", "2"]
+    )
+    assert rc == 0
+    capsys.readouterr()
+    da = pq.read_table(str(idx / "dictionary.parquet"))
+    db = pq.read_table(str(idx2 / "dictionary.parquet"))
+    assert da.equals(db)
+
+
+def test_stop_cli_writes_flag(tmp_path, capsys):
+    rc = main(["stop", "--index", str(tmp_path / "idx")])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["result"] is True
+    import os
+
+    assert os.path.exists(str(tmp_path / "idx" / "STOP"))

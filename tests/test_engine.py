@@ -569,3 +569,70 @@ class TestStaleTmpShards:
             assert not os.path.exists(tmp)
         finally:
             _sh.rmtree(tmp, ignore_errors=True)
+
+
+class TestCooperativeStop:
+    def test_stop_then_resume_equals_uninterrupted(
+        self, ray_session, tiny_corpus, tmp_path_factory
+    ):
+        """Reference stopIndexing analogue: a build stopped after the first
+        shard leaves a resumable partial state; resuming completes it and
+        the final index equals an uninterrupted build exactly."""
+        import json as _json
+
+        import pyarrow.parquet as pq
+
+        root = tmp_path_factory.mktemp("stop")
+        corpus_dir = str(root / "corpus")
+        os.makedirs(corpus_dir)
+        n = tiny_corpus.num_rows
+        per = (n + 3) // 4
+        for i in range(4):
+            chunk = tiny_corpus.slice(i * per, min(per, n - i * per))
+            if chunk.num_rows:
+                pq.write_table(chunk, f"{corpus_dir}/part-{i:05d}.parquet")
+        cfg = CFG.replace(num_shards=4, build_concurrency=1)
+
+        calls = {"n": 0}
+
+        def stop_after_first():
+            calls["n"] += 1
+            return calls["n"] > 1  # first shard launches, the rest skip
+
+        idx_a = str(root / "idx_a")
+        partial = build_index(corpus_dir, idx_a, cfg, stop_check=stop_after_first)
+        assert partial["stopped"] is True
+        assert len(partial["shards"]) == 1
+        assert not os.path.exists(os.path.join(idx_a, "manifest.json"))
+
+        # resume to completion, compare against a clean uninterrupted build
+        done = build_index(corpus_dir, idx_a, cfg)
+        assert "stopped" not in done
+        idx_b = str(root / "idx_b")
+        clean = build_index(corpus_dir, idx_b, cfg)
+        assert done["n_docs"] == clean["n_docs"]
+        assert done["n_lemmas"] == clean["n_lemmas"]
+        da = pq.read_table(os.path.join(idx_a, "dictionary.parquet"))
+        db = pq.read_table(os.path.join(idx_b, "dictionary.parquet"))
+        assert da.equals(db)
+        # resumed shard 0 was NOT rebuilt (manifest identity)
+        with open(os.path.join(idx_a, "shards", "shard=00000", "_MANIFEST.json")) as f:
+            assert _json.load(f)["wall_sec"] == partial["shards"][0]["wall_sec"]
+
+    def test_stop_flag_file_api(self, ray_session, tiny_corpus, tmp_path_factory):
+        """request_stop drops the flag; a fresh build consumes it (stale
+        flags never dead-lock the next build)."""
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.build import STOP_FLAG, request_stop
+
+        root = tmp_path_factory.mktemp("stopflag")
+        corpus_dir = str(root / "corpus")
+        os.makedirs(corpus_dir)
+        pq.write_table(tiny_corpus, f"{corpus_dir}/p.parquet")
+        idx = str(root / "idx")
+        request_stop(idx)
+        assert os.path.exists(os.path.join(idx, STOP_FLAG))
+        m = build_index(corpus_dir, idx, CFG.replace(num_shards=1))
+        assert "stopped" not in m and m["n_docs"] == tiny_corpus.num_rows
+        assert not os.path.exists(os.path.join(idx, STOP_FLAG))
