@@ -71,7 +71,8 @@ QUALIFY rank < {k}
 _TS_DOCS = """
 tdocs AS (
   SELECT 'conv-' || lpad(CAST(doc_id // 8 AS VARCHAR), 6, '0') AS conv_id,
-         CAST(doc_id % 8 AS INTEGER) AS turn_idx, text
+         CAST(doc_id % 8 AS INTEGER) AS turn_idx,
+         CAST(doc_id % 4 AS INTEGER) AS role_idx, text
   FROM documents
 )"""
 
@@ -86,12 +87,23 @@ ttoks AS (
 )"""
 
 
-def _transcript_search_sql() -> str:
+def _transcript_search_sql(site: str | None = None) -> str:
     """UNION ALL of the fixed query set over the derived transcripts —
-    mirrors pipelines.transcripts.transcript_search (engine path)."""
+    mirrors pipelines.transcripts.transcript_search (engine path). With
+    ``site``, every input (docs, df, N, avgdl, dl join) is restricted to the
+    partition (role == site; role is a pure function of doc_id), mirroring
+    the engine's per-site scoping — BUT dl stays the doc's own length, which
+    is site-neutral in both paths."""
     from searchengine_ray.pipelines.transcripts import FIXED_QUERIES
     from searchengine_ray.textproc import Analyzer
 
+    # site docs: role = _ROLES[doc_id % 4] in corpus.transcripts_from_documents
+    roles = ["user", "assistant", "tool", "system"]
+    site_docs = (
+        f"sdocs AS (SELECT * FROM tdocs WHERE role_idx = {roles.index(site)})"
+        if site is not None
+        else "sdocs AS (SELECT * FROM tdocs)"
+    )
     analyzer = Analyzer("simple")
     parts = []
     for qid, qtext in FIXED_QUERIES:
@@ -107,16 +119,18 @@ SELECT '{qid}' AS query_id,
        conv_id, turn_idx, round(score, 4) AS score_r,
        CAST(count(*) OVER () AS BIGINT) AS count
 FROM (
-  WITH {_TS_DOCS}, {_TS_TOKS},
+  WITH {_TS_DOCS}, {site_docs}, {_TS_TOKS},
+   stoks AS (SELECT t.* FROM ttoks t
+             JOIN sdocs sd ON t.conv_id = sd.conv_id AND t.turn_idx = sd.turn_idx),
    dl AS (SELECT conv_id, turn_idx, CAST(sum(tf) AS BIGINT) AS dl FROM ttoks GROUP BY conv_id, turn_idx),
-   stats AS (SELECT CAST((SELECT count(*) FROM tdocs) AS DOUBLE) AS n_docs,
-                    CAST((SELECT sum(tf) FROM ttoks) AS DOUBLE) AS total),
-   dfs AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM ttoks
+   stats AS (SELECT CAST((SELECT count(*) FROM sdocs) AS DOUBLE) AS n_docs,
+                    CAST((SELECT sum(tf) FROM stoks) AS DOUBLE) AS total),
+   dfs AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM stoks
            WHERE token IN ({tl}) GROUP BY token)
   SELECT t.conv_id, t.turn_idx,
          sum( ln(1 + (s.n_docs - f.df + 0.5)/(f.df + 0.5))
               * (t.tf*(1.2+1.0)) / (t.tf + 1.2*(1.0 - 0.75 + 0.75*(d.dl/(s.total/s.n_docs)))) ) AS score
-  FROM ttoks t
+  FROM stoks t
   JOIN dfs f ON t.token = f.token
   JOIN dl d ON t.conv_id = d.conv_id AND t.turn_idx = d.turn_idx
   CROSS JOIN stats s
@@ -152,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         transcript_index_dictionary,
         transcript_search,
         transcript_search_actor,
+        transcript_search_site,
     )
 
     return {
@@ -165,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_count": lambda sf: fulltext.search_count(sf, "hash join"),
         # --- flagship engine path: real index build + BM25 serving ---
         "transcript_search": transcript_search,
+        "transcript_search_site": transcript_search_site,  # per-site scoping
         "transcript_search_actor": transcript_search_actor,  # rows-only (actor pool)
         "transcript_dictionary": transcript_index_dictionary,
         # --- windowed aggregate + broadcast join (wide-op patterns) ---
@@ -228,6 +244,7 @@ SELECT CAST(count(*) AS BIGINT) AS n_matches FROM (
   SELECT doc_id FROM toks WHERE token IN ('hash', 'join')
   GROUP BY doc_id HAVING count(*) = 2)""",
         "transcript_search": _transcript_search_sql(),
+        "transcript_search_site": _transcript_search_sql(site="assistant"),
         "transcript_dictionary": f"""
 WITH {_TOKS}
 SELECT token AS lemma, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf

@@ -59,6 +59,12 @@ from searchengine_ray.textproc import Analyzer
 # Sentinel "lemma" whose postings are (docid, doc_len) pairs; \x00 cannot
 # appear in a real token (the tokenizer strips it), so no collision.
 DOCLEN_LEMMA = "\x00doclen"
+# Per-partition sentinel lemmas ("site" scoping, reference Lemma.site_id):
+# postings of "\x00site=<value>" are the (docid, doc_len) pairs of that
+# partition's docs — df/sum_tf give per-site n_docs/total_len for free, and
+# the decoded docid set is the query-time site filter. Rides the SAME
+# shuffle as real postings; no layout change, no extra pass.
+SITE_PREFIX = "\x00site="
 
 def _pin_fsspec_http_stub() -> None:
     """Ray Data's path resolution tries ``from fsspec.implementations.http
@@ -273,12 +279,47 @@ class ExplodePostings:
 
         # doc lengths (0 for docs with no significant tokens) → sentinel rows
         dl = np.bincount(rows, minlength=n_docs)
-        all_lids = np.concatenate((plid, np.full(n_docs, self._doclen_lid, dtype=np.int64)))
-        all_docids = np.concatenate((docid_by_row[prow], docid_by_row))
-        all_tfs = np.concatenate((tf, dl)).astype(np.int32)
+        sentinel_lids = [np.full(n_docs, self._doclen_lid, dtype=np.int64)]
+        sentinel_docids = [docid_by_row]
+        sentinel_tfs = [dl]
+
+        # Site (corpus-partition) threading: real postings carry their doc's
+        # site through the shuffle key so the reduce encodes PER-(lemma,
+        # site) segments (the reference's per-site posting layout,
+        # model/Lemma.java:14-27); sentinels are site-neutral (""). Plus one
+        # extra sentinel per doc carrying (docid, dl) per site for the
+        # manifest's per-site n_docs/total_len/avgdl.
+        if self.config.site_column:
+            site_vals = np.asarray(
+                ["" if v is None else str(v) for v in batch[self.config.site_column].to_pylist()],
+                dtype=object,
+            )
+            site_lids = np.fromiter(
+                (self._lemma_id(SITE_PREFIX + v) for v in site_vals),
+                dtype=np.int64,
+                count=n_docs,
+            )
+            sentinel_lids.append(site_lids)
+            sentinel_docids.append(docid_by_row)
+            sentinel_tfs.append(dl)
+            uniq_sites = np.unique(np.concatenate((site_vals, np.array([""], dtype=object))))
+            doc_site_codes = np.searchsorted(uniq_sites, site_vals)
+        else:
+            uniq_sites = np.array([""], dtype=object)
+            doc_site_codes = np.zeros(n_docs, dtype=np.int64)
+        nsites = len(uniq_sites)
+        empty_code = int(np.searchsorted(uniq_sites, ""))
+
+        all_lids = np.concatenate([plid, *sentinel_lids])
+        all_docids = np.concatenate([docid_by_row[prow], *sentinel_docids])
+        all_tfs = np.concatenate([tf, *sentinel_tfs]).astype(np.int32)
+        n_sentinel = all_lids.size - plid.size
+        all_sites = np.concatenate(
+            [doc_site_codes[prow], np.full(n_sentinel, empty_code, dtype=np.int64)]
+        )
 
         seg = ((all_docids >> TURN_BITS) * S // self.n_convs).astype(np.int64)
-        gkey = all_lids * S + seg
+        gkey = (all_lids * nsites + all_sites) * S + seg
         order = np.argsort(gkey, kind="stable")  # docid order kept per group
         gkey_s = gkey[order]
         d_sorted = all_docids[order]
@@ -289,16 +330,19 @@ class ExplodePostings:
         bucket_list = self._lemma_bucket
         out_pkey: list[int] = []
         out_lemma: list[str] = []
+        out_site: list[str] = []
         out_seg: list[int] = []
         out_doc: list[bytes] = []
         out_tf: list[bytes] = []
         for i in range(starts.size - 1):
             lo, hi = starts[i], starts[i + 1]
             g = int(gkey_s[lo])
-            lid = g // S
             s = g % S
+            lid_site = g // S
+            lid = lid_site // nsites
             out_pkey.append(bucket_list[lid] * S + s)
             out_lemma.append(lemmas_list[lid])
+            out_site.append(str(uniq_sites[lid_site % nsites]))
             out_seg.append(s)
             out_doc.append(d_sorted[lo:hi].tobytes())
             out_tf.append(t_sorted[lo:hi].tobytes())
@@ -306,6 +350,7 @@ class ExplodePostings:
             {
                 "pkey": pa.array(out_pkey, type=pa.int32()),
                 "lemma": pa.array(out_lemma, type=pa.string()),
+                "site": pa.array(out_site, type=pa.string()),
                 "seg": pa.array(out_seg, type=pa.int32()),
                 "docid_raw": pa.array(out_doc, type=pa.binary()),
                 "tf_raw": pa.array(out_tf, type=pa.binary()),
@@ -360,14 +405,23 @@ def _make_encode_group(config: EngineConfig):
     S = config.num_segments
 
     def encode_group(group: pa.Table) -> pa.Table:
-        import pandas as pd
-
         pkey = int(group["pkey"][0].as_py())
         seg = pkey % S
         bucket = pkey // S
-        lem_codes, lem_uniques = pd.factorize(
-            group["lemma"].to_numpy(zero_copy_only=False), sort=True
+        # np.unique, NOT pd.factorize: pandas' C string hashing stops at an
+        # embedded NUL, so the "\x00site=…" sentinel lemmas would all hash
+        # EQUAL and their posting lists would silently merge. np.unique
+        # compares full Python strings (sorted ascending, same contract).
+        lem_uniques, lem_codes = np.unique(
+            group["lemma"].to_numpy(zero_copy_only=False), return_inverse=True
         )
+        site_uniques, site_codes = np.unique(
+            group["site"].to_numpy(zero_copy_only=False), return_inverse=True
+        )
+        nsites = max(1, len(site_uniques))
+        # one encoded posting list per (lemma, site) — combined code keeps
+        # the whole pass vectorized; (lemma, site) order is lexicographic
+        combo_codes = lem_codes.astype(np.int64) * nsites + site_codes
         doc_raw = group["docid_raw"].to_pylist()
         tf_raw = group["tf_raw"].to_pylist()
         mini_lens = np.fromiter(
@@ -375,7 +429,7 @@ def _make_encode_group(config: EngineConfig):
         )
         docids = np.frombuffer(b"".join(doc_raw), dtype=np.int64)
         tfs = np.frombuffer(b"".join(tf_raw), dtype=np.int32).astype(np.int64)
-        post_codes = np.repeat(lem_codes.astype(np.int64), mini_lens)
+        post_codes = np.repeat(combo_codes, mini_lens)
         order = np.lexsort((docids, post_codes))
         post_codes = post_codes[order]
         docids = docids[order]
@@ -386,12 +440,15 @@ def _make_encode_group(config: EngineConfig):
         encs = encode_many(docids, tfs, starts, block_size=block_size)
 
         n_lem = starts.size - 1
-        lemma_per_list = lem_uniques[post_codes[starts[:-1]]] if n_lem else []
+        list_combo = post_codes[starts[:-1]] if n_lem else np.empty(0, np.int64)
+        lemma_per_list = lem_uniques[list_combo // nsites] if n_lem else []
+        site_per_list = site_uniques[list_combo % nsites] if n_lem else []
         df = np.diff(starts)
         sum_tf = np.add.reduceat(tfs, starts[:-1]) if tfs.size else np.empty(0, np.int64)
         return pa.table(
             {
                 "lemma": pa.array(list(lemma_per_list), type=pa.string()),
+                "site": pa.array(list(site_per_list), type=pa.string()),
                 "seg": pa.array(np.full(n_lem, seg, dtype=np.int32)),
                 "bucket": pa.array(np.full(n_lem, bucket, dtype=np.int32)),
                 "df": pa.array(df, type=pa.int64()),
@@ -419,6 +476,7 @@ def _config_signature(config: EngineConfig) -> dict:
         "num_segments": config.num_segments,
         "num_buckets": config.num_buckets,
         "block_size": config.block_size,
+        "site_column": config.site_column,
     }
 
 
@@ -480,8 +538,11 @@ def _build_shard(
     shutil.rmtree(tmp_dir, ignore_errors=True)
     os.makedirs(os.path.join(tmp_dir, "postings"), exist_ok=True)
 
+    read_cols = ["conv_id", "turn_idx", "text"]
+    if config.site_column and config.site_column not in read_cols:
+        read_cols.append(config.site_column)
     with _DATASET_CTOR_LOCK:
-        ds = rd.read_parquet(files, columns=["conv_id", "turn_idx", "text"])
+        ds = rd.read_parquet(files, columns=read_cols)
     n_input = ds.count()  # parquet metadata — no scan
     exploded = ds.map_batches(
         ExplodePostings,
@@ -557,9 +618,10 @@ def _finalize(index_dir: str, config: EngineConfig, shard_manifests: list[dict])
     frames = []
     for shard in list_shard_names(shards_root):
         p = os.path.join(shards_root, shard, "postings")
-        frames.append(pq.read_table(p, columns=["lemma", "df", "sum_tf"]))
+        frames.append(pq.read_table(p, columns=["lemma", "site", "df", "sum_tf"]))
     t = pa.concat_tables(frames)
     lem = t["lemma"].to_numpy(zero_copy_only=False)
+    site_arr = t["site"].to_numpy(zero_copy_only=False)
     df = t["df"].to_numpy(zero_copy_only=False)
     sum_tf = t["sum_tf"].to_numpy(zero_copy_only=False)
 
@@ -569,8 +631,25 @@ def _finalize(index_dir: str, config: EngineConfig, shard_manifests: list[dict])
 
     import pandas as pd
 
+    # per-site stats from the site sentinels (df = site n_docs, sum_tf =
+    # site total_len; shards/segments are doc-disjoint so sums are exact).
+    # NB: np.char.startswith treats a "\x00" prefix as empty (NUL-terminated
+    # C semantics) and matches EVERYTHING — use pandas str ops instead.
+    lem_s = pd.Series(lem, dtype=object)
+    is_site = lem_s.str.startswith(SITE_PREFIX).to_numpy()
+    sites: dict[str, dict] = {}
+    for l, d, s in zip(lem[is_site], df[is_site], sum_tf[is_site]):
+        e = sites.setdefault(l[len(SITE_PREFIX):], {"n_docs": 0, "total_len": 0})
+        e["n_docs"] += int(d)
+        e["total_len"] += int(s)
+    for e in sites.values():
+        e["avgdl"] = (e["total_len"] / e["n_docs"]) if e["n_docs"] else 0.0
+
+    is_sentinel = lem_s.str.startswith("\x00").to_numpy()
     dict_df = (
-        pd.DataFrame({"lemma": lem[~is_doclen], "df": df[~is_doclen], "cf": sum_tf[~is_doclen]})
+        pd.DataFrame(
+            {"lemma": lem[~is_sentinel], "df": df[~is_sentinel], "cf": sum_tf[~is_sentinel]}
+        )
         .groupby("lemma", as_index=False)
         .sum()
         .sort_values("lemma", kind="stable")
@@ -578,6 +657,32 @@ def _finalize(index_dir: str, config: EngineConfig, shard_manifests: list[dict])
     tmp = os.path.join(index_dir, "dictionary.parquet.tmp")
     pq.write_table(pa.Table.from_pandas(dict_df, preserve_index=False), tmp)
     os.replace(tmp, os.path.join(index_dir, "dictionary.parquet"))
+
+    # Per-site term dictionary (reference `lemma` table keyed (lemma,
+    # site_id), Repositories/LemmaRepository.java:25-30): exact per-site df
+    # straight from the per-(lemma, site) encoded segments — this is what
+    # makes site-scoped gates/idf identical across shard-subset readers.
+    site_dict_path = os.path.join(index_dir, "dictionary_sites.parquet")
+    site_rows = (~is_sentinel) & (site_arr != "")
+    if site_rows.any():
+        sdict = (
+            pd.DataFrame(
+                {
+                    "site": site_arr[site_rows],
+                    "lemma": lem[site_rows],
+                    "df": df[site_rows],
+                    "cf": sum_tf[site_rows],
+                }
+            )
+            .groupby(["site", "lemma"], as_index=False)
+            .sum()
+            .sort_values(["site", "lemma"], kind="stable")
+        )
+        tmp = site_dict_path + ".tmp"
+        pq.write_table(pa.Table.from_pandas(sdict, preserve_index=False), tmp)
+        os.replace(tmp, site_dict_path)
+    elif os.path.exists(site_dict_path):
+        os.remove(site_dict_path)  # idempotent finalize after config change
 
     manifest = {
         "version": 1,
@@ -592,6 +697,8 @@ def _finalize(index_dir: str, config: EngineConfig, shard_manifests: list[dict])
         "num_segments": config.num_segments,
         "num_buckets": config.num_buckets,
         "block_size": config.block_size,
+        "site_column": config.site_column,
+        "sites": sites,
         "shards": shard_manifests,
     }
     tmp = os.path.join(index_dir, "manifest.json.tmp")

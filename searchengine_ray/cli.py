@@ -43,6 +43,7 @@ def cmd_build(args: argparse.Namespace) -> int:
     _ensure_ray(args.num_cpus)
     cfg = EngineConfig(
         analyzer=args.analyzer,
+        site_column=args.site_column,
         num_shards=args.num_shards,
         num_segments=args.num_segments,
         num_buckets=args.num_buckets,
@@ -147,7 +148,7 @@ def cmd_search(args: argparse.Namespace) -> int:
 
         _ensure_ray(args.num_cpus)
         svc = ShardedQueryService(args.index, num_actors=args.actors, mode=args.mode)
-        out = svc.search(args.query, args.offset, args.limit)
+        out = svc.search(args.query, args.offset, args.limit, site=args.site)
         svc.shutdown()
         print(json.dumps(out, ensure_ascii=False))
         return 0
@@ -155,7 +156,12 @@ def cmd_search(args: argparse.Namespace) -> int:
     from searchengine_ray.query import QueryEngine
 
     engine = QueryEngine(args.index, mode=args.mode)
-    print(json.dumps(engine.search(args.query, args.offset, args.limit), ensure_ascii=False))
+    print(
+        json.dumps(
+            engine.search(args.query, args.offset, args.limit, site=args.site),
+            ensure_ascii=False,
+        )
+    )
     return 0
 
 
@@ -187,6 +193,12 @@ def cmd_stats(args: argparse.Namespace) -> int:
                         }
                         for s in m["shards"]
                     ],
+                    # per-site detail (reference statistics per site,
+                    # services/StatisticsServiceImpl.java:30-62)
+                    "sites": {
+                        name: {"docs": s["n_docs"], "avgdl": round(s["avgdl"], 4)}
+                        for name, s in (m.get("sites") or {}).items()
+                    },
                 },
             }
         )
@@ -208,6 +220,10 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--input", required=True, help="parquet file/dir of transcripts")
     b.add_argument("--index", required=True, help="output index directory")
     b.add_argument("--analyzer", default="ru", choices=["ru", "simple"])
+    b.add_argument(
+        "--site-column", default=None,
+        help="input column that partitions docs into sites (enables --site search scoping)",
+    )
     b.add_argument("--num-shards", type=int, default=4)
     b.add_argument("--num-segments", type=int, default=8)
     b.add_argument("--num-buckets", type=int, default=16)
@@ -222,6 +238,7 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--offset", type=int, default=0)
     s.add_argument("--limit", type=int, default=10)
     s.add_argument("--mode", default="bm25", choices=["bm25", "tf_sum"])
+    s.add_argument("--site", default=None, help="scope search to one corpus partition")
     s.add_argument("--actors", type=int, default=1, help="shard-serving actor count (>1 needs Ray)")
     s.add_argument("--num-cpus", type=int, default=None)
     s.set_defaults(fn=cmd_search)

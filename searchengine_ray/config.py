@@ -43,6 +43,14 @@ class EngineConfig:
     # --- text semantics ---
     analyzer: str = "ru"
     search_filter: int = 100
+    # Corpus-partition ("site") scoping: name of an input column whose value
+    # partitions the docs (reference ``Lemma.site_id`` /
+    # ``SearchServiceImpl.java:74-82`` site scoping — the graft analogue is
+    # any low-cardinality column, e.g. ``role`` for transcripts). When set,
+    # the build rides one extra sentinel posting per doc carrying the doc's
+    # partition + length, and search/stats accept ``site=``. None = single
+    # logical site (SURVEY.md §1.3 default).
+    site_column: str | None = None
     # --- BM25 ---
     k1: float = 1.2
     b: float = 0.75

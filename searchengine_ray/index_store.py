@@ -30,11 +30,12 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from searchengine_ray.build import DOCLEN_LEMMA, list_shard_names
+from searchengine_ray.build import DOCLEN_LEMMA, SITE_PREFIX, list_shard_names
 from searchengine_ray.codec import EncodedPostings, decode_postings
 
 _POSTING_COLS = [
     "lemma",
+    "site",
     "seg",
     "df",
     "doc_blob",
@@ -149,15 +150,19 @@ class IndexReader:
         self._prg_meta = (lo, hi, fidx, rgidx, files)
         return self._prg_meta
 
-    def postings_segments(self, lemma: str) -> list[EncodedPostings]:
+    def postings_segments(self, lemma: str, site: str | None = None) -> list[EncodedPostings]:
         """All encoded segments of a lemma, in (shard, seg) order. Segments
         within a shard are docid-range-disjoint and ascending (range salt);
-        across shards docid ranges may interleave — callers merge."""
+        across shards docid ranges may interleave — callers merge. ``site``
+        restricts to one corpus partition's per-(lemma, site) segments
+        (global reads concatenate every site's segments — identical
+        postings either way because sites partition the docs)."""
         from searchengine_ray.build import lemma_bucket
 
-        cached = self._cache.get(lemma)
+        key = lemma if site is None else f"{site}\x01{lemma}"
+        cached = self._cache.get(key)
         if cached is not None:
-            self._cache.move_to_end(lemma)
+            self._cache.move_to_end(key)
             return cached
         bucket = lemma_bucket(lemma, self.manifest["num_buckets"])
         lo, hi, fidx, rgidx, files = self._posting_rg_index()
@@ -167,6 +172,8 @@ class IndexReader:
                 path = files[fidx[i]]
                 t = pq.ParquetFile(path).read_row_group(rgidx[i], columns=_POSTING_COLS)
                 mask = np.asarray(t["lemma"].to_numpy(zero_copy_only=False) == lemma)
+                if site is not None:
+                    mask &= t["site"].to_numpy(zero_copy_only=False) == site
                 if mask.any():
                     tables.append(((path, rgidx[i]), t.filter(pa.array(mask))))
         segs: list[EncodedPostings] = []
@@ -186,8 +193,8 @@ class IndexReader:
                         block_tf_off=t["block_tf_off"][int(i)].as_py(),
                     )
                 )
-        if lemma != DOCLEN_LEMMA:
-            self._cache[lemma] = segs
+        if not lemma.startswith("\x00"):  # sentinels have their own caches
+            self._cache[key] = segs
             if len(self._cache) > self._cache_size:
                 self._cache.popitem(last=False)
         return segs
@@ -244,6 +251,64 @@ class IndexReader:
     def doc_lengths(self, docids: np.ndarray) -> np.ndarray:
         idx = np.searchsorted(self._dl_docids, docids)
         return self._dl[idx]
+
+    # -- site (corpus-partition) scoping --------------------------------
+
+    @property
+    def sites(self) -> dict[str, dict]:
+        """Per-site stats from the manifest: {site: {n_docs, total_len,
+        avgdl}} (built from the site sentinel postings; empty when the index
+        was built without ``site_column``)."""
+        return self.manifest.get("sites", {}) or {}
+
+    def site_df_map(self, site: str) -> dict[str, int]:
+        """lemma → df within one site, from the GLOBAL per-site dictionary
+        (``dictionary_sites.parquet``) — identical in every shard-subset
+        reader, which keeps site-scoped gates/idf exact under partition
+        serving. Loaded lazily per site (row-group pushdown on ``site``)."""
+        cache = getattr(self, "_site_df_cache", None)
+        if cache is None:
+            cache = self._site_df_cache = {}
+        hit = cache.get(site)
+        if hit is not None:
+            return hit
+        path = os.path.join(self.index_dir, "dictionary_sites.parquet")
+        if not os.path.exists(path):
+            out: dict[str, int] = {}
+        else:
+            t = pq.read_table(
+                path, columns=["lemma", "df"], filters=[("site", "=", site)]
+            )
+            out = dict(
+                zip(
+                    t["lemma"].to_pylist(),
+                    t["df"].to_numpy(zero_copy_only=False).tolist(),
+                )
+            )
+        cache[site] = out
+        return out
+
+    def site_postings(self, site: str) -> tuple[np.ndarray, np.ndarray]:
+        """(docids, dls) of one partition's docs, docid-sorted and aligned —
+        the decoded ``\\x00site=<value>`` sentinel. Cached per site (site
+        cardinality is low by contract)."""
+        cache = getattr(self, "_site_cache", None)
+        if cache is None:
+            cache = self._site_cache = {}
+        hit = cache.get(site)
+        if hit is not None:
+            return hit
+        segs = self.postings_segments(SITE_PREFIX + site)
+        if not segs:
+            out = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        else:
+            parts = [decode_postings(e) for e in segs]
+            docids = np.concatenate([p[0] for p in parts])
+            dls = np.concatenate([p[1] for p in parts])
+            order = np.argsort(docids, kind="stable")
+            out = (docids[order], dls[order])
+        cache[site] = out
+        return out
 
     # -- doc store ------------------------------------------------------
 

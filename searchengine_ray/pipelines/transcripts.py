@@ -38,6 +38,7 @@ FIXED_QUERIES: list[tuple[str, str]] = [
 
 TRANSCRIPT_CFG = EngineConfig(
     analyzer="simple",
+    site_column="role",  # corpus-partition scoping: role = the "site" graft
     num_shards=2,
     num_segments=4,
     num_buckets=8,
@@ -49,7 +50,7 @@ TRANSCRIPT_CFG = EngineConfig(
 def ensure_transcript_index(sf_dir: str, root: str = "/tmp/searchengine_ray_idx") -> str:
     """Build (once per sf_dir; resumable) the engine index over the derived
     transcripts. Returns the index directory."""
-    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|v2".encode()).hexdigest()[:12]
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|v3".encode()).hexdigest()[:12]
     base = os.path.join(root, key)
     corpus_dir = os.path.join(base, "corpus")
     index_dir = os.path.join(base, "index")
@@ -68,16 +69,17 @@ def ensure_transcript_index(sf_dir: str, root: str = "/tmp/searchengine_ray_idx"
     return index_dir
 
 
-def transcript_search(sf_dir: str, k: int = 10) -> pd.DataFrame:
+def transcript_search(sf_dir: str, k: int = 10, site: str | None = None) -> pd.DataFrame:
     """(query_id, rank, conv_id, turn_idx, score_r, count) for the fixed
-    query set — one row per hit in the rounded-score top-k."""
+    query set — one row per hit in the rounded-score top-k. ``site`` scopes
+    matching + BM25 stats to one corpus partition (role)."""
     from searchengine_ray.query import QueryEngine
 
     index_dir = ensure_transcript_index(sf_dir)
     engine = QueryEngine(index_dir)
     frames = []
     for qid, qtext in FIXED_QUERIES:
-        r = engine.search_ids(qtext)
+        r = engine.search_ids(qtext, site=site)
         if r["count"] == 0:
             continue
         score_r = _round_vec(r["score"])
@@ -130,6 +132,16 @@ def transcript_search_actor(sf_dir: str, k: int = 10) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values(["query_id", "rank"], kind="stable").reset_index(drop=True)
+
+
+def transcript_search_site(sf_dir: str, site: str = "assistant", k: int = 10) -> pd.DataFrame:
+    """Site-scoped flagship search (reference ``site=`` on ``/api/search``,
+    ``SearchServiceImpl.java:74-82``): the fixed query set evaluated within
+    ONE corpus partition — per-site df/N/avgdl drive gate and BM25, so this
+    equals searching an index built from that partition alone. Exactly
+    SQL-mirrorable (partition = ``role``, a pure function of doc_id in the
+    derived corpus) and oracle-checked."""
+    return transcript_search(sf_dir, k=k, site=site)
 
 
 def transcript_index_dictionary(sf_dir: str) -> pd.DataFrame:

@@ -190,9 +190,89 @@ class QueryEngine:
             scores = scores / scores.max()
         return docids, scores
 
+    def _decode_site_lemma(self, lemma: str, site: str) -> tuple[np.ndarray, np.ndarray]:
+        """Full (docids, tfs) of one lemma WITHIN one site — decodes only the
+        per-(lemma, site) segments the build's site-threaded shuffle key
+        produced (never the other sites' postings)."""
+        from searchengine_ray.codec import decode_postings
+
+        segs = self.reader.postings_segments(lemma, site=site)
+        if not segs:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        parts = [decode_postings(e) for e in segs]
+        docids = np.concatenate([p[0] for p in parts])
+        tfs = np.concatenate([p[1] for p in parts])
+        if len(parts) > 1:
+            order = np.argsort(docids, kind="stable")
+            docids, tfs = docids[order], tfs[order]
+        return docids, tfs
+
+    def _match_and_score_site(self, q_lemmas, site: str) -> tuple[np.ndarray, np.ndarray]:
+        """Site-scoped evaluation (reference per-site search,
+        ``SearchServiceImpl.java:74-82``, with per-site lemma df,
+        ``model/Lemma.java:14-27``): terms read their per-(lemma, site)
+        posting segments, and gate / BM25 stats (df from the global site
+        dictionary, N / avgdl from the manifest's site stats) are the
+        PARTITION's — equivalent to searching an index built from that site
+        alone, and identical under shard-subset (partition) serving because
+        the stats are global. Returns (docids, scores)."""
+        reader = self.reader
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+        stats = reader.sites.get(site)
+        if not stats or stats["n_docs"] == 0:
+            return empty
+        n_docs_p = stats["n_docs"]
+        avgdl_p = stats["avgdl"]
+        site_df = reader.site_df_map(site)
+
+        dfs = {l: site_df.get(l, 0) for l in q_lemmas}
+        if any(v == 0 for v in dfs.values()):
+            return empty  # D2 all-present gate WITHIN the site
+        # D3 frequency gate with the SITE's df and n_docs
+        kept = {
+            l: d
+            for l, d in dfs.items()
+            if self.analyzer.is_identifier(l)
+            or (100 * d) // n_docs_p <= self.config.search_filter
+        }
+        if not kept:
+            return empty
+
+        order = scoring.canonical_term_order(kept)
+        docids, tf0 = self._decode_site_lemma(order[0], site)
+        tf_by_term: list[np.ndarray] = [tf0]
+        for lemma in order[1:]:
+            if docids.size == 0:
+                return empty
+            d, t = self._decode_site_lemma(lemma, site)
+            if d.size == 0:
+                return empty  # shard subset may lack this site's postings
+            pos = np.searchsorted(d, docids)
+            pos_c = np.minimum(pos, d.size - 1)
+            m = (d[pos_c] == docids) & (pos < d.size)
+            docids = docids[m]
+            tf_by_term = [x[m] for x in tf_by_term]
+            tf_by_term.append(t[pos_c[m]])
+        if docids.size == 0:
+            return empty
+
+        if self.mode == "bm25":
+            dls = reader.doc_lengths(docids)  # dl is per-doc, site-neutral
+            k1, b = self.config.k1, self.config.b
+            scores = np.zeros(docids.size, dtype=np.float64)
+            for lemma, tfs in zip(order, tf_by_term):
+                term_idf = scoring.idf(n_docs_p, kept[lemma])
+                scores += term_idf * scoring.tf_norm_vec(tfs, dls, avgdl_p, k1, b)
+        else:  # tf_sum parity mode (A4/A5) within the site
+            scores = np.zeros(docids.size, dtype=np.float64)
+            for tfs in tf_by_term:
+                scores += tfs.astype(np.float64)
+            scores = scores / scores.max()
+        return docids, scores
+
     # -- public API -----------------------------------------------------
 
-    def search(self, query: str, offset: int = 0, limit: int = 10) -> dict:
+    def search(self, query: str, offset: int = 0, limit: int = 10, site: str | None = None) -> dict:
         reader = self.reader
         if query == "":
             return error_response(ERROR_EMPTY_QUERY)
@@ -201,16 +281,21 @@ class QueryEngine:
             return error_response(ERROR_NO_SIGNIFICANT)
         if any(not reader.has(l) for l in q_lemmas):
             return error_response(ERROR_NOTHING_FOUND)
-        kept = [
-            l
-            for l in q_lemmas
-            if self.analyzer.is_identifier(l)
-            or (100 * reader.df(l)) // reader.n_docs <= self.config.search_filter
-        ]
-        if not kept:
-            return error_response(ERROR_NOTHING_FOUND)
+        if site is not None:
+            docids, scores = self._match_and_score_site(q_lemmas, site)
+            if docids.size == 0:
+                return error_response(ERROR_NOTHING_FOUND)
+        else:
+            kept = [
+                l
+                for l in q_lemmas
+                if self.analyzer.is_identifier(l)
+                or (100 * reader.df(l)) // reader.n_docs <= self.config.search_filter
+            ]
+            if not kept:
+                return error_response(ERROR_NOTHING_FOUND)
 
-        docids, scores = self._match_and_score(kept)
+            docids, scores = self._match_and_score(kept)
         if docids.size == 0:
             return error_response(ERROR_NOTHING_FOUND)
 
@@ -244,10 +329,11 @@ class QueryEngine:
             data.append(hit(row["conv_id"], row["turn_idx"], score, snip, row.get("role", "")))
         return ok_response(total, data)
 
-    def search_ids(self, query: str, limit: int | None = None) -> dict:
+    def search_ids(self, query: str, limit: int | None = None, site: str | None = None) -> dict:
         """Hydration-free search: all matching (conv_id, turn_idx, score)
         plus total count — the bulk-evaluation path (no doc-store reads, no
-        snippets). Results ordered (score desc, conv_id asc, turn_idx asc)."""
+        snippets). Results ordered (score desc, conv_id asc, turn_idx asc).
+        ``site`` scopes matching + stats to one corpus partition."""
         reader = self.reader
         empty = {
             "count": 0,
@@ -260,15 +346,18 @@ class QueryEngine:
         q_lemmas = self.analyzer.query_lemmas(query)
         if not q_lemmas or any(not reader.has(l) for l in q_lemmas):
             return empty
-        kept = [
-            l
-            for l in q_lemmas
-            if self.analyzer.is_identifier(l)
-            or (100 * reader.df(l)) // reader.n_docs <= self.config.search_filter
-        ]
-        if not kept:
-            return empty
-        docids, scores = self._match_and_score(kept)
+        if site is not None:
+            docids, scores = self._match_and_score_site(q_lemmas, site)
+        else:
+            kept = [
+                l
+                for l in q_lemmas
+                if self.analyzer.is_identifier(l)
+                or (100 * reader.df(l)) // reader.n_docs <= self.config.search_filter
+            ]
+            if not kept:
+                return empty
+            docids, scores = self._match_and_score(kept)
         if docids.size == 0:
             return empty
         rank = np.lexsort((docids, -scores)) if limit is None else _topk_order(
@@ -315,11 +404,11 @@ class QueryActor:
     def __init__(self, index_dir: str, mode: str = "bm25", shards: list[str] | None = None):
         self.engine = QueryEngine(index_dir, mode=mode, shards=shards)
 
-    def search(self, query: str, offset: int = 0, limit: int = 10) -> dict:
-        return self.engine.search(query, offset, limit)
+    def search(self, query: str, offset: int = 0, limit: int = 10, site: str | None = None) -> dict:
+        return self.engine.search(query, offset, limit, site=site)
 
-    def search_ids(self, query: str, limit: int | None = None) -> dict:
-        return self.engine.search_ids(query, limit)
+    def search_ids(self, query: str, limit: int | None = None, site: str | None = None) -> dict:
+        return self.engine.search_ids(query, limit, site=site)
 
     def __call__(self, batch) -> dict:
         """Batch mode: dict/pandas batch with columns (query_id, query,
@@ -382,11 +471,11 @@ class ShardedQueryService:
             Actor.remote(index_dir, mode=mode, shards=g) for g in groups if g
         ]
 
-    def search_ids(self, query: str, limit: int | None = None) -> dict:
+    def search_ids(self, query: str, limit: int | None = None, site: str | None = None) -> dict:
         import numpy as np
         import ray
 
-        parts = ray.get([a.search_ids.remote(query, limit) for a in self.actors])
+        parts = ray.get([a.search_ids.remote(query, limit, site) for a in self.actors])
         count = int(sum(p["count"] for p in parts))
         if count == 0:
             return parts[0] if parts else {"count": 0}
@@ -403,15 +492,16 @@ class ShardedQueryService:
             "score": score[order],
         }
 
-    def search(self, query: str, offset: int = 0, limit: int = 10) -> dict:
+    def search(self, query: str, offset: int = 0, limit: int = 10, site: str | None = None) -> dict:
         """Full SearchResponse (hydrated hits + snippets): each actor returns
         its partition's top-(offset+limit) hydrated page, the driver merges
         under (relevance desc, uri asc) — identical scores across partitions
-        (global stats) make the merge exact."""
+        (global stats; site stats likewise come from the global manifest)
+        make the merge exact."""
         import ray
 
         k = offset + limit
-        parts = ray.get([a.search.remote(query, 0, k) for a in self.actors])
+        parts = ray.get([a.search.remote(query, 0, k, site) for a in self.actors])
         errors = [p for p in parts if not p.get("result")]
         hits = [d for p in parts if p.get("result") for d in p["data"]]
         count = sum(p.get("count", 0) for p in parts)

@@ -636,3 +636,95 @@ class TestCooperativeStop:
         m = build_index(corpus_dir, idx, CFG.replace(num_shards=1))
         assert "stopped" not in m and m["n_docs"] == tiny_corpus.num_rows
         assert not os.path.exists(os.path.join(idx, STOP_FLAG))
+
+
+class TestSiteScoping:
+    @pytest.fixture(scope="class")
+    def site_built(self, ray_session, tiny_corpus, tmp_path_factory):
+        """Full index with site_column=role, plus a control index built from
+        ONLY the assistant turns (no site column)."""
+        import pyarrow.parquet as pq
+
+        root = tmp_path_factory.mktemp("sites")
+        corpus_dir = str(root / "corpus")
+        os.makedirs(corpus_dir)
+        pq.write_table(tiny_corpus, f"{corpus_dir}/p0.parquet")
+        idx_full = str(root / "idx_full")
+        cfg = CFG.replace(site_column="role", num_shards=2)
+        build_index(corpus_dir, idx_full, cfg)
+
+        sub_dir = str(root / "corpus_assistant")
+        os.makedirs(sub_dir)
+        mask = [r == "assistant" for r in tiny_corpus["role"].to_pylist()]
+        import pyarrow as pa
+
+        pq.write_table(tiny_corpus.filter(pa.array(mask)), f"{sub_dir}/p0.parquet")
+        idx_sub = str(root / "idx_sub")
+        build_index(sub_dir, idx_sub, CFG.replace(num_shards=2))
+        return idx_full, idx_sub
+
+    def test_site_scoped_equals_site_only_index(self, site_built):
+        """search(site=X) on the full index must equal searching an index
+        built from X's docs alone: same counts, ids, and BM25 scores
+        (per-site df/N/avgdl == the sub-index's global stats)."""
+        idx_full, idx_sub = site_built
+        full = QueryEngine(idx_full)
+        sub = QueryEngine(idx_sub)
+        n_q = 0
+        for q in reference_queries():
+            if not q["query"]:
+                continue
+            a = full.search_ids(q["query"], site="assistant")
+            b = sub.search_ids(q["query"])
+            assert a["count"] == b["count"], q["query_id"]
+            if a["count"] == 0:
+                continue
+            n_q += 1
+            assert list(a["conv_id"]) == list(b["conv_id"]), q["query_id"]
+            assert list(a["turn_idx"]) == list(b["turn_idx"]), q["query_id"]
+            assert np.allclose(a["score"], b["score"], rtol=0, atol=1e-12), q["query_id"]
+        assert n_q >= 3  # the comparison exercised real matches
+
+    def test_site_manifest_and_dictionary(self, site_built):
+        idx_full, _ = site_built
+        from searchengine_ray.index_store import IndexReader
+
+        r = IndexReader(idx_full)
+        assert set(r.sites) == {"user", "assistant", "tool", "system"}
+        assert sum(s["n_docs"] for s in r.sites.values()) == r.n_docs
+        dfm = r.site_df_map("assistant")
+        assert dfm  # non-empty
+        # site dfs sum to the global dictionary's df per lemma
+        total = {}
+        for site in r.sites:
+            for l, d in r.site_df_map(site).items():
+                total[l] = total.get(l, 0) + d
+        for l, d in total.items():
+            assert d == r.df(l), l
+
+    def test_sharded_site_scoped_matches_single(self, ray_session, site_built):
+        from searchengine_ray.query import ShardedQueryService
+
+        idx_full, _ = site_built
+        single = QueryEngine(idx_full)
+        svc = ShardedQueryService(idx_full, num_actors=2)
+        try:
+            for q in reference_queries():
+                if not q["query"]:
+                    continue
+                a = single.search_ids(q["query"], site="assistant")
+                b = svc.search_ids(q["query"], site="assistant")
+                assert a["count"] == b["count"], q["query_id"]
+                if a["count"]:
+                    assert list(a["conv_id"]) == list(b["conv_id"]), q["query_id"]
+                    assert np.allclose(a["score"], b["score"], rtol=0, atol=0), q["query_id"]
+        finally:
+            svc.shutdown()
+
+    def test_unknown_site_is_nothing_found(self, site_built):
+        idx_full, idx_sub = site_built
+        full = QueryEngine(idx_full)
+        assert full.search("суд", site="no-such-site")["result"] is False
+        # an index built WITHOUT site_column rejects any site= scoping
+        sub = QueryEngine(idx_sub)
+        assert sub.search("суд", site="assistant")["result"] is False
