@@ -49,41 +49,45 @@ def read_documents(sf_dir: str, columns=("doc_id", "text")):
 
 class ExplodeSimple:
     """Actor-pool stage: documents batch → (token, doc_id, tf, dl) rows.
-    Analyzer + memo caches built once per actor (ST1 pattern)."""
+
+    Fully vectorized (VERDICT r1 item 7): Arrow-kernel tokenization
+    (``tokens_flat_arrow``), dictionary-encode so Python-level significance
+    touches only the batch's DISTINCT tokens (memoized per actor, ST1), then
+    pure-numpy (row, token) tf counting — no per-row Python loop."""
 
     def __init__(self):
-        self.analyzer = Analyzer("simple")
         self._sig: dict[str, bool] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        texts = batch["text"].to_pylist()
-        a = self.analyzer
-        sig = self._sig
-        tokens: list[str] = []
-        out_doc: list[int] = []
-        tfs: list[int] = []
-        dls: list[int] = []
-        for did, text in zip(doc_ids.tolist(), texts):
-            counts: dict[str, int] = {}
-            for w in a.tokens(text or ""):
-                s = sig.get(w)
-                if s is None:
-                    s = sig[w] = a.significant(w)
-                if s:
-                    counts[w] = counts.get(w, 0) + 1
-            dl = sum(counts.values())
-            for tok, tf in counts.items():
-                tokens.append(tok)
-                out_doc.append(did)
-                tfs.append(tf)
-                dls.append(dl)
+        from searchengine_ray.textproc import is_significant_simple, tokens_flat_arrow
+
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat, parents = tokens_flat_arrow(batch["text"], "simple")
+        enc = flat.dictionary_encode()
+        idx = np.asarray(enc.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
+        vocab = enc.dictionary.to_pylist()
+        memo = self._sig
+        sig = np.empty(len(vocab), dtype=bool)
+        for i, w in enumerate(vocab):
+            s = memo.get(w)
+            if s is None:
+                s = memo[w] = is_significant_simple(w)
+            sig[i] = s
+        keep = sig[idx] if len(vocab) else np.zeros(0, dtype=bool)
+        rows = parents[keep]
+        vids = idx[keep]
+        pair = (rows << np.int64(32)) | vids
+        upair, tf = np.unique(pair, return_counts=True)
+        prow = (upair >> np.int64(32)).astype(np.int64)
+        pvid = (upair & np.int64(0xFFFFFFFF)).astype(np.int64)
+        dl = np.bincount(rows, minlength=len(doc_ids))
+        vocab_arr = np.asarray(vocab, dtype=object)
         return pa.table(
             {
-                "lemma": pa.array(tokens, type=pa.string()),
-                "doc_id": pa.array(out_doc, type=pa.int64()),
-                "tf": pa.array(tfs, type=pa.int64()),
-                "dl": pa.array(dls, type=pa.int64()),
+                "lemma": pa.array(vocab_arr[pvid], type=pa.string()),
+                "doc_id": pa.array(doc_ids[prow], type=pa.int64()),
+                "tf": pa.array(tf.astype(np.int64)),
+                "dl": pa.array(dl[prow].astype(np.int64)),
             }
         )
 
@@ -134,14 +138,30 @@ def doc_lengths(sf_dir: str):
 
 
 def doc_stats(sf_dir: str):
-    """Single-row global stats (n_docs, n_tokens, avgdl_r) — A3 analogue."""
-    ds = read_documents(sf_dir)
-    n_docs = ds.count()
-    total = (
-        ds.map_batches(ExplodeSimple, batch_format="pyarrow", batch_size=2048, concurrency=2)
-        .sum("tf")
+    """Single-row global stats (n_docs, n_tokens, avgdl_r) — A3 analogue.
+    ONE streaming pass: per-batch partial (rows, Σtf) rows, driver sums the
+    tiny partials (pre-aggregate-before-collect)."""
+    ex = ExplodeSimple()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = ex(batch)
+        tf_np = t["tf"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n": pa.array([batch.num_rows], type=pa.int64()),
+                "tf": pa.array([int(tf_np.sum())], type=pa.int64()),
+            }
+        )
+
+    import pandas as pd
+
+    parts = (
+        read_documents(sf_dir)
+        .map_batches(partial, batch_format="pyarrow", batch_size=2048)
+        .to_pandas()
     )
-    total = int(total or 0)
+    n_docs = int(parts["n"].sum())
+    total = int(parts["tf"].sum())
     avgdl = total / n_docs if n_docs else 0.0
     return pa.table(
         {
@@ -162,123 +182,135 @@ def top_terms(sf_dir: str, k: int = 20):
     return t[["rank", "lemma", "df", "cf"]]
 
 
-def _query_stats(sf_dir: str, terms: list[str]):
-    """One streaming pass: global Σtf + per-query-term df via map-side partial
-    aggregation (pre-aggregate inside map_batches, then a tiny groupby)."""
-    term_set = set(terms)
+class QueryMatchPass:
+    """ONE-streaming-pass conjunctive query evaluation over raw documents
+    (actor pool; VERDICT r1 item 7 — replaces the 3-pass count/stats/match
+    flow). Per batch it explodes in-place and emits:
 
-    def partial(batch: pa.Table) -> pa.Table:
-        lem = batch["lemma"].to_numpy(zero_copy_only=False)
-        tf = batch["tf"].to_numpy(zero_copy_only=False)
-        keys = ["\x00total"]
-        dfs = [0]
-        tfs = [int(tf.sum())]
-        for t in term_set:
-            m = lem == t
-            keys.append(t)
-            dfs.append(int(m.sum()))
-            tfs.append(0)
-        return pa.table(
-            {
-                "k": pa.array(keys, type=pa.string()),
-                "df_p": pa.array(dfs, type=pa.int64()),
-                "tf_p": pa.array(tfs, type=pa.int64()),
-            }
-        )
+    - one STATS row (kind=0): a = batch n_docs, b = batch Σtf (significant),
+      t{j} = batch df of term j (docs containing it),
+    - one MATCH row (kind=1) per doc containing ALL terms: a = doc_id,
+      b = dl, t{j} = tf of term j.
 
-    from ray.data.aggregate import Sum
+    AND-match rows are the only per-doc output, so driver memory is
+    O(matches), never O(corpus); stats partials are one row per batch."""
 
-    ds = (
-        read_documents(sf_dir)
-        .map_batches(ExplodeSimple, batch_format="pyarrow", batch_size=2048, concurrency=2)
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("k")
-        .aggregate(Sum("df_p", alias_name="df"), Sum("tf_p", alias_name="total"))
+    def __init__(self, terms: list[str]):
+        self.terms = list(terms)
+        self._sig: dict[str, bool] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from searchengine_ray.textproc import is_significant_simple, tokens_flat_arrow
+
+        terms = self.terms
+        N = len(terms)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = doc_ids.size
+        flat, parents = tokens_flat_arrow(batch["text"], "simple")
+        enc = flat.dictionary_encode()
+        idx = np.asarray(enc.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
+        vocab = enc.dictionary.to_pylist()
+        memo = self._sig
+        sig = np.empty(len(vocab), dtype=bool)
+        for i, w in enumerate(vocab):
+            s = memo.get(w)
+            if s is None:
+                s = memo[w] = is_significant_simple(w)
+            sig[i] = s
+        keep = sig[idx] if len(vocab) else np.zeros(0, dtype=bool)
+        rows = parents[keep]
+        vids = idx[keep]
+        total = int(rows.size)
+
+        vocab_pos = {w: i for i, w in enumerate(vocab)}
+        term_of_vid = np.full(len(vocab) + 1, -1, dtype=np.int64)
+        for j, t in enumerate(terms):
+            p = vocab_pos.get(t)
+            if p is not None:
+                term_of_vid[p] = j
+        tvid = term_of_vid[vids] if vids.size else np.empty(0, dtype=np.int64)
+        tkeep = tvid >= 0
+        pair = rows[tkeep] * N + tvid[tkeep]
+        upair, ptf = np.unique(pair, return_counts=True)
+        tf_mat = np.zeros((n, N), dtype=np.int64)
+        tf_mat[upair // N, upair % N] = ptf
+        has_all = (tf_mat > 0).all(axis=1)
+        dfs = (tf_mat > 0).sum(axis=0)
+        dl = np.bincount(rows, minlength=n)
+
+        m = int(has_all.sum())
+        cols = {
+            "kind": pa.array(
+                np.concatenate(([0], np.ones(m, dtype=np.int8))), type=pa.int8()
+            ),
+            "a": pa.array(
+                np.concatenate(([n], doc_ids[has_all])), type=pa.int64()
+            ),
+            "b": pa.array(
+                np.concatenate(([total], dl[has_all])), type=pa.int64()
+            ),
+        }
+        for j in range(N):
+            cols[f"t{j}"] = pa.array(
+                np.concatenate(([dfs[j]], tf_mat[has_all, j])), type=pa.int64()
+            )
+        return pa.table(cols)
+
+
+def _empty_ranked():
+    return pa.table(
+        {
+            "rank": pa.array([], type=pa.int64()),
+            "doc_id": pa.array([], type=pa.int64()),
+            "score_r": pa.array([], type=pa.float64()),
+        }
     )
-    out = {r["k"]: r for r in ds.take_all()}
-    total = int(out["\x00total"]["total"])
-    dfs = {t: int(out[t]["df"]) if t in out else 0 for t in term_set}
-    return total, dfs
+
+
+def _query_match_frame(sf_dir: str, terms: list[str]):
+    """(n_docs, total, dfs, matched DataFrame) from one streaming pass."""
+    out = (
+        read_documents(sf_dir)
+        .map_batches(
+            QueryMatchPass,
+            fn_constructor_kwargs={"terms": terms},
+            batch_format="pyarrow",
+            batch_size=2048,
+            concurrency=2,
+        )
+        .to_pandas()
+    )
+    stats = out[out["kind"] == 0]
+    n_docs = int(stats["a"].sum())
+    total = int(stats["b"].sum())
+    dfs = [int(stats[f"t{j}"].sum()) for j in range(len(terms))]
+    return n_docs, total, dfs, out[out["kind"] == 1]
 
 
 def bm25_adhoc(sf_dir: str, query: str, k: int = 10):
-    """Indexless conjunctive BM25 top-k as a pure Dataset pipeline:
-    stats pass (partial-aggregated) + match pass (filter → per-row
-    contribution → groupby-sum → AND gate → rank). Returns
-    (rank, doc_id, score_r)."""
+    """Indexless conjunctive BM25 top-k in ONE streaming pass over the
+    corpus (stats partials + AND-matched doc rows from the same
+    ``QueryMatchPass``), then driver-side scoring of only the matches.
+    Returns (rank, doc_id, score_r)."""
     analyzer = Analyzer("simple")
     terms = sorted({w for w in analyzer.tokens(query) if analyzer.significant(w)})
     if not terms:
-        return pa.table(
-            {
-                "rank": pa.array([], type=pa.int64()),
-                "doc_id": pa.array([], type=pa.int64()),
-                "score_r": pa.array([], type=pa.float64()),
-            }
-        )
-    ds = read_documents(sf_dir)
-    n_docs = ds.count()
-    total, dfs = _query_stats(sf_dir, terms)
-    if any(dfs[t] == 0 for t in terms):  # D2 gate
-        return pa.table(
-            {
-                "rank": pa.array([], type=pa.int64()),
-                "doc_id": pa.array([], type=pa.int64()),
-                "score_r": pa.array([], type=pa.float64()),
-            }
-        )
+        return _empty_ranked()
+    n_docs, total, dfs, matched = _query_match_frame(sf_dir, terms)
+    if any(d == 0 for d in dfs) or matched.empty:  # D2 gate / no AND match
+        return _empty_ranked()
     avgdl = total / n_docs
-    idf_map = {t: scoring.idf(n_docs, dfs[t]) for t in terms}
     k1, b = scoring.K1_DEFAULT, scoring.B_DEFAULT
-    term_set = set(terms)
-    n_terms = len(terms)
-
-    def contrib(batch: pa.Table) -> pa.Table:
-        lem = batch["lemma"].to_numpy(zero_copy_only=False)
-        mask = np.isin(lem, list(term_set))
-        if not mask.any():
-            return pa.table(
-                {
-                    "doc_id": pa.array([], type=pa.int64()),
-                    "c": pa.array([], type=pa.float64()),
-                }
-            )
-        sub = batch.filter(pa.array(mask))
-        tf = sub["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
-        dl = sub["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
-        idfs = np.fromiter(
-            (idf_map[l] for l in sub["lemma"].to_pylist()), dtype=np.float64, count=sub.num_rows
+    dl = matched["b"].to_numpy(dtype=np.float64)
+    score = np.zeros(len(matched), dtype=np.float64)
+    for j, _ in enumerate(terms):
+        tf = matched[f"t{j}"].to_numpy(dtype=np.float64)
+        score += scoring.idf(n_docs, dfs[j]) * (tf * (k1 + 1.0)) / (
+            tf + k1 * (1.0 - b + b * (dl / avgdl))
         )
-        c = idfs * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * (dl / avgdl)))
-        return pa.table(
-            {
-                "doc_id": sub["doc_id"],
-                "c": pa.array(c, type=pa.float64()),
-            }
-        )
-
-    from ray.data.aggregate import Count, Sum
-
-    scored = (
-        read_documents(sf_dir)
-        .map_batches(ExplodeSimple, batch_format="pyarrow", batch_size=2048, concurrency=2)
-        .map_batches(contrib, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Sum("c", alias_name="score"), Count(alias_name="nt"))
-    )
     import pandas as pd
 
-    df = scored.to_pandas()
-    df = df[df["nt"] == n_terms]  # D1 AND semantics
-    if df.empty:
-        return pa.table(
-            {
-                "rank": pa.array([], type=pa.int64()),
-                "doc_id": pa.array([], type=pa.int64()),
-                "score_r": pa.array([], type=pa.float64()),
-            }
-        )
-    df["score_r"] = _round_vec(df["score"].to_numpy(), 4)
+    df = pd.DataFrame({"doc_id": matched["a"].to_numpy(dtype=np.int64), "score_r": _round_vec(score, 4)})
     df = df.sort_values(["score_r", "doc_id"], ascending=[False, True], kind="stable").head(k)
     df = df.reset_index(drop=True)
     df["rank"] = df.index.astype("int64")
@@ -286,30 +318,23 @@ def bm25_adhoc(sf_dir: str, query: str, k: int = 10):
 
 
 def search_count(sf_dir: str, query: str):
-    """Total AND-match count for a query (reference SearchResponse.count)."""
+    """Total AND-match count for a query (reference SearchResponse.count) —
+    same single-pass shape; only the match COUNT leaves the cluster."""
     analyzer = Analyzer("simple")
     terms = sorted({w for w in analyzer.tokens(query) if analyzer.significant(w)})
-    n_terms = len(terms)
-    if n_terms == 0:
+    if not terms:
         return pa.table({"n_matches": pa.array([0], type=pa.int64())})
-    term_list = list(terms)
 
-    def keep(batch: pa.Table) -> pa.Table:
-        lem = batch["lemma"].to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(np.isin(lem, term_list)))
+    match_pass = QueryMatchPass(terms)
 
-    from ray.data.aggregate import Count
+    def count_partial(batch: pa.Table) -> pa.Table:
+        t = match_pass(batch)
+        kinds = t["kind"].to_numpy(zero_copy_only=False)
+        return pa.table({"m": pa.array([int((kinds == 1).sum())], type=pa.int64())})
 
-    per_doc = (
+    total = (
         read_documents(sf_dir)
-        .map_batches(ExplodeSimple, batch_format="pyarrow", batch_size=2048, concurrency=2)
-        .map_batches(keep, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Count(alias_name="nt"))
+        .map_batches(count_partial, batch_format="pyarrow", batch_size=2048)
+        .sum("m")
     )
-    import pyarrow.compute as pc
-
-    n = 0
-    for batch in per_doc.iter_batches(batch_format="pyarrow"):
-        n += int(pc.sum(pc.equal(batch["nt"], n_terms)).as_py() or 0)
-    return pa.table({"n_matches": pa.array([n], type=pa.int64())})
+    return pa.table({"n_matches": pa.array([int(total or 0)], type=pa.int64())})

@@ -27,40 +27,72 @@ _ASCII_ALPHA_RE = re.compile(r"[a-zA-Z]")
 ZH_ASCII_RATIO = 0.35
 
 
+def _flat_tokens(batch: pa.Table):
+    """Shared vectorized tokenization: (rows, vids, vocab, n) over the
+    batch's ``text`` via Arrow kernels + dictionary encoding — Python-level
+    logic downstream touches only the DISTINCT tokens."""
+    from searchengine_ray.textproc import tokens_flat_arrow
+
+    flat, parents = tokens_flat_arrow(batch["text"], "simple")
+    enc = flat.dictionary_encode()
+    idx = np.asarray(enc.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
+    return parents, idx, enc.dictionary.to_pylist(), batch.num_rows
+
+
+def _char_counts(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(n_chars, ascii_letters) per row, via Arrow kernels."""
+    import pyarrow.compute as pc
+
+    texts = batch["text"]
+    n_chars = pc.fill_null(pc.utf8_length(texts), 0).to_numpy(zero_copy_only=False)
+    ascii_letters = pc.fill_null(
+        pc.count_substring_regex(texts, "[a-zA-Z]"), 0
+    ).to_numpy(zero_copy_only=False)
+    return n_chars.astype(np.int64), ascii_letters.astype(np.int64)
+
+
 class LangId:
-    """Actor-pool language classifier (heuristic n-gram/function-word voting,
+    """Actor-pool language classifier (heuristic function-word voting,
     SURVEY.md training-data ops). ``zh`` via ASCII-letter-ratio; otherwise
     argmax of function-word votes with alphabetical tie-break; no votes →
-    ``unknown``."""
+    ``unknown``. Vectorized: votes counted as one bincount over (row, lang)
+    codes; per-token Python work only on the batch's distinct tokens."""
 
     def __init__(self):
-        self.vote_sets = {k: frozenset(v) for k, v in LANG_VOTES.items()}
         self.langs = sorted(LANG_VOTES)
+        self._vote_memo: dict[str, int] = {}
+        for j, lang in enumerate(self.langs):
+            for w in LANG_VOTES[lang]:
+                self._vote_memo[w] = j
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch["doc_id"]
-        texts = batch["text"].to_pylist()
-        preds = []
-        for text in texts:
-            text = text or ""
-            n_chars = len(text)
-            ascii_letters = len(_ASCII_ALPHA_RE.findall(text))
-            if n_chars == 0:
-                preds.append("unknown")
-                continue
-            if ascii_letters / n_chars < ZH_ASCII_RATIO:
-                preds.append("zh")
-                continue
-            toks = tokenize_simple(text)
-            votes = {
-                lang: sum(1 for t in toks if t in s) for lang, s in self.vote_sets.items()
-            }
-            best = max(votes.values())
-            if best == 0:
-                preds.append("unknown")
-            else:
-                preds.append(next(l for l in self.langs if votes[l] == best))
-        return pa.table({"doc_id": doc_ids, "pred_lang": pa.array(preds, type=pa.string())})
+        rows, vids, vocab, n = _flat_tokens(batch)
+        n_langs = len(self.langs)
+        get = self._vote_memo.get
+        vote_of_vid = np.fromiter(
+            (get(w, -1) for w in vocab), dtype=np.int64, count=len(vocab)
+        )
+        tvote = vote_of_vid[vids] if vids.size else np.empty(0, dtype=np.int64)
+        m = tvote >= 0
+        votes = np.bincount(
+            rows[m] * n_langs + tvote[m], minlength=n * n_langs
+        ).reshape(n, n_langs)
+        n_chars, ascii_letters = _char_counts(batch)
+
+        best = votes.max(axis=1)
+        # argmax returns the FIRST max — columns are alphabetical, matching
+        # the reference tie-break
+        pick = np.asarray(self.langs, dtype=object)[np.argmax(votes, axis=1)]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = np.where(n_chars > 0, ascii_letters / np.maximum(n_chars, 1), 0.0)
+        preds = np.where(
+            n_chars == 0,
+            "unknown",
+            np.where(ratio < ZH_ASCII_RATIO, "zh", np.where(best == 0, "unknown", pick)),
+        )
+        return pa.table(
+            {"doc_id": batch["doc_id"], "pred_lang": pa.array(preds.astype(object), type=pa.string())}
+        )
 
 
 def langid(sf_dir: str):
@@ -71,22 +103,33 @@ def langid(sf_dir: str):
 
 class TokenCount:
     """(doc_id, n_tokens, n_unique, n_sig): raw simple tokens, distinct
-    tokens, significant tokens (len≥2, non-stopword)."""
+    tokens, significant tokens (len≥2, non-stopword). Vectorized: bincounts
+    over flat (row, token-id) arrays; significance evaluated once per
+    distinct token (memoized per actor)."""
+
+    def __init__(self):
+        self._sig: dict[str, bool] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        n_tokens, n_unique, n_sig = [], [], []
-        for text in texts:
-            toks = tokenize_simple(text or "")
-            n_tokens.append(len(toks))
-            n_unique.append(len(set(toks)))
-            n_sig.append(sum(1 for t in toks if len(t) >= 2 and t not in EN_STOPWORDS))
+        rows, vids, vocab, n = _flat_tokens(batch)
+        memo = self._sig
+        sig = np.empty(len(vocab), dtype=bool)
+        for i, w in enumerate(vocab):
+            s = memo.get(w)
+            if s is None:
+                s = memo[w] = len(w) >= 2 and w not in EN_STOPWORDS
+            sig[i] = s
+        n_tokens = np.bincount(rows, minlength=n)
+        upair = np.unique((rows << np.int64(32)) | vids)
+        n_unique = np.bincount((upair >> np.int64(32)).astype(np.int64), minlength=n)
+        keep = sig[vids] if vids.size else np.zeros(0, dtype=bool)
+        n_sig = np.bincount(rows[keep], minlength=n)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "n_tokens": pa.array(n_tokens, type=pa.int64()),
-                "n_unique": pa.array(n_unique, type=pa.int64()),
-                "n_sig": pa.array(n_sig, type=pa.int64()),
+                "n_tokens": pa.array(n_tokens.astype(np.int64)),
+                "n_unique": pa.array(n_unique.astype(np.int64)),
+                "n_sig": pa.array(n_sig.astype(np.int64)),
             }
         )
 
@@ -98,41 +141,46 @@ def token_count(sf_dir: str):
 
 
 class QualityScore:
-    """Quality heuristics: stopword ratio, ASCII-letter ratio, mean token
-    length; composite = min(1, n_sig/50) * (1 - stop_ratio). All ratios are
-    exact int/int float64 divisions (bit-identical in SQL), rounded 4 dp."""
+    """Quality heuristics: stopword ratio, ASCII-letter ratio, composite =
+    min(1, n_sig/50) * (1 - stop_ratio). All ratios are exact int/int
+    float64 divisions (bit-identical in SQL), rounded 4 dp. Vectorized the
+    same way as TokenCount."""
+
+    def __init__(self):
+        self._sig: dict[str, bool] = {}
+        self._stop: dict[str, bool] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        rows = {"n_tokens": [], "stop_ratio": [], "alpha_ratio": [], "quality": []}
-        for text in texts:
-            text = text or ""
-            toks = tokenize_simple(text)
-            n = len(toks)
-            n_stop = sum(1 for t in toks if t in EN_STOPWORDS)
-            n_sig = sum(1 for t in toks if len(t) >= 2 and t not in EN_STOPWORDS)
-            n_chars = len(text)
-            ascii_letters = len(_ASCII_ALPHA_RE.findall(text))
-            stop_ratio = n_stop / n if n else 0.0
-            alpha_ratio = ascii_letters / n_chars if n_chars else 0.0
-            quality = min(1.0, n_sig / 50.0) * (1.0 - stop_ratio)
-            rows["n_tokens"].append(n)
-            rows["stop_ratio"].append(stop_ratio)
-            rows["alpha_ratio"].append(alpha_ratio)
-            rows["quality"].append(quality)
+        rows, vids, vocab, n = _flat_tokens(batch)
+        sig = np.empty(len(vocab), dtype=bool)
+        stop = np.empty(len(vocab), dtype=bool)
+        ms, mt = self._sig, self._stop
+        for i, w in enumerate(vocab):
+            s = ms.get(w)
+            if s is None:
+                s = ms[w] = len(w) >= 2 and w not in EN_STOPWORDS
+            sig[i] = s
+            t = mt.get(w)
+            if t is None:
+                t = mt[w] = w in EN_STOPWORDS
+            stop[i] = t
+        n_tokens = np.bincount(rows, minlength=n)
+        keep_s = sig[vids] if vids.size else np.zeros(0, dtype=bool)
+        n_sig = np.bincount(rows[keep_s], minlength=n)
+        keep_t = stop[vids] if vids.size else np.zeros(0, dtype=bool)
+        n_stop = np.bincount(rows[keep_t], minlength=n)
+        n_chars, ascii_letters = _char_counts(batch)
+
+        stop_ratio = np.where(n_tokens > 0, n_stop / np.maximum(n_tokens, 1), 0.0)
+        alpha_ratio = np.where(n_chars > 0, ascii_letters / np.maximum(n_chars, 1), 0.0)
+        quality = np.minimum(1.0, n_sig / 50.0) * (1.0 - stop_ratio)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "n_tokens": pa.array(rows["n_tokens"], type=pa.int64()),
-                "stop_ratio_r": pa.array(
-                    _round_vec(np.asarray(rows["stop_ratio"], dtype=np.float64)), type=pa.float64()
-                ),
-                "alpha_ratio_r": pa.array(
-                    _round_vec(np.asarray(rows["alpha_ratio"], dtype=np.float64)), type=pa.float64()
-                ),
-                "quality_r": pa.array(
-                    _round_vec(np.asarray(rows["quality"], dtype=np.float64)), type=pa.float64()
-                ),
+                "n_tokens": pa.array(n_tokens.astype(np.int64)),
+                "stop_ratio_r": pa.array(_round_vec(stop_ratio), type=pa.float64()),
+                "alpha_ratio_r": pa.array(_round_vec(alpha_ratio), type=pa.float64()),
+                "quality_r": pa.array(_round_vec(quality), type=pa.float64()),
             }
         )
 
