@@ -30,25 +30,57 @@ from searchengine_ray.textproc import tokenize_simple
 # ---------------------------------------------------------------------------
 
 
+_DEDUP_PARTITIONS = 64
+
+
 def exact_dedup(sf_dir: str):
     """(text_hash, rep_doc_id, n_dups): md5 over raw text, first (=min
-    doc_id) representative per group — D4 first-wins semantics."""
-    from ray.data.aggregate import Count, Min
+    doc_id) representative per group — D4 first-wins semantics.
 
-    def add_hash(batch: pa.Table) -> pa.Table:
+    Shape: map-side partial (per-batch min/count per hash) → fixed-partition
+    groupby on a hash prefix → vectorized pandas combine per partition (the
+    high-cardinality-aggregate pattern: one group per DISTINCT TEXT makes
+    ``groupby(text_hash).aggregate`` pay Python dispatch per group)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
         hs = [
             hashlib.md5((t or "").encode("utf-8")).hexdigest()
             for t in batch["text"].to_pylist()
         ]
-        return pa.table(
-            {"text_hash": pa.array(hs, type=pa.string()), "doc_id": batch["doc_id"]}
+        g = (
+            pd.DataFrame(
+                {
+                    "text_hash": hs,
+                    "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
+                }
+            )
+            .groupby("text_hash", as_index=False)
+            .agg(rep_doc_id=("doc_id", "min"), n_dups=("doc_id", "size"))
         )
+        # first 8 hex chars → stable partition (md5 is uniform)
+        g["q"] = [int(h[:8], 16) % _DEDUP_PARTITIONS for h in g["text_hash"]]
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = (
+            group.select(["text_hash", "rep_doc_id", "n_dups"])
+            .to_pandas()
+            .groupby("text_hash", as_index=False)
+            .agg(rep_doc_id=("rep_doc_id", "min"), n_dups=("n_dups", "sum"))
+        )
+        g["rep_doc_id"] = g["rep_doc_id"].astype("int64")
+        g["n_dups"] = g["n_dups"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     return (
         read_documents(sf_dir)
-        .map_batches(add_hash, batch_format="pyarrow", batch_size=2048)
-        .groupby("text_hash")
-        .aggregate(Min("doc_id", alias_name="rep_doc_id"), Count(alias_name="n_dups"))
+        .map_batches(partial, batch_format="pyarrow", batch_size=2048)
+        .groupby("q")
+        .map_groups(final, batch_format="pyarrow")
     )
 
 

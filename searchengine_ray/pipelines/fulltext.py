@@ -102,16 +102,65 @@ def postings(sf_dir: str):
     )
 
 
+_AGG_PARTITIONS = 64
+
+
+def _crc_partition(strings, P: int = _AGG_PARTITIONS) -> np.ndarray:
+    import zlib
+
+    return np.fromiter(
+        (zlib.crc32(s.encode("utf-8")) % P for s in strings),
+        dtype=np.int64,
+        count=len(strings),
+    )
+
+
 def lemma_df(sf_dir: str):
     """Term dictionary (lemma, df, cf) — reference `lemma` table + df upsert
-    semantics (Repositories/LemmaRepository.java:25-30) as one groupby."""
-    from ray.data.aggregate import Count, Sum
+    semantics (Repositories/LemmaRepository.java:25-30).
 
+    Shape: map-side partial combine per batch, then a FIXED-partition
+    groupby with a vectorized pandas aggregation per partition — NOT
+    ``groupby(lemma).aggregate``, whose per-group Python dispatch is
+    O(vocabulary) (the high-cardinality-aggregate disease; measured
+    ~25 µs/group)."""
     ds = read_documents(sf_dir).map_batches(
         ExplodeSimple, batch_format="pyarrow", batch_size=2048, concurrency=2
     )
-    return ds.groupby("lemma").aggregate(
-        Count(alias_name="df"), Sum("tf", alias_name="cf")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = (
+            pd.DataFrame(
+                {
+                    "lemma": batch["lemma"].to_numpy(zero_copy_only=False),
+                    "tf": batch["tf"].to_numpy(zero_copy_only=False),
+                }
+            )
+            .groupby("lemma", as_index=False)
+            .agg(df=("tf", "size"), cf=("tf", "sum"))
+        )
+        g["q"] = _crc_partition(g["lemma"])
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = (
+            group.select(["lemma", "df", "cf"])
+            .to_pandas()
+            .groupby("lemma", as_index=False)
+            .sum()
+        )
+        g["df"] = g["df"].astype("int64")
+        g["cf"] = g["cf"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("q")
+        .map_groups(final, batch_format="pyarrow")
     )
 
 
@@ -124,16 +173,25 @@ def doc_lengths(sf_dir: str):
     def first_dl(batch: pa.Table) -> pa.Table:
         # one (doc_id, dl) per doc; explode emits identical dl on each row
         df = batch.select(["doc_id", "dl"]).to_pandas().drop_duplicates("doc_id")
+        df["q"] = df["doc_id"].to_numpy() % _AGG_PARTITIONS
         return pa.Table.from_pandas(df, preserve_index=False)
 
     # map-side dedup first (explode clusters a doc's rows in one batch),
-    # then an exact global dedup via groupby-min (dl is constant per doc).
-    from ray.data.aggregate import Min
+    # then an exact global dedup per FIXED partition (dl is constant per
+    # doc) — vectorized, no per-doc-group Python dispatch.
+    def final(group: pa.Table) -> pa.Table:
+        df = (
+            group.select(["doc_id", "dl"])
+            .to_pandas()
+            .drop_duplicates("doc_id")
+            .astype({"doc_id": "int64", "dl": "int64"})
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
 
     return (
         ds.map_batches(first_dl, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Min("dl", alias_name="dl"))
+        .groupby("q")
+        .map_groups(final, batch_format="pyarrow")
     )
 
 

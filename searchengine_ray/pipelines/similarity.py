@@ -3,7 +3,8 @@ list<float>[64], label).
 
 Build/query separation (the 100-TB shape, VERDICT r1 item 1):
 
-- ``ensure_ann_index`` persists a **partitioned** ANN layout once per input
+- ``ensure_lsh_index`` / ``ensure_ivf_index`` persist **partitioned** ANN
+  layouts once per input
   (lineage-keyed, resumable): vectors written to ``lsh/bucket=N/`` parquet
   partitions (random-hyperplane LSH) and ``ivf/list=N/`` partitions (coarse
   quantizer trained DISTRIBUTED via map-reduce Lloyd iterations), plus tiny
@@ -107,7 +108,7 @@ def _bucket_of(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
 
 def lsh_assignments(sf_dir: str):
     """(vec_id, bucket) for every vector — the BUILD side of the LSH index
-    (``ensure_ann_index`` persists this partitioned by bucket; queries then
+    (``ensure_lsh_index`` persists this partitioned by bucket; queries then
     read only their probe buckets). Hyperplanes are seeded constants
     broadcast via closure; assignment is one vectorized ``map_batches``."""
     planes = _hyperplanes(_embedding_dim(sf_dir))
@@ -127,48 +128,73 @@ def lsh_assignments(sf_dir: str):
 # --- persisted partitioned ANN index (build side) --------------------------
 
 
-def ensure_ann_index(
-    sf_dir: str, nlist: int = 16, root: str = "/tmp/searchengine_ray_ann"
-) -> str:
-    """Build (once per input lineage + params; atomic rename) the persisted
-    ANN index::
-
-        <root>/<key>/
-          planes.npy            # LSH hyperplanes (tiny sidecar)
-          centroids.npy         # IVF coarse centroids, DISTRIBUTED-trained
-          lsh/bucket=N/*.parquet   # (vec_id, embedding) per LSH bucket
-          ivf/list=N/*.parquet     # (vec_id, embedding) per coarse list
-          manifest.json
-
-    Both layouts are written by streaming ``write_parquet(partition_cols=...)``
-    — the corpus is never collected; queries read only probe partitions.
-    """
+def _index_key(sf_dir: str, params: str) -> str:
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
-    key = hashlib.md5(
-        f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}|"
-        f"bits={_LSH_BITS}|nlist={nlist}|v1".encode()
+    return hashlib.md5(
+        f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}|{params}".encode()
     ).hexdigest()[:12]
-    out = os.path.join(root, key)
+
+
+def ensure_lsh_index(sf_dir: str, root: str = "/tmp/searchengine_ray_ann") -> str:
+    """Build (once per input lineage; atomic rename) the persisted LSH
+    layout: ``planes.npy`` sidecar + ``lsh/bucket=N/*.parquet`` (vec_id,
+    embedding) partitions, written by streaming
+    ``write_parquet(partition_cols=...)`` — the corpus is never collected;
+    queries read only probe buckets."""
+    out = os.path.join(root, "lsh-" + _index_key(sf_dir, f"bits={_LSH_BITS}|v1"))
+    if os.path.exists(os.path.join(out, "manifest.json")):
+        return out
+
+    dim = _embedding_dim(sf_dir)
+    planes = _hyperplanes(dim)
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    np.save(os.path.join(tmp, "planes.npy"), planes)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        m = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "embedding": batch["embedding"],
+                "bucket": pa.array(_bucket_of(m, planes), type=pa.int64()),
+            }
+        )
+
+    read_embeddings(sf_dir).map_batches(
+        assign, batch_format="pyarrow", batch_size=4096
+    ).write_parquet(os.path.join(tmp, "lsh"), partition_cols=["bucket"])
+    with open(os.path.join(tmp, "manifest.json"), "w") as f:
+        json.dump({"dim": dim, "bits": _LSH_BITS}, f)
+    shutil.rmtree(out, ignore_errors=True)
+    os.replace(tmp, out)
+    return out
+
+
+def ensure_ivf_index(
+    sf_dir: str, nlist: int = 16, root: str = "/tmp/searchengine_ray_ann"
+) -> str:
+    """Build (once per input lineage + nlist; atomic rename) the persisted
+    IVF layout: DISTRIBUTED-trained ``centroids.npy`` sidecar +
+    ``ivf/list_id=N/*.parquet`` partitions; queries read only the nprobe
+    nearest lists."""
+    out = os.path.join(root, "ivf-" + _index_key(sf_dir, f"nlist={nlist}|v1"))
     if os.path.exists(os.path.join(out, "manifest.json")):
         return out
 
     import ray
 
     dim = _embedding_dim(sf_dir)
-    planes = _hyperplanes(dim)
     cent = ivf_train_distributed(sf_dir, nlist)
     tmp = out + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
-    np.save(os.path.join(tmp, "planes.npy"), planes)
     np.save(os.path.join(tmp, "centroids.npy"), cent)
-
-    planes_ref = ray.put(planes)
     cent_ref = ray.put(cent)
 
-    def assign_both(batch: pa.Table) -> pa.Table:
-        p = ray.get(planes_ref)
+    def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(cent_ref)
         m = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
         norm = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
@@ -176,22 +202,15 @@ def ensure_ann_index(
             {
                 "vec_id": batch["vec_id"],
                 "embedding": batch["embedding"],
-                "bucket": pa.array(_bucket_of(m, p), type=pa.int64()),
                 "list_id": pa.array(np.argmax(norm @ c.T, axis=1).astype(np.int64)),
             }
         )
 
-    ds = read_embeddings(sf_dir).map_batches(
-        assign_both, batch_format="pyarrow", batch_size=4096
-    )
-    ds.drop_columns(["list_id"]).write_parquet(
-        os.path.join(tmp, "lsh"), partition_cols=["bucket"]
-    )
-    ds.drop_columns(["bucket"]).write_parquet(
-        os.path.join(tmp, "ivf"), partition_cols=["list_id"]
-    )
+    read_embeddings(sf_dir).map_batches(
+        assign, batch_format="pyarrow", batch_size=4096
+    ).write_parquet(os.path.join(tmp, "ivf"), partition_cols=["list_id"])
     with open(os.path.join(tmp, "manifest.json"), "w") as f:
-        json.dump({"dim": dim, "nlist": nlist, "bits": _LSH_BITS, "src": src}, f)
+        json.dump({"dim": dim, "nlist": nlist}, f)
     shutil.rmtree(out, ignore_errors=True)
     os.replace(tmp, out)
     return out
@@ -224,7 +243,7 @@ def lsh_knn(sf_dir: str, query_vec_id: int = 0, k: int = 10, multiprobe: int = 1
     read only the query's bucket plus Hamming-≤multiprobe neighbor buckets.
     Returns (rank, vec_id, sim_r, probed); ``probed`` counts candidates
     actually scanned (strictly fewer than the corpus)."""
-    idx = ensure_ann_index(sf_dir)
+    idx = ensure_lsh_index(sf_dir)
     planes = np.load(os.path.join(idx, "planes.npy"))
     q = _query_vector(sf_dir, query_vec_id)
     qb = int(_bucket_of(q[None, :], planes)[0])
@@ -354,7 +373,7 @@ def ivf_knn(sf_dir: str, query_vec_id: int = 0, k: int = 10, nlist: int = 16, np
     """Approximate top-k via the PERSISTED list-partitioned IVF index: load
     the tiny centroid sidecar, probe the ``nprobe`` nearest lists, read only
     those partitions. Returns (rank, vec_id, sim_r, probed)."""
-    idx = ensure_ann_index(sf_dir, nlist=nlist)
+    idx = ensure_ivf_index(sf_dir, nlist=nlist)
     cent = np.load(os.path.join(idx, "centroids.npy"))
     q = _query_vector(sf_dir, query_vec_id)
     qn = q / np.sqrt((q * q).sum())

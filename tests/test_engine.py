@@ -728,3 +728,86 @@ class TestSiteScoping:
         # an index built WITHOUT site_column rejects any site= scoping
         sub = QueryEngine(idx_sub)
         assert sub.search("суд", site="assistant")["result"] is False
+
+
+class TestDistributedFinalize:
+    def test_distributed_finalize_equals_driver(
+        self, ray_session, tiny_corpus, tmp_path_factory
+    ):
+        """The Ray-job finalize (vocabulary never on the driver) must produce
+        the same dictionary, site dictionary, stats and a working reader."""
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.build import _finalize
+        from searchengine_ray.index_store import IndexReader
+
+        root = tmp_path_factory.mktemp("dfin")
+        corpus_dir = str(root / "corpus")
+        os.makedirs(corpus_dir)
+        pq.write_table(tiny_corpus, f"{corpus_dir}/p.parquet")
+        idx = str(root / "idx")
+        cfg = CFG.replace(num_shards=2, site_column="role")
+        m1 = build_index(corpus_dir, idx, cfg)
+        d1 = (
+            pq.read_table(os.path.join(idx, "dictionary.parquet"))
+            .to_pandas()
+            .sort_values("lemma")
+            .reset_index(drop=True)
+        )
+        s1 = (
+            pq.read_table(os.path.join(idx, "dictionary_sites.parquet"))
+            .to_pandas()
+            .sort_values(["site", "lemma"])
+            .reset_index(drop=True)
+        )
+        m2 = _finalize(idx, cfg, m1["shards"], force_distributed=True)
+        assert m2["n_docs"] == m1["n_docs"]
+        assert m2["n_lemmas"] == m1["n_lemmas"]
+        assert m2["sites"] == m1["sites"]
+        d2 = (
+            pq.read_table(os.path.join(idx, "dictionary.parquet"))
+            .to_pandas()
+            .sort_values("lemma")
+            .reset_index(drop=True)
+        )
+        s2 = (
+            pq.read_table(os.path.join(idx, "dictionary_sites.parquet"))
+            .to_pandas()
+            .sort_values(["site", "lemma"])
+            .reset_index(drop=True)
+        )
+        assert d1.equals(d2[d1.columns])
+        assert s1.equals(s2[s1.columns])
+        # reader works over the directory-shaped dictionary; searches match
+        eng = QueryEngine(idx)
+        r = eng.search_ids("суд")
+        assert r["count"] > 0
+        # and a THIRD driver finalize over the directory layout round-trips
+        m3 = _finalize(idx, cfg, m1["shards"])
+        assert m3["n_lemmas"] == m1["n_lemmas"]
+
+    def test_distributed_conv_distinct_equals_driver(
+        self, ray_session, tiny_corpus, tmp_path_factory
+    ):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.build import _distinct_conv_ids_distributed
+
+        root = tmp_path_factory.mktemp("dconv")
+        corpus_dir = str(root / "corpus")
+        os.makedirs(corpus_dir)
+        n = tiny_corpus.num_rows
+        per = (n + 3) // 4
+        files = []
+        for i in range(4):
+            chunk = tiny_corpus.slice(i * per, min(per, n - i * per))
+            if chunk.num_rows:
+                p = f"{corpus_dir}/part-{i:05d}.parquet"
+                pq.write_table(chunk, p)
+                files.append(p)
+        want = sorted(
+            pc.unique(tiny_corpus["conv_id"].combine_chunks()).to_pylist()
+        )
+        got = _distinct_conv_ids_distributed(files)
+        assert got == want
