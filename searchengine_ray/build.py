@@ -239,9 +239,16 @@ class ExplodePostings:
         import ray
 
         conv_arr = ray.get(conv_ranks_ref)
-        # rank lookup = searchsorted over the broadcast SORTED fixed-width
-        # array (vectorized, ~half the memory of a dict of the same convs)
-        self.conv_sorted = np.asarray(conv_arr, dtype=np.str_)
+        # Rank lookup: a dict is ~2× faster per batch but costs ~2× the
+        # memory of the sorted fixed-width array — use the dict while it is
+        # cheap, searchsorted over the broadcast sorted array beyond 10^6
+        # convs (the documented big-corpus shape).
+        if len(conv_arr) <= 1_000_000:
+            self.rank: dict[str, int] | None = {c: i for i, c in enumerate(conv_arr)}
+            self.conv_sorted = None
+        else:
+            self.rank = None
+            self.conv_sorted = np.asarray(conv_arr, dtype=np.str_)
         self.n_convs = max(1, n_convs)
         self.config = config
         self.analyzer = Analyzer(config.analyzer)
@@ -287,18 +294,25 @@ class ExplodePostings:
         via dictionary encoding; counting and grouping are pure numpy."""
         from searchengine_ray.textproc import tokens_flat_arrow
 
-        conv_ids = np.asarray(batch["conv_id"].to_pylist(), dtype=np.str_)
+        conv_list = batch["conv_id"].to_pylist()
         turn_idx = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
-        n_docs = len(conv_ids)
+        n_docs = len(conv_list)
         S = self.config.num_segments
 
         if np.any(turn_idx > TURN_MASK):
             raise ValueError(f"turn_idx exceeds {TURN_MASK} (keys.TURN_BITS)")
-        ranks = np.searchsorted(self.conv_sorted, conv_ids)
-        ranks_c = np.minimum(ranks, self.conv_sorted.size - 1)
-        if not (self.conv_sorted[ranks_c] == conv_ids).all():
-            missing = conv_ids[self.conv_sorted[ranks_c] != conv_ids][:3]
-            raise KeyError(f"conv_ids missing from conv dictionary: {missing.tolist()}")
+        if self.rank is not None:
+            rank = self.rank
+            ranks = np.fromiter((rank[c] for c in conv_list), dtype=np.int64, count=n_docs)
+        else:
+            conv_ids = np.asarray(conv_list, dtype=np.str_)
+            ranks = np.searchsorted(self.conv_sorted, conv_ids)
+            ranks_c = np.minimum(ranks, self.conv_sorted.size - 1)
+            if not (self.conv_sorted[ranks_c] == conv_ids).all():
+                missing = conv_ids[self.conv_sorted[ranks_c] != conv_ids][:3]
+                raise KeyError(
+                    f"conv_ids missing from conv dictionary: {missing.tolist()}"
+                )
         docid_by_row = (ranks << TURN_BITS) | turn_idx
 
         flat, parents = tokens_flat_arrow(batch["text"], self.analyzer.mode)
@@ -445,18 +459,32 @@ def _make_encode_group(config: EngineConfig):
     S = config.num_segments
 
     def encode_group(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
         pkey = int(group["pkey"][0].as_py())
         seg = pkey % S
         bucket = pkey // S
-        # np.unique, NOT pd.factorize: pandas' C string hashing stops at an
-        # embedded NUL, so the "\x00site=…" sentinel lemmas would all hash
-        # EQUAL and their posting lists would silently merge. np.unique
-        # compares full Python strings (sorted ascending, same contract).
-        lem_uniques, lem_codes = np.unique(
-            group["lemma"].to_numpy(zero_copy_only=False), return_inverse=True
+        # pandas' C string hash table stops at an embedded NUL, so the
+        # "\x00site=…" / "\x00doclen" sentinel lemmas would all hash EQUAL
+        # and their posting lists would silently merge. Escape the NUL
+        # prefix to "\x01" (no real token can start with either byte)
+        # before factorizing — keeps the C-speed hash path (np.unique's
+        # Python-compare sort measured ~2× slower on the build's hot
+        # reduce) — and un-escape on the way out.
+        lem_raw = group["lemma"].to_numpy(zero_copy_only=False)
+        sent_mask = pd.Series(lem_raw, dtype=object).str.startswith("\x00").to_numpy()
+        if sent_mask.any():
+            lem_escaped = lem_raw.copy()
+            lem_escaped[sent_mask] = ["\x01" + s[1:] for s in lem_raw[sent_mask]]
+        else:
+            lem_escaped = lem_raw
+        lem_codes, lem_uniques = pd.factorize(lem_escaped, sort=True)
+        lem_uniques = np.asarray(
+            ["\x00" + u[1:] if u.startswith("\x01") else u for u in lem_uniques],
+            dtype=object,
         )
-        site_uniques, site_codes = np.unique(
-            group["site"].to_numpy(zero_copy_only=False), return_inverse=True
+        site_codes, site_uniques = pd.factorize(
+            group["site"].to_numpy(zero_copy_only=False), sort=True
         )
         nsites = max(1, len(site_uniques))
         # one encoded posting list per (lemma, site) — combined code keeps

@@ -70,40 +70,54 @@ def windowed_events(sf_dir: str):
 
 SESSION_GAP_US = 1_800_000_000  # 30 minutes
 
+_USER_PARTITIONS = 64
+
 
 def sessionize_events(sf_dir: str):
     """Gap-based session windows per user (gap > 30 min starts a new
-    session): (user_id, session_start_us, n_events, duration_us_max).
+    session): (user_id, session_start_us, n_events, duration_us).
 
-    Shape: ``groupby(user_id).map_groups`` — sessions need a per-user time
-    sort, which the groupby co-locates; each group is one user's events
-    (bounded: sessions never span users, so there is no global sort). The
-    SQL mirror is the classic lag/cumsum session assignment."""
-    import pandas as pd
+    Shape: hash users into a FIXED number of partitions, then ONE vectorized
+    pass per partition — sort by (user, ts), session boundaries = user
+    change OR gap, stats via reduceat. NOT ``groupby(user_id).map_groups``:
+    per-group Python dispatch is O(users) (the high-cardinality-group
+    disease); the partitioned pass does every user in the partition at
+    once. The SQL mirror is the classic lag/cumsum session assignment."""
     import ray.data as rd
 
-    def sessions(group: pa.Table) -> pa.Table:
-        ts = np.sort(group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False))
-        uid = group["user_id"][0].as_py()
-        new_sess = np.empty(ts.size, dtype=bool)
-        new_sess[0] = True
-        new_sess[1:] = (ts[1:] - ts[:-1]) > SESSION_GAP_US
-        sess_id = np.cumsum(new_sess) - 1
-        starts = ts[new_sess]
-        n_events = np.bincount(sess_id)
-        ends = np.maximum.reduceat(ts, np.nonzero(new_sess)[0])
+    def add_part(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "user_id": pa.array([uid] * starts.size, type=pa.int64()),
-                "session_start_us": pa.array(starts, type=pa.int64()),
-                "n_events": pa.array(n_events, type=pa.int64()),
-                "duration_us": pa.array(ends - starts, type=pa.int64()),
+                "user_id": batch["user_id"],
+                "ts_us": batch["ts"].cast(pa.int64()),
+                "q": pa.array((u % _USER_PARTITIONS).astype(np.int64)),
+            }
+        )
+
+    def sessions(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
+        new_sess = np.empty(uid.size, dtype=bool)
+        new_sess[0] = True
+        new_sess[1:] = (uid[1:] != uid[:-1]) | ((ts[1:] - ts[:-1]) > SESSION_GAP_US)
+        starts = np.nonzero(new_sess)[0]
+        ends = np.concatenate((starts[1:], [uid.size]))
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], type=pa.int64()),
+                "session_start_us": pa.array(ts[starts], type=pa.int64()),
+                "n_events": pa.array(ends - starts, type=pa.int64()),
+                "duration_us": pa.array(ts[ends - 1] - ts[starts], type=pa.int64()),
             }
         )
 
     out = (
         rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
-        .groupby("user_id")
+        .map_batches(add_part, batch_format="pyarrow", batch_size=8192)
+        .groupby("q")
         .map_groups(sessions, batch_format="pyarrow")
         .to_pandas()
     )
@@ -114,37 +128,61 @@ def sessionize_events(sf_dir: str):
 
 def asof_join_events(sf_dir: str):
     """As-of join (an operator Ray Data lacks): each 'click' event matched
-    to the SAME user's most recent 'view' event at ts ≤ click ts. Composed
-    as one read + side tags + ``groupby(user_id).map_groups`` with a sorted
-    ``searchsorted`` merge per user — the partitioning assumption is that
-    one user's history fits a task (same as sessionization); range-salting
-    by time would bound pathological users. Returns
+    to the SAME user's most recent 'view' event at ts ≤ click ts.
+
+    Shape: vectorized-mask pre-filter to view/click rows (no per-row Python
+    filter), hash users into fixed partitions, then one vectorized pass per
+    partition: sort by (user, ts, view-before-click), running
+    ``np.maximum.accumulate`` of view positions gives every click its
+    latest-view index, invalidated across user boundaries by an id check.
+    The partitioning assumption is that a user's history lives in one
+    partition (hash-partitioning guarantees it); range-salting by time
+    would bound pathological partitions. Returns
     (event_id, user_id, ts_us, view_ts_us, view_value_r)."""
     import ray.data as rd
 
-    def per_user(group: pa.Table) -> pa.Table:
-        et = group["event_type"].to_numpy(zero_copy_only=False)
-        ts = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        eid = group["event_id"].to_numpy(zero_copy_only=False)
-        val = group["value"].to_numpy(zero_copy_only=False)
-        uid = group["user_id"][0].as_py()
-        is_view = et == "view"
-        is_click = et == "click"
-        vts = ts[is_view]
-        vval = val[is_view]
-        o = np.argsort(vts, kind="stable")
-        vts, vval = vts[o], vval[o]
-        cts = ts[is_click]
-        ceid = eid[is_click]
-        pos = np.searchsorted(vts, cts, side="right") - 1
-        ok = pos >= 0
+    def prep(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        mask = (et == "view") | (et == "click")
+        sub = batch.filter(pa.array(mask))
+        u = sub["user_id"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "event_id": pa.array(ceid[ok], type=pa.int64()),
-                "user_id": pa.array(np.full(int(ok.sum()), uid), type=pa.int64()),
-                "ts_us": pa.array(cts[ok], type=pa.int64()),
-                "view_ts_us": pa.array(vts[pos[ok]], type=pa.int64()),
-                "view_value_r": pa.array(_round_vec(vval[pos[ok]]), type=pa.float64()),
+                "event_id": sub["event_id"],
+                "user_id": sub["user_id"],
+                "ts_us": sub["ts"].cast(pa.int64()),
+                "is_click": pa.array(
+                    sub["event_type"].to_numpy(zero_copy_only=False) == "click"
+                ),
+                "value": sub["value"],
+                "q": pa.array((u % _USER_PARTITIONS).astype(np.int64)),
+            }
+        )
+
+    def asof_partition(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_click = group["is_click"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        val = group["value"].to_numpy(zero_copy_only=False)
+        # views sort before clicks at equal (uid, ts) → "ts <= click ts"
+        order = np.lexsort((is_click, ts, uid))
+        uid, ts, is_click, eid, val = (
+            uid[order], ts[order], is_click[order], eid[order], val[order]
+        )
+        idx = np.arange(uid.size)
+        last_view = np.maximum.accumulate(np.where(~is_click, idx, -1))
+        ci = np.nonzero(is_click & (last_view >= 0))[0]
+        vi = last_view[ci]
+        same = uid[vi] == uid[ci]  # accumulate crosses user boundaries
+        ci, vi = ci[same], vi[same]
+        return pa.table(
+            {
+                "event_id": pa.array(eid[ci], type=pa.int64()),
+                "user_id": pa.array(uid[ci], type=pa.int64()),
+                "ts_us": pa.array(ts[ci], type=pa.int64()),
+                "view_ts_us": pa.array(ts[vi], type=pa.int64()),
+                "view_value_r": pa.array(_round_vec(val[vi]), type=pa.float64()),
             }
         )
 
@@ -153,9 +191,9 @@ def asof_join_events(sf_dir: str):
             os.path.join(sf_dir, "events.parquet"),
             columns=["event_id", "user_id", "ts", "event_type", "value"],
         )
-        .filter(lambda r: r["event_type"] in ("view", "click"))
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pyarrow")
+        .map_batches(prep, batch_format="pyarrow", batch_size=8192)
+        .groupby("q")
+        .map_groups(asof_partition, batch_format="pyarrow")
         .to_pandas()
     )
     return out.sort_values("event_id", kind="stable").reset_index(drop=True)
