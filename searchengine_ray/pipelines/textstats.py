@@ -12,7 +12,7 @@ import numpy as np
 import pyarrow as pa
 
 from searchengine_ray.pipelines.fulltext import _round_vec, read_documents
-from searchengine_ray.textproc import EN_STOPWORDS, tokenize_simple
+from searchengine_ray.textproc import EN_STOPWORDS
 
 # Distinctive function-word votes per language (deterministic; mirrored
 # verbatim in the langid oracle SQL). Keys evaluated in ascending order for
