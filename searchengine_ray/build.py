@@ -141,10 +141,14 @@ _CONV_DISTINCT_PARTITIONS = 64
 
 def _distinct_conv_ids_distributed(files: list[str]) -> list[str]:
     """DISTRIBUTED distinct over the conv_id column: batch-local np.unique
-    (map-side combine), fixed-partition shuffle by conv-id hash, partition-
-    local np.unique — never ``ds.unique``/``groupby(conv_id)``, whose
-    per-group Python dispatch is O(distinct convs). Only the DISTINCT set
-    streams back to the driver (one sorted merge)."""
+    (map-side combine) streamed back to the driver with periodic
+    compaction — no shuffle. Under the input contract (stable
+    ``(conv_id, turn_idx)`` ordering ⇒ conv-contiguous blocks) per-block
+    unique sets are nearly disjoint, so the driver never holds much more
+    than the final distinct set; the compaction bound (re-unique every
+    ~5M buffered ids) keeps even adversarial layouts at
+    O(distinct + 5M) driver memory. Never ``ds.unique`` /
+    ``groupby(conv_id)`` — per-group Python dispatch is O(distinct)."""
     import ray.data as rd
 
     with _DATASET_CTOR_LOCK:
@@ -152,28 +156,24 @@ def _distinct_conv_ids_distributed(files: list[str]) -> list[str]:
 
     def part(batch: pa.Table) -> pa.Table:
         u = np.unique(batch["conv_id"].to_numpy(zero_copy_only=False))
-        q = np.fromiter(
-            (zlib.crc32(c.encode("utf-8")) % _CONV_DISTINCT_PARTITIONS for c in u),
-            dtype=np.int64,
-            count=u.size,
-        )
-        return pa.table(
-            {"conv_id": pa.array(u, type=pa.string()), "q": pa.array(q)}
-        )
-
-    def final(group: pa.Table) -> pa.Table:
-        u = np.unique(group["conv_id"].to_numpy(zero_copy_only=False))
         return pa.table({"conv_id": pa.array(u, type=pa.string())})
 
-    out = (
-        ds.map_batches(part, batch_format="pyarrow")
-        .groupby("q")
-        .map_groups(final, batch_format="pyarrow")
-    )
-    convs: list[str] = []
+    out = ds.map_batches(part, batch_format="pyarrow")
+    acc: np.ndarray | None = None
+    buf: list[np.ndarray] = []
+    buf_n = 0
     for b in out.iter_batches(batch_format="pyarrow"):
-        convs.extend(b["conv_id"].to_pylist())
-    return sorted(convs)
+        arr = b["conv_id"].to_numpy(zero_copy_only=False)
+        buf.append(arr)
+        buf_n += arr.size
+        if buf_n >= 5_000_000:
+            parts = ([acc] if acc is not None else []) + buf
+            acc = np.unique(np.concatenate(parts))
+            buf, buf_n = [], 0
+    parts = ([acc] if acc is not None else []) + buf
+    if not parts:
+        return []
+    return np.unique(np.concatenate(parts)).tolist()
 
 
 def build_conv_dict(files: list[str], index_dir: str) -> np.ndarray:
