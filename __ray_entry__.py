@@ -198,7 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_knn": lambda sf: similarity.lsh_knn(sf, query_vec_id=0, k=10),  # rows-only (ANN)
         "ivf_knn": lambda sf: similarity.ivf_knn(sf, query_vec_id=0, k=10),  # rows-only (ANN)
         "ivf_assignments": similarity.ivf_assignments,  # rows-only (k-means)
-        "lsh_assignments": similarity.lsh_assignments,  # rows-only (hyperplanes)
+        "lsh_assignments": similarity.lsh_assignments,  # SQL (literal hyperplanes)
         # rows-only; plant=True derives deterministic near-dup fixtures so
         # the check is non-vacuous (synthetic embeddings have no natural dups)
         "embedding_neardup": lambda sf: similarity.embedding_neardup(sf, 0.95, plant=True),
@@ -212,6 +212,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": multimodal.multimodal_features,  # rows-only (binary payloads)
         "frame_sample": multimodal.frame_sample,  # rows-only (binary payloads)
     }
+
+
+def _lsh_assignments_sql() -> str:
+    """The LSH bucket assignment is exactly SQL-expressible: the seeded
+    hyperplanes are CONSTANTS, so each bit is the sign of a
+    ``list_dot_product`` against a literal vector. Summation-order float
+    noise can only flip a bit when |dot| ≈ 1e-15 — never observed across
+    all SFs (verified exact at sf0.001/0.01/0.1)."""
+    from searchengine_ray.pipelines.similarity import _LSH_BITS, _hyperplanes
+
+    planes = _hyperplanes(64)  # embeddings table dim is 64 by contract
+    terms = []
+    for i in range(_LSH_BITS):
+        vec = "[" + ", ".join(repr(float(x)) for x in planes[i]) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {vec}) > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+        )
+    return (
+        "SELECT vec_id, CAST(" + " + ".join(terms) + " AS BIGINT) AS bucket FROM embeddings"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -292,6 +313,7 @@ GROUP BY n.n_name""",
         "dedup_exact": """
 SELECT md5(text) AS text_hash, min(doc_id) AS rep_doc_id, count(*) AS n_dups
 FROM documents GROUP BY md5(text)""",
+        "lsh_assignments": _lsh_assignments_sql(),
         "knn_cosine": """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
 SELECT CAST(row_number() OVER (ORDER BY round(sim, 4) DESC, vec_id ASC) - 1 AS BIGINT) AS rank,

@@ -377,7 +377,11 @@ def _verify_jaccard_distributed(pairs_ds, sigs_ds, threshold: float, num_partiti
     import ray
 
     if num_partitions is None:
-        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+        # each partition = one aggregator ACTOR per join; actor spawn
+        # (~0.3s) dominates at interactive scale, so cap low — the
+        # aggregators only hash-partition and concat, the per-pair work
+        # happens in the downstream map_batches
+        num_partitions = max(2, min(8, int(ray.cluster_resources().get("CPU", 4)) // 4))
     agg = {"num_cpus": 0.25}
 
     def _rename_sig_a(batch: pa.Table) -> pa.Table:
