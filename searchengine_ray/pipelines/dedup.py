@@ -364,23 +364,19 @@ def _shingle_sigs_ds(sf_dir: str, shingler):
     )
 
 
-def _verify_jaccard_distributed(pairs_ds, sigs_ds, threshold: float, num_partitions: int | None = None):
-    """Exact-Jaccard verification fully distributed: hash-join the shingle
-    sigs onto each pair's ``a`` side then ``b`` side (inner joins — sigs of
-    non-candidate docs never ship), compute per-pair Jaccard in
-    ``map_batches``. Only pairs ≥ threshold ever reach the driver. Returns
-    the verified pairs DataFrame sorted by (doc_a, doc_b).
+def _joined_pair_sigs(pairs_ds, sigs_ds, num_partitions: int | None = None):
+    """Attach each pair's two signatures via distributed inner hash-joins
+    (sigs of non-candidate docs never ship). Returns a Dataset with columns
+    (a, b, sig_a, sig).
 
     Join aggregators run at fractional CPU (two chained joins in one DAG
     would otherwise reserve 2×num_partitions full CPUs and deadlock small
-    clusters); partition count scales with the cluster."""
+    clusters); partition count is capped low — each partition is one
+    aggregator ACTOR per join and spawn cost dominates at interactive
+    scale, while the per-pair work happens downstream in map_batches."""
     import ray
 
     if num_partitions is None:
-        # each partition = one aggregator ACTOR per join; actor spawn
-        # (~0.3s) dominates at interactive scale, so cap low — the
-        # aggregators only hash-partition and concat, the per-pair work
-        # happens in the downstream map_batches
         num_partitions = max(2, min(8, int(ray.cluster_resources().get("CPU", 4)) // 4))
     agg = {"num_cpus": 0.25}
 
@@ -393,10 +389,17 @@ def _verify_jaccard_distributed(pairs_ds, sigs_ds, threshold: float, num_partiti
         sigs_ds, join_type="inner", num_partitions=num_partitions,
         on=("a",), right_on=("doc_id",), aggregator_ray_remote_args=agg,
     ).map_batches(_rename_sig_a, batch_format="pyarrow")
-    j2 = j1.join(
+    return j1.join(
         sigs_ds, join_type="inner", num_partitions=num_partitions,
         on=("b",), right_on=("doc_id",), aggregator_ray_remote_args=agg,
     )
+
+
+def _verify_jaccard_distributed(pairs_ds, sigs_ds, threshold: float, num_partitions: int | None = None):
+    """Exact-Jaccard verification fully distributed: join sigs onto both
+    pair sides, compute per-pair Jaccard in ``map_batches``. Only pairs ≥
+    threshold ever reach the driver. Returns the verified pairs DataFrame
+    sorted by (doc_a, doc_b)."""
 
     def check(batch: pa.Table) -> pa.Table:
         rows = []
@@ -414,7 +417,11 @@ def _verify_jaccard_distributed(pairs_ds, sigs_ds, threshold: float, num_partiti
                 rows.append((a, b, j))
         return _pairs_table(rows)
 
-    out = j2.map_batches(check, batch_format="pyarrow", batch_size=8192).to_pandas()
+    out = (
+        _joined_pair_sigs(pairs_ds, sigs_ds, num_partitions)
+        .map_batches(check, batch_format="pyarrow", batch_size=8192)
+        .to_pandas()
+    )
     if out.empty:
         import pandas as pd
 

@@ -443,19 +443,31 @@ def embedding_neardup(
     ds=None,
 ):
     """Near-duplicate pairs (cosine ≥ threshold, doc_a < doc_b) via
-    multi-table random-hyperplane LSH:
+    multi-table random-hyperplane LSH — the same distributed shape as the
+    MinHash dedup family:
 
     1. map-side: T independent hyperplane tables hash each vector → explode
-       to (table, bucket, vec_id, embedding) rows,
-    2. ``groupby(table, bucket)`` co-locates candidates; each group verifies
-       all pairs with an exact vectorized cosine matmul,
-    3. only VERIFIED pairs reach the driver (dedup across tables is a tiny
-       structured-unique).
+       to (table, bucket, vec_id) rows — IDS ONLY, vectors never multiply
+       through the banding shuffle,
+    2. fixed-partition candidate-pair generation + cross-table dedup
+       (``dedup._candidate_pairs_ds``),
+    3. exact cosine verification via distributed hash-joins of the
+       normalized-vector sigs onto each pair side
+       (``dedup._joined_pair_sigs``) — only VERIFIED pairs reach the
+       driver.
 
-    The full corpus matrix is never broadcast or materialized; compute is
-    O(Σ bucket²), not O(N²). Designed for high thresholds (≥0.9) where
-    banding recall is ~1; ``plant=True`` adds the deterministic near-dup
+    The full corpus matrix is never broadcast or materialized; shuffle
+    volume is T ids/vector + 2 vectors/candidate pair. Designed for high
+    thresholds (≥0.9) where banding recall is ~1 (8 bits × 8 tables ≈ 0.99
+    at cosine 0.95); ``plant=True`` adds the deterministic near-dup
     fixtures (see ``_plant_neardups``)."""
+    import pandas as pd
+
+    from searchengine_ray.pipelines.dedup import (
+        _candidate_pairs_ds,
+        _joined_pair_sigs,
+    )
+
     dim = _embedding_dim(sf_dir)
     plane_list = [_hyperplanes(dim, seed=1000 + t) for t in range(tables)]
 
@@ -473,60 +485,62 @@ def embedding_neardup(
         for t, planes in enumerate(plane_list):
             tbls.append(np.full(n, t, dtype=np.int32))
             buckets.append(_bucket_of(m, planes))
+        # column names follow dedup's banding contract (band, band_hash, doc_id)
         return pa.table(
             {
-                "tbl": pa.array(np.concatenate(tbls)),
-                "bucket": pa.array(np.concatenate(buckets), type=pa.int64()),
-                "vec_id": pa.array(np.tile(ids, tables), type=pa.int64()),
-                "embedding": pa.array(
-                    [r.tolist() for r in m] * tables, type=pa.list_(pa.float64())
-                ),
+                "band": pa.array(np.concatenate(tbls)),
+                "band_hash": pa.array(np.concatenate(buckets), type=pa.int64()),
+                "doc_id": pa.array(np.tile(ids, tables), type=pa.int64()),
             }
         )
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = group["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        m = np.asarray(group["embedding"].to_pylist(), dtype=np.float64)[order]
-        if ids.size > max_bucket:  # no silent cap: surface the truncation
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "neardup LSH bucket truncated: %d > %d vecs", ids.size, max_bucket
-            )
-            ids, m = ids[:max_bucket], m[:max_bucket]
-        empty = pa.table(
-            {
-                "doc_a": pa.array([], type=pa.int64()),
-                "doc_b": pa.array([], type=pa.int64()),
-                "sim": pa.array([], type=pa.float64()),
-            }
-        )
-        if ids.size < 2:
-            return empty
+    def vec_sigs(batch: pa.Table) -> pa.Table:
+        m = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
         norm = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
-        sims = norm @ norm.T
-        ia, ib = np.triu_indices(ids.size, k=1)
-        # in-bucket duplicates of the same vec (can't happen within one
-        # table; guard anyway) and sub-threshold pairs are dropped here
-        ok = (sims[ia, ib] >= threshold) & (ids[ia] != ids[ib])
-        if not ok.any():
-            return empty
         return pa.table(
             {
-                "doc_a": pa.array(ids[ia[ok]], type=pa.int64()),
-                "doc_b": pa.array(ids[ib[ok]], type=pa.int64()),
-                "sim": pa.array(sims[ia[ok], ib[ok]], type=pa.float64()),
+                "doc_id": pa.array(
+                    batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    type=pa.int64(),
+                ),
+                "sig": pa.array([r.tobytes() for r in norm], type=pa.binary()),
             }
         )
 
-    import pandas as pd
+    bands = source.map_batches(explode_tables, batch_format="pyarrow", batch_size=2048)
+    pairs_ds = _candidate_pairs_ds(bands, max_bucket=max_bucket)
+    sigs_ds = source.map_batches(vec_sigs, batch_format="pyarrow", batch_size=2048)
+
+    def check(batch: pa.Table) -> pa.Table:
+        a_arr = batch["a"].to_numpy(zero_copy_only=False)
+        b_arr = batch["b"].to_numpy(zero_copy_only=False)
+        if a_arr.size == 0:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], type=pa.int64()),
+                    "doc_b": pa.array([], type=pa.int64()),
+                    "sim": pa.array([], type=pa.float64()),
+                }
+            )
+        sa = np.frombuffer(
+            b"".join(batch["sig_a"].to_pylist()), dtype=np.float64
+        ).reshape(a_arr.size, -1)
+        sb = np.frombuffer(
+            b"".join(batch["sig"].to_pylist()), dtype=np.float64
+        ).reshape(b_arr.size, -1)
+        sims = (sa * sb).sum(axis=1)  # rows are L2-normalized
+        ok = sims >= threshold
+        return pa.table(
+            {
+                "doc_a": pa.array(a_arr[ok], type=pa.int64()),
+                "doc_b": pa.array(b_arr[ok], type=pa.int64()),
+                "sim": pa.array(sims[ok], type=pa.float64()),
+            }
+        )
 
     out = (
-        source.map_batches(explode_tables, batch_format="pyarrow", batch_size=2048)
-        .groupby(["tbl", "bucket"])
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+        _joined_pair_sigs(pairs_ds, sigs_ds)
+        .map_batches(check, batch_format="pyarrow", batch_size=8192)
         .to_pandas()
     )
     if out.empty:
@@ -537,21 +551,11 @@ def embedding_neardup(
                 "sim_r": pd.Series(dtype="float64"),
             }
         )
-    a = out["doc_a"].to_numpy(dtype=np.int64)
-    b = out["doc_b"].to_numpy(dtype=np.int64)
-    s = out["sim"].to_numpy(dtype=np.float64)
-    # dedup across tables (verified pairs only — tiny), sort (doc_a, doc_b)
-    pairs = np.empty(a.size, dtype=[("a", "<i8"), ("b", "<i8")])
-    pairs["a"] = a
-    pairs["b"] = b
-    _, first = np.unique(pairs, return_index=True)
-    sel = np.sort(first)
-    order = np.lexsort((b[sel], a[sel]))
-    sel = sel[order]
+    out = out.sort_values(["doc_a", "doc_b"], kind="stable").reset_index(drop=True)
     return pd.DataFrame(
         {
-            "doc_a": a[sel],
-            "doc_b": b[sel],
-            "sim_r": _round_vec(s[sel]),
+            "doc_a": out["doc_a"].to_numpy(dtype=np.int64),
+            "doc_b": out["doc_b"].to_numpy(dtype=np.int64),
+            "sim_r": _round_vec(out["sim"].to_numpy(dtype=np.float64)),
         }
     )
