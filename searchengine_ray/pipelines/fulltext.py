@@ -232,8 +232,23 @@ def doc_stats(sf_dir: str):
 
 def top_terms(sf_dir: str, k: int = 20):
     """Global top-k lemmas by collection frequency; deterministic
-    (cf desc, lemma asc) order, returned with rank."""
-    t = lemma_df(sf_dir).to_pandas()
+    (cf desc, lemma asc) order, returned with rank. Each lemma is fully
+    aggregated inside ONE partition of ``lemma_df``'s output, so a
+    per-batch local top-k bounds what reaches the driver to
+    k·n_batches rows — never the vocabulary."""
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(
+            ["cf", "lemma"], ascending=[False, True], kind="stable"
+        ).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    t = (
+        lemma_df(sf_dir)
+        .map_batches(local_topk, batch_format="pyarrow")
+        .to_pandas()
+    )
     t = t.sort_values(["cf", "lemma"], ascending=[False, True], kind="stable").head(k)
     t = t.reset_index(drop=True)
     t["rank"] = t.index.astype("int64")
