@@ -335,17 +335,18 @@ def ivf_train_distributed(
             m = _emb_matrix(batch["embedding"])
             m = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
             assign = np.argmax(m @ c.T, axis=1)
-            ks, sums, counts = [], [], []
-            for k in np.unique(assign):
-                members = m[assign == k]
-                ks.append(int(k))
-                sums.append(members.sum(axis=0).tolist())
-                counts.append(int(members.shape[0]))
+            # per-centroid partials via sort + reduceat (no Python loop over
+            # centroids — nlist can be 10^5 at scale)
+            order = np.argsort(assign, kind="stable")
+            a_s = assign[order]
+            starts = np.concatenate(([0], np.nonzero(np.diff(a_s))[0] + 1))
+            sums = np.add.reduceat(m[order], starts, axis=0)
+            counts = np.diff(np.concatenate((starts, [a_s.size])))
             return pa.table(
                 {
-                    "k": pa.array(ks, type=pa.int32()),
-                    "vsum": pa.array(sums, type=pa.list_(pa.float64())),
-                    "n": pa.array(counts, type=pa.int64()),
+                    "k": pa.array(a_s[starts].astype(np.int32)),
+                    "vsum": pa.array([r.tolist() for r in sums], type=pa.list_(pa.float64())),
+                    "n": pa.array(counts.astype(np.int64)),
                 }
             )
 
