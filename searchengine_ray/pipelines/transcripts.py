@@ -144,6 +144,62 @@ def transcript_search_site(sf_dir: str, site: str = "assistant", k: int = 10) ->
     return transcript_search(sf_dir, k=k, site=site)
 
 
+_DEDUP_PARTITIONS = 64
+
+
+def dedup_turns(input_path: str | list, out_dir: str) -> list[str]:
+    """D4 first-wins dedup on ``(conv_id, turn_idx)`` — the reference's
+    frontier/page dedup analogue (``IndexingServiceImpl.java:207``, unique
+    path index ``model/Page.java:15``) as a preparation pipeline for inputs
+    that may contain duplicate turns: keep the EARLIEST row per key (min
+    ``ts``; ties broken by text lexicographically, so the winner is
+    deterministic on every run/cluster). Fixed-partition shape: hash keys
+    into 64 partitions, one vectorized first-wins pass per partition, write
+    partitioned parquet to ``out_dir``. Returns the written files."""
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from searchengine_ray.build import _expand_input
+
+    files = _expand_input(input_path)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        convs = batch["conv_id"].to_pylist()
+        turns = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = np.fromiter(
+            (zlib.crc32(c.encode("utf-8")) for c in convs),
+            dtype=np.int64,
+            count=len(convs),
+        )
+        q = (q ^ turns) % _DEDUP_PARTITIONS
+        return batch.append_column("q", pa.array(q))
+
+    def first_wins(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        df = df.sort_values(
+            ["conv_id", "turn_idx", "ts", "text"], kind="stable"
+        ).drop_duplicates(["conv_id", "turn_idx"], keep="first")
+        return pa.Table.from_pandas(
+            df.drop(columns=["q"]), preserve_index=False
+        )
+
+    (
+        rd.read_parquet(files)
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("q")
+        .map_groups(first_wins, batch_format="pyarrow")
+        .write_parquet(out_dir)
+    )
+    return sorted(
+        os.path.join(out_dir, f) for f in os.listdir(out_dir) if f.endswith(".parquet")
+    )
+
+
 def transcript_index_dictionary(sf_dir: str) -> pd.DataFrame:
     """Dictionary (lemma, df, cf) of the built transcript index — the
     index-content surface of the engine, oracle-checked in SQL."""

@@ -153,3 +153,25 @@ def test_stop_cli_writes_flag(tmp_path, capsys):
     import os
 
     assert os.path.exists(str(tmp_path / "idx" / "STOP"))
+
+
+def test_stats_includes_sites(ray_session, tmp_path, capsys):
+    """stats surfaces per-site detail when the index was built with a
+    site column (reference per-site statistics)."""
+    from searchengine_ray.corpus import write_transcripts
+
+    corpus = tmp_path / "corpus"
+    write_transcripts(str(corpus), n_convs=20)
+    idx = tmp_path / "idx"
+    rc = main(
+        ["build", "--input", str(corpus), "--index", str(idx),
+         "--num-shards", "2", "--max-actors", "2", "--site-column", "role"]
+    )
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(["stats", "--index", str(idx)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    sites = out["statistics"]["sites"]
+    assert set(sites) == {"user", "assistant", "tool", "system"}
+    assert sum(s["docs"] for s in sites.values()) == out["statistics"]["total"]["docs"]

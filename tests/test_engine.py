@@ -811,3 +811,49 @@ class TestDistributedFinalize:
         )
         got = _distinct_conv_ids_distributed(files)
         assert got == want
+
+
+class TestDedupTurns:
+    def test_first_wins_then_build(self, ray_session, tiny_corpus, tmp_path_factory):
+        """D4 first-wins preparation composes with the build: duplicated
+        (conv_id, turn_idx) keys collapse to the EARLIEST (min ts) row and
+        the deduped corpus passes strict key validation."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.pipelines.transcripts import dedup_turns
+
+        root = tmp_path_factory.mktemp("dedupturns")
+        corpus = root / "corpus"
+        corpus.mkdir()
+        # duplicate the first 5 keys with LATER ts and different text —
+        # first-wins must keep the originals
+        dup = tiny_corpus.slice(0, 5).to_pydict()
+        dup["text"] = ["LATER " + (t or "") for t in dup["text"]]
+        dup["ts"] = [t.replace(year=2030) for t in dup["ts"]]
+        dirty = pa.concat_tables(
+            [tiny_corpus, pa.table(dup, schema=tiny_corpus.schema)]
+        )
+        pq.write_table(dirty, str(corpus / "p.parquet"))
+
+        clean = root / "clean"
+        files = dedup_turns(str(corpus), str(clean))
+        assert files
+        t = pq.read_table(str(clean))
+        assert t.num_rows == tiny_corpus.num_rows
+        # winners are the ORIGINAL rows (min ts)
+        keep = {
+            (c, i): x
+            for c, i, x in zip(
+                t["conv_id"].to_pylist(), t["turn_idx"].to_pylist(), t["text"].to_pylist()
+            )
+        }
+        for c, i, x in zip(
+            tiny_corpus["conv_id"].to_pylist()[:5],
+            tiny_corpus["turn_idx"].to_pylist()[:5],
+            tiny_corpus["text"].to_pylist()[:5],
+        ):
+            assert keep[(c, i)] == x
+        # composes with a strict build
+        m = build_index(str(clean), str(root / "idx"), CFG, validate_unique_keys=True)
+        assert m["n_docs"] == tiny_corpus.num_rows
