@@ -71,10 +71,24 @@ class IndexReader:
             "conv_id"
         ].to_numpy(zero_copy_only=False)
 
-        dt = pq.read_table(os.path.join(index_dir, "dictionary.parquet"))
-        self.df_map: dict[str, int] = dict(
-            zip(dt["lemma"].to_pylist(), dt["df"].to_numpy(zero_copy_only=False).tolist())
-        )
+        # Dictionary access: small vocabularies load eagerly (one dict, no
+        # per-term I/O); past the threshold the reader goes LAZY — per-term
+        # pushdown point reads against the lemma-sorted dictionary parquet
+        # (row-group stats prune to ~one group), memoized. A query touches
+        # a handful of terms, so serving never needs the vocabulary in
+        # memory — the 10^9-lemma reader shape.
+        self._dict_path = os.path.join(index_dir, "dictionary.parquet")
+        n_lemmas = int(self.manifest.get("n_lemmas", 0))
+        self._df_cache: dict[str, int] = {}
+        self._dict_eager = n_lemmas <= self._EAGER_DICT_MAX
+        if self._dict_eager:
+            dt = pq.read_table(self._dict_path, columns=["lemma", "df"])
+            self._df_cache = dict(
+                zip(
+                    dt["lemma"].to_pylist(),
+                    dt["df"].to_numpy(zero_copy_only=False).tolist(),
+                )
+            )
 
         # exact shard=NNNNN names only — never consume a stale .tmp leftover
         all_shards = list_shard_names(os.path.join(index_dir, "shards"))
@@ -111,11 +125,37 @@ class IndexReader:
 
     # -- dictionary -----------------------------------------------------
 
+    _EAGER_DICT_MAX = 4_000_000  # lemmas; beyond this the dictionary is lazy
+
     def df(self, lemma: str) -> int:
-        return self.df_map.get(lemma, 0)
+        hit = self._df_cache.get(lemma)
+        if hit is not None:
+            return hit
+        if self._dict_eager:
+            return 0
+        t = pq.read_table(
+            self._dict_path, columns=["lemma", "df"], filters=[("lemma", "=", lemma)]
+        )
+        val = int(t["df"][0].as_py()) if t.num_rows else 0
+        self._df_cache[lemma] = val
+        return val
 
     def has(self, lemma: str) -> bool:
-        return lemma in self.df_map
+        return self.df(lemma) > 0
+
+    @property
+    def df_map(self) -> dict[str, int]:
+        """Full lemma → df dict (loads the whole dictionary — test/debug
+        surface; the serving path uses per-term ``df``)."""
+        if not self._dict_eager and len(self._df_cache) < self.manifest.get("n_lemmas", 0):
+            dt = pq.read_table(self._dict_path, columns=["lemma", "df"])
+            self._df_cache = dict(
+                zip(
+                    dt["lemma"].to_pylist(),
+                    dt["df"].to_numpy(zero_copy_only=False).tolist(),
+                )
+            )
+        return self._df_cache
 
     # -- postings -------------------------------------------------------
 

@@ -857,3 +857,31 @@ class TestDedupTurns:
         # composes with a strict build
         m = build_index(str(clean), str(root / "idx"), CFG, validate_unique_keys=True)
         assert m["n_docs"] == tiny_corpus.num_rows
+
+
+class TestLazyDictionary:
+    def test_lazy_reader_matches_eager(self, ray_session, built, monkeypatch):
+        """Past the vocabulary threshold the reader resolves df via per-term
+        pushdown point reads — results must equal the eager dict exactly."""
+        from searchengine_ray.index_store import IndexReader
+        from searchengine_ray.query import QueryEngine
+
+        *_, index_dir = built
+        monkeypatch.setattr(IndexReader, "_EAGER_DICT_MAX", 0)
+        lazy = QueryEngine(index_dir)
+        assert lazy.reader._dict_eager is False
+        eager = QueryEngine(index_dir)  # monkeypatch applies; force eager
+        monkeypatch.undo()
+        eager2 = QueryEngine(index_dir)
+        assert eager2.reader._dict_eager is True
+        for q in reference_queries():
+            if not q["query"]:
+                continue
+            a = lazy.search_ids(q["query"], limit=10)
+            b = eager2.search_ids(q["query"], limit=10)
+            assert a["count"] == b["count"], q["query_id"]
+            if a["count"]:
+                assert list(a["conv_id"]) == list(b["conv_id"]), q["query_id"]
+                assert np.allclose(a["score"], b["score"], rtol=0, atol=0)
+        assert lazy.reader.df("qqqzzz-not-a-lemma") == 0
+        assert not lazy.reader.has("qqqzzz-not-a-lemma")
