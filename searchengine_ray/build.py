@@ -539,6 +539,46 @@ def _make_encode_group(config: EngineConfig):
     return encode_group
 
 
+def _write_norms_sidecar(shard_dir: str) -> None:
+    """Decode the shard's doc-length sentinels once at BUILD time into raw
+    ``.npy`` sidecars (docid-sorted, aligned). Readers ``np.load(...,
+    mmap_mode="r")`` them — opening a 20M-doc index costs milliseconds and
+    OS pages norms in on demand, instead of a multi-second full sentinel
+    decode into process heap (the BM25-norms analogue of Lucene's norms
+    file)."""
+    import pyarrow.dataset as pads
+
+    from searchengine_ray.codec import EncodedPostings, decode_postings
+
+    t = pads.dataset(os.path.join(shard_dir, "postings")).to_table(
+        columns=["df", "doc_blob", "tf_blob", "block_last_docid",
+                 "block_max_tf", "block_doc_off", "block_tf_off"],
+        filter=pads.field("lemma") == DOCLEN_LEMMA,
+    )
+    if t.num_rows == 0:
+        docids = np.empty(0, dtype=np.int64)
+        dls = np.empty(0, dtype=np.int32)
+    else:
+        parts = []
+        for i in range(t.num_rows):
+            enc = EncodedPostings(
+                n=int(t["df"][i].as_py()),
+                doc_blob=t["doc_blob"][i].as_py(),
+                tf_blob=t["tf_blob"][i].as_py(),
+                block_last_docid=t["block_last_docid"][i].as_py(),
+                block_max_tf=t["block_max_tf"][i].as_py(),
+                block_doc_off=t["block_doc_off"][i].as_py(),
+                block_tf_off=t["block_tf_off"][i].as_py(),
+            )
+            parts.append(decode_postings(enc))
+        docids = np.concatenate([p[0] for p in parts])
+        dls = np.concatenate([p[1] for p in parts]).astype(np.int32)
+        order = np.argsort(docids, kind="stable")
+        docids, dls = docids[order], dls[order]
+    np.save(os.path.join(shard_dir, "norms_docid.npy"), docids)
+    np.save(os.path.join(shard_dir, "norms_dl.npy"), dls)
+
+
 def _config_signature(config: EngineConfig) -> dict:
     """The layout-affecting config fields. A resumed shard is reused only
     when these match — text semantics or on-disk layout changes (analyzer,
@@ -656,6 +696,8 @@ def _build_shard(
         fd = two.submit(_write_docs)
         fp.result()
         fd.result()
+
+    _write_norms_sidecar(tmp_dir)
 
     manifest = {
         "shard": shard_id,

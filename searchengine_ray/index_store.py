@@ -108,20 +108,36 @@ class IndexReader:
         self._cache: OrderedDict[str, list[EncodedPostings]] = OrderedDict()
         self._cache_size = postings_cache_size
 
-        # Doc lengths: decode the sentinel segments once (BM25 norms; the
-        # Lucene-norms analogue). Sorted docid + aligned dl arrays; at
-        # 10^12-doc scale this becomes a per-shard mmap, same contract.
-        segs = self.postings_segments(DOCLEN_LEMMA)
-        if segs:
-            parts = [decode_postings(e) for e in segs]
-            docids = np.concatenate([p[0] for p in parts])
-            dls = np.concatenate([p[1] for p in parts])
-            order = np.argsort(docids, kind="stable")
-            self._dl_docids = docids[order]
-            self._dl = dls[order]
-        else:
-            self._dl_docids = np.empty(0, dtype=np.int64)
-            self._dl = np.empty(0, dtype=np.int64)
+        # Doc lengths (BM25 norms; the Lucene-norms analogue): per-shard
+        # docid-sorted ``.npy`` sidecars, MEMORY-MAPPED — opening the reader
+        # never decodes or heap-loads the norms; the OS pages them in on
+        # demand. Older layouts without sidecars fall back to a one-time
+        # sentinel decode.
+        self._dl_parts: list[tuple[np.ndarray, np.ndarray]] = []
+        sidecars_ok = all(
+            os.path.exists(os.path.join(index_dir, "shards", s, "norms_docid.npy"))
+            for s in all_shards
+        )
+        if sidecars_ok and all_shards:
+            for s in all_shards:
+                d = np.load(
+                    os.path.join(index_dir, "shards", s, "norms_docid.npy"),
+                    mmap_mode="r",
+                )
+                l = np.load(
+                    os.path.join(index_dir, "shards", s, "norms_dl.npy"),
+                    mmap_mode="r",
+                )
+                if d.size:
+                    self._dl_parts.append((d, l))
+        else:  # legacy layout: decode the sentinel segments once
+            segs = self.postings_segments(DOCLEN_LEMMA)
+            if segs:
+                parts = [decode_postings(e) for e in segs]
+                docids = np.concatenate([p[0] for p in parts])
+                dls = np.concatenate([p[1] for p in parts])
+                order = np.argsort(docids, kind="stable")
+                self._dl_parts.append((docids[order], dls[order]))
 
     # -- dictionary -----------------------------------------------------
 
@@ -289,8 +305,34 @@ class IndexReader:
         return hit
 
     def doc_lengths(self, docids: np.ndarray) -> np.ndarray:
-        idx = np.searchsorted(self._dl_docids, docids)
-        return self._dl[idx]
+        """dl per docid: each shard's sorted norms array is probed with one
+        vectorized searchsorted (shards are doc-disjoint, so every docid
+        resolves in exactly one part)."""
+        out = np.zeros(docids.size, dtype=np.int64)
+        for d_arr, l_arr in self._dl_parts:
+            pos = np.searchsorted(d_arr, docids)
+            pos_c = np.minimum(pos, d_arr.size - 1)
+            m = (d_arr[pos_c] == docids) & (pos < d_arr.size)
+            if m.any():
+                out[m] = l_arr[pos_c[m]]
+        return out
+
+    @property
+    def _dl_docids(self) -> np.ndarray:
+        """Concatenated sorted norms docids (test/debug surface)."""
+        if not self._dl_parts:
+            return np.empty(0, dtype=np.int64)
+        d = np.concatenate([np.asarray(p[0]) for p in self._dl_parts])
+        return np.sort(d, kind="stable")
+
+    @property
+    def _dl(self) -> np.ndarray:
+        """dl aligned with ``_dl_docids`` (test/debug surface)."""
+        if not self._dl_parts:
+            return np.empty(0, dtype=np.int64)
+        d = np.concatenate([np.asarray(p[0]) for p in self._dl_parts])
+        l = np.concatenate([np.asarray(p[1]) for p in self._dl_parts])
+        return l[np.argsort(d, kind="stable")].astype(np.int64)
 
     # -- site (corpus-partition) scoping --------------------------------
 
