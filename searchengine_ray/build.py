@@ -219,6 +219,11 @@ def build_conv_dict(files: list[str], index_dir: str) -> np.ndarray:
     tmp = path + ".tmp"
     pq.write_table(pa.table({"conv_id": pa.array(arr, type=pa.string())}), tmp)
     os.replace(tmp, path)
+    # mmap-able fixed-width sidecar: readers np.load(mmap_mode="r") it —
+    # 10^7-conv dictionaries never materialize as Python strings on open
+    npy_tmp = os.path.join(index_dir, "conv_dict.npy.tmp.npy")
+    np.save(npy_tmp.removesuffix(".npy"), np.asarray(arr, dtype=np.str_))
+    os.replace(npy_tmp, os.path.join(index_dir, "conv_dict.npy"))
     return arr
 
 

@@ -67,9 +67,16 @@ class IndexReader:
         self.n_docs: int = self.manifest["n_docs"]
         self.avgdl: float = self.manifest["avgdl"]
 
-        self.conv_ids = pq.read_table(os.path.join(index_dir, "conv_dict.parquet"))[
-            "conv_id"
-        ].to_numpy(zero_copy_only=False)
+        # conv dictionary: prefer the fixed-width npy sidecar, MEMORY-MAPPED
+        # (no per-string Python objects on open); legacy indexes fall back
+        # to the parquet column
+        conv_npy = os.path.join(index_dir, "conv_dict.npy")
+        if os.path.exists(conv_npy):
+            self.conv_ids = np.load(conv_npy, mmap_mode="r")
+        else:
+            self.conv_ids = pq.read_table(
+                os.path.join(index_dir, "conv_dict.parquet")
+            )["conv_id"].to_numpy(zero_copy_only=False)
 
         # Dictionary access: small vocabularies load eagerly (one dict, no
         # per-term I/O); past the threshold the reader goes LAZY — per-term
