@@ -209,6 +209,11 @@ def build_conv_dict(files: list[str], index_dir: str) -> np.ndarray:
             # Saved dict is a superset: every rank is still valid (vanished
             # convs keep harmless stale entries), so existing shard outputs
             # stay docid-consistent — resume may proceed.
+            npy = os.path.join(index_dir, "conv_dict.npy")
+            if not os.path.exists(npy):  # legacy layout: backfill the sidecar
+                tmp_npy = npy + ".tmp.npy"
+                np.save(tmp_npy.removesuffix(".npy"), np.asarray(saved, dtype=np.str_))
+                os.replace(tmp_npy, npy)
             return saved
         # NEW conv_ids shift the dense ranking, which would make resumed
         # shards' docids inconsistent with rebuilt ones — invalidate all
@@ -232,6 +237,23 @@ def build_conv_dict(files: list[str], index_dir: str) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+# One memory-mapped view of the conv dictionary per worker PROCESS, keyed
+# by file IDENTITY (path, mtime_ns, size) — a rebuild that rewrites the
+# sidecar (new conv ids shift dense ranks) must never serve a stale mmap
+# out of a reused worker. OS page cache shares the bytes across workers.
+_CONV_MMAP_CACHE: dict[tuple[str, int, int], np.ndarray] = {}
+
+
+def _load_conv_sorted(path: str) -> np.ndarray:
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    arr = _CONV_MMAP_CACHE.get(key)
+    if arr is None:
+        _CONV_MMAP_CACHE.clear()  # drop stale generations
+        arr = _CONV_MMAP_CACHE[key] = np.load(path, mmap_mode="r")
+    return arr
+
+
 class ExplodePostings:
     """Actor-pool stage: transcripts batch → exploded posting rows.
 
@@ -240,14 +262,13 @@ class ExplodePostings:
     O(1) per repeated surface form (Zipf makes the hit rate ~99%).
     """
 
-    def __init__(self, conv_ranks_ref, n_convs: int, config: EngineConfig):
-        import ray
-
-        conv_arr = ray.get(conv_ranks_ref)  # zero-copy fixed-width unicode
-        # Rank lookup: a dict is ~2× faster per batch but costs ~2× the
-        # memory of the sorted fixed-width array — build the dict (once per
-        # actor) while it is cheap, searchsorted over the shared array
-        # beyond 10^6 convs (the documented big-corpus shape).
+    def __init__(self, conv_path: str, n_convs: int, config: EngineConfig):
+        # Rank lookup over the MEMORY-MAPPED sorted conv sidecar (the index
+        # dir is shared storage on a real cluster, same as shard outputs):
+        # no broadcast, no per-worker heap copy — the OS pages in only the
+        # ranges a worker touches. A dict is ~2× faster per batch, so build
+        # one while the dictionary is small.
+        conv_arr = _load_conv_sorted(conv_path)
         if len(conv_arr) <= 1_000_000:
             self.rank: dict[str, int] | None = {
                 str(c): i for i, c in enumerate(conv_arr)
@@ -419,19 +440,15 @@ class ExplodePostings:
         )
 
 
-def _make_add_docid(conv_ref):
+def _make_add_docid(conv_path: str):
     """Doc-store docid stage as a plain TASK-pool function (full read-side
     parallelism — an actor pool here serializes half the shard's wall).
-    The conv dictionary is broadcast as a SORTED fixed-width ``np.str_``
-    array: plasma shares it ZERO-COPY, so the per-batch ``ray.get`` is a
-    view (an object-dtype array would re-deserialize every conv string per
-    batch — the r1 per-batch-dict anti-pattern in a different coat), and
-    the rank lookup is one vectorized ``np.searchsorted``."""
+    The SORTED fixed-width conv dictionary is MEMORY-MAPPED once per worker
+    process (module cache; OS page cache shares the bytes across workers on
+    a node), and the rank lookup is one vectorized ``np.searchsorted``."""
 
     def add_docid(batch: pa.Table) -> pa.Table:
-        import ray
-
-        conv_sorted = ray.get(conv_ref)  # zero-copy: fixed-width unicode
+        conv_sorted = _load_conv_sorted(conv_path)
         # own-width U dtype (NOT conv_sorted.dtype): a longer unknown conv id
         # must not silently truncate into a valid-looking prefix
         conv_ids = np.asarray(batch["conv_id"].to_pylist(), dtype=np.str_)
@@ -622,7 +639,7 @@ def _build_shard(
     shard_id: int,
     files: list[str],
     index_dir: str,
-    conv_ref,
+    conv_path: str,
     n_convs: int,
     config: EngineConfig,
 ) -> dict:
@@ -664,7 +681,7 @@ def _build_shard(
     exploded = ds.map_batches(
         ExplodePostings,
         fn_constructor_kwargs={
-            "conv_ranks_ref": conv_ref,
+            "conv_path": conv_path,
             "n_convs": n_convs,
             "config": config,
         },
@@ -691,7 +708,7 @@ def _build_shard(
     def _write_docs():
         # small row groups → query-time hydration decodes ~one group per hit
         docs.map_batches(
-            _make_add_docid(conv_ref), batch_format="pyarrow"
+            _make_add_docid(conv_path), batch_format="pyarrow"
         ).write_parquet(os.path.join(tmp_dir, "docs"), row_group_size=2048)
 
     from concurrent.futures import ThreadPoolExecutor
@@ -1069,10 +1086,9 @@ def build_index(
     import ray
 
     conv_arr = build_conv_dict(files, index_dir)
-    # broadcast as fixed-width unicode: plasma shares numpy U arrays
-    # ZERO-COPY across tasks/actors (an object-dtype array would be
-    # re-pickled on every ray.get)
-    conv_ref = ray.put(np.asarray(conv_arr, dtype=np.str_))
+    # workers memory-map the npy sidecar build_conv_dict wrote (the index
+    # dir is shared storage on a real cluster) — no broadcast, no copies
+    conv_path = os.path.join(index_dir, "conv_dict.npy")
     n_convs = len(conv_arr)
 
     shards = _shard_files(files, config.num_shards)
@@ -1090,6 +1106,11 @@ def build_index(
     # overhead overlaps a big shard's compute. On a multi-node cluster this
     # is the per-shard pipeline schedule; each shard stays an independent
     # resume unit either way.
+    # guarded auto-init (the driver contract: never OWN a session, but Ray
+    # Data would auto-init on the first Dataset op anyway — cluster_resources
+    # is just called earlier and doesn't auto-init on its own)
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False)
     cpus = int(ray.cluster_resources().get("CPU", 4))
     # ≥4 CPUs per concurrent shard job, else concurrent fixed-size pools can
     # over-demand a small session and deadlock each other
@@ -1112,7 +1133,7 @@ def build_index(
         # (each is an atomic checkpoint), so stop never loses work
         if stop_check():
             return None
-        return _build_shard(i, s, index_dir, conv_ref, n_convs, config)
+        return _build_shard(i, s, index_dir, conv_path, n_convs, config)
 
     if workers <= 1:
         manifests = [_guarded(i, s) for i, s in enumerate(shards)]

@@ -26,14 +26,19 @@ import shutil
 import sys
 
 
+_RAY_OWNED = False  # did THIS process's CLI start the Ray session?
+
+
 def _ensure_ray(num_cpus: int | None) -> None:
     import ray
 
+    global _RAY_OWNED
     if not ray.is_initialized():
         kwargs = {"include_dashboard": False}
         if num_cpus:
             kwargs["num_cpus"] = num_cpus
         ray.init(address="local", **kwargs)
+        _RAY_OWNED = True
 
 
 def cmd_build(args: argparse.Namespace) -> int:
@@ -265,12 +270,15 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
     rc = args.fn(args)
 
-    # only build initialises Ray; don't pay the import on query-only paths
-    if "ray" in sys.modules:
+    # Shut down ONLY a session this CLI started — never a caller's (e.g. a
+    # test harness or embedding application that owns its own ray.init).
+    global _RAY_OWNED
+    if _RAY_OWNED and "ray" in sys.modules:
         import ray
 
         if ray.is_initialized():
             ray.shutdown()
+        _RAY_OWNED = False
     return rc
 
 

@@ -158,9 +158,9 @@ class TestResume:
         idx_resumed = str(root / "idx_resumed")
         os.makedirs(idx_resumed)
         conv_arr = build_conv_dict(files, idx_resumed)
-        conv_ref = ray.put(conv_arr)
+        conv_path = os.path.join(idx_resumed, "conv_dict.npy")
         shards = _shard_files(files, cfg.num_shards)
-        m0 = _build_shard(0, shards[0], idx_resumed, conv_ref, len(conv_arr), cfg)
+        m0 = _build_shard(0, shards[0], idx_resumed, conv_path, len(conv_arr), cfg)
         assert m0["status"] == "complete"
         assert not os.path.exists(os.path.join(idx_resumed, "manifest.json"))
 
