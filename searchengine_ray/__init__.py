@@ -34,9 +34,26 @@ class _SchemaHashNoise(_logging.Filter):
         return "Failed to hash the schemas" not in record.getMessage()
 
 
+class _EmptyBundleNoise(_logging.Filter):
+    """Drop Ray's "Operator produced a RefBundle with a different schema"
+    warning ONLY when the new schema is EMPTY — write/aggregate operators
+    legitimately emit schema-less empty bundles for empty blocks. A real
+    schema divergence (non-empty new schema) still warns."""
+
+    def filter(self, record: _logging.LogRecord) -> bool:  # pragma: no cover
+        msg = record.getMessage()
+        return not (
+            "produced a RefBundle with a different schema" in msg
+            and "new schema: . This may lead" in msg
+        )
+
+
 _logging.getLogger("ray.data._internal.arrow_ops.transform_pyarrow").addFilter(
     _SchemaHashNoise()
 )
+_logging.getLogger(
+    "ray.data._internal.execution.streaming_executor_state"
+).addFilter(_EmptyBundleNoise())
 
 __all__ = [
     "DEFAULT_CONFIG",
