@@ -139,7 +139,7 @@ def _expand_input(input_path: str | list[str]) -> list[str]:
 _CONV_DISTINCT_PARTITIONS = 64
 
 
-def _distinct_conv_ids_distributed(files: list[str]) -> list[str]:
+def _distinct_conv_ids_distributed(files: list[str], fmt: str = "parquet") -> list[str]:
     """DISTRIBUTED distinct over the conv_id column: batch-local np.unique
     (map-side combine) streamed back to the driver with periodic
     compaction — no shuffle. Under the input contract (stable
@@ -149,10 +149,10 @@ def _distinct_conv_ids_distributed(files: list[str]) -> list[str]:
     ~5M buffered ids) keeps even adversarial layouts at
     O(distinct + 5M) driver memory. Never ``ds.unique`` /
     ``groupby(conv_id)`` — per-group Python dispatch is O(distinct)."""
-    import ray.data as rd
+    from searchengine_ray import sources
 
     with _DATASET_CTOR_LOCK:
-        ds = rd.read_parquet(files, columns=["conv_id"])
+        ds = sources.read_dataset(files, fmt, columns=["conv_id"])
 
     def part(batch: pa.Table) -> pa.Table:
         u = np.unique(batch["conv_id"].to_numpy(zero_copy_only=False))
@@ -176,7 +176,7 @@ def _distinct_conv_ids_distributed(files: list[str]) -> list[str]:
     return np.unique(np.concatenate(parts)).tolist()
 
 
-def build_conv_dict(files: list[str], index_dir: str) -> np.ndarray:
+def build_conv_dict(files: list[str], index_dir: str, fmt: str = "parquet") -> np.ndarray:
     """Dense-rank all conv_ids (ascending) → ``conv_dict.parquet``.
 
     Column-pruned read of just ``conv_id``. Small inputs take a driver-side
@@ -193,14 +193,16 @@ def build_conv_dict(files: list[str], index_dir: str) -> np.ndarray:
     path = os.path.join(index_dir, "conv_dict.parquet")
     total_bytes = sum(os.path.getsize(f) for f in files)
     if total_bytes < 1 << 30:
-        # small input: a column-pruned pyarrow read beats a Ray job's fixed
-        # latency by ~1s; identical output contract
+        # small input: a column-pruned driver-side read beats a Ray job's
+        # fixed latency by ~1s; identical output contract
         import pyarrow.compute as pc
 
-        cols = [pq.read_table(f, columns=["conv_id"])["conv_id"] for f in files]
-        convs = sorted(pc.unique(pa.chunked_array(cols).combine_chunks()).to_pylist())
+        from searchengine_ray import sources
+
+        t = sources.read_columns_local(files, fmt, ["conv_id"])
+        convs = sorted(pc.unique(t["conv_id"].combine_chunks()).to_pylist())
     else:
-        convs = _distinct_conv_ids_distributed(files)
+        convs = _distinct_conv_ids_distributed(files, fmt)
 
     if os.path.exists(path):
         saved = pq.read_table(path)["conv_id"].to_numpy(zero_copy_only=False)
@@ -642,6 +644,7 @@ def _build_shard(
     conv_path: str,
     n_convs: int,
     config: EngineConfig,
+    fmt: str = "parquet",
 ) -> dict:
     import ray.data as rd
 
@@ -672,12 +675,14 @@ def _build_shard(
     shutil.rmtree(tmp_dir, ignore_errors=True)
     os.makedirs(os.path.join(tmp_dir, "postings"), exist_ok=True)
 
+    from searchengine_ray import sources
+
     read_cols = ["conv_id", "turn_idx", "text"]
     if config.site_column and config.site_column not in read_cols:
         read_cols.append(config.site_column)
     with _DATASET_CTOR_LOCK:
-        ds = rd.read_parquet(files, columns=read_cols)
-    n_input = ds.count()  # parquet metadata — no scan
+        ds = sources.read_dataset(files, fmt, read_cols)
+    n_input = ds.count()  # parquet: footer metadata, no scan
     exploded = ds.map_batches(
         ExplodePostings,
         fn_constructor_kwargs={
@@ -697,7 +702,7 @@ def _build_shard(
     )
 
     with _DATASET_CTOR_LOCK:
-        docs = rd.read_parquet(files, columns=["conv_id", "turn_idx", "role", "text"])
+        docs = sources.read_dataset(files, fmt, ["conv_id", "turn_idx", "role", "text"])
 
     # Postings and doc-store jobs are independent passes over the same input
     # — run them concurrently so the shard's wall is max(), not sum().
@@ -1038,6 +1043,7 @@ def build_index(
     config: EngineConfig = DEFAULT_CONFIG,
     validate_unique_keys: bool = False,
     stop_check=None,
+    input_format: str | None = None,
 ) -> dict:
     """Build (or resume) the full index. Returns the global manifest.
 
@@ -1058,9 +1064,9 @@ def build_index(
     ``{"stopped": True, "shards": [...completed...]}`` with no finalize —
     the next ``build_index`` resumes partition-exactly.
     """
-    files = _expand_input(input_path)
-    if not files:
-        raise ValueError(f"no parquet files under {input_path}")
+    from searchengine_ray import sources
+
+    files, fmt = sources.expand_input(input_path, input_format)
     os.makedirs(index_dir, exist_ok=True)
 
     stop_path = os.path.join(index_dir, STOP_FLAG)
@@ -1071,10 +1077,8 @@ def build_index(
         stop_check = lambda: os.path.exists(stop_path)  # noqa: E731
 
     if validate_unique_keys:
-        import ray.data as rd
-
         with _DATASET_CTOR_LOCK:
-            keys = rd.read_parquet(files, columns=["conv_id", "turn_idx"])
+            keys = sources.read_dataset(files, fmt, ["conv_id", "turn_idx"])
         n_rows = keys.count()
         n_distinct = keys.groupby(["conv_id", "turn_idx"]).count().count()
         if n_distinct != n_rows:
@@ -1085,7 +1089,7 @@ def build_index(
 
     import ray
 
-    conv_arr = build_conv_dict(files, index_dir)
+    conv_arr = build_conv_dict(files, index_dir, fmt)
     # workers memory-map the npy sidecar build_conv_dict wrote (the index
     # dir is shared storage on a real cluster) — no broadcast, no copies
     conv_path = os.path.join(index_dir, "conv_dict.npy")
@@ -1133,7 +1137,7 @@ def build_index(
         # (each is an atomic checkpoint), so stop never loses work
         if stop_check():
             return None
-        return _build_shard(i, s, index_dir, conv_path, n_convs, config)
+        return _build_shard(i, s, index_dir, conv_path, n_convs, config, fmt)
 
     if workers <= 1:
         manifests = [_guarded(i, s) for i, s in enumerate(shards)]

@@ -55,7 +55,7 @@ def cmd_build(args: argparse.Namespace) -> int:
         batch_size=args.batch_size,
         lemmatizer_concurrency=(1, args.max_actors),
     )
-    manifest = build_index(args.input, args.index, cfg)
+    manifest = build_index(args.input, args.index, cfg, input_format=args.format)
     if manifest.get("stopped"):
         print(
             json.dumps(
@@ -228,6 +228,10 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument(
         "--site-column", default=None,
         help="input column that partitions docs into sites (enables --site search scoping)",
+    )
+    b.add_argument(
+        "--format", default=None, choices=["parquet", "json", "csv"],
+        help="input format (default: detected from file extensions)",
     )
     b.add_argument("--num-shards", type=int, default=4)
     b.add_argument("--num-segments", type=int, default=8)

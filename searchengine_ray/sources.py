@@ -1,0 +1,104 @@
+"""Input sources for the index build: Parquet (canonical), JSONL, CSV.
+
+The reference's source is an HTTP crawler (obsolete under the graft —
+SURVEY.md §2.1 S1/S2); the rebuild's source contract is "a table of
+transcripts on shared storage". Parquet is the first-class format (column
+pruning, row-group statistics, footer-count); JSONL and CSV are accepted
+for interoperability — they read through ``ray.data.read_json`` /
+``read_csv`` with a post-read projection (no column pruning at the
+reader, so prefer Parquet at scale).
+
+Format is detected from file extensions or forced via ``input_format=``.
+"""
+
+from __future__ import annotations
+
+import os
+
+_EXT_FORMAT = {
+    ".parquet": "parquet",
+    ".json": "json",
+    ".jsonl": "json",
+    ".csv": "csv",
+}
+SUPPORTED_FORMATS = ("parquet", "json", "csv")
+
+
+def detect_format(files: list[str]) -> str:
+    fmts = {f: _EXT_FORMAT.get(os.path.splitext(f)[1].lower()) for f in files}
+    unknown = [f for f, v in fmts.items() if v is None]
+    if unknown:
+        raise ValueError(f"unsupported input extension: {unknown[:3]}")
+    distinct = set(fmts.values())
+    if len(distinct) > 1:
+        raise ValueError(f"mixed input formats: {sorted(distinct)}")
+    return distinct.pop()
+
+
+def expand_input(
+    input_path: str | list[str], input_format: str | None = None
+) -> tuple[list[str], str]:
+    """Sorted input file list + resolved format. Directories are listed for
+    any supported extension (Parquet preferred when mixed listings exist)."""
+    if isinstance(input_path, (list, tuple)):
+        files = sorted(input_path)
+    elif os.path.isdir(input_path):
+        all_files = sorted(
+            os.path.join(input_path, f)
+            for f in os.listdir(input_path)
+            if os.path.splitext(f)[1].lower() in _EXT_FORMAT
+        )
+        if input_format:
+            files = [
+                f
+                for f in all_files
+                if _EXT_FORMAT[os.path.splitext(f)[1].lower()] == input_format
+            ]
+        else:
+            files = all_files
+    else:
+        files = [input_path]
+    if not files:
+        raise ValueError(f"no supported input files under {input_path}")
+    fmt = input_format or detect_format(files)
+    if fmt not in SUPPORTED_FORMATS:
+        raise ValueError(f"unsupported input format: {fmt}")
+    return files, fmt
+
+
+def read_dataset(files: list[str], fmt: str, columns: list[str]):
+    """Ray Dataset over the inputs projected to ``columns``. Parquet prunes
+    at the read; JSON/CSV read whole rows then project (interop path)."""
+    import ray.data as rd
+
+    if fmt == "parquet":
+        return rd.read_parquet(files, columns=columns)
+    if fmt == "json":
+        return rd.read_json(files).select_columns(columns)
+    if fmt == "csv":
+        return rd.read_csv(files).select_columns(columns)
+    raise ValueError(f"unsupported input format: {fmt}")
+
+
+def read_columns_local(files: list[str], fmt: str, columns: list[str]):
+    """Driver-side pyarrow read of selected columns (small-input fast path —
+    a Ray job's fixed latency would dominate). Returns one pa.Table."""
+    import pyarrow as pa
+
+    tables = []
+    for f in files:
+        if fmt == "parquet":
+            import pyarrow.parquet as pq
+
+            tables.append(pq.read_table(f, columns=columns))
+        elif fmt == "json":
+            import pyarrow.json as pj
+
+            tables.append(pj.read_json(f).select(columns))
+        elif fmt == "csv":
+            import pyarrow.csv as pcsv
+
+            tables.append(pcsv.read_csv(f).select(columns))
+        else:
+            raise ValueError(f"unsupported input format: {fmt}")
+    return pa.concat_tables(tables, promote_options="permissive")

@@ -885,3 +885,68 @@ class TestLazyDictionary:
                 assert np.allclose(a["score"], b["score"], rtol=0, atol=0)
         assert lazy.reader.df("qqqzzz-not-a-lemma") == 0
         assert not lazy.reader.has("qqqzzz-not-a-lemma")
+
+
+class TestSourceFormats:
+    def test_jsonl_and_csv_build_equal_parquet(
+        self, ray_session, tiny_corpus, tmp_path_factory
+    ):
+        """JSONL and CSV transcript sources build byte-identical indexes to
+        the canonical Parquet source (same dictionary, stats, searches)."""
+        import pyarrow.csv as pcsv
+        import pyarrow.parquet as pq
+
+        root = tmp_path_factory.mktemp("formats")
+        cols = tiny_corpus.select(["conv_id", "turn_idx", "role", "text"])
+
+        pq_dir = root / "pq"
+        pq_dir.mkdir()
+        pq.write_table(cols, str(pq_dir / "p.parquet"))
+
+        jl_dir = root / "jl"
+        jl_dir.mkdir()
+        cols.to_pandas().to_json(
+            str(jl_dir / "p.jsonl"), orient="records", lines=True, force_ascii=False
+        )
+
+        cs_dir = root / "cs"
+        cs_dir.mkdir()
+        pcsv.write_csv(cols, str(cs_dir / "p.csv"))
+
+        manifests = {}
+        dicts = {}
+        for name, d in [("parquet", pq_dir), ("json", jl_dir), ("csv", cs_dir)]:
+            idx = str(root / f"idx_{name}")
+            manifests[name] = build_index(str(d), idx, CFG.replace(num_shards=2))
+            dicts[name] = (
+                pq.read_table(os.path.join(idx, "dictionary.parquet"))
+                .to_pandas()
+                .sort_values("lemma")
+                .reset_index(drop=True)
+            )
+        for name in ("json", "csv"):
+            assert manifests[name]["n_docs"] == manifests["parquet"]["n_docs"], name
+            assert manifests[name]["avgdl"] == manifests["parquet"]["avgdl"], name
+            assert dicts[name].equals(dicts["parquet"]), name
+        # searches agree end-to-end
+        engines = {n: QueryEngine(str(root / f"idx_{n}")) for n in manifests}
+        for q in ["суд решение", "337", "закон статья срок"]:
+            res = {n: e.search(q) for n, e in engines.items()}
+            assert res["json"] == res["parquet"], q
+            assert res["csv"] == res["parquet"], q
+
+    def test_mixed_formats_rejected(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.sources import expand_input
+
+        d = tmp_path / "mix"
+        d.mkdir()
+        pq.write_table(pa.table({"a": [1]}), str(d / "x.parquet"))
+        (d / "y.jsonl").write_text('{"a": 1}\n')
+        with pytest.raises(ValueError, match="mixed"):
+            expand_input(str(d))
+        # explicit format filters the listing instead
+        files, fmt = expand_input(str(d), "parquet")
+        assert fmt == "parquet" and len(files) == 1
