@@ -170,6 +170,32 @@ def cmd_search(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_search_batch(args: argparse.Namespace) -> int:
+    """Bulk query evaluation: a parquet of (query_id, query[, offset,
+    limit]) rows fans out over a warm ``QueryActor`` POOL via
+    ``map_batches`` (engine state loads once per actor) and the ranked
+    hits stream straight to parquet — the throughput-oriented counterpart
+    of the interactive ``search`` endpoint."""
+    import ray.data as rd
+
+    from searchengine_ray.query import QueryActor
+
+    _ensure_ray(args.num_cpus)
+    (
+        rd.read_parquet(args.queries)
+        .map_batches(
+            QueryActor,
+            fn_constructor_kwargs={"index_dir": args.index},
+            batch_format="pandas",
+            batch_size=args.batch_size,
+            concurrency=args.actors,
+        )
+        .write_parquet(args.output)
+    )
+    print(json.dumps({"result": True, "output": args.output}))
+    return 0
+
+
 def cmd_stats(args: argparse.Namespace) -> int:
     """Statistics endpoint analogue (``services/StatisticsServiceImpl.java:30-62``):
     global totals + per-shard detail from the lineage manifests."""
@@ -251,6 +277,15 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--actors", type=int, default=1, help="shard-serving actor count (>1 needs Ray)")
     s.add_argument("--num-cpus", type=int, default=None)
     s.set_defaults(fn=cmd_search)
+
+    sb = sub.add_parser("search-batch", help="bulk query evaluation over an actor pool")
+    sb.add_argument("--index", required=True)
+    sb.add_argument("--queries", required=True, help="parquet of (query_id, query[, offset, limit])")
+    sb.add_argument("--output", required=True, help="output parquet directory")
+    sb.add_argument("--actors", type=int, default=2)
+    sb.add_argument("--batch-size", type=int, default=32)
+    sb.add_argument("--num-cpus", type=int, default=None)
+    sb.set_defaults(fn=cmd_search_batch)
 
     st = sub.add_parser("stats", help="index statistics")
     st.add_argument("--index", required=True)

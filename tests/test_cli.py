@@ -175,3 +175,43 @@ def test_stats_includes_sites(ray_session, tmp_path, capsys):
     sites = out["statistics"]["sites"]
     assert set(sites) == {"user", "assistant", "tool", "system"}
     assert sum(s["docs"] for s in sites.values()) == out["statistics"]["total"]["docs"]
+
+
+def test_search_batch_cli(cli_index, tmp_path, capsys):
+    """Bulk evaluation: a query table fans out over the actor pool and the
+    ranked hits land as parquet, matching interactive search results."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    qfile = tmp_path / "queries.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "query_id": ["q1", "q2"],
+                "query": ["суд решение", "суд"],
+                "offset": [0, 0],
+                "limit": [5, 3],
+            }
+        ),
+        str(qfile),
+    )
+    out_dir = tmp_path / "results"
+    rc = main(
+        ["search-batch", "--index", str(cli_index), "--queries", str(qfile),
+         "--output", str(out_dir), "--actors", "2"]
+    )
+    assert rc == 0
+    capsys.readouterr()
+    res = pq.read_table(str(out_dir)).to_pandas()
+    assert set(res["query_id"]) == {"q1", "q2"}
+    assert (res[res["query_id"] == "q1"]["rank"].sort_values().tolist()
+            == list(range(len(res[res["query_id"] == "q1"]))))
+    # parity with interactive search
+    rc = main(["search", "--index", str(cli_index), "--query", "суд решение", "--limit", "5"])
+    single = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    want = [(d["conv_id"], d["turn_idx"]) for d in single["data"]]
+    got = [
+        (r.conv_id, r.turn_idx)
+        for r in res[res["query_id"] == "q1"].sort_values("rank").itertuples()
+    ]
+    assert got == want
