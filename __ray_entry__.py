@@ -349,7 +349,9 @@ WITH raw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sig
        FROM raw GROUP BY doc_id)
 SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
-       coalesce(a.n_unique, 0) AS n_unique, coalesce(a.n_sig, 0) AS n_sig
+       coalesce(a.n_unique, 0) AS n_unique, coalesce(a.n_sig, 0) AS n_sig,
+       CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS n_ws,
+       CAST(len(regexp_extract_all(d.text, ' ?[a-zA-Z]+| ?[0-9]{{1,3}}| ?[^\\sa-zA-Z0-9]+')) AS BIGINT) AS n_bpe
 FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id""",
         "quality_score": f"""
 WITH raw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token

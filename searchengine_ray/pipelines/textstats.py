@@ -101,16 +101,25 @@ def langid(sf_dir: str):
     )
 
 
+# BPE-ish token segmentation (letter runs / short digit groups / punctuation
+# runs, optional leading space — the GPT-2-style shape WITHOUT lookaheads so
+# RE2 (Arrow + DuckDB both use RE2) and Python `re` agree exactly).
+BPE_ISH_PATTERN = r" ?[a-zA-Z]+| ?[0-9]{1,3}| ?[^\sa-zA-Z0-9]+"
+
+
 class TokenCount:
-    """(doc_id, n_tokens, n_unique, n_sig): raw simple tokens, distinct
-    tokens, significant tokens (len≥2, non-stopword). Vectorized: bincounts
-    over flat (row, token-id) arrays; significance evaluated once per
-    distinct token (memoized per actor)."""
+    """(doc_id, n_tokens, n_unique, n_sig, n_ws, n_bpe): raw simple tokens,
+    distinct tokens, significant tokens (len≥2, non-stopword), whitespace
+    tokens, BPE-ish tokens (``BPE_ISH_PATTERN``). Vectorized: bincounts over
+    flat (row, token-id) arrays + Arrow regex-count kernels; significance
+    evaluated once per distinct token (memoized per actor)."""
 
     def __init__(self):
         self._sig: dict[str, bool] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         rows, vids, vocab, n = _flat_tokens(batch)
         memo = self._sig
         sig = np.empty(len(vocab), dtype=bool)
@@ -124,12 +133,21 @@ class TokenCount:
         n_unique = np.bincount((upair >> np.int64(32)).astype(np.int64), minlength=n)
         keep = sig[vids] if vids.size else np.zeros(0, dtype=bool)
         n_sig = np.bincount(rows[keep], minlength=n)
+        texts = batch["text"]
+        n_ws = pc.fill_null(
+            pc.count_substring_regex(texts, r"\S+"), 0
+        ).to_numpy(zero_copy_only=False)
+        n_bpe = pc.fill_null(
+            pc.count_substring_regex(texts, BPE_ISH_PATTERN), 0
+        ).to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
                 "n_tokens": pa.array(n_tokens.astype(np.int64)),
                 "n_unique": pa.array(n_unique.astype(np.int64)),
                 "n_sig": pa.array(n_sig.astype(np.int64)),
+                "n_ws": pa.array(n_ws.astype(np.int64)),
+                "n_bpe": pa.array(n_bpe.astype(np.int64)),
             }
         )
 
