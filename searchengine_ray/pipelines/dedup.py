@@ -365,33 +365,86 @@ def _shingle_sigs_ds(sf_dir: str, shingler):
 
 
 def _joined_pair_sigs(pairs_ds, sigs_ds, num_partitions: int | None = None):
-    """Attach each pair's two signatures via distributed inner hash-joins
-    (sigs of non-candidate docs never ship). Returns a Dataset with columns
-    (a, b, sig_a, sig).
+    """Attach each pair's two signatures with ONE distributed hash-join:
+    pairs explode to a row per SIDE (doc_id, mate, side), join sigs on
+    doc_id (inner — sigs of non-candidate docs never ship), then the pair's
+    two rows co-locate under a fixed pair-hash partition and zip back up
+    with numpy. Returns a Dataset with columns (a, b, sig_a, sig).
 
-    Join aggregators run at fractional CPU (two chained joins in one DAG
-    would otherwise reserve 2×num_partitions full CPUs and deadlock small
-    clusters); partition count is capped low — each partition is one
-    aggregator ACTOR per join and spawn cost dominates at interactive
-    scale, while the per-pair work happens downstream in map_batches."""
+    One join instead of two halves the aggregator-actor spawns (the
+    dominant cost at interactive scale) at identical shuffle volume. Join
+    aggregators run at fractional CPU so concurrent joins can't reserve the
+    whole small cluster."""
     import ray
 
     if num_partitions is None:
         num_partitions = max(2, min(8, int(ray.cluster_resources().get("CPU", 4)) // 4))
     agg = {"num_cpus": 0.25}
 
-    def _rename_sig_a(batch: pa.Table) -> pa.Table:
-        return batch.rename_columns(
-            ["sig_a" if c == "sig" else c for c in batch.column_names]
+    def explode_sides(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate((a, b)), type=pa.int64()),
+                "mate": pa.array(np.concatenate((b, a)), type=pa.int64()),
+                "side": pa.array(
+                    np.concatenate(
+                        (np.zeros(a.size, dtype=np.int8), np.ones(b.size, dtype=np.int8))
+                    )
+                ),
+            }
         )
 
-    j1 = pairs_ds.join(
+    joined = pairs_ds.map_batches(explode_sides, batch_format="pyarrow").join(
         sigs_ds, join_type="inner", num_partitions=num_partitions,
-        on=("a",), right_on=("doc_id",), aggregator_ray_remote_args=agg,
-    ).map_batches(_rename_sig_a, batch_format="pyarrow")
-    return j1.join(
-        sigs_ds, join_type="inner", num_partitions=num_partitions,
-        on=("b",), right_on=("doc_id",), aggregator_ray_remote_args=agg,
+        on=("doc_id",), aggregator_ray_remote_args=agg,
+    )
+
+    def add_pair_part(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        m = batch["mate"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        lo = np.minimum(d, m)
+        hi = np.maximum(d, m)
+        q = ((lo * np.uint64(0x9E3779B97F4A7C15)) ^ hi) % np.uint64(_PAIR_PARTITIONS)
+        return batch.append_column("q", pa.array(q.astype(np.int64)))
+
+    def zip_pairs(group: pa.Table) -> pa.Table:
+        d = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = group["mate"].to_numpy(zero_copy_only=False).astype(np.int64)
+        side = group["side"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sig = group["sig"].to_pylist()
+        a_key = np.where(side == 0, d, m)
+        b_key = np.where(side == 0, m, d)
+        order = np.lexsort((side, b_key, a_key))
+        a_s, b_s, side_s = a_key[order], b_key[order], side[order]
+        # pairs whose BOTH sides survived the inner join are adjacent
+        # (side 0 then side 1 under the sort)
+        first = np.arange(0, a_s.size - 1)
+        ok = (
+            (a_s[:-1] == a_s[1:])
+            & (b_s[:-1] == b_s[1:])
+            & (side_s[:-1] == 0)
+            & (side_s[1:] == 1)
+        )
+        ii = first[ok]
+        return pa.table(
+            {
+                "a": pa.array(a_s[ii], type=pa.int64()),
+                "b": pa.array(b_s[ii], type=pa.int64()),
+                "sig_a": pa.array(
+                    [sig[order[i]] for i in ii.tolist()], type=pa.binary()
+                ),
+                "sig": pa.array(
+                    [sig[order[i + 1]] for i in ii.tolist()], type=pa.binary()
+                ),
+            }
+        )
+
+    return (
+        joined.map_batches(add_pair_part, batch_format="pyarrow")
+        .groupby("q")
+        .map_groups(zip_pairs, batch_format="pyarrow")
     )
 
 
