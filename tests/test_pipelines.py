@@ -419,3 +419,70 @@ class TestIVF:
         order = np.argsort(ids)
         want = _bucket_of(mat[order], planes)
         assert out["bucket"].to_numpy().tolist() == want.tolist()
+
+
+class TestRowsOnlyCompleteness:
+    def test_winnowing_matches_naive_reference(self, ray_session, docs):
+        """The vectorized winnowing fingerprints equal a naive textbook
+        implementation (Schleimer et al. 2003, rightmost-min-per-window as
+        sliding_window_view.min implements) on every doc."""
+        from searchengine_ray.pipelines.textstats import (
+            _FP_BASE,
+            _FP_K,
+            _FP_WINDOW,
+            fingerprint_rolling,
+            normalize_for_fp,
+        )
+
+        out = fingerprint_rolling(SF).to_pandas().set_index("doc_id")
+
+        def naive(text):
+            s = normalize_for_fp(text)
+            b = s.encode("utf-8")
+            if len(b) < _FP_K:
+                return 0, []
+            hashes = []
+            for i in range(len(b) - _FP_K + 1):
+                h = 0
+                for c in b[i : i + _FP_K]:
+                    h = (h * int(_FP_BASE) + c) % (1 << 64)
+                hashes.append(h)
+            if len(hashes) <= _FP_WINDOW:
+                sel = {min(hashes)}
+            else:
+                sel = set()
+                for i in range(len(hashes) - _FP_WINDOW + 1):
+                    sel.add(min(hashes[i : i + _FP_WINDOW]))
+            # engine sorts as uint64 THEN casts to int64 — mirror that order
+            return len(hashes), [
+                int(np.uint64(x).astype(np.int64)) for x in sorted(sel)
+            ]
+
+        checked = 0
+        for did, text in list(docs.items())[:60]:
+            n_grams, sig = naive(text or "")
+            row = out.loc[did]
+            assert row["n_grams"] == n_grams, did
+            assert list(row["sig"]) == [int(x) for x in sig], did
+            checked += 1
+        assert checked == 60
+
+    def test_simhash_pairs_complete_vs_bruteforce(self, ray_session, docs):
+        """Pigeonhole banding at Hamming ≤ 3 over 4×16-bit blocks is
+        mathematically complete — assert the distributed pipeline finds
+        EXACTLY the brute-force pair set."""
+        import itertools
+
+        from searchengine_ray.pipelines.dedup import SimHash, simhash_dups
+
+        s = SimHash()
+        sims = {d: s.sim64(t or "") for d, t in docs.items()}
+        brute = set()
+        for a, b in itertools.combinations(sorted(docs), 2):
+            if sims[a] == 0 or sims[b] == 0:
+                continue  # empty docs don't band
+            if bin(sims[a] ^ sims[b]).count("1") <= 3:
+                brute.add((a, b))
+        out = simhash_dups(SF, max_hamming=3).to_pandas()
+        got = set(zip(out["doc_a"].tolist(), out["doc_b"].tolist()))
+        assert got == brute
