@@ -182,29 +182,43 @@ def main_single() -> None:
     ray.shutdown()
 
 
+def _scaling_leg(n: int, rep: int) -> dict:
+    code = (
+        "import sys, json, ray; sys.path.insert(0, %r); "
+        "ray.init(address='local', num_cpus=%d, include_dashboard=False); "
+        "from bench import run_headline; "
+        "print('RESULT::' + json.dumps(run_headline(%d, tag='scale%d_r%d', n_convs=%d, avg_turns=%f))); "
+        "ray.shutdown()"
+        % (os.path.dirname(os.path.abspath(__file__)), n, n, n, rep, SCALE_CONVS, SCALE_TURNS)
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3000
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("RESULT::")]
+    if not line:
+        sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:] + "\n")
+        raise RuntimeError(f"scaling run at num_cpus={n} failed")
+    return json.loads(line[0][len("RESULT::"):])
+
+
 def main_scaling() -> None:
+    """Each leg runs REPEATS times in fresh processes, interleaved
+    (lo, hi, lo, hi, ...) to decorrelate machine noise; the per-leg
+    throughput is the MAX over repeats. On a shared/noisy VM, interference
+    only ever slows a run down, so best-of-N is the consistent estimator of
+    the true (uncontended) throughput at each CPU count — a single-sample
+    ratio instead mixes one leg's noise into the other's signal. All raw
+    runs are reported alongside the best-of efficiency."""
     lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
+    repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "2"))
     ensure_bench_corpus(SCALE_CONVS, SCALE_TURNS)  # generate before timing
-    results = {}
-    for n in (lo, hi):
-        code = (
-            "import sys, json, ray; sys.path.insert(0, %r); "
-            "ray.init(address='local', num_cpus=%d, include_dashboard=False); "
-            "from bench import run_headline; "
-            "print('RESULT::' + json.dumps(run_headline(%d, tag='scale%d', n_convs=%d, avg_turns=%f))); "
-            "ray.shutdown()"
-            % (os.path.dirname(os.path.abspath(__file__)), n, n, n, SCALE_CONVS, SCALE_TURNS)
-        )
-        out = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True, text=True, timeout=3000
-        )
-        line = [l for l in out.stdout.splitlines() if l.startswith("RESULT::")]
-        if not line:
-            sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:] + "\n")
-            raise RuntimeError(f"scaling run at num_cpus={n} failed")
-        results[n] = json.loads(line[0][len("RESULT::"):])
-    tp_lo, tp_hi = results[lo]["turns_per_sec"], results[hi]["turns_per_sec"]
+    runs: dict[int, list[dict]] = {lo: [], hi: []}
+    for rep in range(repeats):
+        for n in (lo, hi):
+            runs[n].append(_scaling_leg(n, rep))
+    best = {n: max(rs, key=lambda r: r["turns_per_sec"]) for n, rs in runs.items()}
+    tp_lo, tp_hi = best[lo]["turns_per_sec"], best[hi]["turns_per_sec"]
     eff = (tp_hi / tp_lo) / (hi / lo)
     print(
         json.dumps(
@@ -212,11 +226,16 @@ def main_scaling() -> None:
                 "metric": "scaling_efficiency",
                 "value": round(eff, 3),
                 "unit": "efficiency",
-                "lo": results[lo],
-                "hi": results[hi],
+                "lo": best[lo],
+                "hi": best[hi],
                 "throughput_lo_turns_per_sec": tp_lo,
                 "throughput_hi_turns_per_sec": tp_hi,
                 "cpus": [lo, hi],
+                "repeats": repeats,
+                "all_runs": {
+                    str(n): [r["turns_per_sec"] for r in rs]
+                    for n, rs in runs.items()
+                },
             }
         )
     )

@@ -24,6 +24,7 @@ import pyarrow as pa
 from searchengine_ray.pipelines.fulltext import _round_vec, read_documents
 from searchengine_ray.pipelines.textstats import normalize_for_fp
 from searchengine_ray.textproc import tokenize_simple
+from searchengine_ray.workerstate import per_worker
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -360,7 +361,7 @@ def _shingle_sigs_ds(sf_dir: str, shingler):
         )
 
     return read_documents(sf_dir).map_batches(
-        sig_batch, batch_format="pyarrow", batch_size=1024, concurrency=2
+        sig_batch, batch_format="pyarrow", batch_size=1024
     )
 
 
@@ -521,8 +522,8 @@ def minhash_dups(sf_dir: str, threshold: float = 0.8):
     shingle sigs and the pair↔sig joins are all distributed; only verified
     pairs reach the driver."""
     bands = read_documents(sf_dir).map_batches(
-        MinHashBands, fn_constructor_kwargs={"shingler": "word"},
-        batch_format="pyarrow", batch_size=1024, concurrency=2,
+        per_worker(MinHashBands, shingler="word"),
+        batch_format="pyarrow", batch_size=1024,
     )
     pairs_ds = _candidate_pairs_ds(bands, min_band_collisions=2 if threshold >= 0.7 else 1)
     sigs_ds = _shingle_sigs_ds(sf_dir, word_shingle_array)
@@ -533,8 +534,8 @@ def ngram_jaccard_dups(sf_dir: str, threshold: float = 0.8):
     """Character-3-gram exact-Jaccard near-dup pairs (LSH-assisted candidate
     generation, exact distributed verification)."""
     bands = read_documents(sf_dir).map_batches(
-        MinHashBands, fn_constructor_kwargs={"shingler": "char"},
-        batch_format="pyarrow", batch_size=1024, concurrency=2,
+        per_worker(MinHashBands, shingler="char"),
+        batch_format="pyarrow", batch_size=1024,
     )
     pairs_ds = _candidate_pairs_ds(bands, min_band_collisions=2 if threshold >= 0.7 else 1)
     sigs_ds = _shingle_sigs_ds(sf_dir, char_shingle_array)
@@ -611,7 +612,7 @@ class SimHash:
 
 def simhash_signatures(sf_dir: str):
     return read_documents(sf_dir).map_batches(
-        SimHash, batch_format="pyarrow", batch_size=1024, concurrency=2
+        per_worker(SimHash), batch_format="pyarrow", batch_size=1024
     )
 
 

@@ -27,6 +27,7 @@ import pyarrow as pa
 
 from searchengine_ray import scoring
 from searchengine_ray.textproc import Analyzer
+from searchengine_ray.workerstate import per_worker
 
 
 def round_half_away(x: float, ndigits: int = 4) -> float:
@@ -97,7 +98,7 @@ def postings(sf_dir: str):
     (model/Index.java:12-23) over documents."""
     return (
         read_documents(sf_dir)
-        .map_batches(ExplodeSimple, batch_format="pyarrow", batch_size=2048, concurrency=2)
+        .map_batches(per_worker(ExplodeSimple), batch_format="pyarrow", batch_size=2048)
         .select_columns(["lemma", "doc_id", "tf"])
     )
 
@@ -125,7 +126,7 @@ def lemma_df(sf_dir: str):
     O(vocabulary) (the high-cardinality-aggregate disease; measured
     ~25 µs/group)."""
     ds = read_documents(sf_dir).map_batches(
-        ExplodeSimple, batch_format="pyarrow", batch_size=2048, concurrency=2
+        per_worker(ExplodeSimple), batch_format="pyarrow", batch_size=2048
     )
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -167,7 +168,7 @@ def lemma_df(sf_dir: str):
 def doc_lengths(sf_dir: str):
     """(doc_id, dl) for docs with ≥1 significant token."""
     ds = read_documents(sf_dir).map_batches(
-        ExplodeSimple, batch_format="pyarrow", batch_size=2048, concurrency=2
+        per_worker(ExplodeSimple), batch_format="pyarrow", batch_size=2048
     )
 
     def first_dl(batch: pa.Table) -> pa.Table:
@@ -345,11 +346,9 @@ def _query_match_frame(sf_dir: str, terms: list[str]):
     out = (
         read_documents(sf_dir)
         .map_batches(
-            QueryMatchPass,
-            fn_constructor_kwargs={"terms": terms},
+            per_worker(QueryMatchPass, terms=terms),
             batch_format="pyarrow",
             batch_size=2048,
-            concurrency=2,
         )
         .to_pandas()
     )

@@ -13,6 +13,7 @@ import pyarrow as pa
 
 from searchengine_ray.pipelines.fulltext import _round_vec, read_documents
 from searchengine_ray.textproc import EN_STOPWORDS
+from searchengine_ray.workerstate import per_worker
 
 # Distinctive function-word votes per language (deterministic; mirrored
 # verbatim in the langid oracle SQL). Keys evaluated in ascending order for
@@ -97,7 +98,7 @@ class LangId:
 
 def langid(sf_dir: str):
     return read_documents(sf_dir).map_batches(
-        LangId, batch_format="pyarrow", batch_size=2048, concurrency=2
+        per_worker(LangId), batch_format="pyarrow", batch_size=2048
     )
 
 
@@ -154,7 +155,7 @@ class TokenCount:
 
 def token_count(sf_dir: str):
     return read_documents(sf_dir).map_batches(
-        TokenCount, batch_format="pyarrow", batch_size=2048, concurrency=2
+        per_worker(TokenCount), batch_format="pyarrow", batch_size=2048
     )
 
 
@@ -205,7 +206,7 @@ class QualityScore:
 
 def quality_score(sf_dir: str):
     return read_documents(sf_dir).map_batches(
-        QualityScore, batch_format="pyarrow", batch_size=2048, concurrency=2
+        per_worker(QualityScore), batch_format="pyarrow", batch_size=2048
     )
 
 
@@ -229,7 +230,7 @@ class Fingerprint:
 
 def fingerprint(sf_dir: str):
     return read_documents(sf_dir).map_batches(
-        Fingerprint, batch_format="pyarrow", batch_size=2048, concurrency=2
+        per_worker(Fingerprint), batch_format="pyarrow", batch_size=2048
     )
 
 
@@ -280,5 +281,5 @@ class RollingFingerprint:
 
 def fingerprint_rolling(sf_dir: str):
     return read_documents(sf_dir).map_batches(
-        RollingFingerprint, batch_format="pyarrow", batch_size=1024, concurrency=2
+        per_worker(RollingFingerprint), batch_format="pyarrow", batch_size=1024
     )

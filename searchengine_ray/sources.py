@@ -43,10 +43,13 @@ def expand_input(
     if isinstance(input_path, (list, tuple)):
         files = sorted(input_path)
     elif os.path.isdir(input_path):
+        # skip sidecars (_meta.json, _SUCCESS, .crc …) per the Hadoop/Spark
+        # underscore/dot convention — they are metadata, not table data
         all_files = sorted(
             os.path.join(input_path, f)
             for f in os.listdir(input_path)
-            if os.path.splitext(f)[1].lower() in _EXT_FORMAT
+            if not f.startswith(("_", "."))
+            and os.path.splitext(f)[1].lower() in _EXT_FORMAT
         )
         if input_format:
             files = [
@@ -55,7 +58,13 @@ def expand_input(
                 if _EXT_FORMAT[os.path.splitext(f)[1].lower()] == input_format
             ]
         else:
-            files = all_files
+            fmts = {_EXT_FORMAT[os.path.splitext(f)[1].lower()] for f in all_files}
+            if len(fmts) > 1 and "parquet" in fmts:
+                # mixed listing: Parquet is canonical, other extensions are
+                # assumed auxiliary exports of the same directory
+                files = [f for f in all_files if f.endswith(".parquet")]
+            else:
+                files = all_files
     else:
         files = [input_path]
     if not files:
