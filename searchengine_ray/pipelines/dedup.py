@@ -89,16 +89,21 @@ def exact_dedup(sf_dir: str):
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------
 
-_MERSENNE = np.uint64((1 << 61) - 1)
 _NUM_PERM = 64
 _BANDS = 16  # 16 bands × 4 rows → LSH threshold ≈ 0.5; verify at ≥ 0.8
 _ROWS = _NUM_PERM // _BANDS
 
 
 def _perm_params(seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    """Odd multipliers + offsets for linear permutations of Z_2^64:
+    x → a·x + b (mod 2^64) is a bijection whenever a is odd, so min-tracking
+    over a doc's shingle set gives valid MinHash draws with nothing but a
+    wrapped multiply-add per (perm, shingle) — no modular reduction (a ``%``
+    by a 61-bit prime costs a full integer division per element and, after
+    the 64-bit product wrap, bought no extra uniformity)."""
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, int(_MERSENNE), size=_NUM_PERM, dtype=np.uint64)
-    b = rng.integers(0, int(_MERSENNE), size=_NUM_PERM, dtype=np.uint64)
+    a = rng.integers(0, 1 << 63, size=_NUM_PERM, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.integers(0, 1 << 63, size=_NUM_PERM, dtype=np.uint64)
     return a, b
 
 
@@ -183,9 +188,8 @@ class MinHashBands:
         x = self.shingler(text)
         if x.size == 0:
             return None
-        x = x % _MERSENNE
-        # h_i(x) = (a_i * x + b_i) mod p, vectorized over (perm, shingle)
-        vals = (self.a[:, None] * x[None, :] + self.b[:, None]) % _MERSENNE
+        # h_i(x) = a_i·x + b_i (mod 2^64), vectorized over (perm, shingle)
+        vals = self.a[:, None] * x[None, :] + self.b[:, None]
         return vals.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -212,9 +216,9 @@ class MinHashBands:
         if not arrs:
             return empty
         lens = np.fromiter((a.size for a in arrs), dtype=np.int64, count=len(arrs))
-        x = np.concatenate(arrs).astype(np.uint64) % _MERSENNE
+        x = np.concatenate(arrs).astype(np.uint64)
         starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-        vals = (self.a[:, None] * x[None, :] + self.b[:, None]) % _MERSENNE
+        vals = self.a[:, None] * x[None, :] + self.b[:, None]
         sigs = np.minimum.reduceat(vals, starts, axis=1)  # (64, n_docs)
         sb = sigs.reshape(_BANDS, _ROWS, -1)
         h = sb[:, 0, :].copy()
@@ -366,25 +370,24 @@ def _shingle_sigs_ds(sf_dir: str, shingler):
 
 
 def _joined_pair_sigs(pairs_ds, sigs_ds, num_partitions: int | None = None):
-    """Attach each pair's two signatures with ONE distributed hash-join:
-    pairs explode to a row per SIDE (doc_id, mate, side), join sigs on
-    doc_id (inner — sigs of non-candidate docs never ship), then the pair's
-    two rows co-locate under a fixed pair-hash partition and zip back up
-    with numpy. Returns a Dataset with columns (a, b, sig_a, sig).
+    """Attach each pair's two signatures with a hand-rolled hash join:
+    pairs explode to a row per SIDE (doc_id, mate, side), sig rows are
+    tagged side=2, and the UNION co-partitions on hash(doc_id) — inside
+    each fixed partition a vectorized searchsorted attaches sigs to pair
+    sides (inner semantics: sides without a sig drop). The pair's two rows
+    then co-locate under a pair-hash partition and zip back up with numpy.
+    Returns a Dataset with columns (a, b, sig_a, sig).
 
-    One join instead of two halves the aggregator-actor spawns (the
-    dominant cost at interactive scale) at identical shuffle volume. Join
-    aggregators run at fractional CPU so concurrent joins can't reserve the
-    whole small cluster."""
-    import ray
-
-    if num_partitions is None:
-        num_partitions = max(2, min(8, int(ray.cluster_resources().get("CPU", 4)) // 4))
-    agg = {"num_cpus": 0.25}
+    Union + groupby instead of ``Dataset.join``: identical shuffle volume,
+    but groupby shuffles run on plain tasks while the join operator spawns
+    a pool of aggregator ACTORS (~1-2 s fixed cost per run at interactive
+    scale, and a reserved slice of the cluster at any scale)."""
+    P = num_partitions or _PAIR_PARTITIONS
 
     def explode_sides(batch: pa.Table) -> pa.Table:
         a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n2 = a.size + b.size
         return pa.table(
             {
                 "doc_id": pa.array(np.concatenate((a, b)), type=pa.int64()),
@@ -394,12 +397,54 @@ def _joined_pair_sigs(pairs_ds, sigs_ds, num_partitions: int | None = None):
                         (np.zeros(a.size, dtype=np.int8), np.ones(b.size, dtype=np.int8))
                     )
                 ),
+                "sig": pa.nulls(n2, type=pa.binary()),
             }
         )
 
-    joined = pairs_ds.map_batches(explode_sides, batch_format="pyarrow").join(
-        sigs_ds, join_type="inner", num_partitions=num_partitions,
-        on=("doc_id",), aggregator_ray_remote_args=agg,
+    def tag_sigs(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "mate": pa.array(np.full(n, -1, dtype=np.int64)),
+                "side": pa.array(np.full(n, 2, dtype=np.int8)),
+                "sig": batch["sig"],
+            }
+        )
+
+    def add_doc_part(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        p = (d * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(P)
+        return batch.append_column("p", pa.array(p.astype(np.int64)))
+
+    def attach_sigs(group: pa.Table) -> pa.Table:
+        d = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        side = group["side"].to_numpy(zero_copy_only=False)
+        sig_col = group.column("sig").combine_chunks()
+        is_sig = side == 2
+        sig_ids = d[is_sig]
+        sig_idx = np.nonzero(is_sig)[0]
+        so = np.argsort(sig_ids, kind="stable")
+        sig_ids, sig_idx = sig_ids[so], sig_idx[so]
+        pr = np.nonzero(~is_sig)[0]
+        if sig_ids.size == 0 or pr.size == 0:
+            empty = pa.array([], type=pa.int64())
+            return group.select(["doc_id", "mate", "side"]).take(empty).append_column(
+                "sig", pa.array([], type=pa.binary())
+            )
+        pos = np.searchsorted(sig_ids, d[pr])
+        ok = (pos < sig_ids.size) & (sig_ids[np.minimum(pos, sig_ids.size - 1)] == d[pr])
+        keep = pr[ok]
+        take_sig = sig_idx[pos[ok]]
+        sel = group.select(["doc_id", "mate", "side"]).take(pa.array(keep))
+        return sel.append_column("sig", sig_col.take(pa.array(take_sig)))
+
+    joined = (
+        pairs_ds.map_batches(explode_sides, batch_format="pyarrow")
+        .union(sigs_ds.map_batches(tag_sigs, batch_format="pyarrow"))
+        .map_batches(add_doc_part, batch_format="pyarrow")
+        .groupby("p")
+        .map_groups(attach_sigs, batch_format="pyarrow")
     )
 
     def add_pair_part(batch: pa.Table) -> pa.Table:
@@ -521,9 +566,12 @@ def minhash_dups(sf_dir: str, threshold: float = 0.8):
     via MinHash-LSH banding. Every stage is a Dataset — candidate pairs,
     shingle sigs and the pair↔sig joins are all distributed; only verified
     pairs reach the driver."""
+    # batch_size 256: the (64-perm × shingle) matrix is the compute-dense
+    # stage — small batches keep task granularity fine enough that a small
+    # corpus (few read blocks) still fans out across the worker pool
     bands = read_documents(sf_dir).map_batches(
         per_worker(MinHashBands, shingler="word"),
-        batch_format="pyarrow", batch_size=1024,
+        batch_format="pyarrow", batch_size=256,
     )
     pairs_ds = _candidate_pairs_ds(bands, min_band_collisions=2 if threshold >= 0.7 else 1)
     sigs_ds = _shingle_sigs_ds(sf_dir, word_shingle_array)
@@ -535,7 +583,7 @@ def ngram_jaccard_dups(sf_dir: str, threshold: float = 0.8):
     generation, exact distributed verification)."""
     bands = read_documents(sf_dir).map_batches(
         per_worker(MinHashBands, shingler="char"),
-        batch_format="pyarrow", batch_size=1024,
+        batch_format="pyarrow", batch_size=256,
     )
     pairs_ds = _candidate_pairs_ds(bands, min_band_collisions=2 if threshold >= 0.7 else 1)
     sigs_ds = _shingle_sigs_ds(sf_dir, char_shingle_array)
