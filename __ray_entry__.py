@@ -87,18 +87,40 @@ ttoks AS (
 )"""
 
 
-def _transcript_search_sql(site: str | None = None) -> str:
+def _transcript_search_sql(site: str | None = None, upsert: bool = False) -> str:
     """UNION ALL of the fixed query set over the derived transcripts —
     mirrors pipelines.transcripts.transcript_search (engine path). With
     ``site``, every input (docs, df, N, avgdl, dl join) is restricted to the
     partition (role == site; role is a pure function of doc_id), mirroring
     the engine's per-site scoping — BUT dl stays the doc's own length, which
-    is site-neutral in both paths."""
-    from searchengine_ray.pipelines.transcripts import FIXED_QUERIES
+    is site-neutral in both paths. With ``upsert``, the corpus CTE overlays
+    ``transcripts.UPSERT_ROWS`` as literals (replace-by-key + append),
+    mirroring the engine's delta-generation doc upserts (delta.py)."""
+    from searchengine_ray.pipelines.transcripts import (
+        FIXED_QUERIES,
+        UPSERT_QUERIES,
+        UPSERT_ROWS,
+    )
     from searchengine_ray.textproc import Analyzer
 
     # site docs: role = _ROLES[doc_id % 4] in corpus.transcripts_from_documents
     roles = ["user", "assistant", "tool", "system"]
+    docs_cte = _TS_DOCS
+    if upsert:
+        ups_values = ", ".join(
+            f"('{r['conv_id']}', {int(r['turn_idx'])}, {roles.index(r['role'])}, '{r['text']}')"
+            for r in UPSERT_ROWS
+        )
+        docs_cte = _TS_DOCS.replace("tdocs AS (", "tdocs0 AS (") + f""",
+ ups AS (SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+                CAST(role_idx AS INTEGER) AS role_idx, text
+         FROM (VALUES {ups_values}) AS v(conv_id, turn_idx, role_idx, text)),
+ tdocs AS (
+   SELECT t.conv_id, t.turn_idx, t.role_idx, t.text FROM tdocs0 t
+   WHERE NOT EXISTS (SELECT 1 FROM ups u
+                     WHERE u.conv_id = t.conv_id AND u.turn_idx = t.turn_idx)
+   UNION ALL SELECT conv_id, turn_idx, role_idx, text FROM ups
+ )"""
     site_docs = (
         f"sdocs AS (SELECT * FROM tdocs WHERE role_idx = {roles.index(site)})"
         if site is not None
@@ -106,7 +128,7 @@ def _transcript_search_sql(site: str | None = None) -> str:
     )
     analyzer = Analyzer("simple")
     parts = []
-    for qid, qtext in FIXED_QUERIES:
+    for qid, qtext in UPSERT_QUERIES if upsert else FIXED_QUERIES:
         terms = sorted({w for w in analyzer.tokens(qtext) if analyzer.significant(w)})
         if not terms:
             continue  # engine emits no rows; omit from the union
@@ -119,7 +141,7 @@ SELECT '{qid}' AS query_id,
        conv_id, turn_idx, round(score, 4) AS score_r,
        CAST(count(*) OVER () AS BIGINT) AS count
 FROM (
-  WITH {_TS_DOCS}, {site_docs}, {_TS_TOKS},
+  WITH {docs_cte}, {site_docs}, {_TS_TOKS},
    stoks AS (SELECT t.* FROM ttoks t
              JOIN sdocs sd ON t.conv_id = sd.conv_id AND t.turn_idx = sd.turn_idx),
    dl AS (SELECT conv_id, turn_idx, CAST(sum(tf) AS BIGINT) AS dl FROM ttoks GROUP BY conv_id, turn_idx),
@@ -167,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         transcript_search,
         transcript_search_actor,
         transcript_search_site,
+        transcript_upsert_search,
     )
 
     return {
@@ -182,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_search": transcript_search,
         "transcript_search_site": transcript_search_site,  # per-site scoping
         "transcript_search_actor": transcript_search_actor,  # rows-only (actor pool)
+        "transcript_upsert_search": transcript_upsert_search,  # doc-level delta upserts
         "transcript_dictionary": transcript_index_dictionary,
         # --- windowed aggregate + broadcast join (wide-op patterns) ---
         "windowed_events": relational.windowed_events,
@@ -266,6 +290,7 @@ SELECT CAST(count(*) AS BIGINT) AS n_matches FROM (
   GROUP BY doc_id HAVING count(*) = 2)""",
         "transcript_search": _transcript_search_sql(),
         "transcript_search_site": _transcript_search_sql(site="assistant"),
+        "transcript_upsert_search": _transcript_search_sql(upsert=True),
         "transcript_dictionary": f"""
 WITH {_TOKS}
 SELECT token AS lemma, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf

@@ -1069,6 +1069,13 @@ def build_index(
     files, fmt = sources.expand_input(input_path, input_format)
     os.makedirs(index_dir, exist_ok=True)
 
+    # A (re)build from inputs supersedes any doc-level upsert overlay: delta
+    # generations are relative to the PREVIOUS finalized index (compaction
+    # path — delta.py module docstring).
+    from searchengine_ray.delta import clear_delta
+
+    clear_delta(index_dir)
+
     stop_path = os.path.join(index_dir, STOP_FLAG)
     if stop_check is None:
         # a fresh build consumes any stale flag, then polls for new ones

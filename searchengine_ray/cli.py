@@ -6,7 +6,8 @@ Reference endpoint      CLI command
 =====================  =======================================================
 GET /api/startIndexing  ``build  --input DIR --index DIR [--analyzer ru]``
 GET /api/stopIndexing   ``stop   --index DIR`` (cooperative, resumable)
-POST /api/indexPage     ``reindex --index DIR [--input PATH]`` (shard-grain)
+POST /api/indexPage     ``upsert --index DIR --doc JSON|--input PATH`` (doc-grain)
+                        ``reindex --index DIR [--input PATH]`` (shard-grain)
 GET /api/search         ``search --index DIR --query Q [--offset N --limit N]``
 GET /api/statistics     ``stats  --index DIR``
 DELETE /api/deleteAll   ``clear  --index DIR``
@@ -143,6 +144,34 @@ def cmd_reindex(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_upsert(args: argparse.Namespace) -> int:
+    """Doc-level insert-or-replace (reference ``POST /api/indexPage``,
+    ``services/PageProcessorService.java:34-46``, at document grain): rows
+    from ``--doc`` (inline JSON) or ``--input`` (parquet / JSONL) become one
+    delta generation over the built index (``delta.py``) — an interactive
+    point operation, no Ray session needed. Bulk changes go through
+    ``reindex``."""
+    from searchengine_ray.delta import upsert_docs
+
+    if args.doc:
+        obj = json.loads(args.doc)
+        rows = obj if isinstance(obj, list) else [obj]
+    elif args.input:
+        if args.input.endswith((".jsonl", ".json")):
+            with open(args.input) as f:
+                rows = [json.loads(line) for line in f if line.strip()]
+        else:
+            import pyarrow.parquet as pq
+
+            rows = pq.read_table(args.input).to_pylist()
+    else:
+        print(json.dumps({"result": False, "error": "upsert needs --doc or --input"}))
+        return 2
+    out = upsert_docs(args.index, rows)
+    print(json.dumps({"result": True, **out}))
+    return 0
+
+
 def cmd_search(args: argparse.Namespace) -> int:
     if args.actors > 1:
         # Partition-serving mode: per-shard QueryActors + exact driver merge.
@@ -201,18 +230,36 @@ def cmd_stats(args: argparse.Namespace) -> int:
     global totals + per-shard detail from the lineage manifests."""
     import os
 
+    from searchengine_ray.delta import load_state
+
     with open(os.path.join(args.index, "manifest.json")) as f:
         m = json.load(f)
+    # fold in the doc-level upsert overlay so stats describe the CURRENT
+    # corpus (delta.py), exactly like IndexReader does for serving
+    st = load_state(args.index)
+    n_docs, total_len = m["n_docs"], m["total_len"]
+    sites = {k: dict(v) for k, v in (m.get("sites") or {}).items()}
+    if st:
+        n_docs += int(st["n_docs_delta"])
+        total_len += int(st["total_len_delta"])
+        for site, (dn, dlen) in st.get("sites_delta", {}).items():
+            e = sites.setdefault(site, {"n_docs": 0, "total_len": 0, "avgdl": 0.0})
+            e["n_docs"] = int(e.get("n_docs", 0)) + int(dn)
+            e["total_len"] = int(e.get("total_len", 0)) + int(dlen)
+            e["avgdl"] = (e["total_len"] / e["n_docs"]) if e["n_docs"] else 0.0
+        sites = {k: v for k, v in sites.items() if v["n_docs"] > 0}
+    avgdl = (total_len / n_docs) if n_docs else 0.0
     print(
         json.dumps(
             {
                 "result": True,
                 "statistics": {
                     "total": {
-                        "docs": m["n_docs"],
+                        "docs": n_docs,
                         "lemmas": m["n_lemmas"],
-                        "avgdl": round(m["avgdl"], 4),
+                        "avgdl": round(avgdl, 4),
                         "shards": len(m["shards"]),
+                        "pending_upserts": len(st["generations"]) if st else 0,
                         "indexing": False,
                     },
                     "detailed": [
@@ -228,7 +275,7 @@ def cmd_stats(args: argparse.Namespace) -> int:
                     # services/StatisticsServiceImpl.java:30-62)
                     "sites": {
                         name: {"docs": s["n_docs"], "avgdl": round(s["avgdl"], 4)}
-                        for name, s in (m.get("sites") or {}).items()
+                        for name, s in sites.items()
                     },
                 },
             }
@@ -294,6 +341,15 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("stop", help="cooperatively stop a running build (resumable)")
     sp.add_argument("--index", required=True)
     sp.set_defaults(fn=cmd_stop)
+
+    up = sub.add_parser("upsert", help="doc-level insert-or-replace (delta generation)")
+    up.add_argument("--index", required=True)
+    up.add_argument("--doc", default=None, help="inline JSON row or array of rows")
+    up.add_argument(
+        "--input", default=None,
+        help="parquet or JSONL file of rows (conv_id, turn_idx, role, text)",
+    )
+    up.set_defaults(fn=cmd_upsert)
 
     ri = sub.add_parser("reindex", help="incremental re-index: rebuild only changed shards")
     ri.add_argument("--index", required=True)

@@ -72,11 +72,28 @@ class IndexReader:
         # to the parquet column
         conv_npy = os.path.join(index_dir, "conv_dict.npy")
         if os.path.exists(conv_npy):
-            self.conv_ids = np.load(conv_npy, mmap_mode="r")
+            self._conv_main = np.load(conv_npy, mmap_mode="r")
         else:
-            self.conv_ids = pq.read_table(
+            self._conv_main = pq.read_table(
                 os.path.join(index_dir, "conv_dict.parquet")
             )["conv_id"].to_numpy(zero_copy_only=False)
+        self.conv_ids = self._conv_main
+
+        # doc-level upsert overlay (delta generations + supersede sets):
+        # stats below fold in the delta adjustments so gates/idf/avgdl are
+        # exactly those of the UPDATED corpus (delta.py module docstring)
+        from searchengine_ray import delta as _delta
+
+        state = _delta.load_state(index_dir)
+        self.delta = _delta.DeltaView(index_dir, state) if state else None
+        if self.delta is not None:
+            self.n_docs += self.delta.n_docs_delta
+            total_len = int(self.manifest["total_len"]) + self.delta.total_len_delta
+            self.avgdl = (total_len / self.n_docs) if self.n_docs else 0.0
+            if self.delta.conv_delta is not None:
+                self.conv_ids = _delta.ConvIdsView(
+                    self._conv_main, self.delta.conv_delta
+                )
 
         # Dictionary access: small vocabularies load eagerly (one dict, no
         # per-term I/O); past the threshold the reader goes LAZY — per-term
@@ -145,12 +162,23 @@ class IndexReader:
                 dls = np.concatenate([p[1] for p in parts])
                 order = np.argsort(docids, kind="stable")
                 self._dl_parts.append((docids[order], dls[order]))
+        if self.delta is not None:
+            # ascending generations AFTER main: ``doc_lengths`` assigns per
+            # part in list order, so the latest writer (newest generation)
+            # wins for a replaced docid
+            self._dl_parts.extend(self.delta.gen_norms)
 
     # -- dictionary -----------------------------------------------------
 
     _EAGER_DICT_MAX = 4_000_000  # lemmas; beyond this the dictionary is lazy
 
     def df(self, lemma: str) -> int:
+        base = self._df_base(lemma)
+        if self.delta is not None:
+            return base + self.delta.df_delta.get(lemma, 0)
+        return base
+
+    def _df_base(self, lemma: str) -> int:
         hit = self._df_cache.get(lemma)
         if hit is not None:
             return hit
@@ -178,6 +206,11 @@ class IndexReader:
                     dt["df"].to_numpy(zero_copy_only=False).tolist(),
                 )
             )
+        if self.delta is not None:
+            out = dict(self._df_cache)
+            for lemma, ddf in self.delta.df_delta.items():
+                out[lemma] = out.get(lemma, 0) + ddf
+            return {l: v for l, v in out.items() if v > 0}
         return self._df_cache
 
     # -- postings -------------------------------------------------------
@@ -269,29 +302,45 @@ class IndexReader:
     # re-decode costs more than the block path it replaced.
     _DECODED_BUDGET = 1 << 30
 
-    def decode_lemma(self, lemma: str) -> tuple[np.ndarray, np.ndarray]:
-        """Full (docids, tfs) for a lemma, globally docid-sorted. Decoded
-        arrays are LRU-cached under a byte budget (callers never mutate
-        them in place)."""
+    def decode_lemma(self, lemma: str, site: str | None = None) -> tuple[np.ndarray, np.ndarray]:
+        """Full (docids, tfs) for a lemma, globally docid-sorted; ``site``
+        scopes to one corpus partition's per-(lemma, site) segments. With a
+        delta overlay present, main postings of superseded docids drop and
+        the generations' postings merge in — the decoded view IS the
+        updated corpus. Decoded arrays are LRU-cached under a byte budget
+        (callers never mutate them in place)."""
         if not hasattr(self, "_dec_cache"):
             self._dec_cache: OrderedDict[str, tuple[np.ndarray, np.ndarray]] = OrderedDict()
             self._dec_bytes = 0
-        hit = self._dec_cache.get(lemma)
+        key = lemma if site is None else f"{site}\x01{lemma}"
+        hit = self._dec_cache.get(key)
         if hit is not None:
-            self._dec_cache.move_to_end(lemma)
+            self._dec_cache.move_to_end(key)
             return hit
-        segs = self.postings_segments(lemma)
-        if not segs:
-            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        segs = self.postings_segments(lemma, site=site)
         parts = [decode_postings(e) for e in segs]
-        docids = np.concatenate([p[0] for p in parts])
-        tfs = np.concatenate([p[1] for p in parts])
-        if len(parts) > 1:
-            order = np.argsort(docids, kind="stable")
-            docids, tfs = docids[order], tfs[order]
+        if parts:
+            docids = np.concatenate([p[0] for p in parts])
+            tfs = np.concatenate([p[1] for p in parts])
+            if len(parts) > 1:
+                order = np.argsort(docids, kind="stable")
+                docids, tfs = docids[order], tfs[order]
+        else:
+            docids = np.empty(0, dtype=np.int64)
+            tfs = np.empty(0, dtype=np.int64)
+        if self.delta is not None:
+            docids, tfs = self.delta.filter_main(docids, tfs)
+            gd, gt = self.delta.gen_lemma_postings(lemma, site)
+            if gd.size:
+                docids = np.concatenate([docids, gd])
+                tfs = np.concatenate([tfs, gt])
+                order = np.argsort(docids, kind="stable")
+                docids, tfs = docids[order], tfs[order]
+        if docids.size == 0:
+            return docids, tfs
         nbytes = docids.nbytes + tfs.nbytes
         if nbytes < self._DECODED_BUDGET:
-            self._dec_cache[lemma] = (docids, tfs)
+            self._dec_cache[key] = (docids, tfs)
             self._dec_bytes += nbytes
             while self._dec_bytes > self._DECODED_BUDGET and self._dec_cache:
                 _, (d, t) = self._dec_cache.popitem(last=False)
@@ -347,8 +396,11 @@ class IndexReader:
     def sites(self) -> dict[str, dict]:
         """Per-site stats from the manifest: {site: {n_docs, total_len,
         avgdl}} (built from the site sentinel postings; empty when the index
-        was built without ``site_column``)."""
-        return self.manifest.get("sites", {}) or {}
+        was built without ``site_column``), with delta adjustments folded in."""
+        base = self.manifest.get("sites", {}) or {}
+        if self.delta is not None:
+            return self.delta.adjust_sites(base)
+        return base
 
     def site_df_map(self, site: str) -> dict[str, int]:
         """lemma → df within one site, from the GLOBAL per-site dictionary
@@ -374,6 +426,10 @@ class IndexReader:
                     t["df"].to_numpy(zero_copy_only=False).tolist(),
                 )
             )
+        if self.delta is not None:
+            for lemma, ddf in self.delta.site_df_delta.get(site, {}).items():
+                out[lemma] = out.get(lemma, 0) + ddf
+            out = {l: v for l, v in out.items() if v > 0}
         cache[site] = out
         return out
 
@@ -388,14 +444,21 @@ class IndexReader:
         if hit is not None:
             return hit
         segs = self.postings_segments(SITE_PREFIX + site)
-        if not segs:
-            out = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
-        else:
-            parts = [decode_postings(e) for e in segs]
+        parts = [decode_postings(e) for e in segs]
+        if parts:
             docids = np.concatenate([p[0] for p in parts])
             dls = np.concatenate([p[1] for p in parts])
-            order = np.argsort(docids, kind="stable")
-            out = (docids[order], dls[order])
+        else:
+            docids = np.empty(0, dtype=np.int64)
+            dls = np.empty(0, dtype=np.int64)
+        if self.delta is not None:
+            docids, dls = self.delta.filter_main(docids, dls)
+            gd, gt = self.delta.gen_lemma_postings(SITE_PREFIX + site, None)
+            if gd.size:
+                docids = np.concatenate([docids, gd])
+                dls = np.concatenate([dls, gt])
+        order = np.argsort(docids, kind="stable")
+        out = (docids[order], dls[order])
         cache[site] = out
         return out
 
@@ -483,4 +546,6 @@ class IndexReader:
             sub = entry["table"].take(rows)
             for row in sub.to_pylist():
                 out[row["docid"]] = row
+        if self.delta is not None:
+            self.delta.fetch_docs_into(want, out)
         return out

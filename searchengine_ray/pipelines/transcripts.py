@@ -76,9 +76,12 @@ def transcript_search(sf_dir: str, k: int = 10, site: str | None = None) -> pd.D
     from searchengine_ray.query import QueryEngine
 
     index_dir = ensure_transcript_index(sf_dir)
-    engine = QueryEngine(index_dir)
+    return _search_frame(QueryEngine(index_dir), FIXED_QUERIES, k=k, site=site)
+
+
+def _search_frame(engine, queries: list[tuple[str, str]], k: int, site: str | None = None) -> pd.DataFrame:
     frames = []
-    for qid, qtext in FIXED_QUERIES:
+    for qid, qtext in queries:
         r = engine.search_ids(qtext, site=site)
         if r["count"] == 0:
             continue
@@ -103,6 +106,44 @@ def transcript_search(sf_dir: str, k: int = 10, site: str | None = None) -> pd.D
             columns=["query_id", "rank", "conv_id", "turn_idx", "score_r", "count"]
         )
     return pd.concat(frames, ignore_index=True)
+
+
+# Fixed upsert batch for the doc-level incremental path (delta.py): two
+# replacements of derived docs (doc_id 0 and 3 → conv-000000 turns 0/3,
+# roles user/system per the doc_id % 4 mapping), one new turn in an existing
+# conversation, one new conversation that sorts after every derived conv id
+# (preserving the docid⇔(conv_id, turn_idx) isomorphism). ``zuzuzu`` exists
+# ONLY via upsert, so ts-upnew exercises a delta-only dictionary entry.
+UPSERT_ROWS: list[dict] = [
+    {"conv_id": "conv-000000", "turn_idx": 0, "role": "user", "text": "window scan merge window dup zuzuzu"},
+    {"conv_id": "conv-000000", "turn_idx": 3, "role": "system", "text": "hash join merge column scan"},
+    {"conv_id": "conv-000000", "turn_idx": 900, "role": "assistant", "text": "column window zuzuzu scan"},
+    {"conv_id": "zzzz-upsert", "turn_idx": 0, "role": "user", "text": "zuzuzu dup window hash"},
+]
+
+UPSERT_QUERIES: list[tuple[str, str]] = FIXED_QUERIES + [("ts-upnew", "zuzuzu")]
+
+
+def transcript_upsert_search(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Doc-level incremental re-index, end to end (reference ``POST
+    /api/indexPage``, ``services/PageProcessorService.java:34-46``): copy
+    the built index, apply ``UPSERT_ROWS`` as two delta generations
+    (replacements, then additions — ``delta.py``), and serve the fixed
+    query set over the overlaid index. Oracle-checked: the SQL mirror
+    overlays the same rows as literals onto the derived corpus, so the
+    results must equal a from-scratch index of the UPDATED corpus."""
+    import shutil
+
+    from searchengine_ray.delta import upsert_docs
+    from searchengine_ray.query import QueryEngine
+
+    base = ensure_transcript_index(sf_dir)
+    idx = base + "-upsert"
+    shutil.rmtree(idx, ignore_errors=True)
+    shutil.copytree(base, idx)
+    upsert_docs(idx, UPSERT_ROWS[:2])  # generation 0: replacements
+    upsert_docs(idx, UPSERT_ROWS[2:])  # generation 1: additions
+    return _search_frame(QueryEngine(idx), UPSERT_QUERIES, k=k)
 
 
 def transcript_search_actor(sf_dir: str, k: int = 10) -> pd.DataFrame:

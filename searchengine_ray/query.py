@@ -112,7 +112,10 @@ class QueryEngine:
             df_l = reader.df(lemma)
             bs = self.config.block_size
             touched = min(docids.size, df_l // bs + 1) * bs
-            if cached is None and 2 * touched >= df_l:
+            # a delta overlay (doc-level upserts) forces the full-decode
+            # path: the block path below reads raw MAIN segments, which
+            # would miss generation postings and superseded tombstones
+            if cached is None and (2 * touched >= df_l or reader.delta is not None):
                 cached = reader.decode_lemma(lemma)
             if cached is not None:
                 ld, lt = cached
@@ -193,19 +196,9 @@ class QueryEngine:
     def _decode_site_lemma(self, lemma: str, site: str) -> tuple[np.ndarray, np.ndarray]:
         """Full (docids, tfs) of one lemma WITHIN one site — decodes only the
         per-(lemma, site) segments the build's site-threaded shuffle key
-        produced (never the other sites' postings)."""
-        from searchengine_ray.codec import decode_postings
-
-        segs = self.reader.postings_segments(lemma, site=site)
-        if not segs:
-            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-        parts = [decode_postings(e) for e in segs]
-        docids = np.concatenate([p[0] for p in parts])
-        tfs = np.concatenate([p[1] for p in parts])
-        if len(parts) > 1:
-            order = np.argsort(docids, kind="stable")
-            docids, tfs = docids[order], tfs[order]
-        return docids, tfs
+        produced (never the other sites' postings); delta generations and
+        supersede filtering are applied by the reader."""
+        return self.reader.decode_lemma(lemma, site=site)
 
     def _match_and_score_site(self, q_lemmas, site: str) -> tuple[np.ndarray, np.ndarray]:
         """Site-scoped evaluation (reference per-site search,

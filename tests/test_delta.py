@@ -1,0 +1,274 @@
+"""Doc-level incremental upsert (delta generations, ``delta.py``) vs a
+from-scratch rebuild of the updated corpus.
+
+Reference semantics: ``POST /api/indexPage`` replaces ONE page in place —
+old postings dropped, dfs decremented, new content indexed
+(``services/PageProcessorService.java:34-46``,
+``Repositories/LemmaRepository.java:40-47``). The invariant asserted here:
+after any sequence of upserts, every search response over the delta-overlaid
+index EQUALS the response from an index built from scratch over the updated
+corpus (scores, ordering, snippets, counts, stats)."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from searchengine_ray.build import build_index
+from searchengine_ray.config import EngineConfig
+from searchengine_ray.corpus import generate_transcripts, reference_queries
+from searchengine_ray.delta import clear_delta, load_state, upsert_docs
+from searchengine_ray.query import QueryEngine
+
+CFG = EngineConfig(num_shards=2, num_segments=4, lemmatizer_concurrency=(1, 2), batch_size=512)
+
+# texts reuse corpus vocabulary (reference-query hits) plus one lemma that
+# exists ONLY via upsert (delta-only dictionary entry)
+NEW_TEXT_1 = "суд принял решение по жалобе ответчика в срок"
+NEW_TEXT_2 = "статья закона о налогах и новослово"
+NEW_TEXT_3 = "вопросы агента и суд"
+
+
+def _write_corpus(table: pa.Table, out_dir: str, n_files: int = 4) -> None:
+    os.makedirs(out_dir)
+    n = table.num_rows
+    per = (n + n_files - 1) // n_files
+    for i in range(n_files):
+        chunk = table.slice(i * per, min(per, n - i * per))
+        if chunk.num_rows:
+            pq.write_table(chunk, os.path.join(out_dir, f"part-{i:05d}.parquet"))
+
+
+def _apply_rows(table: pa.Table, rows: list[dict]) -> pa.Table:
+    """The updated-corpus view of an upsert batch: replace matching
+    (conv_id, turn_idx) rows, append the rest (insertion order)."""
+    df = table.to_pandas()
+    added = []
+    for r in rows:
+        m = (df["conv_id"] == r["conv_id"]) & (df["turn_idx"] == r["turn_idx"])
+        if m.any():
+            df.loc[m, "text"] = r["text"]
+            df.loc[m, "role"] = r["role"]
+        else:
+            added.append(
+                {
+                    "conv_id": r["conv_id"],
+                    "turn_idx": r["turn_idx"],
+                    "role": r["role"],
+                    "text": r["text"],
+                    "tool": "",
+                    "ts": df["ts"].iloc[0],
+                }
+            )
+    if added:
+        import pandas as pd
+
+        df = pd.concat([df, pd.DataFrame(added)], ignore_index=True)
+    return pa.Table.from_pandas(df, schema=table.schema, preserve_index=False)
+
+
+def _assert_engines_equal(upserted: QueryEngine, fresh: QueryEngine, queries: list[str], site=None):
+    assert upserted.reader.n_docs == fresh.reader.n_docs
+    assert upserted.reader.avgdl == fresh.reader.avgdl
+    assert upserted.reader.df_map == fresh.reader.df_map
+    for q in queries:
+        a = upserted.search(q, 0, 10, site=site)
+        b = fresh.search(q, 0, 10, site=site)
+        assert a == b, f"search({q!r}, site={site!r}) diverged"
+
+
+@pytest.fixture(scope="module")
+def base(ray_session, tiny_corpus, tmp_path_factory):
+    """One base build (no sites) shared by the module; tests copytree it."""
+    root = tmp_path_factory.mktemp("delta")
+    corpus_dir = str(root / "corpus")
+    _write_corpus(tiny_corpus, corpus_dir)
+    index_dir = str(root / "index")
+    build_index(corpus_dir, index_dir, CFG)
+    return tiny_corpus, index_dir, root
+
+
+def _fresh_build(root, name: str, table: pa.Table) -> QueryEngine:
+    corpus_dir = str(root / f"corpus-{name}")
+    _write_corpus(table, corpus_dir)
+    idx = str(root / f"index-{name}")
+    build_index(corpus_dir, idx, CFG)
+    return QueryEngine(idx)
+
+
+ALL_QUERIES = [q["query"] for q in reference_queries()] + [
+    "жалобе ответчика",
+    "новослово",
+    "решение срок",
+]
+
+
+class TestUpsertEqualsRebuild:
+    def test_replace_and_add_existing_convs(self, base, tmp_path):
+        """Replacements + additions confined to existing conversations give
+        IDENTICAL docids, hence full response equality (order, scores,
+        snippets) on every reference query."""
+        table, index_dir, root = base
+        idx = str(tmp_path / "idx")
+        shutil.copytree(index_dir, idx)
+        rows = [
+            # replace two docs that exist in main
+            {"conv_id": "conv-000000", "turn_idx": 3, "role": "tool", "text": NEW_TEXT_1},
+            {"conv_id": "conv-000005", "turn_idx": 0, "role": "user", "text": NEW_TEXT_2},
+            # add a new turn to an existing conversation
+            {"conv_id": "conv-000002", "turn_idx": 900, "role": "assistant", "text": NEW_TEXT_3},
+        ]
+        out = upsert_docs(idx, rows)
+        assert out == {"generation": 0, "replaced": 2, "added": 1}
+
+        fresh = _fresh_build(root, "g1", _apply_rows(table, rows))
+        _assert_engines_equal(QueryEngine(idx), fresh, ALL_QUERIES)
+
+    def test_second_generation_latest_wins(self, base, tmp_path):
+        """A second upsert replacing a gen-0 doc supersedes it exactly."""
+        table, index_dir, root = base
+        idx = str(tmp_path / "idx")
+        shutil.copytree(index_dir, idx)
+        g0 = [
+            {"conv_id": "conv-000000", "turn_idx": 3, "role": "tool", "text": NEW_TEXT_1},
+            {"conv_id": "conv-000002", "turn_idx": 900, "role": "assistant", "text": NEW_TEXT_3},
+        ]
+        upsert_docs(idx, g0)
+        g1 = [
+            # replace the gen-0 replacement AND the gen-0 addition
+            {"conv_id": "conv-000000", "turn_idx": 3, "role": "tool", "text": NEW_TEXT_2},
+            {"conv_id": "conv-000002", "turn_idx": 900, "role": "assistant", "text": NEW_TEXT_1},
+        ]
+        out = upsert_docs(idx, g1)
+        assert out == {"generation": 1, "replaced": 2, "added": 0}
+
+        fresh = _fresh_build(root, "g2", _apply_rows(_apply_rows(table, g0), g1))
+        _assert_engines_equal(QueryEngine(idx), fresh, ALL_QUERIES)
+
+    def test_new_conversation(self, base, tmp_path):
+        """A doc in a brand-new conversation: conv id chosen to sort after
+        every main conv id, so the docid⇔(conv_id, turn_idx) isomorphism is
+        preserved and full response equality still holds."""
+        table, index_dir, root = base
+        idx = str(tmp_path / "idx")
+        shutil.copytree(index_dir, idx)
+        rows = [
+            {"conv_id": "zzzz-new-conv", "turn_idx": 0, "role": "user", "text": NEW_TEXT_1},
+            {"conv_id": "zzzz-new-conv", "turn_idx": 1, "role": "assistant", "text": NEW_TEXT_2},
+        ]
+        out = upsert_docs(idx, rows)
+        assert out == {"generation": 0, "replaced": 0, "added": 2}
+
+        eng = QueryEngine(idx)
+        # conv view covers main + delta
+        assert len(eng.reader.conv_ids) == 21
+        assert str(eng.reader.conv_ids[20]) == "zzzz-new-conv"
+
+        fresh = _fresh_build(root, "g3", _apply_rows(table, rows))
+        _assert_engines_equal(eng, fresh, ALL_QUERIES)
+
+    def test_rebuild_compacts_delta(self, base, tmp_path):
+        """A full build over the index dir drops the delta overlay."""
+        table, index_dir, root = base
+        idx = str(tmp_path / "idx")
+        shutil.copytree(index_dir, idx)
+        rows = [{"conv_id": "conv-000000", "turn_idx": 3, "role": "tool", "text": NEW_TEXT_1}]
+        upsert_docs(idx, rows)
+        assert load_state(idx) is not None
+
+        corpus_dir = str(tmp_path / "corpus")
+        _write_corpus(_apply_rows(table, rows), corpus_dir)
+        build_index(corpus_dir, idx, CFG)
+        assert load_state(idx) is None
+        eng = QueryEngine(idx)
+        assert eng.reader.delta is None
+        fresh = _fresh_build(root, "g4", _apply_rows(table, rows))
+        _assert_engines_equal(eng, fresh, ALL_QUERIES)
+
+    def test_validation_errors(self, base, tmp_path):
+        _, index_dir, _ = base
+        idx = str(tmp_path / "idx")
+        shutil.copytree(index_dir, idx)
+        with pytest.raises(ValueError, match="empty"):
+            upsert_docs(idx, [])
+        with pytest.raises(ValueError, match="duplicate"):
+            upsert_docs(
+                idx,
+                [
+                    {"conv_id": "a", "turn_idx": 0, "role": "user", "text": "x"},
+                    {"conv_id": "a", "turn_idx": 0, "role": "user", "text": "y"},
+                ],
+            )
+        # failed validation must leave no delta state behind
+        assert load_state(idx) is None
+
+
+class TestSiteScopedUpsert:
+    def test_site_move_matches_rebuild(self, ray_session, tiny_corpus, tmp_path):
+        """Replacing a doc with a different role (= site) moves it between
+        per-site dictionaries/stats exactly as a rebuild would."""
+        cfg = CFG.replace(site_column="role")
+        corpus_dir = str(tmp_path / "corpus")
+        _write_corpus(tiny_corpus, corpus_dir)
+        idx = str(tmp_path / "idx")
+        build_index(corpus_dir, idx, cfg)
+
+        rows = [
+            # conv-000000/3 is role=tool in the corpus — move it to user
+            {"conv_id": "conv-000000", "turn_idx": 3, "role": "user", "text": NEW_TEXT_1},
+            {"conv_id": "zzzz-new", "turn_idx": 0, "role": "system", "text": NEW_TEXT_2},
+        ]
+        upsert_docs(idx, rows)
+
+        corpus2 = str(tmp_path / "corpus2")
+        _write_corpus(_apply_rows(tiny_corpus, rows), corpus2)
+        idx2 = str(tmp_path / "idx2")
+        build_index(corpus2, idx2, cfg)
+
+        eng, fresh = QueryEngine(idx), QueryEngine(idx2)
+        assert eng.reader.sites == fresh.reader.sites
+        for site in ("user", "tool", "assistant", "system"):
+            assert eng.reader.site_df_map(site) == fresh.reader.site_df_map(site), site
+            for q in ALL_QUERIES:
+                assert eng.search(q, 0, 10, site=site) == fresh.search(q, 0, 10, site=site), (q, site)
+
+
+class TestUpsertCli:
+    def test_cli_upsert_and_stats(self, base, tmp_path, capsys):
+        from searchengine_ray.cli import main
+
+        _, index_dir, _ = base
+        idx = str(tmp_path / "idx")
+        shutil.copytree(index_dir, idx)
+
+        doc = {"conv_id": "conv-000001", "turn_idx": 0, "role": "user", "text": NEW_TEXT_1}
+        assert main(["upsert", "--index", idx, "--doc", json.dumps(doc)]) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out == {"result": True, "generation": 0, "replaced": 1, "added": 0}
+
+        # JSONL input path; a new doc this time
+        path = str(tmp_path / "rows.jsonl")
+        with open(path, "w") as f:
+            f.write(json.dumps({"conv_id": "zzzz-cli", "turn_idx": 0, "role": "user", "text": NEW_TEXT_2}) + "\n")
+        assert main(["upsert", "--index", idx, "--input", path]) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["added"] == 1 and out["generation"] == 1
+
+        # stats reflect the overlay (one added doc; avgdl = reader's)
+        assert main(["stats", "--index", idx]) == 0
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        eng = QueryEngine(idx)
+        total = stats["statistics"]["total"]
+        assert total["docs"] == eng.reader.n_docs
+        assert total["avgdl"] == round(eng.reader.avgdl, 4)
+        assert total["pending_upserts"] == 2
+
+        # search CLI serves the upserted content
+        assert main(["search", "--index", idx, "--query", "новослово"]) == 0
+        resp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert resp["result"] is True and resp["count"] == 1
+        assert resp["data"][0]["conv_id"] == "zzzz-cli"

@@ -945,8 +945,16 @@ class TestSourceFormats:
         d.mkdir()
         pq.write_table(pa.table({"a": [1]}), str(d / "x.parquet"))
         (d / "y.jsonl").write_text('{"a": 1}\n')
-        with pytest.raises(ValueError, match="mixed"):
-            expand_input(str(d))
-        # explicit format filters the listing instead
-        files, fmt = expand_input(str(d), "parquet")
+        # Parquet is canonical: a mixed listing containing parquet resolves
+        # to the parquet files (other extensions treated as auxiliary)
+        files, fmt = expand_input(str(d))
         assert fmt == "parquet" and len(files) == 1
+        # explicit format filters the listing the other way
+        files, fmt = expand_input(str(d), "json")
+        assert fmt == "json" and len(files) == 1
+        # a parquet-less mix is ambiguous and rejected
+        (d2 := tmp_path / "mix2").mkdir()
+        (d2 / "a.jsonl").write_text('{"a": 1}\n')
+        (d2 / "b.csv").write_text("a\n1\n")
+        with pytest.raises(ValueError, match="mixed"):
+            expand_input(str(d2))
