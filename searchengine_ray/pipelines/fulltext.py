@@ -43,9 +43,9 @@ def _round_vec(a: np.ndarray, ndigits: int = 4) -> np.ndarray:
 
 
 def read_documents(sf_dir: str, columns=("doc_id", "text")):
-    import ray.data as rd
+    from searchengine_ray.sources import read_parquet_clean
 
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=list(columns))
+    return read_parquet_clean(os.path.join(sf_dir, "documents.parquet"), columns=list(columns))
 
 
 class ExplodeSimple:

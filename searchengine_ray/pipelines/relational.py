@@ -25,6 +25,7 @@ import numpy as np
 import pyarrow as pa
 
 from searchengine_ray.pipelines.fulltext import _round_vec
+from searchengine_ray.sources import read_parquet_clean
 
 WINDOW_US = 3_600_000_000  # 1 hour in microseconds
 
@@ -54,7 +55,7 @@ def windowed_events(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     ds = (
-        rd.read_parquet(
+        read_parquet_clean(
             os.path.join(sf_dir, "events.parquet"),
             columns=["ts", "event_type", "value"],
         )
@@ -115,7 +116,7 @@ def sessionize_events(sf_dir: str):
         )
 
     out = (
-        rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
         .map_batches(add_part, batch_format="pyarrow", batch_size=8192)
         .groupby("q")
         .map_groups(sessions, batch_format="pyarrow")
@@ -187,7 +188,7 @@ def asof_join_events(sf_dir: str):
         )
 
     out = (
-        rd.read_parquet(
+        read_parquet_clean(
             os.path.join(sf_dir, "events.parquet"),
             columns=["event_id", "user_id", "ts", "event_type", "value"],
         )
@@ -243,7 +244,7 @@ def broadcast_join_orders(sf_dir: str):
         )
 
     ds = (
-        rd.read_parquet(
+        read_parquet_clean(
             os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
         )
         .map_batches(join_batch, batch_format="pyarrow", batch_size=8192)

@@ -32,9 +32,9 @@ from searchengine_ray.pipelines.fulltext import _round_vec
 
 
 def read_embeddings(sf_dir: str):
-    import ray.data as rd
+    from searchengine_ray.sources import read_parquet_clean
 
-    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
 
 
 def _query_vector(sf_dir: str, query_vec_id: int) -> np.ndarray:

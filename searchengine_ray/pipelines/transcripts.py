@@ -203,6 +203,7 @@ def dedup_turns(input_path: str | list, out_dir: str) -> list[str]:
     import ray.data as rd
 
     from searchengine_ray.build import _expand_input
+    from searchengine_ray.sources import read_parquet_clean
 
     files = _expand_input(input_path)
     os.makedirs(out_dir, exist_ok=True)
@@ -230,7 +231,7 @@ def dedup_turns(input_path: str | list, out_dir: str) -> list[str]:
         )
 
     (
-        rd.read_parquet(files)
+        read_parquet_clean(files)
         .map_batches(add_part, batch_format="pyarrow")
         .groupby("q")
         .map_groups(first_wins, batch_format="pyarrow")

@@ -75,13 +75,34 @@ def expand_input(
     return files, fmt
 
 
+def read_parquet_clean(path, columns: list[str] | None = None, **kwargs):
+    """``ray.data.read_parquet`` with the file-level schema metadata
+    stripped at the read.
+
+    Pandas-written parquet carries a ``b'pandas'`` schema-metadata blob; a
+    ``pa.Schema`` with metadata is UNHASHABLE, so every multi-block concat
+    in Ray's batcher logs "Failed to hash the schemas (for deduplication)"
+    (``ray/data/_internal/arrow_ops/transform_pyarrow.py``) — noise that
+    buries real warnings. Passing a metadata-free (column-pruned) schema
+    gives every downstream stage clean, hashable block schemas."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    first = path[0] if isinstance(path, (list, tuple)) else path
+    schema = pq.read_schema(first).remove_metadata()
+    if columns is not None:
+        schema = pa.schema([schema.field(c) for c in columns])
+    return rd.read_parquet(path, columns=columns, schema=schema, **kwargs)
+
+
 def read_dataset(files: list[str], fmt: str, columns: list[str]):
     """Ray Dataset over the inputs projected to ``columns``. Parquet prunes
     at the read; JSON/CSV read whole rows then project (interop path)."""
     import ray.data as rd
 
     if fmt == "parquet":
-        return rd.read_parquet(files, columns=columns)
+        return read_parquet_clean(files, columns=columns)
     if fmt == "json":
         return rd.read_json(files).select_columns(columns)
     if fmt == "csv":
