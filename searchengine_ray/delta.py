@@ -378,11 +378,19 @@ def upsert_docs(index_dir: str, rows: list[dict]) -> dict:
 class DeltaView:
     """Loaded delta state for an ``IndexReader``: per-generation postings
     (eager — generations are small by contract), supersede sets, doc-store
-    fragments, stat adjustments."""
+    fragments, stat adjustments.
 
-    def __init__(self, index_dir: str, state: dict):
+    ``docs=False`` is the NON-OWNER partition-serving mode
+    (``ShardedQueryService``): supersede sets and dictionary/stat
+    adjustments stay active (identical gating/BM25 stats in every actor;
+    replaced main docs drop everywhere), but doc-level contributions — gen
+    postings, gen norms, doc fragments, the conv-rank extension — are
+    suppressed so exactly ONE reader in a fan-out serves each delta doc."""
+
+    def __init__(self, index_dir: str, state: dict, docs: bool = True):
         root = delta_root(index_dir)
         self.state = state
+        self.docs = docs
         self.gen_docids: list[np.ndarray] = []
         self.gen_postings: list[dict[tuple[str, str], EncodedPostings]] = []
         self.gen_docs: list[pa.Table] = []
@@ -390,6 +398,8 @@ class DeltaView:
         for g in state["generations"]:
             d = os.path.join(root, g["dir"])
             self.gen_docids.append(np.load(os.path.join(d, "docids.npy")))
+            if not docs:
+                continue
             t = pq.read_table(os.path.join(d, "postings.parquet"))
             posts: dict[tuple[str, str], EncodedPostings] = {}
             for i in range(t.num_rows):
@@ -435,7 +445,9 @@ class DeltaView:
                     m = self.site_df_delta.setdefault(site, {})
                     m[lemma] = m.get(lemma, 0) + int(ddf)
         conv_path = os.path.join(root, "conv_delta.npy")
-        self.conv_delta = np.load(conv_path) if os.path.exists(conv_path) else None
+        self.conv_delta = (
+            np.load(conv_path) if docs and os.path.exists(conv_path) else None
+        )
 
     # -- stat adjustments ------------------------------------------------
 

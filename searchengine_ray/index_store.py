@@ -55,12 +55,19 @@ class IndexReader:
         index_dir: str,
         postings_cache_size: int = 256,
         shards: list[str] | None = None,
+        delta_docs: bool = True,
     ):
         """``shards`` restricts the reader to a subset of shard directory
         names (e.g. ``["shard=00000"]``) — the partition-serving mode:
         shards are doc-disjoint, so per-shard match sets union exactly, while
         global stats (N, avgdl, df) always come from the full manifest and
-        dictionary so BM25 scores are identical to whole-index evaluation."""
+        dictionary so BM25 scores are identical to whole-index evaluation.
+
+        ``delta_docs=False`` makes this reader a NON-OWNER of the doc-level
+        upsert overlay: supersede filtering and stat/df adjustments still
+        apply (score-identical across a fan-out), but delta docs themselves
+        are served by exactly one (owner) reader — see
+        ``ShardedQueryService``."""
         self.index_dir = index_dir
         with open(os.path.join(index_dir, "manifest.json")) as f:
             self.manifest = json.load(f)
@@ -85,7 +92,7 @@ class IndexReader:
         from searchengine_ray import delta as _delta
 
         state = _delta.load_state(index_dir)
-        self.delta = _delta.DeltaView(index_dir, state) if state else None
+        self.delta = _delta.DeltaView(index_dir, state, docs=delta_docs) if state else None
         if self.delta is not None:
             self.n_docs += self.delta.n_docs_delta
             total_len = int(self.manifest["total_len"]) + self.delta.total_len_delta

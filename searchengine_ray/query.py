@@ -72,8 +72,14 @@ def _topk_order(scores: np.ndarray, docids: np.ndarray, k: int) -> np.ndarray:
 
 
 class QueryEngine:
-    def __init__(self, index_dir: str, mode: str = "bm25", shards: list[str] | None = None):
-        self.reader = IndexReader(index_dir, shards=shards)
+    def __init__(
+        self,
+        index_dir: str,
+        mode: str = "bm25",
+        shards: list[str] | None = None,
+        delta_docs: bool = True,
+    ):
+        self.reader = IndexReader(index_dir, shards=shards, delta_docs=delta_docs)
         m = self.reader.manifest
         self.config = EngineConfig(
             analyzer=m["analyzer"],
@@ -394,8 +400,14 @@ class QueryActor:
     partition-serving mode). Also usable directly via ``map_batches`` over a
     query table for batch evaluation."""
 
-    def __init__(self, index_dir: str, mode: str = "bm25", shards: list[str] | None = None):
-        self.engine = QueryEngine(index_dir, mode=mode, shards=shards)
+    def __init__(
+        self,
+        index_dir: str,
+        mode: str = "bm25",
+        shards: list[str] | None = None,
+        delta_docs: bool = True,
+    ):
+        self.engine = QueryEngine(index_dir, mode=mode, shards=shards, delta_docs=delta_docs)
 
     def search(self, query: str, offset: int = 0, limit: int = 10, site: str | None = None) -> dict:
         return self.engine.search(query, offset, limit, site=site)
@@ -460,8 +472,13 @@ class ShardedQueryService:
         num_actors = max(1, min(num_actors, len(shard_names)))
         groups = [shard_names[i::num_actors] for i in range(num_actors)]
         Actor = ray.remote(QueryActor)
+        # Doc-level upsert overlay (delta.py): delta docs are OWNED by the
+        # first actor only — every actor still supersede-filters its main
+        # postings and shares the adjusted global stats, so the fan-out
+        # merge stays exact with no duplicated delta hits.
         self.actors = [
-            Actor.remote(index_dir, mode=mode, shards=g) for g in groups if g
+            Actor.remote(index_dir, mode=mode, shards=g, delta_docs=(i == 0))
+            for i, g in enumerate(g for g in groups if g)
         ]
 
     def search_ids(self, query: str, limit: int | None = None, site: str | None = None) -> dict:

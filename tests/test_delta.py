@@ -207,6 +207,44 @@ class TestUpsertEqualsRebuild:
         assert load_state(idx) is None
 
 
+class TestShardedServingWithDelta:
+    def test_sharded_equals_single_process(self, base, tmp_path):
+        """Partition serving over an upserted index: delta DOC contributions
+        must be owned by exactly one actor (others only supersede-filter),
+        so the fan-out merge equals single-process evaluation — no
+        duplicated delta hits, counts sum exactly."""
+        from searchengine_ray.query import ShardedQueryService
+
+        table, index_dir, root = base
+        idx = str(tmp_path / "idx")
+        shutil.copytree(index_dir, idx)
+        rows = [
+            {"conv_id": "conv-000000", "turn_idx": 3, "role": "tool", "text": NEW_TEXT_1},
+            {"conv_id": "conv-000002", "turn_idx": 900, "role": "assistant", "text": NEW_TEXT_3},
+            {"conv_id": "zzzz-new-conv", "turn_idx": 0, "role": "user", "text": NEW_TEXT_2},
+        ]
+        upsert_docs(idx, rows)
+
+        single = QueryEngine(idx)
+        svc = ShardedQueryService(idx, num_actors=2)
+        try:
+            for q in ALL_QUERIES:
+                s = single.search(q, 0, 10)
+                m = svc.search(q, 0, 10)
+                if not s.get("result"):
+                    assert not m.get("result"), q
+                    continue
+                assert m["count"] == s["count"], q
+                assert [(d["conv_id"], d["turn_idx"]) for d in m["data"]] == [
+                    (d["conv_id"], d["turn_idx"]) for d in s["data"]
+                ], q
+                r_ids = svc.search_ids(q)
+                s_ids = single.search_ids(q)
+                assert r_ids["count"] == s_ids["count"], q
+        finally:
+            svc.shutdown()
+
+
 class TestSiteScopedUpsert:
     def test_site_move_matches_rebuild(self, ray_session, tiny_corpus, tmp_path):
         """Replacing a doc with a different role (= site) moves it between
