@@ -4,8 +4,10 @@
 over transcripts derived from sf0.001 documents). ``queries()`` exposes one
 callable per implemented pipeline (SURVEY.md §2 + the training-data ops);
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for every SQL-expressible
-one (non-expressible ops — LSH/SimHash/winnowing/multimodal — are rows-only
-by design and noted in their docstrings).
+one — including brute-force all-pairs Jaccard oracles for the MinHash/char-
+ngram dedup pipelines (the engine's exact-verify + deterministic banding make
+LSH output equal exhaustive output). Non-expressible ops — SimHash/ANN/
+winnowing/multimodal — are rows-only by design and noted in their docstrings.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing here
 calls ``ray.init()`` / ``ray.shutdown()``.
@@ -214,9 +216,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "broadcast_join_orders": relational.broadcast_join_orders,
         # --- dedup family ---
         "dedup_exact": dedup.exact_dedup,
-        "dedup_minhash": dedup.minhash_dups,          # rows-only (LSH)
-        "dedup_simhash": dedup.simhash_dups,          # rows-only (Hamming)
-        "ngram_jaccard": dedup.ngram_jaccard_dups,    # rows-only (LSH)
+        "dedup_minhash": dedup.minhash_dups,          # oracle: brute-force word-3gram Jaccard
+        "dedup_simhash": dedup.simhash_dups,          # rows-only (Hamming over blake2b bits)
+        "ngram_jaccard": dedup.ngram_jaccard_dups,    # oracle: brute-force char-3gram Jaccard
         # --- similarity search ---
         "knn_cosine": lambda sf: similarity.knn_cosine(sf, query_vec_id=0, k=10),
         "lsh_knn": lambda sf: similarity.lsh_knn(sf, query_vec_id=0, k=10),  # rows-only (ANN)
@@ -236,6 +238,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": multimodal.multimodal_features,  # rows-only (binary payloads)
         "frame_sample": multimodal.frame_sample,  # rows-only (binary payloads)
     }
+
+
+def _jaccard_pairs_sql(shingler: str) -> str:
+    """Exhaustive pairwise Jaccard ≥ 0.8 over 3-gram shingle sets.
+
+    ``word``: word-3-grams of ``[a-z0-9]+`` tokens (docs with 1-2 tokens
+    collapse to a single whole-doc shingle, mirroring
+    ``dedup.word_shingle_array``); ``char``: char-3-grams of the
+    whitespace-normalized text (``dedup.char_shingle_array``). Jaccard over
+    literal shingle strings equals the engine's Jaccard over 64-bit shingle
+    hashes (injective on these corpora)."""
+    if shingler == "char":
+        shingles = """
+sh AS (
+  SELECT DISTINCT doc_id, substr(s, CAST(t.i AS INT), 3) AS g
+  FROM (SELECT doc_id,
+               trim(regexp_replace(lower(text), '[ \\t\\n\\r]+', ' ', 'g')) AS s
+        FROM documents),
+       LATERAL unnest(range(1, greatest(length(s) - 1, 1))) AS t(i)
+)"""
+    else:
+        shingles = """
+tl AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+       FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, toks[CAST(t.i AS INT)] || ' ' || toks[CAST(t.i AS INT) + 1]
+                   || ' ' || toks[CAST(t.i AS INT) + 2] AS g
+    FROM tl, LATERAL unnest(range(1, greatest(len(toks) - 1, 1))) AS t(i)
+    WHERE len(toks) >= 3
+    UNION ALL
+    SELECT doc_id, array_to_string(toks, ' ') AS g FROM tl
+    WHERE len(toks) BETWEEN 1 AND 2
+  )
+)"""
+    return f"""
+WITH {shingles},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 4) AS jaccard_r
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.8
+ORDER BY doc_a, doc_b"""
 
 
 def _lsh_assignments_sql() -> str:
@@ -338,6 +390,13 @@ GROUP BY n.n_name""",
         "dedup_exact": """
 SELECT md5(text) AS text_hash, min(doc_id) AS rep_doc_id, count(*) AS n_dups
 FROM documents GROUP BY md5(text)""",
+        # Brute-force all-pairs Jaccard oracles for the LSH-candidate dedup
+        # pipelines. The engine verifies candidates with EXACT Jaccard, and
+        # the banding (fixed seed, ≥2-band rule) has recall 1.0 on every true
+        # pair here (lowest true pair ≈ 0.9 Jaccard ⇒ P[miss] < 1e-6, and the
+        # run is deterministic), so LSH output == exhaustive output.
+        "dedup_minhash": _jaccard_pairs_sql("word"),
+        "ngram_jaccard": _jaccard_pairs_sql("char"),
         "lsh_assignments": _lsh_assignments_sql(),
         "knn_cosine": """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
