@@ -206,7 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- flagship engine path: real index build + BM25 serving ---
         "transcript_search": transcript_search,
         "transcript_search_site": transcript_search_site,  # per-site scoping
-        "transcript_search_actor": transcript_search_actor,  # rows-only (actor pool)
+        "transcript_search_actor": transcript_search_actor,  # oracle: same SQL as transcript_search
         "transcript_upsert_search": transcript_upsert_search,  # doc-level delta upserts
         "transcript_dictionary": transcript_index_dictionary,
         # --- windowed aggregate + broadcast join (wide-op patterns) ---
@@ -341,6 +341,9 @@ SELECT CAST(count(*) AS BIGINT) AS n_matches FROM (
   SELECT doc_id FROM toks WHERE token IN ('hash', 'join')
   GROUP BY doc_id HAVING count(*) = 2)""",
         "transcript_search": _transcript_search_sql(),
+        # the actor-pool serving path ranks by the same rounded-score
+        # canonical order, so it is frame-identical to transcript_search
+        "transcript_search_actor": _transcript_search_sql(),
         "transcript_search_site": _transcript_search_sql(site="assistant"),
         "transcript_upsert_search": _transcript_search_sql(upsert=True),
         "transcript_dictionary": f"""

@@ -150,8 +150,9 @@ def transcript_search_actor(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """The distributed serving path (ST7): the fixed query set evaluated by a
     ``QueryActor`` POOL via ``map_batches`` over a query table — each actor
     holds a warm engine (dictionary + doc-length norms + posting LRU built
-    once in ``__init__``). Rows-only check: raw-score rank ties may legally
-    differ from the rounded-score SQL ordering."""
+    once in ``__init__``). ``rounded_topk`` ranks by rounded score with the
+    canonical tie-break, so the output is frame-identical to
+    ``transcript_search`` and shares its SQL oracle."""
     import ray.data as rd
 
     from searchengine_ray.query import QueryActor
@@ -165,7 +166,7 @@ def transcript_search_actor(sf_dir: str, k: int = 10) -> pd.DataFrame:
         rd.from_items(queries)
         .map_batches(
             QueryActor,
-            fn_constructor_kwargs={"index_dir": index_dir},
+            fn_constructor_kwargs={"index_dir": index_dir, "rounded_topk": True},
             batch_format="pandas",
             batch_size=4,
             concurrency=2,

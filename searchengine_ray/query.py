@@ -406,8 +406,15 @@ class QueryActor:
         mode: str = "bm25",
         shards: list[str] | None = None,
         delta_docs: bool = True,
+        rounded_topk: bool = False,
     ):
         self.engine = QueryEngine(index_dir, mode=mode, shards=shards, delta_docs=delta_docs)
+        # rounded_topk: batch mode ranks by ROUNDED score (half-away, 4 dp)
+        # with the canonical (score_r desc, conv_id, turn_idx) tie-break —
+        # the oracle-parity ordering (same rule as transcripts._search_frame),
+        # immune to float summation-order noise. Default keeps raw-score
+        # engine ordering (reference API behavior).
+        self.rounded_topk = rounded_topk
 
     def search(self, query: str, offset: int = 0, limit: int = 10, site: str | None = None) -> dict:
         return self.engine.search(query, offset, limit, site=site)
@@ -423,6 +430,16 @@ class QueryActor:
         qids, ranks, convs, turns, scores_out = [], [], [], [], []
         counts = []
         df = pd.DataFrame(batch) if not isinstance(batch, pd.DataFrame) else batch
+        if self.rounded_topk:
+            return pd.concat(
+                [
+                    self._rounded_frame(
+                        row["query_id"], str(row["query"]), int(row.get("limit", 10))
+                    )
+                    for _, row in df.iterrows()
+                ],
+                ignore_index=True,
+            )
         for _, row in df.iterrows():
             r = self.engine.search(
                 str(row["query"]), int(row.get("offset", 0)), int(row.get("limit", 10))
@@ -444,6 +461,41 @@ class QueryActor:
                 "count": counts,
             }
         )
+
+    def _rounded_frame(self, qid, qtext: str, k: int):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="object"),
+                "rank": pd.Series(dtype="int64"),
+                "conv_id": pd.Series(dtype="object"),
+                "turn_idx": pd.Series(dtype="int32"),
+                "score_r": pd.Series(dtype="float64"),
+                "count": pd.Series(dtype="int64"),
+            }
+        )
+        r = self.engine.search_ids(qtext)
+        if r["count"] == 0:
+            return empty
+        s = np.abs(r["score"])
+        score_r = np.floor(s * 1e4 + 0.5) / 1e4 * np.sign(r["score"])
+        out = pd.DataFrame(
+            {
+                "conv_id": r["conv_id"],
+                "turn_idx": r["turn_idx"].astype("int32"),
+                "score_r": score_r,
+            }
+        )
+        out = out.sort_values(
+            ["score_r", "conv_id", "turn_idx"], ascending=[False, True, True], kind="stable"
+        ).head(k)
+        out = out.reset_index(drop=True)
+        out.insert(0, "rank", out.index.astype("int64"))
+        out.insert(0, "query_id", qid)
+        out["count"] = np.int64(r["count"])
+        return out
 
 
 class ShardedQueryService:

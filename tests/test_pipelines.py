@@ -257,20 +257,16 @@ class TestQueryActorBatch:
 
         out = transcript_search_actor("/root/testdata/sf0.001")
         assert not out.empty
-        # parity with the in-process engine on (query, rank) → (conv, turn)
-        from searchengine_ray.pipelines.transcripts import (
-            FIXED_QUERIES,
-            ensure_transcript_index,
-        )
-        from searchengine_ray.query import QueryEngine
+        # frame-identical to the in-process rounded-score path (shared SQL
+        # oracle): same rows, same order, same dtypes
+        from searchengine_ray.pipelines.transcripts import transcript_search
 
-        eng = QueryEngine(ensure_transcript_index("/root/testdata/sf0.001"))
-        for qid, qtext in FIXED_QUERIES:
-            sub = out[out["query_id"] == qid]
-            r = eng.search(qtext, 0, 10)
-            got = list(zip(sub["conv_id"], sub["turn_idx"]))
-            want = [(d["conv_id"], d["turn_idx"]) for d in r.get("data", [])]
-            assert got == want, qid
+        want = transcript_search("/root/testdata/sf0.001")
+        assert list(out.columns) == list(want.columns)
+        got_sorted = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+        want_sorted = want.sort_values(["query_id", "rank"]).reset_index(drop=True)
+        assert got_sorted.shape == want_sorted.shape
+        assert (got_sorted.values == want_sorted.values).all()
 
 
 class TestRelational:
