@@ -227,6 +227,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_assignments": similarity.lsh_assignments,  # SQL (literal hyperplanes)
         # rows-only; plant=True derives deterministic near-dup fixtures so
         # the check is non-vacuous (synthetic embeddings have no natural dups)
+        # oracle: planted fixtures are a closed-form (sin-noise) derivation,
+        # reconstructed exactly in SQL; pairs = brute-force cosine >= 0.95
         "embedding_neardup": lambda sf: similarity.embedding_neardup(sf, 0.95, plant=True),
         # --- text analysis ---
         "langid": textstats.langid,
@@ -401,6 +403,32 @@ FROM documents GROUP BY md5(text)""",
         "dedup_minhash": _jaccard_pairs_sql("word"),
         "ngram_jaccard": _jaccard_pairs_sql("char"),
         "lsh_assignments": _lsh_assignments_sql(),
+        # Exhaustive near-dup oracle over embeddings ∪ planted fixtures. The
+        # plant is closed-form (sin noise scaled to 5% relative norm), so SQL
+        # reconstructs the planted vectors bit-for-bit at 4-dp rounding; the
+        # engine's multi-table hyperplane LSH has recall 1.0 on every pair
+        # here and verification is exact, so LSH output == exhaustive output.
+        "embedding_neardup": """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+plant AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(range(1, len(e) + 1),
+             i -> e[i] + sin(CAST(vec_id AS DOUBLE) + i - 1) * (0.05 * nv / ns)) AS e
+  FROM (SELECT vec_id, e,
+               sqrt(list_sum(list_transform(e, x -> x * x))) AS nv,
+               sqrt(list_sum(list_transform(range(1, len(e) + 1),
+                   i -> sin(CAST(vec_id AS DOUBLE) + i - 1)
+                        * sin(CAST(vec_id AS DOUBLE) + i - 1)))) AS ns
+        FROM base WHERE vec_id % 25 = 0)
+),
+allv AS (SELECT * FROM base UNION ALL SELECT * FROM plant)
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       round(list_cosine_similarity(a.e, b.e), 4) AS sim_r
+FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= 0.95
+ORDER BY doc_a, doc_b""",
         "knn_cosine": """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
 SELECT CAST(row_number() OVER (ORDER BY round(sim, 4) DESC, vec_id ASC) - 1 AS BIGINT) AS rank,

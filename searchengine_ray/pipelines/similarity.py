@@ -426,20 +426,21 @@ PLANT_NOISE = 0.05  # relative noise norm → planted cosine ≈ 0.9988
 
 def _plant_neardups(batch: pa.Table) -> pa.Table:
     """Deterministic near-dup fixture derivation: for every vec_id divisible
-    by PLANT_EVERY, append a perturbed copy at vec_id+PLANT_OFFSET (noise
-    seeded by vec_id — same rows on every run/worker). Makes the rows-only
-    ``embedding_neardup`` check non-vacuous on synthetic corpora that have
-    no natural near-dups (VERDICT r1 item 2)."""
+    by PLANT_EVERY, append a perturbed copy at vec_id+PLANT_OFFSET. The
+    noise is ``sin(vec_id + dim_index)`` scaled to PLANT_NOISE relative
+    norm — a closed form (not an RNG) so the SQL oracle reconstructs the
+    planted rows exactly and the whole pipeline is hash-checkable. Makes
+    ``embedding_neardup`` non-vacuous on synthetic corpora that have no
+    natural near-dups (VERDICT r1 item 2)."""
     ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     m = _emb_matrix(batch["embedding"])
     out_ids = [ids]
     out_vecs = [m]
     sel = np.nonzero(ids % PLANT_EVERY == 0)[0]
     for i in sel.tolist():
-        rng = np.random.default_rng(int(ids[i]))
         v = m[i]
-        noise = rng.standard_normal(v.size)
-        noise *= PLANT_NOISE * np.linalg.norm(v) / np.linalg.norm(noise)
+        s = np.sin(float(ids[i]) + np.arange(v.size, dtype=np.float64))
+        noise = s * (PLANT_NOISE * np.linalg.norm(v) / np.linalg.norm(s))
         out_ids.append(np.array([ids[i] + PLANT_OFFSET], dtype=np.int64))
         out_vecs.append((v + noise)[None, :])
     return pa.table(
