@@ -221,7 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": dedup.ngram_jaccard_dups,    # oracle: brute-force char-3gram Jaccard
         # --- similarity search ---
         "knn_cosine": lambda sf: similarity.knn_cosine(sf, query_vec_id=0, k=10),
-        "lsh_knn": lambda sf: similarity.lsh_knn(sf, query_vec_id=0, k=10),  # rows-only (ANN)
+        "lsh_knn": lambda sf: similarity.lsh_knn(sf, query_vec_id=0, k=10),  # oracle: probe-bucket cosine top-k
         "ivf_knn": lambda sf: similarity.ivf_knn(sf, query_vec_id=0, k=10),  # rows-only (ANN)
         "ivf_assignments": similarity.ivf_assignments,  # rows-only (k-means)
         "lsh_assignments": similarity.lsh_assignments,  # SQL (literal hyperplanes)
@@ -311,6 +311,35 @@ def _lsh_assignments_sql() -> str:
     return (
         "SELECT vec_id, CAST(" + " + ".join(terms) + " AS BIGINT) AS bucket FROM embeddings"
     )
+
+
+def _lsh_knn_sql(k: int = 10) -> str:
+    """lsh_knn's exact ANN semantics in SQL: candidates = vectors whose
+    bucket is the query's bucket or any Hamming-1 neighbor (multiprobe=1),
+    then exact cosine top-k over the candidates only — the same restricted
+    scan the engine does against its bucket-partitioned index."""
+    from searchengine_ray.pipelines.similarity import _LSH_BITS
+
+    return f"""
+WITH assign AS ({_lsh_assignments_sql()}),
+qb AS (SELECT bucket FROM assign WHERE vec_id = 0),
+probe AS (
+  SELECT bucket FROM qb
+  UNION
+  SELECT xor(qb.bucket, CAST(1 AS BIGINT) << CAST(t.i AS INT)) AS bucket
+  FROM qb, LATERAL unnest(range(0, {_LSH_BITS})) AS t(i)
+),
+cand AS (SELECT a.vec_id FROM assign a JOIN probe p ON a.bucket = p.bucket),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 4) AS sim_r
+  FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id CROSS JOIN q
+)
+SELECT CAST(row_number() OVER (ORDER BY sim_r DESC, vec_id ASC) - 1 AS BIGINT) AS rank,
+       vec_id, sim_r,
+       (SELECT CAST(count(*) AS BIGINT) FROM cand) AS probed
+FROM sims QUALIFY rank < {k}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -403,6 +432,7 @@ FROM documents GROUP BY md5(text)""",
         "dedup_minhash": _jaccard_pairs_sql("word"),
         "ngram_jaccard": _jaccard_pairs_sql("char"),
         "lsh_assignments": _lsh_assignments_sql(),
+        "lsh_knn": _lsh_knn_sql(),
         # Exhaustive near-dup oracle over embeddings ∪ planted fixtures. The
         # plant is closed-form (sin noise scaled to 5% relative norm), so SQL
         # reconstructs the planted vectors bit-for-bit at 4-dp rounding; the
