@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         relational,
         similarity,
         textstats,
+        traindata,
     )
     from searchengine_ray.pipelines.transcripts import (
         transcript_index_dictionary,
@@ -225,8 +226,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_knn": lambda sf: similarity.ivf_knn(sf, query_vec_id=0, k=10),  # rows-only (ANN)
         "ivf_assignments": similarity.ivf_assignments,  # rows-only (k-means)
         "lsh_assignments": similarity.lsh_assignments,  # SQL (literal hyperplanes)
-        # rows-only; plant=True derives deterministic near-dup fixtures so
-        # the check is non-vacuous (synthetic embeddings have no natural dups)
         # oracle: planted fixtures are a closed-form (sin-noise) derivation,
         # reconstructed exactly in SQL; pairs = brute-force cosine >= 0.95
         "embedding_neardup": lambda sf: similarity.embedding_neardup(sf, 0.95, plant=True),
@@ -239,6 +238,75 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal plumbing (stubbed decoder) ---
         "multimodal_features": multimodal.multimodal_features,  # rows-only (binary payloads)
         "frame_sample": multimodal.frame_sample,  # rows-only (binary payloads)
+        # --- training-data preparation ---
+        "sample_split": traindata.sample_split,       # oracle: md5-hex-digit buckets
+        "pack_sequences": traindata.pack_sequences,   # oracle: window cumsum
+        # oracle: planted PII rows are closed-form string concat in SQL
+        "pii_scrub": lambda sf: traindata.pii_scrub(sf, plant=True),
+    }
+
+
+def _traindata_sql() -> dict[str, str]:
+    """SQL mirrors for the training-data prep operators (traindata.py):
+    hex-digit split buckets, a window-cumsum packing layout (the sequential
+    definition whose distributed form is the two-phase prefix sum), and the
+    sequential regexp_replace scrub chain over the planted-PII corpus."""
+    from searchengine_ray.pipelines.traindata import (
+        PII_EMAIL,
+        PII_ID,
+        PII_PHONE,
+        PII_PLANT_EVERY,
+        PII_PLANT_OFFSET,
+    )
+
+    pii = """
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {OFF},
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.org or call 555-123-4567 ref 9'
+              || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+  FROM documents WHERE doc_id % {EVERY} = 0
+),
+s1 AS (SELECT doc_id,
+              regexp_replace(text, '{E}', '<EMAIL>', 'g') AS t1,
+              CAST(len(regexp_extract_all(text, '{E}')) AS BIGINT) AS n_email
+       FROM src),
+s2 AS (SELECT doc_id, n_email,
+              regexp_replace(t1, '{P}', '<PHONE>', 'g') AS t2,
+              CAST(len(regexp_extract_all(t1, '{P}')) AS BIGINT) AS n_phone
+       FROM s1)
+SELECT doc_id, n_email, n_phone,
+       CAST(len(regexp_extract_all(t2, '{I}')) AS BIGINT) AS n_id,
+       regexp_replace(t2, '{I}', '<ID>', 'g') AS text_clean
+FROM s2""".format(
+        OFF=PII_PLANT_OFFSET, EVERY=PII_PLANT_EVERY,
+        E=PII_EMAIL, P=PII_PHONE, I=PII_ID,
+    )
+    return {
+        "sample_split": """
+SELECT doc_id,
+       CASE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+            WHEN 'f' THEN 'test' WHEN 'e' THEN 'val' ELSE 'train' END AS split
+FROM documents""",
+        "pack_sequences": """
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tok_start
+  FROM c
+)
+SELECT doc_id, n_tokens, tok_start,
+       CAST(tok_start // 512 AS BIGINT) AS seq_id
+FROM o""",
+        "pii_scrub": pii,
     }
 
 
@@ -521,4 +589,5 @@ FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id""",
 SELECT doc_id,
        md5(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g'))) AS fp
 FROM documents""",
+        **_traindata_sql(),
     }

@@ -1,0 +1,235 @@
+"""Training-data preparation operators: deterministic corpus splitting,
+LLM sequence packing, and PII scrubbing — the remaining staples of a
+large-scale training-data pipeline alongside dedup/similarity/textstats.
+
+Scale shapes (ray_guide patterns):
+- split: stateless hash-of-key map — embarrassingly parallel, no shuffle;
+- packing: the classic DISTRIBUTED PREFIX SUM — one tokenize pass emits
+  (doc_id, n_tokens, range), per-range subtotals reduce to the driver
+  (~n_ranges tiny rows), the driver prefix-scans them, and a range-grouped
+  second phase assigns global token offsets with a local cumsum + the
+  broadcast range base. No stage ever sees more than one range's rows;
+- scrub: compiled-regex map_batches (per-worker cached state), one pass.
+
+All three are exactly SQL-expressible (md5-prefix split / window cumsum /
+regexp_replace chain), so each is hash-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from searchengine_ray.pipelines.fulltext import read_documents
+from searchengine_ray.workerstate import per_worker
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+# Hex-digit buckets of md5(str(doc_id)): 0-d train (14/16 = 87.5%),
+# e val (6.25%), f test (6.25%). Hex-boundary fractions make the rule a
+# single-character comparison in both Python and SQL — no float thresholds.
+_SPLIT_OF_HEX = {**{h: "train" for h in "0123456789abcd"}, "e": "val", "f": "test"}
+
+
+def sample_split(sf_dir: str):
+    """(doc_id, split): deterministic, key-stable corpus split. The split of
+    a document never depends on corpus size, ordering, or parallelism — the
+    property that keeps train/val membership stable as a 100-TB corpus
+    grows (a `random()` split re-shuffles membership every run)."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        splits = [
+            _SPLIT_OF_HEX[hashlib.md5(str(int(i)).encode()).hexdigest()[0]]
+            for i in ids
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "split": pa.array(splits, type=pa.string()),
+            }
+        )
+
+    return read_documents(sf_dir, columns=("doc_id",)).map_batches(
+        assign, batch_format="pyarrow", batch_size=8192
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (LLM pretraining batch layout)
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+_PACK_RANGE = 1 << 12  # docs per prefix-sum range (tune to ~seconds of work)
+
+
+class _TokenCounts:
+    """(doc_id, n_tokens, rng) per doc — the tokenize pass."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.fromiter(
+            (len(_TOKEN_RE.findall((t or "").lower())) for t in batch["text"].to_pylist()),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_tokens": pa.array(counts, type=pa.int64()),
+                "rng": pa.array(ids // _PACK_RANGE, type=pa.int64()),
+            }
+        )
+
+
+def pack_sequences(sf_dir: str, seq_len: int = 512):
+    """(doc_id, n_tokens, tok_start, seq_id): concatenate documents in
+    doc_id order and lay them out into fixed ``seq_len``-token training
+    sequences; ``tok_start`` is each doc's global token offset and
+    ``seq_id = tok_start // seq_len`` the sequence (bin) its first token
+    lands in.
+
+    Distributed prefix sum: per-range token subtotals → driver prefix scan
+    (n_ranges rows — ~2.4M ranges at 10^10 docs, MBs not GBs) → broadcast
+    base offsets → per-range local cumsum. Equivalent SQL: a window
+    ``sum() OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING AND 1
+    PRECEDING)`` — which no engine can parallelize without exactly this
+    decomposition."""
+    import ray
+
+    counts = read_documents(sf_dir).map_batches(
+        per_worker(_TokenCounts), batch_format="pyarrow", batch_size=4096
+    )
+    # tiny relative to the corpus (2 ints/doc); reused by both phases
+    counts = counts.materialize()
+
+    def range_subtotal(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = (
+            pd.DataFrame(
+                {
+                    "rng": batch["rng"].to_numpy(zero_copy_only=False),
+                    "n": batch["n_tokens"].to_numpy(zero_copy_only=False),
+                }
+            )
+            .groupby("rng", as_index=False)["n"]
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    sub = counts.map_batches(range_subtotal, batch_format="pyarrow").to_pandas()
+    sub = sub.groupby("rng", as_index=False)["n"].sum().sort_values("rng")
+    bases = dict(
+        zip(
+            sub["rng"].tolist(),
+            np.concatenate(([0], np.cumsum(sub["n"].to_numpy())[:-1])).tolist(),
+        )
+    )
+    bases_ref = ray.put(bases)
+
+    def offsets_in_range(group: pa.Table) -> pa.Table:
+        base_map = ray.get(bases_ref)
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        n = group["n_tokens"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids, n = ids[order], n[order]
+        start = int(base_map[int(ids[0]) // _PACK_RANGE]) + np.concatenate(
+            ([0], np.cumsum(n)[:-1])
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_tokens": pa.array(n, type=pa.int64()),
+                "tok_start": pa.array(start, type=pa.int64()),
+                "seq_id": pa.array(start // seq_len, type=pa.int64()),
+            }
+        )
+
+    return counts.groupby("rng").map_groups(offsets_in_range, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# Plain-syntax patterns valid in BOTH Python re and RE2 (DuckDB) — the SQL
+# oracle uses the same strings verbatim.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\d{3}[-. ]\d{3}[-. ]\d{4}"
+PII_ID = r"\d{9,}"
+
+PII_PLANT_EVERY = 20
+PII_PLANT_OFFSET = 2_000_000
+
+
+def _plant_pii(batch: pa.Table) -> pa.Table:
+    """Closed-form PII fixture derivation (the synthetic corpus contains no
+    natural PII): for every doc_id divisible by PII_PLANT_EVERY, append a
+    copy at doc_id+PII_PLANT_OFFSET with one email, one phone and one long
+    id appended — reconstructed verbatim by the SQL oracle."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    texts = batch["text"].to_pylist()
+    out_ids = list(ids)
+    out_texts = list(texts)
+    for i in np.nonzero(ids % PII_PLANT_EVERY == 0)[0].tolist():
+        d = int(ids[i])
+        out_ids.append(d + PII_PLANT_OFFSET)
+        out_texts.append(
+            f"{texts[i]} contact user{d}@mail.example.org"
+            f" or call 555-123-4567 ref 9{d:08d}"
+        )
+    return pa.table(
+        {
+            "doc_id": pa.array(out_ids, type=pa.int64()),
+            "text": pa.array(out_texts, type=pa.string()),
+        }
+    )
+
+
+class _Scrubber:
+    """Per-worker compiled patterns (ST1 shape: state in __init__)."""
+
+    def __init__(self):
+        self.email = re.compile(PII_EMAIL)
+        self.phone = re.compile(PII_PHONE)
+        self.ident = re.compile(PII_ID)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, n_email, n_phone, n_id, clean = [], [], [], [], []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            t = text or ""
+            t1, ne = self.email.subn("<EMAIL>", t)
+            t2, np_ = self.phone.subn("<PHONE>", t1)
+            t3, ni = self.ident.subn("<ID>", t2)
+            ids.append(did)
+            n_email.append(ne)
+            n_phone.append(np_)
+            n_id.append(ni)
+            clean.append(t3)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_email": pa.array(n_email, type=pa.int64()),
+                "n_phone": pa.array(n_phone, type=pa.int64()),
+                "n_id": pa.array(n_id, type=pa.int64()),
+                "text_clean": pa.array(clean, type=pa.string()),
+            }
+        )
+
+
+def pii_scrub(sf_dir: str, plant: bool = False):
+    """(doc_id, n_email, n_phone, n_id, text_clean): sequential redaction
+    email → phone → long-id (each count taken on the text state the pattern
+    actually sees, so counts are order-consistent with the replacements)."""
+    ds = read_documents(sf_dir)
+    if plant:
+        ds = ds.map_batches(_plant_pii, batch_format="pyarrow", batch_size=4096)
+    return ds.map_batches(
+        per_worker(_Scrubber), batch_format="pyarrow", batch_size=2048
+    )
