@@ -96,7 +96,8 @@ def pack_sequences(sf_dir: str, seq_len: int = 512):
 
     Distributed prefix sum: per-range token subtotals → driver prefix scan
     (n_ranges rows — ~2.4M ranges at 10^10 docs, MBs not GBs) → broadcast
-    base offsets → per-range local cumsum. Equivalent SQL: a window
+    base-offset arrays (zero-copy numpy via ``ray.put``) → per-range local
+    cumsum. Equivalent SQL: a window
     ``sum() OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING AND 1
     PRECEDING)`` — which no engine can parallelize without exactly this
     decomposition."""
@@ -125,23 +126,22 @@ def pack_sequences(sf_dir: str, seq_len: int = 512):
 
     sub = counts.map_batches(range_subtotal, batch_format="pyarrow").to_pandas()
     sub = sub.groupby("rng", as_index=False)["n"].sum().sort_values("rng")
-    bases = dict(
-        zip(
-            sub["rng"].tolist(),
-            np.concatenate(([0], np.cumsum(sub["n"].to_numpy())[:-1])).tolist(),
-        )
-    )
-    bases_ref = ray.put(bases)
+    # two parallel numpy arrays, NOT a dict: ray.get of numpy is zero-copy
+    # from the object store (a dict re-deserializes per consumer call)
+    rng_keys = sub["rng"].to_numpy(dtype=np.int64)
+    rng_bases = np.concatenate(([0], np.cumsum(sub["n"].to_numpy(dtype=np.int64))[:-1]))
+    keys_ref = ray.put(rng_keys)
+    bases_ref = ray.put(rng_bases)
 
     def offsets_in_range(group: pa.Table) -> pa.Table:
-        base_map = ray.get(bases_ref)
+        keys = ray.get(keys_ref)
+        bases = ray.get(bases_ref)
         ids = group["doc_id"].to_numpy(zero_copy_only=False)
         n = group["n_tokens"].to_numpy(zero_copy_only=False)
         order = np.argsort(ids, kind="stable")
         ids, n = ids[order], n[order]
-        start = int(base_map[int(ids[0]) // _PACK_RANGE]) + np.concatenate(
-            ([0], np.cumsum(n)[:-1])
-        )
+        base = int(bases[np.searchsorted(keys, int(ids[0]) // _PACK_RANGE)])
+        start = base + np.concatenate(([0], np.cumsum(n)[:-1]))
         return pa.table(
             {
                 "doc_id": pa.array(ids, type=pa.int64()),
