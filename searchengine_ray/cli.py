@@ -11,6 +11,8 @@ POST /api/indexPage     ``upsert --index DIR --doc JSON|--input PATH`` (doc-grai
 GET /api/search         ``search --index DIR --query Q [--offset N --limit N]``
 GET /api/statistics     ``stats  --index DIR``
 DELETE /api/deleteAll   ``clear  --index DIR``
+(no reference analog)   ``pipeline NAME --input DIR --out DIR`` — run any
+                        registered data pipeline, write partitioned parquet
 =====================  =======================================================
 
 Run locally (``python -m searchengine_ray build ...``) or via
@@ -290,6 +292,54 @@ def cmd_clear(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_pipeline(args: argparse.Namespace) -> int:
+    """Run any registered pipeline over an sf-style table directory and
+    write the result as PARTITIONED parquet (one file per block — the
+    resumable-output layout; never one giant file). ``--list`` enumerates
+    the registry."""
+    import importlib.util
+    import os
+
+    _ensure_ray(args.num_cpus)
+    # the registry lives in the driver-contract module at the repo root
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", os.path.join(root, "__ray_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    registry = mod.queries()
+    if args.list:
+        print(json.dumps({"result": True, "pipelines": sorted(registry)}))
+        return 0
+    if args.name not in registry:
+        print(json.dumps({"result": False, "error": f"unknown pipeline: {args.name}"}))
+        return 2
+    res = registry[args.name](args.input)
+    import ray.data as rd
+
+    if not isinstance(res, rd.Dataset):
+        import pandas as pd
+        import pyarrow as pa
+
+        if isinstance(res, pd.DataFrame):
+            res = rd.from_pandas(res)
+        elif isinstance(res, pa.Table):
+            res = rd.from_arrow(res)
+        else:
+            print(json.dumps({"result": False, "error": f"unwritable result type {type(res)}"}))
+            return 2
+    shutil.rmtree(args.out, ignore_errors=True)
+    res.write_parquet(args.out)
+    import pyarrow.parquet as pq
+
+    files = [f for f in os.listdir(args.out) if f.endswith(".parquet")]
+    rows = sum(pq.read_metadata(os.path.join(args.out, f)).num_rows for f in files)
+    print(json.dumps({"result": True, "pipeline": args.name, "out": args.out,
+                      "files": len(files), "rows": rows}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="searchengine_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -357,6 +407,18 @@ def main(argv: list[str] | None = None) -> int:
     ri.add_argument("--max-actors", type=int, default=8)
     ri.add_argument("--num-cpus", type=int, default=None)
     ri.set_defaults(fn=cmd_reindex)
+
+    pl = sub.add_parser(
+        "pipeline", help="run a registered pipeline and write partitioned parquet"
+    )
+    pl.add_argument("name", nargs="?", default="", help="pipeline name (see --list)")
+    pl.add_argument("--input", default="/root/testdata/sf0.001",
+                    help="sf-style table directory")
+    pl.add_argument("--out", default="/tmp/searchengine_ray_pipeline_out",
+                    help="output parquet directory")
+    pl.add_argument("--list", action="store_true", help="list registered pipelines")
+    pl.add_argument("--num-cpus", type=int, default=None)
+    pl.set_defaults(fn=cmd_pipeline)
 
     c = sub.add_parser("clear", help="delete a built index")
     c.add_argument("--index", required=True)

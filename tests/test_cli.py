@@ -215,3 +215,30 @@ def test_search_batch_cli(cli_index, tmp_path, capsys):
         for r in res[res["query_id"] == "q1"].sort_values("rank").itertuples()
     ]
     assert got == want
+
+
+def test_pipeline_cli_writes_partitioned_parquet(ray_session, tmp_path, capsys):
+    """`pipeline NAME` runs a registered pipeline over an sf dir and writes
+    the result as parquet; `--list` enumerates the registry."""
+    import pyarrow.parquet as pq
+
+    rc = main(["pipeline", "--list"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["result"] and "langid" in out["pipelines"]
+    assert "sample_split" in out["pipelines"]
+
+    dest = tmp_path / "langid_out"
+    rc = main(
+        ["pipeline", "langid", "--input", "/root/testdata/sf0.001",
+         "--out", str(dest)]
+    )
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["result"] and res["rows"] == 500
+    t = pq.read_table(str(dest))
+    assert t.num_rows == 500
+    assert set(t.column_names) == {"doc_id", "pred_lang"}
+
+    rc = main(["pipeline", "nonexistent_pipeline", "--out", str(tmp_path / "x")])
+    assert rc == 2
