@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup family ---
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash": dedup.minhash_dups,          # oracle: brute-force word-3gram Jaccard
+        "dedup_cluster": dedup.dedup_cluster,         # oracle: recursive-CTE components
         "dedup_simhash": dedup.simhash_dups,          # rows-only (Hamming over blake2b bits)
         "ngram_jaccard": dedup.ngram_jaccard_dups,    # oracle: brute-force char-3gram Jaccard
         # --- similarity search ---
@@ -499,6 +500,25 @@ FROM documents GROUP BY md5(text)""",
         # run is deterministic), so LSH output == exhaustive output.
         "dedup_minhash": _jaccard_pairs_sql("word"),
         "ngram_jaccard": _jaccard_pairs_sql("char"),
+        # connected components over the verified near-dup pairs: min-label
+        # reachability closure as a recursive CTE (the engine runs the same
+        # fixpoint as distributed label propagation)
+        "dedup_cluster": """
+WITH RECURSIVE jp AS ({pairs}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM jp
+  UNION
+  SELECT doc_b, doc_a FROM jp
+),
+walk(node, lbl) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT e.a, w.lbl FROM edges e JOIN walk w ON e.b = w.node
+)
+SELECT node AS doc_id, least(node, min(lbl)) AS rep_doc_id
+FROM walk GROUP BY node ORDER BY node""".format(
+            pairs=_jaccard_pairs_sql("word").replace("ORDER BY doc_a, doc_b", "")
+        ),
         "lsh_assignments": _lsh_assignments_sql(),
         "lsh_knn": _lsh_knn_sql(),
         # Exhaustive near-dup oracle over embeddings ∪ planted fixtures. The

@@ -764,3 +764,164 @@ def simhash_dups(sf_dir: str, max_hamming: int = 3, max_bucket: int = 256):
             "hamming": pa.array(h[sel].astype(np.int32)),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering (connected components over verified pairs)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(edges_ds, max_iters: int = 32, num_partitions: int | None = None):
+    """Distributed connected components by min-label propagation with
+    LABEL-LINK SHORTCUTS over an (a, b) edge Dataset (the hash-to-min idea,
+    Rastogi et al. 2013): every node starts labeled with its own id; each
+    round sends labels across BOTH the original edges and the current
+    (node -> label) links, keeping the per-node minimum. Propagating through
+    the label links doubles the reach per round, so a diameter-d component
+    converges in O(log d) rounds — a plain neighbor-only scheme needs d.
+
+    Every stage is a hash-partitioned groupby with a vectorized numpy
+    combine (the fixed-partition pattern — never per-group Python dispatch)
+    and the label table is ONLY (node, label) int64 pairs: nothing scales
+    with document size. Convergence is detected inside the min-reduce
+    itself (old labels ride along tagged gen=0), so a round costs exactly
+    the message join + one reduce — no extra comparison shuffle.
+
+    Returns (node, lbl) for every node that appears in an edge;
+    lbl = min doc_id of the component."""
+    P = num_partitions or _PAIR_PARTITIONS
+
+    def _labels_table(node: np.ndarray, lbl: np.ndarray, changed=None) -> pa.Table:
+        cols = {
+            "node": pa.array(node, type=pa.int64()),
+            "lbl": pa.array(lbl, type=pa.int64()),
+        }
+        if changed is not None:
+            cols["changed"] = pa.array(changed, type=pa.int64())
+        return pa.table(cols)
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.minimum(a, b)
+        return _labels_table(np.concatenate((a, b)), np.concatenate((m, m)))
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        d = batch["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        p = (d * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(P)
+        return batch.append_column("p", pa.array(p.astype(np.int64)))
+
+    def min_label(group: pa.Table) -> pa.Table:
+        node = group["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lbl = group["lbl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((lbl, node))
+        node, lbl = node[order], lbl[order]
+        first = np.concatenate(([True], np.diff(node) != 0))
+        return _labels_table(node[first], lbl[first])
+
+    edges_ds = edges_ds.materialize()  # edge set reused every round (tiny rows)
+    labels = (
+        edges_ds.map_batches(init_labels, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("p")
+        .map_groups(min_label, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def lbl_links(batch: pa.Table) -> pa.Table:
+        node = batch["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lbl = batch["lbl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = node != lbl
+        return pa.table(
+            {
+                "a": pa.array(node[keep], type=pa.int64()),
+                "b": pa.array(lbl[keep], type=pa.int64()),
+            }
+        )
+
+    def lbl_as_sig(batch: pa.Table) -> pa.Table:
+        lbl = batch["lbl"].to_numpy(zero_copy_only=False).astype("<i8")
+        return pa.table(
+            {
+                "doc_id": batch["node"],
+                "sig": pa.array([x.tobytes() for x in lbl], type=pa.binary()),
+            }
+        )
+
+    def messages(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        la = np.frombuffer(b"".join(batch["sig_a"].to_pylist()), dtype=np.int64) if a.size else np.empty(0, dtype=np.int64)
+        lb = np.frombuffer(b"".join(batch["sig"].to_pylist()), dtype=np.int64) if b.size else np.empty(0, dtype=np.int64)
+        m = np.minimum(la, lb)
+        return _labels_table(np.concatenate((a, b)), np.concatenate((m, m)))
+
+    def tag(gen: int):
+        def _tag(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "gen", pa.array(np.full(batch.num_rows, gen, dtype=np.int8))
+            )
+
+        return _tag
+
+    def min_label_track(group: pa.Table) -> pa.Table:
+        """Per-node min over old labels (gen 0, exactly one row per node)
+        and messages (gen 1); emits changed = 1 where the min beat the old
+        label. Nodes only ever appear with an old row, so old always exists."""
+        node = group["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lbl = group["lbl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gen = group["gen"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((gen, lbl, node))  # per node: min lbl first
+        node, lbl, gen = node[order], lbl[order], gen[order]
+        first = np.concatenate(([True], np.diff(node) != 0))
+        # old label per node: the gen==0 row (unique)
+        o = np.lexsort((gen, node))  # within node, gen 0 first
+        old_first = np.concatenate(([True], np.diff(node[o]) != 0))
+        old = lbl[o][old_first]  # aligned with unique nodes in node order
+        new = lbl[first]
+        return _labels_table(node[first], new, (new < old).astype(np.int64))
+
+    for _ in range(max_iters):
+        shortcuts = labels.map_batches(lbl_links, batch_format="pyarrow")
+        joined = _joined_pair_sigs(
+            edges_ds.union(shortcuts),
+            labels.map_batches(lbl_as_sig, batch_format="pyarrow"),
+            P,
+        )
+        msgs = joined.map_batches(messages, batch_format="pyarrow")
+        new_labels = (
+            labels.map_batches(tag(0), batch_format="pyarrow")
+            .union(msgs.map_batches(tag(1), batch_format="pyarrow"))
+            .map_batches(add_part, batch_format="pyarrow")
+            .groupby("p")
+            .map_groups(min_label_track, batch_format="pyarrow")
+            .materialize()
+        )
+        changed = int(new_labels.sum("changed") or 0)
+        labels = new_labels.drop_columns(["changed"]).materialize()
+        if changed == 0:
+            break
+
+    return labels
+
+
+def dedup_cluster(sf_dir: str, threshold: float = 0.8):
+    """(doc_id, rep_doc_id) near-duplicate CLUSTERS: connected components
+    over the verified MinHash near-dup pairs (word-3-gram Jaccard ≥
+    threshold), rep = min doc_id per component. The grouping step every
+    dedup policy needs ("keep one per dup group") — exact pairwise dedup
+    alone under-removes when A~B and B~C but A~C was never a candidate."""
+    import ray.data as rd
+
+    pairs = minhash_dups(sf_dir, threshold)
+    pairs_ds = rd.from_arrow(
+        pa.table({"a": pairs["doc_a"], "b": pairs["doc_b"]})
+    )
+    labels = connected_components(pairs_ds)
+    out = labels.to_pandas().sort_values("node").reset_index(drop=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(out["node"].to_numpy(dtype=np.int64), type=pa.int64()),
+            "rep_doc_id": pa.array(out["lbl"].to_numpy(dtype=np.int64), type=pa.int64()),
+        }
+    )

@@ -482,3 +482,50 @@ class TestRowsOnlyCompleteness:
         out = simhash_dups(SF, max_hamming=3).to_pandas()
         got = set(zip(out["doc_a"].tolist(), out["doc_b"].tolist()))
         assert got == brute
+
+
+class TestDedupCluster:
+    def test_matches_union_find(self, ray_session):
+        from searchengine_ray.pipelines.dedup import dedup_cluster, minhash_dups
+
+        out = dedup_cluster(SF).to_pandas()
+        pairs = minhash_dups(SF).to_pandas()
+        parent: dict[int, int] = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                x = parent.get(x, x)
+            return x
+
+        for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = sorted(set(pairs["doc_a"]) | set(pairs["doc_b"]))
+        want = {n: find(n) for n in nodes}
+        got = dict(zip(out["doc_id"], out["rep_doc_id"]))
+        assert got == want
+        # every component rep is its own rep (labels are fixpoint-consistent)
+        assert all(got[r] == r for r in set(got.values()))
+
+    def test_label_propagation_converges_on_path_graph(self, ray_session):
+        """A 9-node path needs multiple propagation rounds (~log2 diameter
+        with label-link shortcuts) — exercises the iterate-until-no-change
+        loop, not just the near-clique fast case."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from searchengine_ray.pipelines.dedup import connected_components
+
+        n = 9
+        edges = rd.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array(list(range(100, 100 + n - 1)), type=pa.int64()),
+                    "b": pa.array(list(range(101, 100 + n)), type=pa.int64()),
+                }
+            )
+        )
+        labels = connected_components(edges).to_pandas()
+        assert len(labels) == n
+        assert (labels["lbl"] == 100).all()
