@@ -262,10 +262,10 @@ def _traindata_sql() -> dict[str, str]:
 
     pii = """
 WITH src AS (
-  SELECT doc_id, text FROM documents
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
   UNION ALL
   SELECT doc_id + {OFF},
-         text || ' contact user' || CAST(doc_id AS VARCHAR)
+         coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
               || '@mail.example.org or call 555-123-4567 ref 9'
               || lpad(CAST(doc_id AS VARCHAR), 8, '0')
   FROM documents WHERE doc_id % {EVERY} = 0
@@ -294,7 +294,8 @@ FROM documents""",
         "pack_sequences": """
 WITH c AS (
   SELECT doc_id,
-         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+         CAST(len(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')) AS BIGINT)
+           AS n_tokens
   FROM documents
 ),
 o AS (
@@ -321,17 +322,24 @@ def _jaccard_pairs_sql(shingler: str) -> str:
     literal shingle strings equals the engine's Jaccard over 64-bit shingle
     hashes (injective on these corpora)."""
     if shingler == "char":
+        # docs whose normalized text is 1-2 chars collapse to one whole-doc
+        # shingle, mirroring char_shingle_array's short-input branch
         shingles = """
-sh AS (
-  SELECT DISTINCT doc_id, substr(s, CAST(t.i AS INT), 3) AS g
-  FROM (SELECT doc_id,
-               trim(regexp_replace(lower(text), '[ \\t\\n\\r]+', ' ', 'g')) AS s
+nrm AS (SELECT doc_id,
+               trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\r]+', ' ', 'g')) AS s
         FROM documents),
-       LATERAL unnest(range(1, greatest(length(s) - 1, 1))) AS t(i)
+sh AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, substr(s, CAST(t.i AS INT), 3) AS g
+    FROM nrm, LATERAL unnest(range(1, greatest(length(s) - 1, 1))) AS t(i)
+    WHERE length(s) >= 3
+    UNION ALL
+    SELECT doc_id, s AS g FROM nrm WHERE length(s) BETWEEN 1 AND 2
+  )
 )"""
     else:
         shingles = """
-tl AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+tl AS (SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS toks
        FROM documents),
 sh AS (
   SELECT DISTINCT doc_id, g FROM (
@@ -379,6 +387,40 @@ def _lsh_assignments_sql() -> str:
         )
     return (
         "SELECT vec_id, CAST(" + " + ".join(terms) + " AS BIGINT) AS bucket FROM embeddings"
+    )
+
+
+def _embedding_neardup_sql(threshold: float = 0.95) -> str:
+    """Brute-force cosine pairs over embeddings ∪ planted fixtures; plant
+    constants come from similarity.py so engine and oracle can't drift."""
+    from searchengine_ray.pipelines.similarity import (
+        PLANT_EVERY,
+        PLANT_NOISE,
+        PLANT_OFFSET,
+    )
+
+    return """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+plant AS (
+  SELECT vec_id + {OFF} AS vec_id,
+         list_transform(range(1, len(e) + 1),
+             i -> e[i] + sin(CAST(vec_id AS DOUBLE) + i - 1) * ({NOISE} * nv / ns)) AS e
+  FROM (SELECT vec_id, e,
+               sqrt(list_sum(list_transform(e, x -> x * x))) AS nv,
+               sqrt(list_sum(list_transform(range(1, len(e) + 1),
+                   i -> sin(CAST(vec_id AS DOUBLE) + i - 1)
+                        * sin(CAST(vec_id AS DOUBLE) + i - 1)))) AS ns
+        FROM base WHERE vec_id % {EVERY} = 0)
+),
+allv AS (SELECT * FROM base UNION ALL SELECT * FROM plant)
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       round(list_cosine_similarity(a.e, b.e), 4) AS sim_r
+FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= {THR}
+ORDER BY doc_a, doc_b""".format(
+        OFF=PLANT_OFFSET, EVERY=PLANT_EVERY, NOISE=repr(PLANT_NOISE), THR=repr(threshold)
     )
 
 
@@ -522,31 +564,12 @@ FROM walk GROUP BY node ORDER BY node""".format(
         "lsh_assignments": _lsh_assignments_sql(),
         "lsh_knn": _lsh_knn_sql(),
         # Exhaustive near-dup oracle over embeddings ∪ planted fixtures. The
-        # plant is closed-form (sin noise scaled to 5% relative norm), so SQL
-        # reconstructs the planted vectors bit-for-bit at 4-dp rounding; the
-        # engine's multi-table hyperplane LSH has recall 1.0 on every pair
-        # here and verification is exact, so LSH output == exhaustive output.
-        "embedding_neardup": """
-WITH base AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-),
-plant AS (
-  SELECT vec_id + 1000000 AS vec_id,
-         list_transform(range(1, len(e) + 1),
-             i -> e[i] + sin(CAST(vec_id AS DOUBLE) + i - 1) * (0.05 * nv / ns)) AS e
-  FROM (SELECT vec_id, e,
-               sqrt(list_sum(list_transform(e, x -> x * x))) AS nv,
-               sqrt(list_sum(list_transform(range(1, len(e) + 1),
-                   i -> sin(CAST(vec_id AS DOUBLE) + i - 1)
-                        * sin(CAST(vec_id AS DOUBLE) + i - 1)))) AS ns
-        FROM base WHERE vec_id % 25 = 0)
-),
-allv AS (SELECT * FROM base UNION ALL SELECT * FROM plant)
-SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-       round(list_cosine_similarity(a.e, b.e), 4) AS sim_r
-FROM allv a JOIN allv b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.e, b.e) >= 0.95
-ORDER BY doc_a, doc_b""",
+        # plant is closed-form (sin noise scaled to PLANT_NOISE relative
+        # norm), so SQL reconstructs the planted vectors bit-for-bit at 4-dp
+        # rounding; the engine's multi-table hyperplane LSH has recall 1.0 on
+        # every pair here and verification is exact, so LSH output ==
+        # exhaustive output.
+        "embedding_neardup": _embedding_neardup_sql(),
         "knn_cosine": """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
 SELECT CAST(row_number() OVER (ORDER BY round(sim, 4) DESC, vec_id ASC) - 1 AS BIGINT) AS rank,

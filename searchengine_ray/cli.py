@@ -300,7 +300,6 @@ def cmd_pipeline(args: argparse.Namespace) -> int:
     import importlib.util
     import os
 
-    _ensure_ray(args.num_cpus)
     # the registry lives in the driver-contract module at the repo root
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     spec = importlib.util.spec_from_file_location(
@@ -309,9 +308,10 @@ def cmd_pipeline(args: argparse.Namespace) -> int:
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     registry = mod.queries()
-    if args.list:
+    if args.list:  # listing needs no Ray session
         print(json.dumps({"result": True, "pipelines": sorted(registry)}))
         return 0
+    _ensure_ray(args.num_cpus)
     if args.name not in registry:
         print(json.dumps({"result": False, "error": f"unknown pipeline: {args.name}"}))
         return 2

@@ -820,6 +820,12 @@ def connected_components(edges_ds, max_iters: int = 32, num_partitions: int | No
         return _labels_table(node[first], lbl[first])
 
     edges_ds = edges_ds.materialize()  # edge set reused every round (tiny rows)
+    if edges_ds.count() == 0:  # empty graph: empty typed label table
+        import ray.data as rd
+
+        return rd.from_arrow(
+            _labels_table(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        )
     labels = (
         edges_ds.map_batches(init_labels, batch_format="pyarrow")
         .map_batches(add_part, batch_format="pyarrow")
@@ -913,7 +919,15 @@ def dedup_cluster(sf_dir: str, threshold: float = 0.8):
     alone under-removes when A~B and B~C but A~C was never a candidate."""
     import ray.data as rd
 
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "rep_doc_id": pa.array([], type=pa.int64()),
+        }
+    )
     pairs = minhash_dups(sf_dir, threshold)
+    if pairs.num_rows == 0:  # no near-dups: empty result with stable schema
+        return empty
     pairs_ds = rd.from_arrow(
         pa.table({"a": pairs["doc_a"], "b": pairs["doc_b"]})
     )

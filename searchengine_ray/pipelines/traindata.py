@@ -158,11 +158,12 @@ def pack_sequences(sf_dir: str, seq_len: int = 512):
 # PII scrubbing
 # ---------------------------------------------------------------------------
 
-# Plain-syntax patterns valid in BOTH Python re and RE2 (DuckDB) — the SQL
-# oracle uses the same strings verbatim.
+# Plain-syntax patterns with IDENTICAL semantics in Python re and RE2
+# (DuckDB) — the SQL oracle uses the same strings verbatim. [0-9], not \d:
+# Python's \d matches Unicode digits while RE2's is ASCII-only.
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PII_PHONE = r"\d{3}[-. ]\d{3}[-. ]\d{4}"
-PII_ID = r"\d{9,}"
+PII_PHONE = r"[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+PII_ID = r"[0-9]{9,}"
 
 PII_PLANT_EVERY = 20
 PII_PLANT_OFFSET = 2_000_000
@@ -181,7 +182,7 @@ def _plant_pii(batch: pa.Table) -> pa.Table:
         d = int(ids[i])
         out_ids.append(d + PII_PLANT_OFFSET)
         out_texts.append(
-            f"{texts[i]} contact user{d}@mail.example.org"
+            f"{texts[i] or ''} contact user{d}@mail.example.org"
             f" or call 555-123-4567 ref 9{d:08d}"
         )
     return pa.table(

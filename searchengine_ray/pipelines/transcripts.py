@@ -24,7 +24,6 @@ import pyarrow.parquet as pq
 from searchengine_ray.build import build_index
 from searchengine_ray.config import EngineConfig
 from searchengine_ray.corpus import transcripts_from_documents
-from searchengine_ray.pipelines.fulltext import _round_vec
 
 # Fixed reference query set over the documents vocabulary.
 FIXED_QUERIES: list[tuple[str, str]] = [
@@ -80,27 +79,13 @@ def transcript_search(sf_dir: str, k: int = 10, site: str | None = None) -> pd.D
 
 
 def _search_frame(engine, queries: list[tuple[str, str]], k: int, site: str | None = None) -> pd.DataFrame:
-    frames = []
-    for qid, qtext in queries:
-        r = engine.search_ids(qtext, site=site)
-        if r["count"] == 0:
-            continue
-        score_r = _round_vec(r["score"])
-        df = pd.DataFrame(
-            {
-                "conv_id": r["conv_id"],
-                "turn_idx": r["turn_idx"].astype("int32"),
-                "score_r": score_r,
-            }
-        )
-        df = df.sort_values(
-            ["score_r", "conv_id", "turn_idx"], ascending=[False, True, True], kind="stable"
-        ).head(k)
-        df = df.reset_index(drop=True)
-        df.insert(0, "rank", df.index.astype("int64"))
-        df.insert(0, "query_id", qid)
-        df["count"] = np.int64(r["count"])
-        frames.append(df)
+    from searchengine_ray.results import rounded_topk_frame
+
+    frames = [
+        f
+        for qid, qtext in queries
+        if not (f := rounded_topk_frame(engine.search_ids(qtext, site=site), qid, k)).empty
+    ]
     if not frames:
         return pd.DataFrame(
             columns=["query_id", "rank", "conv_id", "turn_idx", "score_r", "count"]

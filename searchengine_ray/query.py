@@ -431,15 +431,20 @@ class QueryActor:
         counts = []
         df = pd.DataFrame(batch) if not isinstance(batch, pd.DataFrame) else batch
         if self.rounded_topk:
-            return pd.concat(
-                [
-                    self._rounded_frame(
-                        row["query_id"], str(row["query"]), int(row.get("limit", 10))
-                    )
-                    for _, row in df.iterrows()
-                ],
-                ignore_index=True,
-            )
+            from searchengine_ray.results import rounded_topk_frame
+
+            frames = [
+                rounded_topk_frame(
+                    self.engine.search_ids(str(row["query"])),
+                    row["query_id"],
+                    int(row.get("limit", 10)),
+                    int(row.get("offset", 0)),
+                )
+                for _, row in df.iterrows()
+            ]
+            if not frames:  # zero-row batch: empty typed frame
+                frames = [rounded_topk_frame({"count": 0}, None, 0)]
+            return pd.concat(frames, ignore_index=True)
         for _, row in df.iterrows():
             r = self.engine.search(
                 str(row["query"]), int(row.get("offset", 0)), int(row.get("limit", 10))
@@ -462,40 +467,6 @@ class QueryActor:
             }
         )
 
-    def _rounded_frame(self, qid, qtext: str, k: int):
-        import numpy as np
-        import pandas as pd
-
-        empty = pd.DataFrame(
-            {
-                "query_id": pd.Series(dtype="object"),
-                "rank": pd.Series(dtype="int64"),
-                "conv_id": pd.Series(dtype="object"),
-                "turn_idx": pd.Series(dtype="int32"),
-                "score_r": pd.Series(dtype="float64"),
-                "count": pd.Series(dtype="int64"),
-            }
-        )
-        r = self.engine.search_ids(qtext)
-        if r["count"] == 0:
-            return empty
-        s = np.abs(r["score"])
-        score_r = np.floor(s * 1e4 + 0.5) / 1e4 * np.sign(r["score"])
-        out = pd.DataFrame(
-            {
-                "conv_id": r["conv_id"],
-                "turn_idx": r["turn_idx"].astype("int32"),
-                "score_r": score_r,
-            }
-        )
-        out = out.sort_values(
-            ["score_r", "conv_id", "turn_idx"], ascending=[False, True, True], kind="stable"
-        ).head(k)
-        out = out.reset_index(drop=True)
-        out.insert(0, "rank", out.index.astype("int64"))
-        out.insert(0, "query_id", qid)
-        out["count"] = np.int64(r["count"])
-        return out
 
 
 class ShardedQueryService:

@@ -152,3 +152,25 @@ class TestSnippets:
         s = OracleSearcher(OracleIndex(_mini_table([("c0", 0, "суд суд")])))
         snip = s.search("суд")["data"][0]["snippet"]
         assert " ... " not in snip
+
+
+def test_jaccard_sql_short_doc_branch_matches_engine_shingler():
+    """Docs whose normalized text is 1-2 chars collapse to one whole-doc
+    shingle in char_shingle_array; the SQL oracle's short branch must pair
+    them identically (code-review regression)."""
+    import duckdb
+
+    from __ray_entry__ import _jaccard_pairs_sql
+    from searchengine_ray.pipelines.dedup import char_shingles
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(0, 'ab'), (1, 'AB'), (2, 'abc def ghi'), (3, 'abc def ghi'), (4, NULL)"
+        ") AS t(doc_id, text)"
+    )
+    out = con.execute(_jaccard_pairs_sql("char")).df()
+    got = set(zip(out["doc_a"], out["doc_b"]))
+    assert got == {(0, 1), (2, 3)}
+    # engine-side shingler agrees on the short docs
+    assert char_shingles("ab") == char_shingles("AB") != set()
