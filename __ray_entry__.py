@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lengths": fulltext.doc_lengths,
         "doc_stats": fulltext.doc_stats,
         "top_terms": fulltext.top_terms,
+        "tfidf_top_terms": fulltext.tfidf_top_terms,  # oracle: window row_number
         "bm25_adhoc": lambda sf: fulltext.bm25_adhoc(sf, "scan column"),
         "search_count": lambda sf: fulltext.search_count(sf, "hash join"),
         # --- flagship engine path: real index build + BM25 serving ---
@@ -477,6 +478,21 @@ SELECT CAST(row_number() OVER (ORDER BY cf DESC, lemma ASC) - 1 AS BIGINT) AS ra
        lemma, df, cf
 FROM d QUALIFY rank < 20""",
         "bm25_adhoc": _bm25_sql(["column", "scan"], k=10),
+        # per-doc top-5 tf-idf terms; scores rounded before ranking, ties by
+        # term asc — the same rule the engine applies
+        "tfidf_top_terms": f"""
+WITH {_TOKS},
+ d AS (SELECT token, count(*) AS df FROM toks GROUP BY token),
+ s AS (SELECT t.doc_id, t.token AS term,
+              round(t.tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / d.df), 4)
+                AS tfidf_r
+       FROM toks t JOIN d ON t.token = d.token)
+SELECT doc_id, rank, term, tfidf_r FROM (
+  SELECT doc_id, term, tfidf_r,
+         CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY tfidf_r DESC, term ASC) - 1 AS BIGINT) AS rank
+  FROM s)
+WHERE rank < 5""",
         "search_count": f"""
 WITH {_TOKS}
 SELECT CAST(count(*) AS BIGINT) AS n_matches FROM (

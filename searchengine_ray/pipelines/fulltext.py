@@ -410,3 +410,107 @@ def search_count(sf_dir: str, query: str):
         .sum("m")
     )
     return pa.table({"n_matches": pa.array([int(total or 0)], type=pa.int64())})
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 5):
+    """(doc_id, rank, term, tfidf_r): each document's top-k significant
+    terms by tf-idf (tf · ln(N/df)) — the classic sparse feature export for
+    classifier / retrieval training sets.
+
+    Scale shape: postings and the (lemma, df) dictionary co-partition on
+    hash(lemma) (union + fixed-partition groupby, vectorized searchsorted
+    attach — no broadcast of the vocabulary, no `Dataset.join` actors);
+    the per-doc top-k then co-partitions on hash(doc_id) with one vectorized
+    pandas pass per partition. Two shuffles total, both int64/string rows.
+    Scores are rounded half-away at 4 dp BEFORE ranking (ties broken by term
+    asc) so the ordering is float-noise-proof and SQL-mirrorable."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+
+    posts = read_documents(sf_dir).map_batches(
+        per_worker(ExplodeSimple), batch_format="pyarrow", batch_size=2048
+    )
+
+    def tag_posts(batch: pa.Table) -> pa.Table:
+        lem = batch["lemma"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "lemma": batch["lemma"],
+                "doc_id": batch["doc_id"],
+                "tf": batch["tf"],
+                "df": pa.array(np.full(batch.num_rows, -1, dtype=np.int64)),
+                "q": pa.array(_crc_partition(lem)),
+            }
+        )
+
+    def tag_dfs(batch: pa.Table) -> pa.Table:
+        lem = batch["lemma"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "lemma": batch["lemma"],
+                "doc_id": pa.array(np.full(batch.num_rows, -1, dtype=np.int64)),
+                "tf": pa.array(np.full(batch.num_rows, -1, dtype=np.int64)),
+                "df": batch["df"],
+                "q": pa.array(_crc_partition(lem)),
+            }
+        )
+
+    def attach_df(group: pa.Table) -> pa.Table:
+        lem = np.asarray(group["lemma"].to_pylist(), dtype=object)
+        doc = group["doc_id"].to_numpy(zero_copy_only=False)
+        tf = group["tf"].to_numpy(zero_copy_only=False)
+        dfv = group["df"].to_numpy(zero_copy_only=False)
+        is_dict = dfv >= 0
+        dl, dv = lem[is_dict], dfv[is_dict]
+        order = np.argsort(dl, kind="stable")
+        dl, dv = dl[order], dv[order]
+        pr = ~is_dict
+        pos = np.searchsorted(dl, lem[pr])
+        # every posting lemma exists in the dictionary by construction
+        score = tf[pr] * np.log(float(n_docs) / dv[pos])
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[pr], type=pa.int64()),
+                "term": pa.array(lem[pr], type=pa.string()),
+                "tfidf_r": pa.array(_round_vec(score), type=pa.float64()),
+            }
+        )
+
+    def add_doc_part(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        p = (d * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(_AGG_PARTITIONS)
+        return batch.append_column("p", pa.array(p.astype(np.int64)))
+
+    def topk_per_doc(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = pd.DataFrame(
+            {
+                "doc_id": group["doc_id"].to_numpy(zero_copy_only=False),
+                "term": group["term"].to_pylist(),
+                "tfidf_r": group["tfidf_r"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = g.sort_values(
+            ["doc_id", "tfidf_r", "term"], ascending=[True, False, True], kind="stable"
+        )
+        g["rank"] = g.groupby("doc_id").cumcount().astype("int64")
+        g = g[g["rank"] < k]
+        return pa.Table.from_pandas(
+            g[["doc_id", "rank", "term", "tfidf_r"]], preserve_index=False
+        )
+
+    scored = (
+        posts.map_batches(tag_posts, batch_format="pyarrow")
+        .union(lemma_df(sf_dir).map_batches(tag_dfs, batch_format="pyarrow"))
+        .groupby("q")
+        .map_groups(attach_df, batch_format="pyarrow")
+    )
+    return (
+        scored.map_batches(add_doc_part, batch_format="pyarrow")
+        .groupby("p")
+        .map_groups(topk_per_doc, batch_format="pyarrow")
+    )

@@ -529,3 +529,42 @@ class TestDedupCluster:
         labels = connected_components(edges).to_pandas()
         assert len(labels) == n
         assert (labels["lbl"] == 100).all()
+
+
+class TestTfidfTopTerms:
+    def test_matches_bruteforce(self, ray_session, docs):
+        import math
+
+        from searchengine_ray.pipelines.fulltext import tfidf_top_terms
+        from searchengine_ray.textproc import EN_STOPWORDS, tokenize_simple
+
+        out = tfidf_top_terms(SF, k=5).to_pandas()
+        # brute force: tf per (doc, term) over significant tokens, df per term
+        tfs: dict[tuple[int, str], int] = {}
+        dfs: dict[str, int] = {}
+        for did, text in docs.items():
+            seen = set()
+            for t in tokenize_simple(text or ""):
+                if len(t) < 2 or t in EN_STOPWORDS:
+                    continue
+                tfs[(did, t)] = tfs.get((did, t), 0) + 1
+                seen.add(t)
+            for t in seen:
+                dfs[t] = dfs.get(t, 0) + 1
+        n = len(docs)
+        rows = []
+        for (did, t), tf in tfs.items():
+            s = tf * math.log(n / dfs[t])
+            s_r = math.floor(abs(s) * 1e4 + 0.5) / 1e4 * (1 if s >= 0 else -1)
+            rows.append((did, t, s_r))
+        want = {}
+        for did in docs:
+            cand = sorted(
+                [(t, s) for d, t, s in rows if d == did],
+                key=lambda x: (-x[1], x[0]),
+            )[:5]
+            want[did] = cand
+        for did, sub in out.groupby("doc_id"):
+            sub = sub.sort_values("rank")
+            got = list(zip(sub["term"], sub["tfidf_r"]))
+            assert got == want[did], did
