@@ -113,8 +113,18 @@ def run_headline(
         batch_size=4096,
         build_concurrency=2,
     )
-    # Warm the worker pool (process spawn + import cost) outside the timing.
-    rd.range(10_000).map_batches(lambda b: b, batch_format="pyarrow").materialize()
+    # Warm the worker pool outside the timing: process spawn AND the
+    # searchengine_ray import cost in each task worker (actors re-import on
+    # spawn regardless, but task-pool stages reuse these processes).
+    def _warm(b):
+        import searchengine_ray.build  # noqa: F401
+        import searchengine_ray.textproc  # noqa: F401
+
+        return b
+
+    rd.range(10_000, override_num_blocks=64).map_batches(
+        _warm, batch_format="pyarrow"
+    ).materialize()
     t0 = time.time()
     manifest = build_index(corpus_dir, index_dir, cfg)
     build_sec = time.time() - t0
