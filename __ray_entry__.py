@@ -215,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_events": relational.windowed_events,
         "sessionize_events": relational.sessionize_events,
         "asof_join_events": relational.asof_join_events,
+        "exact_quantiles": relational.exact_quantiles,  # oracle: quantile_disc
         "broadcast_join_orders": relational.broadcast_join_orders,
         # --- dedup family ---
         "dedup_exact": dedup.exact_dedup,
@@ -540,6 +541,16 @@ SELECT c.event_id, c.user_id,
 FROM (SELECT * FROM events WHERE event_type = 'click') c
 ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
   ON c.user_id = v.user_id AND v.ts <= c.ts""",
+        # exact discrete quantiles: engine selects the ceil(n*q)-th order
+        # statistic by counting passes; quantile_disc uses the same rank rule
+        "exact_quantiles": """
+SELECT q, value FROM (
+  SELECT 0.5 AS q, CAST(quantile_disc(value, 0.5) AS DOUBLE) AS value FROM events
+  UNION ALL
+  SELECT 0.9, CAST(quantile_disc(value, 0.9) AS DOUBLE) FROM events
+  UNION ALL
+  SELECT 0.99, CAST(quantile_disc(value, 0.99) AS DOUBLE) FROM events
+) ORDER BY q""",
         "broadcast_join_orders": """
 SELECT n.n_name,
        CAST(count(*) AS BIGINT) AS n_orders,

@@ -255,3 +255,102 @@ def broadcast_join_orders(sf_dir: str):
     out["revenue_r"] = _round_vec(out["revenue"].to_numpy(), 2)
     out["n_orders"] = out["n_orders"].astype("int64")
     return out[["n_name", "n_orders", "revenue_r"]]
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed quantiles (selection by counting, no sort)
+# ---------------------------------------------------------------------------
+
+
+def exact_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                    column: str = "value", n_buckets: int = 8192,
+                    max_pull: int = 262_144):
+    """(q, value) EXACT discrete quantiles of ``events.column`` — the
+    element at rank ceil(n·q) (DuckDB ``quantile_disc`` convention).
+
+    Distributed selection by counting, not sorting: a global sort of the
+    column is an all-to-all shuffle of every row, but the k-th order
+    statistic only needs (1) one pass for (n, min, max), (2) one histogram
+    pass (fixed buckets over [min, max], counts summed driver-side —
+    n_buckets ints per task), (3) a filtered pull of ONLY the buckets that
+    straddle a target rank (expected n/n_buckets rows each), finished with
+    an exact in-memory selection. A pathological value distribution that
+    overfills a target bucket (> max_pull rows) recurses one level with a
+    re-histogram of just that bucket's range. Ties handled exactly —
+    selection is by rank, not by value uniqueness."""
+    import ray.data as rd
+
+    ds = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"), columns=[column]
+    ).materialize()
+
+    def stats(batch: pa.Table) -> pa.Table:
+        v = batch[column].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            return pa.table({"n": pa.array([0], type=pa.int64()),
+                             "lo": pa.array([np.inf]), "hi": pa.array([-np.inf])})
+        return pa.table({"n": pa.array([v.size], type=pa.int64()),
+                         "lo": pa.array([float(v.min())]),
+                         "hi": pa.array([float(v.max())])})
+
+    st = ds.map_batches(stats, batch_format="pyarrow").to_pandas()
+    n = int(st["n"].sum())
+    if n == 0:
+        return pa.table({"q": pa.array([], type=pa.float64()),
+                         "value": pa.array([], type=pa.float64())})
+    lo, hi = float(st["lo"].min()), float(st["hi"].max())
+    if lo == hi:  # constant column: every quantile is that value
+        return pa.table({"q": pa.array(sorted(float(q) for q in qs), type=pa.float64()),
+                         "value": pa.array([lo] * len(qs), type=pa.float64())})
+    ranks = {q: max(int(np.ceil(n * q)), 1) for q in qs}
+
+    def _histogram(lo_: float, hi_: float, closed_hi: bool):
+        """One counting pass: per-batch histogram over [lo_, hi_) — the
+        upper edge is included only when ``closed_hi`` (the global max).
+        Values == hi_ are pre-filtered so np.histogram's always-closed last
+        bin can't over-count at interior recursion boundaries."""
+        edges = np.linspace(lo_, hi_, n_buckets + 1)
+
+        def hist(batch: pa.Table) -> pa.Table:
+            v = batch[column].to_numpy(zero_copy_only=False).astype(np.float64)
+            m = ~np.isnan(v) & (v >= lo_) & ((v <= hi_) if closed_hi else (v < hi_))
+            c, _ = np.histogram(v[m], bins=edges)
+            return pa.table({"b": pa.array(np.arange(n_buckets, dtype=np.int64)),
+                             "c": pa.array(c.astype(np.int64))})
+
+        h = ds.map_batches(hist, batch_format="pyarrow").to_pandas()
+        counts = np.zeros(n_buckets, dtype=np.int64)
+        np.add.at(counts, h["b"].to_numpy(), h["c"].to_numpy())
+        return edges, counts
+
+    def _pull(lo_: float, hi_: float, closed_hi: bool) -> np.ndarray:
+        def sel(batch: pa.Table) -> pa.Table:
+            v = batch[column].to_numpy(zero_copy_only=False).astype(np.float64)
+            m = ~np.isnan(v) & (v >= lo_) & ((v <= hi_) if closed_hi else (v < hi_))
+            return pa.table({column: pa.array(v[m])})
+
+        out = ds.map_batches(sel, batch_format="pyarrow").to_pandas()
+        return out[column].to_numpy()
+
+    def _select(k: int, lo_: float, hi_: float, below: int, depth: int = 0) -> float:
+        """Exact k-th smallest (1-based, global) within [lo_, hi_], where
+        ``below`` values are < lo_."""
+        edges, counts = _histogram(lo_, hi_, closed_hi=(hi_ == hi))
+        cum = below + np.cumsum(counts)
+        b = int(np.searchsorted(cum, k))  # first bucket reaching rank k
+        b_lo = float(edges[b])
+        b_hi = float(edges[b + 1])
+        b_below = int(cum[b] - counts[b])
+        # histogram's second-to-last bins are [lo, hi); the last bin of a
+        # closed-hi histogram additionally holds v == hi_
+        b_closed = (b == n_buckets - 1) and (hi_ == hi)
+        if counts[b] > max_pull and depth < 2 and b_hi > b_lo:
+            return _select(k, b_lo, b_hi, b_below, depth + 1)
+        vals = _pull(b_lo, b_hi, b_closed)
+        vals.sort()
+        return float(vals[k - b_below - 1])
+
+    rows = [(float(q), _select(ranks[q], lo, hi, 0)) for q in sorted(qs)]
+    return pa.table({"q": pa.array([r[0] for r in rows], type=pa.float64()),
+                     "value": pa.array([r[1] for r in rows], type=pa.float64())})

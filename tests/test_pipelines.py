@@ -568,3 +568,51 @@ class TestTfidfTopTerms:
             sub = sub.sort_values("rank")
             got = list(zip(sub["term"], sub["tfidf_r"]))
             assert got == want[did], did
+
+
+class TestExactQuantiles:
+    def test_matches_numpy_order_statistics(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.pipelines.relational import exact_quantiles
+
+        out = exact_quantiles(SF).to_pandas().set_index("q")["value"]
+        v = np.sort(
+            pq.read_table(f"{SF}/events.parquet", columns=["value"])["value"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        n = len(v)
+        for q in (0.5, 0.9, 0.99):
+            k = max(int(np.ceil(n * q)), 1)
+            assert out[q] == v[k - 1], q
+
+    def test_duplicate_heavy_column_recurses_exactly(self, ray_session, tmp_path):
+        """A column that crams most mass into one histogram bucket forces the
+        refinement recursion; selection must stay exact through it."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.pipelines.relational import exact_quantiles
+
+        rng = np.random.default_rng(7)
+        # 50k copies of ~5 values inside [0, 1e-5], plus outliers up to 1e6
+        vals = np.concatenate(
+            [
+                rng.choice(np.linspace(0, 1e-5, 5), size=50_000),
+                rng.uniform(1, 1e6, size=50),
+            ]
+        )
+        pq.write_table(
+            pa.table({"value": pa.array(vals)}), str(tmp_path / "events.parquet")
+        )
+        out = (
+            exact_quantiles(str(tmp_path), n_buckets=16, max_pull=1000)
+            .to_pandas()
+            .set_index("q")["value"]
+        )
+        s = np.sort(vals)
+        n = len(s)
+        for q in (0.5, 0.9, 0.99):
+            k = max(int(np.ceil(n * q)), 1)
+            assert out[q] == s[k - 1], q
