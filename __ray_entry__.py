@@ -238,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": textstats.quality_score,
         "fingerprint": textstats.fingerprint,
         "fingerprint_rolling": textstats.fingerprint_rolling,  # rows-only (winnowing)
+        "bigram_counts": textstats.bigram_counts,  # oracle: positional self-join
         # --- multimodal plumbing (stubbed decoder) ---
         "multimodal_features": multimodal.multimodal_features,  # rows-only (binary payloads)
         "frame_sample": multimodal.frame_sample,  # rows-only (binary payloads)
@@ -659,5 +660,15 @@ FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id""",
 SELECT doc_id,
        md5(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g'))) AS fp
 FROM documents""",
+        # top-100 token bigrams; ties by bigram asc (engine rule)
+        "bigram_counts": """
+WITH tl AS (SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS toks
+            FROM documents),
+ b AS (SELECT toks[CAST(t.i AS INT)] || ' ' || toks[CAST(t.i AS INT) + 1] AS bigram
+       FROM tl, LATERAL unnest(range(1, greatest(len(toks), 1))) AS t(i)),
+ c AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY bigram)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, bigram ASC) - 1 AS BIGINT) AS rank,
+       bigram, n
+FROM c QUALIFY rank < 100""",
         **_traindata_sql(),
     }

@@ -283,3 +283,70 @@ def fingerprint_rolling(sf_dir: str):
     return read_documents(sf_dir).map_batches(
         per_worker(RollingFingerprint), batch_format="pyarrow", batch_size=1024
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram language-model counts
+# ---------------------------------------------------------------------------
+
+
+def bigram_counts(sf_dir: str, k: int = 100):
+    """(rank, bigram, n) top-k token bigrams by corpus count — the canonical
+    n-gram LM counting pipeline. Map-side: Arrow-vectorized tokenize
+    (``tokens_flat_arrow``) → consecutive same-doc token pairs → per-batch
+    partial counts. Shuffle: each bigram hashes wholly into one of 64 fixed
+    partitions (vectorized combine inside — never per-group dispatch), and
+    only each partition's local top-k rows travel to the driver (the
+    bounded-driver-traffic pattern: k·P candidate rows, never the n-gram
+    vocabulary). Ties rank by bigram asc."""
+    import pandas as pd
+
+    from searchengine_ray.pipelines.fulltext import _crc_partition
+    from searchengine_ray.textproc import tokens_flat_arrow
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, parents = tokens_flat_arrow(batch["text"], mode="simple")
+        toks = np.asarray(flat.to_pylist(), dtype=object)
+        if toks.size < 2:
+            return pa.table(
+                {"bigram": pa.array([], type=pa.string()),
+                 "n": pa.array([], type=pa.int64()),
+                 "q": pa.array([], type=pa.int64())}
+            )
+        same = parents[:-1] == parents[1:]
+        big = np.char.add(np.char.add(toks[:-1].astype(str), " "), toks[1:].astype(str))[same]
+        g = pd.DataFrame({"bigram": big}).groupby("bigram", as_index=False).size()
+        g.columns = ["bigram", "n"]
+        g["q"] = _crc_partition(g["bigram"])
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def combine_topk(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = (
+            group.select(["bigram", "n"])
+            .to_pandas()
+            .groupby("bigram", as_index=False)["n"]
+            .sum()
+            .sort_values(["n", "bigram"], ascending=[False, True], kind="stable")
+            .head(k)
+        )
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        read_documents(sf_dir)
+        .map_batches(partial, batch_format="pyarrow", batch_size=2048)
+        .groupby("q")
+        .map_groups(combine_topk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = out.sort_values(["n", "bigram"], ascending=[False, True], kind="stable").head(k)
+    out = out.reset_index(drop=True)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(out), dtype=np.int64)),
+            "bigram": pa.array(out["bigram"].tolist(), type=pa.string()),
+            "n": pa.array(out["n"].to_numpy(dtype=np.int64), type=pa.int64()),
+        }
+    )

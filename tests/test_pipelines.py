@@ -616,3 +616,21 @@ class TestExactQuantiles:
         for q in (0.5, 0.9, 0.99):
             k = max(int(np.ceil(n * q)), 1)
             assert out[q] == s[k - 1], q
+
+
+class TestBigramCounts:
+    def test_matches_bruteforce(self, ray_session, docs):
+        from collections import Counter
+
+        from searchengine_ray.pipelines.textstats import bigram_counts
+        from searchengine_ray.textproc import tokenize_simple
+
+        out = bigram_counts(SF, k=100).to_pandas()
+        c: Counter = Counter()
+        for text in docs.values():
+            toks = tokenize_simple(text or "")
+            c.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+        want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+        got = list(zip(out["bigram"], out["n"]))
+        assert got == want
+        assert out["rank"].tolist() == list(range(len(out)))
