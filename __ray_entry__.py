@@ -242,6 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal plumbing (stubbed decoder) ---
         "multimodal_features": multimodal.multimodal_features,  # rows-only (binary payloads)
         "frame_sample": multimodal.frame_sample,  # rows-only (binary payloads)
+        "frame_sample_hex": multimodal.frame_sample_hex,  # oracle: hex BLOB slices
         # --- training-data preparation ---
         "sample_split": traindata.sample_split,       # oracle: md5-hex-digit buckets
         "pack_sequences": traindata.pack_sequences,   # oracle: window cumsum
@@ -660,6 +661,24 @@ FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id""",
 SELECT doc_id,
        md5(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g'))) AS fp
 FROM documents""",
+        # frame sampling over the media payloads: every 4th 64-byte frame of
+        # the utf-8 payload, sliced via the hex round-trip (DuckDB 1.0 has no
+        # BLOB substring) and compared as lowercase hex
+        "frame_sample_hex": """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         lower(hex(encode(coalesce(text, '')))) AS h,
+         octet_length(encode(coalesce(text, ''))) AS n
+  FROM documents
+),
+f AS (
+  SELECT media_id,
+         CAST((t.i - 1) * 4 AS INT) AS frame_idx,
+         substr(h, CAST((t.i - 1) * 4 AS BIGINT) * 128 + 1, 128) AS frame_hex
+  FROM m, LATERAL unnest(range(1, (n // 64 + 3) // 4 + 1)) AS t(i)
+  WHERE n // 64 >= 1
+)
+SELECT media_id, frame_idx, frame_hex FROM f""",
         # top-100 token bigrams; ties by bigram asc (engine rule)
         "bigram_counts": """
 WITH tl AS (SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS toks

@@ -140,3 +140,24 @@ def frame_sample(sf_dir: str, stride: int = 4):
         batch_size=256,
         concurrency=2,
     )
+
+
+def frame_sample_hex(sf_dir: str, stride: int = 4):
+    """``frame_sample`` with frames as lowercase hex strings — the
+    hash-checkable projection of the binary pipeline (the driver compare
+    and DuckDB both handle strings natively; the binary entry stays
+    rows-only)."""
+
+    def to_hex(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "frame_idx": batch["frame_idx"],
+                "frame_hex": pa.array(
+                    [(b or b"").hex() for b in batch["frame"].to_pylist()],
+                    type=pa.string(),
+                ),
+            }
+        )
+
+    return frame_sample(sf_dir, stride).map_batches(to_hex, batch_format="pyarrow")
