@@ -237,7 +237,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": textstats.token_count,
         "quality_score": textstats.quality_score,
         "fingerprint": textstats.fingerprint,
-        "fingerprint_rolling": textstats.fingerprint_rolling,  # rows-only (winnowing)
+        "fingerprint_rolling": textstats.fingerprint_rolling,  # rows-only (list sig)
+        "fingerprint_rolling_flat": textstats.fingerprint_rolling_flat,  # oracle: HUGEINT-mod hash
         "bigram_counts": textstats.bigram_counts,  # oracle: positional self-join
         # --- multimodal plumbing (stubbed decoder) ---
         "multimodal_features": multimodal.multimodal_features,  # rows-only (binary payloads)
@@ -249,6 +250,62 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle: planted PII rows are closed-form string concat in SQL
         "pii_scrub": lambda sf: traindata.pii_scrub(sf, plant=True),
     }
+
+
+def _winnowing_flat_sql() -> str:
+    """Winnowing (Schleimer et al. 2003) fully in SQL: bytes of the
+    normalized text via a hex round-trip, the rolling polynomial hash as a
+    lead()-weighted sum of 8 bytes with mod-2^64 HUGEINT arithmetic
+    (per-offset powers of the base are precomputed literals — each term
+    < 2^75, far under HUGEINT's 2^127, so ONE mod at the end equals the
+    engine's wrapped uint64 math), window minima via ROWS BETWEEN, and the
+    signed-int64 reinterpretation as a CASE."""
+    from searchengine_ray.pipelines.textstats import _FP_BASE, _FP_K, _FP_WINDOW
+
+    P = [pow(int(_FP_BASE), _FP_K - 1 - j, 1 << 64) for j in range(_FP_K)]
+    terms = " + ".join(
+        (
+            f"CAST(byte AS HUGEINT) * CAST({P[0]} AS HUGEINT)"
+            if j == 0
+            else f"CAST(lead(byte, {j}) OVER w AS HUGEINT) * CAST({P[j]} AS HUGEINT)"
+        )
+        for j in range(_FP_K)
+    )
+    return f"""
+WITH nrm AS (
+  SELECT doc_id,
+         lower(hex(encode(trim(regexp_replace(lower(coalesce(text,'')), '[ \\t\\n\\r]+', ' ', 'g'))))) AS hx,
+         octet_length(encode(trim(regexp_replace(lower(coalesce(text,'')), '[ \\t\\n\\r]+', ' ', 'g')))) AS n
+  FROM documents
+),
+bytes AS (
+  SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+         CAST(concat('0x', substr(hx, CAST((t.i - 1) * 2 + 1 AS BIGINT), 2)) AS INT) AS byte
+  FROM nrm, LATERAL unnest(range(1, n + 1)) AS t(i)
+  WHERE n >= {_FP_K}
+),
+grams AS (
+  SELECT doc_id, pos,
+         mod({terms}, CAST(18446744073709551616 AS HUGEINT)) AS h
+  FROM bytes
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(byte, {_FP_K - 1}) OVER w IS NOT NULL
+),
+winnow AS (
+  SELECT doc_id, pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {_FP_WINDOW - 1} FOLLOWING) AS wmin,
+         count(*) OVER (PARTITION BY doc_id) AS ng,
+         max(pos) OVER (PARTITION BY doc_id) AS maxpos,
+         min(pos) OVER (PARTITION BY doc_id) AS minpos
+  FROM grams
+)
+SELECT DISTINCT doc_id,
+       CAST(CASE WHEN wmin >= CAST(9223372036854775808 AS HUGEINT)
+                 THEN wmin - CAST(18446744073709551616 AS HUGEINT)
+                 ELSE wmin END AS BIGINT) AS sel_hash
+FROM winnow
+WHERE pos <= maxpos - {_FP_WINDOW - 1} OR (ng <= {_FP_WINDOW} AND pos = minpos)"""
 
 
 def _traindata_sql() -> dict[str, str]:
@@ -679,6 +736,7 @@ f AS (
   WHERE n // 64 >= 1
 )
 SELECT media_id, frame_idx, frame_hex FROM f""",
+        "fingerprint_rolling_flat": _winnowing_flat_sql(),
         # top-100 token bigrams; ties by bigram asc (engine rule)
         "bigram_counts": """
 WITH tl AS (SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS toks

@@ -350,3 +350,27 @@ def bigram_counts(sf_dir: str, k: int = 100):
             "n": pa.array(out["n"].to_numpy(dtype=np.int64), type=pa.int64()),
         }
     )
+
+
+def fingerprint_rolling_flat(sf_dir: str):
+    """(doc_id, sel_hash) — the winnowing fingerprint exploded to one row
+    per selected hash: the hash-checkable projection of
+    ``fingerprint_rolling`` (the list-typed ``sig`` column stays rows-only).
+    The mod-2^64 polynomial hash IS SQL-expressible: per-k-gram powers of
+    the base are precomputed literals and one HUGEINT mod at the end equals
+    the wrapped uint64 arithmetic (terms < 2^75 << 2^127)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, hashes = [], []
+        for did, sig in zip(batch["doc_id"].to_pylist(), batch["sig"].to_pylist()):
+            for h in sig or []:
+                ids.append(did)
+                hashes.append(h)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "sel_hash": pa.array(hashes, type=pa.int64()),
+            }
+        )
+
+    return fingerprint_rolling(sf_dir).map_batches(explode, batch_format="pyarrow")
