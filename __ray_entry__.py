@@ -241,7 +241,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_rolling_flat": textstats.fingerprint_rolling_flat,  # oracle: HUGEINT-mod hash
         "bigram_counts": textstats.bigram_counts,  # oracle: positional self-join
         # --- multimodal plumbing (stubbed decoder) ---
-        "multimodal_features": multimodal.multimodal_features,  # rows-only (binary payloads)
+        "multimodal_features": multimodal.multimodal_features,  # rows-only (list hist)
+        "multimodal_features_flat": multimodal.multimodal_features_flat,  # oracle: byte histogram
         "frame_sample": multimodal.frame_sample,  # rows-only (binary payloads)
         "frame_sample_hex": multimodal.frame_sample_hex,  # oracle: hex BLOB slices
         # --- training-data preparation ---
@@ -737,6 +738,37 @@ f AS (
 )
 SELECT media_id, frame_idx, frame_hex FROM f""",
         "fingerprint_rolling_flat": _winnowing_flat_sql(),
+        # byte-feature extraction over the utf-8 media payloads: n_bytes,
+        # mean byte, and the 16-bin histogram fractions — one row per bin
+        # (bins cross-joined so empty payloads still emit 16 zero rows)
+        "multimodal_features_flat": """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         lower(hex(encode(coalesce(text, '')))) AS hx,
+         octet_length(encode(coalesce(text, ''))) AS n
+  FROM documents
+),
+bytes AS (
+  SELECT media_id,
+         CAST(concat('0x', substr(hx, CAST((t.i - 1) * 2 + 1 AS BIGINT), 2)) AS INT) AS byte
+  FROM m, LATERAL unnest(range(1, n + 1)) AS t(i)
+),
+counts AS (
+  SELECT media_id, byte // 16 AS bin, count(*) AS c FROM bytes GROUP BY 1, 2
+),
+stats AS (
+  SELECT media_id, n AS n_bytes,
+         CASE WHEN n = 0 THEN 0.0
+              ELSE round((SELECT avg(CAST(byte AS DOUBLE)) FROM bytes b
+                          WHERE b.media_id = m.media_id), 4) END AS mean_byte_r
+  FROM m
+)
+SELECT s.media_id, s.n_bytes, s.mean_byte_r,
+       CAST(g.bin AS INT) AS bin,
+       round(coalesce(c.c, 0) / greatest(CAST(s.n_bytes AS DOUBLE), 1.0), 4) AS frac_r
+FROM stats s
+CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) g
+LEFT JOIN counts c ON c.media_id = s.media_id AND c.bin = g.bin""",
         # top-100 token bigrams; ties by bigram asc (engine rule)
         "bigram_counts": """
 WITH tl AS (SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS toks

@@ -161,3 +161,39 @@ def frame_sample_hex(sf_dir: str, stride: int = 4):
         )
 
     return frame_sample(sf_dir, stride).map_batches(to_hex, batch_format="pyarrow")
+
+
+def multimodal_features_flat(sf_dir: str):
+    """(media_id, n_bytes, mean_byte_r, bin, frac_r) — the feature pipeline
+    with the 16-bin byte histogram EXPLODED to one row per bin (fractions
+    rounded at 4 dp): the hash-checkable projection of
+    ``multimodal_features`` (whose list<float> column stays rows-only)."""
+    from searchengine_ray.pipelines.fulltext import _round_vec
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, nb, mb, bins, fracs = [], [], [], [], []
+        for mid, n, m, hist in zip(
+            batch["media_id"].to_pylist(),
+            batch["n_bytes"].to_pylist(),
+            batch["mean_byte_r"].to_pylist(),
+            batch["hist"].to_pylist(),
+        ):
+            for b, f in enumerate(hist):
+                ids.append(mid)
+                nb.append(n)
+                mb.append(m)
+                bins.append(b)
+                fracs.append(f)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "n_bytes": pa.array(nb, type=pa.int64()),
+                "mean_byte_r": pa.array(mb, type=pa.float64()),
+                "bin": pa.array(bins, type=pa.int32()),
+                "frac_r": pa.array(
+                    _round_vec(np.asarray(fracs, dtype=np.float64)), type=pa.float64()
+                ),
+            }
+        )
+
+    return multimodal_features(sf_dir).map_batches(explode, batch_format="pyarrow")
