@@ -305,11 +305,18 @@ def exact_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99),
                          "value": pa.array([lo] * len(qs), type=pa.float64())})
     ranks = {q: max(int(np.ceil(n * q)), 1) for q in qs}
 
+    hist_memo: dict[tuple, tuple] = {}
+
     def _histogram(lo_: float, hi_: float, closed_hi: bool):
         """One counting pass: per-batch histogram over [lo_, hi_) — the
         upper edge is included only when ``closed_hi`` (the global max).
         Values == hi_ are pre-filtered so np.histogram's always-closed last
-        bin can't over-count at interior recursion boundaries."""
+        bin can't over-count at interior recursion boundaries. Memoized:
+        every quantile's top-level call shares the same [lo, hi] range, so
+        k quantiles cost ONE histogram pass, not k."""
+        key = (lo_, hi_, closed_hi)
+        if key in hist_memo:
+            return hist_memo[key]
         edges = np.linspace(lo_, hi_, n_buckets + 1)
 
         def hist(batch: pa.Table) -> pa.Table:
@@ -322,6 +329,7 @@ def exact_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99),
         h = ds.map_batches(hist, batch_format="pyarrow").to_pandas()
         counts = np.zeros(n_buckets, dtype=np.int64)
         np.add.at(counts, h["b"].to_numpy(), h["c"].to_numpy())
+        hist_memo[key] = (edges, counts)
         return edges, counts
 
     def _pull(lo_: float, hi_: float, closed_hi: bool) -> np.ndarray:
