@@ -85,11 +85,19 @@ def read_parquet_clean(path, columns: list[str] | None = None, **kwargs):
     (``ray/data/_internal/arrow_ops/transform_pyarrow.py``) — noise that
     buries real warnings. Passing a metadata-free (column-pruned) schema
     gives every downstream stage clean, hashable block schemas."""
+    import os
+
     import pyarrow as pa
     import pyarrow.parquet as pq
     import ray.data as rd
 
     first = path[0] if isinstance(path, (list, tuple)) else path
+    if os.path.isdir(first):  # sniff the schema from any file inside
+        first = next(
+            os.path.join(first, f)
+            for f in sorted(os.listdir(first))
+            if f.endswith(".parquet")
+        )
     schema = pq.read_schema(first).remove_metadata()
     if columns is not None:
         schema = pa.schema([schema.field(c) for c in columns])

@@ -97,3 +97,51 @@ class TestPiiScrub:
         got = dict(zip(out["doc_id"], out["text_clean"]))
         for did, text in docs.items():
             assert got[did] == (text or "")
+
+
+class TestPackSequencesMultiFile:
+    def test_order_independent_across_files(self, ray_session, tmp_path, docs):
+        """The distributed prefix sum must produce doc_id-order offsets no
+        matter how rows are split across files/blocks: write the corpus as
+        4 files in REVERSED doc_id order and compare against the
+        single-file result."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.pipelines.traindata import pack_sequences
+
+        ids = sorted(docs, reverse=True)
+        per = (len(ids) + 3) // 4
+        for i in range(4):
+            chunk = ids[i * per : (i + 1) * per]
+            pq.write_table(
+                pa.table(
+                    {
+                        "doc_id": pa.array(chunk, type=pa.int64()),
+                        "text": pa.array([docs[d] for d in chunk], type=pa.string()),
+                    }
+                ),
+                str(tmp_path / f"part{i}.parquet"),
+            )
+        import os
+        import shutil
+
+        # pack_sequences reads <dir>/documents.parquet; point it at a dir
+        # where that path is itself a directory of 4 files
+        root = tmp_path / "sf"
+        os.makedirs(root / "documents.parquet")
+        for i in range(4):
+            shutil.move(
+                str(tmp_path / f"part{i}.parquet"),
+                str(root / "documents.parquet" / f"part{i}.parquet"),
+            )
+        multi = (
+            pack_sequences(str(root))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        single = (
+            pack_sequences(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert (multi.values == single.values).all()
