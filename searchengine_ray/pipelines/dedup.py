@@ -912,11 +912,16 @@ def connected_components(edges_ds, max_iters: int = 32, num_partitions: int | No
 
 
 def dedup_cluster(sf_dir: str, threshold: float = 0.8):
-    """(doc_id, rep_doc_id) near-duplicate CLUSTERS: connected components
-    over the verified MinHash near-dup pairs (word-3-gram Jaccard ≥
-    threshold), rep = min doc_id per component. The grouping step every
-    dedup policy needs ("keep one per dup group") — exact pairwise dedup
-    alone under-removes when A~B and B~C but A~C was never a candidate."""
+    """(doc_id, rep_doc_id) near-duplicate CLUSTERS as a Dataset: connected
+    components over the verified MinHash near-dup pairs (word-3-gram
+    Jaccard ≥ threshold), rep = min doc_id per component. The grouping step
+    every dedup policy needs ("keep one per dup group") — exact pairwise
+    dedup alone under-removes when A~B and B~C but A~C was never a
+    candidate.
+
+    The label table stays distributed end to end (at web scale the set of
+    docs in any dup pair is itself huge); only the pair LIST round-trips the
+    driver — the documented small-by-contract output of the verify stage."""
     import ray.data as rd
 
     empty = pa.table(
@@ -927,15 +932,17 @@ def dedup_cluster(sf_dir: str, threshold: float = 0.8):
     )
     pairs = minhash_dups(sf_dir, threshold)
     if pairs.num_rows == 0:  # no near-dups: empty result with stable schema
-        return empty
+        return rd.from_arrow(empty)
     pairs_ds = rd.from_arrow(
         pa.table({"a": pairs["doc_a"], "b": pairs["doc_b"]})
     )
-    labels = connected_components(pairs_ds)
-    out = labels.to_pandas().sort_values("node").reset_index(drop=True)
-    return pa.table(
-        {
-            "doc_id": pa.array(out["node"].to_numpy(dtype=np.int64), type=pa.int64()),
-            "rep_doc_id": pa.array(out["lbl"].to_numpy(dtype=np.int64), type=pa.int64()),
-        }
-    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["node"],
+                "rep_doc_id": batch["lbl"],
+            }
+        )
+
+    return connected_components(pairs_ds).map_batches(rename, batch_format="pyarrow")
