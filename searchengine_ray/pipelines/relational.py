@@ -277,7 +277,13 @@ def exact_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99),
     an exact in-memory selection. A pathological value distribution that
     overfills a target bucket (> max_pull rows) recurses one level with a
     re-histogram of just that bucket's range. Ties handled exactly —
-    selection is by rank, not by value uniqueness."""
+    selection is by rank, not by value uniqueness.
+
+    The pruned value column is materialized once and shared by every pass
+    (object-store-resident, spillable). When the single column is itself
+    too hot for the store, drop the ``materialize()`` — each pass then
+    re-reads just that column from parquet, trading ~3 pruned scans for
+    zero store residency; the algorithm is unchanged."""
     import ray.data as rd
 
     ds = read_parquet_clean(
