@@ -4,10 +4,12 @@
 over transcripts derived from sf0.001 documents). ``queries()`` exposes one
 callable per implemented pipeline (SURVEY.md §2 + the training-data ops);
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for every SQL-expressible
-one — including brute-force all-pairs Jaccard oracles for the MinHash/char-
-ngram dedup pipelines (the engine's exact-verify + deterministic banding make
-LSH output equal exhaustive output). Non-expressible ops — SimHash/ANN/
-winnowing/multimodal — are rows-only by design and noted in their docstrings.
+one — including brute-force all-pairs oracles for the LSH pipelines (exact
+verify + deterministic banding make LSH output equal exhaustive output) and
+hash-checked FLAT PROJECTIONS of the list/binary-typed pipelines (winnowing
+sig, media histogram, binary frames). The remaining rows-only entries
+(SimHash's blake2b signatures, IVF's engine-trained centroids, the
+list/binary originals) each state their reason in their docstrings.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing here
 calls ``ray.init()`` / ``ray.shutdown()``.
