@@ -310,3 +310,56 @@ class TestUpsertCli:
         resp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert resp["result"] is True and resp["count"] == 1
         assert resp["data"][0]["conv_id"] == "zzzz-cli"
+
+
+class TestRandomizedUpsertSequence:
+    def test_seeded_random_generations_equal_rebuild(self, base, tmp_path):
+        """Four seeded-random generations mixing replacements (of main docs
+        AND of docs upserted in earlier generations), added turns, brand-new
+        conversations, and an empty-text replacement — the overlaid index
+        must equal a from-scratch build of the final corpus on every query."""
+        table, index_dir, root = base
+        idx = str(tmp_path / "idx")
+        shutil.copytree(index_dir, idx)
+
+        rng = np.random.default_rng(2026)
+        vocab = [
+            "суд", "решение", "жалобе", "ответчика", "закона",
+            "налогах", "агента", "срок", "статья", "вопросы",
+        ]
+
+        def rand_text() -> str:
+            k = int(rng.integers(3, 9))
+            return " ".join(vocab[int(j)] for j in rng.integers(0, len(vocab), k))
+
+        cur = table
+        prev_upserts: list[tuple[str, int]] = []
+        for gen in range(4):
+            df = cur.to_pandas()
+            rows, seen = [], set()
+            for i in range(5):
+                kind = int(rng.integers(0, 4))
+                if kind == 0 and prev_upserts:  # re-replace an upserted doc
+                    conv, turn = prev_upserts[int(rng.integers(0, len(prev_upserts)))]
+                elif kind <= 1:  # replace a random existing doc
+                    r = int(rng.integers(0, len(df)))
+                    conv, turn = str(df["conv_id"].iloc[r]), int(df["turn_idx"].iloc[r])
+                elif kind == 2:  # add a new turn to an existing conv
+                    r = int(rng.integers(0, len(df)))
+                    conv, turn = str(df["conv_id"].iloc[r]), 900 + gen * 10 + i
+                else:  # new conversation, sorts after every derived conv id
+                    conv, turn = f"zzz-rand-{gen:02d}-{i}", 0
+                if (conv, turn) in seen:  # one version per doc per batch
+                    continue
+                seen.add((conv, turn))
+                text = "" if (gen == 2 and i == 0) else rand_text()
+                role = ["user", "assistant", "system", "tool"][int(rng.integers(0, 4))]
+                rows.append(
+                    {"conv_id": conv, "turn_idx": turn, "role": role, "text": text}
+                )
+                prev_upserts.append((conv, turn))
+            upsert_docs(idx, rows)
+            cur = _apply_rows(cur, rows)
+
+        fresh = _fresh_build(root, "rand", cur)
+        _assert_engines_equal(QueryEngine(idx), fresh, ALL_QUERIES)
