@@ -115,15 +115,13 @@ def sessionize_events(sf_dir: str):
             }
         )
 
-    out = (
+    # returned as a Dataset: one row per session is O(user activity) — at
+    # web scale that must stay distributed, not round-trip the driver
+    return (
         read_parquet_clean(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
         .map_batches(add_part, batch_format="pyarrow", batch_size=8192)
         .groupby("q")
         .map_groups(sessions, batch_format="pyarrow")
-        .to_pandas()
-    )
-    return out.sort_values(["user_id", "session_start_us"], kind="stable").reset_index(
-        drop=True
     )
 
 
@@ -187,7 +185,9 @@ def asof_join_events(sf_dir: str):
             }
         )
 
-    out = (
+    # returned as a Dataset: one row per click is O(events) — at web scale
+    # the joined fact table must stay distributed, not round-trip the driver
+    return (
         read_parquet_clean(
             os.path.join(sf_dir, "events.parquet"),
             columns=["event_id", "user_id", "ts", "event_type", "value"],
@@ -195,9 +195,7 @@ def asof_join_events(sf_dir: str):
         .map_batches(prep, batch_format="pyarrow", batch_size=8192)
         .groupby("q")
         .map_groups(asof_partition, batch_format="pyarrow")
-        .to_pandas()
     )
-    return out.sort_values("event_id", kind="stable").reset_index(drop=True)
 
 
 def broadcast_join_orders(sf_dir: str):

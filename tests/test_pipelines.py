@@ -339,7 +339,7 @@ class TestIVF:
 
         from searchengine_ray.pipelines.relational import SESSION_GAP_US, sessionize_events
 
-        out = sessionize_events(SF)
+        out = sessionize_events(SF).to_pandas()
         t = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "ts"]).to_pandas()
         t["ts_us"] = t["ts"].astype("int64")
         total_sessions = 0
@@ -357,7 +357,7 @@ class TestIVF:
 
         from searchengine_ray.pipelines.relational import asof_join_events
 
-        out = asof_join_events(SF)
+        out = asof_join_events(SF).to_pandas()
         t = pq.read_table(
             f"{SF}/events.parquet", columns=["event_id", "user_id", "ts", "event_type", "value"]
         ).to_pandas()
