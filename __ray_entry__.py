@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         traindata,
     )
     from searchengine_ray.pipelines.transcripts import (
+        dedup_turns_check,
         transcript_index_dictionary,
         transcript_search,
         transcript_search_actor,
@@ -213,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_search_actor": transcript_search_actor,  # oracle: same SQL as transcript_search
         "transcript_upsert_search": transcript_upsert_search,  # doc-level delta upserts
         "transcript_dictionary": transcript_index_dictionary,
+        "dedup_turns": dedup_turns_check,  # oracle: window first-wins over planted dupes
         # --- windowed aggregate + broadcast join (wide-op patterns) ---
         "windowed_events": relational.windowed_events,
         "sessionize_events": relational.sessionize_events,
@@ -253,6 +255,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle: planted PII rows are closed-form string concat in SQL
         "pii_scrub": lambda sf: traindata.pii_scrub(sf, plant=True),
     }
+
+
+def _dedup_turns_sql() -> str:
+    """First-wins turn dedup over the derived transcripts with the planted
+    duplicates reconstructed in closed form: a later-ts ' DUPLICATE' copy
+    for every DUP_LOSER_EVERY-th doc, an earlier-ts 'EARLY ' variant for
+    every DUP_WINNER_EVERY-th doc; winner = min (ts, text) per key."""
+    from searchengine_ray.pipelines.transcripts import (
+        DUP_LOSER_EVERY,
+        DUP_WINNER_EVERY,
+    )
+
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         'conv-' || lpad(CAST(doc_id // 8 AS VARCHAR), 6, '0') AS conv_id,
+         CAST(doc_id % 8 AS INTEGER) AS turn_idx,
+         ['user', 'assistant', 'tool', 'system'][CAST(doc_id % 4 AS INTEGER) + 1] AS role,
+         text,
+         TIMESTAMP '2026-01-01' + to_seconds(doc_id) AS ts
+  FROM documents
+),
+planted AS (
+  SELECT conv_id, turn_idx, role, text, ts FROM base
+  UNION ALL
+  SELECT conv_id, turn_idx, role, text || ' DUPLICATE', ts + INTERVAL 1 HOUR
+  FROM base WHERE doc_id % {DUP_LOSER_EVERY} = 0
+  UNION ALL
+  SELECT conv_id, turn_idx, role, 'EARLY ' || text, ts - INTERVAL 1 HOUR
+  FROM base WHERE doc_id % {DUP_WINNER_EVERY} = 0
+),
+ranked AS (
+  SELECT conv_id, turn_idx, role, CAST(epoch_us(ts) AS BIGINT) AS ts_us, text,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY ts ASC, text ASC) AS rn
+  FROM planted
+)
+SELECT conv_id, turn_idx, role, ts_us, text FROM ranked WHERE rn = 1
+ORDER BY conv_id, turn_idx"""
 
 
 def _winnowing_flat_sql() -> str:
@@ -567,6 +608,7 @@ SELECT CAST(count(*) AS BIGINT) AS n_matches FROM (
         "transcript_search_actor": _transcript_search_sql(),
         "transcript_search_site": _transcript_search_sql(site="assistant"),
         "transcript_upsert_search": _transcript_search_sql(upsert=True),
+        "dedup_turns": _dedup_turns_sql(),
         "transcript_dictionary": f"""
 WITH {_TOKS}
 SELECT token AS lemma, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf

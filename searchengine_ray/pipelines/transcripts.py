@@ -234,3 +234,50 @@ def transcript_index_dictionary(sf_dir: str) -> pd.DataFrame:
     index_dir = ensure_transcript_index(sf_dir)
     t = pq.read_table(os.path.join(index_dir, "dictionary.parquet"))
     return t.to_pandas()
+
+
+DUP_LOSER_EVERY = 10   # planted later-ts duplicate (loses first-wins)
+DUP_WINNER_EVERY = 40  # planted earlier-ts duplicate (wins first-wins)
+
+
+def dedup_turns_check(sf_dir: str) -> pd.DataFrame:
+    """Driver-contract surface of ``dedup_turns`` (D4 first-wins): derive
+    the transcripts, PLANT deterministic duplicate turns — a later-ts copy
+    for every DUP_LOSER_EVERY-th doc (must lose) and an earlier-ts variant
+    for every DUP_WINNER_EVERY-th doc (must win) — run the distributed
+    first-wins pipeline, and return the winners
+    (conv_id, turn_idx, role, ts_us, text). The plant is pure arithmetic on
+    doc_id, so the SQL oracle reconstructs it exactly."""
+    import tempfile
+
+    import pyarrow as pa
+
+    from searchengine_ray.corpus import transcripts_from_documents
+
+    table = transcripts_from_documents(sf_dir)
+    df = table.to_pandas()
+    doc_id = (
+        df["conv_id"].str.slice(5).astype("int64") * 8 + df["turn_idx"].astype("int64")
+    )
+    losers = df[doc_id % DUP_LOSER_EVERY == 0].copy()
+    losers["ts"] = losers["ts"] + pd.Timedelta(hours=1)
+    losers["text"] = losers["text"] + " DUPLICATE"
+    winners = df[doc_id % DUP_WINNER_EVERY == 0].copy()
+    winners["ts"] = winners["ts"] - pd.Timedelta(hours=1)
+    winners["text"] = "EARLY " + winners["text"]
+    planted = pd.concat([df, losers, winners], ignore_index=True)
+
+    tmp = tempfile.mkdtemp(prefix="dedup_turns_")
+    src = os.path.join(tmp, "in")
+    os.makedirs(src)
+    pq.write_table(
+        pa.Table.from_pandas(planted, schema=table.schema, preserve_index=False),
+        os.path.join(src, "part-00000.parquet"),
+    )
+    out_files = dedup_turns(src, os.path.join(tmp, "out"))
+    got = pd.concat(
+        [pq.read_table(f).to_pandas() for f in out_files], ignore_index=True
+    )
+    got["ts_us"] = got["ts"].astype("int64")
+    got = got[["conv_id", "turn_idx", "role", "ts_us", "text"]]
+    return got.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)

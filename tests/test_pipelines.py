@@ -634,3 +634,29 @@ class TestBigramCounts:
         got = list(zip(out["bigram"], out["n"]))
         assert got == want
         assert out["rank"].tolist() == list(range(len(out)))
+
+
+class TestDedupTurnsEntry:
+    def test_planted_losers_lose_and_winners_win(self, ray_session):
+        from searchengine_ray.pipelines.transcripts import (
+            DUP_LOSER_EVERY,
+            DUP_WINNER_EVERY,
+            dedup_turns_check,
+        )
+
+        out = dedup_turns_check(SF)
+        # exactly one winner per (conv_id, turn_idx)
+        assert not out.duplicated(["conv_id", "turn_idx"]).any()
+        # later-ts ' DUPLICATE' copies never win
+        assert not out["text"].str.endswith(" DUPLICATE").any()
+        # earlier-ts 'EARLY ' variants always win at their keys
+        doc_id = (
+            out["conv_id"].str.slice(5).astype("int64") * 8
+            + out["turn_idx"].astype("int64")
+        )
+        winners = out[doc_id % DUP_WINNER_EVERY == 0]
+        assert len(winners) > 0
+        assert winners["text"].str.startswith("EARLY ").all()
+        # every other key keeps its original row
+        rest = out[(doc_id % DUP_WINNER_EVERY != 0)]
+        assert not rest["text"].str.startswith("EARLY ").any()
