@@ -1,0 +1,72 @@
+"""Driver-contract registry invariants — fast checks that don't execute
+pipelines: every oracle key has a queries() entry, every callable takes one
+positional sf_dir, rows-only entries are the documented set, and the oracle
+SQL parses in DuckDB against empty views (catches SQL syntax/binder errors
+without running the engine side)."""
+
+import inspect
+
+import duckdb
+import pytest
+
+
+@pytest.fixture(scope="module")
+def contract():
+    import __ray_entry__ as e
+
+    return e.queries(), e.oracle_sql()
+
+
+ROWS_ONLY = {
+    "dedup_simhash",          # blake2b signatures
+    "ivf_knn",                # engine-trained centroids (circular oracle)
+    "ivf_assignments",        # same
+    "fingerprint_rolling",    # list<int64> sig (flat projection IS checked)
+    "multimodal_features",    # list<float> hist (flat projection IS checked)
+    "frame_sample",           # binary frames (hex projection IS checked)
+}
+
+EMPTY_VIEWS = {
+    "documents": "SELECT CAST(0 AS BIGINT) AS doc_id, '' AS text, '' AS lang, '' AS source, CAST(0 AS BIGINT) AS n_chars WHERE 1=0",
+    "embeddings": "SELECT CAST(0 AS BIGINT) AS vec_id, [0.0] AS embedding WHERE 1=0",
+    "events": "SELECT CAST(0 AS BIGINT) AS event_id, CAST(0 AS BIGINT) AS user_id, TIMESTAMP '2026-01-01' AS ts, '' AS event_type, 0.0 AS value WHERE 1=0",
+    "orders": "SELECT CAST(0 AS BIGINT) AS o_custkey, 0.0 AS o_totalprice WHERE 1=0",
+    "customer": "SELECT CAST(0 AS BIGINT) AS c_custkey, CAST(0 AS BIGINT) AS c_nationkey WHERE 1=0",
+    "nation": "SELECT CAST(0 AS BIGINT) AS n_nationkey, '' AS n_name WHERE 1=0",
+}
+
+
+def test_every_oracle_has_a_query(contract):
+    qs, osql = contract
+    assert set(osql) <= set(qs), set(osql) - set(qs)
+
+
+def test_rows_only_set_is_exactly_documented(contract):
+    qs, osql = contract
+    assert set(qs) - set(osql) == ROWS_ONLY
+
+
+def test_callables_take_one_positional_sf_dir(contract):
+    qs, _ = contract
+    for name, fn in qs.items():
+        sig = inspect.signature(fn)
+        required = [
+            p
+            for p in sig.parameters.values()
+            if p.default is inspect.Parameter.empty
+            and p.kind
+            in (inspect.Parameter.POSITIONAL_ONLY, inspect.Parameter.POSITIONAL_OR_KEYWORD)
+        ]
+        assert len(required) == 1, f"{name}: {sig}"
+
+
+def test_oracle_sql_parses_and_binds(contract):
+    _, osql = contract
+    con = duckdb.connect()
+    for t, body in EMPTY_VIEWS.items():
+        con.execute(f"CREATE VIEW {t} AS {body}")
+    for name, sql in osql.items():
+        try:
+            con.execute(sql)
+        except Exception as ex:  # noqa: BLE001
+            pytest.fail(f"{name}: oracle SQL failed to bind: {ex}")
