@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_turns": dedup_turns_check,  # oracle: window first-wins over planted dupes
         # --- windowed aggregate + broadcast join (wide-op patterns) ---
         "windowed_events": relational.windowed_events,
+        "sliding_window_events": relational.sliding_window_events,  # oracle: unnest slides
         "sessionize_events": relational.sessionize_events,
         "asof_join_events": relational.asof_join_events,
         "exact_quantiles": relational.exact_quantiles,  # oracle: quantile_disc
@@ -619,6 +620,17 @@ SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS window_us,
        CAST(count(*) AS BIGINT) AS n_events,
        round(sum(value), 4) AS sum_value_r
 FROM events GROUP BY 1, 2""",
+        # sliding 1h windows, 15min slide: each event lands in 4 windows
+        "sliding_window_events": """
+SELECT CAST(window_us AS BIGINT) AS window_us, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value_r
+FROM (
+  SELECT event_type, value,
+         (epoch_us(ts) // 900000000) * 900000000 - s.i * 900000000 AS window_us
+  FROM events, LATERAL unnest(range(0, 4)) AS s(i)
+)
+GROUP BY window_us, event_type""",
         "sessionize_events": """
 WITH marked AS (
   SELECT user_id, epoch_us(ts) AS ts_us,

@@ -366,3 +366,57 @@ def exact_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99),
     rows = [(float(q), _select(ranks[q], lo, hi, 0)) for q in sorted(qs)]
     return pa.table({"q": pa.array([r[0] for r in rows], type=pa.float64()),
                      "value": pa.array([r[1] for r in rows], type=pa.float64())})
+
+
+SLIDE_US = WINDOW_US // 4  # 15-minute slide
+
+
+def sliding_window_events(sf_dir: str):
+    """SLIDING 1-hour windows with a 15-minute slide over events:
+    (window_us, event_type, n_events, sum_value_r) — the overlapping-window
+    streaming aggregate ``windowed_events`` (tumbling) doesn't cover.
+
+    Map-side each event explodes into the WINDOW/SLIDE = 4 windows that
+    contain it and partially combines within the batch BEFORE the shuffle
+    (the explode factor is paid once into the tiny partial rows, never into
+    an all-to-all of raw events); the final groupby is over (window, type)
+    aggregates only. Windows are aligned to the slide; a window's key is
+    its start."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    k = WINDOW_US // SLIDE_US
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        val = batch["value"].to_numpy(zero_copy_only=False)
+        # last slide-aligned window start containing ts, then k-1 earlier ones
+        last = (ts // SLIDE_US) * SLIDE_US
+        win = np.concatenate([last - i * SLIDE_US for i in range(k)])
+        df = pd.DataFrame(
+            {
+                "window_us": win,
+                "event_type": np.tile(et, k),
+                "n": 1,
+                "v": np.tile(val, k),
+            }
+        )
+        g = df.groupby(["window_us", "event_type"], as_index=False).agg(
+            n=("n", "sum"), v=("v", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = (
+        read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["ts", "event_type", "value"],
+        )
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby(["window_us", "event_type"])
+        .aggregate(Sum("n", alias_name="n_events"), Sum("v", alias_name="sum_value"))
+    )
+    out = ds.to_pandas()
+    out["sum_value_r"] = _round_vec(out["sum_value"].to_numpy())
+    out["n_events"] = out["n_events"].astype("int64")
+    return out[["window_us", "event_type", "n_events", "sum_value_r"]]

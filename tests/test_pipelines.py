@@ -660,3 +660,27 @@ class TestDedupTurnsEntry:
         # every other key keeps its original row
         rest = out[(doc_id % DUP_WINNER_EVERY != 0)]
         assert not rest["text"].str.startswith("EARLY ").any()
+
+
+class TestSlidingWindow:
+    def test_every_event_lands_in_four_windows(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.pipelines.relational import (
+            SLIDE_US,
+            WINDOW_US,
+            sliding_window_events,
+        )
+
+        out = sliding_window_events(SF)
+        t = pq.read_table(f"{SF}/events.parquet", columns=["ts", "event_type", "value"]).to_pandas()
+        n = len(t)
+        k = WINDOW_US // SLIDE_US
+        assert out["n_events"].sum() == n * k
+        # brute force one (window, type) cell
+        row = out.sort_values(["window_us", "event_type"]).iloc[len(out) // 2]
+        w0, et = int(row["window_us"]), row["event_type"]
+        ts = t["ts"].astype("int64")
+        mask = (ts >= w0) & (ts < w0 + WINDOW_US) & (t["event_type"] == et)
+        assert int(mask.sum()) == int(row["n_events"])
+        assert abs(t.loc[mask, "value"].sum() - row["sum_value_r"]) < 1e-3
