@@ -252,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_sample_hex": multimodal.frame_sample_hex,  # oracle: hex BLOB slices
         # --- training-data preparation ---
         "sample_split": traindata.sample_split,       # oracle: md5-hex-digit buckets
+        "stratified_sample": traindata.stratified_sample,  # oracle: window row_number per lang
         "pack_sequences": traindata.pack_sequences,   # oracle: window cumsum
         # oracle: planted PII rows are closed-form string concat in SQL
         "pii_scrub": lambda sf: traindata.pii_scrub(sf, plant=True),
@@ -397,6 +398,13 @@ SELECT doc_id,
        CASE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
             WHEN 'f' THEN 'test' WHEN 'e' THEN 'val' ELSE 'train' END AS split
 FROM documents""",
+        "stratified_sample": """
+SELECT lang, CAST(rn - 1 AS BIGINT) AS rank, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents)
+WHERE rn <= 20""",
         "pack_sequences": """
 WITH c AS (
   SELECT doc_id,

@@ -234,3 +234,55 @@ def pii_scrub(sf_dir: str, plant: bool = False):
     return ds.map_batches(
         per_worker(_Scrubber), batch_format="pyarrow", batch_size=2048
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+def stratified_sample(sf_dir: str, k: int = 20):
+    """(lang, rank, doc_id): a deterministic k-document sample per language
+    stratum — rank = position in the md5(doc_id) order within the stratum,
+    so membership is key-stable (a growing corpus only ever displaces the
+    largest hashes, never reshuffles the whole sample the way random()
+    would).
+
+    Shape: per-batch local top-k per stratum (map-side — ships at most
+    k × strata rows per batch), then one LOW-cardinality groupby(lang) with
+    a vectorized combine. Strata counts are small by definition; the
+    high-cardinality key here (doc_id) never becomes a groupby key."""
+    import pandas as pd
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        u = [hashlib.md5(str(int(i)).encode()).hexdigest() for i in ids]
+        df = pd.DataFrame(
+            {
+                "lang": batch["lang"].to_numpy(zero_copy_only=False),
+                "doc_id": ids,
+                "u": u,
+            }
+        )
+        df = df.sort_values(["lang", "u", "doc_id"], kind="stable")
+        df = df.groupby("lang", as_index=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def combine(group: pa.Table) -> pa.Table:
+        df = (
+            group.to_pandas()
+            .sort_values(["lang", "u", "doc_id"], kind="stable")
+            .groupby("lang", as_index=False)
+            .head(k)
+        )
+        df["rank"] = df.groupby("lang").cumcount().astype("int64")
+        return pa.Table.from_pandas(
+            df[["lang", "rank", "doc_id"]], preserve_index=False
+        )
+
+    return (
+        read_documents(sf_dir, columns=("doc_id", "lang"))
+        .map_batches(local_topk, batch_format="pyarrow", batch_size=8192)
+        .groupby("lang")
+        .map_groups(combine, batch_format="pyarrow")
+    )

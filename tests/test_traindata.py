@@ -145,3 +145,28 @@ class TestPackSequencesMultiFile:
             pack_sequences(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
         )
         assert (multi.values == single.values).all()
+
+
+class TestStratifiedSample:
+    def test_key_stable_per_stratum_topk(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.pipelines.traindata import stratified_sample
+
+        out = stratified_sample(SF, k=20).to_pandas()
+        t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "lang"]).to_pandas()
+        t["u"] = [hashlib.md5(str(int(i)).encode()).hexdigest() for i in t["doc_id"]]
+        for lang, grp in t.groupby("lang"):
+            want = grp.sort_values(["u", "doc_id"]).head(20)["doc_id"].tolist()
+            sub = out[out["lang"] == lang].sort_values("rank")
+            assert sub["doc_id"].tolist() == want, lang
+        # KEY STABILITY: the sample of a stratum restricted to a sub-corpus
+        # is a prefix-superset relationship — membership never reshuffles
+        half = t[t["doc_id"] < t["doc_id"].median()]
+        for lang, grp in half.groupby("lang"):
+            sub_sample = grp.sort_values(["u", "doc_id"]).head(20)["doc_id"]
+            full_sample = set(out[out["lang"] == lang]["doc_id"])
+            kept = [d for d in sub_sample if d in full_sample]
+            # every kept doc appears in the same relative order in both
+            full_order = out[out["lang"] == lang].sort_values("rank")["doc_id"].tolist()
+            assert kept == [d for d in full_order if d in set(sub_sample)]
