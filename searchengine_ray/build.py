@@ -1044,6 +1044,7 @@ def build_index(
     validate_unique_keys: bool = False,
     stop_check=None,
     input_format: str | None = None,
+    keep_delta: bool = False,
 ) -> dict:
     """Build (or resume) the full index. Returns the global manifest.
 
@@ -1071,10 +1072,12 @@ def build_index(
 
     # A (re)build from inputs supersedes any doc-level upsert overlay: delta
     # generations are relative to the PREVIOUS finalized index (compaction
-    # path — delta.py module docstring).
-    from searchengine_ray.delta import clear_delta
-
-    clear_delta(index_dir)
+    # path — delta.py module docstring). The clear is deferred to AFTER a
+    # successful finalize: a build that is cooperatively stopped, crashes, or
+    # never finalizes must leave the still-serving index's upserts intact.
+    # ``keep_delta=True`` (cmd_reindex over unchanged recorded inputs)
+    # preserves the overlay even after finalize — the rebuild reproduces the
+    # exact index the generations are relative to, so they stay valid.
 
     stop_path = os.path.join(index_dir, STOP_FLAG)
     if stop_check is None:
@@ -1082,6 +1085,13 @@ def build_index(
         if os.path.exists(stop_path):
             os.remove(stop_path)
         stop_check = lambda: os.path.exists(stop_path)  # noqa: E731
+
+    # Poll once at entry, BEFORE any destructive work: build_conv_dict
+    # invalidates all shard outputs when the input introduces new conv_ids
+    # (rank shift), so a stop requested before the build starts must win
+    # without touching the still-serving index.
+    if stop_check():
+        return {"stopped": True, "status": "stopped", "shards": [], "n_shards_total": 0}
 
     if validate_unique_keys:
         with _DATASET_CTOR_LOCK:
@@ -1157,10 +1167,17 @@ def build_index(
             )
     done = [m for m in manifests if m is not None]
     if len(done) < len(shards):
+        # no finalize → delta overlay untouched; the serving index keeps its
+        # upserts and the next build resumes partition-exactly
         return {
             "stopped": True,
             "status": "stopped",
             "shards": done,
             "n_shards_total": len(shards),
         }
-    return _finalize(index_dir, config, done)
+    manifest = _finalize(index_dir, config, done)
+    if not keep_delta:
+        from searchengine_ray.delta import clear_delta
+
+        clear_delta(index_dir)
+    return manifest

@@ -121,11 +121,42 @@ def cmd_reindex(args: argparse.Namespace) -> int:
         num_segments=m["num_segments"],
         num_buckets=m["num_buckets"],
         block_size=m["block_size"],
+        # Layout-affecting manifest fields MUST round-trip, or
+        # _config_signature mismatches and every shard rebuilds with the
+        # wrong layout (site sentinel postings dropped → --site search dies).
+        site_column=m.get("site_column"),
         lemmatizer_concurrency=(1, args.max_actors),
     )
     pre = {s["shard"]: s["input_fingerprint"] for s in m["shards"]}
+    # Doc-level upsert overlay handling: generations are relative to the
+    # PREVIOUS finalized index. A reindex over the recorded inputs whose
+    # fingerprints are all unchanged reproduces that exact index, so the
+    # overlay stays valid and must be preserved; any changed input (or an
+    # explicit --input) supersedes the overlay — warn before dropping it.
+    from searchengine_ray.build import _input_fingerprint, _shard_files
+    from searchengine_ray.delta import load_state
+
+    dstate = load_state(args.index)
+    has_delta = bool(dstate and dstate.get("generations"))
+    keep_delta = False
+    if has_delta:
+        from searchengine_ray import sources
+
+        files, _fmt = sources.expand_input(input_path, None)
+        cur = {
+            i: _input_fingerprint(s)
+            for i, s in enumerate(_shard_files(files, cfg.num_shards))
+        }
+        keep_delta = args.input is None and cur == pre
+        if not keep_delta:
+            print(
+                "warning: reindex over changed inputs supersedes "
+                f"{len(dstate['generations'])} doc-level upsert generation(s); "
+                "they will be dropped after the rebuild finalizes",
+                file=sys.stderr,
+            )
     _ensure_ray(args.num_cpus)
-    m2 = build_index(input_path, args.index, cfg)
+    m2 = build_index(input_path, args.index, cfg, keep_delta=keep_delta)
     if m2.get("stopped"):
         print(json.dumps({"result": True, "stopped": True}))
         return 0

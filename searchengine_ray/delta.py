@@ -227,7 +227,10 @@ def upsert_docs(index_dir: str, rows: list[dict]) -> dict:
             old_tfs, old_dl = doc_lemma_tfs(analyzer, str(old.get("text") or ""))
             for lemma, tf in old_tfs.items():
                 bump(lemma, "", -1, -tf)
-                if site_column is not None:
+                # site == "" is the GLOBAL row in dict_delta (DeltaView) and
+                # is excluded from build-side dictionary_sites — an empty-site
+                # doc must not write a per-site bump or global df double-counts
+                if site_column is not None and old_site:
                     bump(lemma, old_site, -1, -tf)
             total_len_delta -= old_dl
             if site_column is not None:
@@ -236,7 +239,7 @@ def upsert_docs(index_dir: str, rows: list[dict]) -> dict:
             n_docs_add += 1
         for lemma, tf in new_tfs.items():
             bump(lemma, "", 1, tf)
-            if site_column is not None:
+            if site_column is not None and new_site:
                 bump(lemma, new_site, 1, tf)
         total_len_delta += new_dl
         if site_column is not None:

@@ -561,11 +561,26 @@ def _df_to_pairs_table(df) -> pa.Table:
     )
 
 
-def minhash_dups(sf_dir: str, threshold: float = 0.8):
+def _default_band_collisions(threshold: float) -> int:
+    """k=2 is a candidate-volume optimization whose recall bound (≥ 0.997)
+    only holds at jaccard ≥ 0.8 with 16 bands × 4 rows; below 0.8 a true
+    pair can realistically collide in exactly one band, so the default
+    falls back to k=1 (every banded pair is verified)."""
+    return 2 if threshold >= 0.8 else 1
+
+
+def minhash_dups(
+    sf_dir: str, threshold: float = 0.8, min_band_collisions: int | None = None
+):
     """Verified near-duplicate pairs (word-3-gram Jaccard ≥ threshold) found
     via MinHash-LSH banding. Every stage is a Dataset — candidate pairs,
     shingle sigs and the pair↔sig joins are all distributed; only verified
-    pairs reach the driver."""
+    pairs reach the driver.
+
+    ``min_band_collisions``: pairs must collide in ≥ k of the 16 bands to be
+    verified. ``None`` (default) picks k=2 when threshold ≥ 0.8 (recall
+    ≥ 0.997 at ~10× less candidate volume) and k=1 otherwise — pass k
+    explicitly to trade recall for speed at other thresholds."""
     # batch_size 256: the (64-perm × shingle) matrix is the compute-dense
     # stage — small batches keep task granularity fine enough that a small
     # corpus (few read blocks) still fans out across the worker pool
@@ -573,19 +588,26 @@ def minhash_dups(sf_dir: str, threshold: float = 0.8):
         per_worker(MinHashBands, shingler="word"),
         batch_format="pyarrow", batch_size=256,
     )
-    pairs_ds = _candidate_pairs_ds(bands, min_band_collisions=2 if threshold >= 0.7 else 1)
+    if min_band_collisions is None:
+        min_band_collisions = _default_band_collisions(threshold)
+    pairs_ds = _candidate_pairs_ds(bands, min_band_collisions=min_band_collisions)
     sigs_ds = _shingle_sigs_ds(sf_dir, word_shingle_array)
     return _df_to_pairs_table(_verify_jaccard_distributed(pairs_ds, sigs_ds, threshold))
 
 
-def ngram_jaccard_dups(sf_dir: str, threshold: float = 0.8):
+def ngram_jaccard_dups(
+    sf_dir: str, threshold: float = 0.8, min_band_collisions: int | None = None
+):
     """Character-3-gram exact-Jaccard near-dup pairs (LSH-assisted candidate
-    generation, exact distributed verification)."""
+    generation, exact distributed verification). ``min_band_collisions``
+    defaults as in :func:`minhash_dups` (k=2 only at threshold ≥ 0.8)."""
     bands = read_documents(sf_dir).map_batches(
         per_worker(MinHashBands, shingler="char"),
         batch_format="pyarrow", batch_size=256,
     )
-    pairs_ds = _candidate_pairs_ds(bands, min_band_collisions=2 if threshold >= 0.7 else 1)
+    if min_band_collisions is None:
+        min_band_collisions = _default_band_collisions(threshold)
+    pairs_ds = _candidate_pairs_ds(bands, min_band_collisions=min_band_collisions)
     sigs_ds = _shingle_sigs_ds(sf_dir, char_shingle_array)
     return _df_to_pairs_table(_verify_jaccard_distributed(pairs_ds, sigs_ds, threshold))
 

@@ -242,3 +242,38 @@ def test_pipeline_cli_writes_partitioned_parquet(ray_session, tmp_path, capsys):
 
     rc = main(["pipeline", "nonexistent_pipeline", "--out", str(tmp_path / "x")])
     assert rc == 2
+
+
+def test_reindex_preserves_site_scoped_index(ray_session, tmp_path, capsys):
+    """ADVICE r2: cmd_reindex must round-trip site_column from the manifest.
+    Pre-fix, the rebuilt EngineConfig dropped it → config signature mismatch
+    → every shard rebuilt WITHOUT site sentinels and --site search died."""
+    import os
+
+    from searchengine_ray.corpus import write_transcripts
+
+    corpus = tmp_path / "corpus"
+    write_transcripts(str(corpus), n_convs=30)
+    idx = tmp_path / "index"
+    rc = main(
+        ["build", "--input", str(corpus), "--index", str(idx),
+         "--num-shards", "3", "--max-actors", "2", "--site-column", "role"]
+    )
+    assert rc == 0
+    capsys.readouterr()
+
+    from searchengine_ray.query import QueryEngine
+
+    q = "суд"
+    before = QueryEngine(str(idx)).search(q, 0, 10, site="user")
+    assert before["result"] is True and before["count"] > 0
+
+    rc = main(["reindex", "--index", str(idx)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # unchanged inputs + round-tripped layout config ⇒ every shard reused
+    assert out["rebuilt_shards"] == []
+    with open(os.path.join(str(idx), "manifest.json")) as f:
+        m = json.load(f)
+    assert m["site_column"] == "role"
+    assert QueryEngine(str(idx)).search(q, 0, 10, site="user") == before

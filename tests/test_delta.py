@@ -363,3 +363,123 @@ class TestRandomizedUpsertSequence:
 
         fresh = _fresh_build(root, "rand", cur)
         _assert_engines_equal(QueryEngine(idx), fresh, ALL_QUERIES)
+
+
+class TestDeltaSurvivesRebuildLifecycles:
+    """ADVICE r2: the delta overlay must only be dropped when a finalized
+    rebuild actually supersedes it — never by a stopped/failed build, and
+    never by a no-op reindex over the recorded unchanged inputs."""
+
+    def test_stopped_build_preserves_delta(self, base, tmp_path):
+        """A build stopped before finalize leaves the serving index — and
+        its upsert overlay — untouched. The replacement edits an EXISTING
+        doc (conv dict stays a superset, shards stay valid); the pre-entry
+        stop poll also guards the new-conv invalidation path."""
+        table, index_dir, root = base
+        idx = str(tmp_path / "idx")
+        shutil.copytree(index_dir, idx)
+        rows = [
+            {"conv_id": "conv-000000", "turn_idx": 3, "role": "tool", "text": NEW_TEXT_2}
+        ]
+        upsert_docs(idx, rows)
+        before = QueryEngine(idx).search("новослово", 0, 10)
+        assert before["count"] == 1
+
+        corpus_dir = str(tmp_path / "corpus")
+        _write_corpus(_apply_rows(table, rows), corpus_dir)
+        out = build_index(corpus_dir, idx, CFG, stop_check=lambda: True)
+        assert out["stopped"] is True
+        # the still-serving index keeps its upserts
+        assert load_state(idx) is not None
+        assert QueryEngine(idx).search("новослово", 0, 10) == before
+
+    def test_noop_reindex_preserves_delta(self, base, tmp_path, capsys):
+        from searchengine_ray.cli import main
+
+        _, index_dir, _ = base
+        idx = str(tmp_path / "idx")
+        shutil.copytree(index_dir, idx)
+        rows = [{"conv_id": "zzzz-keep", "turn_idx": 0, "role": "user", "text": NEW_TEXT_2}]
+        upsert_docs(idx, rows)
+        before = QueryEngine(idx).search("новослово", 0, 10)
+        n_docs_before = QueryEngine(idx).reader.n_docs
+
+        assert main(["reindex", "--index", idx]) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["rebuilt_shards"] == []
+        # overlay intact: generations still present, searches identical
+        assert load_state(idx) is not None
+        eng = QueryEngine(idx)
+        assert eng.reader.n_docs == n_docs_before
+        assert eng.search("новослово", 0, 10) == before
+
+    def test_changed_input_reindex_supersedes_delta(self, base, tmp_path, capsys):
+        """A reindex over CHANGED inputs compacts: the rebuild wins, the
+        overlay is dropped after finalize (with a warning)."""
+        from searchengine_ray.cli import main
+
+        table, index_dir, root = base
+        # private corpus + index (we edit the corpus)
+        corpus_dir = str(tmp_path / "corpus")
+        _write_corpus(table, corpus_dir)
+        idx = str(tmp_path / "idx")
+        build_index(corpus_dir, idx, CFG)
+        upsert_docs(
+            idx, [{"conv_id": "zzzz-gone", "turn_idx": 0, "role": "user", "text": NEW_TEXT_2}]
+        )
+        assert QueryEngine(idx).search("новослово", 0, 10)["count"] == 1
+
+        # edit one input file
+        files = sorted(os.listdir(corpus_dir))
+        victim = os.path.join(corpus_dir, files[0])
+        t = pq.read_table(victim)
+        texts = t["text"].to_pylist()
+        texts[0] = (texts[0] or "") + " изменение"
+        pq.write_table(
+            t.set_column(t.schema.get_field_index("text"), "text", pa.array(texts)),
+            victim,
+        )
+        assert main(["reindex", "--index", idx]) == 0
+        err = capsys.readouterr().err
+        assert "supersedes" in err
+        assert load_state(idx) is None
+        # the rebuild (without the upsert) is what serves now
+        assert QueryEngine(idx).search("новослово", 0, 10)["count"] == 0
+
+
+class TestEmptySiteUpsert:
+    def test_empty_site_doc_does_not_double_count_global_df(
+        self, ray_session, tiny_corpus, tmp_path
+    ):
+        """ADVICE r2: with site_column set, a doc whose site value is ""
+        must bump ONLY the global dict_delta row (site "" IS the global row
+        in DeltaView) — pre-fix the global df was double-counted, skewing
+        idf after upserts. tool == "" for every non-tool-role row."""
+        cfg = CFG.replace(site_column="tool")
+        corpus_dir = str(tmp_path / "corpus")
+        _write_corpus(tiny_corpus, corpus_dir)
+        idx = str(tmp_path / "idx")
+        build_index(corpus_dir, idx, cfg)
+
+        rows = [
+            # conv-000001/0 is role=user → tool == "" (empty site), replaced
+            {"conv_id": "conv-000001", "turn_idx": 0, "role": "user", "text": NEW_TEXT_1},
+            # brand-new doc with no tool field → empty site
+            {"conv_id": "zzzz-nosite", "turn_idx": 0, "role": "user", "text": NEW_TEXT_2},
+        ]
+        upsert_docs(idx, rows)
+
+        corpus2 = str(tmp_path / "corpus2")
+        _write_corpus(_apply_rows(tiny_corpus, rows), corpus2)
+        idx2 = str(tmp_path / "idx2")
+        build_index(corpus2, idx2, cfg)
+
+        eng, fresh = QueryEngine(idx), QueryEngine(idx2)
+        assert eng.reader.df_map == fresh.reader.df_map
+        assert eng.reader.sites == fresh.reader.sites
+        _assert_engines_equal(eng, fresh, ALL_QUERIES)
+        # per-site search over a REAL site still matches after the upsert
+        for site in sorted(s for s in fresh.reader.sites if s):
+            assert eng.reader.site_df_map(site) == fresh.reader.site_df_map(site), site
+            for q in ALL_QUERIES[:4]:
+                assert eng.search(q, 0, 10, site=site) == fresh.search(q, 0, 10, site=site)
