@@ -176,23 +176,41 @@ def _distinct_conv_ids_distributed(files: list[str], fmt: str = "parquet") -> li
     return np.unique(np.concatenate(parts)).tolist()
 
 
-def build_conv_dict(files: list[str], index_dir: str, fmt: str = "parquet") -> np.ndarray:
-    """Dense-rank all conv_ids (ascending) → ``conv_dict.parquet``.
+_CONV_SMALL_BYTES = 1 << 30
 
-    Column-pruned read of just ``conv_id``. Small inputs take a driver-side
-    pyarrow path (a Ray job's fixed latency would dominate); larger inputs
-    run the DISTRIBUTED distinct (``_distinct_conv_ids_distributed``) and
-    only the distinct set ever reaches the driver.
 
-    Remaining in-memory shape: each explode actor holds the broadcast
-    sorted conv array (~60 MB per 10^6 convs as fixed-width unicode).
-    Beyond worker memory the array shards by conv-id prefix with per-shard
-    rank offsets — docids stay order-preserving under both, so nothing
-    downstream changes.
-    """
+def build_conv_dict(files: list[str], index_dir: str, fmt: str = "parquet"):
+    """Dense-rank all conv_ids (ascending). Two layouts, identical docids:
+
+    - **small inputs** (< ``_CONV_SMALL_BYTES``, or resuming a legacy
+      index): driver-side single sorted array → ``conv_dict.parquet`` +
+      mmap-able ``conv_dict.npy`` sidecar (a Ray job's fixed latency would
+      dominate at this size);
+    - **large inputs**: the RANGE-SHARDED dictionary
+      (``convdict.build_or_reuse`` → ``conv_dict/part-NNNNN.npy`` + per-part
+      rank offsets). The distinct, the sort, the subset/resume check and
+      the writes all run inside the Ray job — no O(distinct) array ever
+      forms on the driver, and workers mmap only the prefix ranges their
+      (conv-contiguous) batches touch.
+
+    Returns an array-like handle (``.searchsorted`` / ``__getitem__`` /
+    ``len``) over the sorted dictionary."""
     path = os.path.join(index_dir, "conv_dict.parquet")
+    from searchengine_ray import convdict
+
+    has_sharded = os.path.exists(
+        os.path.join(convdict.dict_dir(index_dir), convdict.META_FILE)
+    )
     total_bytes = sum(os.path.getsize(f) for f in files)
-    if total_bytes < 1 << 30:
+    if has_sharded or (
+        total_bytes >= _CONV_SMALL_BYTES and not os.path.exists(path)
+    ):
+        handle, reused = convdict.build_or_reuse(files, fmt, index_dir)
+        if not reused:
+            # ranks shifted ⇒ every existing shard output is docid-stale
+            shutil.rmtree(os.path.join(index_dir, "shards"), ignore_errors=True)
+        return handle
+    if total_bytes < _CONV_SMALL_BYTES:
         # small input: a column-pruned driver-side read beats a Ray job's
         # fixed latency by ~1s; identical output contract
         import pyarrow.compute as pc
@@ -246,7 +264,20 @@ def build_conv_dict(files: list[str], index_dir: str, fmt: str = "parquet") -> n
 _CONV_MMAP_CACHE: dict[tuple[str, int, int], np.ndarray] = {}
 
 
-def _load_conv_sorted(path: str) -> np.ndarray:
+def _load_conv_sorted(path: str):
+    """Sorted conv dictionary handle for rank lookups: a mmapped single
+    array (legacy layout) or a ShardedConvArray over ``conv_dict/`` parts —
+    both expose ``.searchsorted`` / ``__getitem__`` / ``.size``."""
+    if os.path.isdir(path):
+        from searchengine_ray.convdict import ShardedConvArray
+
+        probe = ShardedConvArray(path)  # reads only meta.json
+        key = probe.identity()
+        arr = _CONV_MMAP_CACHE.get(key)
+        if arr is None:
+            _CONV_MMAP_CACHE.clear()  # drop stale generations
+            arr = _CONV_MMAP_CACHE[key] = probe
+        return arr
     st = os.stat(path)
     key = (path, st.st_mtime_ns, st.st_size)
     arr = _CONV_MMAP_CACHE.get(key)
@@ -272,8 +303,11 @@ class ExplodePostings:
         # one while the dictionary is small.
         conv_arr = _load_conv_sorted(conv_path)
         if len(conv_arr) <= 1_000_000:
+            vals = (
+                conv_arr.gather_all() if hasattr(conv_arr, "gather_all") else conv_arr
+            )
             self.rank: dict[str, int] | None = {
-                str(c): i for i, c in enumerate(conv_arr)
+                str(c): i for i, c in enumerate(vals)
             }
             self.conv_sorted = None
         else:
@@ -336,7 +370,7 @@ class ExplodePostings:
             ranks = np.fromiter((rank[c] for c in conv_list), dtype=np.int64, count=n_docs)
         else:
             conv_ids = np.asarray(conv_list, dtype=np.str_)
-            ranks = np.searchsorted(self.conv_sorted, conv_ids)
+            ranks = self.conv_sorted.searchsorted(conv_ids)
             ranks_c = np.minimum(ranks, self.conv_sorted.size - 1)
             if not (self.conv_sorted[ranks_c] == conv_ids).all():
                 missing = conv_ids[self.conv_sorted[ranks_c] != conv_ids][:3]
@@ -455,7 +489,7 @@ def _make_add_docid(conv_path: str):
         # must not silently truncate into a valid-looking prefix
         conv_ids = np.asarray(batch["conv_id"].to_pylist(), dtype=np.str_)
         turn = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ranks = np.searchsorted(conv_sorted, conv_ids)
+        ranks = conv_sorted.searchsorted(conv_ids)
         ranks_c = np.minimum(ranks, conv_sorted.size - 1)
         if not (conv_sorted[ranks_c] == conv_ids).all():
             missing = conv_ids[conv_sorted[ranks_c] != conv_ids][:3]
@@ -1107,9 +1141,18 @@ def build_index(
     import ray
 
     conv_arr = build_conv_dict(files, index_dir, fmt)
-    # workers memory-map the npy sidecar build_conv_dict wrote (the index
-    # dir is shared storage on a real cluster) — no broadcast, no copies
-    conv_path = os.path.join(index_dir, "conv_dict.npy")
+    # workers memory-map what build_conv_dict wrote (the index dir is
+    # shared storage on a real cluster) — no broadcast, no copies: the
+    # sharded conv_dict/ part files on the scale path, the single npy
+    # sidecar on the small/legacy path
+    from searchengine_ray import convdict as _convdict
+
+    _sharded_dir = _convdict.dict_dir(index_dir)
+    conv_path = (
+        _sharded_dir
+        if os.path.exists(os.path.join(_sharded_dir, _convdict.META_FILE))
+        else os.path.join(index_dir, "conv_dict.npy")
+    )
     n_convs = len(conv_arr)
 
     shards = _shard_files(files, config.num_shards)

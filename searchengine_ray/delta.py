@@ -180,7 +180,9 @@ def upsert_docs(index_dir: str, rows: list[dict]) -> dict:
     new_convs: list[str] = []
 
     def conv_rank(cid: str) -> int:
-        pos = int(np.searchsorted(conv_main, cid))
+        # .searchsorted METHOD: conv_main may be the range-sharded handle
+        # (convdict.ShardedConvArray), which np.searchsorted can't consume
+        pos = int(conv_main.searchsorted(cid))
         if pos < n_main and str(conv_main[pos]) == cid:
             return pos
         r = delta_rank.get(cid)

@@ -77,8 +77,15 @@ class IndexReader:
         # conv dictionary: prefer the fixed-width npy sidecar, MEMORY-MAPPED
         # (no per-string Python objects on open); legacy indexes fall back
         # to the parquet column
+        conv_sharded = os.path.join(index_dir, "conv_dict")
         conv_npy = os.path.join(index_dir, "conv_dict.npy")
-        if os.path.exists(conv_npy):
+        if os.path.exists(os.path.join(conv_sharded, "meta.json")):
+            # range-sharded dictionary (large builds): parts mmap lazily,
+            # hydration touches only the parts its ranks land in
+            from searchengine_ray.convdict import ShardedConvArray
+
+            self._conv_main = ShardedConvArray(conv_sharded)
+        elif os.path.exists(conv_npy):
             self._conv_main = np.load(conv_npy, mmap_mode="r")
         else:
             self._conv_main = pq.read_table(

@@ -597,7 +597,9 @@ class TestCooperativeStop:
 
         def stop_after_first():
             calls["n"] += 1
-            return calls["n"] > 1  # first shard launches, the rest skip
+            # call 1 = build_index entry poll, call 2 = shard 0 launch;
+            # later launches see True and skip
+            return calls["n"] > 2
 
         idx_a = str(root / "idx_a")
         partial = build_index(corpus_dir, idx_a, cfg, stop_check=stop_after_first)
