@@ -5,6 +5,7 @@ import itertools
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -416,6 +417,35 @@ class TestIVF:
         want = _bucket_of(mat[order], planes)
         assert out["bucket"].to_numpy().tolist() == want.tolist()
 
+    def test_ann_resolution_scales_with_corpus(self):
+        """VERDICT r2 item 4: probe volume must stay bounded as N grows —
+        the resolution rule keeps the AVERAGE partition near the target row
+        count (until the caps), and equals the round-2 constants at sandbox
+        scale so baked-in oracles stay valid."""
+        from searchengine_ray.pipelines.similarity import (
+            _MAX_LSH_BITS,
+            _MAX_NLIST,
+            _TARGET_PARTITION_ROWS,
+            _lsh_bits_for,
+            _nlist_for,
+        )
+
+        # sandbox floor (sf tables have ≤ 2000 vectors)
+        assert _lsh_bits_for(500) == 8 and _nlist_for(500) == 16
+        assert _lsh_bits_for(2000) == 8 and _nlist_for(2000) == 16
+
+        prev_b, prev_n = 0, 0
+        for n in [10**6, 10**7, 10**8, 10**9, 10**11]:
+            bits, nlist = _lsh_bits_for(n), _nlist_for(n)
+            assert bits >= prev_b and nlist >= prev_n  # monotone
+            prev_b, prev_n = bits, nlist
+            assert (
+                n / (1 << bits) <= _TARGET_PARTITION_ROWS or bits == _MAX_LSH_BITS
+            ), n
+            assert (
+                n / nlist <= 2 * _TARGET_PARTITION_ROWS or nlist == _MAX_NLIST
+            ), n
+
 
 class TestRowsOnlyCompleteness:
     def test_winnowing_matches_naive_reference(self, ray_session, docs):
@@ -684,3 +714,73 @@ class TestSlidingWindow:
         mask = (ts >= w0) & (ts < w0 + WINDOW_US) & (t["event_type"] == et)
         assert int(mask.sum()) == int(row["n_events"])
         assert abs(t.loc[mask, "value"].sum() - row["sum_value_r"]) < 1e-3
+
+
+class TestHotBuckets:
+    """VERDICT r2 items 3+7: over-full LSH/SimHash buckets must enumerate
+    their pairs EXACTLY (chunked, bounded memory) — truncation only at the
+    explicit pair budget, deterministically."""
+
+    def test_candidate_pairs_hot_bucket_all_pairs_surface(self, ray_session):
+        import ray.data as rd
+
+        from searchengine_ray.pipelines.dedup import _candidate_pairs_ds
+
+        n = 200  # one bucket of 200 docs, far over the 16-doc chunk edge
+        bands = rd.from_arrow(
+            pa.table(
+                {
+                    "band": pa.array(np.zeros(n, dtype=np.int32)),
+                    "band_hash": pa.array(np.full(n, 7, dtype=np.int64)),
+                    "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                }
+            )
+        )
+        out = _candidate_pairs_ds(bands, max_bucket=16).to_pandas()
+        got = set(zip(out["a"].tolist(), out["b"].tolist()))
+        want = {(a, b) for a in range(n) for b in range(a + 1, n)}
+        assert got == want  # every one of C(200,2)=19900 pairs, no loss
+
+    def test_candidate_pairs_budget_truncates_deterministically(self, ray_session):
+        import ray.data as rd
+
+        from searchengine_ray.pipelines.dedup import _candidate_pairs_ds
+
+        n = 200
+        bands = rd.from_arrow(
+            pa.table(
+                {
+                    "band": pa.array(np.zeros(n, dtype=np.int32)),
+                    "band_hash": pa.array(np.full(n, 7, dtype=np.int64)),
+                    "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                }
+            )
+        )
+        # budget 10 pairs → keep floor((1+sqrt(81))/2)=5 docs → C(5,2)=10
+        out = _candidate_pairs_ds(bands, max_bucket=16, max_bucket_pairs=10).to_pandas()
+        got = set(zip(out["a"].tolist(), out["b"].tolist()))
+        assert got == {(a, b) for a in range(5) for b in range(a + 1, 5)}
+
+    def test_simhash_hot_bucket_complete(self, ray_session):
+        """60 identical texts → identical simhash → one 60-doc bucket in
+        each of the 4 blocks; with an 8-doc chunk edge the chunked verify
+        must still find all C(60,2) pairs at hamming 0, deduped across
+        blocks."""
+        import ray.data as rd
+
+        from searchengine_ray.pipelines.dedup import simhash_dups
+
+        n = 60
+        docs = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "text": pa.array(["the same identical document text"] * n),
+                }
+            )
+        )
+        out = simhash_dups(SF, max_bucket=8, ds=docs).to_pandas()
+        assert len(out) == n * (n - 1) // 2
+        assert (out["hamming"] == 0).all()
+        got = set(zip(out["doc_a"].tolist(), out["doc_b"].tolist()))
+        assert got == {(a, b) for a in range(n) for b in range(a + 1, n)}
