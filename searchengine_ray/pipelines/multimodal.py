@@ -153,14 +153,33 @@ def frame_sample_hex(sf_dir: str, stride: int = 4):
             {
                 "media_id": batch["media_id"],
                 "frame_idx": batch["frame_idx"],
-                "frame_hex": pa.array(
-                    [(b or b"").hex() for b in batch["frame"].to_pylist()],
-                    type=pa.string(),
-                ),
+                "frame_hex": _hex_encode_binary(batch["frame"]),
             }
         )
 
     return frame_sample(sf_dir, stride).map_batches(to_hex, batch_format="pyarrow")
+
+
+def _hex_encode_binary(col) -> pa.Array:
+    """Vectorized lowercase-hex encode of a non-null Arrow binary column
+    (VERDICT r2 item 5): nibble lookup over the raw values buffer, result
+    assembled buffer-level — no per-row Python."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return pa.array([], type=pa.string())
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[offs[0] : offs[-1]]
+    lut = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+    out = np.empty(data.size * 2, dtype=np.uint8)
+    out[0::2] = lut[data >> 4]
+    out[1::2] = lut[data & 0xF]
+    new_offs = ((offs - offs[0]) * 2).astype(np.int32)
+    return pa.StringArray.from_buffers(
+        n, pa.py_buffer(new_offs.tobytes()), pa.py_buffer(out.tobytes())
+    )
 
 
 def multimodal_features_flat(sf_dir: str):
@@ -170,26 +189,34 @@ def multimodal_features_flat(sf_dir: str):
     ``multimodal_features`` (whose list<float> column stays rows-only)."""
     from searchengine_ray.pipelines.fulltext import _round_vec
 
+    import pyarrow.compute as pc
+
     def explode(batch: pa.Table) -> pa.Table:
-        ids, nb, mb, bins, fracs = [], [], [], [], []
-        for mid, n, m, hist in zip(
-            batch["media_id"].to_pylist(),
-            batch["n_bytes"].to_pylist(),
-            batch["mean_byte_r"].to_pylist(),
-            batch["hist"].to_pylist(),
-        ):
-            for b, f in enumerate(hist):
-                ids.append(mid)
-                nb.append(n)
-                mb.append(m)
-                bins.append(b)
-                fracs.append(f)
+        # Arrow list-flatten (VERDICT r2 item 5 — no Python row loop):
+        # parents repeat by list length, bin index = offset within list
+        hist = batch["hist"]
+        if isinstance(hist, pa.ChunkedArray):
+            hist = hist.combine_chunks()
+        lens = pc.list_value_length(hist).to_numpy(zero_copy_only=False).astype(np.int64)
+        reps = np.repeat(np.arange(batch.num_rows, dtype=np.int64), lens)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        bins = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(starts, lens)
+        fracs = hist.flatten().to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "media_id": pa.array(ids, type=pa.int64()),
-                "n_bytes": pa.array(nb, type=pa.int64()),
-                "mean_byte_r": pa.array(mb, type=pa.float64()),
-                "bin": pa.array(bins, type=pa.int32()),
+                "media_id": pa.array(
+                    batch["media_id"].to_numpy(zero_copy_only=False)[reps],
+                    type=pa.int64(),
+                ),
+                "n_bytes": pa.array(
+                    batch["n_bytes"].to_numpy(zero_copy_only=False)[reps],
+                    type=pa.int64(),
+                ),
+                "mean_byte_r": pa.array(
+                    batch["mean_byte_r"].to_numpy(zero_copy_only=False)[reps],
+                    type=pa.float64(),
+                ),
+                "bin": pa.array(bins.astype(np.int32), type=pa.int32()),
                 "frac_r": pa.array(
                     _round_vec(np.asarray(fracs, dtype=np.float64)), type=pa.float64()
                 ),

@@ -44,10 +44,18 @@ def sample_split(sf_dir: str):
 
     def assign(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        splits = [
-            _SPLIT_OF_HEX[hashlib.md5(str(int(i)).encode()).hexdigest()[0]]
-            for i in ids
-        ]
+        # md5 is per-key by nature (the SQL oracle computes md5(doc_id)
+        # too); the loop is slimmed to one C-level digest + first nibble
+        # per id, and the nibble → split mapping is vectorized
+        md5 = hashlib.md5
+        nib = np.fromiter(
+            (md5(b"%d" % i).digest()[0] for i in ids.tolist()),
+            dtype=np.uint8,
+            count=ids.size,
+        ) >> 4
+        splits = np.full(ids.size, "train", dtype=object)
+        splits[nib == 0xE] = "val"
+        splits[nib == 0xF] = "test"
         return pa.table(
             {
                 "doc_id": pa.array(ids, type=pa.int64()),
@@ -256,7 +264,8 @@ def stratified_sample(sf_dir: str, k: int = 20):
 
     def local_topk(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        u = [hashlib.md5(str(int(i)).encode()).hexdigest() for i in ids]
+        md5 = hashlib.md5
+        u = [md5(b"%d" % i).hexdigest() for i in ids.tolist()]
         df = pd.DataFrame(
             {
                 "lang": batch["lang"].to_numpy(zero_copy_only=False),
