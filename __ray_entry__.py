@@ -230,6 +230,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": dedup.ngram_jaccard_dups,    # oracle: brute-force char-3gram Jaccard
         # --- similarity search ---
         "knn_cosine": lambda sf: similarity.knn_cosine(sf, query_vec_id=0, k=10),
+        "knn_batch": lambda sf: similarity.knn_batch(sf, query_vec_ids=(0, 1, 2, 3, 4), k=5),
+        # CC over the embedding-channel near-dup pairs (planted fixtures)
+        "embedding_cluster": lambda sf: similarity.embedding_cluster(sf, 0.95, plant=True),
         "lsh_knn": lambda sf: similarity.lsh_knn(sf, query_vec_id=0, k=10),  # oracle: probe-bucket cosine top-k
         "ivf_knn": lambda sf: similarity.ivf_knn(sf, query_vec_id=0, k=10),  # rows-only (ANN)
         "ivf_assignments": similarity.ivf_assignments,  # rows-only (k-means)
@@ -256,6 +259,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": traindata.pack_sequences,   # oracle: window cumsum
         # oracle: planted PII rows are closed-form string concat in SQL
         "pii_scrub": lambda sf: traindata.pii_scrub(sf, plant=True),
+        # oracle: lead()-window n-grams; planted markers are closed-form
+        "decontaminate": lambda sf: traindata.decontaminate(sf, plant=True),
     }
 
 
@@ -538,6 +543,45 @@ ORDER BY doc_a, doc_b""".format(
     )
 
 
+def _decontaminate_sql(n: int = 5) -> str:
+    """decontaminate's lead-window n-gram membership in SQL; the planted
+    markers are the same closed form as traindata._decon_marker so engine
+    and oracle cannot drift."""
+    from searchengine_ray.pipelines.traindata import (
+        DECON_BENCH_EVERY,
+        DECON_PLANT_SLOT,
+    )
+
+    def marker(d_expr: str) -> str:
+        return " || ' ' || ".join(
+            f"'qq{chr(ord('a') + j)}' || CAST({d_expr} AS VARCHAR)" for j in range(n)
+        )
+
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {DECON_BENCH_EVERY} = 0
+                THEN coalesce(text, '') || ' ' || {marker("doc_id")}
+              WHEN doc_id % {DECON_BENCH_EVERY} = {DECON_PLANT_SLOT}
+                THEN coalesce(text, '') || ' ' || {marker(f"doc_id - {DECON_PLANT_SLOT}")}
+              ELSE coalesce(text, '') END AS text
+  FROM documents),
+tl AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM planted),
+grams AS (
+  SELECT doc_id,
+         array_to_string(list_slice(toks, CAST(t.i AS INT), CAST(t.i AS INT) + {n - 1}), ' ') AS gram
+  FROM tl, LATERAL unnest(range(1, greatest(len(toks) - {n - 2}, 1))) AS t(i)),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % {DECON_BENCH_EVERY} = 0),
+hits AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         FROM grams g JOIN bench b ON g.gram = b.gram
+         WHERE g.doc_id % {DECON_BENCH_EVERY} != 0 GROUP BY g.doc_id),
+ng AS (SELECT doc_id, CAST(greatest(len(toks) - {n - 1}, 0) AS BIGINT) AS n_grams
+       FROM tl WHERE doc_id % {DECON_BENCH_EVERY} != 0)
+SELECT ng.doc_id, ng.n_grams, coalesce(h.n_hits, CAST(0 AS BIGINT)) AS n_hits
+FROM ng LEFT JOIN hits h ON ng.doc_id = h.doc_id
+ORDER BY ng.doc_id"""
+
+
 def _lsh_knn_sql(k: int = 10) -> str:
     """lsh_knn's exact ANN semantics in SQL: candidates = vectors whose
     bucket is the query's bucket or any Hamming-1 neighbor (multiprobe=1),
@@ -721,6 +765,36 @@ FROM walk GROUP BY node ORDER BY node""".format(
         # every pair here and verification is exact, so LSH output ==
         # exhaustive output.
         "embedding_neardup": _embedding_neardup_sql(),
+        # same recursive closure as dedup_cluster, over the embedding pairs
+        "embedding_cluster": """
+WITH RECURSIVE ep AS ({pairs}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM ep
+  UNION
+  SELECT doc_b, doc_a FROM ep
+),
+walk(node, lbl) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT e.a, w.lbl FROM edges e JOIN walk w ON e.b = w.node
+)
+SELECT node AS doc_id, least(node, min(lbl)) AS rep_doc_id
+FROM walk GROUP BY node ORDER BY node""".format(
+            pairs=_embedding_neardup_sql().replace("ORDER BY doc_a, doc_b", "")
+        ),
+        "knn_batch": """
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4))
+SELECT query_vec_id,
+       CAST(row_number() OVER (PARTITION BY query_vec_id
+                               ORDER BY sim_r DESC, vec_id ASC) - 1 AS BIGINT) AS rank,
+       vec_id, sim_r
+FROM (SELECT q.qid AS query_vec_id, e.vec_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 4) AS sim_r
+      FROM embeddings e CROSS JOIN q)
+QUALIFY rank < 5
+ORDER BY query_vec_id, rank""",
+        "decontaminate": _decontaminate_sql(),
         "knn_cosine": """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
 SELECT CAST(row_number() OVER (ORDER BY round(sim, 4) DESC, vec_id ASC) - 1 AS BIGINT) AS rank,

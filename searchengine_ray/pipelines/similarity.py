@@ -638,3 +638,104 @@ def embedding_neardup(
             "sim_r": _round_vec(out["sim"].to_numpy(dtype=np.float64)),
         }
     )
+
+
+# --- batch retrieval (many queries in one scan) -----------------------------
+
+
+def knn_batch(sf_dir: str, query_vec_ids=(0, 1, 2, 3, 4), k: int = 5):
+    """(query_vec_id, rank, vec_id, sim_r): brute-force cosine top-k for a
+    SET of query vectors in ONE corpus scan — the batch-retrieval shape of
+    training-data curation (hard-negative mining, nearest-neighbor
+    eval-set checks). The (Q, dim) query matrix broadcasts once via the
+    task closure; each corpus batch does a single matmul for all queries
+    and ships ≤ 2k rows per query; the driver merges k·Q·n_batches
+    candidate rows (never the corpus). Ties broken by vec_id asc after
+    4-dp rounding, mirroring the SQL oracle."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    qids = sorted(int(q) for q in query_vec_ids)
+    qt = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", qids)],
+    )
+    if qt.num_rows != len(qids):
+        missing = set(qids) - set(qt["vec_id"].to_pylist())
+        raise KeyError(f"query vec_ids not found: {sorted(missing)}")
+    order = np.argsort(qt["vec_id"].to_numpy(zero_copy_only=False))
+    qm = _emb_matrix(qt["embedding"])[order]
+    qn = np.sqrt((qm * qm).sum(axis=1))
+    qid_arr = np.asarray(qids, dtype=np.int64)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _emb_matrix(batch["embedding"])
+        sims = (m @ qm.T) / (np.sqrt((m * m).sum(axis=1))[:, None] * qn[None, :])
+        keep = min(2 * k, ids.size)  # margin vs rounded-tie cuts at the edge
+        part = np.argpartition(-sims, keep - 1, axis=0)[:keep]  # (keep, Q)
+        nq = qid_arr.size
+        return pa.table(
+            {
+                "query_vec_id": pa.array(np.repeat(qid_arr, keep), type=pa.int64()),
+                "vec_id": pa.array(ids[part.T.ravel()], type=pa.int64()),
+                "sim": pa.array(
+                    np.take_along_axis(sims, part, axis=0).T.ravel(),
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    cand = (
+        read_embeddings(sf_dir)
+        .map_batches(local_topk, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()
+    )
+    cand["sim_r"] = _round_vec(cand["sim"].to_numpy())
+    cand = cand.sort_values(
+        ["query_vec_id", "sim_r", "vec_id"],
+        ascending=[True, False, True],
+        kind="stable",
+    )
+    cand = cand.groupby("query_vec_id", as_index=False).head(k).reset_index(drop=True)
+    cand["rank"] = cand.groupby("query_vec_id").cumcount().astype("int64")
+    return cand[["query_vec_id", "rank", "vec_id", "sim_r"]]
+
+
+# --- embedding-channel near-dup clustering ----------------------------------
+
+
+def embedding_cluster(sf_dir: str, threshold: float = 0.95, plant: bool = True):
+    """(doc_id, rep_doc_id): connected components over the embedding-cosine
+    near-dup pairs — ``dedup_cluster``'s "keep one per dup group" step on
+    the EMBEDDING channel (semantic dups that share no shingles, e.g.
+    re-encodings). Pairs come from the distributed LSH-banded + exactly
+    verified ``embedding_neardup``; the component labels run the same
+    min-label-propagation Dataset fixpoint as the text channel."""
+    import ray.data as rd
+
+    from searchengine_ray.pipelines.dedup import connected_components
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "rep_doc_id": pa.array([], type=pa.int64()),
+        }
+    )
+    pairs = embedding_neardup(sf_dir, threshold, plant=plant)
+    if len(pairs) == 0:
+        return rd.from_arrow(empty)
+    pairs_ds = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array(pairs["doc_a"].to_numpy(), type=pa.int64()),
+                "b": pa.array(pairs["doc_b"].to_numpy(), type=pa.int64()),
+            }
+        )
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["node"], "rep_doc_id": batch["lbl"]})
+
+    return connected_components(pairs_ds).map_batches(rename, batch_format="pyarrow")

@@ -295,3 +295,108 @@ def stratified_sample(sf_dir: str, k: int = 20):
         .groupby("lang")
         .map_groups(combine, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram membership against a held-out set)
+# ---------------------------------------------------------------------------
+
+DECON_N = 5  # n-gram size (13 in the GPT-3 recipe; 5 fits sandbox doc sizes)
+DECON_BENCH_EVERY = 20  # doc_id % 20 == 0 → benchmark member
+DECON_PLANT_SLOT = 3  # doc_id % 20 == 3 → gets a planted contamination
+
+
+def _decon_marker(bench_doc_id: int, n: int = DECON_N) -> str:
+    """Closed-form n-token marker for a benchmark doc — reconstructed
+    verbatim by the SQL oracle, so planted contamination is hash-checkable
+    (the pii_scrub/planted-neardup pattern)."""
+    d = int(bench_doc_id)
+    return " ".join(f"qq{chr(ord('a') + j)}{d}" for j in range(n))
+
+
+def decontaminate(sf_dir: str, n: int = DECON_N, plant: bool = False):
+    """(doc_id, n_grams, n_hits) per TRAINING doc: how many of its word
+    n-gram occurrences appear in the benchmark set's distinct n-grams —
+    the GPT-3-style decontamination pass every training pipeline runs
+    before a data release. n_hits > 0 ⇒ drop or scrub the doc.
+
+    Shape: the benchmark here is every ``DECON_BENCH_EVERY``-th doc; its
+    DISTINCT gram set is collected map-side (per-batch dedup) and unioned
+    on the driver — small-by-contract (benchmarks are 10^3-10^5 examples,
+    not the corpus), broadcast once as a SORTED array via ``ray.put``, and
+    probed per training batch with one vectorized ``searchsorted``
+    membership test. A benchmark too big for one worker's heap would flip
+    the probe to the hash-partitioned sig join the dedup verify uses.
+
+    ``plant=True`` appends a closed-form marker gram to each benchmark doc
+    AND the matching marker of donor ``doc_id - DECON_PLANT_SLOT`` to every
+    ``doc_id % DECON_BENCH_EVERY == DECON_PLANT_SLOT`` doc, so contamination
+    provably exists and the SQL oracle reconstructs it exactly."""
+    import ray
+
+    from searchengine_ray.textproc import tokenize_simple
+
+    def planted_text(doc_id: int, text: str) -> str:
+        if not plant:
+            return text or ""
+        m = doc_id % DECON_BENCH_EVERY
+        if m == 0:
+            return (text or "") + " " + _decon_marker(doc_id, n)
+        if m == DECON_PLANT_SLOT:
+            return (text or "") + " " + _decon_marker(doc_id - DECON_PLANT_SLOT, n)
+        return text or ""
+
+    def doc_grams(doc_id: int, text: str) -> list[str]:
+        toks = tokenize_simple(planted_text(doc_id, text))
+        return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+    def bench_distinct(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch["text"].to_pylist()
+        grams: set[str] = set()
+        for d, t in zip(ids.tolist(), texts):
+            if d % DECON_BENCH_EVERY == 0:
+                grams.update(doc_grams(d, t))
+        return pa.table({"gram": pa.array(sorted(grams), type=pa.string())})
+
+    parts = [
+        b["gram"].to_numpy(zero_copy_only=False)
+        for b in read_documents(sf_dir)
+        .map_batches(bench_distinct, batch_format="pyarrow", batch_size=2048)
+        .iter_batches(batch_format="pyarrow")
+    ]
+    bench = (
+        np.unique(np.concatenate(parts)).astype(np.str_)
+        if parts
+        else np.array([], dtype=np.str_)
+    )
+    bench_ref = ray.put(bench)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        b = ray.get(bench_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch["text"].to_pylist()
+        out_id, out_ng, out_hits = [], [], []
+        for d, t in zip(ids.tolist(), texts):
+            if d % DECON_BENCH_EVERY == 0:
+                continue  # benchmark members are not training docs
+            grams = doc_grams(d, t)
+            out_id.append(d)
+            out_ng.append(len(grams))
+            if grams and b.size:
+                g = np.asarray(grams, dtype=np.str_)
+                pos = np.minimum(np.searchsorted(b, g), b.size - 1)
+                out_hits.append(int((b[pos] == g).sum()))
+            else:
+                out_hits.append(0)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "n_grams": pa.array(out_ng, type=pa.int64()),
+                "n_hits": pa.array(out_hits, type=pa.int64()),
+            }
+        )
+
+    return read_documents(sf_dir).map_batches(
+        probe, batch_format="pyarrow", batch_size=2048
+    )

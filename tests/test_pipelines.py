@@ -784,3 +784,74 @@ class TestHotBuckets:
         assert (out["hamming"] == 0).all()
         got = set(zip(out["doc_a"].tolist(), out["doc_b"].tolist()))
         assert got == {(a, b) for a in range(n) for b in range(a + 1, n)}
+
+
+class TestNewTrainingOps:
+    def test_knn_batch_matches_per_query_bruteforce(self, ray_session, emb):
+        from searchengine_ray.pipelines.similarity import knn_batch
+
+        ids, mat = emb
+        out = knn_batch(SF, query_vec_ids=(0, 1, 2), k=4)
+        for qid in (0, 1, 2):
+            q = mat[ids == qid][0]
+            sims = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+            sims_r = np.floor(np.abs(sims) * 1e4 + 0.5) / 1e4 * np.sign(sims)
+            order = np.lexsort((ids, -sims_r))[:4]
+            sub = out[out["query_vec_id"] == qid]
+            assert sub["vec_id"].tolist() == ids[order].tolist(), qid
+            assert sub["rank"].tolist() == [0, 1, 2, 3]
+
+    def test_embedding_cluster_groups_planted_pairs(self, ray_session):
+        from searchengine_ray.pipelines.similarity import (
+            PLANT_EVERY,
+            PLANT_OFFSET,
+            embedding_cluster,
+            embedding_neardup,
+        )
+
+        pairs = embedding_neardup(SF, 0.95, plant=True)
+        out = embedding_cluster(SF, 0.95, plant=True).to_pandas()
+        # every doc in a pair is labeled; label = min of its component
+        import collections
+
+        adj = collections.defaultdict(set)
+        for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+            adj[a].add(b)
+            adj[b].add(a)
+        want = {}
+        for start in sorted(adj):
+            if start in want:
+                continue
+            comp, stack = set(), [start]
+            while stack:
+                x = stack.pop()
+                if x in comp:
+                    continue
+                comp.add(x)
+                stack.extend(adj[x])
+            rep = min(comp)
+            for x in comp:
+                want[x] = rep
+        got = dict(zip(out["doc_id"], out["rep_doc_id"]))
+        assert got == want
+        # planted copies cluster with their originals
+        orig = next(iter(d for d in want if d < PLANT_OFFSET and d % PLANT_EVERY == 0))
+        assert want[orig + PLANT_OFFSET] == want[orig]
+
+    def test_decontaminate_planted_and_unplanted(self, ray_session, docs):
+        from searchengine_ray.pipelines.traindata import (
+            DECON_BENCH_EVERY,
+            DECON_PLANT_SLOT,
+            decontaminate,
+        )
+
+        out = decontaminate(SF, plant=True).to_pandas().set_index("doc_id")
+        # benchmark members never appear as training docs
+        assert not any(d % DECON_BENCH_EVERY == 0 for d in out.index)
+        # every planted doc is flagged (its donor's marker gram must hit)
+        planted = [d for d in out.index if d % DECON_BENCH_EVERY == DECON_PLANT_SLOT]
+        assert planted and all(out.loc[d, "n_hits"] >= 1 for d in planted)
+        # unplanted run: no markers — planted docs lose their guaranteed hit
+        out2 = decontaminate(SF, plant=False).to_pandas().set_index("doc_id")
+        assert set(out2.index) == set(out.index)
+        assert (out2["n_grams"] <= out["n_grams"]).all()
