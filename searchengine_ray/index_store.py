@@ -5,6 +5,10 @@ Layout written by :mod:`searchengine_ray.build`::
     index_dir/
       manifest.json            # global stats + per-shard lineage (resume unit)
       conv_dict.parquet        # ascending conv_id; row index == conv_rank
+      conv_dict.npy            # mmap-able fixed-width sidecar of the same
+      conv_dict/               # OR (large builds) the range-sharded layout:
+        meta.json              #   boundaries + per-part counts (convdict.py)
+        part-NNNNN.npy         #   sorted fixed-width ids, mmapped on demand
       dictionary.parquet       # (lemma, df, cf) ascending lemma
       shards/shard=K/
         _MANIFEST.json         # shard lineage: input files, counts, timings
