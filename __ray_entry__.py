@@ -190,6 +190,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         traindata,
     )
     from searchengine_ray.pipelines.transcripts import (
+        conv_prefix_dedup,
+        conversation_assemble,
+        conversation_stats,
         dedup_turns_check,
         transcript_index_dictionary,
         transcript_search,
@@ -215,6 +218,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_upsert_search": transcript_upsert_search,  # doc-level delta upserts
         "transcript_dictionary": transcript_index_dictionary,
         "dedup_turns": dedup_turns_check,  # oracle: window first-wins over planted dupes
+        # --- conversation-level curation (turns → chat documents) ---
+        "conversation_assemble": conversation_assemble,  # oracle: string_agg ORDER BY
+        "conversation_stats": conversation_stats,
+        "conv_prefix_dedup": conv_prefix_dedup,  # oracle: md5 of first-k-turn join
         # --- windowed aggregate + broadcast join (wide-op patterns) ---
         "windowed_events": relational.windowed_events,
         "sliding_window_events": relational.sliding_window_events,  # oracle: unnest slides
@@ -662,6 +669,29 @@ SELECT CAST(count(*) AS BIGINT) AS n_matches FROM (
         "transcript_search_site": _transcript_search_sql(site="assistant"),
         "transcript_upsert_search": _transcript_search_sql(upsert=True),
         "dedup_turns": _dedup_turns_sql(),
+        # conversation-level curation over the derived transcript turns;
+        # role = _ROLES[doc_id % 4] (DuckDB list indexing is 1-based)
+        "conversation_assemble": f"""
+WITH {_TS_DOCS}
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       string_agg(['user','assistant','tool','system'][role_idx + 1]
+                  || ': ' || text, chr(10) ORDER BY turn_idx) AS convo
+FROM tdocs GROUP BY conv_id""",
+        "conversation_stats": f"""
+WITH {_TS_DOCS}
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(CASE WHEN role_idx = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM tdocs GROUP BY conv_id""",
+        "conv_prefix_dedup": f"""
+WITH {_TS_DOCS},
+prefix AS (
+  SELECT conv_id, md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS h
+  FROM tdocs WHERE turn_idx < 2 GROUP BY conv_id
+)
+SELECT h AS prefix_md5, CAST(count(*) AS BIGINT) AS n_convs,
+       min(conv_id) AS rep_conv_id
+FROM prefix GROUP BY h""",
         "transcript_dictionary": f"""
 WITH {_TOKS}
 SELECT token AS lemma, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf

@@ -281,3 +281,278 @@ def dedup_turns_check(sf_dir: str) -> pd.DataFrame:
     got["ts_us"] = got["ts"].astype("int64")
     got = got[["conv_id", "turn_idx", "role", "ts_us", "text"]]
     return got.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Conversation-level operators (SFT-formatting / curation passes)
+# ---------------------------------------------------------------------------
+
+_CONV_PARTITIONS = 64
+
+
+def read_transcript_turns(sf_dir: str):
+    """The derived transcript turns as a STREAMING Dataset: the map-side
+    mirror of ``corpus.transcripts_from_documents`` (pure ``doc_id``
+    arithmetic, so each batch derives independently — no driver-side table).
+    Carries ``conv`` as an int64 partition/sort key; the public ``conv_id``
+    string is formatted only on operator output rows (O(convs), not
+    O(turns))."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from searchengine_ray.corpus import _ROLES
+
+    roles = np.array(_ROLES, dtype=object)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "conv": pa.array(did // 8, type=pa.int64()),
+                "turn_idx": pa.array((did % 8).astype(np.int32)),
+                "role_idx": pa.array((did % 4).astype(np.int32)),
+                "role": pa.array(roles[did % 4], type=pa.string()),
+                "text": batch["text"].cast(pa.large_string()),
+            }
+        )
+
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(derive, batch_format="pyarrow", batch_size=8192)
+
+
+def _conv_id_strings(conv: np.ndarray) -> np.ndarray:
+    """conv int64 → 'conv-NNNNNN' (vectorized zfill; O(output convs))."""
+    return np.char.add("conv-", np.char.zfill(conv.astype(np.str_), 6)).astype(object)
+
+
+def _add_conv_part(batch):
+    import pyarrow as pa
+
+    conv = batch["conv"].to_numpy(zero_copy_only=False)
+    return batch.append_column(
+        "q", pa.array((conv % _CONV_PARTITIONS).astype(np.int64))
+    )
+
+
+def conversation_assemble(sf_dir: str):
+    """(conv_id, n_turns, convo): each conversation flattened to ONE chat
+    document — ``role: text`` lines joined by newline in turn order. The
+    SFT-formatting pass of a training-data pipeline (turns → renderable
+    conversation documents).
+
+    Shape: conversations hash into ``_CONV_PARTITIONS`` fixed partitions;
+    per partition ONE vectorized pass — lexsort by (conv, turn), per-turn
+    lines via ``pc.binary_join_element_wise``, per-conversation join via an
+    Arrow ListArray + ``pc.binary_join`` over run boundaries (no per-row
+    Python). Result stays a Dataset: one row per conversation is O(corpus)
+    at web scale. SQL mirror: ``string_agg(... ORDER BY turn_idx)``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def assemble(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    "conv_id": pa.array([], type=pa.string()),
+                    "n_turns": pa.array([], type=pa.int64()),
+                    "convo": pa.array([], type=pa.string()),
+                }
+            )
+        conv = group["conv"].to_numpy(zero_copy_only=False)
+        turn = group["turn_idx"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((turn, conv))
+        conv = conv[order]
+        role = pc.take(group["role"], pa.array(order)).combine_chunks()
+        text = pc.take(group["text"], pa.array(order)).combine_chunks()
+        lines = pc.binary_join_element_wise(
+            role.cast(pa.large_string()), text, pa.scalar(": ", type=pa.large_string())
+        )
+        newrun = np.empty(conv.size, dtype=bool)
+        newrun[0] = True
+        newrun[1:] = conv[1:] != conv[:-1]
+        starts = np.nonzero(newrun)[0]
+        offsets = np.concatenate((starts, [conv.size])).astype(np.int64)
+        convo = pc.binary_join(
+            pa.LargeListArray.from_arrays(offsets, lines),
+            pa.scalar("\n", type=pa.large_string()),
+        )
+        return pa.table(
+            {
+                "conv_id": pa.array(_conv_id_strings(conv[starts]), type=pa.string()),
+                "n_turns": pa.array(np.diff(offsets), type=pa.int64()),
+                "convo": convo.cast(pa.string()),
+            }
+        )
+
+    return (
+        read_transcript_turns(sf_dir)
+        .map_batches(_add_conv_part, batch_format="pyarrow")
+        .groupby("q")
+        .map_groups(assemble, batch_format="pyarrow")
+    )
+
+
+def conversation_stats(sf_dir: str):
+    """(conv_id, n_turns, n_assistant, total_chars): per-conversation
+    curation stats (turn counts, role balance, size) — the filter features
+    a conversation-level quality gate runs on.
+
+    Shape: map-side PARTIAL aggregates per batch (np.unique + reduceat over
+    the batch's convs) → fixed-partition combine — the partial-then-combine
+    discipline every high-cardinality aggregate in this repo uses (a raw
+    ``groupby(conv_id)`` would shuffle every turn and dispatch Python per
+    conversation)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "conv": pa.array([], type=pa.int64()),
+                    "n_turns": pa.array([], type=pa.int64()),
+                    "n_assistant": pa.array([], type=pa.int64()),
+                    "total_chars": pa.array([], type=pa.int64()),
+                }
+            )
+        conv = batch["conv"].to_numpy(zero_copy_only=False)
+        role_idx = batch["role_idx"].to_numpy(zero_copy_only=False)
+        nchars = pc.utf8_length(batch["text"]).to_numpy(zero_copy_only=False)
+        order = np.argsort(conv, kind="stable")
+        conv = conv[order]
+        is_asst = (role_idx[order] == 1).astype(np.int64)
+        nchars = nchars[order].astype(np.int64)
+        uconv, starts = np.unique(conv, return_index=True)
+        return pa.table(
+            {
+                "conv": pa.array(uconv, type=pa.int64()),
+                "n_turns": pa.array(
+                    np.diff(np.concatenate((starts, [conv.size]))), type=pa.int64()
+                ),
+                "n_assistant": pa.array(
+                    np.add.reduceat(is_asst, starts), type=pa.int64()
+                ),
+                "total_chars": pa.array(
+                    np.add.reduceat(nchars, starts), type=pa.int64()
+                ),
+            }
+        )
+
+    def combine(group: pa.Table) -> pa.Table:
+        conv = group["conv"].to_numpy(zero_copy_only=False)
+        order = np.argsort(conv, kind="stable")
+        conv = conv[order]
+        uconv, starts = np.unique(conv, return_index=True)
+        out = {"conv_id": pa.array(_conv_id_strings(uconv), type=pa.string())}
+        for col in ("n_turns", "n_assistant", "total_chars"):
+            v = group[col].to_numpy(zero_copy_only=False)[order]
+            out[col] = pa.array(np.add.reduceat(v, starts), type=pa.int64())
+        return pa.table(out)
+
+    return (
+        read_transcript_turns(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(_add_conv_part, batch_format="pyarrow")
+        .groupby("q")
+        .map_groups(combine, batch_format="pyarrow")
+    )
+
+
+def conv_prefix_dedup(sf_dir: str, k: int = 2):
+    """(prefix_md5, n_convs, rep_conv_id): conversation-level dedup by the
+    md5 of the first ``k`` turns' text (newline-joined, turn order) — the
+    "same opening ⇒ same conversation" near-dup rule chat-corpus curation
+    applies before training (conversations re-logged with different tails
+    collapse to one representative, min conv_id).
+
+    Shape: per conv-partition prefix assembly (same vectorized run-join as
+    :func:`conversation_assemble`) + per-group md5 (O(convs), the
+    stratified-sample discipline) → PARTIAL (h, count, min-rep) rows →
+    fixed-partition combine keyed on a hash of the digest. Both hops are
+    bounded-cardinality shuffles; no turn text ever re-shuffles after the
+    prefix digest."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def prefix_partial(group: pa.Table) -> pa.Table:
+        mask = group["turn_idx"].to_numpy(zero_copy_only=False) < k
+        if not mask.any():
+            return pa.table(
+                {
+                    "h": pa.array([], type=pa.string()),
+                    "n_convs": pa.array([], type=pa.int64()),
+                    "rep": pa.array([], type=pa.int64()),
+                }
+            )
+        sel = np.nonzero(mask)[0]
+        conv = group["conv"].to_numpy(zero_copy_only=False)[sel]
+        turn = group["turn_idx"].to_numpy(zero_copy_only=False)[sel]
+        order = np.lexsort((turn, conv))
+        conv = conv[order]
+        text = pc.take(group["text"], pa.array(sel[order])).combine_chunks()
+        newrun = np.empty(conv.size, dtype=bool)
+        newrun[0] = True
+        newrun[1:] = conv[1:] != conv[:-1]
+        starts = np.nonzero(newrun)[0]
+        offsets = np.concatenate((starts, [conv.size])).astype(np.int64)
+        prefixes = pc.binary_join(
+            pa.LargeListArray.from_arrays(offsets, text),
+            pa.scalar("\n", type=pa.large_string()),
+        )
+        md5 = hashlib.md5
+        digests = [
+            md5(s.encode("utf-8")).hexdigest() for s in prefixes.to_pylist()
+        ]
+        uconv = conv[starts]
+        # within-partition pre-combine: same digest → one (count, min) row
+        uh, inv = np.unique(np.asarray(digests, dtype=object), return_inverse=True)
+        cnt = np.bincount(inv, minlength=uh.size).astype(np.int64)
+        rep = np.full(uh.size, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(rep, inv, uconv)
+        return pa.table(
+            {
+                "h": pa.array(uh, type=pa.string()),
+                "n_convs": pa.array(cnt, type=pa.int64()),
+                "rep": pa.array(rep, type=pa.int64()),
+            }
+        )
+
+    def add_hpart(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        hs = batch["h"].to_pylist()
+        q = np.fromiter(
+            (zlib.crc32(s.encode("ascii")) for s in hs), dtype=np.int64, count=len(hs)
+        )
+        return batch.append_column(
+            "hq", pa.array(q % _CONV_PARTITIONS)
+        )
+
+    def combine(group: pa.Table) -> pa.Table:
+        hs = np.asarray(group["h"].to_pylist(), dtype=object)
+        cnt = group["n_convs"].to_numpy(zero_copy_only=False)
+        rep = group["rep"].to_numpy(zero_copy_only=False)
+        uh, inv = np.unique(hs, return_inverse=True)
+        out_cnt = np.bincount(inv, weights=cnt, minlength=uh.size).astype(np.int64)
+        out_rep = np.full(uh.size, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(out_rep, inv, rep)
+        return pa.table(
+            {
+                "prefix_md5": pa.array(uh, type=pa.string()),
+                "n_convs": pa.array(out_cnt, type=pa.int64()),
+                "rep_conv_id": pa.array(
+                    _conv_id_strings(out_rep), type=pa.string()
+                ),
+            }
+        )
+
+    return (
+        read_transcript_turns(sf_dir)
+        .map_batches(_add_conv_part, batch_format="pyarrow")
+        .groupby("q")
+        .map_groups(prefix_partial, batch_format="pyarrow")
+        .map_batches(add_hpart, batch_format="pyarrow")
+        .groupby("hq")
+        .map_groups(combine, batch_format="pyarrow")
+    )

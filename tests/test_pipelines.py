@@ -855,3 +855,63 @@ class TestNewTrainingOps:
         out2 = decontaminate(SF, plant=False).to_pandas().set_index("doc_id")
         assert set(out2.index) == set(out.index)
         assert (out2["n_grams"] <= out["n_grams"]).all()
+
+
+class TestConversationOps:
+    """Conversation-level curation ops vs a brute-force Python rebuild of
+    the transcripts derivation (doc_id arithmetic mirror)."""
+
+    @staticmethod
+    def _turns(docs):
+        roles = ["user", "assistant", "tool", "system"]
+        out = {}
+        for did in sorted(docs):
+            out.setdefault(did // 8, []).append(
+                (did % 8, roles[did % 4], docs[did] or "")
+            )
+        return out  # conv_num -> [(turn_idx, role, text)] in turn order
+
+    def test_conversation_assemble(self, ray_session, docs):
+        from searchengine_ray.pipelines.transcripts import conversation_assemble
+
+        out = conversation_assemble(SF).to_pandas()
+        turns = self._turns(docs)
+        assert len(out) == len(turns)
+        got = dict(zip(out["conv_id"], out["convo"]))
+        nt = dict(zip(out["conv_id"], out["n_turns"]))
+        for conv, ts in turns.items():
+            cid = f"conv-{conv:06d}"
+            assert nt[cid] == len(ts)
+            assert got[cid] == "\n".join(f"{r}: {t}" for _, r, t in ts)
+
+    def test_conversation_stats(self, ray_session, docs):
+        from searchengine_ray.pipelines.transcripts import conversation_stats
+
+        out = conversation_stats(SF).to_pandas().set_index("conv_id")
+        turns = self._turns(docs)
+        assert len(out) == len(turns)
+        for conv, ts in turns.items():
+            row = out.loc[f"conv-{conv:06d}"]
+            assert row["n_turns"] == len(ts)
+            assert row["n_assistant"] == sum(1 for _, r, _t in ts if r == "assistant")
+            assert row["total_chars"] == sum(len(t) for _, _r, t in ts)
+
+    def test_conv_prefix_dedup(self, ray_session, docs):
+        import hashlib
+
+        from searchengine_ray.pipelines.transcripts import conv_prefix_dedup
+
+        k = 2
+        out = conv_prefix_dedup(SF, k=k).to_pandas()
+        groups = {}
+        for conv, ts in self._turns(docs).items():
+            pfx = "\n".join(t for ti, _r, t in ts if ti < k)
+            if not any(ti < k for ti, _r, _t in ts):
+                continue
+            h = hashlib.md5(pfx.encode("utf-8")).hexdigest()
+            groups.setdefault(h, []).append(conv)
+        assert len(out) == len(groups)
+        by_h = out.set_index("prefix_md5")
+        for h, convs in groups.items():
+            assert by_h.loc[h, "n_convs"] == len(convs)
+            assert by_h.loc[h, "rep_conv_id"] == f"conv-{min(convs):06d}"
