@@ -201,14 +201,24 @@ def _scaling_leg(n: int, rep: int) -> dict:
         "ray.shutdown()"
         % (os.path.dirname(os.path.abspath(__file__)), n, n, n, rep, SCALE_CONVS, SCALE_TURNS)
     )
-    out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3000
-    )
-    line = [l for l in out.stdout.splitlines() if l.startswith("RESULT::")]
-    if not line:
+    # one retry behind a bounded timeout: a Ray worker-pool startup crash
+    # (observed rarely in this sandbox: "workers ... have not registered
+    # within the timeout") hangs the leg forever; killing and retrying in a
+    # fresh process recovers, and a hung leg must not stall the whole sweep
+    for attempt in (0, 1):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True, text=True, timeout=1500,
+            )
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(f"leg num_cpus={n} rep={rep} timed out (attempt {attempt})\n")
+            continue
+        line = [l for l in out.stdout.splitlines() if l.startswith("RESULT::")]
+        if line:
+            return json.loads(line[0][len("RESULT::"):])
         sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:] + "\n")
-        raise RuntimeError(f"scaling run at num_cpus={n} failed")
-    return json.loads(line[0][len("RESULT::"):])
+    raise RuntimeError(f"scaling run at num_cpus={n} failed twice")
 
 
 def main_scaling() -> None:
