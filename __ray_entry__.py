@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": textstats.langid,
         "token_count": textstats.token_count,
         "quality_score": textstats.quality_score,
+        "repetition_score": textstats.repetition_score,  # Gopher repetition rules
         "fingerprint": textstats.fingerprint,
         "fingerprint_rolling": textstats.fingerprint_rolling,  # rows-only (list sig)
         "fingerprint_rolling_flat": textstats.fingerprint_rolling_flat,  # oracle: HUGEINT-mod hash
@@ -864,6 +865,20 @@ SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
        CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS n_ws,
        CAST(len(regexp_extract_all(d.text, ' ?[a-zA-Z]+| ?[0-9]{{1,3}}| ?[^\\sa-zA-Z0-9]+')) AS BIGINT) AS n_bpe
 FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id""",
+        "repetition_score": """
+WITH tl AS (SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS toks
+            FROM documents),
+ base AS (SELECT doc_id, len(toks) AS n_words, len(list_distinct(toks)) AS n_distinct
+          FROM tl WHERE len(toks) > 0),
+ b AS (SELECT doc_id, toks[CAST(t.i AS INT)] || ' ' || toks[CAST(t.i AS INT) + 1] AS bigram
+       FROM tl, LATERAL unnest(range(1, greatest(len(toks), 1))) AS t(i)),
+ c AS (SELECT doc_id, bigram, count(*) AS cnt FROM b GROUP BY 1, 2),
+ m AS (SELECT doc_id, max(cnt) AS mx, sum(cnt) AS tot FROM c GROUP BY doc_id)
+SELECT base.doc_id,
+       CAST(base.n_words AS BIGINT) AS n_words,
+       round(1.0 - base.n_distinct / CAST(base.n_words AS DOUBLE), 4) AS dup_word_frac_r,
+       round(coalesce(m.mx / CAST(m.tot AS DOUBLE), 0.0), 4) AS top_bigram_frac_r
+FROM base LEFT JOIN m USING (doc_id)""",
         "quality_score": f"""
 WITH raw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
              FROM documents),

@@ -374,3 +374,72 @@ def fingerprint_rolling_flat(sf_dir: str):
         )
 
     return fingerprint_rolling(sf_dir).map_batches(explode, batch_format="pyarrow")
+
+
+# --- within-doc repetition (Gopher-style repetition rules) -----------------
+
+
+class RepetitionScore:
+    """(doc_id, n_words, dup_word_frac_r, top_bigram_frac_r): within-doc
+    repetition signals used by Gopher/MassiveText-style quality filtering —
+    the fraction of word occurrences that are repeats of an earlier word,
+    and the share of word-2-grams taken by the single most frequent 2-gram
+    (high ⇒ looping/boilerplate text). Docs with zero tokens emit no row
+    (mirrors the SQL GROUP BY over extracted tokens).
+
+    Vectorized: one ``_flat_tokens`` pass; distinct-per-row via unique
+    (row, vid) keys; bigram ids pack adjacent (vid, vid) pairs into int64,
+    per-(row, bigram) run counts via lexsort + reduceat, per-row max via
+    ``np.maximum.reduceat`` — no Python over rows or tokens."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows, vids, _vocab, n = _flat_tokens(batch)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tokens = np.bincount(rows, minlength=n)
+        keep = n_tokens > 0
+        upair = np.unique((rows << np.int64(32)) | vids)
+        n_unique = np.bincount((upair >> np.int64(32)).astype(np.int64), minlength=n)
+
+        # adjacent same-row (vid, vid) pairs — _flat_tokens preserves
+        # in-row token order (Arrow list flatten)
+        top = np.zeros(n, dtype=np.int64)
+        tot = np.zeros(n, dtype=np.int64)
+        if rows.size >= 2:
+            adj = rows[1:] == rows[:-1]
+            brow = rows[:-1][adj]
+            bg = (vids[:-1][adj] << np.int64(32)) | vids[1:][adj]
+            if brow.size:
+                order = np.lexsort((bg, brow))
+                brow, bg = brow[order], bg[order]
+                newrun = np.empty(brow.size, dtype=bool)
+                newrun[0] = True
+                newrun[1:] = (brow[1:] != brow[:-1]) | (bg[1:] != bg[:-1])
+                starts = np.nonzero(newrun)[0]
+                counts = np.diff(np.concatenate((starts, [brow.size])))
+                run_rows = brow[starts]
+                tot = np.bincount(brow, minlength=n)
+                # per-row max over this row's run counts: runs are grouped
+                # by row after the lexsort, so reduceat over row boundaries
+                row_first = np.empty(run_rows.size, dtype=bool)
+                row_first[0] = True
+                row_first[1:] = run_rows[1:] != run_rows[:-1]
+                seg = np.nonzero(row_first)[0]
+                top[run_rows[seg]] = np.maximum.reduceat(counts, seg)
+
+        nt = n_tokens[keep].astype(np.float64)
+        dup = 1.0 - n_unique[keep] / nt
+        tf = np.where(tot[keep] > 0, top[keep] / np.maximum(tot[keep], 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[keep]),
+                "n_words": pa.array(n_tokens[keep].astype(np.int64)),
+                "dup_word_frac_r": pa.array(_round_vec(dup), type=pa.float64()),
+                "top_bigram_frac_r": pa.array(_round_vec(tf), type=pa.float64()),
+            }
+        )
+
+
+def repetition_score(sf_dir: str):
+    return read_documents(sf_dir).map_batches(
+        per_worker(RepetitionScore), batch_format="pyarrow", batch_size=2048
+    )

@@ -155,6 +155,33 @@ class TestTextStats:
                 1 for t in toks if len(t) >= 2 and t not in EN_STOPWORDS
             )
 
+    def test_repetition_score_brute(self, ray_session, docs):
+        from collections import Counter
+
+        from searchengine_ray.pipelines.fulltext import round_half_away
+        from searchengine_ray.pipelines.textstats import repetition_score
+        from searchengine_ray.textproc import tokenize_simple
+
+        out = repetition_score(SF).to_pandas().set_index("doc_id")
+        n_with_tokens = 0
+        for did in docs:
+            toks = tokenize_simple(docs[did] or "")
+            if not toks:
+                assert did not in out.index
+                continue
+            n_with_tokens += 1
+            row = out.loc[did]
+            assert row["n_words"] == len(toks)
+            assert row["dup_word_frac_r"] == round_half_away(
+                1.0 - len(set(toks)) / len(toks)
+            )
+            bigrams = Counter(zip(toks, toks[1:]))
+            want_top = (
+                max(bigrams.values()) / sum(bigrams.values()) if bigrams else 0.0
+            )
+            assert row["top_bigram_frac_r"] == round_half_away(want_top)
+        assert len(out) == n_with_tokens
+
     def test_langid_heuristic(self, ray_session, docs):
         """The testdata `lang` column is random metadata over uniform
         English-ish text, so we verify the heuristic itself: deterministic,
