@@ -252,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": textstats.token_count,
         "quality_score": textstats.quality_score,
         "repetition_score": textstats.repetition_score,  # Gopher repetition rules
+        "lm_score": textstats.lm_score,  # corpus bigram-LM cross-entropy
         "fingerprint": textstats.fingerprint,
         "fingerprint_rolling": textstats.fingerprint_rolling,  # rows-only (list sig)
         "fingerprint_rolling_flat": textstats.fingerprint_rolling_flat,  # oracle: HUGEINT-mod hash
@@ -879,6 +880,18 @@ SELECT base.doc_id,
        round(1.0 - base.n_distinct / CAST(base.n_words AS DOUBLE), 4) AS dup_word_frac_r,
        round(coalesce(m.mx / CAST(m.tot AS DOUBLE), 0.0), 4) AS top_bigram_frac_r
 FROM base LEFT JOIN m USING (doc_id)""",
+        # add-one-smoothed corpus bigram LM: avg ln((c+1)/(T+B)) per doc
+        "lm_score": """
+WITH tl AS (SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS toks
+            FROM documents),
+ b AS (SELECT doc_id, toks[CAST(t.i AS INT)] || ' ' || toks[CAST(t.i AS INT) + 1] AS bigram
+       FROM tl, LATERAL unnest(range(1, greatest(len(toks), 1))) AS t(i)),
+ c AS (SELECT bigram, count(*) AS cnt FROM b GROUP BY bigram),
+ s AS (SELECT (SELECT count(*) FROM b) AS t_occ, (SELECT count(*) FROM c) AS b_dist)
+SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(ln(c.cnt + 1)) - ln(s.t_occ + s.b_dist), 4) AS avg_logp_r
+FROM b JOIN c USING (bigram), s
+GROUP BY b.doc_id, s.t_occ, s.b_dist""",
         "quality_score": f"""
 WITH raw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
              FROM documents),

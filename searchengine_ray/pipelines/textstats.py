@@ -443,3 +443,142 @@ def repetition_score(sf_dir: str):
     return read_documents(sf_dir).map_batches(
         per_worker(RepetitionScore), batch_format="pyarrow", batch_size=2048
     )
+
+
+# --- corpus-LM quality score (cross-entropy vs the corpus bigram LM) -------
+
+
+def lm_score(sf_dir: str):
+    """(doc_id, n_bigrams, avg_logp_r): each document scored by the average
+    log-probability of its word bigrams under an add-one-smoothed corpus
+    bigram distribution ``p(bg) = (c(bg)+1)/(T+B)`` (T = total bigram
+    occurrences, B = distinct bigrams) — the CCNet/KenLM-style "LM quality"
+    pass of a training pipeline (low avg_logp ⇒ text unlike the corpus).
+    Docs with < 2 tokens emit no row.
+
+    Shape (one count-join, no per-group dispatch, driver sees scalars):
+    1. map-side explode to (doc_id, bigram, m) batch-partials, bigram
+       hashed into 64 fixed partitions;
+    2. per PARTITION the corpus count of each of its bigrams is exact
+       (a bigram hashes wholly into one partition), so the stage joins
+       counts locally and emits per-(doc, partition) partials
+       ``(doc_id, n, s=Σ m·ln(c+1))`` plus one tagged ``(T_p, B_p)`` row —
+       ``ln p`` separates as ``ln(c+1) − ln(T+B)``, so the global scalar
+       enters only at the end;
+    3. per-doc combine on 64 doc-hash partitions, then one vectorized map
+       applies ``s/n − ln(T+B)``. Only the 64 tagged scalar rows ever
+       reach the driver."""
+    import pandas as pd
+
+    from searchengine_ray.pipelines.fulltext import _crc_partition
+    from searchengine_ray.textproc import tokens_flat_arrow
+
+    def explode(batch: pa.Table) -> pa.Table:
+        flat, parents = tokens_flat_arrow(batch["text"], mode="simple")
+        toks = np.asarray(flat.to_pylist(), dtype=object)
+        empty = pa.table(
+            {"doc_id": pa.array([], type=pa.int64()),
+             "bigram": pa.array([], type=pa.string()),
+             "m": pa.array([], type=pa.int64()),
+             "q": pa.array([], type=pa.int64())}
+        )
+        if toks.size < 2:
+            return empty
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        same = parents[:-1] == parents[1:]
+        if not same.any():
+            return empty
+        big = np.char.add(
+            np.char.add(toks[:-1].astype(str), " "), toks[1:].astype(str)
+        )[same]
+        rows = doc_ids[parents[:-1][same]]
+        g = (
+            pd.DataFrame({"doc_id": rows, "bigram": big})
+            .groupby(["doc_id", "bigram"], as_index=False)
+            .size()
+        )
+        g.columns = ["doc_id", "bigram", "m"]
+        g["m"] = g["m"].astype("int64")
+        g["q"] = _crc_partition(g["bigram"])
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def score_partition(group: pa.Table) -> pa.Table:
+        df = group.select(["doc_id", "bigram", "m"]).to_pandas()
+        cnt = df.groupby("bigram")["m"].sum()
+        t_p = int(cnt.sum())
+        b_p = int(len(cnt))
+        logc = np.log(cnt.to_numpy(dtype=np.float64) + 1.0)
+        per_row = df["m"].to_numpy(dtype=np.float64) * logc[
+            cnt.index.get_indexer(df["bigram"])
+        ]
+        agg = pd.DataFrame(
+            {"doc_id": df["doc_id"], "n": df["m"], "s": per_row}
+        ).groupby("doc_id", as_index=False).sum()
+        out = pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate((agg["doc_id"].to_numpy(dtype=np.int64), [-1])),
+                    type=pa.int64(),
+                ),
+                "n": pa.array(
+                    np.concatenate((agg["n"].to_numpy(dtype=np.int64), [b_p])),
+                    type=pa.int64(),
+                ),
+                "s": pa.array(
+                    np.concatenate((agg["s"].to_numpy(dtype=np.float64), [float(t_p)])),
+                    type=pa.float64(),
+                ),
+            }
+        )
+        return out
+
+    partials = (
+        read_documents(sf_dir)
+        .map_batches(explode, batch_format="pyarrow", batch_size=2048)
+        .groupby("q")
+        .map_groups(score_partition, batch_format="pyarrow")
+        .materialize()  # reduced rows (≤ one per (doc, partition) + 64 tags)
+    )
+
+    def split_tags(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.equal(batch["doc_id"], -1))
+
+    tags = partials.map_batches(split_tags, batch_format="pyarrow").to_pandas()
+    total = float(tags["s"].sum())  # T
+    distinct = int(tags["n"].sum())  # B
+    log_tb = float(np.log(total + distinct)) if (total + distinct) > 0 else 0.0
+
+    def add_doc_part(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids >= 0
+        t = batch.filter(pa.array(keep))
+        ids = ids[keep]
+        return t.append_column("q2", pa.array((ids % 64).astype(np.int64)))
+
+    def combine_doc(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        s = group["s"].to_numpy(zero_copy_only=False)
+        # lexsort on (id, s): per-doc float summation order is deterministic
+        # across runs regardless of partition-row arrival order
+        order = np.lexsort((s, ids))
+        ids, s = ids[order], s[order]
+        n = group["n"].to_numpy(zero_copy_only=False)[order]
+        uids, starts = np.unique(ids, return_index=True)
+        n_sum = np.add.reduceat(n, starts)
+        s_sum = np.add.reduceat(s, starts)
+        avg = s_sum / n_sum - log_tb
+        return pa.table(
+            {
+                "doc_id": pa.array(uids, type=pa.int64()),
+                "n_bigrams": pa.array(n_sum.astype(np.int64)),
+                "avg_logp_r": pa.array(_round_vec(avg), type=pa.float64()),
+            }
+        )
+
+    return (
+        partials.map_batches(add_doc_part, batch_format="pyarrow")
+        .groupby("q2")
+        .map_groups(combine_doc, batch_format="pyarrow")
+    )

@@ -182,6 +182,31 @@ class TestTextStats:
             assert row["top_bigram_frac_r"] == round_half_away(want_top)
         assert len(out) == n_with_tokens
 
+    def test_lm_score_brute(self, ray_session, docs):
+        import math
+        from collections import Counter
+
+        from searchengine_ray.pipelines.fulltext import round_half_away
+        from searchengine_ray.pipelines.textstats import lm_score
+        from searchengine_ray.textproc import tokenize_simple
+
+        out = lm_score(SF).to_pandas().set_index("doc_id")
+        corpus = Counter()
+        per_doc = {}
+        for did in docs:
+            toks = tokenize_simple(docs[did] or "")
+            bgs = list(zip(toks, toks[1:]))
+            if bgs:
+                per_doc[did] = bgs
+                corpus.update(bgs)
+        T, B = sum(corpus.values()), len(corpus)
+        assert len(out) == len(per_doc)
+        for did, bgs in per_doc.items():
+            row = out.loc[did]
+            assert row["n_bigrams"] == len(bgs)
+            want = sum(math.log(corpus[bg] + 1) for bg in bgs) / len(bgs) - math.log(T + B)
+            assert abs(row["avg_logp_r"] - round_half_away(want)) <= 1e-4
+
     def test_langid_heuristic(self, ray_session, docs):
         """The testdata `lang` column is random metadata over uniform
         English-ish text, so we verify the heuristic itself: deterministic,
