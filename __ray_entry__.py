@@ -264,6 +264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_sample_hex": multimodal.frame_sample_hex,  # oracle: hex BLOB slices
         # --- training-data preparation ---
         "sample_split": traindata.sample_split,       # oracle: md5-hex-digit buckets
+        "export_shards": traindata.export_shards,     # oracle: md5-byte shard summary
         "stratified_sample": traindata.stratified_sample,  # oracle: window row_number per lang
         "pack_sequences": traindata.pack_sequences,   # oracle: window cumsum
         # oracle: planted PII rows are closed-form string concat in SQL
@@ -412,6 +413,14 @@ SELECT doc_id,
        CASE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
             WHEN 'f' THEN 'test' WHEN 'e' THEN 'val' ELSE 'train' END AS split
 FROM documents""",
+        "export_shards": """
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS n_chars
+FROM (SELECT text,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT) % 8 AS shard
+      FROM documents)
+GROUP BY shard""",
         "stratified_sample": """
 SELECT lang, CAST(rn - 1 AS BIGINT) AS rank, doc_id FROM (
   SELECT lang, doc_id,

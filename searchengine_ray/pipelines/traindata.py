@@ -18,6 +18,7 @@ regexp_replace chain), so each is hash-checked against DuckDB.
 from __future__ import annotations
 
 import hashlib
+import os
 import re
 
 import numpy as np
@@ -399,4 +400,76 @@ def decontaminate(sf_dir: str, n: int = DECON_N, plant: bool = False):
 
     return read_documents(sf_dir).map_batches(
         probe, batch_format="pyarrow", batch_size=2048
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partitioned training-data export (the resumable-output layout)
+# ---------------------------------------------------------------------------
+
+
+def export_shards(sf_dir: str, n_shards: int = 8, out_root: str | None = None):
+    """(shard, n_docs, n_chars): deterministic key-stable shard assignment
+    (first md5 byte of the doc key, mod ``n_shards``) plus a PARTITIONED
+    parquet export — one ``shard=K/`` directory per shard, each written
+    atomically (tmp + rename): a crashed run never leaves a partial shard
+    visible, a re-run replaces shards idempotently, and a consumer can
+    checkpoint at shard granularity (the same resume grain as the index
+    build's shards). Membership never depends on corpus size, ordering or
+    parallelism. Returns the per-shard summary table (hash-checkable); the
+    files land under ``out_root``.
+
+    Scale shape: assignment is a stateless map; the write runs one task per
+    shard (bounded groups = n_shards — a LOW-cardinality map_groups), and
+    the summary is one row per shard."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    out_dir = out_root or os.path.join(
+        tempfile.gettempdir(), "searchengine_ray_export",
+        hashlib.md5(f"{os.path.abspath(sf_dir)}|{n_shards}".encode()).hexdigest()[:12],
+    )
+    os.makedirs(out_dir, exist_ok=True)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        md5 = hashlib.md5
+        first = np.fromiter(
+            (md5(b"%d" % i).digest()[0] for i in ids.tolist()),
+            dtype=np.int64,
+            count=ids.size,
+        )
+        return batch.append_column("shard", pa.array(first % n_shards))
+
+    def write_shard(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq_mod
+
+        k = int(group["shard"][0].as_py())
+        shard_dir = os.path.join(out_dir, f"shard={k:05d}")
+        tmp = shard_dir + f".tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        body = group.sort_by("doc_id").drop_columns(["shard"])
+        pq_mod.write_table(body, os.path.join(tmp, "part-00000.parquet"))
+        shutil.rmtree(shard_dir, ignore_errors=True)
+        os.replace(tmp, shard_dir)
+        n_chars = int(
+            pc.sum(pc.utf8_length(pc.fill_null(body["text"], ""))).as_py() or 0
+        )
+        return pa.table(
+            {
+                "shard": pa.array([k], type=pa.int64()),
+                "n_docs": pa.array([body.num_rows], type=pa.int64()),
+                "n_chars": pa.array([n_chars], type=pa.int64()),
+            }
+        )
+
+    return (
+        read_documents(sf_dir, columns=("doc_id", "text"))
+        .map_batches(assign, batch_format="pyarrow", batch_size=8192)
+        .groupby("shard")
+        .map_groups(write_shard, batch_format="pyarrow")
     )

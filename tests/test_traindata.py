@@ -170,3 +170,45 @@ class TestStratifiedSample:
             # every kept doc appears in the same relative order in both
             full_order = out[out["lang"] == lang].sort_values("rank")["doc_id"].tolist()
             assert kept == [d for d in full_order if d in set(sub_sample)]
+
+
+class TestExportShards:
+    def test_roundtrip_and_summary(self, ray_session, docs, tmp_path):
+        """Exported shard dirs union back to exactly the input documents;
+        the summary matches a brute-force recount; assignment is key-stable
+        (first md5 byte mod n_shards)."""
+        import os
+
+        from searchengine_ray.pipelines.traindata import export_shards
+
+        out_root = str(tmp_path / "export")
+        summary = export_shards(SF, n_shards=8, out_root=out_root).to_pandas()
+        want = {}
+        for did, text in docs.items():
+            k = hashlib.md5(b"%d" % did).digest()[0] % 8
+            n, c = want.get(k, (0, 0))
+            want[k] = (n + 1, c + len(text or ""))
+        assert len(summary) == len(want)
+        for _, row in summary.iterrows():
+            assert (row["n_docs"], row["n_chars"]) == want[row["shard"]]
+
+        got = {}
+        for d in sorted(os.listdir(out_root)):
+            assert d.startswith("shard=") and not d.endswith(".tmp")
+            t = pq.read_table(os.path.join(out_root, d))
+            k = int(d.split("=")[1])
+            for r in t.to_pylist():
+                assert hashlib.md5(b"%d" % r["doc_id"]).digest()[0] % 8 == k
+                got[r["doc_id"]] = r["text"]
+        assert got == docs
+
+    def test_rerun_is_idempotent(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.traindata import export_shards
+
+        out_root = str(tmp_path / "export2")
+        a = export_shards(SF, n_shards=8, out_root=out_root).to_pandas()
+        b = export_shards(SF, n_shards=8, out_root=out_root).to_pandas()
+        cols = ["shard", "n_docs", "n_chars"]
+        pa_ = a[cols].sort_values("shard").reset_index(drop=True)
+        pb_ = b[cols].sort_values("shard").reset_index(drop=True)
+        assert pa_.equals(pb_)
