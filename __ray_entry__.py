@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window_events": relational.sliding_window_events,  # oracle: unnest slides
         "sessionize_events": relational.sessionize_events,
         "asof_join_events": relational.asof_join_events,
+        "range_join_events": relational.range_join_events,  # oracle: inequality join
         "exact_quantiles": relational.exact_quantiles,  # oracle: quantile_disc
         "broadcast_join_orders": relational.broadcast_join_orders,
         # --- dedup family ---
@@ -750,6 +751,16 @@ SELECT c.event_id, c.user_id,
 FROM (SELECT * FROM events WHERE event_type = 'click') c
 ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
   ON c.user_id = v.user_id AND v.ts <= c.ts""",
+        # attribution-window range join: all same-user views within 1h
+        # BEFORE (inclusive) each click — one row per qualifying pair
+        "range_join_events": """
+SELECT c.event_id AS click_id, v.event_id AS view_id,
+       CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS lag_us
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id
+ AND v.ts <= c.ts
+ AND epoch_us(v.ts) >= epoch_us(c.ts) - 3600000000""",
         # exact discrete quantiles: engine selects the ceil(n*q)-th order
         # statistic by counting passes; quantile_disc uses the same rank rule
         "exact_quantiles": """

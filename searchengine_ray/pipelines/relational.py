@@ -420,3 +420,102 @@ def sliding_window_events(sf_dir: str):
     out["sum_value_r"] = _round_vec(out["sum_value"].to_numpy())
     out["n_events"] = out["n_events"].astype("int64")
     return out[["window_us", "event_type", "n_events", "sum_value_r"]]
+
+
+def range_join_events(sf_dir: str, delta_us: int = WINDOW_US):
+    """Range (interval) join — an operator Ray Data lacks: every 'click'
+    event matched to ALL of the same user's 'view' events with
+    ``view.ts ∈ [click.ts − delta_us, click.ts]`` (inclusive), the
+    attribution-window join of event analytics. Output
+    (click_id, view_id, lag_us), one row per qualifying pair.
+
+    Shape (the as-of join's partitioning, generalized from latest-1 to
+    all-in-window): users hash into fixed partitions, so every qualifying
+    pair is partition-local; per partition ONE vectorized pass — views
+    lexsorted by (user, ts) and packed into a (dense user rank << 42) | Δts
+    composite key, per-click [lo, hi) bounds via two ``np.searchsorted``
+    calls over the packed keys, pair expansion via repeat + offset arange
+    (no Python over clicks or pairs). Partitioning assumption: pairs join
+    within a user — time does NOT partition (a window straddles any time
+    cut), which is why the key is the user, exactly like ``asof_join``."""
+    import ray.data as rd
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "ts_us": batch["ts"].cast(pa.int64()),
+                "event_type": batch["event_type"],
+                "q": pa.array((u % _USER_PARTITIONS).astype(np.int64)),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "click_id": pa.array([], type=pa.int64()),
+            "view_id": pa.array([], type=pa.int64()),
+            "lag_us": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def join_window(group: pa.Table) -> pa.Table:
+        et = group["event_type"].to_numpy(zero_copy_only=False)
+        is_c, is_v = et == "click", et == "view"
+        if not (is_c.any() and is_v.any()):
+            return empty
+        uid = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = group["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # dense user ranks shared by both sides; ts offsets must fit the low
+        # 42 bits of the packed key (≈ 50 days of µs — the events table
+        # spans weeks; a wider span would bump the shift, not the algorithm)
+        uranks = np.unique(uid)
+        t0 = int(ts.min())
+        span = int(ts.max()) - t0
+        shift = max(42, span.bit_length() + 1)
+        # int64 headroom: distinct users per PARTITION must fit above the
+        # ts bits (2^21 at shift=42). _USER_PARTITIONS is the scale knob —
+        # more partitions ⇒ fewer users each; fail loud rather than wrap.
+        if uranks.size << shift < 0 or (uranks.size >> (63 - shift)) > 0:
+            raise ValueError(
+                f"range_join key overflow: {uranks.size} users × 2^{shift} ts "
+                "bits — raise _USER_PARTITIONS for this corpus"
+            )
+        ur = np.searchsorted(uranks, uid).astype(np.int64)
+        key = (ur << shift) | (ts - t0)
+
+        vsel = np.nonzero(is_v)[0]
+        vkey = np.sort(key[vsel])
+        vorder = vsel[np.argsort(key[vsel], kind="stable")]
+        csel = np.nonzero(is_c)[0]
+        lo_ts = np.maximum(ts[csel] - delta_us - t0, 0)
+        lo = np.searchsorted(vkey, (ur[csel] << shift) | lo_ts, side="left")
+        hi = np.searchsorted(vkey, (ur[csel] << shift) | (ts[csel] - t0), side="right")
+        counts = hi - lo
+        keep = counts > 0
+        if not keep.any():
+            return empty
+        csel, lo, counts = csel[keep], lo[keep], counts[keep]
+        total = int(counts.sum())
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        vidx = vorder[np.repeat(lo, counts) + np.arange(total) - np.repeat(starts, counts)]
+        cidx = np.repeat(csel, counts)
+        return pa.table(
+            {
+                "click_id": pa.array(eid[cidx], type=pa.int64()),
+                "view_id": pa.array(eid[vidx], type=pa.int64()),
+                "lag_us": pa.array(ts[cidx] - ts[vidx], type=pa.int64()),
+            }
+        )
+
+    return (
+        read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "user_id", "ts", "event_type"],
+        )
+        .map_batches(add_part, batch_format="pyarrow", batch_size=8192)
+        .groupby("q")
+        .map_groups(join_window, batch_format="pyarrow")
+    )

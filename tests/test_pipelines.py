@@ -430,6 +430,64 @@ class TestIVF:
                 assert got[row["event_id"]] == views["ts_us"].max()
         assert n_matched == len(out)
 
+    def test_range_join_bruteforce_and_boundaries(self, ray_session, tmp_path):
+        """Planted events: inclusive [click-1h, click] window, same-user
+        only, multi-pair expansion, exact boundary hits on both ends."""
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.pipelines.relational import WINDOW_US, range_join_events
+
+        H = WINDOW_US
+        base = 1_700_000_000_000_000
+        rows = [
+            # user 1: click at base+H; views at exactly base (lower boundary,
+            # IN), base+1 (in), base+H (equal ts, IN), base-1 (OUT)
+            (1, 1, base - 1, "view"), (2, 1, base, "view"),
+            (3, 1, base + 1, "view"), (4, 1, base + H, "view"),
+            (5, 1, base + H, "click"),
+            # user 2: same timestamps — must NOT cross users
+            (6, 2, base, "view"), (7, 2, base + 2 * H, "click"),
+            # user 1: second click later — only the in-window view
+            (8, 1, base + 2 * H + 5, "click"), (9, 1, base + H + 10, "view"),
+        ]
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+                "ts": pa.array([r[2] for r in rows], type=pa.timestamp("us")),
+                "event_type": pa.array([r[3] for r in rows], type=pa.string()),
+                "value": pa.array([0.0] * len(rows)),
+            }
+        )
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        pq.write_table(t, str(sf / "events.parquet"))
+        out = range_join_events(str(sf)).to_pandas()
+        pairs = set(zip(out["click_id"], out["view_id"]))
+        assert pairs == {(5, 2), (5, 3), (5, 4), (8, 9)}
+        lag = dict(zip(zip(out["click_id"], out["view_id"]), out["lag_us"]))
+        assert lag[(5, 2)] == H and lag[(5, 4)] == 0 and lag[(8, 9)] == H - 5
+
+        # and brute force over the real sf0.001 events
+        out2 = range_join_events(SF).to_pandas()
+        ev = pq.read_table(
+            f"{SF}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+        ).to_pandas()
+        ev["ts_us"] = ev["ts"].astype("int64")
+        want = set()
+        clicks = ev[ev["event_type"] == "click"]
+        views = ev[ev["event_type"] == "view"]
+        for _, c in clicks.iterrows():
+            m = views[
+                (views["user_id"] == c["user_id"])
+                & (views["ts_us"] <= c["ts_us"])
+                & (views["ts_us"] >= c["ts_us"] - H)
+            ]
+            want |= {(c["event_id"], v) for v in m["event_id"]}
+        assert set(zip(out2["click_id"], out2["view_id"])) == want
+
     def test_distributed_training_matches_quality(self, ray_session, emb):
         """Distributed Lloyd's must produce a comparable-quality quantizer:
         every vector's assigned centroid similarity within a small margin of
