@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "knn_cosine": lambda sf: similarity.knn_cosine(sf, query_vec_id=0, k=10),
         "knn_batch": lambda sf: similarity.knn_batch(sf, query_vec_ids=(0, 1, 2, 3, 4), k=5),
+        "semantic_search": similarity.semantic_search,  # oracle: cosine top-k ⋈ documents
         # CC over the embedding-channel near-dup pairs (planted fixtures)
         "embedding_cluster": lambda sf: similarity.embedding_cluster(sf, 0.95, plant=True),
         "lsh_knn": lambda sf: similarity.lsh_knn(sf, query_vec_id=0, k=10),  # oracle: probe-bucket cosine top-k
@@ -855,6 +856,18 @@ FROM (SELECT e.vec_id,
              list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS sim
       FROM embeddings e CROSS JOIN q)
 QUALIFY rank < 10""",
+        "semantic_search": """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+topk AS (
+  SELECT CAST(row_number() OVER (ORDER BY round(sim, 4) DESC, vec_id ASC) - 1 AS BIGINT) AS rank,
+         vec_id, round(sim, 4) AS sim_r
+  FROM (SELECT e.vec_id,
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS sim
+        FROM embeddings e CROSS JOIN q)
+  QUALIFY rank < 10)
+SELECT t.rank, t.vec_id AS doc_id, t.sim_r,
+       CAST(length(coalesce(d.text, '')) AS BIGINT) AS n_chars
+FROM topk t JOIN documents d ON d.doc_id = t.vec_id""",
         "langid": """
 WITH raw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
              FROM documents),

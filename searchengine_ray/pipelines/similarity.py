@@ -739,3 +739,39 @@ def embedding_cluster(sf_dir: str, threshold: float = 0.95, plant: bool = True):
         return pa.table({"doc_id": batch["node"], "rep_doc_id": batch["lbl"]})
 
     return connected_components(pairs_ds).map_batches(rename, batch_format="pyarrow")
+
+
+# --- semantic search: retrieval + hydration ---------------------------------
+
+
+def semantic_search(sf_dir: str, query_vec_id: int = 0, k: int = 10):
+    """(rank, doc_id, sim_r, n_chars): cosine top-k over the embedding
+    column JOINED back to the documents table — the retrieval-with-hydration
+    flow of a semantic search stack (embedding index answers "which ids",
+    the document store answers "what text"). vec_id keys the embeddings to
+    doc_id one-to-one here (the driver's testdata contract).
+
+    Shape: the scan-side top-k is :func:`knn_cosine` (per-batch matmul,
+    k·n_batches candidate rows to the driver); hydration is a k-row
+    FILTERED point read of the documents parquet (predicate pushdown — a
+    page of ids never justifies a distributed join, the same rule as the
+    engine's result-page hydration)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    top = knn_cosine(sf_dir, query_vec_id=query_vec_id, k=k)
+    ids = [int(v) for v in top["vec_id"].tolist()]
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "in", ids)],
+    )
+    n_chars = dict(
+        zip(
+            docs["doc_id"].to_pylist(),
+            pc.utf8_length(pc.fill_null(docs["text"], "")).to_pylist(),
+        )
+    )
+    out = top.rename(columns={"vec_id": "doc_id"})
+    out["n_chars"] = out["doc_id"].map(lambda d: int(n_chars.get(d, 0))).astype("int64")
+    return out[["rank", "doc_id", "sim_r", "n_chars"]]

@@ -141,6 +141,26 @@ class TestSimilarity:
         assert len(empty) == 0 and list(empty.columns) == ["doc_a", "doc_b", "sim_r"]
 
 
+class TestSemanticSearch:
+    def test_topk_hydration_matches_bruteforce(self, ray_session, docs, emb):
+        import numpy as np
+
+        from searchengine_ray.pipelines.fulltext import round_half_away
+        from searchengine_ray.pipelines.similarity import semantic_search
+
+        out = semantic_search(SF, query_vec_id=0, k=10)
+        ids, mat = emb
+        q = mat[list(ids).index(0)]
+        sims = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+        order = sorted(
+            range(len(ids)),
+            key=lambda i: (-round_half_away(sims[i]), ids[i]),
+        )[:10]
+        assert out["doc_id"].tolist() == [int(ids[i]) for i in order]
+        for _, row in out.iterrows():
+            assert row["n_chars"] == len(docs[row["doc_id"]] or "")
+
+
 class TestTextStats:
     def test_token_count_spot(self, ray_session, docs):
         from searchengine_ray.pipelines.textstats import token_count
