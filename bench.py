@@ -191,8 +191,13 @@ def main_single() -> None:
         "num_cpus": NUM_CPUS,
         "headline": headline,
     }
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
     ray.shutdown()
+    # Observed rarely in this sandbox: the interpreter lingers in a
+    # post-shutdown atexit sleep (single remaining thread), which stalls any
+    # caller waiting on process exit. The result line is already flushed —
+    # exit deterministically.
+    os._exit(0)
 
 
 def _scaling_leg(n: int, rep: int) -> dict:
@@ -200,8 +205,8 @@ def _scaling_leg(n: int, rep: int) -> dict:
         "import sys, json, ray; sys.path.insert(0, %r); "
         "ray.init(address='local', num_cpus=%d, include_dashboard=False); "
         "from bench import run_headline; "
-        "print('RESULT::' + json.dumps(run_headline(%d, tag='scale%d_r%d', n_convs=%d, avg_turns=%f))); "
-        "ray.shutdown()"
+        "print('RESULT::' + json.dumps(run_headline(%d, tag='scale%d_r%d', n_convs=%d, avg_turns=%f)), flush=True); "
+        "ray.shutdown(); import os as _o; _o._exit(0)"
         % (os.path.dirname(os.path.abspath(__file__)), n, n, n, rep, SCALE_CONVS, SCALE_TURNS)
     )
     # one retry behind a bounded timeout: a Ray worker-pool startup crash
