@@ -478,7 +478,7 @@ def range_join_events(sf_dir: str, delta_us: int = WINDOW_US):
         # int64 headroom: distinct users per PARTITION must fit above the
         # ts bits (2^21 at shift=42). _USER_PARTITIONS is the scale knob —
         # more partitions ⇒ fewer users each; fail loud rather than wrap.
-        if uranks.size << shift < 0 or (uranks.size >> (63 - shift)) > 0:
+        if (uranks.size >> (63 - shift)) > 0:
             raise ValueError(
                 f"range_join key overflow: {uranks.size} users × 2^{shift} ts "
                 "bits — raise _USER_PARTITIONS for this corpus"
