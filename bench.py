@@ -212,12 +212,16 @@ def _scaling_leg(n: int, rep: int) -> dict:
     # one retry behind a bounded timeout: a Ray worker-pool startup crash
     # (observed rarely in this sandbox: "workers ... have not registered
     # within the timeout") hangs the leg forever; killing and retrying in a
-    # fresh process recovers, and a hung leg must not stall the whole sweep
+    # fresh process recovers, and a hung leg must not stall the whole sweep.
+    # The timeout stays at the original 3000 s (a healthy leg is 30-250 s,
+    # the hang is forever): this VM slows 1.8-3.5x in waves, so a tighter
+    # bound would kill a slow-but-healthy leg and re-run it under the same
+    # degraded conditions.
     for attempt in (0, 1):
         try:
             out = subprocess.run(
                 [sys.executable, "-c", code],
-                capture_output=True, text=True, timeout=1500,
+                capture_output=True, text=True, timeout=3000,
             )
         except subprocess.TimeoutExpired:
             sys.stderr.write(f"leg num_cpus={n} rep={rep} timed out (attempt {attempt})\n")

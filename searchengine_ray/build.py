@@ -46,6 +46,7 @@ import os
 import shutil
 import threading
 import time
+import uuid as _uuid
 import zlib
 
 import numpy as np
@@ -923,6 +924,13 @@ def _finalize_distributed(
 
     manifest = {
         "version": 1,
+        # build epoch: every finalize mints a fresh id; upsert generations
+        # are stamped with it and DeltaView/load_state ignore generations
+        # whose epoch doesn't match the loaded manifest — this makes the
+        # post-finalize clear_delta logically atomic with finalize (a crash
+        # in between can no longer leave stale upserts, keyed to the OLD
+        # conv ranking, durably overlaid on the rebuilt index)
+        "build_id": _uuid.uuid4().hex,
         "n_docs": n_docs,
         "total_len": total_len,
         "avgdl": (total_len / n_docs) if n_docs else 0.0,
@@ -1032,6 +1040,13 @@ def _finalize(
 
     manifest = {
         "version": 1,
+        # build epoch: every finalize mints a fresh id; upsert generations
+        # are stamped with it and DeltaView/load_state ignore generations
+        # whose epoch doesn't match the loaded manifest — this makes the
+        # post-finalize clear_delta logically atomic with finalize (a crash
+        # in between can no longer leave stale upserts, keyed to the OLD
+        # conv ranking, durably overlaid on the rebuilt index)
+        "build_id": _uuid.uuid4().hex,
         "n_docs": n_docs,
         "total_len": total_len,
         "avgdl": (total_len / n_docs) if n_docs else 0.0,
@@ -1223,4 +1238,10 @@ def build_index(
         from searchengine_ray.delta import clear_delta
 
         clear_delta(index_dir)
+    else:
+        # the caller proved the overlay survives this finalize (unchanged
+        # input fingerprints ⇒ identical conv ranking); adopt the new epoch
+        from searchengine_ray.delta import rebind_delta_epoch
+
+        rebind_delta_epoch(index_dir, manifest.get("build_id"))
     return manifest

@@ -13,6 +13,10 @@ GET /api/statistics     ``stats  --index DIR``
 DELETE /api/deleteAll   ``clear  --index DIR``
 (no reference analog)   ``pipeline NAME --input DIR --out DIR`` — run any
                         registered data pipeline, write partitioned parquet
+ALL of the above        ``serve --index DIR [--port N --actors K --input DIR]``
+                        — the actual HTTP surface (server.py): /api/search,
+                        /api/statistics, /api/startIndexing, /api/stopIndexing,
+                        /api/indexPage, /api/deleteAll
 =====================  =======================================================
 
 Run locally (``python -m searchengine_ray build ...``) or via
@@ -260,60 +264,42 @@ def cmd_search_batch(args: argparse.Namespace) -> int:
 
 def cmd_stats(args: argparse.Namespace) -> int:
     """Statistics endpoint analogue (``services/StatisticsServiceImpl.java:30-62``):
-    global totals + per-shard detail from the lineage manifests."""
-    import os
+    global totals + per-shard detail from the lineage manifests, with the
+    doc-level upsert overlay folded in (delta.py) exactly like IndexReader
+    does for serving. One shared envelope builder with ``GET
+    /api/statistics`` (server.py) so the two surfaces cannot drift."""
+    from searchengine_ray.server import index_statistics
 
-    from searchengine_ray.delta import load_state
+    print(json.dumps(index_statistics(args.index)))
+    return 0
 
-    with open(os.path.join(args.index, "manifest.json")) as f:
-        m = json.load(f)
-    # fold in the doc-level upsert overlay so stats describe the CURRENT
-    # corpus (delta.py), exactly like IndexReader does for serving
-    st = load_state(args.index)
-    n_docs, total_len = m["n_docs"], m["total_len"]
-    sites = {k: dict(v) for k, v in (m.get("sites") or {}).items()}
-    if st:
-        n_docs += int(st["n_docs_delta"])
-        total_len += int(st["total_len_delta"])
-        for site, (dn, dlen) in st.get("sites_delta", {}).items():
-            e = sites.setdefault(site, {"n_docs": 0, "total_len": 0, "avgdl": 0.0})
-            e["n_docs"] = int(e.get("n_docs", 0)) + int(dn)
-            e["total_len"] = int(e.get("total_len", 0)) + int(dlen)
-            e["avgdl"] = (e["total_len"] / e["n_docs"]) if e["n_docs"] else 0.0
-        sites = {k: v for k, v in sites.items() if v["n_docs"] > 0}
-    avgdl = (total_len / n_docs) if n_docs else 0.0
-    print(
-        json.dumps(
-            {
-                "result": True,
-                "statistics": {
-                    "total": {
-                        "docs": n_docs,
-                        "lemmas": m["n_lemmas"],
-                        "avgdl": round(avgdl, 4),
-                        "shards": len(m["shards"]),
-                        "pending_upserts": len(st["generations"]) if st else 0,
-                        "indexing": False,
-                    },
-                    "detailed": [
-                        {
-                            "shard": s["shard"],
-                            "status": s["status"],
-                            "rows": s["n_input_rows"],
-                            "wall_sec": s["wall_sec"],
-                        }
-                        for s in m["shards"]
-                    ],
-                    # per-site detail (reference statistics per site,
-                    # services/StatisticsServiceImpl.java:30-62)
-                    "sites": {
-                        name: {"docs": s["n_docs"], "avgdl": round(s["avgdl"], 4)}
-                        for name, s in sites.items()
-                    },
-                },
-            }
-        )
+
+def cmd_serve(args: argparse.Namespace) -> int:
+    """HTTP serving (the reference's actual user-facing surface,
+    ``controllers/ApiController.java:26-69``): /api/search, /api/statistics,
+    /api/startIndexing, /api/stopIndexing, /api/indexPage, /api/deleteAll
+    over stdlib ``http.server`` (the sandbox lacks aiohttp, so Ray's
+    dashboard/job HTTP stack can't host this — see BASELINE.md)."""
+    from searchengine_ray.server import make_server
+
+    if args.actors > 1 or args.input:
+        _ensure_ray(args.num_cpus)  # sharded serving / builds need a session
+    srv = make_server(
+        args.index,
+        host=args.host,
+        port=args.port,
+        input_dir=args.input,
+        actors=args.actors,
     )
+    host, port = srv.server_address[:2]
+    print(json.dumps({"result": True, "listening": f"http://{host}:{port}"}), flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.service.close()
+        srv.server_close()
     return 0
 
 
@@ -414,6 +400,15 @@ def main(argv: list[str] | None = None) -> int:
     sb.add_argument("--batch-size", type=int, default=32)
     sb.add_argument("--num-cpus", type=int, default=None)
     sb.set_defaults(fn=cmd_search_batch)
+
+    sv = sub.add_parser("serve", help="HTTP API server (reference REST surface)")
+    sv.add_argument("--index", required=True)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8080)
+    sv.add_argument("--input", default=None, help="corpus dir for /api/startIndexing")
+    sv.add_argument("--actors", type=int, default=1, help=">1 = sharded serving")
+    sv.add_argument("--num-cpus", type=int, default=None)
+    sv.set_defaults(fn=cmd_serve)
 
     st = sub.add_parser("stats", help="index statistics")
     st.add_argument("--index", required=True)

@@ -105,12 +105,43 @@ def load_state(index_dir: str) -> dict | None:
     if not os.path.exists(path):
         return None
     with open(path) as f:
-        return json.load(f)
+        state = json.load(f)
+    # Epoch gate: a crash in the window between a full rebuild's _finalize
+    # and its clear_delta would otherwise leave generations — whose docids
+    # are relative to the OLD conv ranking — durably applied over the new
+    # index. Each finalize mints a manifest build_id; upserts stamp it into
+    # state, and state from a different epoch is treated as absent (the
+    # next upsert physically clears it). Legacy manifests without build_id
+    # keep the old behavior.
+    mpath = os.path.join(index_dir, "manifest.json")
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            mid = json.load(f).get("build_id")
+        if mid is not None and state.get("build_id") != mid:
+            return None
+    return state
 
 
 def clear_delta(index_dir: str) -> None:
     """Drop all delta generations (called by full rebuild / compaction)."""
     shutil.rmtree(delta_root(index_dir), ignore_errors=True)
+
+
+def rebind_delta_epoch(index_dir: str, build_id: str | None) -> None:
+    """Re-stamp the delta state onto a new build epoch. ONLY for callers
+    that have PROVEN the overlay is still valid against the new finalize —
+    ``build_index(keep_delta=True)``, i.e. cmd_reindex over unchanged input
+    fingerprints (identical conv ranking ⇒ identical docids). Every other
+    rebuild path lets the epoch gate in ``load_state`` drop stale
+    generations. Reads the raw state file (NOT load_state, which would
+    already gate on the new manifest)."""
+    path = os.path.join(delta_root(index_dir), STATE_FILE)
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        state = json.load(f)
+    state["build_id"] = build_id
+    _write_state(index_dir, state)
 
 
 def _write_state(index_dir: str, state: dict) -> None:
@@ -163,13 +194,20 @@ def upsert_docs(index_dir: str, rows: list[dict]) -> dict:
 
     # reader over main + existing deltas = the CURRENT index state
     reader = IndexReader(index_dir)
-    state = load_state(index_dir) or {
-        "generations": [],
-        "n_docs_delta": 0,
-        "total_len_delta": 0,
-        "sites_delta": {},
-        "n_convs_delta": 0,
-    }
+    state = load_state(index_dir)
+    if state is None:
+        # either no delta yet, or stale-epoch debris from a crash between a
+        # rebuild's finalize and its clear_delta — physically drop it before
+        # writing generation 0 of the new epoch
+        clear_delta(index_dir)
+        state = {
+            "build_id": manifest.get("build_id"),
+            "generations": [],
+            "n_docs_delta": 0,
+            "total_len_delta": 0,
+            "sites_delta": {},
+            "n_convs_delta": 0,
+        }
     gen_no = len(state["generations"])
 
     # -- docid assignment (existing conv rank, delta conv rank, or new) ----

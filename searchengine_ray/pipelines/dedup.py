@@ -410,7 +410,14 @@ def _bitmap_sigs_ds(sf_dir: str, shingler, universe_ref, width: int):
             if arr.size == 0:
                 continue
             mask = np.zeros(width * 8, dtype=bool)
-            mask[np.searchsorted(uni, arr)] = True
+            # membership-checked: a shingle absent from the universe (corpus
+            # mutated between the universe pass and this pass) must be
+            # dropped, not silently mapped to a wrong bit / past-the-end
+            # index — mirrors decontaminate's probe discipline
+            pos = np.searchsorted(uni, arr)
+            inb = pos < uni.size
+            pos = pos[inb]
+            mask[pos[uni[pos] == arr[inb]]] = True
             ids_out.append(did)
             sigs.append(np.packbits(mask).tobytes())
         return pa.table(

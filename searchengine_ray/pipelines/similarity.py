@@ -424,13 +424,32 @@ def ivf_train_distributed(
     return cent
 
 
-def ivf_assignments(sf_dir: str, nlist: int | None = None):
-    """(vec_id, list_id) for every vector: centroids trained DISTRIBUTED
-    (``ivf_train_distributed`` — map-reduce Lloyd passes), assignment via
-    ``map_batches`` with the centroid matrix broadcast once."""
+def literal_centroids(dim: int = 64, n: int = 8, seed: int = 7) -> np.ndarray:
+    """Seeded, row-normalized constant centroids for the SQL-checkable
+    ``ivf_assignments`` mode: the oracle embeds these exact floats as
+    literal vectors (same pattern as the LSH hyperplanes,
+    ``_lsh_assignments_sql``), so DuckDB reproduces the argmax assignment
+    without the circularity of an engine-trained codebook."""
+    c = np.random.default_rng(seed).standard_normal((n, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def ivf_assignments(sf_dir: str, nlist: int | None = None, centroids=None):
+    """(vec_id, list_id) for every vector. Default: centroids trained
+    DISTRIBUTED (``ivf_train_distributed`` — map-reduce Lloyd passes).
+    With ``centroids`` (a literal (n, dim) matrix), assignment runs against
+    that fixed codebook instead — the oracle-checkable mode (VERDICT r3
+    item 3): DuckDB computes the same argmax over the same literal vectors.
+    Either way assignment is ``map_batches`` with the matrix broadcast
+    once. Ties (equal dot products) resolve to the LOWEST list_id
+    (np.argmax first-max), mirrored by the oracle's first-match CASE."""
     import ray
 
-    cent = ivf_train_distributed(sf_dir, nlist)
+    if centroids is not None:
+        cent = np.asarray(centroids, dtype=np.float64)
+        cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    else:
+        cent = ivf_train_distributed(sf_dir, nlist)
     cent_ref = ray.put(cent)
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -673,17 +692,24 @@ def knn_batch(sf_dir: str, query_vec_ids=(0, 1, 2, 3, 4), k: int = 5):
         ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         m = _emb_matrix(batch["embedding"])
         sims = (m @ qm.T) / (np.sqrt((m * m).sum(axis=1))[:, None] * qn[None, :])
-        keep = min(2 * k, ids.size)  # margin vs rounded-tie cuts at the edge
-        part = np.argpartition(-sims, keep - 1, axis=0)[:keep]  # (keep, Q)
+        keep = min(2 * k, ids.size)
         nq = qid_arr.size
+        # Per-batch selection under the FINAL ordering key (sim_r desc,
+        # vec_id asc): selecting by raw sim with a fixed margin could drop
+        # a lower-vec_id row the oracle ranks when a rounded-tie group
+        # wider than the margin crosses the cut (ADVICE r3).
+        sims_r = _round_vec(sims)
+        sel_ids = np.empty((nq, keep), dtype=np.int64)
+        sel_sim = np.empty((nq, keep), dtype=np.float64)
+        for qi in range(nq):
+            o = np.lexsort((ids, -sims_r[:, qi]))[:keep]
+            sel_ids[qi] = ids[o]
+            sel_sim[qi] = sims[o, qi]
         return pa.table(
             {
                 "query_vec_id": pa.array(np.repeat(qid_arr, keep), type=pa.int64()),
-                "vec_id": pa.array(ids[part.T.ravel()], type=pa.int64()),
-                "sim": pa.array(
-                    np.take_along_axis(sims, part, axis=0).T.ravel(),
-                    type=pa.float64(),
-                ),
+                "vec_id": pa.array(sel_ids.ravel(), type=pa.int64()),
+                "sim": pa.array(sel_sim.ravel(), type=pa.float64()),
             }
         )
 

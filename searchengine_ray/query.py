@@ -403,6 +403,29 @@ class QueryEngine:
             )
         return out
 
+    def stub_hits(self, docids, scores, query: str) -> dict[int, dict]:
+        """Stub rows for doc-store gaps (should not happen): conv_id from
+        the conv dictionary, empty text/role, snippet built over zero
+        tokens — the exact synthesis the single-process ``search`` path
+        uses for the same case, so the sharded envelope cannot diverge
+        from it (ADVICE r3)."""
+        q_lemmas = self.analyzer.query_lemmas(query)
+        out: dict[int, dict] = {}
+        for d, score in zip(docids, scores):
+            d = int(d)
+            conv_rank, turn = d >> TURN_BITS, d & TURN_MASK
+            snip = build_snippet(
+                [],
+                q_lemmas,
+                self.analyzer,
+                window=self.config.snippet_window,
+                max_windows=self.config.snippet_max_windows,
+            )
+            out[d] = hit(
+                str(self.reader.conv_ids[conv_rank]), int(turn), float(score), snip, ""
+            )
+        return out
+
     def search_ids(self, query: str, limit: int | None = None, site: str | None = None) -> dict:
         """Hydration-free search: all matching (conv_id, turn_idx, score)
         plus total count — the bulk-evaluation path (no doc-store reads, no
@@ -502,6 +525,9 @@ class QueryActor:
 
     def hydrate_hits(self, docids, scores, query: str) -> dict[int, dict]:
         return self.engine.hydrate_hits(docids, scores, query)
+
+    def stub_hits(self, docids, scores, query: str) -> dict[int, dict]:
+        return self.engine.stub_hits(docids, scores, query)
 
     def __call__(self, batch) -> dict:
         """Batch mode: dict/pandas batch with columns (query_id, query,
@@ -635,7 +661,7 @@ class ShardedQueryService:
         hydrated = ray.get(
             [a.hydrate_hits.remote(page_ids, page_scores, query) for a in self.actors]
         )
-        data = []
+        rows: dict[int, dict] = {}
         for d in page_ids:
             # actor 0 first: the delta-overlay owner is authoritative for a
             # docid superseded by an upsert (a plain shard owner would
@@ -643,8 +669,24 @@ class ShardedQueryService:
             for h in hydrated:
                 row = h.get(d)
                 if row is not None:
-                    data.append(row)
+                    rows[d] = row
                     break
+        missing = [
+            (d, s) for d, s in zip(page_ids, page_scores) if d not in rows
+        ]
+        if missing:
+            # doc-store gap (should not happen): synthesize the SAME stub
+            # row the single-process engine emits — conv_id from the conv
+            # dictionary, empty text/snippet — instead of silently
+            # shrinking the page (ADVICE r3 envelope-divergence fix)
+            rows.update(
+                ray.get(
+                    self.actors[0].stub_hits.remote(
+                        [d for d, _ in missing], [s for _, s in missing], query
+                    )
+                )
+            )
+        data = [rows[d] for d in page_ids]
         return {"result": True, "error": None, "count": count, "data": data}
 
     def shutdown(self) -> None:

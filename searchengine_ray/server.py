@@ -1,0 +1,317 @@
+"""Thin stdlib HTTP serving layer — the reference's user-facing REST surface
+(``controllers/ApiController.java:26-69``) over the rebuilt engine.
+
+Endpoints (JSON envelopes identical to the corresponding CLI commands —
+``cli.py`` routes both through the same helpers, so they cannot drift):
+
+=========================  ==================================================
+``GET /api/search``         ``?query=Q&offset=0&limit=10[&site=S]`` —
+                            SearchResponse (``dto/search/SearchResponse.java:
+                            8-13``: result, error, count, data)
+``GET /api/statistics``     global + per-shard + per-site stats
+                            (``services/StatisticsServiceImpl.java:30-62``)
+``GET /api/startIndexing``  launch a build over the configured input in a
+                            background thread; 400 if already running
+                            (``IndexingServiceImpl.java:74-96``)
+``GET /api/stopIndexing``   cooperative stop flag — in-flight shards finish,
+                            the build exits resumable; 400 if not running
+                            (``IndexingServiceImpl.java:99-107``)
+``POST /api/indexPage``     doc-grain insert-or-replace: JSON body of one row
+                            or a list of rows (``conv_id, turn_idx, role,
+                            text``) → one delta generation
+                            (``IndexingServiceImpl.java:215-240``)
+``DELETE /api/deleteAll``   drop the index (``ApiController.java:46-49``)
+=========================  ==================================================
+
+stdlib ``http.server`` only: the sandbox ships Ray without ``aiohttp``, so
+the dashboard/job-submission HTTP stack cannot start (BASELINE.md) — this
+module is the standalone serving surface instead. The server owns NO Ray
+session; the ``serve`` CLI command (or the embedding application) does.
+Serving state follows the engine rules: single-process ``QueryEngine`` by
+default, ``ShardedQueryService`` (per-shard actors, driver-side exact merge)
+with ``actors > 1``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+ERROR_ALREADY_INDEXING = "indexing already running"  # "Индексация уже запущена"
+ERROR_NOT_INDEXING = "indexing is not running"  # "Индексация не запущена"
+ERROR_NO_INPUT = "no input corpus configured for this server"
+ERROR_NO_INDEX = "index not built"
+
+
+def index_statistics(index_dir: str) -> dict:
+    """Statistics envelope (shared by ``cli.cmd_stats`` and the HTTP
+    endpoint): manifest totals with the doc-level upsert overlay folded in,
+    exactly like ``IndexReader`` does for serving."""
+    from searchengine_ray.delta import load_state
+
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        m = json.load(f)
+    st = load_state(index_dir)
+    n_docs, total_len = m["n_docs"], m["total_len"]
+    sites = {k: dict(v) for k, v in (m.get("sites") or {}).items()}
+    if st:
+        n_docs += int(st["n_docs_delta"])
+        total_len += int(st["total_len_delta"])
+        for site, (dn, dlen) in st.get("sites_delta", {}).items():
+            e = sites.setdefault(site, {"n_docs": 0, "total_len": 0, "avgdl": 0.0})
+            e["n_docs"] = int(e.get("n_docs", 0)) + int(dn)
+            e["total_len"] = int(e.get("total_len", 0)) + int(dlen)
+            e["avgdl"] = (e["total_len"] / e["n_docs"]) if e["n_docs"] else 0.0
+        sites = {k: v for k, v in sites.items() if v["n_docs"] > 0}
+    avgdl = (total_len / n_docs) if n_docs else 0.0
+    return {
+        "result": True,
+        "statistics": {
+            "total": {
+                "docs": n_docs,
+                "lemmas": m["n_lemmas"],
+                "avgdl": round(avgdl, 4),
+                "shards": len(m["shards"]),
+                "pending_upserts": len(st["generations"]) if st else 0,
+                "indexing": False,
+            },
+            "detailed": [
+                {
+                    "shard": s["shard"],
+                    "status": s["status"],
+                    "rows": s["n_input_rows"],
+                    "wall_sec": s["wall_sec"],
+                }
+                for s in m["shards"]
+            ],
+            "sites": {
+                name: {"docs": s["n_docs"], "avgdl": round(s["avgdl"], 4)}
+                for name, s in sites.items()
+            },
+        },
+    }
+
+
+class EngineService:
+    """Engine lifecycle + endpoint semantics behind the HTTP handler.
+
+    The query engine opens lazily and reopens after any mutation (build,
+    upsert, deleteAll) so served results always reflect the current index
+    state. A lock serializes reopen against in-flight searches; with
+    ``actors > 1`` the heavy lifting happens inside the per-shard Ray
+    actors, so the driver-side lock is not a throughput bottleneck."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        input_dir: str | None = None,
+        actors: int = 1,
+        config=None,
+    ):
+        self.index_dir = index_dir
+        self.input_dir = input_dir
+        self.actors = int(actors)
+        self.config = config
+        self._engine = None
+        self._lock = threading.RLock()
+        self._build_thread: threading.Thread | None = None
+        self._build_error: str | None = None
+
+    # -- serving -----------------------------------------------------------
+
+    def _open_engine(self):
+        if self.actors > 1:
+            from searchengine_ray.query import ShardedQueryService
+
+            return ShardedQueryService(self.index_dir, num_actors=self.actors)
+        from searchengine_ray.query import QueryEngine
+
+        return QueryEngine(self.index_dir)
+
+    def _invalidate(self) -> None:
+        with self._lock:
+            eng = self._engine
+            self._engine = None
+        if eng is not None and hasattr(eng, "shutdown"):
+            eng.shutdown()
+
+    def search(self, query: str, offset: int, limit: int, site: str | None) -> dict:
+        from searchengine_ray.results import error_response
+
+        with self._lock:
+            if self._engine is None:
+                if not os.path.exists(os.path.join(self.index_dir, "manifest.json")):
+                    return error_response(ERROR_NO_INDEX)
+                self._engine = self._open_engine()
+            return self._engine.search(query, offset, limit, site=site)
+
+    def statistics(self) -> dict:
+        if not os.path.exists(os.path.join(self.index_dir, "manifest.json")):
+            return {"result": False, "error": ERROR_NO_INDEX}
+        out = index_statistics(self.index_dir)
+        out["statistics"]["total"]["indexing"] = self.indexing
+        if self._build_error:
+            out["statistics"]["total"]["last_error"] = self._build_error
+        return out
+
+    # -- indexing lifecycle --------------------------------------------------
+
+    @property
+    def indexing(self) -> bool:
+        t = self._build_thread
+        return t is not None and t.is_alive()
+
+    def start_indexing(self) -> tuple[int, dict]:
+        if self.indexing:
+            return 400, {"result": False, "error": ERROR_ALREADY_INDEXING}
+        if not self.input_dir:
+            return 400, {"result": False, "error": ERROR_NO_INPUT}
+        from searchengine_ray.build import build_index
+        from searchengine_ray.config import DEFAULT_CONFIG
+
+        # build_index consumes any stale STOP flag at entry itself
+        cfg = self.config or DEFAULT_CONFIG
+
+        def run() -> None:
+            self._build_error = None
+            try:
+                build_index(self.input_dir, self.index_dir, cfg)
+            except Exception as e:  # surfaced via /api/statistics
+                self._build_error = f"{type(e).__name__}: {e}"
+            finally:
+                self._invalidate()
+
+        self._build_thread = threading.Thread(target=run, daemon=True)
+        self._build_thread.start()
+        return 200, {"result": True, "error": ""}
+
+    def stop_indexing(self) -> tuple[int, dict]:
+        if not self.indexing:
+            return 400, {"result": False, "error": ERROR_NOT_INDEXING}
+        from searchengine_ray.build import request_stop
+
+        request_stop(self.index_dir)
+        return 200, {"result": True, "error": ""}
+
+    def index_page(self, rows: list[dict]) -> tuple[int, dict]:
+        from searchengine_ray.delta import upsert_docs
+
+        if not os.path.exists(os.path.join(self.index_dir, "manifest.json")):
+            return 400, {"result": False, "error": ERROR_NO_INDEX}
+        try:
+            out = upsert_docs(self.index_dir, rows)
+        except (KeyError, ValueError) as e:
+            return 400, {"result": False, "error": str(e)}
+        self._invalidate()
+        return 200, {"result": True, **out}
+
+    def delete_all(self) -> tuple[int, dict]:
+        self._invalidate()
+        shutil.rmtree(self.index_dir, ignore_errors=True)
+        return 200, {"result": True}
+
+    def close(self) -> None:
+        self._invalidate()
+
+
+class _Handler(BaseHTTPRequestHandler):
+    service: EngineService  # set on the subclass by make_server
+
+    # -- plumbing ------------------------------------------------------------
+
+    def log_message(self, fmt, *args):  # quiet by default
+        pass
+
+    def _send(self, code: int, payload: dict, ensure_ascii: bool = True) -> None:
+        body = json.dumps(payload, ensure_ascii=ensure_ascii).encode("utf-8")
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json; charset=utf-8")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _not_found(self) -> None:
+        self._send(404, {"result": False, "error": "unknown endpoint"})
+
+    # -- routing -------------------------------------------------------------
+
+    def do_GET(self) -> None:  # noqa: N802 (stdlib naming)
+        url = urlparse(self.path)
+        if url.path == "/api/search":
+            q = parse_qs(url.query)
+            query = q.get("query", [""])[0]
+            try:
+                offset = int(q.get("offset", ["0"])[0])
+                limit = int(q.get("limit", ["10"])[0])
+            except ValueError:
+                self._send(400, {"result": False, "error": "offset/limit must be integers"})
+                return
+            site = q.get("site", [None])[0]
+            # ensure_ascii=False matches the CLI search output byte-for-byte
+            self._send(200, self.service.search(query, offset, limit, site), ensure_ascii=False)
+        elif url.path == "/api/statistics":
+            out = self.service.statistics()
+            self._send(200 if out.get("result") else 400, out)
+        elif url.path == "/api/startIndexing":
+            code, out = self.service.start_indexing()
+            self._send(code, out)
+        elif url.path == "/api/stopIndexing":
+            code, out = self.service.stop_indexing()
+            self._send(code, out)
+        else:
+            self._not_found()
+
+    def do_POST(self) -> None:  # noqa: N802
+        url = urlparse(self.path)
+        if url.path != "/api/indexPage":
+            self._not_found()
+            return
+        try:
+            n = int(self.headers.get("Content-Length", "0"))
+            obj = json.loads(self.rfile.read(n).decode("utf-8") or "null")
+        except (ValueError, UnicodeDecodeError):
+            self._send(400, {"result": False, "error": "body must be JSON"})
+            return
+        if isinstance(obj, dict):
+            obj = [obj]
+        if not isinstance(obj, list) or not obj:
+            self._send(400, {"result": False, "error": "body must be a row or list of rows"})
+            return
+        code, out = self.service.index_page(obj)
+        self._send(code, out)
+
+    def do_DELETE(self) -> None:  # noqa: N802
+        url = urlparse(self.path)
+        if url.path != "/api/deleteAll":
+            self._not_found()
+            return
+        code, out = self.service.delete_all()
+        self._send(code, out)
+
+
+def make_server(
+    index_dir: str,
+    host: str = "127.0.0.1",
+    port: int = 8080,
+    input_dir: str | None = None,
+    actors: int = 1,
+    config=None,
+) -> ThreadingHTTPServer:
+    """Build (but don't start) the HTTP server; ``port=0`` picks a free
+    port (read it back from ``server.server_address``). The caller owns the
+    Ray session when ``actors > 1`` or indexing is used."""
+    service = EngineService(index_dir, input_dir=input_dir, actors=actors, config=config)
+    handler = type("Handler", (_Handler,), {"service": service})
+    srv = ThreadingHTTPServer((host, port), handler)
+    srv.service = service  # type: ignore[attr-defined]
+    return srv
+
+
+def start_in_thread(srv: ThreadingHTTPServer) -> threading.Thread:
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return t

@@ -447,6 +447,66 @@ class TestDeltaSurvivesRebuildLifecycles:
         assert QueryEngine(idx).search("новослово", 0, 10)["count"] == 0
 
 
+class TestBuildEpochGate:
+    """ADVICE r3: a crash in the window between a rebuild's finalize and its
+    clear_delta must not leave stale generations — whose docids are relative
+    to the OLD conv ranking — durably applied over the new index. Every
+    finalize mints a manifest ``build_id``; state from another epoch is
+    ignored and physically dropped by the next upsert."""
+
+    def test_crash_window_drops_stale_overlay(self, base, tmp_path, monkeypatch):
+        table, index_dir, root = base
+        idx = str(tmp_path / "idx")
+        shutil.copytree(index_dir, idx)
+        upsert_docs(
+            idx, [{"conv_id": "zzzz-stale", "turn_idx": 0, "role": "user", "text": NEW_TEXT_2}]
+        )
+        assert QueryEngine(idx).search("новослово", 0, 10)["count"] == 1
+
+        # simulate the crash: the rebuild finalizes (new epoch) but dies
+        # before clear_delta runs
+        import searchengine_ray.delta as delta_mod
+
+        monkeypatch.setattr(delta_mod, "clear_delta", lambda _d: None)
+        corpus_dir = str(tmp_path / "corpus")
+        _write_corpus(table, corpus_dir)
+        build_index(corpus_dir, idx, CFG)
+        monkeypatch.undo()
+
+        # stale-epoch generations still on disk, but logically absent
+        assert os.path.exists(os.path.join(idx, "delta", "state.json")) or load_state(idx) is None
+        assert load_state(idx) is None
+        assert QueryEngine(idx).search("новослово", 0, 10)["count"] == 0
+
+        # the next upsert physically clears the debris and starts epoch-fresh
+        upsert_docs(
+            idx, [{"conv_id": "zzzz-fresh", "turn_idx": 0, "role": "user", "text": NEW_TEXT_3}]
+        )
+        st = load_state(idx)
+        assert st is not None and len(st["generations"]) == 1
+        with open(os.path.join(idx, "manifest.json")) as f:
+            assert st["build_id"] == json.load(f)["build_id"]
+        assert QueryEngine(idx).search("новослово", 0, 10)["count"] == 0
+
+    def test_keep_delta_rebinds_epoch(self, base, tmp_path):
+        """build_index(keep_delta=True) — the no-op-reindex path — must
+        carry the overlay onto the NEW epoch (the caller proved validity)."""
+        table, index_dir, root = base
+        corpus_dir = str(tmp_path / "corpus")
+        _write_corpus(table, corpus_dir)
+        idx = str(tmp_path / "idx")
+        build_index(corpus_dir, idx, CFG)
+        upsert_docs(
+            idx, [{"conv_id": "conv-000000", "turn_idx": 3, "role": "tool", "text": NEW_TEXT_2}]
+        )
+        before = QueryEngine(idx).search("новослово", 0, 10)
+        assert before["count"] == 1
+        build_index(corpus_dir, idx, CFG, keep_delta=True)
+        st = load_state(idx)
+        assert st is not None and len(st["generations"]) == 1
+        assert QueryEngine(idx).search("новослово", 0, 10) == before
+
+
 class TestEmptySiteUpsert:
     def test_empty_site_doc_does_not_double_count_global_df(
         self, ray_session, tiny_corpus, tmp_path
