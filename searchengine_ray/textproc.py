@@ -168,16 +168,49 @@ _SUFFIXES: tuple[str, ...] = tuple(
 _MIN_STEM = 3
 
 
+# Pluggable inflection table (VERDICT r3 item 5): the dictionary-grade
+# resolution layer between the exception table and the suffix-strip
+# fallback. Defaults to the paradigm-generated table in morphdict.py
+# (loaded lazily ONCE PER PROCESS — the ST1 morphology-state shape);
+# ``use_lemma_table`` swaps in an external form→lemma mapping (e.g. a full
+# OpenCorpora export) or disables the layer with an empty dict.
+_LEMMA_TABLE: dict[str, str] | None = None
+
+
+def use_lemma_table(table: dict[str, str] | None) -> None:
+    """Install a custom form→normal-form table (None = revert to the
+    bundled morphdict table). Affects every Analyzer in the process; index
+    and query must run with the SAME table (same rule as the reference's
+    single LemmaFinder bean)."""
+    global _LEMMA_TABLE
+    _LEMMA_TABLE = table
+
+
+def _lemma_table() -> dict[str, str]:
+    if _LEMMA_TABLE is not None:
+        return _LEMMA_TABLE
+    from searchengine_ray.morphdict import form_table
+
+    return form_table()
+
+
 def lemma_of(word: str) -> str:
-    """Normal form of a token. Identifiers pass through verbatim (tokens are
-    already lowercase post-tokenize); irregulars via the exception table;
-    everything else via longest-suffix stripping. Mirrors the reference's
-    fallback contract: any failure → the lowercase word itself."""
+    """Normal form of a token, resolved like the reference's
+    ``LemmaFinder.getLemma`` (LemmaFinder.java:102-111): identifiers pass
+    through verbatim (tokens are already lowercase post-tokenize);
+    irregulars via the exception table; dictionary words via the inflection
+    table (first-normal-form lookup — the ``RussianLuceneMorphology``
+    analogue, see morphdict.py); out-of-vocabulary words via longest-suffix
+    stripping. Mirrors the reference's fallback contract: any failure → the
+    lowercase word itself."""
     if is_identifier(word):
         return word
     exc = LEMMA_EXCEPTIONS.get(word)
     if exc is not None:
         return exc
+    hit = _lemma_table().get(word)
+    if hit is not None:
+        return hit
     for suf in _SUFFIXES:
         if word.endswith(suf) and len(word) - len(suf) >= _MIN_STEM:
             return word[: -len(suf)]

@@ -112,6 +112,89 @@ class TestLemma:
         assert lemma_of("решение") == lemma_of("решение")
 
 
+class TestMorphDict:
+    """Dictionary-grade resolution (VERDICT r3 item 5): golden vectors that
+    DISTINGUISH first-normal-form lookup (``LemmaFinder.java:102-111``
+    semantics via morphdict.py) from the old suffix-strip — each case below
+    would produce a non-word stem or split the paradigm under stripping."""
+
+    def test_normal_forms_are_real_words(self):
+        # suffix-strip gave 'решени' / 'статей'-vs-'стать' style stems
+        assert lemma_of("решение") == "решение"
+        assert lemma_of("решения") == "решение"
+        assert lemma_of("решению") == "решение"
+        assert lemma_of("решением") == "решение"
+        assert lemma_of("решений") == "решение"
+
+    def test_paradigm_unification_across_cases(self):
+        # статья/статье/статей strip to different stems; dictionary unifies
+        for form in ["статья", "статьи", "статье", "статью", "статьей", "статей"]:
+            assert lemma_of(form) == "статья", form
+        for form in ["судья", "судьи", "судье", "судей", "судьями"]:
+            assert lemma_of(form) == "судья", form
+
+    def test_zero_ending_genitive_plural(self):
+        # bare-stem forms strip to themselves under suffix rules but are
+        # inflections of the -а/-о lemma
+        assert lemma_of("слов") == "слово"
+        assert lemma_of("жалоб") == "жалоба"
+        assert lemma_of("ошибок") == "ошибка"  # fleeting vowel
+        assert lemma_of("статей") == "статья"
+
+    def test_suppletive_and_mutating_forms(self):
+        assert lemma_of("лет") == "год"
+        assert lemma_of("времени") == "время"
+        assert lemma_of("истца") == "истец"
+        assert lemma_of("конца") == "конец"
+
+    def test_verb_conjugation_to_infinitive(self):
+        for form in ["работаю", "работает", "работали", "работая"]:
+            assert lemma_of(form) == "работать", form
+        for form in ["говорит", "говорят", "говорила"]:
+            assert lemma_of(form) == "говорить", form
+
+    def test_oov_falls_back_to_suffix_strip(self):
+        # not in the lexicon → the deterministic fallback keeps it searchable
+        assert lemma_of("абракадабрион") == "абракадабрион"
+        assert lemma_of("квазистемы") == lemma_of("квазистема")
+
+    def test_ambiguous_form_first_normal_form(self):
+        # a form claimed by several lemmas resolves to the lexicographically
+        # smallest (the reference's normalForms.get(0) analogue)
+        from searchengine_ray.morphdict import build_form_table
+
+        t = build_form_table()
+        assert t["долгом"] == "долг"  # noun 'долг' < adjective 'долгий'
+
+    def test_table_idempotent_and_coherent(self):
+        from searchengine_ray.corpus import _CONTENT
+        from searchengine_ray.morphdict import build_form_table
+
+        t = build_form_table()
+        assert len(t) > 2000
+        assert all(t[l] == l for l in set(t.values()))  # lemma → itself
+        # every corpus surface-form group maps to exactly ONE lemma and
+        # distinct groups stay distinct (index/query consistency contract)
+        group_lemma = {}
+        for stem, forms in _CONTENT.items():
+            ls = {lemma_of(w) for w in forms}
+            assert len(ls) == 1, (stem, {w: lemma_of(w) for w in forms})
+            group_lemma[stem] = ls.pop()
+        vals = list(group_lemma.values())
+        assert len(vals) == len(set(vals)), group_lemma
+
+    def test_pluggable_table_swap(self):
+        from searchengine_ray import textproc
+
+        try:
+            textproc.use_lemma_table({"зюзюка": "зюзюк"})
+            assert lemma_of("зюзюка") == "зюзюк"
+            assert lemma_of("решение") == "решен"  # custom table: fallback strips "ие"
+        finally:
+            textproc.use_lemma_table(None)
+        assert lemma_of("решение") == "решение"
+
+
 class TestAnalyzer:
     def test_lemma_counts(self):
         a = Analyzer("ru")
