@@ -263,10 +263,22 @@ def _candidate_pairs_ds(
     k=2 cuts the candidate volume ~10× at recall ≥ 0.997 for j ≥ 0.8.
 
     Over-full buckets enumerate their pairs EXACTLY in ``max_bucket``-sized
-    chunks (bounded memory, zero recall loss); only ``max_bucket_pairs``
-    caps a degenerate bucket — 2M pairs by default, logged loudly when hit
-    (such a bucket's banding key is uninformative: K identical docs really
-    do have K²/2 pairs). Rows: (a, b), a < b."""
+    chunks (bounded memory, zero recall loss). ``max_bucket_pairs`` bounds
+    the pairs ONE TASK may enumerate: a bucket above it (K identical docs
+    really do have K²/2 pairs — the banding key is uninformative) is NOT
+    truncated but DEFERRED to a second-level split (VERDICT r3 item 7):
+    its sorted doc ids partition into ``max_bucket``-sized chunks, each doc
+    is replicated to its O(K/max_bucket) grid CELLS (ci ≤ cj), cells
+    scatter across the pair partitions by cell hash, and each cell task
+    enumerates ≤ max_bucket² pairs — worst-case per-task pair volume is
+    bounded BY CONSTRUCTION, with zero recall loss. Deferred pairs bypass
+    the ``min_band_collisions`` gate (the gate is a volume knob, not a
+    semantic filter — skipping it only ADDS candidates, and verification
+    is exact) and may duplicate gated pairs; the verify join's zip stage
+    collapses duplicate candidates exactly (one side-0/side-1 adjacency
+    per pair), so the verified output is unchanged. Rows: (a, b), a < b."""
+
+    _HOT_FLAG = 1 << 62
 
     def add_part(batch: pa.Table) -> pa.Table:
         bh = batch["band_hash"].to_numpy(zero_copy_only=False)
@@ -286,6 +298,7 @@ def _candidate_pairs_ds(
         starts = np.concatenate((np.nonzero(newrun)[0], [band.size]))
         out_a: list[np.ndarray] = []
         out_b: list[np.ndarray] = []
+        out_h: list[np.ndarray] = []
         for i in range(starts.size - 1):
             lo, hi = int(starts[i]), int(starts[i + 1])
             if hi - lo < 2:
@@ -294,40 +307,69 @@ def _candidate_pairs_ds(
             k = int(bucket_ids.size)
             if k < 2:
                 continue
-            # Over-full buckets: EXACT chunked all-pairs enumeration
-            # (VERDICT r2 item 7 — no silent recall loss). Memory stays
-            # O(max_bucket²) per step; only the explicit PAIR budget caps a
-            # degenerate bucket (whose K²/2 pairs are real, just useless),
-            # and that cap is loud.
             if k * (k - 1) // 2 > max_bucket_pairs:
+                # DEFER: replicate each doc to its grid cells (ci ≤ cj);
+                # chunk c = rank // max_bucket over the SORTED ids, so a
+                # cross cell's ci docs all sort below its cj docs. One row
+                # per (doc, cell): a=doc_id, b=band_hash, h=packed cell key.
                 import logging
 
-                keep = int((1 + (1 + 8 * max_bucket_pairs) ** 0.5) // 2)
-                logging.getLogger(__name__).warning(
-                    "LSH bucket pair budget exceeded: %d docs (%d pairs) > "
-                    "budget %d — keeping first %d docs",
-                    k, k * (k - 1) // 2, max_bucket_pairs, keep,
+                n_chunks = -(-k // max_bucket)
+                if n_chunks >= 1 << 24:
+                    raise ValueError(f"LSH bucket too large to split: {k} docs")
+                logging.getLogger(__name__).info(
+                    "LSH bucket above per-task budget: %d docs (%d pairs > %d)"
+                    " — deferring to %d distributed cells",
+                    k, k * (k - 1) // 2, max_bucket_pairs,
+                    n_chunks * (n_chunks + 1) // 2,
                 )
-                bucket_ids = bucket_ids[:keep]
-                k = keep
+                chunk = np.arange(k, dtype=np.int64) // max_bucket
+                other = np.repeat(
+                    np.arange(n_chunks, dtype=np.int64)[None, :], k, axis=0
+                ).ravel()
+                doc_r = np.repeat(bucket_ids, n_chunks)
+                ch_r = np.repeat(chunk, n_chunks)
+                ci = np.minimum(ch_r, other)
+                cj = np.maximum(ch_r, other)
+                side = (ch_r == cj) & (ci != cj)
+                h = (
+                    _HOT_FLAG
+                    | (band[lo] << 50)
+                    | (ci << 25)
+                    | (cj << 1)
+                    | side.astype(np.int64)
+                )
+                out_a.append(doc_r)
+                out_b.append(np.full(doc_r.size, bh[lo], dtype=np.int64))
+                out_h.append(h)
+                continue
+            np_pairs = 0
             for s0 in range(0, k, max_bucket):
                 ca = bucket_ids[s0 : s0 + max_bucket]
                 ia, ib = np.triu_indices(ca.size, k=1)
                 out_a.append(ca[ia])
                 out_b.append(ca[ib])
+                np_pairs += ia.size
                 for s1 in range(s0 + max_bucket, k, max_bucket):
                     cb = bucket_ids[s1 : s1 + max_bucket]
                     # ids sorted ⇒ every ca element < every cb element
                     out_a.append(np.repeat(ca, cb.size))
                     out_b.append(np.tile(cb, ca.size))
+                    np_pairs += ca.size * cb.size
+            out_h.append(np.zeros(np_pairs, dtype=np.int64))
         if not out_a:
             return pa.table(
-                {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
+                {
+                    "a": pa.array([], type=pa.int64()),
+                    "b": pa.array([], type=pa.int64()),
+                    "h": pa.array([], type=pa.int64()),
+                }
             )
         return pa.table(
             {
                 "a": pa.array(np.concatenate(out_a), type=pa.int64()),
                 "b": pa.array(np.concatenate(out_b), type=pa.int64()),
+                "h": pa.array(np.concatenate(out_h), type=pa.int64()),
             }
         )
 
@@ -340,21 +382,62 @@ def _candidate_pairs_ds(
     def add_qpart(batch: pa.Table) -> pa.Table:
         a = batch["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
         b = batch["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        q = ((a * np.uint64(0x9E3779B97F4A7C15)) ^ b) % np.uint64(_PAIR_PARTITIONS)
+        h = batch["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        # normal pairs co-locate by PAIR hash (dedup + collision count);
+        # deferred hot rows co-locate by CELL hash (bucket key ⊕ cell,
+        # side bit masked) so each bounded cell lands whole in one task
+        q = np.where(
+            h == 0,
+            (a * np.uint64(0x9E3779B97F4A7C15)) ^ b,
+            (b * np.uint64(0x9E3779B97F4A7C15)) ^ (h >> np.uint64(1)),
+        ) % np.uint64(_PAIR_PARTITIONS)
         return batch.append_column("q", pa.array(q.astype(np.int64)))
 
     def dedup_in_partition(group: pa.Table) -> pa.Table:
         a = group["a"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = group["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        pairs = np.empty(a.size, dtype=[("a", "<i8"), ("b", "<i8")])
-        pairs["a"] = a
-        pairs["b"] = b
+        h = group["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hot = h != 0
+        a_n, b_n = a[~hot], b[~hot]
+        pairs = np.empty(a_n.size, dtype=[("a", "<i8"), ("b", "<i8")])
+        pairs["a"] = a_n
+        pairs["b"] = b_n
         uniq, counts = np.unique(pairs, return_counts=True)
         keep = counts >= min_band_collisions
+        out_a = [uniq["a"][keep].copy()]
+        out_b = [uniq["b"][keep].copy()]
+        if hot.any():
+            # enumerate deferred cells: rows of one cell share (b, h&~1);
+            # run-detect after lexsort, then triu (diagonal) or side0×side1
+            # cross product (every ci doc < every cj doc — chunks are rank
+            # ranges over the bucket's SORTED ids)
+            ah, bh_, hh = a[hot], b[hot], h[hot]
+            cell = hh & ~np.int64(1)
+            side = hh & np.int64(1)
+            order = np.lexsort((ah, side, cell, bh_))
+            ah, bh_, cell, side = ah[order], bh_[order], cell[order], side[order]
+            newrun = np.empty(ah.size, dtype=bool)
+            newrun[0] = True
+            newrun[1:] = (np.diff(bh_) != 0) | (np.diff(cell) != 0)
+            starts = np.concatenate((np.nonzero(newrun)[0], [ah.size]))
+            for i in range(starts.size - 1):
+                lo, hi = int(starts[i]), int(starts[i + 1])
+                docs = ah[lo:hi]
+                sd = side[lo:hi]
+                if sd[-1] == 0:  # diagonal cell: all side 0
+                    ca = np.unique(docs)
+                    ia, ib = np.triu_indices(ca.size, k=1)
+                    out_a.append(ca[ia])
+                    out_b.append(ca[ib])
+                else:
+                    ca = np.unique(docs[sd == 0])
+                    cb = np.unique(docs[sd == 1])
+                    out_a.append(np.repeat(ca, cb.size))
+                    out_b.append(np.tile(cb, ca.size))
         return pa.table(
             {
-                "a": pa.array(uniq["a"][keep].copy(), type=pa.int64()),
-                "b": pa.array(uniq["b"][keep].copy(), type=pa.int64()),
+                "a": pa.array(np.concatenate(out_a), type=pa.int64()),
+                "b": pa.array(np.concatenate(out_b), type=pa.int64()),
             }
         )
 
@@ -603,7 +686,11 @@ def _joined_pair_sigs(pairs_ds, sigs_ds, num_partitions: int | None = None):
         order = np.lexsort((side, b_key, a_key))
         a_s, b_s, side_s = a_key[order], b_key[order], side[order]
         # pairs whose BOTH sides survived the inner join are adjacent
-        # (side 0 then side 1 under the sort)
+        # (side 0 then side 1 under the sort). NOTE this also collapses
+        # DUPLICATE candidate pairs exactly (m copies sort as m side-0 rows
+        # then m side-1 rows — one 0→1 adjacency): the hot-bucket deferred
+        # path in _candidate_pairs_ds RELIES on this to union gated and
+        # ungated candidates without a dedicated dedup shuffle
         first = np.arange(0, a_s.size - 1)
         ok = (
             (a_s[:-1] == a_s[1:])

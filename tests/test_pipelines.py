@@ -53,6 +53,54 @@ class TestDedup:
         assert got <= brute or not brute  # soundness: every pair is a true dup
         assert got == brute  # 16x4 banding at j>=0.8: detection ~0.9998
 
+    def test_hot_bucket_deferred_split_all_identical(
+        self, ray_session, tmp_path, monkeypatch
+    ):
+        """Adversarial all-identical corpus (VERDICT r3 item 7): every band
+        bucket holds ALL docs, so the per-task pair budget trips and the
+        deferred cell split must (a) keep per-task enumeration bounded by
+        design, (b) produce the EXACT K·(K-1)/2 true pairs with no
+        duplicates — the verify zip collapses the 16 per-band copies."""
+        import pyarrow.parquet as pqw
+
+        import searchengine_ray.pipelines.dedup as dd
+
+        k = 120
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        pqw.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(k), type=pa.int64()),
+                    "text": pa.array(
+                        ["the same exact document text body repeated verbatim"] * k
+                    ),
+                    "lang": pa.array(["en"] * k),
+                    "source": pa.array(["t"] * k),
+                    "n_chars": pa.array([50] * k, type=pa.int64()),
+                }
+            ),
+            sf / "documents.parquet",
+        )
+        orig = dd._candidate_pairs_ds
+        max_task_pairs = 200  # force the deferred path (k²/2 = 7140 ≫ 200)
+
+        def forced(bands_ds, max_bucket=64, min_band_collisions=1, **kw):
+            return orig(
+                bands_ds,
+                max_bucket=16,
+                min_band_collisions=min_band_collisions,
+                max_bucket_pairs=max_task_pairs,
+            )
+
+        monkeypatch.setattr(dd, "_candidate_pairs_ds", forced)
+        out = dd.minhash_dups(str(sf), threshold=0.8).to_pandas()
+        got = set(zip(out["doc_a"].tolist(), out["doc_b"].tolist()))
+        expected = {(a, b) for a in range(k) for b in range(a + 1, k)}
+        assert got == expected
+        assert len(out) == k * (k - 1) // 2  # no duplicate rows
+        assert (out["jaccard_r"] == 1.0).all()
+
     def test_simhash_pairs_verified(self, ray_session, docs):
         from searchengine_ray.pipelines.dedup import SimHash, simhash_dups
 
@@ -847,9 +895,10 @@ class TestSlidingWindow:
 
 
 class TestHotBuckets:
-    """VERDICT r2 items 3+7: over-full LSH/SimHash buckets must enumerate
-    their pairs EXACTLY (chunked, bounded memory) — truncation only at the
-    explicit pair budget, deterministically."""
+    """VERDICT r2 items 3+7 / r3 item 7: over-full LSH/SimHash buckets must
+    enumerate their pairs EXACTLY — chunked (bounded memory) below the
+    per-task pair budget, DEFERRED to distributed grid cells above it
+    (bounded per-task work by construction, zero truncation)."""
 
     def test_candidate_pairs_hot_bucket_all_pairs_surface(self, ray_session):
         import ray.data as rd
@@ -871,7 +920,11 @@ class TestHotBuckets:
         want = {(a, b) for a in range(n) for b in range(a + 1, n)}
         assert got == want  # every one of C(200,2)=19900 pairs, no loss
 
-    def test_candidate_pairs_budget_truncates_deterministically(self, ray_session):
+    def test_candidate_pairs_budget_defers_exactly(self, ray_session):
+        """A bucket above the per-task budget is NOT truncated: it splits
+        into grid cells (each ≤ max_bucket² pairs of work) and still
+        surfaces every pair exactly once (r3 item 7 closes the old
+        keep-first-K recall loss)."""
         import ray.data as rd
 
         from searchengine_ray.pipelines.dedup import _candidate_pairs_ds
@@ -886,10 +939,11 @@ class TestHotBuckets:
                 }
             )
         )
-        # budget 10 pairs → keep floor((1+sqrt(81))/2)=5 docs → C(5,2)=10
+        # budget 10 ≪ C(200,2)=19900 → deferred cell path, zero loss
         out = _candidate_pairs_ds(bands, max_bucket=16, max_bucket_pairs=10).to_pandas()
         got = set(zip(out["a"].tolist(), out["b"].tolist()))
-        assert got == {(a, b) for a in range(5) for b in range(a + 1, 5)}
+        assert got == {(a, b) for a in range(n) for b in range(a + 1, n)}
+        assert len(out) == len(got)  # no duplicate rows within one bucket
 
     def test_simhash_hot_bucket_complete(self, ray_session):
         """60 identical texts → identical simhash → one 60-doc bucket in
