@@ -280,6 +280,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": lambda sf: traindata.pii_scrub(sf, plant=True),
         # oracle: lead()-window n-grams; planted markers are closed-form
         "decontaminate": lambda sf: traindata.decontaminate(sf, plant=True),
+        # M5 non-identity ingest: Jsoup-equivalent body().text()/title()
+        # over a closed-form HTML wrapper (r4; oracle: string concat +
+        # whitespace-collapse regexp)
+        "html_extract": fulltext.html_extract,
         # ---- entries past the driver's 50-entry window (rotated out this
         # ---- round; every one re-verified by the committed full sweep) ----
         # window row_number tf-idf; hash-green r1+r2+r3
@@ -902,6 +906,22 @@ FROM (SELECT q.qid AS query_vec_id, e.vec_id,
 QUALIFY rank < 5
 ORDER BY query_vec_id, rank""",
         "decontaminate": _decontaminate_sql(),
+        # html_extract wraps each doc in a closed-form HTML page and
+        # extracts Jsoup-equivalent body().text()/title(); the expected
+        # extraction is pure string algebra: heading 'Doc & {id}', a block
+        # space, then the doc text with whitespace runs collapsed (empty
+        # text ⇒ no trailing space)
+        "html_extract": r"""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(text, '\s+', ' ', 'g')) AS t
+  FROM documents)
+SELECT doc_id,
+       'Doc ' || doc_id AS title,
+       CASE WHEN t = '' THEN 'Doc & ' || doc_id
+            ELSE 'Doc & ' || doc_id || ' ' || t END AS body_text
+FROM norm
+ORDER BY doc_id""",
         "knn_cosine": """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
 SELECT CAST(row_number() OVER (ORDER BY round(sim, 4) DESC, vec_id ASC) - 1 AS BIGINT) AS rank,

@@ -648,6 +648,7 @@ def _config_signature(config: EngineConfig) -> dict:
         "num_buckets": config.num_buckets,
         "block_size": config.block_size,
         "site_column": config.site_column,
+        "html_content": config.html_content,
     }
 
 
@@ -718,6 +719,17 @@ def _build_shard(
     with _DATASET_CTOR_LOCK:
         ds = sources.read_dataset(files, fmt, read_cols)
     n_input = ds.count()  # parquet: footer metadata, no scan
+    if config.html_content:
+        # M5 non-identity ingest: HTML → body text ONCE, feeding both the
+        # tokenizer and (below) the doc store — the serving-time Jsoup
+        # extraction of the reference, hoisted to the build
+        from searchengine_ray.htmltext import HtmlToText
+        from searchengine_ray.workerstate import per_worker
+
+        ds = ds.map_batches(
+            per_worker(HtmlToText), batch_format="pyarrow",
+            batch_size=config.batch_size,
+        )
     exploded = ds.map_batches(
         ExplodePostings,
         fn_constructor_kwargs={
@@ -738,6 +750,14 @@ def _build_shard(
 
     with _DATASET_CTOR_LOCK:
         docs = sources.read_dataset(files, fmt, ["conv_id", "turn_idx", "role", "text"])
+    if config.html_content:
+        from searchengine_ray.htmltext import HtmlToText
+        from searchengine_ray.workerstate import per_worker
+
+        docs = docs.map_batches(
+            per_worker(HtmlToText), batch_format="pyarrow",
+            batch_size=config.batch_size,
+        )
 
     # Postings and doc-store jobs are independent passes over the same input
     # — run them concurrently so the shard's wall is max(), not sum().

@@ -51,6 +51,14 @@ class EngineConfig:
     # partition + length, and search/stats accept ``site=``. None = single
     # logical site (SURVEY.md §1.3 default).
     site_column: str | None = None
+    # Ingest: treat the ``text`` column as raw HTML and extract Jsoup
+    # ``body().text()``-equivalent plain text (htmltext.py, M5) before
+    # tokenization AND before the doc store write — the reference keeps raw
+    # HTML in the page table and extracts per search hit
+    # (``services/SearchServiceImpl.java:178-193``); extracting ONCE at
+    # ingest is the scale-correct equivalent (snippets and postings see the
+    # same text either way). False = identity (transcripts are plain text).
+    html_content: bool = False
     # --- BM25 ---
     k1: float = 1.2
     b: float = 0.75

@@ -514,3 +514,49 @@ def tfidf_top_terms(sf_dir: str, k: int = 5):
         .groupby("p")
         .map_groups(topk_per_doc, batch_format="pyarrow")
     )
+
+
+def html_extract(sf_dir: str):
+    """M5 non-identity ingest demonstrated end-to-end (VERDICT r3 item 8):
+    wrap every document in a deterministic HTML page (title + style in
+    head, a comment, an entity-bearing heading, the body in ``<p>``, a
+    trailing script), then extract Jsoup-equivalent ``body().text()`` and
+    ``title()`` (``htmltext.py``; reference
+    ``services/SearchServiceImpl.java:178-193``). The wrapper is
+    closed-form, so DuckDB reproduces the expected extraction exactly:
+    title = 'Doc {id}', body = 'Doc & {id}' + ws-normalized text.
+
+    Wrap and extract run in the SAME vectorized batch stage — the HTML
+    never shuffles, only the (doc_id, title, body_text) rows do."""
+    import html as _html
+
+    from searchengine_ray.htmltext import html_body_text, html_title
+
+    def wrap_extract(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        titles: list[str] = []
+        bodies: list[str] = []
+        for did, text in zip(ids, batch["text"].to_pylist()):
+            page = (
+                f"<html><head><title>Doc {did}</title>"
+                "<style>p {color: #000}</style></head>"
+                f"<body><!-- generated --><h1>Doc &amp; {did}</h1>"
+                f"<p>{_html.escape(text or '', quote=False)}</p>"
+                f"<script>var n = {did};</script></body></html>"
+            )
+            titles.append(html_title(page))
+            bodies.append(html_body_text(page))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "title": pa.array(titles, type=pa.string()),
+                "body_text": pa.array(bodies, type=pa.string()),
+            }
+        )
+
+    out = (
+        read_documents(sf_dir)
+        .map_batches(wrap_extract, batch_format="pyarrow", batch_size=1024)
+        .to_pandas()
+    )
+    return out.sort_values("doc_id", kind="stable").reset_index(drop=True)
