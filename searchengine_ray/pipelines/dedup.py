@@ -999,11 +999,16 @@ def simhash_dups(
        each partition numpy run-detection finds the buckets, and every
        bucket enumerates its pairs EXACTLY in ``max_bucket``-sized chunks
        with the Hamming verify fused in (sims travel with the rows, so no
-       sig join is ever needed). Only ``max_bucket_pairs`` caps a
-       degenerate bucket, loudly,
+       sig join is ever needed). A bucket whose pair count exceeds
+       ``max_bucket_pairs`` is DEFERRED, not truncated (VERDICT r3 item 7,
+       same grid-cell split as ``_candidate_pairs_ds``): its docs
+       replicate to O(K/max_bucket) cells that scatter across the pair
+       partitions and verify ≤ max_bucket² pairs per task,
     3. cross-band dedup of the VERIFIED pairs runs distributed in fixed
-       pair-hash partitions; only the final near-dup set reaches the driver
-       (ordering pass only)."""
+       pair-hash partitions; deferred-cell pairs bypass that stage's
+       co-location, so the driver's final ordering pass (over the SMALL
+       verified set) also drops first-wins duplicates."""
+    _HOT = 1 << 62
     sig_ds = simhash_signatures(sf_dir, ds=ds)
 
     def explode_blocks(batch: pa.Table) -> pa.Table:
@@ -1050,15 +1055,40 @@ def simhash_dups(
                 continue
             bi, bs = ids[lo:hi], sims[lo:hi]
             if k * (k - 1) // 2 > max_bucket_pairs:
+                # DEFER to grid cells (no truncation): doc rows replicate
+                # to their cells; sims RIDE ALONG in doc_b, the packed cell
+                # key rides in hm (flag|blk|key|ci|cj|side)
                 import logging
 
-                keep = int((1 + (1 + 8 * max_bucket_pairs) ** 0.5) // 2)
-                logging.getLogger(__name__).warning(
-                    "simhash bucket pair budget exceeded: %d docs (%d pairs) "
-                    "> budget %d — keeping first %d docs",
-                    k, k * (k - 1) // 2, max_bucket_pairs, keep,
+                n_chunks = -(-k // max_bucket)
+                if n_chunks >= 1 << 21:
+                    raise ValueError(f"simhash bucket too large to split: {k} docs")
+                logging.getLogger(__name__).info(
+                    "simhash bucket above per-task budget: %d docs (%d pairs"
+                    " > %d) — deferring to %d distributed cells",
+                    k, k * (k - 1) // 2, max_bucket_pairs,
+                    n_chunks * (n_chunks + 1) // 2,
                 )
-                bi, bs, k = bi[:keep], bs[:keep], keep
+                chunk = np.arange(k, dtype=np.int64) // max_bucket
+                other = np.repeat(
+                    np.arange(n_chunks, dtype=np.int64)[None, :], k, axis=0
+                ).ravel()
+                ch_r = np.repeat(chunk, n_chunks)
+                ci = np.minimum(ch_r, other)
+                cj = np.maximum(ch_r, other)
+                side = (ch_r == cj) & (ci != cj)
+                hm = (
+                    _HOT
+                    | (blk[lo] << 60)
+                    | (key[lo] << 44)
+                    | (ci << 23)
+                    | (cj << 2)
+                    | side.astype(np.int64)
+                )
+                out_a.append(np.repeat(bi, n_chunks))
+                out_b.append(np.repeat(bs.astype(np.int64), n_chunks))
+                out_h.append(hm)
+                continue
             for s0 in range(0, k, max_bucket):
                 ca_i, ca_s = bi[s0 : s0 + max_bucket], bs[s0 : s0 + max_bucket]
                 ia, ib = np.triu_indices(ca_i.size, k=1)
@@ -1081,15 +1111,17 @@ def simhash_dups(
                 {
                     "doc_a": pa.array([], type=pa.int64()),
                     "doc_b": pa.array([], type=pa.int64()),
-                    "hamming": pa.array([], type=pa.int32()),
+                    "hamming": pa.array([], type=pa.int64()),
                 }
             )
+        # int64: small Hamming values for verified pairs, packed cell keys
+        # (flag bit 62 set) for deferred hot-bucket doc rows
         return pa.table(
             {
                 "doc_a": pa.array(np.concatenate(out_a), type=pa.int64()),
                 "doc_b": pa.array(np.concatenate(out_b), type=pa.int64()),
                 "hamming": pa.array(
-                    np.concatenate(out_h).astype(np.int32), type=pa.int32()
+                    np.concatenate(out_h).astype(np.int64), type=pa.int64()
                 ),
             }
         )
@@ -1097,22 +1129,69 @@ def simhash_dups(
     def add_qpart(batch: pa.Table) -> pa.Table:
         a = batch["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
         b = batch["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        q = ((a * np.uint64(0x9E3779B97F4A7C15)) ^ b) % np.uint64(_PAIR_PARTITIONS)
+        hm = batch["hamming"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        hot = hm >= np.uint64(_HOT)
+        # verified pairs co-locate by pair hash; deferred doc rows by cell
+        q = np.where(
+            hot,
+            (hm >> np.uint64(1)) * np.uint64(0x9E3779B97F4A7C15),
+            (a * np.uint64(0x9E3779B97F4A7C15)) ^ b,
+        ) % np.uint64(_PAIR_PARTITIONS)
         return batch.append_column("q", pa.array(q.astype(np.int64)))
 
     def dedup_in_partition(group: pa.Table) -> pa.Table:
         a = group["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = group["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = group["hamming"].to_numpy(zero_copy_only=False).astype(np.int32)
-        pairs = np.empty(a.size, dtype=[("a", "<i8"), ("b", "<i8")])
-        pairs["a"] = a
-        pairs["b"] = b
+        h = group["hamming"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hot = h >= _HOT
+        a_n, b_n, h_n = a[~hot], b[~hot], h[~hot]
+        pairs = np.empty(a_n.size, dtype=[("a", "<i8"), ("b", "<i8")])
+        pairs["a"] = a_n
+        pairs["b"] = b_n
         _, first = np.unique(pairs, return_index=True)
+        out_a = [a_n[first]]
+        out_b = [b_n[first]]
+        out_h = [h_n[first]]
+        if hot.any():
+            # enumerate deferred cells with the Hamming verify fused in;
+            # rows of one cell share hm&~1 (doc_b carries the doc's sim)
+            da, sims, hm = a[hot], b[hot].view(np.uint64), h[hot]
+            cell = hm & ~np.int64(1)
+            side = hm & np.int64(1)
+            order = np.lexsort((da, side, cell))
+            da, sims, cell, side = da[order], sims[order], cell[order], side[order]
+            newrun = np.empty(da.size, dtype=bool)
+            newrun[0] = True
+            newrun[1:] = np.diff(cell) != 0
+            starts = np.concatenate((np.nonzero(newrun)[0], [da.size]))
+            for i in range(starts.size - 1):
+                lo, hi = int(starts[i]), int(starts[i + 1])
+                docs, ss, sd = da[lo:hi], sims[lo:hi], side[lo:hi]
+                if sd[-1] == 0:  # diagonal cell: all side 0
+                    ia, ib = np.triu_indices(docs.size, k=1)
+                    hh = _hamming_1d(ss[ia], ss[ib])
+                    ok = hh <= max_hamming
+                    out_a.append(docs[ia[ok]])
+                    out_b.append(docs[ib[ok]])
+                    out_h.append(hh[ok].astype(np.int64))
+                else:
+                    m0 = sd == 0
+                    ca_i, ca_s = docs[m0], ss[m0]
+                    cb_i, cb_s = docs[~m0], ss[~m0]
+                    ra = np.repeat(np.arange(ca_i.size), cb_i.size)
+                    rb = np.tile(np.arange(cb_i.size), ca_i.size)
+                    hh = _hamming_1d(ca_s[ra], cb_s[rb])
+                    ok = hh <= max_hamming
+                    out_a.append(ca_i[ra[ok]])
+                    out_b.append(cb_i[rb[ok]])
+                    out_h.append(hh[ok].astype(np.int64))
         return pa.table(
             {
-                "doc_a": pa.array(a[first], type=pa.int64()),
-                "doc_b": pa.array(b[first], type=pa.int64()),
-                "hamming": pa.array(h[first], type=pa.int32()),
+                "doc_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+                "doc_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+                "hamming": pa.array(
+                    np.concatenate(out_h).astype(np.int32), type=pa.int32()
+                ),
             }
         )
 
@@ -1137,11 +1216,21 @@ def simhash_dups(
     b = out["doc_b"].to_numpy(dtype=np.int64)
     h = out["hamming"].to_numpy(dtype=np.int64)
     order = np.lexsort((b, a))
+    a, b, h = a[order], b[order], h[order]
+    # deferred-cell pairs bypass the distributed pair-hash dedup, so a pair
+    # found in a hot cell AND a normal bucket (different blocks) reaches
+    # here twice — drop adjacent duplicates (hamming is a pure function of
+    # the two sims, so copies agree)
+    if a.size:
+        keep = np.empty(a.size, dtype=bool)
+        keep[0] = True
+        keep[1:] = (np.diff(a) != 0) | (np.diff(b) != 0)
+        a, b, h = a[keep], b[keep], h[keep]
     return pa.table(
         {
-            "doc_a": pa.array(a[order], type=pa.int64()),
-            "doc_b": pa.array(b[order], type=pa.int64()),
-            "hamming": pa.array(h[order].astype(np.int32)),
+            "doc_a": pa.array(a, type=pa.int64()),
+            "doc_b": pa.array(b, type=pa.int64()),
+            "hamming": pa.array(h.astype(np.int32)),
         }
     )
 

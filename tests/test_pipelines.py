@@ -969,6 +969,29 @@ class TestHotBuckets:
         got = set(zip(out["doc_a"].tolist(), out["doc_b"].tolist()))
         assert got == {(a, b) for a in range(n) for b in range(a + 1, n)}
 
+    def test_simhash_hot_bucket_deferred_exact(self, ray_session):
+        """Same adversarial corpus with the per-task pair budget forced
+        below the bucket size: the grid-cell deferral must still produce
+        every pair exactly once (r3 item 7 — no truncation)."""
+        import ray.data as rd
+
+        from searchengine_ray.pipelines.dedup import simhash_dups
+
+        n = 60
+        docs = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "text": pa.array(["the same identical document text"] * n),
+                }
+            )
+        )
+        out = simhash_dups(SF, max_bucket=8, max_bucket_pairs=50, ds=docs).to_pandas()
+        assert len(out) == n * (n - 1) // 2  # exact, no duplicates
+        assert (out["hamming"] == 0).all()
+        got = set(zip(out["doc_a"].tolist(), out["doc_b"].tolist()))
+        assert got == {(a, b) for a in range(n) for b in range(a + 1, n)}
+
 
 class TestNewTrainingOps:
     def test_knn_batch_matches_per_query_bruteforce(self, ray_session, emb):

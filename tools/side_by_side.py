@@ -5,16 +5,21 @@ columns — the driver's comparison discipline).
 
 Usage::
 
-    python tools/side_by_side.py [/root/testdata/sf0.01]
+    python tools/side_by_side.py [/root/testdata/sf0.01] [--json OUT.json]
 
 Exit code 0 iff every oracle-backed entry matches and every entry runs.
+``--json`` additionally writes a driver-style record per entry
+(rows/schema/hash matches, row counts, error) — the committed
+``CORRECTNESS_full_r{N}.json`` artifact covering ALL entries, not just
+the driver's 50-entry window.
 """
 
+import json
 import os
 import sys
 
 
-def main(sf: str) -> int:
+def main(sf: str, json_out: str | None = None) -> int:
     import duckdb
     import ray
 
@@ -33,40 +38,63 @@ def main(sf: str) -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     fails = []
+    records: dict[str, dict] = {}
     for name, fn in qs.items():
+        rec = {
+            "rows_match": None, "schema_match": None, "hash_match": None,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
+        records[name] = rec
         try:
             res = fn(sf)
             if hasattr(res, "to_pandas"):
                 res = res.to_pandas()
             n = len(res)
+            rec["spark_rows"] = int(n)
             if name not in osql:
+                rec["err"] = "no_oracle"
                 print(f"{name:28s} rows={n:<7d} (rows-only)")
                 continue
             ora = con.execute(osql[name]).df()
+            rec["oracle_rows"] = int(len(ora))
             cols = sorted(res.columns)
-            if cols != sorted(ora.columns):
+            rec["schema_match"] = cols == sorted(ora.columns)
+            if not rec["schema_match"]:
                 fails.append((name, f"schema {cols} vs {sorted(ora.columns)}"))
                 print(f"{name:28s} SCHEMA MISMATCH")
                 continue
             a = res[cols].sort_values(cols).reset_index(drop=True)
             b = ora[cols].sort_values(cols).reset_index(drop=True)
-            if a.shape != b.shape:
+            rec["rows_match"] = a.shape == b.shape
+            if not rec["rows_match"]:
                 fails.append((name, f"rows {a.shape} vs {b.shape}"))
                 print(f"{name:28s} ROWS MISMATCH {a.shape} vs {b.shape}")
                 continue
-            if not (a.values == b.values).all():
+            rec["hash_match"] = bool((a.values == b.values).all())
+            if not rec["hash_match"]:
                 fails.append((name, "values"))
                 print(f"{name:28s} VALUE MISMATCH")
             else:
                 print(f"{name:28s} rows={n:<7d} OK")
         except Exception as ex:  # noqa: BLE001 — report and continue
+            rec["err"] = repr(ex)
             fails.append((name, repr(ex)))
             print(f"{name:28s} ERROR {ex}")
 
     print("\nFAILS:", fails if fails else "none")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(records, f, indent=1)
+        print("wrote", json_out)
     ray.shutdown()
     return 1 if fails else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    out = None
+    if "--json" in sys.argv:
+        out = sys.argv[sys.argv.index("--json") + 1]
+        if out in args:
+            args.remove(out)
+    sys.exit(main(args[0] if args else "/root/testdata/sf0.01", out))
