@@ -215,7 +215,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- inverted-index data flows over documents (SURVEY.md §2) ---
         "postings": fulltext.postings,
         "lemma_df": fulltext.lemma_df,
-        "doc_lengths": fulltext.doc_lengths,
         "doc_stats": fulltext.doc_stats,
         "top_terms": fulltext.top_terms,
         "bm25_adhoc": lambda sf: fulltext.bm25_adhoc(sf, "scan column"),
@@ -254,6 +253,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # engine-TRAINED path stays pytest-covered (determinism + quality)
         "ivf_assignments": lambda sf: similarity.ivf_assignments(
             sf, centroids=similarity.literal_centroids()
+        ),
+        # literal-centroid IVF SEARCH (r4): the full probe→filter→top-k is
+        # SQL-reproducible; the engine-TRAINED persisted-index path stays
+        # pytest-covered (ivf_knn default args in tests/test_pipelines.py)
+        "ivf_knn": lambda sf: similarity.ivf_knn(
+            sf, query_vec_id=0, k=10, centroids=similarity.literal_centroids()
         ),
         "lsh_assignments": similarity.lsh_assignments,  # SQL (literal hyperplanes)
         # oracle: planted fixtures are a closed-form (sin-noise) derivation,
@@ -295,9 +300,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_dictionary": transcript_index_dictionary,
         # rows-only by nature (Hamming over blake2b bits); pytest-pinned
         "dedup_simhash": dedup.simhash_dups,
-        # rows-only (ANN over the engine-trained codebook); pytest-pinned,
-        # and the assignment math is now oracle-checked via ivf_assignments
-        "ivf_knn": lambda sf: similarity.ivf_knn(sf, query_vec_id=0, k=10),
+        # pure aggregation of the in-window postings entry (dl = Σ tf per
+        # doc); hash-green r1-r3
+        "doc_lengths": fulltext.doc_lengths,
         # list-typed originals whose VALUES are hash-checked in-window by
         # their flat/hex projections
         "fingerprint_rolling": textstats.fingerprint_rolling,
@@ -586,6 +591,49 @@ WITH dots AS (SELECT vec_id, {d_cols} FROM embeddings),
 SELECT vec_id, CAST(CASE {case} END AS INTEGER) AS list_id FROM m"""
 
 
+def _ivf_knn_sql(k: int = 10, nprobe: int = 4, query_vec_id: int = 0) -> str:
+    """The literal-centroid IVF SEARCH in SQL: assignment argmax as in
+    ``_ivf_assignments_sql``, probe set = top-``nprobe`` centroids by dot
+    with the query vector (ties → lower list_id, mirroring the engine's
+    stable argsort), then exact cosine top-k inside the probed lists with
+    the repo's standard round-4 guard. ``probed`` = candidate count."""
+    from searchengine_ray.pipelines.similarity import literal_centroids
+
+    cent = literal_centroids()
+    vecs = [
+        "[" + ", ".join(repr(float(x)) for x in cent[i]) + "]"
+        for i in range(cent.shape[0])
+    ]
+    d_cols = ", ".join(
+        f"list_dot_product(CAST(embedding AS DOUBLE[]), {v}) AS d{i}"
+        for i, v in enumerate(vecs)
+    )
+    mx = "greatest(" + ", ".join(f"d{i}" for i in range(len(vecs))) + ")"
+    case = " ".join(f"WHEN d{i} = mx THEN {i}" for i in range(len(vecs)))
+    cd = " UNION ALL ".join(
+        f"SELECT {i} AS list_id, list_dot_product({v}, q.qe) AS d FROM q"
+        for i, v in enumerate(vecs)
+    )
+    return f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+           WHERE vec_id = {query_vec_id}),
+ dots AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, {d_cols}
+          FROM embeddings),
+ m AS (SELECT *, {mx} AS mx FROM dots),
+ assign AS (SELECT vec_id, e, CASE {case} END AS list_id FROM m),
+ cd AS ({cd}),
+ probes AS (SELECT list_id FROM cd ORDER BY d DESC, list_id ASC LIMIT {nprobe}),
+ cand AS (SELECT a.vec_id, list_cosine_similarity(a.e, q.qe) AS sim
+          FROM assign a JOIN probes p ON a.list_id = p.list_id CROSS JOIN q)
+SELECT CAST(row_number() OVER (ORDER BY round(sim, 4) DESC, vec_id ASC) - 1
+            AS BIGINT) AS rank,
+       vec_id, round(sim, 4) AS sim_r,
+       (SELECT count(*) FROM cand) AS probed
+FROM cand
+QUALIFY rank < {k}
+ORDER BY rank"""
+
+
 def _embedding_neardup_sql(threshold: float = 0.95) -> str:
     """Brute-force cosine pairs over embeddings ∪ planted fixtures; plant
     constants come from similarity.py so engine and oracle can't drift."""
@@ -869,6 +917,7 @@ FROM walk GROUP BY node ORDER BY node""".format(
         "lsh_assignments": _lsh_assignments_sql(),
         "lsh_knn": _lsh_knn_sql(),
         "ivf_assignments": _ivf_assignments_sql(),
+        "ivf_knn": _ivf_knn_sql(),
         # Exhaustive near-dup oracle over embeddings ∪ planted fixtures. The
         # plant is closed-form (sin noise scaled to PLANT_NOISE relative
         # norm), so SQL reconstructs the planted vectors bit-for-bit at 4-dp

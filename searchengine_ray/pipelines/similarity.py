@@ -466,14 +466,99 @@ def ivf_assignments(sf_dir: str, nlist: int | None = None, centroids=None):
     return read_embeddings(sf_dir).map_batches(assign, batch_format="pyarrow", batch_size=4096)
 
 
-def ivf_knn(sf_dir: str, query_vec_id: int = 0, k: int = 10, nlist: int | None = None, nprobe: int = 4):
-    """Approximate top-k via the PERSISTED list-partitioned IVF index: load
-    the tiny centroid sidecar, probe the ``nprobe`` nearest lists, read only
-    those partitions. Returns (rank, vec_id, sim_r, probed)."""
-    idx = ensure_ivf_index(sf_dir, nlist=nlist)
-    cent = np.load(os.path.join(idx, "centroids.npy"))
+def ivf_knn(
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    nlist: int | None = None,
+    nprobe: int = 4,
+    centroids=None,
+):
+    """Approximate top-k via IVF. Default: the PERSISTED list-partitioned
+    index — load the tiny centroid sidecar, probe the ``nprobe`` nearest
+    lists, read only those partitions. With ``centroids`` (a literal
+    (n, dim) matrix), the probe runs against that fixed codebook with NO
+    persisted index — one distributed assign→filter→local-top-k pass —
+    making the whole search SQL-reproducible (VERDICT r3 item 3 pattern,
+    extended from ``ivf_assignments`` to the search itself). Returns
+    (rank, vec_id, sim_r, probed)."""
     q = _query_vector(sf_dir, query_vec_id)
     qn = q / np.sqrt((q * q).sum())
+    if centroids is not None:
+        import ray
+
+        cent = np.asarray(centroids, dtype=np.float64)
+        cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+        # ties in the probe ranking resolve to the LOWER list_id (stable
+        # argsort on the negated dots) — mirrored by the oracle's
+        # ORDER BY dot DESC, list_id ASC
+        probe = set(int(p) for p in np.argsort(-(cent @ qn), kind="stable")[:nprobe])
+        cent_ref = ray.put(cent)
+        qn_ref = ray.put(qn)
+
+        def probe_topk(batch: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref)
+            qv = ray.get(qn_ref)
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = _emb_matrix(batch["embedding"])
+            lists = np.argmax(m @ c.T, axis=1)
+            keep = np.isin(lists, np.asarray(sorted(probe)))
+            ids, m = ids[keep], m[keep]
+            if ids.size == 0:
+                return pa.table(
+                    {
+                        "vec_id": pa.array([], type=pa.int64()),
+                        "sim_r": pa.array([], type=pa.float64()),
+                        "probed": pa.array([], type=pa.int64()),
+                    }
+                )
+            norm = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
+            sims_r = _round_vec(norm @ qv)
+            # per-batch top-k under the FINAL total order (sim_r desc,
+            # vec_id asc) — any global winner is a batch winner, so the
+            # driver merge over k-per-batch rows is exact
+            order = np.lexsort((ids, -sims_r))[:k]
+            # the batch's kept-count rides ONLY on its first row (rest 0),
+            # so the driver's exact total is a plain column sum
+            counts = np.zeros(order.size, dtype=np.int64)
+            if counts.size:
+                counts[0] = ids.size
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids[order], type=pa.int64()),
+                    "sim_r": pa.array(sims_r[order], type=pa.float64()),
+                    "probed": pa.array(counts, type=pa.int64()),
+                }
+            )
+
+        parts = read_embeddings(sf_dir).map_batches(
+            probe_topk, batch_format="pyarrow", batch_size=4096
+        ).to_pandas()
+        if parts.empty:
+            return pa.table(
+                {
+                    "rank": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "sim_r": pa.array([], type=pa.float64()),
+                    "probed": pa.array([], type=pa.int64()),
+                }
+            )
+        ids = parts["vec_id"].to_numpy(dtype=np.int64)
+        sims_r = parts["sim_r"].to_numpy(dtype=np.float64)
+        total_probed = int(parts["probed"].sum())
+        order = np.lexsort((ids, -sims_r))[:k]
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(len(order)), type=pa.int64()),
+                "vec_id": pa.array(ids[order], type=pa.int64()),
+                "sim_r": pa.array(sims_r[order], type=pa.float64()),
+                "probed": pa.array(
+                    [total_probed] * len(order), type=pa.int64()
+                ),
+            }
+        )
+    idx = ensure_ivf_index(sf_dir, nlist=nlist)
+    cent = np.load(os.path.join(idx, "centroids.npy"))
     probe = np.argsort(-(cent @ qn))[:nprobe]
     sub_ids, sub = _read_partitions(
         os.path.join(idx, "ivf"), "list_id", sorted(int(p) for p in probe)
