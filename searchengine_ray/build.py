@@ -56,6 +56,7 @@ import pyarrow.parquet as pq
 from searchengine_ray.config import DEFAULT_CONFIG, EngineConfig
 from searchengine_ray.keys import TURN_BITS, TURN_MASK
 from searchengine_ray.textproc import Analyzer
+from searchengine_ray.textproc import morphology_signature as _morph_sig
 
 # Sentinel "lemma" whose postings are (docid, doc_len) pairs; \x00 cannot
 # appear in a real token (the tokenizer strips it), so no collision.
@@ -641,7 +642,10 @@ def _write_norms_sidecar(shard_dir: str) -> None:
 def _config_signature(config: EngineConfig) -> dict:
     """The layout-affecting config fields. A resumed shard is reused only
     when these match — text semantics or on-disk layout changes (analyzer,
-    segments, buckets, block size) make old outputs wrong, not just stale."""
+    segments, buckets, block size, ingest extraction, morphology tables)
+    make old outputs wrong, not just stale."""
+    from searchengine_ray.textproc import morphology_signature
+
     return {
         "analyzer": config.analyzer,
         "num_segments": config.num_segments,
@@ -649,7 +653,34 @@ def _config_signature(config: EngineConfig) -> dict:
         "block_size": config.block_size,
         "site_column": config.site_column,
         "html_content": config.html_content,
+        # the index vocabulary is a function of the lemma tables: postings
+        # built under different morphology are WRONG for this query path,
+        # not merely stale (same surface word → different lemma key)
+        "morphology": morphology_signature(),
     }
+
+
+def config_from_manifest(m: dict, **overrides) -> EngineConfig:
+    """EngineConfig reconstructed from an index manifest — the round-trip
+    used by every rebuild-in-place path (``cmd_reindex``, the HTTP server's
+    ``/api/startIndexing``). Layout-affecting fields MUST survive this, or
+    ``_config_signature`` mismatches and shards rebuild with the WRONG
+    layout (site sentinel postings dropped, html extraction skipped).
+    ``overrides`` pass through to ``EngineConfig`` (execution sizing etc.,
+    which are not layout-affecting)."""
+    return EngineConfig(
+        analyzer=m["analyzer"],
+        k1=m["k1"],
+        b=m["b"],
+        search_filter=m["search_filter"],
+        num_shards=len(m["shards"]),
+        num_segments=m["num_segments"],
+        num_buckets=m["num_buckets"],
+        block_size=m["block_size"],
+        site_column=m.get("site_column"),
+        html_content=bool(m.get("html_content", False)),
+        **overrides,
+    )
 
 
 def _input_fingerprint(files: list[str]) -> str:
@@ -831,7 +862,8 @@ _FINALIZE_DRIVER_MAX_ROWS = 4_000_000
 
 
 def _finalize_distributed(
-    index_dir: str, config: EngineConfig, shard_manifests: list[dict], pfiles: list[str]
+    index_dir: str, config: EngineConfig, shard_manifests: list[dict], pfiles: list[str],
+    build_id: str | None = None,
 ) -> dict:
     """Distributed finalize (VERDICT r1 item 8): the dictionary merge is a
     Ray map-combine → fixed-partition shuffle → vectorized pandas reduce
@@ -950,7 +982,7 @@ def _finalize_distributed(
         # post-finalize clear_delta logically atomic with finalize (a crash
         # in between can no longer leave stale upserts, keyed to the OLD
         # conv ranking, durably overlaid on the rebuilt index)
-        "build_id": _uuid.uuid4().hex,
+        "build_id": build_id or _uuid.uuid4().hex,
         "n_docs": n_docs,
         "total_len": total_len,
         "avgdl": (total_len / n_docs) if n_docs else 0.0,
@@ -963,6 +995,8 @@ def _finalize_distributed(
         "num_buckets": config.num_buckets,
         "block_size": config.block_size,
         "site_column": config.site_column,
+        "html_content": config.html_content,
+        "morphology": _morph_sig(),
         "sites": sites,
         "shards": shard_manifests,
     }
@@ -978,6 +1012,7 @@ def _finalize(
     config: EngineConfig,
     shard_manifests: list[dict],
     force_distributed: bool = False,
+    build_id: str | None = None,
 ) -> dict:
     """Aggregate per-(lemma, site, seg, shard) rows into the term dictionary
     and global BM25 stats. Segments/shards are doc-disjoint, so df sums
@@ -988,7 +1023,7 @@ def _finalize(
     pfiles = _posting_files(index_dir)
     total_rows = sum(pq.read_metadata(f).num_rows for f in pfiles)
     if force_distributed or total_rows > _FINALIZE_DRIVER_MAX_ROWS:
-        return _finalize_distributed(index_dir, config, shard_manifests, pfiles)
+        return _finalize_distributed(index_dir, config, shard_manifests, pfiles, build_id)
     t = pa.concat_tables(
         pq.read_table(f, columns=["lemma", "site", "df", "sum_tf"]) for f in pfiles
     )
@@ -1066,7 +1101,7 @@ def _finalize(
         # post-finalize clear_delta logically atomic with finalize (a crash
         # in between can no longer leave stale upserts, keyed to the OLD
         # conv ranking, durably overlaid on the rebuilt index)
-        "build_id": _uuid.uuid4().hex,
+        "build_id": build_id or _uuid.uuid4().hex,
         "n_docs": n_docs,
         "total_len": total_len,
         "avgdl": (total_len / n_docs) if n_docs else 0.0,
@@ -1079,6 +1114,8 @@ def _finalize(
         "num_buckets": config.num_buckets,
         "block_size": config.block_size,
         "site_column": config.site_column,
+        "html_content": config.html_content,
+        "morphology": _morph_sig(),
         "sites": sites,
         "shards": shard_manifests,
     }
@@ -1253,7 +1290,15 @@ def build_index(
             "shards": done,
             "n_shards_total": len(shards),
         }
-    manifest = _finalize(index_dir, config, done)
+    new_build_id = _uuid.uuid4().hex
+    if keep_delta:
+        # widen the overlay's epoch stamp to {old, new} BEFORE the manifest
+        # replace so a crash on either side of finalize can't drop a
+        # provably-valid overlay (collapsed back to {new} below)
+        from searchengine_ray.delta import pre_rebind_delta_epoch
+
+        pre_rebind_delta_epoch(index_dir, new_build_id)
+    manifest = _finalize(index_dir, config, done, build_id=new_build_id)
     if not keep_delta:
         from searchengine_ray.delta import clear_delta
 
@@ -1263,5 +1308,5 @@ def build_index(
         # input fingerprints ⇒ identical conv ranking); adopt the new epoch
         from searchengine_ray.delta import rebind_delta_epoch
 
-        rebind_delta_epoch(index_dir, manifest.get("build_id"))
+        rebind_delta_epoch(index_dir, new_build_id)
     return manifest

@@ -109,28 +109,20 @@ def cmd_reindex(args: argparse.Namespace) -> int:
     import os
 
     from searchengine_ray.build import build_index
-    from searchengine_ray.config import EngineConfig
 
     with open(os.path.join(args.index, "manifest.json")) as f:
         m = json.load(f)
     input_path = args.input
     if input_path is None:
         input_path = sorted({f for s in m["shards"] for f in s["input_files"]})
-    cfg = EngineConfig(
-        analyzer=m["analyzer"],
-        k1=m["k1"],
-        b=m["b"],
-        search_filter=m["search_filter"],
-        num_shards=len(m["shards"]),
-        num_segments=m["num_segments"],
-        num_buckets=m["num_buckets"],
-        block_size=m["block_size"],
-        # Layout-affecting manifest fields MUST round-trip, or
-        # _config_signature mismatches and every shard rebuilds with the
-        # wrong layout (site sentinel postings dropped → --site search dies).
-        site_column=m.get("site_column"),
-        lemmatizer_concurrency=(1, args.max_actors),
-    )
+    # Layout-affecting manifest fields MUST round-trip, or
+    # _config_signature mismatches and every shard rebuilds with the
+    # wrong layout (site sentinel postings dropped → --site search dies;
+    # html_content=True index re-tokenized over raw HTML). One shared
+    # reconstruction with the HTTP server's /api/startIndexing.
+    from searchengine_ray.build import config_from_manifest
+
+    cfg = config_from_manifest(m, lemmatizer_concurrency=(1, args.max_actors))
     pre = {s["shard"]: s["input_fingerprint"] for s in m["shards"]}
     # Doc-level upsert overlay handling: generations are relative to the
     # PREVIOUS finalized index. A reindex over the recorded inputs whose

@@ -117,7 +117,11 @@ def load_state(index_dir: str) -> dict | None:
     if os.path.exists(mpath):
         with open(mpath) as f:
             mid = json.load(f).get("build_id")
-        if mid is not None and state.get("build_id") != mid:
+        ids = state.get("build_id")
+        # a keep_delta rebuild PRE-stamps [old, new] before finalize so the
+        # overlay survives a crash on either side of the manifest replace
+        ids = ids if isinstance(ids, list) else [ids]
+        if mid is not None and mid not in ids:
             return None
     return state
 
@@ -141,6 +145,28 @@ def rebind_delta_epoch(index_dir: str, build_id: str | None) -> None:
     with open(path) as f:
         state = json.load(f)
     state["build_id"] = build_id
+    _write_state(index_dir, state)
+
+
+def pre_rebind_delta_epoch(index_dir: str, new_build_id: str) -> None:
+    """PRE-stamp the delta state with {current, new} epochs BEFORE a
+    keep_delta rebuild's finalize replaces the manifest: whichever side of
+    the ``os.replace`` a crash lands on, ``load_state``'s gate accepts the
+    loaded manifest's build_id, so a provably-valid overlay is never
+    dropped (the post-finalize ``rebind_delta_epoch`` collapses the stamp
+    back to the single new epoch). A crash before finalize leaves the OLD
+    manifest + the widened stamp — still gated correctly, and any LATER
+    non-keep_delta rebuild mints a third id that matches neither."""
+    path = os.path.join(delta_root(index_dir), STATE_FILE)
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        state = json.load(f)
+    ids = state.get("build_id")
+    ids = ids if isinstance(ids, list) else [ids]
+    if new_build_id not in ids:
+        ids.append(new_build_id)
+    state["build_id"] = ids
     _write_state(index_dir, state)
 
 
@@ -184,6 +210,14 @@ def upsert_docs(index_dir: str, rows: list[dict]) -> dict:
 
     if not rows:
         raise ValueError("upsert_docs: empty row list")
+    if manifest.get("html_content"):
+        # the index was built over EXTRACTED body text (EngineConfig
+        # .html_content) — an upserted raw-HTML doc must go through the
+        # same ingest stage or its postings/doc-store diverge from every
+        # built document (reference indexPage parses HTML too)
+        from searchengine_ray.htmltext import html_body_text
+
+        rows = [{**r, "text": html_body_text(str(r.get("text") or ""))} for r in rows]
     for r in rows:
         t = int(r["turn_idx"])
         if t < 0 or t > TURN_MASK:

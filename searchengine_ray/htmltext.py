@@ -30,7 +30,21 @@ text, whitespace-normalized and trimmed.
 
 from __future__ import annotations
 
+import re
 from html.parser import HTMLParser
+
+# Jsoup's whitespace (StringUtil.isWhitespace) is the ASCII set
+# {space, \t, \n, \f, \r} — NOT Unicode whitespace: a non-breaking space
+# (\xa0, e.g. from &nbsp;) is text and survives normalization. Python's
+# str.split()/isspace() are Unicode-wide, so normalization here uses the
+# explicit ASCII set (which also keeps the html_extract oracle's RE2
+# ``[ \t\n\f\r]+`` collapse exactly equivalent).
+_WS = " \t\n\f\r"
+_WS_RUN = re.compile(r"[ \t\n\f\r]+")
+
+
+def _ws_normalize(s: str) -> str:
+    return " ".join(p for p in _WS_RUN.split(s) if p)
 
 # Per Jsoup's block-level tag set (Tag.java isBlock) plus br/hr, which
 # Element.text() renders as whitespace.
@@ -98,23 +112,23 @@ class _TextExtractor(HTMLParser):
             return
         if self._skip_depth or self._head_depth:
             return
-        norm = " ".join(data.split())
+        norm = _ws_normalize(data)
         if not norm:
             # pure-whitespace node still separates neighbors
             if self._out:
                 self._pending_space = True
             return
-        if self._out and (self._pending_space or data[0].isspace()):
+        if self._out and (self._pending_space or data[0] in _WS):
             self._out.append(" ")
         self._out.append(norm)
-        self._pending_space = data[-1].isspace()
+        self._pending_space = data[-1] in _WS
 
     # -- results --------------------------------------------------------
     def body_text(self) -> str:
         return "".join(self._out)
 
     def title(self) -> str:
-        return " ".join("".join(self._title_parts).split())
+        return _ws_normalize("".join(self._title_parts))
 
 
 def html_body_text(html: str) -> str:

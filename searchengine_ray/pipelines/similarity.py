@@ -454,8 +454,10 @@ def ivf_assignments(sf_dir: str, nlist: int | None = None, centroids=None):
 
     def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(cent_ref)
+        # argmax over dots — row normalization is a positive scalar, so it
+        # cannot change the winner; skipping it matches the SQL oracle's
+        # raw-embedding dots bit-for-bit (and probe_topk's convention)
         m = _emb_matrix(batch["embedding"])
-        m = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
         return pa.table(
             {
                 "vec_id": batch["vec_id"],

@@ -91,6 +91,23 @@ class QueryEngine:
             block_size=m["block_size"],
         )
         self.analyzer = Analyzer(self.config.analyzer)
+        # The index vocabulary is a function of the morphology tables: a
+        # query lemmatized under DIFFERENT tables than the build misses
+        # postings silently (zero recall, no error). Warn loudly; older
+        # manifests lack the field (recorded since r4) — skip those.
+        built_morph = m.get("morphology")
+        if built_morph is not None:
+            from searchengine_ray.textproc import morphology_signature
+
+            if built_morph != morphology_signature():
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "index %s was built under DIFFERENT morphology tables "
+                    "than this process (built %s, active %s) — queries may "
+                    "silently miss postings; reindex to realign",
+                    index_dir, built_morph[:8], morphology_signature()[:8],
+                )
         self.mode = mode
         # Per-term BM25 contributions are static for a built index — cache
         # the score vector of hot SINGLE-term queries (aligned with the

@@ -101,9 +101,10 @@ class EngineService:
 
     The query engine opens lazily and reopens after any mutation (build,
     upsert, deleteAll) so served results always reflect the current index
-    state. A lock serializes reopen against in-flight searches; with
-    ``actors > 1`` the heavy lifting happens inside the per-shard Ray
-    actors, so the driver-side lock is not a throughput bottleneck."""
+    state. The lock guards only the engine REFERENCE (acquire/release is
+    O(1)); searches run OUTSIDE it, concurrently, against the generation
+    they acquired — a mutation swaps the reference immediately and the
+    retired engine shuts down when its last in-flight search drains."""
 
     def __init__(
         self,
@@ -118,6 +119,10 @@ class EngineService:
         self.config = config
         self._engine = None
         self._lock = threading.RLock()
+        # id(engine) → in-flight search count; retired engines awaiting
+        # drain are tracked so the LAST search out shuts them down
+        self._inflight: dict[int, int] = {}
+        self._retired: dict[int, object] = {}
         self._build_thread: threading.Thread | None = None
         self._build_error: str | None = None
 
@@ -132,22 +137,52 @@ class EngineService:
 
         return QueryEngine(self.index_dir)
 
+    def _acquire_engine(self):
+        with self._lock:
+            if self._engine is None:
+                if not os.path.exists(os.path.join(self.index_dir, "manifest.json")):
+                    return None
+                self._engine = self._open_engine()
+            eng = self._engine
+            self._inflight[id(eng)] = self._inflight.get(id(eng), 0) + 1
+            return eng
+
+    def _release_engine(self, eng) -> None:
+        to_shutdown = None
+        with self._lock:
+            k = id(eng)
+            n = self._inflight.get(k, 1) - 1
+            if n > 0:
+                self._inflight[k] = n
+            else:
+                self._inflight.pop(k, None)
+                to_shutdown = self._retired.pop(k, None)
+        if to_shutdown is not None and hasattr(to_shutdown, "shutdown"):
+            to_shutdown.shutdown()
+
     def _invalidate(self) -> None:
+        to_shutdown = None
         with self._lock:
             eng = self._engine
             self._engine = None
-        if eng is not None and hasattr(eng, "shutdown"):
-            eng.shutdown()
+            if eng is not None:
+                if self._inflight.get(id(eng), 0) > 0:
+                    self._retired[id(eng)] = eng  # last search out shuts it down
+                else:
+                    to_shutdown = eng
+        if to_shutdown is not None and hasattr(to_shutdown, "shutdown"):
+            to_shutdown.shutdown()
 
     def search(self, query: str, offset: int, limit: int, site: str | None) -> dict:
         from searchengine_ray.results import error_response
 
-        with self._lock:
-            if self._engine is None:
-                if not os.path.exists(os.path.join(self.index_dir, "manifest.json")):
-                    return error_response(ERROR_NO_INDEX)
-                self._engine = self._open_engine()
-            return self._engine.search(query, offset, limit, site=site)
+        eng = self._acquire_engine()
+        if eng is None:
+            return error_response(ERROR_NO_INDEX)
+        try:
+            return eng.search(query, offset, limit, site=site)
+        finally:
+            self._release_engine(eng)
 
     def statistics(self) -> dict:
         if not os.path.exists(os.path.join(self.index_dir, "manifest.json")):
@@ -165,28 +200,48 @@ class EngineService:
         t = self._build_thread
         return t is not None and t.is_alive()
 
-    def start_indexing(self) -> tuple[int, dict]:
-        if self.indexing:
-            return 400, {"result": False, "error": ERROR_ALREADY_INDEXING}
-        if not self.input_dir:
-            return 400, {"result": False, "error": ERROR_NO_INPUT}
-        from searchengine_ray.build import build_index
+    def _build_config(self):
+        """Rebuild config: injected > round-tripped from the served index's
+        manifest (layout-affecting fields MUST survive, or /api/startIndexing
+        silently rebuilds with the wrong layout — site sentinels dropped,
+        html_content extraction skipped) > defaults for a first build."""
+        if self.config is not None:
+            return self.config
+        mpath = os.path.join(self.index_dir, "manifest.json")
+        if os.path.exists(mpath):
+            from searchengine_ray.build import config_from_manifest
+
+            with open(mpath) as f:
+                return config_from_manifest(json.load(f))
         from searchengine_ray.config import DEFAULT_CONFIG
 
-        # build_index consumes any stale STOP flag at entry itself
-        cfg = self.config or DEFAULT_CONFIG
+        return DEFAULT_CONFIG
 
-        def run() -> None:
-            self._build_error = None
-            try:
-                build_index(self.input_dir, self.index_dir, cfg)
-            except Exception as e:  # surfaced via /api/statistics
-                self._build_error = f"{type(e).__name__}: {e}"
-            finally:
-                self._invalidate()
+    def start_indexing(self) -> tuple[int, dict]:
+        # check-then-spawn under the lock: concurrent /api/startIndexing
+        # calls must not both pass the liveness check and race two builds
+        # over the same index_dir
+        with self._lock:
+            if self.indexing:
+                return 400, {"result": False, "error": ERROR_ALREADY_INDEXING}
+            if not self.input_dir:
+                return 400, {"result": False, "error": ERROR_NO_INPUT}
+            from searchengine_ray.build import build_index
 
-        self._build_thread = threading.Thread(target=run, daemon=True)
-        self._build_thread.start()
+            # build_index consumes any stale STOP flag at entry itself
+            cfg = self._build_config()
+
+            def run() -> None:
+                self._build_error = None
+                try:
+                    build_index(self.input_dir, self.index_dir, cfg)
+                except Exception as e:  # surfaced via /api/statistics
+                    self._build_error = f"{type(e).__name__}: {e}"
+                finally:
+                    self._invalidate()
+
+            self._build_thread = threading.Thread(target=run, daemon=True)
+            self._build_thread.start()
         return 200, {"result": True, "error": ""}
 
     def stop_indexing(self) -> tuple[int, dict]:

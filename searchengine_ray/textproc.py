@@ -217,6 +217,27 @@ def lemma_of(word: str) -> str:
     return word
 
 
+def morphology_signature() -> str:
+    """md5 over the ACTIVE lemma-resolution state (exception table, lemma
+    table, suffix list). An index's vocabulary is a function of this, so
+    the signature joins the shard config signature (a morphology change
+    rebuilds shards on reindex instead of silently reusing postings keyed
+    to old lemmas) and the manifest (``QueryEngine`` warns when serving an
+    index built under different morphology — same word, different lemma
+    means silent zero-recall otherwise). Recomputed per call (~ms): the
+    table is swappable at runtime via ``use_lemma_table``."""
+    import hashlib
+
+    h = hashlib.md5()
+    for k in sorted(LEMMA_EXCEPTIONS):
+        h.update(f"e\x1f{k}\x1f{LEMMA_EXCEPTIONS[k]}\x1e".encode())
+    t = _lemma_table()
+    for k in sorted(t):
+        h.update(f"t\x1f{k}\x1f{t[k]}\x1e".encode())
+    h.update(("s\x1f" + "\x1f".join(_SUFFIXES)).encode())
+    return h.hexdigest()
+
+
 # ---------------------------------------------------------------------------
 # Simple ASCII analyzer (SQL-expressible; used by DuckDB oracle checks)
 # ---------------------------------------------------------------------------

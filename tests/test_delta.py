@@ -506,6 +506,46 @@ class TestBuildEpochGate:
         assert st is not None and len(st["generations"]) == 1
         assert QueryEngine(idx).search("новослово", 0, 10) == before
 
+    def test_keep_delta_crash_between_finalize_and_rebind(
+        self, base, tmp_path, monkeypatch
+    ):
+        """Code-review r4: a crash AFTER a keep_delta rebuild's finalize but
+        BEFORE rebind_delta_epoch must not drop the (provably valid)
+        overlay — the pre-stamp widens the epoch set to {old, new} before
+        the manifest replace, so the gate accepts either side."""
+        table, index_dir, root = base
+        corpus_dir = str(tmp_path / "corpus")
+        _write_corpus(table, corpus_dir)
+        idx = str(tmp_path / "idx")
+        build_index(corpus_dir, idx, CFG)
+        upsert_docs(
+            idx, [{"conv_id": "conv-000000", "turn_idx": 3, "role": "tool", "text": NEW_TEXT_2}]
+        )
+        before = QueryEngine(idx).search("новослово", 0, 10)
+        assert before["count"] == 1
+
+        import searchengine_ray.delta as delta_mod
+
+        # crash simulation: finalize lands (new manifest build_id) but the
+        # post-finalize rebind never runs
+        monkeypatch.setattr(delta_mod, "rebind_delta_epoch", lambda _d, _b: None)
+        build_index(corpus_dir, idx, CFG, keep_delta=True)
+        monkeypatch.undo()
+        st = load_state(idx)
+        assert st is not None and len(st["generations"]) == 1  # overlay alive
+        assert QueryEngine(idx).search("новослово", 0, 10) == before
+
+        # ...and the OTHER side of the window: pre-stamp lands but finalize
+        # does not (old manifest still current) — overlay also alive
+        from searchengine_ray.delta import pre_rebind_delta_epoch
+
+        pre_rebind_delta_epoch(idx, "deadbeef" * 4)
+        assert load_state(idx) is not None
+        assert QueryEngine(idx).search("новослово", 0, 10) == before
+        # a later NON-keep_delta rebuild mints a third id → gate drops it
+        build_index(corpus_dir, idx, CFG)
+        assert load_state(idx) is None
+
 
 class TestEmptySiteUpsert:
     def test_empty_site_doc_does_not_double_count_global_df(

@@ -32,7 +32,9 @@ GOLDEN = [
     ("", ""),
     ("<head><meta charset='utf-8'><title>Ti tle</title></head><body>b</body>", "b"),
     ("no tags at all", "no tags at all"),
-    ("a\n\t\nb", "a b"),                        # any whitespace run → one space
+    ("a\n\t\nb", "a b"),                        # any ASCII whitespace run → one space
+    ("a\xa0b", "a\xa0b"),                       # &nbsp; is TEXT in Jsoup, not whitespace
+    ("x &nbsp; y", "x \xa0 y"),                 # decoded nbsp survives normalization
     ("<body><h1>Заголовок</h1><p>текст дела А40-123/2024</p></body>",
      "Заголовок текст дела А40-123/2024"),
 ]
@@ -110,3 +112,34 @@ class TestHtmlContentBuild:
         ep, eh = QueryEngine(idx_plain), QueryEngine(idx_html)
         for q in ["суд решение", "статья", "А40-123/2024"]:
             assert ep.search(q) == eh.search(q), q
+
+        # round-trips (code-review r4): the manifest records html_content
+        # and config_from_manifest reconstructs it (reindex + HTTP rebuild
+        # paths), and a doc-grain upsert extracts before tokenizing
+        import json
+
+        from searchengine_ray.build import config_from_manifest
+        from searchengine_ray.delta import upsert_docs
+
+        with open(f"{idx_html}/manifest.json") as f:
+            m = json.load(f)
+        assert m["html_content"] is True
+        assert "morphology" in m
+        assert config_from_manifest(m).html_content is True
+        assert config_from_manifest(json.load(open(f"{idx_plain}/manifest.json"))).html_content is False
+
+        upsert_docs(
+            idx_html,
+            [{
+                "conv_id": "conv-000000", "turn_idx": 0, "role": "user",
+                "text": "<body><p>зюзюка арбуз</p><script>var tagword=1;</script></body>",
+            }],
+        )
+        eh2 = QueryEngine(idx_html)
+        assert eh2.search("зюзюка")["count"] == 1
+        assert eh2.search("tagword")["count"] == 0  # script data never indexed
+        # and the stored doc text is the EXTRACTED text (the snippet's only
+        # markup is the builder's own <b> highlighting, never source tags)
+        hit = eh2.search("зюзюка")["data"][0]
+        assert "<p>" not in hit["snippet"] and "var" not in hit["snippet"]
+        assert "<b>зюзюка</b>" in hit["snippet"]

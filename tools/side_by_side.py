@@ -91,10 +91,10 @@ def main(sf: str, json_out: str | None = None) -> int:
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    out = None
-    if "--json" in sys.argv:
-        out = sys.argv[sys.argv.index("--json") + 1]
-        if out in args:
-            args.remove(out)
-    sys.exit(main(args[0] if args else "/root/testdata/sf0.01", out))
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf", nargs="?", default="/root/testdata/sf0.01")
+    ap.add_argument("--json", dest="json_out", default=None)
+    ns = ap.parse_args()
+    sys.exit(main(ns.sf, ns.json_out))
