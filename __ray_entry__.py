@@ -218,7 +218,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": fulltext.doc_stats,
         "top_terms": fulltext.top_terms,
         "bm25_adhoc": lambda sf: fulltext.bm25_adhoc(sf, "scan column"),
-        "search_count": lambda sf: fulltext.search_count(sf, "hash join"),
         # --- flagship engine path: real index build + BM25 serving ---
         "transcript_search": transcript_search,
         "transcript_search_site": transcript_search_site,  # per-site scoping
@@ -241,6 +240,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": dedup.minhash_dups,          # oracle: brute-force word-3gram Jaccard
         "dedup_cluster": dedup.dedup_cluster,         # oracle: recursive-CTE components
         "ngram_jaccard": dedup.ngram_jaccard_dups,    # oracle: brute-force char-3gram Jaccard
+        # exact-substring span dedup (Lee et al. 2022 shape, r4); oracle:
+        # lead()-window grams + window count + gaps-and-islands merge
+        "dedup_substrings": dedup.dedup_substrings,
         # --- similarity search ---
         "knn_cosine": lambda sf: similarity.knn_cosine(sf, query_vec_id=0, k=10),
         "knn_batch": lambda sf: similarity.knn_batch(sf, query_vec_ids=(0, 1, 2, 3, 4), k=5),
@@ -303,6 +305,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pure aggregation of the in-window postings entry (dl = Σ tf per
         # doc); hash-green r1-r3
         "doc_lengths": fulltext.doc_lengths,
+        # single-row exact count over the same CTE surface as the in-window
+        # bm25_adhoc entry; hash-green r1-r3
+        "search_count": lambda sf: fulltext.search_count(sf, "hash join"),
         # list-typed originals whose VALUES are hash-checked in-window by
         # their flat/hex projections
         "fingerprint_rolling": textstats.fingerprint_rolling,
@@ -589,6 +594,49 @@ def _ivf_assignments_sql() -> str:
 WITH dots AS (SELECT vec_id, {d_cols} FROM embeddings),
  m AS (SELECT *, {mx} AS mx FROM dots)
 SELECT vec_id, CAST(CASE {case} END AS INTEGER) AS list_id FROM m"""
+
+
+def _dedup_substrings_sql(k: int = 8, min_count: int = 2) -> str:
+    """Duplicated-span dedup in SQL: lead()-window k-grams over the
+    ``[a-z0-9]+`` token stream, a window count for the ≥ min_count gate,
+    then a gaps-and-islands merge (break where pos > lag(pos) + k — the
+    engine's exact rule; intervals are all length k and sorted, so the
+    previous pos IS the max preceding end)."""
+    gram = " || ' ' || ".join(
+        ["token"] + [f"lead(token, {i}) OVER w" for i in range(1, k)]
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(ts) AS token,
+         generate_subscripts(ts, 1) - 1 AS pos
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        FROM documents)),
+ grams AS (
+  SELECT doc_id, pos, {gram} AS gram,
+         lead(token, {k - 1}) OVER w IS NOT NULL AS has_k
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+ dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS c
+    FROM grams WHERE has_k)
+  WHERE c >= {min_count}),
+ ord AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+               OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + {k}
+              THEN 1 ELSE 0 END AS brk
+  FROM dup),
+ isl AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM ord)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {k} AS BIGINT) AS span_end,
+       count(*) AS n_dup_grams
+FROM isl GROUP BY doc_id, island
+ORDER BY doc_id, span_start"""
 
 
 def _ivf_knn_sql(k: int = 10, nprobe: int = 4, query_vec_id: int = 0) -> str:
@@ -918,6 +966,7 @@ FROM walk GROUP BY node ORDER BY node""".format(
         "lsh_knn": _lsh_knn_sql(),
         "ivf_assignments": _ivf_assignments_sql(),
         "ivf_knn": _ivf_knn_sql(),
+        "dedup_substrings": _dedup_substrings_sql(),
         # Exhaustive near-dup oracle over embeddings ∪ planted fixtures. The
         # plant is closed-form (sin noise scaled to PLANT_NOISE relative
         # norm), so SQL reconstructs the planted vectors bit-for-bit at 4-dp

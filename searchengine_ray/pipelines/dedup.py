@@ -17,6 +17,7 @@ Scale shapes (ray_guide patterns):
 from __future__ import annotations
 
 import hashlib
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -1415,3 +1416,167 @@ def dedup_cluster(sf_dir: str, threshold: float = 0.8):
         )
 
     return connected_components(pairs_ds).map_batches(rename, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring (duplicated-span) dedup — Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better", at k-gram
+# granularity: every corpus position whose k-word gram occurs ≥ min_count
+# times anywhere in the corpus is duplicated text; maximal runs of such
+# positions are the spans a training pipeline cuts out.
+# ---------------------------------------------------------------------------
+
+_SPAN_PARTITIONS = 64
+
+
+def dedup_substrings(sf_dir: str, k: int = 8, min_count: int = 2):
+    """(doc_id, span_start, span_end, n_dup_grams) — maximal duplicated
+    spans, token-indexed over the ``[a-z0-9]+`` token stream (half-open,
+    ``span_end`` exclusive; spans merge when two duplicated grams overlap
+    or touch, i.e. next start ≤ previous end).
+
+    Distributed shape (no suffix array — the hashed-k-gram approximation
+    keeps everything fixed-partition):
+
+    1. map: per doc, roll the token stream into (gram_hash, doc_id, pos)
+       rows — int64 ids only, grams never shuffle as strings,
+    2. gram-hash partitions: ONE ``map_groups`` both counts each gram and
+       emits the (doc_id, pos) of every occurrence of a ≥ min_count gram
+       (a partition holds ALL occurrences of its grams, so no second pass
+       or broadcast),
+    3. doc-hash partitions: per-doc interval merge (sorted positions,
+       break where pos > prev_pos + k, reduceat) — only final spans reach
+       the driver (ordering pass).
+
+    64-bit gram hashes: a cross-gram collision (≈ n²/2⁶⁵) could merge two
+    distinct grams; accepted and documented, as in the MinHash band keys."""
+    import pandas as pd
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        out_h: list[np.ndarray] = []
+        out_d: list[np.ndarray] = []
+        out_p: list[np.ndarray] = []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            toks = tokenize_simple(text or "")
+            n = len(toks) - k + 1
+            if n <= 0:
+                continue
+            # vectorized rolling hash over the token-id sequence: hash each
+            # token once, then combine k consecutive token hashes with
+            # position-dependent odd multipliers (a sliding dot product —
+            # np.convolve over uint64 wraps mod 2^64, which is exactly the
+            # linear-hash family the MinHash stage uses)
+            th = np.fromiter(
+                (zlib.crc32(t.encode()) for t in toks), dtype=np.uint64, count=len(toks)
+            )
+            th = th * np.uint64(0x9E3779B97F4A7C15) + np.uint64(0xD1B54A32D192ED03)
+            mults = (
+                np.uint64(0x100000001B3) ** np.arange(k, dtype=np.uint64)
+            )  # FNV-prime powers, wraparound is fine
+            win = np.lib.stride_tricks.sliding_window_view(th, k)
+            h = (win * mults[None, :]).sum(axis=1, dtype=np.uint64)
+            out_h.append((h >> np.uint64(1)).astype(np.int64))
+            out_d.append(np.full(n, did, dtype=np.int64))
+            out_p.append(np.arange(n, dtype=np.int64))
+        if not out_h:
+            return pa.table(
+                {
+                    "h": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "pos": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "h": pa.array(np.concatenate(out_h), type=pa.int64()),
+                "doc_id": pa.array(np.concatenate(out_d), type=pa.int64()),
+                "pos": pa.array(np.concatenate(out_p), type=pa.int64()),
+            }
+        )
+
+    def add_gpart(batch: pa.Table) -> pa.Table:
+        h = batch["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return batch.append_column(
+            "g", pa.array((h % np.uint64(_SPAN_PARTITIONS)).astype(np.int64))
+        )
+
+    def dup_positions(group: pa.Table) -> pa.Table:
+        h = group["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = group["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(h, kind="stable")
+        h, d, p = h[order], d[order], p[order]
+        uniq, starts, counts = np.unique(h, return_index=True, return_counts=True)
+        keep = counts >= min_count
+        idx = np.concatenate(
+            [np.arange(s, s + c) for s, c in zip(starts[keep], counts[keep])]
+        ) if keep.any() else np.array([], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(d[idx], type=pa.int64()),
+                "pos": pa.array(p[idx], type=pa.int64()),
+            }
+        )
+
+    def add_dpart(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return batch.append_column(
+            "q",
+            pa.array(
+                ((d * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(_SPAN_PARTITIONS)).astype(
+                    np.int64
+                )
+            ),
+        )
+
+    def merge_spans(group: pa.Table) -> pa.Table:
+        d = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = group["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((p, d))
+        d, p = d[order], p[order]
+        if d.size == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "span_start": pa.array([], type=pa.int64()),
+                    "span_end": pa.array([], type=pa.int64()),
+                    "n_dup_grams": pa.array([], type=pa.int64()),
+                }
+            )
+        brk = np.empty(d.size, dtype=bool)
+        brk[0] = True
+        brk[1:] = (d[1:] != d[:-1]) | (p[1:] > p[:-1] + k)
+        starts = np.nonzero(brk)[0]
+        ends = np.concatenate((starts[1:], [d.size]))
+        return pa.table(
+            {
+                "doc_id": pa.array(d[starts], type=pa.int64()),
+                "span_start": pa.array(p[starts], type=pa.int64()),
+                "span_end": pa.array(p[ends - 1] + k, type=pa.int64()),
+                "n_dup_grams": pa.array((ends - starts).astype(np.int64)),
+            }
+        )
+
+    out = (
+        read_documents(sf_dir)
+        .map_batches(gram_rows, batch_format="pyarrow", batch_size=1024)
+        .map_batches(add_gpart, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(dup_positions, batch_format="pyarrow")
+        .map_batches(add_dpart, batch_format="pyarrow")
+        .groupby("q")
+        .map_groups(merge_spans, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "span_start": pd.Series(dtype="int64"),
+                "span_end": pd.Series(dtype="int64"),
+                "n_dup_grams": pd.Series(dtype="int64"),
+            }
+        )
+    return out.sort_values(["doc_id", "span_start"], kind="stable").reset_index(
+        drop=True
+    )

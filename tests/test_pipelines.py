@@ -101,6 +101,75 @@ class TestDedup:
         assert len(out) == k * (k - 1) // 2  # no duplicate rows
         assert (out["jaccard_r"] == 1.0).all()
 
+    def test_dedup_substrings_matches_bruteforce(self, ray_session, docs):
+        from searchengine_ray.pipelines.dedup import dedup_substrings
+        from searchengine_ray.textproc import tokenize_simple
+
+        k = 8
+        out = dedup_substrings(SF, k=k)
+        # brute force: count k-grams corpus-wide, mark duplicated positions,
+        # merge runs with the engine's rule (break where pos > prev + k)
+        from collections import Counter
+
+        grams: dict[int, list[tuple[int, ...]]] = {}
+        cnt: Counter = Counter()
+        for did, text in docs.items():
+            ts = tokenize_simple(text or "")
+            gs = [tuple(ts[i : i + k]) for i in range(len(ts) - k + 1)]
+            grams[did] = gs
+            cnt.update(gs)
+        expected = []
+        for did in sorted(docs):
+            dup = [i for i, g in enumerate(grams.get(did, [])) if cnt[g] >= 2]
+            if not dup:
+                continue
+            start, prev, n = dup[0], dup[0], 1
+            for p in dup[1:]:
+                if p > prev + k:
+                    expected.append((did, start, prev + k, n))
+                    start, n = p, 0
+                prev = p
+                n += 1
+            expected.append((did, start, prev + k, n))
+        got = list(
+            zip(out["doc_id"], out["span_start"], out["span_end"], out["n_dup_grams"])
+        )
+        assert got == expected
+        assert len(got) > 0  # non-vacuous on the synthetic corpus
+
+    def test_dedup_substrings_planted_merge_rule(self, ray_session, tmp_path):
+        """Two docs share one 8-gram; one doc repeats it twice adjacently —
+        the adjacent occurrences merge into ONE span, the cross-doc
+        occurrence stands alone."""
+        import pyarrow.parquet as pqw
+
+        from searchengine_ray.pipelines.dedup import dedup_substrings
+
+        shared = "q w e r t y u i"  # 8 tokens
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        pqw.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1], type=pa.int64()),
+                    "text": pa.array(
+                        [f"zero one {shared} {shared} tail", f"alpha {shared} omega"]
+                    ),
+                    "lang": pa.array(["en", "en"]),
+                    "source": pa.array(["t", "t"]),
+                    "n_chars": pa.array([1, 1], type=pa.int64()),
+                }
+            ),
+            sf / "documents.parquet",
+        )
+        out = dedup_substrings(str(sf), k=8)
+        rows = list(
+            zip(out["doc_id"], out["span_start"], out["span_end"], out["n_dup_grams"])
+        )
+        # doc 0: dup grams at pos 2 and 10 (10 == 2+8 → merge) ⇒ [2, 18)
+        # doc 1: dup gram at pos 1 ⇒ [1, 9)
+        assert rows == [(0, 2, 18, 2), (1, 1, 9, 1)]
+
     def test_simhash_pairs_verified(self, ray_session, docs):
         from searchengine_ray.pipelines.dedup import SimHash, simhash_dups
 
