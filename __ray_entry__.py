@@ -1012,7 +1012,7 @@ ORDER BY query_vec_id, rank""",
         "html_extract": r"""
 WITH norm AS (
   SELECT doc_id,
-         trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g')) AS t
+         trim(regexp_replace(text, '[ \t\n\f\r\x{00A0}]+', ' ', 'g')) AS t
   FROM documents)
 SELECT doc_id,
        'Doc ' || doc_id AS title,

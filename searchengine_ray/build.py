@@ -644,8 +644,6 @@ def _config_signature(config: EngineConfig) -> dict:
     when these match — text semantics or on-disk layout changes (analyzer,
     segments, buckets, block size, ingest extraction, morphology tables)
     make old outputs wrong, not just stale."""
-    from searchengine_ray.textproc import morphology_signature
-
     return {
         "analyzer": config.analyzer,
         "num_segments": config.num_segments,
@@ -656,7 +654,7 @@ def _config_signature(config: EngineConfig) -> dict:
         # the index vocabulary is a function of the lemma tables: postings
         # built under different morphology are WRONG for this query path,
         # not merely stale (same surface word → different lemma key)
-        "morphology": morphology_signature(),
+        "morphology": _morph_sig(),
     }
 
 

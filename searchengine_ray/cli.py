@@ -143,10 +143,23 @@ def cmd_reindex(args: argparse.Namespace) -> int:
             i: _input_fingerprint(s)
             for i, s in enumerate(_shard_files(files, cfg.num_shards))
         }
-        keep_delta = args.input is None and cur == pre
+        # the overlay's postings/df adjustments are keyed to the OLD index's
+        # LEMMAS as well as its docids — unchanged inputs alone don't prove
+        # validity if the active morphology tables changed since the build
+        # (shards would rebuild under new lemma keys while the overlay
+        # still speaks the old ones)
+        from searchengine_ray.textproc import morphology_signature
+
+        same_morph = m.get("morphology") == morphology_signature()
+        keep_delta = args.input is None and cur == pre and same_morph
         if not keep_delta:
+            reason = (
+                "changed inputs"
+                if not (args.input is None and cur == pre)
+                else "changed morphology tables"
+            )
             print(
-                "warning: reindex over changed inputs supersedes "
+                f"warning: reindex over {reason} supersedes "
                 f"{len(dstate['generations'])} doc-level upsert generation(s); "
                 "they will be dropped after the rebuild finalizes",
                 file=sys.stderr,

@@ -33,14 +33,15 @@ from __future__ import annotations
 import re
 from html.parser import HTMLParser
 
-# Jsoup's whitespace (StringUtil.isWhitespace) is the ASCII set
-# {space, \t, \n, \f, \r} — NOT Unicode whitespace: a non-breaking space
-# (\xa0, e.g. from &nbsp;) is text and survives normalization. Python's
-# str.split()/isspace() are Unicode-wide, so normalization here uses the
-# explicit ASCII set (which also keeps the html_extract oracle's RE2
-# ``[ \t\n\f\r]+`` collapse exactly equivalent).
-_WS = " \t\n\f\r"
-_WS_RUN = re.compile(r"[ \t\n\f\r]+")
+# Jsoup's text() whitespace (StringUtil.isActuallyWhitespace, used by
+# appendNormalisedWhitespace) is {space, \t, \n, \f, \r, U+00A0}: the
+# non-breaking space NORMALIZES like whitespace, but the set is still not
+# Python's Unicode-wide str.split()/isspace() (\v, thin spaces, etc. are
+# text in Jsoup). Normalization here uses the explicit Jsoup set, which
+# keeps the html_extract oracle's RE2 ``[ \t\n\f\r\x{00A0}]+`` collapse
+# exactly equivalent.
+_WS = " \t\n\f\r\xa0"
+_WS_RUN = re.compile(r"[ \t\n\f\r\xa0]+")
 
 
 def _ws_normalize(s: str) -> str:

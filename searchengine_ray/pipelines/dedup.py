@@ -17,7 +17,6 @@ Scale shapes (ray_guide patterns):
 from __future__ import annotations
 
 import hashlib
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -1462,14 +1461,21 @@ def dedup_substrings(sf_dir: str, k: int = 8, min_count: int = 2):
             if n <= 0:
                 continue
             # vectorized rolling hash over the token-id sequence: hash each
-            # token once, then combine k consecutive token hashes with
-            # position-dependent odd multipliers (a sliding dot product —
-            # np.convolve over uint64 wraps mod 2^64, which is exactly the
-            # linear-hash family the MinHash stage uses)
+            # token once to 64 BITS (blake2b-8; a 32-bit token hash would
+            # collide token TYPES at ~77k-type vocabularies and manufacture
+            # false duplicated spans), then combine k consecutive token
+            # hashes with position-dependent odd multipliers (a sliding dot
+            # product wrapping mod 2^64 — the MinHash linear-hash family)
             th = np.fromiter(
-                (zlib.crc32(t.encode()) for t in toks), dtype=np.uint64, count=len(toks)
+                (
+                    int.from_bytes(
+                        hashlib.blake2b(t.encode(), digest_size=8).digest(), "little"
+                    )
+                    for t in toks
+                ),
+                dtype=np.uint64,
+                count=len(toks),
             )
-            th = th * np.uint64(0x9E3779B97F4A7C15) + np.uint64(0xD1B54A32D192ED03)
             mults = (
                 np.uint64(0x100000001B3) ** np.arange(k, dtype=np.uint64)
             )  # FNV-prime powers, wraparound is fine

@@ -255,18 +255,31 @@ class EngineService:
     def index_page(self, rows: list[dict]) -> tuple[int, dict]:
         from searchengine_ray.delta import upsert_docs
 
-        if not os.path.exists(os.path.join(self.index_dir, "manifest.json")):
-            return 400, {"result": False, "error": ERROR_NO_INDEX}
-        try:
-            out = upsert_docs(self.index_dir, rows)
-        except (KeyError, ValueError) as e:
-            return 400, {"result": False, "error": str(e)}
-        self._invalidate()
+        # mutations serialize under the lock: two concurrent indexPage
+        # calls would otherwise both read the same generation count and
+        # write the same gen directory (upsert_docs is not concurrent-safe
+        # by design — the CLI path is single-caller). Searches only touch
+        # the lock for the O(1) engine acquire, so they stall at most for
+        # one doc-grain upsert.
+        with self._lock:
+            if not os.path.exists(os.path.join(self.index_dir, "manifest.json")):
+                return 400, {"result": False, "error": ERROR_NO_INDEX}
+            try:
+                out = upsert_docs(self.index_dir, rows)
+            except (KeyError, ValueError) as e:
+                return 400, {"result": False, "error": str(e)}
+            self._invalidate()
         return 200, {"result": True, **out}
 
     def delete_all(self) -> tuple[int, dict]:
-        self._invalidate()
-        shutil.rmtree(self.index_dir, ignore_errors=True)
+        # rmtree BEFORE dropping the cached engine, all under the lock: a
+        # racing search either acquired the old engine earlier (finishes on
+        # point-in-time mmapped state) or blocks on the lock and then sees
+        # no manifest — it can never cache a fresh engine over files that
+        # are about to vanish and serve the deleted index forever
+        with self._lock:
+            shutil.rmtree(self.index_dir, ignore_errors=True)
+            self._invalidate()
         return 200, {"result": True}
 
     def close(self) -> None:

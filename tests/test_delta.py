@@ -413,6 +413,31 @@ class TestDeltaSurvivesRebuildLifecycles:
         assert eng.reader.n_docs == n_docs_before
         assert eng.search("новослово", 0, 10) == before
 
+    def test_changed_morphology_reindex_supersedes_delta(self, base, tmp_path, capsys):
+        """Code-review r4: unchanged INPUTS don't prove the overlay valid —
+        changed morphology tables rebuild every shard under NEW lemma keys,
+        so keep_delta must be refused (overlay dropped with a warning), not
+        rebound onto an index it no longer matches."""
+        from searchengine_ray import textproc
+        from searchengine_ray.cli import main
+
+        _, index_dir, _ = base
+        idx = str(tmp_path / "idx")
+        shutil.copytree(index_dir, idx)
+        upsert_docs(
+            idx, [{"conv_id": "zzzz-morph", "turn_idx": 0, "role": "user", "text": NEW_TEXT_2}]
+        )
+        assert QueryEngine(idx).search("новослово", 0, 10)["count"] == 1
+        try:
+            textproc.use_lemma_table({"зюзюка": "зюзюк"})  # different signature
+            assert main(["reindex", "--index", idx]) == 0
+            err = capsys.readouterr().err
+            assert "morphology" in err
+            # shards rebuilt under the new tables; overlay dropped
+            assert load_state(idx) is None
+        finally:
+            textproc.use_lemma_table(None)
+
     def test_changed_input_reindex_supersedes_delta(self, base, tmp_path, capsys):
         """A reindex over CHANGED inputs compacts: the rebuild wins, the
         overlay is dropped after finalize (with a warning)."""

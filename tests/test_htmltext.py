@@ -32,9 +32,10 @@ GOLDEN = [
     ("", ""),
     ("<head><meta charset='utf-8'><title>Ti tle</title></head><body>b</body>", "b"),
     ("no tags at all", "no tags at all"),
-    ("a\n\t\nb", "a b"),                        # any ASCII whitespace run → one space
-    ("a\xa0b", "a\xa0b"),                       # &nbsp; is TEXT in Jsoup, not whitespace
-    ("x &nbsp; y", "x \xa0 y"),                 # decoded nbsp survives normalization
+    ("a\n\t\nb", "a b"),                        # any whitespace run → one space
+    ("a\xa0b", "a b"),                          # nbsp normalizes (isActuallyWhitespace)
+    ("x &nbsp; y", "x y"),                      # &nbsp; too, after entity decode
+    ("a\x0bb", "a\x0bb"),                       # \v is NOT Jsoup whitespace — text
     ("<body><h1>Заголовок</h1><p>текст дела А40-123/2024</p></body>",
      "Заголовок текст дела А40-123/2024"),
 ]
