@@ -297,7 +297,23 @@ class ExplodePostings:
     O(1) per repeated surface form (Zipf makes the hit rate ~99%).
     """
 
-    def __init__(self, conv_path: str, n_convs: int, config: EngineConfig):
+    def __init__(
+        self,
+        conv_path: str,
+        n_convs: int,
+        config: EngineConfig,
+        lemma_table: dict[str, str] | None = None,
+    ):
+        # Morphology state is PROCESS-LOCAL (textproc module globals): a
+        # custom table installed on the driver via use_lemma_table would
+        # otherwise never reach this actor's process, and the index would
+        # be built under the bundled tables while the manifest records the
+        # driver's custom signature (code-review r4). None = bundled tables
+        # (the module default, identical in every process).
+        if lemma_table is not None:
+            from searchengine_ray.textproc import use_lemma_table
+
+            use_lemma_table(lemma_table)
         # Rank lookup over the MEMORY-MAPPED sorted conv sidecar (the index
         # dir is shared storage on a real cluster, same as shard outputs):
         # no broadcast, no per-worker heap copy — the OS pages in only the
@@ -651,11 +667,20 @@ def _config_signature(config: EngineConfig) -> dict:
         "block_size": config.block_size,
         "site_column": config.site_column,
         "html_content": config.html_content,
+        # extraction-rule changes alter the stored text of html_content
+        # builds — version the extractor so old shards rebuild, not reuse
+        "html_extractor": _extractor_version() if config.html_content else None,
         # the index vocabulary is a function of the lemma tables: postings
         # built under different morphology are WRONG for this query path,
         # not merely stale (same surface word → different lemma key)
         "morphology": _morph_sig(),
     }
+
+
+def _extractor_version() -> int:
+    from searchengine_ray.htmltext import EXTRACTOR_VERSION
+
+    return EXTRACTOR_VERSION
 
 
 def config_from_manifest(m: dict, **overrides) -> EngineConfig:
@@ -759,12 +784,17 @@ def _build_shard(
             per_worker(HtmlToText), batch_format="pyarrow",
             batch_size=config.batch_size,
         )
+    from searchengine_ray import textproc as _tp
+
     exploded = ds.map_batches(
         ExplodePostings,
         fn_constructor_kwargs={
             "conv_path": conv_path,
             "n_convs": n_convs,
             "config": config,
+            # ship any driver-installed custom lemma table to the actors
+            # (pickled once per actor; None = bundled module tables)
+            "lemma_table": _tp._LEMMA_TABLE,
         },
         batch_format="pyarrow",
         batch_size=config.batch_size,

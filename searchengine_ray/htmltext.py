@@ -43,6 +43,12 @@ from html.parser import HTMLParser
 _WS = " \t\n\f\r\xa0"
 _WS_RUN = re.compile(r"[ \t\n\f\r\xa0]+")
 
+# Bump on ANY output-changing extraction rule (whitespace set, block tags,
+# skip set, …): it joins the shard config signature for html_content
+# builds, so a reindex rebuilds shards whose stored text was extracted
+# under older rules instead of silently mixing provenances.
+EXTRACTOR_VERSION = 2  # v2: nbsp joins the Jsoup whitespace set
+
 
 def _ws_normalize(s: str) -> str:
     return " ".join(p for p in _WS_RUN.split(s) if p)

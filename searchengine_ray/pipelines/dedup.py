@@ -1460,21 +1460,15 @@ def dedup_substrings(sf_dir: str, k: int = 8, min_count: int = 2):
             n = len(toks) - k + 1
             if n <= 0:
                 continue
-            # vectorized rolling hash over the token-id sequence: hash each
-            # token once to 64 BITS (blake2b-8; a 32-bit token hash would
-            # collide token TYPES at ~77k-type vocabularies and manufacture
-            # false duplicated spans), then combine k consecutive token
-            # hashes with position-dependent odd multipliers (a sliding dot
-            # product wrapping mod 2^64 — the MinHash linear-hash family)
+            # vectorized rolling hash over the token-id sequence: 64-bit
+            # per-TYPE token hashes via the module's Zipf-memoized helper
+            # (a 32-bit token hash would collide token TYPES at ~77k-type
+            # vocabularies and manufacture false duplicated spans), then
+            # combine k consecutive token hashes with position-dependent
+            # odd multipliers (a sliding dot product wrapping mod 2^64 —
+            # the MinHash linear-hash family)
             th = np.fromiter(
-                (
-                    int.from_bytes(
-                        hashlib.blake2b(t.encode(), digest_size=8).digest(), "little"
-                    )
-                    for t in toks
-                ),
-                dtype=np.uint64,
-                count=len(toks),
+                (_token_hash(t) for t in toks), dtype=np.uint64, count=len(toks)
             )
             mults = (
                 np.uint64(0x100000001B3) ** np.arange(k, dtype=np.uint64)

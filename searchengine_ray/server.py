@@ -118,7 +118,8 @@ class EngineService:
         self.actors = int(actors)
         self.config = config
         self._engine = None
-        self._lock = threading.RLock()
+        self._lock = threading.RLock()  # engine reference (O(1) holds only)
+        self._mut_lock = threading.RLock()  # serializes index mutations
         # id(engine) → in-flight search count; retired engines awaiting
         # drain are tracked so the LAST search out shuts them down
         self._inflight: dict[int, int] = {}
@@ -218,10 +219,12 @@ class EngineService:
         return DEFAULT_CONFIG
 
     def start_indexing(self) -> tuple[int, dict]:
-        # check-then-spawn under the lock: concurrent /api/startIndexing
-        # calls must not both pass the liveness check and race two builds
-        # over the same index_dir
-        with self._lock:
+        # check-then-spawn under the MUTATION lock: concurrent
+        # /api/startIndexing calls must not both pass the liveness check
+        # and race two builds over the same index_dir, and a build must
+        # not launch between another mutation's indexing-check and its
+        # write (indexPage/deleteAll hold the same lock)
+        with self._mut_lock:
             if self.indexing:
                 return 400, {"result": False, "error": ERROR_ALREADY_INDEXING}
             if not self.input_dir:
@@ -255,13 +258,21 @@ class EngineService:
     def index_page(self, rows: list[dict]) -> tuple[int, dict]:
         from searchengine_ray.delta import upsert_docs
 
-        # mutations serialize under the lock: two concurrent indexPage
-        # calls would otherwise both read the same generation count and
-        # write the same gen directory (upsert_docs is not concurrent-safe
-        # by design — the CLI path is single-caller). Searches only touch
-        # the lock for the O(1) engine acquire, so they stall at most for
-        # one doc-grain upsert.
-        with self._lock:
+        # mutations serialize on their OWN lock (two concurrent indexPage
+        # calls would both read the same generation count and write the
+        # same gen directory — upsert_docs is single-writer by design), so
+        # a large upsert never parks searches: they only touch self._lock
+        # for the O(1) engine acquire and keep serving the pre-upsert
+        # generation until _invalidate swaps it.
+        with self._mut_lock:
+            # a running build owns index_dir without any lock (it is a
+            # minutes-long background thread); a delta generation written
+            # now would be stamped with the OLD build_id and destroyed by
+            # the build's post-finalize clear_delta AFTER we acknowledged
+            # it with a 200 — reject instead, like the reference does
+            # while indexing
+            if self.indexing:
+                return 400, {"result": False, "error": ERROR_ALREADY_INDEXING}
             if not os.path.exists(os.path.join(self.index_dir, "manifest.json")):
                 return 400, {"result": False, "error": ERROR_NO_INDEX}
             try:
@@ -272,14 +283,21 @@ class EngineService:
         return 200, {"result": True, **out}
 
     def delete_all(self) -> tuple[int, dict]:
-        # rmtree BEFORE dropping the cached engine, all under the lock: a
-        # racing search either acquired the old engine earlier (finishes on
-        # point-in-time mmapped state) or blocks on the lock and then sees
-        # no manifest — it can never cache a fresh engine over files that
-        # are about to vanish and serve the deleted index forever
-        with self._lock:
-            shutil.rmtree(self.index_dir, ignore_errors=True)
-            self._invalidate()
+        # rmtree BEFORE dropping the cached engine, under BOTH locks: the
+        # mutation lock excludes a concurrent upsert, and holding the
+        # engine lock means a racing search either acquired the old engine
+        # earlier (it may still hit vanished postings files mid-read — the
+        # handler maps that to an error envelope) or blocks on acquire and
+        # then sees no manifest — it can never cache a fresh engine over
+        # files that are about to vanish and serve the deleted index
+        # forever. A running build would re-create the dir after rmtree —
+        # reject, mirroring the reference's lifecycle.
+        with self._mut_lock:
+            if self.indexing:
+                return 400, {"result": False, "error": ERROR_ALREADY_INDEXING}
+            with self._lock:
+                shutil.rmtree(self.index_dir, ignore_errors=True)
+                self._invalidate()
         return 200, {"result": True}
 
     def close(self) -> None:
@@ -319,8 +337,15 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(400, {"result": False, "error": "offset/limit must be integers"})
                 return
             site = q.get("site", [None])[0]
+            try:
+                out = self.service.search(query, offset, limit, site)
+            except Exception as e:  # noqa: BLE001 — e.g. a search in flight
+                # across a deleteAll hits vanished postings files; return a
+                # clean envelope instead of dropping the connection
+                self._send(500, {"result": False, "error": f"{type(e).__name__}: {e}"})
+                return
             # ensure_ascii=False matches the CLI search output byte-for-byte
-            self._send(200, self.service.search(query, offset, limit, site), ensure_ascii=False)
+            self._send(200, out, ensure_ascii=False)
         elif url.path == "/api/statistics":
             out = self.service.statistics()
             self._send(200 if out.get("result") else 400, out)

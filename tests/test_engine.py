@@ -981,3 +981,45 @@ class TestSourceFormats:
         (d2 / "b.csv").write_text("a\n1\n")
         with pytest.raises(ValueError, match="mixed"):
             expand_input(str(d2))
+
+
+class TestCustomLemmaTableShipping:
+    def test_custom_table_reaches_build_workers(self, ray_session, tmp_path):
+        """Code-review r4: morphology state is process-local, so a custom
+        table installed via use_lemma_table on the driver must be SHIPPED
+        to the ExplodePostings actors — otherwise the index is built under
+        the bundled tables while the driver (and its manifest signature)
+        speak the custom ones: query lemma != index lemma, silent zero
+        recall. The custom mapping below disagrees with both the bundled
+        table and the suffix-strip fallback for 'решение'."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from searchengine_ray import textproc
+        from searchengine_ray.build import build_index
+        from searchengine_ray.query import QueryEngine
+
+        corpus = tmp_path / "corpus"
+        corpus.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "conv_id": pa.array(["c0", "c0", "c1"]),
+                    "turn_idx": pa.array([0, 1, 0], type=pa.int64()),
+                    "role": pa.array(["user", "assistant", "user"]),
+                    "text": pa.array(
+                        ["решение суда", "встречный иск", "решение принято"]
+                    ),
+                }
+            ),
+            corpus / "part-00000.parquet",
+        )
+        idx = str(tmp_path / "idx")
+        try:
+            textproc.use_lemma_table({"решение": "каноник", "принято": "каноник2"})
+            build_index(str(corpus), idx, CFG.replace(num_shards=1))
+            eng = QueryEngine(idx)
+            out = eng.search("решение", 0, 10)
+            assert out["count"] == 2, out  # both docs found under the custom lemma
+        finally:
+            textproc.use_lemma_table(None)
