@@ -309,10 +309,16 @@ class ExplodePostings:
         # otherwise never reach this actor's process, and the index would
         # be built under the bundled tables while the manifest records the
         # driver's custom signature (code-review r4). None = bundled tables
-        # (the module default, identical in every process).
+        # (the module default, identical in every process). Large tables
+        # arrive as an ObjectRef (ray.put once per build, fetched from the
+        # local object store here) rather than a per-actor pickle.
         if lemma_table is not None:
+            import ray
+
             from searchengine_ray.textproc import use_lemma_table
 
+            if isinstance(lemma_table, ray.ObjectRef):
+                lemma_table = ray.get(lemma_table)
             use_lemma_table(lemma_table)
         # Rank lookup over the MEMORY-MAPPED sorted conv sidecar (the index
         # dir is shared storage on a real cluster, same as shard outputs):
@@ -655,11 +661,17 @@ def _write_norms_sidecar(shard_dir: str) -> None:
     np.save(os.path.join(shard_dir, "norms_dl.npy"), dls)
 
 
-def _config_signature(config: EngineConfig) -> dict:
+def _config_signature(config: EngineConfig, morph_sig: str | None = None) -> dict:
     """The layout-affecting config fields. A resumed shard is reused only
     when these match — text semantics or on-disk layout changes (analyzer,
     segments, buckets, block size, ingest extraction, morphology tables)
-    make old outputs wrong, not just stale."""
+    make old outputs wrong, not just stale.
+
+    ``morph_sig`` pins the morphology signature to the snapshot taken at
+    ``build_index`` entry; the default (live-state sample) is only for
+    callers outside a build (code-review r4: three independent live samples
+    per build let a concurrent ``use_lemma_table`` desync shard sig,
+    actor tables, and manifest)."""
     return {
         "analyzer": config.analyzer,
         "num_segments": config.num_segments,
@@ -673,7 +685,7 @@ def _config_signature(config: EngineConfig) -> dict:
         # the index vocabulary is a function of the lemma tables: postings
         # built under different morphology are WRONG for this query path,
         # not merely stale (same surface word → different lemma key)
-        "morphology": _morph_sig(),
+        "morphology": morph_sig if morph_sig is not None else _morph_sig(),
     }
 
 
@@ -735,13 +747,19 @@ def _build_shard(
     n_convs: int,
     config: EngineConfig,
     fmt: str = "parquet",
+    lemma_ref=None,
+    morph_sig: str | None = None,
 ) -> dict:
+    """``lemma_ref``/``morph_sig``: the build-entry snapshot of the custom
+    lemma table (``ray.ObjectRef`` — ONE object-store copy per build, not
+    one pickle per actor per shard pool) and its signature. Defaults sample
+    the live module state, for direct callers outside ``build_index``."""
     import ray.data as rd
 
     shard_dir = os.path.join(index_dir, "shards", f"shard={shard_id:05d}")
     manifest_path = os.path.join(shard_dir, "_MANIFEST.json")
     fingerprint = _input_fingerprint(files)
-    cfg_sig = _config_signature(config)
+    cfg_sig = _config_signature(config, morph_sig=morph_sig)
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             m = json.load(f)
@@ -792,9 +810,14 @@ def _build_shard(
             "conv_path": conv_path,
             "n_convs": n_convs,
             "config": config,
-            # ship any driver-installed custom lemma table to the actors
-            # (pickled once per actor; None = bundled module tables)
-            "lemma_table": _tp._LEMMA_TABLE,
+            # ship any driver-installed custom lemma table to the actors:
+            # under build_index (morph_sig given) the build-entry snapshot
+            # is AUTHORITATIVE — an object-store ref (one copy per build)
+            # or None meaning "bundled tables at snapshot time"; sampling
+            # the live module state here instead would let a concurrent
+            # use_lemma_table ship later shards a table that disagrees
+            # with cfg_sig. Outside build_index, sample live.
+            "lemma_table": lemma_ref if morph_sig is not None else _tp._LEMMA_TABLE,
         },
         batch_format="pyarrow",
         batch_size=config.batch_size,
@@ -891,7 +914,7 @@ _FINALIZE_DRIVER_MAX_ROWS = 4_000_000
 
 def _finalize_distributed(
     index_dir: str, config: EngineConfig, shard_manifests: list[dict], pfiles: list[str],
-    build_id: str | None = None,
+    build_id: str | None = None, morph_sig: str | None = None,
 ) -> dict:
     """Distributed finalize (VERDICT r1 item 8): the dictionary merge is a
     Ray map-combine → fixed-partition shuffle → vectorized pandas reduce
@@ -1024,7 +1047,13 @@ def _finalize_distributed(
         "block_size": config.block_size,
         "site_column": config.site_column,
         "html_content": config.html_content,
-        "morphology": _morph_sig(),
+        "morphology": morph_sig if morph_sig is not None else _morph_sig(),
+        # which extraction rules produced the stored text of an
+        # html_content index (None for plain-text builds): powers the
+        # cmd_reindex keep_delta gate exactly like "morphology" does —
+        # without it an extractor-rule upgrade would preserve an upsert
+        # overlay over shards that all rebuild under different rules
+        "html_extractor": _extractor_version() if config.html_content else None,
         "sites": sites,
         "shards": shard_manifests,
     }
@@ -1041,6 +1070,7 @@ def _finalize(
     shard_manifests: list[dict],
     force_distributed: bool = False,
     build_id: str | None = None,
+    morph_sig: str | None = None,
 ) -> dict:
     """Aggregate per-(lemma, site, seg, shard) rows into the term dictionary
     and global BM25 stats. Segments/shards are doc-disjoint, so df sums
@@ -1051,7 +1081,9 @@ def _finalize(
     pfiles = _posting_files(index_dir)
     total_rows = sum(pq.read_metadata(f).num_rows for f in pfiles)
     if force_distributed or total_rows > _FINALIZE_DRIVER_MAX_ROWS:
-        return _finalize_distributed(index_dir, config, shard_manifests, pfiles, build_id)
+        return _finalize_distributed(
+            index_dir, config, shard_manifests, pfiles, build_id, morph_sig=morph_sig
+        )
     t = pa.concat_tables(
         pq.read_table(f, columns=["lemma", "site", "df", "sum_tf"]) for f in pfiles
     )
@@ -1143,7 +1175,13 @@ def _finalize(
         "block_size": config.block_size,
         "site_column": config.site_column,
         "html_content": config.html_content,
-        "morphology": _morph_sig(),
+        "morphology": morph_sig if morph_sig is not None else _morph_sig(),
+        # which extraction rules produced the stored text of an
+        # html_content index (None for plain-text builds): powers the
+        # cmd_reindex keep_delta gate exactly like "morphology" does —
+        # without it an extractor-rule upgrade would preserve an upsert
+        # overlay over shards that all rebuild under different rules
+        "html_extractor": _extractor_version() if config.html_content else None,
         "sites": sites,
         "shards": shard_manifests,
     }
@@ -1203,6 +1241,22 @@ def build_index(
 
     files, fmt = sources.expand_input(input_path, input_format)
     os.makedirs(index_dir, exist_ok=True)
+
+    # Snapshot the morphology state ONCE, at entry: every later consumer —
+    # per-shard cfg_sig, the ExplodePostings actor tables, the finalize
+    # manifest — uses this snapshot, so a use_lemma_table call concurrent
+    # with a running build (e.g. the HTTP server builds in a background
+    # thread) can no longer stamp the manifest with a signature that
+    # disagrees with the tables the shards were built under (code-review
+    # r4). None = bundled tables, identical in every worker process.
+    from searchengine_ray import textproc as _tp
+
+    lemma_snapshot = _tp._LEMMA_TABLE
+    # sign the RESOLVED dict (bundled when no custom table), not the live
+    # global, so the signature is computed from exactly the object shipped
+    morph_snapshot = _tp.morphology_signature(
+        lemma_snapshot if lemma_snapshot is not None else _tp._lemma_table()
+    )
 
     # A (re)build from inputs supersedes any doc-level upsert overlay: delta
     # generations are relative to the PREVIOUS finalized index (compaction
@@ -1292,12 +1346,21 @@ def build_index(
         config = config.replace(lemmatizer_concurrency=(new_lo, new_hi))
     if config.shuffle_partitions is None:
         config = config.replace(shuffle_partitions=max(8, min(128, 2 * cpus // workers)))
+
+    # One object-store copy of a custom lemma table per BUILD (actors fetch
+    # from their node's store), not one driver pickle per actor per shard
+    # pool — a full OpenCorpora-scale table is hundreds of MB.
+    lemma_ref = ray.put(lemma_snapshot) if lemma_snapshot is not None else None
+
     def _guarded(i: int, s: list[str]):
         # polled at shard LAUNCH — in-flight shards always run to completion
         # (each is an atomic checkpoint), so stop never loses work
         if stop_check():
             return None
-        return _build_shard(i, s, index_dir, conv_path, n_convs, config, fmt)
+        return _build_shard(
+            i, s, index_dir, conv_path, n_convs, config, fmt,
+            lemma_ref=lemma_ref, morph_sig=morph_snapshot,
+        )
 
     if workers <= 1:
         manifests = [_guarded(i, s) for i, s in enumerate(shards)]
@@ -1326,7 +1389,9 @@ def build_index(
         from searchengine_ray.delta import pre_rebind_delta_epoch
 
         pre_rebind_delta_epoch(index_dir, new_build_id)
-    manifest = _finalize(index_dir, config, done, build_id=new_build_id)
+    manifest = _finalize(
+        index_dir, config, done, build_id=new_build_id, morph_sig=morph_snapshot
+    )
     if not keep_delta:
         from searchengine_ray.delta import clear_delta
 

@@ -145,19 +145,32 @@ def cmd_reindex(args: argparse.Namespace) -> int:
         }
         # the overlay's postings/df adjustments are keyed to the OLD index's
         # LEMMAS as well as its docids — unchanged inputs alone don't prove
-        # validity if the active morphology tables changed since the build
-        # (shards would rebuild under new lemma keys while the overlay
-        # still speaks the old ones)
+        # validity if any text-shaping rule changed since the build:
+        # morphology tables (shards rebuild under new lemma keys) OR, for
+        # html_content indexes, the HTML-extraction rules (shards rebuild
+        # over differently-extracted text). Compare every drifting field of
+        # the config signature; manifests predating these fields can't
+        # prove validity either way, so they conservatively drop.
+        from searchengine_ray.build import _extractor_version
         from searchengine_ray.textproc import morphology_signature
 
         same_morph = m.get("morphology") == morphology_signature()
-        keep_delta = args.input is None and cur == pre and same_morph
+        same_extractor = m.get("html_extractor") == (
+            _extractor_version() if cfg.html_content else None
+        )
+        keep_delta = args.input is None and cur == pre and same_morph and same_extractor
         if not keep_delta:
-            reason = (
-                "changed inputs"
-                if not (args.input is None and cur == pre)
-                else "changed morphology tables"
-            )
+            if not (args.input is None and cur == pre):
+                reason = "changed inputs"
+            elif "morphology" not in m or (cfg.html_content and "html_extractor" not in m):
+                reason = (
+                    "a manifest that predates morphology/extractor signatures "
+                    "(overlay validity can't be proven)"
+                )
+            elif not same_morph:
+                reason = "changed morphology tables"
+            else:
+                reason = "changed HTML-extraction rules"
             print(
                 f"warning: reindex over {reason} supersedes "
                 f"{len(dstate['generations'])} doc-level upsert generation(s); "
@@ -251,12 +264,19 @@ def cmd_search_batch(args: argparse.Namespace) -> int:
 
     from searchengine_ray.query import QueryActor
 
+    def _lt():
+        from searchengine_ray import textproc as _tp
+
+        return _tp._LEMMA_TABLE
+
     _ensure_ray(args.num_cpus)
     (
         rd.read_parquet(args.queries)
         .map_batches(
             QueryActor,
-            fn_constructor_kwargs={"index_dir": args.index},
+            # ship any driver-installed custom lemma table (morphology
+            # state is process-local; see QueryActor.__init__)
+            fn_constructor_kwargs={"index_dir": args.index, "lemma_table": _lt()},
             batch_format="pandas",
             batch_size=args.batch_size,
             concurrency=args.actors,

@@ -215,8 +215,23 @@ def upsert_docs(index_dir: str, rows: list[dict]) -> dict:
         # .html_content) — an upserted raw-HTML doc must go through the
         # same ingest stage or its postings/doc-store diverge from every
         # built document (reference indexPage parses HTML too)
-        from searchengine_ray.htmltext import html_body_text
+        from searchengine_ray.htmltext import EXTRACTOR_VERSION, html_body_text
 
+        built_under = manifest.get("html_extractor")
+        if built_under is not None and built_under != EXTRACTOR_VERSION:
+            # same contract as the QueryEngine morphology warning: mixing
+            # extraction provenances is silently wrong, so say so — the
+            # remedy is a reindex (which rebuilds every shard under the
+            # current rules, the manifest field having joined cfg_sig)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "upsert_docs: index was built under HTML extractor v%s but "
+                "this process runs v%s — upserted docs will mix extraction "
+                "provenances; reindex to converge",
+                built_under,
+                EXTRACTOR_VERSION,
+            )
         rows = [{**r, "text": html_body_text(str(r.get("text") or ""))} for r in rows]
     for r in rows:
         t = int(r["turn_idx"])

@@ -140,6 +140,7 @@ def transcript_search_actor(sf_dir: str, k: int = 10) -> pd.DataFrame:
     ``transcript_search`` and shares its SQL oracle."""
     import ray.data as rd
 
+    from searchengine_ray import textproc as _tp
     from searchengine_ray.query import QueryActor
 
     index_dir = ensure_transcript_index(sf_dir)
@@ -151,7 +152,13 @@ def transcript_search_actor(sf_dir: str, k: int = 10) -> pd.DataFrame:
         rd.from_items(queries)
         .map_batches(
             QueryActor,
-            fn_constructor_kwargs={"index_dir": index_dir, "rounded_topk": True},
+            # ship any driver-installed custom lemma table (morphology
+            # state is process-local; see QueryActor.__init__)
+            fn_constructor_kwargs={
+                "index_dir": index_dir,
+                "rounded_topk": True,
+                "lemma_table": _tp._LEMMA_TABLE,
+            },
             batch_format="pandas",
             batch_size=4,
             concurrency=2,

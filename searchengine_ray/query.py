@@ -522,7 +522,23 @@ class QueryActor:
         shards: list[str] | None = None,
         delta_docs: bool = True,
         rounded_topk: bool = False,
+        lemma_table=None,
     ):
+        # Morphology state is PROCESS-LOCAL (textproc module globals), and
+        # this __init__ runs in a fresh Ray worker process: a custom table
+        # installed on the driver via use_lemma_table must be shipped here
+        # or query lemmatization silently runs under the bundled tables —
+        # query lemma != index lemma → zero recall (the serving-side twin
+        # of the ExplodePostings build-side fix, code-review r4). Large
+        # tables arrive as an ObjectRef (one object-store copy per pool).
+        if lemma_table is not None:
+            import ray
+
+            from searchengine_ray.textproc import use_lemma_table
+
+            if isinstance(lemma_table, ray.ObjectRef):
+                lemma_table = ray.get(lemma_table)
+            use_lemma_table(lemma_table)
         self.engine = QueryEngine(index_dir, mode=mode, shards=shards, delta_docs=delta_docs)
         # rounded_topk: batch mode ranks by ROUNDED score (half-away, 4 dp)
         # with the canonical (score_r desc, conv_id, turn_idx) tie-break —
@@ -619,12 +635,22 @@ class ShardedQueryService:
         num_actors = max(1, min(num_actors, len(shard_names)))
         groups = [shard_names[i::num_actors] for i in range(num_actors)]
         Actor = ray.remote(QueryActor)
+        # ship any driver-installed custom lemma table to every actor (one
+        # ray.put per pool); without this, actors would lemmatize queries
+        # under the bundled tables against an index built under the custom
+        # ones — silent zero recall (code-review r4)
+        from searchengine_ray import textproc as _tp
+
+        lemma_ref = ray.put(_tp._LEMMA_TABLE) if _tp._LEMMA_TABLE is not None else None
         # Doc-level upsert overlay (delta.py): delta docs are OWNED by the
         # first actor only — every actor still supersede-filters its main
         # postings and shares the adjusted global stats, so the fan-out
         # merge stays exact with no duplicated delta hits.
         self.actors = [
-            Actor.remote(index_dir, mode=mode, shards=g, delta_docs=(i == 0))
+            Actor.remote(
+                index_dir, mode=mode, shards=g, delta_docs=(i == 0),
+                lemma_table=lemma_ref,
+            )
             for i, g in enumerate(g for g in groups if g)
         ]
 

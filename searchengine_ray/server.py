@@ -188,7 +188,14 @@ class EngineService:
     def statistics(self) -> dict:
         if not os.path.exists(os.path.join(self.index_dir, "manifest.json")):
             return {"result": False, "error": ERROR_NO_INDEX}
-        out = index_statistics(self.index_dir)
+        try:
+            out = index_statistics(self.index_dir)
+        except (FileNotFoundError, NotADirectoryError):
+            # existence check → read is not atomic: a concurrent
+            # /api/deleteAll can remove the index between them (the same
+            # TOCTOU the search path guards); answer NO_INDEX, not a
+            # dropped connection
+            return {"result": False, "error": ERROR_NO_INDEX}
         out["statistics"]["total"]["indexing"] = self.indexing
         if self._build_error:
             out["statistics"]["total"]["last_error"] = self._build_error
@@ -347,7 +354,12 @@ class _Handler(BaseHTTPRequestHandler):
             # ensure_ascii=False matches the CLI search output byte-for-byte
             self._send(200, out, ensure_ascii=False)
         elif url.path == "/api/statistics":
-            out = self.service.statistics()
+            try:
+                out = self.service.statistics()
+            except Exception as e:  # noqa: BLE001 — same clean-envelope
+                # contract as /api/search: never drop the connection
+                self._send(500, {"result": False, "error": f"{type(e).__name__}: {e}"})
+                return
             self._send(200 if out.get("result") else 400, out)
         elif url.path == "/api/startIndexing":
             code, out = self.service.start_indexing()

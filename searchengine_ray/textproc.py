@@ -217,7 +217,7 @@ def lemma_of(word: str) -> str:
     return word
 
 
-def morphology_signature() -> str:
+def morphology_signature(lemma_table: dict[str, str] | None = None) -> str:
     """md5 over the ACTIVE lemma-resolution state (exception table, lemma
     table, suffix list). An index's vocabulary is a function of this, so
     the signature joins the shard config signature (a morphology change
@@ -225,13 +225,21 @@ def morphology_signature() -> str:
     to old lemmas) and the manifest (``QueryEngine`` warns when serving an
     index built under different morphology — same word, different lemma
     means silent zero-recall otherwise). Recomputed per call (~ms): the
-    table is swappable at runtime via ``use_lemma_table``."""
+    table is swappable at runtime via ``use_lemma_table``.
+
+    ``lemma_table`` signs an EXPLICIT table snapshot instead of the live
+    module global — ``build_index`` snapshots the table once at entry and
+    signs that snapshot, so a concurrent ``use_lemma_table`` call can never
+    make the manifest signature disagree with the tables the shards were
+    actually built under. ``None`` keeps the live-state behavior (which is
+    itself the bundled table when no custom one is installed, so
+    signature(snapshot=None) == signature(live) at snapshot time)."""
     import hashlib
 
     h = hashlib.md5()
     for k in sorted(LEMMA_EXCEPTIONS):
         h.update(f"e\x1f{k}\x1f{LEMMA_EXCEPTIONS[k]}\x1e".encode())
-    t = _lemma_table()
+    t = lemma_table if lemma_table is not None else _lemma_table()
     for k in sorted(t):
         h.update(f"t\x1f{k}\x1f{t[k]}\x1e".encode())
     h.update(("s\x1f" + "\x1f".join(_SUFFIXES)).encode())

@@ -571,6 +571,90 @@ class TestBuildEpochGate:
         build_index(corpus_dir, idx, CFG)
         assert load_state(idx) is None
 
+    def test_changed_extractor_reindex_supersedes_delta(
+        self, ray_session, tmp_path, capsys
+    ):
+        """Code-review r4 follow-up: for an html_content index, unchanged
+        inputs + unchanged morphology still don't prove the overlay valid
+        when the HTML-extraction rules changed — every shard rebuilds over
+        differently-extracted text while the overlay speaks the old one.
+        The manifest records the extractor version for exactly this gate."""
+        from searchengine_ray.cli import main
+        from searchengine_ray.htmltext import EXTRACTOR_VERSION
+
+        corpus = str(tmp_path / "corpus")
+        os.makedirs(corpus)
+        pq.write_table(
+            pa.table(
+                {
+                    "conv_id": pa.array(["c0", "c0", "c1"]),
+                    "turn_idx": pa.array([0, 1, 0], type=pa.int64()),
+                    "role": pa.array(["user", "assistant", "user"]),
+                    "text": pa.array(
+                        [
+                            "<html><body><p>решение суда</p></body></html>",
+                            "<html><body>встречный иск</body></html>",
+                            "<html><body>решение принято</body></html>",
+                        ]
+                    ),
+                }
+            ),
+            os.path.join(corpus, "part-00000.parquet"),
+        )
+        idx = str(tmp_path / "idx")
+        build_index(corpus, idx, CFG.replace(num_shards=1, html_content=True))
+        mpath = os.path.join(idx, "manifest.json")
+        with open(mpath) as f:
+            m = json.load(f)
+        # the manifest records extraction provenance (plain-text: None)
+        assert m["html_extractor"] == EXTRACTOR_VERSION
+        upsert_docs(
+            idx,
+            [
+                {
+                    "conv_id": "zz",
+                    "turn_idx": 0,
+                    "role": "user",
+                    "text": "<html><body>новослово</body></html>",
+                }
+            ],
+        )
+        assert load_state(idx) is not None
+        # simulate an index built under an OLDER extractor version
+        m["html_extractor"] = 0
+        with open(mpath, "w") as f:
+            json.dump(m, f)
+        assert main(["reindex", "--index", idx]) == 0
+        err = capsys.readouterr().err
+        assert "HTML-extraction" in err
+        assert load_state(idx) is None
+
+    def test_legacy_manifest_reindex_reason(self, base, tmp_path, capsys):
+        """A manifest predating the morphology/extractor signature fields
+        can't prove overlay validity: the overlay conservatively drops,
+        with an honest 'predates signatures' reason instead of the
+        misleading 'changed morphology tables' (nothing changed)."""
+        from searchengine_ray.cli import main
+
+        _, index_dir, _ = base
+        idx = str(tmp_path / "idx")
+        shutil.copytree(index_dir, idx)
+        upsert_docs(
+            idx,
+            [{"conv_id": "zzzz-legacy", "turn_idx": 0, "role": "user", "text": NEW_TEXT_2}],
+        )
+        mpath = os.path.join(idx, "manifest.json")
+        with open(mpath) as f:
+            m = json.load(f)
+        del m["morphology"]
+        m.pop("html_extractor", None)
+        with open(mpath, "w") as f:
+            json.dump(m, f)
+        assert main(["reindex", "--index", idx]) == 0
+        err = capsys.readouterr().err
+        assert "predates" in err and "morphology tables" not in err
+        assert load_state(idx) is None
+
 
 class TestEmptySiteUpsert:
     def test_empty_site_doc_does_not_double_count_global_df(

@@ -1023,3 +1023,42 @@ class TestCustomLemmaTableShipping:
             assert out["count"] == 2, out  # both docs found under the custom lemma
         finally:
             textproc.use_lemma_table(None)
+
+    def test_custom_table_reaches_query_actors(self, ray_session, tmp_path):
+        """Serving-side twin of the build fix (code-review r4): QueryActor
+        __init__ runs in a fresh Ray worker process, so ShardedQueryService
+        must ship the driver's custom table — otherwise actors lemmatize
+        queries under the bundled tables against an index built under the
+        custom ones: query lemma != index lemma, silent zero recall."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from searchengine_ray import textproc
+        from searchengine_ray.build import build_index
+        from searchengine_ray.query import ShardedQueryService
+
+        corpus = tmp_path / "corpus"
+        corpus.mkdir()
+        for i in range(2):
+            pq.write_table(
+                pa.table(
+                    {
+                        "conv_id": pa.array([f"c{2 * i}", f"c{2 * i}", f"c{2 * i + 1}"]),
+                        "turn_idx": pa.array([0, 1, 0], type=pa.int64()),
+                        "role": pa.array(["user", "assistant", "user"]),
+                        "text": pa.array(
+                            ["решение суда", "встречный иск", "решение принято"]
+                        ),
+                    }
+                ),
+                corpus / f"part-{i:05d}.parquet",
+            )
+        idx = str(tmp_path / "idx")
+        try:
+            textproc.use_lemma_table({"решение": "каноник", "принято": "каноник2"})
+            build_index(str(corpus), idx, CFG.replace(num_shards=2))
+            svc = ShardedQueryService(idx, num_actors=2)
+            out = svc.search_ids("решение")
+            assert out["count"] == 4, out  # all four docs, across both actors
+        finally:
+            textproc.use_lemma_table(None)

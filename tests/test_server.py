@@ -193,6 +193,37 @@ class TestIndexingLifecycle:
             srv.server_close()
 
 
+class TestStatisticsRace:
+    def test_statistics_vanished_index_mid_call(self, server, monkeypatch):
+        """TOCTOU (code-review r4 follow-up): the manifest-exists check and
+        the index_statistics read are not atomic — a concurrent
+        /api/deleteAll between them must yield the clean NO_INDEX envelope,
+        not a dropped connection (the same contract as /api/search)."""
+        import searchengine_ray.server as srvmod
+
+        def _vanished(index_dir):
+            raise FileNotFoundError("manifest.json")
+
+        monkeypatch.setattr(srvmod, "index_statistics", _vanished)
+        code, body = _get(_port(server), "/api/statistics")
+        assert code == 400
+        assert json.loads(body) == {"result": False, "error": srvmod.ERROR_NO_INDEX}
+
+    def test_statistics_unexpected_error_is_clean_500(self, server, monkeypatch):
+        """Any other exception maps to a JSON 500 envelope, mirroring the
+        search route's hardening."""
+        import searchengine_ray.server as srvmod
+
+        def _boom(index_dir):
+            raise RuntimeError("corrupt shard")
+
+        monkeypatch.setattr(srvmod, "index_statistics", _boom)
+        code, body = _get(_port(server), "/api/statistics")
+        assert code == 500
+        out = json.loads(body)
+        assert out["result"] is False and "RuntimeError" in out["error"]
+
+
 class TestShardedServing:
     def test_sharded_search_matches_single_process(self, ray_session, server, http_index):
         """actors=2 HTTP serving returns the identical envelope."""
