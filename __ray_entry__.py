@@ -300,7 +300,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_search_actor": transcript_search_actor,
         # identical SQL/values to lemma_df; hash-green r1-r3
         "transcript_dictionary": transcript_index_dictionary,
-        # rows-only by nature (Hamming over blake2b bits); pytest-pinned
+        # oracle: all-pairs Hamming over md5-prefix signature bits (round 4
+        # moved the token hash from blake2b to md5 so SQL can rebuild sigs)
         "dedup_simhash": dedup.simhash_dups,
         # pure aggregation of the in-window postings entry (dl = Σ tf per
         # doc); hash-green r1-r3
@@ -546,6 +547,45 @@ JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.8
 ORDER BY doc_a, doc_b"""
+
+
+def _simhash_pairs_sql() -> str:
+    """Exhaustive SimHash near-dup oracle (round 4: previously rows-only).
+
+    The engine's token hash is the first 8 bytes of md5, big-endian
+    (``dedup._simhash_hash64``), so SQL rebuilds every signature bit from
+    ``md5(tok)`` hex: bit j lives in hex char ``16 - j//4`` (1-based from
+    the left) at nibble position ``j % 4``. A doc's bit j is 1 iff the
+    tf-weighted ±1 sum over tokens is > 0 (ties → 0, matching ``acc > 0``).
+    Docs with signature 0 never band in the engine (``vals != 0``) and are
+    excluded here via ``HAVING sum(bit) > 0``. The engine's 4×16-bit
+    pigeonhole banding is EXACT at max_hamming=3 (≤3 flipped bits leave ≥1
+    block intact), so its output equals this all-pairs Hamming ≤ 3 scan."""
+    return """
+WITH toks AS (
+  SELECT doc_id, tok, md5(tok) AS h, CAST(count(*) AS BIGINT) AS tf
+  FROM documents, unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')) AS u(tok)
+  GROUP BY doc_id, tok
+),
+bits AS (
+  SELECT doc_id, j,
+         CASE WHEN sum(tf * (2 * (((strpos('0123456789abcdef',
+                      substr(h, CAST(16 - (j // 4) AS INT), 1)) - 1)
+                      >> (j % 4)) & 1) - 1)) > 0
+              THEN 1 ELSE 0 END AS bit
+  FROM toks CROSS JOIN unnest(range(0, 64)) AS r(j)
+  GROUP BY doc_id, j
+),
+nz AS (SELECT doc_id FROM bits GROUP BY doc_id HAVING sum(bit) > 0),
+ham AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INT) AS hamming
+  FROM bits a JOIN bits b ON a.j = b.j AND a.doc_id < b.doc_id
+  WHERE a.doc_id IN (SELECT doc_id FROM nz)
+    AND b.doc_id IN (SELECT doc_id FROM nz)
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3 ORDER BY doc_a, doc_b"""
 
 
 def _lsh_assignments_sql() -> str:
@@ -943,6 +983,9 @@ FROM documents GROUP BY md5(text)""",
         # run is deterministic), so LSH output == exhaustive output.
         "dedup_minhash": _jaccard_pairs_sql("word"),
         "ngram_jaccard": _jaccard_pairs_sql("char"),
+        # all-pairs Hamming ≤ 3 over SQL-rebuilt md5-prefix signatures; the
+        # engine's 4×16-bit pigeonhole banding is exact at this radius
+        "dedup_simhash": _simhash_pairs_sql(),
         # connected components over the verified near-dup pairs: min-label
         # reachability closure as a recursive CTE (the engine runs the same
         # fixpoint as distributed label propagation)

@@ -18,7 +18,6 @@ def contract():
 
 
 ROWS_ONLY = {
-    "dedup_simhash",          # blake2b signatures
     "fingerprint_rolling",    # list<int64> sig (flat projection IS checked)
     "multimodal_features",    # list<float> hist (flat projection IS checked)
     "frame_sample",           # binary frames (hex projection IS checked)
