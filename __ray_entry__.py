@@ -237,6 +237,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "broadcast_join_orders": relational.broadcast_join_orders,
         # --- dedup family ---
         "dedup_exact": dedup.exact_dedup,
+        # oracle: planted-marker anti-join (old DISTINCT hashes NOT IN)
+        "dedup_incremental": lambda sf: dedup.dedup_incremental(sf, plant=True),
         "dedup_minhash": dedup.minhash_dups,          # oracle: brute-force word-3gram Jaccard
         "dedup_cluster": dedup.dedup_cluster,         # oracle: recursive-CTE components
         "ngram_jaccard": dedup.ngram_jaccard_dups,    # oracle: brute-force char-3gram Jaccard
@@ -287,6 +289,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": lambda sf: traindata.pii_scrub(sf, plant=True),
         # oracle: lead()-window n-grams; planted markers are closed-form
         "decontaminate": lambda sf: traindata.decontaminate(sf, plant=True),
+        # oracle: window cumsum over (quality desc, doc_id) vs the engine's
+        # sort-free counting prefix cut
+        "token_budget_select": traindata.token_budget_select,
         # M5 non-identity ingest: Jsoup-equivalent body().text()/title()
         # over a closed-form HTML wrapper (r4; oracle: string concat +
         # whitespace-collapse regexp)
@@ -976,6 +981,25 @@ GROUP BY n.n_name""",
         "dedup_exact": """
 SELECT md5(text) AS text_hash, min(doc_id) AS rep_doc_id, count(*) AS n_dups
 FROM documents GROUP BY md5(text)""",
+        # incremental dedup: new half anti-joined against the old half's
+        # DISTINCT hashes, first-wins within new; planted markers are the
+        # same closed-form strings the engine builds
+        "dedup_incremental": """
+WITH s AS (SELECT (max(doc_id) + 1) // 2 AS split FROM documents),
+p AS (SELECT d.doc_id,
+             CASE WHEN d.doc_id % 20 = 7
+                    THEN 'PLANT-X-' || CAST(d.doc_id % 100 AS VARCHAR)
+                  WHEN d.doc_id % 20 = 8
+                    THEN 'PLANT-N-' || CAST(CASE WHEN d.doc_id >= s.split THEN 1 ELSE 0 END AS VARCHAR)
+                         || '-' || CAST(d.doc_id % 40 AS VARCHAR)
+                  ELSE coalesce(d.text, '') END AS text,
+             d.doc_id >= s.split AS is_new
+      FROM documents d, s),
+h AS (SELECT doc_id, md5(text) AS text_hash, is_new FROM p),
+old AS (SELECT DISTINCT text_hash FROM h WHERE NOT is_new)
+SELECT min(doc_id) AS doc_id, text_hash
+FROM h WHERE is_new AND text_hash NOT IN (SELECT text_hash FROM old)
+GROUP BY text_hash ORDER BY doc_id""",
         # Brute-force all-pairs Jaccard oracles for the LSH-candidate dedup
         # pipelines. The engine verifies candidates with EXACT Jaccard, and
         # the banding (fixed seed, ≥2-band rule) has recall 1.0 on every true
@@ -1159,6 +1183,28 @@ SELECT d.doc_id,
         * (1.0 - CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0.0
                       ELSE CAST(a.n_stop AS DOUBLE) / a.n_tokens END), 4) AS quality_r
 FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id""",
+        # "best docs under a global token budget": window cumsum over the
+        # (quality desc, doc_id) total order — the one-node formulation of
+        # the engine's sort-free counting prefix cut. quality_r/n_tokens are
+        # the quality_score expressions verbatim (hash-green there).
+        "token_budget_select": f"""
+WITH raw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+             FROM documents),
+ a AS (SELECT doc_id, count(*) AS n_tokens,
+              CAST(sum(CASE WHEN token IN ({_STOP_SQL}) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+              CAST(sum(CASE WHEN length(token) >= 2 AND token NOT IN ({_STOP_SQL})
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_sig
+       FROM raw GROUP BY doc_id),
+ q AS (SELECT d.doc_id,
+              CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+              round(least(1.0, coalesce(a.n_sig, 0) / 50.0)
+                    * (1.0 - CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0.0
+                                  ELSE CAST(a.n_stop AS DOUBLE) / a.n_tokens END), 4) AS quality_r
+       FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id),
+ b AS (SELECT CAST(sum(n_tokens) // 4 AS BIGINT) AS budget FROM q),
+ c AS (SELECT doc_id, quality_r, n_tokens,
+              sum(n_tokens) OVER (ORDER BY quality_r DESC, doc_id) AS cum FROM q)
+SELECT doc_id, quality_r, n_tokens FROM c, b WHERE cum <= budget ORDER BY doc_id""",
         "fingerprint": r"""
 SELECT doc_id,
        md5(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g'))) AS fp

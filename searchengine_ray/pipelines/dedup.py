@@ -85,6 +85,86 @@ def exact_dedup(sf_dir: str):
     )
 
 
+def _incremental_plant(doc_id: int, text: str, split: int) -> str:
+    """Closed-form planted duplicates for :func:`dedup_incremental` (the
+    synthetic corpus has no exact dups): doc_id % 20 == 7 docs share text
+    per (doc_id % 100) residue ACROSS both halves (every planted new doc
+    has an old twin → cross-dup, dropped); doc_id % 20 == 8 docs share text
+    per (side, doc_id % 40) (planted new docs duplicate only WITHIN the
+    new side → first-wins). The SQL oracle rebuilds both markers verbatim."""
+    r = doc_id % 20
+    if r == 7:
+        return f"PLANT-X-{doc_id % 100}"
+    if r == 8:
+        return f"PLANT-N-{1 if doc_id >= split else 0}-{doc_id % 40}"
+    return text or ""
+
+
+def dedup_incremental(sf_dir: str, plant: bool = False):
+    """(doc_id, text_hash): the NEW docs that survive dedup against an
+    EXISTING corpus — old = doc_id < split (split = (max+1)//2, standing in
+    for "the corpus indexed so far"), new = the rest; a new doc survives iff
+    its exact text appears nowhere in old (anti-join) and it is the first
+    (min doc_id) holder of its text within new.
+
+    The incremental-crawl shape at 100 TB: never re-dedup the old corpus
+    against itself. ONE read pass tags sides and hash-partitions md5(text)
+    into ``_DEDUP_PARTITIONS`` fixed partitions — a partition holds every
+    occurrence of its hashes from BOTH sides, so a vectorized in-partition
+    anti-join finishes it. Map-side partials collapse per-batch duplicates
+    before the shuffle (old rows ship as a seen-flag, not full rows)."""
+    import pandas as pd
+
+    split = (read_documents(sf_dir, columns=("doc_id",)).max("doc_id") + 1) // 2
+    _SENTINEL = np.iinfo(np.int64).max
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch["text"].to_pylist()
+        if plant:
+            texts = [
+                _incremental_plant(int(d), t, split)
+                for d, t in zip(ids.tolist(), texts)
+            ]
+        hs = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
+        is_new = ids >= split
+        g = (
+            pd.DataFrame(
+                {
+                    "text_hash": hs,
+                    "old_seen": (~is_new).astype(np.int64),
+                    "new_min": np.where(is_new, ids, _SENTINEL),
+                }
+            )
+            .groupby("text_hash", as_index=False)
+            .agg(old_seen=("old_seen", "max"), new_min=("new_min", "min"))
+        )
+        g["q"] = [int(h[:8], 16) % _DEDUP_PARTITIONS for h in g["text_hash"]]
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(group: pa.Table) -> pa.Table:
+        g = (
+            group.select(["text_hash", "old_seen", "new_min"])
+            .to_pandas()
+            .groupby("text_hash", as_index=False)
+            .agg(old_seen=("old_seen", "max"), new_min=("new_min", "min"))
+        )
+        g = g[(g["old_seen"] == 0) & (g["new_min"] != _SENTINEL)]
+        return pa.table(
+            {
+                "doc_id": pa.array(g["new_min"].to_numpy(dtype=np.int64)),
+                "text_hash": pa.array(g["text_hash"].tolist(), type=pa.string()),
+            }
+        )
+
+    return (
+        read_documents(sf_dir)
+        .map_batches(partial, batch_format="pyarrow", batch_size=2048)
+        .groupby("q")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------

@@ -299,6 +299,198 @@ def stratified_sample(sf_dir: str, k: int = 20):
 
 
 # ---------------------------------------------------------------------------
+# Token-budget selection (best docs under a global token budget)
+# ---------------------------------------------------------------------------
+
+# quality_r is rounded to 4 dp, so its exact integer image lives in [0, 10000]
+_QI_BINS = 10001
+
+
+def token_budget_select(
+    sf_dir: str,
+    budget_den: int = 4,
+    n_buckets: int = 4096,
+    pull_limit: int = 65536,
+    ds=None,
+):
+    """(doc_id, quality_r, n_tokens): the maximal PREFIX of the corpus in
+    (quality desc, doc_id asc) order whose running token total stays within
+    a global budget (= total tokens // ``budget_den``) — "take the best N
+    tokens", the standard data-selection step before training.
+
+    Equivalent SQL is a window cumsum over a GLOBAL SORT; the engine never
+    sorts. Because the running total is monotone, the selected set is fully
+    described by a cut point (q*, D*): counting-based selection in the
+    spirit of ``relational.exact_quantiles``:
+
+    1. one streaming pass bins token mass by the 4-dp quality image
+       (10001 fixed bins, map-side partials → driver combine of tiny rows);
+       the driver scans bins best-first to find the crossing bin q* and the
+       remaining budget inside it;
+    2. the tie bin resolves by doc_id order: RANGE-bucket refinement passes
+       (bucket token subtotals + per-bucket doc_id bounds) narrow the
+       crossing bucket until ≤ ``pull_limit`` docs remain, which are pulled
+       and finished exactly on the driver (cumsum + searchsorted) — zero-
+       token docs after the crossing doc stay excluded, matching the SQL
+       prefix semantics positionally;
+    3. one filter pass emits the selected rows.
+
+    Every pass streams the materialized 4-column projection (ids + small
+    ints — the ``pack_sequences`` trade); driver state is O(bins + buckets +
+    pull_limit), never O(corpus)."""
+    from searchengine_ray.pipelines.textstats import QualityScore
+
+    def project(batch: pa.Table) -> pa.Table:
+        q = batch["quality_r"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "quality_r": batch["quality_r"],
+                "n_tokens": batch["n_tokens"],
+                "qi": pa.array(np.rint(q * 10000.0).astype(np.int64)),
+            }
+        )
+
+    source = ds if ds is not None else read_documents(sf_dir)
+    scored = (
+        source
+        .map_batches(per_worker(QualityScore), batch_format="pyarrow", batch_size=2048)
+        .map_batches(project, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def qi_hist(batch: pa.Table) -> pa.Table:
+        qi = batch["qi"].to_numpy(zero_copy_only=False)
+        tok = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        t = np.bincount(qi, weights=tok.astype(np.float64), minlength=_QI_BINS)
+        c = np.bincount(qi, minlength=_QI_BINS)
+        nz = np.nonzero(c)[0]
+        return pa.table(
+            {
+                "qi": pa.array(nz.astype(np.int64)),
+                "tok": pa.array(t[nz].astype(np.int64)),
+                "cnt": pa.array(c[nz].astype(np.int64)),
+            }
+        )
+
+    hist = scored.map_batches(qi_hist, batch_format="pyarrow").to_pandas()
+    hist = hist.groupby("qi", as_index=False).sum()
+    tok_by_qi = np.zeros(_QI_BINS, dtype=np.int64)
+    cnt_by_qi = np.zeros(_QI_BINS, dtype=np.int64)
+    tok_by_qi[hist["qi"].to_numpy()] = hist["tok"].to_numpy()
+    cnt_by_qi[hist["qi"].to_numpy()] = hist["cnt"].to_numpy()
+    budget = int(tok_by_qi.sum()) // budget_den
+
+    # best-first scan: suffix sums from qi=10000 down
+    order = np.arange(_QI_BINS - 1, -1, -1)
+    acc = np.cumsum(tok_by_qi[order])
+    over = np.nonzero(acc > budget)[0]
+    if over.size == 0:  # budget covers the whole corpus
+        return scored.drop_columns(["qi"])
+    qstar = int(order[over[0]])
+    rem = budget - (int(acc[over[0]]) - int(tok_by_qi[qstar]))
+
+    # --- resolve the tie bin by doc_id order -------------------------------
+    lo, hi = None, None  # current doc_id window inside the tie bin
+    bin_cnt = int(cnt_by_qi[qstar])
+
+    def bucket_pass(lo_, hi_):
+        span = (hi_ - lo_ + 1) if lo_ is not None else 0
+
+        def agg(batch: pa.Table) -> pa.Table:
+            qi = batch["qi"].to_numpy(zero_copy_only=False)
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            tok = batch["n_tokens"].to_numpy(zero_copy_only=False)
+            m = qi == qstar
+            if lo_ is not None:
+                m &= (ids >= lo_) & (ids <= hi_)
+            ids, tok = ids[m], tok[m]
+            if ids.size == 0:
+                return pa.table(
+                    {
+                        "b": pa.array([], type=pa.int64()),
+                        "tok": pa.array([], type=pa.int64()),
+                        "cnt": pa.array([], type=pa.int64()),
+                        "dmin": pa.array([], type=pa.int64()),
+                        "dmax": pa.array([], type=pa.int64()),
+                    }
+                )
+            if lo_ is None:
+                b = np.zeros(ids.size, dtype=np.int64)  # bounds pass only
+            else:
+                b = (ids - lo_) * n_buckets // span
+            import pandas as pd
+
+            df = pd.DataFrame({"b": b, "tok": tok, "cnt": 1, "dmin": ids, "dmax": ids})
+            g = df.groupby("b", as_index=False).agg(
+                tok=("tok", "sum"), cnt=("cnt", "sum"),
+                dmin=("dmin", "min"), dmax=("dmax", "max"),
+            )
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        out = scored.map_batches(agg, batch_format="pyarrow").to_pandas()
+        return out.groupby("b", as_index=False).agg(
+            tok=("tok", "sum"), cnt=("cnt", "sum"),
+            dmin=("dmin", "min"), dmax=("dmax", "max"),
+        )
+
+    # first pass doubles as the doc_id-bounds pass for the tie bin. Loop
+    # invariant: rem < token mass of the current [lo, hi] window (true at
+    # entry — the bin crossed — and preserved by picking the crossing
+    # bucket), so a crossing bucket always exists; distinct doc_ids
+    # guarantee the window shrinks every pass (≤ ~log_nb(N) passes).
+    while bin_cnt > pull_limit:
+        g = bucket_pass(lo, hi)
+        if lo is None and len(g) == 1:
+            lo, hi = int(g["dmin"].iloc[0]), int(g["dmax"].iloc[0])
+            continue
+        g = g.sort_values("b")
+        run = 0
+        for _, row in g.iterrows():
+            if run + int(row["tok"]) > rem:
+                rem -= run
+                lo, hi, bin_cnt = int(row["dmin"]), int(row["dmax"]), int(row["cnt"])
+                break
+            run += int(row["tok"])
+        if lo == hi:
+            break
+
+    # exact finish on the ≤ pull_limit tie docs
+    def tie_rows(batch: pa.Table) -> pa.Table:
+        qi = batch["qi"].to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tok = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        m = qi == qstar
+        if lo is not None:
+            m &= (ids >= lo) & (ids <= hi)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[m]),
+                "n_tokens": pa.array(tok[m], type=pa.int64()),
+            }
+        )
+
+    tie = scored.map_batches(tie_rows, batch_format="pyarrow").to_pandas()
+    tie = tie.sort_values("doc_id")
+    cum = np.cumsum(tie["n_tokens"].to_numpy(dtype=np.int64))
+    n_in = int(np.searchsorted(cum, rem, side="right"))
+    if n_in > 0:
+        dstar = int(tie["doc_id"].iloc[n_in - 1])
+    elif lo is not None:
+        dstar = lo - 1  # window fully excluded; earlier tie docs stay in
+    else:
+        dstar = -1  # whole tie bin excluded (doc_ids are non-negative)
+
+    def select(batch: pa.Table) -> pa.Table:
+        qi = batch["qi"].to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = (qi > qstar) | ((qi == qstar) & (ids <= dstar))
+        return batch.filter(pa.array(m)).select(["doc_id", "quality_r", "n_tokens"])
+
+    return scored.map_batches(select, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # Benchmark decontamination (n-gram membership against a held-out set)
 # ---------------------------------------------------------------------------
 

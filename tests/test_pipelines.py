@@ -1191,3 +1191,57 @@ class TestConversationOps:
         for h, convs in groups.items():
             assert by_h.loc[h, "n_convs"] == len(convs)
             assert by_h.loc[h, "rep_conv_id"] == f"conv-{min(convs):06d}"
+
+
+class TestDedupIncremental:
+    def test_planted_semantics(self, ray_session, docs):
+        """old = doc_id < split, new = rest. Planted %20==7 docs share text
+        across halves (all planted NEW docs must drop); planted %20==8 docs
+        share text per (side, %40) (first-wins within new); everything else
+        in this corpus is unique (no exact dups — verified by dedup_exact)
+        so it survives verbatim."""
+        import hashlib
+
+        from searchengine_ray.pipelines.dedup import (
+            _incremental_plant,
+            dedup_incremental,
+        )
+
+        out = dedup_incremental(SF, plant=True).to_pandas()
+        split = (max(docs) + 1) // 2
+        new_ids = [d for d in docs if d >= split]
+
+        # brute-force reference over planted texts
+        planted = {d: _incremental_plant(d, docs[d], split) for d in docs}
+        old_hashes = {
+            hashlib.md5(planted[d].encode()).hexdigest() for d in docs if d < split
+        }
+        want = {}
+        for d in sorted(new_ids):
+            h = hashlib.md5(planted[d].encode()).hexdigest()
+            if h in old_hashes or h in want:
+                continue
+            want[h] = d
+        got = dict(zip(out["text_hash"], out["doc_id"]))
+        assert got == want
+        # every planted cross-dup dropped
+        assert all(d % 20 != 7 for d in out["doc_id"])
+        # within-new plants: exactly one survivor per (%40) residue class
+        survivors8 = sorted(d for d in out["doc_id"] if d % 20 == 8)
+        assert len(survivors8) == len({d % 40 for d in new_ids if d % 20 == 8})
+        # no old-side ids ever appear
+        assert (out["doc_id"] >= split).all()
+
+    def test_unplanted_passthrough(self, ray_session, docs):
+        """Without plants this corpus has no exact dups: every new doc
+        survives with its own hash."""
+        import hashlib
+
+        from searchengine_ray.pipelines.dedup import dedup_incremental
+
+        out = dedup_incremental(SF).to_pandas().sort_values("doc_id")
+        split = (max(docs) + 1) // 2
+        want_ids = sorted(d for d in docs if d >= split)
+        assert out["doc_id"].tolist() == want_ids
+        for d, h in zip(out["doc_id"], out["text_hash"]):
+            assert h == hashlib.md5((docs[d] or "").encode()).hexdigest()

@@ -212,3 +212,102 @@ class TestExportShards:
         pa_ = a[cols].sort_values("shard").reset_index(drop=True)
         pb_ = b[cols].sort_values("shard").reset_index(drop=True)
         assert pa_.equals(pb_)
+
+
+class TestTokenBudgetSelect:
+    @staticmethod
+    def _brute(scored, budget_den=4):
+        """Reference: global sort by (quality desc, doc_id), prefix under
+        total//den."""
+        df = scored.sort_values(
+            ["quality_r", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        budget = int(df["n_tokens"].sum()) // budget_den
+        cum = df["n_tokens"].cumsum()
+        keep = df[cum <= budget]
+        return keep.sort_values("doc_id").reset_index(drop=True)
+
+    def test_matches_bruteforce_prefix(self, ray_session):
+        from searchengine_ray.pipelines.textstats import quality_score
+        from searchengine_ray.pipelines.traindata import token_budget_select
+
+        scored = quality_score(SF).to_pandas()[["doc_id", "quality_r", "n_tokens"]]
+        want = self._brute(scored)
+        got = (
+            token_budget_select(SF)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)[["doc_id", "quality_r", "n_tokens"]]
+        )
+        assert got["doc_id"].tolist() == want["doc_id"].tolist()
+        assert got["n_tokens"].tolist() == want["n_tokens"].tolist()
+        assert np.allclose(got["quality_r"], want["quality_r"])
+
+    def test_forced_refinement_identical_quality(self, ray_session):
+        """200 same-quality docs force the tie bin to hold EVERYTHING; a tiny
+        pull_limit forces the doc_id-bucket refinement loop (multiple passes)
+        and the prefix must still cut exactly."""
+        import pyarrow as pa
+        import ray
+
+        from searchengine_ray.pipelines.textstats import QualityScore
+        from searchengine_ray.pipelines.traindata import token_budget_select
+        from searchengine_ray.workerstate import per_worker
+
+        n = 200
+        # identical text -> identical quality; tokens per doc all equal
+        docs = pa.table(
+            {
+                "doc_id": pa.array(list(range(n)), type=pa.int64()),
+                "text": pa.array(["alpha beta gamma delta epsilon"] * n),
+            }
+        )
+        ds = ray.data.from_arrow(docs).repartition(8)
+        got = (
+            token_budget_select(SF, n_buckets=4, pull_limit=2, ds=ds)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        scored = (
+            ds.map_batches(per_worker(QualityScore), batch_format="pyarrow")
+            .to_pandas()[["doc_id", "quality_r", "n_tokens"]]
+        )
+        want = self._brute(scored)
+        assert got["doc_id"].tolist() == want["doc_id"].tolist()
+        # identical quality + identical token counts => exactly the first
+        # quarter of doc_ids survive
+        assert got["doc_id"].tolist() == list(range(n // 4))
+
+    def test_zero_token_boundary(self, ray_session):
+        """Zero-token docs ride free while the running total is within
+        budget and stay excluded once it crosses — positional prefix, not
+        skip-and-continue."""
+        import pyarrow as pa
+        import ray
+
+        from searchengine_ray.pipelines.textstats import QualityScore
+        from searchengine_ray.pipelines.traindata import token_budget_select
+        from searchengine_ray.workerstate import per_worker
+
+        # same quality class: doc 0..9 have 4 sig tokens, docs 10/11 empty
+        texts = ["alpha beta gamma delta"] * 10 + ["", ""]
+        docs = pa.table(
+            {
+                "doc_id": pa.array(list(range(len(texts))), type=pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+        ds = ray.data.from_arrow(docs).repartition(4)
+        got = (
+            token_budget_select(SF, ds=ds)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        scored = (
+            ds.map_batches(per_worker(QualityScore), batch_format="pyarrow")
+            .to_pandas()[["doc_id", "quality_r", "n_tokens"]]
+        )
+        want = self._brute(scored)
+        assert got["doc_id"].tolist() == want["doc_id"].tolist()
