@@ -272,9 +272,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": textstats.langid,
         "token_count": textstats.token_count,
         "quality_score": textstats.quality_score,
-        "repetition_score": textstats.repetition_score,  # Gopher repetition rules
-        "lm_score": textstats.lm_score,  # corpus bigram-LM cross-entropy
-        "fingerprint": textstats.fingerprint,
         "fingerprint_rolling_flat": textstats.fingerprint_rolling_flat,  # oracle: HUGEINT-mod hash
         "bigram_counts": textstats.bigram_counts,  # oracle: positional self-join
         # --- multimodal plumbing (stubbed decoder) ---
@@ -296,8 +293,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # over a closed-form HTML wrapper (r4; oracle: string concat +
         # whitespace-collapse regexp)
         "html_extract": fulltext.html_extract,
+        # changed this round (token hash blake2b→md5 + new all-pairs SQL
+        # oracle over rebuilt signature bits) → in-window
+        "dedup_simhash": dedup.simhash_dups,
         # ---- entries past the driver's 50-entry window (rotated out this
         # ---- round; every one re-verified by the committed full sweep) ----
+        # Gopher repetition rules; unchanged since r2, hash-green r2+r3
+        "repetition_score": textstats.repetition_score,
+        # corpus bigram-LM cross-entropy; unchanged since r2, hash-green r2+r3
+        "lm_score": textstats.lm_score,
+        # md5 of normalized text; hash-green r1-r3 and its normalization
+        # surface is shared with the in-window fingerprint_rolling_flat
+        "fingerprint": textstats.fingerprint,
         # window row_number tf-idf; hash-green r1+r2+r3
         "tfidf_top_terms": fulltext.tfidf_top_terms,
         # identical SQL/values to transcript_search (actor-path parity is
@@ -305,9 +312,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_search_actor": transcript_search_actor,
         # identical SQL/values to lemma_df; hash-green r1-r3
         "transcript_dictionary": transcript_index_dictionary,
-        # oracle: all-pairs Hamming over md5-prefix signature bits (round 4
-        # moved the token hash from blake2b to md5 so SQL can rebuild sigs)
-        "dedup_simhash": dedup.simhash_dups,
         # pure aggregation of the in-window postings entry (dl = Σ tf per
         # doc); hash-green r1-r3
         "doc_lengths": fulltext.doc_lengths,

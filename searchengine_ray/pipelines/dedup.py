@@ -191,16 +191,24 @@ def _hash64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
 
 
-_token_hash_memo: dict[str, int] = {}
+def _memoized_hash64(hash_fn):
+    """Per-process token-hash memo (Zipf makes the hit rate high), cleared
+    at 1M entries to bound worker heap. One factory serves both the shingle
+    (blake2b) and SimHash (md5-prefix) paths."""
+    memo: dict[str, int] = {}
+
+    def get(tok: str) -> int:
+        h = memo.get(tok)
+        if h is None:
+            h = memo[tok] = hash_fn(tok)
+            if len(memo) > 1_000_000:
+                memo.clear()
+        return h
+
+    return get
 
 
-def _token_hash(tok: str) -> int:
-    h = _token_hash_memo.get(tok)
-    if h is None:
-        h = _token_hash_memo[tok] = _hash64(tok)
-        if len(_token_hash_memo) > 1_000_000:
-            _token_hash_memo.clear()
-    return h
+_token_hash = _memoized_hash64(_hash64)
 
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
@@ -981,16 +989,7 @@ def _simhash_hash64(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
 
 
-_simhash_token_memo: dict[str, int] = {}
-
-
-def _simhash_token_hash(tok: str) -> int:
-    h = _simhash_token_memo.get(tok)
-    if h is None:
-        h = _simhash_token_memo[tok] = _simhash_hash64(tok)
-        if len(_simhash_token_memo) > 1_000_000:
-            _simhash_token_memo.clear()
-    return h
+_simhash_token_hash = _memoized_hash64(_simhash_hash64)
 
 
 class SimHash:
