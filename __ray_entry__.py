@@ -269,7 +269,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # reconstructed exactly in SQL; pairs = brute-force cosine >= 0.95
         "embedding_neardup": lambda sf: similarity.embedding_neardup(sf, 0.95, plant=True),
         # --- text analysis ---
-        "langid": textstats.langid,
         "token_count": textstats.token_count,
         "quality_score": textstats.quality_score,
         "fingerprint_rolling_flat": textstats.fingerprint_rolling_flat,  # oracle: HUGEINT-mod hash
@@ -296,8 +295,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # changed this round (token hash blake2b→md5 + new all-pairs SQL
         # oracle over rebuilt signature bits) → in-window
         "dedup_simhash": dedup.simhash_dups,
+        # oracle: row_number() over the md5 order — the engine assigns the
+        # same global rank with a histogram + driver cumsum, no sort
+        "shuffle_rank": traindata.shuffle_rank,
         # ---- entries past the driver's 50-entry window (rotated out this
         # ---- round; every one re-verified by the committed full sweep) ----
+        # n-gram-heuristic language ID; unchanged since r2, hash-green r2+r3
+        "langid": textstats.langid,
         # Gopher repetition rules; unchanged since r2, hash-green r2+r3
         "repetition_score": textstats.repetition_score,
         # corpus bigram-LM cross-entropy; unchanged since r2, hash-green r2+r3
@@ -1209,6 +1213,15 @@ WITH raw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
  c AS (SELECT doc_id, quality_r, n_tokens,
               sum(n_tokens) OVER (ORDER BY quality_r DESC, doc_id) AS cum FROM q)
 SELECT doc_id, quality_r, n_tokens FROM c, b WHERE cum <= budget ORDER BY doc_id""",
+        # deterministic global shuffle: rank in the md5(doc_id) order; the
+        # engine's histogram+cumsum rank assignment must equal row_number()
+        "shuffle_rank": """
+WITH r AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+              AS BIGINT) AS shuffle_rank
+  FROM documents)
+SELECT doc_id, shuffle_rank, shuffle_rank % 8 AS shard FROM r ORDER BY doc_id""",
         "fingerprint": r"""
 SELECT doc_id,
        md5(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g'))) AS fp

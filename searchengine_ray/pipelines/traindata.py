@@ -299,6 +299,89 @@ def stratified_sample(sf_dir: str, k: int = 20):
 
 
 # ---------------------------------------------------------------------------
+# Deterministic global shuffle (training-order assignment without
+# random_shuffle's all-to-all)
+# ---------------------------------------------------------------------------
+
+_SHUF_BUCKETS = 1 << 16  # first 16 bits of md5 → histogram grain
+_SHUF_PARTITIONS = 256  # fixed shuffle partitions (many buckets per task)
+
+
+def shuffle_rank(sf_dir: str, n_shards: int = 8, ds=None):
+    """(doc_id, shuffle_rank, shard): a deterministic global training order
+    — rank = position in the md5(doc_id) order (key-stable: re-runs and
+    retries give byte-identical layouts, unlike ``random_shuffle``) and
+    shard = rank % n_shards (round-robin over the shuffled order, so every
+    shard is an unbiased sample of the corpus).
+
+    Scale shape: assigning a GLOBAL rank normally means a global sort; the
+    md5 key is uniform, so a 65536-bin histogram pass + a driver cumsum
+    yields exact per-bucket base offsets, and one fixed-partition pass
+    finishes ranks with a local vectorized argsort per partition (each
+    partition holds all rows of its buckets). Equivalent SQL is
+    ``row_number() OVER (ORDER BY md5(doc_id))`` — a single-node window."""
+    import ray
+
+    source = ds if ds is not None else read_documents(sf_dir, columns=("doc_id",))
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        md5 = hashlib.md5
+        u = [md5(b"%d" % i).hexdigest() for i in ids.tolist()]
+        b = np.fromiter((int(h[:4], 16) for h in u), dtype=np.int64, count=len(u))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "u": pa.array(u, type=pa.string()),
+                "b": pa.array(b),
+                "q": pa.array(b % _SHUF_PARTITIONS),
+            }
+        )
+
+    keyed_ds = source.map_batches(
+        keyed, batch_format="pyarrow", batch_size=8192
+    ).materialize()  # ids + 32-char keys only; reused by both passes
+
+    def bucket_counts(batch: pa.Table) -> pa.Table:
+        c = np.bincount(
+            batch["b"].to_numpy(zero_copy_only=False), minlength=_SHUF_BUCKETS
+        )
+        nz = np.nonzero(c)[0]
+        return pa.table(
+            {"b": pa.array(nz.astype(np.int64)), "n": pa.array(c[nz].astype(np.int64))}
+        )
+
+    hist = keyed_ds.map_batches(bucket_counts, batch_format="pyarrow").to_pandas()
+    hist = hist.groupby("b", as_index=False)["n"].sum()
+    counts = np.zeros(_SHUF_BUCKETS, dtype=np.int64)
+    counts[hist["b"].to_numpy()] = hist["n"].to_numpy()
+    bases = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    bases_ref = ray.put(bases)
+
+    def rank_in_partition(group: pa.Table) -> pa.Table:
+        base = ray.get(bases_ref)
+        ids = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.asarray(group["u"].to_pylist(), dtype="U32")
+        b = group["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, u, b))
+        ids, u, b = ids[order], u[order], b[order]
+        # position within each bucket run (rows sorted by bucket)
+        starts = np.concatenate(([0], np.nonzero(np.diff(b))[0] + 1))
+        within = np.arange(b.size, dtype=np.int64)
+        within -= np.repeat(within[starts], np.diff(np.concatenate((starts, [b.size]))))
+        rank = base[b] + within
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "shuffle_rank": pa.array(rank),
+                "shard": pa.array(rank % n_shards),
+            }
+        )
+
+    return keyed_ds.groupby("q").map_groups(rank_in_partition, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # Token-budget selection (best docs under a global token budget)
 # ---------------------------------------------------------------------------
 

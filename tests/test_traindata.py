@@ -311,3 +311,29 @@ class TestTokenBudgetSelect:
         )
         want = self._brute(scored)
         assert got["doc_id"].tolist() == want["doc_id"].tolist()
+
+
+class TestShuffleRank:
+    def test_matches_bruteforce_md5_order(self, ray_session, docs):
+        from searchengine_ray.pipelines.traindata import shuffle_rank
+
+        out = (
+            shuffle_rank(SF)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        ids = sorted(docs)
+        order = sorted(ids, key=lambda d: (hashlib.md5(b"%d" % d).hexdigest(), d))
+        want_rank = {d: i for i, d in enumerate(order)}
+        assert out["doc_id"].tolist() == ids
+        assert out["shuffle_rank"].tolist() == [want_rank[d] for d in ids]
+        assert out["shard"].tolist() == [want_rank[d] % 8 for d in ids]
+
+    def test_is_a_permutation_and_rerun_deterministic(self, ray_session, docs):
+        from searchengine_ray.pipelines.traindata import shuffle_rank
+
+        a = shuffle_rank(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert sorted(a["shuffle_rank"]) == list(range(len(docs)))
+        b = shuffle_rank(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b)
