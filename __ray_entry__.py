@@ -228,8 +228,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversation_stats": conversation_stats,
         "conv_prefix_dedup": conv_prefix_dedup,  # oracle: md5 of first-k-turn join
         # --- windowed aggregate + broadcast join (wide-op patterns) ---
-        "windowed_events": relational.windowed_events,
         "sliding_window_events": relational.sliding_window_events,  # oracle: unnest slides
+        # fact-fact co-partition join + broadcast semi-join (TPC-H Q3 shape)
+        "q3_shipping_priority": relational.q3_shipping_priority,
         "sessionize_events": relational.sessionize_events,
         "asof_join_events": relational.asof_join_events,
         "range_join_events": relational.range_join_events,  # oracle: inequality join
@@ -302,6 +303,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- round; every one re-verified by the committed full sweep) ----
         # n-gram-heuristic language ID; unchanged since r2, hash-green r2+r3
         "langid": textstats.langid,
+        # tumbling windows; hash-green r1-r3 and its window-key surface is
+        # exercised in-window by the sliding_window_events superset
+        "windowed_events": relational.windowed_events,
         # Gopher repetition rules; unchanged since r2, hash-green r2+r3
         "repetition_score": textstats.repetition_score,
         # corpus bigram-LM cross-entropy; unchanged since r2, hash-green r2+r3
@@ -978,6 +982,21 @@ SELECT q, value FROM (
   UNION ALL
   SELECT 0.99, CAST(quantile_disc(value, 0.99) AS DOUBLE) FROM events
 ) ORDER BY q""",
+        # fact-fact co-partition join; revenue in integer cents×hundredths
+        # (2-dp inputs by contract) so partial-sum order can't flip rounding
+        "q3_shipping_priority": """
+WITH c AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+o AS (SELECT o_orderkey, CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us
+      FROM orders JOIN c ON o_custkey = c_custkey
+      WHERE o_orderdate < TIMESTAMP '1998-06-01'),
+l AS (SELECT l_orderkey,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS rev_i
+      FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-06-01'
+      GROUP BY l_orderkey)
+SELECT l.l_orderkey, o.o_orderdate_us, round(l.rev_i / 10000.0, 2) AS revenue_r
+FROM l JOIN o ON l.l_orderkey = o.o_orderkey
+ORDER BY l_orderkey""",
         "broadcast_join_orders": """
 SELECT n.n_name,
        CAST(count(*) AS BIGINT) AS n_orders,

@@ -519,3 +519,140 @@ def range_join_events(sf_dir: str, delta_us: int = WINDOW_US):
         .groupby("q")
         .map_groups(join_window, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fact-fact co-partition join (TPC-H Q3 shape)
+# ---------------------------------------------------------------------------
+
+Q3_CUTOFF_US = 896_659_200_000_000  # 1998-06-01 epoch-µs
+_OKEY_PARTITIONS = 64
+_Q3_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING"):
+    """TPC-H Q3 shape: revenue per qualifying order — customers in one
+    market segment, orders placed before the cutoff, revenue from line
+    items shipped after it. Returns (l_orderkey, o_orderdate_us,
+    revenue_r) for every qualifying order (no LIMIT: the top-k pattern is
+    covered elsewhere and a rounded-revenue cut would be float-boundary
+    brittle).
+
+    The join story this entry adds: a FACT-FACT equi-join. Neither side is
+    broadcastable at scale, so both sides hash-co-partition on o_orderkey
+    into ``_OKEY_PARTITIONS`` fixed partitions and a vectorized searchsorted
+    zip finishes each partition — no ``Dataset.join`` actor pools, no
+    all-to-all beyond the one co-partition exchange, and the lineitem side
+    pre-aggregates revenue per order INSIDE each batch before shuffling
+    (map-side combine), so the exchange carries one row per (batch, order),
+    not one per line item. The customer segment filter is a broadcast
+    semi-join (customer is the small dimension here; were it fact-sized it
+    would join through the same co-partition path)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    seg = np.asarray(cust["c_mktsegment"].to_pylist(), dtype=object) == segment
+    ckeys = np.sort(cust["c_custkey"].to_numpy(zero_copy_only=False)[seg])
+    ck_ref = ray.put(ckeys)
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        ck = ray.get(ck_ref)
+        okey = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ocust = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        odate = batch["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        m = odate < Q3_CUTOFF_US
+        if ck.size:
+            pos = np.minimum(np.searchsorted(ck, ocust), ck.size - 1)
+            m &= ck[pos] == ocust
+        else:
+            m &= False
+        okey, odate = okey[m], odate[m]
+        q = ((okey.astype(np.uint64) * _Q3_MIX) % np.uint64(_OKEY_PARTITIONS)).astype(np.int64)
+        return pa.table(
+            {
+                "q": pa.array(q),
+                "side": pa.array(np.zeros(okey.size, dtype=np.int64)),
+                "okey": pa.array(okey),
+                "odate": pa.array(odate),
+                "rev": pa.array(np.zeros(okey.size, dtype=np.float64)),
+            }
+        )
+
+    def lineitem_side(batch: pa.Table) -> pa.Table:
+        okey = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ship = batch["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        m = ship > Q3_CUTOFF_US
+        okey = okey[m]
+        # prices/discounts are 2-dp by contract: integer cents × hundredths
+        # keeps every partial sum EXACT, so the engine's summation order can
+        # never flip a rounding boundary against the SQL oracle (one row in
+        # 1290 did at sf0.01 with float partials)
+        rev = np.rint(price[m] * 100.0) * np.rint((1.0 - disc[m]) * 100.0)
+        # map-side combine: one row per distinct order in the batch
+        uk, inv = np.unique(okey, return_inverse=True)
+        rsum = np.bincount(inv, weights=rev, minlength=uk.size)
+        q = ((uk.astype(np.uint64) * _Q3_MIX) % np.uint64(_OKEY_PARTITIONS)).astype(np.int64)
+        return pa.table(
+            {
+                "q": pa.array(q),
+                "side": pa.array(np.ones(uk.size, dtype=np.int64)),
+                "okey": pa.array(uk),
+                "odate": pa.array(np.zeros(uk.size, dtype=np.int64)),
+                "rev": pa.array(rsum.astype(np.float64)),
+            }
+        )
+
+    def join_partition(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy(zero_copy_only=False)
+        okey = group["okey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        odate = group["odate"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = group["rev"].to_numpy(zero_copy_only=False)
+        o_m = side == 0
+        ok_sorted = np.sort(okey[o_m])
+        od_sorted = odate[o_m][np.argsort(okey[o_m], kind="stable")]
+        lk, lr = okey[~o_m], rev[~o_m]
+        empty = pa.table(
+            {
+                "l_orderkey": pa.array([], type=pa.int64()),
+                "o_orderdate_us": pa.array([], type=pa.int64()),
+                "revenue_r": pa.array([], type=pa.float64()),
+            }
+        )
+        if ok_sorted.size == 0 or lk.size == 0:
+            return empty
+        pos = np.minimum(np.searchsorted(ok_sorted, lk), ok_sorted.size - 1)
+        hit = ok_sorted[pos] == lk
+        lk, lr, pos = lk[hit], lr[hit], pos[hit]
+        if lk.size == 0:
+            return empty
+        # sum per-batch revenue partials per order (keys are partition-local)
+        uk, inv = np.unique(lk, return_inverse=True)
+        rsum = np.bincount(inv, weights=lr, minlength=uk.size)
+        upos = np.searchsorted(ok_sorted, uk)
+        # rsum holds exact integers (cents × hundredths); /1e4 and round(2)
+        # operate on the SAME double the SQL oracle derives from its integer
+        return pa.table(
+            {
+                "l_orderkey": pa.array(uk),
+                "o_orderdate_us": pa.array(od_sorted[upos]),
+                "revenue_r": pa.array(_round_vec(rsum / 10000.0, 2), type=pa.float64()),
+            }
+        )
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(orders_side, batch_format="pyarrow", batch_size=8192)
+    items = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(lineitem_side, batch_format="pyarrow", batch_size=8192)
+    return orders.union(items).groupby("q").map_groups(
+        join_partition, batch_format="pyarrow"
+    )

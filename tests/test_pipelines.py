@@ -1245,3 +1245,54 @@ class TestDedupIncremental:
         assert out["doc_id"].tolist() == want_ids
         for d, h in zip(out["doc_id"], out["text_hash"]):
             assert h == hashlib.md5((docs[d] or "").encode()).hexdigest()
+
+
+class TestQ3ShippingPriority:
+    def test_matches_pandas_reference(self, ray_session):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.pipelines.relational import (
+            Q3_CUTOFF_US,
+            q3_shipping_priority,
+        )
+
+        got = (
+            q3_shipping_priority(SF)
+            .to_pandas()
+            .sort_values("l_orderkey")
+            .reset_index(drop=True)
+        )
+        cust = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+        orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+        items = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+        ck = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+        orders["odate_us"] = orders["o_orderdate"].astype("int64") // 1000 * 1000 \
+            if str(orders["o_orderdate"].dtype).endswith("[ns]") else orders["o_orderdate"].astype("int64")
+        # pandas reads parquet timestamps as ns; engine works in µs
+        odate_us = orders["o_orderdate"].values.astype("datetime64[us]").astype("int64")
+        o = orders.assign(odate_us=odate_us)
+        o = o[(o["odate_us"] < Q3_CUTOFF_US) & o["o_custkey"].isin(ck)]
+        ship_us = items["l_shipdate"].values.astype("datetime64[us]").astype("int64")
+        li = items.assign(ship_us=ship_us)
+        li = li[li["ship_us"] > Q3_CUTOFF_US].copy()
+        li["rev"] = (li["l_extendedprice"] * 100).round() * (
+            (1 - li["l_discount"]) * 100
+        ).round()
+        agg = li.groupby("l_orderkey", as_index=False)["rev"].sum()
+        ref = agg.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        ref["revenue_r"] = (ref["rev"] / 10000.0).round(2)
+        ref = ref.sort_values("l_orderkey").reset_index(drop=True)
+        assert got["l_orderkey"].tolist() == ref["l_orderkey"].tolist()
+        assert got["o_orderdate_us"].tolist() == ref["odate_us"].tolist()
+        assert np.allclose(got["revenue_r"], ref["revenue_r"])
+
+    def test_empty_segment_yields_empty(self, ray_session):
+        from searchengine_ray.pipelines.relational import q3_shipping_priority
+
+        out = q3_shipping_priority(SF, segment="NO-SUCH-SEGMENT").to_pandas()
+        assert len(out) == 0
+        # Ray's to_pandas drops column names when every block is empty;
+        # when columns survive they must be the contract schema
+        if len(out.columns):
+            assert list(out.columns) == ["l_orderkey", "o_orderdate_us", "revenue_r"]
