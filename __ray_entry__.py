@@ -231,7 +231,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window_events": relational.sliding_window_events,  # oracle: unnest slides
         # fact-fact co-partition join + broadcast semi-join (TPC-H Q3 shape)
         "q3_shipping_priority": relational.q3_shipping_priority,
-        "sessionize_events": relational.sessionize_events,
+        # grouped counting-selection quantiles: ONE histogram pass for all
+        # groups (oracle: quantile_disc ... GROUP BY)
+        "group_quantiles": relational.group_quantiles,
         "asof_join_events": relational.asof_join_events,
         "range_join_events": relational.range_join_events,  # oracle: inequality join
         "exact_quantiles": relational.exact_quantiles,  # oracle: quantile_disc
@@ -306,6 +308,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tumbling windows; hash-green r1-r3 and its window-key surface is
         # exercised in-window by the sliding_window_events superset
         "windowed_events": relational.windowed_events,
+        # gap-window sessions; unchanged since r2, hash-green r2+r3; its
+        # user-hash partition surface is exercised in-window by
+        # asof_join_events / range_join_events
+        "sessionize_events": relational.sessionize_events,
         # Gopher repetition rules; unchanged since r2, hash-green r2+r3
         "repetition_score": textstats.repetition_score,
         # corpus bigram-LM cross-entropy; unchanged since r2, hash-green r2+r3
@@ -974,6 +980,17 @@ JOIN (SELECT * FROM events WHERE event_type = 'view') v
  AND epoch_us(v.ts) >= epoch_us(c.ts) - 3600000000""",
         # exact discrete quantiles: engine selects the ceil(n*q)-th order
         # statistic by counting passes; quantile_disc uses the same rank rule
+        "group_quantiles": """
+SELECT event_type, q, value FROM (
+  SELECT event_type, 0.5 AS q, CAST(quantile_disc(value, 0.5) AS DOUBLE) AS value
+  FROM events GROUP BY event_type
+  UNION ALL
+  SELECT event_type, 0.9, CAST(quantile_disc(value, 0.9) AS DOUBLE)
+  FROM events GROUP BY event_type
+  UNION ALL
+  SELECT event_type, 0.99, CAST(quantile_disc(value, 0.99) AS DOUBLE)
+  FROM events GROUP BY event_type
+) ORDER BY event_type, q""",
         "exact_quantiles": """
 SELECT q, value FROM (
   SELECT 0.5 AS q, CAST(quantile_disc(value, 0.5) AS DOUBLE) AS value FROM events

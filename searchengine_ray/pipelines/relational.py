@@ -368,6 +368,146 @@ def exact_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99),
                      "value": pa.array([r[1] for r in rows], type=pa.float64())})
 
 
+def group_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                    by: str = "event_type", column: str = "value",
+                    n_buckets: int = 8192, max_pull: int = 262_144):
+    """(event_type, q, value): EXACT per-group discrete quantiles — the
+    grouped form of :func:`exact_quantiles` (rank ceil(n_g·q) within each
+    group, DuckDB ``quantile_disc ... GROUP BY`` convention).
+
+    Same selection-by-counting shape, but ONE histogram pass serves EVERY
+    group simultaneously: the stats pass yields per-group (n, lo, hi), the
+    histogram pass bins each batch per group against broadcast per-group
+    edges and emits (g, b, c) rows (G × n_buckets ints per task, G = group
+    cardinality — small by definition for a groupable key), and the driver
+    walks each group's counts for all its target ranks. Only pathological
+    buckets (> max_pull rows) trigger a per-(group, bucket) recursion pass;
+    the final pulls fetch expected n_g/n_buckets rows each. A naive
+    per-group loop over exact_quantiles would cost G × 3 passes; this costs
+    3 + pathology."""
+    ds = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"), columns=[by, column]
+    ).materialize()
+
+    def stats(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        v = batch[column].to_numpy(zero_copy_only=False).astype(np.float64)
+        g = np.asarray(batch[by].to_pylist(), dtype=object)
+        m = ~np.isnan(v)
+        df = pd.DataFrame({"g": g[m], "v": v[m]})
+        out = df.groupby("g", as_index=False).agg(
+            n=("v", "size"), lo=("v", "min"), hi=("v", "max")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    st = ds.map_batches(stats, batch_format="pyarrow").to_pandas()
+    if st.empty:
+        return pa.table({by: pa.array([], type=pa.string()),
+                         "q": pa.array([], type=pa.float64()),
+                         "value": pa.array([], type=pa.float64())})
+    st = st.groupby("g", as_index=False).agg(
+        n=("n", "sum"), lo=("lo", "min"), hi=("hi", "max")
+    ).sort_values("g")
+    groups = st["g"].tolist()
+    n_g = dict(zip(groups, (int(x) for x in st["n"])))
+    lo_g = dict(zip(groups, (float(x) for x in st["lo"])))
+    hi_g = dict(zip(groups, (float(x) for x in st["hi"])))
+
+    def _histogram(wanted: dict):
+        """One pass: per-group histogram over each group's [lo_, hi_)
+        window. ``wanted`` maps group → (lo_, hi_, closed_hi). Returns
+        group → counts[n_buckets]."""
+        import ray
+
+        keys = sorted(wanted)
+        spec_ref = ray.put(
+            (
+                np.asarray(keys, dtype=object),
+                np.asarray([wanted[k][0] for k in keys], dtype=np.float64),
+                np.asarray([wanted[k][1] for k in keys], dtype=np.float64),
+                np.asarray([wanted[k][2] for k in keys], dtype=bool),
+            )
+        )
+
+        def hist(batch: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            gk, glo, ghi, gcl = _ray.get(spec_ref)
+            v = batch[column].to_numpy(zero_copy_only=False).astype(np.float64)
+            g = np.asarray(batch[by].to_pylist(), dtype=object)
+            out_g, out_b, out_c = [], [], []
+            for i, key in enumerate(gk.tolist()):
+                lo_, hi_, cl = float(glo[i]), float(ghi[i]), bool(gcl[i])
+                mv = (g == key) & ~np.isnan(v)
+                vv = v[mv]
+                vv = vv[(vv >= lo_) & ((vv <= hi_) if cl else (vv < hi_))]
+                if vv.size == 0:
+                    continue
+                c, _ = np.histogram(vv, bins=np.linspace(lo_, hi_, n_buckets + 1))
+                nz = np.nonzero(c)[0]
+                out_g.extend([key] * nz.size)
+                out_b.append(nz.astype(np.int64))
+                out_c.append(c[nz].astype(np.int64))
+            if not out_b:
+                return pa.table({"g": pa.array([], type=pa.string()),
+                                 "b": pa.array([], type=pa.int64()),
+                                 "c": pa.array([], type=pa.int64())})
+            return pa.table({"g": pa.array(out_g, type=pa.string()),
+                             "b": pa.array(np.concatenate(out_b)),
+                             "c": pa.array(np.concatenate(out_c))})
+
+        h = ds.map_batches(hist, batch_format="pyarrow").to_pandas()
+        res = {k: np.zeros(n_buckets, dtype=np.int64) for k in keys}
+        for key, sub in h.groupby("g"):
+            np.add.at(res[key], sub["b"].to_numpy(), sub["c"].to_numpy())
+        return res
+
+    def _pull(key: str, lo_: float, hi_: float, closed_hi: bool) -> np.ndarray:
+        def sel(batch: pa.Table) -> pa.Table:
+            v = batch[column].to_numpy(zero_copy_only=False).astype(np.float64)
+            g = np.asarray(batch[by].to_pylist(), dtype=object)
+            m = (g == key) & ~np.isnan(v)
+            m &= (v >= lo_) & ((v <= hi_) if closed_hi else (v < hi_))
+            return pa.table({column: pa.array(v[m])})
+
+        out = ds.map_batches(sel, batch_format="pyarrow").to_pandas()
+        return out[column].to_numpy()
+
+    # level-0 histograms for every non-degenerate group in ONE pass
+    level0 = _histogram(
+        {k: (lo_g[k], hi_g[k], True) for k in groups if lo_g[k] < hi_g[k]}
+    )
+
+    def _select(key: str, k: int, lo_: float, hi_: float, below: int,
+                counts: np.ndarray | None, depth: int = 0) -> float:
+        if counts is None:  # pathological recursion: group-scoped re-pass
+            counts = _histogram({key: (lo_, hi_, hi_ == hi_g[key])})[key]
+        edges = np.linspace(lo_, hi_, n_buckets + 1)
+        cum = below + np.cumsum(counts)
+        b = int(np.searchsorted(cum, k))
+        b_lo, b_hi = float(edges[b]), float(edges[b + 1])
+        b_below = int(cum[b] - counts[b])
+        b_closed = (b == n_buckets - 1) and (hi_ == hi_g[key])
+        if counts[b] > max_pull and depth < 2 and b_hi > b_lo:
+            return _select(key, k, b_lo, b_hi, b_below, None, depth + 1)
+        vals = _pull(key, b_lo, b_hi, b_closed)
+        vals.sort()
+        return float(vals[k - b_below - 1])
+
+    rows = []
+    for key in groups:
+        for q in sorted(float(q) for q in qs):
+            if lo_g[key] == hi_g[key]:  # constant group
+                rows.append((key, q, lo_g[key]))
+                continue
+            k = max(int(np.ceil(n_g[key] * q)), 1)
+            rows.append((key, q, _select(key, k, lo_g[key], hi_g[key], 0, level0[key])))
+    return pa.table({by: pa.array([r[0] for r in rows], type=pa.string()),
+                     "q": pa.array([r[1] for r in rows], type=pa.float64()),
+                     "value": pa.array([r[2] for r in rows], type=pa.float64())})
+
+
 SLIDE_US = WINDOW_US // 4  # 15-minute slide
 
 

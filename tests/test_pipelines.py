@@ -1296,3 +1296,50 @@ class TestQ3ShippingPriority:
         # when columns survive they must be the contract schema
         if len(out.columns):
             assert list(out.columns) == ["l_orderkey", "o_orderdate_us", "revenue_r"]
+
+
+class TestGroupQuantiles:
+    def test_matches_numpy_per_group(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.pipelines.relational import group_quantiles
+
+        out = group_quantiles(SF).to_pandas()
+        t = pq.read_table(f"{SF}/events.parquet", columns=["event_type", "value"])
+        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        got = {(r["event_type"], r["q"]): r["value"] for _, r in out.iterrows()}
+        for g in np.unique(et):
+            vg = np.sort(v[et == g])
+            n = vg.size
+            for q in (0.5, 0.9, 0.99):
+                k = max(int(np.ceil(n * q)), 1)
+                assert got[(g, q)] == vg[k - 1], (g, q)
+        assert len(out) == 3 * np.unique(et).size
+
+    def test_pathological_group_recurses_exactly(self, ray_session, tmp_path):
+        """One group crams its mass into a single histogram bucket (forces
+        per-group recursion); another is constant (degenerate short-circuit)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.pipelines.relational import group_quantiles
+
+        rng = np.random.default_rng(11)
+        heavy = np.concatenate((np.full(5000, 1.0), rng.uniform(0, 1e9, 50)))
+        const = np.full(300, 42.0)
+        et = np.array(["heavy"] * heavy.size + ["const"] * const.size, dtype=object)
+        v = np.concatenate((heavy, const))
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(
+            pa.table({"event_type": pa.array(et.tolist(), type=pa.string()),
+                      "value": pa.array(v)}),
+            str(d / "events.parquet"),
+        )
+        out = group_quantiles(str(d), n_buckets=16, max_pull=100).to_pandas()
+        got = {(r["event_type"], r["q"]): r["value"] for _, r in out.iterrows()}
+        for g, vg in (("heavy", np.sort(heavy)), ("const", np.sort(const))):
+            for q in (0.5, 0.9, 0.99):
+                k = max(int(np.ceil(vg.size * q)), 1)
+                assert got[(g, q)] == vg[k - 1], (g, q)
