@@ -414,19 +414,26 @@ def group_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99),
     lo_g = dict(zip(groups, (float(x) for x in st["lo"])))
     hi_g = dict(zip(groups, (float(x) for x in st["hi"])))
 
+    hist_memo: dict[tuple, np.ndarray] = {}
+
     def _histogram(wanted: dict):
         """One pass: per-group histogram over each group's [lo_, hi_)
         window. ``wanted`` maps group → (lo_, hi_, closed_hi). Returns
-        group → counts[n_buckets]."""
+        group → counts[n_buckets]. Memoized per (group, window) — several
+        quantiles recursing into the SAME overfull bucket cost one pass
+        (the sibling exact_quantiles' hist_memo trade)."""
         import ray
 
-        keys = sorted(wanted)
+        missing = {k: w for k, w in wanted.items() if (k, *w) not in hist_memo}
+        if not missing:
+            return {k: hist_memo[(k, *w)] for k, w in wanted.items()}
+        keys = sorted(missing)
         spec_ref = ray.put(
             (
                 np.asarray(keys, dtype=object),
-                np.asarray([wanted[k][0] for k in keys], dtype=np.float64),
-                np.asarray([wanted[k][1] for k in keys], dtype=np.float64),
-                np.asarray([wanted[k][2] for k in keys], dtype=bool),
+                np.asarray([missing[k][0] for k in keys], dtype=np.float64),
+                np.asarray([missing[k][1] for k in keys], dtype=np.float64),
+                np.asarray([missing[k][2] for k in keys], dtype=bool),
             )
         )
 
@@ -434,13 +441,30 @@ def group_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99),
             import ray as _ray
 
             gk, glo, ghi, gcl = _ray.get(spec_ref)
+            spec_of = {k: i for i, k in enumerate(gk.tolist())}
             v = batch[column].to_numpy(zero_copy_only=False).astype(np.float64)
             g = np.asarray(batch[by].to_pylist(), dtype=object)
+            # ONE object-equality pass (factorize), then cheap int-run
+            # slicing — not a per-group object-compare scan of the batch
+            import pandas as pd
+
+            codes, uniques = pd.factorize(g)
+            order = np.argsort(codes, kind="stable")
+            sc, sv = codes[order], v[order]
+            starts = np.concatenate(
+                ([0], np.nonzero(np.diff(sc))[0] + 1, [sc.size])
+            )
             out_g, out_b, out_c = [], [], []
-            for i, key in enumerate(gk.tolist()):
+            for s, t in zip(starts[:-1], starts[1:]):
+                if s == t or sc[s] < 0:  # empty batch / null group key
+                    continue
+                key = uniques[sc[s]]
+                i = spec_of.get(key)
+                if i is None:
+                    continue
                 lo_, hi_, cl = float(glo[i]), float(ghi[i]), bool(gcl[i])
-                mv = (g == key) & ~np.isnan(v)
-                vv = v[mv]
+                vv = sv[s:t]
+                vv = vv[~np.isnan(vv)]
                 vv = vv[(vv >= lo_) & ((vv <= hi_) if cl else (vv < hi_))]
                 if vv.size == 0:
                     continue
@@ -461,7 +485,9 @@ def group_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99),
         res = {k: np.zeros(n_buckets, dtype=np.int64) for k in keys}
         for key, sub in h.groupby("g"):
             np.add.at(res[key], sub["b"].to_numpy(), sub["c"].to_numpy())
-        return res
+        for k in keys:
+            hist_memo[(k, *missing[k])] = res[k]
+        return {k: hist_memo[(k, *w)] for k, w in wanted.items()}
 
     def _pull(key: str, lo_: float, hi_: float, closed_hi: bool) -> np.ndarray:
         def sel(batch: pa.Table) -> pa.Table:

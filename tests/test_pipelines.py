@@ -1249,7 +1249,6 @@ class TestDedupIncremental:
 
 class TestQ3ShippingPriority:
     def test_matches_pandas_reference(self, ray_session):
-        import pandas as pd
         import pyarrow.parquet as pq
 
         from searchengine_ray.pipelines.relational import (
@@ -1267,8 +1266,6 @@ class TestQ3ShippingPriority:
         orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
         items = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
         ck = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
-        orders["odate_us"] = orders["o_orderdate"].astype("int64") // 1000 * 1000 \
-            if str(orders["o_orderdate"].dtype).endswith("[ns]") else orders["o_orderdate"].astype("int64")
         # pandas reads parquet timestamps as ns; engine works in µs
         odate_us = orders["o_orderdate"].values.astype("datetime64[us]").astype("int64")
         o = orders.assign(odate_us=odate_us)
@@ -1281,11 +1278,15 @@ class TestQ3ShippingPriority:
         ).round()
         agg = li.groupby("l_orderkey", as_index=False)["rev"].sum()
         ref = agg.merge(o, left_on="l_orderkey", right_on="o_orderkey")
-        ref["revenue_r"] = (ref["rev"] / 10000.0).round(2)
+        # half-away-from-zero like the engine's _round_vec (pandas .round is
+        # half-to-even) and EXACT equality — np.allclose's default rtol
+        # would mask the one-cent class this entry guards against
+        x = ref["rev"].to_numpy() / 10000.0
+        ref["revenue_r"] = np.floor(x * 100.0 + 0.5) / 100.0
         ref = ref.sort_values("l_orderkey").reset_index(drop=True)
         assert got["l_orderkey"].tolist() == ref["l_orderkey"].tolist()
         assert got["o_orderdate_us"].tolist() == ref["odate_us"].tolist()
-        assert np.allclose(got["revenue_r"], ref["revenue_r"])
+        assert got["revenue_r"].tolist() == ref["revenue_r"].tolist()
 
     def test_empty_segment_yields_empty(self, ray_session):
         from searchengine_ray.pipelines.relational import q3_shipping_priority
