@@ -489,24 +489,60 @@ def group_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99),
             hist_memo[(k, *missing[k])] = res[k]
         return {k: hist_memo[(k, *w)] for k, w in wanted.items()}
 
-    def _pull(key: str, lo_: float, hi_: float, closed_hi: bool) -> np.ndarray:
+    def _pull_many(specs: list) -> dict:
+        """ONE pass serving EVERY pending pull window — G groups × k
+        quantiles cost one scan, not G·k. ``specs`` are (key, lo_, hi_,
+        closed_hi) tuples (deduplicated here); returns spec → ASCENDING
+        values array."""
+        import ray
+
+        uniq = sorted(set(specs))
+        spec_ref = ray.put(uniq)
+
         def sel(batch: pa.Table) -> pa.Table:
+            import pandas as pd
+            import ray as _ray
+
+            sp = _ray.get(spec_ref)
             v = batch[column].to_numpy(zero_copy_only=False).astype(np.float64)
             g = np.asarray(batch[by].to_pylist(), dtype=object)
-            m = (g == key) & ~np.isnan(v)
-            m &= (v >= lo_) & ((v <= hi_) if closed_hi else (v < hi_))
-            return pa.table({column: pa.array(v[m])})
+            codes, uniques = pd.factorize(g)
+            code_of = {k: c for c, k in enumerate(uniques)}
+            out_i, out_v = [], []
+            for i, (key, lo_, hi_, cl) in enumerate(sp):
+                c = code_of.get(key)
+                if c is None:
+                    continue
+                m = (codes == c) & ~np.isnan(v)
+                m &= (v >= lo_) & ((v <= hi_) if cl else (v < hi_))
+                vv = v[m]
+                if vv.size:
+                    out_i.append(np.full(vv.size, i, dtype=np.int64))
+                    out_v.append(vv)
+            if not out_i:
+                return pa.table({"i": pa.array([], type=pa.int64()),
+                                 "v": pa.array([], type=pa.float64())})
+            return pa.table({"i": pa.array(np.concatenate(out_i)),
+                             "v": pa.array(np.concatenate(out_v))})
 
         out = ds.map_batches(sel, batch_format="pyarrow").to_pandas()
-        return out[column].to_numpy()
+        res = {s: np.array([], dtype=np.float64) for s in uniq}
+        for i, sub in out.groupby("i"):
+            a = sub["v"].to_numpy(dtype=np.float64)
+            a.sort()
+            res[uniq[int(i)]] = a
+        return res
 
     # level-0 histograms for every non-degenerate group in ONE pass
     level0 = _histogram(
         {k: (lo_g[k], hi_g[k], True) for k in groups if lo_g[k] < hi_g[k]}
     )
 
-    def _select(key: str, k: int, lo_: float, hi_: float, below: int,
-                counts: np.ndarray | None, depth: int = 0) -> float:
+    def _resolve(key: str, k: int, lo_: float, hi_: float, below: int,
+                 counts: np.ndarray | None, depth: int = 0):
+        """Walk (memoized) histograms until the target bucket is pull-sized;
+        returns (pull spec, ranks below the bucket) — no data is pulled
+        here, so every selection's pull batches into one pass."""
         if counts is None:  # pathological recursion: group-scoped re-pass
             counts = _histogram({key: (lo_, hi_, hi_ == hi_g[key])})[key]
         edges = np.linspace(lo_, hi_, n_buckets + 1)
@@ -516,19 +552,24 @@ def group_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99),
         b_below = int(cum[b] - counts[b])
         b_closed = (b == n_buckets - 1) and (hi_ == hi_g[key])
         if counts[b] > max_pull and depth < 2 and b_hi > b_lo:
-            return _select(key, k, b_lo, b_hi, b_below, None, depth + 1)
-        vals = _pull(key, b_lo, b_hi, b_closed)
-        vals.sort()
-        return float(vals[k - b_below - 1])
+            return _resolve(key, k, b_lo, b_hi, b_below, None, depth + 1)
+        return (key, b_lo, b_hi, b_closed), b_below
 
     rows = []
+    pending = []  # (key, q, rank, pull spec, ranks below bucket)
     for key in groups:
         for q in sorted(float(q) for q in qs):
             if lo_g[key] == hi_g[key]:  # constant group
                 rows.append((key, q, lo_g[key]))
                 continue
             k = max(int(np.ceil(n_g[key] * q)), 1)
-            rows.append((key, q, _select(key, k, lo_g[key], hi_g[key], 0, level0[key])))
+            spec, b_below = _resolve(key, k, lo_g[key], hi_g[key], 0, level0[key])
+            pending.append((key, q, k, spec, b_below))
+    if pending:
+        pulled = _pull_many([p[3] for p in pending])
+        for key, q, k, spec, b_below in pending:
+            rows.append((key, q, float(pulled[spec][k - b_below - 1])))
+    rows.sort(key=lambda r: (r[0], r[1]))
     return pa.table({by: pa.array([r[0] for r in rows], type=pa.string()),
                      "q": pa.array([r[1] for r in rows], type=pa.float64()),
                      "value": pa.array([r[2] for r in rows], type=pa.float64())})
