@@ -416,109 +416,107 @@ def group_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99),
 
     hist_memo: dict[tuple, np.ndarray] = {}
 
-    def _histogram(wanted: dict):
-        """One pass: per-group histogram over each group's [lo_, hi_)
-        window. ``wanted`` maps group → (lo_, hi_, closed_hi). Returns
-        group → counts[n_buckets]. Memoized per (group, window) — several
-        quantiles recursing into the SAME overfull bucket cost one pass
-        (the sibling exact_quantiles' hist_memo trade)."""
+    def _runs(batch: pa.Table):
+        """Yield (group key, values) per group-run of the batch after ONE
+        factorize + stable argsort — shared by the histogram and pull
+        passes so neither re-scans the batch per spec."""
+        import pandas as pd
+
+        v = batch[column].to_numpy(zero_copy_only=False).astype(np.float64)
+        g = np.asarray(batch[by].to_pylist(), dtype=object)
+        codes, uniques = pd.factorize(g)
+        order = np.argsort(codes, kind="stable")
+        sc, sv = codes[order], v[order]
+        starts = np.concatenate(([0], np.nonzero(np.diff(sc))[0] + 1, [sc.size]))
+        for s, t in zip(starts[:-1], starts[1:]):
+            if s == t or sc[s] < 0:  # empty batch / null group key
+                continue
+            yield uniques[sc[s]], sv[s:t]
+
+    def _histogram(specs: list) -> dict:
+        """ONE pass: per-spec histogram over each spec's window. ``specs``
+        are (key, lo_, hi_, closed_hi) tuples — refinement windows for MANY
+        groups (even several windows of one group) batch into a single
+        scan. Memoized per spec: several quantiles recursing into the SAME
+        overfull bucket cost one pass (the sibling exact_quantiles'
+        hist_memo trade). Returns spec → counts[n_buckets]."""
         import ray
 
-        missing = {k: w for k, w in wanted.items() if (k, *w) not in hist_memo}
-        if not missing:
-            return {k: hist_memo[(k, *w)] for k, w in wanted.items()}
-        keys = sorted(missing)
-        spec_ref = ray.put(
-            (
-                np.asarray(keys, dtype=object),
-                np.asarray([missing[k][0] for k in keys], dtype=np.float64),
-                np.asarray([missing[k][1] for k in keys], dtype=np.float64),
-                np.asarray([missing[k][2] for k in keys], dtype=bool),
-            )
-        )
+        missing = [s for s in dict.fromkeys(specs) if s not in hist_memo]
+        if missing:
+            spec_ref = ray.put(missing)
 
-        def hist(batch: pa.Table) -> pa.Table:
-            import ray as _ray
+            def hist(batch: pa.Table) -> pa.Table:
+                import ray as _ray
 
-            gk, glo, ghi, gcl = _ray.get(spec_ref)
-            spec_of = {k: i for i, k in enumerate(gk.tolist())}
-            v = batch[column].to_numpy(zero_copy_only=False).astype(np.float64)
-            g = np.asarray(batch[by].to_pylist(), dtype=object)
-            # ONE object-equality pass (factorize), then cheap int-run
-            # slicing — not a per-group object-compare scan of the batch
-            import pandas as pd
+                sp = _ray.get(spec_ref)
+                of_key: dict = {}
+                for i, s in enumerate(sp):
+                    of_key.setdefault(s[0], []).append(i)
+                out_i, out_b, out_c = [], [], []
+                for key, vals in _runs(batch):
+                    idxs = of_key.get(key)
+                    if not idxs:
+                        continue
+                    nn = vals[~np.isnan(vals)]
+                    for i in idxs:
+                        _, lo_, hi_, cl = sp[i]
+                        vv = nn[(nn >= lo_) & ((nn <= hi_) if cl else (nn < hi_))]
+                        if vv.size == 0:
+                            continue
+                        c, _ = np.histogram(
+                            vv, bins=np.linspace(lo_, hi_, n_buckets + 1)
+                        )
+                        nz = np.nonzero(c)[0]
+                        out_i.append(np.full(nz.size, i, dtype=np.int64))
+                        out_b.append(nz.astype(np.int64))
+                        out_c.append(c[nz].astype(np.int64))
+                if not out_b:
+                    return pa.table({"i": pa.array([], type=pa.int64()),
+                                     "b": pa.array([], type=pa.int64()),
+                                     "c": pa.array([], type=pa.int64())})
+                return pa.table({"i": pa.array(np.concatenate(out_i)),
+                                 "b": pa.array(np.concatenate(out_b)),
+                                 "c": pa.array(np.concatenate(out_c))})
 
-            codes, uniques = pd.factorize(g)
-            order = np.argsort(codes, kind="stable")
-            sc, sv = codes[order], v[order]
-            starts = np.concatenate(
-                ([0], np.nonzero(np.diff(sc))[0] + 1, [sc.size])
-            )
-            out_g, out_b, out_c = [], [], []
-            for s, t in zip(starts[:-1], starts[1:]):
-                if s == t or sc[s] < 0:  # empty batch / null group key
-                    continue
-                key = uniques[sc[s]]
-                i = spec_of.get(key)
-                if i is None:
-                    continue
-                lo_, hi_, cl = float(glo[i]), float(ghi[i]), bool(gcl[i])
-                vv = sv[s:t]
-                vv = vv[~np.isnan(vv)]
-                vv = vv[(vv >= lo_) & ((vv <= hi_) if cl else (vv < hi_))]
-                if vv.size == 0:
-                    continue
-                c, _ = np.histogram(vv, bins=np.linspace(lo_, hi_, n_buckets + 1))
-                nz = np.nonzero(c)[0]
-                out_g.extend([key] * nz.size)
-                out_b.append(nz.astype(np.int64))
-                out_c.append(c[nz].astype(np.int64))
-            if not out_b:
-                return pa.table({"g": pa.array([], type=pa.string()),
-                                 "b": pa.array([], type=pa.int64()),
-                                 "c": pa.array([], type=pa.int64())})
-            return pa.table({"g": pa.array(out_g, type=pa.string()),
-                             "b": pa.array(np.concatenate(out_b)),
-                             "c": pa.array(np.concatenate(out_c))})
-
-        h = ds.map_batches(hist, batch_format="pyarrow").to_pandas()
-        res = {k: np.zeros(n_buckets, dtype=np.int64) for k in keys}
-        for key, sub in h.groupby("g"):
-            np.add.at(res[key], sub["b"].to_numpy(), sub["c"].to_numpy())
-        for k in keys:
-            hist_memo[(k, *missing[k])] = res[k]
-        return {k: hist_memo[(k, *w)] for k, w in wanted.items()}
+            h = ds.map_batches(hist, batch_format="pyarrow").to_pandas()
+            res = {s: np.zeros(n_buckets, dtype=np.int64) for s in missing}
+            for i, sub in h.groupby("i"):
+                np.add.at(res[missing[int(i)]], sub["b"].to_numpy(),
+                          sub["c"].to_numpy())
+            hist_memo.update(res)
+        return {s: hist_memo[s] for s in specs}
 
     def _pull_many(specs: list) -> dict:
-        """ONE pass serving EVERY pending pull window — G groups × k
-        quantiles cost one scan, not G·k. ``specs`` are (key, lo_, hi_,
-        closed_hi) tuples (deduplicated here); returns spec → ASCENDING
-        values array."""
+        """ONE pass serving EVERY given pull window — run-sliced like the
+        histogram pass, so each spec's window mask runs over ITS group's
+        run only (one nan-filter per run, shared across that group's
+        specs), never a full-batch compare per spec. Returns spec →
+        ASCENDING values array."""
         import ray
 
-        uniq = sorted(set(specs))
+        uniq = list(dict.fromkeys(specs))
         spec_ref = ray.put(uniq)
 
         def sel(batch: pa.Table) -> pa.Table:
-            import pandas as pd
             import ray as _ray
 
             sp = _ray.get(spec_ref)
-            v = batch[column].to_numpy(zero_copy_only=False).astype(np.float64)
-            g = np.asarray(batch[by].to_pylist(), dtype=object)
-            codes, uniques = pd.factorize(g)
-            code_of = {k: c for c, k in enumerate(uniques)}
+            of_key: dict = {}
+            for i, s in enumerate(sp):
+                of_key.setdefault(s[0], []).append(i)
             out_i, out_v = [], []
-            for i, (key, lo_, hi_, cl) in enumerate(sp):
-                c = code_of.get(key)
-                if c is None:
+            for key, vals in _runs(batch):
+                idxs = of_key.get(key)
+                if not idxs:
                     continue
-                m = (codes == c) & ~np.isnan(v)
-                m &= (v >= lo_) & ((v <= hi_) if cl else (v < hi_))
-                vv = v[m]
-                if vv.size:
-                    out_i.append(np.full(vv.size, i, dtype=np.int64))
-                    out_v.append(vv)
+                nn = vals[~np.isnan(vals)]
+                for i in idxs:
+                    _, lo_, hi_, cl = sp[i]
+                    vv = nn[(nn >= lo_) & ((nn <= hi_) if cl else (nn < hi_))]
+                    if vv.size:
+                        out_i.append(np.full(vv.size, i, dtype=np.int64))
+                        out_v.append(vv)
             if not out_i:
                 return pa.table({"i": pa.array([], type=pa.int64()),
                                  "v": pa.array([], type=pa.float64())})
@@ -535,40 +533,70 @@ def group_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99),
 
     # level-0 histograms for every non-degenerate group in ONE pass
     level0 = _histogram(
-        {k: (lo_g[k], hi_g[k], True) for k in groups if lo_g[k] < hi_g[k]}
+        [(k, lo_g[k], hi_g[k], True) for k in groups if lo_g[k] < hi_g[k]]
     )
 
-    def _resolve(key: str, k: int, lo_: float, hi_: float, below: int,
-                 counts: np.ndarray | None, depth: int = 0):
-        """Walk (memoized) histograms until the target bucket is pull-sized;
-        returns (pull spec, ranks below the bucket) — no data is pulled
-        here, so every selection's pull batches into one pass."""
-        if counts is None:  # pathological recursion: group-scoped re-pass
-            counts = _histogram({key: (lo_, hi_, hi_ == hi_g[key])})[key]
-        edges = np.linspace(lo_, hi_, n_buckets + 1)
-        cum = below + np.cumsum(counts)
-        b = int(np.searchsorted(cum, k))
-        b_lo, b_hi = float(edges[b]), float(edges[b + 1])
-        b_below = int(cum[b] - counts[b])
-        b_closed = (b == n_buckets - 1) and (hi_ == hi_g[key])
-        if counts[b] > max_pull and depth < 2 and b_hi > b_lo:
-            return _resolve(key, k, b_lo, b_hi, b_below, None, depth + 1)
-        return (key, b_lo, b_hi, b_closed), b_below
-
     rows = []
-    pending = []  # (key, q, rank, pull spec, ranks below bucket)
+    # Each selection walks its group's memoized histogram toward a
+    # pull-sized bucket. Refinements of overfull buckets batch
+    # LEVEL-SYNCHRONOUSLY: every selection still active at depth d joins
+    # one _histogram pass — at most 2 extra passes total, never one per
+    # group. No data is pulled during the walk.
+    active = []  # [key, q, rank, lo_, hi_, ranks below window, counts, depth]
     for key in groups:
         for q in sorted(float(q) for q in qs):
             if lo_g[key] == hi_g[key]:  # constant group
                 rows.append((key, q, lo_g[key]))
                 continue
             k = max(int(np.ceil(n_g[key] * q)), 1)
-            spec, b_below = _resolve(key, k, lo_g[key], hi_g[key], 0, level0[key])
-            pending.append((key, q, k, spec, b_below))
+            active.append([key, q, k, lo_g[key], hi_g[key], 0,
+                           level0[(key, lo_g[key], hi_g[key], True)], 0])
+    pending = []  # (key, q, rank, pull spec, ranks below bucket, bucket n)
+    while active:
+        nxt = []
+        for st in active:
+            key, q, k, lo_, hi_, below, counts, depth = st
+            edges = np.linspace(lo_, hi_, n_buckets + 1)
+            cum = below + np.cumsum(counts)
+            b = int(np.searchsorted(cum, k))  # first bucket reaching rank k
+            b_lo, b_hi = float(edges[b]), float(edges[b + 1])
+            b_below = int(cum[b] - counts[b])
+            b_closed = (b == n_buckets - 1) and (hi_ == hi_g[key])
+            if counts[b] > max_pull and depth < 2 and b_hi > b_lo:
+                nxt.append([key, q, k, b_lo, b_hi, b_below, None, depth + 1])
+            else:
+                pending.append((key, q, k, (key, b_lo, b_hi, b_closed),
+                                b_below, int(counts[b])))
+        if nxt:
+            hres = _histogram(
+                [(s[0], s[3], s[4], s[4] == hi_g[s[0]]) for s in nxt]
+            )
+            for s in nxt:
+                s[6] = hres[(s[0], s[3], s[4], s[4] == hi_g[s[0]])]
+        active = nxt
     if pending:
-        pulled = _pull_many([p[3] for p in pending])
-        for key, q, k, spec, b_below in pending:
-            rows.append((key, q, float(pulled[spec][k - b_below - 1])))
+        # Chunk the pulls so co-resident pulled values stay bounded on the
+        # driver: each spec's in-window row count is known exactly (its
+        # bucket count), so greedy-pack specs up to ~8·max_pull values per
+        # pass — one pass in the common case; a pathological depth-capped
+        # overfull bucket rides alone rather than OOMing the batch.
+        want: dict = {}
+        for _, _, _, spec, _, cnt in pending:
+            want.setdefault(spec, cnt)
+        chunks, cur, cur_n = [], [], 0
+        for spec, cnt in want.items():
+            if cur and cur_n + cnt > max_pull * 8:
+                chunks.append(cur)
+                cur, cur_n = [], 0
+            cur.append(spec)
+            cur_n += cnt
+        chunks.append(cur)
+        for chunk in chunks:
+            pulled = _pull_many(chunk)
+            members = set(chunk)
+            for key, q, k, spec, b_below, _ in pending:
+                if spec in members:
+                    rows.append((key, q, float(pulled[spec][k - b_below - 1])))
     rows.sort(key=lambda r: (r[0], r[1]))
     return pa.table({by: pa.array([r[0] for r in rows], type=pa.string()),
                      "q": pa.array([r[1] for r in rows], type=pa.float64()),
