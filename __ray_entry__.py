@@ -215,8 +215,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- inverted-index data flows over documents (SURVEY.md §2) ---
         "postings": fulltext.postings,
         "lemma_df": fulltext.lemma_df,
-        "doc_stats": fulltext.doc_stats,
-        "top_terms": fulltext.top_terms,
         "bm25_adhoc": lambda sf: fulltext.bm25_adhoc(sf, "scan column"),
         # --- flagship engine path: real index build + BM25 serving ---
         "transcript_search": transcript_search,
@@ -238,6 +236,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_events": relational.range_join_events,  # oracle: inequality join
         "exact_quantiles": relational.exact_quantiles,  # oracle: quantile_disc
         "broadcast_join_orders": relational.broadcast_join_orders,
+        # TPC-H Q1 multi-aggregate in one pass: exact integer money partials
+        # (cents / cents×hundredths / cents×hundredths²), ≤6-group exchange (r4)
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        # exact distributed COUNT(DISTINCT): map-side pair dedup →
+        # hash-co-partition on user → per-partition counts (r4)
+        "ndistinct_users": relational.ndistinct_users,
+        # hash ANTI-join at fact scale: customers with no order after the
+        # cutoff, per nation (oracle: NOT EXISTS; r4)
+        "anti_join_customers": relational.anti_join_customers,
+        # CUBE(event_type, day): all four grouping sets, margins derived
+        # from the published finest cells (oracle: UNION ALL of levels; r4)
+        "cube_events": relational.cube_events,
         # --- dedup family ---
         "dedup_exact": dedup.exact_dedup,
         # oracle: planted-marker anti-join (old DISTINCT hashes NOT IN)
@@ -249,7 +259,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lead()-window grams + window count + gaps-and-islands merge
         "dedup_substrings": dedup.dedup_substrings,
         # --- similarity search ---
-        "knn_cosine": lambda sf: similarity.knn_cosine(sf, query_vec_id=0, k=10),
         "knn_batch": lambda sf: similarity.knn_batch(sf, query_vec_ids=(0, 1, 2, 3, 4), k=5),
         "semantic_search": similarity.semantic_search,  # oracle: cosine top-k ⋈ documents
         # CC over the embedding-channel near-dup pairs (planted fixtures)
@@ -267,20 +276,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_knn": lambda sf: similarity.ivf_knn(
             sf, query_vec_id=0, k=10, centroids=similarity.literal_centroids()
         ),
-        "lsh_assignments": similarity.lsh_assignments,  # SQL (literal hyperplanes)
         # oracle: planted fixtures are a closed-form (sin-noise) derivation,
         # reconstructed exactly in SQL; pairs = brute-force cosine >= 0.95
         "embedding_neardup": lambda sf: similarity.embedding_neardup(sf, 0.95, plant=True),
         # --- text analysis ---
         "token_count": textstats.token_count,
         "quality_score": textstats.quality_score,
+        # grouped top-k without a global sort: per-batch local top-k per
+        # lang, tiny driver final (oracle: row_number() window; r4)
+        "group_topk_docs": textstats.group_topk_docs,
         "fingerprint_rolling_flat": textstats.fingerprint_rolling_flat,  # oracle: HUGEINT-mod hash
         "bigram_counts": textstats.bigram_counts,  # oracle: positional self-join
         # --- multimodal plumbing (stubbed decoder) ---
         "multimodal_features_flat": multimodal.multimodal_features_flat,  # oracle: byte histogram
         "frame_sample_hex": multimodal.frame_sample_hex,  # oracle: hex BLOB slices
         # --- training-data preparation ---
-        "sample_split": traindata.sample_split,       # oracle: md5-hex-digit buckets
         "export_shards": traindata.export_shards,     # oracle: md5-byte shard summary
         "stratified_sample": traindata.stratified_sample,  # oracle: window row_number per lang
         "pack_sequences": traindata.pack_sequences,   # oracle: window cumsum
@@ -321,6 +331,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": textstats.fingerprint,
         # window row_number tf-idf; hash-green r1+r2+r3
         "tfidf_top_terms": fulltext.tfidf_top_terms,
+        # shares the in-window postings/lemma_df toks-CTE surface (pure
+        # aggregation of those values); unchanged this round, hash-green r1-r4
+        "doc_stats": fulltext.doc_stats,
+        # pure top-k projection over the same toks-CTE surface as the
+        # in-window lemma_df; unchanged this round, hash-green r1-r4
+        "top_terms": fulltext.top_terms,
+        # single-query special case of the in-window knn_batch entry (same
+        # kernel, margin and rounding contract); unchanged this round,
+        # hash-green r1-r4
+        "knn_cosine": lambda sf: similarity.knn_cosine(sf, query_vec_id=0, k=10),
+        # bucket assignments are the probe input of the in-window lsh_knn
+        # entry (same persisted index build); unchanged this round,
+        # hash-green r2-r4
+        "lsh_assignments": similarity.lsh_assignments,
+        # md5(doc_id) keying surface shared with the in-window
+        # stratified_sample; unchanged this round, hash-green r2-r4
+        "sample_split": traindata.sample_split,
         # identical SQL/values to transcript_search (actor-path parity is
         # additionally pinned by tests/test_engine.py); hash-green r1-r3
         "transcript_search_actor": transcript_search_actor,
@@ -1022,6 +1049,57 @@ FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name""",
+        # Q1: every sum is an exact BIGINT of fixed-decimal inputs (cents;
+        # cents×hundredths; cents×hundredths²) so DuckDB and the engine round
+        # the SAME double — partial-summation order can't flip a boundary
+        "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+  round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0, 2) AS sum_qty,
+  round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2) AS sum_base_price,
+  round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+            * CAST(round((1 - l_discount) * 100) AS BIGINT)) / 10000.0, 2) AS sum_disc_price,
+  round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+            * CAST(round((1 - l_discount) * 100) AS BIGINT)
+            * CAST(round((1 + l_tax) * 100) AS BIGINT)) / 1000000.0, 2) AS sum_charge,
+  round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 / count(*), 4) AS avg_qty,
+  round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 / count(*), 4) AS avg_price,
+  round(sum(CAST(round(l_discount * 100) AS BIGINT)) / 100.0 / count(*), 4) AS avg_disc,
+  CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus""",
+        "ndistinct_users": """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type""",
+        "anti_join_customers": """
+SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY n.n_name ORDER BY n.n_name""",
+        # CUBE margins re-aggregate the PUBLISHED (rounded) finest cells —
+        # the cube-materialization contract the engine implements, so both
+        # sides sum identical 4-dp doubles. Margins are sentinel-keyed
+        # ('ALL' / -1) because NaN never hash-compares equal
+        "cube_events": """
+WITH d AS (SELECT event_type,
+                  CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_us,
+                  CAST(count(*) AS BIGINT) AS n_events,
+                  round(sum(value), 4) AS sum_value_r
+           FROM events GROUP BY 1, 2)
+SELECT event_type, day_us, n_events, sum_value_r FROM d
+UNION ALL
+SELECT event_type, CAST(-1 AS BIGINT), CAST(sum(n_events) AS BIGINT),
+       round(sum(sum_value_r), 4)
+FROM d GROUP BY event_type
+UNION ALL
+SELECT 'ALL', day_us, CAST(sum(n_events) AS BIGINT), round(sum(sum_value_r), 4)
+FROM d GROUP BY day_us
+UNION ALL
+SELECT 'ALL', CAST(-1 AS BIGINT), CAST(sum(n_events) AS BIGINT),
+       round(sum(sum_value_r), 4)
+FROM d""",
         "dedup_exact": """
 SELECT md5(text) AS text_hash, min(doc_id) AS rep_doc_id, count(*) AS n_dups
 FROM documents GROUP BY md5(text)""",
@@ -1227,6 +1305,28 @@ SELECT d.doc_id,
         * (1.0 - CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0.0
                       ELSE CAST(a.n_stop AS DOUBLE) / a.n_tokens END), 4) AS quality_r
 FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id""",
+        # grouped top-k: row_number() window over the quality_score
+        # expressions verbatim (hash-green there) — the one-node mirror of
+        # the engine's per-batch local top-k union
+        "group_topk_docs": f"""
+WITH raw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+             FROM documents),
+ a AS (SELECT doc_id, count(*) AS n_tokens,
+              CAST(sum(CASE WHEN token IN ({_STOP_SQL}) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+              CAST(sum(CASE WHEN length(token) >= 2 AND token NOT IN ({_STOP_SQL})
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_sig
+       FROM raw GROUP BY doc_id),
+ q AS (SELECT d.doc_id, d.lang,
+              round(least(1.0, coalesce(a.n_sig, 0) / 50.0)
+                    * (1.0 - CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0.0
+                                  ELSE CAST(a.n_stop AS DOUBLE) / a.n_tokens END), 4) AS quality_r
+       FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id),
+ r AS (SELECT lang, doc_id, quality_r,
+              row_number() OVER (PARTITION BY lang
+                  ORDER BY quality_r DESC, doc_id) AS rk
+       FROM q)
+SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, quality_r FROM r WHERE rk <= 3
+ORDER BY lang, rk""",
         # "best docs under a global token budget": window cumsum over the
         # (quality desc, doc_id) total order — the one-node formulation of
         # the engine's sort-free counting prefix cut. quality_r/n_tokens are

@@ -891,3 +891,292 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING"):
     return orders.union(items).groupby("q").map_groups(
         join_partition, batch_format="pyarrow"
     )
+
+
+Q1_CUTOFF_US = 904_694_400_000_000  # 1998-09-02 epoch-µs
+DAY_US = 86_400_000_000
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: the multi-aggregate pricing summary per
+    (l_returnflag, l_linestatus) over line items shipped on/before the
+    cutoff — sums, averages and a row count in ONE pass.
+
+    Scale shape: every aggregate is a map-side partial combined inside each
+    batch (the group key has ≤6 values, so the exchange carries a handful
+    of int64 rows per batch, never line items); the final combine is a tiny
+    driver groupby. All money/quantity sums are EXACT integer arithmetic
+    (cents; cents×hundredths for the discounted price; cents×hundredths²
+    for the charge — the q3_shipping_priority convention, reference parity
+    for `IndexingServiceImpl`'s batched aggregation pattern), so partial
+    summation order can never flip a rounding boundary against the SQL
+    oracle; the /10^k and round happen once, on the same doubles DuckDB
+    derives from its integer sums."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        m = ship <= Q1_CUTOFF_US
+        if not m.any():
+            return pa.table({"g": pa.array([], type=pa.string()),
+                             "qty_i": pa.array([], type=pa.int64()),
+                             "price_i": pa.array([], type=pa.int64()),
+                             "disc_price_i": pa.array([], type=pa.int64()),
+                             "charge_i": pa.array([], type=pa.int64()),
+                             "disc_i": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        flag = np.asarray(batch["l_returnflag"].to_pylist(), dtype=object)[m]
+        stat = np.asarray(batch["l_linestatus"].to_pylist(), dtype=object)[m]
+        qty_i = np.rint(batch["l_quantity"].to_numpy(zero_copy_only=False)[m] * 100.0).astype(np.int64)
+        price_i = np.rint(batch["l_extendedprice"].to_numpy(zero_copy_only=False)[m] * 100.0).astype(np.int64)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)[m]
+        tax = batch["l_tax"].to_numpy(zero_copy_only=False)[m]
+        disc_i = np.rint(disc * 100.0).astype(np.int64)
+        one_m_disc_i = np.rint((1.0 - disc) * 100.0).astype(np.int64)
+        one_p_tax_i = np.rint((1.0 + tax) * 100.0).astype(np.int64)
+        df = pd.DataFrame({
+            "g": np.char.add(flag.astype(str), stat.astype(str)),
+            "qty_i": qty_i,
+            "price_i": price_i,
+            "disc_price_i": price_i * one_m_disc_i,
+            "charge_i": price_i * one_m_disc_i * one_p_tax_i,
+            "disc_i": disc_i,
+            "n": np.ones(qty_i.size, dtype=np.int64),
+        })
+        out = df.groupby("g", as_index=False).sum()  # int64 sums: exact
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax", "l_shipdate"],
+    ).map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:  # all-empty blocks drop column names in to_pandas
+        f64, i64 = pa.float64(), pa.int64()
+        return pa.table({
+            "l_returnflag": pa.array([], type=pa.string()),
+            "l_linestatus": pa.array([], type=pa.string()),
+            "sum_qty": pa.array([], type=f64),
+            "sum_base_price": pa.array([], type=f64),
+            "sum_disc_price": pa.array([], type=f64),
+            "sum_charge": pa.array([], type=f64),
+            "avg_qty": pa.array([], type=f64),
+            "avg_price": pa.array([], type=f64),
+            "avg_disc": pa.array([], type=f64),
+            "count_order": pa.array([], type=i64),
+        })
+    agg = parts.groupby("g", as_index=False).sum().sort_values("g")
+    n = agg["n"].to_numpy(dtype=np.float64)
+    qty = agg["qty_i"].to_numpy(dtype=np.float64) / 100.0
+    price = agg["price_i"].to_numpy(dtype=np.float64) / 100.0
+    return pa.table({
+        "l_returnflag": pa.array([g[0] for g in agg["g"]], type=pa.string()),
+        "l_linestatus": pa.array([g[1] for g in agg["g"]], type=pa.string()),
+        "sum_qty": pa.array(_round_vec(qty, 2), type=pa.float64()),
+        "sum_base_price": pa.array(_round_vec(price, 2), type=pa.float64()),
+        "sum_disc_price": pa.array(
+            _round_vec(agg["disc_price_i"].to_numpy(dtype=np.float64) / 10_000.0, 2),
+            type=pa.float64()),
+        "sum_charge": pa.array(
+            _round_vec(agg["charge_i"].to_numpy(dtype=np.float64) / 1_000_000.0, 2),
+            type=pa.float64()),
+        "avg_qty": pa.array(_round_vec(qty / n, 4), type=pa.float64()),
+        "avg_price": pa.array(_round_vec(price / n, 4), type=pa.float64()),
+        "avg_disc": pa.array(
+            _round_vec(agg["disc_i"].to_numpy(dtype=np.float64) / 100.0 / n, 4),
+            type=pa.float64()),
+        "count_order": pa.array(agg["n"].to_numpy(dtype=np.int64)),
+    })
+
+
+def ndistinct_users(sf_dir: str):
+    """(event_type, n_users): EXACT distributed COUNT(DISTINCT user_id) per
+    event type — the distinct-aggregate shape none of the other entries
+    exercise.
+
+    Scale shape: each batch first collapses to its distinct (user, type)
+    pairs (map-side dedup — repeat-heavy streams shrink before the
+    exchange), pairs hash-co-partition on user_id into _OKEY_PARTITIONS
+    fixed partitions so every surviving duplicate pair meets in exactly one
+    partition, each partition dedups vectorized and emits per-type PARTIAL
+    counts (≤ n_types rows), and the driver sums a tiny frame. No
+    whole-column set ever materializes on one node; partition count is the
+    only scale knob."""
+    import pandas as pd
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        df = pd.DataFrame({"u": uid, "t": et}).drop_duplicates()
+        u = df["u"].to_numpy(dtype=np.int64)
+        q = ((u.astype(np.uint64) * _Q3_MIX) % np.uint64(_OKEY_PARTITIONS)).astype(np.int64)
+        return pa.table({"q": pa.array(q), "u": pa.array(u),
+                         "t": pa.array(df["t"].to_numpy(), type=pa.string())})
+
+    def count_partition(group: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"u": group["u"].to_numpy(zero_copy_only=False),
+                           "t": group["t"].to_pylist()}).drop_duplicates()
+        out = df.groupby("t", as_index=False).agg(n=("u", "size"))
+        return pa.table({"event_type": pa.array(out["t"].to_numpy(), type=pa.string()),
+                         "n": pa.array(out["n"].to_numpy(dtype=np.int64))})
+
+    parts = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["user_id", "event_type"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("q")
+        .map_groups(count_partition, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if parts.empty:  # all-empty blocks drop column names in to_pandas
+        return pa.table({"event_type": pa.array([], type=pa.string()),
+                         "n_users": pa.array([], type=pa.int64())})
+    agg = parts.groupby("event_type", as_index=False).agg(n_users=("n", "sum")) \
+               .sort_values("event_type")
+    return pa.table({"event_type": pa.array(agg["event_type"].to_numpy(), type=pa.string()),
+                     "n_users": pa.array(agg["n_users"].to_numpy(dtype=np.int64))})
+
+
+ANTI_CUTOFF_US = 946_684_800_000_000  # 2000-01-01 epoch-µs
+
+
+def anti_join_customers(sf_dir: str):
+    """(n_name, n_customers): customers with NO order on/after the cutoff,
+    counted per nation — the hash ANTI-join shape (q3 covers inner,
+    broadcast_join covers small-side; nothing else exercises
+    absence-of-match at fact scale).
+
+    Scale shape: the orders side collapses to its distinct qualifying
+    custkeys per batch (map-side dedup), both sides hash-co-partition on
+    custkey into _OKEY_PARTITIONS fixed partitions, each partition takes
+    the set difference with one vectorized searchsorted and emits per-nation
+    PARTIAL counts; nation names join on the driver against the ≤25-row
+    dimension. Neither fact side is ever broadcast or materialized whole."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = ((ck.astype(np.uint64) * _Q3_MIX) % np.uint64(_OKEY_PARTITIONS)).astype(np.int64)
+        return pa.table({"q": pa.array(q),
+                         "side": pa.array(np.zeros(ck.size, dtype=np.int64)),
+                         "ck": pa.array(ck), "nk": pa.array(nk)})
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        odate = batch["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = np.unique(ck[odate >= ANTI_CUTOFF_US])  # map-side dedup
+        q = ((ck.astype(np.uint64) * _Q3_MIX) % np.uint64(_OKEY_PARTITIONS)).astype(np.int64)
+        return pa.table({"q": pa.array(q),
+                         "side": pa.array(np.ones(ck.size, dtype=np.int64)),
+                         "ck": pa.array(ck),
+                         "nk": pa.array(np.zeros(ck.size, dtype=np.int64))})
+
+    def anti_partition(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy(zero_copy_only=False)
+        ck = group["ck"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nk = group["nk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        have = np.unique(ck[side == 1])
+        c_ck, c_nk = ck[side == 0], nk[side == 0]
+        if have.size:
+            pos = np.minimum(np.searchsorted(have, c_ck), have.size - 1)
+            miss = have[pos] != c_ck
+        else:
+            miss = np.ones(c_ck.size, dtype=bool)
+        nk_miss = c_nk[miss]
+        uk, cnt = np.unique(nk_miss, return_counts=True)
+        return pa.table({"nk": pa.array(uk), "n": pa.array(cnt.astype(np.int64))})
+
+    cust = read_parquet_clean(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    ).map_batches(cust_side, batch_format="pyarrow")
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate"],
+    ).map_batches(orders_side, batch_format="pyarrow")
+    parts = cust.union(orders).groupby("q").map_groups(
+        anti_partition, batch_format="pyarrow"
+    ).to_pandas()
+    if parts.empty:  # all-empty blocks drop column names in to_pandas
+        return pa.table({"n_name": pa.array([], type=pa.string()),
+                         "n_customers": pa.array([], type=pa.int64())})
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    agg = parts.groupby("nk", as_index=False).agg(n_customers=("n", "sum"))
+    agg = agg.merge(nat, left_on="nk", right_on="n_nationkey").sort_values("n_name")
+    return pa.table({"n_name": pa.array(agg["n_name"].to_numpy(), type=pa.string()),
+                     "n_customers": pa.array(agg["n_customers"].to_numpy(dtype=np.int64))})
+
+
+CUBE_ALL_TYPE = "ALL"  # margin sentinel for event_type (real types are lowercase)
+CUBE_ALL_DAY = -1  # margin sentinel for day_us (real days are positive epoch-µs)
+
+
+def cube_events(sf_dir: str):
+    """(event_type, day_us, n_events, sum_value_r) for ALL FOUR grouping
+    sets of CUBE(event_type, day): the finest (type, day) level plus the
+    type, day, and grand-total margins. Margins are SENTINEL-keyed
+    ('ALL' / -1), not NULL-keyed: NaN never compares equal, so a NULL-keyed
+    result can't survive an exact value-hash compare, and sentinel keys keep
+    day_us a clean non-nullable int64.
+
+    Scale shape: ONE pass computes the finest level exactly as
+    windowed_events does (day key = integer floor of epoch-µs, map-side
+    partial combine per batch, small groupby); the three coarser margins
+    re-aggregate the PUBLISHED finest cells (types × days rows — driver
+    scale by construction) from their rounded sums, the standard OLAP
+    cube-materialization contract: every margin equals what a reader of
+    the day-level table would sum, so the value surface is closed under
+    re-aggregation and the float-summation order can never diverge from
+    the oracle's."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = (ts // DAY_US) * DAY_US
+        df = pd.DataFrame({
+            "day_us": day,
+            "event_type": batch["event_type"].to_numpy(zero_copy_only=False),
+            "n": 1,
+            "v": batch["value"].to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["day_us", "event_type"], as_index=False).agg(
+            n=("n", "sum"), v=("v", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    fine = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["ts", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["day_us", "event_type"])
+        .aggregate(Sum("n", alias_name="n_events"), Sum("v", alias_name="sv"))
+        .to_pandas()
+    )
+    if fine.empty:  # all-empty blocks drop column names in to_pandas
+        return pa.table({"event_type": pa.array([], type=pa.string()),
+                         "day_us": pa.array([], type=pa.int64()),
+                         "n_events": pa.array([], type=pa.int64()),
+                         "sum_value_r": pa.array([], type=pa.float64())})
+    fine["sum_value_r"] = np.round(fine["sv"].to_numpy(dtype=np.float64), 4)
+    et, day = [], []
+    nev, svr = [], []
+
+    def emit(t, d, n, s):
+        et.append(t); day.append(d)
+        nev.append(int(n)); svr.append(float(np.round(s, 4)))
+
+    for _, r in fine.iterrows():
+        emit(r["event_type"], int(r["day_us"]), r["n_events"], r["sum_value_r"])
+    for t, sub in fine.groupby("event_type"):
+        emit(t, CUBE_ALL_DAY, sub["n_events"].sum(), sub["sum_value_r"].sum())
+    for d, sub in fine.groupby("day_us"):
+        emit(CUBE_ALL_TYPE, int(d), sub["n_events"].sum(), sub["sum_value_r"].sum())
+    emit(CUBE_ALL_TYPE, CUBE_ALL_DAY,
+         fine["n_events"].sum(), fine["sum_value_r"].sum())
+    return pa.table({"event_type": pa.array(et, type=pa.string()),
+                     "day_us": pa.array(day, type=pa.int64()),
+                     "n_events": pa.array(nev, type=pa.int64()),
+                     "sum_value_r": pa.array(svr, type=pa.float64())})

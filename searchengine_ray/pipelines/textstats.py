@@ -582,3 +582,64 @@ def lm_score(sf_dir: str):
         .groupby("q2")
         .map_groups(combine_doc, batch_format="pyarrow")
     )
+
+
+class GroupTopK:
+    """Per-language top-k documents by (quality_r DESC, doc_id ASC): the
+    distributed grouped-top-k shape — each batch keeps only ITS k best per
+    language (top-k is distributive: the global top-k is contained in the
+    union of per-batch top-ks), so the driver combine sees ≤ batches ×
+    languages × k tiny rows, never a sort of the corpus. Reuses the
+    QualityScore kernel per actor; SQL mirror is row_number() OVER
+    (PARTITION BY lang ORDER BY quality_r DESC, doc_id)."""
+
+    def __init__(self, k: int):
+        self._k = k
+        self._quality = QualityScore()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        q = self._quality(batch)
+        df = pd.DataFrame({
+            "lang": np.asarray(batch["lang"].to_pylist(), dtype=object),
+            "doc_id": q["doc_id"].to_numpy(zero_copy_only=False),
+            "quality_r": q["quality_r"].to_numpy(zero_copy_only=False),
+        })
+        df = df.sort_values(["lang", "quality_r", "doc_id"],
+                            ascending=[True, False, True])
+        top = df.groupby("lang", as_index=False).head(self._k)
+        return pa.table({
+            "lang": pa.array(top["lang"].to_numpy(), type=pa.string()),
+            "doc_id": pa.array(top["doc_id"].to_numpy(dtype=np.int64)),
+            "quality_r": pa.array(top["quality_r"].to_numpy(dtype=np.float64)),
+        })
+
+
+def group_topk_docs(sf_dir: str, k: int = 3, batch_size: int = 2048):
+    """(lang, rk, doc_id, quality_r): the k best documents per language by
+    (quality_r DESC, doc_id ASC) with their 1-based rank — grouped top-k
+    without a global sort (per-batch local top-k, tiny driver final)."""
+    import pandas as pd
+
+    parts = (
+        read_documents(sf_dir, columns=("doc_id", "text", "lang"))
+        .map_batches(per_worker(GroupTopK, k=k),
+                     batch_format="pyarrow", batch_size=batch_size)
+        .to_pandas()
+    )
+    if parts.empty:  # all-empty blocks drop column names in to_pandas
+        return pa.table({"lang": pa.array([], type=pa.string()),
+                         "rk": pa.array([], type=pa.int64()),
+                         "doc_id": pa.array([], type=pa.int64()),
+                         "quality_r": pa.array([], type=pa.float64())})
+    parts = parts.sort_values(["lang", "quality_r", "doc_id"],
+                              ascending=[True, False, True])
+    top = parts.groupby("lang", as_index=False).head(k).reset_index(drop=True)
+    top["rk"] = top.groupby("lang").cumcount() + 1
+    return pa.table({
+        "lang": pa.array(top["lang"].to_numpy(), type=pa.string()),
+        "rk": pa.array(top["rk"].to_numpy(dtype=np.int64)),
+        "doc_id": pa.array(top["doc_id"].to_numpy(dtype=np.int64)),
+        "quality_r": pa.array(top["quality_r"].to_numpy(dtype=np.float64)),
+    })

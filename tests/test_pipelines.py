@@ -1344,3 +1344,213 @@ class TestGroupQuantiles:
             for q in (0.5, 0.9, 0.99):
                 k = max(int(np.ceil(vg.size * q)), 1)
                 assert got[(g, q)] == vg[k - 1], (g, q)
+
+
+class TestQ1PricingSummary:
+    def test_matches_pandas_reference(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            Q1_CUTOFF_US,
+            q1_pricing_summary,
+        )
+
+        got = q1_pricing_summary(SF).to_pandas().reset_index(drop=True)
+        li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+        ship_us = li["l_shipdate"].values.astype("datetime64[us]").astype("int64")
+        li = li[ship_us <= Q1_CUTOFF_US].copy()
+        qty_i = (li["l_quantity"] * 100).round().astype("int64")
+        price_i = (li["l_extendedprice"] * 100).round().astype("int64")
+        omd = ((1 - li["l_discount"]) * 100).round().astype("int64")
+        opt = ((1 + li["l_tax"]) * 100).round().astype("int64")
+        ref = pd.DataFrame({
+            "g": li["l_returnflag"] + li["l_linestatus"],
+            "qty_i": qty_i, "price_i": price_i,
+            "dp_i": price_i * omd, "ch_i": price_i * omd * opt,
+            "disc_i": (li["l_discount"] * 100).round().astype("int64"),
+            "n": 1,
+        }).groupby("g", as_index=False).sum().sort_values("g").reset_index(drop=True)
+
+        def hafz(x, dp):  # half-away-from-zero like _round_vec
+            s = 10.0 ** dp
+            return np.floor(np.asarray(x, dtype=np.float64) * s + 0.5) / s
+
+        assert got["l_returnflag"].tolist() == [g[0] for g in ref["g"]]
+        assert got["l_linestatus"].tolist() == [g[1] for g in ref["g"]]
+        n = ref["n"].to_numpy(dtype=np.float64)
+        assert got["sum_qty"].tolist() == hafz(ref["qty_i"] / 100.0, 2).tolist()
+        assert got["sum_base_price"].tolist() == hafz(ref["price_i"] / 100.0, 2).tolist()
+        assert got["sum_disc_price"].tolist() == hafz(ref["dp_i"] / 1e4, 2).tolist()
+        assert got["sum_charge"].tolist() == hafz(ref["ch_i"] / 1e6, 2).tolist()
+        assert got["avg_qty"].tolist() == hafz(ref["qty_i"].to_numpy() / 100.0 / n, 4).tolist()
+        assert got["avg_price"].tolist() == hafz(ref["price_i"].to_numpy() / 100.0 / n, 4).tolist()
+        assert got["avg_disc"].tolist() == hafz(ref["disc_i"].to_numpy() / 100.0 / n, 4).tolist()
+        assert got["count_order"].tolist() == ref["n"].tolist()
+        assert got["count_order"].sum() == len(li)  # cutoff actually filtered
+
+    def test_all_filtered_yields_empty(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import q1_pricing_summary
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(
+            pa.table({
+                "l_returnflag": pa.array(["R"], type=pa.string()),
+                "l_linestatus": pa.array(["F"], type=pa.string()),
+                "l_quantity": pa.array([1.0]),
+                "l_extendedprice": pa.array([10.0]),
+                "l_discount": pa.array([0.1]),
+                "l_tax": pa.array([0.05]),
+                "l_shipdate": pa.array([99_999_999_999_999_999],
+                                       type=pa.timestamp("us")),
+            }),
+            str(d / "lineitem.parquet"),
+        )
+        out = q1_pricing_summary(str(d)).to_pandas()
+        assert len(out) == 0
+
+
+class TestNdistinctUsers:
+    def test_matches_pandas_reference(self, ray_session):
+        from searchengine_ray.pipelines.relational import ndistinct_users
+
+        got = ndistinct_users(SF).to_pandas()
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["user_id", "event_type"]).to_pandas()
+        ref = ev.groupby("event_type")["user_id"].nunique().sort_index()
+        assert got["event_type"].tolist() == ref.index.tolist()
+        assert got["n_users"].tolist() == ref.tolist()
+
+    def test_cross_batch_duplicates_count_once(self, ray_session, tmp_path):
+        # one user repeats the same type 50k times (spanning many batches) —
+        # the co-partition dedup must still count it exactly once
+        from searchengine_ray.pipelines.relational import ndistinct_users
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        n = 50_000
+        uid = np.concatenate((np.full(n, 7, dtype=np.int64),
+                              np.arange(100, dtype=np.int64)))
+        et = np.array(["spam"] * n + ["rare"] * 100, dtype=object)
+        pq.write_table(
+            pa.table({"user_id": pa.array(uid),
+                      "event_type": pa.array(et.tolist(), type=pa.string())}),
+            str(d / "events.parquet"),
+        )
+        out = ndistinct_users(str(d)).to_pandas()
+        got = dict(zip(out["event_type"], out["n_users"]))
+        assert got == {"spam": 1, "rare": 100}
+
+
+class TestAntiJoinCustomers:
+    def test_matches_pandas_reference(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            ANTI_CUTOFF_US,
+            anti_join_customers,
+        )
+
+        got = anti_join_customers(SF).to_pandas()
+        cust = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+        orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+        nat = pq.read_table(f"{SF}/nation.parquet").to_pandas()
+        odate_us = orders["o_orderdate"].values.astype("datetime64[us]").astype("int64")
+        have = set(orders.loc[odate_us >= ANTI_CUTOFF_US, "o_custkey"])
+        miss = cust[~cust["c_custkey"].isin(have)]
+        ref = (miss.groupby("c_nationkey").size().rename("n_customers").reset_index()
+               .merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+               .sort_values("n_name"))
+        assert got["n_name"].tolist() == ref["n_name"].tolist()
+        assert got["n_customers"].tolist() == ref["n_customers"].tolist()
+
+    def test_planted_absence(self, ray_session, tmp_path):
+        # customers 1,2 in nation 0; 3 in nation 1; only customer 2 ordered
+        # after the cutoff → nation A keeps one missing customer, nation B one
+        from searchengine_ray.pipelines.relational import (
+            ANTI_CUTOFF_US,
+            anti_join_customers,
+        )
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(
+            pa.table({"c_custkey": pa.array([1, 2, 3], type=pa.int64()),
+                      "c_nationkey": pa.array([0, 0, 1], type=pa.int64())}),
+            str(d / "customer.parquet"),
+        )
+        pq.write_table(
+            pa.table({
+                "o_custkey": pa.array([1, 2, 2], type=pa.int64()),
+                "o_orderdate": pa.array(
+                    [ANTI_CUTOFF_US - 1, ANTI_CUTOFF_US, ANTI_CUTOFF_US + 1],
+                    type=pa.timestamp("us")),
+            }),
+            str(d / "orders.parquet"),
+        )
+        pq.write_table(
+            pa.table({"n_nationkey": pa.array([0, 1], type=pa.int64()),
+                      "n_name": pa.array(["ALPHA", "BRAVO"], type=pa.string())}),
+            str(d / "nation.parquet"),
+        )
+        out = anti_join_customers(str(d)).to_pandas()
+        assert out["n_name"].tolist() == ["ALPHA", "BRAVO"]
+        assert out["n_customers"].tolist() == [1, 1]
+
+
+class TestCubeEvents:
+    def test_matches_pandas_reference(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            CUBE_ALL_DAY,
+            CUBE_ALL_TYPE,
+            DAY_US,
+            cube_events,
+        )
+
+        got = cube_events(SF).to_pandas()
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["ts", "event_type", "value"]).to_pandas()
+        ts_us = ev["ts"].values.astype("datetime64[us]").astype("int64")
+        fine = (ev.assign(day_us=(ts_us // DAY_US) * DAY_US)
+                .groupby(["event_type", "day_us"])
+                .agg(n_events=("value", "size"), sv=("value", "sum"))
+                .reset_index())
+        fine["svr"] = fine["sv"].round(4)
+        rows = {}
+        for _, r in fine.iterrows():
+            rows[(r["event_type"], int(r["day_us"]))] = (int(r["n_events"]), r["svr"])
+        for t, sub in fine.groupby("event_type"):
+            rows[(t, CUBE_ALL_DAY)] = (int(sub["n_events"].sum()),
+                                       round(sub["svr"].sum(), 4))
+        for dd, sub in fine.groupby("day_us"):
+            rows[(CUBE_ALL_TYPE, int(dd))] = (int(sub["n_events"].sum()),
+                                              round(sub["svr"].sum(), 4))
+        rows[(CUBE_ALL_TYPE, CUBE_ALL_DAY)] = (int(fine["n_events"].sum()),
+                                               round(fine["svr"].sum(), 4))
+        assert len(got) == len(rows)
+        for _, r in got.iterrows():
+            n, s = rows[(r["event_type"], int(r["day_us"]))]
+            assert int(r["n_events"]) == n and r["sum_value_r"] == s
+
+
+class TestGroupTopkDocs:
+    def test_multi_batch_matches_global_selection(self, ray_session):
+        # force many small batches: per-batch local top-k unioned at the
+        # driver must equal the single-pass global selection
+        from searchengine_ray.pipelines.textstats import (
+            QualityScore,
+            group_topk_docs,
+        )
+
+        got = group_topk_docs(SF, k=3, batch_size=16).to_pandas()
+        t = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["doc_id", "text", "lang"])
+        q = QualityScore()(t).to_pandas()
+        ref = pd.DataFrame({
+            "lang": t["lang"].to_pylist(),
+            "doc_id": q["doc_id"],
+            "quality_r": q["quality_r"],
+        }).sort_values(["lang", "quality_r", "doc_id"],
+                       ascending=[True, False, True])
+        ref = ref.groupby("lang", as_index=False).head(3).reset_index(drop=True)
+        ref["rk"] = ref.groupby("lang").cumcount() + 1
+        assert got["lang"].tolist() == ref["lang"].tolist()
+        assert got["rk"].tolist() == ref["rk"].tolist()
+        assert got["doc_id"].tolist() == ref["doc_id"].tolist()
+        assert got["quality_r"].tolist() == ref["quality_r"].tolist()
