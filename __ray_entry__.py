@@ -315,8 +315,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- round; every one re-verified by the committed full sweep) ----
         # n-gram-heuristic language ID; unchanged since r2, hash-green r2+r3
         "langid": textstats.langid,
-        # tumbling windows; hash-green r1-r3 and its window-key surface is
-        # exercised in-window by the sliding_window_events superset
+        # tumbling windows; hash-green r1-r4 and its window-key surface is
+        # exercised in-window by the sliding_window_events superset. Its
+        # map-side partial moved into the shared _bucket_partial helper the
+        # in-window cube_events also uses — a pure refactor (identical
+        # output), re-verified by the committed full sweep
         "windowed_events": relational.windowed_events,
         # gap-window sessions; unchanged since r2, hash-green r2+r3; its
         # user-hash partition surface is exercised in-window by

@@ -30,36 +30,42 @@ from searchengine_ray.sources import read_parquet_clean
 WINDOW_US = 3_600_000_000  # 1 hour in microseconds
 
 
+def _bucket_partial(batch: pa.Table, bucket_us: int, key: str) -> pa.Table:
+    """Shared map-side partial for the time-bucketed aggregates
+    (windowed_events hourly, cube_events daily): integer-floor bucket key
+    (no Python datetime per row), per-(bucket, type) combine inside the
+    batch BEFORE any exchange — the single copy of the pattern."""
+    import pandas as pd
+
+    ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    win = (ts // bucket_us) * bucket_us
+    df = pd.DataFrame(
+        {
+            key: win,
+            "event_type": batch["event_type"].to_numpy(zero_copy_only=False),
+            "n": 1,
+            "v": batch["value"].to_numpy(zero_copy_only=False),
+        }
+    )
+    g = df.groupby([key, "event_type"], as_index=False).agg(
+        n=("n", "sum"), v=("v", "sum")
+    )
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
 def windowed_events(sf_dir: str):
     """Tumbling 1-hour windows over events: (window_start, event_type,
     n_events, sum_value_r). Partial per-batch combine → small groupby."""
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
-    def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        win = (ts // WINDOW_US) * WINDOW_US
-        df = pd.DataFrame(
-            {
-                "window_us": win,
-                "event_type": batch["event_type"].to_numpy(zero_copy_only=False),
-                "n": 1,
-                "v": batch["value"].to_numpy(zero_copy_only=False),
-            }
-        )
-        g = df.groupby(["window_us", "event_type"], as_index=False).agg(
-            n=("n", "sum"), v=("v", "sum")
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
-
     ds = (
         read_parquet_clean(
             os.path.join(sf_dir, "events.parquet"),
             columns=["ts", "event_type", "value"],
         )
-        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .map_batches(lambda b: _bucket_partial(b, WINDOW_US, "window_us"),
+                     batch_format="pyarrow", batch_size=8192)
         .groupby(["window_us", "event_type"])
         .aggregate(Sum("n", alias_name="n_events"), Sum("v", alias_name="sum_value"))
     )
@@ -765,6 +771,14 @@ _OKEY_PARTITIONS = 64
 _Q3_MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
+def _hash_partition(keys: np.ndarray) -> np.ndarray:
+    """Fixed-partition assignment shared by every co-partition operator in
+    this module — both sides of a join MUST hash identically, so this is
+    the single copy of the formula."""
+    return ((keys.astype(np.uint64) * _Q3_MIX)
+            % np.uint64(_OKEY_PARTITIONS)).astype(np.int64)
+
+
 def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING"):
     """TPC-H Q3 shape: revenue per qualifying order — customers in one
     market segment, orders placed before the cutoff, revenue from line
@@ -806,7 +820,7 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING"):
         else:
             m &= False
         okey, odate = okey[m], odate[m]
-        q = ((okey.astype(np.uint64) * _Q3_MIX) % np.uint64(_OKEY_PARTITIONS)).astype(np.int64)
+        q = _hash_partition(okey)
         return pa.table(
             {
                 "q": pa.array(q),
@@ -832,7 +846,7 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING"):
         # map-side combine: one row per distinct order in the batch
         uk, inv = np.unique(okey, return_inverse=True)
         rsum = np.bincount(inv, weights=rev, minlength=uk.size)
-        q = ((uk.astype(np.uint64) * _Q3_MIX) % np.uint64(_OKEY_PARTITIONS)).astype(np.int64)
+        q = _hash_partition(uk)
         return pa.table(
             {
                 "q": pa.array(q),
@@ -918,7 +932,8 @@ def q1_pricing_summary(sf_dir: str):
         ship = batch["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         m = ship <= Q1_CUTOFF_US
         if not m.any():
-            return pa.table({"g": pa.array([], type=pa.string()),
+            return pa.table({"f": pa.array([], type=pa.string()),
+                             "s": pa.array([], type=pa.string()),
                              "qty_i": pa.array([], type=pa.int64()),
                              "price_i": pa.array([], type=pa.int64()),
                              "disc_price_i": pa.array([], type=pa.int64()),
@@ -934,8 +949,11 @@ def q1_pricing_summary(sf_dir: str):
         disc_i = np.rint(disc * 100.0).astype(np.int64)
         one_m_disc_i = np.rint((1.0 - disc) * 100.0).astype(np.int64)
         one_p_tax_i = np.rint((1.0 + tax) * 100.0).astype(np.int64)
+        # per-batch int64 partials are exact: charge_i ≤ ~1.25e11/row, so a
+        # batch needs >7e7 rows to approach int64 — far above any block size
         df = pd.DataFrame({
-            "g": np.char.add(flag.astype(str), stat.astype(str)),
+            "f": flag,
+            "s": stat,
             "qty_i": qty_i,
             "price_i": price_i,
             "disc_price_i": price_i * one_m_disc_i,
@@ -943,7 +961,7 @@ def q1_pricing_summary(sf_dir: str):
             "disc_i": disc_i,
             "n": np.ones(qty_i.size, dtype=np.int64),
         })
-        out = df.groupby("g", as_index=False).sum()  # int64 sums: exact
+        out = df.groupby(["f", "s"], as_index=False).sum()
         return pa.Table.from_pandas(out, preserve_index=False)
 
     parts = read_parquet_clean(
@@ -965,13 +983,19 @@ def q1_pricing_summary(sf_dir: str):
             "avg_disc": pa.array([], type=f64),
             "count_order": pa.array([], type=i64),
         })
-    agg = parts.groupby("g", as_index=False).sum().sort_values("g")
+    # final combine in PYTHON ints (object dtype): a per-group global
+    # charge_i sum can pass int64 at ~7e7 qualifying rows per group, where
+    # numpy would wrap silently — arbitrary precision matches the oracle's
+    # exact BIGINT/HUGEINT sum at any scale
+    for c in ("qty_i", "price_i", "disc_price_i", "charge_i", "disc_i", "n"):
+        parts[c] = parts[c].astype(object)
+    agg = parts.groupby(["f", "s"], as_index=False).sum().sort_values(["f", "s"])
     n = agg["n"].to_numpy(dtype=np.float64)
     qty = agg["qty_i"].to_numpy(dtype=np.float64) / 100.0
     price = agg["price_i"].to_numpy(dtype=np.float64) / 100.0
     return pa.table({
-        "l_returnflag": pa.array([g[0] for g in agg["g"]], type=pa.string()),
-        "l_linestatus": pa.array([g[1] for g in agg["g"]], type=pa.string()),
+        "l_returnflag": pa.array(agg["f"].to_numpy(), type=pa.string()),
+        "l_linestatus": pa.array(agg["s"].to_numpy(), type=pa.string()),
         "sum_qty": pa.array(_round_vec(qty, 2), type=pa.float64()),
         "sum_base_price": pa.array(_round_vec(price, 2), type=pa.float64()),
         "sum_disc_price": pa.array(
@@ -1009,7 +1033,7 @@ def ndistinct_users(sf_dir: str):
         et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
         df = pd.DataFrame({"u": uid, "t": et}).drop_duplicates()
         u = df["u"].to_numpy(dtype=np.int64)
-        q = ((u.astype(np.uint64) * _Q3_MIX) % np.uint64(_OKEY_PARTITIONS)).astype(np.int64)
+        q = _hash_partition(u)
         return pa.table({"q": pa.array(q), "u": pa.array(u),
                          "t": pa.array(df["t"].to_numpy(), type=pa.string())})
 
@@ -1058,7 +1082,7 @@ def anti_join_customers(sf_dir: str):
     def cust_side(batch: pa.Table) -> pa.Table:
         ck = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         nk = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        q = ((ck.astype(np.uint64) * _Q3_MIX) % np.uint64(_OKEY_PARTITIONS)).astype(np.int64)
+        q = _hash_partition(ck)
         return pa.table({"q": pa.array(q),
                          "side": pa.array(np.zeros(ck.size, dtype=np.int64)),
                          "ck": pa.array(ck), "nk": pa.array(nk)})
@@ -1067,7 +1091,7 @@ def anti_join_customers(sf_dir: str):
         odate = batch["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         ck = np.unique(ck[odate >= ANTI_CUTOFF_US])  # map-side dedup
-        q = ((ck.astype(np.uint64) * _Q3_MIX) % np.uint64(_OKEY_PARTITIONS)).astype(np.int64)
+        q = _hash_partition(ck)
         return pa.table({"q": pa.array(q),
                          "side": pa.array(np.ones(ck.size, dtype=np.int64)),
                          "ck": pa.array(ck),
@@ -1131,26 +1155,13 @@ def cube_events(sf_dir: str):
     the day-level table would sum, so the value surface is closed under
     re-aggregation and the float-summation order can never diverge from
     the oracle's."""
-    import pandas as pd
     from ray.data.aggregate import Sum
-
-    def partial(batch: pa.Table) -> pa.Table:
-        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        day = (ts // DAY_US) * DAY_US
-        df = pd.DataFrame({
-            "day_us": day,
-            "event_type": batch["event_type"].to_numpy(zero_copy_only=False),
-            "n": 1,
-            "v": batch["value"].to_numpy(zero_copy_only=False),
-        })
-        g = df.groupby(["day_us", "event_type"], as_index=False).agg(
-            n=("n", "sum"), v=("v", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
 
     fine = (
         read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
                            columns=["ts", "event_type", "value"])
-        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(lambda b: _bucket_partial(b, DAY_US, "day_us"),
+                     batch_format="pyarrow", batch_size=8192)
         .groupby(["day_us", "event_type"])
         .aggregate(Sum("n", alias_name="n_events"), Sum("v", alias_name="sv"))
         .to_pandas()
@@ -1160,13 +1171,16 @@ def cube_events(sf_dir: str):
                          "day_us": pa.array([], type=pa.int64()),
                          "n_events": pa.array([], type=pa.int64()),
                          "sum_value_r": pa.array([], type=pa.float64())})
-    fine["sum_value_r"] = np.round(fine["sv"].to_numpy(dtype=np.float64), 4)
+    # _round_vec = half-away-from-zero, matching DuckDB round(); np.round's
+    # banker's rounding would diverge on exact .5 boundaries at 4 dp
+    fine["sum_value_r"] = _round_vec(fine["sv"].to_numpy(dtype=np.float64), 4)
     et, day = [], []
     nev, svr = [], []
 
     def emit(t, d, n, s):
         et.append(t); day.append(d)
-        nev.append(int(n)); svr.append(float(np.round(s, 4)))
+        nev.append(int(n))
+        svr.append(float(_round_vec(np.asarray([s], dtype=np.float64), 4)[0]))
 
     for _, r in fine.iterrows():
         emit(r["event_type"], int(r["day_us"]), r["n_events"], r["sum_value_r"])

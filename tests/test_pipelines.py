@@ -1507,22 +1507,25 @@ class TestCubeEvents:
         ev = pq.read_table(f"{SF}/events.parquet",
                            columns=["ts", "event_type", "value"]).to_pandas()
         ts_us = ev["ts"].values.astype("datetime64[us]").astype("int64")
+        def hafz4(x):  # half-away-from-zero at 4 dp, like _round_vec/DuckDB
+            return np.floor(abs(float(x)) * 1e4 + 0.5) / 1e4 * np.sign(x)
+
         fine = (ev.assign(day_us=(ts_us // DAY_US) * DAY_US)
                 .groupby(["event_type", "day_us"])
                 .agg(n_events=("value", "size"), sv=("value", "sum"))
                 .reset_index())
-        fine["svr"] = fine["sv"].round(4)
+        fine["svr"] = fine["sv"].map(hafz4)
         rows = {}
         for _, r in fine.iterrows():
             rows[(r["event_type"], int(r["day_us"]))] = (int(r["n_events"]), r["svr"])
         for t, sub in fine.groupby("event_type"):
             rows[(t, CUBE_ALL_DAY)] = (int(sub["n_events"].sum()),
-                                       round(sub["svr"].sum(), 4))
+                                       hafz4(sub["svr"].sum()))
         for dd, sub in fine.groupby("day_us"):
             rows[(CUBE_ALL_TYPE, int(dd))] = (int(sub["n_events"].sum()),
-                                              round(sub["svr"].sum(), 4))
+                                              hafz4(sub["svr"].sum()))
         rows[(CUBE_ALL_TYPE, CUBE_ALL_DAY)] = (int(fine["n_events"].sum()),
-                                               round(fine["svr"].sum(), 4))
+                                               hafz4(fine["svr"].sum()))
         assert len(got) == len(rows)
         for _, r in got.iterrows():
             n, s = rows[(r["event_type"], int(r["day_us"]))]
