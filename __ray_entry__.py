@@ -223,7 +223,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_turns": dedup_turns_check,  # oracle: window first-wins over planted dupes
         # --- conversation-level curation (turns → chat documents) ---
         "conversation_assemble": conversation_assemble,  # oracle: string_agg ORDER BY
-        "conversation_stats": conversation_stats,
         "conv_prefix_dedup": conv_prefix_dedup,  # oracle: md5 of first-k-turn join
         # --- windowed aggregate + broadcast join (wide-op patterns) ---
         "sliding_window_events": relational.sliding_window_events,  # oracle: unnest slides
@@ -248,6 +247,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CUBE(event_type, day): all four grouping sets, margins derived
         # from the published finest cells (oracle: UNION ALL of levels; r4)
         "cube_events": relational.cube_events,
+        # TPC-H Q5 shape: CHAINED co-partition joins (orders⋈customer on
+        # custkey → stream⋈lineitem on orderkey) + broadcast supplier/nation
+        # dims + same-nation gate (oracle: 6-table SQL; r4)
+        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         # --- dedup family ---
         "dedup_exact": dedup.exact_dedup,
         # oracle: planted-marker anti-join (old DISTINCT hashes NOT IN)
@@ -351,6 +354,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # md5(doc_id) keying surface shared with the in-window
         # stratified_sample; unchanged this round, hash-green r2-r4
         "sample_split": traindata.sample_split,
+        # pure aggregation over the same tdocs CTE surface as the in-window
+        # conversation_assemble (conv grouping + per-conv counts/lengths);
+        # unchanged this round, hash-green r1-r4
+        "conversation_stats": conversation_stats,
         # identical SQL/values to transcript_search (actor-path parity is
         # additionally pinned by tests/test_engine.py); hash-green r1-r3
         "transcript_search_actor": transcript_search_actor,
@@ -1074,6 +1081,20 @@ ORDER BY l_returnflag, l_linestatus""",
         "ndistinct_users": """
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY event_type ORDER BY event_type""",
+        "q5_local_supplier_volume": """
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round((1 - l_discount) * 100) AS BIGINT)) / 10000.0,
+             2) AS revenue_r
+FROM customer c, orders o, lineitem l, supplier s, nation n, region r
+WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+  AND l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+  AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+  AND r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name ORDER BY n.n_name""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -1194,3 +1194,185 @@ def cube_events(sf_dir: str):
                      "day_us": pa.array(day, type=pa.int64()),
                      "n_events": pa.array(nev, type=pa.int64()),
                      "sum_value_r": pa.array(svr, type=pa.float64())})
+
+
+Q5_REGION = "ASIA"
+Q5_FROM_US = 820_454_400_000_000  # 1996-01-01 epoch-µs
+Q5_TO_US = 852_076_800_000_000  # 1997-01-01 epoch-µs
+
+
+def q5_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape: revenue per nation from line items where the
+    supplier and the ordering customer share a nation inside one region,
+    over a one-year order window → (n_name, n_items, revenue_r).
+
+    The join story this entry adds: a CHAIN of two co-partition exchanges
+    plus two broadcast dimensions — the multi-way join none of the
+    single-exchange entries (q3, anti_join) exercises.
+
+    Stage 1 co-partitions orders (date-filtered) with customer (region-
+    filtered) on custkey and emits (orderkey, customer nation) pairs —
+    the qualifying-order stream, a small fraction of orders. Stage 2
+    co-partitions that stream with lineitem on orderkey; the lineitem side
+    resolves each item's supplier nation through a broadcast
+    suppkey→nationkey map (supplier is the small dimension; were it
+    fact-sized it would chain a third co-partition) and pre-aggregates
+    exact integer revenue per (orderkey, supplier nation) INSIDE each
+    batch before shuffling. The per-partition zip keeps items whose
+    supplier nation equals the order's customer nation and emits per-nation
+    partials; nation/region names resolve on the driver against the ≤25-row
+    dimension. Revenue is exact cents×hundredths (the q3 convention)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    rk = set(reg.loc[reg["r_name"] == Q5_REGION, "r_regionkey"])
+    nat = nat[nat["n_regionkey"].isin(rk)]
+    region_nk = np.sort(nat["n_nationkey"].to_numpy(dtype=np.int64))
+    name_of = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sup = sup[sup["s_nationkey"].isin(set(region_nk.tolist()))]
+    sup_keys = np.sort(sup["s_suppkey"].to_numpy(dtype=np.int64))
+    sup_nk = sup.sort_values("s_suppkey")["s_nationkey"].to_numpy(dtype=np.int64)
+    nk_ref = ray.put(region_nk)
+    sup_ref = ray.put((sup_keys, sup_nk))
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        nk = ray.get(nk_ref)
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cn = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.isin(cn, nk)
+        ck, cn = ck[m], cn[m]
+        return pa.table({"q": pa.array(_hash_partition(ck)),
+                         "side": pa.array(np.zeros(ck.size, dtype=np.int64)),
+                         "k": pa.array(ck), "a": pa.array(cn),
+                         "b": pa.array(np.zeros(ck.size, dtype=np.int64))})
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        odate = batch["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        m = (odate >= Q5_FROM_US) & (odate < Q5_TO_US)
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        return pa.table({"q": pa.array(_hash_partition(ck)),
+                         "side": pa.array(np.ones(ck.size, dtype=np.int64)),
+                         "k": pa.array(ck), "a": pa.array(ok),
+                         "b": pa.array(np.zeros(ck.size, dtype=np.int64))})
+
+    def join_cust(group: pa.Table) -> pa.Table:
+        """custkey-partition join → stage-2 rows keyed by orderkey."""
+        side = group["side"].to_numpy(zero_copy_only=False)
+        k = group["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = group["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c_m = side == 0
+        ck_sorted = np.sort(k[c_m])
+        cn_sorted = a[c_m][np.argsort(k[c_m], kind="stable")]
+        ok, ock = a[~c_m], k[~c_m]
+        empty = pa.table({"q": pa.array([], type=pa.int64()),
+                          "side": pa.array([], type=pa.int64()),
+                          "k": pa.array([], type=pa.int64()),
+                          "a": pa.array([], type=pa.int64()),
+                          "b": pa.array([], type=pa.int64())})
+        if ck_sorted.size == 0 or ok.size == 0:
+            return empty
+        pos = np.minimum(np.searchsorted(ck_sorted, ock), ck_sorted.size - 1)
+        hit = ck_sorted[pos] == ock
+        ok, pos = ok[hit], pos[hit]
+        return pa.table({"q": pa.array(_hash_partition(ok)),
+                         "side": pa.array(np.zeros(ok.size, dtype=np.int64)),
+                         "k": pa.array(ok), "a": pa.array(cn_sorted[pos]),
+                         "b": pa.array(np.zeros(ok.size, dtype=np.int64))})
+
+    def lineitem_side(batch: pa.Table) -> pa.Table:
+        sk, sn = ray.get(sup_ref)
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lsk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        empty = pa.table({"q": pa.array([], type=pa.int64()),
+                          "side": pa.array([], type=pa.int64()),
+                          "k": pa.array([], type=pa.int64()),
+                          "a": pa.array([], type=pa.int64()),
+                          "b": pa.array([], type=pa.int64())})
+        if sk.size == 0:
+            return empty
+        pos = np.minimum(np.searchsorted(sk, lsk), sk.size - 1)
+        m = sk[pos] == lsk  # supplier inside the region (else can't match)
+        if not m.any():
+            return empty
+        ok, s_nat = ok[m], sn[pos[m]]
+        rev = np.rint(price[m] * 100.0) * np.rint((1.0 - disc[m]) * 100.0)
+        # map-side combine per (orderkey, supplier nation); count rides in
+        # the low digits? no — carry (rev_i, n) as two partial columns
+        df = pd.DataFrame({"ok": ok, "sn": s_nat, "rev": rev, "n": 1})
+        g = df.groupby(["ok", "sn"], as_index=False).agg(
+            rev=("rev", "sum"), n=("n", "sum"))
+        okg = g["ok"].to_numpy(dtype=np.int64)
+        # pack (rev_i, n) into a/b: a = supplier nation, b = exact rev int,
+        # k = orderkey; n folds into side = 1000 + n (n ≤ batch size)
+        return pa.table({"q": pa.array(_hash_partition(okg)),
+                         "side": pa.array(1000 + g["n"].to_numpy(dtype=np.int64)),
+                         "k": pa.array(okg),
+                         "a": pa.array(g["sn"].to_numpy(dtype=np.int64)),
+                         "b": pa.array(g["rev"].to_numpy(dtype=np.int64))})
+
+    def join_order(group: pa.Table) -> pa.Table:
+        """orderkey-partition join + same-nation gate → per-nation partials."""
+        side = group["side"].to_numpy(zero_copy_only=False)
+        k = group["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = group["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = group["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o_m = side == 0
+        ok_sorted = np.sort(k[o_m])
+        cn_sorted = a[o_m][np.argsort(k[o_m], kind="stable")]
+        lk, ln, lrev, lcnt = k[~o_m], a[~o_m], b[~o_m], side[~o_m] - 1000
+        empty = pa.table({"nk": pa.array([], type=pa.int64()),
+                          "n": pa.array([], type=pa.int64()),
+                          "rev": pa.array([], type=pa.int64())})
+        if ok_sorted.size == 0 or lk.size == 0:
+            return empty
+        pos = np.minimum(np.searchsorted(ok_sorted, lk), ok_sorted.size - 1)
+        hit = (ok_sorted[pos] == lk) & (cn_sorted[pos] == ln)  # same nation
+        if not hit.any():
+            return empty
+        ln, lrev, lcnt = ln[hit], lrev[hit], lcnt[hit]
+        uk, inv = np.unique(ln, return_inverse=True)
+        return pa.table({
+            "nk": pa.array(uk),
+            "n": pa.array(np.bincount(inv, weights=lcnt, minlength=uk.size).astype(np.int64)),
+            "rev": pa.array(np.bincount(inv, weights=lrev, minlength=uk.size).astype(np.int64)),
+        })
+
+    cust = read_parquet_clean(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    ).map_batches(cust_side, batch_format="pyarrow")
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(orders_side, batch_format="pyarrow")
+    stage1 = cust.union(orders).groupby("q").map_groups(
+        join_cust, batch_format="pyarrow")
+    items = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(lineitem_side, batch_format="pyarrow", batch_size=8192)
+    parts = stage1.union(items).groupby("q").map_groups(
+        join_order, batch_format="pyarrow").to_pandas()
+    if parts.empty:  # all-empty blocks drop column names in to_pandas
+        return pa.table({"n_name": pa.array([], type=pa.string()),
+                         "n_items": pa.array([], type=pa.int64()),
+                         "revenue_r": pa.array([], type=pa.float64())})
+    agg = parts.groupby("nk", as_index=False).agg(n=("n", "sum"),
+                                                  rev=("rev", "sum"))
+    agg["n_name"] = agg["nk"].map(name_of)
+    agg = agg.sort_values("n_name")
+    return pa.table({
+        "n_name": pa.array(agg["n_name"].to_numpy(), type=pa.string()),
+        "n_items": pa.array(agg["n"].to_numpy(dtype=np.int64)),
+        "revenue_r": pa.array(
+            _round_vec(agg["rev"].to_numpy(dtype=np.float64) / 10_000.0, 2),
+            type=pa.float64()),
+    })

@@ -1557,3 +1557,82 @@ class TestGroupTopkDocs:
         assert got["rk"].tolist() == ref["rk"].tolist()
         assert got["doc_id"].tolist() == ref["doc_id"].tolist()
         assert got["quality_r"].tolist() == ref["quality_r"].tolist()
+
+
+class TestQ5LocalSupplierVolume:
+    def test_matches_pandas_reference(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            Q5_FROM_US,
+            Q5_REGION,
+            Q5_TO_US,
+            q5_local_supplier_volume,
+        )
+
+        got = q5_local_supplier_volume(SF).to_pandas()
+        cust = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+        orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+        items = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+        sup = pq.read_table(f"{SF}/supplier.parquet").to_pandas()
+        nat = pq.read_table(f"{SF}/nation.parquet").to_pandas()
+        reg = pq.read_table(f"{SF}/region.parquet").to_pandas()
+        nk = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+        nk = nk[nk["r_name"] == Q5_REGION]
+        odate_us = orders["o_orderdate"].values.astype("datetime64[us]").astype("int64")
+        o = orders[(odate_us >= Q5_FROM_US) & (odate_us < Q5_TO_US)]
+        j = (items.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+             .merge(cust, left_on="o_custkey", right_on="c_custkey")
+             .merge(sup, left_on="l_suppkey", right_on="s_suppkey"))
+        j = j[j["c_nationkey"] == j["s_nationkey"]]
+        j = j.merge(nk, left_on="s_nationkey", right_on="n_nationkey")
+        j["rev"] = ((j["l_extendedprice"] * 100).round()
+                    * ((1 - j["l_discount"]) * 100).round())
+        ref = (j.groupby("n_name", as_index=False)
+               .agg(n_items=("rev", "size"), rev=("rev", "sum"))
+               .sort_values("n_name").reset_index(drop=True))
+        x = ref["rev"].to_numpy() / 10000.0
+        ref["revenue_r"] = np.floor(x * 100.0 + 0.5) / 100.0  # half-away
+        assert len(got) > 0  # non-vacuous at sf0.001
+        assert got["n_name"].tolist() == ref["n_name"].tolist()
+        assert got["n_items"].tolist() == ref["n_items"].tolist()
+        assert got["revenue_r"].tolist() == ref["revenue_r"].tolist()
+
+    def test_same_nation_gate(self, ray_session, tmp_path):
+        # one order, two line items: supplier 1 shares the customer's
+        # nation (kept), supplier 2 does not (dropped), supplier 3 is
+        # outside the region entirely (dropped at the broadcast filter)
+        from searchengine_ray.pipelines.relational import (
+            Q5_FROM_US,
+            Q5_REGION,
+            q5_local_supplier_volume,
+        )
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(pa.table({"r_regionkey": pa.array([0, 1], type=pa.int64()),
+                                 "r_name": pa.array([Q5_REGION, "OTHER"])}),
+                       str(d / "region.parquet"))
+        pq.write_table(pa.table({"n_nationkey": pa.array([10, 11, 20], type=pa.int64()),
+                                 "n_name": pa.array(["NAT_A", "NAT_B", "NAT_X"]),
+                                 "n_regionkey": pa.array([0, 0, 1], type=pa.int64())}),
+                       str(d / "nation.parquet"))
+        pq.write_table(pa.table({"c_custkey": pa.array([5], type=pa.int64()),
+                                 "c_nationkey": pa.array([10], type=pa.int64())}),
+                       str(d / "customer.parquet"))
+        pq.write_table(pa.table({
+            "o_orderkey": pa.array([100], type=pa.int64()),
+            "o_custkey": pa.array([5], type=pa.int64()),
+            "o_orderdate": pa.array([Q5_FROM_US], type=pa.timestamp("us")),
+        }), str(d / "orders.parquet"))
+        pq.write_table(pa.table({"s_suppkey": pa.array([1, 2, 3], type=pa.int64()),
+                                 "s_nationkey": pa.array([10, 11, 20], type=pa.int64())}),
+                       str(d / "supplier.parquet"))
+        pq.write_table(pa.table({
+            "l_orderkey": pa.array([100, 100, 100], type=pa.int64()),
+            "l_suppkey": pa.array([1, 2, 3], type=pa.int64()),
+            "l_extendedprice": pa.array([100.0, 100.0, 100.0]),
+            "l_discount": pa.array([0.1, 0.1, 0.1]),
+        }), str(d / "lineitem.parquet"))
+        out = q5_local_supplier_volume(str(d)).to_pandas()
+        assert out["n_name"].tolist() == ["NAT_A"]
+        assert out["n_items"].tolist() == [1]
+        assert out["revenue_r"].tolist() == [90.0]
