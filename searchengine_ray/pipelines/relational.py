@@ -863,8 +863,9 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING"):
         odate = group["odate"].to_numpy(zero_copy_only=False).astype(np.int64)
         rev = group["rev"].to_numpy(zero_copy_only=False)
         o_m = side == 0
-        ok_sorted = np.sort(okey[o_m])
-        od_sorted = odate[o_m][np.argsort(okey[o_m], kind="stable")]
+        order = np.argsort(okey[o_m], kind="stable")
+        ok_sorted = okey[o_m][order]
+        od_sorted = odate[o_m][order]
         lk, lr = okey[~o_m], rev[~o_m]
         empty = pa.table(
             {
@@ -1234,22 +1235,25 @@ def q5_local_supplier_volume(sf_dir: str):
     name_of = dict(zip(nat["n_nationkey"], nat["n_name"]))
     sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
-    sup = sup[sup["s_nationkey"].isin(set(region_nk.tolist()))]
+    sup = sup[sup["s_nationkey"].isin(region_nk)]
     sup_keys = np.sort(sup["s_suppkey"].to_numpy(dtype=np.int64))
     sup_nk = sup.sort_values("s_suppkey")["s_nationkey"].to_numpy(dtype=np.int64)
-    nk_ref = ray.put(region_nk)
     sup_ref = ray.put((sup_keys, sup_nk))
+    # region_nk is ≤25 int64s — plain closure capture, no object-store trip
+
+    def _stage2_empty() -> pa.Table:
+        """The shared shuffle-row schema (q, side, k, a, b), empty."""
+        z = pa.array([], type=pa.int64())
+        return pa.table({"q": z, "side": z, "k": z, "a": z, "b": z})
 
     def cust_side(batch: pa.Table) -> pa.Table:
-        nk = ray.get(nk_ref)
         ck = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         cn = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        m = np.isin(cn, nk)
+        m = np.isin(cn, region_nk)
         ck, cn = ck[m], cn[m]
         return pa.table({"q": pa.array(_hash_partition(ck)),
                          "side": pa.array(np.zeros(ck.size, dtype=np.int64)),
-                         "k": pa.array(ck), "a": pa.array(cn),
-                         "b": pa.array(np.zeros(ck.size, dtype=np.int64))})
+                         "k": pa.array(ck), "a": pa.array(cn)})
 
     def orders_side(batch: pa.Table) -> pa.Table:
         odate = batch["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -1258,8 +1262,7 @@ def q5_local_supplier_volume(sf_dir: str):
         ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
         return pa.table({"q": pa.array(_hash_partition(ck)),
                          "side": pa.array(np.ones(ck.size, dtype=np.int64)),
-                         "k": pa.array(ck), "a": pa.array(ok),
-                         "b": pa.array(np.zeros(ck.size, dtype=np.int64))})
+                         "k": pa.array(ck), "a": pa.array(ok)})
 
     def join_cust(group: pa.Table) -> pa.Table:
         """custkey-partition join → stage-2 rows keyed by orderkey."""
@@ -1267,16 +1270,12 @@ def q5_local_supplier_volume(sf_dir: str):
         k = group["k"].to_numpy(zero_copy_only=False).astype(np.int64)
         a = group["a"].to_numpy(zero_copy_only=False).astype(np.int64)
         c_m = side == 0
-        ck_sorted = np.sort(k[c_m])
-        cn_sorted = a[c_m][np.argsort(k[c_m], kind="stable")]
+        order = np.argsort(k[c_m], kind="stable")
+        ck_sorted = k[c_m][order]
+        cn_sorted = a[c_m][order]
         ok, ock = a[~c_m], k[~c_m]
-        empty = pa.table({"q": pa.array([], type=pa.int64()),
-                          "side": pa.array([], type=pa.int64()),
-                          "k": pa.array([], type=pa.int64()),
-                          "a": pa.array([], type=pa.int64()),
-                          "b": pa.array([], type=pa.int64())})
         if ck_sorted.size == 0 or ok.size == 0:
-            return empty
+            return _stage2_empty()
         pos = np.minimum(np.searchsorted(ck_sorted, ock), ck_sorted.size - 1)
         hit = ck_sorted[pos] == ock
         ok, pos = ok[hit], pos[hit]
@@ -1291,27 +1290,22 @@ def q5_local_supplier_volume(sf_dir: str):
         lsk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
         disc = batch["l_discount"].to_numpy(zero_copy_only=False)
-        empty = pa.table({"q": pa.array([], type=pa.int64()),
-                          "side": pa.array([], type=pa.int64()),
-                          "k": pa.array([], type=pa.int64()),
-                          "a": pa.array([], type=pa.int64()),
-                          "b": pa.array([], type=pa.int64())})
         if sk.size == 0:
-            return empty
+            return _stage2_empty()
         pos = np.minimum(np.searchsorted(sk, lsk), sk.size - 1)
         m = sk[pos] == lsk  # supplier inside the region (else can't match)
         if not m.any():
-            return empty
+            return _stage2_empty()
         ok, s_nat = ok[m], sn[pos[m]]
         rev = np.rint(price[m] * 100.0) * np.rint((1.0 - disc[m]) * 100.0)
-        # map-side combine per (orderkey, supplier nation); count rides in
-        # the low digits? no — carry (rev_i, n) as two partial columns
+        # map-side combine per (orderkey, supplier nation)
         df = pd.DataFrame({"ok": ok, "sn": s_nat, "rev": rev, "n": 1})
         g = df.groupby(["ok", "sn"], as_index=False).agg(
             rev=("rev", "sum"), n=("n", "sum"))
         okg = g["ok"].to_numpy(dtype=np.int64)
-        # pack (rev_i, n) into a/b: a = supplier nation, b = exact rev int,
-        # k = orderkey; n folds into side = 1000 + n (n ≤ batch size)
+        # shuffle-row encoding: k = orderkey, a = supplier nation, b = exact
+        # integer revenue partial, side = 1000 + row count (n ≥ 1, so this
+        # can never collide with the stage-1 side == 0 rows)
         return pa.table({"q": pa.array(_hash_partition(okg)),
                          "side": pa.array(1000 + g["n"].to_numpy(dtype=np.int64)),
                          "k": pa.array(okg),
@@ -1325,8 +1319,9 @@ def q5_local_supplier_volume(sf_dir: str):
         a = group["a"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = group["b"].to_numpy(zero_copy_only=False).astype(np.int64)
         o_m = side == 0
-        ok_sorted = np.sort(k[o_m])
-        cn_sorted = a[o_m][np.argsort(k[o_m], kind="stable")]
+        order = np.argsort(k[o_m], kind="stable")
+        ok_sorted = k[o_m][order]
+        cn_sorted = a[o_m][order]
         lk, ln, lrev, lcnt = k[~o_m], a[~o_m], b[~o_m], side[~o_m] - 1000
         empty = pa.table({"nk": pa.array([], type=pa.int64()),
                           "n": pa.array([], type=pa.int64()),

@@ -1597,9 +1597,13 @@ class TestQ5LocalSupplierVolume:
         assert got["revenue_r"].tolist() == ref["revenue_r"].tolist()
 
     def test_same_nation_gate(self, ray_session, tmp_path):
-        # one order, two line items: supplier 1 shares the customer's
-        # nation (kept), supplier 2 does not (dropped), supplier 3 is
-        # outside the region entirely (dropped at the broadcast filter)
+        # two qualifying nations whose ALPHABETICAL order (NAT_A key 11,
+        # NAT_B key 10) inverts their key order — pins the n_name final
+        # sort. Customer 5 (nation 10) orders from supplier 1 (nation 10,
+        # kept), supplier 2 (nation 11, different nation → dropped) and
+        # supplier 3 (outside the region → dropped at the broadcast
+        # filter). Customer 6 (nation 11) orders twice from supplier 2
+        # (same nation → both kept).
         from searchengine_ray.pipelines.relational import (
             Q5_FROM_US,
             Q5_REGION,
@@ -1612,27 +1616,29 @@ class TestQ5LocalSupplierVolume:
                                  "r_name": pa.array([Q5_REGION, "OTHER"])}),
                        str(d / "region.parquet"))
         pq.write_table(pa.table({"n_nationkey": pa.array([10, 11, 20], type=pa.int64()),
-                                 "n_name": pa.array(["NAT_A", "NAT_B", "NAT_X"]),
+                                 "n_name": pa.array(["NAT_B", "NAT_A", "NAT_X"]),
                                  "n_regionkey": pa.array([0, 0, 1], type=pa.int64())}),
                        str(d / "nation.parquet"))
-        pq.write_table(pa.table({"c_custkey": pa.array([5], type=pa.int64()),
-                                 "c_nationkey": pa.array([10], type=pa.int64())}),
+        pq.write_table(pa.table({"c_custkey": pa.array([5, 6], type=pa.int64()),
+                                 "c_nationkey": pa.array([10, 11], type=pa.int64())}),
                        str(d / "customer.parquet"))
         pq.write_table(pa.table({
-            "o_orderkey": pa.array([100], type=pa.int64()),
-            "o_custkey": pa.array([5], type=pa.int64()),
-            "o_orderdate": pa.array([Q5_FROM_US], type=pa.timestamp("us")),
+            "o_orderkey": pa.array([100, 200], type=pa.int64()),
+            "o_custkey": pa.array([5, 6], type=pa.int64()),
+            "o_orderdate": pa.array([Q5_FROM_US, Q5_FROM_US],
+                                    type=pa.timestamp("us")),
         }), str(d / "orders.parquet"))
         pq.write_table(pa.table({"s_suppkey": pa.array([1, 2, 3], type=pa.int64()),
                                  "s_nationkey": pa.array([10, 11, 20], type=pa.int64())}),
                        str(d / "supplier.parquet"))
         pq.write_table(pa.table({
-            "l_orderkey": pa.array([100, 100, 100], type=pa.int64()),
-            "l_suppkey": pa.array([1, 2, 3], type=pa.int64()),
-            "l_extendedprice": pa.array([100.0, 100.0, 100.0]),
-            "l_discount": pa.array([0.1, 0.1, 0.1]),
+            "l_orderkey": pa.array([100, 100, 100, 200, 200], type=pa.int64()),
+            "l_suppkey": pa.array([1, 2, 3, 2, 2], type=pa.int64()),
+            "l_extendedprice": pa.array([100.0, 100.0, 100.0, 200.0, 50.0]),
+            "l_discount": pa.array([0.1, 0.1, 0.1, 0.0, 0.2]),
         }), str(d / "lineitem.parquet"))
         out = q5_local_supplier_volume(str(d)).to_pandas()
-        assert out["n_name"].tolist() == ["NAT_A"]
-        assert out["n_items"].tolist() == [1]
-        assert out["revenue_r"].tolist() == [90.0]
+        # NAT_A (key 11): 200*1.0 + 50*0.8 = 240; NAT_B (key 10): 100*0.9
+        assert out["n_name"].tolist() == ["NAT_A", "NAT_B"]
+        assert out["n_items"].tolist() == [2, 1]
+        assert out["revenue_r"].tolist() == [240.0, 90.0]
