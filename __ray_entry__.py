@@ -231,7 +231,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # grouped counting-selection quantiles: ONE histogram pass for all
         # groups (oracle: quantile_disc ... GROUP BY)
         "group_quantiles": relational.group_quantiles,
-        "asof_join_events": relational.asof_join_events,
         "range_join_events": relational.range_join_events,  # oracle: inequality join
         "exact_quantiles": relational.exact_quantiles,  # oracle: quantile_disc
         "broadcast_join_orders": relational.broadcast_join_orders,
@@ -282,6 +281,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle: planted fixtures are a closed-form (sin-noise) derivation,
         # reconstructed exactly in SQL; pairs = brute-force cosine >= 0.95
         "embedding_neardup": lambda sf: similarity.embedding_neardup(sf, 0.95, plant=True),
+        # SemDeDup assignment: every vector → its component representative
+        # (identity for non-members via fixed-partition hash anti-join);
+        # oracle: the cluster CTE LEFT JOINed onto the full id stream (r4)
+        "semantic_dedup": lambda sf: similarity.semantic_dedup(sf, 0.95, plant=True),
         # --- text analysis ---
         "token_count": textstats.token_count,
         "quality_score": textstats.quality_score,
@@ -326,7 +329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_events": relational.windowed_events,
         # gap-window sessions; unchanged since r2, hash-green r2+r3; its
         # user-hash partition surface is exercised in-window by
-        # asof_join_events / range_join_events
+        # range_join_events
         "sessionize_events": relational.sessionize_events,
         # Gopher repetition rules; unchanged since r2, hash-green r2+r3
         "repetition_score": textstats.repetition_score,
@@ -358,6 +361,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # conversation_assemble (conv grouping + per-conv counts/lengths);
         # unchanged this round, hash-green r1-r4
         "conversation_stats": conversation_stats,
+        # same user-hash-partition + vectorized time-join surface as the
+        # in-window range_join_events (the interval variant of this most-
+        # recent-view join); unchanged this round, hash-green r1-r4
+        "asof_join_events": relational.asof_join_events,
         # identical SQL/values to transcript_search (actor-path parity is
         # additionally pinned by tests/test_engine.py); hash-green r1-r3
         "transcript_search_actor": transcript_search_actor,
@@ -885,6 +892,26 @@ FROM sims QUALIFY rank < {k}"""
 
 
 def oracle_sql() -> dict[str, str]:
+    from searchengine_ray.pipelines import similarity
+
+    # the connected-components closure over the planted embedding near-dup
+    # pairs — shared by embedding_cluster and semantic_dedup
+    cluster_sql = """
+WITH RECURSIVE ep AS ({pairs}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM ep
+  UNION
+  SELECT doc_b, doc_a FROM ep
+),
+walk(node, lbl) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT e.a, w.lbl FROM edges e JOIN walk w ON e.b = w.node
+)
+SELECT node AS doc_id, least(node, min(lbl)) AS rep_doc_id
+FROM walk GROUP BY node""".format(
+        pairs=_embedding_neardup_sql().replace("ORDER BY doc_a, doc_b", "")
+    )
     return {
         "postings": f"WITH {_TOKS} SELECT token AS lemma, doc_id, tf FROM toks",
         "lemma_df": f"""
@@ -1188,22 +1215,17 @@ FROM walk GROUP BY node ORDER BY node""".format(
         # exhaustive output.
         "embedding_neardup": _embedding_neardup_sql(),
         # same recursive closure as dedup_cluster, over the embedding pairs
-        "embedding_cluster": """
-WITH RECURSIVE ep AS ({pairs}),
-edges AS (
-  SELECT doc_a AS a, doc_b AS b FROM ep
-  UNION
-  SELECT doc_b, doc_a FROM ep
-),
-walk(node, lbl) AS (
-  SELECT a, b FROM edges
-  UNION
-  SELECT e.a, w.lbl FROM edges e JOIN walk w ON e.b = w.node
-)
-SELECT node AS doc_id, least(node, min(lbl)) AS rep_doc_id
-FROM walk GROUP BY node ORDER BY node""".format(
-            pairs=_embedding_neardup_sql().replace("ORDER BY doc_a, doc_b", "")
-        ),
+        "embedding_cluster": cluster_sql + " ORDER BY node",
+        # SemDeDup map = the cluster closure LEFT JOINed onto the full
+        # (planted) id stream; identity where no component holds the id
+        "semantic_dedup": f"""
+WITH comp AS ({cluster_sql}),
+ids AS (SELECT vec_id FROM embeddings
+        UNION ALL
+        SELECT vec_id + {similarity.PLANT_OFFSET} FROM embeddings
+        WHERE vec_id % {similarity.PLANT_EVERY} = 0)
+SELECT i.vec_id, CAST(coalesce(c.rep_doc_id, i.vec_id) AS BIGINT) AS rep_vec_id
+FROM ids i LEFT JOIN comp c ON i.vec_id = c.doc_id ORDER BY i.vec_id""",
         "knn_batch": """
 WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
            FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4))

@@ -888,3 +888,63 @@ def semantic_search(sf_dir: str, query_vec_id: int = 0, k: int = 10):
     out = top.rename(columns={"vec_id": "doc_id"})
     out["n_chars"] = out["doc_id"].map(lambda d: int(n_chars.get(d, 0))).astype("int64")
     return out[["rank", "doc_id", "sim_r", "n_chars"]]
+
+
+def semantic_dedup(sf_dir: str, threshold: float = 0.95, plant: bool = True):
+    """(vec_id, rep_vec_id): the SemDeDup assignment — EVERY vector mapped
+    to its canonical representative (the min vec_id of its embedding-cosine
+    near-dup component; itself when it has no near-dups). A training-data
+    pipeline applies this map as "keep rows where vec_id == rep_vec_id".
+
+    Scale shape: component labels come from the LSH-banded + exactly
+    verified :func:`embedding_cluster` (members only — a small fraction of
+    the corpus); the identity rows for NON-members come from a
+    fixed-partition hash anti-join of the full id stream against the member
+    ids (the dedup_incremental pattern), so neither the corpus ids nor the
+    member set is ever collected or broadcast whole. Returns a Dataset —
+    one row per vector stays distributed."""
+    import ray.data as rd
+
+    from searchengine_ray.pipelines.relational import _hash_partition
+
+    labels = embedding_cluster(sf_dir, threshold, plant=plant)
+
+    def member_side(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rep = batch["rep_doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"q": pa.array(_hash_partition(ids)),
+                         "side": pa.array(np.ones(ids.size, dtype=np.int64)),
+                         "vid": pa.array(ids), "rep": pa.array(rep)})
+
+    def id_side(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"q": pa.array(_hash_partition(ids)),
+                         "side": pa.array(np.zeros(ids.size, dtype=np.int64)),
+                         "vid": pa.array(ids),
+                         "rep": pa.array(np.zeros(ids.size, dtype=np.int64))})
+
+    def assign(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy(zero_copy_only=False)
+        vid = group["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rep = group["rep"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m_m = side == 1
+        order = np.argsort(vid[m_m], kind="stable")
+        mem_sorted = vid[m_m][order]
+        rep_sorted = rep[m_m][order]
+        ids = vid[~m_m]
+        if mem_sorted.size:
+            pos = np.minimum(np.searchsorted(mem_sorted, ids), mem_sorted.size - 1)
+            hit = mem_sorted[pos] == ids
+            out_rep = np.where(hit, rep_sorted[pos], ids)
+        else:
+            out_rep = ids
+        return pa.table({"vec_id": pa.array(ids),
+                         "rep_vec_id": pa.array(out_rep)})
+
+    ids_ds = read_embeddings(sf_dir)
+    if plant:
+        ids_ds = ids_ds.map_batches(_plant_neardups, batch_format="pyarrow")
+    ids_ds = ids_ds.map_batches(id_side, batch_format="pyarrow")
+    members = labels.map_batches(member_side, batch_format="pyarrow")
+    return ids_ds.union(members).groupby("q").map_groups(
+        assign, batch_format="pyarrow")

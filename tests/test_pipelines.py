@@ -1642,3 +1642,51 @@ class TestQ5LocalSupplierVolume:
         assert out["n_name"].tolist() == ["NAT_A", "NAT_B"]
         assert out["n_items"].tolist() == [2, 1]
         assert out["revenue_r"].tolist() == [240.0, 90.0]
+
+
+class TestSemanticDedup:
+    def test_matches_union_find_reference(self, ray_session, emb):
+        # brute-force all-pairs cosine over the planted universe + union-find
+        from searchengine_ray.pipelines.similarity import (
+            PLANT_EVERY,
+            PLANT_OFFSET,
+            PLANT_NOISE,
+            semantic_dedup,
+        )
+
+        got = (semantic_dedup(SF).to_pandas()
+               .sort_values("vec_id").reset_index(drop=True))
+        ids, m = emb
+        ids = ids.astype(np.int64)
+        all_ids = [ids]
+        all_vecs = [m]
+        for i in np.nonzero(ids % PLANT_EVERY == 0)[0]:
+            v = m[i]
+            s = np.sin(float(ids[i]) + np.arange(v.size, dtype=np.float64))
+            noise = s * (PLANT_NOISE * np.linalg.norm(v) / np.linalg.norm(s))
+            all_ids.append(np.array([ids[i] + PLANT_OFFSET], dtype=np.int64))
+            all_vecs.append((v + noise)[None, :])
+        uids = np.concatenate(all_ids)
+        mat = np.concatenate(all_vecs, axis=0)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sim = mat @ mat.T
+        parent = {int(u): int(u) for u in uids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        n = uids.size
+        for i in range(n):
+            for j in range(i + 1, n):
+                if sim[i, j] >= 0.95:
+                    ra, rb = find(int(uids[i])), find(int(uids[j]))
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        ref = {int(u): find(int(u)) for u in uids}
+        assert len(got) == n
+        assert (got["vec_id"] != got["rep_vec_id"]).sum() > 0  # non-vacuous
+        for vid, rep in zip(got["vec_id"], got["rep_vec_id"]):
+            assert ref[int(vid)] == int(rep), vid
