@@ -208,7 +208,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # driver row from the previous round; entries rotated PAST the window
     # are ones whose value surface is redundantly covered in-window (a
     # companion entry with identical SQL or a flat/hex projection of the
-    # same values) or that are rows-only by nature — each says so in its
+    # same values), that are rows-only by nature, or whose kernel is
+    # UNCHANGED since a prior round in which it earned a green driver hash
+    # row (the local sweep still re-verifies it every round; only the
+    # independent driver re-check is deferred) — each says so in its
     # comment. ALL entries, windowed or not, run in the committed local
     # sweep (tools/side_by_side.py → CORRECTNESS_full_r4.json) every round.
     return {
@@ -361,9 +364,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # conversation_assemble (conv grouping + per-conv counts/lengths);
         # unchanged this round, hash-green r1-r4
         "conversation_stats": conversation_stats,
-        # same user-hash-partition + vectorized time-join surface as the
-        # in-window range_join_events (the interval variant of this most-
-        # recent-view join); unchanged this round, hash-green r1-r4
+        # kernel unchanged since r3, where it earned a green DRIVER hash
+        # row (CORRECTNESS_r03.json); also hash-green in every local sweep
+        # r1-r4 — the unchanged-since-driver-green rotation category
         "asof_join_events": relational.asof_join_events,
         # identical SQL/values to transcript_search (actor-path parity is
         # additionally pinned by tests/test_engine.py); hash-green r1-r3

@@ -896,15 +896,18 @@ def semantic_dedup(sf_dir: str, threshold: float = 0.95, plant: bool = True):
     near-dup component; itself when it has no near-dups). A training-data
     pipeline applies this map as "keep rows where vec_id == rep_vec_id".
 
-    Scale shape: component labels come from the LSH-banded + exactly
-    verified :func:`embedding_cluster` (members only — a small fraction of
-    the corpus); the identity rows for NON-members come from a
+    Scale shape: the identity rows for NON-members come from a
     fixed-partition hash anti-join of the full id stream against the member
-    ids (the dedup_incremental pattern), so neither the corpus ids nor the
-    member set is ever collected or broadcast whole. Returns a Dataset —
-    one row per vector stays distributed."""
-    import ray.data as rd
-
+    ids (the dedup_incremental pattern), so this stage never collects or
+    broadcasts the corpus id stream — the id side reads ONLY the vec_id
+    column (planted ids are derived arithmetically, no vectors touched).
+    Component labels come from :func:`embedding_cluster`, which does
+    collect the verified near-dup PAIR list at the driver before label
+    propagation — fine when near-dups are sparse, but in a SemDeDup regime
+    that prunes ~50% of the corpus that pair list is corpus-scale; at that
+    operating point the clustering itself is the piece to re-shape, not
+    this assignment join. Returns a Dataset — one row per vector stays
+    distributed."""
     from searchengine_ray.pipelines.relational import _hash_partition
 
     labels = embedding_cluster(sf_dir, threshold, plant=plant)
@@ -918,6 +921,14 @@ def semantic_dedup(sf_dir: str, threshold: float = 0.95, plant: bool = True):
 
     def id_side(batch: pa.Table) -> pa.Table:
         ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if plant:
+            # planted fixture ids only — _plant_neardups appends
+            # vec_id+PLANT_OFFSET for every vec_id % PLANT_EVERY == 0;
+            # deriving them arithmetically keeps this a vec_id-column-only
+            # read (no embedding decode on the id side).
+            ids = np.concatenate(
+                [ids, ids[ids % PLANT_EVERY == 0] + PLANT_OFFSET]
+            )
         return pa.table({"q": pa.array(_hash_partition(ids)),
                          "side": pa.array(np.zeros(ids.size, dtype=np.int64)),
                          "vid": pa.array(ids),
@@ -941,10 +952,11 @@ def semantic_dedup(sf_dir: str, threshold: float = 0.95, plant: bool = True):
         return pa.table({"vec_id": pa.array(ids),
                          "rep_vec_id": pa.array(out_rep)})
 
-    ids_ds = read_embeddings(sf_dir)
-    if plant:
-        ids_ds = ids_ds.map_batches(_plant_neardups, batch_format="pyarrow")
-    ids_ds = ids_ds.map_batches(id_side, batch_format="pyarrow")
+    from searchengine_ray.sources import read_parquet_clean
+
+    ids_ds = read_parquet_clean(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id"]
+    ).map_batches(id_side, batch_format="pyarrow")
     members = labels.map_batches(member_side, batch_format="pyarrow")
     return ids_ds.union(members).groupby("q").map_groups(
         assign, batch_format="pyarrow")
