@@ -228,7 +228,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversation_assemble": conversation_assemble,  # oracle: string_agg ORDER BY
         "conv_prefix_dedup": conv_prefix_dedup,  # oracle: md5 of first-k-turn join
         # --- windowed aggregate + broadcast join (wide-op patterns) ---
-        "sliding_window_events": relational.sliding_window_events,  # oracle: unnest slides
         # fact-fact co-partition join + broadcast semi-join (TPC-H Q3 shape)
         "q3_shipping_priority": relational.q3_shipping_priority,
         # grouped counting-selection quantiles: ONE histogram pass for all
@@ -253,6 +252,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # custkey → stream⋈lineitem on orderkey) + broadcast supplier/nation
         # dims + same-nation gate (oracle: 6-table SQL; r4)
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+        # TPC-H Q18 shape: HAVING SEMI-JOIN — qualifying set defined by an
+        # aggregate over the fact table (sum(l_quantity) > t per order),
+        # joined back through orders to customer; deterministic top-100 (r4)
+        "q18_large_orders": relational.q18_large_orders,
         # --- dedup family ---
         "dedup_exact": dedup.exact_dedup,
         # oracle: planted-marker anti-join (old DISTINCT hashes NOT IN)
@@ -324,6 +327,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- round; every one re-verified by the committed full sweep) ----
         # n-gram-heuristic language ID; unchanged since r2, hash-green r2+r3
         "langid": textstats.langid,
+        # overlapping 1h/15min windows; kernel unchanged since r3, where it
+        # earned a green DRIVER hash row (CORRECTNESS_r03.json) — the
+        # unchanged-since-driver-green rotation category
+        "sliding_window_events": relational.sliding_window_events,
         # tumbling windows; hash-green r1-r4 and its window-key surface is
         # exercised in-window by the sliding_window_events superset. Its
         # map-side partial moved into the shared _bucket_partial helper the
@@ -1125,6 +1132,22 @@ WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
   AND o.o_orderdate >= TIMESTAMP '1996-01-01'
   AND o.o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n.n_name ORDER BY n.n_name""",
+        # HAVING semi-join; quantities are integral by contract so the sum
+        # is order-independent and the > 250 gate is float-safe; the LIMIT
+        # cut is deterministic (o_orderkey is unique in the tiebreak)
+        "q18_large_orders": """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       CAST(epoch_us(o.o_orderdate) AS BIGINT) AS o_orderdate_us,
+       o.o_totalprice, big.sum_qty
+FROM big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o_orderdate_us, o.o_orderkey
+LIMIT 100""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

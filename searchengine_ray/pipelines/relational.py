@@ -1371,3 +1371,172 @@ def q5_local_supplier_volume(sf_dir: str):
             _round_vec(agg["rev"].to_numpy(dtype=np.float64) / 10_000.0, 2),
             type=pa.float64()),
     })
+
+
+Q18_MIN_QTY = 250  # sum(l_quantity) threshold; ~p99 of per-order sums
+
+
+def q18_large_orders(sf_dir: str, min_qty: int = Q18_MIN_QTY, limit: int = 100):
+    """TPC-H Q18 shape: large-volume orders — every order whose total line
+    quantity exceeds ``min_qty``, joined back to its order row and ordering
+    customer → (c_name, c_custkey, o_orderkey, o_orderdate_us,
+    o_totalprice, sum_qty), top ``limit`` by (o_totalprice DESC,
+    o_orderdate_us ASC, o_orderkey ASC — deterministic tie-break).
+
+    The join story this entry adds: a HAVING SEMI-JOIN — the qualifying
+    set is defined by an aggregate over the fact table itself (GROUP BY
+    l_orderkey HAVING sum(l_quantity) > t), then joined back to orders and
+    customer. None of q3/q5/anti_join gates a join on an aggregate.
+
+    Scale shape: stage 1 co-partitions lineitem (per-batch int64 quantity
+    partials per orderkey — quantities are integral by contract, so
+    partial-sum order can never flip the HAVING boundary) with orders on
+    orderkey; each partition owns complete per-order sums (the groupby key
+    IS the partition key), applies the HAVING gate locally, and emits only
+    the qualifying ~1% of orders. Stage 2 co-partitions that small stream
+    with customer on custkey to attach names (customer is 1/10 of orders —
+    fact-sized, so no broadcast). Only the post-HAVING top-``limit``
+    result reaches the driver."""
+
+    def li_side(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = np.rint(
+            batch["l_quantity"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        uk, inv = np.unique(ok, return_inverse=True)  # map-side combine
+        qsum = np.bincount(inv, weights=qty, minlength=uk.size).astype(np.int64)
+        z = np.zeros(uk.size, dtype=np.int64)
+        return pa.table({"q": pa.array(_hash_partition(uk)),
+                         "side": pa.array(np.ones(uk.size, dtype=np.int64)),
+                         "k": pa.array(uk), "a": pa.array(qsum),
+                         "b": pa.array(z), "c": pa.array(z)})
+
+    def ord_side(batch: pa.Table) -> pa.Table:
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        od = batch["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # 2-dp by contract → exact integer cents (the q3 convention)
+        tp = np.rint(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({"q": pa.array(_hash_partition(ok)),
+                         "side": pa.array(np.zeros(ok.size, dtype=np.int64)),
+                         "k": pa.array(ok), "a": pa.array(ck),
+                         "b": pa.array(od), "c": pa.array(tp)})
+
+    def _stage2_empty() -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        return pa.table({"q": z, "side": z, "k": z, "a": z, "b": z, "c": z,
+                         "d": z, "s": pa.array([], type=pa.string())})
+
+    def having_join(group: pa.Table) -> pa.Table:
+        """orderkey partition: total qty per order, HAVING gate, join back
+        to the order row; re-key survivors by custkey for stage 2."""
+        side = group["side"].to_numpy(zero_copy_only=False)
+        k = group["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = group["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = group["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = group["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        li = side == 1
+        lk, lq = k[li], a[li]
+        if lk.size == 0:
+            return _stage2_empty()
+        uk, inv = np.unique(lk, return_inverse=True)
+        qsum = np.bincount(inv, weights=lq, minlength=uk.size).astype(np.int64)
+        pass_m = qsum > min_qty
+        uk, qsum = uk[pass_m], qsum[pass_m]
+        ok, ock, od, otp = k[~li], a[~li], b[~li], c[~li]
+        if uk.size == 0 or ok.size == 0:
+            return _stage2_empty()
+        order = np.argsort(ok, kind="stable")
+        ok_sorted = ok[order]
+        pos = np.minimum(np.searchsorted(ok_sorted, uk), ok_sorted.size - 1)
+        hit = ok_sorted[pos] == uk
+        uk, qsum, pos = uk[hit], qsum[hit], pos[hit]
+        sel = order[pos]
+        ck = ock[sel]
+        return pa.table({"q": pa.array(_hash_partition(ck)),
+                         "side": pa.array(np.ones(uk.size, dtype=np.int64)),
+                         "k": pa.array(ck), "a": pa.array(uk),
+                         "b": pa.array(od[sel]), "c": pa.array(otp[sel]),
+                         "d": pa.array(qsum),
+                         "s": pa.array([""] * uk.size, type=pa.string())})
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        z = np.zeros(ck.size, dtype=np.int64)
+        return pa.table({"q": pa.array(_hash_partition(ck)),
+                         "side": pa.array(z), "k": pa.array(ck),
+                         "a": pa.array(z), "b": pa.array(z), "c": pa.array(z),
+                         "d": pa.array(z),
+                         "s": batch["c_name"].cast(pa.string())})
+
+    def name_join(group: pa.Table) -> pa.Table:
+        """custkey partition: attach c_name to the qualifying-order rows."""
+        side = group["side"].to_numpy(zero_copy_only=False)
+        k = group["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table({
+            "c_name": pa.array([], type=pa.string()),
+            "c_custkey": pa.array([], type=pa.int64()),
+            "o_orderkey": pa.array([], type=pa.int64()),
+            "o_orderdate_us": pa.array([], type=pa.int64()),
+            "o_totalprice": pa.array([], type=pa.float64()),
+            "sum_qty": pa.array([], type=pa.float64()),
+        })
+        c_m = side == 0
+        o_m = ~c_m
+        if not o_m.any() or not c_m.any():
+            return empty
+        order = np.argsort(k[c_m], kind="stable")
+        ck_sorted = k[c_m][order]
+        names = group["s"].to_numpy(zero_copy_only=False)[c_m][order]
+        ock = k[o_m]
+        pos = np.minimum(np.searchsorted(ck_sorted, ock), ck_sorted.size - 1)
+        hit = ck_sorted[pos] == ock  # customer table is a key set: all hit
+        sel = np.nonzero(o_m)[0][hit]
+        return pa.table({
+            "c_name": pa.array(names[pos[hit]], type=pa.string()),
+            "c_custkey": pa.array(ock[hit]),
+            "o_orderkey": pa.array(
+                group["a"].to_numpy(zero_copy_only=False)[sel].astype(np.int64)),
+            "o_orderdate_us": pa.array(
+                group["b"].to_numpy(zero_copy_only=False)[sel].astype(np.int64)),
+            "o_totalprice": pa.array(
+                group["c"].to_numpy(zero_copy_only=False)[sel].astype(np.int64)
+                / 100.0, type=pa.float64()),
+            "sum_qty": pa.array(
+                group["d"].to_numpy(zero_copy_only=False)[sel].astype(np.float64),
+                type=pa.float64()),
+        })
+
+    items = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity"],
+    ).map_batches(li_side, batch_format="pyarrow", batch_size=8192)
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    ).map_batches(ord_side, batch_format="pyarrow", batch_size=8192)
+    stage1 = items.union(orders).groupby("q").map_groups(
+        having_join, batch_format="pyarrow")
+    cust = read_parquet_clean(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name"],
+    ).map_batches(cust_side, batch_format="pyarrow")
+    out = stage1.union(cust).groupby("q").map_groups(
+        name_join, batch_format="pyarrow").to_pandas()
+    if out.empty:  # all-empty blocks drop column names in to_pandas
+        import pandas as pd
+        return pd.DataFrame({
+            "c_name": pd.Series(dtype="object"),
+            "c_custkey": pd.Series(dtype="int64"),
+            "o_orderkey": pd.Series(dtype="int64"),
+            "o_orderdate_us": pd.Series(dtype="int64"),
+            "o_totalprice": pd.Series(dtype="float64"),
+            "sum_qty": pd.Series(dtype="float64"),
+        })
+    out = out.sort_values(
+        ["o_totalprice", "o_orderdate_us", "o_orderkey"],
+        ascending=[False, True, True], kind="stable",
+    ).head(limit).reset_index(drop=True)
+    return out

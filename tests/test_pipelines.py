@@ -1299,6 +1299,72 @@ class TestQ3ShippingPriority:
             assert list(out.columns) == ["l_orderkey", "o_orderdate_us", "revenue_r"]
 
 
+class TestQ18LargeOrders:
+    def _reference(self, min_qty, limit):
+        import pyarrow.parquet as pq
+
+        items = pq.read_table(
+            f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+        ).to_pandas()
+        orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+        cust = pq.read_table(
+            f"{SF}/customer.parquet", columns=["c_custkey", "c_name"]
+        ).to_pandas()
+        big = items.groupby("l_orderkey", as_index=False)["l_quantity"].sum()
+        big = big[big["l_quantity"] > min_qty].rename(
+            columns={"l_quantity": "sum_qty"}
+        )
+        ref = big.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        ref = ref.merge(cust, left_on="o_custkey", right_on="c_custkey")
+        ref["o_orderdate_us"] = (
+            ref["o_orderdate"].values.astype("datetime64[us]").astype("int64")
+        )
+        return (
+            ref.sort_values(
+                ["o_totalprice", "o_orderdate_us", "o_orderkey"],
+                ascending=[False, True, True],
+            )
+            .head(limit)
+            .reset_index(drop=True)
+        )
+
+    def test_matches_pandas_reference(self, ray_session):
+        from searchengine_ray.pipelines.relational import q18_large_orders
+
+        got = q18_large_orders(SF)
+        ref = self._reference(250, 100)
+        assert len(got) == len(ref) > 0
+        for col in ["c_name", "c_custkey", "o_orderkey", "o_orderdate_us",
+                    "o_totalprice", "sum_qty"]:
+            assert got[col].tolist() == ref[col].tolist(), col
+
+    def test_limit_cut_is_deterministic(self, ray_session):
+        """With a low threshold the LIMIT binds; the cut must follow the
+        full (o_totalprice DESC, o_orderdate_us, o_orderkey) tiebreak."""
+        from searchengine_ray.pipelines.relational import q18_large_orders
+
+        got = q18_large_orders(SF, min_qty=150, limit=20)
+        ref = self._reference(150, 20)
+        assert len(got) == 20
+        assert got["o_orderkey"].tolist() == ref["o_orderkey"].tolist()
+
+    def test_having_is_strict(self, ray_session):
+        """HAVING > t: an order summing exactly to t must NOT qualify."""
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.pipelines.relational import q18_large_orders
+
+        items = pq.read_table(
+            f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+        ).to_pandas()
+        sums = items.groupby("l_orderkey")["l_quantity"].sum()
+        t = int(sums.loc[sums > 100].min())  # a realized sum value
+        got = q18_large_orders(SF, min_qty=t, limit=10**9)
+        assert float(got["sum_qty"].min()) > t
+        n_expected = int((sums > t).sum())
+        assert len(got) == n_expected
+
+
 class TestGroupQuantiles:
     def test_matches_numpy_per_group(self, ray_session):
         import pyarrow.parquet as pq
