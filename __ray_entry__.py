@@ -235,7 +235,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_quantiles": relational.group_quantiles,
         "range_join_events": relational.range_join_events,  # oracle: inequality join
         "exact_quantiles": relational.exact_quantiles,  # oracle: quantile_disc
-        "broadcast_join_orders": relational.broadcast_join_orders,
+        # ROWS-frame window functions: per-user running count/sum/max and a
+        # 3-PRECEDING moving sum, exact int64 cents (oracle: OVER w; r4)
+        "running_user_totals": relational.running_user_totals,
         # TPC-H Q1 multi-aggregate in one pass: exact integer money partials
         # (cents / cents×hundredths / cents×hundredths²), ≤6-group exchange (r4)
         "q1_pricing_summary": relational.q1_pricing_summary,
@@ -331,6 +333,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # earned a green DRIVER hash row (CORRECTNESS_r03.json) — the
         # unchanged-since-driver-green rotation category
         "sliding_window_events": relational.sliding_window_events,
+        # broadcast dimension join; kernel unchanged since r3 (driver-green
+        # in CORRECTNESS_r03.json), and the broadcast-join surface is also
+        # exercised in-window by q3_shipping_priority's broadcast semi-join
+        "broadcast_join_orders": relational.broadcast_join_orders,
         # tumbling windows; hash-green r1-r4 and its window-key surface is
         # exercised in-window by the sliding_window_events superset. Its
         # map-side partial moved into the shared _bucket_partial helper the
@@ -1073,6 +1079,25 @@ SELECT q, value FROM (
   UNION ALL
   SELECT 0.99, CAST(quantile_disc(value, 0.99) AS DOUBLE) FROM events
 ) ORDER BY q""",
+        # running window aggregates: int64 cents make every running sum
+        # exact on both sides; (user_id, ts) is unique so ORDER BY ts is a
+        # total order within each partition
+        "running_user_totals": """
+WITH e AS (
+  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT user_id, event_id, ts_us,
+       CAST(count(*) OVER w AS BIGINT) AS cum_n,
+       CAST(sum(cents) OVER w AS BIGINT) / 100.0 AS cum_value_r,
+       CAST(max(cents) OVER w AS BIGINT) / 100.0 AS run_max_r,
+       CAST(sum(cents) OVER w4 AS BIGINT) / 100.0 AS mov_sum4_r
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             ROWS UNBOUNDED PRECEDING),
+       w4 AS (PARTITION BY user_id ORDER BY ts_us
+              ROWS 3 PRECEDING)""",
         # fact-fact co-partition join; revenue in integer cents×hundredths
         # (2-dp inputs by contract) so partial-sum order can't flip rounding
         "q3_shipping_priority": """

@@ -131,6 +131,90 @@ def sessionize_events(sf_dir: str):
     )
 
 
+def running_user_totals(sf_dir: str):
+    """Per-user RUNNING window aggregates over event time — the ROWS-frame
+    window-function surface (sum/count/max OVER (PARTITION BY user ORDER BY
+    ts ROWS UNBOUNDED PRECEDING) plus a ROWS 3 PRECEDING moving sum) that
+    the bucket-window entries (tumbling/sliding/sessionize) don't cover:
+    (user_id, event_id, ts_us, cum_n, cum_value_r, run_max_r, mov_sum4_r).
+
+    Shape: hash users into ``_USER_PARTITIONS`` fixed partitions, ONE
+    vectorized pass per partition — sort by (user, ts), then segmented
+    cumsum / cummax / frame-diff over the whole partition at once (no
+    per-user Python dispatch). Values are 2-dp by contract → int64 cents
+    keep every running sum EXACT, so accumulation order can never drift a
+    cent against the SQL oracle. Output is one row per event and stays a
+    distributed Dataset."""
+    import ray.data as rd
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        cents = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "ts_us": batch["ts"].cast(pa.int64()),
+                "cents": pa.array(cents),
+                "q": pa.array((u % _USER_PARTITIONS).astype(np.int64)),
+            }
+        )
+
+    def running(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = group["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = group["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ts, uid))
+        uid, eid, ts, cents = uid[order], eid[order], ts[order], cents[order]
+        n = uid.size
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = uid[1:] != uid[:-1]
+        seg = np.cumsum(new) - 1  # segment id per row
+        starts = np.nonzero(new)[0]
+        start_of = starts[seg]  # segment start index per row
+        idx = np.arange(n, dtype=np.int64)
+        cum_n = idx - start_of + 1
+        c = np.cumsum(cents)
+        base = np.where(start_of > 0, c[start_of - 1], 0)
+        cum = c - base
+        # segmented cummax: cents < 2^31 by contract, so (seg << 32) | x is
+        # monotone across segment boundaries and plain maximum.accumulate
+        # restarts per segment after the shift is removed
+        run_max = (
+            np.maximum.accumulate((seg << np.int64(32)) + cents)
+            - (seg << np.int64(32))
+        )
+        # ROWS 3 PRECEDING frame: cum[i] - cum[i-4], clamped at segment head
+        j = idx - 4
+        valid = j >= start_of
+        mov4 = c - np.where(valid, c[np.maximum(j, 0)], base)
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "event_id": pa.array(eid),
+                "ts_us": pa.array(ts),
+                "cum_n": pa.array(cum_n),
+                "cum_value_r": pa.array(cum / 100.0, type=pa.float64()),
+                "run_max_r": pa.array(run_max / 100.0, type=pa.float64()),
+                "mov_sum4_r": pa.array(mov4 / 100.0, type=pa.float64()),
+            }
+        )
+
+    return (
+        read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_id", "ts", "value"],
+        )
+        .map_batches(add_part, batch_format="pyarrow", batch_size=8192)
+        .groupby("q")
+        .map_groups(running, batch_format="pyarrow")
+    )
+
+
 def asof_join_events(sf_dir: str):
     """As-of join (an operator Ray Data lacks): each 'click' event matched
     to the SAME user's most recent 'view' event at ts ≤ click ts.

@@ -1299,6 +1299,87 @@ class TestQ3ShippingPriority:
             assert list(out.columns) == ["l_orderkey", "o_orderdate_us", "revenue_r"]
 
 
+class TestRunningUserTotals:
+    def test_matches_pandas_reference(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.pipelines.relational import running_user_totals
+
+        got = (
+            running_user_totals(SF)
+            .to_pandas()
+            .sort_values(["user_id", "ts_us"])
+            .reset_index(drop=True)
+        )
+        ev = pq.read_table(
+            f"{SF}/events.parquet",
+            columns=["user_id", "event_id", "ts", "value"],
+        ).to_pandas()
+        ev["ts_us"] = ev["ts"].values.astype("datetime64[us]").astype("int64")
+        ev["cents"] = (ev["value"] * 100).round().astype("int64")
+        ev = ev.sort_values(["user_id", "ts_us"]).reset_index(drop=True)
+        g = ev.groupby("user_id", sort=False)["cents"]
+        ref_cum_n = g.cumcount().to_numpy() + 1
+        ref_cum = g.cumsum().to_numpy()
+        ref_max = g.cummax().to_numpy()
+        ref_mov4 = (
+            g.rolling(4, min_periods=1).sum().reset_index(drop=True).to_numpy()
+        )
+        assert got["event_id"].tolist() == ev["event_id"].tolist()
+        assert got["cum_n"].tolist() == ref_cum_n.tolist()
+        # exact equality: int64 cents / 100.0 on both sides
+        assert got["cum_value_r"].tolist() == (ref_cum / 100.0).tolist()
+        assert got["run_max_r"].tolist() == (ref_max / 100.0).tolist()
+        assert got["mov_sum4_r"].tolist() == (ref_mov4 / 100.0).tolist()
+        # the mov4 clamp must actually be exercised (users with >4 events);
+        # multi-user-per-partition resets are pinned by
+        # test_segment_boundaries_reset (sf0.001 has only 15 users, so the
+        # 64 fixed partitions hold at most one user each here)
+        assert (ev.groupby("user_id").size() > 4).any()
+
+    def test_segment_boundaries_reset(self, ray_session):
+        """Two users in ONE partition: the second user's running stats must
+        restart (cummax reset even when the first user's max is higher)."""
+        import pandas as pd
+
+        from searchengine_ray.pipelines import relational
+        from searchengine_ray.pipelines.relational import running_user_totals
+
+        d = pd.DataFrame(
+            {
+                # both user ids ≡ 1 (mod 64) → same fixed partition
+                "user_id": [1, 1, 1, 1, 1, 65, 65],
+                "event_id": [0, 1, 2, 3, 4, 5, 6],
+                "ts": pd.to_datetime(
+                    [f"2024-01-01 00:0{i}:00" for i in range(5)]
+                    + ["2024-01-01 00:00:30", "2024-01-01 00:01:30"]
+                ),
+                "value": [9.99, 1.0, 1.0, 1.0, 1.0, 2.5, 0.5],
+            }
+        )
+        import tempfile, os as _os
+
+        tmp = tempfile.mkdtemp()
+        d.to_parquet(_os.path.join(tmp, "events.parquet"), index=False)
+        out = (
+            running_user_totals(tmp)
+            .to_pandas()
+            .sort_values(["user_id", "ts_us"])
+            .reset_index(drop=True)
+        )
+        u1 = out[out["user_id"] == 1]
+        u65 = out[out["user_id"] == 65]
+        # 5th event of user 1: frame is rows 2-5 (9.99 fell out of ROWS 3
+        # PRECEDING), running max still 9.99
+        assert u1["mov_sum4_r"].tolist() == [9.99, 10.99, 11.99, 12.99, 4.0]
+        assert u1["run_max_r"].tolist() == [9.99] * 5
+        assert u1["cum_value_r"].tolist() == [9.99, 10.99, 11.99, 12.99, 13.99]
+        # user 65 restarts — cummax must NOT inherit user 1's 9.99
+        assert u65["run_max_r"].tolist() == [2.5, 2.5]
+        assert u65["cum_value_r"].tolist() == [2.5, 3.0]
+        assert u65["cum_n"].tolist() == [1, 2]
+
+
 class TestQ18LargeOrders:
     def _reference(self, min_qty, limit):
         import pyarrow.parquet as pq
