@@ -234,7 +234,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # groups (oracle: quantile_disc ... GROUP BY)
         "group_quantiles": relational.group_quantiles,
         "range_join_events": relational.range_join_events,  # oracle: inequality join
-        "exact_quantiles": relational.exact_quantiles,  # oracle: quantile_disc
         # ROWS-frame window functions: per-user running count/sum/max and a
         # 3-PRECEDING moving sum, exact int64 cents (oracle: OVER w; r4)
         "running_user_totals": relational.running_user_totals,
@@ -296,6 +295,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis ---
         "token_count": textstats.token_count,
         "quality_score": textstats.quality_score,
+        # percentile pruning: global quantile_disc threshold from ONE
+        # counting pass over the 4-dp score lattice, then a streamed
+        # filter (oracle: scores CTE + quantile_disc subquery; r4)
+        "quality_filter": textstats.quality_filter,
         # grouped top-k without a global sort: per-batch local top-k per
         # lang, tiny driver final (oracle: row_number() window; r4)
         "group_topk_docs": textstats.group_topk_docs,
@@ -337,6 +340,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in CORRECTNESS_r03.json), and the broadcast-join surface is also
         # exercised in-window by q3_shipping_priority's broadcast semi-join
         "broadcast_join_orders": relational.broadcast_join_orders,
+        # counting-selection quantiles; kernel unchanged since r3
+        # (driver-green in CORRECTNESS_r03.json), and the quantile_disc
+        # rank convention is exercised in-window by quality_filter and
+        # group_quantiles
+        "exact_quantiles": relational.exact_quantiles,
         # tumbling windows; hash-green r1-r4 and its window-key surface is
         # exercised in-window by the sliding_window_events superset. Its
         # map-side partial moved into the shared _bucket_partial helper the
@@ -1402,6 +1410,27 @@ SELECT d.doc_id,
         * (1.0 - CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0.0
                       ELSE CAST(a.n_stop AS DOUBLE) / a.n_tokens END), 4) AS quality_r
 FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id""",
+        # percentile pruning: the quality_score expressions verbatim, a
+        # quantile_disc threshold (a REALIZED element of the 4-dp score
+        # multiset — the engine reads the same element from its counting
+        # pass), then >= on bit-identical doubles
+        "quality_filter": f"""
+WITH raw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+             FROM documents),
+ a AS (SELECT doc_id, count(*) AS n_tokens,
+              CAST(sum(CASE WHEN token IN ({_STOP_SQL}) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+              CAST(sum(CASE WHEN length(token) >= 2 AND token NOT IN ({_STOP_SQL})
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_sig
+       FROM raw GROUP BY doc_id),
+ s AS (SELECT d.doc_id,
+              CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+              round(least(1.0, coalesce(a.n_sig, 0) / 50.0)
+                    * (1.0 - CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0.0
+                                  ELSE CAST(a.n_stop AS DOUBLE) / a.n_tokens END), 4) AS quality_r
+       FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id),
+ t AS (SELECT quantile_disc(quality_r, 0.75) AS thr FROM s)
+SELECT s.doc_id, s.n_tokens, s.quality_r FROM s, t
+WHERE s.quality_r >= t.thr""",
         # grouped top-k: row_number() window over the quality_score
         # expressions verbatim (hash-green there) — the one-node mirror of
         # the engine's per-batch local top-k union

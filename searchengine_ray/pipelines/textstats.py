@@ -210,6 +210,48 @@ def quality_score(sf_dir: str):
     )
 
 
+def quality_filter(sf_dir: str, q: float = 0.75):
+    """Quality-percentile pruning — the canonical curation compose: compute
+    a per-doc quality score, find the global q-th quantile of the scores,
+    keep docs at or above it → (doc_id, n_tokens, quality_r), a Dataset.
+
+    Scale shape: scores are computed ONCE (materialized — 3 narrow columns,
+    spillable; same tradeoff note as ``exact_quantiles``), then the
+    threshold comes from a single counting pass: quality_r is 4-dp in [0,1]
+    by construction, so scores quantize exactly onto ≤10001 integer buckets
+    — each task ships only its NONZERO (bucket, count) pairs, the driver
+    np.add.at-sums them and reads the rank-``ceil(n·q)`` bucket
+    (``quantile_disc`` convention, matching the SQL oracle's element
+    semantics exactly: bucket/10000.0 reproduces the stored double
+    bit-for-bit). The filter pass then streams. No sort, no all-to-all."""
+    scores = quality_score(sf_dir).select_columns(
+        ["doc_id", "n_tokens", "quality_r"]
+    ).materialize()
+
+    def vcounts(batch: pa.Table) -> pa.Table:
+        v = batch["quality_r"].to_numpy(zero_copy_only=False)
+        b = np.rint(v * 10000.0).astype(np.int64)
+        ub, cnt = np.unique(b, return_counts=True)
+        return pa.table({"b": pa.array(ub), "c": pa.array(cnt.astype(np.int64))})
+
+    vc = scores.map_batches(vcounts, batch_format="pyarrow").to_pandas()
+    counts = np.zeros(10001, dtype=np.int64)
+    np.add.at(counts, vc["b"].to_numpy(), vc["c"].to_numpy())
+    n = int(counts.sum())
+    if n == 0:
+        return scores
+    k = max(int(np.ceil(n * q)), 1)  # 1-based rank, quantile_disc convention
+    thr_bucket = int(np.searchsorted(np.cumsum(counts), k))
+    thr = thr_bucket / 10000.0  # same division _round_vec used to make the value
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.greater_equal(batch["quality_r"], thr))
+
+    return scores.map_batches(keep, batch_format="pyarrow")
+
+
 _WS_RE = re.compile(r"[ \t\n\r]+")
 
 

@@ -214,6 +214,40 @@ class TestExportShards:
         assert pa_.equals(pb_)
 
 
+class TestQualityFilter:
+    def test_matches_bruteforce_quantile(self, ray_session):
+        from searchengine_ray.pipelines.textstats import quality_filter, quality_score
+
+        scored = quality_score(SF).to_pandas()[["doc_id", "quality_r", "n_tokens"]]
+        v = np.sort(scored["quality_r"].to_numpy())
+        thr = v[max(int(np.ceil(v.size * 0.75)), 1) - 1]  # quantile_disc
+        want = scored[scored["quality_r"] >= thr].sort_values("doc_id")
+        got = (
+            quality_filter(SF)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got["doc_id"].tolist() == want["doc_id"].tolist()
+        assert got["quality_r"].tolist() == want["quality_r"].tolist()
+        assert got["n_tokens"].tolist() == want["n_tokens"].tolist()
+        # non-vacuous both ways: something pruned, something kept, and the
+        # threshold boundary carries ties (>= keeps every tied doc)
+        assert 0 < len(got) < len(scored)
+        assert (got["quality_r"] == thr).any()
+
+    def test_extreme_quantiles(self, ray_session):
+        from searchengine_ray.pipelines.textstats import quality_filter, quality_score
+
+        n_docs = len(quality_score(SF).to_pandas())
+        # q=0: threshold is the minimum -> every doc survives
+        assert len(quality_filter(SF, q=0.0).to_pandas()) == n_docs
+        # q=1: threshold is the maximum -> only max-tied docs survive
+        top = quality_filter(SF, q=1.0).to_pandas()
+        assert 0 < len(top) < n_docs
+        assert top["quality_r"].nunique() == 1
+
+
 class TestTokenBudgetSelect:
     @staticmethod
     def _brute(scored, budget_den=4):
