@@ -264,6 +264,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": dedup.minhash_dups,          # oracle: brute-force word-3gram Jaccard
         "dedup_cluster": dedup.dedup_cluster,         # oracle: recursive-CTE components
         "ngram_jaccard": dedup.ngram_jaccard_dups,    # oracle: brute-force char-3gram Jaccard
+        # per-doc cross-corpus duplication: fraction of a doc's distinct
+        # word-3-grams seen in ≥2 docs — lemma_df-volume shuffles, no pair
+        # enumeration (oracle: shingle CTE + df join; r4)
+        "duplication_ratio": dedup.duplication_ratio,
         # exact-substring span dedup (Lee et al. 2022 shape, r4); oracle:
         # lead()-window grams + window count + gaps-and-islands merge
         "dedup_substrings": dedup.dedup_substrings,
@@ -303,7 +307,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lang, tiny driver final (oracle: row_number() window; r4)
         "group_topk_docs": textstats.group_topk_docs,
         "fingerprint_rolling_flat": textstats.fingerprint_rolling_flat,  # oracle: HUGEINT-mod hash
-        "bigram_counts": textstats.bigram_counts,  # oracle: positional self-join
         # --- multimodal plumbing (stubbed decoder) ---
         "multimodal_features_flat": multimodal.multimodal_features_flat,  # oracle: byte histogram
         "frame_sample_hex": multimodal.frame_sample_hex,  # oracle: hex BLOB slices
@@ -345,6 +348,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rank convention is exercised in-window by quality_filter and
         # group_quantiles
         "exact_quantiles": relational.exact_quantiles,
+        # positional bigram counts; kernel unchanged since r3 (driver-green
+        # in CORRECTNESS_r03.json); the flat-token groupby surface stays
+        # exercised in-window by token_count / quality_score / lemma_df
+        "bigram_counts": textstats.bigram_counts,
         # tumbling windows; hash-green r1-r4 and its window-key surface is
         # exercised in-window by the sliding_window_events superset. Its
         # map-side partial moved into the shared _bucket_partial helper the
@@ -1237,6 +1244,36 @@ GROUP BY text_hash ORDER BY doc_id""",
         # the banding (fixed seed, ≥2-band rule) has recall 1.0 on every true
         # pair here (lowest true pair ≈ 0.9 Jaccard ⇒ P[miss] < 1e-6, and the
         # run is deterministic), so LSH output == exhaustive output.
+        # per-doc duplication: distinct word-3-gram shingles (the
+        # _jaccard_pairs_sql("word") CTE verbatim) + doc-frequency join;
+        # shingle-string equality ≡ the engine's 64-bit shingle-hash
+        # equality (injective on these corpora, same note as the Jaccard
+        # oracles). LEFT JOIN surfaces shingle-less docs at ratio 0
+        "duplication_ratio": """
+WITH tl AS (SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS toks
+            FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, toks[CAST(t.i AS INT)] || ' ' || toks[CAST(t.i AS INT) + 1]
+                   || ' ' || toks[CAST(t.i AS INT) + 2] AS g
+    FROM tl, LATERAL unnest(range(1, greatest(len(toks) - 1, 1))) AS t(i)
+    WHERE len(toks) >= 3
+    UNION ALL
+    SELECT doc_id, array_to_string(toks, ' ') AS g FROM tl
+    WHERE len(toks) BETWEEN 1 AND 2
+  )
+),
+df AS (SELECT g, count(*) AS df FROM sh GROUP BY g),
+per AS (SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        FROM sh JOIN df ON sh.g = df.g GROUP BY sh.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(per.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(coalesce(per.n_dup, 0) AS BIGINT) AS n_dup,
+       round(CASE WHEN coalesce(per.n_shingles, 0) = 0 THEN 0.0
+                  ELSE CAST(per.n_dup AS DOUBLE) / per.n_shingles END, 4)
+           AS dup_ratio_r
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""",
         "dedup_minhash": _jaccard_pairs_sql("word"),
         "ngram_jaccard": _jaccard_pairs_sql("char"),
         # all-pairs Hamming ≤ 3 over SQL-rebuilt md5-prefix signatures; the

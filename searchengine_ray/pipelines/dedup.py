@@ -254,6 +254,111 @@ def char_shingle_array(text: str, k: int = 3) -> np.ndarray:
     return np.unique(v)
 
 
+def duplication_ratio(sf_dir: str):
+    """Per-doc cross-corpus duplication signal — the fraction of a doc's
+    DISTINCT word-3-gram shingles that also appear in at least one OTHER
+    doc (the repetition-across-documents filter of corpus-curation
+    pipelines, applied per doc rather than per pair):
+    (doc_id, n_shingles, n_dup, dup_ratio_r), one row per document,
+    including shingle-less docs (ratio 0).
+
+    Scale shape: one row per distinct (shingle, doc) pair — lemma_df
+    volume, NOT pair volume — through two fixed-partition exchanges:
+    (1) partition by shingle hash; each partition owns every occurrence of
+    its shingles, so doc-frequency ≥ 2 is decided locally and partials
+    collapse to one (doc, n_sh, n_dup) row per doc per partition;
+    (2) partition by doc to sum the ≤``_DEDUP_PARTITIONS`` partials per
+    doc, unioned with a zero-partial stream of ALL doc ids so empty docs
+    surface. No joins back to text, no driver materialization beyond the
+    final per-doc rows (returned as a Dataset)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids_out, h_out = [], []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            sh = word_shingle_array(text or "")
+            if sh.size:
+                ids_out.append(np.full(sh.size, did, dtype=np.int64))
+                h_out.append(sh)
+        if not ids_out:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"q": z, "doc_id": z, "g": z})
+        ids = np.concatenate(ids_out)
+        hs = np.concatenate(h_out)
+        return pa.table(
+            {
+                "q": pa.array((hs % _DEDUP_PARTITIONS).astype(np.int64)),
+                "doc_id": pa.array(ids),
+                "g": pa.array(hs.view(np.int64)),
+            }
+        )
+
+    def df_mark(group: pa.Table) -> pa.Table:
+        """Shingle partition → (doc, n_sh, n_dup) partials. Shingles are
+        distinct per doc by construction, so rows-per-shingle IS the doc
+        frequency."""
+        g = group["g"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(g, kind="stable")
+        gs, ds_ = g[order], d[order]
+        _, cnt = np.unique(gs, return_counts=True)
+        dup = np.repeat(cnt >= 2, cnt)
+        ud, inv = np.unique(ds_, return_inverse=True)
+        n_sh = np.bincount(inv, minlength=ud.size).astype(np.int64)
+        n_dup = np.bincount(inv, weights=dup, minlength=ud.size).astype(np.int64)
+        return pa.table(
+            {
+                "q": pa.array((ud % _DEDUP_PARTITIONS).astype(np.int64)),
+                "doc_id": pa.array(ud),
+                "n_sh": pa.array(n_sh),
+                "n_dup": pa.array(n_dup),
+            }
+        )
+
+    def zero_stream(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        z = np.zeros(ids.size, dtype=np.int64)
+        return pa.table(
+            {
+                "q": pa.array((ids % _DEDUP_PARTITIONS).astype(np.int64)),
+                "doc_id": pa.array(ids),
+                "n_sh": pa.array(z),
+                "n_dup": pa.array(z),
+            }
+        )
+
+    def per_doc(group: pa.Table) -> pa.Table:
+        d = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_sh = group["n_sh"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_dup = group["n_dup"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ud, inv = np.unique(d, return_inverse=True)
+        s = np.bincount(inv, weights=n_sh, minlength=ud.size).astype(np.int64)
+        p = np.bincount(inv, weights=n_dup, minlength=ud.size).astype(np.int64)
+        ratio = np.where(s > 0, p / np.maximum(s, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ud),
+                "n_shingles": pa.array(s),
+                "n_dup": pa.array(p),
+                "dup_ratio_r": pa.array(_round_vec(ratio), type=pa.float64()),
+            }
+        )
+
+    partials = (
+        read_documents(sf_dir)
+        .map_batches(explode, batch_format="pyarrow", batch_size=2048)
+        .groupby("q")
+        .map_groups(df_mark, batch_format="pyarrow")
+    )
+    zeros = read_documents(sf_dir, columns=("doc_id",)).map_batches(
+        zero_stream, batch_format="pyarrow"
+    )
+    return partials.union(zeros).groupby("q").map_groups(
+        per_doc, batch_format="pyarrow"
+    )
+
+
 def word_shingles(text: str, k: int = 3) -> set[int]:
     """Set view of ``word_shingle_array`` (brute-force/oracle path)."""
     return set(word_shingle_array(text, k).tolist())

@@ -761,6 +761,71 @@ class TestRowsOnlyCompleteness:
         assert got == brute
 
 
+class TestDuplicationRatio:
+    def test_matches_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.pipelines.dedup import (
+            duplication_ratio,
+            word_shingles,
+        )
+
+        docs = pq.read_table(
+            f"{SF}/documents.parquet", columns=["doc_id", "text"]
+        ).to_pandas()
+        sets = {r.doc_id: word_shingles(r.text or "") for r in docs.itertuples()}
+        df: dict[int, int] = {}
+        for s in sets.values():
+            for g in s:
+                df[g] = df.get(g, 0) + 1
+        got = (
+            duplication_ratio(SF)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got["doc_id"].tolist() == sorted(sets)
+        for r in got.itertuples():
+            s = sets[r.doc_id]
+            n_dup = sum(1 for g in s if df[g] >= 2)
+            assert r.n_shingles == len(s)
+            assert r.n_dup == n_dup, r.doc_id
+            want = np.floor((n_dup / len(s) if s else 0.0) * 1e4 + 0.5) / 1e4
+            assert r.dup_ratio_r == want
+        # non-vacuous: the corpus has cross-doc duplication AND unique grams
+        assert got["n_dup"].sum() > 0
+        assert (got["n_dup"] < got["n_shingles"]).any()
+
+    def test_empty_and_identical_docs(self, ray_session):
+        import tempfile
+
+        import pandas as pd
+
+        from searchengine_ray.pipelines.dedup import duplication_ratio
+
+        tmp = tempfile.mkdtemp()
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "alpha beta gamma delta",  # shares all grams with doc 2
+                    "alpha beta gamma delta",
+                    "",  # no tokens -> no shingles, ratio 0
+                    "unique words entirely here",  # grams seen nowhere else
+                ],
+            }
+        ).to_parquet(f"{tmp}/documents.parquet", index=False)
+        out = (
+            duplication_ratio(tmp)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["doc_id"].tolist() == [1, 2, 3, 4]
+        assert out["dup_ratio_r"].tolist() == [1.0, 1.0, 0.0, 0.0]
+        assert out["n_shingles"].tolist() == [2, 2, 0, 2]
+
+
 class TestDedupCluster:
     def test_matches_union_find(self, ray_session):
         from searchengine_ray.pipelines.dedup import dedup_cluster, minhash_dups
