@@ -590,19 +590,12 @@ FROM o""",
     }
 
 
-def _jaccard_pairs_sql(shingler: str) -> str:
-    """Exhaustive pairwise Jaccard ≥ 0.8 over 3-gram shingle sets.
-
-    ``word``: word-3-grams of ``[a-z0-9]+`` tokens (docs with 1-2 tokens
-    collapse to a single whole-doc shingle, mirroring
-    ``dedup.word_shingle_array``); ``char``: char-3-grams of the
-    whitespace-normalized text (``dedup.char_shingle_array``). Jaccard over
-    literal shingle strings equals the engine's Jaccard over 64-bit shingle
-    hashes (injective on these corpora)."""
-    if shingler == "char":
-        # docs whose normalized text is 1-2 chars collapse to one whole-doc
-        # shingle, mirroring char_shingle_array's short-input branch
-        shingles = """
+# Shared shingle CTEs — the ONE definition of 3-gram shingling in SQL,
+# used by the Jaccard-pair oracles AND duplication_ratio's oracle (one
+# copy, no hand-sync drift). Docs whose normalized input is shorter than
+# one 3-gram collapse to a single whole-doc shingle, mirroring the
+# short-input branches of dedup.char_shingle_array / word_shingle_array.
+_CHAR_SHINGLE_CTE = """
 nrm AS (SELECT doc_id,
                trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\r]+', ' ', 'g')) AS s
         FROM documents),
@@ -615,8 +608,7 @@ sh AS (
     SELECT doc_id, s AS g FROM nrm WHERE length(s) BETWEEN 1 AND 2
   )
 )"""
-    else:
-        shingles = """
+_WORD_SHINGLE_CTE = """
 tl AS (SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS toks
        FROM documents),
 sh AS (
@@ -630,6 +622,16 @@ sh AS (
     WHERE len(toks) BETWEEN 1 AND 2
   )
 )"""
+
+
+def _jaccard_pairs_sql(shingler: str) -> str:
+    """Exhaustive pairwise Jaccard ≥ 0.8 over 3-gram shingle sets.
+
+    ``word``: word-3-grams of ``[a-z0-9]+`` tokens; ``char``: char-3-grams
+    of the whitespace-normalized text. Jaccard over literal shingle strings
+    equals the engine's Jaccard over 64-bit shingle hashes (injective on
+    these corpora)."""
+    shingles = _CHAR_SHINGLE_CTE if shingler == "char" else _WORD_SHINGLE_CTE
     return f"""
 WITH {shingles},
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -1244,25 +1246,12 @@ GROUP BY text_hash ORDER BY doc_id""",
         # the banding (fixed seed, ≥2-band rule) has recall 1.0 on every true
         # pair here (lowest true pair ≈ 0.9 Jaccard ⇒ P[miss] < 1e-6, and the
         # run is deterministic), so LSH output == exhaustive output.
-        # per-doc duplication: distinct word-3-gram shingles (the
-        # _jaccard_pairs_sql("word") CTE verbatim) + doc-frequency join;
-        # shingle-string equality ≡ the engine's 64-bit shingle-hash
+        # per-doc duplication: the SHARED word-shingle CTE + doc-frequency
+        # join; shingle-string equality ≡ the engine's 64-bit shingle-hash
         # equality (injective on these corpora, same note as the Jaccard
         # oracles). LEFT JOIN surfaces shingle-less docs at ratio 0
-        "duplication_ratio": """
-WITH tl AS (SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS toks
-            FROM documents),
-sh AS (
-  SELECT DISTINCT doc_id, g FROM (
-    SELECT doc_id, toks[CAST(t.i AS INT)] || ' ' || toks[CAST(t.i AS INT) + 1]
-                   || ' ' || toks[CAST(t.i AS INT) + 2] AS g
-    FROM tl, LATERAL unnest(range(1, greatest(len(toks) - 1, 1))) AS t(i)
-    WHERE len(toks) >= 3
-    UNION ALL
-    SELECT doc_id, array_to_string(toks, ' ') AS g FROM tl
-    WHERE len(toks) BETWEEN 1 AND 2
-  )
-),
+        "duplication_ratio": f"""
+WITH {_WORD_SHINGLE_CTE},
 df AS (SELECT g, count(*) AS df FROM sh GROUP BY g),
 per AS (SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
                CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup

@@ -145,7 +145,6 @@ def running_user_totals(sf_dir: str):
     keep every running sum EXACT, so accumulation order can never drift a
     cent against the SQL oracle. Output is one row per event and stays a
     distributed Dataset."""
-    import ray.data as rd
 
     def add_part(batch: pa.Table) -> pa.Table:
         u = batch["user_id"].to_numpy(zero_copy_only=False)
@@ -1479,8 +1478,11 @@ def q18_large_orders(sf_dir: str, min_qty: int = Q18_MIN_QTY, limit: int = 100):
     IS the partition key), applies the HAVING gate locally, and emits only
     the qualifying ~1% of orders. Stage 2 co-partitions that small stream
     with customer on custkey to attach names (customer is 1/10 of orders —
-    fact-sized, so no broadcast). Only the post-HAVING top-``limit``
-    result reaches the driver."""
+    fact-sized, so no broadcast) and cuts each partition to its LOCAL
+    top-``limit`` under the final order key (the global top-``limit`` is
+    contained in the union of per-partition top-``limit``s), so at most
+    partitions × ``limit`` rows reach the driver for the final merge —
+    never the whole qualifying set."""
 
     def li_side(batch: pa.Table) -> pa.Table:
         ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1578,19 +1580,23 @@ def q18_large_orders(sf_dir: str, min_qty: int = Q18_MIN_QTY, limit: int = 100):
         pos = np.minimum(np.searchsorted(ck_sorted, ock), ck_sorted.size - 1)
         hit = ck_sorted[pos] == ock  # customer table is a key set: all hit
         sel = np.nonzero(o_m)[0][hit]
+        okey = group["a"].to_numpy(zero_copy_only=False)[sel].astype(np.int64)
+        odate = group["b"].to_numpy(zero_copy_only=False)[sel].astype(np.int64)
+        otp = group["c"].to_numpy(zero_copy_only=False)[sel].astype(np.int64)
+        qsum = group["d"].to_numpy(zero_copy_only=False)[sel]
+        # local top-limit under the FINAL order key: the global top-limit
+        # is a subset of the union of per-partition top-limits, so only
+        # partitions × limit rows ever reach the driver
+        top = np.lexsort((okey, odate, -otp))[:limit]
+        ock_h, pos_h = ock[hit][top], pos[hit][top]
         return pa.table({
-            "c_name": pa.array(names[pos[hit]], type=pa.string()),
-            "c_custkey": pa.array(ock[hit]),
-            "o_orderkey": pa.array(
-                group["a"].to_numpy(zero_copy_only=False)[sel].astype(np.int64)),
-            "o_orderdate_us": pa.array(
-                group["b"].to_numpy(zero_copy_only=False)[sel].astype(np.int64)),
-            "o_totalprice": pa.array(
-                group["c"].to_numpy(zero_copy_only=False)[sel].astype(np.int64)
-                / 100.0, type=pa.float64()),
-            "sum_qty": pa.array(
-                group["d"].to_numpy(zero_copy_only=False)[sel].astype(np.float64),
-                type=pa.float64()),
+            "c_name": pa.array(names[pos_h], type=pa.string()),
+            "c_custkey": pa.array(ock_h),
+            "o_orderkey": pa.array(okey[top]),
+            "o_orderdate_us": pa.array(odate[top]),
+            "o_totalprice": pa.array(otp[top] / 100.0, type=pa.float64()),
+            "sum_qty": pa.array(qsum[top].astype(np.float64),
+                                type=pa.float64()),
         })
 
     items = read_parquet_clean(

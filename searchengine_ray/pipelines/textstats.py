@@ -235,6 +235,8 @@ def quality_filter(sf_dir: str, q: float = 0.75):
         return pa.table({"b": pa.array(ub), "c": pa.array(cnt.astype(np.int64))})
 
     vc = scores.map_batches(vcounts, batch_format="pyarrow").to_pandas()
+    if vc.empty:  # empty corpus: Ray's to_pandas drops the column names
+        return scores
     counts = np.zeros(10001, dtype=np.int64)
     np.add.at(counts, vc["b"].to_numpy(), vc["c"].to_numpy())
     n = int(counts.sum())
