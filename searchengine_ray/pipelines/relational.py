@@ -214,6 +214,87 @@ def running_user_totals(sf_dir: str):
     )
 
 
+FUNNEL_STEPS = ("view", "click", "signup", "purchase")
+FUNNEL_GAP_US = 24 * 3_600_000_000  # conversion window per step
+
+
+def funnel_depth(sf_dir: str, steps: tuple[str, ...] = FUNNEL_STEPS,
+                 gap_us: int = FUNNEL_GAP_US):
+    """Ordered event-sequence matching (product-analytics funnel): anchor
+    each user at their FIRST ``steps[0]`` event, then advance one step per
+    EARLIEST matching event that falls strictly after the previous match
+    and within its ``gap_us`` conversion window — the standard
+    fixed-anchor + conversion-window funnel definition (depth is a
+    property of the first occurrence chain, NOT a search over alternative
+    anchors) → (user_id, depth, ts1_us..ts4_us; -1 for unreached steps —
+    a hashable sentinel, never NULL/NaN).
+
+    Shape: users hash into ``_USER_PARTITIONS`` fixed partitions; ONE
+    vectorized pass per partition — sort by (user, ts), then per step a
+    boolean-mask + first-per-user reduction (np.unique on the eligible
+    rows' user index) advances every user's frontier at once. No per-user
+    Python dispatch, no self-joins; non-step events still mark user
+    presence (depth 0 rows), mirroring the oracle's DISTINCT-user base."""
+
+    code_of = {s: k for k, s in enumerate(steps)}
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        et = batch["event_type"].to_pylist()
+        code = np.fromiter(
+            (code_of.get(t, -1) for t in et), dtype=np.int64, count=len(et)
+        )
+        return pa.table(
+            {
+                "q": pa.array((u % _USER_PARTITIONS).astype(np.int64)),
+                "user_id": batch["user_id"],
+                "ts_us": batch["ts"].cast(pa.int64()),
+                "code": pa.array(code),
+            }
+        )
+
+    n_steps = len(steps)
+
+    def funnel(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        code = group["code"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ts, uid))
+        uid, ts, code = uid[order], ts[order], code[order]
+        ud, inv = np.unique(uid, return_inverse=True)
+        depth = np.zeros(ud.size, dtype=np.int64)
+        t_prev = np.full(ud.size, np.iinfo(np.int64).min // 2, dtype=np.int64)
+        ts_out = np.full((n_steps, ud.size), -1, dtype=np.int64)
+        for k in range(n_steps):
+            elig = (code == k) & (depth[inv] == k) & (ts > t_prev[inv])
+            if k > 0:  # conversion window (anchor step is unconstrained)
+                elig &= ts <= t_prev[inv] + gap_us
+            if not elig.any():
+                continue
+            rows = np.nonzero(elig)[0]
+            # rows are (user, ts)-sorted: the first row per user IS the
+            # earliest eligible event for that user
+            iu, first = np.unique(inv[rows], return_index=True)
+            hit = rows[first]
+            depth[iu] = k + 1
+            t_prev[iu] = ts[hit]
+            ts_out[k][iu] = ts[hit]
+        cols = {"user_id": pa.array(ud), "depth": pa.array(depth)}
+        for k in range(n_steps):
+            cols[f"ts{k + 1}_us"] = pa.array(ts_out[k])
+        return pa.table(cols)
+
+    return (
+        read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_type"],
+        )
+        .map_batches(add_part, batch_format="pyarrow", batch_size=8192)
+        .groupby("q")
+        .map_groups(funnel, batch_format="pyarrow")
+    )
+
+
 def asof_join_events(sf_dir: str):
     """As-of join (an operator Ray Data lacks): each 'click' event matched
     to the SAME user's most recent 'view' event at ts ≤ click ts.

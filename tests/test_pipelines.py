@@ -1445,6 +1445,89 @@ class TestRunningUserTotals:
         assert u65["cum_n"].tolist() == [1, 2]
 
 
+class TestFunnelDepth:
+    def test_matches_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.pipelines.relational import (
+            FUNNEL_GAP_US,
+            FUNNEL_STEPS,
+            funnel_depth,
+        )
+
+        ev = pq.read_table(
+            f"{SF}/events.parquet", columns=["user_id", "ts", "event_type"]
+        ).to_pandas()
+        ev["ts_us"] = ev["ts"].values.astype("datetime64[us]").astype("int64")
+        got = (
+            funnel_depth(SF)
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        want_rows = []
+        for uid, g in ev.sort_values("ts_us").groupby("user_id"):
+            t_prev, depth, ts_steps = None, 0, [-1, -1, -1, -1]
+            for k, step in enumerate(FUNNEL_STEPS):
+                m = g[g["event_type"] == step]
+                if t_prev is not None:
+                    m = m[(m["ts_us"] > t_prev) & (m["ts_us"] <= t_prev + FUNNEL_GAP_US)]
+                if m.empty:
+                    break
+                t_prev = int(m["ts_us"].iloc[0])
+                depth, ts_steps[k] = k + 1, t_prev
+            want_rows.append((uid, depth, *ts_steps))
+        for i, (uid, depth, t1, t2, t3, t4) in enumerate(sorted(want_rows)):
+            row = got.iloc[i]
+            assert (row.user_id, row.depth) == (uid, depth)
+            assert [row.ts1_us, row.ts2_us, row.ts3_us, row.ts4_us] == [t1, t2, t3, t4]
+        # non-vacuous: more than one depth realized
+        assert got["depth"].nunique() > 1
+
+    def test_anchored_semantics_and_window_boundary(self, ray_session):
+        """The funnel anchors at the FIRST step-0 event (no re-anchoring,
+        even when a later anchor would convert deeper), and the conversion
+        window is closed at exactly +gap."""
+        import tempfile
+
+        import pandas as pd
+
+        from searchengine_ray.pipelines.relational import funnel_depth
+
+        base = pd.Timestamp("2024-01-01")
+        h = pd.Timedelta(hours=1)
+        rows = [
+            # user 1: first view at t0; only click is 30h later (outside
+            # 24h window) but a SECOND view at t0+10h would put the click
+            # inside ITS window — anchored semantics must still stop at 1
+            (1, base, "view"),
+            (1, base + 10 * h, "view"),
+            (1, base + 30 * h, "click"),
+            # user 2: click exactly AT the +24h boundary — included (<=)
+            (2, base, "view"),
+            (2, base + 24 * h, "click"),
+            # user 3: click one µs past the boundary — excluded
+            (3, base, "view"),
+            (3, base + 24 * h + pd.Timedelta(microseconds=1), "click"),
+        ]
+        tmp = tempfile.mkdtemp()
+        df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+        # match the TESTDATA contract: events.ts is timestamp[us] (pandas
+        # defaults to ns, which would shrink the µs gap window 1000×)
+        df["ts"] = df["ts"].astype("datetime64[us]")
+        df.to_parquet(f"{tmp}/events.parquet", index=False)
+        out = (
+            funnel_depth(tmp)
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        assert out["depth"].tolist() == [1, 2, 1]
+        assert out.loc[1, "ts2_us"] == int(
+            (base + 24 * h).to_datetime64().astype("datetime64[us]").astype("int64")
+        )
+
+
 class TestQ18LargeOrders:
     def _reference(self, min_qty, limit):
         import pyarrow.parquet as pq
