@@ -226,7 +226,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_turns": dedup_turns_check,  # oracle: window first-wins over planted dupes
         # --- conversation-level curation (turns → chat documents) ---
         "conversation_assemble": conversation_assemble,  # oracle: string_agg ORDER BY
-        "conv_prefix_dedup": conv_prefix_dedup,  # oracle: md5 of first-k-turn join
         # --- windowed aggregate + broadcast join (wide-op patterns) ---
         # fact-fact co-partition join + broadcast semi-join (TPC-H Q3 shape)
         "q3_shipping_priority": relational.q3_shipping_priority,
@@ -241,6 +240,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # funnel): greedy-earliest per-step frontier, one vectorized pass
         # per user partition (oracle: chained correlated-min CTEs; r4)
         "funnel_depth": relational.funnel_depth,
+        # cohort retention matrix: first-signup day anchor + distinct
+        # weekly activity per cohort, all local to one user co-partition
+        # (oracle: min-signup CTE + DISTINCT join; r4)
+        "retention_cohorts": relational.retention_cohorts,
         # TPC-H Q1 multi-aggregate in one pass: exact integer money partials
         # (cents / cents×hundredths / cents×hundredths²), ≤6-group exchange (r4)
         "q1_pricing_summary": relational.q1_pricing_summary,
@@ -359,6 +362,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (driver-green in CORRECTNESS_r03.json); the flat-token surface
         # stays exercised in-window by quality_score (shares n_tokens)
         "token_count": textstats.token_count,
+        # first-k-turn prefix dedup; kernel unchanged since r3 (driver-green
+        # in CORRECTNESS_r03.json); the conv-partition assemble surface
+        # stays exercised in-window by conversation_assemble
+        "conv_prefix_dedup": conv_prefix_dedup,
         # tumbling windows; hash-green r1-r4 and its window-key surface is
         # exercised in-window by the sliding_window_events superset. Its
         # map-side partial moved into the shared _bucket_partial helper the
@@ -1135,6 +1142,22 @@ FROM u LEFT JOIN s1 ON u.user_id = s1.user_id
        LEFT JOIN s2 ON u.user_id = s2.user_id
        LEFT JOIN s3 ON u.user_id = s3.user_id
        LEFT JOIN s4 ON u.user_id = s4.user_id""",
+        # retention: day-truncated first-signup anchor; week offsets by
+        # whole-day difference // 7; DISTINCT user per cell; pre-cohort
+        # events excluded
+        "retention_cohorts": """
+WITH c AS (SELECT user_id, date_trunc('day', min(ts)) AS cohort
+           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+a AS (SELECT DISTINCT c.cohort,
+             CAST(floor(date_diff('day', c.cohort,
+                                  date_trunc('day', e.ts)) / 7) AS BIGINT)
+                 AS week_offset,
+             e.user_id
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE date_trunc('day', e.ts) >= c.cohort)
+SELECT CAST(epoch_us(cohort) AS BIGINT) AS cohort_day_us, week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM a GROUP BY 1, 2 ORDER BY 1, 2""",
         # running window aggregates: int64 cents make every running sum
         # exact on both sides; (user_id, ts) is unique so ORDER BY ts is a
         # total order within each partition

@@ -295,6 +295,92 @@ def funnel_depth(sf_dir: str, steps: tuple[str, ...] = FUNNEL_STEPS,
     )
 
 
+def retention_cohorts(sf_dir: str):
+    """Cohort retention matrix: users cohorted by the DAY of their first
+    ``signup`` event; for every (cohort_day, week_offset) cell, the number
+    of DISTINCT cohort members with any event in that week (events before
+    the cohort day are excluded) → (cohort_day_us, week_offset, n_users).
+
+    Shape: one co-partition on user — each fixed user-hash partition owns
+    every event of its users, so the first-signup anchor (segmented min),
+    the per-event week offsets, and the DISTINCT (cohort, week, user)
+    dedup all resolve locally in one vectorized pass; only per-cell count
+    partials (≤ cohorts × weeks rows per partition) reach the final
+    aggregate. The cell matrix is bounded by the calendar, not the corpus,
+    so the driver-side final is contractually small."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        et = batch["event_type"].to_pylist()
+        is_signup = np.fromiter(
+            (t == "signup" for t in et), dtype=bool, count=len(et)
+        )
+        return pa.table(
+            {
+                "q": pa.array((u % _USER_PARTITIONS).astype(np.int64)),
+                "user_id": batch["user_id"],
+                "ts_us": batch["ts"].cast(pa.int64()),
+                "signup": pa.array(is_signup),
+            }
+        )
+
+    def cells(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sgn = group["signup"].to_numpy(zero_copy_only=False)
+        empty = pa.table({"cohort_day_us": pa.array([], type=pa.int64()),
+                          "week_offset": pa.array([], type=pa.int64()),
+                          "n": pa.array([], type=pa.int64())})
+        if not sgn.any():
+            return empty
+        ud, inv = np.unique(uid, return_inverse=True)
+        # first-signup anchor per user, truncated to day
+        first = np.full(ud.size, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(first, inv[sgn], ts[sgn])
+        cohorted = first != np.iinfo(np.int64).max
+        cohort_day = np.where(cohorted, (first // DAY_US) * DAY_US, -1)
+        # per-event cells for cohorted users, events at/after the cohort day
+        row_cd = cohort_day[inv]
+        day = (ts // DAY_US) * DAY_US
+        m = cohorted[inv] & (day >= row_cd)
+        week = (day[m] - row_cd[m]) // (7 * DAY_US)
+        # distinct (cohort, week, user) — partition owns all of a user's
+        # events, so local dedup IS global dedup
+        trip = np.unique(np.stack([row_cd[m], week, uid[m]], axis=1), axis=0)
+        cw, n = np.unique(trip[:, :2], axis=0, return_counts=True)
+        return pa.table(
+            {
+                "cohort_day_us": pa.array(cw[:, 0]),
+                "week_offset": pa.array(cw[:, 1]),
+                "n": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    parts = (
+        read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_type"],
+        )
+        .map_batches(add_part, batch_format="pyarrow", batch_size=8192)
+        .groupby("q")
+        .map_groups(cells, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if parts.empty:
+        return pa.table({"cohort_day_us": pa.array([], type=pa.int64()),
+                         "week_offset": pa.array([], type=pa.int64()),
+                         "n_users": pa.array([], type=pa.int64())})
+    agg = parts.groupby(["cohort_day_us", "week_offset"], as_index=False)["n"].sum()
+    agg = agg.sort_values(["cohort_day_us", "week_offset"]).reset_index(drop=True)
+    return pa.table(
+        {
+            "cohort_day_us": pa.array(agg["cohort_day_us"].to_numpy(dtype=np.int64)),
+            "week_offset": pa.array(agg["week_offset"].to_numpy(dtype=np.int64)),
+            "n_users": pa.array(agg["n"].to_numpy(dtype=np.int64)),
+        }
+    )
+
+
 def asof_join_events(sf_dir: str):
     """As-of join (an operator Ray Data lacks): each 'click' event matched
     to the SAME user's most recent 'view' event at ts ≤ click ts.

@@ -1445,6 +1445,67 @@ class TestRunningUserTotals:
         assert u65["cum_n"].tolist() == [1, 2]
 
 
+class TestRetentionCohorts:
+    def test_matches_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.pipelines.relational import DAY_US, retention_cohorts
+
+        ev = pq.read_table(
+            f"{SF}/events.parquet", columns=["user_id", "ts", "event_type"]
+        ).to_pandas()
+        ev["ts_us"] = ev["ts"].values.astype("datetime64[us]").astype("int64")
+        sign = ev[ev["event_type"] == "signup"]
+        cohort = (sign.groupby("user_id")["ts_us"].min() // DAY_US) * DAY_US
+        cells = set()
+        for r in ev.itertuples():
+            cd = cohort.get(r.user_id)
+            if cd is None:
+                continue
+            day = (r.ts_us // DAY_US) * DAY_US
+            if day < cd:
+                continue
+            cells.add((cd, (day - cd) // (7 * DAY_US), r.user_id))
+        want: dict[tuple, int] = {}
+        for cd, w, _ in cells:
+            want[(cd, w)] = want.get((cd, w), 0) + 1
+        got = retention_cohorts(SF).to_pandas()
+        assert len(got) == len(want) > 0
+        for r in got.itertuples():
+            assert want[(r.cohort_day_us, r.week_offset)] == r.n_users
+        # non-vacuous: week 0 exists and some cohort retains past week 0
+        assert (got["week_offset"] == 0).any()
+        assert (got["week_offset"] > 0).any()
+
+    def test_pre_cohort_events_excluded(self, ray_session):
+        """Activity before the signup day must not appear in any cell, and
+        users who never sign up must be absent entirely."""
+        import tempfile
+
+        import pandas as pd
+
+        from searchengine_ray.pipelines.relational import retention_cohorts
+
+        base = pd.Timestamp("2024-03-10")
+        d = pd.Timedelta(days=1)
+        rows = [
+            (1, base - 5 * d, "view"),     # pre-cohort: excluded
+            (1, base, "signup"),           # cohort day
+            (1, base + 8 * d, "click"),    # week 1
+            (2, base + 3 * d, "view"),     # never signs up: absent
+        ]
+        tmp = tempfile.mkdtemp()
+        df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+        df["ts"] = df["ts"].astype("datetime64[us]")
+        df.to_parquet(f"{tmp}/events.parquet", index=False)
+        out = retention_cohorts(tmp).to_pandas()
+        cd = int(base.to_datetime64().astype("datetime64[us]").astype("int64"))
+        assert [tuple(r) for r in out.itertuples(index=False)] == [
+            (cd, 0, 1),  # the signup itself
+            (cd, 1, 1),  # the week-1 click
+        ]
+
+
 class TestFunnelDepth:
     def test_matches_bruteforce(self, ray_session):
         import pyarrow.parquet as pq
