@@ -131,6 +131,23 @@ def sessionize_events(sf_dir: str):
     )
 
 
+def _user_part_table(batch: pa.Table, extra: dict) -> pa.Table:
+    """Shared user-hash shuffle projection for the per-user event
+    operators added this round (running/funnel/retention): q = user %
+    _USER_PARTITIONS plus the µs timestamp, with operator-specific extra
+    columns appended. The r3-frozen kernels (sessionize, as-of) keep their
+    inline copies — touching them would re-open their
+    unchanged-since-driver-green rotation status for a pure refactor."""
+    u = batch["user_id"].to_numpy(zero_copy_only=False)
+    cols = {
+        "q": pa.array((u % _USER_PARTITIONS).astype(np.int64)),
+        "user_id": batch["user_id"],
+        "ts_us": batch["ts"].cast(pa.int64()),
+    }
+    cols.update(extra)
+    return pa.table(cols)
+
+
 def running_user_totals(sf_dir: str):
     """Per-user RUNNING window aggregates over event time — the ROWS-frame
     window-function surface (sum/count/max OVER (PARTITION BY user ORDER BY
@@ -147,18 +164,11 @@ def running_user_totals(sf_dir: str):
     distributed Dataset."""
 
     def add_part(batch: pa.Table) -> pa.Table:
-        u = batch["user_id"].to_numpy(zero_copy_only=False)
         cents = np.rint(
             batch["value"].to_numpy(zero_copy_only=False) * 100.0
         ).astype(np.int64)
-        return pa.table(
-            {
-                "user_id": batch["user_id"],
-                "event_id": batch["event_id"],
-                "ts_us": batch["ts"].cast(pa.int64()),
-                "cents": pa.array(cents),
-                "q": pa.array((u % _USER_PARTITIONS).astype(np.int64)),
-            }
+        return _user_part_table(
+            batch, {"event_id": batch["event_id"], "cents": pa.array(cents)}
         )
 
     def running(group: pa.Table) -> pa.Table:
@@ -236,22 +246,16 @@ def funnel_depth(sf_dir: str, steps: tuple[str, ...] = FUNNEL_STEPS,
     Python dispatch, no self-joins; non-step events still mark user
     presence (depth 0 rows), mirroring the oracle's DISTINCT-user base."""
 
-    code_of = {s: k for k, s in enumerate(steps)}
+    step_set = pa.array(list(steps), type=pa.string())
 
     def add_part(batch: pa.Table) -> pa.Table:
-        u = batch["user_id"].to_numpy(zero_copy_only=False)
-        et = batch["event_type"].to_pylist()
-        code = np.fromiter(
-            (code_of.get(t, -1) for t in et), dtype=np.int64, count=len(et)
-        )
-        return pa.table(
-            {
-                "q": pa.array((u % _USER_PARTITIONS).astype(np.int64)),
-                "user_id": batch["user_id"],
-                "ts_us": batch["ts"].cast(pa.int64()),
-                "code": pa.array(code),
-            }
-        )
+        import pyarrow.compute as pc
+
+        # vectorized step coding: index_in gives the step index or null
+        code = pc.fill_null(
+            pc.index_in(batch["event_type"], value_set=step_set), -1
+        ).cast(pa.int64())
+        return _user_part_table(batch, {"code": code})
 
     n_steps = len(steps)
 
@@ -310,18 +314,12 @@ def retention_cohorts(sf_dir: str):
     so the driver-side final is contractually small."""
 
     def add_part(batch: pa.Table) -> pa.Table:
-        u = batch["user_id"].to_numpy(zero_copy_only=False)
-        et = batch["event_type"].to_pylist()
-        is_signup = np.fromiter(
-            (t == "signup" for t in et), dtype=bool, count=len(et)
-        )
-        return pa.table(
-            {
-                "q": pa.array((u % _USER_PARTITIONS).astype(np.int64)),
-                "user_id": batch["user_id"],
-                "ts_us": batch["ts"].cast(pa.int64()),
-                "signup": pa.array(is_signup),
-            }
+        import pyarrow.compute as pc
+
+        return _user_part_table(
+            batch,
+            {"signup": pc.equal(
+                pc.fill_null(batch["event_type"], ""), "signup")},
         )
 
     def cells(group: pa.Table) -> pa.Table:
