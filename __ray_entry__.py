@@ -250,6 +250,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact distributed COUNT(DISTINCT): map-side pair dedup →
         # hash-co-partition on user → per-partition counts (r4)
         "ndistinct_users": relational.ndistinct_users,
+        # HyperLogLog sketch BUILD: per-batch max-merged registers,
+        # ≤256-group exchange; the integer register table is the output,
+        # so the sketch state itself hash-checks (estimator pytest-bounded
+        # vs exact; oracle: md5-prefix bit arithmetic; r4)
+        "hll_registers": relational.hll_registers,
         # hash ANTI-join at fact scale: customers with no order after the
         # cutoff, per nation (oracle: NOT EXISTS; r4)
         "anti_join_customers": relational.anti_join_customers,
@@ -283,7 +288,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_search": similarity.semantic_search,  # oracle: cosine top-k ⋈ documents
         # CC over the embedding-channel near-dup pairs (planted fixtures)
         "embedding_cluster": lambda sf: similarity.embedding_cluster(sf, 0.95, plant=True),
-        "lsh_knn": lambda sf: similarity.lsh_knn(sf, query_vec_id=0, k=10),  # oracle: probe-bucket cosine top-k
         # literal-centroid mode (VERDICT r3 item 3): fixed seeded codebook →
         # DuckDB reproduces the argmax over the same literal vectors; the
         # engine-TRAINED path stays pytest-covered (determinism + quality)
@@ -366,6 +370,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in CORRECTNESS_r03.json); the conv-partition assemble surface
         # stays exercised in-window by conversation_assemble
         "conv_prefix_dedup": conv_prefix_dedup,
+        # persisted-LSH-index probe read; kernel unchanged since r3
+        # (driver-green in CORRECTNESS_r03.json); the hyperplane-bucket
+        # surface stays exercised in-window by lsh-bucketed
+        # embedding_neardup/embedding_cluster and literal-centroid ivf_knn
+        "lsh_knn": lambda sf: similarity.lsh_knn(sf, query_vec_id=0, k=10),
         # tumbling windows; hash-green r1-r4 and its window-key surface is
         # exercised in-window by the sliding_window_events superset. Its
         # map-side partial moved into the shared _bucket_partial helper the
@@ -1142,6 +1151,33 @@ FROM u LEFT JOIN s1 ON u.user_id = s1.user_id
        LEFT JOIN s2 ON u.user_id = s2.user_id
        LEFT JOIN s3 ON u.user_id = s3.user_id
        LEFT JOIN s4 ON u.user_id = s4.user_id""",
+        # HLL registers: md5(user_id-as-varchar) first 16 hex chars is the
+        # engine's 64-bit hash (the _simhash_hash64 convention); reg = top
+        # 8 bits, rho = 57 - bit_length(low 56 bits), 57 when they are 0;
+        # exact integer bit arithmetic throughout (shifts, minimal-width
+        # bin()), dense 256-row fill via range LEFT JOIN
+        "hll_registers": """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+h AS (SELECT md5(CAST(user_id AS VARCHAR)) AS hx FROM u),
+parts AS (
+  SELECT hx,
+         (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS reg_idx,
+         CAST(sum((strpos('0123456789abcdef',
+                          substr(hx, CAST(3 + t.i AS INT), 1)) - 1)
+                  * (CAST(1 AS BIGINT) << CAST(4 * (13 - t.i) AS INT)))
+              AS BIGINT) AS rem
+  FROM h, LATERAL unnest(range(0, 14)) AS t(i)
+  GROUP BY hx
+),
+r AS (SELECT reg_idx,
+             CAST(max(CASE WHEN rem = 0 THEN 57
+                           ELSE 57 - length(bin(rem)) END) AS BIGINT)
+                 AS max_rho
+      FROM parts GROUP BY reg_idx)
+SELECT CAST(t.i AS BIGINT) AS reg_idx, coalesce(r.max_rho, 0) AS max_rho
+FROM unnest(range(0, 256)) AS t(i) LEFT JOIN r ON r.reg_idx = t.i
+ORDER BY 1""",
         # retention: day-truncated first-signup anchor; week offsets by
         # whole-day difference // 7; DISTINCT user per cell; pre-cohort
         # events excluded

@@ -1262,6 +1262,80 @@ def q1_pricing_summary(sf_dir: str):
     })
 
 
+HLL_B = 8  # register-index bits → m = 256 registers
+_HLL_M = 1 << HLL_B
+
+
+def _hll_hash64(v: int) -> int:
+    """First 8 bytes of md5(str(v)), big-endian — the repo's established
+    SQL-reproducible hash convention (``dedup._simhash_hash64`` precedent)."""
+    import hashlib
+
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:16], 16)
+
+
+def hll_registers(sf_dir: str, column: str = "user_id"):
+    """Distributed HyperLogLog sketch BUILD over ``events.column`` —
+    the mergeable cardinality sketch (Flajolet et al. 2007): every value
+    hashes to (register = top ``HLL_B`` bits, rho = leading-zero count of
+    the remaining 56 bits + 1) and each register keeps the max rho. The
+    output is the DENSE register table (reg_idx, max_rho; 0 = never hit) —
+    exact integers, so the sketch state itself is oracle-checkable; the
+    floating-point estimator lives in :func:`hll_estimate` and is
+    pytest-bounded against the exact count.
+
+    Scale shape: register partials merge by MAX, so each batch collapses
+    to ≤ m = 256 (reg, rho) rows regardless of row count, a ≤256-group
+    exchange merges them, and the dense fill happens on the ≤256-row
+    driver result. One pass, no distinct-set state anywhere — the whole
+    point of the sketch at 100 TB."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[column].to_numpy(zero_copy_only=False).astype(np.int64)
+        uv = np.unique(v)
+        regs = np.zeros(_HLL_M, dtype=np.int64)
+        for x in uv.tolist():  # md5 per DISTINCT value in the batch
+            h = _hll_hash64(x)
+            idx = h >> 56
+            rem = h & ((1 << 56) - 1)
+            rho = 57 - rem.bit_length() if rem else 57
+            if rho > regs[idx]:
+                regs[idx] = rho
+        nz = np.nonzero(regs)[0]
+        return pa.table({"reg_idx": pa.array(nz.astype(np.int64)),
+                         "max_rho": pa.array(regs[nz])})
+
+    parts = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=[column])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("reg_idx")
+        .max("max_rho")
+        .to_pandas()
+    )
+    regs = np.zeros(_HLL_M, dtype=np.int64)
+    if not parts.empty:
+        regs[parts["reg_idx"].to_numpy(dtype=np.int64)] = (
+            parts["max(max_rho)"].to_numpy(dtype=np.int64))
+    return pa.table({"reg_idx": pa.array(np.arange(_HLL_M, dtype=np.int64)),
+                     "max_rho": pa.array(regs)})
+
+
+def hll_estimate(sf_dir: str, column: str = "user_id") -> float:
+    """HyperLogLog cardinality estimate from :func:`hll_registers`, with
+    the standard small-range (linear counting) and bias corrections —
+    deterministic given the md5 hash, pytest-bounded vs the exact count."""
+    regs = hll_registers(sf_dir, column)["max_rho"].to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    m = float(_HLL_M)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int(np.sum(regs == 0))
+    if est <= 2.5 * m and zeros:
+        return float(m * np.log(m / zeros))  # linear counting
+    return float(est)
+
+
 def ndistinct_users(sf_dir: str):
     """(event_type, n_users): EXACT distributed COUNT(DISTINCT user_id) per
     event type — the distinct-aggregate shape none of the other entries

@@ -1445,6 +1445,67 @@ class TestRunningUserTotals:
         assert u65["cum_n"].tolist() == [1, 2]
 
 
+class TestHllRegisters:
+    @staticmethod
+    def _brute_regs(values):
+        from searchengine_ray.pipelines.relational import _HLL_M, _hll_hash64
+
+        regs = np.zeros(_HLL_M, dtype=np.int64)
+        for v in set(values):
+            h = _hll_hash64(int(v))
+            idx, rem = h >> 56, h & ((1 << 56) - 1)
+            rho = 57 - rem.bit_length() if rem else 57
+            regs[idx] = max(regs[idx], rho)
+        return regs
+
+    def test_matches_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.pipelines.relational import hll_registers
+
+        users = pq.read_table(
+            f"{SF}/events.parquet", columns=["user_id"]
+        )["user_id"].to_numpy(zero_copy_only=False)
+        want = self._brute_regs(users.tolist())
+        got = hll_registers(SF).to_pandas().sort_values("reg_idx")
+        assert got["max_rho"].tolist() == want.tolist()
+        assert len(got) == 256  # dense, empty registers included
+
+    def test_estimate_within_hll_error(self, ray_session):
+        """Large-cardinality fixture exercises the raw-estimate branch
+        (n >> 2.5m); the md5-seeded estimator must land within ~3σ of
+        exact (σ = 1.04/√256 ≈ 6.5%)."""
+        import tempfile
+
+        import pandas as pd
+
+        from searchengine_ray.pipelines.relational import hll_estimate
+
+        n = 5000
+        tmp = tempfile.mkdtemp()
+        df = pd.DataFrame(
+            {
+                "user_id": np.arange(n, dtype=np.int64),
+                "ts": pd.Timestamp("2024-01-01"),
+            }
+        )
+        df["ts"] = df["ts"].astype("datetime64[us]")
+        df.to_parquet(f"{tmp}/events.parquet", index=False)
+        est = hll_estimate(tmp)
+        assert abs(est - n) / n < 0.2
+        # small range uses linear counting: sf fixture (15 users) is tight
+        est_small = hll_estimate(SF)
+        assert abs(est_small - 15) / 15 < 0.2
+
+    def test_registers_merge_by_max(self, ray_session):
+        """The sketch property that makes the build distributable: the
+        union's registers are the elementwise max of the parts'."""
+        a = self._brute_regs(range(0, 400))
+        b = self._brute_regs(range(200, 700))
+        u = self._brute_regs(range(0, 700))
+        assert np.maximum(a, b).tolist() == u.tolist()
+
+
 class TestRetentionCohorts:
     def test_matches_bruteforce(self, ray_session):
         import pyarrow.parquet as pq
