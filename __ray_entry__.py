@@ -250,6 +250,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact distributed COUNT(DISTINCT): map-side pair dedup →
         # hash-co-partition on user → per-partition counts (r4)
         "ndistinct_users": relational.ndistinct_users,
+        # Count-Min sketch BUILD: per-batch sum-merged cells, ≤256-group
+        # exchange; the integer cell table is the output so the sketch
+        # state hash-checks (point-query bound pytest-verified; r4)
+        "countmin_cells": relational.countmin_cells,
         # HyperLogLog sketch BUILD: per-batch max-merged registers,
         # ≤256-group exchange; the integer register table is the output,
         # so the sketch state itself hash-checks (estimator pytest-bounded
@@ -308,7 +312,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle: the cluster CTE LEFT JOINed onto the full id stream (r4)
         "semantic_dedup": lambda sf: similarity.semantic_dedup(sf, 0.95, plant=True),
         # --- text analysis ---
-        "quality_score": textstats.quality_score,
         # percentile pruning: global quantile_disc threshold from ONE
         # counting pass over the 4-dp score lattice, then a streamed
         # filter (oracle: scores CTE + quantile_disc subquery; r4)
@@ -375,6 +378,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # surface stays exercised in-window by lsh-bucketed
         # embedding_neardup/embedding_cluster and literal-centroid ivf_knn
         "lsh_knn": lambda sf: similarity.lsh_knn(sf, query_vec_id=0, k=10),
+        # per-doc quality heuristics; kernel unchanged since r3 (driver-green
+        # in CORRECTNESS_r03.json); its expressions are embedded verbatim
+        # in the in-window quality_filter / group_topk_docs oracles, and
+        # quality_filter re-checks (doc_id, n_tokens, quality_r) values for
+        # the whole top quartile
+        "quality_score": textstats.quality_score,
         # tumbling windows; hash-green r1-r4 and its window-key surface is
         # exercised in-window by the sliding_window_events superset. Its
         # map-side partial moved into the shared _bucket_partial helper the
@@ -1151,6 +1160,34 @@ FROM u LEFT JOIN s1 ON u.user_id = s1.user_id
        LEFT JOIN s2 ON u.user_id = s2.user_id
        LEFT JOIN s3 ON u.user_id = s3.user_id
        LEFT JOIN s4 ON u.user_id = s4.user_id""",
+        # Count-Min cells: row-salted md5 prefix (f"{j}:{user_id}"), low
+        # 56 bits mod 64 picks the bucket; every event adds 1; dense
+        # 4×64 grid via range cross-join LEFT JOIN
+        "countmin_cells": """
+WITH cnt AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+             FROM events GROUP BY user_id),
+hx AS (
+  SELECT j.j, md5(CAST(j.j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR))
+             AS hx, c
+  FROM cnt, LATERAL unnest(range(0, 4)) AS j(j)
+),
+parts AS (
+  SELECT j, hx, c,
+         CAST(sum((strpos('0123456789abcdef',
+                          substr(hx, CAST(3 + t.i AS INT), 1)) - 1)
+                  * (CAST(1 AS BIGINT) << CAST(4 * (13 - t.i) AS INT)))
+              AS BIGINT) % 64 AS bucket
+  FROM hx, LATERAL unnest(range(0, 14)) AS t(i)
+  GROUP BY j, hx, c
+),
+cells AS (SELECT j, bucket, CAST(sum(c) AS BIGINT) AS cnt
+          FROM parts GROUP BY j, bucket)
+SELECT CAST(g.j AS BIGINT) AS row_j, CAST(g.b AS BIGINT) AS bucket,
+       coalesce(cells.cnt, 0) AS count
+FROM (SELECT j.j, b.b FROM unnest(range(0, 4)) AS j(j),
+      LATERAL unnest(range(0, 64)) AS b(b)) g
+LEFT JOIN cells ON cells.j = g.j AND cells.bucket = g.b
+ORDER BY 1, 2""",
         # HLL registers: md5(user_id-as-varchar) first 16 hex chars is the
         # engine's 64-bit hash (the _simhash_hash64 convention); reg = top
         # 8 bits, rho = 57 - bit_length(low 56 bits), 57 when they are 0;

@@ -1336,6 +1336,73 @@ def hll_estimate(sf_dir: str, column: str = "user_id") -> float:
     return float(est)
 
 
+CM_D = 4   # count-min hash rows
+CM_W = 64  # buckets per row
+
+
+def _cm_bucket(j: int, v: int) -> int:
+    """Row-j count-min bucket of value v: low 56 bits of
+    md5(f"{j}:{v}") mod CM_W — the md5-prefix convention, salted per row."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{j}:{v}".encode()).hexdigest()[:16], 16)
+    return (h & ((1 << 56) - 1)) % CM_W
+
+
+def countmin_cells(sf_dir: str, column: str = "user_id"):
+    """Distributed Count-Min sketch BUILD over ``events.column`` — the
+    mergeable frequency sketch (Cormode & Muthukrishnan 2005): every
+    occurrence adds 1 to one bucket per hash row, and a point query reads
+    the MIN across rows (never under-counts). Output is the dense cell
+    table (row_j, bucket, count) — exact integers, so the sketch state is
+    oracle-checkable; the point-query bound lives in
+    :func:`countmin_query` and is pytest-verified.
+
+    Scale shape: cell partials merge by SUM, so each batch collapses to
+    ≤ d×w = 256 cells regardless of row count, a ≤256-group exchange sums
+    them, and the dense fill happens on the 256-row driver result — the
+    additive mirror of :func:`hll_registers`' max-merge."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[column].to_numpy(zero_copy_only=False).astype(np.int64)
+        uv, cnt = np.unique(v, return_counts=True)
+        cells = np.zeros((CM_D, CM_W), dtype=np.int64)
+        for x, c in zip(uv.tolist(), cnt.tolist()):
+            for j in range(CM_D):
+                cells[j, _cm_bucket(j, x)] += c
+        jj, bb = np.nonzero(cells)
+        return pa.table({"cell": pa.array(jj.astype(np.int64) * CM_W + bb),
+                         "c": pa.array(cells[jj, bb])})
+
+    parts = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=[column])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("cell")
+        .sum("c")
+        .to_pandas()
+    )
+    dense = np.zeros(CM_D * CM_W, dtype=np.int64)
+    if not parts.empty:
+        dense[parts["cell"].to_numpy(dtype=np.int64)] = (
+            parts["sum(c)"].to_numpy(dtype=np.int64))
+    idx = np.arange(CM_D * CM_W, dtype=np.int64)
+    return pa.table({"row_j": pa.array(idx // CM_W),
+                     "bucket": pa.array(idx % CM_W),
+                     "count": pa.array(dense)})
+
+
+def countmin_query(sf_dir: str, values, column: str = "user_id"):
+    """Point-query the count-min sketch: min across rows of each value's
+    bucket — ≥ the true frequency by construction (pytest-verified)."""
+    t = countmin_cells(sf_dir, column)
+    dense = t["count"].to_numpy(zero_copy_only=False).reshape(CM_D, CM_W)
+    return {
+        int(v): int(min(dense[j, _cm_bucket(j, int(v))] for j in range(CM_D)))
+        for v in values
+    }
+
+
 def ndistinct_users(sf_dir: str):
     """(event_type, n_users): EXACT distributed COUNT(DISTINCT user_id) per
     event type — the distinct-aggregate shape none of the other entries

@@ -1506,6 +1506,46 @@ class TestHllRegisters:
         assert np.maximum(a, b).tolist() == u.tolist()
 
 
+class TestCountMin:
+    def test_matches_bruteforce_and_mass(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.pipelines.relational import (
+            CM_D,
+            CM_W,
+            _cm_bucket,
+            countmin_cells,
+        )
+
+        users = pq.read_table(
+            f"{SF}/events.parquet", columns=["user_id"]
+        )["user_id"].to_numpy(zero_copy_only=False)
+        want = np.zeros((CM_D, CM_W), dtype=np.int64)
+        for u in users.tolist():
+            for j in range(CM_D):
+                want[j, _cm_bucket(j, int(u))] += 1
+        got = countmin_cells(SF).to_pandas().sort_values(["row_j", "bucket"])
+        assert got["count"].to_numpy().reshape(CM_D, CM_W).tolist() == want.tolist()
+        # every row preserves total mass (sum-merge invariant)
+        assert (got.groupby("row_j")["count"].sum() == len(users)).all()
+
+    def test_point_query_never_undercounts(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.pipelines.relational import countmin_query
+
+        users = pq.read_table(
+            f"{SF}/events.parquet", columns=["user_id"]
+        )["user_id"].to_numpy(zero_copy_only=False)
+        uv, cnt = np.unique(users, return_counts=True)
+        truth = dict(zip(uv.tolist(), cnt.tolist()))
+        est = countmin_query(SF, uv.tolist())
+        assert all(est[u] >= truth[u] for u in truth)
+        # d=4 rows over 64 buckets with 15 users: at least one value
+        # should be exact (min across rows kills most collisions)
+        assert any(est[u] == truth[u] for u in truth)
+
+
 class TestRetentionCohorts:
     def test_matches_bruteforce(self, ray_session):
         import pyarrow.parquet as pq
