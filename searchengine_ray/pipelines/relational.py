@@ -24,6 +24,7 @@ import os
 import numpy as np
 import pyarrow as pa
 
+from searchengine_ray.pipelines.dedup import _memoized_hash64, _simhash_hash64
 from searchengine_ray.pipelines.fulltext import _round_vec
 from searchengine_ray.sources import read_parquet_clean
 
@@ -1266,12 +1267,10 @@ HLL_B = 8  # register-index bits → m = 256 registers
 _HLL_M = 1 << HLL_B
 
 
-def _hll_hash64(v: int) -> int:
-    """First 8 bytes of md5(str(v)), big-endian — the repo's established
-    SQL-reproducible hash convention (``dedup._simhash_hash64`` precedent)."""
-    import hashlib
-
-    return int(hashlib.md5(str(v).encode()).hexdigest()[:16], 16)
+# One shared md5-prefix convention: reuse dedup's hash (the SQL oracles on
+# both sides rebuild the SAME bytes), memoized because sketch inputs are
+# Zipf-skewed — hot keys recur in nearly every batch.
+_hll_hash64 = _memoized_hash64(_simhash_hash64)
 
 
 def hll_registers(sf_dir: str, column: str = "user_id"):
@@ -1295,7 +1294,7 @@ def hll_registers(sf_dir: str, column: str = "user_id"):
         uv = np.unique(v)
         regs = np.zeros(_HLL_M, dtype=np.int64)
         for x in uv.tolist():  # md5 per DISTINCT value in the batch
-            h = _hll_hash64(x)
+            h = _hll_hash64(str(x))
             idx = h >> 56
             rem = h & ((1 << 56) - 1)
             rho = 57 - rem.bit_length() if rem else 57
@@ -1342,10 +1341,9 @@ CM_W = 64  # buckets per row
 
 def _cm_bucket(j: int, v: int) -> int:
     """Row-j count-min bucket of value v: low 56 bits of
-    md5(f"{j}:{v}") mod CM_W — the md5-prefix convention, salted per row."""
-    import hashlib
-
-    h = int(hashlib.md5(f"{j}:{v}".encode()).hexdigest()[:16], 16)
+    md5(f"{j}:{v}") mod CM_W — the shared md5-prefix convention
+    (:func:`dedup._simhash_hash64`), salted per row and memoized."""
+    h = _hll_hash64(f"{j}:{v}")
     return (h & ((1 << 56) - 1)) % CM_W
 
 

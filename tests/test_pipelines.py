@@ -1452,7 +1452,7 @@ class TestHllRegisters:
 
         regs = np.zeros(_HLL_M, dtype=np.int64)
         for v in set(values):
-            h = _hll_hash64(int(v))
+            h = _hll_hash64(str(int(v)))
             idx, rem = h >> 56, h & ((1 << 56) - 1)
             rho = 57 - rem.bit_length() if rem else 57
             regs[idx] = max(regs[idx], rho)
@@ -1471,18 +1471,16 @@ class TestHllRegisters:
         assert got["max_rho"].tolist() == want.tolist()
         assert len(got) == 256  # dense, empty registers included
 
-    def test_estimate_within_hll_error(self, ray_session):
+    def test_estimate_within_hll_error(self, ray_session, tmp_path):
         """Large-cardinality fixture exercises the raw-estimate branch
         (n >> 2.5m); the md5-seeded estimator must land within ~3σ of
         exact (σ = 1.04/√256 ≈ 6.5%)."""
-        import tempfile
-
         import pandas as pd
 
         from searchengine_ray.pipelines.relational import hll_estimate
 
         n = 5000
-        tmp = tempfile.mkdtemp()
+        tmp = str(tmp_path)
         df = pd.DataFrame(
             {
                 "user_id": np.arange(n, dtype=np.int64),
@@ -1497,7 +1495,7 @@ class TestHllRegisters:
         est_small = hll_estimate(SF)
         assert abs(est_small - 15) / 15 < 0.2
 
-    def test_registers_merge_by_max(self, ray_session):
+    def test_registers_merge_by_max(self):
         """The sketch property that makes the build distributable: the
         union's registers are the elementwise max of the parts'."""
         a = self._brute_regs(range(0, 400))
