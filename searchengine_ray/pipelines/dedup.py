@@ -359,6 +359,119 @@ def duplication_ratio(sf_dir: str):
     )
 
 
+_LINE_WORDS = 5
+
+
+def _doc_lines(text: str, line_words: int = _LINE_WORDS) -> list[str]:
+    """Fixed-width word lines. The synthetic corpus has no newlines, so a
+    "line" is a run of ``line_words`` consecutive words (real corpora
+    would split on ``\\n``; only the segmentation rule differs).
+    ``"".split(" ") == [""]`` keeps an empty doc a single empty line on
+    both the engine and SQL sides."""
+    words = (text or "").split(" ")
+    return [
+        " ".join(words[i:i + line_words])
+        for i in range(0, len(words), line_words)
+    ]
+
+
+def _line_hashes(lines: list[str]) -> np.ndarray:
+    """int64 view of the memoized blake2b line hashes (the shingle-hash
+    convention: uint64 arithmetic, int64 container)."""
+    return np.fromiter(
+        (_token_hash(ln) for ln in lines), dtype=np.uint64, count=len(lines)
+    ).view(np.int64)
+
+
+def line_dedup(sf_dir: str, line_words: int = _LINE_WORDS,
+               min_docs: int = 2):
+    """C4-style duplicate-LINE removal with document rewrite — drop every
+    line whose exact text occurs in ≥ ``min_docs`` DISTINCT documents,
+    then rebuild each doc from its surviving lines in order (the
+    boilerplate/navigation scrub every web-corpus curation pipeline runs;
+    C4 §2.2 of Raffel et al. 2020 removes corpus-duplicated three-sentence
+    spans the same way). Output: (doc_id, text, n_lines, n_dropped), one
+    row per document — docs whose every line is duplicated come back with
+    empty text, not dropped rows.
+
+    Scale shape: pass 1 computes line doc-frequency at (line, doc) volume
+    — ``lemma_df`` shape, no pair enumeration — through ONE fixed-partition
+    exchange on line hash (lines distinct per doc map-side, so
+    rows-per-hash IS the doc frequency). The duplicated-line hash set is
+    bounded by DISTINCT duplicated lines, not corpus size; it collects to
+    the driver sorted and broadcasts once via ``ray.put`` (the
+    ``decontaminate`` pattern), and pass 2 rewrites each doc locally
+    against one ``searchsorted`` membership probe. A dup set too big for
+    one worker's heap would flip the probe to the hash-partitioned sig
+    join the dedup verify uses."""
+    import ray
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids_out, h_out = [], []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            hs = np.unique(_line_hashes(_doc_lines(text, line_words)))
+            if hs.size:
+                ids_out.append(np.full(hs.size, did, dtype=np.int64))
+                h_out.append(hs)
+        if not ids_out:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"q": z, "doc_id": z, "g": z})
+        ids = np.concatenate(ids_out)
+        hs = np.concatenate(h_out)
+        return pa.table({
+            "q": pa.array(
+                (hs.view(np.uint64) % _DEDUP_PARTITIONS).astype(np.int64)),
+            "doc_id": pa.array(ids),
+            "g": pa.array(hs),
+        })
+
+    def dup_hashes(group: pa.Table) -> pa.Table:
+        """Line-hash partition → hashes with doc frequency ≥ min_docs.
+        (hash, doc) rows are distinct by construction, so rows-per-hash
+        IS the doc frequency."""
+        g = group["g"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uh, cnt = np.unique(g, return_counts=True)
+        return pa.table({"g": pa.array(uh[cnt >= min_docs])})
+
+    parts = [
+        b["g"].to_numpy(zero_copy_only=False)
+        for b in read_documents(sf_dir)
+        .map_batches(explode, batch_format="pyarrow", batch_size=2048)
+        .groupby("q")
+        .map_groups(dup_hashes, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ]
+    dup = (np.unique(np.concatenate(parts)) if parts
+           else np.array([], dtype=np.int64))
+    dup_ref = ray.put(dup)
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        d = ray.get(dup_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_text, out_n, out_drop = [], [], []
+        for text in batch["text"].to_pylist():
+            lines = _doc_lines(text, line_words)
+            hs = _line_hashes(lines)
+            pos = np.searchsorted(d, hs).clip(0, max(d.size - 1, 0))
+            is_dup = (d[pos] == hs) if d.size else np.zeros(hs.size, bool)
+            kept = [ln for ln, bad in zip(lines, is_dup.tolist()) if not bad]
+            out_text.append(" ".join(kept))
+            out_n.append(len(lines))
+            out_drop.append(int(is_dup.sum()))
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "text": pa.array(out_text, type=pa.string()),
+            "n_lines": pa.array(np.asarray(out_n, dtype=np.int64)),
+            "n_dropped": pa.array(np.asarray(out_drop, dtype=np.int64)),
+        })
+
+    return read_documents(sf_dir).map_batches(
+        rewrite, batch_format="pyarrow", batch_size=2048
+    )
+
+
 def word_shingles(text: str, k: int = 3) -> set[int]:
     """Set view of ``word_shingle_array`` (brute-force/oracle path)."""
     return set(word_shingle_array(text, k).tolist())

@@ -1339,12 +1339,19 @@ CM_D = 4   # count-min hash rows
 CM_W = 64  # buckets per row
 
 
-def _cm_bucket(j: int, v: int) -> int:
-    """Row-j count-min bucket of value v: low 56 bits of
-    md5(f"{j}:{v}") mod CM_W — the shared md5-prefix convention
-    (:func:`dedup._simhash_hash64`), salted per row and memoized."""
+def _salted_bucket(j: int, v, w: int) -> int:
+    """Hash-function-j bucket of value v in a width-w table: low 56 bits
+    of md5(f"{j}:{v}") mod w — the shared md5-prefix convention
+    (:func:`dedup._simhash_hash64`), salted per hash row and memoized.
+    One helper serves the Count-Min and Bloom sketches so their SQL
+    oracles rebuild identical bytes."""
     h = _hll_hash64(f"{j}:{v}")
-    return (h & ((1 << 56) - 1)) % CM_W
+    return (h & ((1 << 56) - 1)) % w
+
+
+def _cm_bucket(j: int, v: int) -> int:
+    """Row-j count-min bucket of value v (see :func:`_salted_bucket`)."""
+    return _salted_bucket(j, v, CM_W)
 
 
 def countmin_cells(sf_dir: str, column: str = "user_id"):
@@ -1399,6 +1406,119 @@ def countmin_query(sf_dir: str, values, column: str = "user_id"):
         int(v): int(min(dense[j, _cm_bucket(j, int(v))] for j in range(CM_D)))
         for v in values
     }
+
+
+BLOOM_M = 512  # filter bits
+BLOOM_K = 3    # hash functions
+
+
+def bloom_bits(sf_dir: str, column: str = "user_id"):
+    """Distributed Bloom filter BUILD over ``events.column`` (Bloom 1970)
+    — the membership sketch that rounds out the mergeable-sketch family
+    (HLL = cardinality, Count-Min = frequency, Bloom = membership; at
+    100 TB this is the "have we seen this doc/url/user before" structure
+    a curation pipeline broadcasts instead of a distinct-key set). Each
+    value sets ``BLOOM_K`` row-salted md5 buckets; partials merge by OR.
+    Output is the dense (bit_idx, bit) table — exact integers, so the
+    filter state itself is oracle-checkable; the membership probe lives
+    in :func:`bloom_contains` (no false negatives, pytest-verified).
+
+    Scale shape: the additive mirror of :func:`hll_registers` — each
+    batch collapses to ≤ ``BLOOM_M`` set-bit rows regardless of row
+    count, a ≤``BLOOM_M``-group max-merge exchange finishes, and the
+    dense fill happens on the ≤512-row driver result."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[column].to_numpy(zero_copy_only=False).astype(np.int64)
+        uv = np.unique(v)
+        bits = np.zeros(BLOOM_M, dtype=bool)
+        for x in uv.tolist():  # md5 per DISTINCT value per hash row
+            for j in range(BLOOM_K):
+                bits[_salted_bucket(j, x, BLOOM_M)] = True
+        nz = np.nonzero(bits)[0]
+        return pa.table({"bit_idx": pa.array(nz.astype(np.int64)),
+                         "b": pa.array(np.ones(nz.size, dtype=np.int64))})
+
+    parts = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=[column])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("bit_idx")
+        .max("b")
+        .to_pandas()
+    )
+    bits = np.zeros(BLOOM_M, dtype=np.int64)
+    if not parts.empty:
+        bits[parts["bit_idx"].to_numpy(dtype=np.int64)] = (
+            parts["max(b)"].to_numpy(dtype=np.int64))
+    return pa.table({"bit_idx": pa.array(np.arange(BLOOM_M, dtype=np.int64)),
+                     "bit": pa.array(bits)})
+
+
+def bloom_contains(sf_dir: str, values, column: str = "user_id"):
+    """Probe the Bloom filter: value maybe-present iff ALL its buckets are
+    set — never a false negative by construction (pytest-verified)."""
+    bits = bloom_bits(sf_dir, column)["bit"].to_numpy(zero_copy_only=False)
+    return {
+        int(v): bool(all(bits[_salted_bucket(j, int(v), BLOOM_M)]
+                         for j in range(BLOOM_K)))
+        for v in values
+    }
+
+
+KMV_K = 64  # sketch size (bottom-k retained hashes)
+
+
+def kmv_distinct(sf_dir: str, column: str = "user_id", k: int = KMV_K):
+    """Distributed KMV / bottom-k distinct sketch BUILD over
+    ``events.column`` (Bar-Yossef et al. 2002; the theta-sketch core):
+    keep the ``k`` smallest md5-prefix hash values over distinct inputs.
+    Hashes are 16-hex-char strings, which order lexicographically exactly
+    as their uint64 values — so the sketch state is the k smallest hex
+    strings and the oracle is a plain ``row_number() OVER (ORDER BY h)``.
+    Output: (pos 1..k, h), exact; the cardinality estimator lives in
+    :func:`kmv_estimate` and is pytest-bounded vs the exact count.
+
+    Scale shape: bottom-k is distributive — each batch ships its local
+    bottom-k (≤ k rows regardless of row count), one single-partition
+    combine cuts batches×k rows to k, and the driver sees ≤ k rows. The
+    combine task's input is k rows per upstream batch (tiny by
+    construction); no distinct-value set materializes anywhere."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[column].to_numpy(zero_copy_only=False).astype(np.int64)
+        uv = np.unique(v)
+        hs = sorted(format(_hll_hash64(str(x)), "016x") for x in uv.tolist())
+        return pa.table({"h": pa.array(hs[:k], type=pa.string())})
+
+    def combine(batch: pa.Table) -> pa.Table:
+        hs = np.unique(np.asarray(batch["h"].to_pylist(), dtype=object))
+        return pa.table({"h": pa.array(hs[:k].tolist(), type=pa.string())})
+
+    got = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=[column])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .repartition(1)
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    hs = np.unique(np.asarray(got["h"].tolist(), dtype=object))[:k]
+    return pa.table({
+        "pos": pa.array(np.arange(1, hs.size + 1, dtype=np.int64)),
+        "h": pa.array(hs.tolist(), type=pa.string()),
+    })
+
+
+def kmv_estimate(sf_dir: str, column: str = "user_id", k: int = KMV_K) -> float:
+    """KMV cardinality estimate: exact count when the sketch holds fewer
+    than k hashes (it then holds ALL of them), else (k-1)·2^64 / h_k —
+    deterministic given the md5 hash, pytest-bounded vs exact."""
+    t = kmv_distinct(sf_dir, column, k)
+    if t.num_rows < k:
+        return float(t.num_rows)
+    h_k = int(t["h"].to_pylist()[-1], 16)
+    return (k - 1) * float(1 << 64) / float(h_k)
 
 
 def ndistinct_users(sf_dir: str):

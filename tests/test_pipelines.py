@@ -1544,6 +1544,186 @@ class TestCountMin:
         assert any(est[u] == truth[u] for u in truth)
 
 
+class TestBloomBits:
+    @staticmethod
+    def _brute_bits(values):
+        from searchengine_ray.pipelines.relational import (
+            BLOOM_K,
+            BLOOM_M,
+            _salted_bucket,
+        )
+
+        bits = np.zeros(BLOOM_M, dtype=np.int64)
+        for v in set(values):
+            for j in range(BLOOM_K):
+                bits[_salted_bucket(j, int(v), BLOOM_M)] = 1
+        return bits
+
+    def test_matches_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.pipelines.relational import bloom_bits
+
+        users = pq.read_table(
+            f"{SF}/events.parquet", columns=["user_id"]
+        )["user_id"].to_numpy(zero_copy_only=False)
+        want = self._brute_bits(users.tolist())
+        got = bloom_bits(SF).to_pandas().sort_values("bit_idx")
+        assert got["bit"].tolist() == want.tolist()
+        assert len(got) == 512  # dense, unset bits included
+
+    def test_no_false_negatives(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.pipelines.relational import bloom_contains
+
+        users = np.unique(
+            pq.read_table(f"{SF}/events.parquet", columns=["user_id"])
+            ["user_id"].to_numpy(zero_copy_only=False)
+        )
+        member = bloom_contains(SF, users.tolist())
+        assert all(member[int(u)] for u in users)  # never a false negative
+        # 15 users × 3 hashes over 512 bits: most absent keys must miss
+        absent = bloom_contains(SF, range(10_000, 10_100))
+        assert sum(absent.values()) < 20
+
+    def test_merge_by_or(self):
+        """The property that makes the build distributable: the union's
+        bits are the elementwise OR of the parts'."""
+        a = self._brute_bits(range(0, 40))
+        b = self._brute_bits(range(20, 70))
+        u = self._brute_bits(range(0, 70))
+        assert np.maximum(a, b).tolist() == u.tolist()
+
+
+class TestKmvDistinct:
+    @staticmethod
+    def _brute_bottomk(values, k=64):
+        from searchengine_ray.pipelines.relational import _hll_hash64
+
+        hs = sorted(format(_hll_hash64(str(int(v))), "016x")
+                    for v in set(values))
+        return hs[:k]
+
+    def test_matches_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.pipelines.relational import kmv_distinct
+
+        users = pq.read_table(
+            f"{SF}/events.parquet", columns=["user_id"]
+        )["user_id"].to_numpy(zero_copy_only=False)
+        want = self._brute_bottomk(users.tolist())
+        got = kmv_distinct(SF).to_pandas()
+        assert got["h"].tolist() == want
+        assert got["pos"].tolist() == list(range(1, len(want) + 1))
+
+    def test_bottomk_is_distributive(self):
+        """Bottom-k of a union == bottom-k over the parts' bottom-ks —
+        the invariant behind the per-batch cut + single combine."""
+        a = self._brute_bottomk(range(0, 300), k=64)
+        b = self._brute_bottomk(range(150, 600), k=64)
+        u = self._brute_bottomk(range(0, 600), k=64)
+        assert sorted(set(a) | set(b))[:64] == u
+
+    def test_estimate_exact_below_k(self, ray_session):
+        """Fewer distincts than k ⇒ the sketch holds ALL hashes and the
+        estimate is exact (sf fixture: 15 users)."""
+        from searchengine_ray.pipelines.relational import kmv_estimate
+
+        assert kmv_estimate(SF) == 15.0
+
+    def test_estimate_bounded_above_k(self, ray_session, tmp_path):
+        """n >> k exercises the (k-1)·2^64/h_k branch; k=64 gives
+        σ ≈ 1/√(k-2) ≈ 12.7 %, so 3σ ≈ 38 %."""
+        import pandas as pd
+
+        from searchengine_ray.pipelines.relational import kmv_estimate
+
+        n = 5000
+        df = pd.DataFrame({
+            "user_id": np.arange(n, dtype=np.int64),
+            "ts": pd.Timestamp("2024-01-01"),
+        })
+        df["ts"] = df["ts"].astype("datetime64[us]")
+        df.to_parquet(f"{tmp_path}/events.parquet", index=False)
+        est = kmv_estimate(str(tmp_path))
+        assert abs(est - n) / n < 0.38
+
+
+class TestLineDedup:
+    @staticmethod
+    def _brute(df, line_words=5, min_docs=2):
+        from collections import defaultdict
+
+        from searchengine_ray.pipelines.dedup import _doc_lines
+
+        docs_of = defaultdict(set)
+        for did, text in zip(df["doc_id"], df["text"]):
+            for ln in set(_doc_lines(text, line_words)):
+                docs_of[ln].add(did)
+        dup = {ln for ln, ds in docs_of.items() if len(ds) >= min_docs}
+        rows = []
+        for did, text in zip(df["doc_id"], df["text"]):
+            lines = _doc_lines(text, line_words)
+            kept = [ln for ln in lines if ln not in dup]
+            rows.append((did, " ".join(kept), len(lines),
+                         len(lines) - len(kept)))
+        return sorted(rows)
+
+    def test_matches_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.pipelines.dedup import line_dedup
+
+        df = pq.read_table(
+            f"{SF}/documents.parquet", columns=["doc_id", "text"]
+        ).to_pandas()
+        want = self._brute(df)
+        got = line_dedup(SF).to_pandas().sort_values("doc_id")
+        assert (
+            list(map(tuple, got[["doc_id", "text", "n_lines", "n_dropped"]]
+                     .itertuples(index=False))) == want
+        )
+        # the sf corpus has natural cross-doc duplicate lines — non-vacuous
+        assert int(got["n_dropped"].sum()) > 0
+
+    def test_planted_semantics(self, ray_session, tmp_path):
+        """Cross-doc duplicate lines drop from EVERY holder; within-doc
+        repeats alone survive; a fully-duplicated doc becomes empty text
+        (still one output row); partial last lines are lines too."""
+        import pandas as pd
+
+        from searchengine_ray.pipelines.dedup import line_dedup
+
+        shared = "alpha beta gamma delta epsilon"
+        docs = pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                shared + " one two three four five",
+                shared,                          # fully duplicated → empty
+                "six seven eight nine ten six seven eight nine ten",
+                "solo words here",               # short: one partial line
+            ],
+        })
+        docs.to_parquet(f"{tmp_path}/documents.parquet", index=False)
+        got = (line_dedup(str(tmp_path)).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        # doc 1: shared line dropped, private line kept
+        assert got.loc[0, "text"] == "one two three four five"
+        assert (got.loc[0, "n_lines"], got.loc[0, "n_dropped"]) == (2, 1)
+        # doc 2: all lines duplicated → empty text, row still present
+        assert got.loc[1, "text"] == ""
+        assert (got.loc[1, "n_lines"], got.loc[1, "n_dropped"]) == (1, 1)
+        # doc 3: the repeated line exists ONLY here (df counts DISTINCT
+        # docs) → kept twice
+        assert got.loc[2, "n_dropped"] == 0
+        assert got.loc[2, "text"] == docs.loc[2, "text"]
+        # doc 4: 3-word partial line, unique → untouched
+        assert got.loc[3, "text"] == "solo words here"
+        assert (got.loc[3, "n_lines"], got.loc[3, "n_dropped"]) == (1, 0)
+
+
 class TestRetentionCohorts:
     def test_matches_bruteforce(self, ray_session):
         import pyarrow.parquet as pq
