@@ -376,10 +376,12 @@ def _doc_lines(text: str, line_words: int = _LINE_WORDS) -> list[str]:
 
 
 def _line_hashes(lines: list[str]) -> np.ndarray:
-    """int64 view of the memoized blake2b line hashes (the shingle-hash
-    convention: uint64 arithmetic, int64 container)."""
+    """int64 view of blake2b line hashes (the shingle-hash convention:
+    uint64 arithmetic, int64 container). Unmemoized on purpose — whole
+    lines are mostly unique, so a memo would hold megabytes of line
+    strings for a near-zero hit rate (unlike Zipf-skewed tokens)."""
     return np.fromiter(
-        (_token_hash(ln) for ln in lines), dtype=np.uint64, count=len(lines)
+        (_hash64(ln) for ln in lines), dtype=np.uint64, count=len(lines)
     ).view(np.int64)
 
 

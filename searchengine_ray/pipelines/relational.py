@@ -1267,6 +1267,27 @@ HLL_B = 8  # register-index bits → m = 256 registers
 _HLL_M = 1 << HLL_B
 
 
+def _sketch_dense(sf_dir: str, column: str, partial, key: str, val: str,
+                  agg: str, size: int) -> np.ndarray:
+    """Shared sketch-build scaffold (HLL / Count-Min / Bloom): stream
+    per-batch partials (each ≤ ``size`` rows regardless of row count),
+    merge through ONE ≤``size``-group exchange (``agg`` ∈ max/sum — the
+    sketch's merge operator), densify the ≤``size``-row driver result.
+    The empty-parts guard matters: Ray's ``to_pandas`` on an all-empty
+    Dataset drops column names."""
+    getter = getattr(
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=[column])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby(key), agg)
+    parts = getter(val).to_pandas()
+    dense = np.zeros(size, dtype=np.int64)
+    if not parts.empty:
+        dense[parts[key].to_numpy(dtype=np.int64)] = (
+            parts[f"{agg}({val})"].to_numpy(dtype=np.int64))
+    return dense
+
+
 # One shared md5-prefix convention: reuse dedup's hash (the SQL oracles on
 # both sides rebuild the SAME bytes), memoized because sketch inputs are
 # Zipf-skewed — hot keys recur in nearly every batch.
@@ -1304,18 +1325,8 @@ def hll_registers(sf_dir: str, column: str = "user_id"):
         return pa.table({"reg_idx": pa.array(nz.astype(np.int64)),
                          "max_rho": pa.array(regs[nz])})
 
-    parts = (
-        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
-                           columns=[column])
-        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
-        .groupby("reg_idx")
-        .max("max_rho")
-        .to_pandas()
-    )
-    regs = np.zeros(_HLL_M, dtype=np.int64)
-    if not parts.empty:
-        regs[parts["reg_idx"].to_numpy(dtype=np.int64)] = (
-            parts["max(max_rho)"].to_numpy(dtype=np.int64))
+    regs = _sketch_dense(sf_dir, column, partial,
+                         "reg_idx", "max_rho", "max", _HLL_M)
     return pa.table({"reg_idx": pa.array(np.arange(_HLL_M, dtype=np.int64)),
                      "max_rho": pa.array(regs)})
 
@@ -1379,18 +1390,8 @@ def countmin_cells(sf_dir: str, column: str = "user_id"):
         return pa.table({"cell": pa.array(jj.astype(np.int64) * CM_W + bb),
                          "c": pa.array(cells[jj, bb])})
 
-    parts = (
-        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
-                           columns=[column])
-        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
-        .groupby("cell")
-        .sum("c")
-        .to_pandas()
-    )
-    dense = np.zeros(CM_D * CM_W, dtype=np.int64)
-    if not parts.empty:
-        dense[parts["cell"].to_numpy(dtype=np.int64)] = (
-            parts["sum(c)"].to_numpy(dtype=np.int64))
+    dense = _sketch_dense(sf_dir, column, partial,
+                          "cell", "c", "sum", CM_D * CM_W)
     idx = np.arange(CM_D * CM_W, dtype=np.int64)
     return pa.table({"row_j": pa.array(idx // CM_W),
                      "bucket": pa.array(idx % CM_W),
@@ -1439,18 +1440,8 @@ def bloom_bits(sf_dir: str, column: str = "user_id"):
         return pa.table({"bit_idx": pa.array(nz.astype(np.int64)),
                          "b": pa.array(np.ones(nz.size, dtype=np.int64))})
 
-    parts = (
-        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
-                           columns=[column])
-        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
-        .groupby("bit_idx")
-        .max("b")
-        .to_pandas()
-    )
-    bits = np.zeros(BLOOM_M, dtype=np.int64)
-    if not parts.empty:
-        bits[parts["bit_idx"].to_numpy(dtype=np.int64)] = (
-            parts["max(b)"].to_numpy(dtype=np.int64))
+    bits = _sketch_dense(sf_dir, column, partial,
+                         "bit_idx", "b", "max", BLOOM_M)
     return pa.table({"bit_idx": pa.array(np.arange(BLOOM_M, dtype=np.int64)),
                      "bit": pa.array(bits)})
 
