@@ -2045,3 +2045,198 @@ def q18_large_orders(sf_dir: str, min_qty: int = Q18_MIN_QTY, limit: int = 100):
         ascending=[False, True, True], kind="stable",
     ).head(limit).reset_index(drop=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Conditional-aggregate fact-fact join (TPC-H Q12 shape)
+# ---------------------------------------------------------------------------
+
+Q12_LO_US = 820_454_400_000_000  # 1996-01-01 epoch-µs
+Q12_HI_US = 852_076_800_000_000  # 1997-01-01 epoch-µs
+_Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def q12_priority_lines(sf_dir: str):
+    """TPC-H Q12 shape adapted to this schema (the reference columns
+    l_shipmode/l_commitdate don't exist here): per ``l_returnflag``, how
+    many 1996-shipped line items belong to HIGH-priority orders
+    (o_orderpriority in 1-URGENT/2-HIGH) vs lower — the
+    CONDITIONAL-AGGREGATE join shape (CASE WHEN inside sum over a join)
+    that none of the other join entries exercise. Output:
+    (l_returnflag, high_line_count, low_line_count), all exact int64.
+
+    Scale shape: both facts hash-co-partition on o_orderkey through
+    :func:`_hash_partition` (the module's single join formula); lineitem
+    pre-aggregates per (order, returnflag) counts INSIDE each batch, the
+    orders side carries one is-high flag bit per order, and each partition
+    emits ≤ flags×2 partial rows — the driver final sums a
+    ≤ partitions × 6 frame."""
+    import pandas as pd
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        okey = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pri = np.asarray(batch["o_orderpriority"].to_pylist(), dtype=object)
+        hi = np.isin(pri, _Q12_HIGH).astype(np.int64)
+        return pa.table({
+            "q": pa.array(_hash_partition(okey)),
+            "side": pa.array(np.zeros(okey.size, dtype=np.int64)),
+            "okey": pa.array(okey),
+            "flag": pa.array(np.full(okey.size, "", dtype=object), type=pa.string()),
+            "n": pa.array(hi),
+        })
+
+    def lineitem_side(batch: pa.Table) -> pa.Table:
+        okey = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ship = batch["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        flag = np.asarray(batch["l_returnflag"].to_pylist(), dtype=object)
+        m = (ship >= Q12_LO_US) & (ship < Q12_HI_US)
+        okey, flag = okey[m], flag[m]
+        # map-side combine: one row per distinct (order, returnflag)
+        df = (pd.DataFrame({"okey": okey, "flag": flag})
+              .groupby(["okey", "flag"], as_index=False).size())
+        uk = df["okey"].to_numpy(dtype=np.int64)
+        return pa.table({
+            "q": pa.array(_hash_partition(uk)),
+            "side": pa.array(np.ones(uk.size, dtype=np.int64)),
+            "okey": pa.array(uk),
+            "flag": pa.array(df["flag"].tolist(), type=pa.string()),
+            "n": pa.array(df["size"].to_numpy(dtype=np.int64)),
+        })
+
+    def join_partition(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy(zero_copy_only=False)
+        okey = group["okey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = group["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        flag = np.asarray(group["flag"].to_pylist(), dtype=object)
+        o_m = side == 0
+        order = np.argsort(okey[o_m], kind="stable")
+        ok_sorted, hi_sorted = okey[o_m][order], n[o_m][order]
+        lk, lf, ln = okey[~o_m], flag[~o_m], n[~o_m]
+        empty = pa.table({
+            "flag": pa.array([], type=pa.string()),
+            "is_high": pa.array([], type=pa.int64()),
+            "n": pa.array([], type=pa.int64()),
+        })
+        if ok_sorted.size == 0 or lk.size == 0:
+            return empty
+        pos = np.minimum(np.searchsorted(ok_sorted, lk), ok_sorted.size - 1)
+        hit = ok_sorted[pos] == lk
+        if not hit.any():
+            return empty
+        import pandas as pd
+        df = pd.DataFrame({
+            "flag": lf[hit],
+            "is_high": hi_sorted[pos[hit]],
+            "n": ln[hit],
+        }).groupby(["flag", "is_high"], as_index=False)["n"].sum()
+        # explicit schema: from_pandas metadata defeats Ray's schema dedup
+        return pa.table({
+            "flag": pa.array(df["flag"].tolist(), type=pa.string()),
+            "is_high": pa.array(df["is_high"].to_numpy(dtype=np.int64)),
+            "n": pa.array(df["n"].to_numpy(dtype=np.int64)),
+        })
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    ).map_batches(orders_side, batch_format="pyarrow")
+    lines = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate", "l_returnflag"],
+    ).map_batches(lineitem_side, batch_format="pyarrow")
+    parts = (orders.union(lines).groupby("q")
+             .map_groups(join_partition, batch_format="pyarrow").to_pandas())
+    if parts.empty:
+        return pa.table({
+            "l_returnflag": pa.array([], type=pa.string()),
+            "high_line_count": pa.array([], type=pa.int64()),
+            "low_line_count": pa.array([], type=pa.int64()),
+        })
+    piv = (parts.groupby(["flag", "is_high"])["n"].sum().unstack(
+        fill_value=0).reindex(columns=[0, 1], fill_value=0)
+        .sort_index())
+    return pa.table({
+        "l_returnflag": pa.array(piv.index.tolist(), type=pa.string()),
+        "high_line_count": pa.array(piv[1].to_numpy(dtype=np.int64)),
+        "low_line_count": pa.array(piv[0].to_numpy(dtype=np.int64)),
+    })
+
+
+# ---------------------------------------------------------------------------
+# Next-event transition counts (lag/lead window surface)
+# ---------------------------------------------------------------------------
+
+
+def event_transitions(sf_dir: str):
+    """(prev_type, next_type, n): corpus-wide next-event transition counts
+    — each user's event stream ordered by (ts, event_id), each adjacent
+    pair counted once (the Markov-chain / lead() window surface none of
+    the other window entries exercise). Output rows are exact int64
+    counts over ≤ n_types² type pairs.
+
+    Scale shape: ONE user-hash co-partition exchange; inside each
+    partition a single lexsort orders every user's events, one shifted
+    compare masks user boundaries (no per-user loop), and pair counts
+    collapse to ≤ n_types² partial rows per partition; the driver final
+    sums a ≤ partitions × n_types² frame."""
+    import pandas as pd
+
+    def tag(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "q": pa.array((u % _USER_PARTITIONS).astype(np.int64)),
+            "u": pa.array(u),
+            "ts_us": batch["ts"].cast(pa.int64()),
+            "eid": batch["event_id"].cast(pa.int64()),
+            "et": batch["event_type"].cast(pa.string()),
+        })
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        u = group["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = group["eid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = np.asarray(group["et"].to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts, u))
+        u, et = u[order], et[order]
+        empty = pa.table({
+            "prev_type": pa.array([], type=pa.string()),
+            "next_type": pa.array([], type=pa.string()),
+            "n": pa.array([], type=pa.int64()),
+        })
+        if u.size < 2:
+            return empty
+        same = u[1:] == u[:-1]
+        if not same.any():
+            return empty
+        df = (pd.DataFrame({"prev_type": et[:-1][same],
+                            "next_type": et[1:][same]})
+              .groupby(["prev_type", "next_type"], as_index=False).size()
+              .rename(columns={"size": "n"}))
+        # explicit schema: from_pandas metadata defeats Ray's schema dedup
+        return pa.table({
+            "prev_type": pa.array(df["prev_type"].tolist(), type=pa.string()),
+            "next_type": pa.array(df["next_type"].tolist(), type=pa.string()),
+            "n": pa.array(df["n"].to_numpy(dtype=np.int64)),
+        })
+
+    parts = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["user_id", "ts", "event_id", "event_type"])
+        .map_batches(tag, batch_format="pyarrow", batch_size=8192)
+        .groupby("q")
+        .map_groups(per_partition, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if parts.empty:
+        return pa.table({
+            "prev_type": pa.array([], type=pa.string()),
+            "next_type": pa.array([], type=pa.string()),
+            "n": pa.array([], type=pa.int64()),
+        })
+    agg = (parts.groupby(["prev_type", "next_type"], as_index=False)["n"]
+           .sum().sort_values(["prev_type", "next_type"]))
+    return pa.table({
+        "prev_type": pa.array(agg["prev_type"].tolist(), type=pa.string()),
+        "next_type": pa.array(agg["next_type"].tolist(), type=pa.string()),
+        "n": pa.array(agg["n"].to_numpy(dtype=np.int64)),
+    })

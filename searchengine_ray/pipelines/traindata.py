@@ -748,3 +748,86 @@ def export_shards(sf_dir: str, n_shards: int = 8, out_root: str | None = None):
         .groupby("shard")
         .map_groups(write_shard, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Systematic PPS (probability-proportional-to-size) sampling
+# ---------------------------------------------------------------------------
+
+PPS_K = 64  # selection points
+
+
+def pps_sample(sf_dir: str, k: int = PPS_K):
+    """Deterministic systematic PPS sample: lay every doc's integer weight
+    (``n_chars``) end-to-end in doc_id order, place ``k`` evenly-spaced
+    midpoints p_i = ((2i+1)·W) // (2k) over the total weight W, and select
+    each doc whose weight interval [cum, cum+wt) contains a point — the
+    classic probability-proportional-to-size design (Madow 1949) used to
+    weight training-corpus sources by size. Output: (doc_id, wt, n_hits)
+    for selected docs; a doc heavier than W/k can catch several points
+    (with-replacement multiplicity), and Σ n_hits == k exactly since the
+    midpoints all land in [0, W). Exact integer arithmetic end to end —
+    no float sampling, byte-identical across re-runs.
+
+    Scale shape: the cumulative offset is :func:`pack_sequences`'
+    distributed prefix sum (per-range subtotals → driver scan of
+    n_ranges rows → broadcast bases); each range then counts point hits
+    locally with two ``searchsorted`` calls against the ≤k point array.
+    One exchange, no sort, no driver materialization beyond the
+    n_ranges subtotal frame."""
+    import ray
+
+    rngs = read_documents(sf_dir, columns=("doc_id", "n_chars")).map_batches(
+        lambda b: pa.table({
+            "rng": pa.array(
+                (b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                 // _PACK_RANGE)),
+            "doc_id": b["doc_id"].cast(pa.int64()),
+            "wt": b["n_chars"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow", batch_size=8192,
+    )
+    rngs = rngs.materialize()  # tiny (2 ints + range key per doc); reused
+
+    def range_subtotal(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = (pd.DataFrame({
+            "rng": batch["rng"].to_numpy(zero_copy_only=False),
+            "n": batch["wt"].to_numpy(zero_copy_only=False),
+        }).groupby("rng", as_index=False)["n"].sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    sub = rngs.map_batches(range_subtotal, batch_format="pyarrow").to_pandas()
+    sub = sub.groupby("rng", as_index=False)["n"].sum().sort_values("rng")
+    rng_keys = sub["rng"].to_numpy(dtype=np.int64)
+    totals = sub["n"].to_numpy(dtype=np.int64)
+    rng_bases = np.concatenate(([0], np.cumsum(totals)[:-1]))
+    w_total = int(totals.sum())
+    # the k selection midpoints, exact integers in [0, W)
+    pts = ((2 * np.arange(k, dtype=np.int64) + 1) * w_total) // (2 * k)
+    keys_ref = ray.put(rng_keys)
+    bases_ref = ray.put(rng_bases)
+    pts_ref = ray.put(pts)
+
+    def hits_in_range(group: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        bases = ray.get(bases_ref)
+        p = ray.get(pts_ref)
+        ids = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        wt = group["wt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids, wt = ids[order], wt[order]
+        base = int(bases[np.searchsorted(keys, int(ids[0]) // _PACK_RANGE)])
+        cum = base + np.concatenate(([0], np.cumsum(wt)[:-1]))
+        lo = np.searchsorted(p, cum, side="left")
+        hi = np.searchsorted(p, cum + wt, side="left")
+        n_hits = (hi - lo).astype(np.int64)
+        m = n_hits > 0
+        return pa.table({
+            "doc_id": pa.array(ids[m]),
+            "wt": pa.array(wt[m]),
+            "n_hits": pa.array(n_hits[m]),
+        })
+
+    return rngs.groupby("rng").map_groups(hits_in_range, batch_format="pyarrow")

@@ -1724,6 +1724,161 @@ class TestLineDedup:
         assert (got.loc[3, "n_lines"], got.loc[3, "n_dropped"]) == (1, 0)
 
 
+class TestQ12PriorityLines:
+    def test_matches_pandas_reference(self, ray_session):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.pipelines.relational import (
+            Q12_HI_US,
+            Q12_LO_US,
+            _Q12_HIGH,
+            q12_priority_lines,
+        )
+
+        o = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+        li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+        li["ship_us"] = li["l_shipdate"].astype("int64")
+        li = li[(li["ship_us"] >= Q12_LO_US) & (li["ship_us"] < Q12_HI_US)]
+        j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        j["hi"] = j["o_orderpriority"].isin(_Q12_HIGH).astype(int)
+        want = (j.groupby("l_returnflag")
+                .agg(high_line_count=("hi", "sum"),
+                     low_line_count=("hi", lambda s: int((1 - s).sum())))
+                .reset_index().sort_values("l_returnflag"))
+        got = q12_priority_lines(SF).to_pandas()
+        assert got["l_returnflag"].tolist() == want["l_returnflag"].tolist()
+        assert got["high_line_count"].tolist() == want["high_line_count"].tolist()
+        assert got["low_line_count"].tolist() == want["low_line_count"].tolist()
+        assert int(got["high_line_count"].sum() + got["low_line_count"].sum()) == len(li)
+
+    def test_planted_semantics(self, ray_session, tmp_path):
+        """High/low classification follows the ORDER's priority; lines
+        outside the ship window are excluded entirely."""
+        import pandas as pd
+
+        from searchengine_ray.pipelines.relational import q12_priority_lines
+
+        orders = pd.DataFrame({
+            "o_orderkey": [1, 2],
+            "o_orderpriority": ["1-URGENT", "5-LOW"],
+        })
+        li = pd.DataFrame({
+            "l_orderkey": [1, 1, 2, 2],
+            "l_returnflag": ["A", "A", "A", "N"],
+            "l_shipdate": pd.to_datetime([
+                "1996-06-01",  # in window, high order
+                "1995-06-01",  # OUT of window → excluded
+                "1996-07-01",  # in window, low order
+                "1996-08-01",  # in window, low order
+            ]).astype("datetime64[us]"),
+        })
+        orders.to_parquet(f"{tmp_path}/orders.parquet", index=False)
+        li.to_parquet(f"{tmp_path}/lineitem.parquet", index=False)
+        got = q12_priority_lines(str(tmp_path)).to_pandas()
+        assert got["l_returnflag"].tolist() == ["A", "N"]
+        assert got["high_line_count"].tolist() == [1, 0]
+        assert got["low_line_count"].tolist() == [1, 1]
+
+
+class TestEventTransitions:
+    @staticmethod
+    def _brute(df):
+        rows = []
+        for _, g in df.sort_values(["user_id", "ts", "event_id"]).groupby(
+            "user_id"
+        ):
+            et = g["event_type"].tolist()
+            rows.extend(zip(et[:-1], et[1:]))
+        import collections
+        c = collections.Counter(rows)
+        return sorted((p, n, k) for (p, n), k in c.items())
+
+    def test_matches_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.pipelines.relational import event_transitions
+
+        df = pq.read_table(f"{SF}/events.parquet").to_pandas()
+        want = self._brute(df)
+        got = event_transitions(SF).to_pandas()
+        assert (list(map(tuple, got.itertuples(index=False))) == want)
+        # adjacent-pair conservation: Σn == Σ_user (len - 1)
+        per_user = df.groupby("user_id").size()
+        assert int(got["n"].sum()) == int((per_user - 1).sum())
+
+    def test_order_and_boundaries(self, ray_session, tmp_path):
+        """Tiebreak by event_id at equal ts; no pair across users; a
+        single-event user contributes nothing."""
+        import pandas as pd
+
+        from searchengine_ray.pipelines.relational import event_transitions
+
+        df = pd.DataFrame({
+            "event_id": [10, 11, 20, 30],
+            "user_id": [1, 1, 1, 2],
+            "event_type": ["view", "click", "purchase", "signup"],
+            "ts": pd.to_datetime([
+                "2024-01-01", "2024-01-01",  # same ts: event_id orders them
+                "2024-01-02", "2024-01-05",
+            ]).astype("datetime64[us]"),
+        })
+        df.to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = event_transitions(str(tmp_path)).to_pandas()
+        assert (list(map(tuple, got.itertuples(index=False)))
+                == [("click", "purchase", 1), ("view", "click", 1)])
+
+
+class TestPpsSample:
+    @staticmethod
+    def _brute(df, k=64):
+        df = df.sort_values("doc_id")
+        wt = df["n_chars"].to_numpy(dtype="int64")
+        cum = np.concatenate(([0], np.cumsum(wt)[:-1]))
+        W = int(wt.sum())
+        pts = ((2 * np.arange(k, dtype="int64") + 1) * W) // (2 * k)
+        rows = []
+        for did, w, c in zip(df["doc_id"], wt, cum):
+            n = int(((pts >= c) & (pts < c + w)).sum())
+            if n:
+                rows.append((int(did), int(w), n))
+        return rows
+
+    def test_matches_bruteforce_and_mass(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.pipelines.traindata import pps_sample
+
+        df = pq.read_table(
+            f"{SF}/documents.parquet", columns=["doc_id", "n_chars"]
+        ).to_pandas()
+        want = self._brute(df)
+        got = pps_sample(SF).to_pandas().sort_values("doc_id")
+        assert list(map(tuple, got.itertuples(index=False))) == want
+        # every midpoint lands in exactly one interval: Σ n_hits == k
+        assert int(got["n_hits"].sum()) == 64
+
+    def test_heavy_doc_multiplicity_and_zero_weight(self, ray_session, tmp_path):
+        """A doc heavier than W/k catches multiple points; a zero-weight
+        doc can never be selected; re-runs are byte-identical."""
+        import pandas as pd
+
+        from searchengine_ray.pipelines.traindata import pps_sample
+
+        docs = pd.DataFrame({
+            "doc_id": np.arange(10, dtype=np.int64),
+            "n_chars": np.array([1000] + [10] * 8 + [0], dtype=np.int64),
+        })
+        docs.to_parquet(f"{tmp_path}/documents.parquet", index=False)
+        got = pps_sample(str(tmp_path), k=8).to_pandas().sort_values("doc_id")
+        # doc 0 holds 1000/1080 of the mass → most of the 8 points
+        assert int(got.loc[got["doc_id"] == 0, "n_hits"].iloc[0]) >= 6
+        assert 9 not in got["doc_id"].tolist()  # zero weight never sampled
+        assert int(got["n_hits"].sum()) == 8
+        again = pps_sample(str(tmp_path), k=8).to_pandas().sort_values("doc_id")
+        assert got.reset_index(drop=True).equals(again.reset_index(drop=True))
+
+
 class TestRetentionCohorts:
     def test_matches_bruteforce(self, ray_session):
         import pyarrow.parquet as pq
