@@ -376,9 +376,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship transcript_search build path
         "conversation_assemble": conversation_assemble,
         # inclusive-lookback interval join; kernel unchanged since r3
-        # (driver-green in CORRECTNESS_r03.json); its user-hash partition
-        # + packed-key searchsorted surface stays exercised in-window by
-        # event_transitions and running_user_totals
+        # (driver-green in CORRECTNESS_r03.json) — the primary rotation
+        # category; the packed-key interval searchsorted is UNIQUE to this
+        # kernel (not redundantly covered in-window) and stays guarded by
+        # its planted-boundary pytest + the committed full sweep
         "range_join_events": relational.range_join_events,
         # CC over embedding near-dup pairs; kernel unchanged since r3
         # (driver-green in CORRECTNESS_r03.json); the same cluster closure

@@ -2182,17 +2182,13 @@ def event_transitions(sf_dir: str):
     import pandas as pd
 
     def tag(batch: pa.Table) -> pa.Table:
-        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({
-            "q": pa.array((u % _USER_PARTITIONS).astype(np.int64)),
-            "u": pa.array(u),
-            "ts_us": batch["ts"].cast(pa.int64()),
+        return _user_part_table(batch, {
             "eid": batch["event_id"].cast(pa.int64()),
             "et": batch["event_type"].cast(pa.string()),
         })
 
     def per_partition(group: pa.Table) -> pa.Table:
-        u = group["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         ts = group["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
         eid = group["eid"].to_numpy(zero_copy_only=False).astype(np.int64)
         et = np.asarray(group["et"].to_pylist(), dtype=object)

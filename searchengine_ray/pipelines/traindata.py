@@ -77,6 +77,39 @@ _TOKEN_RE = re.compile(r"[a-z0-9]+")
 _PACK_RANGE = 1 << 12  # docs per prefix-sum range (tune to ~seconds of work)
 
 
+def _range_prefix_bases(counts, val_col: str):
+    """Distributed prefix sum over the doc_id order — the single copy of
+    the decomposition shared by :func:`pack_sequences` (token offsets) and
+    :func:`pps_sample` (weight offsets): per-range subtotals of
+    ``val_col`` → driver prefix scan (n_ranges rows — ~2.4M ranges at
+    10^10 docs, MBs not GBs) → (sorted range keys, exclusive base
+    offsets, grand total). Broadcast the two parallel numpy arrays, NOT a
+    dict: ``ray.get`` of numpy is zero-copy from the object store (a dict
+    re-deserializes per consumer call)."""
+    import pandas as pd
+
+    def range_subtotal(batch: pa.Table) -> pa.Table:
+        g = (
+            pd.DataFrame({
+                "rng": batch["rng"].to_numpy(zero_copy_only=False),
+                "n": batch[val_col].to_numpy(zero_copy_only=False),
+            })
+            .groupby("rng", as_index=False)["n"]
+            .sum()
+        )
+        return pa.table({
+            "rng": pa.array(g["rng"].to_numpy(dtype=np.int64)),
+            "n": pa.array(g["n"].to_numpy(dtype=np.int64)),
+        })
+
+    sub = counts.map_batches(range_subtotal, batch_format="pyarrow").to_pandas()
+    sub = sub.groupby("rng", as_index=False)["n"].sum().sort_values("rng")
+    keys = sub["rng"].to_numpy(dtype=np.int64)
+    totals = sub["n"].to_numpy(dtype=np.int64)
+    bases = np.concatenate(([0], np.cumsum(totals)[:-1]))
+    return keys, bases, int(totals.sum())
+
+
 class _TokenCounts:
     """(doc_id, n_tokens, rng) per doc — the tokenize pass."""
 
@@ -118,27 +151,7 @@ def pack_sequences(sf_dir: str, seq_len: int = 512):
     # tiny relative to the corpus (2 ints/doc); reused by both phases
     counts = counts.materialize()
 
-    def range_subtotal(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        g = (
-            pd.DataFrame(
-                {
-                    "rng": batch["rng"].to_numpy(zero_copy_only=False),
-                    "n": batch["n_tokens"].to_numpy(zero_copy_only=False),
-                }
-            )
-            .groupby("rng", as_index=False)["n"]
-            .sum()
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    sub = counts.map_batches(range_subtotal, batch_format="pyarrow").to_pandas()
-    sub = sub.groupby("rng", as_index=False)["n"].sum().sort_values("rng")
-    # two parallel numpy arrays, NOT a dict: ray.get of numpy is zero-copy
-    # from the object store (a dict re-deserializes per consumer call)
-    rng_keys = sub["rng"].to_numpy(dtype=np.int64)
-    rng_bases = np.concatenate(([0], np.cumsum(sub["n"].to_numpy(dtype=np.int64))[:-1]))
+    rng_keys, rng_bases, _ = _range_prefix_bases(counts, "n_tokens")
     keys_ref = ray.put(rng_keys)
     bases_ref = ray.put(rng_bases)
 
@@ -789,21 +802,7 @@ def pps_sample(sf_dir: str, k: int = PPS_K):
     )
     rngs = rngs.materialize()  # tiny (2 ints + range key per doc); reused
 
-    def range_subtotal(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        g = (pd.DataFrame({
-            "rng": batch["rng"].to_numpy(zero_copy_only=False),
-            "n": batch["wt"].to_numpy(zero_copy_only=False),
-        }).groupby("rng", as_index=False)["n"].sum())
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    sub = rngs.map_batches(range_subtotal, batch_format="pyarrow").to_pandas()
-    sub = sub.groupby("rng", as_index=False)["n"].sum().sort_values("rng")
-    rng_keys = sub["rng"].to_numpy(dtype=np.int64)
-    totals = sub["n"].to_numpy(dtype=np.int64)
-    rng_bases = np.concatenate(([0], np.cumsum(totals)[:-1]))
-    w_total = int(totals.sum())
+    rng_keys, rng_bases, w_total = _range_prefix_bases(rngs, "wt")
     # the k selection midpoints, exact integers in [0, W)
     pts = ((2 * np.arange(k, dtype=np.int64) + 1) * w_total) // (2 * k)
     keys_ref = ray.put(rng_keys)
