@@ -2191,9 +2191,13 @@ def event_transitions(sf_dir: str):
         u = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         ts = group["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
         eid = group["eid"].to_numpy(zero_copy_only=False).astype(np.int64)
-        et = np.asarray(group["et"].to_pylist(), dtype=object)
+        # Arrow-side dictionary encode: the 50M-row string column never
+        # becomes Python objects — only the ≤n_types vocab does
+        enc = group["et"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
         order = np.lexsort((eid, ts, u))
-        u, et = u[order], et[order]
+        u, codes = u[order], codes[order]
         empty = pa.table({
             "prev_type": pa.array([], type=pa.string()),
             "next_type": pa.array([], type=pa.string()),
@@ -2204,15 +2208,15 @@ def event_transitions(sf_dir: str):
         same = u[1:] == u[:-1]
         if not same.any():
             return empty
-        df = (pd.DataFrame({"prev_type": et[:-1][same],
-                            "next_type": et[1:][same]})
-              .groupby(["prev_type", "next_type"], as_index=False).size()
-              .rename(columns={"size": "n"}))
-        # explicit schema: from_pandas metadata defeats Ray's schema dedup
+        # pack (prev, next) code pairs into one int, count via bincount
+        k = vocab.size
+        packed = codes[:-1][same] * k + codes[1:][same]
+        cnt = np.bincount(packed, minlength=k * k)
+        nz = np.nonzero(cnt)[0]
         return pa.table({
-            "prev_type": pa.array(df["prev_type"].tolist(), type=pa.string()),
-            "next_type": pa.array(df["next_type"].tolist(), type=pa.string()),
-            "n": pa.array(df["n"].to_numpy(dtype=np.int64)),
+            "prev_type": pa.array(vocab[nz // k].tolist(), type=pa.string()),
+            "next_type": pa.array(vocab[nz % k].tolist(), type=pa.string()),
+            "n": pa.array(cnt[nz].astype(np.int64)),
         })
 
     parts = (
