@@ -70,3 +70,25 @@ def test_oracle_sql_parses_and_binds(contract):
             con.execute(sql)
         except Exception as ex:  # noqa: BLE001
             pytest.fail(f"{name}: oracle SQL failed to bind: {ex}")
+
+
+def test_documented_registry_counts_match(contract):
+    """The count-drift guard (a VERDICT r3 finding: docs said 58, registry
+    held 57): the LAST 'Registry after §N: **X entries, Y oracle-backed**'
+    line in SURVEY.md must state the actual registry size and oracle
+    coverage. Update SURVEY.md when adding an entry — this test is the
+    reminder."""
+    import pathlib
+    import re
+
+    qs, osql = contract
+    text = pathlib.Path(__file__).resolve().parents[1].joinpath(
+        "SURVEY.md").read_text()
+    matches = re.findall(
+        r"Registry after §\d+: \*\*(\d+) entries, (\d+) oracle-backed\*\*",
+        text,
+    )
+    assert matches, "SURVEY.md registry-count line not found"
+    n_entries, n_oracle = map(int, matches[-1])
+    assert n_entries == len(qs), (n_entries, len(qs))
+    assert n_oracle == len(osql), (n_oracle, len(osql))
