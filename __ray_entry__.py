@@ -265,7 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pytest-verified; oracle: salted md5-prefix buckets; r4)
         "bloom_bits": relational.bloom_bits,
         # KMV / bottom-k distinct sketch BUILD: per-batch local bottom-k
-        # (distributive) + one single-partition combine; 16-hex-char hash
+        # (distributive) + 16-way bucketed combine; 16-hex-char hash
         # strings order as their uint64 values so the sketch state is
         # directly SQL-checkable (oracle: row_number over md5 order;
         # estimator pytest-bounded vs exact; r4)

@@ -1471,30 +1471,37 @@ def kmv_distinct(sf_dir: str, column: str = "user_id", k: int = KMV_K):
     :func:`kmv_estimate` and is pytest-bounded vs the exact count.
 
     Scale shape: bottom-k is distributive — each batch ships its local
-    bottom-k (≤ k rows regardless of row count), one single-partition
-    combine cuts batches×k rows to k, and the driver sees ≤ k rows. The
-    combine task's input is k rows per upstream batch (tiny by
-    construction); no distinct-value set materializes anywhere."""
+    bottom-k (≤ k rows regardless of row count) tagged with its top hex
+    nibble; a 16-way bucket combine cuts each bucket to its bottom-k in
+    parallel (the global bottom-k is a subset of the union of per-bucket
+    bottom-ks), and the driver merges ≤ 16·k rows. Every level is bounded
+    — no single-task funnel, no distinct-value set anywhere."""
 
     def partial(batch: pa.Table) -> pa.Table:
         v = batch[column].to_numpy(zero_copy_only=False).astype(np.int64)
         uv = np.unique(v)
-        hs = sorted(format(_hll_hash64(str(x)), "016x") for x in uv.tolist())
-        return pa.table({"h": pa.array(hs[:k], type=pa.string())})
+        hs = sorted(format(_hll_hash64(str(x)), "016x") for x in uv.tolist())[:k]
+        return pa.table({
+            "b": pa.array(np.asarray([int(h[0], 16) for h in hs],
+                                     dtype=np.int64)),
+            "h": pa.array(hs, type=pa.string()),
+        })
 
-    def combine(batch: pa.Table) -> pa.Table:
-        hs = np.unique(np.asarray(batch["h"].to_pylist(), dtype=object))
+    def combine(group: pa.Table) -> pa.Table:
+        hs = np.unique(np.asarray(group["h"].to_pylist(), dtype=object))
         return pa.table({"h": pa.array(hs[:k].tolist(), type=pa.string())})
 
     got = (
         read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
                            columns=[column])
         .map_batches(partial, batch_format="pyarrow", batch_size=8192)
-        .repartition(1)
-        .map_batches(combine, batch_format="pyarrow", batch_size=None)
+        .groupby("b")
+        .map_groups(combine, batch_format="pyarrow")
         .to_pandas()
     )
-    hs = np.unique(np.asarray(got["h"].tolist(), dtype=object))[:k]
+    # empty-corpus guard: no groups → to_pandas drops column names
+    hs = (np.array([], dtype=object) if got.empty
+          else np.unique(np.asarray(got["h"].tolist(), dtype=object))[:k])
     return pa.table({
         "pos": pa.array(np.arange(1, hs.size + 1, dtype=np.int64)),
         "h": pa.array(hs.tolist(), type=pa.string()),
