@@ -134,7 +134,7 @@ def sessionize_events(sf_dir: str):
 
 def _user_part_table(batch: pa.Table, extra: dict) -> pa.Table:
     """Shared user-hash shuffle projection for the per-user event
-    operators added this round (running/funnel/retention): q = user %
+    operators (running/funnel/retention/event_transitions): q = user %
     _USER_PARTITIONS plus the µs timestamp, with operator-specific extra
     columns appended. The r3-frozen kernels (sessionize, as-of) keep their
     inline copies — touching them would re-open their
@@ -2199,9 +2199,15 @@ def event_transitions(sf_dir: str):
         ts = group["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
         eid = group["eid"].to_numpy(zero_copy_only=False).astype(np.int64)
         # Arrow-side dictionary encode: the 50M-row string column never
-        # becomes Python objects — only the ≤n_types vocab does
+        # becomes Python objects — only the ≤n_types vocab does. Null
+        # types code to -1 so their pairs drop below (the pandas-groupby
+        # dropna behavior this kernel replaced; nulls are outside the
+        # events contract but must not crash the operator)
+        import pyarrow.compute as pc
+
         enc = group["et"].combine_chunks().dictionary_encode()
-        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = pc.fill_null(enc.indices, -1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
         vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
         order = np.lexsort((eid, ts, u))
         u, codes = u[order], codes[order]
@@ -2215,9 +2221,11 @@ def event_transitions(sf_dir: str):
         same = u[1:] == u[:-1]
         if not same.any():
             return empty
-        # pack (prev, next) code pairs into one int, count via bincount
+        # pack (prev, next) code pairs into one int, count via bincount;
+        # pairs touching a null-coded (-1) side drop
         k = vocab.size
-        packed = codes[:-1][same] * k + codes[1:][same]
+        ok = same & (codes[:-1] >= 0) & (codes[1:] >= 0)
+        packed = codes[:-1][ok] * k + codes[1:][ok]
         cnt = np.bincount(packed, minlength=k * k)
         nz = np.nonzero(cnt)[0]
         return pa.table({

@@ -1828,6 +1828,28 @@ class TestEventTransitions:
         assert (list(map(tuple, got.itertuples(index=False)))
                 == [("click", "purchase", 1), ("view", "click", 1)])
 
+    def test_null_event_type_pairs_drop(self, ray_session, tmp_path):
+        """A null event_type must not crash the kernel; pairs touching the
+        null row drop (nulls are outside the events contract — this
+        mirrors the pandas-groupby dropna behavior the vectorized kernel
+        replaced), so A→null→B yields NO transition."""
+        import pandas as pd
+
+        from searchengine_ray.pipelines.relational import event_transitions
+
+        df = pd.DataFrame({
+            "event_id": [1, 2, 3, 4],
+            "user_id": [1, 1, 1, 1],
+            "event_type": ["view", None, "click", "purchase"],
+            "ts": pd.to_datetime([
+                "2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04",
+            ]).astype("datetime64[us]"),
+        })
+        df.to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = event_transitions(str(tmp_path)).to_pandas()
+        assert (list(map(tuple, got.itertuples(index=False)))
+                == [("click", "purchase", 1)])
+
 
 class TestPpsSample:
     @staticmethod
