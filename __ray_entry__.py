@@ -288,6 +288,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # inside sum over the o_orderkey co-partition), exact int64 counts
         # (oracle: CASE sums over the 2-table join; r4)
         "q12_priority_lines": relational.q12_priority_lines,
+        # TPC-H Q13 shape: LEFT OUTER fact-fact join + two-level
+        # aggregation (orders per customer, zero-extended, then the
+        # histogram of those counts) — the distribution-of-group-sizes
+        # surface (oracle: LEFT JOIN + double GROUP BY; r4)
+        "q13_customer_distribution": relational.q13_customer_distribution,
         # --- dedup family ---
         # oracle: planted-marker anti-join (old DISTINCT hashes NOT IN)
         "dedup_incremental": lambda sf: dedup.dedup_incremental(sf, plant=True),
@@ -346,6 +351,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # prefix-sum weight layout — exact integers, no float sampling
         # (oracle: window cumsum + point-interval join; r4)
         "pps_sample": traindata.pps_sample,
+        # deterministic weighted corpus interleave (stride scheduling over
+        # the per-group md5 shuffle order, exact integer mix keys; global
+        # rank is CLOSED-FORM per row — no global sort) (oracle:
+        # row_number over (mix_key, lang, grp_rank); r4)
+        "corpus_mix": traindata.corpus_mix,
         # oracle: planted PII rows are closed-form string concat in SQL
         "pii_scrub": lambda sf: traindata.pii_scrub(sf, plant=True),
         # oracle: lead()-window n-grams; planted markers are closed-form
@@ -1308,6 +1318,40 @@ FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1997-01-01'
 GROUP BY l_returnflag ORDER BY l_returnflag""",
+        # Q13 shape: orders per customer over a LEFT OUTER join (customers
+        # with no qualifying order count as 0), then the histogram of
+        # those counts; custdist-desc order is deterministic (c_count is
+        # unique per row and breaks ties)
+        "q13_customer_distribution": """
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+        # deterministic weighted corpus interleave: per-group rank in the
+        # md5 order (shuffle_rank's key, PARTITIONed by lang), exact
+        # integer stride-scheduling mix key (2r+1)·(L/w) with L=4 and
+        # weights en=4 de=2 fr=2 else 1 (the CASE embeds m = L/w; pinned
+        # against traindata.MIX_WEIGHTS by pytest), global interleave
+        # position = row_number over (mix_key, lang, grp_rank)
+        "corpus_mix": """
+WITH g AS (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (
+            PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+              AS BIGINT) AS grp_rank,
+         CAST(CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 2 WHEN 'fr' THEN 2
+              ELSE 4 END AS BIGINT) AS m
+  FROM documents),
+ k AS (SELECT doc_id, lang, grp_rank, (2*grp_rank + 1) * m AS mix_key FROM g)
+SELECT doc_id, lang, grp_rank, mix_key,
+       CAST(row_number() OVER (ORDER BY mix_key, lang, grp_rank) - 1
+            AS BIGINT) AS mix_rank
+FROM k ORDER BY doc_id""",
         # next-event transitions: lead() per user in (ts, event_id) order —
         # (user_id, ts) is unique but event_id keeps the tiebreak explicit
         "event_transitions": """

@@ -2255,3 +2255,91 @@ def event_transitions(sf_dir: str):
         "next_type": pa.array(agg["next_type"].tolist(), type=pa.string()),
         "n": pa.array(agg["n"].to_numpy(dtype=np.int64)),
     })
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape: left-outer fact-fact join + two-level aggregation
+# ("distribution of group sizes")
+# ---------------------------------------------------------------------------
+
+Q13_EXCLUDED_PRIORITY = "1-URGENT"  # orders excluded from the per-customer count
+
+
+def q13_customer_distribution(sf_dir: str):
+    """(c_count, custdist): how many customers placed exactly N qualifying
+    orders — TPC-H Q13's customer-distribution shape. Two aggregation
+    LEVELS over a LEFT OUTER fact-fact join: orders count per customer
+    (customers with no qualifying order must surface with count 0 — the
+    null-extension no inner-join entry exercises), then the histogram of
+    those counts. Excluded orders (``o_orderpriority = '1-URGENT'``)
+    mirror Q13's NOT LIKE comment filter.
+
+    Scale shape: the orders side collapses to per-batch (custkey, n)
+    partials map-side, both facts hash-co-partition on custkey through
+    the module's single ``_hash_partition`` formula, and each partition
+    resolves its customers' complete counts locally (a custkey's rows all
+    land in one partition) — the second-level histogram then collapses to
+    ≤ distinct-count-values partial rows per partition, so the driver
+    final sums a frame bounded by partitions × distinct counts, never by
+    customers. Neither fact is broadcast or materialized whole."""
+    import pandas as pd
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"q": pa.array(_hash_partition(ck)),
+                         "side": pa.array(np.zeros(ck.size, dtype=np.int64)),
+                         "ck": pa.array(ck),
+                         "n": pa.array(np.zeros(ck.size, dtype=np.int64))})
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.fill_null(
+            pc.not_equal(batch["o_orderpriority"], Q13_EXCLUDED_PRIORITY),
+            False,
+        ).to_numpy(zero_copy_only=False)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uk, cnt = np.unique(ck[keep], return_counts=True)  # map-side partial
+        return pa.table({"q": pa.array(_hash_partition(uk)),
+                         "side": pa.array(np.ones(uk.size, dtype=np.int64)),
+                         "ck": pa.array(uk),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    def hist_partition(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy(zero_copy_only=False)
+        ck = group["ck"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = group["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cust = np.unique(ck[side == 0])
+        if cust.size == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"c_count": z, "n": z})
+        # sum the orders partials per custkey, left-extended over customers
+        counts = np.zeros(cust.size, dtype=np.int64)
+        o_ck, o_n = ck[side == 1], n[side == 1]
+        pos = np.searchsorted(cust, o_ck)
+        ok = (pos < cust.size)
+        ok[ok] &= cust[pos[ok]] == o_ck[ok]  # orders of customers outside
+        np.add.at(counts, pos[ok], o_n[ok])  # this partition's set drop
+        uc, cc = np.unique(counts, return_counts=True)
+        return pa.table({"c_count": pa.array(uc),
+                         "n": pa.array(cc.astype(np.int64))})
+
+    cust = read_parquet_clean(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    ).map_batches(cust_side, batch_format="pyarrow")
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderpriority"],
+    ).map_batches(orders_side, batch_format="pyarrow")
+    parts = cust.union(orders).groupby("q").map_groups(
+        hist_partition, batch_format="pyarrow"
+    ).to_pandas()
+    if parts.empty:
+        z = pa.array([], type=pa.int64())
+        return pa.table({"c_count": z, "custdist": z})
+    agg = parts.groupby("c_count", as_index=False).agg(custdist=("n", "sum"))
+    agg = agg.sort_values(["custdist", "c_count"], ascending=[False, False])
+    return pa.table({
+        "c_count": pa.array(agg["c_count"].to_numpy(dtype=np.int64)),
+        "custdist": pa.array(agg["custdist"].to_numpy(dtype=np.int64)),
+    })

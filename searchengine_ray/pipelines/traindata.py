@@ -830,3 +830,140 @@ def pps_sample(sf_dir: str, k: int = PPS_K):
         })
 
     return rngs.groupby("rng").map_groups(hits_in_range, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus mixing (weighted source interleave)
+# ---------------------------------------------------------------------------
+
+# Integer sampling weights per language group; groups not listed weigh 1.
+# MIX_L is the lcm of all weights (incl. the default), so every group's
+# stride m = MIX_L // w is an exact integer — the mix key never touches
+# floats. The SQL oracle in __ray_entry__ embeds the same table as a CASE;
+# tests/test_traindata.py pins the two against each other.
+MIX_WEIGHTS = {"en": 4, "de": 2, "fr": 2}
+MIX_DEFAULT_WEIGHT = 1
+MIX_L = 4
+
+
+def _mix_stride(lang: str) -> int:
+    return MIX_L // MIX_WEIGHTS.get(lang, MIX_DEFAULT_WEIGHT)
+
+
+def corpus_mix(sf_dir: str, ds=None):
+    """(doc_id, lang, grp_rank, mix_key, mix_rank): a deterministic
+    weighted interleave of the corpus's language groups — the source/
+    domain MIXING step of LLM training-data assembly (sample sources in a
+    fixed ratio, e.g. 4:2:2:1:1, so any training prefix tracks the target
+    mixture). Stride scheduling (Waldspurger & Weihl 1995): group g with
+    integer weight w_g emits its r-th document (in the group's
+    deterministic md5 shuffle order, ``shuffle_rank``'s key) at exact
+    integer virtual time ``mix_key = (2r+1) · (L/w_g)``; ordering every
+    document by (mix_key, lang, grp_rank) interleaves groups in weight
+    proportion. Key-stable: re-runs, retries and corpus growth never
+    reorder an existing prefix of any group.
+
+    Scale shape: the global interleave position is NOT computed by a
+    global sort. Per-group ranks come from the ``shuffle_rank`` histogram
+    pattern (md5 is uniform, so a 65536-bin per-(group, bucket) count
+    pass + a driver cumsum gives exact bucket bases; one fixed-partition
+    pass finishes ranks locally). The global rank of key k then has a
+    CLOSED FORM — groups emit keys in arithmetic progression, so
+    ``#{r' in group h: (2r'+1)·m_h < k}`` is one integer division —
+    evaluated vectorized per row against the broadcast per-group totals;
+    the all-to-all a sort would need never happens. Driver state is one
+    65536-int array per group (groups = languages, low-cardinality by
+    contract)."""
+    import ray
+
+    source = ds if ds is not None else read_documents(
+        sf_dir, columns=("doc_id", "lang"))
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        md5 = hashlib.md5
+        u = [md5(b"%d" % i).hexdigest() for i in ids.tolist()]
+        b = np.fromiter((int(h[:4], 16) for h in u), dtype=np.int64, count=len(u))
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "lang": batch["lang"].cast(pa.string()),
+            "u": pa.array(u, type=pa.string()),
+            "b": pa.array(b),
+            "q": pa.array(b % _SHUF_PARTITIONS),
+        })
+
+    keyed_ds = source.map_batches(
+        keyed, batch_format="pyarrow", batch_size=8192
+    ).materialize()  # ids + lang + 32-char keys only; reused by both passes
+
+    def lang_bucket_counts(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "lang": batch["lang"].to_numpy(zero_copy_only=False),
+            "b": batch["b"].to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["lang", "b"], as_index=False).size()
+        return pa.table({
+            "lang": pa.array(g["lang"].tolist(), type=pa.string()),
+            "b": pa.array(g["b"].to_numpy(dtype=np.int64)),
+            "n": pa.array(g["size"].to_numpy(dtype=np.int64)),
+        })
+
+    hist = keyed_ds.map_batches(
+        lang_bucket_counts, batch_format="pyarrow").to_pandas()
+    hist = hist.groupby(["lang", "b"], as_index=False)["n"].sum()
+    langs = sorted(hist["lang"].unique().tolist())  # tiebreak order: lang asc
+    bases = {}
+    totals = np.zeros(len(langs), dtype=np.int64)
+    strides = np.array([_mix_stride(h) for h in langs], dtype=np.int64)
+    for j, h in enumerate(langs):
+        sub = hist[hist["lang"] == h]
+        counts = np.zeros(_SHUF_BUCKETS, dtype=np.int64)
+        counts[sub["b"].to_numpy()] = sub["n"].to_numpy()
+        bases[h] = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        totals[j] = int(sub["n"].sum())
+    meta_ref = ray.put((langs, bases, totals, strides))
+
+    def finish(group: pa.Table) -> pa.Table:
+        langs, bases, totals, strides = ray.get(meta_ref)
+        code_of = {h: j for j, h in enumerate(langs)}
+        ids = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lang = np.asarray(group["lang"].to_pylist(), dtype=object)
+        u = np.asarray(group["u"].to_pylist(), dtype="U32")
+        b = group["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lc = np.fromiter((code_of[x] for x in lang.tolist()),
+                         dtype=np.int64, count=lang.size)
+        order = np.lexsort((ids, u, b, lc))
+        ids, lang, u, b, lc = ids[order], lang[order], u[order], b[order], lc[order]
+        # position within each (group, bucket) run
+        run = lc * _SHUF_BUCKETS + b
+        starts = np.concatenate(([0], np.nonzero(np.diff(run))[0] + 1))
+        within = np.arange(run.size, dtype=np.int64)
+        within -= np.repeat(within[starts],
+                            np.diff(np.concatenate((starts, [run.size]))))
+        base = np.empty(run.size, dtype=np.int64)
+        for j, h in enumerate(langs):
+            m = lc == j
+            if m.any():
+                base[m] = bases[h][b[m]]
+        grp_rank = base + within
+        k = (2 * grp_rank + 1) * strides[lc]
+        # closed-form global rank of (k, lang, grp_rank) in the interleave
+        mix = np.zeros(run.size, dtype=np.int64)
+        for j in range(len(langs)):
+            m_h, n_h = strides[j], totals[j]
+            mix += np.clip(((k - 1) // m_h - 1) // 2 + 1, 0, n_h)
+            quo = k // m_h
+            eq = ((k % m_h == 0) & (quo % 2 == 1)
+                  & ((quo - 1) // 2 < n_h) & (j < lc))
+            mix += eq
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "lang": pa.array(lang.tolist(), type=pa.string()),
+            "grp_rank": pa.array(grp_rank),
+            "mix_key": pa.array(k),
+            "mix_rank": pa.array(mix),
+        })
+
+    return keyed_ds.groupby("q").map_groups(finish, batch_format="pyarrow")

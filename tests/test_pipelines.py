@@ -2502,3 +2502,53 @@ class TestSemanticDedup:
         assert (got["vec_id"] != got["rep_vec_id"]).sum() > 0  # non-vacuous
         for vid, rep in zip(got["vec_id"], got["rep_vec_id"]):
             assert ref[int(vid)] == int(rep), vid
+
+
+class TestQ13CustomerDistribution:
+    def test_matches_pandas_reference(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.pipelines.relational import (
+            Q13_EXCLUDED_PRIORITY,
+            q13_customer_distribution,
+        )
+
+        c = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+        o = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+        o = o[o["o_orderpriority"] != Q13_EXCLUDED_PRIORITY]
+        per = o.groupby("o_custkey").size()
+        counts = c["c_custkey"].map(per).fillna(0).astype("int64")
+        want = (counts.value_counts().rename_axis("c_count")
+                .reset_index(name="custdist")
+                .sort_values(["custdist", "c_count"],
+                             ascending=[False, False]))
+        got = q13_customer_distribution(SF).to_pandas()
+        assert got["c_count"].tolist() == want["c_count"].tolist()
+        assert got["custdist"].tolist() == want["custdist"].tolist()
+        # every customer lands in exactly one histogram cell
+        assert int(got["custdist"].sum()) == len(c)
+
+    def test_zero_extension_and_exclusion(self, ray_session, tmp_path):
+        """Customers with no qualifying order surface at c_count 0; orders
+        of the excluded priority and of unknown custkeys never count."""
+        import pandas as pd
+
+        from searchengine_ray.pipelines.relational import (
+            q13_customer_distribution,
+        )
+
+        pd.DataFrame({"c_custkey": [1, 2, 3]}).to_parquet(
+            f"{tmp_path}/customer.parquet", index=False)
+        pd.DataFrame({
+            "o_custkey": [1, 1, 2, 2, 99],
+            "o_orderpriority": [
+                "5-LOW", "3-MEDIUM",   # customer 1 → 2 orders
+                "5-LOW", "1-URGENT",   # customer 2 → 1 (URGENT excluded)
+                "5-LOW",               # custkey 99 has no customer row
+            ],
+        }).to_parquet(f"{tmp_path}/orders.parquet", index=False)
+        got = q13_customer_distribution(str(tmp_path)).to_pandas()
+        # one customer each at counts 2, 1, 0 → custdist ties broken by
+        # c_count DESC
+        assert got["c_count"].tolist() == [2, 1, 0]
+        assert got["custdist"].tolist() == [1, 1, 1]

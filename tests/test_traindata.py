@@ -371,3 +371,67 @@ class TestShuffleRank:
         assert sorted(a["shuffle_rank"]) == list(range(len(docs)))
         b = shuffle_rank(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
         assert a.equals(b)
+
+
+class TestCorpusMix:
+    def test_matches_bruteforce_interleave(self, ray_session):
+        """mix_rank equals the rank in the brute-force sort of the exact
+        stride-scheduling keys; prefix mixture tracks the weights."""
+        import pandas as pd
+
+        from searchengine_ray.pipelines.traindata import (
+            MIX_WEIGHTS,
+            _mix_stride,
+            corpus_mix,
+        )
+
+        t = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["doc_id", "lang"]).to_pandas()
+        t["u"] = [hashlib.md5(b"%d" % i).hexdigest() for i in t["doc_id"]]
+        t = t.sort_values(["lang", "u", "doc_id"]).reset_index(drop=True)
+        t["grp_rank"] = t.groupby("lang").cumcount().astype("int64")
+        t["mix_key"] = (2 * t["grp_rank"] + 1) * t["lang"].map(_mix_stride)
+        t = t.sort_values(["mix_key", "lang", "grp_rank"]).reset_index(drop=True)
+        t["mix_rank"] = np.arange(len(t), dtype=np.int64)
+
+        got = (corpus_mix(SF).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        want = t.sort_values("doc_id").reset_index(drop=True)
+        for col in ("lang", "grp_rank", "mix_key", "mix_rank"):
+            assert got[col].tolist() == want[col].tolist(), col
+        # the interleave is a permutation
+        ranks = np.sort(got["mix_rank"].to_numpy())
+        assert (ranks == np.arange(len(got))).all()
+        # any long-enough prefix tracks the weight mixture: every group's
+        # share of the first 2·L·max-stride·10 slots is within one stride
+        # of its target
+        head = got[got["mix_rank"] < 80]
+        for lang, n in head.groupby("lang").size().items():
+            w = MIX_WEIGHTS.get(lang, 1)
+            assert abs(n - 80 * w / 10) <= 2, (lang, n)
+
+    def test_key_stable_under_corpus_growth(self, ray_session, tmp_path):
+        """Dropping documents never reorders the survivors' relative mix
+        order (key stability — the property random interleaves lack)."""
+        import pandas as pd
+
+        from searchengine_ray.pipelines.traindata import corpus_mix
+
+        t = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["doc_id", "lang"]).to_pandas()
+        full = (corpus_mix(SF).to_pandas()
+                .sort_values("mix_rank").reset_index(drop=True))
+        sub = t[t["doc_id"] % 3 != 0]
+        sub.assign(text="x", source="s", n_chars=1).to_parquet(
+            f"{tmp_path}/documents.parquet", index=False)
+        small = (corpus_mix(str(tmp_path)).to_pandas()
+                 .sort_values("mix_rank").reset_index(drop=True))
+        keep = full[full["doc_id"].isin(set(sub["doc_id"]))]
+        # survivors keep their relative order per group (global order can
+        # shift as other groups shrink; WITHIN a group the md5 order is
+        # key-stable)
+        for lang, g in small.groupby("lang"):
+            want = keep[keep["lang"] == lang]["doc_id"].tolist()
+            got_ids = g.sort_values("grp_rank")["doc_id"].tolist()
+            want_kept = [d for d in want if d in set(got_ids)]
+            assert got_ids == want_kept, lang
