@@ -293,6 +293,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # histogram of those counts) — the distribution-of-group-sizes
         # surface (oracle: LEFT JOIN + double GROUP BY; r4)
         "q13_customer_distribution": relational.q13_customer_distribution,
+        # exact second moments per type: 4-dp integer images, int64 batch
+        # partials, Python-int (HUGEINT-analogue) driver combine — mean/
+        # var/std exact under any summation order (oracle: HUGEINT sums of
+        # the same quantized values; r4)
+        "group_moments": relational.group_moments,
+        # robust outlier scrub: per-type median + MAD via two composed
+        # grouped counting selections, realized-value gate (oracle:
+        # quantile_disc medians + abs-deviation join; r4)
+        "mad_outliers": relational.mad_outliers,
         # --- dedup family ---
         # oracle: planted-marker anti-join (old DISTINCT hashes NOT IN)
         "dedup_incremental": lambda sf: dedup.dedup_incremental(sf, plant=True),
@@ -303,6 +312,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # word-3-grams seen in ≥2 docs — lemma_df-volume shuffles, no pair
         # enumeration (oracle: shingle CTE + df join; r4)
         "duplication_ratio": dedup.duplication_ratio,
+        # cross-source shingle-overlap matrix (the contamination report
+        # read before corpus mixing): distinct (shingle, source) volume
+        # through one shingle-hash exchange, chunked MᵀM pair counts,
+        # ≤ S² rows out (oracle: shared shingle CTE self-join; r4)
+        "source_overlap": dedup.source_overlap,
         # exact-substring span dedup (Lee et al. 2022 shape, r4); oracle:
         # lead()-window grams + window count + gaps-and-islands merge
         "dedup_substrings": dedup.dedup_substrings,
@@ -336,6 +350,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # counting pass over the 4-dp score lattice, then a streamed
         # filter (oracle: scores CTE + quantile_disc subquery; r4)
         "quality_filter": textstats.quality_filter,
+        # quantile-transform normalization: percent_rank of each doc's
+        # quality via the same 10001-bin counting pass — no global sort
+        # (oracle: percent_rank() window over the quality CTE; r4)
+        "percent_rank_quality": textstats.percent_rank_quality,
         # grouped top-k without a global sort: per-batch local top-k per
         # lang, tiny driver final (oracle: row_number() window; r4)
         "group_topk_docs": textstats.group_topk_docs,
@@ -1331,6 +1349,41 @@ WITH per_cust AS (
 SELECT CAST(c_count AS BIGINT) AS c_count,
        CAST(count(*) AS BIGINT) AS custdist
 FROM per_cust GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+        # exact second moments over the 4-dp integer image of value:
+        # HUGEINT-exact n·Σv²−(Σv)² (sum(BIGINT) → HUGEINT), one double
+        # division at the end — the engine performs the identical IEEE ops
+        # on identical exact integers (Python-int partial combine)
+        "group_moments": """
+WITH v AS (
+  SELECT event_type, CAST(round(value * 10000) AS BIGINT) AS vi FROM events),
+ s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         sum(vi) AS s1, sum(vi * vi) AS s2
+  FROM v GROUP BY event_type),
+ d AS (
+  SELECT event_type, n,
+         CAST(s1 AS DOUBLE) / CAST(CAST(n AS HUGEINT) * 10000 AS DOUBLE) AS mean,
+         CAST(n * s2 - s1 * s1 AS DOUBLE)
+           / CAST(CAST(n AS HUGEINT) * n * 100000000 AS DOUBLE) AS var
+  FROM s)
+SELECT event_type, n AS n_events, round(mean, 4) AS mean_r,
+       round(var, 4) AS var_r, round(sqrt(var), 4) AS std_r
+FROM d ORDER BY event_type""",
+        # median/MAD outlier gate: both medians are REALIZED data values
+        # (quantile_disc), deviations and the 3×MAD threshold are single
+        # IEEE ops on bit-identical doubles — no rounding needed anywhere
+        "mad_outliers": """
+WITH med AS (SELECT event_type, quantile_disc(value, 0.5) AS med
+             FROM events GROUP BY event_type),
+ dev AS (SELECT e.event_id, e.event_type, e.value,
+                abs(e.value - m.med) AS dev
+         FROM events e JOIN med m USING (event_type)),
+ mad AS (SELECT event_type, quantile_disc(dev, 0.5) AS mad
+         FROM dev GROUP BY event_type)
+SELECT d.event_id, d.event_type, d.value
+FROM dev d JOIN mad m USING (event_type)
+WHERE d.dev > 3 * m.mad
+ORDER BY d.event_id""",
         # deterministic weighted corpus interleave: per-group rank in the
         # md5 order (shuffle_rank's key, PARTITIONed by lang), exact
         # integer stride-scheduling mix key (2r+1)·(L/w) with L=4 and
@@ -1563,6 +1616,17 @@ SELECT d.doc_id,
                   ELSE CAST(per.n_dup AS DOUBLE) / per.n_shingles END, 4)
            AS dup_ratio_r
 FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""",
+        # cross-source overlap: the SHARED word-shingle CTE joined to each
+        # doc's source, distinct per (source, shingle), then the unordered
+        # pair counts (a ≤ b; diagonal = per-source distinct shingles)
+        "source_overlap": f"""
+WITH {_WORD_SHINGLE_CTE},
+ss AS (SELECT DISTINCT d.source, sh.g
+       FROM sh JOIN documents d ON sh.doc_id = d.doc_id)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM ss a JOIN ss b ON a.g = b.g AND a.source <= b.source
+GROUP BY 1, 2 ORDER BY 1, 2""",
         "dedup_minhash": _jaccard_pairs_sql("word"),
         "ngram_jaccard": _jaccard_pairs_sql("char"),
         # all-pairs Hamming ≤ 3 over SQL-rebuilt md5-prefix signatures; the
@@ -1785,6 +1849,25 @@ WITH raw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
  t AS (SELECT quantile_disc(quality_r, 0.75) AS thr FROM s)
 SELECT s.doc_id, s.n_tokens, s.quality_r FROM s, t
 WHERE s.quality_r >= t.thr""",
+        # quantile-transform normalization: percent_rank() = strictly-below
+        # count / (N−1) — exact int/int double division, same as the
+        # engine's histogram-cumsum lookup; quality expressions verbatim
+        "percent_rank_quality": f"""
+WITH raw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+             FROM documents),
+ a AS (SELECT doc_id, count(*) AS n_tokens,
+              CAST(sum(CASE WHEN token IN ({_STOP_SQL}) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+              CAST(sum(CASE WHEN length(token) >= 2 AND token NOT IN ({_STOP_SQL})
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_sig
+       FROM raw GROUP BY doc_id),
+ s AS (SELECT d.doc_id,
+              round(least(1.0, coalesce(a.n_sig, 0) / 50.0)
+                    * (1.0 - CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0.0
+                                  ELSE CAST(a.n_stop AS DOUBLE) / a.n_tokens END), 4) AS quality_r
+       FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id)
+SELECT doc_id, quality_r,
+       round(percent_rank() OVER (ORDER BY quality_r), 4) AS pct_rank_r
+FROM s ORDER BY doc_id""",
         # grouped top-k: row_number() window over the quality_score
         # expressions verbatim (hash-green there) — the one-node mirror of
         # the engine's per-batch local top-k union

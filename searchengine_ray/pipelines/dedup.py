@@ -1899,3 +1899,110 @@ def dedup_substrings(sf_dir: str, k: int = 8, min_count: int = 2):
     return out.sort_values(["doc_id", "span_start"], kind="stable").reset_index(
         drop=True
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source shingle-overlap matrix (corpus-mixing contamination report)
+# ---------------------------------------------------------------------------
+
+
+def source_overlap(sf_dir: str):
+    """(source_a, source_b, n_shared): for every unordered source pair
+    (a ≤ b), how many DISTINCT word-3-gram shingles the two sources share
+    — the cross-source contamination matrix read before mixing corpora
+    (a high off-diagonal says two "independent" sources overlap; the
+    diagonal is each source's distinct-shingle count). Output is ≤ S(S+1)/2
+    rows for S sources — driver-scale by definition (sources are a
+    low-cardinality label).
+
+    Scale shape: one row per distinct (shingle, source) pair — lemma_df
+    volume, never pair-of-docs volume — deduped map-side per batch, then
+    ONE fixed-partition exchange on shingle hash: a partition owns every
+    source of its shingles, so pair counts resolve locally via a chunked
+    incidence-matrix product (chunk_rows × S int64 blocks, C += MᵀM — BLAS,
+    bounded memory at any shingle count) and ≤ S² partial rows per
+    partition reach the driver. Shingle-hash equality ≡ shingle-string
+    equality (same injectivity note as the Jaccard oracles)."""
+    import pandas as pd
+
+    def explode(batch: pa.Table) -> pa.Table:
+        src_all = batch["source"].to_pylist()
+        ids_out, h_out = [], []
+        for src, text in zip(src_all, batch["text"].to_pylist()):
+            sh = word_shingle_array(text or "")
+            if sh.size:
+                ids_out.append(np.full(sh.size, src, dtype=object))
+                h_out.append(sh)
+        if not ids_out:
+            return pa.table({"q": pa.array([], type=pa.int64()),
+                             "g": pa.array([], type=pa.int64()),
+                             "src": pa.array([], type=pa.string())})
+        src = np.concatenate(ids_out)
+        hs = np.concatenate(h_out).view(np.int64)
+        # map-side (shingle, source) dedup before the exchange
+        codes, uniq = pd.factorize(src)
+        packed_order = np.lexsort((codes, hs))
+        hs, codes = hs[packed_order], codes[packed_order]
+        keep = np.concatenate(
+            ([True], (np.diff(hs) != 0) | (np.diff(codes) != 0)))
+        hs, codes = hs[keep], codes[keep]
+        return pa.table({
+            "q": pa.array((hs.view(np.uint64) % _DEDUP_PARTITIONS)
+                          .astype(np.int64)),
+            "g": pa.array(hs),
+            "src": pa.array(np.asarray(uniq, dtype=object)[codes].tolist(),
+                            type=pa.string()),
+        })
+
+    def pair_counts(group: pa.Table) -> pa.Table:
+        g = group["g"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.asarray(group["src"].to_pylist(), dtype=object)
+        codes, uniq = pd.factorize(src)
+        srcs = np.sort(np.asarray(uniq, dtype=object))
+        remap = {s: j for j, s in enumerate(srcs.tolist())}
+        codes = np.fromiter((remap[s] for s in src.tolist()),
+                            dtype=np.int64, count=src.size)
+        order = np.lexsort((codes, g))
+        g, codes = g[order], codes[order]
+        keep = np.concatenate(  # cross-batch (shingle, source) dedup
+            ([True], (np.diff(g) != 0) | (np.diff(codes) != 0)))
+        g, codes = g[keep], codes[keep]
+        _, inv = np.unique(g, return_inverse=True)
+        S = srcs.size
+        n_sh = int(inv[-1]) + 1 if inv.size else 0
+        C = np.zeros((S, S), dtype=np.int64)
+        chunk = 65536
+        for lo in range(0, n_sh, chunk):
+            hi = min(lo + chunk, n_sh)
+            a = np.searchsorted(inv, lo)
+            b = np.searchsorted(inv, hi)
+            M = np.zeros((hi - lo, S), dtype=np.int64)
+            M[inv[a:b] - lo, codes[a:b]] = 1
+            C += M.T @ M
+        ai, bi = np.triu_indices(S)
+        n = C[ai, bi]
+        nz = n > 0
+        return pa.table({
+            "source_a": pa.array(srcs[ai[nz]].tolist(), type=pa.string()),
+            "source_b": pa.array(srcs[bi[nz]].tolist(), type=pa.string()),
+            "n": pa.array(n[nz]),
+        })
+
+    parts = (
+        read_documents(sf_dir, columns=("doc_id", "text", "source"))
+        .map_batches(explode, batch_format="pyarrow", batch_size=2048)
+        .groupby("q")
+        .map_groups(pair_counts, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if parts.empty:
+        return pa.table({"source_a": pa.array([], type=pa.string()),
+                         "source_b": pa.array([], type=pa.string()),
+                         "n_shared": pa.array([], type=pa.int64())})
+    agg = (parts.groupby(["source_a", "source_b"], as_index=False)["n"]
+           .sum().sort_values(["source_a", "source_b"]))
+    return pa.table({
+        "source_a": pa.array(agg["source_a"].tolist(), type=pa.string()),
+        "source_b": pa.array(agg["source_b"].tolist(), type=pa.string()),
+        "n_shared": pa.array(agg["n"].to_numpy(dtype=np.int64)),
+    })

@@ -625,7 +625,8 @@ def exact_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99),
 
 def group_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99),
                     by: str = "event_type", column: str = "value",
-                    n_buckets: int = 8192, max_pull: int = 262_144):
+                    n_buckets: int = 8192, max_pull: int = 262_144,
+                    ds=None):
     """(event_type, q, value): EXACT per-group discrete quantiles — the
     grouped form of :func:`exact_quantiles` (rank ceil(n_g·q) within each
     group, DuckDB ``quantile_disc ... GROUP BY`` convention).
@@ -639,10 +640,13 @@ def group_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99),
     buckets (> max_pull rows) trigger a per-(group, bucket) recursion pass;
     the final pulls fetch expected n_g/n_buckets rows each. A naive
     per-group loop over exact_quantiles would cost G × 3 passes; this costs
-    3 + pathology."""
-    ds = read_parquet_clean(
-        os.path.join(sf_dir, "events.parquet"), columns=[by, column]
-    ).materialize()
+    3 + pathology. Pass ``ds`` to select over a derived Dataset carrying
+    the same (by, column) columns instead of the events table."""
+    if ds is None:
+        ds = read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"), columns=[by, column]
+        )
+    ds = ds.materialize()
 
     def stats(batch: pa.Table) -> pa.Table:
         import pandas as pd
@@ -2343,3 +2347,139 @@ def q13_customer_distribution(sf_dir: str):
         "c_count": pa.array(agg["c_count"].to_numpy(dtype=np.int64)),
         "custdist": pa.array(agg["custdist"].to_numpy(dtype=np.int64)),
     })
+
+
+# ---------------------------------------------------------------------------
+# Exact second-moment aggregates (mean / variance / stddev per group)
+# ---------------------------------------------------------------------------
+
+# values quantize onto their 4-dp integer image before any summation, so
+# the moment partials are exact integers and summation order can never
+# move a result (float Σx² is order-dependent; int64 partials are not).
+_MOM_SCALE = 10_000
+
+
+def group_moments(sf_dir: str):
+    """(event_type, n_events, mean_r, var_r, std_r): per-type mean,
+    population variance and stddev of ``events.value`` — the second-moment
+    aggregate surface (every other aggregate entry stops at count/sum).
+
+    Contract: moments are computed over the 4-dp quantization of value
+    (exact at the table's own precision). Per-batch partials Σv and Σv²
+    are int64 (a batch of 8192 rows leaves >30 bits of headroom at
+    |value| ≤ 2×10⁵); the driver combines partials with PYTHON ints
+    (arbitrary precision, mirroring SQL's HUGEINT sums), so
+    n·Σv² − (Σv)² is exact at any corpus size. mean/var derive by one
+    double division each — the identical IEEE operation DuckDB performs
+    on the identical exact integers.
+
+    Scale shape: one streaming pass, ≤ n_types partial rows per batch,
+    driver final over batches × n_types tiny rows. No shuffle at all."""
+    import pandas as pd
+
+    def partials(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        vi = np.round(v * _MOM_SCALE).astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_numpy(zero_copy_only=False),
+            "n": np.ones(vi.size, dtype=np.int64),
+            "s1": vi,
+            "s2": vi * vi,
+        })
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("n", "sum"), s1=("s1", "sum"), s2=("s2", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["event_type", "value"])
+        .map_batches(partials, batch_format="pyarrow", batch_size=8192)
+        .to_pandas()
+    )
+    types, ns, means, vars_, stds = [], [], [], [], []
+    for et in sorted(parts["event_type"].unique().tolist()):
+        sub = parts[parts["event_type"] == et]
+        # Python ints: exact at any magnitude (the HUGEINT analogue)
+        n = int(sub["n"].sum())
+        s1 = sum(int(x) for x in sub["s1"])
+        s2 = sum(int(x) for x in sub["s2"])
+        mean = float(s1) / float(n * _MOM_SCALE)
+        num = n * s2 - s1 * s1
+        den = n * n * _MOM_SCALE * _MOM_SCALE
+        var = float(num) / float(den)
+        types.append(et)
+        ns.append(n)
+        means.append(mean)
+        vars_.append(var)
+        stds.append(float(np.sqrt(var)))
+    return pa.table({
+        "event_type": pa.array(types, type=pa.string()),
+        "n_events": pa.array(np.asarray(ns, dtype=np.int64)),
+        "mean_r": pa.array(_round_vec(np.asarray(means, dtype=np.float64))),
+        "var_r": pa.array(_round_vec(np.asarray(vars_, dtype=np.float64))),
+        "std_r": pa.array(_round_vec(np.asarray(stds, dtype=np.float64))),
+    })
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier scrub (median / MAD gate per group)
+# ---------------------------------------------------------------------------
+
+MAD_FACTOR = 3.0  # |value - median| > factor · MAD ⇒ outlier
+
+
+def mad_outliers(sf_dir: str):
+    """(event_id, event_type, value): events whose value deviates from the
+    per-type MEDIAN by more than ``MAD_FACTOR`` × the median absolute
+    deviation — the robust outlier scrub (mean/std gates move with the
+    outliers they hunt; median/MAD do not). The data-cleaning counterpart
+    of ``group_moments``' parametric view.
+
+    Scale shape: two composed grouped counting selections (the
+    :func:`group_quantiles` machinery — no sort, no all-to-all): the
+    per-type median first, then the median of |value − median| over the
+    derived deviation stream; both medians are REALIZED data values
+    (quantile_disc convention), so the final gate compares bit-identical
+    doubles and one streaming filter pass finishes. Medians/MADs broadcast
+    as a ≤ n_types-entry dict; the events table is never materialized to
+    the driver."""
+    med_t = group_quantiles(sf_dir, qs=(0.5,)).to_pandas()
+    if med_t.empty:
+        return pa.table({"event_id": pa.array([], type=pa.int64()),
+                         "event_type": pa.array([], type=pa.string()),
+                         "value": pa.array([], type=pa.float64())})
+    med = dict(zip(med_t["event_type"], med_t["value"]))
+
+    def deviations(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        m = np.fromiter((med.get(t, np.nan) for t in et.tolist()),
+                        dtype=np.float64, count=et.size)
+        return pa.table({
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "event_type": batch["event_type"].cast(pa.string()),
+            "value": pa.array(np.abs(v - m)),
+            "raw": pa.array(v),
+        })
+
+    dev = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "value"],
+    ).map_batches(deviations, batch_format="pyarrow").materialize()
+
+    mad_t = group_quantiles(sf_dir, qs=(0.5,), ds=dev.select_columns(
+        ["event_type", "value"])).to_pandas()
+    gate = {t: MAD_FACTOR * float(v)
+            for t, v in zip(mad_t["event_type"], mad_t["value"])}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        d = batch["value"].to_numpy(zero_copy_only=False)
+        thr = np.fromiter((gate.get(t, np.inf) for t in et.tolist()),
+                          dtype=np.float64, count=et.size)
+        out = batch.filter(pa.array(d > thr))
+        return pa.table({"event_id": out["event_id"],
+                         "event_type": out["event_type"],
+                         "value": out["raw"]})
+
+    return dev.map_batches(keep, batch_format="pyarrow")

@@ -687,3 +687,48 @@ def group_topk_docs(sf_dir: str, k: int = 3, batch_size: int = 2048):
         "doc_id": pa.array(top["doc_id"].to_numpy(dtype=np.int64)),
         "quality_r": pa.array(top["quality_r"].to_numpy(dtype=np.float64)),
     })
+
+
+def percent_rank_quality(sf_dir: str):
+    """(doc_id, quality_r, pct_rank_r): each document's quality score
+    mapped to its corpus percentile (``percent_rank`` = docs-strictly-below
+    / (N−1)) — quantile-transform normalization, the step that makes
+    quality thresholds portable across corpora whose raw score
+    distributions differ.
+
+    Scale shape: the same counting pass as :func:`quality_filter` —
+    quality_r is 4-dp in [0, 1] by construction, so one streaming pass
+    ships only nonzero (bucket, count) pairs per task into a 10001-bin
+    driver histogram; the exclusive cumsum (= docs strictly below each
+    bucket) broadcasts as one tiny int array and a second streaming pass
+    finishes every doc with one vectorized lookup + an exact int/int
+    double division. Equivalent SQL is a percent_rank() window over a
+    GLOBAL SORT; no sort here."""
+    scores = quality_score(sf_dir).select_columns(
+        ["doc_id", "quality_r"]).materialize()
+
+    def vcounts(batch: pa.Table) -> pa.Table:
+        v = batch["quality_r"].to_numpy(zero_copy_only=False)
+        b = np.rint(v * 10000.0).astype(np.int64)
+        ub, cnt = np.unique(b, return_counts=True)
+        return pa.table({"b": pa.array(ub), "c": pa.array(cnt.astype(np.int64))})
+
+    vc = scores.map_batches(vcounts, batch_format="pyarrow").to_pandas()
+    counts = np.zeros(10001, dtype=np.int64)
+    if not vc.empty:
+        np.add.at(counts, vc["b"].to_numpy(), vc["c"].to_numpy())
+    n = int(counts.sum())
+    below = np.concatenate(([0], np.cumsum(counts)[:-1]))  # exclusive cumsum
+    den = float(n - 1) if n > 1 else 1.0  # N=1: percent_rank is 0 by convention
+
+    def finish(batch: pa.Table) -> pa.Table:
+        v = batch["quality_r"].to_numpy(zero_copy_only=False)
+        b = np.rint(v * 10000.0).astype(np.int64)
+        pct = below[b].astype(np.float64) / den
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "quality_r": batch["quality_r"],
+            "pct_rank_r": pa.array(_round_vec(pct), type=pa.float64()),
+        })
+
+    return scores.map_batches(finish, batch_format="pyarrow")

@@ -2552,3 +2552,160 @@ class TestQ13CustomerDistribution:
         # c_count DESC
         assert got["c_count"].tolist() == [2, 1, 0]
         assert got["custdist"].tolist() == [1, 1, 1]
+
+
+class TestGroupMoments:
+    def test_matches_exact_integer_reference(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.pipelines.relational import (
+            _MOM_SCALE,
+            group_moments,
+        )
+
+        df = pq.read_table(f"{SF}/events.parquet",
+                           columns=["event_type", "value"]).to_pandas()
+        got = group_moments(SF).to_pandas()
+        assert got["event_type"].tolist() == sorted(df["event_type"].unique())
+        for _, row in got.iterrows():
+            v = df[df["event_type"] == row["event_type"]]["value"].to_numpy()
+            vi = [int(x) for x in np.round(v * _MOM_SCALE)]
+            n, s1, s2 = len(vi), sum(vi), sum(x * x for x in vi)
+            mean = float(s1) / float(n * _MOM_SCALE)
+            var = float(n * s2 - s1 * s1) / float(n * n * _MOM_SCALE**2)
+            assert row["n_events"] == n
+            assert abs(row["mean_r"] - mean) < 1e-4
+            assert abs(row["var_r"] - var) < 1e-4
+            assert abs(row["std_r"] - np.sqrt(var)) < 1e-4
+
+    def test_constant_group_has_zero_variance(self, ray_session, tmp_path):
+        import pandas as pd
+
+        from searchengine_ray.pipelines.relational import group_moments
+
+        pd.DataFrame({
+            "event_type": ["a"] * 5 + ["b"] * 3,
+            "value": [2.5] * 5 + [1.0, 2.0, 3.0],
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = group_moments(str(tmp_path)).to_pandas()
+        a = got[got["event_type"] == "a"].iloc[0]
+        assert (a["mean_r"], a["var_r"], a["std_r"]) == (2.5, 0.0, 0.0)
+        b = got[got["event_type"] == "b"].iloc[0]
+        assert (b["mean_r"], b["var_r"]) == (2.0, 0.6667)  # var = 2/3, 4 dp
+
+
+class TestMadOutliers:
+    @staticmethod
+    def _disc_median(v):
+        s = np.sort(np.asarray(v, dtype=np.float64))
+        k = max(int(np.ceil(s.size * 0.5)), 1)
+        return float(s[k - 1])
+
+    def test_matches_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.pipelines.relational import MAD_FACTOR, mad_outliers
+
+        df = pq.read_table(
+            f"{SF}/events.parquet",
+            columns=["event_id", "event_type", "value"]).to_pandas()
+        want = []
+        for et, g in df.groupby("event_type"):
+            med = self._disc_median(g["value"])
+            dev = np.abs(g["value"].to_numpy() - med)
+            mad = self._disc_median(dev)
+            want.extend(g["event_id"].to_numpy()[dev > MAD_FACTOR * mad].tolist())
+        got = mad_outliers(SF).to_pandas()
+        assert sorted(got["event_id"].tolist()) == sorted(want)
+
+    def test_planted_outliers(self, ray_session, tmp_path):
+        """A tight cluster plus one far point per type: only the far point
+        trips the MAD gate; a constant-valued type (MAD 0) flags every
+        off-median point and nothing else."""
+        import pandas as pd
+
+        from searchengine_ray.pipelines.relational import mad_outliers
+
+        pd.DataFrame({
+            "event_id": list(range(8)),
+            "event_type": ["a"] * 5 + ["c"] * 3,
+            "value": [10.0, 10.1, 9.9, 10.05, 500.0,   # 500 is the outlier
+                      7.0, 7.0, 7.0],                   # constant: MAD 0
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = mad_outliers(str(tmp_path)).to_pandas()
+        assert got["event_id"].tolist() == [4]
+
+
+class TestPercentRankQuality:
+    def test_matches_window_reference(self, ray_session):
+        from searchengine_ray.pipelines.textstats import (
+            percent_rank_quality,
+            quality_score,
+        )
+
+        q = quality_score(SF).to_pandas()[["doc_id", "quality_r"]]
+        n = len(q)
+        # percent_rank(): (count strictly below) / (N - 1); ties share
+        pct = (q["quality_r"].rank(method="min") - 1) / (n - 1)
+        want = dict(zip(q["doc_id"], np.floor(pct * 10000 + 0.5) / 10000))
+        got = percent_rank_quality(SF).to_pandas()
+        assert len(got) == n
+        for did, p in zip(got["doc_id"], got["pct_rank_r"]):
+            assert p == want[int(did)], did
+        # extremes: some doc at 0; max-quality docs strictly below 1 only
+        # when tied at the top
+        assert got["pct_rank_r"].min() == 0.0
+        assert got["pct_rank_r"].max() <= 1.0
+
+
+class TestSourceOverlap:
+    def test_matches_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.pipelines.dedup import (
+            source_overlap,
+            word_shingle_array,
+        )
+
+        df = pq.read_table(f"{SF}/documents.parquet",
+                           columns=["text", "source"]).to_pandas()
+        per_src = {}
+        for src, g in df.groupby("source"):
+            s = set()
+            for t in g["text"]:
+                s.update(word_shingle_array(t or "").tolist())
+            per_src[src] = s
+        srcs = sorted(per_src)
+        want = {(a, b): len(per_src[a] & per_src[b])
+                for i, a in enumerate(srcs) for b in srcs[i:]}
+        want = {k: v for k, v in want.items() if v > 0}
+        got = source_overlap(SF).to_pandas()
+        assert dict(zip(zip(got["source_a"], got["source_b"]),
+                        got["n_shared"])) == want
+        # diagonal is each source's distinct-shingle count
+        for a in srcs:
+            row = got[(got["source_a"] == a) & (got["source_b"] == a)]
+            assert int(row["n_shared"].iloc[0]) == len(per_src[a])
+
+    def test_planted_overlap(self, ray_session, tmp_path):
+        """Two sources sharing one doc text overlap by exactly that doc's
+        shingles; a disjoint third source has zero off-diagonal rows."""
+        import pandas as pd
+
+        from searchengine_ray.pipelines.dedup import (
+            source_overlap,
+            word_shingle_array,
+        )
+
+        shared = "alpha beta gamma delta epsilon"
+        pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            "text": [shared, shared + " zeta", "one two three four", shared],
+            "source": ["s1", "s1", "s2", "s3"],
+        }).to_parquet(f"{tmp_path}/documents.parquet", index=False)
+        got = source_overlap(str(tmp_path)).to_pandas()
+        m = dict(zip(zip(got["source_a"], got["source_b"]), got["n_shared"]))
+        n_shared_doc = word_shingle_array(shared).size
+        assert m[("s1", "s3")] == n_shared_doc
+        assert ("s1", "s2") not in m and ("s2", "s3") not in m
+        assert m[("s2", "s2")] == word_shingle_array("one two three four").size
