@@ -1957,11 +1957,9 @@ def source_overlap(sf_dir: str):
     def pair_counts(group: pa.Table) -> pa.Table:
         g = group["g"].to_numpy(zero_copy_only=False).astype(np.int64)
         src = np.asarray(group["src"].to_pylist(), dtype=object)
-        codes, uniq = pd.factorize(src)
-        srcs = np.sort(np.asarray(uniq, dtype=object))
-        remap = {s: j for j, s in enumerate(srcs.tolist())}
-        codes = np.fromiter((remap[s] for s in src.tolist()),
-                            dtype=np.int64, count=src.size)
+        # sorted distinct sources + vectorized codes in one pass
+        srcs, codes = np.unique(src, return_inverse=True)
+        codes = codes.astype(np.int64)
         order = np.lexsort((codes, g))
         g, codes = g[order], codes[order]
         keep = np.concatenate(  # cross-batch (shingle, source) dedup
@@ -1989,7 +1987,7 @@ def source_overlap(sf_dir: str):
         })
 
     parts = (
-        read_documents(sf_dir, columns=("doc_id", "text", "source"))
+        read_documents(sf_dir, columns=("text", "source"))
         .map_batches(explode, batch_format="pyarrow", batch_size=2048)
         .groupby("q")
         .map_groups(pair_counts, batch_format="pyarrow")

@@ -2365,13 +2365,18 @@ def group_moments(sf_dir: str):
     aggregate surface (every other aggregate entry stops at count/sum).
 
     Contract: moments are computed over the 4-dp quantization of value
-    (exact at the table's own precision). Per-batch partials Σv and Σv²
-    are int64 (a batch of 8192 rows leaves >30 bits of headroom at
-    |value| ≤ 2×10⁵); the driver combines partials with PYTHON ints
-    (arbitrary precision, mirroring SQL's HUGEINT sums), so
-    n·Σv² − (Σv)² is exact at any corpus size. mean/var derive by one
-    double division each — the identical IEEE operation DuckDB performs
-    on the identical exact integers.
+    (exact at the table's own precision; half-away-from-zero, matching
+    SQL ROUND — np.round is banker's and disagrees on exact .5).
+    Σv² would overflow int64 inside one batch for |vi| ≥ ~2×10⁹ (three
+    8192-row values at the |value| ≤ 2×10⁵ envelope suffice), so each
+    |vi| splits at 2¹⁶ into (hi, lo) and the batch carries the three
+    partials Σhi², Σhi·lo, Σlo² — every term < 2¹⁴ bits, so an int64
+    batch sum has >17 bits of headroom even at 8192 rows. The driver
+    combines all partials with PYTHON ints (arbitrary precision, the
+    HUGEINT analogue) and reconstructs Σv² = Σhi²·2³² + 2Σhi·lo·2¹⁶ +
+    Σlo² exactly, so n·Σv² − (Σv)² is exact at any corpus size.
+    mean/var derive by one double division each — the identical IEEE
+    operation DuckDB performs on the identical exact integers.
 
     Scale shape: one streaming pass, ≤ n_types partial rows per batch,
     driver final over batches × n_types tiny rows. No shuffle at all."""
@@ -2379,15 +2384,22 @@ def group_moments(sf_dir: str):
 
     def partials(batch: pa.Table) -> pa.Table:
         v = batch["value"].to_numpy(zero_copy_only=False)
-        vi = np.round(v * _MOM_SCALE).astype(np.int64)
+        vi = (np.floor(np.abs(v) * _MOM_SCALE + 0.5)
+              * np.sign(v)).astype(np.int64)
+        a = np.abs(vi)
+        hi = a >> 16
+        lo = a & 0xFFFF
         df = pd.DataFrame({
             "event_type": batch["event_type"].to_numpy(zero_copy_only=False),
             "n": np.ones(vi.size, dtype=np.int64),
             "s1": vi,
-            "s2": vi * vi,
+            "s2hh": hi * hi,
+            "s2hl": hi * lo,
+            "s2ll": lo * lo,
         })
         g = df.groupby("event_type", as_index=False).agg(
-            n=("n", "sum"), s1=("s1", "sum"), s2=("s2", "sum"))
+            n=("n", "sum"), s1=("s1", "sum"),
+            s2hh=("s2hh", "sum"), s2hl=("s2hl", "sum"), s2ll=("s2ll", "sum"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
     parts = (
@@ -2396,13 +2408,23 @@ def group_moments(sf_dir: str):
         .map_batches(partials, batch_format="pyarrow", batch_size=8192)
         .to_pandas()
     )
+    if parts.empty:
+        return pa.table({
+            "event_type": pa.array([], type=pa.string()),
+            "n_events": pa.array([], type=pa.int64()),
+            "mean_r": pa.array([], type=pa.float64()),
+            "var_r": pa.array([], type=pa.float64()),
+            "std_r": pa.array([], type=pa.float64()),
+        })
     types, ns, means, vars_, stds = [], [], [], [], []
     for et in sorted(parts["event_type"].unique().tolist()):
         sub = parts[parts["event_type"] == et]
         # Python ints: exact at any magnitude (the HUGEINT analogue)
         n = int(sub["n"].sum())
         s1 = sum(int(x) for x in sub["s1"])
-        s2 = sum(int(x) for x in sub["s2"])
+        s2 = (sum(int(x) for x in sub["s2hh"]) * (1 << 32)
+              + 2 * sum(int(x) for x in sub["s2hl"]) * (1 << 16)
+              + sum(int(x) for x in sub["s2ll"]))
         mean = float(s1) / float(n * _MOM_SCALE)
         num = n * s2 - s1 * s1
         den = n * n * _MOM_SCALE * _MOM_SCALE

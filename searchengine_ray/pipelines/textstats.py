@@ -210,6 +210,31 @@ def quality_score(sf_dir: str):
     )
 
 
+_Q_BINS = 10001  # quality_r is 4-dp in [0, 1] ⇒ ≤10001 exact integer buckets
+
+
+def _quality_buckets(v: np.ndarray) -> np.ndarray:
+    return np.rint(v * 10000.0).astype(np.int64)
+
+
+def _quality_histogram(scores) -> np.ndarray:
+    """One streaming counting pass over a quality-score Dataset: each task
+    ships only its nonzero (bucket, count) pairs; the driver np.add.at-sums
+    them into a ``_Q_BINS``-bin histogram. Shared by ``quality_filter`` and
+    ``percent_rank_quality`` so the quantization lattice lives in exactly
+    one place."""
+    def vcounts(batch: pa.Table) -> pa.Table:
+        b = _quality_buckets(batch["quality_r"].to_numpy(zero_copy_only=False))
+        ub, cnt = np.unique(b, return_counts=True)
+        return pa.table({"b": pa.array(ub), "c": pa.array(cnt.astype(np.int64))})
+
+    vc = scores.map_batches(vcounts, batch_format="pyarrow").to_pandas()
+    counts = np.zeros(_Q_BINS, dtype=np.int64)
+    if not vc.empty:  # empty corpus: Ray's to_pandas drops the column names
+        np.add.at(counts, vc["b"].to_numpy(), vc["c"].to_numpy())
+    return counts
+
+
 def quality_filter(sf_dir: str, q: float = 0.75):
     """Quality-percentile pruning — the canonical curation compose: compute
     a per-doc quality score, find the global q-th quantile of the scores,
@@ -227,20 +252,9 @@ def quality_filter(sf_dir: str, q: float = 0.75):
     scores = quality_score(sf_dir).select_columns(
         ["doc_id", "n_tokens", "quality_r"]
     ).materialize()
-
-    def vcounts(batch: pa.Table) -> pa.Table:
-        v = batch["quality_r"].to_numpy(zero_copy_only=False)
-        b = np.rint(v * 10000.0).astype(np.int64)
-        ub, cnt = np.unique(b, return_counts=True)
-        return pa.table({"b": pa.array(ub), "c": pa.array(cnt.astype(np.int64))})
-
-    vc = scores.map_batches(vcounts, batch_format="pyarrow").to_pandas()
-    if vc.empty:  # empty corpus: Ray's to_pandas drops the column names
-        return scores
-    counts = np.zeros(10001, dtype=np.int64)
-    np.add.at(counts, vc["b"].to_numpy(), vc["c"].to_numpy())
+    counts = _quality_histogram(scores)
     n = int(counts.sum())
-    if n == 0:
+    if n == 0:  # empty corpus
         return scores
     k = max(int(np.ceil(n * q)), 1)  # 1-based rank, quantile_disc convention
     thr_bucket = int(np.searchsorted(np.cumsum(counts), k))
@@ -706,24 +720,13 @@ def percent_rank_quality(sf_dir: str):
     GLOBAL SORT; no sort here."""
     scores = quality_score(sf_dir).select_columns(
         ["doc_id", "quality_r"]).materialize()
-
-    def vcounts(batch: pa.Table) -> pa.Table:
-        v = batch["quality_r"].to_numpy(zero_copy_only=False)
-        b = np.rint(v * 10000.0).astype(np.int64)
-        ub, cnt = np.unique(b, return_counts=True)
-        return pa.table({"b": pa.array(ub), "c": pa.array(cnt.astype(np.int64))})
-
-    vc = scores.map_batches(vcounts, batch_format="pyarrow").to_pandas()
-    counts = np.zeros(10001, dtype=np.int64)
-    if not vc.empty:
-        np.add.at(counts, vc["b"].to_numpy(), vc["c"].to_numpy())
+    counts = _quality_histogram(scores)
     n = int(counts.sum())
     below = np.concatenate(([0], np.cumsum(counts)[:-1]))  # exclusive cumsum
     den = float(n - 1) if n > 1 else 1.0  # N=1: percent_rank is 0 by convention
 
     def finish(batch: pa.Table) -> pa.Table:
-        v = batch["quality_r"].to_numpy(zero_copy_only=False)
-        b = np.rint(v * 10000.0).astype(np.int64)
+        b = _quality_buckets(batch["quality_r"].to_numpy(zero_copy_only=False))
         pct = below[b].astype(np.float64) / den
         return pa.table({
             "doc_id": batch["doc_id"],

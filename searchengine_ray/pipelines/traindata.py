@@ -18,6 +18,7 @@ regexp_replace chain), so each is hash-checked against DuckDB.
 from __future__ import annotations
 
 import hashlib
+import math
 import os
 import re
 
@@ -320,6 +321,30 @@ _SHUF_BUCKETS = 1 << 16  # first 16 bits of md5 → histogram grain
 _SHUF_PARTITIONS = 256  # fixed shuffle partitions (many buckets per task)
 
 
+def _md5_keys(ids: np.ndarray):
+    """(hex_keys, buckets) for int64 doc ids — the deterministic shuffle
+    key contract (u = md5(b"%d" % doc_id) hex, bucket = first 4 hex
+    digits). The ONE place the derivation lives: ``shuffle_rank`` and
+    ``corpus_mix`` both build their key-stable orders from it, so the two
+    can never drift apart."""
+    md5 = hashlib.md5
+    u = [md5(b"%d" % i).hexdigest() for i in ids.tolist()]
+    b = np.fromiter((int(h[:4], 16) for h in u), dtype=np.int64, count=len(u))
+    return u, b
+
+
+def _run_positions(run: np.ndarray) -> np.ndarray:
+    """0-based position of each row within its run of equal consecutive
+    labels (input already sorted by run) — the shared within-bucket rank
+    step of the histogram-based global-rank pattern."""
+    if run.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    starts = np.concatenate(([0], np.nonzero(np.diff(run))[0] + 1))
+    within = np.arange(run.size, dtype=np.int64)
+    return within - np.repeat(
+        within[starts], np.diff(np.concatenate((starts, [run.size]))))
+
+
 def shuffle_rank(sf_dir: str, n_shards: int = 8, ds=None):
     """(doc_id, shuffle_rank, shard): a deterministic global training order
     — rank = position in the md5(doc_id) order (key-stable: re-runs and
@@ -339,9 +364,7 @@ def shuffle_rank(sf_dir: str, n_shards: int = 8, ds=None):
 
     def keyed(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        md5 = hashlib.md5
-        u = [md5(b"%d" % i).hexdigest() for i in ids.tolist()]
-        b = np.fromiter((int(h[:4], 16) for h in u), dtype=np.int64, count=len(u))
+        u, b = _md5_keys(ids)
         return pa.table(
             {
                 "doc_id": pa.array(ids),
@@ -378,11 +401,7 @@ def shuffle_rank(sf_dir: str, n_shards: int = 8, ds=None):
         b = group["b"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((ids, u, b))
         ids, u, b = ids[order], u[order], b[order]
-        # position within each bucket run (rows sorted by bucket)
-        starts = np.concatenate(([0], np.nonzero(np.diff(b))[0] + 1))
-        within = np.arange(b.size, dtype=np.int64)
-        within -= np.repeat(within[starts], np.diff(np.concatenate((starts, [b.size]))))
-        rank = base[b] + within
+        rank = base[b] + _run_positions(b)
         return pa.table(
             {
                 "doc_id": pa.array(ids),
@@ -843,7 +862,7 @@ def pps_sample(sf_dir: str, k: int = PPS_K):
 # tests/test_traindata.py pins the two against each other.
 MIX_WEIGHTS = {"en": 4, "de": 2, "fr": 2}
 MIX_DEFAULT_WEIGHT = 1
-MIX_L = 4
+MIX_L = math.lcm(MIX_DEFAULT_WEIGHT, *MIX_WEIGHTS.values())
 
 
 def _mix_stride(lang: str) -> int:
@@ -881,9 +900,7 @@ def corpus_mix(sf_dir: str, ds=None):
 
     def keyed(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        md5 = hashlib.md5
-        u = [md5(b"%d" % i).hexdigest() for i in ids.tolist()]
-        b = np.fromiter((int(h[:4], 16) for h in u), dtype=np.int64, count=len(u))
+        u, b = _md5_keys(ids)
         return pa.table({
             "doc_id": pa.array(ids),
             "lang": batch["lang"].cast(pa.string()),
@@ -912,6 +929,12 @@ def corpus_mix(sf_dir: str, ds=None):
 
     hist = keyed_ds.map_batches(
         lang_bucket_counts, batch_format="pyarrow").to_pandas()
+    if hist.empty:  # Ray's to_pandas drops column names on an empty corpus
+        z = pa.array([], type=pa.int64())
+        return pa.table({
+            "doc_id": z, "lang": pa.array([], type=pa.string()),
+            "grp_rank": z, "mix_key": z, "mix_rank": z,
+        })
     hist = hist.groupby(["lang", "b"], as_index=False)["n"].sum()
     langs = sorted(hist["lang"].unique().tolist())  # tiebreak order: lang asc
     bases = {}
@@ -938,10 +961,7 @@ def corpus_mix(sf_dir: str, ds=None):
         ids, lang, u, b, lc = ids[order], lang[order], u[order], b[order], lc[order]
         # position within each (group, bucket) run
         run = lc * _SHUF_BUCKETS + b
-        starts = np.concatenate(([0], np.nonzero(np.diff(run))[0] + 1))
-        within = np.arange(run.size, dtype=np.int64)
-        within -= np.repeat(within[starts],
-                            np.diff(np.concatenate((starts, [run.size]))))
+        within = _run_positions(run)
         base = np.empty(run.size, dtype=np.int64)
         for j, h in enumerate(langs):
             m = lc == j

@@ -2593,6 +2593,54 @@ class TestGroupMoments:
         b = got[got["event_type"] == "b"].iloc[0]
         assert (b["mean_r"], b["var_r"]) == (2.0, 0.6667)  # var = 2/3, 4 dp
 
+    def test_exact_at_envelope_magnitude(self, ray_session, tmp_path):
+        # |value| = 2e5 ⇒ vi = 2e9, vi² = 4e18 — two rows overflow a naive
+        # int64 Σv² inside one batch; the hi/lo split must stay exact.
+        import pandas as pd
+
+        from searchengine_ray.pipelines.relational import group_moments
+
+        vals = [200000.0, -200000.0, 199999.9999, 150000.0003] * 8
+        pd.DataFrame({
+            "event_type": ["a"] * len(vals), "value": vals,
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = group_moments(str(tmp_path)).to_pandas().iloc[0]
+        vi = [2_000_000_000, -2_000_000_000, 1_999_999_999, 1_500_000_003] * 8
+        n, s1, s2 = len(vi), sum(vi), sum(x * x for x in vi)
+        mean = float(s1) / float(n * 10_000)
+        var = float(n * s2 - s1 * s1) / float(n * n * 10_000 * 10_000)
+        assert got["n_events"] == n
+        assert abs(got["mean_r"] - mean) < 1e-4
+        assert abs(got["var_r"] - var) <= 0.5e-4 + 1e-9 * abs(var)
+        assert abs(got["std_r"] - np.sqrt(var)) < 1e-4
+
+    def test_half_away_rounding_matches_sql(self, ray_session, tmp_path):
+        # 0.00025·10⁴ = 2.5 exactly: SQL ROUND gives 3 (half away from
+        # zero); np.round would give 2 (banker's). Pin the SQL behavior.
+        import pandas as pd
+
+        from searchengine_ray.pipelines.relational import group_moments
+
+        pd.DataFrame({
+            "event_type": ["a"], "value": [0.00025],
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = group_moments(str(tmp_path)).to_pandas().iloc[0]
+        assert got["mean_r"] == 0.0003  # vi = 3, not 2
+
+    def test_empty_events(self, ray_session, tmp_path):
+        import pandas as pd
+
+        from searchengine_ray.pipelines.relational import group_moments
+
+        pd.DataFrame({
+            "event_type": pd.Series([], dtype=str),
+            "value": pd.Series([], dtype=np.float64),
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = group_moments(str(tmp_path))
+        assert got.num_rows == 0
+        assert got.column_names == [
+            "event_type", "n_events", "mean_r", "var_r", "std_r"]
+
 
 class TestMadOutliers:
     @staticmethod

@@ -374,6 +374,33 @@ class TestShuffleRank:
 
 
 class TestCorpusMix:
+    def test_mix_l_is_lcm_of_weights(self):
+        import math
+
+        from searchengine_ray.pipelines.traindata import (
+            MIX_DEFAULT_WEIGHT,
+            MIX_L,
+            MIX_WEIGHTS,
+        )
+
+        assert MIX_L == math.lcm(MIX_DEFAULT_WEIGHT, *MIX_WEIGHTS.values())
+        for w in [MIX_DEFAULT_WEIGHT, *MIX_WEIGHTS.values()]:
+            assert MIX_L % w == 0  # every stride is an exact integer
+
+    def test_empty_corpus(self, ray_session, tmp_path):
+        import pandas as pd
+
+        from searchengine_ray.pipelines.traindata import corpus_mix
+
+        pd.DataFrame({
+            "doc_id": pd.Series([], dtype=np.int64),
+            "lang": pd.Series([], dtype=str),
+        }).to_parquet(f"{tmp_path}/documents.parquet", index=False)
+        got = corpus_mix(str(tmp_path))
+        assert got.num_rows == 0
+        assert got.column_names == [
+            "doc_id", "lang", "grp_rank", "mix_key", "mix_rank"]
+
     def test_matches_bruteforce_interleave(self, ray_session):
         """mix_rank equals the rank in the brute-force sort of the exact
         stride-scheduling keys; prefix mixture tracks the weights."""
