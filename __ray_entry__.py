@@ -302,6 +302,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # grouped counting selections, realized-value gate (oracle:
         # quantile_disc medians + abs-deviation join; r4)
         "mad_outliers": relational.mad_outliers,
+        # TPC-H Q17 shape: CORRELATED scalar-subquery filter (row vs its
+        # own group's average) decorrelated into one l_partkey co-partition
+        # exchange; pure-integer gate 5·qi·n < s (oracle: 2-CTE join with
+        # the same integer gate; r4)
+        "q17_small_quantity": relational.q17_small_quantity,
+        # exact grouped co-moments: covariance + Pearson correlation of
+        # (quantity, price) per return flag from Python-int-exact
+        # Σx/Σy/Σxy/Σx²/Σy² (hi/lo split for Σy²) — bivariate
+        # group_moments (oracle: HUGEINT co-moment sums; r4)
+        "group_correlation": relational.group_correlation,
+        # TPC-H Q4 shape: EXISTS correlated SEMI-join (≥1 late-shipped
+        # line per order) — decorrelated to per-order MAX(shipdate)
+        # map-side, one o_orderkey co-partition, int64 timestamp gate
+        # (oracle: EXISTS subquery; r4)
+        "q4_order_priority": relational.q4_order_priority,
         # --- dedup family ---
         # oracle: planted-marker anti-join (old DISTINCT hashes NOT IN)
         "dedup_incremental": lambda sf: dedup.dedup_incremental(sf, plant=True),
@@ -324,6 +339,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # df exchange, broadcast dup set, local rewrite (oracle: line CTE
         # via generate_subscripts + HAVING df≥2 + ordered string_agg; r4)
         "line_dedup": dedup.line_dedup,
+        # FastSS/SymSpell deletion-neighborhood EDIT-DISTANCE join over
+        # distinct 12-char prefix keys: variant-hash co-partition candidate
+        # generation, pair-hash dedupe, exact lev≤1 verify per candidate
+        # (oracle: distinct-key self-join with levenshtein()=1; r4)
+        "edit_neighbors": dedup.edit_neighbors,
         # --- similarity search ---
         "knn_batch": lambda sf: similarity.knn_batch(sf, query_vec_ids=(0, 1, 2, 3, 4), k=5),
         # literal-centroid mode (VERDICT r3 item 3): fixed seeded codebook →
@@ -1384,6 +1404,76 @@ SELECT d.event_id, d.event_type, d.value
 FROM dev d JOIN mad m USING (event_type)
 WHERE d.dev > 3 * m.mad
 ORDER BY d.event_id""",
+        # Q17 shape: the correlated avg-quantity threshold as a pure
+        # INTEGER gate (qty < 0.2·s/(100·n) ⟺ 5·qi·n < s — no float
+        # boundary can ever disagree); qualifying revenue sums exact
+        # integer cents, ONE double division (/700.0) at the end mirrors
+        # the engine's op on the identical exact integer
+        "q17_small_quantity": """
+WITH li AS (
+  SELECT l_partkey,
+         CAST(round(l_quantity * 100) AS BIGINT) AS qi,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem),
+ st AS (
+  SELECT l_partkey, CAST(sum(qi) AS HUGEINT) AS s,
+         CAST(count(*) AS HUGEINT) AS n
+  FROM li GROUP BY l_partkey)
+SELECT round(CAST(COALESCE(sum(li.cents), 0) AS DOUBLE) / 700.0, 2)
+         AS avg_yearly_r,
+       CAST(count(*) AS BIGINT) AS n_small
+FROM li JOIN st USING (l_partkey)
+WHERE 5 * li.qi * st.n < st.s""",
+        # exact grouped co-moments: HUGEINT sums of the 2-dp integer
+        # images, covar = num/(n²·10⁴) and corr = num/(√dx·√dy) as the
+        # same IEEE double expressions the engine evaluates on the same
+        # exact integers; zero-variance groups CASE to 0.0 by convention
+        "group_correlation": """
+WITH li AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity * 100) AS HUGEINT) AS x,
+         CAST(round(l_extendedprice * 100) AS HUGEINT) AS y
+  FROM lineitem),
+ s AS (
+  SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM li GROUP BY l_returnflag)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 10000.0), 4)
+         AS covar_r,
+       round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+             THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+             ELSE 0.0 END, 4) AS corr_r
+FROM s ORDER BY l_returnflag""",
+        # Q4 shape: EXISTS correlated semi-join — ≥1 line shipped more
+        # than 30 days after the order date; timestamps compare exactly
+        "q4_order_priority": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        # deletion-neighborhood edit-distance join: distinct normalized
+        # 12-char prefix keys within levenshtein 1 (distinct keys ⇒ lev≥1,
+        # so =1); the engine's candidate scheme has exact recall (shared
+        # deletion variant) and verifies the exact distance per pair
+        "edit_neighbors": """
+WITH keys AS (
+  SELECT DISTINCT substr(trim(regexp_replace(lower(text),
+                  '[ \\t\\n\\r]+', ' ', 'g')), 1, 12) AS k
+  FROM documents
+  WHERE text IS NOT NULL
+    AND length(trim(regexp_replace(lower(text),
+                    '[ \\t\\n\\r]+', ' ', 'g'))) > 0)
+SELECT a.k AS key_a, b.k AS key_b
+FROM keys a JOIN keys b ON a.k < b.k AND levenshtein(a.k, b.k) = 1
+ORDER BY key_a, key_b""",
         # deterministic weighted corpus interleave: per-group rank in the
         # md5 order (shuffle_rank's key, PARTITIONed by lang), exact
         # integer stride-scheduling mix key (2r+1)·(L/w) with L=4 and

@@ -2004,3 +2004,114 @@ def source_overlap(sf_dir: str):
         "source_b": pa.array(agg["source_b"].tolist(), type=pa.string()),
         "n_shared": pa.array(agg["n"].to_numpy(dtype=np.int64)),
     })
+
+
+# ---------------------------------------------------------------------------
+# Deletion-neighborhood edit-distance join (FastSS / SymSpell)
+# ---------------------------------------------------------------------------
+
+_EDIT_KEY_LEN = 12
+
+
+def edit_neighbors(sf_dir: str, key_len: int = _EDIT_KEY_LEN):
+    """(key_a, key_b): every pair of DISTINCT document prefix keys within
+    edit distance 1 — the deletion-neighborhood similarity join (FastSS,
+    Bocek et al. 2007; SymSpell's candidate scheme). key(doc) = first
+    ``key_len`` chars of the fingerprint normalization (lower + collapsed
+    whitespace), the near-identical-prefix screen of fuzzy dedup.
+
+    Candidate completeness: if lev(a, b) ≤ 1 then a and b share an element
+    of their deletion neighborhoods D(x) = {x} ∪ {x with one char deleted}
+    (equal: x itself; insert/delete: the shorter string; substitute: both
+    minus the differing position). Sharing an element only bounds lev ≤ 2,
+    so every candidate pair verifies the exact distance before emission —
+    exact recall AND precision, no similarity estimate anywhere.
+
+    Scale shape: docs with EQUAL keys collapse map-side (the operator is
+    over distinct keys — exact-duplicate mass never inflates a bucket), so
+    candidate volume is pairs of distinct keys sharing a deletion variant:
+    (variant, key) rows — ≤ (key_len+1) × distinct keys — dedupe map-side
+    and co-partition by variant hash; each variant group emits its
+    C(m, 2) distinct-key pairs (m = keys one edit from a common variant —
+    corpus-size-independent for any non-degenerate key alphabet), and a
+    second fixed-partition exchange on pair hash dedupes pairs that
+    collide in several variants before the O(key_len) per-pair verify.
+    The verify loop is per CANDIDATE PAIR, never per document."""
+
+    def variants(batch: pa.Table) -> pa.Table:
+        seen = set()
+        vh_out, key_out = [], []
+        for text in batch["text"].to_pylist():
+            key = normalize_for_fp(text or "")[:key_len]
+            if not key or key in seen:
+                continue
+            seen.add(key)
+            for v in {key} | {key[:i] + key[i + 1:] for i in range(len(key))}:
+                vh_out.append(_hash64(v) & 0x7FFFFFFFFFFFFFFF)
+                key_out.append(key)
+        vh = np.asarray(vh_out, dtype=np.int64)
+        return pa.table({
+            "q": pa.array(vh % _DEDUP_PARTITIONS),
+            "vh": pa.array(vh),
+            "key": pa.array(key_out, type=pa.string()),
+        })
+
+    def candidate_pairs(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "vh": group["vh"].to_numpy(zero_copy_only=False),
+            "key": group["key"].to_pylist(),
+        }).drop_duplicates()  # same (variant, key) from many docs/batches
+        a_out, b_out = [], []
+        for _, sub in df.groupby("vh"):
+            ks = sorted(sub["key"].tolist())
+            for i in range(len(ks)):
+                for j in range(i + 1, len(ks)):
+                    a_out.append(ks[i])
+                    b_out.append(ks[j])
+        ph = np.asarray([_hash64(a + "\x00" + b) & 0x7FFFFFFFFFFFFFFF
+                         for a, b in zip(a_out, b_out)], dtype=np.int64)
+        return pa.table({
+            "q2": pa.array(ph % _DEDUP_PARTITIONS),
+            "key_a": pa.array(a_out, type=pa.string()),
+            "key_b": pa.array(b_out, type=pa.string()),
+        })
+
+    def _lev_le_1(a: str, b: str) -> bool:
+        if a == b:
+            return True
+        la, lb = len(a), len(b)
+        if la == lb:  # equal length: lev 1 ⟺ exactly one substitution
+            return sum(x != y for x, y in zip(a, b)) == 1
+        if abs(la - lb) != 1:
+            return False
+        s, t = (a, b) if la < lb else (b, a)  # t = s plus one insertion?
+        i = 0
+        while i < len(s) and s[i] == t[i]:
+            i += 1
+        return t[:i] + t[i + 1:] == s
+
+    def verify(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "key_a": group["key_a"].to_pylist(),
+            "key_b": group["key_b"].to_pylist(),
+        }).drop_duplicates()  # pair found via several shared variants
+        m = [_lev_le_1(a, b)
+             for a, b in zip(df["key_a"].tolist(), df["key_b"].tolist())]
+        df = df[np.asarray(m, dtype=bool)] if len(df) else df
+        return pa.table({
+            "key_a": pa.array(df["key_a"].tolist(), type=pa.string()),
+            "key_b": pa.array(df["key_b"].tolist(), type=pa.string()),
+        })
+
+    return (
+        read_documents(sf_dir, columns=("text",))
+        .map_batches(variants, batch_format="pyarrow", batch_size=2048)
+        .groupby("q")
+        .map_groups(candidate_pairs, batch_format="pyarrow")
+        .groupby("q2")
+        .map_groups(verify, batch_format="pyarrow")
+    )

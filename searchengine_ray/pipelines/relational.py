@@ -25,7 +25,7 @@ import numpy as np
 import pyarrow as pa
 
 from searchengine_ray.pipelines.dedup import _memoized_hash64, _simhash_hash64
-from searchengine_ray.pipelines.fulltext import _round_vec
+from searchengine_ray.pipelines.fulltext import _round_vec, round_half_away
 from searchengine_ray.sources import read_parquet_clean
 
 WINDOW_US = 3_600_000_000  # 1 hour in microseconds
@@ -2505,3 +2505,281 @@ def mad_outliers(sf_dir: str):
                          "value": out["raw"]})
 
     return dev.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Correlated-aggregate filter (TPC-H Q17 shape)
+# ---------------------------------------------------------------------------
+
+
+def q17_small_quantity(sf_dir: str):
+    """(avg_yearly_r, n_small): revenue-per-year of "small-quantity" line
+    items — lines whose quantity is below 0.2 × their part's average
+    quantity (TPC-H Q17's correlated scalar subquery: the filter threshold
+    of each row is an aggregate over that row's own group).
+
+    Exactness: with qi = round(100·l_quantity) (2-dp contract) and per-part
+    Σqi = s over n lines, ``qty < 0.2·avg`` ⟺ ``5·qi·n < s`` — the gate is
+    a pure INTEGER comparison, so engine and oracle can never disagree on
+    a float boundary. Qualifying revenue accumulates in integer cents; the
+    one double division (cents/700.0 → avg_yearly) is the same IEEE op the
+    SQL performs on the same exact integer.
+
+    Scale shape: the correlated subquery decorrelates into ONE co-partition
+    exchange on l_partkey (``_hash_partition``): a partition owns every
+    line of its parts, so per-part (s, n) resolve locally and the gate
+    applies in place — no second input pass, no broadcast of a fact-sized
+    per-part table. Each partition emits ONE partial row; per-partition
+    cent sums are split into (hi, lo) 32-bit halves so the partial stays
+    exact far past 2⁵³ cents, and the driver combines with Python ints."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qi = np.rint(batch["l_quantity"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        cents = np.rint(batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
+        return pa.table({
+            "q": pa.array(_hash_partition(pk)),
+            "pk": pa.array(pk),
+            "qi": pa.array(qi),
+            "cents": pa.array(cents),
+        })
+
+    def gate_partition(group: pa.Table) -> pa.Table:
+        pk = group["pk"].to_numpy(zero_copy_only=False)
+        qi = group["qi"].to_numpy(zero_copy_only=False)
+        cents = group["cents"].to_numpy(zero_copy_only=False)
+        upk, inv = np.unique(pk, return_inverse=True)
+        # np.add.at keeps the per-part sums in int64 end-to-end (bincount's
+        # float-weights path would silently lose exactness past 2⁵³)
+        s = np.zeros(upk.size, dtype=np.int64)
+        np.add.at(s, inv, qi)
+        n = np.bincount(inv, minlength=upk.size).astype(np.int64)
+        # integer gate: qty < 0.2·(s/100)/n  ⟺  5·qi·n < s  (all exact;
+        # 5·qi·n ≤ 5·5000·n — overflow needs n > 7×10¹³ lines in ONE part)
+        keep = 5 * qi * n[inv] < s[inv]
+        kept = cents[keep]
+        total = 0
+        for lo in range(0, kept.size, 1 << 30):  # chunked exact int sum
+            total += int(np.sum(kept[lo:lo + (1 << 30)]))
+        return pa.table({
+            "n_small": pa.array([int(keep.sum())], type=pa.int64()),
+            "hi": pa.array([total >> 32], type=pa.int64()),
+            "lo": pa.array([total & 0xFFFFFFFF], type=pa.int64()),
+        })
+
+    parts = (
+        read_parquet_clean(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_quantity", "l_extendedprice"],
+        )
+        .map_batches(prep, batch_format="pyarrow", batch_size=8192)
+        .groupby("q")
+        .map_groups(gate_partition, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if parts.empty:
+        return pa.table({"avg_yearly_r": pa.array([0.0], type=pa.float64()),
+                         "n_small": pa.array([0], type=pa.int64())})
+    n_small = int(parts["n_small"].sum())
+    total = sum((int(h) << 32) + int(x)
+                for h, x in zip(parts["hi"], parts["lo"]))
+    avg = round_half_away(float(total) / 700.0, 2)  # cents → dollars / 7 yrs
+    return pa.table({
+        "avg_yearly_r": pa.array([avg], type=pa.float64()),
+        "n_small": pa.array([n_small], type=pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# Exact grouped co-moments (covariance / correlation per group)
+# ---------------------------------------------------------------------------
+
+
+def group_correlation(sf_dir: str):
+    """(l_returnflag, n_rows, covar_r, corr_r): population covariance and
+    Pearson correlation of (l_quantity, l_extendedprice) per return flag —
+    the BIVARIATE extension of ``group_moments`` (everything else in the
+    registry stops at single-column moments).
+
+    Exactness: x = round(100·l_quantity) ≤ 5000 and y = round(100·
+    l_extendedprice) < 2²⁴ are the columns' exact 2-dp integer images.
+    Per-batch int64 partials: Σx, Σy, Σxy (≤ 2⁴⁹ per 8192-row batch) and
+    Σx² are direct; Σy² would overflow with only ~10× headroom, so y
+    splits at 2¹⁶ into (hi, lo) and the batch carries Σhi²/Σhi·lo/Σlo²
+    (the ``group_moments`` trick). The driver combines everything with
+    Python ints and forms num = n·Σxy − Σx·Σy, dx = n·Σx² − (Σx)²,
+    dy = n·Σy² − (Σy)² exactly; covar = num/(n²·10⁴) and corr =
+    num/(√dx·√dy) are then single IEEE double expressions mirrored
+    token-for-token in the SQL oracle (CAST exact ints to DOUBLE, sqrt,
+    multiply, divide — same operations, same order).
+
+    Scale shape: one streaming pass, ≤ n_flags partial rows per batch, no
+    shuffle; zero-variance groups report corr_r = 0.0 by convention (the
+    SQL CASEs identically)."""
+    import pandas as pd
+
+    def partials(batch: pa.Table) -> pa.Table:
+        x = np.rint(batch["l_quantity"].to_numpy(zero_copy_only=False)
+                    * 100.0).astype(np.int64)
+        y = np.rint(batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+                    * 100.0).astype(np.int64)
+        hi = y >> 16
+        lo = y & 0xFFFF
+        df = pd.DataFrame({
+            "flag": batch["l_returnflag"].to_numpy(zero_copy_only=False),
+            "n": np.ones(x.size, dtype=np.int64),
+            "sx": x, "sy": y, "sxy": x * y, "sxx": x * x,
+            "syhh": hi * hi, "syhl": hi * lo, "syll": lo * lo,
+        })
+        g = df.groupby("flag", as_index=False).sum()
+        cols = {"flag": pa.array(g["flag"].tolist(), type=pa.string())}
+        for c in ("n", "sx", "sy", "sxy", "sxx", "syhh", "syhl", "syll"):
+            cols[c] = pa.array(g[c].to_numpy(dtype=np.int64))
+        return pa.table(cols)
+
+    parts = (
+        read_parquet_clean(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+        )
+        .map_batches(partials, batch_format="pyarrow", batch_size=8192)
+        .to_pandas()
+    )
+    if parts.empty:
+        return pa.table({
+            "l_returnflag": pa.array([], type=pa.string()),
+            "n_rows": pa.array([], type=pa.int64()),
+            "covar_r": pa.array([], type=pa.float64()),
+            "corr_r": pa.array([], type=pa.float64()),
+        })
+    flags, ns, covs, corrs = [], [], [], []
+    for fl in sorted(parts["flag"].unique().tolist()):
+        sub = parts[parts["flag"] == fl]
+        n = int(sub["n"].sum())
+        sx = sum(int(v) for v in sub["sx"])
+        sy = sum(int(v) for v in sub["sy"])
+        sxy = sum(int(v) for v in sub["sxy"])
+        sxx = sum(int(v) for v in sub["sxx"])
+        syy = (sum(int(v) for v in sub["syhh"]) * (1 << 32)
+               + 2 * sum(int(v) for v in sub["syhl"]) * (1 << 16)
+               + sum(int(v) for v in sub["syll"]))
+        num = n * sxy - sx * sy
+        dx = n * sxx - sx * sx
+        dy = n * syy - sy * sy
+        cov = float(num) / (float(n) * float(n) * 10000.0)
+        corr = (float(num) / (np.sqrt(float(dx)) * np.sqrt(float(dy)))
+                if dx > 0 and dy > 0 else 0.0)
+        flags.append(fl)
+        ns.append(n)
+        covs.append(cov)
+        corrs.append(corr)
+    return pa.table({
+        "l_returnflag": pa.array(flags, type=pa.string()),
+        "n_rows": pa.array(np.asarray(ns, dtype=np.int64)),
+        "covar_r": pa.array(_round_vec(np.asarray(covs, dtype=np.float64))),
+        "corr_r": pa.array(_round_vec(np.asarray(corrs, dtype=np.float64))),
+    })
+
+
+# ---------------------------------------------------------------------------
+# EXISTS semi-join (TPC-H Q4 shape)
+# ---------------------------------------------------------------------------
+
+Q4_LATE_US = 30 * 86_400_000_000  # "late" = shipped >30 days after order
+
+
+def q4_order_priority(sf_dir: str):
+    """(o_orderpriority, order_count): how many orders have AT LEAST ONE
+    line item shipped more than 30 days after the order date, per order
+    priority — the EXISTS correlated semi-join (TPC-H Q4's shape; the
+    registry's ``anti_join_customers`` covers NOT EXISTS, this covers the
+    positive direction).
+
+    Scale shape: EXISTS(any line matching) decorrelates into max-reduction:
+    the lineitem side pre-reduces to per-order MAX(l_shipdate) inside each
+    batch (map-side combine — the exchange carries one row per (batch,
+    order), never one per line), both facts co-partition on o_orderkey
+    through ``_hash_partition``, and each partition gates its complete
+    per-order max against o_orderdate + 30d locally, emitting ≤ n_priorities
+    count partials. Timestamps compare as epoch-µs int64 — exact."""
+    import pandas as pd
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        okey = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # normalize to µs before the int64 view so the 30-day constant is
+        # unit-correct regardless of the file's timestamp resolution
+        odate = (batch["o_orderdate"].cast(pa.timestamp("us"))
+                 .cast(pa.int64()).to_numpy(zero_copy_only=False))
+        return pa.table({
+            "q": pa.array(_hash_partition(okey)),
+            "side": pa.array(np.zeros(okey.size, dtype=np.int64)),
+            "okey": pa.array(okey),
+            "ts": pa.array(odate),
+            "prio": batch["o_orderpriority"].cast(pa.string()),
+        })
+
+    def lineitem_side(batch: pa.Table) -> pa.Table:
+        okey = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ship = (batch["l_shipdate"].cast(pa.timestamp("us"))
+                .cast(pa.int64()).to_numpy(zero_copy_only=False))
+        # map-side combine: EXISTS only needs the max ship date per order
+        uk, inv = np.unique(okey, return_inverse=True)
+        mx = np.full(uk.size, np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(mx, inv, ship)
+        return pa.table({
+            "q": pa.array(_hash_partition(uk)),
+            "side": pa.array(np.ones(uk.size, dtype=np.int64)),
+            "okey": pa.array(uk),
+            "ts": pa.array(mx),
+            "prio": pa.array([""] * uk.size, type=pa.string()),
+        })
+
+    def gate_partition(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy(zero_copy_only=False)
+        okey = group["okey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group["ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o_m = side == 0
+        ok, od = okey[o_m], ts[o_m]
+        prio = np.asarray(group["prio"].to_pylist(), dtype=object)[o_m]
+        lk, lmx = okey[~o_m], ts[~o_m]
+        empty = pa.table({"o_orderpriority": pa.array([], type=pa.string()),
+                          "n": pa.array([], type=pa.int64())})
+        if ok.size == 0 or lk.size == 0:
+            return empty
+        # global per-order max over the per-batch partials
+        ulk, linv = np.unique(lk, return_inverse=True)
+        gmx = np.full(ulk.size, np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(gmx, linv, lmx)
+        pos = np.minimum(np.searchsorted(ulk, ok), max(ulk.size - 1, 0))
+        hit = (ulk[pos] == ok) & (gmx[pos] > od + Q4_LATE_US)
+        if not hit.any():
+            return empty
+        df = pd.DataFrame({"p": prio[hit]})
+        g = df.groupby("p", as_index=False).size()
+        return pa.table({
+            "o_orderpriority": pa.array(g["p"].tolist(), type=pa.string()),
+            "n": pa.array(g["size"].to_numpy(dtype=np.int64)),
+        })
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(orders_side, batch_format="pyarrow", batch_size=8192)
+    items = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"],
+    ).map_batches(lineitem_side, batch_format="pyarrow", batch_size=8192)
+    parts = (orders.union(items).groupby("q")
+             .map_groups(gate_partition, batch_format="pyarrow").to_pandas())
+    if parts.empty:
+        return pa.table({"o_orderpriority": pa.array([], type=pa.string()),
+                         "order_count": pa.array([], type=pa.int64())})
+    agg = (parts.groupby("o_orderpriority", as_index=False)["n"].sum()
+           .sort_values("o_orderpriority"))
+    return pa.table({
+        "o_orderpriority": pa.array(agg["o_orderpriority"].tolist(),
+                                    type=pa.string()),
+        "order_count": pa.array(agg["n"].to_numpy(dtype=np.int64)),
+    })

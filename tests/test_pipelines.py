@@ -2757,3 +2757,180 @@ class TestSourceOverlap:
         assert m[("s1", "s3")] == n_shared_doc
         assert ("s1", "s2") not in m and ("s2", "s3") not in m
         assert m[("s2", "s2")] == word_shingle_array("one two three four").size
+
+
+class TestQ17SmallQuantity:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import q17_small_quantity
+
+        li = pq.read_table(
+            f"{SF}/lineitem.parquet",
+            columns=["l_partkey", "l_quantity", "l_extendedprice"],
+        ).to_pandas()
+        li["qi"] = np.rint(li["l_quantity"] * 100).astype(np.int64)
+        li["cents"] = np.rint(li["l_extendedprice"] * 100).astype(np.int64)
+        st = li.groupby("l_partkey").agg(s=("qi", "sum"), n=("qi", "size"))
+        j = li.join(st, on="l_partkey")
+        small = j[5 * j["qi"] * j["n"] < j["s"]]
+        got = q17_small_quantity(SF).to_pandas().iloc[0]
+        assert got["n_small"] == len(small)
+        total = sum(int(c) for c in small["cents"])
+        from searchengine_ray.pipelines.fulltext import round_half_away
+        assert got["avg_yearly_r"] == round_half_away(float(total) / 700.0, 2)
+
+    def test_planted_gate(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import q17_small_quantity
+
+        # part 1: quantities (10, 10, 1) → avg 7, 0.2·avg = 1.4 > 1 ⇒ only
+        # the qty-1 line qualifies; part 2: (5, 5) → nothing below 1.0
+        pd.DataFrame({
+            "l_partkey": [1, 1, 1, 2, 2],
+            "l_quantity": [10.0, 10.0, 1.0, 5.0, 5.0],
+            "l_extendedprice": [100.0, 100.0, 7.0, 50.0, 50.0],
+        }).to_parquet(f"{tmp_path}/lineitem.parquet", index=False)
+        got = q17_small_quantity(str(tmp_path)).to_pandas().iloc[0]
+        assert got["n_small"] == 1
+        assert got["avg_yearly_r"] == 1.0  # 700 cents / 700.0
+
+    def test_empty(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import q17_small_quantity
+
+        pd.DataFrame({
+            "l_partkey": pd.Series([], dtype=np.int64),
+            "l_quantity": pd.Series([], dtype=np.float64),
+            "l_extendedprice": pd.Series([], dtype=np.float64),
+        }).to_parquet(f"{tmp_path}/lineitem.parquet", index=False)
+        got = q17_small_quantity(str(tmp_path)).to_pandas().iloc[0]
+        assert (got["n_small"], got["avg_yearly_r"]) == (0, 0.0)
+
+
+class TestGroupCorrelation:
+    def test_matches_exact_reference(self, ray_session):
+        from searchengine_ray.pipelines.relational import group_correlation
+
+        li = pq.read_table(
+            f"{SF}/lineitem.parquet",
+            columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+        ).to_pandas()
+        got = group_correlation(SF).to_pandas()
+        assert got["l_returnflag"].tolist() == sorted(li["l_returnflag"].unique())
+        for _, row in got.iterrows():
+            sub = li[li["l_returnflag"] == row["l_returnflag"]]
+            x = [int(v) for v in np.rint(sub["l_quantity"] * 100)]
+            y = [int(v) for v in np.rint(sub["l_extendedprice"] * 100)]
+            n = len(x)
+            sx, sy = sum(x), sum(y)
+            sxy = sum(a * b for a, b in zip(x, y))
+            sxx, syy = sum(a * a for a in x), sum(b * b for b in y)
+            num = n * sxy - sx * sy
+            dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+            cov = float(num) / (float(n) * float(n) * 10000.0)
+            corr = float(num) / (np.sqrt(float(dx)) * np.sqrt(float(dy)))
+            assert row["n_rows"] == n
+            assert abs(row["covar_r"] - cov) < 1e-4
+            assert abs(row["corr_r"] - corr) < 1e-4
+
+    def test_constant_column_zero_by_convention(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import group_correlation
+
+        pd.DataFrame({
+            "l_returnflag": ["A"] * 4,
+            "l_quantity": [3.0] * 4,  # zero variance in x
+            "l_extendedprice": [1.0, 2.0, 3.0, 4.0],
+        }).to_parquet(f"{tmp_path}/lineitem.parquet", index=False)
+        got = group_correlation(str(tmp_path)).to_pandas().iloc[0]
+        assert got["corr_r"] == 0.0
+        assert got["covar_r"] == 0.0  # constant x ⇒ covariance 0 too
+
+
+class TestQ4OrderPriority:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            Q4_LATE_US,
+            q4_order_priority,
+        )
+
+        orders = pq.read_table(
+            f"{SF}/orders.parquet",
+            columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        ).to_pandas()
+        li = pq.read_table(
+            f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+        ).to_pandas()
+        mx = li.groupby("l_orderkey")["l_shipdate"].max()
+        j = orders.join(mx, on="o_orderkey")
+        late = j[(j["l_shipdate"].notna())
+                 & (j["l_shipdate"].astype(np.int64)
+                    > j["o_orderdate"].astype(np.int64) + Q4_LATE_US)]
+        ref = late.groupby("o_orderpriority").size().sort_index()
+        got = q4_order_priority(SF).to_pandas()
+        assert got["o_orderpriority"].tolist() == ref.index.tolist()
+        assert got["order_count"].tolist() == ref.tolist()
+
+    def test_planted_exists_semantics(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import q4_order_priority
+
+        base = pd.Timestamp("1996-01-01")
+        pd.DataFrame({
+            "o_orderkey": [1, 2, 3],
+            "o_orderdate": [base] * 3,
+            "o_orderpriority": ["1-URGENT", "1-URGENT", "2-HIGH"],
+        }).to_parquet(f"{tmp_path}/orders.parquet", index=False)
+        pd.DataFrame({
+            # order 1: one on-time + one late line → counted once (EXISTS,
+            # not a join multiplicity); order 2: on-time only; order 3: no
+            # lines at all
+            "l_orderkey": [1, 1, 2],
+            "l_shipdate": [base + pd.Timedelta(days=5),
+                           base + pd.Timedelta(days=45),
+                           base + pd.Timedelta(days=30)],  # exactly 30d: NOT late
+        }).to_parquet(f"{tmp_path}/lineitem.parquet", index=False)
+        got = q4_order_priority(str(tmp_path)).to_pandas()
+        assert got["o_orderpriority"].tolist() == ["1-URGENT"]
+        assert got["order_count"].tolist() == [1]
+
+
+class TestEditNeighbors:
+    @staticmethod
+    def _lev(a, b):
+        # full DP Levenshtein, the spec the engine's lev≤1 check must match
+        m, n = len(a), len(b)
+        d = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, n + 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                       prev + (a[i - 1] != b[j - 1]))
+        return d[n]
+
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.dedup import edit_neighbors
+        from searchengine_ray.pipelines.textstats import normalize_for_fp
+
+        docs = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+        keys = sorted({normalize_for_fp(t or "")[:12]
+                       for t in docs["text"].to_pylist()} - {""})
+        ref = {(a, b) for i, a in enumerate(keys) for b in keys[i + 1:]
+               if self._lev(a, b) == 1}
+        got = edit_neighbors(SF).to_pandas()
+        assert set(zip(got["key_a"], got["key_b"])) == ref
+        assert len(got) == len(ref)  # no duplicate pairs survive
+
+    def test_planted_neighborhood(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.dedup import edit_neighbors
+
+        pd.DataFrame({
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": ["abcdefghijkl",   # base
+                     "abcdefghijkx",   # substitution → lev 1
+                     "abcdefghijk",    # deletion → lev 1
+                     "abcdefghijkl",   # exact duplicate: collapses
+                     "zzzz"],          # far from everything
+        }).to_parquet(f"{tmp_path}/documents.parquet", index=False)
+        got = edit_neighbors(str(tmp_path)).to_pandas()
+        pairs = set(zip(got["key_a"], got["key_b"]))
+        assert pairs == {
+            ("abcdefghijk", "abcdefghijkl"),
+            ("abcdefghijk", "abcdefghijkx"),
+            ("abcdefghijkl", "abcdefghijkx"),
+        }
