@@ -2359,6 +2359,31 @@ def q13_customer_distribution(sf_dir: str):
 _MOM_SCALE = 10_000
 
 
+def _sq_split(a: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(hi², hi·lo, lo²) of a NON-NEGATIVE int64 array split at 2¹⁶ —
+    the overflow-proof Σv² partial scheme shared by ``group_moments`` and
+    ``group_correlation``: every term < 2¹⁴ bits, so an int64 batch sum
+    keeps >17 bits of headroom at 8192 rows for any |v| the 2-dp/4-dp
+    integer images can reach."""
+    hi = a >> 16
+    lo = a & 0xFFFF
+    return hi * hi, hi * lo, lo * lo
+
+
+def _pyint_sum(col) -> int:
+    """Exact arbitrary-precision sum of an int64 pandas column (the
+    driver-side HUGEINT analogue)."""
+    return sum(int(v) for v in col)
+
+
+def _sq_split_combine(shh, shl, sll) -> int:
+    """Reconstruct the exact Σv² from (hi, lo)-split partial columns:
+    Σv² = Σhi²·2³² + 2Σhi·lo·2¹⁶ + Σlo², combined with Python ints."""
+    return (_pyint_sum(shh) * (1 << 32)
+            + 2 * _pyint_sum(shl) * (1 << 16)
+            + _pyint_sum(sll))
+
+
 def group_moments(sf_dir: str):
     """(event_type, n_events, mean_r, var_r, std_r): per-type mean,
     population variance and stddev of ``events.value`` — the second-moment
@@ -2386,16 +2411,14 @@ def group_moments(sf_dir: str):
         v = batch["value"].to_numpy(zero_copy_only=False)
         vi = (np.floor(np.abs(v) * _MOM_SCALE + 0.5)
               * np.sign(v)).astype(np.int64)
-        a = np.abs(vi)
-        hi = a >> 16
-        lo = a & 0xFFFF
+        s2hh, s2hl, s2ll = _sq_split(np.abs(vi))
         df = pd.DataFrame({
             "event_type": batch["event_type"].to_numpy(zero_copy_only=False),
             "n": np.ones(vi.size, dtype=np.int64),
             "s1": vi,
-            "s2hh": hi * hi,
-            "s2hl": hi * lo,
-            "s2ll": lo * lo,
+            "s2hh": s2hh,
+            "s2hl": s2hl,
+            "s2ll": s2ll,
         })
         g = df.groupby("event_type", as_index=False).agg(
             n=("n", "sum"), s1=("s1", "sum"),
@@ -2421,10 +2444,8 @@ def group_moments(sf_dir: str):
         sub = parts[parts["event_type"] == et]
         # Python ints: exact at any magnitude (the HUGEINT analogue)
         n = int(sub["n"].sum())
-        s1 = sum(int(x) for x in sub["s1"])
-        s2 = (sum(int(x) for x in sub["s2hh"]) * (1 << 32)
-              + 2 * sum(int(x) for x in sub["s2hl"]) * (1 << 16)
-              + sum(int(x) for x in sub["s2ll"]))
+        s1 = _pyint_sum(sub["s1"])
+        s2 = _sq_split_combine(sub["s2hh"], sub["s2hl"], sub["s2ll"])
         mean = float(s1) / float(n * _MOM_SCALE)
         num = n * s2 - s1 * s1
         den = n * n * _MOM_SCALE * _MOM_SCALE
@@ -2625,13 +2646,12 @@ def group_correlation(sf_dir: str):
                     * 100.0).astype(np.int64)
         y = np.rint(batch["l_extendedprice"].to_numpy(zero_copy_only=False)
                     * 100.0).astype(np.int64)
-        hi = y >> 16
-        lo = y & 0xFFFF
+        syhh, syhl, syll = _sq_split(y)
         df = pd.DataFrame({
             "flag": batch["l_returnflag"].to_numpy(zero_copy_only=False),
             "n": np.ones(x.size, dtype=np.int64),
             "sx": x, "sy": y, "sxy": x * y, "sxx": x * x,
-            "syhh": hi * hi, "syhl": hi * lo, "syll": lo * lo,
+            "syhh": syhh, "syhl": syhl, "syll": syll,
         })
         g = df.groupby("flag", as_index=False).sum()
         cols = {"flag": pa.array(g["flag"].tolist(), type=pa.string())}
@@ -2658,13 +2678,11 @@ def group_correlation(sf_dir: str):
     for fl in sorted(parts["flag"].unique().tolist()):
         sub = parts[parts["flag"] == fl]
         n = int(sub["n"].sum())
-        sx = sum(int(v) for v in sub["sx"])
-        sy = sum(int(v) for v in sub["sy"])
-        sxy = sum(int(v) for v in sub["sxy"])
-        sxx = sum(int(v) for v in sub["sxx"])
-        syy = (sum(int(v) for v in sub["syhh"]) * (1 << 32)
-               + 2 * sum(int(v) for v in sub["syhl"]) * (1 << 16)
-               + sum(int(v) for v in sub["syll"]))
+        sx = _pyint_sum(sub["sx"])
+        sy = _pyint_sum(sub["sy"])
+        sxy = _pyint_sum(sub["sxy"])
+        sxx = _pyint_sum(sub["sxx"])
+        syy = _sq_split_combine(sub["syhh"], sub["syhl"], sub["syll"])
         num = n * sxy - sx * sy
         dx = n * sxx - sx * sx
         dy = n * syy - sy * sy

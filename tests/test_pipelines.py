@@ -2859,9 +2859,12 @@ class TestQ4OrderPriority:
         ).to_pandas()
         mx = li.groupby("l_orderkey")["l_shipdate"].max()
         j = orders.join(mx, on="o_orderkey")
+        # normalize to µs before the int64 view (the engine does the same)
+        # so a ns-resolution fixture can't skew the 30-day constant
+        ship_us = j["l_shipdate"].astype("datetime64[us]").astype(np.int64)
+        odate_us = j["o_orderdate"].astype("datetime64[us]").astype(np.int64)
         late = j[(j["l_shipdate"].notna())
-                 & (j["l_shipdate"].astype(np.int64)
-                    > j["o_orderdate"].astype(np.int64) + Q4_LATE_US)]
+                 & (ship_us > odate_us + Q4_LATE_US)]
         ref = late.groupby("o_orderpriority").size().sort_index()
         got = q4_order_priority(SF).to_pandas()
         assert got["o_orderpriority"].tolist() == ref.index.tolist()
