@@ -317,6 +317,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # map-side, one o_orderkey co-partition, int64 timestamp gate
         # (oracle: EXISTS subquery; r4)
         "q4_order_priority": relational.q4_order_priority,
+        # TPC-H Q10 shape: returned-item revenue top-20 — two-exchange
+        # fact chain (orderkey then custkey co-partition), distributive
+        # per-partition top-k, winners hydrated by a k-key point read
+        # (oracle: 3-CTE join + ORDER BY exact rev LIMIT 20; r4)
+        "q10_returned_revenue": relational.q10_returned_revenue,
         # --- dedup family ---
         # oracle: planted-marker anti-join (old DISTINCT hashes NOT IN)
         "dedup_incremental": lambda sf: dedup.dedup_incremental(sf, plant=True),
@@ -1459,6 +1464,29 @@ WHERE EXISTS (
   WHERE l.l_orderkey = o.o_orderkey
     AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
 GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        # Q10 shape: revenue from returned lines per customer over a
+        # six-month order window, top 20 — revenue sums exact integer
+        # cents×hundredths; the ORDER BY ranks on the EXACT integer
+        # (never the rounded double) with a custkey tiebreak, so LIMIT
+        # selection is deterministic on both sides
+        "q10_returned_revenue": """
+WITH l AS (
+  SELECT l_orderkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS rev_i
+  FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey),
+ o AS (
+  SELECT o_orderkey, o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1996-07-01'),
+ c2 AS (
+  SELECT o.o_custkey AS ck, sum(l.rev_i) AS rev
+  FROM l JOIN o ON l.l_orderkey = o.o_orderkey GROUP BY o.o_custkey)
+SELECT c.c_custkey, c.c_name, n.n_name,
+       round(c2.rev / 10000.0, 2) AS revenue_r
+FROM c2 JOIN customer c ON c2.ck = c.c_custkey
+     JOIN nation n ON c.c_nationkey = n.n_nationkey
+ORDER BY c2.rev DESC, c.c_custkey LIMIT 20""",
         # deletion-neighborhood edit-distance join: distinct normalized
         # 12-char prefix keys within levenshtein 1 (distinct keys ⇒ lev≥1,
         # so =1); the engine's candidate scheme has exact recall (shared

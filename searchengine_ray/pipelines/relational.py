@@ -2801,3 +2801,148 @@ def q4_order_priority(sf_dir: str):
                                     type=pa.string()),
         "order_count": pa.array(agg["n"].to_numpy(dtype=np.int64)),
     })
+
+
+# ---------------------------------------------------------------------------
+# Returned-item revenue ranking (TPC-H Q10 shape)
+# ---------------------------------------------------------------------------
+
+Q10_FROM_US = 820_454_400_000_000  # 1996-01-01 epoch-µs
+Q10_TO_US = 836_179_200_000_000  # 1996-07-01 epoch-µs
+Q10_TOPK = 20
+
+
+def q10_returned_revenue(sf_dir: str):
+    """(c_custkey, c_name, n_name, revenue_r): the TPC-H Q10 shape — the
+    top-20 customers by revenue from RETURNED line items on orders placed
+    in a six-month window, with name/nation hydrated only for the winners.
+
+    The join story this entry adds: a two-exchange fact-fact-fact chain
+    that ends in a GLOBAL top-k — q3 stops at the order grain, q5 at a
+    ≤25-row group key; here the second exchange's group key (custkey) is
+    fact-sized and only k rows may reach the driver.
+
+    Stage 1 co-partitions date-windowed orders with returned line items on
+    o_orderkey (lineitem pre-aggregates exact integer revenue per order
+    inside each batch — the exchange ships one row per (batch, order));
+    each partition resolves order→customer and collapses to per-customer
+    partials BEFORE re-keying. Stage 2 co-partitions those partials on
+    custkey: totals are exact there (a customer lives in exactly one
+    partition), and because top-k is distributive each partition emits
+    only ITS k best by (revenue DESC, custkey ASC), so the driver merges
+    ≤ partitions×k rows. Winner names hydrate via a k-key predicate-
+    pushdown point read of customer (the knn-hydration pattern) plus the
+    ≤25-row nation dimension — never a fact-sized broadcast. Revenue is
+    exact cents×hundredths end-to-end (the q3 convention); the final
+    ORDER BY uses the exact integer, never the rounded double."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        odate = (batch["o_orderdate"].cast(pa.timestamp("us"))
+                 .cast(pa.int64()).to_numpy(zero_copy_only=False))
+        m = (odate >= Q10_FROM_US) & (odate < Q10_TO_US)
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        return pa.table({"q": pa.array(_hash_partition(ok)),
+                         "side": pa.array(np.zeros(ok.size, dtype=np.int64)),
+                         "k": pa.array(ok), "a": pa.array(ck)})
+
+    def lineitem_side(batch: pa.Table) -> pa.Table:
+        flag = batch["l_returnflag"].to_numpy(zero_copy_only=False)
+        m = flag == "R"
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        cents = np.rint(batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)[m]
+        hund = np.rint((1.0 - batch["l_discount"].to_numpy(zero_copy_only=False))
+                       * 100.0).astype(np.int64)[m]
+        rev = cents * hund
+        uk, inv = np.unique(ok, return_inverse=True)  # map-side combine
+        s = np.zeros(uk.size, dtype=np.int64)
+        np.add.at(s, inv, rev)
+        return pa.table({"q": pa.array(_hash_partition(uk)),
+                         "side": pa.array(np.ones(uk.size, dtype=np.int64)),
+                         "k": pa.array(uk), "a": pa.array(s)})
+
+    def join_orders(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy(zero_copy_only=False)
+        k = group["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = group["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o_m = side == 0
+        ok, ck = k[o_m], a[o_m]
+        lk, lrev = k[~o_m], a[~o_m]
+        empty = pa.table({"q2": pa.array([], type=pa.int64()),
+                          "ck": pa.array([], type=pa.int64()),
+                          "rev": pa.array([], type=pa.int64())})
+        if ok.size == 0 or lk.size == 0:
+            return empty
+        # complete per-order revenue over the per-batch partials
+        ulk, linv = np.unique(lk, return_inverse=True)
+        rs = np.zeros(ulk.size, dtype=np.int64)
+        np.add.at(rs, linv, lrev)
+        pos = np.minimum(np.searchsorted(ulk, ok), max(ulk.size - 1, 0))
+        hit = ulk[pos] == ok
+        if not hit.any():
+            return empty
+        ck, orev = ck[hit], rs[pos[hit]]
+        # collapse to per-customer partials before the second exchange
+        uck, cinv = np.unique(ck, return_inverse=True)
+        crev = np.zeros(uck.size, dtype=np.int64)
+        np.add.at(crev, cinv, orev)
+        return pa.table({"q2": pa.array(_hash_partition(uck)),
+                         "ck": pa.array(uck), "rev": pa.array(crev)})
+
+    def local_topk(group: pa.Table) -> pa.Table:
+        ck = group["ck"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = group["rev"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uck, cinv = np.unique(ck, return_inverse=True)
+        tot = np.zeros(uck.size, dtype=np.int64)
+        np.add.at(tot, cinv, rev)
+        # top-k is distributive: the global top-k is a subset of the union
+        # of per-partition top-ks (custkey is partition-exclusive here)
+        order = np.lexsort((uck, -tot))[:Q10_TOPK]
+        return pa.table({"ck": pa.array(uck[order]),
+                         "rev": pa.array(tot[order])})
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(orders_side, batch_format="pyarrow", batch_size=8192)
+    items = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    ).map_batches(lineitem_side, batch_format="pyarrow", batch_size=8192)
+    parts = (orders.union(items).groupby("q")
+             .map_groups(join_orders, batch_format="pyarrow")
+             .groupby("q2")
+             .map_groups(local_topk, batch_format="pyarrow")
+             .to_pandas())
+    empty = pa.table({"c_custkey": pa.array([], type=pa.int64()),
+                      "c_name": pa.array([], type=pa.string()),
+                      "n_name": pa.array([], type=pa.string()),
+                      "revenue_r": pa.array([], type=pa.float64())})
+    if parts.empty:
+        return empty
+    top = (parts.sort_values(["rev", "ck"], ascending=[False, True])
+           .head(Q10_TOPK))
+    keys = [int(v) for v in top["ck"]]
+    # k-key predicate-pushdown point read — the winners only, never the
+    # customer fact scanned to the driver
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_nationkey"],
+        filters=[("c_custkey", "in", keys)],
+    ).to_pandas()
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    name_of = dict(zip(cust["c_custkey"], cust["c_name"]))
+    nk_of = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    nname_of = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    return pa.table({
+        "c_custkey": pa.array(keys, type=pa.int64()),
+        "c_name": pa.array([name_of[k] for k in keys], type=pa.string()),
+        "n_name": pa.array([nname_of[nk_of[k]] for k in keys],
+                           type=pa.string()),
+        "revenue_r": pa.array(
+            _round_vec(top["rev"].to_numpy(dtype=np.float64) / 10000.0, 2)),
+    })

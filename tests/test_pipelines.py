@@ -2937,3 +2937,85 @@ class TestEditNeighbors:
             ("abcdefghijk", "abcdefghijkx"),
             ("abcdefghijkl", "abcdefghijkx"),
         }
+
+
+class TestQ10ReturnedRevenue:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            Q10_FROM_US,
+            Q10_TO_US,
+            q10_returned_revenue,
+        )
+
+        orders = pq.read_table(
+            f"{SF}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        ).to_pandas()
+        li = pq.read_table(
+            f"{SF}/lineitem.parquet",
+            columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                     "l_discount"],
+        ).to_pandas()
+        od_us = orders["o_orderdate"].astype("datetime64[us]").astype(np.int64)
+        orders = orders[(od_us >= Q10_FROM_US) & (od_us < Q10_TO_US)]
+        li = li[li["l_returnflag"] == "R"].copy()
+        li["rev"] = (np.rint(li["l_extendedprice"] * 100).astype(np.int64)
+                     * np.rint((1 - li["l_discount"]) * 100).astype(np.int64))
+        j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        byc = (j.groupby("o_custkey")["rev"].sum().reset_index()
+               .sort_values(["rev", "o_custkey"], ascending=[False, True])
+               .head(20))
+        got = q10_returned_revenue(SF).to_pandas()
+        assert got["c_custkey"].tolist() == byc["o_custkey"].tolist()
+        from searchengine_ray.pipelines.fulltext import round_half_away
+        assert got["revenue_r"].tolist() == [
+            round_half_away(float(r) / 10000.0, 2) for r in byc["rev"]]
+
+    def test_planted_topk_tiebreak(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import q10_returned_revenue
+
+        base = pd.Timestamp("1996-02-01")
+        # 25 customers, all the SAME revenue — the top-20 cut must take the
+        # 20 smallest custkeys (exact-integer tiebreak, not arrival order)
+        n = 25
+        pd.DataFrame({
+            "o_orderkey": range(1, n + 1),
+            "o_custkey": range(101, 101 + n),
+            "o_orderdate": [base] * n,
+        }).to_parquet(f"{tmp_path}/orders.parquet", index=False)
+        pd.DataFrame({
+            "l_orderkey": range(1, n + 1),
+            "l_returnflag": ["R"] * n,
+            "l_extendedprice": [100.0] * n,
+            "l_discount": [0.0] * n,
+        }).to_parquet(f"{tmp_path}/lineitem.parquet", index=False)
+        pd.DataFrame({
+            "c_custkey": range(101, 101 + n),
+            "c_name": [f"cust-{k}" for k in range(101, 101 + n)],
+            "c_nationkey": [0] * n,
+        }).to_parquet(f"{tmp_path}/customer.parquet", index=False)
+        pd.DataFrame({"n_nationkey": [0], "n_name": ["ZERO"]}).to_parquet(
+            f"{tmp_path}/nation.parquet", index=False)
+        got = q10_returned_revenue(str(tmp_path)).to_pandas()
+        assert got["c_custkey"].tolist() == list(range(101, 121))
+        assert got["c_name"].tolist() == [f"cust-{k}" for k in range(101, 121)]
+        assert set(got["n_name"]) == {"ZERO"}
+        # 10000 cents × 100 hundredths = 10⁶ exact units; /10⁴ → dollars
+        assert set(got["revenue_r"]) == {100.0}
+
+    def test_empty_window(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import q10_returned_revenue
+
+        pd.DataFrame({
+            "o_orderkey": [1],
+            "o_custkey": [7],
+            "o_orderdate": [pd.Timestamp("1990-01-01")],  # outside window
+        }).to_parquet(f"{tmp_path}/orders.parquet", index=False)
+        pd.DataFrame({
+            "l_orderkey": [1],
+            "l_returnflag": ["R"],
+            "l_extendedprice": [100.0],
+            "l_discount": [0.0],
+        }).to_parquet(f"{tmp_path}/lineitem.parquet", index=False)
+        got = q10_returned_revenue(str(tmp_path)).to_pandas()
+        assert len(got) == 0
