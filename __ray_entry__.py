@@ -322,6 +322,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-partition top-k, winners hydrated by a k-key point read
         # (oracle: 3-CTE join + ORDER BY exact rev LIMIT 20; r4)
         "q10_returned_revenue": relational.q10_returned_revenue,
+        # ordered-collect aggregate: per-user event-type sequence joined
+        # in (ts, event_id) order — string_agg(ORDER BY) surface (oracle:
+        # string_agg with ORDER BY; r4)
+        "user_event_paths": relational.user_event_paths,
+        # MODE aggregate: per-user most frequent event type, ties to the
+        # smallest type — argmax over counted pairs through one user
+        # co-partition (oracle: row_number over the counted CTE; r4)
+        "mode_event_type": relational.mode_event_type,
         # --- dedup family ---
         # oracle: planted-marker anti-join (old DISTINCT hashes NOT IN)
         "dedup_incremental": lambda sf: dedup.dedup_incremental(sf, plant=True),
@@ -1487,6 +1495,30 @@ SELECT c.c_custkey, c.c_name, n.n_name,
 FROM c2 JOIN customer c ON c2.ck = c.c_custkey
      JOIN nation n ON c.c_nationkey = n.n_nationkey
 ORDER BY c2.rev DESC, c.c_custkey LIMIT 20""",
+        # ordered-collect aggregate: string_agg respects the same (ts,
+        # event_id) total order the engine lexsorts by; nulls drop on
+        # both sides (string_agg skips them; count() mirrors via the CTE)
+        "user_event_paths": """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE event_type IS NOT NULL)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS path
+FROM e GROUP BY user_id ORDER BY user_id""",
+        # MODE aggregate: the counted CTE then rank-1 per user under the
+        # identical (n DESC, event_type ASC) tiebreak the engine applies
+        "mode_event_type": """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE event_type IS NOT NULL
+  GROUP BY user_id, event_type),
+ r AS (
+  SELECT user_id, event_type, n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type) AS rk
+  FROM c)
+SELECT user_id, event_type AS mode_type, n AS n_mode
+FROM r WHERE rk = 1 ORDER BY user_id""",
         # deletion-neighborhood edit-distance join: distinct normalized
         # 12-char prefix keys within levenshtein 1 (distinct keys ⇒ lev≥1,
         # so =1); the engine's candidate scheme has exact recall (shared

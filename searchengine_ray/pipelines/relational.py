@@ -2946,3 +2946,113 @@ def q10_returned_revenue(sf_dir: str):
         "revenue_r": pa.array(
             _round_vec(top["rev"].to_numpy(dtype=np.float64) / 10000.0, 2)),
     })
+
+
+# ---------------------------------------------------------------------------
+# Ordered-collect and mode aggregates (per-user string_agg / mode())
+# ---------------------------------------------------------------------------
+
+
+def user_event_paths(sf_dir: str):
+    """(user_id, n_events, path): each user's event-type sequence in time
+    order, joined with ',' — the ordered-collect aggregate surface
+    (string_agg(... ORDER BY) / array_agg): sequence mining, session-path
+    features, and the "conversation as one string" reshape all reduce to
+    it; no other entry materializes an ORDERED per-group collection.
+
+    Scale shape: ONE user-hash co-partition (a user's events meet in
+    exactly one partition, so the collected order is total there); inside
+    each partition a single lexsort by (user, ts, event_id) orders every
+    user at once and a C-speed grouped join builds the strings. Output is
+    one row per user; each path is bounded by that user's own event count
+    — the operator's inherent output grain, never corpus-sized state on
+    any node. Null event types drop first (string_agg semantics)."""
+    import pandas as pd
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return _user_part_table(batch, {
+            "eid": batch["event_id"].cast(pa.int64()),
+            "et": batch["event_type"].cast(pa.string()),
+        })
+
+    def collect(group: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "u": group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            "ts": group["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64),
+            "eid": group["eid"].to_numpy(zero_copy_only=False).astype(np.int64),
+            "et": group["et"].to_pandas(),
+        })
+        df = df[df["et"].notna()]
+        if df.empty:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "n_events": pa.array([], type=pa.int64()),
+                             "path": pa.array([], type=pa.string())})
+        df = df.sort_values(["u", "ts", "eid"], kind="stable")
+        g = df.groupby("u", as_index=False).agg(
+            n_events=("et", "size"), path=("et", ",".join))
+        return pa.table({
+            "user_id": pa.array(g["u"].to_numpy(dtype=np.int64)),
+            "n_events": pa.array(g["n_events"].to_numpy(dtype=np.int64)),
+            "path": pa.array(g["path"].tolist(), type=pa.string()),
+        })
+
+    return (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["event_id", "user_id", "ts", "event_type"])
+        .map_batches(tag, batch_format="pyarrow", batch_size=8192)
+        .groupby("q")
+        .map_groups(collect, batch_format="pyarrow")
+    )
+
+
+def mode_event_type(sf_dir: str):
+    """(user_id, mode_type, n_mode): each user's most frequent event type,
+    ties to the lexicographically smallest — the MODE aggregate (an
+    aggregate OF an aggregate per fact-sized group key: counts resolve
+    first, then an argmax over them; group_topk_docs ranks existing rows
+    by an existing column, this must build the ranked quantity itself).
+
+    Scale shape: per-batch (user, type) count partials collapse map-side
+    (the exchange carries at most rows-per-batch distinct pairs), ONE
+    user-hash co-partition completes the counts, and a sort-once
+    drop_duplicates picks each user's argmax with the deterministic
+    tiebreak; one output row per user."""
+    import pandas as pd
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "u": batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            "et": batch["event_type"].to_pandas(),
+        })
+        df = df[df["et"].notna()]
+        g = df.groupby(["u", "et"], as_index=False).size()
+        return pa.table({
+            "q": pa.array((g["u"].to_numpy(dtype=np.int64) % _USER_PARTITIONS)),
+            "u": pa.array(g["u"].to_numpy(dtype=np.int64)),
+            "et": pa.array(g["et"].tolist(), type=pa.string()),
+            "n": pa.array(g["size"].to_numpy(dtype=np.int64)),
+        })
+
+    def argmax(group: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "u": group["u"].to_numpy(zero_copy_only=False).astype(np.int64),
+            "et": group["et"].to_pylist(),
+            "n": group["n"].to_numpy(zero_copy_only=False).astype(np.int64),
+        })
+        g = df.groupby(["u", "et"], as_index=False)["n"].sum()
+        g = (g.sort_values(["u", "n", "et"],
+                           ascending=[True, False, True], kind="stable")
+             .drop_duplicates("u"))
+        return pa.table({
+            "user_id": pa.array(g["u"].to_numpy(dtype=np.int64)),
+            "mode_type": pa.array(g["et"].tolist(), type=pa.string()),
+            "n_mode": pa.array(g["n"].to_numpy(dtype=np.int64)),
+        })
+
+    return (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["user_id", "event_type"])
+        .map_batches(pair_partials, batch_format="pyarrow", batch_size=8192)
+        .groupby("q")
+        .map_groups(argmax, batch_format="pyarrow")
+    )

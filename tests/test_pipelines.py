@@ -3019,3 +3019,82 @@ class TestQ10ReturnedRevenue:
         }).to_parquet(f"{tmp_path}/lineitem.parquet", index=False)
         got = q10_returned_revenue(str(tmp_path)).to_pandas()
         assert len(got) == 0
+
+
+class TestUserEventPaths:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import user_event_paths
+
+        ev = pq.read_table(
+            f"{SF}/events.parquet",
+            columns=["event_id", "user_id", "ts", "event_type"],
+        ).to_pandas().sort_values(["user_id", "ts", "event_id"])
+        ref = ev.groupby("user_id").agg(
+            n_events=("event_type", "size"),
+            path=("event_type", ",".join)).reset_index()
+        got = (user_event_paths(SF).to_pandas()
+               .sort_values("user_id").reset_index(drop=True))
+        assert got["user_id"].tolist() == ref["user_id"].tolist()
+        assert got["n_events"].tolist() == ref["n_events"].tolist()
+        assert got["path"].tolist() == ref["path"].tolist()
+
+    def test_order_and_null_semantics(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import user_event_paths
+
+        t0 = pd.Timestamp("2026-01-01")
+        pd.DataFrame({
+            # same ts for events 2,3 → event_id breaks the tie; the null
+            # type drops without dropping the user
+            "event_id": [3, 2, 1, 9],
+            "user_id": [7, 7, 7, 7],
+            "ts": [t0 + pd.Timedelta(seconds=5)] * 2 + [t0, t0],
+            "event_type": ["c", "b", "a", None],
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = user_event_paths(str(tmp_path)).to_pandas()
+        assert got["path"].tolist() == ["a,b,c"]
+        assert got["n_events"].tolist() == [3]
+
+
+class TestModeEventType:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import mode_event_type
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["user_id", "event_type"]).to_pandas()
+        c = ev.groupby(["user_id", "event_type"], as_index=False).size()
+        ref = (c.sort_values(["user_id", "size", "event_type"],
+                             ascending=[True, False, True])
+               .drop_duplicates("user_id"))
+        got = (mode_event_type(SF).to_pandas()
+               .sort_values("user_id").reset_index(drop=True))
+        assert got["user_id"].tolist() == ref["user_id"].tolist()
+        assert got["mode_type"].tolist() == ref["event_type"].tolist()
+        assert got["n_mode"].tolist() == ref["size"].tolist()
+
+    def test_tie_breaks_lexicographically(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import mode_event_type
+
+        pd.DataFrame({
+            "user_id": [1, 1, 1, 1, 2, 2],
+            # user 1: 2×"z", 2×"a" → tie → "a"; user 2: "b" wins outright
+            "event_type": ["z", "a", "z", "a", "b", "b"],
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = (mode_event_type(str(tmp_path)).to_pandas()
+               .sort_values("user_id"))
+        assert got["mode_type"].tolist() == ["a", "b"]
+        assert got["n_mode"].tolist() == [2, 2]
+
+    def test_cross_batch_counts_combine(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import mode_event_type
+
+        # one user, 30k rows: "rare" leads inside any single batch slice
+        # only if partials fail to combine — "common" must win globally
+        n = 30000
+        types = ["common"] * (n // 2 + 1) + ["rare"] * (n // 2 - 1)
+        pd.DataFrame({
+            "user_id": [5] * n,
+            "event_type": types,
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = mode_event_type(str(tmp_path)).to_pandas()
+        assert got["mode_type"].tolist() == ["common"]
+        assert got["n_mode"].tolist() == [n // 2 + 1]
