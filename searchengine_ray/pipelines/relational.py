@@ -2963,37 +2963,43 @@ def user_event_paths(sf_dir: str):
     Scale shape: ONE user-hash co-partition (a user's events meet in
     exactly one partition, so the collected order is total there); inside
     each partition a single lexsort by (user, ts, event_id) orders every
-    user at once and a C-speed grouped join builds the strings. Output is
-    one row per user; each path is bounded by that user's own event count
-    — the operator's inherent output grain, never corpus-sized state on
-    any node. Null event types drop first (string_agg semantics)."""
-    import pandas as pd
+    user at once and ONE Arrow binary_join over a boundary-offset list
+    array builds every path in C — no per-user Python dispatch (the
+    high-cardinality-group disease). Output is one row per user; each
+    path is bounded by that user's own event count — the operator's
+    inherent output grain, never corpus-sized state on any node. Null
+    event types drop map-side, BEFORE the exchange (string_agg
+    semantics; guaranteed-to-drop rows never ship)."""
+    import pyarrow.compute as pc
 
     def tag(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["event_type"]))
         return _user_part_table(batch, {
             "eid": batch["event_id"].cast(pa.int64()),
             "et": batch["event_type"].cast(pa.string()),
         })
 
     def collect(group: pa.Table) -> pa.Table:
-        df = pd.DataFrame({
-            "u": group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64),
-            "ts": group["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64),
-            "eid": group["eid"].to_numpy(zero_copy_only=False).astype(np.int64),
-            "et": group["et"].to_pandas(),
-        })
-        df = df[df["et"].notna()]
-        if df.empty:
+        u = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if u.size == 0:
             return pa.table({"user_id": pa.array([], type=pa.int64()),
                              "n_events": pa.array([], type=pa.int64()),
                              "path": pa.array([], type=pa.string())})
-        df = df.sort_values(["u", "ts", "eid"], kind="stable")
-        g = df.groupby("u", as_index=False).agg(
-            n_events=("et", "size"), path=("et", ",".join))
+        ts = group["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = group["eid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, ts, u))
+        u = u[order]
+        et = group["et"].combine_chunks().take(pa.array(order))
+        # user boundaries in the sorted frame → list offsets → ONE
+        # vectorized join (int64 offsets: a partition may exceed 2³¹ rows)
+        bounds = np.flatnonzero(u[1:] != u[:-1]) + 1
+        offsets = np.concatenate(([0], bounds, [u.size])).astype(np.int64)
+        paths = pc.binary_join(
+            pa.LargeListArray.from_arrays(pa.array(offsets), et), ",")
         return pa.table({
-            "user_id": pa.array(g["u"].to_numpy(dtype=np.int64)),
-            "n_events": pa.array(g["n_events"].to_numpy(dtype=np.int64)),
-            "path": pa.array(g["path"].tolist(), type=pa.string()),
+            "user_id": pa.array(u[offsets[:-1]]),
+            "n_events": pa.array(np.diff(offsets)),
+            "path": paths.cast(pa.string()),
         })
 
     return (

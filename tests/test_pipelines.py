@@ -3029,6 +3029,7 @@ class TestUserEventPaths:
             f"{SF}/events.parquet",
             columns=["event_id", "user_id", "ts", "event_type"],
         ).to_pandas().sort_values(["user_id", "ts", "event_id"])
+        ev = ev[ev["event_type"].notna()]  # the engine/oracle drop nulls
         ref = ev.groupby("user_id").agg(
             n_events=("event_type", "size"),
             path=("event_type", ",".join)).reset_index()
