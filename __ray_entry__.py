@@ -330,6 +330,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # smallest type — argmax over counted pairs through one user
         # co-partition (oracle: row_number over the counted CTE; r4)
         "mode_event_type": relational.mode_event_type,
+        # TPC-H Q16 shape: grouped COUNT(DISTINCT) born in a fact-fact
+        # join with a broadcast complaint anti-filter — two exchanges
+        # (partkey then suppkey), distinct pairs only on the wire
+        # (oracle: join + NOT IN + count(DISTINCT); r4)
+        "q16_supplier_variety": relational.q16_supplier_variety,
         # --- dedup family ---
         # oracle: planted-marker anti-join (old DISTINCT hashes NOT IN)
         "dedup_incremental": lambda sf: dedup.dedup_incremental(sf, plant=True),
@@ -1519,6 +1524,17 @@ WITH c AS (
   FROM c)
 SELECT user_id, event_type AS mode_type, n AS n_mode
 FROM r WHERE rk = 1 ORDER BY user_id""",
+        # Q16 shape: distinct suppliers per qualifying (brand, size) part
+        # family, complaint suppliers (negative balance) excluded — the
+        # engine's two-exchange distinct discipline reproduces
+        # count(DISTINCT) over the join exactly
+        "q16_supplier_variety": """
+SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_size IN (1, 9, 19, 29, 49) AND p_brand <> 'Brand#13'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size ORDER BY p_brand, p_size""",
         # deletion-neighborhood edit-distance join: distinct normalized
         # 12-char prefix keys within levenshtein 1 (distinct keys ⇒ lev≥1,
         # so =1); the engine's candidate scheme has exact recall (shared

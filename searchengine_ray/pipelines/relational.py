@@ -3062,3 +3062,138 @@ def mode_event_type(sf_dir: str):
         .groupby("q")
         .map_groups(argmax, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped distinct-count over a join with an anti-filter (TPC-H Q16 shape)
+# ---------------------------------------------------------------------------
+
+Q16_SIZES = (1, 9, 19, 29, 49)
+Q16_EXCL_BRAND = "Brand#13"
+
+
+def q16_supplier_variety(sf_dir: str):
+    """(p_brand, p_size, supplier_cnt): how many DISTINCT suppliers ship
+    each qualifying (brand, size) part family — TPC-H Q16's shape: a
+    grouped COUNT(DISTINCT) whose distinct key only exists AFTER a
+    fact-fact join, with a complaint-supplier anti-filter (here: negative
+    account balance, the deterministic stand-in for Q16's name-LIKE
+    complaint scan). ``ndistinct_users`` counts distinct over one table;
+    this one must join first — the pair (brand, supplier) is born in the
+    exchange.
+
+    Scale shape: the complaint set is supplier-dimension-sized and
+    filtered tiny, so it broadcasts once via ``ray.put`` and both fact
+    sides stay streams. Exchange 1 co-partitions filtered parts with
+    map-side-deduped (partkey, suppkey) pairs on partkey — a partition
+    owns every line of its parts, so the join resolves locally and emits
+    (brand, size, suppkey) triples deduped again in-partition. Exchange 2
+    co-partitions the triples on suppkey so every surviving duplicate
+    pair meets in exactly one partition (the ndistinct discipline), final
+    dedup + per-(brand, size) partial counts there; the driver sums a
+    ≤ partitions × brands × sizes frame. Each exchange carries distinct
+    pairs, never raw line items."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_acctbal"]).to_pandas()
+    excl = np.sort(sup.loc[sup["s_acctbal"] < 0, "s_suppkey"]
+                   .to_numpy(dtype=np.int64))
+    excl_ref = ray.put(excl)
+    sizes = np.asarray(Q16_SIZES, dtype=np.int64)
+
+    def part_side(batch: pa.Table) -> pa.Table:
+        pk = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sz = batch["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        br = np.asarray(batch["p_brand"].to_pylist(), dtype=object)
+        m = np.isin(sz, sizes) & (br != Q16_EXCL_BRAND)
+        pk, sz, br = pk[m], sz[m], br[m]
+        return pa.table({"q": pa.array(_hash_partition(pk)),
+                         "side": pa.array(np.zeros(pk.size, dtype=np.int64)),
+                         "k": pa.array(pk), "a": pa.array(sz),
+                         "brand": pa.array(br.tolist(), type=pa.string())})
+
+    def lineitem_side(batch: pa.Table) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ex = ray.get(excl_ref)
+        if ex.size:
+            pos = np.minimum(np.searchsorted(ex, sk), ex.size - 1)
+            keep = ex[pos] != sk
+            pk, sk = pk[keep], sk[keep]
+        pairs = np.unique(np.stack([pk, sk], axis=1), axis=0)  # map-side dedup
+        pk, sk = pairs[:, 0], pairs[:, 1]
+        return pa.table({"q": pa.array(_hash_partition(pk)),
+                         "side": pa.array(np.ones(pk.size, dtype=np.int64)),
+                         "k": pa.array(pk), "a": pa.array(sk),
+                         "brand": pa.array([""] * pk.size, type=pa.string())})
+
+    def join_parts(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy(zero_copy_only=False)
+        k = group["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = group["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p_m = side == 0
+        ppk, psz = k[p_m], a[p_m]
+        pbr = np.asarray(group["brand"].to_pylist(), dtype=object)[p_m]
+        lpk, lsk = k[~p_m], a[~p_m]
+        empty = pa.table({"q2": pa.array([], type=pa.int64()),
+                          "brand": pa.array([], type=pa.string()),
+                          "size": pa.array([], type=pa.int64()),
+                          "sk": pa.array([], type=pa.int64())})
+        if ppk.size == 0 or lpk.size == 0:
+            return empty
+        order = np.argsort(ppk)
+        ppk, psz, pbr = ppk[order], psz[order], pbr[order]
+        pos = np.minimum(np.searchsorted(ppk, lpk), ppk.size - 1)
+        hit = ppk[pos] == lpk
+        if not hit.any():
+            return empty
+        df = pd.DataFrame({
+            "brand": pbr[pos[hit]], "size": psz[pos[hit]], "sk": lsk[hit],
+        }).drop_duplicates()  # same (brand,size,sk) via several partkeys
+        return pa.table({
+            "q2": pa.array(_hash_partition(df["sk"].to_numpy(dtype=np.int64))),
+            "brand": pa.array(df["brand"].tolist(), type=pa.string()),
+            "size": pa.array(df["size"].to_numpy(dtype=np.int64)),
+            "sk": pa.array(df["sk"].to_numpy(dtype=np.int64)),
+        })
+
+    def count_distinct(group: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "brand": group["brand"].to_pylist(),
+            "size": group["size"].to_numpy(zero_copy_only=False),
+            "sk": group["sk"].to_numpy(zero_copy_only=False),
+        }).drop_duplicates()  # triples from different partkey partitions
+        g = df.groupby(["brand", "size"], as_index=False).agg(n=("sk", "count"))
+        return pa.table({
+            "brand": pa.array(g["brand"].tolist(), type=pa.string()),
+            "size": pa.array(g["size"].to_numpy(dtype=np.int64)),
+            "n": pa.array(g["n"].to_numpy(dtype=np.int64)),
+        })
+
+    parts = read_parquet_clean(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_size"],
+    ).map_batches(part_side, batch_format="pyarrow", batch_size=8192)
+    items = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey"],
+    ).map_batches(lineitem_side, batch_format="pyarrow", batch_size=8192)
+    agg = (parts.union(items).groupby("q")
+           .map_groups(join_parts, batch_format="pyarrow")
+           .groupby("q2")
+           .map_groups(count_distinct, batch_format="pyarrow")
+           .to_pandas())
+    if agg.empty:
+        return pa.table({"p_brand": pa.array([], type=pa.string()),
+                         "p_size": pa.array([], type=pa.int64()),
+                         "supplier_cnt": pa.array([], type=pa.int64())})
+    g = (agg.groupby(["brand", "size"], as_index=False)["n"].sum()
+         .sort_values(["brand", "size"]))
+    return pa.table({
+        "p_brand": pa.array(g["brand"].tolist(), type=pa.string()),
+        "p_size": pa.array(g["size"].to_numpy(dtype=np.int64)),
+        "supplier_cnt": pa.array(g["n"].to_numpy(dtype=np.int64)),
+    })

@@ -3099,3 +3099,59 @@ class TestModeEventType:
         got = mode_event_type(str(tmp_path)).to_pandas()
         assert got["mode_type"].tolist() == ["common"]
         assert got["n_mode"].tolist() == [n // 2 + 1]
+
+
+class TestQ16SupplierVariety:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            Q16_EXCL_BRAND,
+            Q16_SIZES,
+            q16_supplier_variety,
+        )
+
+        part = pq.read_table(
+            f"{SF}/part.parquet",
+            columns=["p_partkey", "p_brand", "p_size"]).to_pandas()
+        li = pq.read_table(
+            f"{SF}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey"]).to_pandas()
+        sup = pq.read_table(
+            f"{SF}/supplier.parquet",
+            columns=["s_suppkey", "s_acctbal"]).to_pandas()
+        excl = set(sup.loc[sup["s_acctbal"] < 0, "s_suppkey"])
+        part = part[part["p_size"].isin(Q16_SIZES)
+                    & (part["p_brand"] != Q16_EXCL_BRAND)]
+        li = li[~li["l_suppkey"].isin(excl)]
+        j = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+        ref = (j.groupby(["p_brand", "p_size"])["l_suppkey"].nunique()
+               .reset_index().sort_values(["p_brand", "p_size"]))
+        got = q16_supplier_variety(SF).to_pandas()
+        assert got["p_brand"].tolist() == ref["p_brand"].tolist()
+        assert got["p_size"].tolist() == ref["p_size"].tolist()
+        assert got["supplier_cnt"].tolist() == ref["l_suppkey"].tolist()
+
+    def test_planted_distinct_and_exclusion(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import q16_supplier_variety
+
+        pd.DataFrame({
+            "p_partkey": [1, 2, 3],
+            "p_brand": ["Brand#1", "Brand#1", "Brand#13"],  # #13 excluded
+            "p_size": [1, 1, 1],
+        }).to_parquet(f"{tmp_path}/part.parquet", index=False)
+        pd.DataFrame({
+            # supplier 10 ships part 1 THREE times and part 2 once → still
+            # one distinct supplier per family; supplier 66 (complaint) and
+            # the excluded-brand part never count
+            "l_partkey": [1, 1, 1, 2, 1, 3],
+            "l_suppkey": [10, 10, 10, 10, 66, 20],
+        }).to_parquet(f"{tmp_path}/lineitem.parquet", index=False)
+        pd.DataFrame({
+            "s_suppkey": [10, 20, 66],
+            "s_acctbal": [5.0, 5.0, -1.0],
+        }).to_parquet(f"{tmp_path}/supplier.parquet", index=False)
+        got = q16_supplier_variety(str(tmp_path)).to_pandas()
+        # parts 1 and 2 are ONE (brand, size) family; supplier 10's four
+        # shipments across them count once
+        assert got["p_brand"].tolist() == ["Brand#1"]
+        assert got["p_size"].tolist() == [1]
+        assert got["supplier_cnt"].tolist() == [1]
