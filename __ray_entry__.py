@@ -335,6 +335,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (partkey then suppkey), distinct pairs only on the wire
         # (oracle: join + NOT IN + count(DISTINCT); r4)
         "q16_supplier_variety": relational.q16_supplier_variety,
+        # calendar densification: hourly counts per type with explicit
+        # zero rows for absent (type, hour) combos — the generate_series
+        # scaffold surface (oracle: generate_series + LEFT JOIN +
+        # COALESCE; r4)
+        "hourly_gap_fill": relational.hourly_gap_fill,
         # --- dedup family ---
         # oracle: planted-marker anti-join (old DISTINCT hashes NOT IN)
         "dedup_incremental": lambda sf: dedup.dedup_incremental(sf, plant=True),
@@ -1535,6 +1540,31 @@ FROM part JOIN lineitem ON p_partkey = l_partkey
 WHERE p_size IN (1, 9, 19, 29, 49) AND p_brand <> 'Brand#13'
   AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
 GROUP BY p_brand, p_size ORDER BY p_brand, p_size""",
+        # calendar densification: the scaffold is generate_series over the
+        # observed [min, max] hour range crossed with the observed type
+        # vocabulary; COALESCEd bounds keep the series empty (start>stop)
+        # on an empty corpus so the SQL still binds and runs
+        "hourly_gap_fill": """
+WITH b AS (
+  SELECT event_type,
+         (CAST(epoch_us(ts) AS BIGINT) // 3600000000) * 3600000000
+           AS hour_us,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE event_type IS NOT NULL
+  GROUP BY 1, 2),
+ bounds AS (
+  SELECT COALESCE(min(hour_us), 0) AS lo,
+         COALESCE(max(hour_us), -3600000000) AS hi
+  FROM b),
+ h AS (
+  SELECT CAST(unnest(generate_series(lo, hi, 3600000000)) AS BIGINT)
+           AS hour_us
+  FROM bounds),
+ t AS (SELECT DISTINCT event_type FROM b)
+SELECT t.event_type, h.hour_us, COALESCE(b.n, 0) AS n_events
+FROM t CROSS JOIN h
+LEFT JOIN b ON b.event_type = t.event_type AND b.hour_us = h.hour_us
+ORDER BY t.event_type, h.hour_us""",
         # deletion-neighborhood edit-distance join: distinct normalized
         # 12-char prefix keys within levenshtein 1 (distinct keys ⇒ lev≥1,
         # so =1); the engine's candidate scheme has exact recall (shared

@@ -3197,3 +3197,71 @@ def q16_supplier_variety(sf_dir: str):
         "p_size": pa.array(g["size"].to_numpy(dtype=np.int64)),
         "supplier_cnt": pa.array(g["n"].to_numpy(dtype=np.int64)),
     })
+
+
+# ---------------------------------------------------------------------------
+# Calendar densification (gap-filled time series)
+# ---------------------------------------------------------------------------
+
+
+def hourly_gap_fill(sf_dir: str):
+    """(event_type, hour_us, n_events): hourly event counts per type with
+    EVERY hour of the global [min, max] range present — absent (type,
+    hour) combinations surface as explicit zero rows. The dimension-
+    densification surface (SQL's generate_series scaffold + LEFT JOIN +
+    COALESCE): monitoring, rate-limiting and drift detection all need the
+    zeros to exist, and no other entry manufactures rows that have no
+    input-row witness.
+
+    Scale shape: the measured side is the standard map-side partial
+    combine (≤ types × hours-per-batch rows per batch, tiny groupby
+    finish); the scaffold is CALENDAR-sized — hours × types, bounded by
+    wall-clock time and the type vocabulary, never by corpus row count —
+    so the driver materializes it directly and fills gaps with one
+    searchsorted merge. At 100 TB the dense frame for a decade of hours ×
+    1000 types is ~10⁸ rows — if the scaffold itself ever needed to be
+    distributed, the same closed form (hour = lo + i // n_types, type =
+    vocab[i % n_types]) generates any shard of it independently."""
+    from ray.data.aggregate import Count
+
+    HOUR_US = 3_600_000_000
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        ts = (batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        return pa.table({
+            "hour_us": pa.array((ts // HOUR_US) * HOUR_US),
+            "event_type": batch["event_type"],
+        })
+
+    counted = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["ts", "event_type"])
+        .map_batches(bucket, batch_format="pyarrow", batch_size=8192)
+        .groupby(["hour_us", "event_type"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    if counted.empty:
+        return pa.table({"event_type": pa.array([], type=pa.string()),
+                         "hour_us": pa.array([], type=pa.int64()),
+                         "n_events": pa.array([], type=pa.int64())})
+    counted = counted[counted["event_type"].notna()]
+    hours = np.arange(int(counted["hour_us"].min()),
+                      int(counted["hour_us"].max()) + HOUR_US, HOUR_US,
+                      dtype=np.int64)
+    types = np.asarray(sorted(counted["event_type"].unique()), dtype=object)
+    # dense scaffold in (type, hour) order, gaps filled via one merge
+    grid_t = np.repeat(np.arange(types.size), hours.size)
+    grid_h = np.tile(hours, types.size)
+    n = np.zeros(grid_t.size, dtype=np.int64)
+    t_idx = {t: i for i, t in enumerate(types)}
+    obs_t = counted["event_type"].map(t_idx).to_numpy(dtype=np.int64)
+    obs_h = counted["hour_us"].to_numpy(dtype=np.int64)
+    pos = obs_t * hours.size + (obs_h - hours[0]) // HOUR_US
+    n[pos] = counted["n"].to_numpy(dtype=np.int64)
+    return pa.table({
+        "event_type": pa.array(types[grid_t].tolist(), type=pa.string()),
+        "hour_us": pa.array(grid_h),
+        "n_events": pa.array(n),
+    })

@@ -3155,3 +3155,44 @@ class TestQ16SupplierVariety:
         assert got["p_brand"].tolist() == ["Brand#1"]
         assert got["p_size"].tolist() == [1]
         assert got["supplier_cnt"].tolist() == [1]
+
+
+class TestHourlyGapFill:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import hourly_gap_fill
+
+        HOUR = 3_600_000_000
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["ts", "event_type"]).to_pandas()
+        ev = ev[ev["event_type"].notna()]
+        h = (ev["ts"].astype("datetime64[us]").astype(np.int64)
+             // HOUR) * HOUR
+        c = (pd.DataFrame({"t": ev["event_type"], "h": h})
+             .groupby(["t", "h"]).size())
+        hours = range(int(h.min()), int(h.max()) + HOUR, HOUR)
+        got = hourly_gap_fill(SF).to_pandas()
+        types = sorted(ev["event_type"].unique())
+        assert len(got) == len(types) * len(list(hours))
+        m = {(t, hh): n for t, hh, n in zip(got["event_type"],
+                                            got["hour_us"],
+                                            got["n_events"])}
+        for t in types:
+            for hh in hours:
+                assert m[(t, hh)] == c.get((t, hh), 0)
+
+    def test_planted_gaps(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import hourly_gap_fill
+
+        t0 = pd.Timestamp("2026-01-01 00:30:00")
+        pd.DataFrame({
+            # type "a" at hours 0 and 3 (hours 1,2 are GAPS); type "b"
+            # only at hour 1 → zeros at 0, 2, 3
+            "ts": [t0, t0 + pd.Timedelta(hours=3), t0 + pd.Timedelta(hours=1)],
+            "event_type": ["a", "a", "b"],
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = hourly_gap_fill(str(tmp_path)).to_pandas()
+        assert len(got) == 8  # 2 types × 4 hours
+        a = got[got["event_type"] == "a"].sort_values("hour_us")
+        b = got[got["event_type"] == "b"].sort_values("hour_us")
+        assert a["n_events"].tolist() == [1, 0, 0, 1]
+        assert b["n_events"].tolist() == [0, 1, 0, 0]
