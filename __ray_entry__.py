@@ -1547,8 +1547,8 @@ GROUP BY p_brand, p_size ORDER BY p_brand, p_size""",
         "hourly_gap_fill": """
 WITH b AS (
   SELECT event_type,
-         (CAST(epoch_us(ts) AS BIGINT) // 3600000000) * 3600000000
-           AS hour_us,
+         CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 3600000000.0)
+              AS BIGINT) * 3600000000 AS hour_us,
          CAST(count(*) AS BIGINT) AS n
   FROM events WHERE event_type IS NOT NULL
   GROUP BY 1, 2),

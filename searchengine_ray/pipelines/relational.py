@@ -31,26 +31,32 @@ from searchengine_ray.sources import read_parquet_clean
 WINDOW_US = 3_600_000_000  # 1 hour in microseconds
 
 
-def _bucket_partial(batch: pa.Table, bucket_us: int, key: str) -> pa.Table:
+def _bucket_partial(batch: pa.Table, bucket_us: int, key: str,
+                    with_value: bool = True) -> pa.Table:
     """Shared map-side partial for the time-bucketed aggregates
-    (windowed_events hourly, cube_events daily): integer-floor bucket key
-    (no Python datetime per row), per-(bucket, type) combine inside the
-    batch BEFORE any exchange — the single copy of the pattern."""
+    (windowed_events hourly, cube_events daily, hourly_gap_fill counts):
+    integer-floor bucket key (no Python datetime per row), per-(bucket,
+    type) combine inside the batch BEFORE any exchange — the single copy
+    of the pattern. ``with_value=False`` skips the value-sum column for
+    count-only callers. The timestamp normalizes to µs before the int64
+    view so a ns-resolution file can't scale the bucket width; null
+    event types drop here (pandas groupby dropna), map-side."""
     import pandas as pd
 
-    ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    ts = (batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+          .to_numpy(zero_copy_only=False))
     win = (ts // bucket_us) * bucket_us
-    df = pd.DataFrame(
-        {
-            key: win,
-            "event_type": batch["event_type"].to_numpy(zero_copy_only=False),
-            "n": 1,
-            "v": batch["value"].to_numpy(zero_copy_only=False),
-        }
-    )
-    g = df.groupby([key, "event_type"], as_index=False).agg(
-        n=("n", "sum"), v=("v", "sum")
-    )
+    cols = {
+        key: win,
+        "event_type": batch["event_type"].to_numpy(zero_copy_only=False),
+        "n": 1,
+    }
+    aggs = {"n": ("n", "sum")}
+    if with_value:
+        cols["v"] = batch["value"].to_numpy(zero_copy_only=False)
+        aggs["v"] = ("v", "sum")
+    g = pd.DataFrame(cols).groupby([key, "event_type"],
+                                   as_index=False).agg(**aggs)
     return pa.Table.from_pandas(g, preserve_index=False)
 
 
@@ -3213,40 +3219,40 @@ def hourly_gap_fill(sf_dir: str):
     zeros to exist, and no other entry manufactures rows that have no
     input-row witness.
 
-    Scale shape: the measured side is the standard map-side partial
-    combine (≤ types × hours-per-batch rows per batch, tiny groupby
-    finish); the scaffold is CALENDAR-sized — hours × types, bounded by
-    wall-clock time and the type vocabulary, never by corpus row count —
-    so the driver materializes it directly and fills gaps with one
-    searchsorted merge. At 100 TB the dense frame for a decade of hours ×
-    1000 types is ~10⁸ rows — if the scaffold itself ever needed to be
-    distributed, the same closed form (hour = lo + i // n_types, type =
+    Scale shape: the measured side is the shared ``_bucket_partial``
+    map-side combine (≤ types × hours-per-batch rows per batch — raw
+    events never cross the exchange), tiny groupby finish; the scaffold
+    is CALENDAR-sized — hours × types, bounded by wall-clock time and the
+    type vocabulary, never by corpus row count — so the driver
+    materializes it directly and fills gaps with one vectorized grid
+    write. At 100 TB the dense frame for a decade of hours × 1000 types
+    is ~10⁸ rows — if the scaffold itself ever needed to be distributed,
+    the same closed form (hour = lo + i // n_types, type =
     vocab[i % n_types]) generates any shard of it independently."""
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
 
-    HOUR_US = 3_600_000_000
-
-    def bucket(batch: pa.Table) -> pa.Table:
-        ts = (batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
-              .to_numpy(zero_copy_only=False))
-        return pa.table({
-            "hour_us": pa.array((ts // HOUR_US) * HOUR_US),
-            "event_type": batch["event_type"],
-        })
+    HOUR_US = WINDOW_US  # 1 hour in µs — the module's bucket constant
 
     counted = (
         read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
                            columns=["ts", "event_type"])
-        .map_batches(bucket, batch_format="pyarrow", batch_size=8192)
+        .map_batches(lambda b: _bucket_partial(b, HOUR_US, "hour_us",
+                                               with_value=False),
+                     batch_format="pyarrow", batch_size=8192)
         .groupby(["hour_us", "event_type"])
-        .aggregate(Count(alias_name="n"))
+        .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
     )
-    if counted.empty:
-        return pa.table({"event_type": pa.array([], type=pa.string()),
-                         "hour_us": pa.array([], type=pa.int64()),
-                         "n_events": pa.array([], type=pa.int64())})
+    empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                      "hour_us": pa.array([], type=pa.int64()),
+                      "n_events": pa.array([], type=pa.int64())})
+    if counted.empty:  # an all-empty-partial dataset has NO columns at all
+        return empty
+    # nulls already dropped map-side; re-guard on the FILTERED frame (an
+    # all-null corpus must return empty rows, matching the oracle)
     counted = counted[counted["event_type"].notna()]
+    if counted.empty:
+        return empty
     hours = np.arange(int(counted["hour_us"].min()),
                       int(counted["hour_us"].max()) + HOUR_US, HOUR_US,
                       dtype=np.int64)

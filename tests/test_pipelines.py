@@ -3196,3 +3196,14 @@ class TestHourlyGapFill:
         b = got[got["event_type"] == "b"].sort_values("hour_us")
         assert a["n_events"].tolist() == [1, 0, 0, 1]
         assert b["n_events"].tolist() == [0, 1, 0, 0]
+
+
+    def test_all_null_types_empty(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import hourly_gap_fill
+
+        pd.DataFrame({
+            "ts": [pd.Timestamp("2026-01-01")] * 3,
+            "event_type": pd.Series([None, None, None], dtype=object),
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = hourly_gap_fill(str(tmp_path)).to_pandas()
+        assert len(got) == 0  # the oracle returns zero rows too
