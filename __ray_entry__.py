@@ -367,6 +367,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # generation, pair-hash dedupe, exact lev≤1 verify per candidate
         # (oracle: distinct-key self-join with levenshtein()=1; r4)
         "edit_neighbors": dedup.edit_neighbors,
+        # sparse set-cosine (Ochiai) ≥ 0.5 similarity join the inverted-
+        # index way: per-term pair partials bounded by the df-cap BY
+        # CONSTRUCTION, exact integer gate 4c² ≥ na·nb (oracle: shared
+        # word-shingle CTE + df-cap + self-join; r4)
+        "cosine_shingle_join": dedup.cosine_shingle_join,
         # --- similarity search ---
         "knn_batch": lambda sf: similarity.knn_batch(sf, query_vec_ids=(0, 1, 2, 3, 4), k=5),
         # literal-centroid mode (VERDICT r3 item 3): fixed seeded codebook →
@@ -1825,6 +1830,32 @@ FROM ss a JOIN ss b ON a.g = b.g AND a.source <= b.source
 GROUP BY 1, 2 ORDER BY 1, 2""",
         "dedup_minhash": _jaccard_pairs_sql("word"),
         "ngram_jaccard": _jaccard_pairs_sql("char"),
+        # sparse set-cosine join over the SHARED word-shingle CTE: the
+        # df-cap (≤64) defines the vector space on both sides, the τ=0.5
+        # gate is the exact integer form 4c² ≥ na·nb, and cosine_r is the
+        # identical IEEE expression on the identical exact integers
+        "cosine_shingle_join": f"""
+WITH {_WORD_SHINGLE_CTE},
+ dfreq AS (SELECT g, count(*) AS df FROM sh GROUP BY g),
+ capped AS (
+  SELECT sh.doc_id, sh.g FROM sh JOIN dfreq USING (g)
+  WHERE dfreq.df <= 64),
+ sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM capped GROUP BY doc_id),
+ inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS c
+  FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.c AS DOUBLE)
+             / sqrt(CAST(sa.n AS DOUBLE) * CAST(sb.n AS DOUBLE)), 4)
+         AS cosine_r
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE 4 * i.c * i.c >= sa.n * sb.n
+ORDER BY doc_a, doc_b""",
         # all-pairs Hamming ≤ 3 over SQL-rebuilt md5-prefix signatures; the
         # engine's 4×16-bit pigeonhole banding is exact at this radius
         "dedup_simhash": _simhash_pairs_sql(),

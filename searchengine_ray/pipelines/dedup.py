@@ -2115,3 +2115,189 @@ def edit_neighbors(sf_dir: str, key_len: int = _EDIT_KEY_LEN):
         .groupby("q2")
         .map_groups(verify, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sparse set-cosine similarity join (inverted-index partial dot products)
+# ---------------------------------------------------------------------------
+
+_COS_DF_CAP = 64  # shingles present in more docs leave the vector space
+_COS_TAU_NUM, _COS_TAU_DEN = 1, 4  # τ = 1/2 ⇒ gate 4·c² ≥ na·nb
+
+
+def cosine_shingle_join(sf_dir: str, df_cap: int = _COS_DF_CAP):
+    """(doc_a, doc_b, cosine_r): every document pair whose SET COSINE
+    (Ochiai coefficient, c/√(na·nb)) over word-3-gram shingles is ≥ 0.5 —
+    the sparse-vector similarity join built the inverted-index way:
+    per-TERM pair partials, never candidate buckets (the third pairwise
+    engine next to MinHash banding and hyperplane LSH; this one is exact
+    by construction, no probabilistic recall argument needed).
+
+    The df-cap IS the vector space: shingles appearing in more than
+    ``df_cap`` docs are excluded from norms AND dots on BOTH engine and
+    oracle sides (classic document-frequency feature selection — a
+    near-stopword shingle carries no similarity signal). That single rule
+    is what bounds the work: a term contributes at most C(df_cap, 2)
+    pair partials BY CONSTRUCTION — no hot-term all-pairs blowup can
+    exist, at any corpus size.
+
+    Exactness: c, na, nb are exact int64 counts; the τ = 0.5 gate is the
+    pure-integer comparison 4·c² ≥ na·nb, and cosine_r is one IEEE
+    expression (c / √(na·nb), 4-dp) mirrored token-for-token in SQL.
+
+    Scale shape — four fixed-partition exchanges, all vectorized:
+    (1) distinct (shingle, doc) rows, deduped map-side, shingle-hash
+    partitioned (df resolves locally); (2) per-shingle pair partials
+    enumerated per df-CLASS (one fancy-index per distinct df value, no
+    per-shingle loop) + per-doc size partials, routed by doc_a; (3) sizes
+    complete, pairs combine and attach na; (4) pairs attach nb, integer
+    gate, emit. Survivor volume is the join's own output grain."""
+    import pandas as pd
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        ids_out, h_out = [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            sh = word_shingle_array(text or "")
+            if sh.size:
+                ids_out.append(np.full(sh.size, doc_id, dtype=np.int64))
+                h_out.append(sh)
+        if not ids_out:
+            return pa.table({"q": pa.array([], type=pa.int64()),
+                             "g": pa.array([], type=pa.int64()),
+                             "doc": pa.array([], type=pa.int64())})
+        doc = np.concatenate(ids_out)
+        hs = np.concatenate(h_out).view(np.int64)
+        return pa.table({
+            "q": pa.array((hs.view(np.uint64) % _DEDUP_PARTITIONS)
+                          .astype(np.int64)),
+            "g": pa.array(hs),
+            "doc": pa.array(doc),
+        })
+
+    def _stage_bc_empty() -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        return pa.table({"q2": z, "side": z, "a": z, "b": z, "c": z,
+                         "na": z})
+
+    def term_partials(group: pa.Table) -> pa.Table:
+        g = group["g"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = group["doc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if g.size == 0:
+            return _stage_bc_empty()
+        order = np.lexsort((doc, g))
+        g, doc = g[order], doc[order]
+        ug, start = np.unique(g, return_index=True)
+        df = np.diff(np.concatenate((start, [g.size])))
+        capped = np.repeat(df <= df_cap, df)
+        # per-doc size partials over the capped space
+        ud, dcnt = np.unique(doc[capped], return_counts=True)
+        out_q2 = [ud % _DEDUP_PARTITIONS]
+        out_side = [np.zeros(ud.size, dtype=np.int64)]
+        out_a, out_b = [ud], [np.zeros(ud.size, dtype=np.int64)]
+        out_c = [dcnt.astype(np.int64)]
+        # pair partials per df-CLASS: shingles with the same df form an
+        # (m, k) doc matrix; one triu fancy-index emits all their pairs
+        for k in np.unique(df[(df >= 2) & (df <= df_cap)]):
+            sel = np.repeat(df == k, df)
+            mat = doc[sel].reshape(-1, k)  # rows sorted: doc asc per g
+            iu, ju = np.triu_indices(k, 1)
+            da = mat[:, iu].ravel()
+            db = mat[:, ju].ravel()
+            pair_df = pd.DataFrame({"da": da, "db": db})
+            pc_ = pair_df.groupby(["da", "db"], as_index=False).size()
+            out_q2.append(pc_["da"].to_numpy(dtype=np.int64)
+                          % _DEDUP_PARTITIONS)
+            out_side.append(np.ones(len(pc_), dtype=np.int64))
+            out_a.append(pc_["da"].to_numpy(dtype=np.int64))
+            out_b.append(pc_["db"].to_numpy(dtype=np.int64))
+            out_c.append(pc_["size"].to_numpy(dtype=np.int64))
+        q2 = np.concatenate(out_q2)
+        return pa.table({
+            "q2": pa.array(q2),
+            "side": pa.array(np.concatenate(out_side)),
+            "a": pa.array(np.concatenate(out_a)),
+            "b": pa.array(np.concatenate(out_b)),
+            "c": pa.array(np.concatenate(out_c)),
+            "na": pa.array(np.zeros(q2.size, dtype=np.int64)),
+        })
+
+    def attach_na(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy(zero_copy_only=False)
+        a = group["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = group["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = group["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s_m = side == 0
+        # sizes complete here: every partial of doc ≡ partition arrived
+        ud, inv = np.unique(a[s_m], return_inverse=True)
+        n_of = np.zeros(ud.size, dtype=np.int64)
+        np.add.at(n_of, inv, c[s_m])
+        out = [pa.table({
+            "q3": pa.array(ud % _DEDUP_PARTITIONS),
+            "side": pa.array(np.zeros(ud.size, dtype=np.int64)),
+            "a": pa.array(ud), "b": pa.array(np.zeros_like(ud)),
+            "c": pa.array(n_of), "na": pa.array(np.zeros_like(ud)),
+        })]
+        if (~s_m).any():
+            import pandas as pd
+
+            pc_ = (pd.DataFrame({"da": a[~s_m], "db": b[~s_m], "c": c[~s_m]})
+                   .groupby(["da", "db"], as_index=False)["c"].sum())
+            da = pc_["da"].to_numpy(dtype=np.int64)
+            if ud.size:
+                pos = np.minimum(np.searchsorted(ud, da), ud.size - 1)
+                na = np.where(ud[pos] == da, n_of[pos], 0)
+            else:  # defensive: a pair's da always has a size row here
+                na = np.zeros(da.size, dtype=np.int64)
+            db = pc_["db"].to_numpy(dtype=np.int64)
+            out.append(pa.table({
+                "q3": pa.array(db % _DEDUP_PARTITIONS),
+                "side": pa.array(np.ones(da.size, dtype=np.int64)),
+                "a": pa.array(da), "b": pa.array(db),
+                "c": pa.array(pc_["c"].to_numpy(dtype=np.int64)),
+                "na": pa.array(na),
+            }))
+        return pa.concat_tables(out)
+
+    def gate(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy(zero_copy_only=False)
+        a = group["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = group["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = group["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        na = group["na"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s_m = side == 0
+        ud, n_of = a[s_m], c[s_m]  # one complete row per doc from stage C
+        order = np.argsort(ud)
+        ud, n_of = ud[order], n_of[order]
+        empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
+                          "doc_b": pa.array([], type=pa.int64()),
+                          "cosine_r": pa.array([], type=pa.float64())})
+        p_m = ~s_m
+        if not p_m.any() or ud.size == 0:
+            return empty
+        da, db, pc_, pna = a[p_m], b[p_m], c[p_m], na[p_m]
+        pos = np.minimum(np.searchsorted(ud, db), ud.size - 1)
+        nb = np.where(ud[pos] == db, n_of[pos], 0)
+        keep = ((pna > 0) & (nb > 0)
+                & (_COS_TAU_DEN * pc_ * pc_ >= _COS_TAU_NUM * pna * nb))
+        if not keep.any():
+            return empty
+        da, db, pc_, pna, nb = (da[keep], db[keep], pc_[keep], pna[keep],
+                                nb[keep])
+        cos = pc_.astype(np.float64) / np.sqrt(
+            pna.astype(np.float64) * nb.astype(np.float64))
+        return pa.table({
+            "doc_a": pa.array(da), "doc_b": pa.array(db),
+            "cosine_r": pa.array(_round_vec(cos)),
+        })
+
+    return (
+        read_documents(sf_dir, columns=("doc_id", "text"))
+        .map_batches(shingle_rows, batch_format="pyarrow", batch_size=2048)
+        .groupby("q")
+        .map_groups(term_partials, batch_format="pyarrow")
+        .groupby("q2")
+        .map_groups(attach_na, batch_format="pyarrow")
+        .groupby("q3")
+        .map_groups(gate, batch_format="pyarrow")
+    )

@@ -3207,3 +3207,64 @@ class TestHourlyGapFill:
         }).to_parquet(f"{tmp_path}/events.parquet", index=False)
         got = hourly_gap_fill(str(tmp_path)).to_pandas()
         assert len(got) == 0  # the oracle returns zero rows too
+
+
+class TestCosineShingleJoin:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.dedup import (
+            cosine_shingle_join,
+            word_shingle_array,
+        )
+
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        sets = {int(d): set(word_shingle_array(t or "").tolist())
+                for d, t in zip(docs["doc_id"], docs["text"])}
+        # df-cap the space exactly as the operator defines it
+        from collections import Counter
+        df = Counter(g for s in sets.values() for g in s)
+        sets = {d: {g for g in s if df[g] <= 64} for d, s in sets.items()}
+        ids = sorted(d for d, s in sets.items() if s)
+        ref = {}
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                c = len(sets[a] & sets[b])
+                if c and 4 * c * c >= len(sets[a]) * len(sets[b]):
+                    ref[(a, b)] = round(
+                        c / np.sqrt(float(len(sets[a]) * len(sets[b]))), 4)
+        got = cosine_shingle_join(SF).to_pandas()
+        m = {(int(a), int(b)): r for a, b, r in
+             zip(got["doc_a"], got["doc_b"], got["cosine_r"])}
+        assert set(m) == set(ref)
+        for k in ref:
+            assert abs(m[k] - ref[k]) < 1e-9
+
+    def test_exact_boundary_kept(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.dedup import cosine_shingle_join
+
+        pd.DataFrame({
+            # A and B: 2 shingles each, share exactly 1 → cosine exactly
+            # 0.5 (4·1 ≥ 2·2 holds with equality) — the ≥ gate keeps it
+            "doc_id": [1, 2],
+            "text": ["w1 w2 w3 w4", "w1 w2 w3 x4"],
+        }).to_parquet(f"{tmp_path}/documents.parquet", index=False)
+        got = cosine_shingle_join(str(tmp_path)).to_pandas()
+        assert got["doc_a"].tolist() == [1]
+        assert got["doc_b"].tolist() == [2]
+        assert got["cosine_r"].tolist() == [0.5]
+
+    def test_df_cap_excludes_hot_shingles(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.dedup import cosine_shingle_join
+
+        # every doc shares one hot shingle; with df_cap=1 the hot shingle
+        # leaves the space entirely, so NO pair can form
+        pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": ["hot one two", "hot one two", "hot one two"],
+        }).to_parquet(f"{tmp_path}/documents.parquet", index=False)
+        got = cosine_shingle_join(str(tmp_path), df_cap=1).to_pandas()
+        assert len(got) == 0
+        # and with the default cap the identical docs pair at cosine 1.0
+        got2 = cosine_shingle_join(str(tmp_path)).to_pandas()
+        assert len(got2) == 3  # all three pairs of identical docs
+        assert set(got2["cosine_r"]) == {1.0}
