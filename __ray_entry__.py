@@ -1552,8 +1552,11 @@ GROUP BY p_brand, p_size ORDER BY p_brand, p_size""",
         "hourly_gap_fill": """
 WITH b AS (
   SELECT event_type,
-         CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 3600000000.0)
-              AS BIGINT) * 3600000000 AS hour_us,
+         -- exact integer FLOOR to the hour (no double detour; the
+         -- double-mod handles negative epochs the way numpy // does)
+         CAST(epoch_us(ts) AS BIGINT)
+           - ((CAST(epoch_us(ts) AS BIGINT) % 3600000000) + 3600000000)
+             % 3600000000 AS hour_us,
          CAST(count(*) AS BIGINT) AS n
   FROM events WHERE event_type IS NOT NULL
   GROUP BY 1, 2),

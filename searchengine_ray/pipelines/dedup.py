@@ -254,6 +254,32 @@ def char_shingle_array(text: str, k: int = 3) -> np.ndarray:
     return np.unique(v)
 
 
+def _word_shingle_rows(batch: pa.Table) -> pa.Table:
+    """Shared per-batch word-3-gram exploder: one (q, doc_id, g) row per
+    distinct (doc, shingle) pair (``word_shingle_array`` already returns
+    each doc's shingles unique), q = shingle-hash % ``_DEDUP_PARTITIONS``.
+    The ONE copy of the map-side shape used by ``duplication_ratio`` and
+    ``cosine_shingle_join`` (``source_overlap`` keeps its own: string
+    source labels plus cross-batch (shingle, source) dedup)."""
+    ids_out, h_out = [], []
+    for did, text in zip(batch["doc_id"].to_pylist(),
+                         batch["text"].to_pylist()):
+        sh = word_shingle_array(text or "")
+        if sh.size:
+            ids_out.append(np.full(sh.size, did, dtype=np.int64))
+            h_out.append(sh)
+    if not ids_out:
+        z = pa.array([], type=pa.int64())
+        return pa.table({"q": z, "doc_id": z, "g": z})
+    ids = np.concatenate(ids_out)
+    hs = np.concatenate(h_out)
+    return pa.table({
+        "q": pa.array((hs % _DEDUP_PARTITIONS).astype(np.int64)),
+        "doc_id": pa.array(ids),
+        "g": pa.array(hs.view(np.int64)),
+    })
+
+
 def duplication_ratio(sf_dir: str):
     """Per-doc cross-corpus duplication signal — the fraction of a doc's
     DISTINCT word-3-gram shingles that also appear in at least one OTHER
@@ -272,27 +298,6 @@ def duplication_ratio(sf_dir: str):
     surface. No joins back to text, no driver materialization beyond the
     final per-doc rows (returned as a Dataset)."""
 
-    def explode(batch: pa.Table) -> pa.Table:
-        ids_out, h_out = [], []
-        for did, text in zip(
-            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-        ):
-            sh = word_shingle_array(text or "")
-            if sh.size:
-                ids_out.append(np.full(sh.size, did, dtype=np.int64))
-                h_out.append(sh)
-        if not ids_out:
-            z = pa.array([], type=pa.int64())
-            return pa.table({"q": z, "doc_id": z, "g": z})
-        ids = np.concatenate(ids_out)
-        hs = np.concatenate(h_out)
-        return pa.table(
-            {
-                "q": pa.array((hs % _DEDUP_PARTITIONS).astype(np.int64)),
-                "doc_id": pa.array(ids),
-                "g": pa.array(hs.view(np.int64)),
-            }
-        )
 
     def df_mark(group: pa.Table) -> pa.Table:
         """Shingle partition → (doc, n_sh, n_dup) partials. Shingles are
@@ -347,7 +352,7 @@ def duplication_ratio(sf_dir: str):
 
     partials = (
         read_documents(sf_dir)
-        .map_batches(explode, batch_format="pyarrow", batch_size=2048)
+        .map_batches(_word_shingle_rows, batch_format="pyarrow", batch_size=2048)
         .groupby("q")
         .map_groups(df_mark, batch_format="pyarrow")
     )
@@ -2122,7 +2127,9 @@ def edit_neighbors(sf_dir: str, key_len: int = _EDIT_KEY_LEN):
 # ---------------------------------------------------------------------------
 
 _COS_DF_CAP = 64  # shingles present in more docs leave the vector space
-_COS_TAU_NUM, _COS_TAU_DEN = 1, 4  # τ = 1/2 ⇒ gate 4·c² ≥ na·nb
+# the gate compares SQUARED cosine as an exact rational: cos ≥ τ ⟺
+# c² ≥ τ²·na·nb — these are τ²'s numerator/denominator (τ = 1/2 ⇒ 1/4)
+_COS_TAU2_NUM, _COS_TAU2_DEN = 1, 4
 
 
 def cosine_shingle_join(sf_dir: str, df_cap: int = _COS_DF_CAP):
@@ -2154,27 +2161,6 @@ def cosine_shingle_join(sf_dir: str, df_cap: int = _COS_DF_CAP):
     gate, emit. Survivor volume is the join's own output grain."""
     import pandas as pd
 
-    def shingle_rows(batch: pa.Table) -> pa.Table:
-        ids_out, h_out = [], []
-        for doc_id, text in zip(batch["doc_id"].to_pylist(),
-                                batch["text"].to_pylist()):
-            sh = word_shingle_array(text or "")
-            if sh.size:
-                ids_out.append(np.full(sh.size, doc_id, dtype=np.int64))
-                h_out.append(sh)
-        if not ids_out:
-            return pa.table({"q": pa.array([], type=pa.int64()),
-                             "g": pa.array([], type=pa.int64()),
-                             "doc": pa.array([], type=pa.int64())})
-        doc = np.concatenate(ids_out)
-        hs = np.concatenate(h_out).view(np.int64)
-        return pa.table({
-            "q": pa.array((hs.view(np.uint64) % _DEDUP_PARTITIONS)
-                          .astype(np.int64)),
-            "g": pa.array(hs),
-            "doc": pa.array(doc),
-        })
-
     def _stage_bc_empty() -> pa.Table:
         z = pa.array([], type=pa.int64())
         return pa.table({"q2": z, "side": z, "a": z, "b": z, "c": z,
@@ -2182,7 +2168,7 @@ def cosine_shingle_join(sf_dir: str, df_cap: int = _COS_DF_CAP):
 
     def term_partials(group: pa.Table) -> pa.Table:
         g = group["g"].to_numpy(zero_copy_only=False).astype(np.int64)
-        doc = group["doc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         if g.size == 0:
             return _stage_bc_empty()
         order = np.lexsort((doc, g))
@@ -2279,7 +2265,7 @@ def cosine_shingle_join(sf_dir: str, df_cap: int = _COS_DF_CAP):
         pos = np.minimum(np.searchsorted(ud, db), ud.size - 1)
         nb = np.where(ud[pos] == db, n_of[pos], 0)
         keep = ((pna > 0) & (nb > 0)
-                & (_COS_TAU_DEN * pc_ * pc_ >= _COS_TAU_NUM * pna * nb))
+                & (_COS_TAU2_DEN * pc_ * pc_ >= _COS_TAU2_NUM * pna * nb))
         if not keep.any():
             return empty
         da, db, pc_, pna, nb = (da[keep], db[keep], pc_[keep], pna[keep],
@@ -2293,7 +2279,8 @@ def cosine_shingle_join(sf_dir: str, df_cap: int = _COS_DF_CAP):
 
     return (
         read_documents(sf_dir, columns=("doc_id", "text"))
-        .map_batches(shingle_rows, batch_format="pyarrow", batch_size=2048)
+        .map_batches(_word_shingle_rows, batch_format="pyarrow",
+                     batch_size=2048)
         .groupby("q")
         .map_groups(term_partials, batch_format="pyarrow")
         .groupby("q2")

@@ -3224,13 +3224,17 @@ class TestCosineShingleJoin:
         from collections import Counter
         df = Counter(g for s in sets.values() for g in s)
         sets = {d: {g for g in s if df[g] <= 64} for d, s in sets.items()}
+        from searchengine_ray.pipelines.fulltext import round_half_away
+
         ids = sorted(d for d, s in sets.items() if s)
         ref = {}
         for i, a in enumerate(ids):
             for b in ids[i + 1:]:
                 c = len(sets[a] & sets[b])
                 if c and 4 * c * c >= len(sets[a]) * len(sets[b]):
-                    ref[(a, b)] = round(
+                    # half-away-from-zero, like the engine/oracle (Python
+                    # round() is banker's and differs on exact halves)
+                    ref[(a, b)] = round_half_away(
                         c / np.sqrt(float(len(sets[a]) * len(sets[b]))), 4)
         got = cosine_shingle_join(SF).to_pandas()
         m = {(int(a), int(b)): r for a, b, r in
