@@ -335,6 +335,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (partkey then suppkey), distinct pairs only on the wire
         # (oracle: join + NOT IN + count(DISTINCT); r4)
         "q16_supplier_variety": relational.q16_supplier_variety,
+        # TPC-H Q22 shape: GLOBAL scalar-subquery gate (corpus-wide avg
+        # positive balance, decorrelated to two broadcast ints and the
+        # integer gate ci·n > s) + no-orders anti-join (oracle: scalar
+        # CTE + NOT EXISTS; r4)
+        "q22_global_balance": relational.q22_global_balance,
         # calendar densification: hourly counts per type with explicit
         # zero rows for absent (type, hour) combos — the generate_series
         # scaffold surface (oracle: generate_series + LEFT JOIN +
@@ -1545,6 +1550,29 @@ FROM part JOIN lineitem ON p_partkey = l_partkey
 WHERE p_size IN (1, 9, 19, 29, 49) AND p_brand <> 'Brand#13'
   AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
 GROUP BY p_brand, p_size ORDER BY p_brand, p_size""",
+        # Q22 shape: the global average gate as the pure-integer form
+        # ci·n > s over HUGEINT sums (no division, no float boundary);
+        # the anti-join is NOT EXISTS over all orders; balances re-sum
+        # in exact cents and divide by 100 once at the end
+        "q22_global_balance": """
+WITH pos AS (
+  SELECT CAST(sum(CAST(round(c_acctbal * 100) AS HUGEINT)) AS HUGEINT) AS s,
+         CAST(count(*) AS HUGEINT) AS n
+  FROM customer WHERE round(c_acctbal * 100) > 0),
+ el AS (
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer, pos
+  WHERE CAST(round(c_acctbal * 100) AS HUGEINT) * pos.n > pos.s),
+ noord AS (
+  SELECT e.* FROM el e
+  WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = e.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01'))
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+       round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS total_bal_r
+FROM noord GROUP BY c_nationkey ORDER BY c_nationkey""",
         # calendar densification: the scaffold is generate_series over the
         # observed [min, max] hour range crossed with the observed type
         # vocabulary; COALESCEd bounds keep the series empty (start>stop)

@@ -3271,3 +3271,132 @@ def hourly_gap_fill(sf_dir: str):
         "hour_us": pa.array(grid_h),
         "n_events": pa.array(n),
     })
+
+
+# ---------------------------------------------------------------------------
+# Global scalar-subquery gate + anti-join (TPC-H Q22 shape)
+# ---------------------------------------------------------------------------
+
+
+Q22_CUTOFF_US = 946_684_800_000_000  # 2000-01-01 epoch-µs
+
+
+def q22_global_balance(sf_dir: str):
+    """(c_nationkey, n_cust, total_bal_r): per nation, how many customers
+    hold an above-average positive balance yet have placed NO order since
+    2000-01-01 (every customer in this corpus has SOME order, so the
+    classic never-ordered predicate would be vacuous; the dormancy cutoff
+    keeps Q22's anti-join live), and their combined balance — TPC-H
+    Q22's shape: a GLOBAL scalar subquery (the corpus-wide average) gates
+    a fact stream, then an EXISTS-free anti-join against another fact.
+    The scalar-broadcast surface no other entry has: the threshold is one
+    aggregate over everything, not a per-group value.
+
+    Exactness: with ci = round(100·c_acctbal) (2-dp contract), positive
+    balances sum to Python-int (s, n) via (hi, lo)-split partials, and
+    ``bal > avg`` is the pure-integer gate ``ci·n > s`` — no division, no
+    float boundary. The two ints broadcast by closure (they ARE the
+    decorrelated scalar subquery).
+
+    Scale shape: pass 1 streams customer once (≤1 partial row per batch,
+    no shuffle) to resolve (s, n); pass 2 co-partitions the gated
+    customers with per-batch-distinct order custkeys on custkey — the
+    anti-join resolves per partition via one searchsorted set-diff and
+    collapses to ≤ nations partial rows; the driver sums a tiny frame."""
+    import pandas as pd
+
+    def bal_partial(batch: pa.Table) -> pa.Table:
+        ci = np.rint(batch["c_acctbal"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        pos = ci[ci > 0]
+        return pa.table({
+            "n": pa.array([pos.size], type=pa.int64()),
+            "hi": pa.array([int(pos.sum()) >> 32], type=pa.int64()),
+            "lo": pa.array([int(pos.sum()) & 0xFFFFFFFF], type=pa.int64()),
+        })
+
+    parts = (
+        read_parquet_clean(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_acctbal"])
+        .map_batches(bal_partial, batch_format="pyarrow", batch_size=8192)
+        .to_pandas()
+    )
+    empty = pa.table({"c_nationkey": pa.array([], type=pa.int64()),
+                      "n_cust": pa.array([], type=pa.int64()),
+                      "total_bal_r": pa.array([], type=pa.float64())})
+    if parts.empty:
+        return empty
+    n_pos = int(parts["n"].sum())
+    s_pos = sum((int(h) << 32) + int(x)
+                for h, x in zip(parts["hi"], parts["lo"]))
+    if n_pos == 0:
+        return empty
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ci = np.rint(batch["c_acctbal"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        # the decorrelated global gate: bal > avg ⟺ ci·n > s (Python-int
+        # threshold via object dtype would be slow; ci·n fits int64 far
+        # past any real corpus — document: ci < 2²¹, so n may reach 2⁴²)
+        keep = ci * n_pos > s_pos
+        ck, nk, ci = ck[keep], nk[keep], ci[keep]
+        return pa.table({"q": pa.array(_hash_partition(ck)),
+                         "side": pa.array(np.zeros(ck.size, dtype=np.int64)),
+                         "k": pa.array(ck), "a": pa.array(nk),
+                         "b": pa.array(ci)})
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        od = (batch["o_orderdate"].cast(pa.timestamp("us"))
+              .cast(pa.int64()).to_numpy(zero_copy_only=False))
+        ck = np.unique(batch["o_custkey"].to_numpy(zero_copy_only=False)
+                       .astype(np.int64)[od >= Q22_CUTOFF_US])
+        z = np.zeros(ck.size, dtype=np.int64)
+        return pa.table({"q": pa.array(_hash_partition(ck)),
+                         "side": pa.array(np.ones(ck.size, dtype=np.int64)),
+                         "k": pa.array(ck), "a": pa.array(z),
+                         "b": pa.array(z)})
+
+    def anti(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy(zero_copy_only=False)
+        k = group["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c_m = side == 0
+        ck, nk = k[c_m], group["a"].to_numpy(zero_copy_only=False)[c_m]
+        ci = group["b"].to_numpy(zero_copy_only=False)[c_m]
+        ok = np.unique(k[~c_m])
+        if ck.size == 0:
+            return pa.table({"nk": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64()),
+                             "cents": pa.array([], type=pa.int64())})
+        if ok.size:
+            pos = np.minimum(np.searchsorted(ok, ck), ok.size - 1)
+            keep = ok[pos] != ck
+            ck, nk, ci = ck[keep], nk[keep], ci[keep]
+        g = (pd.DataFrame({"nk": nk, "n": 1, "cents": ci})
+             .groupby("nk", as_index=False).sum())
+        return pa.table({
+            "nk": pa.array(g["nk"].to_numpy(dtype=np.int64)),
+            "n": pa.array(g["n"].to_numpy(dtype=np.int64)),
+            "cents": pa.array(g["cents"].to_numpy(dtype=np.int64)),
+        })
+
+    cust = read_parquet_clean(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    ).map_batches(cust_side, batch_format="pyarrow", batch_size=8192)
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate"],
+    ).map_batches(orders_side, batch_format="pyarrow", batch_size=8192)
+    agg = (cust.union(orders).groupby("q")
+           .map_groups(anti, batch_format="pyarrow").to_pandas())
+    if agg.empty:
+        return empty
+    g = agg.groupby("nk", as_index=False).sum().sort_values("nk")
+    return pa.table({
+        "c_nationkey": pa.array(g["nk"].to_numpy(dtype=np.int64)),
+        "n_cust": pa.array(g["n"].to_numpy(dtype=np.int64)),
+        "total_bal_r": pa.array(_round_vec(
+            g["cents"].to_numpy(dtype=np.float64) / 100.0, 2)),
+    })

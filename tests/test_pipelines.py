@@ -3272,3 +3272,74 @@ class TestCosineShingleJoin:
         got2 = cosine_shingle_join(str(tmp_path)).to_pandas()
         assert len(got2) == 3  # all three pairs of identical docs
         assert set(got2["cosine_r"]) == {1.0}
+
+
+class TestQ22GlobalBalance:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            Q22_CUTOFF_US,
+            q22_global_balance,
+        )
+
+        cust = pq.read_table(
+            f"{SF}/customer.parquet",
+            columns=["c_custkey", "c_nationkey", "c_acctbal"]).to_pandas()
+        orders = pq.read_table(
+            f"{SF}/orders.parquet",
+            columns=["o_custkey", "o_orderdate"]).to_pandas()
+        ci = np.rint(cust["c_acctbal"] * 100).astype(np.int64)
+        pos = ci[ci > 0]
+        s, n = int(pos.sum()), len(pos)
+        el = cust[[int(c) * n > s for c in ci]].copy()
+        el["cents"] = ci[[int(c) * n > s for c in ci]]
+        od_us = orders["o_orderdate"].astype("datetime64[us]").astype(np.int64)
+        recent = set(orders.loc[od_us >= Q22_CUTOFF_US, "o_custkey"])
+        el = el[~el["c_custkey"].isin(recent)]
+        ref = el.groupby("c_nationkey").agg(
+            n_cust=("c_custkey", "size"), cents=("cents", "sum")).reset_index()
+        got = q22_global_balance(SF).to_pandas().sort_values("c_nationkey")
+        assert got["c_nationkey"].tolist() == sorted(ref["c_nationkey"])
+        ref = ref.sort_values("c_nationkey")
+        assert got["n_cust"].tolist() == ref["n_cust"].tolist()
+        from searchengine_ray.pipelines.fulltext import round_half_away
+        assert got["total_bal_r"].tolist() == [
+            round_half_away(float(c) / 100.0, 2) for c in ref["cents"]]
+
+    def test_planted_gate_and_anti_join(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import q22_global_balance
+
+        pd.DataFrame({
+            # avg positive balance = (100+200+300)/3 = 200 → only 300
+            # passes the STRICT > gate; customer 3 (300, dormant) counts,
+            # customer 4 (300, recent order) does not
+            "c_custkey": [1, 2, 3, 4],
+            "c_nationkey": [7, 7, 7, 7],
+            "c_acctbal": [100.0, 200.0, 300.0, 300.0],
+        }).to_parquet(f"{tmp_path}/customer.parquet", index=False)
+        pd.DataFrame({
+            "o_custkey": [3, 4],
+            "o_orderdate": [pd.Timestamp("1999-06-01"),   # pre-cutoff
+                            pd.Timestamp("2000-06-01")],  # recent
+        }).to_parquet(f"{tmp_path}/orders.parquet", index=False)
+        got = q22_global_balance(str(tmp_path)).to_pandas()
+        # avg = 225 over {100,200,300,300}? No: all four are positive →
+        # avg = 225; 300 > 225 passes for customers 3 and 4; only 3 is
+        # dormant
+        assert got["c_nationkey"].tolist() == [7]
+        assert got["n_cust"].tolist() == [1]
+        assert got["total_bal_r"].tolist() == [300.0]
+
+    def test_no_positive_balances_empty(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import q22_global_balance
+
+        pd.DataFrame({
+            "c_custkey": [1],
+            "c_nationkey": [0],
+            "c_acctbal": [-5.0],
+        }).to_parquet(f"{tmp_path}/customer.parquet", index=False)
+        pd.DataFrame({
+            "o_custkey": pd.Series([], dtype=np.int64),
+            "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+        }).to_parquet(f"{tmp_path}/orders.parquet", index=False)
+        got = q22_global_balance(str(tmp_path)).to_pandas()
+        assert len(got) == 0
