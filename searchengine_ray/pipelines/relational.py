@@ -3309,10 +3309,11 @@ def q22_global_balance(sf_dir: str):
         ci = np.rint(batch["c_acctbal"].to_numpy(zero_copy_only=False)
                      * 100.0).astype(np.int64)
         pos = ci[ci > 0]
+        t = int(pos.sum())
         return pa.table({
             "n": pa.array([pos.size], type=pa.int64()),
-            "hi": pa.array([int(pos.sum()) >> 32], type=pa.int64()),
-            "lo": pa.array([int(pos.sum()) & 0xFFFFFFFF], type=pa.int64()),
+            "hi": pa.array([t >> 32], type=pa.int64()),
+            "lo": pa.array([t & 0xFFFFFFFF], type=pa.int64()),
         })
 
     parts = (

@@ -3290,8 +3290,9 @@ class TestQ22GlobalBalance:
         ci = np.rint(cust["c_acctbal"] * 100).astype(np.int64)
         pos = ci[ci > 0]
         s, n = int(pos.sum()), len(pos)
-        el = cust[[int(c) * n > s for c in ci]].copy()
-        el["cents"] = ci[[int(c) * n > s for c in ci]]
+        mask = (ci.to_numpy(dtype=np.int64) * n) > s
+        el = cust[mask].copy()
+        el["cents"] = ci[mask]
         od_us = orders["o_orderdate"].astype("datetime64[us]").astype(np.int64)
         recent = set(orders.loc[od_us >= Q22_CUTOFF_US, "o_custkey"])
         el = el[~el["c_custkey"].isin(recent)]
@@ -3309,9 +3310,9 @@ class TestQ22GlobalBalance:
         from searchengine_ray.pipelines.relational import q22_global_balance
 
         pd.DataFrame({
-            # avg positive balance = (100+200+300)/3 = 200 → only 300
-            # passes the STRICT > gate; customer 3 (300, dormant) counts,
-            # customer 4 (300, recent order) does not
+            # all four balances are positive → avg = 225; only the two
+            # 300s pass the STRICT > gate; customer 3 (dormant) counts,
+            # customer 4 (recent order) does not
             "c_custkey": [1, 2, 3, 4],
             "c_nationkey": [7, 7, 7, 7],
             "c_acctbal": [100.0, 200.0, 300.0, 300.0],
@@ -3322,9 +3323,6 @@ class TestQ22GlobalBalance:
                             pd.Timestamp("2000-06-01")],  # recent
         }).to_parquet(f"{tmp_path}/orders.parquet", index=False)
         got = q22_global_balance(str(tmp_path)).to_pandas()
-        # avg = 225 over {100,200,300,300}? No: all four are positive →
-        # avg = 225; 300 > 225 passes for customers 3 and 4; only 3 is
-        # dormant
         assert got["c_nationkey"].tolist() == [7]
         assert got["n_cust"].tolist() == [1]
         assert got["total_bal_r"].tolist() == [300.0]
