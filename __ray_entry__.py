@@ -340,6 +340,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer gate ci·n > s) + no-orders anti-join (oracle: scalar
         # CTE + NOT EXISTS; r4)
         "q22_global_balance": relational.q22_global_balance,
+        # interpolated quantiles (quantile_cont): two counting-selected
+        # order statistics + DuckDB's exact lo·(1−f)+hi·f interpolation,
+        # no sort (oracle: quantile_cont; r4)
+        "interp_quantiles": relational.interp_quantiles,
         # calendar densification: hourly counts per type with explicit
         # zero rows for absent (type, hour) combos — the generate_series
         # scaffold surface (oracle: generate_series + LEFT JOIN +
@@ -1573,6 +1577,16 @@ WITH pos AS (
 SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
        round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS total_bal_r
 FROM noord GROUP BY c_nationkey ORDER BY c_nationkey""",
+        # interpolated quantiles: quantile_cont evaluates the identical
+        # lo·(1−f)+hi·f double expression the engine mirrors; rounded 4-dp
+        "interp_quantiles": """
+SELECT q, round(value_r, 4) AS value_r FROM (
+  SELECT 0.25 AS q, quantile_cont(value, 0.25) AS value_r FROM events
+  UNION ALL
+  SELECT 0.5, quantile_cont(value, 0.5) FROM events
+  UNION ALL
+  SELECT 0.9, quantile_cont(value, 0.9) FROM events
+) ORDER BY q""",
         # calendar densification: the scaffold is generate_series over the
         # observed [min, max] hour range crossed with the observed type
         # vocabulary; COALESCEd bounds keep the series empty (start>stop)

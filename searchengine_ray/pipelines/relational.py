@@ -521,33 +521,24 @@ def broadcast_join_orders(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
-def exact_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99),
-                    column: str = "value", n_buckets: int = 8192,
-                    max_pull: int = 262_144):
-    """(q, value) EXACT discrete quantiles of ``events.column`` — the
-    element at rank ceil(n·q) (DuckDB ``quantile_disc`` convention).
+def _counting_selector(ds, column: str, n_buckets: int, max_pull: int):
+    """The distributed selection-by-counting kernel shared by
+    ``exact_quantiles`` (rank = ceil(n·q), quantile_disc) and
+    ``interp_quantiles`` (two ranks + interpolation, quantile_cont):
+    returns (n, lo, hi, select) where ``select(k)`` is the EXACT k-th
+    smallest value (1-based) of ``ds[column]``.
 
-    Distributed selection by counting, not sorting: a global sort of the
-    column is an all-to-all shuffle of every row, but the k-th order
-    statistic only needs (1) one pass for (n, min, max), (2) one histogram
-    pass (fixed buckets over [min, max], counts summed driver-side —
-    n_buckets ints per task), (3) a filtered pull of ONLY the buckets that
-    straddle a target rank (expected n/n_buckets rows each), finished with
-    an exact in-memory selection. A pathological value distribution that
-    overfills a target bucket (> max_pull rows) recurses one level with a
-    re-histogram of just that bucket's range. Ties handled exactly —
-    selection is by rank, not by value uniqueness.
-
-    The pruned value column is materialized once and shared by every pass
-    (object-store-resident, spillable). When the single column is itself
-    too hot for the store, drop the ``materialize()`` — each pass then
-    re-reads just that column from parquet, trading ~3 pruned scans for
-    zero store residency; the algorithm is unchanged."""
-    import ray.data as rd
-
-    ds = read_parquet_clean(
-        os.path.join(sf_dir, "events.parquet"), columns=[column]
-    ).materialize()
+    A global sort of the column is an all-to-all shuffle of every row,
+    but a k-th order statistic only needs (1) one pass for (n, min, max),
+    (2) one histogram pass (fixed buckets over [min, max], counts summed
+    driver-side — n_buckets ints per task), (3) a filtered pull of ONLY
+    the bucket straddling the target rank (expected n/n_buckets rows),
+    finished with an exact in-memory selection. A pathological value
+    distribution that overfills a target bucket (> max_pull rows)
+    recurses one level with a re-histogram of just that bucket's range.
+    Ties handled exactly — selection is by rank, not value uniqueness.
+    The histogram memo is shared across every select() call on the same
+    selector, so k quantiles cost ONE histogram pass, not k."""
 
     def stats(batch: pa.Table) -> pa.Table:
         v = batch[column].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -562,13 +553,10 @@ def exact_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99),
     st = ds.map_batches(stats, batch_format="pyarrow").to_pandas()
     n = int(st["n"].sum())
     if n == 0:
-        return pa.table({"q": pa.array([], type=pa.float64()),
-                         "value": pa.array([], type=pa.float64())})
+        return 0, 0.0, 0.0, None
     lo, hi = float(st["lo"].min()), float(st["hi"].max())
-    if lo == hi:  # constant column: every quantile is that value
-        return pa.table({"q": pa.array(sorted(float(q) for q in qs), type=pa.float64()),
-                         "value": pa.array([lo] * len(qs), type=pa.float64())})
-    ranks = {q: max(int(np.ceil(n * q)), 1) for q in qs}
+    if lo == hi:  # constant column: every rank is that value
+        return n, lo, hi, (lambda k: lo)
 
     hist_memo: dict[tuple, tuple] = {}
 
@@ -624,9 +612,68 @@ def exact_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99),
         vals.sort()
         return float(vals[k - b_below - 1])
 
-    rows = [(float(q), _select(ranks[q], lo, hi, 0)) for q in sorted(qs)]
+    return n, lo, hi, (lambda k: _select(k, lo, hi, 0))
+
+
+def exact_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                    column: str = "value", n_buckets: int = 8192,
+                    max_pull: int = 262_144):
+    """(q, value) EXACT discrete quantiles of ``events.column`` — the
+    element at rank ceil(n·q) (DuckDB ``quantile_disc`` convention),
+    through the shared :func:`_counting_selector` kernel (no sort, one
+    histogram pass for all quantiles).
+
+    The pruned value column is materialized once and shared by every pass
+    (object-store-resident, spillable). When the single column is itself
+    too hot for the store, drop the ``materialize()`` — each pass then
+    re-reads just that column from parquet, trading ~3 pruned scans for
+    zero store residency; the algorithm is unchanged."""
+    ds = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"), columns=[column]
+    ).materialize()
+    n, _lo, _hi, select = _counting_selector(ds, column, n_buckets, max_pull)
+    if n == 0:
+        return pa.table({"q": pa.array([], type=pa.float64()),
+                         "value": pa.array([], type=pa.float64())})
+    rows = [(float(q), select(max(int(np.ceil(n * q)), 1)))
+            for q in sorted(qs)]
     return pa.table({"q": pa.array([r[0] for r in rows], type=pa.float64()),
                      "value": pa.array([r[1] for r in rows], type=pa.float64())})
+
+
+def interp_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.25, 0.5, 0.9),
+                     column: str = "value", n_buckets: int = 8192,
+                     max_pull: int = 262_144):
+    """(q, value_r) INTERPOLATED quantiles — DuckDB ``quantile_cont``:
+    h = q·(n−1) (0-indexed), result = v⌊h⌋·(1−frac) + v⌈h⌉·frac, the
+    exact FP formula DuckDB evaluates (verified against quantile_cont —
+    the algebraically-equal ``lo + (hi−lo)·frac`` form differs in the
+    last ulp and would hash-mismatch). The continuous complement of
+    ``exact_quantiles``: same :func:`_counting_selector` kernel, TWO
+    order statistics per target (consecutive ranks — the shared histogram
+    memo makes the second nearly free), one interpolation on the driver;
+    still no sort anywhere."""
+    ds = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"), columns=[column]
+    ).materialize()
+    n, _lo, _hi, select = _counting_selector(ds, column, n_buckets, max_pull)
+    if n == 0:
+        return pa.table({"q": pa.array([], type=pa.float64()),
+                         "value_r": pa.array([], type=pa.float64())})
+    rows = []
+    for q in sorted(float(q) for q in qs):
+        h = q * (n - 1)
+        f = int(np.floor(h))
+        frac = h - f
+        v_lo = select(f + 1)
+        v = v_lo if frac == 0.0 else (v_lo * (1.0 - frac)
+                                      + select(f + 2) * frac)
+        rows.append((q, v))
+    return pa.table({
+        "q": pa.array([r[0] for r in rows], type=pa.float64()),
+        "value_r": pa.array(_round_vec(
+            np.asarray([r[1] for r in rows], dtype=np.float64))),
+    })
 
 
 def group_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99),

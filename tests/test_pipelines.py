@@ -3341,3 +3341,42 @@ class TestQ22GlobalBalance:
         }).to_parquet(f"{tmp_path}/orders.parquet", index=False)
         got = q22_global_balance(str(tmp_path)).to_pandas()
         assert len(got) == 0
+
+
+class TestInterpQuantiles:
+    def test_matches_numpy_linear(self, ray_session):
+        from searchengine_ray.pipelines.relational import interp_quantiles
+
+        v = pq.read_table(f"{SF}/events.parquet",
+                          columns=["value"]).to_pandas()["value"]
+        v = np.sort(v.dropna().to_numpy(dtype=np.float64))
+        got = interp_quantiles(SF).to_pandas()
+        from searchengine_ray.pipelines.fulltext import round_half_away
+        for q, val in zip(got["q"], got["value_r"]):
+            h = q * (len(v) - 1)
+            f = int(np.floor(h))
+            frac = h - f
+            ref = (v[f] if frac == 0.0
+                   else v[f] * (1.0 - frac) + v[f + 1] * frac)
+            assert val == round_half_away(float(ref), 4)
+
+    def test_planted_midpoint(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import interp_quantiles
+
+        pd.DataFrame({
+            # n=4 values: q=0.5 → h=1.5 → midpoint of 20 and 30 = 25
+            # (quantile_disc would answer 20 or 30, never 25)
+            "value": [10.0, 20.0, 30.0, 40.0],
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = interp_quantiles(str(tmp_path), qs=(0.5,)).to_pandas()
+        assert got["value_r"].tolist() == [25.0]
+
+    def test_exact_rank_no_interpolation(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import interp_quantiles
+
+        pd.DataFrame({
+            # n=5, q=0.25 → h=1.0 exactly → the rank-2 element, untouched
+            "value": [1.0, 2.0, 3.0, 4.0, 5.0],
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = interp_quantiles(str(tmp_path), qs=(0.25,)).to_pandas()
+        assert got["value_r"].tolist() == [2.0]
