@@ -559,6 +559,7 @@ def _counting_selector(ds, column: str, n_buckets: int, max_pull: int):
         return n, lo, hi, (lambda k: lo)
 
     hist_memo: dict[tuple, tuple] = {}
+    pull_memo: dict[tuple, np.ndarray] = {}
 
     def _histogram(lo_: float, hi_: float, closed_hi: bool):
         """One counting pass: per-batch histogram over [lo_, hi_) — the
@@ -586,13 +587,21 @@ def _counting_selector(ds, column: str, n_buckets: int, max_pull: int):
         return edges, counts
 
     def _pull(lo_: float, hi_: float, closed_hi: bool) -> np.ndarray:
+        # memoized like the histograms: consecutive ranks (the
+        # quantile_cont pattern) almost always straddle the SAME bucket,
+        # so the second order statistic reuses the first one's sorted pull
+        key = (lo_, hi_, closed_hi)
+        if key in pull_memo:
+            return pull_memo[key]
+
         def sel(batch: pa.Table) -> pa.Table:
             v = batch[column].to_numpy(zero_copy_only=False).astype(np.float64)
             m = ~np.isnan(v) & (v >= lo_) & ((v <= hi_) if closed_hi else (v < hi_))
             return pa.table({column: pa.array(v[m])})
 
         out = ds.map_batches(sel, batch_format="pyarrow").to_pandas()
-        return out[column].to_numpy()
+        pull_memo[key] = out[column].to_numpy()
+        return pull_memo[key]
 
     def _select(k: int, lo_: float, hi_: float, below: int, depth: int = 0) -> float:
         """Exact k-th smallest (1-based, global) within [lo_, hi_], where
@@ -615,26 +624,41 @@ def _counting_selector(ds, column: str, n_buckets: int, max_pull: int):
     return n, lo, hi, (lambda k: _select(k, lo, hi, 0))
 
 
+def _events_value_selector(sf_dir: str, column: str, n_buckets: int,
+                           max_pull: int):
+    """Shared load for the global quantile entries: the pruned value
+    column materializes once (object-store-resident, spillable) and every
+    selection pass reads it. When the single column is itself too hot for
+    the store, drop the ``materialize()`` — each pass then re-reads just
+    that column from parquet, trading ~3 pruned scans for zero store
+    residency; the algorithm is unchanged."""
+    ds = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"), columns=[column]
+    ).materialize()
+    return _counting_selector(ds, column, n_buckets, max_pull)
+
+
+def _null_quantile_rows(qs, value_col: str) -> pa.Table:
+    """Empty/all-NULL input: SQL's quantile_* over no non-NULL rows is
+    NULL, not an absent row — emit one (q, NULL) row per target so the
+    engine matches the oracle's UNION-of-scalars shape."""
+    srt = sorted(float(q) for q in qs)
+    return pa.table({"q": pa.array(srt, type=pa.float64()),
+                     value_col: pa.array([None] * len(srt),
+                                         type=pa.float64())})
+
+
 def exact_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99),
                     column: str = "value", n_buckets: int = 8192,
                     max_pull: int = 262_144):
     """(q, value) EXACT discrete quantiles of ``events.column`` — the
     element at rank ceil(n·q) (DuckDB ``quantile_disc`` convention),
     through the shared :func:`_counting_selector` kernel (no sort, one
-    histogram pass for all quantiles).
-
-    The pruned value column is materialized once and shared by every pass
-    (object-store-resident, spillable). When the single column is itself
-    too hot for the store, drop the ``materialize()`` — each pass then
-    re-reads just that column from parquet, trading ~3 pruned scans for
-    zero store residency; the algorithm is unchanged."""
-    ds = read_parquet_clean(
-        os.path.join(sf_dir, "events.parquet"), columns=[column]
-    ).materialize()
-    n, _lo, _hi, select = _counting_selector(ds, column, n_buckets, max_pull)
+    histogram pass for all quantiles)."""
+    n, _lo, _hi, select = _events_value_selector(sf_dir, column, n_buckets,
+                                                 max_pull)
     if n == 0:
-        return pa.table({"q": pa.array([], type=pa.float64()),
-                         "value": pa.array([], type=pa.float64())})
+        return _null_quantile_rows(qs, "value")
     rows = [(float(q), select(max(int(np.ceil(n * q)), 1)))
             for q in sorted(qs)]
     return pa.table({"q": pa.array([r[0] for r in rows], type=pa.float64()),
@@ -650,16 +674,13 @@ def interp_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.25, 0.5, 0.9),
     the algebraically-equal ``lo + (hi−lo)·frac`` form differs in the
     last ulp and would hash-mismatch). The continuous complement of
     ``exact_quantiles``: same :func:`_counting_selector` kernel, TWO
-    order statistics per target (consecutive ranks — the shared histogram
-    memo makes the second nearly free), one interpolation on the driver;
-    still no sort anywhere."""
-    ds = read_parquet_clean(
-        os.path.join(sf_dir, "events.parquet"), columns=[column]
-    ).materialize()
-    n, _lo, _hi, select = _counting_selector(ds, column, n_buckets, max_pull)
+    order statistics per target (consecutive ranks land in the same
+    bucket, so the memoized histogram AND pull make the second nearly
+    free), one interpolation on the driver; still no sort anywhere."""
+    n, _lo, _hi, select = _events_value_selector(sf_dir, column, n_buckets,
+                                                 max_pull)
     if n == 0:
-        return pa.table({"q": pa.array([], type=pa.float64()),
-                         "value_r": pa.array([], type=pa.float64())})
+        return _null_quantile_rows(qs, "value_r")
     rows = []
     for q in sorted(float(q) for q in qs):
         h = q * (n - 1)

@@ -3380,3 +3380,22 @@ class TestInterpQuantiles:
         }).to_parquet(f"{tmp_path}/events.parquet", index=False)
         got = interp_quantiles(str(tmp_path), qs=(0.25,)).to_pandas()
         assert got["value_r"].tolist() == [2.0]
+
+
+    def test_all_null_returns_null_rows(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import (
+            exact_quantiles,
+            interp_quantiles,
+        )
+
+        pd.DataFrame({
+            "value": pd.Series([None, None], dtype=np.float64),
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        # SQL's quantile_* over no non-NULL rows is NULL per target, not
+        # an absent row — the engine mirrors the UNION-of-scalars shape
+        gi = interp_quantiles(str(tmp_path), qs=(0.5, 0.9)).to_pandas()
+        assert gi["q"].tolist() == [0.5, 0.9]
+        assert gi["value_r"].isna().all()
+        ge = exact_quantiles(str(tmp_path), qs=(0.5,)).to_pandas()
+        assert ge["q"].tolist() == [0.5]
+        assert ge["value"].isna().all()
