@@ -344,6 +344,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # order statistics + DuckDB's exact lo·(1−f)+hi·f interpolation,
         # no sort (oracle: quantile_cont; r4)
         "interp_quantiles": relational.interp_quantiles,
+        # Efraimidis–Spirakis weighted sample WITHOUT replacement:
+        # key = ln((md5_13+1)/2^52)/n_chars, distributive top-k — the
+        # without-replacement complement of pps_sample (oracle: same key
+        # expression + row_number; r4)
+        "weighted_sample": traindata.weighted_sample,
         # calendar densification: hourly counts per type with explicit
         # zero rows for absent (type, hour) combos — the generate_series
         # scaffold surface (oracle: generate_series + LEFT JOIN +
@@ -1587,6 +1592,29 @@ SELECT q, round(value_r, 4) AS value_r FROM (
   UNION ALL
   SELECT 0.9, quantile_cont(value, 0.9) FROM events
 ) ORDER BY q""",
+        # Efraimidis–Spirakis keys: h13 parses nibble-by-nibble (the
+        # hll_registers technique); (h13+1)/2^52 is FP-EXACT so ln() runs
+        # on identical doubles in both engines; top-64 by (key DESC, id)
+        "weighted_sample": """
+WITH h AS (
+  SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents WHERE n_chars > 0),
+ p AS (
+  SELECT doc_id, n_chars,
+         CAST(sum((strpos('0123456789abcdef',
+                          substr(hx, CAST(1 + t.i AS INT), 1)) - 1)
+                  * (CAST(1 AS BIGINT) << CAST(4 * (12 - t.i) AS INT)))
+              AS BIGINT) AS h13
+  FROM h, LATERAL unnest(range(0, 13)) AS t(i)
+  GROUP BY doc_id, n_chars, hx),
+ kq AS (
+  SELECT doc_id, n_chars,
+         ln((h13 + 1) / 4503599627370496.0) / n_chars AS key
+  FROM p)
+SELECT CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS BIGINT)
+         AS sample_rank,
+       doc_id, n_chars
+FROM kq ORDER BY key DESC, doc_id LIMIT 64""",
         # calendar densification: the scaffold is generate_series over the
         # observed [min, max] hour range crossed with the observed type
         # vocabulary; COALESCEd bounds keep the series empty (start>stop)

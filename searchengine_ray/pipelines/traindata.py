@@ -987,3 +987,69 @@ def corpus_mix(sf_dir: str, ds=None):
         })
 
     return keyed_ds.groupby("q").map_groups(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling WITHOUT replacement (Efraimidis–Spirakis)
+# ---------------------------------------------------------------------------
+
+WS_K = 64
+_WS_SCALE = float(1 << 52)  # 16^13 = 2^52 — division by it is FP-EXACT
+
+
+def weighted_sample(sf_dir: str, k: int = WS_K):
+    """(sample_rank, doc_id, n_chars): a deterministic k-document sample
+    drawn WITHOUT replacement with probability proportional to weight
+    (n_chars) — the Efraimidis–Spirakis A-ES scheme (2006): each doc gets
+    key = ln(u)/w for a uniform u, and the k LARGEST keys are exactly a
+    weighted sample without replacement. Complements ``pps_sample``
+    (systematic, WITH replacement): curation wants both draws.
+
+    Determinism contract: u = (h13 + 1) / 2⁵², where h13 is the first 13
+    hex digits of md5(doc_id) — ``_md5_keys``' derivation, so the sample
+    is key-stable across re-runs and machines; h13 + 1 keeps u in (0, 1]
+    (ln(0) can never occur) and the 2⁵² divisor makes u EXACT in float64
+    (power-of-two division), so engine and SQL compute ln on identical
+    doubles. Zero/negative weights are unsampleable and drop on both
+    sides.
+
+    Scale shape: top-k by key is distributive — each batch keeps only ITS
+    k best by (key DESC, doc_id ASC) and the driver merges ≤ batches × k
+    rows; no shuffle, no sort of the corpus."""
+    import pandas as pd
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = w > 0
+        ids, w = ids[m], w[m]
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "n_chars": pa.array([], type=pa.int64()),
+                          "key": pa.array([], type=pa.float64())})
+        if ids.size == 0:
+            return empty
+        hexes, _ = _md5_keys(ids)
+        h13 = np.fromiter((int(h[:13], 16) for h in hexes),
+                          dtype=np.int64, count=len(hexes))
+        key = np.log((h13 + 1) / _WS_SCALE) / w
+        order = np.lexsort((ids, -key))[:k]
+        return pa.table({"doc_id": pa.array(ids[order]),
+                         "n_chars": pa.array(w[order]),
+                         "key": pa.array(key[order])})
+
+    parts = (
+        read_documents(sf_dir, columns=("doc_id", "n_chars"))
+        .map_batches(local_topk, batch_format="pyarrow", batch_size=8192)
+        .to_pandas()
+    )
+    if parts.empty:
+        return pa.table({"sample_rank": pa.array([], type=pa.int64()),
+                         "doc_id": pa.array([], type=pa.int64()),
+                         "n_chars": pa.array([], type=pa.int64())})
+    top = (parts.sort_values(["key", "doc_id"], ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    return pa.table({
+        "sample_rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
+        "doc_id": pa.array(top["doc_id"].to_numpy(dtype=np.int64)),
+        "n_chars": pa.array(top["n_chars"].to_numpy(dtype=np.int64)),
+    })

@@ -3399,3 +3399,54 @@ class TestInterpQuantiles:
         ge = exact_quantiles(str(tmp_path), qs=(0.5,)).to_pandas()
         assert ge["q"].tolist() == [0.5]
         assert ge["value"].isna().all()
+
+
+class TestWeightedSample:
+    @staticmethod
+    def _ref_keys(ids, w):
+        import hashlib
+        h13 = np.array([int(hashlib.md5(b"%d" % i).hexdigest()[:13], 16)
+                        for i in ids], dtype=np.int64)
+        return np.log((h13 + 1) / float(1 << 52)) / w
+
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.traindata import weighted_sample
+
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "n_chars"]).to_pandas()
+        docs = docs[docs["n_chars"] > 0]
+        key = self._ref_keys(docs["doc_id"].to_numpy(dtype=np.int64),
+                             docs["n_chars"].to_numpy(dtype=np.int64))
+        docs = docs.assign(key=key).sort_values(
+            ["key", "doc_id"], ascending=[False, True]).head(64)
+        got = weighted_sample(SF).to_pandas()
+        assert got["doc_id"].tolist() == docs["doc_id"].tolist()
+        assert got["n_chars"].tolist() == docs["n_chars"].tolist()
+        assert got["sample_rank"].tolist() == list(range(1, 65))
+
+    def test_zero_weight_never_sampled_and_deterministic(
+            self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.traindata import weighted_sample
+
+        pd.DataFrame({
+            "doc_id": range(100),
+            "n_chars": [0] * 50 + [10] * 50,  # half unsampleable
+        }).to_parquet(f"{tmp_path}/documents.parquet", index=False)
+        a = weighted_sample(str(tmp_path), k=10).to_pandas()
+        b = weighted_sample(str(tmp_path), k=10).to_pandas()
+        assert (a["doc_id"] >= 50).all()  # zero-weight docs never drawn
+        assert a["doc_id"].tolist() == b["doc_id"].tolist()  # key-stable
+
+    def test_heavy_weight_dominates(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.traindata import weighted_sample
+
+        ids = np.arange(1000, dtype=np.int64)
+        w = np.ones(1000, dtype=np.int64)
+        w[777] = 1_000_000_000  # key = ln(u)/1e9 ≈ 0⁻ beats every w=1 key
+        # confirm via the exact formula (no probabilistic assumption)
+        key = self._ref_keys(ids, w)
+        assert np.argmax(key) == 777
+        pd.DataFrame({"doc_id": ids, "n_chars": w}).to_parquet(
+            f"{tmp_path}/documents.parquet", index=False)
+        got = weighted_sample(str(tmp_path), k=5).to_pandas()
+        assert got.loc[got["sample_rank"] == 1, "doc_id"].tolist() == [777]
