@@ -321,14 +321,18 @@ _SHUF_BUCKETS = 1 << 16  # first 16 bits of md5 → histogram grain
 _SHUF_PARTITIONS = 256  # fixed shuffle partitions (many buckets per task)
 
 
-def _md5_keys(ids: np.ndarray):
-    """(hex_keys, buckets) for int64 doc ids — the deterministic shuffle
-    key contract (u = md5(b"%d" % doc_id) hex, bucket = first 4 hex
-    digits). The ONE place the derivation lives: ``shuffle_rank`` and
-    ``corpus_mix`` both build their key-stable orders from it, so the two
-    can never drift apart."""
+def _md5_hexes(ids: np.ndarray) -> list:
+    """md5(b"%d" % doc_id) hex digests — the ONE derivation of the
+    deterministic per-doc key (``shuffle_rank``, ``corpus_mix`` and
+    ``weighted_sample`` all build on it, so they can never drift)."""
     md5 = hashlib.md5
-    u = [md5(b"%d" % i).hexdigest() for i in ids.tolist()]
+    return [md5(b"%d" % i).hexdigest() for i in ids.tolist()]
+
+
+def _md5_keys(ids: np.ndarray):
+    """(hex_keys, buckets): the shuffle-key contract — hex digest plus
+    bucket = first 4 hex digits, for the histogram-rank pattern."""
+    u = _md5_hexes(ids)
     b = np.fromiter((int(h[:4], 16) for h in u), dtype=np.int64, count=len(u))
     return u, b
 
@@ -1016,19 +1020,17 @@ def weighted_sample(sf_dir: str, k: int = WS_K):
     Scale shape: top-k by key is distributive — each batch keeps only ITS
     k best by (key DESC, doc_id ASC) and the driver merges ≤ batches × k
     rows; no shuffle, no sort of the corpus."""
-    import pandas as pd
 
     def local_topk(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         w = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
         m = w > 0
         ids, w = ids[m], w[m]
-        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
-                          "n_chars": pa.array([], type=pa.int64()),
-                          "key": pa.array([], type=pa.float64())})
         if ids.size == 0:
-            return empty
-        hexes, _ = _md5_keys(ids)
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "n_chars": pa.array([], type=pa.int64()),
+                             "key": pa.array([], type=pa.float64())})
+        hexes = _md5_hexes(ids)
         h13 = np.fromiter((int(h[:13], 16) for h in hexes),
                           dtype=np.int64, count=len(hexes))
         key = np.log((h13 + 1) / _WS_SCALE) / w
