@@ -349,6 +349,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # without-replacement complement of pps_sample (oracle: same key
         # expression + row_number; r4)
         "weighted_sample": traindata.weighted_sample,
+        # per-dimension feature-scaler stats over the embedding corpus:
+        # three dim-length partial vectors per batch, no shuffle (oracle:
+        # unnest + generate_subscripts + avg/stddev_pop; r4)
+        "embedding_dim_stats": similarity.embedding_dim_stats,
         # calendar densification: hourly counts per type with explicit
         # zero rows for absent (type, hour) combos — the generate_series
         # scaffold surface (oracle: generate_series + LEFT JOIN +
@@ -1615,6 +1619,17 @@ SELECT CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS BIGINT)
          AS sample_rank,
        doc_id, n_chars
 FROM kq ORDER BY key DESC, doc_id LIMIT 64""",
+        # per-dimension scaler stats: parallel unnest + generate_subscripts
+        # zip element and 1-based position; 4-dp rounding absorbs the
+        # partial-order drift of float sums (the knn/lm_score contract)
+        "embedding_dim_stats": """
+SELECT CAST(gs AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(CAST(e AS DOUBLE)), 4) AS mean_r,
+       round(stddev_pop(CAST(e AS DOUBLE)), 4) AS std_r
+FROM (SELECT unnest(embedding) AS e,
+             generate_subscripts(embedding, 1) AS gs
+      FROM embeddings)
+GROUP BY gs ORDER BY dim""",
         # calendar densification: the scaffold is generate_series over the
         # observed [min, max] hour range crossed with the observed type
         # vocabulary; COALESCEd bounds keep the series empty (start>stop)

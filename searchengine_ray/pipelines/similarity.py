@@ -960,3 +960,57 @@ def semantic_dedup(sf_dir: str, threshold: float = 0.95, plant: bool = True):
     members = labels.map_batches(member_side, batch_format="pyarrow")
     return ids_ds.union(members).groupby("q").map_groups(
         assign, batch_format="pyarrow")
+
+
+def embedding_dim_stats(sf_dir: str):
+    """(dim, n_vecs, mean_r, std_r): per-DIMENSION mean and population
+    stddev across the whole embedding corpus — the feature-scaler /
+    normalization-statistics pass every embedding pipeline computes before
+    whitening, quantization-range selection, or drift monitoring. The
+    per-dimension (columnar-over-a-list-column) aggregate surface no other
+    entry exercises.
+
+    Scale shape: each batch reduces its (rows, dim) float64 matrix to THREE
+    dim-length vectors (n, Σx, Σx²) — one partial row per batch regardless
+    of corpus size, no shuffle; the driver combines ≤ batches partials and
+    finishes mean/std with one vectorized expression. Float sums commute
+    only approximately; the 4-dp rounding contract absorbs partial-order
+    drift exactly as the corpus-sum entries (knn, lm_score) already do."""
+    from searchengine_ray.pipelines.fulltext import _round_vec
+
+    def partials(batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch["embedding"])
+        if m.size == 0:
+            return pa.table({"n": pa.array([], type=pa.int64()),
+                             "s1": pa.array([], type=pa.float64()),
+                             "s2": pa.array([], type=pa.float64()),
+                             "dim": pa.array([], type=pa.int64())})
+        return pa.table({
+            "n": pa.array(np.full(m.shape[1], m.shape[0], dtype=np.int64)),
+            "s1": pa.array(m.sum(axis=0)),
+            "s2": pa.array((m * m).sum(axis=0)),
+            "dim": pa.array(np.arange(1, m.shape[1] + 1, dtype=np.int64)),
+        })
+
+    parts = (
+        read_embeddings(sf_dir)
+        .map_batches(partials, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()
+    )
+    if parts.empty:
+        return pa.table({"dim": pa.array([], type=pa.int64()),
+                         "n_vecs": pa.array([], type=pa.int64()),
+                         "mean_r": pa.array([], type=pa.float64()),
+                         "std_r": pa.array([], type=pa.float64())})
+    g = parts.groupby("dim", as_index=False).sum().sort_values("dim")
+    n = g["n"].to_numpy(dtype=np.float64)
+    s1 = g["s1"].to_numpy(dtype=np.float64)
+    s2 = g["s2"].to_numpy(dtype=np.float64)
+    mean = s1 / n
+    var = np.maximum(s2 / n - mean * mean, 0.0)
+    return pa.table({
+        "dim": pa.array(g["dim"].to_numpy(dtype=np.int64)),
+        "n_vecs": pa.array(g["n"].to_numpy(dtype=np.int64)),
+        "mean_r": pa.array(_round_vec(mean)),
+        "std_r": pa.array(_round_vec(np.sqrt(var))),
+    })

@@ -3450,3 +3450,32 @@ class TestWeightedSample:
             f"{tmp_path}/documents.parquet", index=False)
         got = weighted_sample(str(tmp_path), k=5).to_pandas()
         assert got.loc[got["sample_rank"] == 1, "doc_id"].tolist() == [777]
+
+
+class TestEmbeddingDimStats:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.similarity import embedding_dim_stats
+
+        emb = pq.read_table(f"{SF}/embeddings.parquet",
+                            columns=["embedding"])["embedding"]
+        m = np.array(emb.to_pylist(), dtype=np.float64)
+        got = embedding_dim_stats(SF).to_pandas()
+        assert got["dim"].tolist() == list(range(1, m.shape[1] + 1))
+        assert (got["n_vecs"] == m.shape[0]).all()
+        assert np.allclose(got["mean_r"], np.round(m.mean(axis=0), 4),
+                           atol=1e-4)
+        assert np.allclose(got["std_r"], np.round(m.std(axis=0), 4),
+                           atol=1e-4)
+
+    def test_planted_constant_dim(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.similarity import embedding_dim_stats
+
+        pd.DataFrame({
+            "vec_id": [1, 2, 3, 4],
+            # dim 1 constant (std 0); dim 2 = ±1 (mean 0, std 1)
+            "embedding": [[5.0, 1.0], [5.0, -1.0], [5.0, 1.0], [5.0, -1.0]],
+        }).to_parquet(f"{tmp_path}/embeddings.parquet", index=False)
+        got = embedding_dim_stats(str(tmp_path)).to_pandas()
+        assert got["mean_r"].tolist() == [5.0, 0.0]
+        assert got["std_r"].tolist() == [0.0, 1.0]
+        assert got["n_vecs"].tolist() == [4, 4]
