@@ -81,6 +81,12 @@ def _emb_matrix(col) -> np.ndarray:
 
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if col.null_count:
+        # flatten() silently DROPS null lists — if the remainder happened
+        # to divide n the reshape would misalign every row after the null
+        # instead of failing; refuse up front (callers that tolerate nulls
+        # filter them first)
+        raise ValueError("null embedding rows")
     flat = col.flatten().to_numpy(zero_copy_only=False)
     n = len(col)
     if n == 0:
@@ -970,30 +976,42 @@ def embedding_dim_stats(sf_dir: str):
     per-dimension (columnar-over-a-list-column) aggregate surface no other
     entry exercises.
 
-    Scale shape: each batch reduces its (rows, dim) float64 matrix to THREE
-    dim-length vectors (n, Σx, Σx²) — one partial row per batch regardless
-    of corpus size, no shuffle; the driver combines ≤ batches partials and
-    finishes mean/std with one vectorized expression. Float sums commute
-    only approximately; the 4-dp rounding contract absorbs partial-order
-    drift exactly as the corpus-sum entries (knn, lm_score) already do."""
-    from searchengine_ray.pipelines.fulltext import _round_vec
+    Scale shape: each batch reduces its (rows, dim) float64 matrix to a
+    per-batch Welford state (n, mean, M2) per dimension — one partial row
+    per batch regardless of corpus size, no shuffle; the driver folds the
+    ≤ batches partials with Chan's parallel-variance merge (the same
+    centered-state family stddev_pop uses internally, so the naive
+    E[x²]−mean² cancellation that diverges on large-mean/small-std
+    dimensions never occurs) and the 4-dp rounding absorbs the residual
+    merge-order drift exactly as the corpus-sum entries (knn, lm_score)
+    already do. Null embedding rows drop first (the oracle's unnest skips
+    them identically); vec_id never leaves the parquet reader."""
+    from searchengine_ray.sources import read_parquet_clean
 
     def partials(batch: pa.Table) -> pa.Table:
-        m = _emb_matrix(batch["embedding"])
+        import pyarrow.compute as pc
+
+        col = batch["embedding"]
+        if col.null_count:
+            batch = batch.filter(pc.is_valid(col))
+            col = batch["embedding"]
+        m = _emb_matrix(col)
         if m.size == 0:
             return pa.table({"n": pa.array([], type=pa.int64()),
-                             "s1": pa.array([], type=pa.float64()),
-                             "s2": pa.array([], type=pa.float64()),
+                             "mean": pa.array([], type=pa.float64()),
+                             "m2": pa.array([], type=pa.float64()),
                              "dim": pa.array([], type=pa.int64())})
+        mean_b = m.mean(axis=0)
         return pa.table({
             "n": pa.array(np.full(m.shape[1], m.shape[0], dtype=np.int64)),
-            "s1": pa.array(m.sum(axis=0)),
-            "s2": pa.array((m * m).sum(axis=0)),
+            "mean": pa.array(mean_b),
+            "m2": pa.array(((m - mean_b) ** 2).sum(axis=0)),
             "dim": pa.array(np.arange(1, m.shape[1] + 1, dtype=np.int64)),
         })
 
     parts = (
-        read_embeddings(sf_dir)
+        read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                           columns=["embedding"])
         .map_batches(partials, batch_format="pyarrow", batch_size=4096)
         .to_pandas()
     )
@@ -1002,15 +1020,27 @@ def embedding_dim_stats(sf_dir: str):
                          "n_vecs": pa.array([], type=pa.int64()),
                          "mean_r": pa.array([], type=pa.float64()),
                          "std_r": pa.array([], type=pa.float64())})
-    g = parts.groupby("dim", as_index=False).sum().sort_values("dim")
-    n = g["n"].to_numpy(dtype=np.float64)
-    s1 = g["s1"].to_numpy(dtype=np.float64)
-    s2 = g["s2"].to_numpy(dtype=np.float64)
-    mean = s1 / n
-    var = np.maximum(s2 / n - mean * mean, 0.0)
+    dims = np.sort(parts["dim"].unique())
+    n_out, mean_out, std_out = [], [], []
+    for d in dims:
+        sub = parts[parts["dim"] == d]
+        n_a, mean_a, m2_a = 0.0, 0.0, 0.0
+        for n_b, mean_b, m2_b in zip(sub["n"], sub["mean"], sub["m2"]):
+            if n_a == 0.0:
+                n_a, mean_a, m2_a = float(n_b), float(mean_b), float(m2_b)
+                continue
+            nb = float(n_b)
+            delta = float(mean_b) - mean_a
+            n_ab = n_a + nb
+            mean_a += delta * nb / n_ab
+            m2_a += float(m2_b) + delta * delta * n_a * nb / n_ab
+            n_a = n_ab
+        n_out.append(int(n_a))
+        mean_out.append(mean_a)
+        std_out.append(float(np.sqrt(max(m2_a, 0.0) / n_a)))
     return pa.table({
-        "dim": pa.array(g["dim"].to_numpy(dtype=np.int64)),
-        "n_vecs": pa.array(g["n"].to_numpy(dtype=np.int64)),
-        "mean_r": pa.array(_round_vec(mean)),
-        "std_r": pa.array(_round_vec(np.sqrt(var))),
+        "dim": pa.array(dims.astype(np.int64)),
+        "n_vecs": pa.array(np.asarray(n_out, dtype=np.int64)),
+        "mean_r": pa.array(_round_vec(np.asarray(mean_out))),
+        "std_r": pa.array(_round_vec(np.asarray(std_out))),
     })

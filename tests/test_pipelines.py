@@ -3479,3 +3479,19 @@ class TestEmbeddingDimStats:
         assert got["mean_r"].tolist() == [5.0, 0.0]
         assert got["std_r"].tolist() == [0.0, 1.0]
         assert got["n_vecs"].tolist() == [4, 4]
+
+
+    def test_null_embeddings_dropped(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.similarity import embedding_dim_stats
+
+        t = pa.table({
+            "vec_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "embedding": pa.array([[1.0, 2.0], [3.0, 4.0], None, None],
+                                  type=pa.list_(pa.float32())),
+        })
+        pq.write_table(t, f"{tmp_path}/embeddings.parquet")
+        got = embedding_dim_stats(str(tmp_path)).to_pandas()
+        # nulls drop like the oracle's unnest: 2 vectors, dims [1, 2]
+        assert got["dim"].tolist() == [1, 2]
+        assert got["n_vecs"].tolist() == [2, 2]
+        assert got["mean_r"].tolist() == [2.0, 3.0]
