@@ -427,6 +427,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal plumbing (stubbed decoder) ---
         "multimodal_features_flat": multimodal.multimodal_features_flat,  # oracle: byte histogram
         "frame_sample_hex": multimodal.frame_sample_hex,  # oracle: hex BLOB slices
+        # actor-pool nearest-neighbor resize to a fixed 8×8 thumbnail —
+        # integer source-index arithmetic, hex-stable output (oracle:
+        # per-pixel hex-pair extraction + ordered string_agg; r4)
+        "image_resize": multimodal.image_resize,
         # --- training-data preparation ---
         "export_shards": traindata.export_shards,     # oracle: md5-byte shard summary
         "stratified_sample": traindata.stratified_sample,  # oracle: window row_number per lang
@@ -2243,6 +2247,29 @@ FROM documents""",
         # frame sampling over the media payloads: every 4th 64-byte frame of
         # the utf-8 payload, sliced via the hex round-trip (DuckDB 1.0 has no
         # BLOB substring) and compared as lowercase hex
+        # nearest-neighbor 8×8 thumbnail over the (n//16 × 16) pseudo-image:
+        # src(i,j) = ((i·h_in)//8)·16 + (j·16)//8 — the identical integer
+        # arithmetic, per-pixel hex pairs re-assembled in k order
+        "image_resize": """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         lower(hex(encode(coalesce(text, '')))) AS hx,
+         octet_length(encode(coalesce(text, ''))) AS n
+  FROM documents
+),
+ img AS (
+  SELECT media_id, hx, CAST(n // 16 AS BIGINT) AS h_in
+  FROM m WHERE n // 16 >= 1),
+ px AS (
+  SELECT media_id, h_in, CAST(t.i AS BIGINT) AS k,
+         substr(hx,
+                CAST((((CAST(t.i AS BIGINT) // 8) * h_in // 8) * 16
+                      + (CAST(t.i AS BIGINT) % 8) * 2) * 2 + 1 AS BIGINT),
+                2) AS p
+  FROM img, LATERAL unnest(range(0, 64)) AS t(i))
+SELECT media_id, h_in,
+       string_agg(p, '' ORDER BY k) AS resized_hex
+FROM px GROUP BY media_id, h_in ORDER BY media_id""",
         "frame_sample_hex": """
 WITH m AS (
   SELECT doc_id AS media_id,

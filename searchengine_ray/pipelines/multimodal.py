@@ -224,3 +224,53 @@ def multimodal_features_flat(sf_dir: str):
         )
 
     return multimodal_features(sf_dir).map_batches(explode, batch_format="pyarrow")
+
+
+class ImageResize:
+    """Actor-pool resize stage — the remaining decode/extract/RESIZE/
+    frame-sample quartet member: treat the decoded payload as a pseudo
+    (h_in × 16) uint8 image and nearest-neighbor it to a fixed
+    ``out_h × out_w`` thumbnail. The output coordinate grids build ONCE
+    per actor in ``__init__`` (the actor-pool contract); ``__call__`` is
+    one vectorized gather per row. A real decoder slots in via
+    ``decoder=`` exactly as in FeatureExtract — the plumbing (fixed
+    output geometry, per-row source-index arithmetic, hex-stable output)
+    is what the stage demonstrates."""
+
+    def __init__(self, out_h: int = 8, out_w: int = 8, in_w: int = 16,
+                 decoder=fake_decode):
+        self.out_h, self.out_w, self.in_w = out_h, out_w, in_w
+        self.decoder = decoder
+        self.grid_i = np.repeat(np.arange(out_h, dtype=np.int64), out_w)
+        self.grid_j = np.tile(np.arange(out_w, dtype=np.int64), out_h)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, h_ins, hexes = [], [], []
+        for mid, payload in zip(batch["media_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            arr = self.decoder(payload or b"")
+            h_in = arr.size // self.in_w
+            if h_in < 1:  # narrower than one input row: no image to resize
+                continue
+            # nearest-neighbor: src(i, j) = (i·h_in)//out_h row, (j·in_w)//
+            # out_w col — pure integer arithmetic, byte-stable
+            src = ((self.grid_i * h_in) // self.out_h) * self.in_w \
+                + (self.grid_j * self.in_w) // self.out_w
+            ids.append(mid)
+            h_ins.append(h_in)
+            hexes.append(arr[src].tobytes().hex())
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            "h_in": pa.array(h_ins, type=pa.int64()),
+            "resized_hex": pa.array(hexes, type=pa.string()),
+        })
+
+
+def image_resize(sf_dir: str):
+    """(media_id, h_in, resized_hex): every document's payload resized to
+    an 8×8 thumbnail through the actor-pool ImageResize stage (fake
+    decoder — the container has no codecs; the hex output makes the stage
+    fully value-checkable in SQL)."""
+    return media_from_documents(sf_dir).map_batches(
+        ImageResize, batch_format="pyarrow", batch_size=256, concurrency=2
+    )

@@ -3495,3 +3495,42 @@ class TestEmbeddingDimStats:
         assert got["dim"].tolist() == [1, 2]
         assert got["n_vecs"].tolist() == [2, 2]
         assert got["mean_r"].tolist() == [2.0, 3.0]
+
+
+class TestImageResize:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.multimodal import image_resize
+
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        ref = {}
+        gi = np.repeat(np.arange(8), 8)
+        gj = np.tile(np.arange(8), 8)
+        for d, t in zip(docs["doc_id"], docs["text"]):
+            b = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
+            h_in = b.size // 16
+            if h_in < 1:
+                continue
+            src = ((gi * h_in) // 8) * 16 + (gj * 16) // 8
+            ref[int(d)] = (h_in, b[src].tobytes().hex())
+        got = image_resize(SF).to_pandas()
+        assert len(got) == len(ref)
+        for mid, h_in, hx in zip(got["media_id"], got["h_in"],
+                                 got["resized_hex"]):
+            assert ref[int(mid)] == (h_in, hx)
+
+    def test_planted_thumbnail(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.multimodal import image_resize
+
+        # 32 ascii bytes = a 2×16 image; the 8×8 thumbnail samples rows
+        # (i·2)//8 = [0,0,0,0,1,1,1,1] and cols (j·16)//8 = 0,2,...,14
+        text = "ABCDEFGHIJKLMNOPabcdefghijklmnop"
+        pd.DataFrame({"doc_id": [1, 2],
+                      "text": [text, "short"]}).to_parquet(
+            f"{tmp_path}/documents.parquet", index=False)
+        got = image_resize(str(tmp_path)).to_pandas()
+        assert got["media_id"].tolist() == [1]  # 5 bytes: no image
+        assert got["h_in"].tolist() == [2]
+        row0 = "ACEGIKMO".encode().hex()
+        row1 = "acegikmo".encode().hex()
+        assert got["resized_hex"].tolist() == [row0 * 4 + row1 * 4]
