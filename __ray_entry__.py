@@ -2244,9 +2244,6 @@ SELECT doc_id, shuffle_rank, shuffle_rank % 8 AS shard FROM r ORDER BY doc_id"""
 SELECT doc_id,
        md5(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g'))) AS fp
 FROM documents""",
-        # frame sampling over the media payloads: every 4th 64-byte frame of
-        # the utf-8 payload, sliced via the hex round-trip (DuckDB 1.0 has no
-        # BLOB substring) and compared as lowercase hex
         # nearest-neighbor 8×8 thumbnail over the (n//16 × 16) pseudo-image:
         # src(i,j) = ((i·h_in)//8)·16 + (j·16)//8 — the identical integer
         # arithmetic, per-pixel hex pairs re-assembled in k order
@@ -2270,6 +2267,9 @@ WITH m AS (
 SELECT media_id, h_in,
        string_agg(p, '' ORDER BY k) AS resized_hex
 FROM px GROUP BY media_id, h_in ORDER BY media_id""",
+        # frame sampling over the media payloads: every 4th 64-byte frame of
+        # the utf-8 payload, sliced via the hex round-trip (DuckDB 1.0 has no
+        # BLOB substring) and compared as lowercase hex
         "frame_sample_hex": """
 WITH m AS (
   SELECT doc_id AS media_id,

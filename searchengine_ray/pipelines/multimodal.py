@@ -248,7 +248,9 @@ class ImageResize:
         ids, h_ins, hexes = [], [], []
         for mid, payload in zip(batch["media_id"].to_pylist(),
                                 batch["payload"].to_pylist()):
-            arr = self.decoder(payload or b"")
+            # a real decoder returns (H, W[, C]) — the pseudo-image
+            # geometry below is over the FLAT byte stream, so ravel first
+            arr = np.ravel(self.decoder(payload or b""))
             h_in = arr.size // self.in_w
             if h_in < 1:  # narrower than one input row: no image to resize
                 continue

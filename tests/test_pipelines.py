@@ -3504,15 +3504,21 @@ class TestImageResize:
         docs = pq.read_table(f"{SF}/documents.parquet",
                              columns=["doc_id", "text"]).to_pandas()
         ref = {}
-        gi = np.repeat(np.arange(8), 8)
-        gj = np.tile(np.arange(8), 8)
         for d, t in zip(docs["doc_id"], docs["text"]):
-            b = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
-            h_in = b.size // 16
+            b = (t or "").encode("utf-8")
+            h_in = len(b) // 16
             if h_in < 1:
                 continue
-            src = ((gi * h_in) // 8) * 16 + (gj * 16) // 8
-            ref[int(d)] = (h_in, b[src].tobytes().hex())
+            # independent per-pixel reference: explicit 2-D image slicing
+            # (NOT the kernel's flat-index expression) — row i of the
+            # thumbnail reads source row floor(i·h_in/8), col floor(j·16/8)
+            rows = [b[r * 16:(r + 1) * 16] for r in range(h_in)]
+            out = bytearray()
+            for i in range(8):
+                src_row = rows[(i * h_in) // 8]
+                for j in range(8):
+                    out.append(src_row[(j * 16) // 8])
+            ref[int(d)] = (h_in, bytes(out).hex())
         got = image_resize(SF).to_pandas()
         assert len(got) == len(ref)
         for mid, h_in, hx in zip(got["media_id"], got["h_in"],
