@@ -180,6 +180,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from searchengine_ray import sources
     from searchengine_ray.pipelines import (
         dedup,
         fulltext,
@@ -431,6 +432,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer source-index arithmetic, hex-stable output (oracle:
         # per-pixel hex-pair extraction + ordered string_agg; r4)
         "image_resize": multimodal.image_resize,
+        # source-format interop as a value-checked pipeline: documents →
+        # distributed JSONL shards → re-read through the build's json
+        # path → re-derived length+md5 vs the original parquet (oracle:
+        # length/md5 on the source table; r4)
+        "jsonl_roundtrip": sources.jsonl_roundtrip,
         # --- training-data preparation ---
         "export_shards": traindata.export_shards,     # oracle: md5-byte shard summary
         "stratified_sample": traindata.stratified_sample,  # oracle: window row_number per lang
@@ -2267,6 +2273,14 @@ WITH m AS (
 SELECT media_id, h_in,
        string_agg(p, '' ORDER BY k) AS resized_hex
 FROM px GROUP BY media_id, h_in ORDER BY media_id""",
+        # JSONL round trip: the oracle never sees the JSONL — it computes
+        # the same length + md5 on the ORIGINAL parquet, so a hash match
+        # proves the conversion preserved every document byte-exactly
+        "jsonl_roundtrip": """
+SELECT doc_id,
+       CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars_rt,
+       md5(coalesce(text, '')) AS fp_rt
+FROM documents ORDER BY doc_id""",
         # frame sampling over the media payloads: every 4th 64-byte frame of
         # the utf-8 payload, sliced via the hex round-trip (DuckDB 1.0 has no
         # BLOB substring) and compared as lowercase hex

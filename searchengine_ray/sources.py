@@ -140,3 +140,53 @@ def read_columns_local(files: list[str], fmt: str, columns: list[str]):
         else:
             raise ValueError(f"unsupported input format: {fmt}")
     return pa.concat_tables(tables, promote_options="permissive")
+
+
+def jsonl_roundtrip(sf_dir: str):
+    """(doc_id, n_chars_rt, fp_rt): the documents table pushed through a
+    full JSONL round trip — distributed ``write_json`` to shard files,
+    re-ingested through the same ``ray.data.read_json`` path the build
+    accepts (`input_format="json"`), then re-derived length + md5
+    fingerprint from the ROUND-TRIPPED text. Hash-equal to the oracle
+    computed on the ORIGINAL parquet ⟺ every document survived the
+    format conversion byte-exactly — the source-interop contract as a
+    value-checked pipeline instead of a pytest-only claim.
+
+    Scale shape: the conversion is ``Dataset.write_json`` (one shard file
+    per block, distributed, idempotent per sf_dir via a marker file) and
+    the re-read streams those shards; the fingerprint pass is the
+    standard per-batch map. Nothing corpus-sized touches the driver."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    out = os.path.join("/tmp", f"searchengine_ray_jsonl_rt_{tag}")
+    marker = os.path.join(out, "_CONVERTED")
+    if not os.path.exists(marker):
+        (read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "text"])
+         .write_json(out))
+        with open(marker, "w") as f:
+            f.write(sf_dir)
+
+    files = [os.path.join(out, f) for f in sorted(os.listdir(out))
+             if f.endswith(".json")]
+
+    def fingerprint(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        texts = [(t or "") for t in batch["text"].to_pylist()]
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n_chars_rt": pa.array(
+                np.asarray([len(t) for t in texts], dtype="int64")),
+            "fp_rt": pa.array(
+                [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts],
+                type=pa.string()),
+        })
+
+    return (rd.read_json(files)
+            .map_batches(fingerprint, batch_format="pyarrow",
+                         batch_size=2048))

@@ -3540,3 +3540,37 @@ class TestImageResize:
         row0 = "ACEGIKMO".encode().hex()
         row1 = "acegikmo".encode().hex()
         assert got["resized_hex"].tolist() == [row0 * 4 + row1 * 4]
+
+
+class TestJsonlRoundtrip:
+    def test_matches_original(self, ray_session):
+        import hashlib
+
+        from searchengine_ray.sources import jsonl_roundtrip
+
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        got = (jsonl_roundtrip(SF).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        assert got["doc_id"].tolist() == sorted(docs["doc_id"])
+        ref = {int(d): hashlib.md5((t or "").encode()).hexdigest()
+               for d, t in zip(docs["doc_id"], docs["text"])}
+        assert all(ref[int(d)] == fp
+                   for d, fp in zip(got["doc_id"], got["fp_rt"]))
+
+    def test_adversarial_content_survives(self, ray_session, tmp_path):
+        import hashlib
+
+        from searchengine_ray.sources import jsonl_roundtrip
+
+        texts = ['quote " and \\ backslash',
+                 "юникод кириллица 漢字 🚀",
+                 "tab\tand newline\nand   ls",
+                 ""]
+        pd.DataFrame({"doc_id": range(4), "text": texts}).to_parquet(
+            f"{tmp_path}/documents.parquet", index=False)
+        got = (jsonl_roundtrip(str(tmp_path)).to_pandas()
+               .sort_values("doc_id"))
+        assert got["fp_rt"].tolist() == [
+            hashlib.md5(t.encode()).hexdigest() for t in texts]
+        assert got["n_chars_rt"].tolist() == [len(t) for t in texts]
