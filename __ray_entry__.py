@@ -437,6 +437,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # path → re-derived length+md5 vs the original parquet (oracle:
         # length/md5 on the source table; r4)
         "jsonl_roundtrip": sources.jsonl_roundtrip,
+        # the CSV leg of the same contract (empty→null is CSV-inherent;
+        # both sides fingerprint coalesce(text,'')) (oracle: shared with
+        # jsonl_roundtrip; r4)
+        "csv_roundtrip": sources.csv_roundtrip,
         # --- training-data preparation ---
         "export_shards": traindata.export_shards,     # oracle: md5-byte shard summary
         "stratified_sample": traindata.stratified_sample,  # oracle: window row_number per lang
@@ -2277,6 +2281,12 @@ FROM px GROUP BY media_id, h_in ORDER BY media_id""",
         # the same length + md5 on the ORIGINAL parquet, so a hash match
         # proves the conversion preserved every document byte-exactly
         "jsonl_roundtrip": """
+SELECT doc_id,
+       CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars_rt,
+       md5(coalesce(text, '')) AS fp_rt
+FROM documents ORDER BY doc_id""",
+        # same oracle as jsonl_roundtrip: fingerprints of the ORIGINAL
+        "csv_roundtrip": """
 SELECT doc_id,
        CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars_rt,
        md5(coalesce(text, '')) AS fp_rt

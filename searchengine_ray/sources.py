@@ -142,38 +142,42 @@ def read_columns_local(files: list[str], fmt: str, columns: list[str]):
     return pa.concat_tables(tables, promote_options="permissive")
 
 
-def jsonl_roundtrip(sf_dir: str):
+def _format_roundtrip(sf_dir: str, fmt: str):
     """(doc_id, n_chars_rt, fp_rt): the documents table pushed through a
-    full JSONL round trip — distributed ``write_json`` to shard files,
-    re-ingested through the same ``ray.data.read_json`` path the build
-    accepts (`input_format="json"`), then re-derived length + md5
-    fingerprint from the ROUND-TRIPPED text. Hash-equal to the oracle
-    computed on the ORIGINAL parquet ⟺ every document survived the
-    format conversion byte-exactly — the source-interop contract as a
-    value-checked pipeline instead of a pytest-only claim.
+    full format round trip — distributed ``write_json``/``write_csv`` to
+    shard files, re-ingested through the same ``read_dataset`` path the
+    build accepts (`input_format=`), then length + md5 re-derived from
+    the ROUND-TRIPPED text. Hash-equal to the oracle computed on the
+    ORIGINAL parquet ⟺ every document survived the conversion
+    byte-exactly — the source-interop contract as a value-checked
+    pipeline instead of a pytest-only claim. (CSV collapses empty
+    strings to null; both sides fingerprint coalesce(text, ''), so the
+    ambiguity is contract-visible, not hidden.)
 
-    Scale shape: the conversion is ``Dataset.write_json`` (one shard file
-    per block, distributed, idempotent per sf_dir via a marker file) and
-    the re-read streams those shards; the fingerprint pass is the
-    standard per-batch map. Nothing corpus-sized touches the driver."""
+    Scale shape: the conversion writes one shard file per block
+    (distributed, idempotent per (sf_dir, fmt) via a marker file) and the
+    re-read streams those shards; the fingerprint pass is the standard
+    per-batch map. Nothing corpus-sized touches the driver."""
     import hashlib
 
     import numpy as np
     import pyarrow as pa
-    import ray.data as rd
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    out = os.path.join("/tmp", f"searchengine_ray_jsonl_rt_{tag}")
+    out = os.path.join("/tmp", f"searchengine_ray_{fmt}_rt_{tag}")
     marker = os.path.join(out, "_CONVERTED")
     if not os.path.exists(marker):
-        (read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
-                            columns=["doc_id", "text"])
-         .write_json(out))
+        src = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "text"])
+        if fmt == "json":
+            src.write_json(out)
+        else:
+            src.write_csv(out)
         with open(marker, "w") as f:
             f.write(sf_dir)
 
     files = [os.path.join(out, f) for f in sorted(os.listdir(out))
-             if f.endswith(".json")]
+             if f.endswith(f".{fmt}" if fmt == "json" else ".csv")]
 
     def fingerprint(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
@@ -187,6 +191,15 @@ def jsonl_roundtrip(sf_dir: str):
                 type=pa.string()),
         })
 
-    return (rd.read_json(files)
-            .map_batches(fingerprint, batch_format="pyarrow",
-                         batch_size=2048))
+    return read_dataset(files, fmt, ["doc_id", "text"]).map_batches(
+        fingerprint, batch_format="pyarrow", batch_size=2048)
+
+
+def jsonl_roundtrip(sf_dir: str):
+    """JSONL round trip — see :func:`_format_roundtrip`."""
+    return _format_roundtrip(sf_dir, "json")
+
+
+def csv_roundtrip(sf_dir: str):
+    """CSV round trip — see :func:`_format_roundtrip`."""
+    return _format_roundtrip(sf_dir, "csv")

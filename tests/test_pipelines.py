@@ -3574,3 +3574,20 @@ class TestJsonlRoundtrip:
         assert got["fp_rt"].tolist() == [
             hashlib.md5(t.encode()).hexdigest() for t in texts]
         assert got["n_chars_rt"].tolist() == [len(t) for t in texts]
+
+
+    def test_csv_leg_adversarial(self, ray_session, tmp_path):
+        import hashlib
+
+        from searchengine_ray.sources import csv_roundtrip
+
+        texts = ['comma, and "quotes"', "юникод 🚀", "tab\tchar", ""]
+        pd.DataFrame({"doc_id": range(4), "text": texts}).to_parquet(
+            f"{tmp_path}/documents.parquet", index=False)
+        got = (csv_roundtrip(str(tmp_path)).to_pandas()
+               .sort_values("doc_id"))
+        # CSV collapses '' to null; both sides coalesce, so the empty doc
+        # fingerprints identically
+        assert got["fp_rt"].tolist() == [
+            hashlib.md5(t.encode()).hexdigest() for t in texts]
+        assert got["n_chars_rt"].tolist() == [len(t) for t in texts]
