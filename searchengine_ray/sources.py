@@ -163,7 +163,12 @@ def _format_roundtrip(sf_dir: str, fmt: str):
     import numpy as np
     import pyarrow as pa
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    # tag carries the source file's identity (mtime_ns + size), so a
+    # mutated corpus can never be served stale shards from the cache
+    src_path = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src_path)
+    tag = hashlib.md5(
+        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()).hexdigest()[:12]
     out = os.path.join("/tmp", f"searchengine_ray_{fmt}_rt_{tag}")
     marker = os.path.join(out, "_CONVERTED")
     if not os.path.exists(marker):
