@@ -104,17 +104,35 @@ def read_parquet_clean(path, columns: list[str] | None = None, **kwargs):
     return rd.read_parquet(path, columns=columns, schema=schema, **kwargs)
 
 
-def read_dataset(files: list[str], fmt: str, columns: list[str]):
+def read_dataset(files: list[str], fmt: str, columns: list[str],
+                 schema=None):
     """Ray Dataset over the inputs projected to ``columns``. Parquet prunes
-    at the read; JSON/CSV read whole rows then project (interop path)."""
+    at the read; JSON/CSV read whole rows then project (interop path).
+    CSV always parses with ``newlines_in_values`` — quoted embedded
+    newlines otherwise desync pyarrow's block chunker on any shard larger
+    than one read block. Pass ``schema`` (a pa.Schema over the projected
+    columns) to pin JSON/CSV column types instead of trusting per-shard
+    inference (all-numeric-looking or all-null text columns would
+    otherwise come back as int64/null and break string consumers)."""
     import ray.data as rd
 
     if fmt == "parquet":
         return read_parquet_clean(files, columns=columns)
     if fmt == "json":
-        return rd.read_json(files).select_columns(columns)
+        import pyarrow.json as pj
+
+        kw = {}
+        if schema is not None:
+            kw["parse_options"] = pj.ParseOptions(explicit_schema=schema)
+        return rd.read_json(files, **kw).select_columns(columns)
     if fmt == "csv":
-        return rd.read_csv(files).select_columns(columns)
+        import pyarrow.csv as pcsv
+
+        kw = {"parse_options": pcsv.ParseOptions(newlines_in_values=True)}
+        if schema is not None:
+            kw["convert_options"] = pcsv.ConvertOptions(
+                column_types={f.name: f.type for f in schema})
+        return rd.read_csv(files, **kw).select_columns(columns)
     raise ValueError(f"unsupported input format: {fmt}")
 
 
@@ -136,7 +154,9 @@ def read_columns_local(files: list[str], fmt: str, columns: list[str]):
         elif fmt == "csv":
             import pyarrow.csv as pcsv
 
-            tables.append(pcsv.read_csv(f).select(columns))
+            tables.append(pcsv.read_csv(
+                f, parse_options=pcsv.ParseOptions(newlines_in_values=True)
+            ).select(columns))
         else:
             raise ValueError(f"unsupported input format: {fmt}")
     return pa.concat_tables(tables, promote_options="permissive")
@@ -159,30 +179,46 @@ def _format_roundtrip(sf_dir: str, fmt: str):
     re-read streams those shards; the fingerprint pass is the standard
     per-batch map. Nothing corpus-sized touches the driver."""
     import hashlib
+    import shutil
 
     import numpy as np
     import pyarrow as pa
 
-    # tag carries the source file's identity (mtime_ns + size), so a
-    # mutated corpus can never be served stale shards from the cache
-    src_path = os.path.join(sf_dir, "documents.parquet")
+    # cache key: (abspath, code version) names the corpus; (mtime_ns,
+    # size) stamps its content — a mutated corpus can never be served
+    # stale shards, and older stamps of the SAME corpus are pruned so
+    # /tmp doesn't accumulate corpus-sized orphans
+    src_path = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
     st = os.stat(src_path)
-    tag = hashlib.md5(
-        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()).hexdigest()[:12]
-    out = os.path.join("/tmp", f"searchengine_ray_{fmt}_rt_{tag}")
+    path_tag = hashlib.md5(f"{src_path}|v1".encode()).hexdigest()[:10]
+    stamp_tag = hashlib.md5(
+        f"{st.st_mtime_ns}|{st.st_size}".encode()).hexdigest()[:10]
+    prefix = f"searchengine_ray_{fmt}_rt_{path_tag}_"
+    out = os.path.join("/tmp", prefix + stamp_tag)
     marker = os.path.join(out, "_CONVERTED")
     if not os.path.exists(marker):
-        src = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
-                                 columns=["doc_id", "text"])
+        for old in os.listdir("/tmp"):  # prune stale stamps of this corpus
+            if old.startswith(prefix) and old != prefix + stamp_tag:
+                shutil.rmtree(os.path.join("/tmp", old), ignore_errors=True)
+        # write into a scratch dir and os.replace into place — the
+        # export_shards convention: a crashed or concurrent run can never
+        # leave a half-written shard set that lists as complete
+        tmp_out = out + f".tmp.{os.getpid()}"
+        shutil.rmtree(tmp_out, ignore_errors=True)
+        src = read_parquet_clean(src_path, columns=["doc_id", "text"])
         if fmt == "json":
-            src.write_json(out)
+            src.write_json(tmp_out)
         else:
-            src.write_csv(out)
-        with open(marker, "w") as f:
-            f.write(sf_dir)
+            src.write_csv(tmp_out)
+        with open(os.path.join(tmp_out, "_CONVERTED"), "w") as f:
+            f.write(src_path)
+        try:
+            os.replace(tmp_out, out)
+        except OSError:  # a concurrent run won the rename: use its copy
+            shutil.rmtree(tmp_out, ignore_errors=True)
 
     files = [os.path.join(out, f) for f in sorted(os.listdir(out))
-             if f.endswith(f".{fmt}" if fmt == "json" else ".csv")]
+             if f.endswith(f".{fmt}")]
 
     def fingerprint(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
@@ -196,7 +232,9 @@ def _format_roundtrip(sf_dir: str, fmt: str):
                 type=pa.string()),
         })
 
-    return read_dataset(files, fmt, ["doc_id", "text"]).map_batches(
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    return read_dataset(files, fmt, ["doc_id", "text"],
+                        schema=schema).map_batches(
         fingerprint, batch_format="pyarrow", batch_size=2048)
 
 

@@ -3581,8 +3581,14 @@ class TestJsonlRoundtrip:
 
         from searchengine_ray.sources import csv_roundtrip
 
-        texts = ['comma, and "quotes"', "юникод 🚀", "tab\tchar", ""]
-        pd.DataFrame({"doc_id": range(4), "text": texts}).to_parquet(
+        # newlines exercise newlines_in_values across multi-block shards;
+        # numeric/datetime/NaN-looking text exercises the pinned schema
+        # (per-shard inference would return int64/timestamp/null columns)
+        texts = (['comma, and "quotes"', "юникод 🚀", "tab\tchar", "",
+                  "multi\nline\ndoc", "123456", "2026-01-01T00:00:00",
+                  "NaN"]
+                 + [f"filler {i} " * 50 for i in range(3000)])
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}).to_parquet(
             f"{tmp_path}/documents.parquet", index=False)
         got = (csv_roundtrip(str(tmp_path)).to_pandas()
                .sort_values("doc_id"))
