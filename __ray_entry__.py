@@ -323,6 +323,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-partition top-k, winners hydrated by a k-key point read
         # (oracle: 3-CTE join + ORDER BY exact rev LIMIT 20; r4)
         "q10_returned_revenue": relational.q10_returned_revenue,
+        # TPC-H Q6: the pure scan aggregate — integer discount-band gate,
+        # exact cents×hundredths revenue, NO exchange at all (oracle:
+        # single-table filtered sum; r4)
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        # TPC-H Q14: promotion-revenue share — part broadcast + one
+        # lineitem scan, exact integer numerator/denominator, ONE double
+        # division mirrored by the SQL (oracle: joined CASE ratio; r4)
+        "q14_promo_revenue": relational.q14_promo_revenue,
+        # TPC-H Q15: top supplier by quarter revenue — per-batch suppkey
+        # partials, exact-integer max + ties (oracle: revenue CTE +
+        # max subquery; r4)
+        "q15_top_supplier": relational.q15_top_supplier,
+        # TPC-H Q19 shape: OR-of-conjunctions join predicate — part
+        # broadcast (brand code + size), 3-branch vectorized mask,
+        # pure-integer gates (oracle: disjunctive 2-table join; r4)
+        "q19_discounted_revenue": relational.q19_discounted_revenue,
+        # TPC-H Q7: two-nation trade volume by direction and ship year —
+        # the q5 chain with an ORDERED-PAIR gate (both nations travel
+        # through the exchange) + integer-threshold year split (oracle:
+        # 6-table SQL with the pair disjunction; r4)
+        "q7_volume_shipping": relational.q7_volume_shipping,
+        # TPC-H Q8: national market share — conditional-aggregate ratio
+        # over a five-table chain; target-supplier flag travels with the
+        # fact rows, exact int num/den, one double division per year
+        # (oracle: 8-table CTE + CASE ratio; r4)
+        "q8_market_share": relational.q8_market_share,
         # ordered-collect aggregate: per-user event-type sequence joined
         # in (ts, event_id) order — string_agg(ORDER BY) surface (oracle:
         # string_agg with ORDER BY; r4)
@@ -1846,6 +1872,100 @@ JOIN orders o ON o.o_orderkey = big.l_orderkey
 JOIN customer c ON c.c_custkey = o.o_custkey
 ORDER BY o.o_totalprice DESC, o_orderdate_us, o.o_orderkey
 LIMIT 100""",
+        # Q6: pure-integer discount-band gate (round(100·disc) BETWEEN),
+        # exact BIGINT revenue, COALESCE for the zero-match window
+        "q6_forecast_revenue": """
+SELECT CAST(count(*) AS BIGINT) AS n_items,
+       COALESCE(round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * CAST(round(l_discount * 100) AS BIGINT)) / 10000.0,
+                      2), 0.0) AS revenue_r
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24""",
+        # Q14: both sums are exact BIGINTs; the engine evaluates the SAME
+        # float(100·promo)/float(total) expression once on the driver
+        "q14_promo_revenue": """
+WITH f AS (
+  SELECT CAST(round(l.l_extendedprice * 100) AS BIGINT)
+         * CAST(round((1 - l.l_discount) * 100) AS BIGINT) AS rev,
+         (p.p_type LIKE 'PROMO%') AS is_promo
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1995-09-01'
+    AND l.l_shipdate < TIMESTAMP '1995-10-01')
+SELECT CAST(count(*) AS BIGINT) AS n_items,
+       CASE WHEN sum(rev) IS NULL OR sum(rev) = 0 THEN 0.0
+            ELSE round(CAST(100 * sum(CASE WHEN is_promo THEN rev ELSE 0 END)
+                            AS DOUBLE) / CAST(sum(rev) AS DOUBLE), 6)
+       END AS promo_pct_r
+FROM f""",
+        # Q15: the max comparison and ties are decided on EXACT integer
+        # revenue (the engine's convention); rounding only on the output
+        "q15_top_supplier": """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, round(rev.r / 10000.0, 2) AS total_revenue_r
+FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+WHERE rev.r = (SELECT max(r) FROM rev)
+ORDER BY s.s_suppkey""",
+        # Q19 adapted: container/shipmode legs don't exist in this schema;
+        # the disjunction keeps the shape over (p_brand, p_size, quantity)
+        "q19_discounted_revenue": """
+SELECT CAST(count(*) AS BIGINT) AS n_items,
+       COALESCE(round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                          * CAST(round((1 - l.l_discount) * 100) AS BIGINT))
+                      / 10000.0, 2), 0.0) AS revenue_r
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#5' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)""",
+        "q7_volume_shipping": """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) / 10000.0,
+             2) AS revenue_r
+FROM supplier s, lineitem l, orders o, customer c, nation ns, nation nc
+WHERE s.s_suppkey = l.l_suppkey AND o.o_orderkey = l.l_orderkey
+  AND c.c_custkey = o.o_custkey AND s.s_nationkey = ns.n_nationkey
+  AND c.c_nationkey = nc.n_nationkey
+  AND ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+       OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+        # Q8: num/den are exact BIGINT sums; the engine mirrors the same
+        # CAST-to-double division per year
+        "q8_market_share": """
+WITH vol AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+         * CAST(round((1 - l.l_discount) * 100) AS BIGINT) AS rev,
+         (ns.n_name = 'NATION_6') AS is_target
+  FROM part p, lineitem l, supplier s, orders o, customer c,
+       nation nc, nation ns, region r
+  WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+    AND l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+    AND c.c_nationkey = nc.n_nationkey AND nc.n_regionkey = r.r_regionkey
+    AND r.r_name = 'AMERICA' AND s.s_nationkey = ns.n_nationkey
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    AND p.p_type = 'ECONOMY')
+SELECT o_year, CAST(count(*) AS BIGINT) AS n_items,
+       round(CAST(sum(CASE WHEN is_target THEN rev ELSE 0 END) AS DOUBLE)
+             / CAST(sum(rev) AS DOUBLE), 6) AS mkt_share_r
+FROM vol GROUP BY o_year ORDER BY o_year""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -3469,3 +3469,695 @@ def q22_global_balance(sf_dir: str):
         "total_bal_r": pa.array(_round_vec(
             g["cents"].to_numpy(dtype=np.float64) / 100.0, 2)),
     })
+
+
+# ---------------------------------------------------------------------------
+# TPC-H scan/broadcast family: Q6 / Q14 / Q15 / Q19
+# ---------------------------------------------------------------------------
+
+Q6_FROM_US = 820_454_400_000_000  # 1996-01-01 epoch-µs
+Q6_TO_US = 852_076_800_000_000  # 1997-01-01 epoch-µs
+
+
+def _scalar_partial_row(n: int, *totals: int) -> pa.Table:
+    """One (hi, lo)-split partial row per batch for the single-row scan
+    aggregates (q6/q14/q19): each exact integer total is carried as two
+    int64 halves so the DRIVER combine stays exact past 2⁶³ (the q17
+    convention), and the per-batch row count rides along."""
+    cols = {"n": pa.array([n], type=pa.int64())}
+    for i, t in enumerate(totals):
+        cols[f"hi{i}"] = pa.array([t >> 32], type=pa.int64())
+        cols[f"lo{i}"] = pa.array([t & 0xFFFFFFFF], type=pa.int64())
+    return pa.table(cols)
+
+
+def _combine_scalar_partials(parts, k: int) -> tuple[int, list[int]]:
+    """Driver-side exact combine of ``_scalar_partial_row`` frames."""
+    n = int(parts["n"].sum())
+    totals = [sum((int(h) << 32) + int(x)
+                  for h, x in zip(parts[f"hi{i}"], parts[f"lo{i}"]))
+              for i in range(k)]
+    return n, totals
+
+
+def q6_forecast_revenue(sf_dir: str):
+    """(n_items, revenue_r): TPC-H Q6 — the pure scan aggregate. Revenue
+    delta from line items in one shipdate year with discount in a narrow
+    band and small quantity; revenue = Σ extendedprice·discount.
+
+    Exactness: the discount-band gate compares round(100·l_discount) —
+    the column's exact 2-dp integer image — against integer bounds, so the
+    BETWEEN boundary can never float-flip; revenue accumulates as exact
+    cents×hundredths (price_i·disc_i ≤ 10⁹ per row, int64-safe per batch)
+    and rides (hi, lo)-split partials to a Python-int driver combine.
+
+    Scale shape: embarrassingly parallel — one column-pruned pass, one
+    ≤1-row partial per batch, NO exchange at all (the only TPC-H query
+    with that property; every other q* here needs at least one groupby).
+    Mirrors the reference's single-pass batched aggregation pattern
+    (IndexingServiceImpl.java:148-151's parse-then-aggregate loop)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        disc_i = np.rint(batch["l_discount"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        m = ((ship >= Q6_FROM_US) & (ship < Q6_TO_US)
+             & (disc_i >= 5) & (disc_i <= 7) & (qty < 24.0))
+        if not m.any():
+            return _scalar_partial_row(0, 0)
+        price_i = np.rint(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False)[m] * 100.0).astype(np.int64)
+        rev = int(np.sum(price_i * disc_i[m]))
+        return _scalar_partial_row(int(m.sum()), rev)
+
+    parts = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    ).map_batches(partial, batch_format="pyarrow", batch_size=8192).to_pandas()
+    if parts.empty:
+        n, rev = 0, 0
+    else:
+        n, (rev,) = _combine_scalar_partials(parts, 1)
+    return pa.table({
+        "n_items": pa.array([n], type=pa.int64()),
+        "revenue_r": pa.array([round_half_away(rev / 10_000.0, 2)],
+                              type=pa.float64()),
+    })
+
+
+Q14_FROM_US = 809_913_600_000_000  # 1995-09-01 epoch-µs
+Q14_TO_US = 812_505_600_000_000  # 1995-10-01 epoch-µs
+
+
+def q14_promo_revenue(sf_dir: str):
+    """(n_items, promo_pct_r): TPC-H Q14 — promotion effect: the share of
+    one shipping month's discounted revenue that came from PROMO-type
+    parts, as a percentage.
+
+    Exactness: both the promo and total revenue accumulate as exact
+    cents×hundredths integers through (hi, lo)-split partials; the single
+    percentage division happens ONCE on the driver as
+    float(100·promo)/float(total) — the identical IEEE expression the SQL
+    oracle evaluates on the same two exact integers
+    (CAST(100*p AS DOUBLE)/CAST(t AS DOUBLE)), so the 6-dp round can't
+    disagree.
+
+    Scale shape: part is the small dimension → ONE broadcast of the sorted
+    partkey array + promo-flag bitmap via ``ray.put`` (read once per task,
+    never re-shipped per batch); the lineitem pass is a single
+    column-pruned scan with a searchsorted membership+flag lookup per
+    batch and no exchange — rows whose partkey is absent from part are
+    dropped, mirroring the SQL inner join."""
+    import pyarrow.parquet as pq
+    import ray
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_type"])
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    is_promo = np.asarray(
+        [t.startswith("PROMO") for t in part["p_type"].to_pylist()],
+        dtype=bool)
+    order = np.argsort(pk, kind="stable")
+    part_ref = ray.put((pk[order], is_promo[order]))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pks, promo = ray.get(part_ref)
+        ship = batch["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        m = (ship >= Q14_FROM_US) & (ship < Q14_TO_US)
+        if not m.any() or pks.size == 0:
+            return _scalar_partial_row(0, 0, 0)
+        lpk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        pos = np.minimum(np.searchsorted(pks, lpk), pks.size - 1)
+        hit = pks[pos] == lpk  # inner join: drop partless line items
+        if not hit.any():
+            return _scalar_partial_row(0, 0, 0)
+        price_i = np.rint(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False)[m][hit] * 100.0).astype(np.int64)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)[m][hit]
+        rev = price_i * np.rint((1.0 - disc) * 100.0).astype(np.int64)
+        promo_m = promo[pos[hit]]
+        return _scalar_partial_row(
+            int(hit.sum()), int(np.sum(rev[promo_m])), int(np.sum(rev)))
+
+    parts = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(partial, batch_format="pyarrow", batch_size=8192).to_pandas()
+    if parts.empty:
+        n, promo_rev, total_rev = 0, 0, 0
+    else:
+        n, (promo_rev, total_rev) = _combine_scalar_partials(parts, 2)
+    pct = (round_half_away(float(100 * promo_rev) / float(total_rev), 6)
+           if total_rev else 0.0)
+    return pa.table({
+        "n_items": pa.array([n], type=pa.int64()),
+        "promo_pct_r": pa.array([pct], type=pa.float64()),
+    })
+
+
+# Adapted Q19 branches: (brand, max p_size, qty lo, qty hi) — the reference
+# predicate's container/shipmode legs don't exist in this schema, so the
+# disjunction is re-expressed over the columns that do (p_brand, p_size,
+# l_quantity), keeping the SHAPE: three brand-specific (size, quantity)
+# windows OR-ed together across the part join.
+Q19_BRANCHES = (("Brand#12", 5, 1, 11),
+                ("Brand#23", 10, 10, 20),
+                ("Brand#5", 15, 20, 30))
+
+
+def q19_discounted_revenue(sf_dir: str):
+    """(n_items, revenue_r): TPC-H Q19 shape — discounted revenue from
+    line items matching a DISJUNCTION of brand-specific (part size,
+    quantity) windows; the classic OR-of-conjunctions join predicate that
+    defeats naive join pushdown.
+
+    Exactness: quantity gates compare round(100·l_quantity) against
+    integer bounds (the 2-dp contract), p_size is int — every branch
+    predicate is pure-integer; revenue rides exact (hi, lo) partials.
+
+    Scale shape: identical to q14 — part broadcast once (sorted partkeys +
+    int8 brand code + int32 size), single column-pruned lineitem scan,
+    per-batch vectorized 3-branch mask, no exchange."""
+    import pyarrow.parquet as pq
+    import ray
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_brand", "p_size"])
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    brands = np.asarray(part["p_brand"].to_pylist(), dtype=object)
+    # brand code: index into Q19_BRANCHES, -1 = no branch (never matches)
+    code = np.full(pk.size, -1, dtype=np.int8)
+    for i, (b, _, _, _) in enumerate(Q19_BRANCHES):
+        code[brands == b] = i
+    size = part["p_size"].to_numpy(zero_copy_only=False).astype(np.int32)
+    order = np.argsort(pk, kind="stable")
+    part_ref = ray.put((pk[order], code[order], size[order]))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pks, codes, sizes = ray.get(part_ref)
+        if pks.size == 0:
+            return _scalar_partial_row(0, 0)
+        lpk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.minimum(np.searchsorted(pks, lpk), pks.size - 1)
+        hit = pks[pos] == lpk
+        qi = np.rint(batch["l_quantity"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        c, s = codes[pos], sizes[pos]
+        keep = np.zeros(lpk.size, dtype=bool)
+        for i, (_, max_size, qlo, qhi) in enumerate(Q19_BRANCHES):
+            keep |= ((c == i) & (s >= 1) & (s <= max_size)
+                     & (qi >= 100 * qlo) & (qi <= 100 * qhi))
+        keep &= hit
+        if not keep.any():
+            return _scalar_partial_row(0, 0)
+        price_i = np.rint(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False)[keep] * 100.0).astype(np.int64)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        rev = int(np.sum(price_i
+                         * np.rint((1.0 - disc) * 100.0).astype(np.int64)))
+        return _scalar_partial_row(int(keep.sum()), rev)
+
+    parts = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(partial, batch_format="pyarrow", batch_size=8192).to_pandas()
+    if parts.empty:
+        n, rev = 0, 0
+    else:
+        n, (rev,) = _combine_scalar_partials(parts, 1)
+    return pa.table({
+        "n_items": pa.array([n], type=pa.int64()),
+        "revenue_r": pa.array([round_half_away(rev / 10_000.0, 2)],
+                              type=pa.float64()),
+    })
+
+
+Q15_FROM_US = 820_454_400_000_000  # 1996-01-01 epoch-µs
+Q15_TO_US = 828_316_800_000_000  # 1996-04-01 epoch-µs
+
+
+def q15_top_supplier(sf_dir: str):
+    """(s_suppkey, s_name, total_revenue_r): TPC-H Q15 — the supplier(s)
+    with the MAXIMUM revenue over one shipping quarter (the revenue-view +
+    max-subquery query; ties all surface, ordered by s_suppkey).
+
+    Exactness: per-supplier revenue accumulates as exact cents×hundredths
+    integers (per-batch int64 combine per suppkey, Python-int driver
+    merge), so the max comparison and every tie are decided on exact
+    integers — never on a rounded double (the rounding happens once, on
+    the winners' published column).
+
+    Scale shape: the map side combines per suppkey INSIDE each batch, so
+    the exchange carries ≤ |suppliers-in-batch| rows; supplier names
+    resolve by a driver-side point read of the two needed columns. At
+    fact-sized supplier cardinality the per-batch partial keys this
+    exchange exactly like lemma_df's salted groupby — no all-pairs, no
+    full-table sort anywhere."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        m = (ship >= Q15_FROM_US) & (ship < Q15_TO_US)
+        empty = pa.table({"sk": pa.array([], type=pa.int64()),
+                          "hi": pa.array([], type=pa.int64()),
+                          "lo": pa.array([], type=pa.int64())})
+        if not m.any():
+            return empty
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        price_i = np.rint(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False)[m] * 100.0).astype(np.int64)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)[m]
+        rev = price_i * np.rint((1.0 - disc) * 100.0).astype(np.int64)
+        usk, inv = np.unique(sk, return_inverse=True)
+        tot = np.zeros(usk.size, dtype=np.int64)
+        np.add.at(tot, inv, rev)  # int64-exact (bincount would go float)
+        return pa.table({"sk": pa.array(usk),
+                         "hi": pa.array(tot >> np.int64(32)),
+                         "lo": pa.array(tot & np.int64(0xFFFFFFFF))})
+
+    parts = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(partial, batch_format="pyarrow", batch_size=8192).to_pandas()
+    empty = pa.table({"s_suppkey": pa.array([], type=pa.int64()),
+                      "s_name": pa.array([], type=pa.string()),
+                      "total_revenue_r": pa.array([], type=pa.float64())})
+    if parts.empty:
+        return empty
+    parts["t"] = [(int(h) << 32) + int(x)
+                  for h, x in zip(parts["hi"], parts["lo"])]
+    tot = parts.groupby("sk")["t"].apply(lambda s: sum(int(v) for v in s))
+    best = max(tot)  # Python ints: exact at any scale
+    winners = sorted(int(k) for k, v in tot.items() if v == best)
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_name"]).to_pandas()
+    name_of = dict(zip(sup["s_suppkey"], sup["s_name"]))
+    return pa.table({
+        "s_suppkey": pa.array(winners, type=pa.int64()),
+        "s_name": pa.array([name_of.get(k) for k in winners],
+                           type=pa.string()),
+        "total_revenue_r": pa.array(
+            [round_half_away(tot[k] / 10_000.0, 2) for k in winners],
+            type=pa.float64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# TPC-H two-exchange chain family: Q7 / Q8
+# ---------------------------------------------------------------------------
+
+Q7_NATION_A = "NATION_1"
+Q7_NATION_B = "NATION_2"
+Q7_FROM_US = 820_454_400_000_000  # 1996-01-01 epoch-µs
+Q7_Y97_US = 852_076_800_000_000  # 1997-01-01 epoch-µs (year boundary)
+Q7_TO_US = 883_612_800_000_000  # 1998-01-01 epoch-µs
+
+
+def q7_volume_shipping(sf_dir: str):
+    """(supp_nation, cust_nation, l_year, n_items, revenue_r): TPC-H Q7 —
+    trade volume between two nations, split by direction and ship year,
+    over a two-year shipdate window.
+
+    The join story this entry adds on top of q5's chain: an ASYMMETRIC
+    nation-pair gate — the (supplier nation, customer nation) tuple must
+    be one of the two ORDERED pairs, so the partition join carries BOTH
+    sides' nation through the exchange and the gate decides direction,
+    where q5's gate collapses to same-nation equality.
+
+    Scale shape: stage 1 co-partitions orders with pair-filtered customer
+    on custkey (the customer filter drops ~23/25 of customers BEFORE the
+    exchange); stage 2 co-partitions the qualifying-order stream with
+    lineitem on orderkey — the lineitem side is shipdate-windowed,
+    supplier-nation-filtered through one broadcast suppkey→nationkey map,
+    and pre-aggregated per (orderkey, supp nation, year) INSIDE each batch
+    (year is a pure integer threshold on epoch-µs — no datetime per row).
+    Nation names resolve on the driver against the ≤25-row dimension.
+    Revenue is exact cents×hundredths end-to-end (q5 convention)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    pair_nk = nat.loc[nat["n_name"].isin([Q7_NATION_A, Q7_NATION_B]),
+                      "n_nationkey"].to_numpy(dtype=np.int64)
+    pair_nk = np.sort(pair_nk)
+    name_of = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sup = sup[sup["s_nationkey"].isin(pair_nk)]
+    sup_keys = np.sort(sup["s_suppkey"].to_numpy(dtype=np.int64))
+    sup_nk = sup.sort_values("s_suppkey")["s_nationkey"].to_numpy(dtype=np.int64)
+    sup_ref = ray.put((sup_keys, sup_nk))
+
+    def _stage2_empty() -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        return pa.table({"q": z, "side": z, "k": z, "a": z, "b": z})
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cn = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.isin(cn, pair_nk)
+        ck, cn = ck[m], cn[m]
+        return pa.table({"q": pa.array(_hash_partition(ck)),
+                         "side": pa.array(np.zeros(ck.size, dtype=np.int64)),
+                         "k": pa.array(ck), "a": pa.array(cn)})
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"q": pa.array(_hash_partition(ck)),
+                         "side": pa.array(np.ones(ck.size, dtype=np.int64)),
+                         "k": pa.array(ck), "a": pa.array(ok)})
+
+    def join_cust(group: pa.Table) -> pa.Table:
+        """custkey-partition join → (orderkey, cust nation) keyed by ok."""
+        side = group["side"].to_numpy(zero_copy_only=False)
+        k = group["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = group["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c_m = side == 0
+        order = np.argsort(k[c_m], kind="stable")
+        ck_sorted, cn_sorted = k[c_m][order], a[c_m][order]
+        ok, ock = a[~c_m], k[~c_m]
+        if ck_sorted.size == 0 or ok.size == 0:
+            return _stage2_empty()
+        pos = np.minimum(np.searchsorted(ck_sorted, ock), ck_sorted.size - 1)
+        hit = ck_sorted[pos] == ock
+        ok, pos = ok[hit], pos[hit]
+        return pa.table({"q": pa.array(_hash_partition(ok)),
+                         "side": pa.array(np.zeros(ok.size, dtype=np.int64)),
+                         "k": pa.array(ok), "a": pa.array(cn_sorted[pos]),
+                         "b": pa.array(np.zeros(ok.size, dtype=np.int64))})
+
+    def lineitem_side(batch: pa.Table) -> pa.Table:
+        sk, sn = ray.get(sup_ref)
+        ship = batch["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        m = (ship >= Q7_FROM_US) & (ship < Q7_TO_US)
+        if not m.any() or sk.size == 0:
+            return _stage2_empty()
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        lsk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        pos = np.minimum(np.searchsorted(sk, lsk), sk.size - 1)
+        hm = sk[pos] == lsk  # supplier in the nation pair
+        if not hm.any():
+            return _stage2_empty()
+        year = (ship[m][hm] >= Q7_Y97_US).astype(np.int64)  # 0=1996, 1=1997
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[m][hm]
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)[m][hm]
+        rev = (np.rint(price * 100.0).astype(np.int64)
+               * np.rint((1.0 - disc) * 100.0).astype(np.int64))
+        df = pd.DataFrame({"ok": ok[hm], "sy": sn[pos[hm]] * 2 + year,
+                           "rev": rev, "n": 1})
+        g = df.groupby(["ok", "sy"], as_index=False).agg(
+            rev=("rev", "sum"), n=("n", "sum"))
+        okg = g["ok"].to_numpy(dtype=np.int64)
+        # k = orderkey, a = supp_nation*2 + (year-1996), b = revenue
+        # partial, side = 1000 + row count (≥ 1001, never collides with 0)
+        return pa.table({"q": pa.array(_hash_partition(okg)),
+                         "side": pa.array(1000 + g["n"].to_numpy(dtype=np.int64)),
+                         "k": pa.array(okg),
+                         "a": pa.array(g["sy"].to_numpy(dtype=np.int64)),
+                         "b": pa.array(g["rev"].to_numpy(dtype=np.int64))})
+
+    def join_order(group: pa.Table) -> pa.Table:
+        """orderkey-partition join + ordered-pair gate → per-(sn, cn, yr)
+        partials."""
+        side = group["side"].to_numpy(zero_copy_only=False)
+        k = group["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = group["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = group["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o_m = side == 0
+        order = np.argsort(k[o_m], kind="stable")
+        ok_sorted, cn_sorted = k[o_m][order], a[o_m][order]
+        lk, lsy, lrev, lcnt = k[~o_m], a[~o_m], b[~o_m], side[~o_m] - 1000
+        empty = pa.table({"sn": pa.array([], type=pa.int64()),
+                          "cn": pa.array([], type=pa.int64()),
+                          "yr": pa.array([], type=pa.int64()),
+                          "n": pa.array([], type=pa.int64()),
+                          "rev": pa.array([], type=pa.int64())})
+        if ok_sorted.size == 0 or lk.size == 0:
+            return empty
+        pos = np.minimum(np.searchsorted(ok_sorted, lk), ok_sorted.size - 1)
+        hit = ok_sorted[pos] == lk
+        if not hit.any():
+            return empty
+        sn, yr = lsy[hit] // 2, lsy[hit] % 2
+        cn = cn_sorted[pos[hit]]
+        cross = sn != cn  # both ∈ pair ⇒ ordered-pair gate = direction
+        if not cross.any():
+            return empty
+        sn, cn, yr = sn[cross], cn[cross], yr[cross]
+        rev, cnt = lrev[hit][cross], lcnt[hit][cross]
+        key = (sn * 100_000 + cn) * 2 + yr
+        uk, inv = np.unique(key, return_inverse=True)
+        n = np.zeros(uk.size, dtype=np.int64)
+        r = np.zeros(uk.size, dtype=np.int64)
+        np.add.at(n, inv, cnt)
+        np.add.at(r, inv, rev)
+        return pa.table({"sn": pa.array(uk // 2 // 100_000),
+                         "cn": pa.array(uk // 2 % 100_000),
+                         "yr": pa.array(1996 + uk % 2),
+                         "n": pa.array(n), "rev": pa.array(r)})
+
+    cust = read_parquet_clean(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    ).map_batches(cust_side, batch_format="pyarrow")
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+    ).map_batches(orders_side, batch_format="pyarrow")
+    stage1 = cust.union(orders).groupby("q").map_groups(
+        join_cust, batch_format="pyarrow")
+    items = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"],
+    ).map_batches(lineitem_side, batch_format="pyarrow", batch_size=8192)
+    parts = stage1.union(items).groupby("q").map_groups(
+        join_order, batch_format="pyarrow").to_pandas()
+    empty = pa.table({"supp_nation": pa.array([], type=pa.string()),
+                      "cust_nation": pa.array([], type=pa.string()),
+                      "l_year": pa.array([], type=pa.int64()),
+                      "n_items": pa.array([], type=pa.int64()),
+                      "revenue_r": pa.array([], type=pa.float64())})
+    if parts.empty:
+        return empty
+    for c in ("n", "rev"):
+        parts[c] = parts[c].astype(object)  # exact past int64 at scale
+    agg = parts.groupby(["sn", "cn", "yr"], as_index=False).sum()
+    agg["supp_nation"] = agg["sn"].map(name_of)
+    agg["cust_nation"] = agg["cn"].map(name_of)
+    agg = agg.sort_values(["supp_nation", "cust_nation", "yr"])
+    return pa.table({
+        "supp_nation": pa.array(agg["supp_nation"].to_numpy(), type=pa.string()),
+        "cust_nation": pa.array(agg["cust_nation"].to_numpy(), type=pa.string()),
+        "l_year": pa.array(agg["yr"].to_numpy(dtype=np.int64)),
+        "n_items": pa.array(agg["n"].to_numpy(dtype=np.int64)),
+        "revenue_r": pa.array(_round_vec(
+            agg["rev"].to_numpy(dtype=np.float64) / 10_000.0, 2)),
+    })
+
+
+Q8_REGION = "AMERICA"
+Q8_NATION = "NATION_6"  # target supplier nation (inside Q8_REGION here,
+#                         but the semantics don't require that)
+Q8_PTYPE = "ECONOMY"
+Q8_FROM_US = 820_454_400_000_000  # 1996-01-01 epoch-µs (o_orderdate)
+Q8_Y97_US = 852_076_800_000_000  # 1997-01-01 epoch-µs (year boundary)
+Q8_TO_US = 883_612_800_000_000  # 1998-01-01 epoch-µs
+
+
+def q8_market_share(sf_dir: str):
+    """(o_year, n_items, mkt_share_r): TPC-H Q8 — national market share:
+    the fraction of one region's customers' spend on one part type that
+    was supplied by one target nation, per ORDER year.
+
+    The join story this entry adds: a CONDITIONAL-AGGREGATE ratio across a
+    five-table chain — the grouped division Σ(rev · [supp = target]) /
+    Σ(rev), where the numerator's gate travels with the fact rows as a
+    flag bit, not as a separate query.
+
+    Exactness: numerator and denominator accumulate as exact
+    cents×hundredths integers per (year, flag); the one double division
+    per year happens on the driver as float(num)/float(den) — the same
+    IEEE expression the SQL evaluates on the same exact integers — and
+    rounds once at 6 dp.
+
+    Scale shape: two broadcasts (type-filtered partkeys; suppkey→is-target
+    flags) + the q5/q7 two-exchange chain: orders (date-windowed, year
+    attached as an integer threshold bit) co-partition with region-filtered
+    customer on custkey; lineitem (part-filtered before anything else —
+    the most selective gate runs first) pre-aggregates per (orderkey,
+    year?, flag) inside each batch and co-partitions with the qualifying
+    orders on orderkey. The final exchange output is ≤ 4 rows per
+    partition (year × flag)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    rk = set(reg.loc[reg["r_name"] == Q8_REGION, "r_regionkey"])
+    region_nk = np.sort(nat.loc[nat["n_regionkey"].isin(rk),
+                                "n_nationkey"].to_numpy(dtype=np.int64))
+    target_nk = set(nat.loc[nat["n_name"] == Q8_NATION, "n_nationkey"])
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_type"])
+    ptype = np.asarray(part["p_type"].to_pylist(), dtype=object)
+    pkeys = np.sort(part["p_partkey"].to_numpy(
+        zero_copy_only=False)[ptype == Q8_PTYPE].astype(np.int64))
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sup = sup.sort_values("s_suppkey")
+    skeys = sup["s_suppkey"].to_numpy(dtype=np.int64)
+    sflag = sup["s_nationkey"].isin(target_nk).to_numpy(dtype=bool)
+    dims_ref = ray.put((pkeys, skeys, sflag))
+
+    def _stage2_empty() -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        return pa.table({"q": z, "side": z, "k": z, "a": z, "b": z})
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cn = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = ck[np.isin(cn, region_nk)]
+        z = np.zeros(ck.size, dtype=np.int64)
+        # same 5-column shuffle-row schema as orders_side: a ragged union
+        # would null-fill "b" and force a NaN-laden cast downstream
+        return pa.table({"q": pa.array(_hash_partition(ck)),
+                         "side": pa.array(z), "k": pa.array(ck),
+                         "a": pa.array(z), "b": pa.array(z)})
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        odate = batch["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        m = (odate >= Q8_FROM_US) & (odate < Q8_TO_US)
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        yr = (odate[m] >= Q8_Y97_US).astype(np.int64)  # 0=1996, 1=1997
+        return pa.table({"q": pa.array(_hash_partition(ck)),
+                         "side": pa.array(np.ones(ck.size, dtype=np.int64)),
+                         "k": pa.array(ck), "a": pa.array(ok),
+                         "b": pa.array(yr)})
+
+    def join_cust(group: pa.Table) -> pa.Table:
+        """custkey-partition semi-join → (orderkey, order year) stream."""
+        side = group["side"].to_numpy(zero_copy_only=False)
+        k = group["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = group["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c_m = side == 0
+        ck_sorted = np.sort(k[c_m])
+        ok, ock = a[~c_m], k[~c_m]
+        if ck_sorted.size == 0 or ok.size == 0:
+            return _stage2_empty()
+        yr = group["b"].to_numpy(zero_copy_only=False).astype(np.int64)[~c_m]
+        pos = np.minimum(np.searchsorted(ck_sorted, ock), ck_sorted.size - 1)
+        hit = ck_sorted[pos] == ock
+        ok, yr = ok[hit], yr[hit]
+        return pa.table({"q": pa.array(_hash_partition(ok)),
+                         "side": pa.array(np.zeros(ok.size, dtype=np.int64)),
+                         "k": pa.array(ok), "a": pa.array(yr),
+                         "b": pa.array(np.zeros(ok.size, dtype=np.int64))})
+
+    def lineitem_side(batch: pa.Table) -> pa.Table:
+        pks, sks, sfl = ray.get(dims_ref)
+        lpk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if pks.size == 0 or sks.size == 0:
+            return _stage2_empty()
+        pos = np.minimum(np.searchsorted(pks, lpk), pks.size - 1)
+        m = pks[pos] == lpk  # most selective gate first: part type
+        if not m.any():
+            return _stage2_empty()
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        lsk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        spos = np.minimum(np.searchsorted(sks, lsk), sks.size - 1)
+        shit = sks[spos] == lsk  # inner join to supplier
+        if not shit.any():
+            return _stage2_empty()
+        ok = ok[shit]
+        flag = sfl[spos[shit]].astype(np.int64)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[m][shit]
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)[m][shit]
+        rev = (np.rint(price * 100.0).astype(np.int64)
+               * np.rint((1.0 - disc) * 100.0).astype(np.int64))
+        df = pd.DataFrame({"ok": ok, "fl": flag, "rev": rev, "n": 1})
+        g = df.groupby(["ok", "fl"], as_index=False).agg(
+            rev=("rev", "sum"), n=("n", "sum"))
+        okg = g["ok"].to_numpy(dtype=np.int64)
+        # k = orderkey, a = target flag, b = revenue partial,
+        # side = 1000 + row count
+        return pa.table({"q": pa.array(_hash_partition(okg)),
+                         "side": pa.array(1000 + g["n"].to_numpy(dtype=np.int64)),
+                         "k": pa.array(okg),
+                         "a": pa.array(g["fl"].to_numpy(dtype=np.int64)),
+                         "b": pa.array(g["rev"].to_numpy(dtype=np.int64))})
+
+    def join_order(group: pa.Table) -> pa.Table:
+        """orderkey-partition join → per-(year, flag) partials."""
+        side = group["side"].to_numpy(zero_copy_only=False)
+        k = group["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = group["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = group["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o_m = side == 0
+        order = np.argsort(k[o_m], kind="stable")
+        ok_sorted, yr_sorted = k[o_m][order], a[o_m][order]
+        lk, lfl, lrev, lcnt = k[~o_m], a[~o_m], b[~o_m], side[~o_m] - 1000
+        empty = pa.table({"yr": pa.array([], type=pa.int64()),
+                          "fl": pa.array([], type=pa.int64()),
+                          "n": pa.array([], type=pa.int64()),
+                          "rev": pa.array([], type=pa.int64())})
+        if ok_sorted.size == 0 or lk.size == 0:
+            return empty
+        pos = np.minimum(np.searchsorted(ok_sorted, lk), ok_sorted.size - 1)
+        hit = ok_sorted[pos] == lk
+        if not hit.any():
+            return empty
+        key = yr_sorted[pos[hit]] * 2 + lfl[hit]
+        uk, inv = np.unique(key, return_inverse=True)
+        n = np.zeros(uk.size, dtype=np.int64)
+        r = np.zeros(uk.size, dtype=np.int64)
+        np.add.at(n, inv, lcnt[hit])
+        np.add.at(r, inv, lrev[hit])
+        return pa.table({"yr": pa.array(1996 + uk // 2),
+                         "fl": pa.array(uk % 2),
+                         "n": pa.array(n), "rev": pa.array(r)})
+
+    cust = read_parquet_clean(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    ).map_batches(cust_side, batch_format="pyarrow")
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(orders_side, batch_format="pyarrow")
+    stage1 = cust.union(orders).groupby("q").map_groups(
+        join_cust, batch_format="pyarrow")
+    items = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    ).map_batches(lineitem_side, batch_format="pyarrow", batch_size=8192)
+    parts = stage1.union(items).groupby("q").map_groups(
+        join_order, batch_format="pyarrow").to_pandas()
+    empty = pa.table({"o_year": pa.array([], type=pa.int64()),
+                      "n_items": pa.array([], type=pa.int64()),
+                      "mkt_share_r": pa.array([], type=pa.float64())})
+    if parts.empty:
+        return empty
+    for c in ("n", "rev"):
+        parts[c] = parts[c].astype(object)  # exact past int64 at scale
+    agg = parts.groupby(["yr", "fl"], as_index=False).sum()
+    years, n_items, shares = [], [], []
+    for yr, sub in agg.groupby("yr"):
+        den = sum(int(v) for v in sub["rev"])
+        num = sum(int(v) for v in sub.loc[sub["fl"] == 1, "rev"])
+        years.append(int(yr))
+        n_items.append(sum(int(v) for v in sub["n"]))
+        shares.append(round_half_away(float(num) / float(den), 6)
+                      if den else 0.0)
+    return pa.table({
+        "o_year": pa.array(years, type=pa.int64()),
+        "n_items": pa.array(n_items, type=pa.int64()),
+        "mkt_share_r": pa.array(shares, type=pa.float64()),
+    })

@@ -3597,3 +3597,251 @@ class TestJsonlRoundtrip:
         assert got["fp_rt"].tolist() == [
             hashlib.md5(t.encode()).hexdigest() for t in texts]
         assert got["n_chars_rt"].tolist() == [len(t) for t in texts]
+
+
+class TestQ6ForecastRevenue:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            Q6_FROM_US, Q6_TO_US, q6_forecast_revenue)
+
+        li = pq.read_table(
+            f"{SF}/lineitem.parquet",
+            columns=["l_shipdate", "l_discount", "l_quantity",
+                     "l_extendedprice"]).to_pandas()
+        ship = li["l_shipdate"].astype("int64")
+        di = np.rint(li["l_discount"].to_numpy() * 100).astype(np.int64)
+        m = ((ship >= Q6_FROM_US) & (ship < Q6_TO_US)
+             & (di >= 5) & (di <= 7) & (li["l_quantity"] < 24))
+        pi = np.rint(li["l_extendedprice"].to_numpy()[m] * 100).astype(np.int64)
+        from searchengine_ray.pipelines.fulltext import round_half_away
+        got = q6_forecast_revenue(SF).to_pandas().iloc[0]
+        assert got["n_items"] == int(m.sum())
+        assert got["revenue_r"] == round_half_away(
+            float(int(np.sum(pi * di[m.to_numpy()]))) / 10_000.0, 2)
+
+    def test_empty_window(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import q6_forecast_revenue
+
+        pd.DataFrame({
+            "l_shipdate": pd.to_datetime(["1994-01-01"]).astype("datetime64[us]"),  # before window
+            "l_discount": [0.06], "l_quantity": [5.0],
+            "l_extendedprice": [100.0],
+        }).to_parquet(f"{tmp_path}/lineitem.parquet", index=False)
+        got = q6_forecast_revenue(str(tmp_path)).to_pandas().iloc[0]
+        assert (got["n_items"], got["revenue_r"]) == (0, 0.0)
+
+
+class TestQ14PromoRevenue:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            Q14_FROM_US, Q14_TO_US, q14_promo_revenue)
+
+        li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+        part = pq.read_table(f"{SF}/part.parquet").to_pandas()
+        promo = dict(zip(part["p_partkey"],
+                         part["p_type"].str.startswith("PROMO")))
+        ship = li["l_shipdate"].astype("int64")
+        m = (ship >= Q14_FROM_US) & (ship < Q14_TO_US)
+        sub = li[m & li["l_partkey"].isin(promo)]
+        rev = (np.rint(sub["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+               * np.rint((1 - sub["l_discount"].to_numpy()) * 100).astype(np.int64))
+        is_p = sub["l_partkey"].map(promo).to_numpy(dtype=bool)
+        p, t = int(rev[is_p].sum()), int(rev.sum())
+        from searchengine_ray.pipelines.fulltext import round_half_away
+        got = q14_promo_revenue(SF).to_pandas().iloc[0]
+        assert got["n_items"] == len(sub)
+        assert got["promo_pct_r"] == (
+            round_half_away(float(100 * p) / float(t), 6) if t else 0.0)
+
+    def test_planted(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import q14_promo_revenue
+
+        pd.DataFrame({"p_partkey": [1, 2, 3],
+                      "p_type": ["PROMO", "STANDARD", "PROMO_PLUS"],
+                      }).to_parquet(f"{tmp_path}/part.parquet", index=False)
+        pd.DataFrame({
+            "l_partkey": [1, 2, 3, 9, 1],
+            # partkey 9 has no part row → dropped by the inner join;
+            # the last line ships outside the window
+            "l_shipdate": pd.to_datetime(
+                ["1995-09-10", "1995-09-10", "1995-09-10", "1995-09-10",
+                 "1996-01-01"]).astype("datetime64[us]"),
+            "l_extendedprice": [100.0, 100.0, 100.0, 100.0, 100.0],
+            "l_discount": [0.0, 0.0, 0.0, 0.0, 0.0],
+        }).to_parquet(f"{tmp_path}/lineitem.parquet", index=False)
+        got = q14_promo_revenue(str(tmp_path)).to_pandas().iloc[0]
+        assert got["n_items"] == 3
+        # PROMO + PROMO_PLUS = 2 of 3 equal-revenue qualifying lines
+        assert got["promo_pct_r"] == round(100 * 2 / 3, 6)
+
+
+class TestQ15TopSupplier:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            Q15_FROM_US, Q15_TO_US, q15_top_supplier)
+
+        li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+        ship = li["l_shipdate"].astype("int64")
+        sub = li[(ship >= Q15_FROM_US) & (ship < Q15_TO_US)].copy()
+        sub["rev"] = (
+            np.rint(sub["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+            * np.rint((1 - sub["l_discount"].to_numpy()) * 100).astype(np.int64))
+        tot = sub.groupby("l_suppkey")["rev"].sum()
+        best = tot.max()
+        winners = sorted(int(k) for k, v in tot.items() if v == best)
+        got = q15_top_supplier(SF).to_pandas()
+        assert got["s_suppkey"].tolist() == winners
+        from searchengine_ray.pipelines.fulltext import round_half_away
+        assert got["total_revenue_r"].tolist() == [
+            round_half_away(int(best) / 10_000.0, 2)] * len(winners)
+
+    def test_ties_all_surface(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import q15_top_supplier
+
+        pd.DataFrame({"s_suppkey": [1, 2, 3],
+                      "s_name": ["a", "b", "c"],
+                      }).to_parquet(f"{tmp_path}/supplier.parquet", index=False)
+        pd.DataFrame({
+            "l_suppkey": [2, 1, 3],
+            "l_shipdate": pd.to_datetime(["1996-02-01"] * 3).astype("datetime64[us]"),
+            "l_extendedprice": [50.0, 50.0, 10.0],
+            "l_discount": [0.0, 0.0, 0.0],
+        }).to_parquet(f"{tmp_path}/lineitem.parquet", index=False)
+        got = q15_top_supplier(str(tmp_path)).to_pandas()
+        assert got["s_suppkey"].tolist() == [1, 2]  # tie, suppkey order
+        assert got["s_name"].tolist() == ["a", "b"]
+        assert got["total_revenue_r"].tolist() == [50.0, 50.0]
+
+
+class TestQ19DiscountedRevenue:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            Q19_BRANCHES, q19_discounted_revenue)
+
+        li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+        part = pq.read_table(f"{SF}/part.parquet").to_pandas()
+        j = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+        keep = np.zeros(len(j), dtype=bool)
+        for brand, max_size, qlo, qhi in Q19_BRANCHES:
+            keep |= ((j["p_brand"] == brand).to_numpy()
+                     & (j["p_size"].to_numpy() >= 1)
+                     & (j["p_size"].to_numpy() <= max_size)
+                     & (j["l_quantity"].to_numpy() >= qlo)
+                     & (j["l_quantity"].to_numpy() <= qhi))
+        sub = j[keep]
+        rev = int(np.sum(
+            np.rint(sub["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+            * np.rint((1 - sub["l_discount"].to_numpy()) * 100).astype(np.int64)))
+        from searchengine_ray.pipelines.fulltext import round_half_away
+        got = q19_discounted_revenue(SF).to_pandas().iloc[0]
+        assert got["n_items"] == int(keep.sum())
+        assert got["revenue_r"] == round_half_away(rev / 10_000.0, 2)
+
+    def test_branch_boundaries(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import q19_discounted_revenue
+
+        pd.DataFrame({
+            "p_partkey": [1, 2, 3],
+            "p_brand": ["Brand#12", "Brand#23", "Brand#12"],
+            "p_size": [5, 11, 3],  # part 2: size 11 > branch-2 max 10
+        }).to_parquet(f"{tmp_path}/part.parquet", index=False)
+        pd.DataFrame({
+            "l_partkey": [1, 1, 2, 3],
+            # qty 11 hits branch-1's upper bound; 12 just misses it
+            "l_quantity": [11.0, 12.0, 15.0, 1.0],
+            "l_extendedprice": [100.0, 100.0, 100.0, 100.0],
+            "l_discount": [0.0, 0.0, 0.0, 0.0],
+        }).to_parquet(f"{tmp_path}/lineitem.parquet", index=False)
+        got = q19_discounted_revenue(str(tmp_path)).to_pandas().iloc[0]
+        assert got["n_items"] == 2  # (1, qty 11) and (3, qty 1)
+        assert got["revenue_r"] == 200.0
+
+
+class TestQ7VolumeShipping:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            Q7_FROM_US, Q7_NATION_A, Q7_NATION_B, Q7_TO_US,
+            q7_volume_shipping)
+
+        nat = pq.read_table(f"{SF}/nation.parquet").to_pandas()
+        nk = dict(zip(nat["n_name"], nat["n_nationkey"]))
+        name = dict(zip(nat["n_nationkey"], nat["n_name"]))
+        sup = pq.read_table(f"{SF}/supplier.parquet").to_pandas()
+        cust = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+        orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+        li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+        pair = {nk[Q7_NATION_A], nk[Q7_NATION_B]}
+        j = (li.merge(sup[["s_suppkey", "s_nationkey"]],
+                      left_on="l_suppkey", right_on="s_suppkey")
+               .merge(orders[["o_orderkey", "o_custkey"]],
+                      left_on="l_orderkey", right_on="o_orderkey")
+               .merge(cust[["c_custkey", "c_nationkey"]],
+                      left_on="o_custkey", right_on="c_custkey"))
+        ship = j["l_shipdate"].astype("int64")
+        m = ((ship >= Q7_FROM_US) & (ship < Q7_TO_US)
+             & j["s_nationkey"].isin(pair) & j["c_nationkey"].isin(pair)
+             & (j["s_nationkey"] != j["c_nationkey"]))
+        sub = j[m].copy()
+        sub["rev"] = (
+            np.rint(sub["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+            * np.rint((1 - sub["l_discount"].to_numpy()) * 100).astype(np.int64))
+        sub["yr"] = sub["l_shipdate"].dt.year
+        exp = (sub.groupby(["s_nationkey", "c_nationkey", "yr"])
+               .agg(n=("rev", "size"), rev=("rev", "sum")).reset_index())
+        exp["supp_nation"] = exp["s_nationkey"].map(name)
+        exp["cust_nation"] = exp["c_nationkey"].map(name)
+        exp = exp.sort_values(["supp_nation", "cust_nation", "yr"])
+        got = q7_volume_shipping(SF).to_pandas()
+        assert got["supp_nation"].tolist() == exp["supp_nation"].tolist()
+        assert got["cust_nation"].tolist() == exp["cust_nation"].tolist()
+        assert got["l_year"].tolist() == exp["yr"].tolist()
+        assert got["n_items"].tolist() == exp["n"].tolist()
+        from searchengine_ray.pipelines.fulltext import round_half_away
+        assert got["revenue_r"].tolist() == [
+            round_half_away(int(v) / 10_000.0, 2) for v in exp["rev"]]
+
+
+class TestQ8MarketShare:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            Q8_FROM_US, Q8_NATION, Q8_PTYPE, Q8_REGION, Q8_TO_US,
+            q8_market_share)
+
+        nat = pq.read_table(f"{SF}/nation.parquet").to_pandas()
+        reg = pq.read_table(f"{SF}/region.parquet").to_pandas()
+        rk = set(reg.loc[reg["r_name"] == Q8_REGION, "r_regionkey"])
+        region_nk = set(nat.loc[nat["n_regionkey"].isin(rk), "n_nationkey"])
+        target_nk = set(nat.loc[nat["n_name"] == Q8_NATION, "n_nationkey"])
+        part = pq.read_table(f"{SF}/part.parquet").to_pandas()
+        pks = set(part.loc[part["p_type"] == Q8_PTYPE, "p_partkey"])
+        sup = pq.read_table(f"{SF}/supplier.parquet").to_pandas()
+        cust = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+        orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+        li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+        j = (li[li["l_partkey"].isin(pks)]
+             .merge(sup[["s_suppkey", "s_nationkey"]],
+                    left_on="l_suppkey", right_on="s_suppkey")
+             .merge(orders[["o_orderkey", "o_custkey", "o_orderdate"]],
+                    left_on="l_orderkey", right_on="o_orderkey")
+             .merge(cust[["c_custkey", "c_nationkey"]],
+                    left_on="o_custkey", right_on="c_custkey"))
+        od = j["o_orderdate"].astype("int64")
+        m = ((od >= Q8_FROM_US) & (od < Q8_TO_US)
+             & j["c_nationkey"].isin(region_nk))
+        sub = j[m].copy()
+        sub["rev"] = (
+            np.rint(sub["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+            * np.rint((1 - sub["l_discount"].to_numpy()) * 100).astype(np.int64))
+        sub["yr"] = sub["o_orderdate"].dt.year
+        sub["tgt"] = sub["s_nationkey"].isin(target_nk)
+        got = q8_market_share(SF).to_pandas()
+        from searchengine_ray.pipelines.fulltext import round_half_away
+        exp_years = sorted(sub["yr"].unique())
+        assert got["o_year"].tolist() == [int(y) for y in exp_years]
+        for _, row in got.iterrows():
+            s = sub[sub["yr"] == row["o_year"]]
+            assert row["n_items"] == len(s)
+            num = int(s.loc[s["tgt"], "rev"].sum())
+            den = int(s["rev"].sum())
+            assert row["mkt_share_r"] == round_half_away(
+                float(num) / float(den), 6)
