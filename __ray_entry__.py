@@ -349,6 +349,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fact rows, exact int num/den, one double division per year
         # (oracle: 8-table CTE + CASE ratio; r4)
         "q8_market_share": relational.q8_market_share,
+        # PIVOT (long→wide conditional aggregation): one wide row per user
+        # with a count column per event type + exact 4-dp value sum, via
+        # the shared user co-partition — output streams, never funnels
+        # through the driver (oracle: sum(CASE WHEN) fan-out; r4)
+        "pivot_events": relational.pivot_events,
         # ordered-collect aggregate: per-user event-type sequence joined
         # in (ts, event_id) order — string_agg(ORDER BY) surface (oracle:
         # string_agg with ORDER BY; r4)
@@ -1929,6 +1934,18 @@ WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
        AND l.l_quantity BETWEEN 10 AND 20)
    OR (p.p_brand = 'Brand#5' AND p.p_size BETWEEN 1 AND 15
        AND l.l_quantity BETWEEN 20 AND 30)""",
+        # PIVOT: counts are plain CASE sums; the value sum quantizes to the
+        # column's exact 4-dp integer image on both sides (group_moments
+        # convention) so partial order can't flip the rounding
+        "pivot_events": """
+SELECT user_id,
+  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+  round(sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0, 4) AS sum_value_r
+FROM events GROUP BY user_id ORDER BY user_id""",
         "q7_volume_shipping": """
 SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
        CAST(year(l.l_shipdate) AS BIGINT) AS l_year,

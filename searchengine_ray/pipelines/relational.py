@@ -4161,3 +4161,85 @@ def q8_market_share(sf_dir: str):
         "n_items": pa.array(n_items, type=pa.int64()),
         "mkt_share_r": pa.array(shares, type=pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# PIVOT: long → wide conditional aggregation
+# ---------------------------------------------------------------------------
+
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_events(sf_dir: str):
+    """(user_id, n_click, n_error, n_purchase, n_signup, n_view,
+    sum_value_r): the PIVOT surface — one wide row per user with a count
+    column per event type plus the user's total value — the long→wide
+    conditional aggregation every feature-engineering pipeline runs before
+    model training (the classic ``sum(CASE WHEN type = t THEN 1 END)``
+    fan-out; no other entry materializes per-key columns from row values).
+
+    Exactness: counts are int64 end-to-end; the value sum accumulates the
+    column's exact 4-dp integer image (round(10⁴·value), the group_moments
+    convention) per partial, so partial-summation order can never flip the
+    published rounding.
+
+    Scale shape: user_id is a fact-sized key, so the pivot rides the
+    shared ``_USER_PARTITIONS`` hash co-partition: per-batch combine per
+    (user, type code) BEFORE the exchange (≤ users×5 rows per batch on
+    the wire), then each partition owns all rows of its users and emits
+    finished wide rows — the output never funnels through the driver
+    (returned as a streaming Dataset). The type vocabulary is FIXED by
+    contract (PIVOT_TYPES); an unexpected type fails loudly rather than
+    silently widening the schema — pivot semantics require a declared
+    column set, exactly like SQL's.
+
+    Cites the reference's statistics assembly (StatisticsServiceImpl
+    builds a per-site wide row from long lemma/page counts) as the
+    behavioural analogue.
+    """
+    import pandas as pd
+
+    t_code = {t: i for i, t in enumerate(PIVOT_TYPES)}
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = batch["event_type"].to_pylist()
+        vi = np.rint(batch["value"].to_numpy(zero_copy_only=False)
+                     * 10_000.0).astype(np.int64)
+        code = np.asarray([t_code[t] for t in et], dtype=np.int64)
+        df = pd.DataFrame({"u": u, "c": code, "n": 1, "vi": vi})
+        g = df.groupby(["u", "c"], as_index=False).agg(
+            n=("n", "sum"), vi=("vi", "sum"))
+        return pa.table({
+            "q": pa.array((g["u"].to_numpy(dtype=np.int64)
+                           % _USER_PARTITIONS)),
+            "u": pa.array(g["u"].to_numpy(dtype=np.int64)),
+            "c": pa.array(g["c"].to_numpy(dtype=np.int64)),
+            "n": pa.array(g["n"].to_numpy(dtype=np.int64)),
+            "vi": pa.array(g["vi"].to_numpy(dtype=np.int64)),
+        })
+
+    def widen(group: pa.Table) -> pa.Table:
+        u = group["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = group["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = group["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vi = group["vi"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uu, inv = np.unique(u, return_inverse=True)
+        counts = np.zeros((uu.size, len(PIVOT_TYPES)), dtype=np.int64)
+        np.add.at(counts, (inv, c), n)
+        val = np.zeros(uu.size, dtype=np.int64)
+        np.add.at(val, inv, vi)
+        cols = {"user_id": pa.array(uu)}
+        for i, t in enumerate(PIVOT_TYPES):
+            cols[f"n_{t}"] = pa.array(counts[:, i])
+        cols["sum_value_r"] = pa.array(
+            _round_vec(val.astype(np.float64) / 10_000.0, 4))
+        return pa.table(cols)
+
+    return (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["user_id", "event_type", "value"])
+        .map_batches(pair_partials, batch_format="pyarrow", batch_size=8192)
+        .groupby("q")
+        .map_groups(widen, batch_format="pyarrow")
+    )

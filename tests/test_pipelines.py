@@ -3845,3 +3845,50 @@ class TestQ8MarketShare:
             den = int(s["rev"].sum())
             assert row["mkt_share_r"] == round_half_away(
                 float(num) / float(den), 6)
+
+
+class TestPivotEvents:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            PIVOT_TYPES, pivot_events)
+
+        ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+        got = (pivot_events(SF).to_pandas()
+               .sort_values("user_id").reset_index(drop=True))
+        assert got["user_id"].tolist() == sorted(ev["user_id"].unique())
+        # one wide row per user; counts reconstruct the long table exactly
+        for t in PIVOT_TYPES:
+            exp = ev[ev["event_type"] == t].groupby("user_id").size()
+            assert got.set_index("user_id")[f"n_{t}"].to_dict() == {
+                int(u): int(exp.get(u, 0)) for u in got["user_id"]}
+        from searchengine_ray.pipelines.fulltext import round_half_away
+        vi = np.rint(ev["value"].to_numpy() * 10_000).astype(np.int64)
+        exp_v = pd.Series(vi).groupby(ev["user_id"].to_numpy()).sum()
+        for _, row in got.iterrows():
+            assert row["sum_value_r"] == round_half_away(
+                int(exp_v[row["user_id"]]) / 10_000.0, 4)
+
+    def test_unknown_type_fails_loudly(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import pivot_events
+
+        pd.DataFrame({
+            "user_id": [1], "event_type": ["mystery"], "value": [1.0],
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        with pytest.raises(Exception):  # pivot needs a declared column set
+            pivot_events(str(tmp_path)).to_pandas()
+
+    def test_zero_columns_planted(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import pivot_events
+
+        pd.DataFrame({
+            "user_id": [7, 7, 8],
+            "event_type": ["click", "click", "view"],
+            "value": [1.5, 2.25, -1.0],
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = (pivot_events(str(tmp_path)).to_pandas()
+               .sort_values("user_id").reset_index(drop=True))
+        assert got["user_id"].tolist() == [7, 8]
+        assert got["n_click"].tolist() == [2, 0]
+        assert got["n_view"].tolist() == [0, 1]
+        assert got["n_purchase"].tolist() == [0, 0]
+        assert got["sum_value_r"].tolist() == [3.75, -1.0]
