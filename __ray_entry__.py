@@ -349,6 +349,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fact rows, exact int num/den, one double division per year
         # (oracle: 8-table CTE + CASE ratio; r4)
         "q8_market_share": relational.q8_market_share,
+        # JSON schema-on-read: aggregate over a value extracted from the
+        # semi-structured props bag — TRY_CAST(json_extract) semantics,
+        # int64 partials per type (oracle: DuckDB json functions; r4)
+        "json_extract_stats": relational.json_extract_stats,
         # PIVOT (long→wide conditional aggregation): one wide row per user
         # with a count column per event type + exact 4-dp value sum, via
         # the shared user co-partition — output streams, never funnels
@@ -1934,6 +1938,26 @@ WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
        AND l.l_quantity BETWEEN 10 AND 20)
    OR (p.p_brand = 'Brand#5' AND p.p_size BETWEEN 1 AND 15
        AND l.l_quantity BETWEEN 20 AND 30)""",
+        # JSON extraction: json_valid guards malformed rows (json_extract
+        # ERRORS on bad JSON, it doesn't NULL); json_type gates to JSON
+        # integers only — TRY_CAST alone would round a float ('1.5'→2)
+        # and coerce a string ('"5"'→5), both of which the engine (and
+        # JSON-integer semantics) reject; TRY_CAST then drops the rare
+        # beyond-int64 integer exactly like the engine's range gate
+        "json_extract_stats": """
+WITH x AS (
+  SELECT event_type,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              AND json_type(json_extract(props, '$.k'))
+                  IN ('UBIGINT', 'BIGINT')
+              THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+         END AS k
+  FROM events)
+SELECT event_type, CAST(count(k) AS BIGINT) AS n_valid,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       round(CAST(sum(k) AS DOUBLE) / count(k), 4) AS avg_k_r
+FROM x WHERE k IS NOT NULL
+GROUP BY event_type ORDER BY event_type""",
         # PIVOT: counts are plain CASE sums; the value sum quantizes to the
         # column's exact 4-dp integer image on both sides (group_moments
         # convention) so partial order can't flip the rounding

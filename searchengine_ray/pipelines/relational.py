@@ -4243,3 +4243,83 @@ def pivot_events(sf_dir: str):
         .groupby("q")
         .map_groups(widen, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured (JSON) column extraction
+# ---------------------------------------------------------------------------
+
+
+def json_extract_stats(sf_dir: str):
+    """(event_type, n_valid, sum_k, avg_k_r): aggregate over a value
+    EXTRACTED from the semi-structured ``props`` JSON column — the
+    schema-on-read surface (every other entry consumes typed columns;
+    real event streams carry a JSON properties bag exactly like this).
+
+    Semantics mirror SQL's ``TRY_CAST(json_extract_string(props, '$.k')
+    AS BIGINT)``: a row contributes iff ``props`` parses as JSON AND has
+    a top-level integer ``k`` — malformed JSON, missing key, float, bool,
+    string and null values all drop (JSON ``true`` is a bool, not an int,
+    on both sides; floats fail the BIGINT cast).
+
+    Exactness: per-batch int64 (sum, count) partials per event type (the
+    extraction loop is per-row ``json.loads`` — correct-by-construction
+    JSON semantics; at 100 TB this stage would swap in a vectorized
+    simdjson-style extractor behind the same contract, the documented
+    multimodal-decoder pattern); the ≤|types|-group exchange combines
+    exactly and the one avg division is the mirrored IEEE double op."""
+    import json as _json
+
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_pylist()
+        ks = []
+        for p in batch["props"].to_pylist():
+            k = None
+            if p is not None:
+                try:
+                    v = _json.loads(p)
+                    kv = v.get("k") if isinstance(v, dict) else None
+                    # JSON integer only (bool is an int subclass; floats
+                    # and numeric strings are NOT integers — the oracle's
+                    # json_type gate), within int64 like the BIGINT cast
+                    if (isinstance(kv, int) and not isinstance(kv, bool)
+                            and -(1 << 63) <= kv < (1 << 63)):
+                        k = kv
+                except (ValueError, TypeError):
+                    pass
+            ks.append(k)
+        df = pd.DataFrame({"et": et, "k": ks})
+        df = df[df["k"].notna()]
+        if df.empty:
+            return pa.table({"et": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.int64())})
+        g = df.groupby("et", as_index=False).agg(
+            n=("k", "size"), s=("k", "sum"))
+        return pa.table({"et": pa.array(g["et"].tolist(), type=pa.string()),
+                         "n": pa.array(g["n"].to_numpy(dtype=np.int64)),
+                         "s": pa.array(g["s"].to_numpy(dtype=np.int64))})
+
+    parts = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "props"],
+    ).map_batches(partial, batch_format="pyarrow", batch_size=8192).to_pandas()
+    if parts.empty:
+        return pa.table({"event_type": pa.array([], type=pa.string()),
+                         "n_valid": pa.array([], type=pa.int64()),
+                         "sum_k": pa.array([], type=pa.int64()),
+                         "avg_k_r": pa.array([], type=pa.float64())})
+    for c in ("n", "s"):
+        parts[c] = parts[c].astype(object)  # exact past int64 at scale
+    agg = parts.groupby("et", as_index=False).sum().sort_values("et")
+    n = agg["n"].to_numpy(dtype=np.int64)
+    s = [int(v) for v in agg["s"]]
+    return pa.table({
+        "event_type": pa.array(agg["et"].tolist(), type=pa.string()),
+        "n_valid": pa.array(n),
+        "sum_k": pa.array(s, type=pa.int64()),
+        "avg_k_r": pa.array([round_half_away(float(sv) / int(nv), 4)
+                             for sv, nv in zip(s, n)], type=pa.float64()),
+    })

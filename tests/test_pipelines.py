@@ -3892,3 +3892,56 @@ class TestPivotEvents:
         assert got["n_view"].tolist() == [0, 1]
         assert got["n_purchase"].tolist() == [0, 0]
         assert got["sum_value_r"].tolist() == [3.75, -1.0]
+
+
+class TestJsonExtractStats:
+    def test_matches_bruteforce(self, ray_session):
+        import json as _json
+
+        from searchengine_ray.pipelines.relational import json_extract_stats
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["event_type", "props"]).to_pandas()
+        rows = {}
+        for et, p in zip(ev["event_type"], ev["props"]):
+            try:
+                kv = _json.loads(p).get("k")
+            except (ValueError, TypeError, AttributeError):
+                continue
+            if isinstance(kv, int) and not isinstance(kv, bool):
+                n, s = rows.get(et, (0, 0))
+                rows[et] = (n + 1, s + kv)
+        got = json_extract_stats(SF).to_pandas()
+        assert got["event_type"].tolist() == sorted(rows)
+        from searchengine_ray.pipelines.fulltext import round_half_away
+        for _, r in got.iterrows():
+            n, s = rows[r["event_type"]]
+            assert (r["n_valid"], r["sum_k"]) == (n, s)
+            assert r["avg_k_r"] == round_half_away(float(s) / n, 4)
+
+    def test_json_semantics_gates(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import json_extract_stats
+
+        pd.DataFrame({
+            "event_type": ["a"] * 10,
+            # only the integer rows count: floats, bools, numeric strings,
+            # nulls, missing keys, malformed JSON and beyond-int64 all drop
+            "props": ['{"k": 87}', '{"k": -3}', '{"k": 1.5}', '{"k": true}',
+                      '{"k": "5"}', '{"k": null}', '{"x": 1}', 'not json',
+                      None, '{"k": 9223372036854775808}'],
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = json_extract_stats(str(tmp_path)).to_pandas()
+        assert got["event_type"].tolist() == ["a"]
+        assert got["n_valid"].tolist() == [2]
+        assert got["sum_k"].tolist() == [84]
+        assert got["avg_k_r"].tolist() == [42.0]
+
+    def test_all_invalid_empty(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import json_extract_stats
+
+        pd.DataFrame({
+            "event_type": ["a", "b"],
+            "props": ["nope", '{"k": "str"}'],
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = json_extract_stats(str(tmp_path)).to_pandas()
+        assert len(got) == 0
