@@ -2004,8 +2004,10 @@ WITH vol AS (
     AND o.o_orderdate < TIMESTAMP '1998-01-01'
     AND p.p_type = 'ECONOMY')
 SELECT o_year, CAST(count(*) AS BIGINT) AS n_items,
-       round(CAST(sum(CASE WHEN is_target THEN rev ELSE 0 END) AS DOUBLE)
-             / CAST(sum(rev) AS DOUBLE), 6) AS mkt_share_r
+       CASE WHEN sum(rev) = 0 THEN 0.0
+            ELSE round(CAST(sum(CASE WHEN is_target THEN rev ELSE 0 END)
+                            AS DOUBLE) / CAST(sum(rev) AS DOUBLE), 6)
+       END AS mkt_share_r
 FROM vol GROUP BY o_year ORDER BY o_year""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers

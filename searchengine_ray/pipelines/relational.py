@@ -3754,9 +3754,14 @@ def q15_top_supplier(sf_dir: str):
     sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
                         columns=["s_suppkey", "s_name"]).to_pandas()
     name_of = dict(zip(sup["s_suppkey"], sup["s_name"]))
+    # inner join to supplier: a max-revenue suppkey with no supplier row
+    # drops entirely (the oracle's JOIN supplier), it does NOT surface
+    # with a NULL name — note the max itself is still taken over ALL
+    # suppkeys, exactly like the revenue-view subquery
+    winners = [k for k in winners if k in name_of]
     return pa.table({
         "s_suppkey": pa.array(winners, type=pa.int64()),
-        "s_name": pa.array([name_of.get(k) for k in winners],
+        "s_name": pa.array([name_of[k] for k in winners],
                            type=pa.string()),
         "total_revenue_r": pa.array(
             [round_half_away(tot[k] / 10_000.0, 2) for k in winners],
@@ -4206,34 +4211,49 @@ def pivot_events(sf_dir: str):
         et = batch["event_type"].to_pylist()
         vi = np.rint(batch["value"].to_numpy(zero_copy_only=False)
                      * 10_000.0).astype(np.int64)
+        # (hi, lo) split BEFORE any summation (the q15/group_moments
+        # convention): per-row |hi| < 2^31 and lo < 2^32, so per-batch
+        # per-group sums stay far from the int64 ceiling even when the
+        # raw 4-dp images are near it — a plain vi sum would wrap
+        # silently on one hot user
         code = np.asarray([t_code[t] for t in et], dtype=np.int64)
-        df = pd.DataFrame({"u": u, "c": code, "n": 1, "vi": vi})
+        df = pd.DataFrame({"u": u, "c": code, "n": 1,
+                           "vh": vi >> np.int64(32),
+                           "vl": vi & np.int64(0xFFFFFFFF)})
         g = df.groupby(["u", "c"], as_index=False).agg(
-            n=("n", "sum"), vi=("vi", "sum"))
+            n=("n", "sum"), vh=("vh", "sum"), vl=("vl", "sum"))
         return pa.table({
             "q": pa.array((g["u"].to_numpy(dtype=np.int64)
                            % _USER_PARTITIONS)),
             "u": pa.array(g["u"].to_numpy(dtype=np.int64)),
             "c": pa.array(g["c"].to_numpy(dtype=np.int64)),
             "n": pa.array(g["n"].to_numpy(dtype=np.int64)),
-            "vi": pa.array(g["vi"].to_numpy(dtype=np.int64)),
+            "vh": pa.array(g["vh"].to_numpy(dtype=np.int64)),
+            "vl": pa.array(g["vl"].to_numpy(dtype=np.int64)),
         })
 
     def widen(group: pa.Table) -> pa.Table:
         u = group["u"].to_numpy(zero_copy_only=False).astype(np.int64)
         c = group["c"].to_numpy(zero_copy_only=False).astype(np.int64)
         n = group["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-        vi = group["vi"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vh = group["vh"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vl = group["vl"].to_numpy(zero_copy_only=False).astype(np.int64)
         uu, inv = np.unique(u, return_inverse=True)
         counts = np.zeros((uu.size, len(PIVOT_TYPES)), dtype=np.int64)
         np.add.at(counts, (inv, c), n)
-        val = np.zeros(uu.size, dtype=np.int64)
-        np.add.at(val, inv, vi)
+        hi = np.zeros(uu.size, dtype=np.int64)
+        lo = np.zeros(uu.size, dtype=np.int64)
+        np.add.at(hi, inv, vh)
+        np.add.at(lo, inv, vl)
+        # reconstruct hi·2³² + lo in float64: exact whenever the user
+        # total is < 2^53 (and never garbage beyond — the bare int64
+        # path wrapped); the publish division mirrors the oracle's
+        # HUGEINT-sum / 10000.0 double op
+        val = hi.astype(np.float64) * 4294967296.0 + lo.astype(np.float64)
         cols = {"user_id": pa.array(uu)}
         for i, t in enumerate(PIVOT_TYPES):
             cols[f"n_{t}"] = pa.array(counts[:, i])
-        cols["sum_value_r"] = pa.array(
-            _round_vec(val.astype(np.float64) / 10_000.0, 4))
+        cols["sum_value_r"] = pa.array(_round_vec(val / 10_000.0, 4))
         return pa.table(cols)
 
     return (
@@ -4262,45 +4282,53 @@ def json_extract_stats(sf_dir: str):
     string and null values all drop (JSON ``true`` is a bool, not an int,
     on both sides; floats fail the BIGINT cast).
 
-    Exactness: per-batch int64 (sum, count) partials per event type (the
-    extraction loop is per-row ``json.loads`` — correct-by-construction
-    JSON semantics; at 100 TB this stage would swap in a vectorized
-    simdjson-style extractor behind the same contract, the documented
-    multimodal-decoder pattern); the ≤|types|-group exchange combines
-    exactly and the one avg division is the mirrored IEEE double op."""
+    Exactness: per-batch (count, sum) partials per event type accumulate
+    as PYTHON ints in a plain dict (a pandas int column would coerce the
+    int/None mix to float64 and silently lose precision past 2^53; the
+    sum column ships as a decimal string so no int64 ceiling exists
+    anywhere in the partial path). The extraction loop is per-row
+    ``json.loads`` — correct-by-construction JSON semantics; at 100 TB
+    this stage would swap in a vectorized simdjson-style extractor behind
+    the same contract, the documented multimodal-decoder pattern. The
+    ≤|types|-group exchange combines exactly and the one avg division is
+    the mirrored IEEE double op. Duplicate top-level keys resolve
+    FIRST-wins via ``object_pairs_hook`` — DuckDB's ``json_extract``
+    returns the first occurrence, while bare ``json.loads`` keeps the
+    last."""
     import json as _json
 
-    import pandas as pd
+    def _first_wins(pairs):
+        d = {}
+        for kk, vv in pairs:
+            if kk not in d:
+                d[kk] = vv
+        return d
 
     def partial(batch: pa.Table) -> pa.Table:
         et = batch["event_type"].to_pylist()
-        ks = []
-        for p in batch["props"].to_pylist():
-            k = None
-            if p is not None:
-                try:
-                    v = _json.loads(p)
-                    kv = v.get("k") if isinstance(v, dict) else None
-                    # JSON integer only (bool is an int subclass; floats
-                    # and numeric strings are NOT integers — the oracle's
-                    # json_type gate), within int64 like the BIGINT cast
-                    if (isinstance(kv, int) and not isinstance(kv, bool)
-                            and -(1 << 63) <= kv < (1 << 63)):
-                        k = kv
-                except (ValueError, TypeError):
-                    pass
-            ks.append(k)
-        df = pd.DataFrame({"et": et, "k": ks})
-        df = df[df["k"].notna()]
-        if df.empty:
-            return pa.table({"et": pa.array([], type=pa.string()),
-                             "n": pa.array([], type=pa.int64()),
-                             "s": pa.array([], type=pa.int64())})
-        g = df.groupby("et", as_index=False).agg(
-            n=("k", "size"), s=("k", "sum"))
-        return pa.table({"et": pa.array(g["et"].tolist(), type=pa.string()),
-                         "n": pa.array(g["n"].to_numpy(dtype=np.int64)),
-                         "s": pa.array(g["s"].to_numpy(dtype=np.int64))})
+        acc: dict[str, list[int]] = {}
+        for t, p in zip(et, batch["props"].to_pylist()):
+            if p is None:
+                continue
+            try:
+                v = _json.loads(p, object_pairs_hook=_first_wins)
+            except (ValueError, TypeError):
+                continue
+            kv = v.get("k") if isinstance(v, dict) else None
+            # JSON integer only (bool is an int subclass; floats and
+            # numeric strings are NOT integers — the oracle's json_type
+            # gate), within int64 like the BIGINT cast
+            if (isinstance(kv, int) and not isinstance(kv, bool)
+                    and -(1 << 63) <= kv < (1 << 63)):
+                a = acc.setdefault(t, [0, 0])
+                a[0] += 1
+                a[1] += kv
+        keys = sorted(acc)
+        return pa.table({"et": pa.array(keys, type=pa.string()),
+                         "n": pa.array([acc[k][0] for k in keys],
+                                       type=pa.int64()),
+                         "s": pa.array([str(acc[k][1]) for k in keys],
+                                       type=pa.string())})
 
     parts = read_parquet_clean(
         os.path.join(sf_dir, "events.parquet"),
@@ -4311,8 +4339,8 @@ def json_extract_stats(sf_dir: str):
                          "n_valid": pa.array([], type=pa.int64()),
                          "sum_k": pa.array([], type=pa.int64()),
                          "avg_k_r": pa.array([], type=pa.float64())})
-    for c in ("n", "s"):
-        parts[c] = parts[c].astype(object)  # exact past int64 at scale
+    parts["n"] = parts["n"].astype(object)  # exact past int64 at scale
+    parts["s"] = [int(v) for v in parts["s"]]  # decimal string → exact int
     agg = parts.groupby("et", as_index=False).sum().sort_values("et")
     n = agg["n"].to_numpy(dtype=np.int64)
     s = [int(v) for v in agg["s"]]

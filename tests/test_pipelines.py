@@ -3945,3 +3945,129 @@ class TestJsonExtractStats:
         }).to_parquet(f"{tmp_path}/events.parquet", index=False)
         got = json_extract_stats(str(tmp_path)).to_pandas()
         assert len(got) == 0
+
+class TestReviewRegressionsR4S11:
+    """Planted fixtures for the round-4 session-11 review findings:
+    FK-violating q15 winners, q8 zero-denominator, json duplicate keys /
+    past-2^53 exactness, pivot hot-user int64 wrap."""
+
+    def test_q15_fk_violating_winner_drops(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import q15_top_supplier
+
+        # suppkey 99 wins on revenue but has no supplier row: the inner
+        # join drops it entirely (0 rows), it does NOT surface with a
+        # NULL name — and the max is NOT re-taken among joined suppliers
+        pd.DataFrame({"s_suppkey": [1], "s_name": ["a"]}).to_parquet(
+            f"{tmp_path}/supplier.parquet", index=False)
+        pd.DataFrame({
+            "l_suppkey": [99, 1],
+            "l_shipdate": pd.to_datetime(
+                ["1996-02-01"] * 2).astype("datetime64[us]"),
+            "l_extendedprice": [100.0, 50.0],
+            "l_discount": [0.0, 0.0],
+        }).to_parquet(f"{tmp_path}/lineitem.parquet", index=False)
+        got = q15_top_supplier(str(tmp_path)).to_pandas()
+        assert len(got) == 0
+
+    def test_q8_zero_denominator_year(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import q8_market_share
+
+        # every qualifying line item has price 0 → den = 0 for 1996;
+        # both the engine and the (now CASE-guarded) oracle publish 0.0
+        pd.DataFrame({"r_regionkey": [0], "r_name": ["AMERICA"]}).to_parquet(
+            f"{tmp_path}/region.parquet", index=False)
+        pd.DataFrame({"n_nationkey": [6], "n_regionkey": [0],
+                      "n_name": ["NATION_6"]}).to_parquet(
+            f"{tmp_path}/nation.parquet", index=False)
+        pd.DataFrame({"p_partkey": [1], "p_type": ["ECONOMY"]}).to_parquet(
+            f"{tmp_path}/part.parquet", index=False)
+        pd.DataFrame({"s_suppkey": [1], "s_nationkey": [6]}).to_parquet(
+            f"{tmp_path}/supplier.parquet", index=False)
+        pd.DataFrame({"c_custkey": [1], "c_nationkey": [6]}).to_parquet(
+            f"{tmp_path}/customer.parquet", index=False)
+        pd.DataFrame({
+            "o_orderkey": [10], "o_custkey": [1],
+            "o_orderdate": pd.to_datetime(
+                ["1996-06-01"]).astype("datetime64[us]"),
+        }).to_parquet(f"{tmp_path}/orders.parquet", index=False)
+        pd.DataFrame({
+            "l_orderkey": [10], "l_partkey": [1], "l_suppkey": [1],
+            "l_extendedprice": [0.0], "l_discount": [0.0],
+        }).to_parquet(f"{tmp_path}/lineitem.parquet", index=False)
+        got = q8_market_share(str(tmp_path)).to_pandas()
+        assert got["o_year"].tolist() == [1996]
+        assert got["n_items"].tolist() == [1]
+        assert got["mkt_share_r"].tolist() == [0.0]
+        # the oracle agrees on the degenerate shape
+        import duckdb
+
+        import __ray_entry__ as entry
+
+        con = duckdb.connect()
+        for t in ["region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem"]:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{tmp_path}/{t}.parquet')")
+        ora = con.execute(entry.oracle_sql()["q8_market_share"]).df()
+        assert ora["mkt_share_r"].tolist() == [0.0]
+        assert ora["n_items"].tolist() == [1]
+
+    def test_json_duplicate_keys_first_wins(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import json_extract_stats
+
+        # DuckDB's json_extract returns the FIRST duplicate key; bare
+        # json.loads keeps the LAST. Row 1: first wins → 1 (not 2).
+        # Row 2: first occurrence is a float → gated out entirely (the
+        # last-wins reading would wrongly count 2).
+        pd.DataFrame({
+            "event_type": ["a", "a"],
+            "props": ['{"k": 1, "k": 2}', '{"k": 1.5, "k": 2}'],
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = json_extract_stats(str(tmp_path)).to_pandas()
+        assert got["n_valid"].tolist() == [1]
+        assert got["sum_k"].tolist() == [1]
+        import duckdb
+
+        import __ray_entry__ as entry
+
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/events.parquet')")
+        ora = con.execute(entry.oracle_sql()["json_extract_stats"]).df()
+        assert ora["sum_k"].tolist() == [1]
+
+    def test_json_exact_past_2_53(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import json_extract_stats
+
+        # two ints far beyond float64's 2^53 integer range whose sum is
+        # tiny: any float coercion in the partial path would destroy it
+        a, b = 1 << 62, -((1 << 62) - 3)
+        pd.DataFrame({
+            "event_type": ["a", "a"],
+            "props": [f'{{"k": {a}}}', f'{{"k": {b}}}'],
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = json_extract_stats(str(tmp_path)).to_pandas()
+        assert got["n_valid"].tolist() == [2]
+        assert got["sum_k"].tolist() == [3]
+        assert got["avg_k_r"].tolist() == [1.5]
+
+    def test_pivot_hot_user_past_int64(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.fulltext import round_half_away
+        from searchengine_ray.pipelines.relational import pivot_events
+
+        # one user whose 4-dp value image total exceeds 2^63: the bare
+        # int64 accumulator wrapped negative; the (hi, lo) split stays
+        # positive and float-exactly reconstructs totals < 2^53 (beyond,
+        # it degrades like the oracle's HUGEINT/double division, never
+        # to wrapped garbage)
+        v = 9.2e14  # vi = 9.2e18, just under 2^63; two rows exceed it
+        pd.DataFrame({
+            "user_id": [5, 5],
+            "event_type": ["click", "view"],
+            "value": [v, v],
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = pivot_events(str(tmp_path)).to_pandas()
+        vi = int(np.rint(v * 10_000.0))
+        exp = round_half_away(float(2 * vi) / 10_000.0, 4)
+        assert got["sum_value_r"].tolist() == [exp]
+        assert got["sum_value_r"].iloc[0] > 0  # the wrap went negative
