@@ -1106,6 +1106,66 @@ def _hash_partition(keys: np.ndarray) -> np.ndarray:
             % np.uint64(_OKEY_PARTITIONS)).astype(np.int64)
 
 
+# --- shared two-exchange-chain scaffolding (q5 / q7 / q8 family) ----------
+# Every exchange row is (q, side, k, a[, b]): q = fixed partition of k,
+# side 0 = the build side of the partition join, side ≥ 1 = probe rows
+# (the lineitem stages encode a per-row count as side = 1000 + n). The
+# three helpers below are the single copy of the emit / split / probe
+# machinery; each query keeps only its own filters, gates and aggregation.
+
+
+def _exchange_rows(k: np.ndarray, side, a: np.ndarray,
+                   b: np.ndarray | None = None) -> pa.Table:
+    """Build one exchange-row table keyed by ``_hash_partition(k)``.
+    ``side`` is an int (broadcast to every row) or a per-row array."""
+    if not isinstance(side, np.ndarray):
+        side = np.full(k.size, side, dtype=np.int64)
+    cols = {"q": pa.array(_hash_partition(k)), "side": pa.array(side),
+            "k": pa.array(k), "a": pa.array(a)}
+    if b is not None:
+        cols["b"] = pa.array(b)
+    return pa.table(cols)
+
+
+def _exchange_empty(with_b: bool = True) -> pa.Table:
+    """The empty exchange-row table (the shared shuffle-row schema)."""
+    z = pa.array([], type=pa.int64())
+    cols = {"q": z, "side": z, "k": z, "a": z}
+    if with_b:
+        cols["b"] = z
+    return pa.table(cols)
+
+
+def _split_exchange_group(group: pa.Table):
+    """Split one co-partition group into its k-SORTED side-0 build rows
+    and its raw probe rows: returns ((k0, a0, b0), (k1, a1, b1, side1)),
+    where b* is None when the group carries no ``b`` column."""
+    side = group["side"].to_numpy(zero_copy_only=False)
+    k = group["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+    a = group["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = (group["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+         if "b" in group.column_names else None)
+    m0 = side == 0
+    order = np.argsort(k[m0], kind="stable")
+    build = (k[m0][order], a[m0][order],
+             None if b is None else b[m0][order])
+    probe = (k[~m0], a[~m0], None if b is None else b[~m0], side[~m0])
+    return build, probe
+
+
+def _sorted_probe(sorted_keys: np.ndarray,
+                  keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Membership probe of ``keys`` against ``sorted_keys``: returns
+    (pos, hit) where hit marks keys present and pos is their index (the
+    searchsorted + clip + equality idiom, single copy)."""
+    if sorted_keys.size == 0 or keys.size == 0:
+        return (np.zeros(keys.size, dtype=np.int64),
+                np.zeros(keys.size, dtype=bool))
+    pos = np.minimum(np.searchsorted(sorted_keys, keys),
+                     sorted_keys.size - 1)
+    return pos, sorted_keys[pos] == keys
+
+
 def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING"):
     """TPC-H Q3 shape: revenue per qualifying order — customers in one
     market segment, orders placed before the cutoff, revenue from line
@@ -1824,48 +1884,27 @@ def q5_local_supplier_volume(sf_dir: str):
     sup_ref = ray.put((sup_keys, sup_nk))
     # region_nk is ≤25 int64s — plain closure capture, no object-store trip
 
-    def _stage2_empty() -> pa.Table:
-        """The shared shuffle-row schema (q, side, k, a, b), empty."""
-        z = pa.array([], type=pa.int64())
-        return pa.table({"q": z, "side": z, "k": z, "a": z, "b": z})
-
     def cust_side(batch: pa.Table) -> pa.Table:
         ck = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         cn = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         m = np.isin(cn, region_nk)
-        ck, cn = ck[m], cn[m]
-        return pa.table({"q": pa.array(_hash_partition(ck)),
-                         "side": pa.array(np.zeros(ck.size, dtype=np.int64)),
-                         "k": pa.array(ck), "a": pa.array(cn)})
+        return _exchange_rows(ck[m], 0, cn[m])
 
     def orders_side(batch: pa.Table) -> pa.Table:
         odate = batch["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         m = (odate >= Q5_FROM_US) & (odate < Q5_TO_US)
         ok = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
         ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
-        return pa.table({"q": pa.array(_hash_partition(ck)),
-                         "side": pa.array(np.ones(ck.size, dtype=np.int64)),
-                         "k": pa.array(ck), "a": pa.array(ok)})
+        return _exchange_rows(ck, 1, ok)
 
     def join_cust(group: pa.Table) -> pa.Table:
         """custkey-partition join → stage-2 rows keyed by orderkey."""
-        side = group["side"].to_numpy(zero_copy_only=False)
-        k = group["k"].to_numpy(zero_copy_only=False).astype(np.int64)
-        a = group["a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        c_m = side == 0
-        order = np.argsort(k[c_m], kind="stable")
-        ck_sorted = k[c_m][order]
-        cn_sorted = a[c_m][order]
-        ok, ock = a[~c_m], k[~c_m]
-        if ck_sorted.size == 0 or ok.size == 0:
-            return _stage2_empty()
-        pos = np.minimum(np.searchsorted(ck_sorted, ock), ck_sorted.size - 1)
-        hit = ck_sorted[pos] == ock
+        (ck_sorted, cn_sorted, _), (ock, ok, _, _) = \
+            _split_exchange_group(group)
+        pos, hit = _sorted_probe(ck_sorted, ock)
         ok, pos = ok[hit], pos[hit]
-        return pa.table({"q": pa.array(_hash_partition(ok)),
-                         "side": pa.array(np.zeros(ok.size, dtype=np.int64)),
-                         "k": pa.array(ok), "a": pa.array(cn_sorted[pos]),
-                         "b": pa.array(np.zeros(ok.size, dtype=np.int64))})
+        return _exchange_rows(ok, 0, cn_sorted[pos],
+                              np.zeros(ok.size, dtype=np.int64))
 
     def lineitem_side(batch: pa.Table) -> pa.Table:
         sk, sn = ray.get(sup_ref)
@@ -1873,46 +1912,35 @@ def q5_local_supplier_volume(sf_dir: str):
         lsk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
         disc = batch["l_discount"].to_numpy(zero_copy_only=False)
-        if sk.size == 0:
-            return _stage2_empty()
-        pos = np.minimum(np.searchsorted(sk, lsk), sk.size - 1)
-        m = sk[pos] == lsk  # supplier inside the region (else can't match)
+        pos, m = _sorted_probe(sk, lsk)  # supplier inside the region
         if not m.any():
-            return _stage2_empty()
+            return _exchange_empty()
         ok, s_nat = ok[m], sn[pos[m]]
         rev = np.rint(price[m] * 100.0) * np.rint((1.0 - disc[m]) * 100.0)
         # map-side combine per (orderkey, supplier nation)
         df = pd.DataFrame({"ok": ok, "sn": s_nat, "rev": rev, "n": 1})
         g = df.groupby(["ok", "sn"], as_index=False).agg(
             rev=("rev", "sum"), n=("n", "sum"))
-        okg = g["ok"].to_numpy(dtype=np.int64)
         # shuffle-row encoding: k = orderkey, a = supplier nation, b = exact
         # integer revenue partial, side = 1000 + row count (n ≥ 1, so this
         # can never collide with the stage-1 side == 0 rows)
-        return pa.table({"q": pa.array(_hash_partition(okg)),
-                         "side": pa.array(1000 + g["n"].to_numpy(dtype=np.int64)),
-                         "k": pa.array(okg),
-                         "a": pa.array(g["sn"].to_numpy(dtype=np.int64)),
-                         "b": pa.array(g["rev"].to_numpy(dtype=np.int64))})
+        return _exchange_rows(g["ok"].to_numpy(dtype=np.int64),
+                              1000 + g["n"].to_numpy(dtype=np.int64),
+                              g["sn"].to_numpy(dtype=np.int64),
+                              g["rev"].to_numpy(dtype=np.int64))
 
     def join_order(group: pa.Table) -> pa.Table:
         """orderkey-partition join + same-nation gate → per-nation partials."""
-        side = group["side"].to_numpy(zero_copy_only=False)
-        k = group["k"].to_numpy(zero_copy_only=False).astype(np.int64)
-        a = group["a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = group["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        o_m = side == 0
-        order = np.argsort(k[o_m], kind="stable")
-        ok_sorted = k[o_m][order]
-        cn_sorted = a[o_m][order]
-        lk, ln, lrev, lcnt = k[~o_m], a[~o_m], b[~o_m], side[~o_m] - 1000
+        (ok_sorted, cn_sorted, _), (lk, ln, lrev, lside) = \
+            _split_exchange_group(group)
+        lcnt = lside - 1000
         empty = pa.table({"nk": pa.array([], type=pa.int64()),
                           "n": pa.array([], type=pa.int64()),
                           "rev": pa.array([], type=pa.int64())})
-        if ok_sorted.size == 0 or lk.size == 0:
+        pos, hit = _sorted_probe(ok_sorted, lk)
+        if not hit.any():
             return empty
-        pos = np.minimum(np.searchsorted(ok_sorted, lk), ok_sorted.size - 1)
-        hit = (ok_sorted[pos] == lk) & (cn_sorted[pos] == ln)  # same nation
+        hit &= cn_sorted[pos] == ln  # same-nation gate
         if not hit.any():
             return empty
         ln, lrev, lcnt = ln[hit], lrev[hit], lcnt[hit]
@@ -3816,57 +3844,37 @@ def q7_volume_shipping(sf_dir: str):
     sup_nk = sup.sort_values("s_suppkey")["s_nationkey"].to_numpy(dtype=np.int64)
     sup_ref = ray.put((sup_keys, sup_nk))
 
-    def _stage2_empty() -> pa.Table:
-        z = pa.array([], type=pa.int64())
-        return pa.table({"q": z, "side": z, "k": z, "a": z, "b": z})
-
     def cust_side(batch: pa.Table) -> pa.Table:
         ck = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         cn = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         m = np.isin(cn, pair_nk)
-        ck, cn = ck[m], cn[m]
-        return pa.table({"q": pa.array(_hash_partition(ck)),
-                         "side": pa.array(np.zeros(ck.size, dtype=np.int64)),
-                         "k": pa.array(ck), "a": pa.array(cn)})
+        return _exchange_rows(ck[m], 0, cn[m])
 
     def orders_side(batch: pa.Table) -> pa.Table:
         ok = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"q": pa.array(_hash_partition(ck)),
-                         "side": pa.array(np.ones(ck.size, dtype=np.int64)),
-                         "k": pa.array(ck), "a": pa.array(ok)})
+        return _exchange_rows(ck, 1, ok)
 
     def join_cust(group: pa.Table) -> pa.Table:
         """custkey-partition join → (orderkey, cust nation) keyed by ok."""
-        side = group["side"].to_numpy(zero_copy_only=False)
-        k = group["k"].to_numpy(zero_copy_only=False).astype(np.int64)
-        a = group["a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        c_m = side == 0
-        order = np.argsort(k[c_m], kind="stable")
-        ck_sorted, cn_sorted = k[c_m][order], a[c_m][order]
-        ok, ock = a[~c_m], k[~c_m]
-        if ck_sorted.size == 0 or ok.size == 0:
-            return _stage2_empty()
-        pos = np.minimum(np.searchsorted(ck_sorted, ock), ck_sorted.size - 1)
-        hit = ck_sorted[pos] == ock
+        (ck_sorted, cn_sorted, _), (ock, ok, _, _) = \
+            _split_exchange_group(group)
+        pos, hit = _sorted_probe(ck_sorted, ock)
         ok, pos = ok[hit], pos[hit]
-        return pa.table({"q": pa.array(_hash_partition(ok)),
-                         "side": pa.array(np.zeros(ok.size, dtype=np.int64)),
-                         "k": pa.array(ok), "a": pa.array(cn_sorted[pos]),
-                         "b": pa.array(np.zeros(ok.size, dtype=np.int64))})
+        return _exchange_rows(ok, 0, cn_sorted[pos],
+                              np.zeros(ok.size, dtype=np.int64))
 
     def lineitem_side(batch: pa.Table) -> pa.Table:
         sk, sn = ray.get(sup_ref)
         ship = batch["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         m = (ship >= Q7_FROM_US) & (ship < Q7_TO_US)
-        if not m.any() or sk.size == 0:
-            return _stage2_empty()
+        if not m.any():
+            return _exchange_empty()
         ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
         lsk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
-        pos = np.minimum(np.searchsorted(sk, lsk), sk.size - 1)
-        hm = sk[pos] == lsk  # supplier in the nation pair
+        pos, hm = _sorted_probe(sk, lsk)  # supplier in the nation pair
         if not hm.any():
-            return _stage2_empty()
+            return _exchange_empty()
         year = (ship[m][hm] >= Q7_Y97_US).astype(np.int64)  # 0=1996, 1=1997
         price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[m][hm]
         disc = batch["l_discount"].to_numpy(zero_copy_only=False)[m][hm]
@@ -3876,35 +3884,25 @@ def q7_volume_shipping(sf_dir: str):
                            "rev": rev, "n": 1})
         g = df.groupby(["ok", "sy"], as_index=False).agg(
             rev=("rev", "sum"), n=("n", "sum"))
-        okg = g["ok"].to_numpy(dtype=np.int64)
         # k = orderkey, a = supp_nation*2 + (year-1996), b = revenue
         # partial, side = 1000 + row count (≥ 1001, never collides with 0)
-        return pa.table({"q": pa.array(_hash_partition(okg)),
-                         "side": pa.array(1000 + g["n"].to_numpy(dtype=np.int64)),
-                         "k": pa.array(okg),
-                         "a": pa.array(g["sy"].to_numpy(dtype=np.int64)),
-                         "b": pa.array(g["rev"].to_numpy(dtype=np.int64))})
+        return _exchange_rows(g["ok"].to_numpy(dtype=np.int64),
+                              1000 + g["n"].to_numpy(dtype=np.int64),
+                              g["sy"].to_numpy(dtype=np.int64),
+                              g["rev"].to_numpy(dtype=np.int64))
 
     def join_order(group: pa.Table) -> pa.Table:
         """orderkey-partition join + ordered-pair gate → per-(sn, cn, yr)
         partials."""
-        side = group["side"].to_numpy(zero_copy_only=False)
-        k = group["k"].to_numpy(zero_copy_only=False).astype(np.int64)
-        a = group["a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = group["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        o_m = side == 0
-        order = np.argsort(k[o_m], kind="stable")
-        ok_sorted, cn_sorted = k[o_m][order], a[o_m][order]
-        lk, lsy, lrev, lcnt = k[~o_m], a[~o_m], b[~o_m], side[~o_m] - 1000
+        (ok_sorted, cn_sorted, _), (lk, lsy, lrev, lside) = \
+            _split_exchange_group(group)
+        lcnt = lside - 1000
         empty = pa.table({"sn": pa.array([], type=pa.int64()),
                           "cn": pa.array([], type=pa.int64()),
                           "yr": pa.array([], type=pa.int64()),
                           "n": pa.array([], type=pa.int64()),
                           "rev": pa.array([], type=pa.int64())})
-        if ok_sorted.size == 0 or lk.size == 0:
-            return empty
-        pos = np.minimum(np.searchsorted(ok_sorted, lk), ok_sorted.size - 1)
-        hit = ok_sorted[pos] == lk
+        pos, hit = _sorted_probe(ok_sorted, lk)
         if not hit.any():
             return empty
         sn, yr = lsy[hit] // 2, lsy[hit] % 2
@@ -4020,10 +4018,6 @@ def q8_market_share(sf_dir: str):
     sflag = sup["s_nationkey"].isin(target_nk).to_numpy(dtype=bool)
     dims_ref = ray.put((pkeys, skeys, sflag))
 
-    def _stage2_empty() -> pa.Table:
-        z = pa.array([], type=pa.int64())
-        return pa.table({"q": z, "side": z, "k": z, "a": z, "b": z})
-
     def cust_side(batch: pa.Table) -> pa.Table:
         ck = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         cn = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -4031,9 +4025,7 @@ def q8_market_share(sf_dir: str):
         z = np.zeros(ck.size, dtype=np.int64)
         # same 5-column shuffle-row schema as orders_side: a ragged union
         # would null-fill "b" and force a NaN-laden cast downstream
-        return pa.table({"q": pa.array(_hash_partition(ck)),
-                         "side": pa.array(z), "k": pa.array(ck),
-                         "a": pa.array(z), "b": pa.array(z)})
+        return _exchange_rows(ck, 0, z, z)
 
     def orders_side(batch: pa.Table) -> pa.Table:
         odate = batch["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -4041,45 +4033,26 @@ def q8_market_share(sf_dir: str):
         ok = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
         ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
         yr = (odate[m] >= Q8_Y97_US).astype(np.int64)  # 0=1996, 1=1997
-        return pa.table({"q": pa.array(_hash_partition(ck)),
-                         "side": pa.array(np.ones(ck.size, dtype=np.int64)),
-                         "k": pa.array(ck), "a": pa.array(ok),
-                         "b": pa.array(yr)})
+        return _exchange_rows(ck, 1, ok, yr)
 
     def join_cust(group: pa.Table) -> pa.Table:
         """custkey-partition semi-join → (orderkey, order year) stream."""
-        side = group["side"].to_numpy(zero_copy_only=False)
-        k = group["k"].to_numpy(zero_copy_only=False).astype(np.int64)
-        a = group["a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        c_m = side == 0
-        ck_sorted = np.sort(k[c_m])
-        ok, ock = a[~c_m], k[~c_m]
-        if ck_sorted.size == 0 or ok.size == 0:
-            return _stage2_empty()
-        yr = group["b"].to_numpy(zero_copy_only=False).astype(np.int64)[~c_m]
-        pos = np.minimum(np.searchsorted(ck_sorted, ock), ck_sorted.size - 1)
-        hit = ck_sorted[pos] == ock
+        (ck_sorted, _, _), (ock, ok, yr, _) = _split_exchange_group(group)
+        pos, hit = _sorted_probe(ck_sorted, ock)
         ok, yr = ok[hit], yr[hit]
-        return pa.table({"q": pa.array(_hash_partition(ok)),
-                         "side": pa.array(np.zeros(ok.size, dtype=np.int64)),
-                         "k": pa.array(ok), "a": pa.array(yr),
-                         "b": pa.array(np.zeros(ok.size, dtype=np.int64))})
+        return _exchange_rows(ok, 0, yr, np.zeros(ok.size, dtype=np.int64))
 
     def lineitem_side(batch: pa.Table) -> pa.Table:
         pks, sks, sfl = ray.get(dims_ref)
         lpk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        if pks.size == 0 or sks.size == 0:
-            return _stage2_empty()
-        pos = np.minimum(np.searchsorted(pks, lpk), pks.size - 1)
-        m = pks[pos] == lpk  # most selective gate first: part type
+        pos, m = _sorted_probe(pks, lpk)  # most selective gate first: type
         if not m.any():
-            return _stage2_empty()
+            return _exchange_empty()
         ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
         lsk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
-        spos = np.minimum(np.searchsorted(sks, lsk), sks.size - 1)
-        shit = sks[spos] == lsk  # inner join to supplier
+        spos, shit = _sorted_probe(sks, lsk)  # inner join to supplier
         if not shit.any():
-            return _stage2_empty()
+            return _exchange_empty()
         ok = ok[shit]
         flag = sfl[spos[shit]].astype(np.int64)
         price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[m][shit]
@@ -4089,33 +4062,23 @@ def q8_market_share(sf_dir: str):
         df = pd.DataFrame({"ok": ok, "fl": flag, "rev": rev, "n": 1})
         g = df.groupby(["ok", "fl"], as_index=False).agg(
             rev=("rev", "sum"), n=("n", "sum"))
-        okg = g["ok"].to_numpy(dtype=np.int64)
         # k = orderkey, a = target flag, b = revenue partial,
         # side = 1000 + row count
-        return pa.table({"q": pa.array(_hash_partition(okg)),
-                         "side": pa.array(1000 + g["n"].to_numpy(dtype=np.int64)),
-                         "k": pa.array(okg),
-                         "a": pa.array(g["fl"].to_numpy(dtype=np.int64)),
-                         "b": pa.array(g["rev"].to_numpy(dtype=np.int64))})
+        return _exchange_rows(g["ok"].to_numpy(dtype=np.int64),
+                              1000 + g["n"].to_numpy(dtype=np.int64),
+                              g["fl"].to_numpy(dtype=np.int64),
+                              g["rev"].to_numpy(dtype=np.int64))
 
     def join_order(group: pa.Table) -> pa.Table:
         """orderkey-partition join → per-(year, flag) partials."""
-        side = group["side"].to_numpy(zero_copy_only=False)
-        k = group["k"].to_numpy(zero_copy_only=False).astype(np.int64)
-        a = group["a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = group["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        o_m = side == 0
-        order = np.argsort(k[o_m], kind="stable")
-        ok_sorted, yr_sorted = k[o_m][order], a[o_m][order]
-        lk, lfl, lrev, lcnt = k[~o_m], a[~o_m], b[~o_m], side[~o_m] - 1000
+        (ok_sorted, yr_sorted, _), (lk, lfl, lrev, lside) = \
+            _split_exchange_group(group)
+        lcnt = lside - 1000
         empty = pa.table({"yr": pa.array([], type=pa.int64()),
                           "fl": pa.array([], type=pa.int64()),
                           "n": pa.array([], type=pa.int64()),
                           "rev": pa.array([], type=pa.int64())})
-        if ok_sorted.size == 0 or lk.size == 0:
-            return empty
-        pos = np.minimum(np.searchsorted(ok_sorted, lk), ok_sorted.size - 1)
-        hit = ok_sorted[pos] == lk
+        pos, hit = _sorted_probe(ok_sorted, lk)
         if not hit.any():
             return empty
         key = yr_sorted[pos[hit]] * 2 + lfl[hit]
