@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from searchengine_ray.pipelines import (
         dedup,
         fulltext,
+        graph,
         multimodal,
         relational,
         similarity,
@@ -353,6 +354,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # semi-structured props bag — TRY_CAST(json_extract) semantics,
         # int64 partials per type (oracle: DuckDB json functions; r4)
         "json_extract_stats": relational.json_extract_stats,
+        # iterative link analysis: 5-iteration PageRank over the distinct
+        # customer→supplier purchase graph in EXACT integer fixed-point
+        # (floor divisions end-to-end) — per-iteration rank exchange over
+        # the shared shuffle-row machinery, dangling mass as a driver
+        # scalar (oracle: the same recurrence unrolled as CTEs; r4)
+        "pagerank_purchases": graph.pagerank_purchases,
         # PIVOT (long→wide conditional aggregation): one wide row per user
         # with a count column per event type + exact 4-dp value sum, via
         # the shared user co-partition — output streams, never funnels
@@ -1145,6 +1152,46 @@ SELECT CAST(row_number() OVER (ORDER BY sim_r DESC, vec_id ASC) - 1 AS BIGINT) A
        vec_id, sim_r,
        (SELECT CAST(count(*) AS BIGINT) FROM cand) AS probed
 FROM sims QUALIFY rank < {k}"""
+
+
+def _pagerank_oracle_sql() -> str:
+    """The integer fixed-point PageRank recurrence unrolled as CTEs —
+    bit-identical to ``graph.pagerank_purchases`` because every quantity
+    is a BIGINT and every division is DuckDB's ``//`` floor division
+    (all values are positive, so floor == trunc on both sides)."""
+    from searchengine_ray.pipelines.graph import PR_ITERS, PR_SCALE
+
+    parts = [f"""
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS od
+           FROM edges GROUP BY src),
+r0 AS (SELECT node, {PR_SCALE} // (SELECT n FROM nn) AS r FROM nodes)"""]
+    for i in range(1, PR_ITERS + 1):
+        p = i - 1
+        parts.append(f""",
+d{i} AS (SELECT CAST(COALESCE(sum(r), 0) AS BIGINT) // (SELECT n FROM nn)
+                AS share
+         FROM r{p} WHERE node % 2 = 1),
+f{i} AS (SELECT e.dst AS node, CAST(sum(rp.r // o.od) AS BIGINT) AS inflow
+         FROM edges e
+         JOIN r{p} rp ON rp.node = e.src
+         JOIN outdeg o ON o.src = e.src
+         GROUP BY e.dst),
+r{i} AS (SELECT n.node,
+                CAST({15 * PR_SCALE} // (100 * (SELECT n FROM nn))
+                     + (85 * (COALESCE(f.inflow, 0)
+                              + (SELECT share FROM d{i}))) // 100
+                     AS BIGINT) AS r
+         FROM nodes n LEFT JOIN f{i} f ON f.node = n.node)""")
+    parts.append(f"""
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS entity,
+       node // 2 AS key, r AS rank_scaled
+FROM r{PR_ITERS} ORDER BY entity, key""")
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1958,6 +2005,9 @@ SELECT event_type, CAST(count(k) AS BIGINT) AS n_valid,
        round(CAST(sum(k) AS DOUBLE) / count(k), 4) AS avg_k_r
 FROM x WHERE k IS NOT NULL
 GROUP BY event_type ORDER BY event_type""",
+        # iterative link analysis: the integer fixed-point recurrence
+        # unrolled — floor divisions make it order-independent and exact
+        "pagerank_purchases": _pagerank_oracle_sql(),
         # PIVOT: counts are plain CASE sums; the value sum quantizes to the
         # column's exact 4-dp integer image on both sides (group_moments
         # convention) so partial order can't flip the rounding

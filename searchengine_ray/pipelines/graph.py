@@ -1,0 +1,313 @@
+"""Iterative link analysis over Ray Data: PageRank on the bipartite
+customer→supplier purchase graph, in EXACT integer fixed-point.
+
+The entry this module adds is the iterative-algorithm family none of the
+relational/dedup entries cover: a fixed number of synchronous rank
+iterations expressed as ONE fused co-partition exchange per iteration
+over the shared ``(q, side, k, a[, b])`` shuffle-row machinery from
+``relational.py`` (the same per-round Dataset-materialize discipline as
+dedup's connected-components label propagation).
+
+Why integer fixed-point: classic float PageRank is not oracle-checkable —
+summation order perturbs the low bits, so engine-vs-SQL hashes flip on
+rounding boundaries. Here every quantity is an int64 (ranks scaled by
+10¹²) and every division is a FLOOR division, so the recurrence
+
+    R₀(v)    = SCALE // N
+    share_t  = (Σ_{outdeg(u)=0} R_t(u)) // N
+    contrib  = R_t(src) // outdeg(src)            per edge
+    R_{t+1}(v) = (15·SCALE) // (100·N)
+               + (85 · (Σ_in contrib + share_t)) // 100
+
+is exactly reproducible by DuckDB's ``//`` BIGINT division — the oracle
+unrolls the same ITERS iterations as CTEs and matches bit-for-bit.
+Damping 0.85 appears as the 85/100 integer pair; mass lost to floors is
+identical on both sides by construction (everything is positive, so
+floor == trunc on both engines).
+
+Scale shape — the BSP superstep fusion: node v's rank update and v's
+OUTGOING contributions both live in v's hash partition (ranks partition
+by hash(node), edges by hash(src), one shared formula), so each
+iteration is a single union(nodes, edges, contrib-partials) →
+``groupby(q)`` exchange whose map_groups (a) completes the inflow sums,
+(b) applies the recurrence, and (c) emits the NEXT iteration's per-dst
+contribution partials plus a per-partition dangling-mass row. The only
+driver-side values per iteration are the ≤|partitions| dangling partials
+(the global share scalar) — rank and edge state never leaves the
+cluster. Edges re-flow through the union each iteration; at 100 TB the
+edge partitions would pin in an actor pool instead (the documented
+ST-state pattern), with the same superstep semantics.
+
+Edge build: orders ⋈ lineitem on the orderkey co-partition (map-side
+pair dedup), then ONE src-hash exchange that both finishes the global
+pair distinct (every copy of a (cust, supp) pair shares its src hash)
+and counts out-degree partition-locally. A hot customer's edges
+concentrate in one partition, bounded by its distinct-supplier count —
+the same bound the out-degree itself requires.
+
+Node encoding: customer c → 2c, supplier s → 2s+1 (disjoint id spaces).
+Customers always have out-edges (they exist only as edge sources), so
+the dangling set is exactly the odd nodes — both sides use ``node % 2``.
+
+Reference anchor: the reference has no graph operator (Java crawl/index
+only); this extends the engine the way SURVEY §2's training-data ops do.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from searchengine_ray.pipelines.relational import (
+    _exchange_empty,
+    _exchange_rows,
+    _hash_partition,
+    _sorted_probe,
+    _split_exchange_group,
+)
+from searchengine_ray.sources import read_parquet_clean
+
+PR_SCALE = 10**12  # rank fixed-point: 1.0 of total mass = 10^12
+PR_DAMP_NUM = 85  # damping 0.85 as an exact integer pair
+PR_DAMP_DEN = 100
+PR_ITERS = 5
+
+# shuffle-row side tags inside the fused superstep exchange
+_SIDE_NODE = 0  # k = node, a = 0 (static node list)
+_SIDE_EDGE = 1  # k = src,  a = dst, b = outdeg (static edge list)
+_SIDE_CONTRIB = 2  # k = dst, a = inflow partial (produced per iteration)
+_SIDE_DANGLING = 3  # k = -1, a = partition dangling-mass partial
+_SIDE_RANK = 4  # k = node, a = R_t (the published state)
+
+
+def _build_edges(sf_dir: str):
+    """Distinct (customer, supplier) purchase edges with out-degree,
+    partitioned by hash(src node): orders ⋈ lineitem on the orderkey
+    co-partition with map-side pair dedup, then one src-hash exchange
+    that finishes the global distinct AND counts degree locally.
+    Returns a materialized Dataset of (q, src, dst, od)."""
+    import pandas as pd
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return _exchange_rows(ok, 0, ck)
+
+    def lineitem_side(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # map-side pair dedup: one (order, supplier) row per batch
+        u = pd.DataFrame({"ok": ok, "sk": sk}).drop_duplicates()
+        return _exchange_rows(u["ok"].to_numpy(dtype=np.int64), 1,
+                              u["sk"].to_numpy(dtype=np.int64))
+
+    def join_orderkey(group: pa.Table) -> pa.Table:
+        """orderkey partition → (cust, supp) pairs keyed by hash(src
+        node): every duplicate of a pair lands in its src partition."""
+        (ok_sorted, ck_sorted, _), (lok, lsk, _, _) = \
+            _split_exchange_group(group)
+        pos, hit = _sorted_probe(ok_sorted, lok)
+        if not hit.any():
+            return _exchange_empty(with_b=False)
+        u = pd.DataFrame({"c": ck_sorted[pos[hit]],
+                          "s": lsk[hit]}).drop_duplicates()
+        src = u["c"].to_numpy(dtype=np.int64) * 2  # customer node
+        dst = u["s"].to_numpy(dtype=np.int64) * 2 + 1  # supplier node
+        return _exchange_rows(src, 1, dst)
+
+    def distinct_outdeg(group: pa.Table) -> pa.Table:
+        """Global pair distinct + local out-degree: every edge (and every
+        duplicate) of a src is in this partition."""
+        src = group["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = group["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = pd.DataFrame({"src": src, "dst": dst}).drop_duplicates()
+        src = u["src"].to_numpy(dtype=np.int64)
+        dst = u["dst"].to_numpy(dtype=np.int64)
+        usrc, inv, deg = np.unique(src, return_inverse=True,
+                                   return_counts=True)
+        return pa.table({"q": pa.array(_hash_partition(src)),
+                         "src": pa.array(src), "dst": pa.array(dst),
+                         "od": pa.array(deg[inv])})
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+    ).map_batches(orders_side, batch_format="pyarrow")
+    items = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey"],
+    ).map_batches(lineitem_side, batch_format="pyarrow", batch_size=8192)
+    edges = (orders.union(items).groupby("q")
+             .map_groups(join_orderkey, batch_format="pyarrow")
+             .groupby("q")
+             .map_groups(distinct_outdeg, batch_format="pyarrow"))
+    edges = edges.materialize()
+    # compact: map_groups emits one tiny block per partition group, and
+    # the iteration loop re-unions this dataset every superstep — block
+    # fragmentation, not data volume, dominated the sort cost before this
+    return edges.repartition(_state_blocks(edges.count())).materialize()
+
+
+def _state_blocks(rows: int) -> int:
+    """Block count for the iteration-state datasets: enough blocks for
+    the cluster's parallelism, ~1M rows (≈40 MB of shuffle-row int64s)
+    per block at scale, and never the one-block-per-group fragmentation
+    the exchanges would otherwise accumulate."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(8, cpus, rows // 1_000_000)
+
+
+def pagerank_purchases(sf_dir: str, iters: int = PR_ITERS):
+    """(entity, key, rank_scaled): integer fixed-point PageRank over the
+    distinct customer→supplier purchase graph after ``iters`` synchronous
+    iterations — rank_scaled is the exact int64 R_iters(v) of the module
+    recurrence (mass × 10¹²), matching the unrolled-CTE SQL oracle
+    bit-for-bit. One row per graph node, customers and suppliers."""
+    empty = pa.table({"entity": pa.array([], type=pa.string()),
+                      "key": pa.array([], type=pa.int64()),
+                      "rank_scaled": pa.array([], type=pa.int64())})
+    edges = _build_edges(sf_dir)
+    empty = empty.to_pandas()
+
+    def node_rows(batch: pa.Table) -> pa.Table:
+        both = np.concatenate([
+            batch["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+            batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)])
+        u = np.unique(both)
+        return pa.table({"q": pa.array(_hash_partition(u)),
+                         "node": pa.array(u)})
+
+    def node_distinct(group: pa.Table) -> pa.Table:
+        u = np.unique(group["node"].to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        return pa.table({"q": pa.array(_hash_partition(u)),
+                         "node": pa.array(u)})
+
+    def odd_count(batch: pa.Table) -> pa.Table:
+        node = batch["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"c": pa.array([int((node % 2 == 1).sum())],
+                                       type=pa.int64())})
+
+    nodes = (edges.map_batches(node_rows, batch_format="pyarrow")
+             .groupby("q").map_groups(node_distinct, batch_format="pyarrow")
+             ).materialize()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return empty
+    nodes = nodes.repartition(_state_blocks(n_nodes)).materialize()
+    n_odd = sum(r["c"] for r in
+                nodes.map_batches(odd_count, batch_format="pyarrow")
+                .take_all())
+    base = (15 * PR_SCALE) // (100 * n_nodes)
+    r0 = PR_SCALE // n_nodes
+
+    node_side = nodes.map_batches(
+        lambda b: _exchange_rows(
+            b["node"].to_numpy(zero_copy_only=False).astype(np.int64),
+            _SIDE_NODE, np.zeros(b.num_rows, dtype=np.int64),
+            np.zeros(b.num_rows, dtype=np.int64)),
+        batch_format="pyarrow")
+
+    def edge_side(batch: pa.Table) -> pa.Table:
+        # k = src, a = dst, b = outdeg (q already = hash(src))
+        return _exchange_rows(
+            batch["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+            _SIDE_EDGE,
+            batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64),
+            batch["od"].to_numpy(zero_copy_only=False).astype(np.int64))
+
+    def contrib_rows(dst: np.ndarray, c: np.ndarray) -> pa.Table:
+        """Per-dst combined contribution partials, keyed for the NEXT
+        superstep's exchange."""
+        ud, inv = np.unique(dst, return_inverse=True)
+        partial = np.zeros(ud.size, dtype=np.int64)
+        np.add.at(partial, inv, c)
+        return _exchange_rows(ud, _SIDE_CONTRIB, partial,
+                              np.zeros(ud.size, dtype=np.int64))
+
+    def bootstrap_contribs(batch: pa.Table) -> pa.Table:
+        # iteration-1 inflow comes from the uniform R0 — computable
+        # map-side from the edge partitions, no extra exchange
+        dst = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        od = batch["od"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return contrib_rows(dst, r0 // od)
+
+    def superstep(emit_contribs: bool, share: int):
+        def step(group: pa.Table) -> pa.Table:
+            """Fused BSP superstep on one node partition: complete the
+            inflow sums, apply the recurrence, emit next contribs +
+            the partition's dangling-mass partial + the rank rows."""
+            side = group["side"].to_numpy(zero_copy_only=False)
+            k = group["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+            a = group["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            n_m = side == _SIDE_NODE
+            node = np.sort(k[n_m])
+            c_m = side == _SIDE_CONTRIB
+            inflow = np.zeros(node.size, dtype=np.int64)
+            pos, hit = _sorted_probe(node, k[c_m])
+            np.add.at(inflow, pos[hit], a[c_m][hit])
+            r_new = base + (PR_DAMP_NUM * (inflow + share)) // PR_DAMP_DEN
+            out = [_exchange_rows(node, _SIDE_RANK, r_new,
+                                  np.zeros(node.size, dtype=np.int64)),
+                   _exchange_rows(np.full(1, -1, dtype=np.int64),
+                                  _SIDE_DANGLING,
+                                  np.asarray([int(r_new[node % 2 == 1]
+                                                  .sum())], dtype=np.int64),
+                                  np.zeros(1, dtype=np.int64))]
+            if emit_contribs:
+                e_m = side == _SIDE_EDGE
+                src, dst = k[e_m], a[e_m]
+                od = group["b"].to_numpy(
+                    zero_copy_only=False).astype(np.int64)[e_m]
+                spos, shit = _sorted_probe(node, src)
+                out.append(contrib_rows(dst[shit],
+                                        r_new[spos[shit]] // od[shit]))
+            return pa.concat_tables(out)
+
+        return step
+
+    def keep_side(tag: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.equal(batch["side"], tag))
+
+        return fn
+
+    # t = 0 state: uniform ranks, map-side bootstrap contribs
+    share = (n_odd * r0) // n_nodes
+    contribs = edges.map_batches(bootstrap_contribs, batch_format="pyarrow")
+    edge_flow = edges.map_batches(edge_side, batch_format="pyarrow")
+    state = None
+    state_blocks = _state_blocks(2 * n_nodes)
+    for t in range(iters):
+        flow = node_side.union(contribs)
+        if t + 1 < iters:
+            flow = flow.union(edge_flow)
+        state = (flow.groupby("q")
+                 .map_groups(superstep(t + 1 < iters, share),
+                             batch_format="pyarrow")
+                 .repartition(state_blocks)).materialize()
+        if t + 1 < iters:
+            d_mass = sum(
+                r["a"] for r in
+                state.map_batches(keep_side(_SIDE_DANGLING),
+                                  batch_format="pyarrow").take_all())
+            share = d_mass // n_nodes
+            contribs = state.map_batches(keep_side(_SIDE_CONTRIB),
+                                         batch_format="pyarrow")
+
+    def publish(batch: pa.Table) -> pa.Table:
+        batch = keep_side(_SIDE_RANK)(batch)
+        node = batch["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ent = np.where(node % 2 == 0, "customer", "supplier")
+        return pa.table({"entity": pa.array(ent, type=pa.string()),
+                         "key": pa.array(node // 2),
+                         "rank_scaled": pa.array(r)})
+
+    out = state.map_batches(publish, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["entity", "key"]).reset_index(drop=True)

@@ -3946,6 +3946,90 @@ class TestJsonExtractStats:
         got = json_extract_stats(str(tmp_path)).to_pandas()
         assert len(got) == 0
 
+
+def _pagerank_bruteforce(edges, iters, scale, damp_num=85, damp_den=100):
+    """The module recurrence in pure-Python ints over an explicit edge
+    list [(src, dst)] — independent of the Ray/Arrow implementation."""
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {v: scale // n for v in nodes}
+    base = (15 * scale) // (100 * n)
+    for _ in range(iters):
+        share = sum(r[v] for v in nodes if v not in outdeg) // n
+        inflow = {v: 0 for v in nodes}
+        for s, d in edges:
+            inflow[d] += r[s] // outdeg[s]
+        r = {v: base + (damp_num * (inflow[v] + share)) // damp_den
+             for v in nodes}
+    return nodes, r
+
+
+class TestPagerankPurchases:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.graph import (
+            PR_ITERS, PR_SCALE, pagerank_purchases)
+
+        o = pq.read_table(f"{SF}/orders.parquet",
+                          columns=["o_orderkey", "o_custkey"]).to_pandas()
+        li = pq.read_table(f"{SF}/lineitem.parquet",
+                           columns=["l_orderkey", "l_suppkey"]).to_pandas()
+        j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        edges = {(int(c) * 2, int(s) * 2 + 1)
+                 for c, s in zip(j["o_custkey"], j["l_suppkey"])}
+        nodes, r = _pagerank_bruteforce(edges, PR_ITERS, PR_SCALE)
+        got = pagerank_purchases(SF)
+        assert len(got) == len(nodes)
+        for _, row in got.iterrows():
+            node = int(row["key"]) * 2 + (row["entity"] == "supplier")
+            assert row["entity"] == (
+                "customer" if node % 2 == 0 else "supplier")
+            assert int(row["rank_scaled"]) == r[node], node
+
+    def test_planted_graph(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.graph import (
+            PR_ITERS, PR_SCALE, pagerank_purchases)
+
+        # customers 1,2,3 each bought from supplier 1; customer 3 also
+        # from supplier 2 — supplier 1 must out-rank supplier 2, and the
+        # duplicate (c1, s1) purchase must NOT double its edge weight
+        pd.DataFrame({
+            "o_orderkey": [10, 11, 12, 13, 14],
+            "o_custkey": [1, 2, 3, 3, 1],
+        }).to_parquet(f"{tmp_path}/orders.parquet", index=False)
+        pd.DataFrame({
+            "l_orderkey": [10, 11, 12, 13, 14],
+            "l_suppkey": [1, 1, 1, 2, 1],
+        }).to_parquet(f"{tmp_path}/lineitem.parquet", index=False)
+        edges = {(2, 3), (4, 3), (6, 3), (6, 5)}
+        nodes, r = _pagerank_bruteforce(edges, PR_ITERS, PR_SCALE)
+        got = pagerank_purchases(str(tmp_path))
+        assert len(got) == 5
+        by = {(e, int(k)): int(v) for e, k, v in zip(
+            got["entity"], got["key"], got["rank_scaled"])}
+        assert by[("supplier", 1)] == r[3]
+        assert by[("supplier", 2)] == r[5]
+        assert by[("supplier", 1)] > by[("supplier", 2)]
+        # customers have no in-links: all mass from teleport + dangling
+        assert by[("customer", 1)] == by[("customer", 2)] == r[2]
+
+    def test_empty_graph(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.graph import pagerank_purchases
+
+        pd.DataFrame({"o_orderkey": pd.array([], dtype="int64"),
+                      "o_custkey": pd.array([], dtype="int64")}
+                     ).to_parquet(f"{tmp_path}/orders.parquet", index=False)
+        pd.DataFrame({"l_orderkey": pd.array([], dtype="int64"),
+                      "l_suppkey": pd.array([], dtype="int64")}
+                     ).to_parquet(f"{tmp_path}/lineitem.parquet", index=False)
+        got = pagerank_purchases(str(tmp_path))
+        assert len(got) == 0
+        assert list(got.columns) == ["entity", "key", "rank_scaled"]
+
+
 class TestReviewRegressionsR4S11:
     """Planted fixtures for the round-4 session-11 review findings:
     FK-violating q15 winners, q8 zero-denominator, json duplicate keys /
