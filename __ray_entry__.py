@@ -360,6 +360,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the shared shuffle-row machinery, dangling mass as a driver
         # scalar (oracle: the same recurrence unrolled as CTEs; r4)
         "pagerank_purchases": graph.pagerank_purchases,
+        # skyline / Pareto-dominance query: per priority class, the
+        # non-dominated order set under min price / max date — local
+        # skyline per block then one ≤|priorities|-group merge of the
+        # same algebraic kernel (oracle: NOT EXISTS dominance anti-join
+        # over the same int casts; r4)
+        "skyline_orders": relational.skyline_orders,
         # PIVOT (long→wide conditional aggregation): one wide row per user
         # with a count column per event type + exact 4-dp value sum, via
         # the shared user co-partition — output streams, never funnels
@@ -2008,6 +2014,26 @@ GROUP BY event_type ORDER BY event_type""",
         # iterative link analysis: the integer fixed-point recurrence
         # unrolled — floor divisions make it order-independent and exact
         "pagerank_purchases": _pagerank_oracle_sql(),
+        # skyline: dominance as a NOT EXISTS anti-join over the identical
+        # int64 images (cents, epoch-µs) the engine compares — identical
+        # (price, date) pairs never dominate each other, so exact dups
+        # survive on both sides
+        "skyline_orders": """
+WITH o AS (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+         CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us
+  FROM orders)
+SELECT a.o_orderpriority, a.o_orderkey, a.price_cents, a.o_orderdate_us
+FROM o a
+WHERE NOT EXISTS (
+  SELECT 1 FROM o b
+  WHERE b.o_orderpriority = a.o_orderpriority
+    AND b.price_cents <= a.price_cents
+    AND b.o_orderdate_us >= a.o_orderdate_us
+    AND (b.price_cents < a.price_cents
+         OR b.o_orderdate_us > a.o_orderdate_us))
+ORDER BY o_orderpriority, o_orderkey""",
         # PIVOT: counts are plain CASE sums; the value sum quantizes to the
         # column's exact 4-dp integer image on both sides (group_moments
         # convention) so partial order can't flip the rounding

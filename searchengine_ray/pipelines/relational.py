@@ -4314,3 +4314,100 @@ def json_extract_stats(sf_dir: str):
         "avg_k_r": pa.array([round_half_away(float(sv) / int(nv), 4)
                              for sv, nv in zip(s, n)], type=pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto-dominance) query — the preference/dominance operator family
+# ---------------------------------------------------------------------------
+
+
+def _skyline_mask(price: np.ndarray, date: np.ndarray) -> np.ndarray:
+    """Boolean mask over the input rows: True iff (price, date) is
+    Pareto-optimal under MINIMIZE price / MAXIMIZE date — no other row
+    has price <= AND date >= with at least one strict. Identical pairs
+    never dominate each other, so exact duplicates all survive.
+
+    Vectorized 2-D kernel: sort by (price asc, date desc); a row survives
+    iff its date equals its equal-price run's max (nothing same-priced is
+    strictly later) AND strictly exceeds the running max date over all
+    strictly-cheaper runs (nothing cheaper is at-or-later)."""
+    n = price.size
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((-date, price))
+    p, d = price[order], date[order]
+    new_run = np.empty(n, dtype=bool)
+    new_run[0] = True
+    new_run[1:] = p[1:] != p[:-1]
+    run_id = np.cumsum(new_run) - 1
+    run_max = d[new_run]  # date-desc within a run → first is the run max
+    cheaper = np.empty(run_max.size, dtype=np.int64)
+    cheaper[0] = np.iinfo(np.int64).min
+    np.maximum.accumulate(run_max[:-1], out=cheaper[1:])
+    keep_sorted = (d == run_max[run_id]) & (d > cheaper[run_id])
+    keep = np.zeros(n, dtype=bool)
+    keep[order[keep_sorted]] = True
+    return keep
+
+
+def skyline_orders(sf_dir: str):
+    """(o_orderpriority, o_orderkey, price_cents, o_orderdate_us): per
+    priority class, every Pareto-optimal order under MINIMIZE totalprice /
+    MAXIMIZE orderdate — the skyline / dominance operator (the preference-
+    query family: no single score, the answer is the non-dominated SET;
+    reference analogue is O1/O2's ranking surface generalized to partial
+    orders, SURVEY §2.7).
+
+    Exactness: prices quantize to integer cents map-side (the corpus
+    carries 2-dp values, so ``rint(p*100)`` is bijective with the stored
+    doubles) and dates to epoch-µs int64, so dominance comparisons are
+    pure int64 on both engine and oracle — the SQL side mirrors with a
+    NOT EXISTS dominance anti-join over the same casts.
+
+    Scale shape — the algebraic-combiner pattern: skyline(A ∪ B) ⊆
+    skyline(A) ∪ skyline(B), so each batch reduces to its LOCAL skyline
+    map-side (a 2-D skyline of m rows is expected O(log m) — the exchange
+    carries candidates, never the fact table), then ONE ≤|priorities|-group
+    exchange re-runs the same kernel per priority for the global answer.
+    At 100 TB the local pass bounds the shuffle to per-block candidate
+    sets; a skew-heavy priority would salt into sub-groups and re-merge
+    (the same kernel is idempotent across any merge tree)."""
+    import pandas as pd
+
+    def local_skyline(batch: pa.Table) -> pa.Table:
+        pri = batch["o_orderpriority"].to_pandas()
+        key = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        date = batch["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pri_np = pri.to_numpy()
+        keep = np.zeros(key.size, dtype=bool)
+        for v in pd.unique(pri_np):
+            ii = np.flatnonzero(pri_np == v)
+            keep[ii[_skyline_mask(cents[ii], date[ii])]] = True
+        return pa.table({
+            "o_orderpriority": pa.array(pri[keep].tolist(), type=pa.string()),
+            "o_orderkey": pa.array(key[keep]),
+            "price_cents": pa.array(cents[keep]),
+            "o_orderdate_us": pa.array(date[keep]),
+        })
+
+    def merge_skyline(group: pa.Table) -> pa.Table:
+        cents = group["price_cents"].to_numpy(zero_copy_only=False)
+        date = group["o_orderdate_us"].to_numpy(zero_copy_only=False)
+        keep = _skyline_mask(cents.astype(np.int64), date.astype(np.int64))
+        out = group.filter(pa.array(keep)).select(
+            ["o_orderpriority", "o_orderkey", "price_cents",
+             "o_orderdate_us"])
+        return out.sort_by([("o_orderkey", "ascending")])
+
+    return (
+        read_parquet_clean(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_totalprice", "o_orderdate",
+                     "o_orderpriority"])
+        .map_batches(local_skyline, batch_format="pyarrow", batch_size=8192)
+        .groupby("o_orderpriority")
+        .map_groups(merge_skyline, batch_format="pyarrow")
+    )
