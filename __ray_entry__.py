@@ -360,6 +360,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the shared shuffle-row machinery, dangling mass as a driver
         # scalar (oracle: the same recurrence unrolled as CTEs; r4)
         "pagerank_purchases": graph.pagerank_purchases,
+        # bipartite co-occurrence self-join (butterfly counting): top-20
+        # supplier pairs by shared distinct customers — customer-local
+        # pair enumeration (volume Σ C(d_c,2)) + one pair-hash exchange,
+        # per-partition top-k under the final total order (oracle:
+        # e ⋈ e self-join + GROUP BY + LIMIT; r4)
+        "supplier_affinity": graph.supplier_affinity,
         # skyline / Pareto-dominance query: per priority class, the
         # non-dominated order set under min price / max date — local
         # skyline per block then one ≤|priorities|-group merge of the
@@ -1202,6 +1208,7 @@ FROM r{PR_ITERS} ORDER BY entity, key""")
 
 def oracle_sql() -> dict[str, str]:
     from searchengine_ray.pipelines import similarity
+    from searchengine_ray.pipelines.graph import AFFINITY_TOPK
 
     # the connected-components closure over the planted embedding near-dup
     # pairs — shared by embedding_cluster and semantic_dedup
@@ -2014,6 +2021,18 @@ GROUP BY event_type ORDER BY event_type""",
         # iterative link analysis: the integer fixed-point recurrence
         # unrolled — floor divisions make it order-independent and exact
         "pagerank_purchases": _pagerank_oracle_sql(),
+        # butterfly co-occurrence: distinct-edge self-join on the customer
+        # key; the (n desc, a, b) ORDER BY is a total order, so the
+        # LIMIT cut is deterministic on both sides
+        "supplier_affinity": f"""
+WITH e AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+SELECT a.s AS supp_a, b.s AS supp_b, CAST(count(*) AS BIGINT) AS n_customers
+FROM e a JOIN e b ON a.c = b.c AND a.s < b.s
+GROUP BY 1, 2
+ORDER BY n_customers DESC, supp_a, supp_b
+LIMIT {AFFINITY_TOPK}""",
         # skyline: dominance as a NOT EXISTS anti-join over the identical
         # int64 images (cents, epoch-µs) the engine compares — identical
         # (price, date) pairs never dominate each other, so exact dups

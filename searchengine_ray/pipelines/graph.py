@@ -311,3 +311,76 @@ def pagerank_purchases(sf_dir: str, iters: int = PR_ITERS):
 
     out = state.map_batches(publish, batch_format="pyarrow").to_pandas()
     return out.sort_values(["entity", "key"]).reset_index(drop=True)
+
+
+AFFINITY_TOPK = 20
+_PAIR_SHIFT = 32  # suppkey < 2^31 at any TPC-H scale factor; pair packs
+
+
+def supplier_affinity(sf_dir: str, k: int = AFFINITY_TOPK):
+    """(supp_a, supp_b, n_customers): the ``k`` supplier pairs sharing the
+    most distinct purchasing customers, ties to the smaller (a, b) — the
+    bipartite co-occurrence / butterfly self-join (graph family #2: the
+    pairwise-enumeration shape the dedup verify joins use, applied to the
+    purchase graph instead of signatures).
+
+    Scale shape: the distinct customer→supplier edges come co-located by
+    hash(customer) from ``_build_edges``; each partition self-merges on
+    the customer key locally (pair volume = Σ_c C(d_c, 2), bounded by the
+    per-customer DISTINCT supplier count — a hot customer's quadratic
+    cost lands in one task, and at 100 TB a degree threshold would split
+    enumeration above it into a salted two-round join, the dedup
+    hot-bucket discipline), combines per-pair counts map-side, then ONE
+    pair-hash exchange totals them. Per-partition top-k under the final
+    total order (n desc, a asc, b asc) collect ≤ partitions × k rows to
+    the driver for the global cut — never the pair table."""
+    import pandas as pd
+
+    edges = _build_edges(sf_dir)
+    empty = pd.DataFrame({"supp_a": pd.array([], dtype="int64"),
+                          "supp_b": pd.array([], dtype="int64"),
+                          "n_customers": pd.array([], dtype="int64")})
+
+    def pair_partials(group: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "c": group["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+            "s": group["dst"].to_numpy(
+                zero_copy_only=False).astype(np.int64) >> 1,
+        })
+        m = df.merge(df, on="c")
+        m = m[m["s_x"] < m["s_y"]]
+        if m.empty:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"q": z, "k": z, "n": z})
+        g = m.groupby(["s_x", "s_y"], as_index=False).size()
+        key = (g["s_x"].to_numpy(dtype=np.int64) << _PAIR_SHIFT) \
+            | g["s_y"].to_numpy(dtype=np.int64)
+        return pa.table({"q": pa.array(_hash_partition(key)),
+                         "k": pa.array(key),
+                         "n": pa.array(g["size"].to_numpy(dtype=np.int64))})
+
+    def total_topk(group: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": group["k"].to_numpy(zero_copy_only=False).astype(np.int64),
+            "n": group["n"].to_numpy(zero_copy_only=False).astype(np.int64),
+        }).groupby("k", as_index=False).sum()
+        df["supp_a"] = df["k"].to_numpy() >> _PAIR_SHIFT
+        df["supp_b"] = df["k"].to_numpy() & ((1 << _PAIR_SHIFT) - 1)
+        df = df.sort_values(["n", "supp_a", "supp_b"],
+                            ascending=[False, True, True],
+                            kind="stable").head(k)
+        return pa.table({
+            "supp_a": pa.array(df["supp_a"].to_numpy(dtype=np.int64)),
+            "supp_b": pa.array(df["supp_b"].to_numpy(dtype=np.int64)),
+            "n_customers": pa.array(df["n"].to_numpy(dtype=np.int64))})
+
+    cand = (edges.groupby("q")
+            .map_groups(pair_partials, batch_format="pyarrow")
+            .groupby("q")
+            .map_groups(total_topk, batch_format="pyarrow")).to_pandas()
+    if cand.empty:
+        return empty
+    return (cand.sort_values(["n_customers", "supp_a", "supp_b"],
+                             ascending=[False, True, True], kind="stable")
+            .head(k).reset_index(drop=True)
+            [["supp_a", "supp_b", "n_customers"]])

@@ -4107,6 +4107,61 @@ class TestPagerankPurchases:
         assert list(got.columns) == ["entity", "key", "rank_scaled"]
 
 
+class TestSupplierAffinity:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.graph import supplier_affinity
+
+        o = pq.read_table(f"{SF}/orders.parquet",
+                          columns=["o_orderkey", "o_custkey"]).to_pandas()
+        li = pq.read_table(f"{SF}/lineitem.parquet",
+                           columns=["l_orderkey", "l_suppkey"]).to_pandas()
+        e = (li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+             [["o_custkey", "l_suppkey"]].drop_duplicates())
+        m = e.merge(e, on="o_custkey")
+        m = m[m["l_suppkey_x"] < m["l_suppkey_y"]]
+        exp = (m.groupby(["l_suppkey_x", "l_suppkey_y"], as_index=False)
+               .size()
+               .sort_values(["size", "l_suppkey_x", "l_suppkey_y"],
+                            ascending=[False, True, True], kind="stable")
+               .head(20))
+        got = supplier_affinity(SF)
+        assert got["supp_a"].tolist() == exp["l_suppkey_x"].tolist()
+        assert got["supp_b"].tolist() == exp["l_suppkey_y"].tolist()
+        assert got["n_customers"].tolist() == exp["size"].tolist()
+
+    def test_planted_dedup_and_tiebreak(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.graph import supplier_affinity
+
+        # customer 1 buys from suppliers 1,2 TWICE (two orders — the
+        # duplicate edge must count once); customer 2 buys from 1,2 and
+        # 3,4; customer 3 buys from 3,4 → pairs (1,2) and (3,4) both have
+        # n=2, ties broken to the smaller pair first
+        pd.DataFrame({
+            "o_orderkey": [10, 11, 12, 13, 14],
+            "o_custkey": [1, 1, 2, 2, 3],
+        }).to_parquet(f"{tmp_path}/orders.parquet", index=False)
+        pd.DataFrame({
+            "l_orderkey": [10, 10, 11, 11, 12, 12, 13, 13, 14, 14],
+            "l_suppkey": [1, 2, 1, 2, 1, 2, 3, 4, 3, 4],
+        }).to_parquet(f"{tmp_path}/lineitem.parquet", index=False)
+        got = supplier_affinity(str(tmp_path), k=2)
+        assert list(zip(got["supp_a"], got["supp_b"],
+                        got["n_customers"])) == [(1, 2, 2), (3, 4, 2)]
+
+    def test_empty(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.graph import supplier_affinity
+
+        pd.DataFrame({"o_orderkey": pd.array([], dtype="int64"),
+                      "o_custkey": pd.array([], dtype="int64")}
+                     ).to_parquet(f"{tmp_path}/orders.parquet", index=False)
+        pd.DataFrame({"l_orderkey": pd.array([], dtype="int64"),
+                      "l_suppkey": pd.array([], dtype="int64")}
+                     ).to_parquet(f"{tmp_path}/lineitem.parquet", index=False)
+        got = supplier_affinity(str(tmp_path))
+        assert len(got) == 0
+        assert list(got.columns) == ["supp_a", "supp_b", "n_customers"]
+
+
 class TestReviewRegressionsR4S11:
     """Planted fixtures for the round-4 session-11 review findings:
     FK-violating q15 winners, q8 zero-denominator, json duplicate keys /
