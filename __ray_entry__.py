@@ -366,6 +366,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-partition top-k under the final total order (oracle:
         # e ⋈ e self-join + GROUP BY + LIMIT; r4)
         "supplier_affinity": graph.supplier_affinity,
+        # data profiling: per column of lineitem, row/null counts, EXACT
+        # distinct cardinality (injective canonical-string exchange) and
+        # int64-image min/max for int/timestamp columns — one read feeds
+        # both surfaces (oracle: per-column UNION ALL aggregates; r4)
+        "table_profile": relational.table_profile,
         # skyline / Pareto-dominance query: per priority class, the
         # non-dominated order set under min price / max date — local
         # skyline per block then one ≤|priorities|-group merge of the
@@ -1206,6 +1211,40 @@ FROM r{PR_ITERS} ORDER BY entity, key""")
     return "".join(parts)
 
 
+# the corpus lineitem schema, column → kind, mirrored by table_profile's
+# runtime Arrow-schema derivation (searchengine_ray/pipelines/relational.py)
+_PROFILE_COLS = (
+    ("l_orderkey", "int"), ("l_partkey", "int"), ("l_suppkey", "int"),
+    ("l_linenumber", "int"), ("l_quantity", "float"),
+    ("l_extendedprice", "float"), ("l_discount", "float"),
+    ("l_tax", "float"), ("l_returnflag", "str"), ("l_linestatus", "str"),
+    ("l_shipdate", "timestamp"),
+)
+
+
+def _table_profile_oracle_sql() -> str:
+    """Per-column profile as a UNION ALL over the static corpus schema —
+    min/max carry the int64 image for integer/timestamp columns and NULL
+    for doubles/strings, exactly the engine's contract."""
+    parts = []
+    for c, k in _PROFILE_COLS:
+        if k == "int":
+            mn = f"COALESCE(CAST(min({c}) AS VARCHAR), '')"
+            mx = f"COALESCE(CAST(max({c}) AS VARCHAR), '')"
+        elif k == "timestamp":
+            mn = f"COALESCE(CAST(CAST(epoch_us(min({c})) AS BIGINT) AS VARCHAR), '')"
+            mx = f"COALESCE(CAST(CAST(epoch_us(max({c})) AS BIGINT) AS VARCHAR), '')"
+        else:
+            mn = mx = "''"
+        parts.append(f"""
+SELECT '{c}' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       {mn} AS min_s, {mx} AS max_s
+FROM lineitem""")
+    return "\nUNION ALL".join(parts) + "\nORDER BY column_name"
+
+
 def oracle_sql() -> dict[str, str]:
     from searchengine_ray.pipelines import similarity
     from searchengine_ray.pipelines.graph import AFFINITY_TOPK
@@ -2033,6 +2072,9 @@ FROM e a JOIN e b ON a.c = b.c AND a.s < b.s
 GROUP BY 1, 2
 ORDER BY n_customers DESC, supp_a, supp_b
 LIMIT {AFFINITY_TOPK}""",
+        # profiling: static per-column UNION ALL over the corpus schema;
+        # the engine derives the same kinds from the Arrow schema
+        "table_profile": _table_profile_oracle_sql(),
         # skyline: dominance as a NOT EXISTS anti-join over the identical
         # int64 images (cents, epoch-µs) the engine compares — identical
         # (price, date) pairs never dominate each other, so exact dups

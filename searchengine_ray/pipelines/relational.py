@@ -4411,3 +4411,170 @@ def skyline_orders(sf_dir: str):
         .groupby("o_orderpriority")
         .map_groups(merge_skyline, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# One-pass table profiling — per-column nulls / exact distinct / min-max
+# ---------------------------------------------------------------------------
+
+# the corpus lineitem schema the oracle mirrors column-by-column; the
+# engine itself derives kinds from the file's Arrow schema at runtime
+PROFILE_INT_IMAGE = ("int", "timestamp")  # kinds that carry min_i/max_i
+
+
+def _profile_kind(typ: pa.DataType) -> str:
+    if pa.types.is_integer(typ):
+        return "int"
+    if pa.types.is_timestamp(typ):
+        return "timestamp"
+    if pa.types.is_floating(typ):
+        return "float"
+    return "str"
+
+
+def table_profile(sf_dir: str, table: str = "lineitem"):
+    """(column_name, n_rows, n_null, n_distinct, min_s, max_s): the data-
+    profiling surface — per column of the fact table, row/null counts,
+    EXACT distinct cardinality, and the min/max int64 image as decimal
+    text for integer and timestamp columns ('' for doubles/strings: no
+    cross-engine float/collation formatting exists that both sides render
+    identically, and text keeps the output column NULL-free for every
+    comparison layer).
+
+    Exactness: distinct counting shuffles each value's injective
+    canonical string (ints/epoch-µs as decimal text, strings as
+    themselves, doubles as repr with -0.0 normalized — bijective with
+    the stored IEEE doubles), so the count is exact, not sketched;
+    ``ndistinct_users`` is the single-column sketch-vs-exact pair, this
+    is the whole-table exact pass.
+
+    Scale shape: ONE read of the table feeds both surfaces — per-batch
+    per-column stats partials (counts + min/max, ≤|cols| rows per batch)
+    collect driver-side like the q6 scalar-partial family, while
+    per-batch-DISTINCT (col, value) rows make one value-hash exchange
+    whose partitions count their disjoint value sets locally (a value's
+    copies all share its hash), summing to the exact global distinct.
+    The exchange carries per-batch unique values, never the raw table."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq_mod
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    schema = pq_mod.read_schema(path)
+    cols = list(schema.names)
+    kinds = {c: _profile_kind(schema.field(c).type) for c in cols}
+
+    def canon(col: str, arr: pa.ChunkedArray | pa.Array) -> list[str]:
+        """Injective canonical strings of the UNIQUE non-null values."""
+        k = kinds[col]
+        if k == "str":
+            return [v for v in arr.unique().to_pylist() if v is not None]
+        if k == "float":
+            u = arr.unique().to_numpy(zero_copy_only=False)
+            u = u[~np.isnan(u)] + 0.0  # -0.0 → 0.0 (SQL DISTINCT equality)
+            return [repr(float(v)) for v in u]
+        img = arr.cast(pa.timestamp("us")).cast(pa.int64()) \
+            if k == "timestamp" else arr
+        u = img.unique().drop_null().to_numpy(zero_copy_only=False)
+        return [str(int(v)) for v in u]
+
+    def partials(batch: pa.Table) -> pa.Table:
+        q_out, col_out, side_out, v_out = [], [], [], []
+        n_out, nn_out, mn_out, mx_out = [], [], [], []
+        for c in cols:
+            arr = batch[c]
+            nn = arr.null_count
+            k = kinds[c]
+            # NaN counts as NULL on the pandas read path; mirror that so
+            # n_null + distinct partition the column consistently
+            if k == "float":
+                nn += int(np.isnan(arr.to_numpy(
+                    zero_copy_only=False)).sum()) - arr.null_count
+            mn = mx = None
+            if k in PROFILE_INT_IMAGE and batch.num_rows > nn:
+                img = arr.cast(pa.timestamp("us")).cast(pa.int64()) \
+                    if k == "timestamp" else arr
+                mm = pc.min_max(img)
+                mn, mx = mm["min"].as_py(), mm["max"].as_py()
+                mn, mx = int(mn), int(mx)
+            col_out.append(c)
+            side_out.append(1)
+            q_out.append(0)
+            v_out.append("")
+            n_out.append(batch.num_rows)
+            nn_out.append(nn)
+            mn_out.append(mn)
+            mx_out.append(mx)
+            vals = canon(c, arr)
+            if vals:
+                # deterministic cross-worker partitioning (Python's hash()
+                # is seed-randomized per process): md5-based 64-bit hash
+                # of the (col, value) pair — a value's copies co-locate
+                q_out.extend(
+                    _simhash_hash64(f"{c}\x00{v}") % _OKEY_PARTITIONS
+                    for v in vals)
+                col_out.extend([c] * len(vals))
+                side_out.extend([0] * len(vals))
+                v_out.extend(vals)
+                n_out.extend([0] * len(vals))
+                nn_out.extend([0] * len(vals))
+                mn_out.extend([None] * len(vals))
+                mx_out.extend([None] * len(vals))
+        return pa.table({
+            "q": pa.array(q_out, type=pa.int64()),
+            "col": pa.array(col_out, type=pa.string()),
+            "side": pa.array(side_out, type=pa.int64()),
+            "v": pa.array(v_out, type=pa.string()),
+            "n": pa.array(n_out, type=pa.int64()),
+            "nn": pa.array(nn_out, type=pa.int64()),
+            "mn": pa.array(mn_out, type=pa.int64()),
+            "mx": pa.array(mx_out, type=pa.int64()),
+        })
+
+    def finish_partition(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        d = df[df["side"] == 0].groupby("col")["v"].nunique()
+        s = df[df["side"] == 1].groupby("col").agg(
+            n=("n", "sum"), nn=("nn", "sum"), mn=("mn", "min"),
+            mx=("mx", "max"))
+        out_col = list(d.index) + list(s.index)
+        return pa.table({
+            "col": pa.array(out_col, type=pa.string()),
+            "side": pa.array([0] * len(d) + [1] * len(s), type=pa.int64()),
+            "n": pa.array([int(v) for v in d] + [int(v) for v in s["n"]],
+                          type=pa.int64()),
+            "nn": pa.array([0] * len(d) + [int(v) for v in s["nn"]],
+                           type=pa.int64()),
+            "mn": pa.array([None] * len(d) + [
+                None if pd.isna(v) else int(v) for v in s["mn"]],
+                type=pa.int64()),
+            "mx": pa.array([None] * len(d) + [
+                None if pd.isna(v) else int(v) for v in s["mx"]],
+                type=pa.int64()),
+        })
+
+    parts = (read_parquet_clean(path)
+             .map_batches(partials, batch_format="pyarrow", batch_size=8192)
+             .groupby("q")
+             .map_groups(finish_partition, batch_format="pyarrow")
+             ).to_pandas()
+    rows = []
+    for c in sorted(cols):
+        p = parts[parts["col"] == c]
+        st = p[p["side"] == 1]
+        dv = p[p["side"] == 0]
+        mn = st["mn"].dropna()
+        mx = st["mx"].dropna()
+        # min/max ship as decimal text ('' = not applicable / all-null):
+        # VARCHAR keeps the column NULL-free so every comparison layer
+        # (driver value hash, UNION'd frames) sees one concrete dtype
+        rows.append({
+            "column_name": c,
+            "n_rows": int(st["n"].sum()),
+            "n_null": int(st["nn"].sum()),
+            "n_distinct": int(dv["n"].sum()),
+            "min_s": str(int(mn.min())) if len(mn) else "",
+            "max_s": str(int(mx.max())) if len(mx) else "",
+        })
+    return pd.DataFrame(rows, columns=["column_name", "n_rows", "n_null",
+                                       "n_distinct", "min_s", "max_s"])

@@ -4162,6 +4162,57 @@ class TestSupplierAffinity:
         assert list(got.columns) == ["supp_a", "supp_b", "n_customers"]
 
 
+class TestTableProfile:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import table_profile
+
+        li = pq.read_table(f"{SF}/lineitem.parquet")
+        got = table_profile(SF)
+        assert got["column_name"].tolist() == sorted(li.column_names)
+        for _, r in got.iterrows():
+            col = li[r["column_name"]]
+            pdcol = col.to_pandas()
+            assert r["n_rows"] == li.num_rows
+            assert r["n_null"] == int(pdcol.isna().sum())
+            assert r["n_distinct"] == pdcol.nunique(dropna=True)
+            typ = col.type
+            if pa.types.is_integer(typ):
+                assert r["min_s"] == str(int(pdcol.min()))
+                assert r["max_s"] == str(int(pdcol.max()))
+            elif pa.types.is_timestamp(typ):
+                assert r["min_s"] == str(int(pdcol.min().value // 1000))
+                assert r["max_s"] == str(int(pdcol.max().value // 1000))
+            else:
+                assert r["min_s"] == "" and r["max_s"] == ""
+
+    def test_planted_nulls_nan_negzero(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import table_profile
+
+        pd.DataFrame({
+            "a": pd.array([5, None, 5, -2], dtype="Int64"),
+            "b": [0.0, -0.0, float("nan"), 1.5],  # -0.0 == 0.0; NaN=null
+            "c": ["x", None, "x", "y"],
+            "t": pd.to_datetime(
+                ["2020-01-01", "2020-01-02", None, "2020-01-02"]),
+        }).to_parquet(f"{tmp_path}/lineitem.parquet", index=False)
+        got = table_profile(str(tmp_path)).set_index("column_name")
+        assert got.loc["a"].tolist() == [4, 1, 2, "-2", "5"]
+        assert got.loc["b"].tolist() == [4, 1, 2, "", ""]
+        assert got.loc["c"].tolist() == [4, 1, 2, "", ""]
+        day = 86_400_000_000
+        t0 = int(pd.Timestamp("2020-01-01").value // 1000)
+        assert got.loc["t"].tolist() == [4, 1, 2, str(t0), str(t0 + day)]
+
+    def test_all_null_column(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import table_profile
+
+        pd.DataFrame({
+            "a": pd.array([None, None], dtype="Int64"),
+        }).to_parquet(f"{tmp_path}/lineitem.parquet", index=False)
+        got = table_profile(str(tmp_path)).set_index("column_name")
+        assert got.loc["a"].tolist() == [2, 2, 0, "", ""]
+
+
 class TestReviewRegressionsR4S11:
     """Planted fixtures for the round-4 session-11 review findings:
     FK-violating q15 winners, q8 zero-denominator, json duplicate keys /
