@@ -366,6 +366,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-partition top-k under the final total order (oracle:
         # e ⋈ e self-join + GROUP BY + LIMIT; r4)
         "supplier_affinity": graph.supplier_affinity,
+        # graph traversal: BFS shortest hops from the seed supplier over
+        # the undirected purchase graph — DATA-DEPENDENT superstep count
+        # (runs until the frontier drains), settled state never leaves
+        # its partition (oracle: recursive CTE, min(depth) per node; r4)
+        "purchase_hops": graph.purchase_hops,
         # data profiling: per column of lineitem, row/null counts, EXACT
         # distinct cardinality (injective canonical-string exchange) and
         # int64-image min/max for int/timestamp columns — one read feeds
@@ -1222,6 +1227,28 @@ _PROFILE_COLS = (
 )
 
 
+def _purchase_hops_oracle_sql() -> str:
+    """BFS shortest hops as a recursive CTE: UNION-dedup on (node, depth)
+    keeps the walk table bounded by |nodes| × (max_rounds + 1); min(depth)
+    per node is the BFS distance. The depth guard mirrors the engine's
+    round cap exactly."""
+    from searchengine_ray.pipelines.graph import HOPS_MAX_ROUNDS
+
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+ue AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+walk(node, d) AS (
+  SELECT CAST(1 AS BIGINT), 0
+  UNION
+  SELECT ue.b, w.d + 1 FROM walk w JOIN ue ON ue.a = w.node
+  WHERE w.d < {HOPS_MAX_ROUNDS})
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS entity,
+       node // 2 AS key, CAST(min(d) AS BIGINT) AS hops
+FROM walk GROUP BY node ORDER BY entity, key"""
+
+
 def _table_profile_oracle_sql() -> str:
     """Per-column profile as a UNION ALL over the static corpus schema —
     min/max carry the int64 image for integer/timestamp columns and NULL
@@ -2072,6 +2099,8 @@ FROM e a JOIN e b ON a.c = b.c AND a.s < b.s
 GROUP BY 1, 2
 ORDER BY n_customers DESC, supp_a, supp_b
 LIMIT {AFFINITY_TOPK}""",
+        # BFS: recursive-CTE shortest path, depth-guarded like the engine
+        "purchase_hops": _purchase_hops_oracle_sql(),
         # profiling: static per-column UNION ALL over the corpus schema;
         # the engine derives the same kinds from the Arrow schema
         "table_profile": _table_profile_oracle_sql(),

@@ -1,12 +1,17 @@
-"""Iterative link analysis over Ray Data: PageRank on the bipartite
-customer→supplier purchase graph, in EXACT integer fixed-point.
+"""Graph algorithms over Ray Data on the bipartite customer→supplier
+purchase graph: PageRank in EXACT integer fixed-point
+(``pagerank_purchases``), BFS shortest hops with data-dependent
+termination (``purchase_hops``), and co-purchase pair counting
+(``supplier_affinity``) — all over one shared distinct-edge builder.
 
-The entry this module adds is the iterative-algorithm family none of the
-relational/dedup entries cover: a fixed number of synchronous rank
-iterations expressed as ONE fused co-partition exchange per iteration
-over the shared ``(q, side, k, a[, b])`` shuffle-row machinery from
-``relational.py`` (the same per-round Dataset-materialize discipline as
-dedup's connected-components label propagation).
+The iterative entries cover the algorithm family none of the
+relational/dedup entries do: synchronous BSP supersteps expressed as ONE
+fused co-partition exchange per iteration over the shared
+``(q, side, k, a[, b])`` shuffle-row machinery from ``relational.py``
+(the same per-round Dataset-materialize discipline as dedup's
+connected-components label propagation). PageRank runs a FIXED iteration
+count; BFS runs until the frontier drains (the per-round driver scalar
+is one newly-settled count).
 
 Why integer fixed-point: classic float PageRank is not oracle-checkable —
 summation order perturbs the low bits, so engine-vs-SQL hashes flip on
@@ -384,3 +389,136 @@ def supplier_affinity(sf_dir: str, k: int = AFFINITY_TOPK):
                              ascending=[False, True, True], kind="stable")
             .head(k).reset_index(drop=True)
             [["supp_a", "supp_b", "n_customers"]])
+
+
+HOPS_MAX_ROUNDS = 16  # hard cap mirrored by the oracle's recursion guard
+
+# BFS exchange side tags
+_H_ADJ = 0  # k = a, a = b (undirected adjacency, partitioned by hash(a))
+_H_DIST = 1  # k = node, a = hop distance (settled state)
+_H_CAND = 2  # k = node, a = candidate distance (frontier proposals)
+_H_NEW = 3  # k = -1, a = partition newly-settled count
+
+
+def purchase_hops(sf_dir: str, seed_supplier: int = 0,
+                  max_rounds: int = HOPS_MAX_ROUNDS):
+    """(entity, key, hops): unweighted shortest-path distance from the
+    seed supplier to every reachable node of the UNDIRECTED purchase
+    graph, capped at ``max_rounds`` — the traversal family: unlike
+    ``pagerank_purchases``' fixed iteration count, BFS runs a DATA-
+    DEPENDENT number of supersteps and terminates when the frontier
+    drains (the per-round driver scalar is one newly-settled count, the
+    pagerank dangling-mass discipline).
+
+    Scale shape: adjacency partitions by hash(node) once (both edge
+    directions); each superstep unions (adjacency, settled distances,
+    frontier candidates) into ONE groupby(q) exchange whose map_groups
+    settles new nodes (candidate − settled), emits their neighbors as
+    next-round candidates, and reports the partition's newly-settled
+    count. Settled state never leaves its partition; candidate volume
+    per round is bounded by the frontier's out-degree sum. The oracle is
+    the same BFS as a recursive CTE (UNION-dedup on (node, depth), depth
+    < max_rounds), min(depth) per node."""
+    import pandas as pd
+    import ray
+
+    seed = np.int64(seed_supplier * 2 + 1)
+    edges = _build_edges(sf_dir)
+
+    def adj_rows(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = np.concatenate([src, dst])
+        b = np.concatenate([dst, src])
+        return _exchange_rows(a, _H_ADJ, b, np.zeros(a.size, dtype=np.int64))
+
+    adj = edges.map_batches(adj_rows, batch_format="pyarrow").materialize()
+    n_edges2 = adj.count()
+    if n_edges2 == 0:
+        return pd.DataFrame({"entity": ["supplier"],
+                             "key": [int(seed_supplier)], "hops": [0]})
+    adj = adj.repartition(_state_blocks(n_edges2)).materialize()
+
+    def superstep(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy(zero_copy_only=False)
+        k = group["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = group["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d_m = side == _H_DIST
+        settled_k, settled_d = k[d_m], a[d_m]
+        c_m = side == _H_CAND
+        cand_k, cand_d = k[c_m], a[c_m]
+        # settle: candidates not already settled, min distance per node
+        if cand_k.size:
+            fresh = ~np.isin(cand_k, settled_k)
+            ck, cd = cand_k[fresh], cand_d[fresh]
+            if ck.size:
+                uk, inv = np.unique(ck, return_inverse=True)
+                ud = np.full(uk.size, np.iinfo(np.int64).max, dtype=np.int64)
+                np.minimum.at(ud, inv, cd)
+                ck, cd = uk, ud
+        else:
+            ck = cd = np.zeros(0, dtype=np.int64)
+        new_k, new_d = ck, cd
+        all_k = np.concatenate([settled_k, new_k])
+        all_d = np.concatenate([settled_d, new_d])
+        out = [_exchange_rows(all_k, _H_DIST, all_d,
+                              np.zeros(all_k.size, dtype=np.int64)),
+               _exchange_rows(np.full(1, -1, dtype=np.int64), _H_NEW,
+                              np.asarray([new_k.size], dtype=np.int64),
+                              np.zeros(1, dtype=np.int64))]
+        if new_k.size:
+            # newly settled nodes propose their neighbors for next round
+            adj_m = side == _H_ADJ
+            aa, ab = k[adj_m], a[adj_m]
+            new_order = np.argsort(new_k, kind="stable")
+            nk_sorted, nd_by_k = new_k[new_order], new_d[new_order]
+            pos, hit = _sorted_probe(nk_sorted, aa)
+            nb = ab[hit]
+            nd = nd_by_k[pos[hit]] + 1
+            out.append(_exchange_rows(nb, _H_CAND, nd,
+                                      np.zeros(nb.size, dtype=np.int64)))
+        return pa.concat_tables(out)
+
+    def keep_side(tag: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.equal(batch["side"], tag))
+
+        return fn
+
+    cand = ray.data.from_arrow(_exchange_rows(
+        np.asarray([seed], dtype=np.int64), _H_CAND,
+        np.zeros(1, dtype=np.int64), np.zeros(1, dtype=np.int64)))
+    state = None
+    for _ in range(max_rounds + 1):
+        flow = adj.union(cand)
+        if state is not None:
+            flow = flow.union(state.map_batches(keep_side(_H_DIST),
+                                                batch_format="pyarrow"))
+        nxt = (flow.groupby("q")
+               .map_groups(superstep, batch_format="pyarrow")).materialize()
+        n_new = sum(r["a"] for r in
+                    nxt.map_batches(keep_side(_H_NEW),
+                                    batch_format="pyarrow").take_all())
+        state = nxt
+        if n_new == 0:
+            break
+        cand = state.map_batches(keep_side(_H_CAND),
+                                 batch_format="pyarrow")
+
+    def publish(batch: pa.Table) -> pa.Table:
+        batch = keep_side(_H_DIST)(batch)
+        node = batch["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ent = np.where(node % 2 == 0, "customer", "supplier")
+        return pa.table({"entity": pa.array(ent, type=pa.string()),
+                         "key": pa.array(node // 2),
+                         "hops": pa.array(d)})
+
+    out = state.map_batches(publish, batch_format="pyarrow").to_pandas()
+    if not (out["key"].to_numpy()[out["entity"].to_numpy() == "supplier"]
+            == seed_supplier).any():
+        # isolated seed: the oracle's recursion base still emits it at 0
+        out = pd.concat([out, pd.DataFrame(
+            {"entity": ["supplier"], "key": [int(seed_supplier)],
+             "hops": [0]})], ignore_index=True)
+    return out.sort_values(["entity", "key"]).reset_index(drop=True)

@@ -4162,6 +4162,76 @@ class TestSupplierAffinity:
         assert list(got.columns) == ["supp_a", "supp_b", "n_customers"]
 
 
+class TestPurchaseHops:
+    @staticmethod
+    def _bfs(edges, seed):
+        """Plain-Python BFS over undirected [(a, b)] from seed."""
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        dist = {seed: 0}
+        frontier = [seed]
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = dist[u] + 1
+                        nxt.append(v)
+            frontier = nxt
+        return dist
+
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.graph import purchase_hops
+
+        o = pq.read_table(f"{SF}/orders.parquet",
+                          columns=["o_orderkey", "o_custkey"]).to_pandas()
+        li = pq.read_table(f"{SF}/lineitem.parquet",
+                           columns=["l_orderkey", "l_suppkey"]).to_pandas()
+        j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        edges = {(int(c) * 2, int(s) * 2 + 1)
+                 for c, s in zip(j["o_custkey"], j["l_suppkey"])}
+        dist = self._bfs(edges, 1)  # supplier 0 → node 1
+        got = purchase_hops(SF)
+        assert len(got) == len(dist)
+        for _, r in got.iterrows():
+            node = int(r["key"]) * 2 + (r["entity"] == "supplier")
+            assert int(r["hops"]) == dist[node], node
+
+    def test_planted_path_and_unreachable(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.graph import purchase_hops
+
+        # s0 -- c1 -- s1 -- c2 -- s2 is a path; (c9, s9) is a separate
+        # component and must NOT appear in the output
+        pd.DataFrame({
+            "o_orderkey": [10, 11, 12, 13, 14],
+            "o_custkey": [1, 1, 2, 2, 9],
+        }).to_parquet(f"{tmp_path}/orders.parquet", index=False)
+        pd.DataFrame({
+            "l_orderkey": [10, 11, 12, 13, 14],
+            "l_suppkey": [0, 1, 1, 2, 9],
+        }).to_parquet(f"{tmp_path}/lineitem.parquet", index=False)
+        got = purchase_hops(str(tmp_path))
+        rows = {(e, int(k)): int(h) for e, k, h in
+                zip(got["entity"], got["key"], got["hops"])}
+        assert rows == {("supplier", 0): 0, ("customer", 1): 1,
+                        ("supplier", 1): 2, ("customer", 2): 3,
+                        ("supplier", 2): 4}
+
+    def test_isolated_seed(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.graph import purchase_hops
+
+        # supplier 0 has no purchases: the output is the seed alone at 0
+        pd.DataFrame({"o_orderkey": [10], "o_custkey": [5]}).to_parquet(
+            f"{tmp_path}/orders.parquet", index=False)
+        pd.DataFrame({"l_orderkey": [10], "l_suppkey": [7]}).to_parquet(
+            f"{tmp_path}/lineitem.parquet", index=False)
+        got = purchase_hops(str(tmp_path))
+        assert list(zip(got["entity"], got["key"], got["hops"])) == [
+            ("supplier", 0, 0)]
+
+
 class TestTableProfile:
     def test_matches_bruteforce(self, ray_session):
         from searchengine_ray.pipelines.relational import table_profile
