@@ -29,7 +29,7 @@ EMPTY_VIEWS = {
     "events": "SELECT CAST(0 AS BIGINT) AS event_id, CAST(0 AS BIGINT) AS user_id, TIMESTAMP '2026-01-01' AS ts, '' AS event_type, 0.0 AS value, '' AS props WHERE 1=0",
     "orders": "SELECT CAST(0 AS BIGINT) AS o_orderkey, CAST(0 AS BIGINT) AS o_custkey, 0.0 AS o_totalprice, TIMESTAMP '2026-01-01' AS o_orderdate, '' AS o_orderpriority WHERE 1=0",
     "customer": "SELECT CAST(0 AS BIGINT) AS c_custkey, CAST(0 AS BIGINT) AS c_nationkey, '' AS c_name, '' AS c_mktsegment, 0.0 AS c_acctbal WHERE 1=0",
-    "lineitem": "SELECT CAST(0 AS BIGINT) AS l_orderkey, CAST(0 AS BIGINT) AS l_partkey, CAST(0 AS BIGINT) AS l_suppkey, 0.0 AS l_quantity, 0.0 AS l_extendedprice, 0.0 AS l_discount, 0.0 AS l_tax, '' AS l_returnflag, '' AS l_linestatus, TIMESTAMP '2026-01-01' AS l_shipdate WHERE 1=0",
+    "lineitem": "SELECT CAST(0 AS BIGINT) AS l_orderkey, CAST(0 AS BIGINT) AS l_partkey, CAST(0 AS BIGINT) AS l_suppkey, CAST(0 AS INTEGER) AS l_linenumber, 0.0 AS l_quantity, 0.0 AS l_extendedprice, 0.0 AS l_discount, 0.0 AS l_tax, '' AS l_returnflag, '' AS l_linestatus, TIMESTAMP '2026-01-01' AS l_shipdate WHERE 1=0",
     "nation": "SELECT CAST(0 AS BIGINT) AS n_nationkey, CAST(0 AS BIGINT) AS n_regionkey, '' AS n_name WHERE 1=0",
     "supplier": "SELECT CAST(0 AS BIGINT) AS s_suppkey, CAST(0 AS BIGINT) AS s_nationkey, '' AS s_name, 0.0 AS s_acctbal WHERE 1=0",
     "part": "SELECT CAST(0 AS BIGINT) AS p_partkey, '' AS p_name, '' AS p_brand, '' AS p_type, CAST(0 AS INTEGER) AS p_size, 0.0 AS p_retailprice WHERE 1=0",
