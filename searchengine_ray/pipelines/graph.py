@@ -425,19 +425,32 @@ def purchase_hops(sf_dir: str, seed_supplier: int = 0,
     seed = np.int64(seed_supplier * 2 + 1)
     edges = _build_edges(sf_dir)
 
-    def adj_rows(batch: pa.Table) -> pa.Table:
-        src = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
-        dst = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
-        a = np.concatenate([src, dst])
-        b = np.concatenate([dst, src])
-        return _exchange_rows(a, _H_ADJ, b, np.zeros(a.size, dtype=np.int64))
+    def adj_from(parity: int):
+        """Adjacency rows whose SOURCE endpoint has the given parity —
+        the graph is bipartite, so a round's frontier is entirely one
+        side and only that side's outgoing edges need to flow."""
+        def fn(batch: pa.Table) -> pa.Table:
+            src = batch["src"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            dst = batch["dst"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            a, b = (dst, src) if parity == 1 else (src, dst)
+            return _exchange_rows(a, _H_ADJ, b,
+                                  np.zeros(a.size, dtype=np.int64))
 
-    adj = edges.map_batches(adj_rows, batch_format="pyarrow").materialize()
-    n_edges2 = adj.count()
-    if n_edges2 == 0:
+        return fn
+
+    # customers are even nodes (edge sources), suppliers odd (targets)
+    adj_half = {}
+    for parity in (0, 1):
+        h = edges.map_batches(adj_from(parity),
+                              batch_format="pyarrow").materialize()
+        n = h.count()
+        adj_half[parity] = (h.repartition(_state_blocks(n)).materialize()
+                            if n else h)
+    if adj_half[0].count() == 0:
         return pd.DataFrame({"entity": ["supplier"],
                              "key": [int(seed_supplier)], "hops": [0]})
-    adj = adj.repartition(_state_blocks(n_edges2)).materialize()
 
     def superstep(group: pa.Table) -> pa.Table:
         side = group["side"].to_numpy(zero_copy_only=False)
@@ -475,8 +488,13 @@ def purchase_hops(sf_dir: str, seed_supplier: int = 0,
             pos, hit = _sorted_probe(nk_sorted, aa)
             nb = ab[hit]
             nd = nd_by_k[pos[hit]] + 1
-            out.append(_exchange_rows(nb, _H_CAND, nd,
-                                      np.zeros(nb.size, dtype=np.int64)))
+            # partition-local candidate dedup: a node neighboring many
+            # frontier members ships once, with the min proposal
+            unb, inv = np.unique(nb, return_inverse=True)
+            und = np.full(unb.size, np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(und, inv, nd)
+            out.append(_exchange_rows(unb, _H_CAND, und,
+                                      np.zeros(unb.size, dtype=np.int64)))
         return pa.concat_tables(out)
 
     def keep_side(tag: int):
@@ -489,13 +507,21 @@ def purchase_hops(sf_dir: str, seed_supplier: int = 0,
         np.asarray([seed], dtype=np.int64), _H_CAND,
         np.zeros(1, dtype=np.int64), np.zeros(1, dtype=np.int64)))
     state = None
-    for _ in range(max_rounds + 1):
-        flow = adj.union(cand)
+    state_blocks = _state_blocks(2 * adj_half[0].count())
+    for rnd in range(max_rounds + 1):
+        # round rnd settles nodes at distance rnd; the seed (distance 0)
+        # is a supplier = odd node, so the settling side alternates and
+        # only that side's outgoing adjacency joins the exchange
+        flow = adj_half[1 if rnd % 2 == 0 else 0].union(cand)
         if state is not None:
             flow = flow.union(state.map_batches(keep_side(_H_DIST),
                                                 batch_format="pyarrow"))
+        # repartition each round: sort output block count tracks its
+        # input's, and state feeds the next union twice — without this
+        # the block count (and exchange latency) compounds per round
         nxt = (flow.groupby("q")
-               .map_groups(superstep, batch_format="pyarrow")).materialize()
+               .map_groups(superstep, batch_format="pyarrow")
+               .repartition(state_blocks)).materialize()
         n_new = sum(r["a"] for r in
                     nxt.map_batches(keep_side(_H_NEW),
                                     batch_format="pyarrow").take_all())
