@@ -88,6 +88,15 @@ _SIDE_DANGLING = 3  # k = -1, a = partition dangling-mass partial
 _SIDE_RANK = 4  # k = node, a = R_t (the published state)
 
 
+def _keep_side(tag: int):
+    """Batch filter for one exchange-row side tag (shared by the
+    iterative entries' per-round state projections)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["side"], tag))
+
+    return fn
+
+
 def _build_edges(sf_dir: str):
     """Distinct (customer, supplier) purchase edges with out-degree,
     partitioned by hash(src node): orders ⋈ lineitem on the orderkey
@@ -276,12 +285,6 @@ def pagerank_purchases(sf_dir: str, iters: int = PR_ITERS):
 
         return step
 
-    def keep_side(tag: int):
-        def fn(batch: pa.Table) -> pa.Table:
-            return batch.filter(pc.equal(batch["side"], tag))
-
-        return fn
-
     # t = 0 state: uniform ranks, map-side bootstrap contribs
     share = (n_odd * r0) // n_nodes
     contribs = edges.map_batches(bootstrap_contribs, batch_format="pyarrow")
@@ -299,14 +302,14 @@ def pagerank_purchases(sf_dir: str, iters: int = PR_ITERS):
         if t + 1 < iters:
             d_mass = sum(
                 r["a"] for r in
-                state.map_batches(keep_side(_SIDE_DANGLING),
+                state.map_batches(_keep_side(_SIDE_DANGLING),
                                   batch_format="pyarrow").take_all())
             share = d_mass // n_nodes
-            contribs = state.map_batches(keep_side(_SIDE_CONTRIB),
+            contribs = state.map_batches(_keep_side(_SIDE_CONTRIB),
                                          batch_format="pyarrow")
 
     def publish(batch: pa.Table) -> pa.Table:
-        batch = keep_side(_SIDE_RANK)(batch)
+        batch = _keep_side(_SIDE_RANK)(batch)
         node = batch["k"].to_numpy(zero_copy_only=False).astype(np.int64)
         r = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
         ent = np.where(node % 2 == 0, "customer", "supplier")
@@ -497,12 +500,6 @@ def purchase_hops(sf_dir: str, seed_supplier: int = 0,
                                       np.zeros(unb.size, dtype=np.int64)))
         return pa.concat_tables(out)
 
-    def keep_side(tag: int):
-        def fn(batch: pa.Table) -> pa.Table:
-            return batch.filter(pc.equal(batch["side"], tag))
-
-        return fn
-
     cand = ray.data.from_arrow(_exchange_rows(
         np.asarray([seed], dtype=np.int64), _H_CAND,
         np.zeros(1, dtype=np.int64), np.zeros(1, dtype=np.int64)))
@@ -514,7 +511,7 @@ def purchase_hops(sf_dir: str, seed_supplier: int = 0,
         # only that side's outgoing adjacency joins the exchange
         flow = adj_half[1 if rnd % 2 == 0 else 0].union(cand)
         if state is not None:
-            flow = flow.union(state.map_batches(keep_side(_H_DIST),
+            flow = flow.union(state.map_batches(_keep_side(_H_DIST),
                                                 batch_format="pyarrow"))
         # repartition each round: sort output block count tracks its
         # input's, and state feeds the next union twice — without this
@@ -523,16 +520,16 @@ def purchase_hops(sf_dir: str, seed_supplier: int = 0,
                .map_groups(superstep, batch_format="pyarrow")
                .repartition(state_blocks)).materialize()
         n_new = sum(r["a"] for r in
-                    nxt.map_batches(keep_side(_H_NEW),
+                    nxt.map_batches(_keep_side(_H_NEW),
                                     batch_format="pyarrow").take_all())
         state = nxt
         if n_new == 0:
             break
-        cand = state.map_batches(keep_side(_H_CAND),
+        cand = state.map_batches(_keep_side(_H_CAND),
                                  batch_format="pyarrow")
 
     def publish(batch: pa.Table) -> pa.Table:
-        batch = keep_side(_H_DIST)(batch)
+        batch = _keep_side(_H_DIST)(batch)
         node = batch["k"].to_numpy(zero_copy_only=False).astype(np.int64)
         d = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
         ent = np.where(node % 2 == 0, "customer", "supplier")

@@ -4379,8 +4379,8 @@ def skyline_orders(sf_dir: str):
         key = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         cents = np.rint(batch["o_totalprice"].to_numpy(
             zero_copy_only=False) * 100.0).astype(np.int64)
-        date = batch["o_orderdate"].cast(pa.int64()).to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        date = batch["o_orderdate"].cast(pa.timestamp("us")).cast(
+            pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)
         pri_np = pri.to_numpy()
         keep = np.zeros(key.size, dtype=bool)
         for v in pd.unique(pri_np):
@@ -4443,8 +4443,9 @@ def table_profile(sf_dir: str, table: str = "lineitem"):
 
     Exactness: distinct counting shuffles each value's injective
     canonical string (ints/epoch-µs as decimal text, strings as
-    themselves, doubles as repr with -0.0 normalized — bijective with
-    the stored IEEE doubles), so the count is exact, not sketched;
+    themselves, doubles as repr with -0.0 normalized and NaN deduped to
+    one value, matching SQL DISTINCT's total order — bijective with the
+    stored IEEE doubles), so the count is exact, not sketched;
     ``ndistinct_users`` is the single-column sketch-vs-exact pair, this
     is the whole-table exact pass.
 
@@ -4470,9 +4471,13 @@ def table_profile(sf_dir: str, table: str = "lineitem"):
         if k == "str":
             return [v for v in arr.unique().to_pylist() if v is not None]
         if k == "float":
-            u = arr.unique().to_numpy(zero_copy_only=False)
+            u = arr.drop_null().unique().to_numpy(zero_copy_only=False)
+            has_nan = bool(np.isnan(u).any())
             u = u[~np.isnan(u)] + 0.0  # -0.0 → 0.0 (SQL DISTINCT equality)
-            return [repr(float(v)) for v in u]
+            out = [repr(float(v)) for v in u]
+            if has_nan:
+                out.append("nan")  # SQL DISTINCT: NaN is ONE value
+            return out
         img = arr.cast(pa.timestamp("us")).cast(pa.int64()) \
             if k == "timestamp" else arr
         u = img.unique().drop_null().to_numpy(zero_copy_only=False)
@@ -4485,11 +4490,6 @@ def table_profile(sf_dir: str, table: str = "lineitem"):
             arr = batch[c]
             nn = arr.null_count
             k = kinds[c]
-            # NaN counts as NULL on the pandas read path; mirror that so
-            # n_null + distinct partition the column consistently
-            if k == "float":
-                nn += int(np.isnan(arr.to_numpy(
-                    zero_copy_only=False)).sum()) - arr.null_count
             mn = mx = None
             if k in PROFILE_INT_IMAGE and batch.num_rows > nn:
                 img = arr.cast(pa.timestamp("us")).cast(pa.int64()) \

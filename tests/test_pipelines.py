@@ -4005,6 +4005,12 @@ class TestSkylineOrders:
                .reset_index(drop=True))
         assert list(zip(got["o_orderpriority"], got["o_orderkey"])) == [
             ("A", 1), ("A", 2), ("A", 4), ("B", 10)]
+        # epoch-µs regardless of the file's unit (pandas writes ns here)
+        assert got["o_orderdate_us"].tolist() == [
+            int(pd.Timestamp(d).value // 1000)
+            for d in ["2020-01-05", "2020-01-05", "2020-01-02",
+                      "2020-06-01"]]
+        assert got["price_cents"].tolist() == [1000, 1000, 500, 100]
 
     def test_kernel_algebraic_merge(self):
         from searchengine_ray.pipelines.relational import _skyline_mask
@@ -4258,20 +4264,27 @@ class TestTableProfile:
     def test_planted_nulls_nan_negzero(self, ray_session, tmp_path):
         from searchengine_ray.pipelines.relational import table_profile
 
-        pd.DataFrame({
-            "a": pd.array([5, None, 5, -2], dtype="Int64"),
-            "b": [0.0, -0.0, float("nan"), 1.5],  # -0.0 == 0.0; NaN=null
-            "c": ["x", None, "x", "y"],
-            "t": pd.to_datetime(
-                ["2020-01-01", "2020-01-02", None, "2020-01-02"]),
-        }).to_parquet(f"{tmp_path}/lineitem.parquet", index=False)
+        # written via pyarrow: pandas would silently fold NaN into NULL,
+        # but a parquet double column CAN carry a true NaN value
+        pq.write_table(pa.table({
+            "a": pa.array([5, None, 5, -2], type=pa.int64()),
+            # -0.0 == 0.0 collapses; NaN is ONE DISTINCT VALUE (DuckDB's
+            # count(DISTINCT) total order), NOT a null
+            "b": pa.array([0.0, -0.0, float("nan"), 1.5],
+                          type=pa.float64()),
+            "c": pa.array(["x", None, "x", "y"], type=pa.string()),
+            "t": pa.array([0, 86_400_000_000, None, 86_400_000_000],
+                          type=pa.timestamp("us")),
+            # ns-unit column: the int64 image must still be epoch-µs
+            "tn": pa.array([0, None, 86_400_000_000_000,
+                            86_400_000_000_000], type=pa.timestamp("ns")),
+        }), f"{tmp_path}/lineitem.parquet")
         got = table_profile(str(tmp_path)).set_index("column_name")
         assert got.loc["a"].tolist() == [4, 1, 2, "-2", "5"]
-        assert got.loc["b"].tolist() == [4, 1, 2, "", ""]
+        assert got.loc["b"].tolist() == [4, 0, 3, "", ""]
         assert got.loc["c"].tolist() == [4, 1, 2, "", ""]
-        day = 86_400_000_000
-        t0 = int(pd.Timestamp("2020-01-01").value // 1000)
-        assert got.loc["t"].tolist() == [4, 1, 2, str(t0), str(t0 + day)]
+        assert got.loc["t"].tolist() == [4, 1, 2, "0", "86400000000"]
+        assert got.loc["tn"].tolist() == [4, 1, 2, "0", "86400000000"]
 
     def test_all_null_column(self, ray_session, tmp_path):
         from searchengine_ray.pipelines.relational import table_profile
