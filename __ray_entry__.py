@@ -350,6 +350,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fact rows, exact int num/den, one double division per year
         # (oracle: 8-table CTE + CASE ratio; r4)
         "q8_market_share": relational.q8_market_share,
+        # TPC-H Q2 shape: correlated MIN subquery — per-part minimum
+        # shipping cost among region suppliers resolved inside one
+        # partkey co-partition, achievers only to the driver (oracle:
+        # min-per-part CTE self-join; r4)
+        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
         # JSON schema-on-read: aggregate over a value extracted from the
         # semi-structured props bag — TRY_CAST(json_extract) semantics,
         # int64 partials per type (oracle: DuckDB json functions; r4)
@@ -2175,6 +2180,34 @@ SELECT o_year, CAST(count(*) AS BIGINT) AS n_items,
                             AS DOUBLE) / CAST(sum(rev) AS DOUBLE), 6)
        END AS mkt_share_r
 FROM vol GROUP BY o_year ORDER BY o_year""",
+        # Q2 shape: cost = min cents(extendedprice) per (part, supplier)
+        # over region suppliers of qualifying parts; the correlated min
+        # re-joins its own CTE; order/limit on a total key so the cut is
+        # deterministic (engine sorts by the identical exact-cent image)
+        "q2_min_cost_supplier": """
+WITH es AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+ qp AS (
+  SELECT p_partkey FROM part
+  WHERE p_type = 'ECONOMY' AND p_size <= 10),
+ cost AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         min(CAST(round(100 * l_extendedprice) AS BIGINT)) AS c
+  FROM lineitem JOIN qp ON l_partkey = p_partkey
+       JOIN es ON l_suppkey = s_suppkey
+  GROUP BY 1, 2),
+ mn AS (SELECT pk, min(c) AS mc FROM cost GROUP BY pk)
+SELECT round(es.s_acctbal, 2) AS s_acctbal_r, es.s_name, es.n_name,
+       CAST(cost.pk AS BIGINT) AS p_partkey, 'ECONOMY' AS p_type,
+       CAST(es.s_suppkey AS BIGINT) AS s_suppkey,
+       round(cost.c / 100.0, 2) AS min_cost_r
+FROM cost JOIN mn ON cost.pk = mn.pk AND cost.c = mn.mc
+     JOIN es ON cost.sk = es.s_suppkey
+ORDER BY es.s_acctbal DESC, es.n_name, es.s_name, cost.pk, es.s_suppkey
+LIMIT 100""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -4578,3 +4578,156 @@ def table_profile(sf_dir: str, table: str = "lineitem"):
         })
     return pd.DataFrame(rows, columns=["column_name", "n_rows", "n_null",
                                        "n_distinct", "min_s", "max_s"])
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 / Q9 / Q11 / Q20 / Q21 shapes — the partsupp-dependent family,
+# re-expressed over the columns this schema has (no partsupp table, no
+# commit/receipt dates; each docstring states its deterministic stand-in)
+# ---------------------------------------------------------------------------
+
+Q2_REGION = "EUROPE"
+Q2_TYPE = "ECONOMY"
+Q2_MAX_SIZE = 10
+
+
+def _region_suppliers(sf_dir: str, region: str):
+    """Driver-side dimension chain supplier ⋈ nation ⋈ region for ONE
+    region: a pandas frame (s_suppkey, s_name, s_acctbal, n_name).
+    Dimension-sized by definition (supplier × 25 nations × 5 regions),
+    so it is the broadcast side of every query in this family — never
+    part of an exchange."""
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet")).to_pandas()
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    nat = nat.merge(reg[reg["r_name"] == region], left_on="n_regionkey",
+                    right_on="r_regionkey")
+    return sup.merge(nat[["n_nationkey", "n_name"]], left_on="s_nationkey",
+                     right_on="n_nationkey")[
+        ["s_suppkey", "s_name", "s_acctbal", "n_name"]]
+
+
+def _q2_exchange_empty() -> "pa.Table":
+    z = pa.array([], type=pa.int64())
+    return pa.table({"q": z, "pk": z, "sk": z, "c": z})
+
+
+def q2_min_cost_supplier(sf_dir: str):
+    """(s_acctbal_r, s_name, n_name, p_partkey, p_type, s_suppkey,
+    min_cost_r): TPC-H Q2's shape — for each qualifying part (fixed
+    type, size cap) the EUROPE-region supplier(s) whose cost for that
+    part equals the part's MINIMUM cost among region suppliers; top 100
+    by (balance DESC, n_name, s_name, p_partkey, s_suppkey). The
+    CORRELATED-MIN-SUBQUERY surface no other q* entry has: the aggregate
+    gating each row is computed per part across the OTHER rows of the
+    same join (Q2's ps_supplycost = (SELECT min(ps_supplycost) ...)).
+
+    Stand-in: this schema has no partsupp, so cost(part, supplier) :=
+    MIN cents(l_extendedprice) over their joint line items —
+    deterministic and integer-exact, keeping the correlated structure
+    (the min ranges over region suppliers of the SAME part).
+
+    Exactness: costs are exact cent integers end-to-end (min of
+    round(100·price) — the 2-dp contract); balances ORDER by their exact
+    cent image; the published floats round once on the driver.
+
+    Scale shape: supplier ⋈ nation ⋈ region is dimension-sized and the
+    type+size gate cuts part to a tiny qualifying set — both broadcast
+    sorted via one ``ray.put``. ONE lineitem pass min-combines per
+    (part, supplier) INSIDE each batch, so the single exchange
+    (partkey-hash co-partition, the module's shared formula) carries
+    ≤ distinct-pairs-per-batch rows; each partition owns every cost row
+    of its parts, resolves the correlated min locally and emits only
+    the achievers. The driver sees ≤ |qualifying parts| × ties rows and
+    finishes names / order / limit against the dimension frame."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    es = _region_suppliers(sf_dir, Q2_REGION)
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_type", "p_size"])
+    pk_all = part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ptype = np.asarray(part["p_type"].to_pylist(), dtype=object)
+    psize = part["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+    qp = np.sort(pk_all[(ptype == Q2_TYPE) & (psize <= Q2_MAX_SIZE)])
+    sks = np.sort(es["s_suppkey"].to_numpy(dtype=np.int64))
+    sets_ref = ray.put((qp, sks))
+
+    def pair_min(batch: pa.Table) -> pa.Table:
+        qpk, rsk = ray.get(sets_ref)
+        lpk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lsk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, hit_p = _sorted_probe(qpk, lpk)
+        _, hit_s = _sorted_probe(rsk, lsk)
+        m = hit_p & hit_s
+        if not m.any():
+            return _q2_exchange_empty()
+        cents = np.rint(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False)[m] * 100.0).astype(np.int64)
+        pairs, inv = np.unique(np.stack([lpk[m], lsk[m]], axis=1), axis=0,
+                               return_inverse=True)
+        cmin = np.full(pairs.shape[0], np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(cmin, inv, cents)  # map-side min combine per pair
+        pk, sk = pairs[:, 0].copy(), pairs[:, 1].copy()
+        return pa.table({"q": pa.array(_hash_partition(pk)),
+                         "pk": pa.array(pk), "sk": pa.array(sk),
+                         "c": pa.array(cmin)})
+
+    def correlated_min(group: pa.Table) -> pa.Table:
+        df = (pd.DataFrame({
+            "pk": group["pk"].to_numpy(zero_copy_only=False),
+            "sk": group["sk"].to_numpy(zero_copy_only=False),
+            "c": group["c"].to_numpy(zero_copy_only=False),
+        }).groupby(["pk", "sk"], as_index=False)["c"].min())
+        if df.empty:
+            return pa.table({"pk": pa.array([], type=pa.int64()),
+                             "sk": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+        mn = df.groupby("pk")["c"].transform("min")
+        win = df[df["c"] == mn]  # the correlated min's achievers
+        return pa.table({
+            "pk": pa.array(win["pk"].to_numpy(dtype=np.int64)),
+            "sk": pa.array(win["sk"].to_numpy(dtype=np.int64)),
+            "c": pa.array(win["c"].to_numpy(dtype=np.int64)),
+        })
+
+    won = (read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    ).map_batches(pair_min, batch_format="pyarrow", batch_size=8192)
+     .groupby("q").map_groups(correlated_min, batch_format="pyarrow")
+     .to_pandas())
+    empty = pa.table({
+        "s_acctbal_r": pa.array([], type=pa.float64()),
+        "s_name": pa.array([], type=pa.string()),
+        "n_name": pa.array([], type=pa.string()),
+        "p_partkey": pa.array([], type=pa.int64()),
+        "p_type": pa.array([], type=pa.string()),
+        "s_suppkey": pa.array([], type=pa.int64()),
+        "min_cost_r": pa.array([], type=pa.float64()),
+    })
+    if won.empty:
+        return empty
+    j = won.merge(es, left_on="sk", right_on="s_suppkey")
+    if j.empty:
+        return empty
+    j = j.assign(bal_c=np.rint(j["s_acctbal"].to_numpy() * 100.0)
+                 .astype(np.int64))
+    j = j.sort_values(["bal_c", "n_name", "s_name", "pk", "sk"],
+                      ascending=[False, True, True, True, True]).head(100)
+    return pa.table({
+        "s_acctbal_r": pa.array(
+            [round_half_away(c / 100.0, 2) for c in j["bal_c"]],
+            type=pa.float64()),
+        "s_name": pa.array(j["s_name"].tolist(), type=pa.string()),
+        "n_name": pa.array(j["n_name"].tolist(), type=pa.string()),
+        "p_partkey": pa.array(j["pk"].to_numpy(dtype=np.int64)),
+        "p_type": pa.array([Q2_TYPE] * len(j), type=pa.string()),
+        "s_suppkey": pa.array(j["sk"].to_numpy(dtype=np.int64)),
+        "min_cost_r": pa.array(
+            [round_half_away(c / 100.0, 2) for c in j["c"]],
+            type=pa.float64()),
+    })

@@ -4421,3 +4421,84 @@ class TestReviewRegressionsR4S11:
         exp = round_half_away(float(2 * vi) / 10_000.0, 4)
         assert got["sum_value_r"].tolist() == [exp]
         assert got["sum_value_r"].iloc[0] > 0  # the wrap went negative
+
+
+class TestQ2MinCostSupplier:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            Q2_MAX_SIZE,
+            Q2_REGION,
+            Q2_TYPE,
+            q2_min_cost_supplier,
+        )
+
+        part = pq.read_table(
+            f"{SF}/part.parquet",
+            columns=["p_partkey", "p_type", "p_size"]).to_pandas()
+        li = pq.read_table(
+            f"{SF}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_extendedprice"]).to_pandas()
+        sup = pq.read_table(f"{SF}/supplier.parquet").to_pandas()
+        nat = pq.read_table(f"{SF}/nation.parquet").to_pandas()
+        reg = pq.read_table(f"{SF}/region.parquet").to_pandas()
+        es = (sup.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+              .merge(reg, left_on="n_regionkey", right_on="r_regionkey"))
+        es = es[es["r_name"] == Q2_REGION]
+        qp = part[(part["p_type"] == Q2_TYPE)
+                  & (part["p_size"] <= Q2_MAX_SIZE)]["p_partkey"]
+        li = li[li["l_partkey"].isin(set(qp))
+                & li["l_suppkey"].isin(set(es["s_suppkey"]))]
+        li["c"] = np.rint(li["l_extendedprice"] * 100.0).astype(np.int64)
+        cost = (li.groupby(["l_partkey", "l_suppkey"], as_index=False)["c"]
+                .min())
+        mn = cost.groupby("l_partkey")["c"].transform("min")
+        win = cost[cost["c"] == mn].merge(
+            es, left_on="l_suppkey", right_on="s_suppkey")
+        win = win.sort_values(
+            ["s_acctbal", "n_name", "s_name", "l_partkey", "s_suppkey"],
+            ascending=[False, True, True, True, True]).head(100)
+        got = q2_min_cost_supplier(SF).to_pandas()
+        assert got["p_partkey"].tolist() == win["l_partkey"].tolist()
+        assert got["s_suppkey"].tolist() == win["s_suppkey"].tolist()
+        assert got["min_cost_r"].tolist() == [
+            round(c / 100.0, 2) for c in win["c"]]
+        assert (got["p_type"] == Q2_TYPE).all()
+
+    def test_planted_ties_and_exclusions(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import q2_min_cost_supplier
+
+        # part 1 qualifies; part 2 fails the size gate; part 3 the type
+        pd.DataFrame({
+            "p_partkey": [1, 2, 3],
+            "p_type": ["ECONOMY", "ECONOMY", "LARGE"],
+            "p_size": [5, 40, 5],
+        }).to_parquet(f"{tmp_path}/part.parquet", index=False)
+        # suppliers 10, 11 in-region (nation 0 → region 0 = EUROPE);
+        # supplier 20 out-of-region holds the GLOBAL min for part 1 —
+        # the correlated min must range over region suppliers only
+        pd.DataFrame({
+            "s_suppkey": [10, 11, 20],
+            "s_name": ["SUP_10", "SUP_11", "SUP_20"],
+            "s_nationkey": [0, 0, 1],
+            "s_acctbal": [50.0, 50.0, 99.0],
+        }).to_parquet(f"{tmp_path}/supplier.parquet", index=False)
+        pd.DataFrame({
+            "n_nationkey": [0, 1], "n_name": ["N0", "N1"],
+            "n_regionkey": [0, 1],
+        }).to_parquet(f"{tmp_path}/nation.parquet", index=False)
+        pd.DataFrame({
+            "r_regionkey": [0, 1], "r_name": ["EUROPE", "ASIA"],
+        }).to_parquet(f"{tmp_path}/region.parquet", index=False)
+        pd.DataFrame({
+            # suppliers 10 and 11 TIE on part 1's min (3.00) — both rows
+            # surface; supplier 10's second, cheaper line on part 2 is
+            # gated out with the part; supplier 20's 1.00 line never
+            # competes (out of region)
+            "l_partkey": [1, 1, 1, 2, 1, 3],
+            "l_suppkey": [10, 11, 10, 10, 20, 11],
+            "l_extendedprice": [3.0, 3.0, 7.0, 0.5, 1.0, 2.0],
+        }).to_parquet(f"{tmp_path}/lineitem.parquet", index=False)
+        got = q2_min_cost_supplier(str(tmp_path)).to_pandas()
+        assert got["s_suppkey"].tolist() == [10, 11]
+        assert got["min_cost_r"].tolist() == [3.0, 3.0]
+        assert got["n_name"].tolist() == ["N0", "N0"]

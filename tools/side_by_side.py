@@ -19,7 +19,8 @@ import os
 import sys
 
 
-def main(sf: str, json_out: str | None = None) -> int:
+def main(sf: str, json_out: str | None = None,
+         only: str | None = None) -> int:
     import duckdb
     import ray
 
@@ -30,6 +31,8 @@ def main(sf: str, json_out: str | None = None) -> int:
     import __ray_entry__ as entry
 
     qs, osql = entry.queries(), entry.oracle_sql()
+    if only:
+        qs = {k: v for k, v in qs.items() if only in k}
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
@@ -96,5 +99,7 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("sf", nargs="?", default="/root/testdata/sf0.01")
     ap.add_argument("--json", dest="json_out", default=None)
+    ap.add_argument("--only", default=None,
+                    help="run only entries whose name contains this")
     ns = ap.parse_args()
-    sys.exit(main(ns.sf, ns.json_out))
+    sys.exit(main(ns.sf, ns.json_out, ns.only))
