@@ -355,6 +355,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # partkey co-partition, achievers only to the driver (oracle:
         # min-per-part CTE self-join; r4)
         "q2_min_cost_supplier": relational.q2_min_cost_supplier,
+        # TPC-H Q21 shape: per-order existential self-join — EXISTS
+        # another supplier / NOT EXISTS another at-fault supplier,
+        # quantifiers resolved inside one orderkey co-partition over
+        # map-side-deduped pairs (oracle: counted-CTE quantifier
+        # rewrite; r4)
+        "q21_waiting_suppliers": relational.q21_waiting_suppliers,
         # JSON schema-on-read: aggregate over a value extracted from the
         # semi-structured props bag — TRY_CAST(json_extract) semantics,
         # int64 partials per type (oracle: DuckDB json functions; r4)
@@ -2208,6 +2214,25 @@ FROM cost JOIN mn ON cost.pk = mn.pk AND cost.c = mn.mc
      JOIN es ON cost.sk = es.s_suppkey
 ORDER BY es.s_acctbal DESC, es.n_name, es.s_name, cost.pk, es.s_suppkey
 LIMIT 100""",
+        # Q21 shape: the two existential quantifiers decorrelate into
+        # counts over the deduped (order, supplier, fault) pairs —
+        # EXISTS other supplier ⇔ n_suppliers ≥ 2, NOT EXISTS other
+        # at-fault ⇔ n_fault = 1 with this supplier at fault; the
+        # engine applies the identical counted rewrite per partition
+        "q21_waiting_suppliers": """
+WITH li AS (
+  SELECT l_orderkey AS ok, l_suppkey AS sk,
+         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS fail
+  FROM lineitem GROUP BY 1, 2),
+ per AS (
+  SELECT ok, count(*) AS nsupp, sum(fail) AS nfail
+  FROM li JOIN orders ON ok = o_orderkey
+  WHERE o_orderstatus = 'F' GROUP BY ok)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       CAST(count(*) AS BIGINT) AS numwait
+FROM li JOIN per USING (ok) JOIN supplier ON li.sk = s_suppkey
+WHERE per.nsupp >= 2 AND per.nfail = 1 AND li.fail = 1
+GROUP BY 1, 2 ORDER BY numwait DESC, s_name LIMIT 100""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -4731,3 +4731,110 @@ def q2_min_cost_supplier(sf_dir: str):
             [round_half_away(c / 100.0, 2) for c in j["c"]],
             type=pa.float64()),
     })
+
+
+Q21_NUMWAIT_LIMIT = 100
+
+
+def q21_waiting_suppliers(sf_dir: str):
+    """(s_suppkey, s_name, numwait): TPC-H Q21's shape — for FINISHED
+    orders ('F' status), count per supplier the orders where that
+    supplier was the ONLY one at fault among at least two suppliers;
+    top 100 by (numwait DESC, s_name). The PER-GROUP EXISTENTIAL
+    SELF-JOIN surface: both Q21 subqueries — EXISTS (another supplier on
+    the same order) and NOT EXISTS (another AT-FAULT supplier on the
+    same order) — are predicates over OTHER rows of the same fact table,
+    not over a second table (q22's anti-join) or an aggregate (q2's min).
+
+    Stand-in: this schema has no commit/receipt dates, so "at fault" :=
+    shipped a returned line (l_returnflag = 'R') — deterministic, keeps
+    both existential quantifiers live (multi-supplier orders where
+    exactly one supplier has a returned line).
+
+    Scale shape: lineitem dedups (orderkey, suppkey) pairs with an
+    OR-combined fault flag INSIDE each batch, so the orderkey exchange
+    carries distinct pairs, never raw line items; the 'F' order filter
+    rides the same exchange as side-0 rows (orders cannot broadcast —
+    fact-sized). Each partition owns every pair of its orders: it
+    re-dedups across batches, applies both quantifiers locally
+    (n_suppliers ≥ 2, n_fault = 1) and emits per-supplier partial
+    counts; a supplier-keyed groupby sums ≤ partitions × suppliers
+    partials and the driver finishes names / order / limit against the
+    broadcastable supplier dimension.
+
+    Reference parity: the top-k order + deterministic tie-break follows
+    the engine's O2 discipline (query.py _topk_order; the reference's
+    relevance-desc, name-asc rule in SearchServiceImpl.java)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    def li_pairs(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fail = pc.equal(batch["l_returnflag"], "R").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pairs, inv = np.unique(np.stack([ok, sk], axis=1), axis=0,
+                               return_inverse=True)
+        fmax = np.zeros(pairs.shape[0], dtype=np.int64)
+        np.maximum.at(fmax, inv, fail)  # OR-combine the fault flag
+        return _exchange_rows(pairs[:, 0].copy(), 1, pairs[:, 1].copy(), fmax)
+
+    def order_flags(batch: pa.Table) -> pa.Table:
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = pc.equal(batch["o_orderstatus"], "F").to_numpy(
+            zero_copy_only=False)
+        ok = ok[m]
+        z = np.zeros(ok.size, dtype=np.int64)
+        return _exchange_rows(ok, 0, z, z)
+
+    def lone_fault(group: pa.Table) -> pa.Table:
+        (bk, _, _), (ok, sk, fail, _) = _split_exchange_group(group)
+        empty = pa.table({"sk": pa.array([], type=pa.int64()),
+                          "n": pa.array([], type=pa.int64())})
+        if bk.size == 0 or ok.size == 0:
+            return empty
+        _, hit = _sorted_probe(bk, ok)  # keep pairs of 'F' orders only
+        if not hit.any():
+            return empty
+        df = (pd.DataFrame({"ok": ok[hit], "sk": sk[hit], "f": fail[hit]})
+              .groupby(["ok", "sk"], as_index=False)["f"].max())
+        per = df.groupby("ok").agg(nsupp=("sk", "size"), nfail=("f", "sum"))
+        live = per[(per["nsupp"] >= 2) & (per["nfail"] == 1)].index
+        culprit = df[(df["f"] == 1) & df["ok"].isin(live)]
+        if culprit.empty:
+            return empty
+        g = culprit.groupby("sk", as_index=False).agg(n=("ok", "count"))
+        return pa.table({"sk": pa.array(g["sk"].to_numpy(dtype=np.int64)),
+                         "n": pa.array(g["n"].to_numpy(dtype=np.int64))})
+
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_returnflag"],
+    ).map_batches(li_pairs, batch_format="pyarrow", batch_size=8192)
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus"],
+    ).map_batches(order_flags, batch_format="pyarrow", batch_size=8192)
+    counts = (li.union(orders).groupby("q")
+              .map_groups(lone_fault, batch_format="pyarrow")
+              .groupby("sk").aggregate(Sum("n", alias_name="numwait"))
+              .to_pandas())
+    empty = pa.table({"s_suppkey": pa.array([], type=pa.int64()),
+                      "s_name": pa.array([], type=pa.string()),
+                      "numwait": pa.array([], type=pa.int64())})
+    if counts.empty:
+        return empty
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_name"]).to_pandas()
+    j = counts.merge(sup, left_on="sk", right_on="s_suppkey")  # inner join
+    if j.empty:
+        return empty
+    j = (j.sort_values(["numwait", "s_name"], ascending=[False, True])
+         .head(Q21_NUMWAIT_LIMIT))
+    return pa.table({
+        "s_suppkey": pa.array(j["s_suppkey"].to_numpy(dtype=np.int64)),
+        "s_name": pa.array(j["s_name"].tolist(), type=pa.string()),
+        "numwait": pa.array(j["numwait"].to_numpy(dtype=np.int64)),
+    })

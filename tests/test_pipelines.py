@@ -4502,3 +4502,61 @@ class TestQ2MinCostSupplier:
         assert got["s_suppkey"].tolist() == [10, 11]
         assert got["min_cost_r"].tolist() == [3.0, 3.0]
         assert got["n_name"].tolist() == ["N0", "N0"]
+
+
+class TestQ21WaitingSuppliers:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import q21_waiting_suppliers
+
+        li = pq.read_table(
+            f"{SF}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_returnflag"]).to_pandas()
+        orders = pq.read_table(
+            f"{SF}/orders.parquet",
+            columns=["o_orderkey", "o_orderstatus"]).to_pandas()
+        sup = pq.read_table(f"{SF}/supplier.parquet",
+                            columns=["s_suppkey", "s_name"]).to_pandas()
+        li["f"] = (li["l_returnflag"] == "R").astype(int)
+        pairs = (li.groupby(["l_orderkey", "l_suppkey"], as_index=False)["f"]
+                 .max())
+        fok = set(orders.loc[orders["o_orderstatus"] == "F", "o_orderkey"])
+        pairs = pairs[pairs["l_orderkey"].isin(fok)]
+        per = pairs.groupby("l_orderkey").agg(
+            nsupp=("l_suppkey", "size"), nfail=("f", "sum"))
+        live = set(per[(per["nsupp"] >= 2) & (per["nfail"] == 1)].index)
+        culprit = pairs[(pairs["f"] == 1) & pairs["l_orderkey"].isin(live)]
+        ref = (culprit.groupby("l_suppkey").size().reset_index(name="numwait")
+               .merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+               .sort_values(["numwait", "s_name"], ascending=[False, True])
+               .head(100))
+        got = q21_waiting_suppliers(SF).to_pandas()
+        assert got["s_suppkey"].tolist() == ref["s_suppkey"].tolist()
+        assert got["numwait"].tolist() == ref["numwait"].tolist()
+
+    def test_planted_quantifiers(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import q21_waiting_suppliers
+
+        pd.DataFrame({
+            "o_orderkey": [1, 2, 3, 4, 5],
+            # order 4 is still open → never counted; the rest finished
+            "o_orderstatus": ["F", "F", "F", "O", "F"],
+        }).to_parquet(f"{tmp_path}/orders.parquet", index=False)
+        pd.DataFrame({
+            # order 1: suppliers 10 (R + N lines — fault dedups to one)
+            #   and 11 (clean) → supplier 10 is the LONE culprit
+            # order 2: 10 and 11 BOTH at fault → NOT EXISTS fails, nobody
+            # order 3: only supplier 10, at fault → EXISTS fails, nobody
+            # order 4: perfect culprit pattern but the order is open
+            # order 5: supplier 11 lone culprit among three
+            "l_orderkey": [1, 1, 1, 2, 2, 3, 4, 4, 5, 5, 5],
+            "l_suppkey": [10, 10, 11, 10, 11, 10, 10, 11, 10, 11, 12],
+            "l_returnflag": ["R", "N", "N", "R", "R", "R", "R", "N",
+                             "N", "R", "N"],
+        }).to_parquet(f"{tmp_path}/lineitem.parquet", index=False)
+        pd.DataFrame({
+            "s_suppkey": [10, 11, 12],
+            "s_name": ["SUP_10", "SUP_11", "SUP_12"],
+        }).to_parquet(f"{tmp_path}/supplier.parquet", index=False)
+        got = q21_waiting_suppliers(str(tmp_path)).to_pandas()
+        assert got["s_suppkey"].tolist() == [10, 11]
+        assert got["numwait"].tolist() == [1, 1]  # orders 1 and 5 only
