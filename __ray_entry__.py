@@ -361,6 +361,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # map-side-deduped pairs (oracle: counted-CTE quantifier
         # rewrite; r4)
         "q21_waiting_suppliers": relational.q21_waiting_suppliers,
+        # TPC-H Q20 shape: correlated fraction-of-group threshold —
+        # suppliers shipping more than half a prefixed part's windowed
+        # total, pure-integer share gate inside one partkey co-partition
+        # (oracle: windowed pair-sum CTE + group-total self-join; r4)
+        "q20_dominant_supplier": relational.q20_dominant_supplier,
         # JSON schema-on-read: aggregate over a value extracted from the
         # semi-structured props bag — TRY_CAST(json_extract) semantics,
         # int64 partials per type (oracle: DuckDB json functions; r4)
@@ -2233,6 +2238,25 @@ SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
 FROM li JOIN per USING (ok) JOIN supplier ON li.sk = s_suppkey
 WHERE per.nsupp >= 2 AND per.nfail = 1 AND li.fail = 1
 GROUP BY 1, 2 ORDER BY numwait DESC, s_name LIMIT 100""",
+        # Q20 shape: centi-quantity sums per (part, supplier) over the
+        # 1997 window of 'red'-prefixed parts; the share gate is the
+        # pure-integer qty·2 > group total (no 0.5 float); n_parts
+        # counts the parts each supplier dominates
+        "q20_dominant_supplier": """
+WITH qp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+ pairs AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         sum(CAST(round(100 * l_quantity) AS BIGINT)) AS c
+  FROM lineitem JOIN qp ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2),
+ tot AS (SELECT pk, sum(c) AS t FROM pairs GROUP BY pk)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       CAST(count(*) AS BIGINT) AS n_parts
+FROM pairs JOIN tot USING (pk) JOIN supplier ON pairs.sk = s_suppkey
+WHERE pairs.c * 2 > tot.t
+GROUP BY 1, 2 ORDER BY s_suppkey""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -4838,3 +4838,108 @@ def q21_waiting_suppliers(sf_dir: str):
         "s_name": pa.array(j["s_name"].tolist(), type=pa.string()),
         "numwait": pa.array(j["numwait"].to_numpy(dtype=np.int64)),
     })
+
+
+Q20_PREFIX = "red"
+Q20_FROM_US = 852_076_800_000_000  # 1997-01-01 epoch-µs
+Q20_TO_US = 883_612_800_000_000  # 1998-01-01 epoch-µs
+
+
+def q20_dominant_supplier(sf_dir: str):
+    """(s_suppkey, s_name, n_parts): TPC-H Q20's shape — suppliers who
+    shipped MORE THAN HALF of some name-prefixed part's total 1997
+    quantity, with how many parts each dominates; ordered by s_suppkey.
+    The CORRELATED FRACTION-OF-GROUP threshold surface: Q20's
+    ps_availqty > 0.5 · (SELECT sum(l_quantity) ... same part, same
+    window) compares a row-level quantity against a fraction of its own
+    group's aggregate — q2's correlated MIN selects an extreme row;
+    this gate passes any row clearing a SHARE of the group total.
+
+    Stand-in: no partsupp/availqty in this schema, so the gated quantity
+    is the supplier's own shipped total for that part — "dominant
+    supplier" (qty(part, supplier) · 2 > qty(part)), same correlated
+    structure, pure-integer gate on exact centi-quantity sums.
+
+    Scale shape: the prefix gate cuts part to a broadcast sorted set
+    (one ``ray.put``); one windowed lineitem pass sum-combines
+    centi-quantities per (part, supplier) INSIDE each batch; the single
+    partkey co-partition owns every pair row of its parts, so the group
+    total, the ·2 gate and the per-supplier distinct-part count all
+    resolve locally; a supplier-keyed groupby sums ≤ partitions ×
+    suppliers partials and the driver finishes names against the
+    supplier dimension."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_name"])
+    pk_all = part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    names = part["p_name"].to_pylist()
+    qp = np.sort(pk_all[[n.startswith(Q20_PREFIX) for n in names]])
+    qp_ref = ray.put(qp)
+
+    def pair_qty(batch: pa.Table) -> pa.Table:
+        qpk = ray.get(qp_ref)
+        ship = batch["l_shipdate"].cast(pa.timestamp("us")).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        lpk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, hit = _sorted_probe(qpk, lpk)
+        m = hit & (ship >= Q20_FROM_US) & (ship < Q20_TO_US)
+        if not m.any():
+            return _q2_exchange_empty()
+        lsk = batch["l_suppkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)[m]
+        qc = np.rint(batch["l_quantity"].to_numpy(
+            zero_copy_only=False)[m] * 100.0).astype(np.int64)
+        pairs, inv = np.unique(np.stack([lpk[m], lsk], axis=1), axis=0,
+                               return_inverse=True)
+        qsum = np.zeros(pairs.shape[0], dtype=np.int64)
+        np.add.at(qsum, inv, qc)  # map-side sum combine per pair
+        return pa.table({"q": pa.array(_hash_partition(pairs[:, 0].copy())),
+                         "pk": pa.array(pairs[:, 0].copy()),
+                         "sk": pa.array(pairs[:, 1].copy()),
+                         "c": pa.array(qsum)})
+
+    def share_gate(group: pa.Table) -> pa.Table:
+        df = (pd.DataFrame({
+            "pk": group["pk"].to_numpy(zero_copy_only=False),
+            "sk": group["sk"].to_numpy(zero_copy_only=False),
+            "c": group["c"].to_numpy(zero_copy_only=False),
+        }).groupby(["pk", "sk"], as_index=False)["c"].sum())
+        empty = pa.table({"sk": pa.array([], type=pa.int64()),
+                          "np": pa.array([], type=pa.int64())})
+        if df.empty:
+            return empty
+        tot = df.groupby("pk")["c"].transform("sum")
+        dom = df[df["c"] * 2 > tot]  # strictly more than half
+        if dom.empty:
+            return empty
+        g = dom.groupby("sk", as_index=False).agg(np=("pk", "count"))
+        return pa.table({"sk": pa.array(g["sk"].to_numpy(dtype=np.int64)),
+                         "np": pa.array(g["np"].to_numpy(dtype=np.int64))})
+
+    counts = (read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+    ).map_batches(pair_qty, batch_format="pyarrow", batch_size=8192)
+     .groupby("q").map_groups(share_gate, batch_format="pyarrow")
+     .groupby("sk").aggregate(Sum("np", alias_name="n_parts"))
+     .to_pandas())
+    empty = pa.table({"s_suppkey": pa.array([], type=pa.int64()),
+                      "s_name": pa.array([], type=pa.string()),
+                      "n_parts": pa.array([], type=pa.int64())})
+    if counts.empty:
+        return empty
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_name"]).to_pandas()
+    j = counts.merge(sup, left_on="sk", right_on="s_suppkey")  # inner join
+    if j.empty:
+        return empty
+    j = j.sort_values("s_suppkey")
+    return pa.table({
+        "s_suppkey": pa.array(j["s_suppkey"].to_numpy(dtype=np.int64)),
+        "s_name": pa.array(j["s_name"].tolist(), type=pa.string()),
+        "n_parts": pa.array(j["n_parts"].to_numpy(dtype=np.int64)),
+    })

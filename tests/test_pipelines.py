@@ -4560,3 +4560,64 @@ class TestQ21WaitingSuppliers:
         got = q21_waiting_suppliers(str(tmp_path)).to_pandas()
         assert got["s_suppkey"].tolist() == [10, 11]
         assert got["numwait"].tolist() == [1, 1]  # orders 1 and 5 only
+
+
+class TestQ20DominantSupplier:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            Q20_FROM_US,
+            Q20_PREFIX,
+            Q20_TO_US,
+            q20_dominant_supplier,
+        )
+
+        part = pq.read_table(f"{SF}/part.parquet",
+                             columns=["p_partkey", "p_name"]).to_pandas()
+        li = pq.read_table(
+            f"{SF}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_quantity",
+                     "l_shipdate"]).to_pandas()
+        qp = set(part.loc[part["p_name"].str.startswith(Q20_PREFIX),
+                          "p_partkey"])
+        us = li["l_shipdate"].astype("datetime64[us]").astype(np.int64)
+        li = li[li["l_partkey"].isin(qp)
+                & (us >= Q20_FROM_US) & (us < Q20_TO_US)]
+        li["c"] = np.rint(li["l_quantity"] * 100.0).astype(np.int64)
+        pairs = (li.groupby(["l_partkey", "l_suppkey"], as_index=False)["c"]
+                 .sum())
+        tot = pairs.groupby("l_partkey")["c"].transform("sum")
+        dom = pairs[pairs["c"] * 2 > tot]
+        ref = (dom.groupby("l_suppkey").size().reset_index(name="n_parts")
+               .sort_values("l_suppkey"))
+        got = q20_dominant_supplier(SF).to_pandas()
+        assert got["s_suppkey"].tolist() == ref["l_suppkey"].tolist()
+        assert got["n_parts"].tolist() == ref["n_parts"].tolist()
+
+    def test_planted_share_boundary(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import q20_dominant_supplier
+
+        pd.DataFrame({
+            "p_partkey": [1, 2, 3],
+            # part 3 fails the prefix gate even with a sole supplier
+            "p_name": ["red bolt", "red gear", "blue bolt"],
+        }).to_parquet(f"{tmp_path}/part.parquet", index=False)
+        pd.DataFrame({
+            # part 1: supplier 10 ships 10.00 of 20.00 — EXACTLY half,
+            #   the strict gate must reject both suppliers
+            # part 2: supplier 10 ships 10.01 of 20.01 — just over half
+            # the out-of-window line would push supplier 11 over on
+            # part 2 if the date gate leaked
+            "l_partkey": [1, 1, 2, 2, 2, 3],
+            "l_suppkey": [10, 11, 10, 11, 11, 12],
+            "l_quantity": [10.0, 10.0, 10.01, 10.0, 50.0, 5.0],
+            "l_shipdate": pd.to_datetime(
+                ["1997-06-01", "1997-06-02", "1997-06-03", "1997-06-04",
+                 "1998-06-01", "1997-06-05"]),
+        }).to_parquet(f"{tmp_path}/lineitem.parquet", index=False)
+        pd.DataFrame({
+            "s_suppkey": [10, 11, 12],
+            "s_name": ["SUP_10", "SUP_11", "SUP_12"],
+        }).to_parquet(f"{tmp_path}/supplier.parquet", index=False)
+        got = q20_dominant_supplier(str(tmp_path)).to_pandas()
+        assert got["s_suppkey"].tolist() == [10]
+        assert got["n_parts"].tolist() == [1]  # part 2 only
