@@ -366,6 +366,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # total, pure-integer share gate inside one partkey co-partition
         # (oracle: windowed pair-sum CTE + group-total self-join; r4)
         "q20_dominant_supplier": relational.q20_dominant_supplier,
+        # TPC-H Q9 shape: infix-LIKE part gate + per-row calendar-year
+        # group key — exact revenue partials per (supplier nation, ship
+        # year) through one tiny groupby (oracle: LIKE join + year();
+        # r4)
+        "q9_product_profit": relational.q9_product_profit,
         # JSON schema-on-read: aggregate over a value extracted from the
         # semi-structured props bag — TRY_CAST(json_extract) semantics,
         # int64 partials per type (oracle: DuckDB json functions; r4)
@@ -2257,6 +2262,21 @@ SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
 FROM pairs JOIN tot USING (pk) JOIN supplier ON pairs.sk = s_suppkey
 WHERE pairs.c * 2 > tot.t
 GROUP BY 1, 2 ORDER BY s_suppkey""",
+        # Q9 shape: profit = Σ exact cents×hundredths price·(1−disc) of
+        # '%gear%' parts per (supplier nation, ship year) — no partsupp
+        # → no supplycost subtrahend; HUGEINT sums divide once
+        "q9_product_profit": """
+SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(round((1 - l_discount) * 100) AS BIGINT))
+                  AS DOUBLE) / 10000.0, 2) AS profit_r
+FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY 1, 2 ORDER BY n_name, o_year DESC""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -4943,3 +4943,114 @@ def q20_dominant_supplier(sf_dir: str):
         "s_name": pa.array(j["s_name"].tolist(), type=pa.string()),
         "n_parts": pa.array(j["n_parts"].to_numpy(dtype=np.int64)),
     })
+
+
+Q9_WORD = "gear"
+
+
+def q9_product_profit(sf_dir: str):
+    """(n_name, o_year, n_items, profit_r): TPC-H Q9's shape — profit
+    from line items of name-matched parts ('%gear%'), grouped by the
+    SUPPLIER's nation and the ship YEAR, ordered (n_name, o_year DESC).
+    The surface this adds over q5/q7/q8: a CONTAINS (infix LIKE) part
+    gate — not equality, not prefix — and a calendar-year group key
+    extracted per row rather than a fixed window constant (q7 splits one
+    two-year window by a single boundary; here every year in the corpus
+    is a live group).
+
+    Stand-in: no partsupp → no supplycost subtrahend, so profit :=
+    Σ price·(1−disc), Q9's revenue term, exact cents×hundredths.
+
+    Exactness: revenue rides exact int64 per-batch partials (the q5
+    convention) split (hi, lo) through the tiny distributed groupby and
+    recombines as Python ints on the driver — per-(nation, year) totals
+    never touch floats until the single published rounding.
+
+    Scale shape: the part gate and the supplier→nationkey map broadcast
+    once via ``ray.put`` (the q14 discipline); ONE windowless lineitem
+    pass groups (nationkey, year) INSIDE each batch — year is a
+    vectorized datetime64 floor, no Python datetime per row — so the
+    exchange carries ≤ nations × corpus-years rows per batch into a
+    ≤ nations × years groupby; nation names resolve on the driver."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_name"])
+    pk_all = part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    names = part["p_name"].to_pylist()
+    qp = np.sort(pk_all[[Q9_WORD in n for n in names]])
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_nationkey"])
+    sk = sup["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nk = sup["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(sk, kind="stable")
+    maps_ref = ray.put((qp, sk[order], nk[order]))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qpk, sks, nks = ray.get(maps_ref)
+        lpk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lsk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, hit_p = _sorted_probe(qpk, lpk)
+        pos_s, hit_s = _sorted_probe(sks, lsk)
+        m = hit_p & hit_s  # inner joins: partless / supplierless rows drop
+        empty = pa.table({"nk": pa.array([], type=pa.int64()),
+                          "y": pa.array([], type=pa.int64()),
+                          "n": pa.array([], type=pa.int64()),
+                          "hi": pa.array([], type=pa.int64()),
+                          "lo": pa.array([], type=pa.int64())})
+        if not m.any():
+            return empty
+        ship = batch["l_shipdate"].cast(pa.timestamp("us")).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)[m]
+        yr = (ship.astype("datetime64[us]").astype("datetime64[Y]")
+              .astype(np.int64) + 1970)
+        price_i = np.rint(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False)[m] * 100.0).astype(np.int64)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)[m]
+        rev = price_i * np.rint((1.0 - disc) * 100.0).astype(np.int64)
+        g = (pd.DataFrame({"nk": nks[pos_s[m]], "y": yr, "n": 1, "t": rev})
+             .groupby(["nk", "y"], as_index=False)
+             .agg(n=("n", "sum"), t=("t", "sum")))
+        t = g["t"].to_numpy(dtype=np.int64)
+        return pa.table({
+            "nk": pa.array(g["nk"].to_numpy(dtype=np.int64)),
+            "y": pa.array(g["y"].to_numpy(dtype=np.int64)),
+            "n": pa.array(g["n"].to_numpy(dtype=np.int64)),
+            "hi": pa.array(t >> np.int64(32)),
+            "lo": pa.array(t & np.int64(0xFFFFFFFF)),
+        })
+
+    agg = (read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"],
+    ).map_batches(partial, batch_format="pyarrow", batch_size=8192)
+     .groupby(["nk", "y"])
+     .aggregate(Sum("n", alias_name="n"), Sum("hi", alias_name="hi"),
+                Sum("lo", alias_name="lo"))
+     .to_pandas())
+    empty = pa.table({"n_name": pa.array([], type=pa.string()),
+                      "o_year": pa.array([], type=pa.int64()),
+                      "n_items": pa.array([], type=pa.int64()),
+                      "profit_r": pa.array([], type=pa.float64())})
+    if agg.empty:
+        return empty
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    j = agg.merge(nat, left_on="nk", right_on="n_nationkey")  # inner join
+    if j.empty:
+        return empty
+    profit = [(int(h) << 32) + int(x) for h, x in zip(j["hi"], j["lo"])]
+    j = (j.assign(profit=profit)
+         .sort_values(["n_name", "y"], ascending=[True, False]))
+    return pa.table({
+        "n_name": pa.array(j["n_name"].tolist(), type=pa.string()),
+        "o_year": pa.array(j["y"].to_numpy(dtype=np.int64)),
+        "n_items": pa.array(j["n"].to_numpy(dtype=np.int64)),
+        "profit_r": pa.array(
+            [round_half_away(p / 10_000.0, 2) for p in j["profit"]],
+            type=pa.float64()),
+    })

@@ -4621,3 +4621,68 @@ class TestQ20DominantSupplier:
         got = q20_dominant_supplier(str(tmp_path)).to_pandas()
         assert got["s_suppkey"].tolist() == [10]
         assert got["n_parts"].tolist() == [1]  # part 2 only
+
+
+class TestQ9ProductProfit:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            Q9_WORD,
+            q9_product_profit,
+        )
+
+        part = pq.read_table(f"{SF}/part.parquet",
+                             columns=["p_partkey", "p_name"]).to_pandas()
+        li = pq.read_table(
+            f"{SF}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_shipdate",
+                     "l_extendedprice", "l_discount"]).to_pandas()
+        sup = pq.read_table(f"{SF}/supplier.parquet",
+                            columns=["s_suppkey", "s_nationkey"]).to_pandas()
+        nat = pq.read_table(f"{SF}/nation.parquet",
+                            columns=["n_nationkey", "n_name"]).to_pandas()
+        qp = set(part.loc[part["p_name"].str.contains(Q9_WORD), "p_partkey"])
+        li = li[li["l_partkey"].isin(qp)]
+        j = (li.merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+             .merge(nat, left_on="s_nationkey", right_on="n_nationkey"))
+        j["y"] = j["l_shipdate"].dt.year
+        j["rev"] = (np.rint(j["l_extendedprice"] * 100.0).astype(np.int64)
+                    * np.rint((1 - j["l_discount"]) * 100.0).astype(np.int64))
+        ref = (j.groupby(["n_name", "y"], as_index=False)
+               .agg(n=("rev", "size"), t=("rev", "sum"))
+               .sort_values(["n_name", "y"], ascending=[True, False]))
+        got = q9_product_profit(SF).to_pandas()
+        assert got["n_name"].tolist() == ref["n_name"].tolist()
+        assert got["o_year"].tolist() == ref["y"].tolist()
+        assert got["n_items"].tolist() == ref["n"].tolist()
+        assert got["profit_r"].tolist() == [
+            round(int(t) / 10_000.0, 2) for t in ref["t"]]
+
+    def test_planted_year_split_and_infix_gate(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import q9_product_profit
+
+        pd.DataFrame({
+            "p_partkey": [1, 2],
+            # infix match — 'gear' not at the start; part 2 no match
+            "p_name": ["large gearbox", "large box"],
+        }).to_parquet(f"{tmp_path}/part.parquet", index=False)
+        pd.DataFrame({
+            "s_suppkey": [10], "s_nationkey": [0],
+        }).to_parquet(f"{tmp_path}/supplier.parquet", index=False)
+        pd.DataFrame({
+            "n_nationkey": [0], "n_name": ["N0"],
+        }).to_parquet(f"{tmp_path}/nation.parquet", index=False)
+        pd.DataFrame({
+            # New Year's Eve vs New Year's Day — the year key must split
+            # them; the part-2 line is gated out
+            "l_partkey": [1, 1, 2],
+            "l_suppkey": [10, 10, 10],
+            "l_shipdate": pd.to_datetime(
+                ["1997-12-31 23:59:59", "1998-01-01 00:00:00",
+                 "1997-06-01 00:00:00"]),
+            "l_extendedprice": [100.0, 200.0, 999.0],
+            "l_discount": [0.1, 0.0, 0.0],
+        }).to_parquet(f"{tmp_path}/lineitem.parquet", index=False)
+        got = q9_product_profit(str(tmp_path)).to_pandas()
+        assert got["o_year"].tolist() == [1998, 1997]  # year DESC
+        assert got["profit_r"].tolist() == [200.0, 90.0]
+        assert got["n_items"].tolist() == [1, 1]
