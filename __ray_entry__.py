@@ -371,6 +371,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # year) through one tiny groupby (oracle: LIKE join + year();
         # r4)
         "q9_product_profit": relational.q9_product_profit,
+        # TPC-H Q11 shape: global-fraction HAVING over a part-sized
+        # grouped aggregate — the intermediate stays a distributed
+        # Dataset, materialized once, consumed twice (total scan, then
+        # the integer floor-threshold gate) (oracle: HAVING > total/den
+        # via HUGEINT; r4)
+        "q11_important_parts": relational.q11_important_parts,
         # JSON schema-on-read: aggregate over a value extracted from the
         # semi-structured props bag — TRY_CAST(json_extract) semantics,
         # int64 partials per type (oracle: DuckDB json functions; r4)
@@ -2277,6 +2283,28 @@ FROM lineitem
   JOIN nation ON s_nationkey = n_nationkey
 WHERE p_name LIKE '%gear%'
 GROUP BY 1, 2 ORDER BY n_name, o_year DESC""",
+        # Q11 shape: per-part value through EUROPE suppliers, HAVING
+        # value·1000 > region total — HUGEINT keeps both sides exact;
+        # the engine's integer floor-threshold rewrite (v > t//1000)
+        # is equivalent for integers
+        "q11_important_parts": """
+WITH es AS (
+  SELECT s_suppkey FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+ v AS (
+  SELECT l_partkey AS pk,
+         sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * CAST(round((1 - l_discount) * 100) AS BIGINT)
+                  AS HUGEINT)) AS val
+  FROM lineitem JOIN es ON l_suppkey = s_suppkey
+  GROUP BY 1),
+ t AS (SELECT sum(val) AS total FROM v)
+SELECT CAST(pk AS BIGINT) AS p_partkey,
+       round(CAST(val AS DOUBLE) / 10000.0, 2) AS value_r
+FROM v, t WHERE val * 1000 > t.total
+ORDER BY val DESC, pk""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

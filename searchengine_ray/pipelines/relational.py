@@ -5054,3 +5054,117 @@ def q9_product_profit(sf_dir: str):
             [round_half_away(p / 10_000.0, 2) for p in j["profit"]],
             type=pa.float64()),
     })
+
+
+Q11_REGION = "EUROPE"
+Q11_FRACTION_DEN = 1000  # keep parts worth > 1/1000 of the region total
+
+
+def q11_important_parts(sf_dir: str):
+    """(p_partkey, value_r): TPC-H Q11's shape — per-part shipped value
+    through one region's suppliers, keeping parts worth MORE than a
+    fixed fraction of the region's total (HAVING sum(...) > fraction ·
+    SELECT sum(...)); ordered value DESC, partkey ASC. The surface q22
+    doesn't cover: the global-scalar gate applies to a HIGH-CARDINALITY
+    grouped aggregate (part-dimension-sized), so the intermediate must
+    stay distributed — materialized once as a Dataset and consumed
+    twice (total, then gate) — never funneled through the driver.
+
+    Stand-in: no partsupp → value := Σ cents(price)·hundredths(1−disc)
+    over the region suppliers' line items (Q11's value term with
+    shipped-revenue standing in for supplycost·availqty).
+
+    Exactness: per-part values ride exact int64 (hi, lo) partials; the
+    gate value·1000 > total rewrites to the equivalent integer form
+    value > total ÷ 1000 (floor) — for integers v·D > t ⟺ v > t//D —
+    with the total combined as Python ints on the driver, so no float
+    boundary and no HUGEINT overflow at any corpus size (a per-part
+    value is bounded by real-world revenue; the TOTAL is not, hence
+    the floor-threshold rewrite instead of multiplying v).
+
+    Scale shape: the region suppkey set broadcasts once; one lineitem
+    pass sum-combines per partkey INSIDE each batch; a partkey groupby
+    yields the part-sized aggregate, materialized (it is the query's
+    smallest complete representation, dimension-sized relative to the
+    fact input). Pass A streams it into ≤1-row scalar partials for the
+    total; pass B filters it by the broadcast threshold — only the
+    HAVING survivors reach the driver."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    es = _region_suppliers(sf_dir, Q11_REGION)
+    sks = np.sort(es["s_suppkey"].to_numpy(dtype=np.int64))
+    sks_ref = ray.put(sks)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        rsk = ray.get(sks_ref)
+        lsk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, hit = _sorted_probe(rsk, lsk)
+        empty = pa.table({"pk": pa.array([], type=pa.int64()),
+                          "hi": pa.array([], type=pa.int64()),
+                          "lo": pa.array([], type=pa.int64())})
+        if not hit.any():
+            return empty
+        lpk = batch["l_partkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)[hit]
+        price_i = np.rint(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False)[hit] * 100.0).astype(np.int64)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)[hit]
+        rev = price_i * np.rint((1.0 - disc) * 100.0).astype(np.int64)
+        g = (pd.DataFrame({"pk": lpk, "t": rev})
+             .groupby("pk", as_index=False)["t"].sum())
+        t = g["t"].to_numpy(dtype=np.int64)
+        return pa.table({"pk": pa.array(g["pk"].to_numpy(dtype=np.int64)),
+                         "hi": pa.array(t >> np.int64(32)),
+                         "lo": pa.array(t & np.int64(0xFFFFFFFF))})
+
+    values = (read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(partial, batch_format="pyarrow", batch_size=8192)
+     .groupby("pk")
+     .aggregate(Sum("hi", alias_name="hi"), Sum("lo", alias_name="lo"))
+     .materialize())  # part-sized; consumed twice below
+
+    def total_partial(batch: pa.Table) -> pa.Table:
+        hi = batch["hi"].to_numpy(zero_copy_only=False)
+        lo = batch["lo"].to_numpy(zero_copy_only=False)
+        t = (int(hi.sum()) << 32) + int(lo.sum())  # Python ints: no overflow
+        return _scalar_partial_row(len(batch), t)
+
+    parts = values.map_batches(total_partial, batch_format="pyarrow",
+                               batch_size=8192).to_pandas()
+    empty = pa.table({"p_partkey": pa.array([], type=pa.int64()),
+                      "value_r": pa.array([], type=pa.float64())})
+    if parts.empty:
+        return empty
+    _, (total,) = _combine_scalar_partials(parts, 1)
+    # v·DEN > total ⟺ v > total // DEN for integers; clamp keeps the
+    # broadcast threshold in int64 even when the TOTAL exceeds it
+    thr = min(total // Q11_FRACTION_DEN, np.iinfo(np.int64).max - 1)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        hi = batch["hi"].to_numpy(zero_copy_only=False)
+        lo = batch["lo"].to_numpy(zero_copy_only=False)
+        v = (hi << np.int64(32)) + lo
+        keep = v > thr
+        return pa.table({
+            "pk": pa.array(batch["pk"].to_numpy(
+                zero_copy_only=False)[keep].astype(np.int64)),
+            "v": pa.array(v[keep]),
+        })
+
+    win = values.map_batches(gate, batch_format="pyarrow",
+                             batch_size=8192).to_pandas()
+    if win.empty:
+        return empty
+    win = win.sort_values(["v", "pk"], ascending=[False, True])
+    return pa.table({
+        "p_partkey": pa.array(win["pk"].to_numpy(dtype=np.int64)),
+        "value_r": pa.array(
+            [round_half_away(int(v) / 10_000.0, 2) for v in win["v"]],
+            type=pa.float64()),
+    })

@@ -4653,9 +4653,11 @@ class TestQ9ProductProfit:
         got = q9_product_profit(SF).to_pandas()
         assert got["n_name"].tolist() == ref["n_name"].tolist()
         assert got["o_year"].tolist() == ref["y"].tolist()
+        from searchengine_ray.pipelines.fulltext import round_half_away
+
         assert got["n_items"].tolist() == ref["n"].tolist()
         assert got["profit_r"].tolist() == [
-            round(int(t) / 10_000.0, 2) for t in ref["t"]]
+            round_half_away(int(t) / 10_000.0, 2) for t in ref["t"]]
 
     def test_planted_year_split_and_infix_gate(self, ray_session, tmp_path):
         from searchengine_ray.pipelines.relational import q9_product_profit
@@ -4686,3 +4688,67 @@ class TestQ9ProductProfit:
         assert got["o_year"].tolist() == [1998, 1997]  # year DESC
         assert got["profit_r"].tolist() == [200.0, 90.0]
         assert got["n_items"].tolist() == [1, 1]
+
+
+class TestQ11ImportantParts:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            Q11_FRACTION_DEN,
+            Q11_REGION,
+            q11_important_parts,
+        )
+
+        li = pq.read_table(
+            f"{SF}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                     "l_discount"]).to_pandas()
+        sup = pq.read_table(f"{SF}/supplier.parquet").to_pandas()
+        nat = pq.read_table(f"{SF}/nation.parquet").to_pandas()
+        reg = pq.read_table(f"{SF}/region.parquet").to_pandas()
+        es = (sup.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+              .merge(reg, left_on="n_regionkey", right_on="r_regionkey"))
+        es = set(es.loc[es["r_name"] == Q11_REGION, "s_suppkey"])
+        li = li[li["l_suppkey"].isin(es)]
+        li["rev"] = (np.rint(li["l_extendedprice"] * 100.0).astype(np.int64)
+                     * np.rint((1 - li["l_discount"]) * 100.0)
+                     .astype(np.int64))
+        v = li.groupby("l_partkey", as_index=False)["rev"].sum()
+        total = int(v["rev"].sum())
+        win = v[v["rev"] * Q11_FRACTION_DEN > total].copy()
+        win = win.sort_values(["rev", "l_partkey"], ascending=[False, True])
+        from searchengine_ray.pipelines.fulltext import round_half_away
+
+        got = q11_important_parts(SF).to_pandas()
+        assert got["p_partkey"].tolist() == win["l_partkey"].tolist()
+        assert got["value_r"].tolist() == [
+            round_half_away(int(t) / 10_000.0, 2) for t in win["rev"]]
+
+    def test_planted_floor_threshold_boundary(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import q11_important_parts
+
+        pd.DataFrame({
+            "s_suppkey": [10], "s_name": ["SUP_10"], "s_nationkey": [0],
+            "s_acctbal": [1.0],
+        }).to_parquet(f"{tmp_path}/supplier.parquet", index=False)
+        pd.DataFrame({
+            "n_nationkey": [0], "n_name": ["N0"], "n_regionkey": [0],
+        }).to_parquet(f"{tmp_path}/nation.parquet", index=False)
+        pd.DataFrame({
+            "r_regionkey": [0], "r_name": ["EUROPE"],
+        }).to_parquet(f"{tmp_path}/region.parquet", index=False)
+        # 1000 parts of value 1.00 and one of value 1.01 (cents) →
+        # total = 1001.01, threshold = total/1000 = 1.00101: the 1.00
+        # parts sit EXACTLY at v·1000 = 1001000 < 1001010+... check the
+        # strict boundary: v=10000 (cents×hundredths of 1.00 at disc 0)
+        # → v·1000 = 10_000_000; total = 1001·10000 + 100 = 10_010_100
+        # → the equal-value parts fail, only the 1.01 part passes
+        n = 1000
+        pd.DataFrame({
+            "l_partkey": list(range(1, n + 1)) + [n + 1],
+            "l_suppkey": [10] * (n + 1),
+            "l_extendedprice": [1.0] * n + [1.01],
+            "l_discount": [0.0] * (n + 1),
+        }).to_parquet(f"{tmp_path}/lineitem.parquet", index=False)
+        got = q11_important_parts(str(tmp_path)).to_pandas()
+        assert got["p_partkey"].tolist() == [n + 1]
+        assert got["value_r"].tolist() == [1.01]
