@@ -377,6 +377,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the integer floor-threshold gate) (oracle: HAVING > total/den
         # via HUGEINT; r4)
         "q11_important_parts": relational.q11_important_parts,
+        # collocation mining: PMI joins the bigram aggregate against TWO
+        # vocabulary-scale unigram marginals — distributed join of
+        # aggregates on a string key, local top-k after 4-dp rounding
+        # (oracle: unigram/bigram CTEs + double-identical ln; r4)
+        "bigram_pmi": textstats.bigram_pmi,
         # JSON schema-on-read: aggregate over a value extracted from the
         # semi-structured props bag — TRY_CAST(json_extract) semantics,
         # int64 partials per type (oracle: DuckDB json functions; r4)
@@ -2305,6 +2310,32 @@ SELECT CAST(pk AS BIGINT) AS p_partkey,
        round(CAST(val AS DOUBLE) / 10000.0, 2) AS value_r
 FROM v, t WHERE val * 1000 > t.total
 ORDER BY val DESC, pk""",
+        # PMI: both engines evaluate the identical double expression
+        # (n12·N)/(n1·n2) then one ln(); the top-100 cut happens AFTER
+        # the 4-dp round under the (pmi_r DESC, bigram ASC) total order
+        "bigram_pmi": """
+WITH tl AS (SELECT regexp_extract_all(lower(coalesce(text, '')),
+                                      '[a-z0-9]+') AS toks
+            FROM documents),
+ uni AS (SELECT t.tok AS w, CAST(count(*) AS BIGINT) AS n1
+         FROM tl, LATERAL unnest(toks) AS t(tok) GROUP BY 1),
+ tot AS (SELECT CAST(sum(n1) AS BIGINT) AS total FROM uni),
+ b AS (SELECT toks[CAST(t.i AS INT)] AS w1,
+              toks[CAST(t.i AS INT) + 1] AS w2
+       FROM tl, LATERAL unnest(range(1, greatest(len(toks), 1))) AS t(i)),
+ bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12
+        FROM b GROUP BY 1, 2),
+ p AS (SELECT w1 || ' ' || w2 AS bigram,
+              round(ln((CAST(n12 AS DOUBLE) * CAST(total AS DOUBLE))
+                       / (CAST(u1.n1 AS DOUBLE) * CAST(u2.n1 AS DOUBLE))),
+                    4) AS pmi_r,
+              n12
+       FROM bc JOIN uni u1 ON w1 = u1.w JOIN uni u2 ON w2 = u2.w, tot
+       WHERE n12 >= 5)
+SELECT CAST(row_number() OVER (ORDER BY pmi_r DESC, bigram ASC) - 1
+            AS BIGINT) AS rank,
+       bigram, pmi_r, n12
+FROM p QUALIFY rank < 100""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

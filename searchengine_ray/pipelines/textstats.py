@@ -735,3 +735,189 @@ def percent_rank_quality(sf_dir: str):
         })
 
     return scores.map_batches(finish, batch_format="pyarrow")
+
+
+PMI_MIN_N12 = 5
+PMI_TOP_K = 100
+
+
+def bigram_pmi(sf_dir: str, k: int = PMI_TOP_K, min_n12: int = PMI_MIN_N12):
+    """(rank, bigram, pmi_r, n12): top-k token bigrams by pointwise mutual
+    information, pmi = ln(n12·N / (n1·n2)), over bigrams seen ≥ min_n12
+    times — the collocation-mining pipeline (phrase detection before
+    tokenizer training). The surface ``bigram_counts`` doesn't have: the
+    bigram aggregate must JOIN two VOCABULARY-SCALE marginal aggregates
+    (each constituent word's corpus count), so this is a distributed
+    join of aggregates on a high-cardinality string key — the unigram
+    table can't broadcast at 100 TB.
+
+    Determinism: pmi rounds to 4 dp and the top-k cut happens AFTER
+    rounding with the (pmi_r DESC, bigram ASC) tie-break (the repo's
+    rank contract); both engines evaluate the identical double
+    expression (n12·N)/(n1·n2) before one ln().
+
+    Scale shape: unigram counts combine per batch, take ONE fixed-
+    partition crc(token) exchange and materialize combined —
+    vocabulary-sized, the smallest complete marginal representation.
+    Bigram partials key by crc(w1) and union the SAME-partitioned
+    marginal rows, so each partition combines its bigrams and attaches
+    n1 locally; the second exchange re-keys by crc(w2) to attach n2,
+    computes pmi and keeps a local top-k — only k·P candidate rows ever
+    reach the driver, never the bigram vocabulary (the bigram_counts
+    discipline). N broadcasts as one closure float resolved from ≤1-row
+    scalar partials over the marginal table."""
+    import pandas as pd
+
+    from searchengine_ray.pipelines.fulltext import _crc_partition
+    from searchengine_ray.textproc import tokens_flat_arrow
+
+    uni_empty = pa.table({"q": pa.array([], type=pa.int64()),
+                          "w": pa.array([], type=pa.string()),
+                          "n": pa.array([], type=pa.int64())})
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        flat, _ = tokens_flat_arrow(batch["text"], mode="simple")
+        toks = np.asarray(flat.to_pylist(), dtype=object)
+        if toks.size == 0:
+            return uni_empty
+        g = (pd.DataFrame({"w": toks}).groupby("w", as_index=False)
+             .size().rename(columns={"size": "n"}))
+        return pa.table({"q": pa.array(_crc_partition(g["w"])),
+                         "w": pa.array(g["w"].tolist(), type=pa.string()),
+                         "n": pa.array(g["n"].to_numpy(dtype=np.int64))})
+
+    def uni_combine(group: pa.Table) -> pa.Table:
+        g = (group.select(["q", "w", "n"]).to_pandas()
+             .groupby(["q", "w"], as_index=False)["n"].sum())
+        return pa.table({"q": pa.array(g["q"].to_numpy(dtype=np.int64)),
+                         "w": pa.array(g["w"].tolist(), type=pa.string()),
+                         "n": pa.array(g["n"].to_numpy(dtype=np.int64))})
+
+    uni = (read_documents(sf_dir)
+           .map_batches(uni_partial, batch_format="pyarrow", batch_size=2048)
+           .groupby("q").map_groups(uni_combine, batch_format="pyarrow")
+           .materialize())  # vocabulary-sized; consumed three times below
+
+    def n_partial(batch: pa.Table) -> pa.Table:
+        return pa.table({"t": pa.array(
+            [int(batch["n"].to_numpy(zero_copy_only=False).sum())],
+            type=pa.int64())})
+
+    n_parts = uni.map_batches(n_partial, batch_format="pyarrow",
+                              batch_size=8192).to_pandas()
+    total_n = int(n_parts["t"].sum()) if not n_parts.empty else 0
+    empty = pa.table({"rank": pa.array([], type=pa.int64()),
+                      "bigram": pa.array([], type=pa.string()),
+                      "pmi_r": pa.array([], type=pa.float64()),
+                      "n12": pa.array([], type=pa.int64())})
+    if total_n == 0:
+        return empty
+    nf = float(total_n)
+
+    # exchange-row schema shared by both joins: side 0 = marginal
+    # (w = token, n = count), side 1 = bigram rows (w = join word,
+    # w2 = the other word, n = n12, n1 = attached first marginal)
+    def ex_empty() -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        s = pa.array([], type=pa.string())
+        return pa.table({"q": z, "side": z, "w": s, "w2": s,
+                         "n": z, "n1": z})
+
+    def bi_partial(batch: pa.Table) -> pa.Table:
+        flat, parents = tokens_flat_arrow(batch["text"], mode="simple")
+        toks = np.asarray(flat.to_pylist(), dtype=object)
+        if toks.size < 2:
+            return ex_empty()
+        same = parents[:-1] == parents[1:]
+        w1, w2 = toks[:-1][same], toks[1:][same]
+        if w1.size == 0:
+            return ex_empty()
+        g = (pd.DataFrame({"w": w1, "w2": w2}).groupby(["w", "w2"],
+                                                       as_index=False)
+             .size().rename(columns={"size": "n"}))
+        return pa.table({
+            "q": pa.array(_crc_partition(g["w"])),
+            "side": pa.array(np.ones(len(g), dtype=np.int64)),
+            "w": pa.array(g["w"].tolist(), type=pa.string()),
+            "w2": pa.array(g["w2"].tolist(), type=pa.string()),
+            "n": pa.array(g["n"].to_numpy(dtype=np.int64)),
+            "n1": pa.array(np.zeros(len(g), dtype=np.int64)),
+        })
+
+    def uni_as_side0(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            "q": batch["q"],
+            "side": pa.array(np.zeros(n, dtype=np.int64)),
+            "w": batch["w"],
+            "w2": pa.array([""] * n, type=pa.string()),
+            "n": batch["n"],
+            "n1": pa.array(np.zeros(n, dtype=np.int64)),
+        })
+
+    def attach_n1(group: pa.Table) -> pa.Table:
+        df = group.select(["side", "w", "w2", "n"]).to_pandas()
+        marg = df[df["side"] == 0][["w", "n"]].rename(columns={"n": "m"})
+        big = (df[df["side"] == 1].groupby(["w", "w2"], as_index=False)["n"]
+               .sum())
+        if big.empty or marg.empty:
+            return ex_empty()
+        j = big.merge(marg, on="w")  # inner: every w1 has a marginal
+        # re-key by the SECOND word for the n2 join
+        return pa.table({
+            "q": pa.array(_crc_partition(j["w2"])),
+            "side": pa.array(np.ones(len(j), dtype=np.int64)),
+            "w": pa.array(j["w2"].tolist(), type=pa.string()),
+            "w2": pa.array(j["w"].tolist(), type=pa.string()),
+            "n": pa.array(j["n"].to_numpy(dtype=np.int64)),
+            "n1": pa.array(j["m"].to_numpy(dtype=np.int64)),
+        })
+
+    def attach_n2_topk(group: pa.Table) -> pa.Table:
+        df = group.select(["side", "w", "w2", "n", "n1"]).to_pandas()
+        marg = df[df["side"] == 0][["w", "n"]].rename(columns={"n": "m"})
+        big = df[df["side"] == 1]  # already fully combined in pass 1
+        empty_k = pa.table({"bigram": pa.array([], type=pa.string()),
+                            "pmi_r": pa.array([], type=pa.float64()),
+                            "n12": pa.array([], type=pa.int64())})
+        if big.empty or marg.empty:
+            return empty_k
+        big = big[big["n"] >= min_n12]
+        if big.empty:
+            return empty_k
+        j = big.merge(marg, on="w")
+        x = ((j["n"].to_numpy(dtype=np.float64) * nf)
+             / (j["n1"].to_numpy(dtype=np.float64)
+                * j["m"].to_numpy(dtype=np.float64)))
+        pmi = _round_vec(np.log(x), 4)
+        # w held the SECOND word through this exchange; w2 the first
+        out = pd.DataFrame({
+            "bigram": j["w2"].astype(str) + " " + j["w"].astype(str),
+            "pmi_r": pmi, "n12": j["n"].to_numpy(dtype=np.int64),
+        }).sort_values(["pmi_r", "bigram"], ascending=[False, True],
+                       kind="stable").head(k)
+        return pa.table({
+            "bigram": pa.array(out["bigram"].tolist(), type=pa.string()),
+            "pmi_r": pa.array(out["pmi_r"].to_numpy(dtype=np.float64)),
+            "n12": pa.array(out["n12"].to_numpy(dtype=np.int64)),
+        })
+
+    side0 = uni.map_batches(uni_as_side0, batch_format="pyarrow",
+                            batch_size=8192)
+    bigrams = read_documents(sf_dir).map_batches(
+        bi_partial, batch_format="pyarrow", batch_size=2048)
+    out = (bigrams.union(side0).groupby("q")
+           .map_groups(attach_n1, batch_format="pyarrow")
+           .union(side0).groupby("q")
+           .map_groups(attach_n2_topk, batch_format="pyarrow")
+           .to_pandas())
+    if out.empty:
+        return empty
+    out = (out.sort_values(["pmi_r", "bigram"], ascending=[False, True],
+                           kind="stable").head(k).reset_index(drop=True))
+    return pa.table({
+        "rank": pa.array(np.arange(len(out), dtype=np.int64)),
+        "bigram": pa.array(out["bigram"].tolist(), type=pa.string()),
+        "pmi_r": pa.array(out["pmi_r"].to_numpy(dtype=np.float64)),
+        "n12": pa.array(out["n12"].to_numpy(dtype=np.int64)),
+    })

@@ -27,7 +27,7 @@ EMPTY_VIEWS = {
     "documents": "SELECT CAST(0 AS BIGINT) AS doc_id, '' AS text, '' AS lang, '' AS source, CAST(0 AS BIGINT) AS n_chars WHERE 1=0",
     "embeddings": "SELECT CAST(0 AS BIGINT) AS vec_id, [0.0] AS embedding WHERE 1=0",
     "events": "SELECT CAST(0 AS BIGINT) AS event_id, CAST(0 AS BIGINT) AS user_id, TIMESTAMP '2026-01-01' AS ts, '' AS event_type, 0.0 AS value, '' AS props WHERE 1=0",
-    "orders": "SELECT CAST(0 AS BIGINT) AS o_orderkey, CAST(0 AS BIGINT) AS o_custkey, 0.0 AS o_totalprice, TIMESTAMP '2026-01-01' AS o_orderdate, '' AS o_orderpriority WHERE 1=0",
+    "orders": "SELECT CAST(0 AS BIGINT) AS o_orderkey, CAST(0 AS BIGINT) AS o_custkey, '' AS o_orderstatus, 0.0 AS o_totalprice, TIMESTAMP '2026-01-01' AS o_orderdate, '' AS o_orderpriority WHERE 1=0",
     "customer": "SELECT CAST(0 AS BIGINT) AS c_custkey, CAST(0 AS BIGINT) AS c_nationkey, '' AS c_name, '' AS c_mktsegment, 0.0 AS c_acctbal WHERE 1=0",
     "lineitem": "SELECT CAST(0 AS BIGINT) AS l_orderkey, CAST(0 AS BIGINT) AS l_partkey, CAST(0 AS BIGINT) AS l_suppkey, CAST(0 AS INTEGER) AS l_linenumber, 0.0 AS l_quantity, 0.0 AS l_extendedprice, 0.0 AS l_discount, 0.0 AS l_tax, '' AS l_returnflag, '' AS l_linestatus, TIMESTAMP '2026-01-01' AS l_shipdate WHERE 1=0",
     "nation": "SELECT CAST(0 AS BIGINT) AS n_nationkey, CAST(0 AS BIGINT) AS n_regionkey, '' AS n_name WHERE 1=0",

@@ -4752,3 +4752,58 @@ class TestQ11ImportantParts:
         got = q11_important_parts(str(tmp_path)).to_pandas()
         assert got["p_partkey"].tolist() == [n + 1]
         assert got["value_r"].tolist() == [1.01]
+
+
+class TestBigramPmi:
+    def test_matches_bruteforce(self, ray_session):
+        from collections import Counter
+
+        from searchengine_ray.pipelines.fulltext import round_half_away
+        from searchengine_ray.pipelines.textstats import (
+            PMI_MIN_N12,
+            bigram_pmi,
+        )
+        from searchengine_ray.textproc import tokenize_simple
+
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["text"]).to_pandas()
+        uni, bi = Counter(), Counter()
+        for text in docs["text"]:
+            toks = tokenize_simple(text or "")
+            uni.update(toks)
+            bi.update(zip(toks[:-1], toks[1:]))
+        n = sum(uni.values())
+        rows = []
+        for (w1, w2), n12 in bi.items():
+            if n12 < PMI_MIN_N12:
+                continue
+            x = (float(n12) * float(n)) / (float(uni[w1]) * float(uni[w2]))
+            rows.append((f"{w1} {w2}",
+                         round_half_away(float(np.log(x)), 4), n12))
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        rows = rows[:100]
+        got = bigram_pmi(SF).to_pandas()
+        assert got["bigram"].tolist() == [r[0] for r in rows]
+        assert got["pmi_r"].tolist() == [r[1] for r in rows]
+        assert got["n12"].tolist() == [r[2] for r in rows]
+        assert got["rank"].tolist() == list(range(len(rows)))
+
+    def test_planted_collocation_beats_frequency(self, ray_session,
+                                                 tmp_path):
+        from searchengine_ray.pipelines.textstats import bigram_pmi
+
+        # 'zig zag' appears 5 times and its words appear NOWHERE else →
+        # maximal PMI; 'the cat' appears 20 times but 'the' floods the
+        # corpus, diluting its PMI below; 'one off' (4×) misses the
+        # min-count gate entirely
+        text = ("zig zag . " * 5 + "the cat . " * 20 + "the dog . " * 30
+                + "one off . " * 4)
+        pd.DataFrame({
+            "doc_id": [1], "text": [text], "lang": ["en"],
+            "source": ["src0"], "n_chars": [len(text)],
+        }).to_parquet(f"{tmp_path}/documents.parquet", index=False)
+        got = bigram_pmi(str(tmp_path)).to_pandas()
+        assert got["bigram"].iloc[0] == "zig zag"
+        assert "one off" not in set(got["bigram"])
+        pmis = dict(zip(got["bigram"], got["pmi_r"]))
+        assert pmis["zig zag"] > pmis["the cat"]
