@@ -2289,9 +2289,10 @@ FROM lineitem
 WHERE p_name LIKE '%gear%'
 GROUP BY 1, 2 ORDER BY n_name, o_year DESC""",
         # Q11 shape: per-part value through EUROPE suppliers, HAVING
-        # value·1000 > region total — HUGEINT keeps both sides exact;
-        # the engine's integer floor-threshold rewrite (v > t//1000)
-        # is equivalent for integers
+        # value > 3/2 of the mean part value (v·2n > 3·total — the
+        # scale-live fraction; Q11 scales its constant by 1/SF for the
+        # same reason) — HUGEINT keeps both sides exact; the engine's
+        # integer floor-threshold rewrite (v > 3t // 2n) is equivalent
         "q11_important_parts": """
 WITH es AS (
   SELECT s_suppkey FROM supplier
@@ -2305,10 +2306,10 @@ WITH es AS (
                   AS HUGEINT)) AS val
   FROM lineitem JOIN es ON l_suppkey = s_suppkey
   GROUP BY 1),
- t AS (SELECT sum(val) AS total FROM v)
+ t AS (SELECT sum(val) AS total, CAST(count(*) AS HUGEINT) AS n FROM v)
 SELECT CAST(pk AS BIGINT) AS p_partkey,
        round(CAST(val AS DOUBLE) / 10000.0, 2) AS value_r
-FROM v, t WHERE val * 1000 > t.total
+FROM v, t WHERE val * 2 * t.n > 3 * t.total
 ORDER BY val DESC, pk""",
         # PMI: both engines evaluate the identical double expression
         # (n12·N)/(n1·n2) then one ln(); the top-100 cut happens AFTER

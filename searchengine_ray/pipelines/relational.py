@@ -5057,27 +5057,33 @@ def q9_product_profit(sf_dir: str):
 
 
 Q11_REGION = "EUROPE"
-Q11_FRACTION_DEN = 1000  # keep parts worth > 1/1000 of the region total
+# keep parts worth > 3/2 of the MEAN part value: TPC-H scales Q11's
+# fixed fraction by 1/SF precisely because any constant fraction empties
+# as the part count grows — gating on a multiple of the mean keeps the
+# HAVING live at every corpus size with no scale knob
+Q11_MULT_NUM, Q11_MULT_DEN = 3, 2
 
 
 def q11_important_parts(sf_dir: str):
     """(p_partkey, value_r): TPC-H Q11's shape — per-part shipped value
-    through one region's suppliers, keeping parts worth MORE than a
-    fixed fraction of the region's total (HAVING sum(...) > fraction ·
-    SELECT sum(...)); ordered value DESC, partkey ASC. The surface q22
-    doesn't cover: the global-scalar gate applies to a HIGH-CARDINALITY
-    grouped aggregate (part-dimension-sized), so the intermediate must
-    stay distributed — materialized once as a Dataset and consumed
-    twice (total, then gate) — never funneled through the driver.
+    through one region's suppliers, keeping parts worth MORE than 1.5×
+    the mean per-part value (HAVING sum(...) > fraction · SELECT
+    sum(...), with the fraction tied to the group count so it stays
+    live at any scale — Q11 itself scales its constant by 1/SF);
+    ordered value DESC, partkey ASC. The surface q22 doesn't cover:
+    the global-scalar gate applies to a HIGH-CARDINALITY grouped
+    aggregate (part-dimension-sized), so the intermediate must stay
+    distributed — materialized once as a Dataset and consumed twice
+    (total, then gate) — never funneled through the driver.
 
     Stand-in: no partsupp → value := Σ cents(price)·hundredths(1−disc)
     over the region suppliers' line items (Q11's value term with
     shipped-revenue standing in for supplycost·availqty).
 
     Exactness: per-part values ride exact int64 (hi, lo) partials; the
-    gate value·1000 > total rewrites to the equivalent integer form
-    value > total ÷ 1000 (floor) — for integers v·D > t ⟺ v > t//D —
-    with the total combined as Python ints on the driver, so no float
+    gate v·2n > 3·total rewrites to the equivalent integer form
+    v > (3·total) ÷ (2n) (floor) — for integers v·D > T ⟺ v > T//D —
+    with total and n combined as Python ints on the driver, so no float
     boundary and no HUGEINT overflow at any corpus size (a per-part
     value is bounded by real-world revenue; the TOTAL is not, hence
     the floor-threshold rewrite instead of multiplying v).
@@ -5141,10 +5147,13 @@ def q11_important_parts(sf_dir: str):
                       "value_r": pa.array([], type=pa.float64())})
     if parts.empty:
         return empty
-    _, (total,) = _combine_scalar_partials(parts, 1)
-    # v·DEN > total ⟺ v > total // DEN for integers; clamp keeps the
-    # broadcast threshold in int64 even when the TOTAL exceeds it
-    thr = min(total // Q11_FRACTION_DEN, np.iinfo(np.int64).max - 1)
+    n_parts_cnt, (total,) = _combine_scalar_partials(parts, 1)
+    if n_parts_cnt == 0:
+        return empty
+    # v·2n > 3·total ⟺ v > (3·total) // (2n) for integers; clamp keeps
+    # the broadcast threshold in int64 even when the TOTAL exceeds it
+    thr = min((Q11_MULT_NUM * total) // (Q11_MULT_DEN * n_parts_cnt),
+              np.iinfo(np.int64).max - 1)
 
     def gate(batch: pa.Table) -> pa.Table:
         hi = batch["hi"].to_numpy(zero_copy_only=False)

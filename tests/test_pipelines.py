@@ -4693,7 +4693,8 @@ class TestQ9ProductProfit:
 class TestQ11ImportantParts:
     def test_matches_bruteforce(self, ray_session):
         from searchengine_ray.pipelines.relational import (
-            Q11_FRACTION_DEN,
+            Q11_MULT_DEN,
+            Q11_MULT_NUM,
             Q11_REGION,
             q11_important_parts,
         )
@@ -4714,7 +4715,8 @@ class TestQ11ImportantParts:
                      .astype(np.int64))
         v = li.groupby("l_partkey", as_index=False)["rev"].sum()
         total = int(v["rev"].sum())
-        win = v[v["rev"] * Q11_FRACTION_DEN > total].copy()
+        thr = (Q11_MULT_NUM * total) // (Q11_MULT_DEN * len(v))
+        win = v[v["rev"] > thr].copy()
         win = win.sort_values(["rev", "l_partkey"], ascending=[False, True])
         from searchengine_ray.pipelines.fulltext import round_half_away
 
@@ -4723,7 +4725,7 @@ class TestQ11ImportantParts:
         assert got["value_r"].tolist() == [
             round_half_away(int(t) / 10_000.0, 2) for t in win["rev"]]
 
-    def test_planted_floor_threshold_boundary(self, ray_session, tmp_path):
+    def test_planted_mean_threshold_boundary(self, ray_session, tmp_path):
         from searchengine_ray.pipelines.relational import q11_important_parts
 
         pd.DataFrame({
@@ -4736,22 +4738,20 @@ class TestQ11ImportantParts:
         pd.DataFrame({
             "r_regionkey": [0], "r_name": ["EUROPE"],
         }).to_parquet(f"{tmp_path}/region.parquet", index=False)
-        # 1000 parts of value 1.00 and one of value 1.01 (cents) →
-        # total = 1001.01, threshold = total/1000 = 1.00101: the 1.00
-        # parts sit EXACTLY at v·1000 = 1001000 < 1001010+... check the
-        # strict boundary: v=10000 (cents×hundredths of 1.00 at disc 0)
-        # → v·1000 = 10_000_000; total = 1001·10000 + 100 = 10_010_100
-        # → the equal-value parts fail, only the 1.01 part passes
-        n = 1000
+        # four parts 1.00/2.00/3.00/6.00 (cents×hundredths 10000..60000):
+        # total 120000, n = 4, threshold = 3·120000 // (2·4) = 45000 —
+        # only the 6.00 part clears the strict 1.5×-mean gate (45000 is
+        # exactly 1.5× the mean, so a hypothetical 4.50 part would fail)
         pd.DataFrame({
-            "l_partkey": list(range(1, n + 1)) + [n + 1],
-            "l_suppkey": [10] * (n + 1),
-            "l_extendedprice": [1.0] * n + [1.01],
-            "l_discount": [0.0] * (n + 1),
+            "l_partkey": [1, 2, 3, 4],
+            "l_suppkey": [10] * 4,
+            "l_extendedprice": [1.0, 2.0, 3.0, 6.0],
+            "l_discount": [0.0] * 4,
         }).to_parquet(f"{tmp_path}/lineitem.parquet", index=False)
         got = q11_important_parts(str(tmp_path)).to_pandas()
-        assert got["p_partkey"].tolist() == [n + 1]
-        assert got["value_r"].tolist() == [1.01]
+        assert got["p_partkey"].tolist() == [4]
+        assert got["value_r"].tolist() == [6.0]
+
 
 
 class TestBigramPmi:
