@@ -382,6 +382,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # aggregates on a string key, local top-k after 4-dp rounding
         # (oracle: unigram/bigram CTEs + double-identical ln; r4)
         "bigram_pmi": textstats.bigram_pmi,
+        # embedding-space mislabel probe: per-label centroid (grouped
+        # vector aggregate, 4-dp-quantized before use) rejoined against
+        # the fact stream for per-row distances, per-batch local top-k
+        # (oracle: unnest avg + distance rejoin; r4)
+        "embedding_outliers": similarity.embedding_outliers,
         # JSON schema-on-read: aggregate over a value extracted from the
         # semi-structured props bag — TRY_CAST(json_extract) semantics,
         # int64 partials per type (oracle: DuckDB json functions; r4)
@@ -2337,6 +2342,24 @@ SELECT CAST(row_number() OVER (ORDER BY pmi_r DESC, bigram ASC) - 1
             AS BIGINT) AS rank,
        bigram, pmi_r, n12
 FROM p QUALIFY rank < 100""",
+        # embedding outliers: centroids quantize to 4 dp BEFORE any
+        # distance (both engines subtract identical doubles); the
+        # distance rounds to 4 dp and the top-20 cut follows the
+        # (dist_r DESC, vec_id ASC) total order
+        "embedding_outliers": """
+WITH x AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         CAST(unnest(embedding) AS DOUBLE) AS e,
+         generate_subscripts(embedding, 1) AS gs
+  FROM embeddings WHERE embedding IS NOT NULL),
+ c AS (SELECT label, gs, round(avg(e), 4) AS c FROM x GROUP BY 1, 2),
+ d AS (
+  SELECT x.vec_id, x.label,
+         round(sqrt(sum((x.e - c.c) * (x.e - c.c))), 4) AS dist_r
+  FROM x JOIN c ON x.label = c.label AND x.gs = c.gs
+  GROUP BY 1, 2)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, label, dist_r
+FROM d ORDER BY dist_r DESC, vec_id LIMIT 20""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

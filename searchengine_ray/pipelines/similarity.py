@@ -1044,3 +1044,127 @@ def embedding_dim_stats(sf_dir: str):
         "mean_r": pa.array(_round_vec(np.asarray(mean_out))),
         "std_r": pa.array(_round_vec(np.asarray(std_out))),
     })
+
+
+OUTLIER_TOP_K = 20
+
+
+def embedding_outliers(sf_dir: str, k: int = OUTLIER_TOP_K):
+    """(vec_id, label, dist_r): the k vectors FARTHEST from their own
+    label's centroid (Euclidean), ordered (dist_r DESC, vec_id ASC) —
+    the embedding-space mislabel / contamination probe a curation
+    pipeline runs before training on labeled corpora. The surface
+    ``embedding_dim_stats`` doesn't have: a GROUPED vector aggregate
+    (per-label centroid) whose result is REJOINED against the fact
+    stream for a second per-row pass.
+
+    Determinism: centroids QUANTIZE to 4 dp before any distance is
+    computed (the lsh/ivf literal-centroid discipline) — both engines
+    evaluate distances from identical centroid doubles, so float drift
+    lives only in the per-row dim-ordered sum, absorbed by the 4-dp
+    distance round; the top-k cut happens AFTER rounding under the
+    (dist_r DESC, vec_id ASC) total order.
+
+    Scale shape: pass 1 reduces each batch to labels-in-batch × dim
+    partial rows (n, per-dim sum) — no shuffle; the driver folds a
+    ≤ labels × dim frame and broadcasts the ROUNDED centroid matrix via
+    ``ray.put``. Pass 2 recomputes per-row distances vectorized (one
+    (rows, dim) − (rows→label, dim) subtraction per batch) and keeps a
+    per-batch local top-k, so k·batches candidate rows reach the
+    driver — never the corpus. Null embeddings and labels absent from
+    pass 1 cannot exist in pass 2 (same read, same filter)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    from searchengine_ray.pipelines.fulltext import round_half_away
+    from searchengine_ray.sources import read_parquet_clean
+
+    def centroid_partial(batch: pa.Table) -> pa.Table:
+        col = batch["embedding"]
+        if col.null_count:
+            batch = batch.filter(pc.is_valid(col))
+            col = batch["embedding"]
+        m = _emb_matrix(col)
+        empty = pa.table({"label": pa.array([], type=pa.int64()),
+                          "dim": pa.array([], type=pa.int64()),
+                          "n": pa.array([], type=pa.int64()),
+                          "s": pa.array([], type=pa.float64())})
+        if m.size == 0:
+            return empty
+        lab = batch["label"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ulab, inv = np.unique(lab, return_inverse=True)
+        dim = m.shape[1]
+        sums = np.zeros((ulab.size, dim), dtype=np.float64)
+        np.add.at(sums, inv, m)
+        counts = np.bincount(inv, minlength=ulab.size).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(ulab, dim)),
+            "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64),
+                                    ulab.size)),
+            "n": pa.array(np.repeat(counts, dim)),
+            "s": pa.array(sums.ravel()),
+        })
+
+    read = lambda: read_parquet_clean(  # noqa: E731 — one shared reader
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"])
+
+    parts = (read().map_batches(centroid_partial, batch_format="pyarrow",
+                                batch_size=4096).to_pandas())
+    empty = pa.table({"vec_id": pa.array([], type=pa.int64()),
+                      "label": pa.array([], type=pa.int64()),
+                      "dist_r": pa.array([], type=pa.float64())})
+    if parts.empty:
+        return empty
+    # deterministic fold order (label, dim, then partial order as read)
+    g = (parts.sort_values(["label", "dim"], kind="stable")
+         .groupby(["label", "dim"], as_index=False)
+         .agg(n=("n", "sum"), s=("s", "sum")))
+    labels = np.sort(g["label"].unique())
+    dim = int(g["dim"].max()) + 1
+    cent = np.zeros((labels.size, dim), dtype=np.float64)
+    lab_pos = {int(b): i for i, b in enumerate(labels)}
+    rows = g["label"].map(lab_pos).to_numpy(dtype=np.int64)
+    cent[rows, g["dim"].to_numpy(dtype=np.int64)] = [
+        round_half_away(s / n, 4) for s, n in zip(g["s"], g["n"])]
+    cent_ref = ray.put((labels, cent))
+
+    def distances_topk(batch: pa.Table) -> pa.Table:
+        labs, c = ray.get(cent_ref)
+        col = batch["embedding"]
+        if col.null_count:
+            batch = batch.filter(pc.is_valid(col))
+            col = batch["embedding"]
+        m = _emb_matrix(col)
+        if m.size == 0:
+            return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                             "label": pa.array([], type=pa.int64()),
+                             "dist_r": pa.array([], type=pa.float64())})
+        lab = batch["label"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(labs, lab)
+        diff = m - c[pos]
+        dist = _round_vec(np.sqrt((diff * diff).sum(axis=1)), 4)
+        df = pd.DataFrame({
+            "vec_id": batch["vec_id"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "label": lab, "dist_r": dist,
+        }).sort_values(["dist_r", "vec_id"], ascending=[False, True],
+                       kind="stable").head(k)
+        return pa.table({
+            "vec_id": pa.array(df["vec_id"].to_numpy(dtype=np.int64)),
+            "label": pa.array(df["label"].to_numpy(dtype=np.int64)),
+            "dist_r": pa.array(df["dist_r"].to_numpy(dtype=np.float64)),
+        })
+
+    out = (read().map_batches(distances_topk, batch_format="pyarrow",
+                              batch_size=4096).to_pandas())
+    if out.empty:
+        return empty
+    out = (out.sort_values(["dist_r", "vec_id"], ascending=[False, True],
+                           kind="stable").head(k))
+    return pa.table({
+        "vec_id": pa.array(out["vec_id"].to_numpy(dtype=np.int64)),
+        "label": pa.array(out["label"].to_numpy(dtype=np.int64)),
+        "dist_r": pa.array(out["dist_r"].to_numpy(dtype=np.float64)),
+    })

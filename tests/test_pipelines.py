@@ -4807,3 +4807,52 @@ class TestBigramPmi:
         assert "one off" not in set(got["bigram"])
         pmis = dict(zip(got["bigram"], got["pmi_r"]))
         assert pmis["zig zag"] > pmis["the cat"]
+
+
+class TestEmbeddingOutliers:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.fulltext import round_half_away
+        from searchengine_ray.pipelines.similarity import embedding_outliers
+
+        emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+        m = np.asarray(emb["embedding"].tolist(), dtype=np.float64)
+        lab = emb["label"].to_numpy(dtype=np.int64)
+        cent = {}
+        for b in np.unique(lab):
+            mean = m[lab == b].sum(axis=0) / (lab == b).sum()
+            cent[b] = np.asarray([round_half_away(v, 4) for v in mean])
+        diff = m - np.stack([cent[b] for b in lab])
+        dist = np.sqrt((diff * diff).sum(axis=1))
+        ref = pd.DataFrame({
+            "vec_id": emb["vec_id"].to_numpy(dtype=np.int64),
+            "label": lab,
+            "dist_r": [round_half_away(d, 4) for d in dist],
+        }).sort_values(["dist_r", "vec_id"], ascending=[False, True],
+                       kind="stable").head(20)
+        got = embedding_outliers(SF).to_pandas()
+        assert got["vec_id"].tolist() == ref["vec_id"].tolist()
+        assert got["label"].tolist() == ref["label"].tolist()
+        assert got["dist_r"].tolist() == ref["dist_r"].tolist()
+
+    def test_planted_mislabeled_vector(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.similarity import embedding_outliers
+
+        # two tight clusters; vector 99 carries label 0 but sits in
+        # cluster 1's position → by far the farthest from ITS OWN
+        # centroid even though it is a perfectly normal point globally
+        rng = np.random.default_rng(7)
+        a = (rng.normal(0.0, 0.01, (50, 8)) + 0.0).astype(np.float32)
+        b = (rng.normal(0.0, 0.01, (50, 8)) + 5.0).astype(np.float32)
+        vecs = np.vstack([a, b])
+        labels = np.array([0] * 50 + [1] * 50, dtype=np.int32)
+        labels[99] = 0  # the mislabel
+        pd.DataFrame({
+            "vec_id": np.arange(100, dtype=np.int64),
+            "embedding": [v for v in vecs],
+            "label": labels,
+        }).to_parquet(f"{tmp_path}/embeddings.parquet", index=False)
+        got = embedding_outliers(str(tmp_path)).to_pandas()
+        assert got["vec_id"].iloc[0] == 99
+        assert got["label"].iloc[0] == 0
+        # the mislabel's distance dwarfs every honest point's
+        assert got["dist_r"].iloc[0] > 3 * got["dist_r"].iloc[1]
