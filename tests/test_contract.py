@@ -25,7 +25,7 @@ ROWS_ONLY = {
 
 EMPTY_VIEWS = {
     "documents": "SELECT CAST(0 AS BIGINT) AS doc_id, '' AS text, '' AS lang, '' AS source, CAST(0 AS BIGINT) AS n_chars WHERE 1=0",
-    "embeddings": "SELECT CAST(0 AS BIGINT) AS vec_id, [0.0] AS embedding WHERE 1=0",
+    "embeddings": "SELECT CAST(0 AS BIGINT) AS vec_id, [0.0] AS embedding, CAST(0 AS INTEGER) AS label WHERE 1=0",
     "events": "SELECT CAST(0 AS BIGINT) AS event_id, CAST(0 AS BIGINT) AS user_id, TIMESTAMP '2026-01-01' AS ts, '' AS event_type, 0.0 AS value, '' AS props WHERE 1=0",
     "orders": "SELECT CAST(0 AS BIGINT) AS o_orderkey, CAST(0 AS BIGINT) AS o_custkey, '' AS o_orderstatus, 0.0 AS o_totalprice, TIMESTAMP '2026-01-01' AS o_orderdate, '' AS o_orderpriority WHERE 1=0",
     "customer": "SELECT CAST(0 AS BIGINT) AS c_custkey, CAST(0 AS BIGINT) AS c_nationkey, '' AS c_name, '' AS c_mktsegment, 0.0 AS c_acctbal WHERE 1=0",
