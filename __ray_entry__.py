@@ -387,6 +387,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the fact stream for per-row distances, per-batch local top-k
         # (oracle: unnest avg + distance rejoin; r4)
         "embedding_outliers": similarity.embedding_outliers,
+        # equi-width histogram over a data-derived range: two-pass
+        # statistic-then-transform, explicit zero bins, drift-free
+        # bucketing (min/max are order-independent doubles) (oracle:
+        # identical floor/least double expression + range scaffold; r4)
+        "value_histogram": relational.value_histogram,
         # JSON schema-on-read: aggregate over a value extracted from the
         # semi-structured props bag — TRY_CAST(json_extract) semantics,
         # int64 partials per type (oracle: DuckDB json functions; r4)
@@ -2360,6 +2365,28 @@ WITH x AS (
   GROUP BY 1, 2)
 SELECT CAST(vec_id AS BIGINT) AS vec_id, label, dist_r
 FROM d ORDER BY dist_r DESC, vec_id LIMIT 20""",
+        # histogram: bin = floor((v−lo)/(hi−lo)·64) clamped to 63, the
+        # identical IEEE expression both sides; min/max are
+        # order-independent so no float drift exists anywhere; the
+        # scaffold inner-joins the bounds row so an empty corpus yields
+        # zero rows (matching the engine's empty table)
+        "value_histogram": """
+WITH v AS (SELECT value FROM events
+           WHERE value IS NOT NULL AND NOT isnan(value)),
+ b AS (SELECT min(value) AS lo, max(value) AS hi FROM v),
+ c AS (SELECT CASE WHEN b.hi = b.lo THEN 0
+              ELSE CAST(least(floor((value - b.lo) / (b.hi - b.lo)
+                                    * 64.0), 63.0) AS BIGINT) END AS bin,
+              CAST(count(*) AS BIGINT) AS n
+       FROM v, b GROUP BY 1),
+ g AS (SELECT CAST(t.i AS BIGINT) AS bin, b.lo, b.hi
+       FROM range(0, 64) AS t(i), b WHERE b.lo IS NOT NULL)
+SELECT g.bin,
+       round(g.lo + g.bin * (g.hi - g.lo) / 64, 4) AS lo_edge_r,
+       round(g.lo + (g.bin + 1) * (g.hi - g.lo) / 64, 4) AS hi_edge_r,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+FROM g LEFT JOIN c ON g.bin = c.bin
+ORDER BY g.bin""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

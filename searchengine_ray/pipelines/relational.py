@@ -5177,3 +5177,87 @@ def q11_important_parts(sf_dir: str):
             [round_half_away(int(v) / 10_000.0, 2) for v in win["v"]],
             type=pa.float64()),
     })
+
+
+HIST_NBINS = 64
+
+
+def value_histogram(sf_dir: str, nbins: int = HIST_NBINS):
+    """(bin, lo_edge_r, hi_edge_r, n_events): equi-width histogram of the
+    event value stream over its observed [min, max] range, EVERY bin
+    present (empty bins are explicit zero rows) — the numeric-binning
+    complement of ``hourly_gap_fill``'s calendar scaffold: there the
+    grid is wall-clock, here it derives from a FIRST aggregation pass
+    over the same fact stream (the two-pass statistic-then-transform
+    pattern).
+
+    Determinism: both engines bucket by the identical double expression
+    floor((v − lo) / (hi − lo) · nbins) clamped to the last bin (the
+    v = hi row), where lo/hi are the exact min/max doubles — min/max
+    are order-independent, so there is NO float drift anywhere in the
+    bin assignment; edges publish as lo + i·(hi − lo)/nbins rounded
+    4 dp via the same expression on both sides. NaN and null values
+    drop before both passes.
+
+    Scale shape: pass 1 reduces each batch to a ≤1-row (min, max)
+    partial — no shuffle; pass 2 bincounts each batch (≤ nbins partial
+    rows per batch) into a ≤ nbins-group Sum; the driver merges the
+    fixed nbins scaffold. Degenerate hi = lo collapses to one bin."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def minmax_partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            return pa.table({"mn": pa.array([], type=pa.float64()),
+                             "mx": pa.array([], type=pa.float64())})
+        return pa.table({"mn": pa.array([float(v.min())]),
+                         "mx": pa.array([float(v.max())])})
+
+    src = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                             columns=["value"])
+    mm = (src.map_batches(minmax_partial, batch_format="pyarrow",
+                          batch_size=8192).to_pandas())
+    empty = pa.table({"bin": pa.array([], type=pa.int64()),
+                      "lo_edge_r": pa.array([], type=pa.float64()),
+                      "hi_edge_r": pa.array([], type=pa.float64()),
+                      "n_events": pa.array([], type=pa.int64())})
+    if mm.empty:
+        return empty
+    lo, hi = float(mm["mn"].min()), float(mm["mx"].max())
+    width = hi - lo
+
+    def bin_partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            return pa.table({"bin": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        if width == 0.0:
+            b = np.zeros(v.size, dtype=np.int64)
+        else:
+            b = np.minimum(np.floor((v - lo) / width * nbins),
+                           nbins - 1).astype(np.int64)
+        counts = np.bincount(b, minlength=nbins)
+        live = np.flatnonzero(counts)
+        return pa.table({"bin": pa.array(live.astype(np.int64)),
+                         "n": pa.array(counts[live].astype(np.int64))})
+
+    counted = (src.map_batches(bin_partial, batch_format="pyarrow",
+                               batch_size=8192)
+               .groupby("bin").aggregate(Sum("n", alias_name="n"))
+               .to_pandas())
+    grid = np.arange(nbins, dtype=np.int64)
+    n = np.zeros(nbins, dtype=np.int64)
+    if not counted.empty:
+        n[counted["bin"].to_numpy(dtype=np.int64)] = (
+            counted["n"].to_numpy(dtype=np.int64))
+    edges = lo + grid * width / nbins
+    upper = lo + (grid + 1) * width / nbins
+    return pa.table({
+        "bin": pa.array(grid),
+        "lo_edge_r": pa.array(_round_vec(edges, 4)),
+        "hi_edge_r": pa.array(_round_vec(upper, 4)),
+        "n_events": pa.array(n),
+    })

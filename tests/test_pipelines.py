@@ -4856,3 +4856,61 @@ class TestEmbeddingOutliers:
         assert got["label"].iloc[0] == 0
         # the mislabel's distance dwarfs every honest point's
         assert got["dist_r"].iloc[0] > 3 * got["dist_r"].iloc[1]
+
+
+class TestValueHistogram:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            HIST_NBINS,
+            value_histogram,
+        )
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["value"]).to_pandas()
+        v = ev["value"].to_numpy(dtype=np.float64)
+        v = v[~np.isnan(v)]
+        lo, hi = float(v.min()), float(v.max())
+        b = np.minimum(np.floor((v - lo) / (hi - lo) * HIST_NBINS),
+                       HIST_NBINS - 1).astype(np.int64)
+        ref = np.bincount(b, minlength=HIST_NBINS)
+        got = value_histogram(SF).to_pandas()
+        assert got["bin"].tolist() == list(range(HIST_NBINS))
+        assert got["n_events"].tolist() == ref.tolist()
+        assert int(got["n_events"].sum()) == v.size  # nothing leaks
+        # edges tile the range: first lo, last hi (after 4-dp rounding)
+        assert got["lo_edge_r"].iloc[0] == round(lo, 4)
+
+    def test_planted_boundaries_and_zero_bins(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import value_histogram
+
+        # values 0 and 64 pin the range → width 1 per bin; 64 (== hi)
+        # must clamp INTO bin 63, not fall off; 63.0 sits exactly on the
+        # bin-63 lower edge (floor lands it in 63 too); everything else
+        # empty → explicit zeros
+        pd.DataFrame({
+            "event_id": [1, 2, 3],
+            "user_id": [1, 1, 1],
+            "ts": pd.to_datetime(["2026-01-01"] * 3),
+            "event_type": ["a"] * 3,
+            "value": [0.0, 63.0, 64.0],
+            "props": ["{}"] * 3,
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = value_histogram(str(tmp_path)).to_pandas()
+        assert got["n_events"].tolist() == [1] + [0] * 62 + [2]
+        assert got["lo_edge_r"].tolist()[:2] == [0.0, 1.0]
+        assert got["hi_edge_r"].iloc[-1] == 64.0
+
+    def test_degenerate_single_value(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import value_histogram
+
+        pd.DataFrame({
+            "event_id": [1, 2],
+            "user_id": [1, 1],
+            "ts": pd.to_datetime(["2026-01-01"] * 2),
+            "event_type": ["a"] * 2,
+            "value": [5.0, 5.0],
+            "props": ["{}"] * 2,
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = value_histogram(str(tmp_path)).to_pandas()
+        assert got["n_events"].tolist() == [2] + [0] * 63
+        assert (got["lo_edge_r"] == 5.0).all()  # zero-width bins
