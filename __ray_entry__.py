@@ -392,6 +392,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bucketing (min/max are order-independent doubles) (oracle:
         # identical floor/least double expression + range scaffold; r4)
         "value_histogram": relational.value_histogram,
+        # sweep-line peak concurrency: global ordered accumulation
+        # WITHOUT a global sort — hour-partitioned boundary deltas,
+        # per-hour (total, max-prefix) int64 summaries, driver carry
+        # prefix over the calendar-bounded hour frame (oracle: running
+        # SUM window + hour scaffold; r4)
+        "peak_concurrency": relational.peak_concurrency,
         # JSON schema-on-read: aggregate over a value extracted from the
         # semi-structured props bag — TRY_CAST(json_extract) semantics,
         # int64 partials per type (oracle: DuckDB json functions; r4)
@@ -2387,6 +2393,54 @@ SELECT g.bin,
        CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
 FROM g LEFT JOIN c ON g.bin = c.bin
 ORDER BY g.bin""",
+        # peak concurrency: sessions are the sessionize_events CTE with
+        # bounds; same-timestamp deltas SUM before the running window so
+        # tie order cannot exist; per-hour max of the GLOBAL level
+        # equals the engine's carry + local prefix max; scaffold hours
+        # carry the level through breakpoint-free stretches
+        "peak_concurrency": """
+WITH marked AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+              OR lag(epoch_us(ts))
+                 OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+ assigned AS (
+  SELECT user_id, ts_us,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked),
+ s AS (SELECT min(ts_us) AS s_us, max(ts_us) AS e_us
+       FROM assigned GROUP BY user_id, sess_id),
+ deltas AS (SELECT s_us AS ts, 1 AS d FROM s
+            UNION ALL SELECT e_us + 1, -1 FROM s),
+ dd AS (SELECT ts, CAST(sum(d) AS BIGINT) AS d FROM deltas GROUP BY ts),
+ run AS (SELECT ts, d,
+                sum(d) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING)
+                  AS level,
+                CAST(ts - ((ts % 3600000000) + 3600000000) % 3600000000
+                     AS BIGINT) AS hour_us
+         FROM dd),
+ hr AS (SELECT hour_us, CAST(sum(d) AS BIGINT) AS td,
+               CAST(max(level) AS BIGINT) AS mxl
+        FROM run GROUP BY 1),
+ bounds AS (SELECT min(hour_us) AS lo, max(hour_us) AS hi FROM hr),
+ g AS (SELECT CAST(t.h AS BIGINT) AS hour_us
+       FROM bounds, LATERAL unnest(range(lo, hi + 3600000000,
+                                         3600000000)) AS t(h)),
+ j AS (SELECT g.hour_us, coalesce(hr.td, 0) AS td, hr.mxl
+       FROM g LEFT JOIN hr USING (hour_us)),
+ w AS (SELECT hour_us,
+              coalesce(sum(td) OVER (ORDER BY hour_us
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS carry,
+              mxl
+       FROM j)
+SELECT hour_us, CAST(greatest(carry, coalesce(mxl, carry)) AS BIGINT)
+         AS peak
+FROM w ORDER BY hour_us""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

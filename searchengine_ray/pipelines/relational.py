@@ -5261,3 +5261,101 @@ def value_histogram(sf_dir: str, nbins: int = HIST_NBINS):
         "hi_edge_r": pa.array(_round_vec(upper, 4)),
         "n_events": pa.array(n),
     })
+
+
+def peak_concurrency(sf_dir: str):
+    """(hour_us, peak): for EVERY hour of the observed range, the peak
+    number of concurrently-open sessions (gap-based sessions, the
+    sessionize_events definition; a session is active on its closed
+    [start, end] interval) — the capacity-planning sweep-line query.
+    The surface no other entry has: a GLOBAL ordered accumulation (the
+    running open-session level) computed WITHOUT a global sort — the
+    distributed-prefix pattern over time-range partitions (the
+    pack_sequences discipline applied to a timeline instead of a byte
+    budget).
+
+    Decomposition: boundary deltas (+1 at start, −1 at end+1µs) are
+    hour-partitioned; same-timestamp deltas SUM first, so tie order
+    cannot exist. Each hour partition computes two numbers from its
+    sorted breakpoints — the hour's total delta and its max running
+    prefix (both pure int64) — and the driver prefix-sums the
+    hour-level totals into carries: peak(h) = max(carry, carry +
+    max_prefix), or carry alone for breakpoint-free scaffold hours.
+    Per-hour summaries are CALENDAR-BOUNDED (the hourly_gap_fill
+    argument), so the driver frame never scales with the corpus.
+
+    Exactness: all-integer end-to-end — no float exists anywhere."""
+    import pandas as pd
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts_us": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+            "q": pa.array((u % _USER_PARTITIONS).astype(np.int64)),
+        })
+
+    def session_deltas(group: pa.Table) -> pa.Table:
+        # inline session-bounds kernel (sessionize_events' r3-frozen
+        # kernel stays untouched per the rotation note above)
+        uid = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
+        new_sess = np.empty(uid.size, dtype=bool)
+        new_sess[0] = True
+        new_sess[1:] = ((uid[1:] != uid[:-1])
+                        | ((ts[1:] - ts[:-1]) > SESSION_GAP_US))
+        starts = np.nonzero(new_sess)[0]
+        ends = np.concatenate((starts[1:], [uid.size]))
+        open_ts = ts[starts]
+        close_ts = ts[ends - 1] + 1  # −1 lands 1 µs AFTER the closed end
+        bts = np.concatenate([open_ts, close_ts])
+        d = np.concatenate([np.ones(open_ts.size, dtype=np.int64),
+                            np.full(close_ts.size, -1, dtype=np.int64)])
+        return pa.table({
+            "hour_us": pa.array((bts // WINDOW_US) * WINDOW_US),
+            "ts_us": pa.array(bts), "d": pa.array(d),
+        })
+
+    def hour_summary(group: pa.Table) -> pa.Table:
+        df = (pd.DataFrame({
+            "h": group["hour_us"].to_numpy(zero_copy_only=False),
+            "ts": group["ts_us"].to_numpy(zero_copy_only=False),
+            "d": group["d"].to_numpy(zero_copy_only=False),
+        }).groupby(["h", "ts"], as_index=False)["d"].sum()  # tie combine
+           .sort_values(["h", "ts"], kind="stable"))
+        rows = []
+        for h, sub in df.groupby("h"):
+            run = np.cumsum(sub["d"].to_numpy(dtype=np.int64))
+            rows.append((int(h), int(run[-1]), int(run.max())))
+        out = pd.DataFrame(rows, columns=["hour_us", "td", "mx"])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    summaries = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["user_id", "ts"])
+        .map_batches(add_part, batch_format="pyarrow", batch_size=8192)
+        .groupby("q").map_groups(session_deltas, batch_format="pyarrow")
+        .groupby("hour_us").map_groups(hour_summary, batch_format="pyarrow")
+        .to_pandas()
+    )
+    empty = pa.table({"hour_us": pa.array([], type=pa.int64()),
+                      "peak": pa.array([], type=pa.int64())})
+    if summaries.empty:
+        return empty
+    summaries = summaries.sort_values("hour_us")
+    hours = np.arange(int(summaries["hour_us"].min()),
+                      int(summaries["hour_us"].max()) + WINDOW_US,
+                      WINDOW_US, dtype=np.int64)
+    td = np.zeros(hours.size, dtype=np.int64)
+    mx = np.full(hours.size, np.iinfo(np.int64).min, dtype=np.int64)
+    pos = (summaries["hour_us"].to_numpy(dtype=np.int64)
+           - hours[0]) // WINDOW_US
+    td[pos] = summaries["td"].to_numpy(dtype=np.int64)
+    mx[pos] = summaries["mx"].to_numpy(dtype=np.int64)
+    carry = np.concatenate([[0], np.cumsum(td)[:-1]])
+    peak = np.maximum(carry, carry + np.where(
+        mx == np.iinfo(np.int64).min, 0, mx))
+    return pa.table({"hour_us": pa.array(hours),
+                     "peak": pa.array(peak.astype(np.int64))})

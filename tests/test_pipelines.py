@@ -4914,3 +4914,103 @@ class TestValueHistogram:
         got = value_histogram(str(tmp_path)).to_pandas()
         assert got["n_events"].tolist() == [2] + [0] * 63
         assert (got["lo_edge_r"] == 5.0).all()  # zero-width bins
+
+
+class TestPeakConcurrency:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            SESSION_GAP_US,
+            WINDOW_US,
+            peak_concurrency,
+        )
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["user_id", "ts"]).to_pandas()
+        ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype(np.int64)
+        deltas = {}
+        for _, sub in ev.groupby("user_id"):
+            ts = np.sort(sub["ts_us"].to_numpy())
+            brk = np.nonzero(np.diff(ts) > SESSION_GAP_US)[0]
+            starts = np.concatenate([[0], brk + 1])
+            ends = np.concatenate([brk, [ts.size - 1]])
+            for s, e in zip(ts[starts], ts[ends]):
+                deltas[s] = deltas.get(s, 0) + 1
+                deltas[e + 1] = deltas.get(e + 1, 0) - 1
+        bts = sorted(deltas)
+        level, per_hour_max, per_hour_last = 0, {}, {}
+        carry_level = {}
+        for t in bts:
+            h = (t // WINDOW_US) * WINDOW_US
+            if h not in per_hour_max:
+                carry_level[h] = level  # level entering the hour
+            level += deltas[t]
+            per_hour_max[h] = max(per_hour_max.get(h, -10**9), level)
+        hours = np.arange(min(per_hour_max), max(per_hour_max) + WINDOW_US,
+                          WINDOW_US)
+        # walk the scaffold carrying the level through empty hours
+        ref, lvl = [], 0
+        for h in hours:
+            if h in per_hour_max:
+                ref.append(max(carry_level[h], per_hour_max[h]))
+                lvl = carry_level[h] + sum(
+                    d for t, d in deltas.items()
+                    if (t // WINDOW_US) * WINDOW_US == h)
+            else:
+                ref.append(lvl)
+        got = peak_concurrency(SF).to_pandas()
+        assert got["hour_us"].tolist() == hours.tolist()
+        assert got["peak"].tolist() == ref
+
+    def test_planted_carry_and_ties(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import peak_concurrency
+
+        base = 3_600_000_000_000  # an exact hour boundary
+        h = 3_600_000_000
+        # u1 has two single-event sessions (hours 0 and 3 — the first
+        # closes 1 µs after it opens, BEFORE u2/u3 arrive); u2 and u3
+        # open at the SAME µs in hour 0 (tie deltas must sum) and close
+        # together at the same µs too
+        pd.DataFrame({
+            "event_id": range(6),
+            "user_id": [1, 1, 2, 3, 2, 3],
+            "ts": pd.to_datetime([
+                base,              # u1 session A start (hour 0)
+                base + 3 * h,      # u1 session B (hour 3; gap > 30 min)
+                base + 1000,       # u2 opens (hour 0)
+                base + 1000,       # u3 opens at the SAME µs
+                base + 2000,       # u2 closes
+                base + 2000,       # u3 closes (same µs again)
+            ], unit="us"),
+            "event_type": ["a"] * 6,
+            "value": [1.0] * 6,
+            "props": ["{}"] * 6,
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = peak_concurrency(str(tmp_path)).to_pandas()
+        # hour 0: u1 closes at base+1 before u2/u3 open at base+1000,
+        # so the peak is the u2+u3 tie → 2; hours 1,2 empty → 0 (the
+        # carry through breakpoint-free hours); hour 3: u1 again → 1
+        assert got["peak"].tolist() == [2, 0, 0, 1]
+
+    def test_planted_bridge_session(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import peak_concurrency
+
+        base = 7_200_000_000_000  # hour boundary
+        h = 3_600_000_000
+        ten_min = 600_000_000
+        # one user, events every 10 min from hour 0 into hour 2 → ONE
+        # session spanning three hours; hour 1 has breakpoints? no —
+        # the session is open the whole hour with NO boundary inside
+        # hour 1 (events are not boundaries; only start and end+1 are)
+        ts = [base + i * ten_min for i in range(13)]  # 0 .. 120 min
+        pd.DataFrame({
+            "event_id": range(13),
+            "user_id": [1] * 13,
+            "ts": pd.to_datetime(ts, unit="us"),
+            "event_type": ["a"] * 13,
+            "value": [1.0] * 13,
+            "props": ["{}"] * 13,
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = peak_concurrency(str(tmp_path)).to_pandas()
+        # start at hour 0, end+1µs falls at hour 2's first µs + ...
+        # level is 1 through hours 0,1 and drops in hour 2
+        assert got["peak"].tolist() == [1, 1, 1]
