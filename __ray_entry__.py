@@ -398,6 +398,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # prefix over the calendar-bounded hour frame (oracle: running
         # SUM window + hour scaffold; r4)
         "peak_concurrency": relational.peak_concurrency,
+        # winsorized moments: exact per-group quantile_disc clip bounds
+        # (the counting-selector kernel) broadcast into a second
+        # Welford-partial pass — statistic-then-transform where the
+        # statistic is an order statistic (oracle: quantile_disc CTE +
+        # clipped avg/stddev_pop; r4)
+        "winsorized_stats": relational.winsorized_stats,
         # JSON schema-on-read: aggregate over a value extracted from the
         # semi-structured props bag — TRY_CAST(json_extract) semantics,
         # int64 partials per type (oracle: DuckDB json functions; r4)
@@ -2441,6 +2447,24 @@ WITH marked AS (
 SELECT hour_us, CAST(greatest(carry, coalesce(mxl, carry)) AS BIGINT)
          AS peak
 FROM w ORDER BY hour_us""",
+        # winsorized moments: clip bounds are quantile_disc values, so
+        # both engines clip against identical doubles; 4-dp rounding
+        # absorbs aggregation-order drift (the dim_stats contract)
+        "winsorized_stats": """
+WITH b AS (
+  SELECT event_type,
+         CAST(quantile_disc(value, 0.05) AS DOUBLE) AS lo,
+         CAST(quantile_disc(value, 0.95) AS DOUBLE) AS hi
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1)
+SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_events,
+       round(avg(least(greatest(e.value, b.lo), b.hi)), 4)
+         AS wins_mean_r,
+       round(stddev_pop(least(greatest(e.value, b.lo), b.hi)), 4)
+         AS wins_std_r
+FROM events e JOIN b ON e.event_type = b.event_type
+WHERE e.value IS NOT NULL
+GROUP BY 1 ORDER BY 1""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -5359,3 +5359,101 @@ def peak_concurrency(sf_dir: str):
         mx == np.iinfo(np.int64).min, 0, mx))
     return pa.table({"hour_us": pa.array(hours),
                      "peak": pa.array(peak.astype(np.int64))})
+
+
+WINSOR_LO_Q, WINSOR_HI_Q = 0.05, 0.95
+
+
+def winsorized_stats(sf_dir: str):
+    """(event_type, n_events, wins_mean_r, wins_std_r): per event type,
+    mean and population stddev AFTER winsorizing values to the group's
+    exact [p05, p95] discrete quantiles — the robust-moments pass a
+    metrics pipeline runs when raw means are outlier-dominated. The
+    surface this adds: an ORDER-STATISTIC-derived transform re-applied
+    to the SAME fact stream (interp/group_quantiles END at the
+    quantile; here the quantile becomes a broadcast parameter of a
+    second full pass — statistic-then-transform where the statistic
+    itself needs the counting-selector kernel, not a trivial min/max
+    like value_histogram's).
+
+    Exactness: clip bounds are the exact per-group quantile_disc values
+    (the shared :func:`group_quantiles` kernel — no sort, counting
+    selection), so both engines clip against identical doubles;
+    clipped moments ride per-batch Welford partials and a driver Chan
+    fold (the embedding_dim_stats discipline), with the 4-dp round
+    absorbing fold-order drift.
+
+    Scale shape: pass 1 is group_quantiles' one histogram pass serving
+    every group; pass 2 broadcasts the ≤ groups × 2 bound frame by
+    closure and reduces each batch to ≤ groups-in-batch partial rows —
+    no shuffle in either pass beyond the selector's bounded pulls."""
+    import pandas as pd
+
+    bounds = group_quantiles(sf_dir, qs=(WINSOR_LO_Q, WINSOR_HI_Q))
+    if hasattr(bounds, "to_pandas"):
+        bounds = bounds.to_pandas()
+    empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                      "n_events": pa.array([], type=pa.int64()),
+                      "wins_mean_r": pa.array([], type=pa.float64()),
+                      "wins_std_r": pa.array([], type=pa.float64())})
+    if bounds.empty:
+        return empty
+    lo_of = dict(zip(bounds.loc[bounds["q"] == WINSOR_LO_Q, "event_type"],
+                     bounds.loc[bounds["q"] == WINSOR_LO_Q, "value"]))
+    hi_of = dict(zip(bounds.loc[bounds["q"] == WINSOR_HI_Q, "event_type"],
+                     bounds.loc[bounds["q"] == WINSOR_HI_Q, "value"]))
+
+    def moment_partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        g = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        keep = ~np.isnan(v) & np.asarray([x is not None for x in g])
+        empty_p = pa.table({"event_type": pa.array([], type=pa.string()),
+                            "n": pa.array([], type=pa.int64()),
+                            "mean": pa.array([], type=pa.float64()),
+                            "m2": pa.array([], type=pa.float64())})
+        if not keep.any():
+            return empty_p
+        v, g = v[keep], g[keep]
+        codes, uniques = pd.factorize(g)
+        lo = np.asarray([lo_of.get(u, -np.inf) for u in uniques])[codes]
+        hi = np.asarray([hi_of.get(u, np.inf) for u in uniques])[codes]
+        v = np.clip(v, lo, hi)
+        n = np.bincount(codes)
+        sums = np.bincount(codes, weights=v)
+        mean = sums / n
+        m2 = np.bincount(codes, weights=(v - mean[codes]) ** 2)
+        return pa.table({
+            "event_type": pa.array(list(uniques), type=pa.string()),
+            "n": pa.array(n.astype(np.int64)),
+            "mean": pa.array(mean), "m2": pa.array(m2),
+        })
+
+    parts = (read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                                columns=["event_type", "value"])
+             .map_batches(moment_partial, batch_format="pyarrow",
+                          batch_size=8192)
+             .to_pandas())
+    if parts.empty:
+        return empty
+    rows = []
+    for et in sorted(parts["event_type"].unique()):
+        sub = parts[parts["event_type"] == et]
+        n_a, mean_a, m2_a = 0.0, 0.0, 0.0
+        for n_b, mean_b, m2_b in zip(sub["n"], sub["mean"], sub["m2"]):
+            if n_a == 0.0:
+                n_a, mean_a, m2_a = float(n_b), float(mean_b), float(m2_b)
+                continue
+            # Chan's parallel-variance merge (the dim_stats discipline)
+            d = mean_b - mean_a
+            tot = n_a + n_b
+            m2_a += m2_b + d * d * n_a * n_b / tot
+            mean_a += d * n_b / tot
+            n_a = tot
+        rows.append((et, int(n_a), round_half_away(mean_a, 4),
+                     round_half_away(float(np.sqrt(m2_a / n_a)), 4)))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], type=pa.string()),
+        "n_events": pa.array([r[1] for r in rows], type=pa.int64()),
+        "wins_mean_r": pa.array([r[2] for r in rows], type=pa.float64()),
+        "wins_std_r": pa.array([r[3] for r in rows], type=pa.float64()),
+    })

@@ -5014,3 +5014,48 @@ class TestPeakConcurrency:
         # start at hour 0, end+1µs falls at hour 2's first µs + ...
         # level is 1 through hours 0,1 and drops in hour 2
         assert got["peak"].tolist() == [1, 1, 1]
+
+
+class TestWinsorizedStats:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.fulltext import round_half_away
+        from searchengine_ray.pipelines.relational import winsorized_stats
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["event_type", "value"]).to_pandas()
+        ev = ev[ev["value"].notna() & ev["event_type"].notna()]
+        rows = []
+        for et, sub in ev.groupby("event_type"):
+            v = np.sort(sub["value"].to_numpy(dtype=np.float64))
+            n = v.size
+            # quantile_disc: the element at rank ceil(n*q), 1-based
+            lo = v[max(int(np.ceil(n * 0.05)) - 1, 0)]
+            hi = v[max(int(np.ceil(n * 0.95)) - 1, 0)]
+            c = np.clip(sub["value"].to_numpy(dtype=np.float64), lo, hi)
+            rows.append((et, n, round_half_away(float(c.mean()), 4),
+                         round_half_away(float(c.std()), 4)))
+        rows.sort()
+        got = winsorized_stats(SF).to_pandas()
+        assert got["event_type"].tolist() == [r[0] for r in rows]
+        assert got["n_events"].tolist() == [r[1] for r in rows]
+        assert got["wins_mean_r"].tolist() == [r[2] for r in rows]
+        assert got["wins_std_r"].tolist() == [r[3] for r in rows]
+
+    def test_planted_outlier_suppression(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import winsorized_stats
+
+        # 100 values of 10.0 plus one 1e9 spike: the spike clips to the
+        # p95 value (10.0), so the winsorized mean is exactly 10.0 and
+        # the std is 0 — the raw mean would be ~10M
+        pd.DataFrame({
+            "event_id": range(101),
+            "user_id": [1] * 101,
+            "ts": pd.to_datetime(["2026-01-01"] * 101),
+            "event_type": ["click"] * 101,
+            "value": [10.0] * 100 + [1e9],
+            "props": ["{}"] * 101,
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = winsorized_stats(str(tmp_path)).to_pandas()
+        assert got["wins_mean_r"].tolist() == [10.0]
+        assert got["wins_std_r"].tolist() == [0.0]
+        assert got["n_events"].tolist() == [101]
