@@ -383,7 +383,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (oracle: unigram/bigram CTEs + double-identical ln; r4)
         "bigram_pmi": textstats.bigram_pmi,
         # embedding-space mislabel probe: per-label centroid (grouped
-        # vector aggregate, 4-dp-quantized before use) rejoined against
+        # vector aggregate, 4-dp-quantized before use — the dim_stats
+        # sum-order contract, not a persisted literal) rejoined against
         # the fact stream for per-row distances, per-batch local top-k
         # (oracle: unnest avg + distance rejoin; r4)
         "embedding_outliers": similarity.embedding_outliers,

@@ -5288,12 +5288,12 @@ def peak_concurrency(sf_dir: str):
     import pandas as pd
 
     def add_part(batch: pa.Table) -> pa.Table:
-        u = batch["user_id"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            "user_id": batch["user_id"],
-            "ts_us": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
-            "q": pa.array((u % _USER_PARTITIONS).astype(np.int64)),
-        })
+        # shared user-hash projection; normalize ts to µs FIRST so a
+        # ns-unit parquet can't scale the session gap (the skyline fix)
+        batch = batch.set_column(
+            batch.schema.get_field_index("ts"), "ts",
+            batch["ts"].cast(pa.timestamp("us")))
+        return _user_part_table(batch, {})
 
     def session_deltas(group: pa.Table) -> pa.Table:
         # inline session-bounds kernel (sessionize_events' r3-frozen

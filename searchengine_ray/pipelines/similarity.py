@@ -1059,11 +1059,13 @@ def embedding_outliers(sf_dir: str, k: int = OUTLIER_TOP_K):
     stream for a second per-row pass.
 
     Determinism: centroids QUANTIZE to 4 dp before any distance is
-    computed (the lsh/ivf literal-centroid discipline) — both engines
-    evaluate distances from identical centroid doubles, so float drift
-    lives only in the per-row dim-ordered sum, absorbed by the 4-dp
-    distance round; the top-k cut happens AFTER rounding under the
-    (dist_r DESC, vec_id ASC) total order.
+    computed, so a last-ulp drift between the two engines' mean
+    summation orders survives ONLY when a true mean straddles a 0.00005
+    rounding boundary (the dim_stats / lm_score sum-order contract —
+    weaker than lsh/ivf's persisted literal centroids, same accepted
+    risk as every corpus-sum entry); distances round to 4 dp and the
+    top-k cut happens AFTER rounding under the (dist_r DESC, vec_id
+    ASC) total order.
 
     Scale shape: pass 1 reduces each batch to labels-in-batch × dim
     partial rows (n, per-dim sum) — no shuffle; the driver folds a
@@ -1071,8 +1073,10 @@ def embedding_outliers(sf_dir: str, k: int = OUTLIER_TOP_K):
     ``ray.put``. Pass 2 recomputes per-row distances vectorized (one
     (rows, dim) − (rows→label, dim) subtraction per batch) and keeps a
     per-batch local top-k, so k·batches candidate rows reach the
-    driver — never the corpus. Null embeddings and labels absent from
-    pass 1 cannot exist in pass 2 (same read, same filter)."""
+    driver — never the corpus. Null embeddings AND null labels drop in
+    both passes (the oracle's join drops them identically); a pass-2
+    label absent from pass 1 cannot exist (same read, same filter),
+    but the probe still membership-checks instead of indexing blind."""
     import pandas as pd
     import pyarrow.compute as pc
     import ray
@@ -1080,12 +1084,14 @@ def embedding_outliers(sf_dir: str, k: int = OUTLIER_TOP_K):
     from searchengine_ray.pipelines.fulltext import round_half_away
     from searchengine_ray.sources import read_parquet_clean
 
+    def drop_nulls(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_valid(batch["embedding"]),
+                       pc.is_valid(batch["label"]))
+        return batch.filter(mask) if not pc.all(mask).as_py() else batch
+
     def centroid_partial(batch: pa.Table) -> pa.Table:
-        col = batch["embedding"]
-        if col.null_count:
-            batch = batch.filter(pc.is_valid(col))
-            col = batch["embedding"]
-        m = _emb_matrix(col)
+        batch = drop_nulls(batch)
+        m = _emb_matrix(batch["embedding"])
         empty = pa.table({"label": pa.array([], type=pa.int64()),
                           "dim": pa.array([], type=pa.int64()),
                           "n": pa.array([], type=pa.int64()),
@@ -1132,17 +1138,23 @@ def embedding_outliers(sf_dir: str, k: int = OUTLIER_TOP_K):
 
     def distances_topk(batch: pa.Table) -> pa.Table:
         labs, c = ray.get(cent_ref)
-        col = batch["embedding"]
-        if col.null_count:
-            batch = batch.filter(pc.is_valid(col))
-            col = batch["embedding"]
-        m = _emb_matrix(col)
+        batch = drop_nulls(batch)
+        m = _emb_matrix(batch["embedding"])
+        empty_b = pa.table({"vec_id": pa.array([], type=pa.int64()),
+                            "label": pa.array([], type=pa.int64()),
+                            "dist_r": pa.array([], type=pa.float64())})
         if m.size == 0:
-            return pa.table({"vec_id": pa.array([], type=pa.int64()),
-                             "label": pa.array([], type=pa.int64()),
-                             "dist_r": pa.array([], type=pa.float64())})
+            return empty_b
         lab = batch["label"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(labs, lab)
+        # membership probe, never a blind index (a label unseen in pass 1
+        # cannot exist here, but a gap must drop the row, not crash)
+        pos = np.minimum(np.searchsorted(labs, lab), labs.size - 1)
+        hit = labs[pos] == lab
+        if not hit.all():
+            m, lab, pos = m[hit], lab[hit], pos[hit]
+            batch = batch.filter(pa.array(hit))
+            if m.size == 0:
+                return empty_b
         diff = m - c[pos]
         dist = _round_vec(np.sqrt((diff * diff).sum(axis=1)), 4)
         df = pd.DataFrame({

@@ -5059,3 +5059,18 @@ class TestWinsorizedStats:
         assert got["wins_mean_r"].tolist() == [10.0]
         assert got["wins_std_r"].tolist() == [0.0]
         assert got["n_events"].tolist() == [101]
+
+    def test_null_label_rows_drop(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.similarity import embedding_outliers
+
+        # one null label and one null embedding among honest rows: both
+        # must DROP (the oracle's join semantics), never crash the
+        # pass-2 searchsorted probe
+        vecs = [np.full(4, float(i), dtype=np.float32) for i in range(4)]
+        pd.DataFrame({
+            "vec_id": [0, 1, 2, 3],
+            "embedding": [vecs[0], vecs[1], None, vecs[3]],
+            "label": pd.array([0, None, 0, 0], dtype="Int32"),
+        }).to_parquet(f"{tmp_path}/embeddings.parquet", index=False)
+        got = embedding_outliers(str(tmp_path)).to_pandas()
+        assert set(got["vec_id"]) == {0, 3}  # rows 1 and 2 dropped
