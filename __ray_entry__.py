@@ -405,6 +405,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # statistic is an order statistic (oracle: quantile_disc CTE +
         # clipped avg/stddev_pop; r4)
         "winsorized_stats": relational.winsorized_stats,
+        # referential-integrity audit across every FK edge: broadcast
+        # probes for true dimensions, co-partition set-difference for
+        # fact-sized right sides, exact int64 orphan counts (oracle:
+        # per-edge LEFT JOIN UNION ALL; r4)
+        "fk_audit": relational.fk_audit,
         # JSON schema-on-read: aggregate over a value extracted from the
         # semi-structured props bag — TRY_CAST(json_extract) semantics,
         # int64 partials per type (oracle: DuckDB json functions; r4)
@@ -2466,6 +2471,39 @@ SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_events,
 FROM events e JOIN b ON e.event_type = b.event_type
 WHERE e.value IS NOT NULL
 GROUP BY 1 ORDER BY 1""",
+        # FK audit: one LEFT JOIN per edge, orphan = unmatched right key
+        "fk_audit": """
+SELECT fk_edge, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_orphans AS BIGINT) AS n_orphans
+FROM (
+  SELECT 'customer.c_nationkey->nation' AS fk_edge, count(*) AS n_rows,
+         sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS n_orphans
+  FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+  UNION ALL
+  SELECT 'lineitem.l_orderkey->orders', count(*),
+         sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  UNION ALL
+  SELECT 'lineitem.l_partkey->part', count(*),
+         sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+  FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+  UNION ALL
+  SELECT 'lineitem.l_suppkey->supplier', count(*),
+         sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+  FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  UNION ALL
+  SELECT 'nation.n_regionkey->region', count(*),
+         sum(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END)
+  FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+  UNION ALL
+  SELECT 'orders.o_custkey->customer', count(*),
+         sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  UNION ALL
+  SELECT 'supplier.s_nationkey->nation', count(*),
+         sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+  FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+) ORDER BY fk_edge""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -5457,3 +5457,112 @@ def winsorized_stats(sf_dir: str):
         "wins_mean_r": pa.array([r[2] for r in rows], type=pa.float64()),
         "wins_std_r": pa.array([r[3] for r in rows], type=pa.float64()),
     })
+
+
+# FK edges: (name, fact table, fact key, dim table, dim key); the two
+# FACT-SIZED right sides (orders, customer) go through the co-partition
+# path below, the true dimensions broadcast
+_FK_BROADCAST_EDGES = (
+    ("customer.c_nationkey->nation", "customer.parquet", "c_nationkey",
+     "nation.parquet", "n_nationkey"),
+    ("lineitem.l_partkey->part", "lineitem.parquet", "l_partkey",
+     "part.parquet", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem.parquet", "l_suppkey",
+     "supplier.parquet", "s_suppkey"),
+    ("nation.n_regionkey->region", "nation.parquet", "n_regionkey",
+     "region.parquet", "r_regionkey"),
+    ("supplier.s_nationkey->nation", "supplier.parquet", "s_nationkey",
+     "nation.parquet", "n_nationkey"),
+)
+_FK_EXCHANGE_EDGES = (
+    ("lineitem.l_orderkey->orders", "lineitem.parquet", "l_orderkey",
+     "orders.parquet", "o_orderkey"),
+    ("orders.o_custkey->customer", "orders.parquet", "o_custkey",
+     "customer.parquet", "c_custkey"),
+)
+
+
+def fk_audit(sf_dir: str):
+    """(fk_edge, n_rows, n_orphans): for every foreign-key edge of the
+    star schema, how many referencing rows exist and how many are
+    ORPHANS (no matching key on the referenced side) — the referential-
+    integrity audit a pipeline runs before trusting joins. The
+    data-quality surface ``table_profile`` (single-table) doesn't have:
+    cross-TABLE consistency, with the join strategy chosen per edge the
+    way the query operators choose theirs.
+
+    Scale shape, per edge class: TRUE DIMENSIONS (part, supplier,
+    nation, region) broadcast one sorted key array via ``ray.put`` and
+    the fact side reduces to ≤1-row (n, orphans) scalar partials per
+    batch — no shuffle; FACT-SIZED right sides (orders, customer)
+    co-partition instead: per-batch-DISTINCT referencing keys with
+    multiplicities ride the shared exchange against per-batch-distinct
+    referenced keys, each partition set-differences locally and emits
+    one partial row. Output is ≤ |edges| rows — driver-scale by
+    definition. All counting is exact int64."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    rows = []
+    for name, fact, fkey, dim, dkey in _FK_BROADCAST_EDGES:
+        keys = np.sort(pq.read_table(
+            os.path.join(sf_dir, dim), columns=[dkey]
+        )[dkey].to_numpy(zero_copy_only=False).astype(np.int64))
+        keys_ref = ray.put(keys)
+
+        def probe(batch: pa.Table, _fkey=fkey, _ref=keys_ref) -> pa.Table:
+            ks = ray.get(_ref)
+            v = batch[_fkey].to_numpy(zero_copy_only=False).astype(np.int64)
+            _, hit = _sorted_probe(ks, v)
+            return _scalar_partial_row(v.size, int((~hit).sum()))
+
+        parts = (read_parquet_clean(os.path.join(sf_dir, fact),
+                                    columns=[fkey])
+                 .map_batches(probe, batch_format="pyarrow",
+                              batch_size=8192).to_pandas())
+        n, orph = ((0, 0) if parts.empty
+                   else (lambda r: (r[0], r[1][0]))(
+                       _combine_scalar_partials(parts, 1)))
+        rows.append((name, n, orph))
+
+    for name, fact, fkey, dim, dkey in _FK_EXCHANGE_EDGES:
+        def fact_side(batch: pa.Table, _fkey=fkey) -> pa.Table:
+            v = batch[_fkey].to_numpy(zero_copy_only=False).astype(np.int64)
+            uk, counts = np.unique(v, return_counts=True)
+            return _exchange_rows(uk, 1, counts.astype(np.int64))
+
+        def dim_side(batch: pa.Table, _dkey=dkey) -> pa.Table:
+            v = np.unique(batch[_dkey].to_numpy(
+                zero_copy_only=False).astype(np.int64))
+            return _exchange_rows(v, 0, np.zeros(v.size, dtype=np.int64))
+
+        def orphan_partial(group: pa.Table) -> pa.Table:
+            (bk, _, _), (k, cnt, _, _) = _split_exchange_group(group)
+            if k.size == 0:
+                return _scalar_partial_row(0, 0)
+            bk = np.unique(bk)  # distinct across the dim side's batches
+            _, hit = _sorted_probe(bk, k)
+            return _scalar_partial_row(int(cnt.sum()),
+                                       int(cnt[~hit].sum()))
+
+        facts = read_parquet_clean(
+            os.path.join(sf_dir, fact), columns=[fkey]
+        ).map_batches(fact_side, batch_format="pyarrow", batch_size=8192)
+        dims = read_parquet_clean(
+            os.path.join(sf_dir, dim), columns=[dkey]
+        ).map_batches(dim_side, batch_format="pyarrow", batch_size=8192)
+        parts = (facts.union(dims).groupby("q")
+                 .map_groups(orphan_partial, batch_format="pyarrow")
+                 .to_pandas())
+        n, orph = ((0, 0) if parts.empty
+                   else (lambda r: (r[0], r[1][0]))(
+                       _combine_scalar_partials(parts, 1)))
+        rows.append((name, n, orph))
+
+    rows.sort()
+    return pa.table({
+        "fk_edge": pa.array([r[0] for r in rows], type=pa.string()),
+        "n_rows": pa.array([r[1] for r in rows], type=pa.int64()),
+        "n_orphans": pa.array([r[2] for r in rows], type=pa.int64()),
+    })

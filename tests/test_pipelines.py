@@ -5074,3 +5074,48 @@ class TestWinsorizedStats:
         }).to_parquet(f"{tmp_path}/embeddings.parquet", index=False)
         got = embedding_outliers(str(tmp_path)).to_pandas()
         assert set(got["vec_id"]) == {0, 3}  # rows 1 and 2 dropped
+
+
+class TestFkAudit:
+    def test_clean_corpus_has_no_orphans(self, ray_session):
+        from searchengine_ray.pipelines.relational import fk_audit
+
+        got = fk_audit(SF).to_pandas()
+        assert len(got) == 7
+        assert (got["n_orphans"] == 0).all()  # testdata FKs are intact
+        li = pq.read_table(f"{SF}/lineitem.parquet",
+                           columns=["l_orderkey"]).num_rows
+        edge = got.set_index("fk_edge")
+        assert edge.loc["lineitem.l_orderkey->orders", "n_rows"] == li
+        assert edge.loc["lineitem.l_partkey->part", "n_rows"] == li
+
+    def test_planted_orphans_both_paths(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import fk_audit
+
+        # orders 1,2 exist; lineitem references 1,2,99 (99 twice → TWO
+        # orphan ROWS through the exchange path); part 7 exists; the
+        # partkey 88 row is an orphan through the broadcast path
+        pd.DataFrame({"o_orderkey": [1, 2], "o_custkey": [10, 20]
+                      }).to_parquet(f"{tmp_path}/orders.parquet",
+                                    index=False)
+        pd.DataFrame({
+            "l_orderkey": [1, 2, 99, 99],
+            "l_partkey": [7, 7, 88, 7],
+            "l_suppkey": [5, 5, 5, 5],
+        }).to_parquet(f"{tmp_path}/lineitem.parquet", index=False)
+        pd.DataFrame({"p_partkey": [7]}).to_parquet(
+            f"{tmp_path}/part.parquet", index=False)
+        pd.DataFrame({"s_suppkey": [5], "s_nationkey": [0]}).to_parquet(
+            f"{tmp_path}/supplier.parquet", index=False)
+        pd.DataFrame({"c_custkey": [10], "c_nationkey": [0]}).to_parquet(
+            f"{tmp_path}/customer.parquet", index=False)  # 20 is orphan
+        pd.DataFrame({"n_nationkey": [0], "n_regionkey": [0]}).to_parquet(
+            f"{tmp_path}/nation.parquet", index=False)
+        pd.DataFrame({"r_regionkey": [0]}).to_parquet(
+            f"{tmp_path}/region.parquet", index=False)
+        got = fk_audit(str(tmp_path)).to_pandas().set_index("fk_edge")
+        assert got.loc["lineitem.l_orderkey->orders", "n_orphans"] == 2
+        assert got.loc["lineitem.l_partkey->part", "n_orphans"] == 1
+        assert got.loc["orders.o_custkey->customer", "n_orphans"] == 1
+        assert got.loc["lineitem.l_suppkey->supplier", "n_orphans"] == 0
+        assert got.loc["supplier.s_nationkey->nation", "n_orphans"] == 0
