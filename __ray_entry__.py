@@ -410,6 +410,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fact-sized right sides, exact int64 orphan counts (oracle:
         # per-edge LEFT JOIN UNION ALL; r4)
         "fk_audit": relational.fk_audit,
+        # bipartite k-core: NON-MONOTONE peeling fixpoint (pagerank =
+        # fixed rounds, BFS = monotone frontier) — alternating-side
+        # halves, one exchange each, degree test partition-local, stop
+        # when a full round removes nothing (oracle: bounded recursive
+        # CTE, idempotent after convergence; r4)
+        "kcore_purchases": graph.kcore_purchases,
         # JSON schema-on-read: aggregate over a value extracted from the
         # semi-structured props bag — TRY_CAST(json_extract) semantics,
         # int64 partials per type (oracle: DuckDB json functions; r4)
@@ -2504,6 +2510,33 @@ FROM (
          sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
   FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
 ) ORDER BY fk_edge""",
+        # bipartite k-core (k = 20, cap 30 rounds): the recursion drops
+        # edges whose endpoint degree within the PREVIOUS round's alive
+        # set is < k — simultaneous peeling, idempotent once stable, so
+        # round 30 IS the fixpoint the engine's alternating halves reach
+        # (the k-core is the unique maximal min-degree-≥-k subgraph)
+        "kcore_purchases": """
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+ live(r, ck, pk) AS (
+  SELECT 0, ck, pk FROM e0
+  UNION ALL
+  SELECT l.r + 1, l.ck, l.pk FROM live l
+  WHERE l.r < 30
+    AND (SELECT count(*) FROM live x
+         WHERE x.r = l.r AND x.ck = l.ck) >= 20
+    AND (SELECT count(*) FROM live y
+         WHERE y.r = l.r AND y.pk = l.pk) >= 20),
+ core AS (SELECT ck, pk FROM live WHERE r = 30)
+SELECT node_type, key, degree FROM (
+  SELECT 'customer' AS node_type, CAST(ck AS BIGINT) AS key,
+         CAST(count(*) AS BIGINT) AS degree
+  FROM core GROUP BY ck
+  UNION ALL
+  SELECT 'part', CAST(pk AS BIGINT), CAST(count(*) AS BIGINT)
+  FROM core GROUP BY pk
+) ORDER BY node_type, key""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -545,3 +545,156 @@ def purchase_hops(sf_dir: str, seed_supplier: int = 0,
             {"entity": ["supplier"], "key": [int(seed_supplier)],
              "hops": [0]})], ignore_index=True)
     return out.sort_values(["entity", "key"]).reset_index(drop=True)
+
+
+KCORE_K = 20
+KCORE_MAX_ROUNDS = 30
+
+
+def kcore_purchases(sf_dir: str, k: int = KCORE_K,
+                    max_rounds: int = KCORE_MAX_ROUNDS):
+    """(node_type, key, degree): the bipartite k-core of the
+    customer–part purchase graph — every customer with ≥ k distinct
+    surviving parts and every part with ≥ k distinct surviving
+    customers, peeled iteratively until STABLE, with each node's degree
+    inside the core. The iterative-filtering primitive a training-data
+    pipeline runs to prune low-activity users and low-coverage items
+    before collaborative filtering (and the text analogue: drop rare
+    n-grams / thin documents until both stabilize). The family surface
+    no other graph entry has: a NON-MONOTONE fixpoint (pagerank runs a
+    fixed count, BFS grows a monotone frontier; peeling REMOVES state
+    until a full round removes nothing).
+
+    Scale shape: distinct (customer, part) edges build on the orderkey
+    co-partition (the _build_edges discipline, part flavor); each
+    peeling round is two alternating halves — re-key edges by the side
+    being peeled, each partition owns EVERY edge of its nodes so the
+    degree test and the filter are partition-local, then re-key by the
+    other side — one exchange per half, NO broadcast of removal sets
+    (node-scale at 100 TB). The driver sees one edge count per half
+    (the BFS newly-settled discipline) and stops when a full round
+    holds the count; per-round repartition to the fixed state block
+    count prevents the block-compounding the BFS fix documented.
+    Peeling order cannot change the answer: the k-core is the unique
+    maximal subgraph with min-degree ≥ k, so alternating halves and the
+    oracle's simultaneous rounds converge to the SAME fixpoint."""
+    import pandas as pd
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return _exchange_rows(ok, 0, ck)
+
+    def lineitem_side(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = pd.DataFrame({"ok": ok, "pk": pk}).drop_duplicates()
+        return _exchange_rows(u["ok"].to_numpy(dtype=np.int64), 1,
+                              u["pk"].to_numpy(dtype=np.int64))
+
+    def join_orderkey(group: pa.Table) -> pa.Table:
+        (ok_sorted, ck_sorted, _), (lok, lpk, _, _) = \
+            _split_exchange_group(group)
+        pos, hit = _sorted_probe(ok_sorted, lok)
+        if not hit.any():
+            return _exchange_empty(with_b=False)
+        u = pd.DataFrame({"c": ck_sorted[pos[hit]],
+                          "p": lpk[hit]}).drop_duplicates()
+        # keyed by customer for the first peeling half
+        return _exchange_rows(u["c"].to_numpy(dtype=np.int64), 1,
+                              u["p"].to_numpy(dtype=np.int64))
+
+    def global_distinct(group: pa.Table) -> pa.Table:
+        ck = group["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = group["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = pd.DataFrame({"ck": ck, "pk": pk}).drop_duplicates()
+        cks = u["ck"].to_numpy(dtype=np.int64)
+        return pa.table({"q": pa.array(_hash_partition(cks)),
+                         "ck": pa.array(cks),
+                         "pk": pa.array(u["pk"].to_numpy(dtype=np.int64))})
+
+    def peel_half(side: str, other: str):
+        """Drop edges whose ``side`` node has degree < k; re-key the
+        survivors by ``other`` for the next half. Partition-local: the
+        q key co-locates every edge of each ``side`` node."""
+        def fn(group: pa.Table) -> pa.Table:
+            s = group[side].to_numpy(zero_copy_only=False).astype(np.int64)
+            o = group[other].to_numpy(zero_copy_only=False).astype(np.int64)
+            un, inv, deg = np.unique(s, return_inverse=True,
+                                     return_counts=True)
+            keep = deg[inv] >= k
+            s, o = s[keep], o[keep]
+            return pa.table({"q": pa.array(_hash_partition(o)),
+                             side: pa.array(s), other: pa.array(o)})
+        return fn
+
+    edges = (read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"])
+        .map_batches(orders_side, batch_format="pyarrow")
+        .union(read_parquet_clean(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_partkey"])
+            .map_batches(lineitem_side, batch_format="pyarrow",
+                         batch_size=8192))
+        .groupby("q").map_groups(join_orderkey, batch_format="pyarrow")
+        .groupby("q").map_groups(global_distinct, batch_format="pyarrow")
+        .materialize())
+    n_edges = edges.count()
+    empty = pa.table({"node_type": pa.array([], type=pa.string()),
+                      "key": pa.array([], type=pa.int64()),
+                      "degree": pa.array([], type=pa.int64())})
+    if n_edges == 0:
+        return empty
+    blocks = _state_blocks(n_edges)
+    edges = edges.repartition(blocks).materialize()
+    # peeling loop: customer half re-keys by part, part half re-keys
+    # back by customer — state ends each full round customer-keyed
+    for _ in range(max_rounds):
+        before = n_edges
+        edges = (edges.groupby("q")
+                 .map_groups(peel_half("ck", "pk"), batch_format="pyarrow")
+                 .repartition(blocks).materialize())
+        edges = (edges.groupby("q")
+                 .map_groups(peel_half("pk", "ck"), batch_format="pyarrow")
+                 .repartition(blocks).materialize())
+        n_edges = edges.count()
+        if n_edges == before:  # a full round removed nothing: stable
+            break
+    if n_edges == 0:
+        return empty
+
+    def degrees(group: pa.Table) -> pa.Table:
+        ck = group["ck"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = group["pk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uc, dc = np.unique(ck, return_counts=True)
+        return pa.table({
+            "node_type": pa.array(["customer"] * uc.size, type=pa.string()),
+            "key": pa.array(uc), "degree": pa.array(dc.astype(np.int64)),
+        })
+
+    def part_keyed(batch: pa.Table) -> pa.Table:
+        pk = batch["pk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"q": pa.array(_hash_partition(pk)),
+                         "ck": batch["ck"], "pk": batch["pk"]})
+
+    def part_degrees(group: pa.Table) -> pa.Table:
+        pk = group["pk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        up, dp = np.unique(pk, return_counts=True)
+        return pa.table({
+            "node_type": pa.array(["part"] * up.size, type=pa.string()),
+            "key": pa.array(up), "degree": pa.array(dp.astype(np.int64)),
+        })
+
+    cust = (edges.groupby("q").map_groups(degrees, batch_format="pyarrow")
+            .to_pandas())
+    part = (edges.map_batches(part_keyed, batch_format="pyarrow")
+            .groupby("q").map_groups(part_degrees, batch_format="pyarrow")
+            .to_pandas())
+    out = (pd.concat([cust, part], ignore_index=True)
+           .sort_values(["node_type", "key"]))
+    return pa.table({
+        "node_type": pa.array(out["node_type"].tolist(), type=pa.string()),
+        "key": pa.array(out["key"].to_numpy(dtype=np.int64)),
+        "degree": pa.array(out["degree"].to_numpy(dtype=np.int64)),
+    })

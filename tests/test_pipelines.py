@@ -5119,3 +5119,76 @@ class TestFkAudit:
         assert got.loc["orders.o_custkey->customer", "n_orphans"] == 1
         assert got.loc["lineitem.l_suppkey->supplier", "n_orphans"] == 0
         assert got.loc["supplier.s_nationkey->nation", "n_orphans"] == 0
+
+
+class TestKcorePurchases:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.graph import KCORE_K, kcore_purchases
+
+        li = pq.read_table(f"{SF}/lineitem.parquet",
+                           columns=["l_orderkey", "l_partkey"]).to_pandas()
+        orders = pq.read_table(f"{SF}/orders.parquet",
+                               columns=["o_orderkey",
+                                        "o_custkey"]).to_pandas()
+        e = (li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+             [["o_custkey", "l_partkey"]].drop_duplicates())
+        while True:
+            cd = e.groupby("o_custkey")["l_partkey"].transform("size")
+            pdg = e.groupby("l_partkey")["o_custkey"].transform("size")
+            keep = (cd >= KCORE_K) & (pdg >= KCORE_K)
+            if keep.all():
+                break
+            e = e[keep]
+            if e.empty:
+                break
+        got = kcore_purchases(SF).to_pandas()
+        ref_c = (e.groupby("o_custkey").size().sort_index())
+        ref_p = (e.groupby("l_partkey").size().sort_index())
+        cust = got[got["node_type"] == "customer"]
+        part = got[got["node_type"] == "part"]
+        assert cust["key"].tolist() == ref_c.index.tolist()
+        assert cust["degree"].tolist() == ref_c.tolist()
+        assert part["key"].tolist() == ref_p.index.tolist()
+        assert part["degree"].tolist() == ref_p.tolist()
+
+    def test_planted_cascade(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.graph import kcore_purchases
+
+        # k = 20: a complete 21×21 biclique (every node degree 21 ≥ 20
+        # → the core) plus a two-round CASCADE: customer 100 buys 19
+        # core parts + part 999, and 999 has no other customer — round 1
+        # peels 999 (degree 1), which drops customer 100 to degree 19 so
+        # round 2 peels 100 too
+        cks, pks = [], []
+        for c in range(21):
+            for p in range(21):
+                cks.append(c)
+                pks.append(p)
+        cks += [100] * 20
+        pks += list(range(19)) + [999]
+        orders = pd.DataFrame({
+            "o_orderkey": range(len(cks)),
+            "o_custkey": cks,
+        })
+        li = pd.DataFrame({
+            "l_orderkey": range(len(cks)),
+            "l_partkey": pks,
+        })
+        orders.to_parquet(f"{tmp_path}/orders.parquet", index=False)
+        li.to_parquet(f"{tmp_path}/lineitem.parquet", index=False)
+        got = kcore_purchases(str(tmp_path)).to_pandas()
+        cust = got[got["node_type"] == "customer"]["key"].tolist()
+        part = got[got["node_type"] == "part"]["key"].tolist()
+        assert cust == list(range(21))  # 100 cascaded out
+        assert part == list(range(21))  # 999 peeled in round 1
+        assert (got["degree"] == 21).all()
+
+    def test_empty_core(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.graph import kcore_purchases
+
+        pd.DataFrame({"o_orderkey": [1], "o_custkey": [1]}).to_parquet(
+            f"{tmp_path}/orders.parquet", index=False)
+        pd.DataFrame({"l_orderkey": [1], "l_partkey": [7]}).to_parquet(
+            f"{tmp_path}/lineitem.parquet", index=False)
+        got = kcore_purchases(str(tmp_path)).to_pandas()
+        assert got.empty
