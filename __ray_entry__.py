@@ -416,6 +416,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # when a full round removes nothing (oracle: bounded recursive
         # CTE, idempotent after convergence; r4)
         "kcore_purchases": graph.kcore_purchases,
+        # grouped NONLINEAR aggregate over a nested distribution: per-user
+        # Shannon entropy of the event-type histogram — map-side partials,
+        # one composite-key Sum, one user-hash exchange, count-sorted
+        # double-identical ln (oracle: counts CTE + ln recurrence; r4)
+        "user_entropy": relational.user_entropy,
+        # sketch-candidates-then-exact-verify: per-batch Misra-Gries
+        # summaries (≤ cap rows/batch regardless of key cardinality) →
+        # combiner Sum → integer candidate gate → broadcast-filtered
+        # exact count pass; output is EXACT, sketch error can't reach it
+        # (oracle: plain GROUP BY HAVING count·den > n; r4)
+        "heavy_hitters": relational.heavy_hitters,
+        # ranked bucketing (NTILE) WITHOUT a global sort: t−1 boundary
+        # order statistics via the counting-selector on exact cents,
+        # boundary ties broken by one filtered orderkey pull, rows
+        # assigned by t−1 composite comparisons, ≤ t-group Sum exchange
+        # (oracle: ntile() window + group; r4)
+        "ntile_orders": relational.ntile_orders,
         # JSON schema-on-read: aggregate over a value extracted from the
         # semi-structured props bag — TRY_CAST(json_extract) semantics,
         # int64 partials per type (oracle: DuckDB json functions; r4)
@@ -2537,6 +2554,40 @@ SELECT node_type, key, degree FROM (
   SELECT 'part', CAST(pk AS BIGINT), CAST(count(*) AS BIGINT)
   FROM core GROUP BY pk
 ) ORDER BY node_type, key""",
+        # entropy in bits via the ln identity H = (ln n − Σ c·ln c / n)/ln 2
+        # — the engine evaluates the IDENTICAL double expression (the
+        # bigram_pmi ln contract); null event types drop on both sides
+        "user_entropy": """
+WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+           FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+ u AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+              sum(n * ln(n)) AS s
+       FROM c GROUP BY 1)
+SELECT CAST(user_id AS BIGINT) AS user_id, n_events,
+       round((ln(n_events) - s / n_events) / ln(2), 4) AS entropy_r
+FROM u ORDER BY user_id""",
+        # the sketch is engine-side machinery only — the CONTRACT is the
+        # plain exact threshold query (count·den > n, pure integers)
+        "heavy_hitters": """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id
+HAVING count(*) * 125 > (SELECT count(*) FROM events)
+ORDER BY user_id""",
+        # NTILE under the composite (cents, orderkey) total order; sums
+        # and bounds on exact cents, one identical /100.0 publish each
+        "ntile_orders": """
+WITH r AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                  o_orderkey,
+                  ntile(10) OVER (
+                    ORDER BY CAST(round(o_totalprice * 100) AS BIGINT),
+                             o_orderkey) AS d
+           FROM orders)
+SELECT CAST(d AS BIGINT) AS decile, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(cents) / 100.0, 2) AS sum_price_r,
+       min(cents) / 100.0 AS min_price,
+       max(cents) / 100.0 AS max_price
+FROM r GROUP BY d ORDER BY decile""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -5566,3 +5566,299 @@ def fk_audit(sf_dir: str):
         "n_rows": pa.array([r[1] for r in rows], type=pa.int64()),
         "n_orphans": pa.array([r[2] for r in rows], type=pa.int64()),
     })
+
+
+def user_entropy(sf_dir: str):
+    """(user_id, n_events, entropy_r): Shannon entropy (bits, 4 dp) of
+    each user's event-type distribution plus their event count — the
+    information-theoretic behavioral profile (a uniform user scores
+    log2(#types), a single-type user scores 0). The surface no other
+    entry has: a grouped NONLINEAR aggregate over a nested distribution
+    (group → sub-group histogram → scalar), where group_moments et al.
+    aggregate flat values.
+
+    Determinism: entropy evaluates as (ln(n) − Σ c·ln(c) / n) / ln(2)
+    with np.log mirroring DuckDB ``ln`` (the bigram_pmi double-identical
+    ln contract); the Σ runs over ≤ |event_type| terms (a groupable
+    cardinality), so 4-dp rounding absorbs association drift. Null
+    event types drop on both sides (SQL GROUP BY drops nothing, but the
+    count(type) semantics below skip nulls via an explicit filter).
+
+    Scale shape: per-batch (user, type, n) partials combine map-side,
+    one Sum exchange on the composite key, then a second user-hash
+    exchange computes each user's entropy partition-locally — no
+    driver-side per-user loop, no global sort."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def type_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            "event_type": batch["event_type"].to_numpy(zero_copy_only=False),
+            "n": 1,
+        }).dropna(subset=["event_type"])
+        g = df.groupby(["user_id", "event_type"], as_index=False)["n"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def entropy_kernel(group: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": group["user_id"].to_numpy(zero_copy_only=False),
+            "n": group["n"].to_numpy(zero_copy_only=False).astype(np.int64),
+        })
+        out = []
+        for uid, sub in df.groupby("user_id"):
+            # ascending-count order makes the Σ c·ln(c) float association
+            # deterministic across exchanges (ties contribute identical
+            # terms, so order among them cannot matter)
+            c = np.sort(sub["n"].to_numpy(dtype=np.float64))
+            n = c.sum()
+            h = (np.log(n) - float((c * np.log(c)).sum()) / n) / np.log(2.0)
+            out.append((int(uid), int(n), round_half_away(float(h), 4)))
+        return pa.table({
+            "user_id": pa.array([r[0] for r in out], type=pa.int64()),
+            "n_events": pa.array([r[1] for r in out], type=pa.int64()),
+            "entropy_r": pa.array([r[2] for r in out], type=pa.float64()),
+        })
+
+    counted = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["user_id", "event_type"])
+        .map_batches(type_partial, batch_format="pyarrow", batch_size=8192)
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .groupby("user_id").map_groups(entropy_kernel, batch_format="pyarrow")
+    )
+    out = counted.to_pandas()
+    if out.empty:
+        return pa.table({"user_id": pa.array([], type=pa.int64()),
+                         "n_events": pa.array([], type=pa.int64()),
+                         "entropy_r": pa.array([], type=pa.float64())})
+    out = out.sort_values("user_id")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+HH_THRESHOLD_DEN = 125   # heavy = count·DEN > total (> 0.8% of the stream)
+HH_SKETCH_CAP = 512      # Misra-Gries capacity; error ≤ n/(CAP+1) per pass
+
+
+def heavy_hitters(sf_dir: str, den: int = HH_THRESHOLD_DEN,
+                  cap: int = HH_SKETCH_CAP):
+    """(user_id, n_events): every user whose event count strictly exceeds
+    n_total/den, with their EXACT count — the heavy-hitter query through
+    the sketch-candidates-then-exact-verify discipline (the scalable
+    2-pass answer to "top sources by volume" that the sketch family
+    (countmin/hll/kmv) estimates but never confirms).
+
+    Pass 1 runs a Misra-Gries summary per batch (capacity ``cap``: keep
+    each batch's value counts, subtract the (cap+1)-th largest, drop
+    non-positives — the standard mergeable truncation, ≤ cap rows out
+    per batch), then one combiner Sum exchange. Summed MG estimates
+    undercount by at most Σ_batches n_b/(cap+1) = n/(cap+1), so every
+    user with true count > n/den (den < cap+1) survives with estimate
+    > n/den − n/(cap+1) — the candidate gate below. Pass 2 broadcasts
+    the candidate id set (≤ den·… small by the gate) and exact-counts
+    ONLY candidate rows; the final integer test count·den > n needs no
+    floats. Output is exact and deterministic — sketch error cannot
+    reach it.
+
+    Scale shape: pass-1 emission is ≤ cap rows/batch regardless of user
+    cardinality; pass 2 is a broadcast-filtered Sum over ≤ |candidates|
+    groups. No full per-user groupby ever happens."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    if not 1 < den <= cap:
+        raise ValueError("need 1 < den <= cap for the candidate guarantee")
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        vals, counts = np.unique(uid, return_counts=True)
+        n_b = int(counts.sum())
+        first = vals[:1]
+        if vals.size > cap:
+            # subtract the (cap+1)-th largest count, keep positives
+            kth = np.partition(counts, -(cap + 1))[-(cap + 1)]
+            keep = counts > kth
+            vals, counts = vals[keep], counts[keep] - kth
+        if vals.size == 0 and n_b:
+            # all counts tied above cap: truncation emptied the summary,
+            # but the batch TOTAL must still ride (est=0 is inert)
+            vals, counts = first, np.zeros(1, dtype=np.int64)
+        # the batch's TOTAL row count rides the first kept row so the
+        # same Sum exchange carries n_total (no second pass, no driver
+        # accumulation across batches)
+        return pa.table({"user_id": pa.array(vals.astype(np.int64)),
+                         "est": pa.array(counts.astype(np.int64)),
+                         "n_row": pa.array(
+                             ([n_b] + [0] * (vals.size - 1)) if vals.size
+                             else [], type=pa.int64())})
+
+    src = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id"])
+    sk = (src.map_batches(mg_partial, batch_format="pyarrow",
+                          batch_size=8192)
+          .groupby("user_id")
+          .aggregate(Sum("est", alias_name="est"),
+                     Sum("n_row", alias_name="n_row"))
+          .to_pandas())
+    empty = pa.table({"user_id": pa.array([], type=pa.int64()),
+                      "n_events": pa.array([], type=pa.int64())})
+    if sk.empty:
+        return empty
+    n_total = int(sk["n_row"].sum())
+    # candidate gate: true > n/den ⇒ est > n/den − n/(cap+1); integer form
+    # est·den·(cap+1) > n·(cap+1) − n·den  (strict, no float division)
+    lhs = sk["est"].to_numpy(dtype=np.int64) * den * (cap + 1)
+    cand = np.sort(sk["user_id"].to_numpy(dtype=np.int64)[
+        lhs > n_total * (cap + 1) - n_total * den])
+    if cand.size == 0:
+        return empty
+    cand_ref = ray.put(cand)
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        c = ray.get(cand_ref)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(c, uid).clip(0, c.size - 1)
+        hit = c[pos] == uid
+        vals, counts = np.unique(uid[hit], return_counts=True)
+        return pa.table({"user_id": pa.array(vals),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    exact = (src.map_batches(exact_partial, batch_format="pyarrow",
+                             batch_size=8192)
+             .groupby("user_id").aggregate(Sum("n", alias_name="n_events"))
+             .to_pandas())
+    exact = exact[exact["n_events"].to_numpy(dtype=np.int64) * den > n_total]
+    exact = exact.sort_values("user_id")
+    return pa.table({
+        "user_id": pa.array(exact["user_id"].to_numpy(dtype=np.int64)),
+        "n_events": pa.array(exact["n_events"].to_numpy(dtype=np.int64)),
+    })
+
+
+NTILE_N = 10
+
+
+def ntile_orders(sf_dir: str, ntiles: int = NTILE_N,
+                 n_buckets: int = 8192, max_pull: int = 262_144):
+    """(decile, n_orders, sum_price_r, min_price, max_price): the orders
+    table split into ``ntiles`` NTILE buckets under the total order
+    (o_totalprice, o_orderkey), each bucket aggregated — the ranked-
+    bucketing window surface (NTILE) computed WITHOUT a global sort.
+
+    NTILE semantics (SQL standard / DuckDB): bucket i of n rows holds
+    n//t + (1 if i ≤ n%t) consecutive rows of the total order. The
+    engine needs only the t−1 BOUNDARY rows: each boundary rank resolves
+    through the shared :func:`_counting_selector` kernel on the cents
+    column (exact k-th order statistic, no sort), then ties AT the
+    boundary cents value break by o_orderkey via one filtered pull of
+    just that value's rows (expected tiny). Every row then assigns its
+    decile by a searchsorted against the 9 broadcast (cents, orderkey)
+    composite boundaries — unique because orderkey is — and per-decile
+    aggregates combine map-side into a ≤ t-group Sum exchange.
+
+    Exactness: prices are TPC-H cents-exact doubles; both sides compare
+    on CAST(round(price·100) AS BIGINT) so the order and the sums are
+    pure int64 (sum publishes /100 rounded 2 dp; min/max re-publish the
+    exact cents /100.0 — one exact division each)."""
+    from ray.data.aggregate import Sum
+
+    src = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice"])
+
+    def cents_view(batch: pa.Table) -> pa.Table:
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        cents = (np.floor(np.abs(p) * 100.0 + 0.5)
+                 * np.sign(p)).astype(np.int64)  # half-away, exact int64
+        return pa.table({
+            "okey": batch["o_orderkey"].cast(pa.int64()),
+            "cents": pa.array(cents),
+        })
+
+    ds = src.map_batches(cents_view, batch_format="pyarrow",
+                         batch_size=8192).materialize()
+    empty = pa.table({"decile": pa.array([], type=pa.int64()),
+                      "n_orders": pa.array([], type=pa.int64()),
+                      "sum_price_r": pa.array([], type=pa.float64()),
+                      "min_price": pa.array([], type=pa.float64()),
+                      "max_price": pa.array([], type=pa.float64())})
+    n, _lo, _hi, select = _counting_selector(ds, "cents", n_buckets,
+                                             max_pull)
+    if n == 0:
+        return empty
+    sizes = np.full(ntiles, n // ntiles, dtype=np.int64)
+    sizes[: n % ntiles] += 1
+    bounds_rank = np.cumsum(sizes)[:-1]  # ranks of the last row per decile
+    bounds_rank = bounds_rank[bounds_rank > 0]
+
+    # cents ≤ ~2^40 ≪ 2^53, so the selector's float64 view is exact; the
+    # selector memoizes its histogram, so t−1 ranks cost ONE counting pass
+    c_stars = np.asarray([int(select(int(r))) for r in bounds_rank],
+                         dtype=np.int64)
+    uniq_c = np.unique(c_stars)
+
+    def tie_partial(batch: pa.Table) -> pa.Table:
+        # ONE pass serves every boundary: per-boundary below-counts ride
+        # as (-1-i, count) rows; boundary-value ties emit their okeys
+        c = batch["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = batch["okey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        below = np.asarray([(c < cs).sum() for cs in uniq_c],
+                           dtype=np.int64)
+        pos = np.searchsorted(uniq_c, c).clip(0, uniq_c.size - 1)
+        hit = uniq_c[pos] == c
+        return pa.table({
+            "which": pa.array(np.concatenate(
+                [-1 - np.arange(uniq_c.size, dtype=np.int64), pos[hit]])),
+            "val": pa.array(np.concatenate([below, k[hit]])),
+        })
+
+    tie = ds.map_batches(tie_partial, batch_format="pyarrow",
+                         batch_size=8192).to_pandas()
+    which = tie["which"].to_numpy(dtype=np.int64)
+    val = tie["val"].to_numpy(dtype=np.int64)
+    below_by_c = {int(uniq_c[i]): int(val[which == -1 - i].sum())
+                  for i in range(uniq_c.size)}
+    keys_by_c = {int(uniq_c[i]): np.sort(val[which == i])
+                 for i in range(uniq_c.size)}
+    b_cents = c_stars
+    b_okey = np.asarray(
+        [int(keys_by_c[int(cs)][int(r) - below_by_c[int(cs)] - 1])
+         for cs, r in zip(c_stars, bounds_rank)], dtype=np.int64)
+
+    def assign_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        c = batch["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = batch["okey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # decile = 1 + #boundaries strictly below under the composite
+        # (cents, okey) order — t−1 vectorized comparisons per batch
+        # (boundaries are sorted so this IS a composite searchsorted;
+        # the loop is over ntiles−1 ≈ 9 terms, not rows)
+        d = np.ones(c.size, dtype=np.int64)
+        for bc, bk in zip(b_cents, b_okey):
+            d += (c > bc) | ((c == bc) & (k > bk))
+        g = pd.DataFrame({"decile": d, "n": 1, "s": c,
+                          "mn": c, "mx": c}).groupby(
+            "decile", as_index=False).agg(
+            n=("n", "sum"), s=("s", "sum"), mn=("mn", "min"),
+            mx=("mx", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Max, Min
+    agg = (ds.map_batches(assign_partial, batch_format="pyarrow",
+                          batch_size=8192)
+           .groupby("decile")
+           .aggregate(Sum("n", alias_name="n_orders"),
+                      Sum("s", alias_name="s"),
+                      Min("mn", alias_name="mn"),
+                      Max("mx", alias_name="mx"))
+           .to_pandas().sort_values("decile"))
+    s_cents = agg["s"].to_numpy(dtype=np.float64)
+    return pa.table({
+        "decile": pa.array(agg["decile"].to_numpy(dtype=np.int64)),
+        "n_orders": pa.array(agg["n_orders"].to_numpy(dtype=np.int64)),
+        "sum_price_r": pa.array(_round_vec(s_cents / 100.0, 2)),
+        "min_price": pa.array(agg["mn"].to_numpy(dtype=np.float64) / 100.0),
+        "max_price": pa.array(agg["mx"].to_numpy(dtype=np.float64) / 100.0),
+    })

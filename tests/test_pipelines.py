@@ -5192,3 +5192,166 @@ class TestKcorePurchases:
             f"{tmp_path}/lineitem.parquet", index=False)
         got = kcore_purchases(str(tmp_path)).to_pandas()
         assert got.empty
+
+
+class TestUserEntropy:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import user_entropy
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["user_id", "event_type"]).to_pandas()
+        ev = ev.dropna(subset=["event_type"])
+        got = user_entropy(SF).to_pandas().set_index("user_id")
+        for uid, sub in ev.groupby("user_id"):
+            c = np.sort(sub.groupby("event_type").size()
+                        .to_numpy(dtype=np.float64))
+            n = c.sum()
+            h = (np.log(n) - float((c * np.log(c)).sum()) / n) / np.log(2.0)
+            assert got.loc[uid, "n_events"] == int(n)
+            assert abs(got.loc[uid, "entropy_r"] - h) < 5e-5
+
+    def test_planted_extremes(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import user_entropy
+
+        # user 1: uniform over 4 types -> exactly 2 bits; user 2: one
+        # type -> 0 bits; user 3: only a NULL type row -> drops entirely
+        ts = pd.Timestamp("2024-01-01")
+        pd.DataFrame({
+            "user_id": [1, 1, 1, 1, 2, 2, 3],
+            "event_type": ["a", "b", "c", "d", "x", "x", None],
+            "ts": [ts] * 7, "value": [0.0] * 7,
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = user_entropy(str(tmp_path)).to_pandas().set_index("user_id")
+        assert set(got.index) == {1, 2}
+        assert got.loc[1, "entropy_r"] == 2.0
+        assert got.loc[1, "n_events"] == 4
+        assert got.loc[2, "entropy_r"] == 0.0
+
+
+class TestHeavyHitters:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import heavy_hitters
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["user_id"]).to_pandas()
+        n = len(ev)
+        cnt = ev.groupby("user_id").size()
+        want = cnt[cnt * 125 > n].sort_index()
+        got = heavy_hitters(SF).to_pandas()
+        assert got["user_id"].tolist() == want.index.tolist()
+        assert got["n_events"].tolist() == want.tolist()
+
+    def test_strict_threshold_boundary(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import heavy_hitters
+
+        # n = 1000; user 7 holds EXACTLY n/125 = 8 rows -> 8*125 == 1000
+        # is NOT > 1000, so it must be excluded; user 9 holds 9 -> kept
+        uid = np.concatenate([
+            np.full(8, 7), np.full(9, 9),
+            np.arange(100, 100 + 983),  # 983 singletons
+        ])
+        ts = pd.Timestamp("2024-01-01")
+        pd.DataFrame({"user_id": uid, "event_type": "e",
+                      "ts": ts, "value": 0.0}).to_parquet(
+            f"{tmp_path}/events.parquet", index=False)
+        got = heavy_hitters(str(tmp_path)).to_pandas()
+        assert got["user_id"].tolist() == [9]
+        assert got["n_events"].tolist() == [9]
+
+    def test_truncation_keeps_exactness(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import heavy_hitters
+
+        # cap=4 forces real Misra-Gries truncation in every batch (many
+        # distinct singletons), den=4: only the planted heavy user
+        # crosses n/4; the exact verify pass must still report its TRUE
+        # count even though per-batch estimates undercount
+        uid = np.concatenate([np.full(600, 42), np.arange(1000, 1400)])
+        rng = np.random.default_rng(0)
+        rng.shuffle(uid)
+        ts = pd.Timestamp("2024-01-01")
+        pd.DataFrame({"user_id": uid, "event_type": "e",
+                      "ts": ts, "value": 0.0}).to_parquet(
+            f"{tmp_path}/events.parquet", index=False)
+        got = heavy_hitters(str(tmp_path), den=4, cap=4).to_pandas()
+        assert got["user_id"].tolist() == [42]
+        assert got["n_events"].tolist() == [600]
+
+    def test_all_tied_above_cap_batch(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import heavy_hitters
+
+        # >cap distinct users with IDENTICAL counts: truncation empties
+        # the per-batch summary; the n_row rider must survive so the
+        # candidate gate sees the true total (result: nobody is heavy)
+        uid = np.repeat(np.arange(50), 2)  # 50 users x 2 events, cap 4
+        ts = pd.Timestamp("2024-01-01")
+        pd.DataFrame({"user_id": uid, "event_type": "e",
+                      "ts": ts, "value": 0.0}).to_parquet(
+            f"{tmp_path}/events.parquet", index=False)
+        got = heavy_hitters(str(tmp_path), den=4, cap=4).to_pandas()
+        assert len(got) == 0
+
+
+class TestNtileOrders:
+    @staticmethod
+    def _brute(df, ntiles=10):
+        cents = np.floor(np.abs(df["o_totalprice"].to_numpy()) * 100.0
+                         + 0.5).astype(np.int64) * np.sign(
+            df["o_totalprice"].to_numpy()).astype(np.int64)
+        order = np.lexsort((df["o_orderkey"].to_numpy(), cents))
+        cents = cents[order]
+        n = cents.size
+        sizes = np.full(ntiles, n // ntiles, dtype=np.int64)
+        sizes[: n % ntiles] += 1
+        d = np.repeat(np.arange(1, ntiles + 1), sizes)
+        out = pd.DataFrame({"decile": d, "cents": cents}).groupby(
+            "decile").agg(n_orders=("cents", "size"),
+                          s=("cents", "sum"), mn=("cents", "min"),
+                          mx=("cents", "max"))
+        return out
+
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import ntile_orders
+
+        df = pq.read_table(f"{SF}/orders.parquet",
+                           columns=["o_orderkey", "o_totalprice"]).to_pandas()
+        want = self._brute(df)
+        got = ntile_orders(SF).to_pandas().set_index("decile")
+        assert got["n_orders"].tolist() == want["n_orders"].tolist()
+        assert np.allclose(got["sum_price_r"], want["s"] / 100.0, atol=0.011)
+        assert got["min_price"].tolist() == (want["mn"] / 100.0).tolist()
+        assert got["max_price"].tolist() == (want["mx"] / 100.0).tolist()
+
+    def test_boundary_ties_break_by_orderkey(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import ntile_orders
+
+        # 23 orders ALL the same price: deciles are decided purely by
+        # o_orderkey, sizes 3,3,3,2,... (n%10=3); planted keys are
+        # shuffled so file order can't accidentally match rank order
+        keys = np.arange(100, 123)
+        rng = np.random.default_rng(1)
+        rng.shuffle(keys)
+        pd.DataFrame({"o_orderkey": keys, "o_custkey": 1,
+                      "o_orderstatus": "O", "o_totalprice": 55.5,
+                      "o_orderdate": pd.Timestamp("2024-01-01"),
+                      "o_orderpriority": "1-URGENT"}).to_parquet(
+            f"{tmp_path}/orders.parquet", index=False)
+        got = ntile_orders(str(tmp_path)).to_pandas()
+        assert got["n_orders"].tolist() == [3, 3, 3, 2, 2, 2, 2, 2, 2, 2]
+        # decile 1 must hold exactly orderkeys 100,101,102
+        assert got.loc[0, "sum_price_r"] == round(3 * 55.5, 2)
+        assert (got["min_price"] == 55.5).all()
+
+    def test_small_n_fewer_rows_than_tiles(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import ntile_orders
+
+        # n=3 < 10 tiles: SQL NTILE leaves tiles 4..10 EMPTY (no rows),
+        # deciles 1..3 hold one row each
+        pd.DataFrame({"o_orderkey": [1, 2, 3], "o_custkey": 1,
+                      "o_orderstatus": "O",
+                      "o_totalprice": [30.0, 10.0, 20.0],
+                      "o_orderdate": pd.Timestamp("2024-01-01"),
+                      "o_orderpriority": "1-URGENT"}).to_parquet(
+            f"{tmp_path}/orders.parquet", index=False)
+        got = ntile_orders(str(tmp_path)).to_pandas()
+        assert got["decile"].tolist() == [1, 2, 3]
+        assert got["min_price"].tolist() == [10.0, 20.0, 30.0]
