@@ -433,6 +433,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # assigned by t−1 composite comparisons, ≤ t-group Sum exchange
         # (oracle: ntile() window + group; r4)
         "ntile_orders": relational.ntile_orders,
+        # global cumulative DISTINCT over time factored exactly into
+        # per-user min-day → per-day first-seen counts → calendar-bounded
+        # driver prefix sum — no running set anywhere (oracle: min-day
+        # CTE + running SUM window; r4)
+        "first_seen_curve": relational.first_seen_curve,
+        # weighted order statistic: quantity-weighted lower median of
+        # extended price via a WEIGHT-histogram counting pass (the
+        # quantile selector generalized to integer weights, no sort)
+        # (oracle: RANGE window cumulative weight + min gate; r4)
+        "weighted_median": relational.weighted_median,
+        # statistical-test surface: Pearson chi² independence over the
+        # event_type × day-of-week contingency table — bounded cell
+        # exchange, sorted-cell driver association, absent cells via the
+        # Σexp = N margin identity (oracle: margins join + identical
+        # double expression; r4)
+        "chi2_events": relational.chi2_events,
         # JSON schema-on-read: aggregate over a value extracted from the
         # semi-structured props bag — TRY_CAST(json_extract) semantics,
         # int64 partials per type (oracle: DuckDB json functions; r4)
@@ -2588,6 +2604,56 @@ SELECT CAST(d AS BIGINT) AS decile, CAST(count(*) AS BIGINT) AS n_orders,
        min(cents) / 100.0 AS min_price,
        max(cents) / 100.0 AS max_price
 FROM r GROUP BY d ORDER BY decile""",
+        # first-seen factorization: min day per user, then a calendar
+        # scaffold (hourly_gap_fill's argument at day grain) + running SUM
+        "first_seen_curve": """
+WITH f AS (SELECT user_id,
+                  min(CAST(epoch_us(date_trunc('day', ts)) AS BIGINT)) AS d
+           FROM events GROUP BY 1),
+ c AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY 1),
+ b AS (SELECT min(d) AS lo, max(d) AS hi FROM c),
+ g AS (SELECT CAST(t.h AS BIGINT) AS day_us
+       FROM b, LATERAL unnest(range(lo, hi + 86400000000,
+                                    86400000000)) AS t(h)),
+ j AS (SELECT day_us, CAST(coalesce(c.n, 0) AS BIGINT) AS new_users
+       FROM g LEFT JOIN c ON g.day_us = c.d)
+SELECT day_us, new_users,
+       CAST(sum(new_users) OVER (ORDER BY day_us
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_users
+FROM j ORDER BY day_us""",
+        # lower weighted median: cumulative weight by value (RANGE window
+        # includes ties), min value where 2·cumw ≥ W; GROUP BY the scalar
+        # total so an empty table yields ZERO rows (the engine's shape)
+        "weighted_median": """
+WITH t AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+                  CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+ s AS (SELECT c, sum(w) OVER (ORDER BY c RANGE BETWEEN UNBOUNDED
+                              PRECEDING AND CURRENT ROW) AS cw FROM t),
+ W AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM t)
+SELECT min(s.c) / 100.0 AS median_price, W.tw AS total_weight
+FROM s, W WHERE 2 * s.cw >= W.tw GROUP BY W.tw""",
+        # chi² with absent cells folded in via Σ_all exp = N: present
+        # cells contribute (o−e)²/e, absent ones e — i.e. N − Σ_present e
+        "chi2_events": """
+WITH c AS (SELECT event_type,
+                  CAST((epoch_us(ts) // 86400000000 + 3) % 7 + 1
+                       AS BIGINT) AS dow,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+ r AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS rn FROM c GROUP BY 1),
+ k AS (SELECT dow, CAST(sum(n) AS BIGINT) AS cn FROM c GROUP BY 1),
+ t AS (SELECT CAST(sum(n) AS BIGINT) AS ntot,
+              CAST((SELECT count(*) FROM r) AS BIGINT) AS nr,
+              CAST((SELECT count(*) FROM k) AS BIGINT) AS nk FROM c),
+ e AS (SELECT c.n, (r.rn * k.cn) / CAST(t.ntot AS DOUBLE) AS exp,
+              t.ntot, t.nr, t.nk
+       FROM c JOIN r USING (event_type) JOIN k USING (dow), t)
+SELECT round(sum((n - exp) * (n - exp) / exp)
+             + (ntot - sum(exp)), 4) AS chi2_r,
+       CAST((max(nr) - 1) * (max(nk) - 1) AS BIGINT) AS dof,
+       CAST(ntot AS BIGINT) AS n
+FROM e GROUP BY ntot""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

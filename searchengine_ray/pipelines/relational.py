@@ -5862,3 +5862,218 @@ def ntile_orders(sf_dir: str, ntiles: int = NTILE_N,
         "min_price": pa.array(agg["mn"].to_numpy(dtype=np.float64) / 100.0),
         "max_price": pa.array(agg["mx"].to_numpy(dtype=np.float64) / 100.0),
     })
+
+
+DAY_US = 86_400_000_000
+
+
+def first_seen_curve(sf_dir: str):
+    """(day_us, new_users, cum_users): per calendar day, how many users
+    appear for the FIRST time and the cumulative distinct-user count —
+    the acquisition curve. The surface no other entry has: a GLOBAL
+    cumulative DISTINCT over time, which naively needs a running set but
+    factors exactly into (per-user min-day) → (per-day first-seen
+    counts) → (calendar-bounded prefix sum on the driver).
+
+    Scale shape: per-batch (user, min day) partials combine map-side,
+    one user-hash Min exchange, a second ≤|days|-group Sum, then the
+    driver prefix-sums a calendar-bounded day frame (the peak_concurrency
+    argument: the frame never scales with the corpus). Pure int64."""
+    import pandas as pd
+    from ray.data.aggregate import Min, Sum
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        ts = (batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        d = (ts // DAY_US) * DAY_US
+        g = pd.DataFrame({"user_id": batch["user_id"]
+                          .to_numpy(zero_copy_only=False),
+                          "d": d}).groupby("user_id", as_index=False).min()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        vals, counts = np.unique(
+            batch["d"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"d": pa.array(vals.astype(np.int64)),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    firsts = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["user_id", "ts"])
+        .map_batches(day_partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("user_id").aggregate(Min("d", alias_name="d"))
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("d").aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    if firsts.empty:
+        return pa.table({"day_us": pa.array([], type=pa.int64()),
+                         "new_users": pa.array([], type=pa.int64()),
+                         "cum_users": pa.array([], type=pa.int64())})
+    firsts = firsts.sort_values("d")
+    days = np.arange(int(firsts["d"].min()),
+                     int(firsts["d"].max()) + DAY_US, DAY_US,
+                     dtype=np.int64)
+    new = np.zeros(days.size, dtype=np.int64)
+    new[(firsts["d"].to_numpy(dtype=np.int64) - days[0]) // DAY_US] = (
+        firsts["n"].to_numpy(dtype=np.int64))
+    return pa.table({"day_us": pa.array(days),
+                     "new_users": pa.array(new),
+                     "cum_users": pa.array(np.cumsum(new))})
+
+
+def _weighted_selector(ds, vcol: str, wcol: str, n_buckets: int,
+                       max_pull: int):
+    """Weighted analogue of :func:`_counting_selector`: returns
+    (W, select) where ``select(k)`` is the smallest value whose
+    cumulative WEIGHT (int64, ties included) reaches k — the weighted
+    order statistic. Same shape: one (W, lo, hi) pass, one
+    weight-histogram pass, one straddling-bucket pull; integer weights
+    keep every cumulative exact."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        v = batch[vcol].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = batch[wcol].to_numpy(zero_copy_only=False).astype(np.int64)
+        if v.size == 0:
+            return pa.table({"w": pa.array([0], type=pa.int64()),
+                             "lo": pa.array([np.inf]),
+                             "hi": pa.array([-np.inf])})
+        return pa.table({"w": pa.array([int(w.sum())], type=pa.int64()),
+                         "lo": pa.array([float(v.min())]),
+                         "hi": pa.array([float(v.max())])})
+
+    st = ds.map_batches(stats, batch_format="pyarrow").to_pandas()
+    W = int(st["w"].sum())
+    if W == 0:
+        return 0, None
+    lo, hi = float(st["lo"].min()), float(st["hi"].max())
+    if lo == hi:
+        return W, (lambda k: lo)
+    edges = np.linspace(lo, hi, n_buckets + 1)
+
+    def whist(batch: pa.Table) -> pa.Table:
+        v = batch[vcol].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = batch[wcol].to_numpy(zero_copy_only=False).astype(np.int64)
+        c, _ = np.histogram(v, bins=edges, weights=w.astype(np.float64))
+        return pa.table({"b": pa.array(np.arange(n_buckets, dtype=np.int64)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    h = ds.map_batches(whist, batch_format="pyarrow").to_pandas()
+    counts = np.zeros(n_buckets, dtype=np.int64)
+    np.add.at(counts, h["b"].to_numpy(), h["c"].to_numpy())
+    cum = np.cumsum(counts)
+
+    def _select(k: int) -> float:
+        b = int(np.searchsorted(cum, k))
+        b_lo, b_hi = float(edges[b]), float(edges[b + 1])
+        closed = b == n_buckets - 1
+
+        def pull(batch: pa.Table) -> pa.Table:
+            v = batch[vcol].to_numpy(zero_copy_only=False).astype(np.float64)
+            w = batch[wcol].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = (v >= b_lo) & ((v <= b_hi) if closed else (v < b_hi))
+            return pa.table({vcol: pa.array(v[m]), wcol: pa.array(w[m])})
+
+        t = ds.map_batches(pull, batch_format="pyarrow").to_pandas()
+        v = t[vcol].to_numpy()
+        w = t[wcol].to_numpy(dtype=np.int64)
+        order = np.argsort(v, kind="stable")
+        v, w = v[order], w[order]
+        below = int(cum[b] - counts[b])
+        idx = int(np.searchsorted(np.cumsum(w) + below, k))
+        return float(v[idx])
+
+    return W, _select
+
+
+def weighted_median(sf_dir: str, n_buckets: int = 8192,
+                    max_pull: int = 262_144):
+    """(median_price, total_weight): the quantity-weighted LOWER median
+    of lineitem extended price — the smallest price whose cumulative
+    quantity weight reaches half the total (2·cumw(v) ≥ W, the
+    quantile_disc convention generalized to weights). The weighted
+    order statistic the plain quantile family can't express; computed
+    by :func:`_weighted_selector` (weight-histogram counting, no sort).
+
+    Exactness: prices select on exact cents (int64-in-float64), weights
+    are integer quantities, the target rank ⌈W/2⌉ is pure int."""
+
+    def cents_view(batch: pa.Table) -> pa.Table:
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "cents": pa.array((np.floor(np.abs(p) * 100.0 + 0.5)
+                               * np.sign(p)).astype(np.int64)),
+            "w": pa.array(np.rint(np.asarray(q, dtype=np.float64))
+                          .astype(np.int64)),  # CAST(double AS BIGINT)
+        })
+
+    ds = (read_parquet_clean(os.path.join(sf_dir, "lineitem.parquet"),
+                             columns=["l_extendedprice", "l_quantity"])
+          .map_batches(cents_view, batch_format="pyarrow",
+                       batch_size=8192).materialize())
+    W, select = _weighted_selector(ds, "cents", "w", n_buckets, max_pull)
+    if W == 0:
+        return pa.table({"median_price": pa.array([], type=pa.float64()),
+                         "total_weight": pa.array([], type=pa.int64())})
+    k = (W + 1) // 2  # smallest v with 2·cumw(v) ≥ W
+    c = select(k)
+    return pa.table({"median_price": pa.array([c / 100.0]),
+                     "total_weight": pa.array([W], type=pa.int64())})
+
+
+def chi2_events(sf_dir: str):
+    """(chi2_r, dof, n): Pearson chi-square independence statistic of
+    the event_type × day-of-week contingency table — the categorical-
+    association test (is activity mix stable across weekdays?). The
+    statistical-test surface no other entry has.
+
+    Shape: one map-side (type, dow, n) partial pass, one Sum exchange
+    over the |types|·7 cell space (bounded by definition), then the
+    statistic evaluates on the driver over the SORTED cell list — the
+    Σ (obs−exp)²/exp association is deterministic, and exp =
+    row·col/N divides exact int64 products. Null types drop both sides."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def cell_partial(batch: pa.Table) -> pa.Table:
+        ts = (batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        # epoch 1970-01-01 is a Thursday = ISO dow 4 (1=Mon..7=Sun)
+        dow = ((ts // DAY_US) + 3) % 7 + 1
+        g = (pd.DataFrame({
+            "event_type": batch["event_type"]
+            .to_numpy(zero_copy_only=False),
+            "dow": dow, "n": 1,
+        }).dropna(subset=["event_type"])
+            .groupby(["event_type", "dow"], as_index=False)["n"].sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["ts", "event_type"])
+        .map_batches(cell_partial, batch_format="pyarrow", batch_size=8192)
+        .groupby(["event_type", "dow"]).aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    if cells.empty:
+        return pa.table({"chi2_r": pa.array([], type=pa.float64()),
+                         "dof": pa.array([], type=pa.int64()),
+                         "n": pa.array([], type=pa.int64())})
+    cells = cells.sort_values(["event_type", "dow"])
+    n_cell = cells["n"].to_numpy(dtype=np.int64)
+    N = int(n_cell.sum())
+    row = cells.groupby("event_type")["n"].sum()
+    col = cells.groupby("dow")["n"].sum()
+    r = row.loc[cells["event_type"]].to_numpy(dtype=np.int64)
+    c = col.loc[cells["dow"]].to_numpy(dtype=np.int64)
+    # cells absent from the table contribute exp (obs=0): add their exp
+    # via the margin identity Σ_all exp = N ⇒ Σ_absent exp = N − Σ_present
+    exp = (r * c).astype(np.float64) / N
+    chi2 = float((((n_cell - exp) ** 2) / exp).sum()) + (N - float(exp.sum()))
+    dof = (row.size - 1) * (col.size - 1)
+    return pa.table({
+        "chi2_r": pa.array([round_half_away(chi2, 4)]),
+        "dof": pa.array([int(dof)], type=pa.int64()),
+        "n": pa.array([N], type=pa.int64()),
+    })

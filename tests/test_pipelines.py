@@ -5355,3 +5355,120 @@ class TestNtileOrders:
         got = ntile_orders(str(tmp_path)).to_pandas()
         assert got["decile"].tolist() == [1, 2, 3]
         assert got["min_price"].tolist() == [10.0, 20.0, 30.0]
+
+
+class TestFirstSeenCurve:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            DAY_US, first_seen_curve)
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["user_id", "ts"]).to_pandas()
+        d = (ev["ts"].astype("int64") // DAY_US) * DAY_US
+        first = d.groupby(ev["user_id"]).min()
+        got = first_seen_curve(SF).to_pandas()
+        # calendar-complete frame, monotone cumulative, totals agree
+        assert (np.diff(got["day_us"]) == DAY_US).all()
+        assert got["new_users"].sum() == ev["user_id"].nunique()
+        assert got["cum_users"].iloc[-1] == ev["user_id"].nunique()
+        want = first.value_counts().sort_index()
+        sub = got.set_index("day_us").loc[want.index, "new_users"]
+        assert sub.tolist() == want.tolist()
+
+    def test_planted_gap_days(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import first_seen_curve
+
+        # users 1,2 first appear day 0; user 1 returns day 3 (no new);
+        # user 3 first appears day 3 -> day 1,2 are explicit zero rows
+        t0 = pd.Timestamp("2024-01-01")
+        pd.DataFrame({
+            "user_id": [1, 2, 1, 3],
+            "ts": [t0, t0, t0 + pd.Timedelta(days=3),
+                   t0 + pd.Timedelta(days=3)],
+            "event_type": "e", "value": 0.0,
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = first_seen_curve(str(tmp_path)).to_pandas()
+        assert got["new_users"].tolist() == [2, 0, 0, 1]
+        assert got["cum_users"].tolist() == [2, 2, 2, 3]
+
+
+class TestWeightedMedian:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import weighted_median
+
+        li = pq.read_table(f"{SF}/lineitem.parquet",
+                           columns=["l_extendedprice",
+                                    "l_quantity"]).to_pandas()
+        cents = np.floor(li["l_extendedprice"].to_numpy() * 100.0
+                         + 0.5).astype(np.int64)
+        w = np.rint(li["l_quantity"].to_numpy()).astype(np.int64)
+        order = np.argsort(cents, kind="stable")
+        cw = np.cumsum(w[order])
+        W = int(cw[-1])
+        want = cents[order][int(np.searchsorted(cw, (W + 1) // 2))]
+        got = weighted_median(SF).to_pandas()
+        assert got["total_weight"].iloc[0] == W
+        assert got["median_price"].iloc[0] == want / 100.0
+
+    def test_planted_weights_shift_the_median(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import weighted_median
+
+        # unweighted median of {10,20,30} is 20; weight 30 heavily ->
+        # weighted median jumps to 30 (cum: 1,2,12; k=(12+1)//2=6 -> 30)
+        pd.DataFrame({
+            "l_extendedprice": [10.0, 20.0, 30.0],
+            "l_quantity": [1.0, 1.0, 10.0],
+            "l_orderkey": [1, 2, 3], "l_partkey": 1, "l_suppkey": 1,
+        }).to_parquet(f"{tmp_path}/lineitem.parquet", index=False)
+        got = weighted_median(str(tmp_path)).to_pandas()
+        assert got["median_price"].iloc[0] == 30.0
+        assert got["total_weight"].iloc[0] == 12
+
+    def test_tie_inclusive_boundary(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import weighted_median
+
+        # W=4, k=2: cumw(10)=2 -> 2*2 >= 4, the LOWER median is 10
+        pd.DataFrame({
+            "l_extendedprice": [10.0, 10.0, 20.0, 20.0],
+            "l_quantity": [1.0, 1.0, 1.0, 1.0],
+            "l_orderkey": [1, 2, 3, 4], "l_partkey": 1, "l_suppkey": 1,
+        }).to_parquet(f"{tmp_path}/lineitem.parquet", index=False)
+        got = weighted_median(str(tmp_path)).to_pandas()
+        assert got["median_price"].iloc[0] == 10.0
+
+
+class TestChi2Events:
+    def test_matches_scipy_free_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import DAY_US, chi2_events
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["ts", "event_type"]).to_pandas()
+        ev = ev.dropna(subset=["event_type"])
+        dow = ((ev["ts"].astype("int64") // DAY_US) + 3) % 7 + 1
+        obs = pd.crosstab(ev["event_type"], dow).to_numpy(dtype=np.float64)
+        exp = obs.sum(1)[:, None] * obs.sum(0)[None, :] / obs.sum()
+        want = float(((obs - exp) ** 2 / exp).sum())
+        got = chi2_events(SF).to_pandas()
+        assert abs(got["chi2_r"].iloc[0] - want) < 5e-4
+        assert got["dof"].iloc[0] == (obs.shape[0] - 1) * (obs.shape[1] - 1)
+        assert got["n"].iloc[0] == len(ev)
+
+    def test_absent_cells_contribute_expected(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import chi2_events
+
+        # 2x2 design with one EMPTY cell: type b never occurs on Tuesday
+        # (2024-01-02); brute includes the absent cell's exp term
+        mon = pd.Timestamp("2024-01-01")  # Monday
+        tue = pd.Timestamp("2024-01-02")
+        rows = [("a", mon)] * 4 + [("a", tue)] * 4 + [("b", mon)] * 4
+        pd.DataFrame({
+            "event_type": [r[0] for r in rows],
+            "ts": [r[1] for r in rows],
+            "user_id": 1, "value": 0.0,
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        obs = np.array([[4.0, 4.0], [4.0, 0.0]])
+        exp = obs.sum(1)[:, None] * obs.sum(0)[None, :] / obs.sum()
+        want = float(((obs - exp) ** 2 / exp).sum())
+        got = chi2_events(str(tmp_path)).to_pandas()
+        assert abs(got["chi2_r"].iloc[0] - want) < 5e-4
+        assert got["dof"].iloc[0] == 1
