@@ -449,6 +449,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Σexp = N margin identity (oracle: margins join + identical
         # double expression; r4)
         "chi2_events": relational.chi2_events,
+        # gaps-and-islands: per-user maximal consecutive-day runs —
+        # distinct (user, day) combiner exchange, per-user runs from one
+        # partition-local np.diff, no window function, no global sort
+        # (oracle: row_number-difference idiom; r4)
+        "activity_islands": relational.activity_islands,
+        # hierarchical margins: ROLLUP(year, priority) — exact int64
+        # cents at every level (margins re-sum INTEGER finest cells,
+        # associativity exact), sentinel keys, bounded driver frame
+        # (oracle: GROUP BY ROLLUP + coalesce sentinels; r4)
+        "rollup_revenue": relational.rollup_revenue,
+        # wide→long UNPIVOT (pivot_events' complement): one distributed
+        # per-type aggregate, bounded driver melt, SQL common-type rule
+        # (every value publishes double) (oracle: UNPIVOT ... FOR IN; r4)
+        "unpivot_type_stats": relational.unpivot_type_stats,
         # JSON schema-on-read: aggregate over a value extracted from the
         # semi-structured props bag — TRY_CAST(json_extract) semantics,
         # int64 partials per type (oracle: DuckDB json functions; r4)
@@ -2654,6 +2668,52 @@ SELECT round(sum((n - exp) * (n - exp) / exp)
        CAST((max(nr) - 1) * (max(nk) - 1) AS BIGINT) AS dof,
        CAST(ntot AS BIGINT) AS n
 FROM e GROUP BY ntot""",
+        # gaps-and-islands: the row_number-difference idiom — consecutive
+        # days share (day − rn), each group is one island
+        "activity_islands": """
+WITH d AS (SELECT DISTINCT user_id,
+                  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+           FROM events),
+ g AS (SELECT user_id, day,
+              day - row_number() OVER (PARTITION BY user_id
+                                       ORDER BY day) AS grp
+       FROM d),
+ i AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+       FROM g GROUP BY 1, 2)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(max(len) AS BIGINT) AS longest_days,
+       CAST(sum(len) AS BIGINT) AS active_days
+FROM i GROUP BY user_id ORDER BY user_id""",
+        # the literal ROLLUP keyword; NULL margin keys coalesce to the
+        # engine's sentinels; cents stay integer until ONE /100.0 publish
+        "rollup_revenue": """
+WITH r AS (SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+                  o_orderpriority AS pr,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders)
+SELECT CAST(coalesce(yr, -1) AS BIGINT) AS o_year,
+       coalesce(pr, 'ALL') AS o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(cents) / 100.0, 2) AS revenue_r
+FROM r GROUP BY ROLLUP (yr, pr)
+ORDER BY o_year, o_orderpriority""",
+        # the literal UNPIVOT keyword over the published aggregate row;
+        # n_events casts double per the UNPIVOT common-type rule
+        "unpivot_type_stats": """
+WITH w AS (SELECT event_type,
+                  CAST(count(*) AS DOUBLE) AS n_events,
+                  round(sum(value), 4) AS sum_value_r,
+                  round(min(value), 4) AS min_value_r,
+                  round(max(value), 4) AS max_value_r
+           FROM events
+           WHERE event_type IS NOT NULL AND value IS NOT NULL
+             AND NOT isnan(value)
+           GROUP BY 1)
+SELECT event_type, stat, value
+FROM w UNPIVOT (value FOR stat IN (n_events, sum_value_r,
+                                   min_value_r, max_value_r))
+ORDER BY event_type, stat""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

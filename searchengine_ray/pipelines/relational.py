@@ -6077,3 +6077,191 @@ def chi2_events(sf_dir: str):
         "dof": pa.array([int(dof)], type=pa.int64()),
         "n": pa.array([N], type=pa.int64()),
     })
+
+
+def activity_islands(sf_dir: str):
+    """(user_id, n_islands, longest_days, active_days): per user, the
+    maximal runs of CONSECUTIVE active calendar days — islands count,
+    longest streak, total distinct active days. The gaps-and-islands
+    surface (SQL's row_number-difference idiom) no other entry has.
+
+    Scale shape: per-batch distinct (user, day) partials, one composite
+    Sum exchange collapses duplicates, then a user-hash exchange where
+    each user's SORTED distinct days (tiny per user) yield runs from one
+    np.diff — partition-local, no window function, no global sort. Pure
+    int64 throughout."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        ts = (batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        g = (pd.DataFrame({"user_id": batch["user_id"]
+                           .to_numpy(zero_copy_only=False),
+                           "day": ts // DAY_US})
+             .drop_duplicates())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def islands_kernel(group: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": group["user_id"].to_numpy(zero_copy_only=False),
+            "day": group["day"].to_numpy(zero_copy_only=False),
+        })
+        out = []
+        for uid, sub in df.groupby("user_id"):
+            days = np.sort(sub["day"].to_numpy(dtype=np.int64))
+            breaks = np.diff(days) > 1
+            lens = np.diff(np.concatenate(
+                ([0], np.flatnonzero(breaks) + 1, [days.size])))
+            out.append((int(uid), int(lens.size), int(lens.max()),
+                        int(days.size)))
+        return pa.table({
+            "user_id": pa.array([r[0] for r in out], type=pa.int64()),
+            "n_islands": pa.array([r[1] for r in out], type=pa.int64()),
+            "longest_days": pa.array([r[2] for r in out], type=pa.int64()),
+            "active_days": pa.array([r[3] for r in out], type=pa.int64()),
+        })
+
+    out = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["user_id", "ts"])
+        .map_batches(day_partial, batch_format="pyarrow", batch_size=8192)
+        .groupby(["user_id", "day"]).aggregate(Count(alias_name="_c"))
+        .groupby("user_id").map_groups(islands_kernel,
+                                       batch_format="pyarrow")
+        .to_pandas()
+    )
+    if out.empty:
+        return pa.table({"user_id": pa.array([], type=pa.int64()),
+                         "n_islands": pa.array([], type=pa.int64()),
+                         "longest_days": pa.array([], type=pa.int64()),
+                         "active_days": pa.array([], type=pa.int64())})
+    return pa.Table.from_pandas(out.sort_values("user_id"),
+                                preserve_index=False)
+
+
+ROLLUP_ALL_YEAR = -1
+ROLLUP_ALL_PRIO = "ALL"
+
+
+def rollup_revenue(sf_dir: str):
+    """(o_year, o_orderpriority, n_orders, revenue_r) for the THREE
+    grouping sets of ROLLUP(year, priority): finest (year, priority),
+    the per-year margin, and the grand total — the hierarchical-margin
+    complement of cube_events' full CUBE. Margins are sentinel-keyed
+    (-1 / 'ALL') for the same NaN-hash reason.
+
+    Exactness beats the cube's rounding contract here: revenue
+    aggregates as exact int64 cents at every level (margins re-sum the
+    finest cells' INTEGER cents, associativity is exact), with ONE
+    /100.0 publish per row. One map-side partial pass, a ≤|years·prios|
+    Sum exchange, margins on the driver over bounded cells."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def cell_partial(batch: pa.Table) -> pa.Table:
+        ts = (batch["o_orderdate"].cast(pa.timestamp("us"))
+              .to_numpy(zero_copy_only=False))
+        yr = ts.astype("datetime64[Y]").astype(np.int64) + 1970
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        cents = (np.floor(np.abs(p) * 100.0 + 0.5)
+                 * np.sign(p)).astype(np.int64)
+        g = (pd.DataFrame({
+            "o_year": yr,
+            "o_orderpriority": batch["o_orderpriority"]
+            .to_numpy(zero_copy_only=False),
+            "n": 1, "cents": cents,
+        }).groupby(["o_year", "o_orderpriority"], as_index=False)
+            .agg(n=("n", "sum"), cents=("cents", "sum")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    fine = (
+        read_parquet_clean(os.path.join(sf_dir, "orders.parquet"),
+                           columns=["o_orderdate", "o_orderpriority",
+                                    "o_totalprice"])
+        .map_batches(cell_partial, batch_format="pyarrow", batch_size=8192)
+        .groupby(["o_year", "o_orderpriority"])
+        .aggregate(Sum("n", alias_name="n"), Sum("cents", alias_name="c"))
+        .to_pandas()
+    )
+    if fine.empty:
+        return pa.table({"o_year": pa.array([], type=pa.int64()),
+                         "o_orderpriority": pa.array([], type=pa.string()),
+                         "n_orders": pa.array([], type=pa.int64()),
+                         "revenue_r": pa.array([], type=pa.float64())})
+    rows = []
+    for _, r in fine.iterrows():
+        rows.append((int(r["o_year"]), r["o_orderpriority"],
+                     int(r["n"]), int(r["c"])))
+    for y, sub in fine.groupby("o_year"):
+        rows.append((int(y), ROLLUP_ALL_PRIO,
+                     int(sub["n"].sum()), int(sub["c"].sum())))
+    rows.append((ROLLUP_ALL_YEAR, ROLLUP_ALL_PRIO,
+                 int(fine["n"].sum()), int(fine["c"].sum())))
+    rows.sort(key=lambda r: (r[0], r[1]))
+    return pa.table({
+        "o_year": pa.array([r[0] for r in rows], type=pa.int64()),
+        "o_orderpriority": pa.array([r[1] for r in rows],
+                                    type=pa.string()),
+        "n_orders": pa.array([r[2] for r in rows], type=pa.int64()),
+        "revenue_r": pa.array(
+            _round_vec(np.asarray([r[3] for r in rows],
+                                  dtype=np.float64) / 100.0, 2)),
+    })
+
+
+UNPIVOT_STATS = ("n_events", "sum_value_r", "min_value_r", "max_value_r")
+
+
+def unpivot_type_stats(sf_dir: str):
+    """(event_type, stat, value): the per-type aggregate row MELTED into
+    long form — the UNPIVOT surface (pivot_events goes long→wide; this
+    closes the other direction). One distributed aggregate pass (count,
+    sum, min, max per type — map-side partials, ≤|types| exchange), then
+    the bounded wide table unpivots on the driver: stat names become a
+    column, every value publishes as double (the SQL UNPIVOT common-type
+    rule), sums rounded 4 dp, NaN-free (null values drop)."""
+    import pandas as pd
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"event_type": batch["event_type"]
+                           .to_numpy(zero_copy_only=False), "v": v})
+        df = df.dropna(subset=["event_type"])
+        df = df[~df["v"].isna()]
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("v", "size"), s=("v", "sum"), mn=("v", "min"),
+            mx=("v", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    wide = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                   Min("mn", alias_name="mn"), Max("mx", alias_name="mx"))
+        .to_pandas()
+    )
+    if wide.empty:
+        return pa.table({"event_type": pa.array([], type=pa.string()),
+                         "stat": pa.array([], type=pa.string()),
+                         "value": pa.array([], type=pa.float64())})
+    wide = wide.sort_values("event_type")
+    et, stat, val = [], [], []
+    for _, r in wide.iterrows():
+        cols = {
+            "n_events": float(r["n"]),
+            "sum_value_r": float(_round_vec(
+                np.asarray([r["s"]], dtype=np.float64), 4)[0]),
+            "min_value_r": float(_round_vec(
+                np.asarray([r["mn"]], dtype=np.float64), 4)[0]),
+            "max_value_r": float(_round_vec(
+                np.asarray([r["mx"]], dtype=np.float64), 4)[0]),
+        }
+        for s in UNPIVOT_STATS:
+            et.append(r["event_type"]); stat.append(s); val.append(cols[s])
+    return pa.table({"event_type": pa.array(et, type=pa.string()),
+                     "stat": pa.array(stat, type=pa.string()),
+                     "value": pa.array(val, type=pa.float64())})

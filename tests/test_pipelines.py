@@ -5472,3 +5472,98 @@ class TestChi2Events:
         got = chi2_events(str(tmp_path)).to_pandas()
         assert abs(got["chi2_r"].iloc[0] - want) < 5e-4
         assert got["dof"].iloc[0] == 1
+
+
+class TestActivityIslands:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            DAY_US, activity_islands)
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["user_id", "ts"]).to_pandas()
+        ev["day"] = ev["ts"].astype("int64") // DAY_US
+        got = activity_islands(SF).to_pandas().set_index("user_id")
+        for uid, sub in ev.groupby("user_id"):
+            days = np.sort(sub["day"].unique())
+            runs = np.split(days, np.flatnonzero(np.diff(days) > 1) + 1)
+            assert got.loc[uid, "n_islands"] == len(runs)
+            assert got.loc[uid, "longest_days"] == max(len(r) for r in runs)
+            assert got.loc[uid, "active_days"] == days.size
+
+    def test_planted_streaks(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import activity_islands
+
+        t0 = pd.Timestamp("2024-01-01")
+        # user 1: days 0,1,2 then 5,6 -> 2 islands, longest 3, active 5
+        # (day 1 has TWO events: distinctness must collapse them)
+        offs = [0, 1, 1, 2, 5, 6]
+        pd.DataFrame({
+            "user_id": 1,
+            "ts": [t0 + pd.Timedelta(days=o) for o in offs],
+            "event_type": "e", "value": 0.0,
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = activity_islands(str(tmp_path)).to_pandas()
+        assert got.iloc[0].tolist() == [1, 2, 3, 5]
+
+
+class TestRollupRevenue:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import rollup_revenue
+
+        o = pq.read_table(f"{SF}/orders.parquet",
+                          columns=["o_orderdate", "o_orderpriority",
+                                   "o_totalprice"]).to_pandas()
+        o["yr"] = o["o_orderdate"].dt.year
+        o["cents"] = np.floor(o["o_totalprice"] * 100.0
+                              + 0.5).astype(np.int64)
+        got = rollup_revenue(SF).to_pandas()
+        fine = got[(got["o_year"] >= 0)
+                   & (got["o_orderpriority"] != "ALL")]
+        want = o.groupby(["yr", "o_orderpriority"]).agg(
+            n=("cents", "size"), c=("cents", "sum"))
+        assert len(fine) == len(want)
+        grand = got[got["o_year"] == -1]
+        assert len(grand) == 1
+        assert grand["n_orders"].iloc[0] == len(o)
+        assert grand["revenue_r"].iloc[0] == round(
+            o["cents"].sum() / 100.0, 2)
+        # year margins: n equals the year's row count
+        yr_m = got[(got["o_year"] >= 0) & (got["o_orderpriority"] == "ALL")]
+        for _, r in yr_m.iterrows():
+            assert r["n_orders"] == (o["yr"] == r["o_year"]).sum()
+
+    def test_margin_exactness_int_cents(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import rollup_revenue
+
+        # prices that are float-hostile (x.x5 cents boundaries): margins
+        # must equal the integer-cent sums exactly
+        pd.DataFrame({
+            "o_orderkey": [1, 2, 3],
+            "o_custkey": 1, "o_orderstatus": "O",
+            "o_totalprice": [0.05, 0.15, 0.25],
+            "o_orderdate": pd.Timestamp("2024-06-01"),
+            "o_orderpriority": ["1-URGENT", "1-URGENT", "2-HIGH"],
+        }).to_parquet(f"{tmp_path}/orders.parquet", index=False)
+        got = rollup_revenue(str(tmp_path)).to_pandas()
+        grand = got[got["o_year"] == -1]["revenue_r"].iloc[0]
+        assert grand == 0.45
+
+
+class TestUnpivotTypeStats:
+    def test_long_form_matches_wide_aggregate(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            UNPIVOT_STATS, unpivot_type_stats)
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["event_type", "value"]).to_pandas()
+        ev = ev.dropna()
+        got = unpivot_type_stats(SF).to_pandas()
+        types = ev["event_type"].nunique()
+        assert len(got) == types * len(UNPIVOT_STATS)
+        g = got.set_index(["event_type", "stat"])["value"]
+        for t, sub in ev.groupby("event_type"):
+            assert g.loc[(t, "n_events")] == float(len(sub))
+            assert abs(g.loc[(t, "sum_value_r")]
+                       - sub["value"].sum()) < 1e-3
+            assert g.loc[(t, "min_value_r")] == round(
+                sub["value"].min(), 4)
