@@ -463,6 +463,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-type aggregate, bounded driver melt, SQL common-type rule
         # (every value publishes double) (oracle: UNPIVOT ... FOR IN; r4)
         "unpivot_type_stats": relational.unpivot_type_stats,
+        # LAG on aggregate: weekly volume + week-over-week percent
+        # change over the calendar-complete week frame, NULLIF-zero
+        # semantics, ONE identical double division (oracle: date_trunc
+        # week + lag window; r4)
+        "wow_growth": relational.wow_growth,
+        # time-series diagnostics: lag-1 Pearson autocorrelation of the
+        # zero-filled daily count series — every Σ term exact int64, one
+        # final float expression (oracle: scaffolded lag join + the
+        # identical textbook formula; r4)
+        "events_autocorr": relational.events_autocorr,
+        # set-similarity matrix: overlap coefficient between every event
+        # type pair's user sets — distinct combiner exchange, per-user
+        # C(t,2) local pair emit, bounded driver join of marginals
+        # (oracle: distinct self-join + least() division; r4)
+        "type_overlap": relational.type_overlap,
         # JSON schema-on-read: aggregate over a value extracted from the
         # semi-structured props bag — TRY_CAST(json_extract) semantics,
         # int64 partials per type (oracle: DuckDB json functions; r4)
@@ -2714,6 +2729,71 @@ SELECT event_type, stat, value
 FROM w UNPIVOT (value FOR stat IN (n_events, sum_value_r,
                                    min_value_r, max_value_r))
 ORDER BY event_type, stat""",
+        # weekly scaffold + lag(); undefined-change rows (first week,
+        # zero-count previous week) dropped on both sides — NULL-free
+        "wow_growth": """
+WITH w AS (SELECT CAST(epoch_us(date_trunc('week', ts)) AS BIGINT) AS wk,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1),
+ b AS (SELECT min(wk) AS lo, max(wk) AS hi FROM w),
+ g AS (SELECT CAST(t.h AS BIGINT) AS week_us
+       FROM b, LATERAL unnest(range(lo, hi + 604800000000,
+                                    604800000000)) AS t(h)),
+ j AS (SELECT week_us, CAST(coalesce(w.n, 0) AS BIGINT) AS n_events
+       FROM g LEFT JOIN w ON g.week_us = w.wk),
+ l AS (SELECT week_us, n_events,
+              lag(n_events) OVER (ORDER BY week_us) AS prev
+       FROM j)
+SELECT week_us, n_events,
+       round((n_events - prev) / CAST(prev AS DOUBLE), 4) AS pct_change_r
+FROM l WHERE prev > 0 ORDER BY week_us""",
+        # all five Σ terms integer; the single float expression is
+        # byte-identical to the engine's (m·Σxy − ΣxΣy)/√(den) form
+        "events_autocorr": """
+WITH c AS (SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS d,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1),
+ b AS (SELECT min(d) AS lo, max(d) AS hi FROM c),
+ g AS (SELECT CAST(t.h AS BIGINT) AS d
+       FROM b, LATERAL unnest(range(lo, hi + 86400000000,
+                                    86400000000)) AS t(h)),
+ f AS (SELECT d, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+       FROM g LEFT JOIN c USING (d)),
+ p AS (SELECT f.n AS x, f2.n AS y FROM f
+       JOIN f f2 ON f2.d = f.d + 86400000000),
+ s AS (SELECT CAST(count(*) AS BIGINT) AS m,
+              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+              CAST(sum(x * y) AS BIGINT) AS sxy,
+              CAST(sum(x * x) AS BIGINT) AS sxx,
+              CAST(sum(y * y) AS BIGINT) AS syy
+       FROM p),
+ nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM f)
+SELECT nd.n_days,
+       CASE WHEN (s.m * s.sxx - s.sx * s.sx)
+                 * (s.m * s.syy - s.sy * s.sy) <= 0 THEN NULL
+            ELSE round((s.m * s.sxy - s.sx * s.sy)
+                       / sqrt(CAST((s.m * s.sxx - s.sx * s.sx)
+                                   * (s.m * s.syy - s.sy * s.sy)
+                                   AS DOUBLE)), 4) END AS autocorr_r
+FROM s, nd""",
+        # distinct self-join on user with type_a < type_b; overlap
+        # coefficient divides by the smaller marginal
+        "type_overlap": """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events
+           WHERE event_type IS NOT NULL),
+ m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nu
+       FROM d GROUP BY 1),
+ p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+              CAST(count(*) AS BIGINT) AS n_common
+       FROM d a JOIN d b ON a.user_id = b.user_id
+                        AND a.event_type < b.event_type
+       GROUP BY 1, 2)
+SELECT type_a, type_b, n_common,
+       round(n_common / CAST(least(ma.nu, mb.nu) AS DOUBLE), 4)
+         AS overlap_r
+FROM p JOIN m ma ON ma.event_type = type_a
+       JOIN m mb ON mb.event_type = type_b
+ORDER BY type_a, type_b""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -6265,3 +6265,194 @@ def unpivot_type_stats(sf_dir: str):
     return pa.table({"event_type": pa.array(et, type=pa.string()),
                      "stat": pa.array(stat, type=pa.string()),
                      "value": pa.array(val, type=pa.float64())})
+
+
+WEEK_US = 7 * DAY_US
+
+
+def wow_growth(sf_dir: str):
+    """(week_us, n_events, pct_change_r): weekly event volume over the
+    calendar-complete week frame plus week-over-week percent change —
+    the LAG-on-aggregate surface (windowed_events buckets, this DIFFS
+    adjacent buckets). Weeks are ISO date_trunc('week') Mondays over the
+    calendar-complete grid (gap weeks count zero, so the week after a
+    gap shows −1.0's successor correctly); rows where the change is
+    undefined — the first week, or a zero-count previous week — are
+    DROPPED on both sides (NULL-free output: the driver's value compare
+    treats NaN ≠ NaN).
+
+    Scale shape: map-side weekly count partials, one ≤|weeks| Sum
+    exchange, then the LAG runs on the driver over the calendar-bounded
+    frame (the peak_concurrency argument). Counts are int64; the single
+    division is the identical double expression both sides, 4 dp."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def week_partial(batch: pa.Table) -> pa.Table:
+        ts = (batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        day = ts // DAY_US
+        wk = (day - (day + 3) % 7) * DAY_US  # Monday: epoch day 0 is Thu
+        vals, counts = np.unique(wk, return_counts=True)
+        return pa.table({"week_us": pa.array(vals.astype(np.int64)),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    weekly = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["ts"])
+        .map_batches(week_partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("week_us").aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    if weekly.empty:
+        return pa.table({"week_us": pa.array([], type=pa.int64()),
+                         "n_events": pa.array([], type=pa.int64()),
+                         "pct_change_r": pa.array([], type=pa.float64())})
+    weekly = weekly.sort_values("week_us")
+    weeks = np.arange(int(weekly["week_us"].min()),
+                      int(weekly["week_us"].max()) + WEEK_US, WEEK_US,
+                      dtype=np.int64)
+    n = np.zeros(weeks.size, dtype=np.int64)
+    n[(weekly["week_us"].to_numpy(dtype=np.int64) - weeks[0]) // WEEK_US] = (
+        weekly["n"].to_numpy(dtype=np.int64))
+    prev = n[:-1]
+    ok = prev > 0
+    pct = _round_vec((n[1:][ok] - prev[ok]).astype(np.float64)
+                     / prev[ok].astype(np.float64), 4)
+    return pa.table({
+        "week_us": pa.array(weeks[1:][ok]),
+        "n_events": pa.array(n[1:][ok]),
+        "pct_change_r": pa.array(pct, type=pa.float64()),
+    })
+
+
+def events_autocorr(sf_dir: str):
+    """(n_days, autocorr_r): lag-1 Pearson autocorrelation of the daily
+    event-count series (calendar-complete, zero-filled) — the
+    time-series-diagnostics surface: is today's volume predictive of
+    tomorrow's? Every Σ term (Σx, Σy, Σxy, Σx², Σy² over the D−1
+    adjacent-day pairs) is EXACT int64 — the only float is the one
+    final textbook expression, identical on both sides, 4 dp.
+
+    Scale shape: one map-side day-count partial pass, a ≤|days| Sum
+    exchange, then the lag products evaluate on the driver over the
+    calendar-bounded day frame. Fewer than two days → NULL (SQL corr
+    of a single pair's degenerate variance is NULL too)."""
+    from ray.data.aggregate import Sum
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        ts = (batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        vals, counts = np.unique((ts // DAY_US) * DAY_US,
+                                 return_counts=True)
+        return pa.table({"d": pa.array(vals.astype(np.int64)),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    daily = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["ts"])
+        .map_batches(day_partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("d").aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    if daily.empty:
+        return pa.table({"n_days": pa.array([], type=pa.int64()),
+                         "autocorr_r": pa.array([], type=pa.float64())})
+    daily = daily.sort_values("d")
+    days = np.arange(int(daily["d"].min()),
+                     int(daily["d"].max()) + DAY_US, DAY_US,
+                     dtype=np.int64)
+    cnt = np.zeros(days.size, dtype=np.int64)
+    cnt[(daily["d"].to_numpy(dtype=np.int64) - days[0]) // DAY_US] = (
+        daily["n"].to_numpy(dtype=np.int64))
+    if days.size < 2:
+        return pa.table({"n_days": pa.array([int(days.size)],
+                                            type=pa.int64()),
+                         "autocorr_r": pa.array([None],
+                                                type=pa.float64())})
+    x, y = cnt[:-1], cnt[1:]
+    m = int(x.size)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy = int((x * y).sum())
+    sxx, syy = int((x * x).sum()), int((y * y).sum())
+    den2 = (m * sxx - sx * sx) * (m * syy - sy * sy)
+    if den2 <= 0:
+        r = None
+    else:
+        r = round_half_away(
+            float(m * sxy - sx * sy) / float(np.sqrt(float(den2))), 4)
+    return pa.table({"n_days": pa.array([int(days.size)], type=pa.int64()),
+                     "autocorr_r": pa.array([r], type=pa.float64())})
+
+
+def type_overlap(sf_dir: str):
+    """(type_a, type_b, n_common, overlap_r): for every unordered pair
+    of event types, the number of users active in BOTH and the overlap
+    coefficient |A∩B| / min(|A|,|B|) — the set-similarity matrix over a
+    groupable key (the user-set analogue of source_overlap's doc-level
+    comparison). Pairs with no common user are absent (both sides).
+
+    Scale shape: distinct (user, type) via a combiner exchange, then a
+    user-hash exchange where each user emits its C(t,2) local type
+    pairs (t ≤ |types|, bounded) — pair counts Sum-combine map-side;
+    marginals ride the same distinct stream. The join of pair counts
+    against two marginals happens on the driver over the ≤C(|types|,2)
+    frame. Integers everywhere; one 4-dp division per row."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    def ut_partial(batch: pa.Table) -> pa.Table:
+        g = (pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            "event_type": batch["event_type"]
+            .to_numpy(zero_copy_only=False),
+        }).dropna(subset=["event_type"]).drop_duplicates())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def pair_kernel(group: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": group["user_id"].to_numpy(zero_copy_only=False),
+            "event_type": group["event_type"]
+            .to_numpy(zero_copy_only=False),
+        })
+        a_out, b_out = [], []
+        for _, sub in df.groupby("user_id"):
+            ts = sorted(sub["event_type"].tolist())
+            for i in range(len(ts)):
+                for j in range(i + 1, len(ts)):
+                    a_out.append(ts[i]); b_out.append(ts[j])
+        g = (pd.DataFrame({"type_a": a_out, "type_b": b_out, "n": 1})
+             .groupby(["type_a", "type_b"], as_index=False)["n"].sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    distinct = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["user_id", "event_type"])
+        .map_batches(ut_partial, batch_format="pyarrow", batch_size=8192)
+        .groupby(["user_id", "event_type"]).aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"]).materialize()
+    )
+    marg = (distinct.groupby("event_type")
+            .aggregate(Count(alias_name="nu")).to_pandas())
+    pairs = (distinct.groupby("user_id")
+             .map_groups(pair_kernel, batch_format="pyarrow")
+             .groupby(["type_a", "type_b"])
+             .aggregate(Sum("n", alias_name="n_common"))
+             .to_pandas())
+    if pairs.empty:
+        return pa.table({"type_a": pa.array([], type=pa.string()),
+                         "type_b": pa.array([], type=pa.string()),
+                         "n_common": pa.array([], type=pa.int64()),
+                         "overlap_r": pa.array([], type=pa.float64())})
+    nu = marg.set_index("event_type")["nu"]
+    pairs = pairs.sort_values(["type_a", "type_b"])
+    na = nu.loc[pairs["type_a"]].to_numpy(dtype=np.int64)
+    nb = nu.loc[pairs["type_b"]].to_numpy(dtype=np.int64)
+    nc = pairs["n_common"].to_numpy(dtype=np.int64)
+    return pa.table({
+        "type_a": pa.array(pairs["type_a"], type=pa.string()),
+        "type_b": pa.array(pairs["type_b"], type=pa.string()),
+        "n_common": pa.array(nc),
+        "overlap_r": pa.array(_round_vec(
+            nc.astype(np.float64) / np.minimum(na, nb), 4)),
+    })

@@ -5567,3 +5567,116 @@ class TestUnpivotTypeStats:
                        - sub["value"].sum()) < 1e-3
             assert g.loc[(t, "min_value_r")] == round(
                 sub["value"].min(), 4)
+
+
+class TestWowGrowth:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            WEEK_US, wow_growth)
+
+        ts = pq.read_table(f"{SF}/events.parquet",
+                           columns=["ts"])["ts"].to_pandas().astype("int64")
+        day = ts // (WEEK_US // 7)
+        wk = (day - (day + 3) % 7) * (WEEK_US // 7)
+        counts = wk.value_counts().sort_index()
+        grid = np.arange(counts.index.min(),
+                         counts.index.max() + WEEK_US, WEEK_US)
+        n = counts.reindex(grid, fill_value=0).to_numpy(dtype=np.int64)
+        got = wow_growth(SF).to_pandas()
+        exp_rows = [(int(grid[i]), int(n[i]),
+                     round((n[i] - n[i - 1]) / n[i - 1], 4))
+                    for i in range(1, len(grid)) if n[i - 1] > 0]
+        assert len(got) == len(exp_rows)
+        for (w, ne, p), (_, r) in zip(exp_rows, got.iterrows()):
+            assert r["week_us"] == w and r["n_events"] == ne
+            assert abs(r["pct_change_r"] - p) < 5e-5
+
+    def test_gap_week_and_zero_prev_drop(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import wow_growth
+
+        # week0 (Mon 2024-01-01): 4 events; week1: none; week2: 2 events
+        # -> week1 row emitted (pct = -1.0), week2 dropped (prev == 0)
+        mon = pd.Timestamp("2024-01-01")
+        rows = [mon + pd.Timedelta(days=d) for d in (0, 1, 2, 3)] + \
+               [mon + pd.Timedelta(days=14), mon + pd.Timedelta(days=15)]
+        pd.DataFrame({"ts": rows, "user_id": 1, "event_type": "e",
+                      "value": 0.0}).to_parquet(
+            f"{tmp_path}/events.parquet", index=False)
+        got = wow_growth(str(tmp_path)).to_pandas()
+        assert len(got) == 1
+        assert got["n_events"].iloc[0] == 0
+        assert got["pct_change_r"].iloc[0] == -1.0
+
+
+class TestEventsAutocorr:
+    def test_matches_numpy_corrcoef(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            DAY_US, events_autocorr)
+
+        ts = pq.read_table(f"{SF}/events.parquet",
+                           columns=["ts"])["ts"].to_pandas().astype("int64")
+        d = (ts // DAY_US) * DAY_US
+        counts = d.value_counts().sort_index()
+        grid = np.arange(counts.index.min(),
+                         counts.index.max() + DAY_US, DAY_US)
+        n = counts.reindex(grid, fill_value=0).to_numpy(dtype=np.float64)
+        want = float(np.corrcoef(n[:-1], n[1:])[0, 1])
+        got = events_autocorr(SF).to_pandas()
+        assert got["n_days"].iloc[0] == len(grid)
+        assert abs(got["autocorr_r"].iloc[0] - want) < 5e-4
+
+    def test_planted_alternating_series(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import events_autocorr
+
+        # daily counts 1,3,1,3,1,3 -> lag-1 correlation exactly -1
+        t0 = pd.Timestamp("2024-01-01")
+        rows = []
+        for i in range(6):
+            rows += [t0 + pd.Timedelta(days=i)] * (1 if i % 2 == 0 else 3)
+        pd.DataFrame({"ts": rows, "user_id": 1, "event_type": "e",
+                      "value": 0.0}).to_parquet(
+            f"{tmp_path}/events.parquet", index=False)
+        got = events_autocorr(str(tmp_path)).to_pandas()
+        assert got["n_days"].iloc[0] == 6
+        assert got["autocorr_r"].iloc[0] == -1.0
+
+
+class TestTypeOverlap:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import type_overlap
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["user_id", "event_type"]).to_pandas()
+        ev = ev.dropna(subset=["event_type"]).drop_duplicates()
+        sets = {t: set(sub["user_id"])
+                for t, sub in ev.groupby("event_type")}
+        got = type_overlap(SF).to_pandas()
+        want = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            c = len(sets[a] & sets[b])
+            if c:
+                want[(a, b)] = (c, round(c / min(len(sets[a]),
+                                                 len(sets[b])), 4))
+        assert len(got) == len(want)
+        for _, r in got.iterrows():
+            c, ov = want[(r["type_a"], r["type_b"])]
+            assert r["n_common"] == c
+            assert abs(r["overlap_r"] - ov) < 5e-5
+
+    def test_planted_subset_overlap(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import type_overlap
+
+        # users 1..4 do "a"; users 1..2 do "b"; user 9 does "c" only
+        # -> (a,b): common 2, min marginal 2 -> overlap 1.0; no (a,c)/(b,c)
+        rows = [(u, "a") for u in (1, 2, 3, 4)] + \
+               [(u, "b") for u in (1, 2)] + [(9, "c")]
+        pd.DataFrame({
+            "user_id": [r[0] for r in rows],
+            "event_type": [r[1] for r in rows],
+            "ts": pd.Timestamp("2024-01-01"), "value": 0.0,
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = type_overlap(str(tmp_path)).to_pandas()
+        assert len(got) == 1
+        r = got.iloc[0]
+        assert (r["type_a"], r["type_b"]) == ("a", "b")
+        assert r["n_common"] == 2 and r["overlap_r"] == 1.0
