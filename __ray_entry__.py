@@ -478,6 +478,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # C(t,2) local pair emit, bounded driver join of marginals
         # (oracle: distinct self-join + least() division; r4)
         "type_overlap": relational.type_overlap,
+        # REGR_SLOPE/REGR_INTERCEPT family: per-type least-squares line
+        # of value vs epoch-day — exact int64 Σ partials, no exchange,
+        # two mirrored double expressions (oracle: HUGEINT sums + the
+        # identical normal-equation products; r4)
+        "regr_value_trend": relational.regr_value_trend,
+        # FULL OUTER JOIN surface: daily order count reconciled against
+        # daily shipment-line count, COALESCE-zero fills + side tag —
+        # two day-count exchanges, driver outer merge over the bounded
+        # calendar frame (oracle: FULL OUTER JOIN + CASE tag; r4)
+        "daily_reconcile": relational.daily_reconcile,
+        # concentration statistic: Gini coefficient of per-user event
+        # counts via the exact rank-weighted form — user combiner
+        # exchange, count-of-counts histogram exchange, closed-form
+        # rank sum per histogram run (oracle: row_number window + the
+        # identical integer formula; r4)
+        "gini_activity": relational.gini_activity,
         # JSON schema-on-read: aggregate over a value extracted from the
         # semi-structured props bag — TRY_CAST(json_extract) semantics,
         # int64 partials per type (oracle: DuckDB json functions; r4)
@@ -2794,6 +2810,63 @@ SELECT type_a, type_b, n_common,
 FROM p JOIN m ma ON ma.event_type = type_a
        JOIN m mb ON mb.event_type = type_b
 ORDER BY type_a, type_b""",
+        # exact HUGEINT normal-equation products; the two divisions are
+        # the engine's float expressions token-for-token (/den /100.0);
+        # zero-x-variance groups dropped on both sides
+        "regr_value_trend": """
+WITH b AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS HUGEINT) AS x,
+         CAST(round(value * 100) AS HUGEINT) AS y
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+ s AS (
+  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx
+  FROM b GROUP BY event_type)
+SELECT event_type, CAST(n AS BIGINT) AS n_events,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0, 4) AS slope_r,
+       round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0, 4)
+         AS intercept_r
+FROM s WHERE n * sxx - sx * sx > 0 ORDER BY event_type""",
+        # the FULL OUTER JOIN surface; integer-floor day buckets match
+        # the engine's ts//DAY_US exactly, COALESCE publishes 0 fills
+        "daily_reconcile": """
+WITH a AS (
+  SELECT CAST(epoch_us(o_orderdate) // 86400000000
+              * 86400000000 AS BIGINT) AS day_us,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1),
+ b AS (
+  SELECT CAST(epoch_us(l_shipdate) // 86400000000
+              * 86400000000 AS BIGINT) AS day_us,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1)
+SELECT coalesce(a.day_us, b.day_us) AS day_us,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n_orders,
+       CAST(coalesce(b.n, 0) AS BIGINT) AS n_ship_lines,
+       CASE WHEN a.day_us IS NULL THEN 'ship_only'
+            WHEN b.day_us IS NULL THEN 'orders_only'
+            ELSE 'both' END AS status
+FROM a FULL OUTER JOIN b ON a.day_us = b.day_us
+ORDER BY day_us""",
+        # rank-weighted exact-integer Gini; row_number over ties is
+        # permutation-invariant because equal counts share one value
+        "gini_activity": """
+WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+ r AS (SELECT n, row_number() OVER (ORDER BY n) AS i FROM c),
+ s AS (SELECT CAST(count(*) AS HUGEINT) AS nn,
+              CAST(sum(n) AS HUGEINT) AS tot,
+              CAST(sum(CAST(i AS HUGEINT) * n) AS HUGEINT) AS iw
+       FROM r)
+SELECT CAST(nn AS BIGINT) AS n_users, CAST(tot AS BIGINT) AS n_events,
+       round(CAST(2 * iw - (nn + 1) * tot AS DOUBLE)
+             / CAST(nn * tot AS DOUBLE), 4) AS gini_r
+FROM s WHERE nn > 0""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

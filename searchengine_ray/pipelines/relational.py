@@ -6456,3 +6456,188 @@ def type_overlap(sf_dir: str):
         "overlap_r": pa.array(_round_vec(
             nc.astype(np.float64) / np.minimum(na, nb), 4)),
     })
+
+
+def regr_value_trend(sf_dir: str):
+    """(event_type, n_events, slope_r, intercept_r): per-type simple
+    linear regression of value against time (epoch-day x) — the
+    REGR_SLOPE/REGR_INTERCEPT aggregate family (``group_correlation``
+    stops at covariance/correlation; this fits the actual line).
+
+    Exactness: x = epoch_us // DAY_US (≤ ~2¹⁵ for any plausible date)
+    and y = round(100·value) are exact integer images; per-batch int64
+    partials Σx, Σy, Σxy, Σx² are all ≤ 2⁴⁶ at batch 8192. The driver
+    combines with Python ints and forms num_s = n·Σxy − ΣxΣy,
+    num_i = Σy·Σx² − Σx·Σxy, den = n·Σx² − (Σx)² exactly (the SQL side
+    runs the identical products in HUGEINT); slope and intercept are
+    then ONE mirrored double expression each (cast, divide, /100 for
+    the cents image, 4 dp). Groups whose x has zero variance (all
+    events on one day) are dropped on both sides — the fit is
+    undefined there.
+
+    Scale shape: one streaming pass, ≤ n_types partial rows per batch,
+    no exchange at all (the group_correlation discipline); null ts or
+    value rows drop map-side, mirrored by the SQL WHERE."""
+    import pandas as pd
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_numpy(
+                zero_copy_only=False),
+            "ts": ts.to_numpy(zero_copy_only=False),
+            "value": batch["value"].to_numpy(zero_copy_only=False),
+        }).dropna(subset=["event_type", "ts", "value"])
+        x = (df["ts"].to_numpy(dtype=np.int64) // DAY_US)
+        y = np.rint(df["value"].to_numpy(dtype=np.float64)
+                    * 100.0).astype(np.int64)
+        p = pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(),
+            "n": np.ones(x.size, dtype=np.int64),
+            "sx": x, "sy": y, "sxy": x * y, "sxx": x * x,
+        }).groupby("event_type", as_index=False).sum()
+        cols = {"event_type": pa.array(p["event_type"].tolist(),
+                                       type=pa.string())}
+        for c in ("n", "sx", "sy", "sxy", "sxx"):
+            cols[c] = pa.array(p[c].to_numpy(dtype=np.int64))
+        return pa.table(cols)
+
+    parts = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["ts", "event_type", "value"])
+        .map_batches(partials, batch_format="pyarrow", batch_size=8192)
+        .to_pandas()
+    )
+    et, ns, slopes, icepts = [], [], [], []
+    if not parts.empty:
+        for t in sorted(parts["event_type"].unique().tolist()):
+            sub = parts[parts["event_type"] == t]
+            n = int(sub["n"].sum())
+            sx = _pyint_sum(sub["sx"])
+            sy = _pyint_sum(sub["sy"])
+            sxy = _pyint_sum(sub["sxy"])
+            sxx = _pyint_sum(sub["sxx"])
+            den = n * sxx - sx * sx
+            if den <= 0:
+                continue
+            et.append(t)
+            ns.append(n)
+            slopes.append(round_half_away(
+                float(n * sxy - sx * sy) / float(den) / 100.0, 4))
+            icepts.append(round_half_away(
+                float(sy * sxx - sx * sxy) / float(den) / 100.0, 4))
+    return pa.table({
+        "event_type": pa.array(et, type=pa.string()),
+        "n_events": pa.array(np.asarray(ns, dtype=np.int64)),
+        "slope_r": pa.array(slopes, type=pa.float64()),
+        "intercept_r": pa.array(icepts, type=pa.float64()),
+    })
+
+
+def daily_reconcile(sf_dir: str):
+    """(day_us, n_orders, n_ship_lines, status): FULL OUTER JOIN of the
+    daily order-placement count against the daily lineitem-shipment
+    count — the two-source reconciliation surface (which days have
+    orders but no shipments, and vice versa). Missing sides publish 0
+    (COALESCE) and the row is tagged 'orders_only' / 'ship_only' /
+    'both' — the one registry entry exercising FULL OUTER semantics
+    (every join so far is inner, semi, anti, asof, range or broadcast).
+
+    Scale shape: each side is a map-side day-count partial pass plus
+    one ≤|days| Sum exchange; the outer merge itself runs on the
+    driver over the two calendar-bounded day frames (thousands of
+    rows for decades of data — the hourly_gap_fill argument). Counts
+    are exact int64 end-to-end; no floats anywhere."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def day_counts(table: str, col: str) -> pd.DataFrame:
+        def partial(batch: pa.Table) -> pa.Table:
+            ts = (batch[col].cast(pa.timestamp("us")).cast(pa.int64())
+                  .to_numpy(zero_copy_only=False))
+            vals, counts = np.unique((ts // DAY_US) * DAY_US,
+                                     return_counts=True)
+            return pa.table({"day_us": pa.array(vals.astype(np.int64)),
+                             "n": pa.array(counts.astype(np.int64))})
+
+        return (
+            read_parquet_clean(os.path.join(sf_dir, f"{table}.parquet"),
+                               columns=[col])
+            .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+            .groupby("day_us").aggregate(Sum("n", alias_name="n"))
+            .to_pandas()
+        )
+
+    a = day_counts("orders", "o_orderdate")
+    b = day_counts("lineitem", "l_shipdate")
+    m = a.merge(b, on="day_us", how="outer", suffixes=("_o", "_s"),
+                indicator=True).sort_values("day_us")
+    status = m["_merge"].map({"left_only": "orders_only",
+                              "right_only": "ship_only",
+                              "both": "both"})
+    return pa.table({
+        "day_us": pa.array(m["day_us"].to_numpy(dtype=np.int64)),
+        "n_orders": pa.array(m["n_o"].fillna(0).to_numpy(dtype=np.int64)),
+        "n_ship_lines": pa.array(m["n_s"].fillna(0)
+                                 .to_numpy(dtype=np.int64)),
+        "status": pa.array(status.tolist(), type=pa.string()),
+    })
+
+
+def gini_activity(sf_dir: str):
+    """(n_users, n_events, gini_r): Gini coefficient of the per-user
+    event-count distribution — the concentration/inequality statistic
+    (how unevenly is activity spread across users?). Uses the exact
+    rank-weighted form G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over the
+    ascending-sorted counts; equal counts occupy a contiguous rank run,
+    so the sum is permutation-invariant and needs no tiebreak. Every
+    term is an exact integer on both sides; ONE final mirrored double
+    division, 4 dp.
+
+    Scale shape: per-user counts via a user-key combiner exchange, then
+    a count-of-counts histogram exchange whose key space is bounded by
+    the maximum per-user count (small, data-independent of user
+    cardinality) — the rank-weighted sum evaluates on the driver in
+    closed form per histogram run (v·(f·s + f·(f−1)/2)), never
+    materializing a per-user vector. Null users drop on both sides."""
+    from ray.data.aggregate import Sum
+
+    def user_partial(batch: pa.Table) -> pa.Table:
+        u = (batch["user_id"].combine_chunks().drop_null()
+             .to_numpy(zero_copy_only=False).astype(np.int64))
+        vals, counts = np.unique(u, return_counts=True)
+        return pa.table({"user_id": pa.array(vals.astype(np.int64)),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        vals, counts = np.unique(n, return_counts=True)
+        return pa.table({"cnt": pa.array(vals.astype(np.int64)),
+                         "freq": pa.array(counts.astype(np.int64))})
+
+    hist = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["user_id"])
+        .map_batches(user_partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("user_id").aggregate(Sum("n", alias_name="n"))
+        .map_batches(hist_partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("cnt").aggregate(Sum("freq", alias_name="freq"))
+        .to_pandas()
+    )
+    if hist.empty:
+        return pa.table({"n_users": pa.array([], type=pa.int64()),
+                         "n_events": pa.array([], type=pa.int64()),
+                         "gini_r": pa.array([], type=pa.float64())})
+    hist = hist.sort_values("cnt")
+    nn, tot, iw, s = 0, 0, 0, 1
+    for v, f in zip(hist["cnt"].tolist(), hist["freq"].tolist()):
+        v, f = int(v), int(f)
+        iw += v * (f * s + f * (f - 1) // 2)
+        nn += f
+        tot += v * f
+        s += f
+    g = round_half_away(
+        float(2 * iw - (nn + 1) * tot) / float(nn * tot), 4)
+    return pa.table({"n_users": pa.array([nn], type=pa.int64()),
+                     "n_events": pa.array([tot], type=pa.int64()),
+                     "gini_r": pa.array([g], type=pa.float64())})

@@ -5680,3 +5680,130 @@ class TestTypeOverlap:
         r = got.iloc[0]
         assert (r["type_a"], r["type_b"]) == ("a", "b")
         assert r["n_common"] == 2 and r["overlap_r"] == 1.0
+
+
+class TestRegrValueTrend:
+    def test_matches_numpy_polyfit(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            DAY_US, regr_value_trend)
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["ts", "event_type", "value"]).to_pandas()
+        ev = ev.dropna(subset=["ts", "event_type", "value"])
+        got = regr_value_trend(SF).to_pandas()
+        for _, r in got.iterrows():
+            sub = ev[ev["event_type"] == r["event_type"]]
+            x = (sub["ts"].astype("int64") // DAY_US).to_numpy(np.float64)
+            y = sub["value"].to_numpy(np.float64)
+            slope, icept = np.polyfit(x, y, 1)
+            assert r["n_events"] == len(sub)
+            assert abs(r["slope_r"] - slope) < 5e-4
+            assert abs(r["intercept_r"] - icept) < max(
+                5e-4, abs(icept) * 1e-6)
+        assert len(got) == ev["event_type"].nunique()
+
+    def test_planted_exact_line(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import regr_value_trend
+
+        # type "up": value = 2.5 + 0.25/day on days 0..3 -> exact fit;
+        # type "flat": all on ONE day -> zero x-variance, dropped
+        t0 = pd.Timestamp("1970-01-01")
+        rows = [(t0 + pd.Timedelta(days=d), "up", 2.5 + 0.25 * d)
+                for d in range(4)]
+        rows += [(t0, "flat", 1.0), (t0, "flat", 9.0)]
+        pd.DataFrame({"ts": [r[0] for r in rows],
+                      "event_type": [r[1] for r in rows],
+                      "value": [r[2] for r in rows],
+                      "user_id": 1}).to_parquet(
+            f"{tmp_path}/events.parquet", index=False)
+        got = regr_value_trend(str(tmp_path)).to_pandas()
+        assert len(got) == 1
+        r = got.iloc[0]
+        assert r["event_type"] == "up" and r["n_events"] == 4
+        assert r["slope_r"] == 0.25 and r["intercept_r"] == 2.5
+
+
+class TestDailyReconcile:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            DAY_US, daily_reconcile)
+
+        od = (pq.read_table(f"{SF}/orders.parquet",
+                            columns=["o_orderdate"])["o_orderdate"]
+              .to_pandas().astype("int64") // DAY_US * DAY_US)
+        sd = (pq.read_table(f"{SF}/lineitem.parquet",
+                            columns=["l_shipdate"])["l_shipdate"]
+              .to_pandas().astype("int64") // DAY_US * DAY_US)
+        a, b = od.value_counts(), sd.value_counts()
+        got = daily_reconcile(SF).to_pandas()
+        days = sorted(set(a.index) | set(b.index))
+        assert got["day_us"].tolist() == days
+        for _, r in got.iterrows():
+            na = int(a.get(r["day_us"], 0))
+            nb = int(b.get(r["day_us"], 0))
+            assert r["n_orders"] == na and r["n_ship_lines"] == nb
+            assert r["status"] == ("both" if na and nb else
+                                   "orders_only" if na else "ship_only")
+
+    def test_planted_disjoint_days(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import daily_reconcile
+
+        d = pd.Timestamp("2024-03-01")
+        pd.DataFrame({"o_orderkey": [1, 2], "o_custkey": 1,
+                      "o_totalprice": 1.0,
+                      "o_orderdate": [d, d + pd.Timedelta(days=1)],
+                      "o_orderstatus": "O", "o_orderpriority": "1-URGENT"}
+                     ).to_parquet(f"{tmp_path}/orders.parquet", index=False)
+        pd.DataFrame({"l_orderkey": [1, 1, 2], "l_partkey": 1,
+                      "l_suppkey": 1, "l_linenumber": [1, 2, 1],
+                      "l_quantity": 1.0, "l_extendedprice": 1.0,
+                      "l_discount": 0.0, "l_tax": 0.0,
+                      "l_returnflag": "N", "l_linestatus": "O",
+                      "l_shipdate": [d + pd.Timedelta(days=1),
+                                     d + pd.Timedelta(days=1),
+                                     d + pd.Timedelta(days=9)]}
+                     ).to_parquet(f"{tmp_path}/lineitem.parquet",
+                                  index=False)
+        got = daily_reconcile(str(tmp_path)).to_pandas()
+        assert got["status"].tolist() == ["orders_only", "both",
+                                          "ship_only"]
+        assert got["n_orders"].tolist() == [1, 1, 0]
+        assert got["n_ship_lines"].tolist() == [0, 2, 1]
+
+
+class TestGiniActivity:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import gini_activity
+
+        u = pq.read_table(f"{SF}/events.parquet",
+                          columns=["user_id"])["user_id"].to_pandas()
+        counts = np.sort(u.value_counts().to_numpy(dtype=np.int64))
+        n, tot = counts.size, int(counts.sum())
+        iw = int((np.arange(1, n + 1, dtype=np.int64) * counts).sum())
+        want = (2 * iw - (n + 1) * tot) / (n * tot)
+        got = gini_activity(SF).to_pandas()
+        assert got["n_users"].iloc[0] == n
+        assert got["n_events"].iloc[0] == tot
+        assert abs(got["gini_r"].iloc[0] - want) < 5e-5
+
+    def test_planted_extremes(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import gini_activity
+
+        # perfectly equal: 4 users x 3 events -> gini 0
+        t = pd.Timestamp("2024-01-01")
+        eq = pd.DataFrame({"user_id": np.repeat([1, 2, 3, 4], 3),
+                           "ts": t, "event_type": "e", "value": 0.0})
+        eq.to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = gini_activity(str(tmp_path)).to_pandas()
+        assert got["gini_r"].iloc[0] == 0.0
+        # concentrated: counts [1, 1, 1, 97] -> rank formula exactly
+        cc = pd.DataFrame({"user_id": np.concatenate(
+            [np.array([1, 2, 3]), np.full(97, 4)]),
+            "ts": t, "event_type": "e", "value": 0.0})
+        cc.to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = gini_activity(str(tmp_path)).to_pandas()
+        n, tot = 4, 100
+        iw = 1 * 1 + 2 * 1 + 3 * 1 + 4 * 97
+        want = round((2 * iw - (n + 1) * tot) / (n * tot), 4)
+        assert got["n_users"].iloc[0] == 4
+        assert got["gini_r"].iloc[0] == want
