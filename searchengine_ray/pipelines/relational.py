@@ -6489,8 +6489,10 @@ def regr_value_trend(sf_dir: str):
             "value": batch["value"].to_numpy(zero_copy_only=False),
         }).dropna(subset=["event_type", "ts", "value"])
         x = (df["ts"].to_numpy(dtype=np.int64) // DAY_US)
-        y = np.rint(df["value"].to_numpy(dtype=np.float64)
-                    * 100.0).astype(np.int64)
+        v = df["value"].to_numpy(dtype=np.float64) * 100.0
+        # half-AWAY-from-zero image (DuckDB round), not np.rint's
+        # half-to-even — they diverge on exact .5 cent boundaries
+        y = np.copysign(np.floor(np.abs(v) + 0.5), v).astype(np.int64)
         p = pd.DataFrame({
             "event_type": df["event_type"].to_numpy(),
             "n": np.ones(x.size, dtype=np.int64),
@@ -6560,13 +6562,17 @@ def daily_reconcile(sf_dir: str):
             return pa.table({"day_us": pa.array(vals.astype(np.int64)),
                              "n": pa.array(counts.astype(np.int64))})
 
-        return (
+        df = (
             read_parquet_clean(os.path.join(sf_dir, f"{table}.parquet"),
                                columns=[col])
             .map_batches(partial, batch_format="pyarrow", batch_size=8192)
             .groupby("day_us").aggregate(Sum("n", alias_name="n"))
             .to_pandas()
         )
+        if "day_us" not in df.columns:  # empty input → column-less frame
+            df = pd.DataFrame({"day_us": pd.Series(dtype=np.int64),
+                               "n": pd.Series(dtype=np.int64)})
+        return df
 
     a = day_counts("orders", "o_orderdate")
     b = day_counts("lineitem", "l_shipdate")
