@@ -494,6 +494,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rank sum per histogram run (oracle: row_number window + the
         # identical integer formula; r4)
         "gini_activity": relational.gini_activity,
+        # nonparametric two-sample test: Mann–Whitney U of each type's
+        # value distribution vs the rest — closed-form average ranks
+        # over one (cent, type) histogram exchange, exact 2·U integer +
+        # tie-corrected z (oracle: windowed cumulative histogram + the
+        # identical rank algebra; r4)
+        "mannwhitney_value": relational.mannwhitney_value,
+        # sliding COUNT(DISTINCT): trailing-7-day distinct users per
+        # calendar day — per-user coverage-interval merge emits ±1
+        # deltas, day Sum exchange, driver prefix sum (oracle: grid
+        # LEFT JOIN range + count(DISTINCT); r4)
+        "sliding_distinct_users": relational.sliding_distinct_users,
+        # ordered linear recurrence: α=0.2 exponential moving average
+        # of daily value over the zero-filled calendar series — day
+        # cent-sum exchange, driver scan; both sides run the identical
+        # IEEE recurrence (oracle: recursive CTE; r4)
+        "ema_daily_value": relational.ema_daily_value,
+        # rank correlation: Spearman ρ of value vs hour-of-day via
+        # doubled average ranks folded from ONE joint (cent, hour)
+        # histogram exchange — exact-int Σ terms, one mirrored float
+        # (oracle: the same rank algebra in SQL windows; r4)
+        "spearman_corr": relational.spearman_corr,
         # JSON schema-on-read: aggregate over a value extracted from the
         # semi-structured props bag — TRY_CAST(json_extract) semantics,
         # int64 partials per type (oracle: DuckDB json functions; r4)
@@ -2867,6 +2888,109 @@ SELECT CAST(nn AS BIGINT) AS n_users, CAST(tot AS BIGINT) AS n_events,
        round(CAST(2 * iw - (nn + 1) * tot AS DOUBLE)
              / CAST(nn * tot AS DOUBLE), 4) AS gini_r
 FROM s WHERE nn > 0""",
+        # one-vs-rest rank-sum: average ranks from the cumulative cent
+        # histogram (2·rank = 2s+c+1), exact 2U integer; the z CASE
+        # guard and float expression mirror the engine token-for-token
+        "mannwhitney_value": """
+WITH d AS (SELECT event_type, CAST(round(value * 100) AS HUGEINT) AS v
+           FROM events
+           WHERE event_type IS NOT NULL AND value IS NOT NULL),
+ j AS (SELECT event_type, v, CAST(count(*) AS HUGEINT) AS k
+       FROM d GROUP BY 1, 2),
+ c AS (SELECT v, CAST(sum(k) AS HUGEINT) AS c FROM j GROUP BY v),
+ s AS (SELECT v, c,
+              CAST(coalesce(sum(c) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS HUGEINT) AS sv
+       FROM c),
+ t AS (SELECT CAST(sum(c) AS HUGEINT) AS n,
+              CAST(sum(c * c * c - c) AS HUGEINT) AS ties FROM c),
+ r AS (SELECT j.event_type,
+              CAST(sum(j.k) AS HUGEINT) AS n1,
+              CAST(sum(j.k * (2 * s.sv + s.c + 1)) AS HUGEINT) AS r2
+       FROM j JOIN s USING (v) GROUP BY 1)
+SELECT r.event_type,
+       CAST(r.n1 AS BIGINT) AS n_type,
+       CAST(r.r2 - r.n1 * (r.n1 + 1) AS BIGINT) AS u2,
+       CASE WHEN r.n1 * (t.n - r.n1) > 0
+                 AND (t.n + 1) * t.n * (t.n - 1) - t.ties > 0
+            THEN round(CAST(r.r2 - r.n1 * (r.n1 + 1)
+                            - r.n1 * (t.n - r.n1) AS DOUBLE)
+                       / (2.0 * sqrt(CAST(r.n1 * (t.n - r.n1) AS DOUBLE)
+                            * (CAST(t.n + 1 AS DOUBLE)
+                               - CAST(t.ties AS DOUBLE)
+                                 / CAST(t.n * (t.n - 1) AS DOUBLE))
+                            / 12.0)), 4)
+            ELSE NULL END AS z_r
+FROM r, t ORDER BY r.event_type""",
+        # trailing-window distinct: calendar grid LEFT JOIN the distinct
+        # (user, day) pairs over the 7-day range; count(DISTINCT) on an
+        # unmatched grid day is 0
+        "sliding_distinct_users": """
+WITH d AS (SELECT DISTINCT user_id,
+                  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+ b AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+ g AS (SELECT CAST(t.h AS BIGINT) AS day
+       FROM b, LATERAL unnest(range(lo, hi + 1)) AS t(h))
+SELECT g.day * 86400000000 AS day_us,
+       CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_active_7d
+FROM g LEFT JOIN d ON d.day BETWEEN g.day - 6 AND g.day
+GROUP BY g.day ORDER BY day_us""",
+        # the engine's recurrence verbatim as a recursive CTE: x is the
+        # exact per-day cent sum / 100.0 over the zero-filled grid, and
+        # 0.2*x + 0.8*ema threads the identical IEEE double sequence
+        "ema_daily_value": """
+WITH RECURSIVE c AS (
+  SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL GROUP BY 1),
+ b AS (SELECT min(d) AS lo, max(d) AS hi FROM c),
+ g AS (SELECT CAST(t.h AS BIGINT) AS d
+       FROM b, LATERAL unnest(range(lo, hi + 86400000000,
+                                    86400000000)) AS t(h)),
+ f AS (SELECT g.d, (g.d - b.lo) // 86400000000 AS i,
+              CAST(coalesce(c.cents, 0) AS DOUBLE) / 100.0 AS x
+       FROM g CROSS JOIN b LEFT JOIN c ON c.d = g.d),
+ e AS (SELECT i, d, x, x AS ema FROM f WHERE i = 0
+       UNION ALL
+       SELECT f.i, f.d, f.x, 0.2 * f.x + 0.8 * e.ema
+       FROM e JOIN f ON f.i = e.i + 1)
+SELECT d AS day_us, x AS daily_value, round(ema, 4) AS ema_r
+FROM e ORDER BY day_us""",
+        # doubled average ranks from the two marginal cumulative
+        # histograms, all six Σ terms folded over the joint histogram
+        # in HUGEINT; the two variance factors cast to DOUBLE before
+        # multiplying (their product overflows HUGEINT at scale),
+        # mirroring the engine's float(f1)*float(f2)
+        "spearman_corr": """
+WITH d AS (SELECT CAST(round(value * 100) AS HUGEINT) AS v,
+                  CAST(hour(ts) AS HUGEINT) AS h
+           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+ j AS (SELECT v, h, CAST(count(*) AS HUGEINT) AS k FROM d GROUP BY 1, 2),
+ cx AS (SELECT v, CAST(sum(k) AS HUGEINT) AS c FROM j GROUP BY v),
+ rx AS (SELECT v, 2 * CAST(coalesce(sum(c) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              0) AS HUGEINT) + c + 1 AS r2 FROM cx),
+ cy AS (SELECT h, CAST(sum(k) AS HUGEINT) AS c FROM j GROUP BY h),
+ ry AS (SELECT h, 2 * CAST(coalesce(sum(c) OVER (ORDER BY h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              0) AS HUGEINT) + c + 1 AS r2 FROM cy),
+ s AS (SELECT CAST(sum(j.k) AS HUGEINT) AS n,
+              CAST(sum(j.k * rx.r2) AS HUGEINT) AS sx,
+              CAST(sum(j.k * ry.r2) AS HUGEINT) AS sy,
+              CAST(sum(j.k * rx.r2 * ry.r2) AS HUGEINT) AS sxy,
+              CAST(sum(j.k * rx.r2 * rx.r2) AS HUGEINT) AS sxx,
+              CAST(sum(j.k * ry.r2 * ry.r2) AS HUGEINT) AS syy
+       FROM j JOIN rx USING (v) JOIN ry USING (h))
+SELECT CAST(n AS BIGINT) AS n_events,
+       CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0
+            THEN NULL
+            ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE)), 4)
+            END AS rho_r
+FROM s WHERE n > 0""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -6647,3 +6647,354 @@ def gini_activity(sf_dir: str):
     return pa.table({"n_users": pa.array([nn], type=pa.int64()),
                      "n_events": pa.array([tot], type=pa.int64()),
                      "gini_r": pa.array([g], type=pa.float64())})
+
+
+def _cents_i64(vals: "np.ndarray") -> "np.ndarray":
+    """Quantize a float64 value column to integer cents with DuckDB's
+    round() tie rule (half AWAY from zero — np.rint's half-to-even
+    diverges on exact .5 cent boundaries)."""
+    v = vals.astype(np.float64) * 100.0
+    return np.copysign(np.floor(np.abs(v) + 0.5), v).astype(np.int64)
+
+
+def mannwhitney_value(sf_dir: str):
+    """(event_type, n_type, u2, z_r): Mann–Whitney U rank-sum test of
+    each event type's value distribution against ALL OTHER types
+    (one-vs-rest) — the nonparametric two-sample-test surface (chi2 is
+    the categorical independence test; this is the ordinal location
+    test). Publishes 2·U as an EXACT integer (u2 — average ranks over
+    ties are half-integers, doubling restores exactness) and the
+    tie-corrected normal-approximation z-score, 4 dp.
+
+    Every rank quantity is closed-form over the cent-value histogram:
+    a value v tying c_v rows after s_v smaller rows has average rank
+    s_v + (c_v+1)/2, so 2·R_t = Σ_v k_tv·(2s_v + c_v + 1) and
+    2·U_t = 2·R_t − n_t(n_t+1); the tie term T = Σ(c³−c) rides the
+    same histogram. The ONLY float is the final z expression,
+    token-identical on both sides; var = 0 (all values tied) and
+    empty-rest groups publish NULL via an exact-integer guard.
+
+    Scale shape: one map-side (cent, type) count partial pass, one
+    composite Sum exchange, then the driver folds the histogram frame
+    — bounded by the quantized value DOMAIN × |types|, independent of
+    row count — with Python-int accumulators (no int64 overflow at any
+    corpus size). No sort, no per-row ranks."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def cent_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_numpy(
+                zero_copy_only=False),
+            "value": batch["value"].to_numpy(zero_copy_only=False),
+        }).dropna()
+        g = (pd.DataFrame({"v": _cents_i64(df["value"].to_numpy()),
+                           "event_type": df["event_type"].to_numpy()})
+             .groupby(["v", "event_type"], as_index=False).size())
+        return pa.table({
+            "v": pa.array(g["v"].to_numpy(dtype=np.int64)),
+            "event_type": pa.array(g["event_type"].tolist(),
+                                   type=pa.string()),
+            "k": pa.array(g["size"].to_numpy(dtype=np.int64)),
+        })
+
+    j = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["event_type", "value"])
+        .map_batches(cent_partial, batch_format="pyarrow",
+                     batch_size=8192)
+        .groupby(["v", "event_type"]).aggregate(Sum("k", alias_name="k"))
+        .to_pandas()
+    )
+    empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                      "n_type": pa.array([], type=pa.int64()),
+                      "u2": pa.array([], type=pa.int64()),
+                      "z_r": pa.array([], type=pa.float64())})
+    if j.empty:
+        return empty
+    j = j.sort_values("v")
+    per_v = j.groupby("v", sort=True)["k"].sum()
+    c = {int(v): int(k) for v, k in per_v.items()}
+    s, run = {}, 0
+    for v in per_v.index:          # exclusive cumulative (rows below v)
+        s[int(v)] = run
+        run += c[int(v)]
+    N = run
+    T = sum(cv * cv * cv - cv for cv in c.values())
+    stats: dict[str, list[int]] = {}
+    for v, et, k in zip(j["v"].tolist(), j["event_type"].tolist(),
+                        j["k"].tolist()):
+        v, k = int(v), int(k)
+        st = stats.setdefault(et, [0, 0])
+        st[0] += k                              # n_t
+        st[1] += k * (2 * s[v] + c[v] + 1)      # 2·R_t
+    types, n1s, u2s, zs = [], [], [], []
+    for et in sorted(stats):
+        n1, r2 = stats[et]
+        n2 = N - n1
+        u2 = r2 - n1 * (n1 + 1)
+        if n1 * n2 > 0 and (N + 1) * N * (N - 1) - T > 0:
+            var = (float(n1 * n2)
+                   * (float(N + 1) - float(T) / float(N * (N - 1)))
+                   / 12.0)
+            z = round_half_away(
+                float(u2 - n1 * n2) / (2.0 * float(np.sqrt(var))), 4)
+        else:
+            z = None
+        types.append(et)
+        n1s.append(n1)
+        u2s.append(u2)
+        zs.append(z)
+    return pa.table({"event_type": pa.array(types, type=pa.string()),
+                     "n_type": pa.array(n1s, type=pa.int64()),
+                     "u2": pa.array(u2s, type=pa.int64()),
+                     "z_r": pa.array(zs, type=pa.float64())})
+
+
+def sliding_distinct_users(sf_dir: str):
+    """(day_us, n_active_7d): for every day of the calendar-complete
+    event range, how many DISTINCT users had ≥1 event in the trailing
+    7-day window [d−6, d] — the sliding COUNT(DISTINCT) surface.
+    Distinct-over-a-window is NOT decomposable into per-day partials
+    (a user active twice in the window must count once), which is what
+    separates this from sliding_window_events' Sum/Count frames.
+
+    Scale shape: distinct (user, day) via a combiner + composite
+    exchange, then a user co-partition merges each user's sorted
+    active days into coverage intervals [d, d+6] and emits ±1 DELTAS
+    at interval ends (≤2 per merged interval — never one row per
+    covered day); a ≤|days|+6 Sum exchange and a calendar-bounded
+    driver prefix sum finish, exactly the peak_concurrency sweep-line
+    discipline. A separate ≤1-row-per-batch (min, max) pass pins the
+    grid. Pure int64 end-to-end."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    WIN = 7  # trailing window, days
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            "ts": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False),
+        }).dropna()
+        g = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(dtype=np.int64),
+            "day": df["ts"].to_numpy(dtype=np.int64) // DAY_US,
+        }).drop_duplicates()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def delta_kernel(group: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": group["user_id"].to_numpy(zero_copy_only=False),
+            "day": group["day"].to_numpy(zero_copy_only=False),
+        })
+        days_out, deltas = [], []
+        for _, sub in df.groupby("user_id"):
+            days = np.sort(sub["day"].to_numpy(dtype=np.int64))
+            # merge overlapping [d, d+WIN-1] coverage intervals
+            start = prev_end = None
+            for d in days.tolist():
+                if start is None:
+                    start, prev_end = d, d + WIN - 1
+                elif d <= prev_end + 1:
+                    prev_end = d + WIN - 1
+                else:
+                    days_out += [start, prev_end + 1]
+                    deltas += [1, -1]
+                    start, prev_end = d, d + WIN - 1
+            if start is not None:
+                days_out += [start, prev_end + 1]
+                deltas += [1, -1]
+        return pa.table({
+            "day": pa.array(days_out, type=pa.int64()),
+            "delta": pa.array(deltas, type=pa.int64()),
+        })
+
+    ds = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "ts"])
+
+    def bounds_partial(batch: pa.Table) -> pa.Table:
+        ts = (batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+              .drop_null().to_numpy(zero_copy_only=False))
+        if ts.size == 0:
+            return pa.table({"lo": pa.array([], type=pa.int64()),
+                             "hi": pa.array([], type=pa.int64())})
+        d = ts // DAY_US
+        return pa.table({"lo": pa.array([int(d.min())], type=pa.int64()),
+                         "hi": pa.array([int(d.max())], type=pa.int64())})
+
+    b = ds.map_batches(bounds_partial, batch_format="pyarrow",
+                       batch_size=8192).to_pandas()
+    empty = pa.table({"day_us": pa.array([], type=pa.int64()),
+                      "n_active_7d": pa.array([], type=pa.int64())})
+    if b.empty:
+        return empty
+    lo, hi = int(b["lo"].min()), int(b["hi"].max())
+
+    deltas = (
+        ds.map_batches(day_partial, batch_format="pyarrow",
+                       batch_size=8192)
+        .groupby(["user_id", "day"]).aggregate(Count(alias_name="_c"))
+        .groupby("user_id").map_groups(delta_kernel,
+                                       batch_format="pyarrow")
+        .groupby("day").aggregate(Sum("delta", alias_name="delta"))
+        .to_pandas()
+    )
+    if deltas.empty:
+        return empty
+    grid = np.arange(lo, hi + 1, dtype=np.int64)
+    acc = np.zeros(grid.size, dtype=np.int64)
+    dd = deltas["day"].to_numpy(dtype=np.int64) - lo
+    dv = deltas["delta"].to_numpy(dtype=np.int64)
+    keep = (dd >= 0) & (dd < grid.size)   # interval tails past hi drop
+    np.add.at(acc, dd[keep], dv[keep])
+    level = np.cumsum(acc)
+    return pa.table({"day_us": pa.array(grid * DAY_US),
+                     "n_active_7d": pa.array(level)})
+
+
+def ema_daily_value(sf_dir: str):
+    """(day_us, daily_value, ema_r): exponential moving average
+    (α = 0.2) of the daily total event value over the
+    calendar-complete, zero-filled day series — the ordered
+    linear-recurrence / exponential-smoothing surface (every other
+    window entry is frame-decomposable; EMA's state threads through
+    EVERY prior row). ema_1 = x_1, ema_d = 0.2·x_d + 0.8·ema_{d−1};
+    the oracle is the identical recurrence as a recursive CTE, so
+    both sides execute the same IEEE multiply/add sequence on the
+    same doubles (x = exact summed cents / 100.0) — bit-identical
+    before the final 4-dp publish round.
+
+    Scale shape: per-day cent sums are a map-side partial pass plus
+    one ≤|days| Sum exchange; the recurrence itself runs on the
+    driver over the CALENDAR-BOUNDED frame (thousands of rows for
+    decades of data) — inherently sequential state over a bounded
+    series is driver-scan-shaped by design; were the series
+    unbounded, the affine maps e→0.8e+0.2x compose per partition for
+    a two-pass distributed prefix, documented not needed here."""
+    from ray.data.aggregate import Sum
+
+    def cent_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({
+            "ts": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "value": batch["value"].to_numpy(zero_copy_only=False),
+        }).dropna()
+        d = (df["ts"].to_numpy(dtype=np.int64) // DAY_US) * DAY_US
+        cents = _cents_i64(df["value"].to_numpy())
+        g = pd.DataFrame({"d": d, "cents": cents}).groupby(
+            "d", as_index=False)["cents"].sum()
+        return pa.table({"d": pa.array(g["d"].to_numpy(dtype=np.int64)),
+                         "cents": pa.array(g["cents"]
+                                           .to_numpy(dtype=np.int64))})
+
+    daily = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["ts", "value"])
+        .map_batches(cent_partial, batch_format="pyarrow",
+                     batch_size=8192)
+        .groupby("d").aggregate(Sum("cents", alias_name="cents"))
+        .to_pandas()
+    )
+    if daily.empty:
+        return pa.table({"day_us": pa.array([], type=pa.int64()),
+                         "daily_value": pa.array([], type=pa.float64()),
+                         "ema_r": pa.array([], type=pa.float64())})
+    daily = daily.sort_values("d")
+    days = np.arange(int(daily["d"].min()),
+                     int(daily["d"].max()) + DAY_US, DAY_US,
+                     dtype=np.int64)
+    cents = np.zeros(days.size, dtype=np.int64)
+    cents[(daily["d"].to_numpy(dtype=np.int64) - days[0]) // DAY_US] = (
+        daily["cents"].to_numpy(dtype=np.int64))
+    x = [float(cv) / 100.0 for cv in cents.tolist()]
+    emas, ema = [], None
+    for xi in x:
+        ema = xi if ema is None else 0.2 * xi + 0.8 * ema
+        emas.append(round_half_away(ema, 4))
+    return pa.table({"day_us": pa.array(days),
+                     "daily_value": pa.array(x, type=pa.float64()),
+                     "ema_r": pa.array(emas, type=pa.float64())})
+
+
+def spearman_corr(sf_dir: str):
+    """(n_events, rho_r): Spearman rank correlation between event
+    VALUE and HOUR-OF-DAY — the rank-correlation surface (is spend
+    ordinally associated with time of day?). ρ = Pearson over
+    average ranks; both rank vectors double to exact integers
+    (2·rank(v) = 2s_v + c_v + 1 from the cumulative histogram), and
+    ρ is invariant to that ×2 (the scale factor cancels through
+    numerator and √denominator as exact powers of two). All six Σ
+    terms fold from the JOINT (cent, hour) histogram — Σ f(x)g(y) =
+    Σ_{v,h} k_vh·f(v)·g(h) — as Python ints; the ONLY float is the
+    final textbook expression, token-identical on both sides, 4 dp;
+    zero-variance sides publish NULL via exact-integer guards.
+
+    Scale shape: one map-side (cent, hour) count partial pass, one
+    composite Sum exchange, driver fold over a frame bounded by the
+    quantized value domain × 24 — independent of row count. No sort,
+    no per-row ranks, no second pass."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    HOUR_US = 3_600_000_000
+
+    def joint_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "ts": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "value": batch["value"].to_numpy(zero_copy_only=False),
+        }).dropna()
+        g = pd.DataFrame({
+            "v": _cents_i64(df["value"].to_numpy()),
+            "h": (df["ts"].to_numpy(dtype=np.int64) // HOUR_US) % 24,
+        }).groupby(["v", "h"], as_index=False).size()
+        return pa.table({
+            "v": pa.array(g["v"].to_numpy(dtype=np.int64)),
+            "h": pa.array(g["h"].to_numpy(dtype=np.int64)),
+            "k": pa.array(g["size"].to_numpy(dtype=np.int64)),
+        })
+
+    j = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["ts", "value"])
+        .map_batches(joint_partial, batch_format="pyarrow",
+                     batch_size=8192)
+        .groupby(["v", "h"]).aggregate(Sum("k", alias_name="k"))
+        .to_pandas()
+    )
+    if j.empty:
+        return pa.table({"n_events": pa.array([], type=pa.int64()),
+                         "rho_r": pa.array([], type=pa.float64())})
+
+    def doubled_ranks(col: str) -> dict[int, int]:
+        per = j.groupby(col, sort=True)["k"].sum()
+        out, run = {}, 0
+        for key, cnt in per.items():
+            out[int(key)] = 2 * run + int(cnt) + 1
+            run += int(cnt)
+        return out
+
+    rx, ry = doubled_ranks("v"), doubled_ranks("h")
+    n = sx = sy = sxy = sxx = syy = 0
+    for v, h, k in zip(j["v"].tolist(), j["h"].tolist(),
+                       j["k"].tolist()):
+        k, a, b = int(k), rx[int(v)], ry[int(h)]
+        n += k
+        sx += k * a
+        sy += k * b
+        sxy += k * a * b
+        sxx += k * a * a
+        syy += k * b * b
+    f1 = n * sxx - sx * sx
+    f2 = n * syy - sy * sy
+    if f1 <= 0 or f2 <= 0:
+        rho = None
+    else:
+        rho = round_half_away(
+            float(n * sxy - sx * sy)
+            / float(np.sqrt(float(f1) * float(f2))), 4)
+    return pa.table({"n_events": pa.array([n], type=pa.int64()),
+                     "rho_r": pa.array([rho], type=pa.float64())})

@@ -5812,3 +5812,177 @@ class TestGiniActivity:
         want = round((2 * iw - (n + 1) * tot) / (n * tot), 4)
         assert got["n_users"].iloc[0] == 4
         assert got["gini_r"].iloc[0] == want
+
+
+class TestMannWhitneyValue:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import mannwhitney_value
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["event_type", "value"]).to_pandas()
+        ev = ev.dropna()
+        cents = np.copysign(np.floor(np.abs(ev["value"].to_numpy() * 100.0)
+                                     + 0.5), ev["value"].to_numpy())
+        ranks = pd.Series(cents).rank(method="average")
+        got = mannwhitney_value(SF).to_pandas()
+        N = len(ev)
+        T = sum(c ** 3 - c for c in
+                pd.Series(cents).value_counts().tolist())
+        for _, r in got.iterrows():
+            m = (ev["event_type"] == r["event_type"]).to_numpy()
+            n1 = int(m.sum())
+            R = float(ranks[m].sum())
+            u = R - n1 * (n1 + 1) / 2.0
+            assert r["n_type"] == n1
+            assert r["u2"] == int(round(2 * u))
+            n2 = N - n1
+            var = n1 * n2 / 12.0 * ((N + 1) - T / (N * (N - 1)))
+            z = (u - n1 * n2 / 2.0) / np.sqrt(var)
+            assert abs(r["z_r"] - z) < 5e-4
+        assert len(got) == ev["event_type"].nunique()
+
+    def test_planted_separated_and_tied(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import mannwhitney_value
+
+        t = pd.Timestamp("2024-01-01")
+        # 'a' strictly below 'b': U_a = 0, U_b = 9
+        df = pd.DataFrame({
+            "ts": t, "user_id": 1,
+            "event_type": list("aaabbb"),
+            "value": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]})
+        df.to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = mannwhitney_value(str(tmp_path)).to_pandas()
+        byt = got.set_index("event_type")
+        assert byt.loc["a", "u2"] == 0
+        assert byt.loc["b", "u2"] == 18
+        assert byt.loc["a", "z_r"] == -byt.loc["b", "z_r"]
+        # all values tied -> zero variance -> z NULL, u2 still exact
+        df["value"] = 7.0
+        df.to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = mannwhitney_value(str(tmp_path)).to_pandas()
+        assert got["z_r"].isna().all()
+        # avg rank 3.5 each: 2R = 3*7 = 21, u2 = 21 - 3*4 = 9 per type
+        assert (got["u2"] == 9).all()
+        # single type -> empty rest -> z NULL
+        df["event_type"] = "a"
+        df.to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = mannwhitney_value(str(tmp_path)).to_pandas()
+        assert len(got) == 1 and got["z_r"].isna().all()
+
+
+class TestSlidingDistinctUsers:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            DAY_US, sliding_distinct_users)
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["user_id", "ts"]).to_pandas().dropna()
+        day = ev["ts"].astype("int64") // DAY_US
+        pairs = pd.DataFrame({"u": ev["user_id"], "d": day}
+                             ).drop_duplicates()
+        got = sliding_distinct_users(SF).to_pandas()
+        lo, hi = int(day.min()), int(day.max())
+        assert len(got) == hi - lo + 1
+        for _, r in got.iterrows():
+            g = r["day_us"] // DAY_US
+            want = pairs[(pairs["d"] >= g - 6) & (pairs["d"] <= g)][
+                "u"].nunique()
+            assert r["n_active_7d"] == want
+
+    def test_planted_window_merge(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import (
+            DAY_US, sliding_distinct_users)
+
+        t0 = pd.Timestamp("1970-01-01")
+        # user 1 on days 0 and 3 (coverage merges to [0, 9]);
+        # user 2 on day 10 only
+        rows = [(t0, 1), (t0 + pd.Timedelta(days=3), 1),
+                (t0 + pd.Timedelta(days=10), 2)]
+        pd.DataFrame({"ts": [r[0] for r in rows],
+                      "user_id": [r[1] for r in rows],
+                      "event_type": "e", "value": 0.0}).to_parquet(
+            f"{tmp_path}/events.parquet", index=False)
+        got = sliding_distinct_users(str(tmp_path)).to_pandas()
+        lvl = got.set_index(got["day_us"] // DAY_US)["n_active_7d"]
+        assert len(got) == 11
+        for d in range(10):
+            assert lvl[d] == 1, d     # user 1 covers days 0..9
+        assert lvl[10] == 1           # only user 2 (user 1 expired)
+
+
+class TestEmaDailyValue:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            DAY_US, ema_daily_value)
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["ts", "value"]).to_pandas().dropna()
+        day = (ev["ts"].astype("int64") // DAY_US) * DAY_US
+        cents = np.copysign(np.floor(np.abs(ev["value"].to_numpy()
+                                            * 100.0) + 0.5),
+                            ev["value"].to_numpy()).astype(np.int64)
+        per = pd.Series(cents).groupby(day.to_numpy()).sum()
+        got = ema_daily_value(SF).to_pandas()
+        ema = None
+        for _, r in got.iterrows():
+            x = int(per.get(r["day_us"], 0)) / 100.0
+            assert r["daily_value"] == x
+            ema = x if ema is None else 0.2 * x + 0.8 * ema
+            assert abs(r["ema_r"] - ema) < 5e-5
+
+    def test_planted_zero_fill(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import ema_daily_value
+
+        t0 = pd.Timestamp("1970-01-01")
+        # day 0: 100.0, day 1: ABSENT (zero-filled), day 2: 50.0
+        pd.DataFrame({"ts": [t0, t0 + pd.Timedelta(days=2)],
+                      "user_id": 1, "event_type": "e",
+                      "value": [100.0, 50.0]}).to_parquet(
+            f"{tmp_path}/events.parquet", index=False)
+        got = ema_daily_value(str(tmp_path)).to_pandas()
+        assert got["daily_value"].tolist() == [100.0, 0.0, 50.0]
+        assert got["ema_r"].tolist() == [100.0, 80.0, 74.0]
+
+
+class TestSpearmanCorr:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import spearman_corr
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["ts", "value"]).to_pandas().dropna()
+        cents = np.copysign(np.floor(np.abs(ev["value"].to_numpy()
+                                            * 100.0) + 0.5),
+                            ev["value"].to_numpy())
+        hour = (ev["ts"].astype("int64") // 3_600_000_000) % 24
+        rx = pd.Series(cents).rank(method="average").to_numpy()
+        ry = pd.Series(hour.to_numpy()).rank(method="average").to_numpy()
+        want = np.corrcoef(rx, ry)[0, 1]
+        got = spearman_corr(SF).to_pandas()
+        assert got["n_events"].iloc[0] == len(ev)
+        assert abs(got["rho_r"].iloc[0] - want) < 5e-4
+
+    def test_planted_monotone_and_constant(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import spearman_corr
+
+        t0 = pd.Timestamp("1970-01-01")
+        hrs = [t0 + pd.Timedelta(hours=h) for h in range(6)]
+        # value strictly increasing with hour -> rho exactly 1
+        pd.DataFrame({"ts": hrs, "user_id": 1, "event_type": "e",
+                      "value": [float(h + 1) for h in range(6)]}
+                     ).to_parquet(f"{tmp_path}/events.parquet",
+                                  index=False)
+        got = spearman_corr(str(tmp_path)).to_pandas()
+        assert got["rho_r"].iloc[0] == 1.0
+        # strictly decreasing -> -1
+        pd.DataFrame({"ts": hrs, "user_id": 1, "event_type": "e",
+                      "value": [float(6 - h) for h in range(6)]}
+                     ).to_parquet(f"{tmp_path}/events.parquet",
+                                  index=False)
+        got = spearman_corr(str(tmp_path)).to_pandas()
+        assert got["rho_r"].iloc[0] == -1.0
+        # constant value -> zero variance -> NULL
+        pd.DataFrame({"ts": hrs, "user_id": 1, "event_type": "e",
+                      "value": 3.0}).to_parquet(
+            f"{tmp_path}/events.parquet", index=False)
+        got = spearman_corr(str(tmp_path)).to_pandas()
+        assert got["rho_r"].isna().all()
