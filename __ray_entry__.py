@@ -515,6 +515,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # histogram exchange — exact-int Σ terms, one mirrored float
         # (oracle: the same rank algebra in SQL windows; r4)
         "spearman_corr": relational.spearman_corr,
+        # ECDF-extremum test: one-vs-rest Kolmogorov–Smirnov D over
+        # the same (cent, type) histogram exchange — exact integer
+        # numerator max, one 4-dp division (oracle: windowed per-type
+        # cumulative grid + the identical |..| max; r4)
+        "ks_test_value": relational.ks_test_value,
+        # lead-lag diagnostics: Pearson cross-correlation of the
+        # click-vs-purchase daily series at lags −3…+3 over the joint
+        # zero-filled calendar — exact int64 Σ terms per lag (oracle:
+        # lag-offset self-join per lag; r4)
+        "cross_corr_types": relational.cross_corr_types,
+        # structural-break detection: exact-integer CUSUM peak over
+        # the zero-filled daily count series, earliest-day argmax
+        # tiebreak (oracle: running-sum window + argmax; r4)
+        "cusum_changepoint": relational.cusum_changepoint,
+        # forensic digit audit: first-significant-digit distribution
+        # of positive cent values vs Benford's law — ≤9-key exchange
+        # (oracle: leading-char digit extraction; r4)
+        "benford_values": relational.benford_values,
         # JSON schema-on-read: aggregate over a value extracted from the
         # semi-structured props bag — TRY_CAST(json_extract) semantics,
         # int64 partials per type (oracle: DuckDB json functions; r4)
@@ -2991,6 +3009,116 @@ SELECT CAST(n AS BIGINT) AS n_events,
                               * CAST(n * syy - sy * sy AS DOUBLE)), 4)
             END AS rho_r
 FROM s WHERE n > 0""",
+        # per-type cumulative at EVERY support point (types × support
+        # grid), exact integer KS numerator, max is order-independent
+        "ks_test_value": """
+WITH d AS (SELECT event_type, CAST(round(value * 100) AS HUGEINT) AS v
+           FROM events
+           WHERE event_type IS NOT NULL AND value IS NOT NULL),
+ j AS (SELECT event_type, v, CAST(count(*) AS HUGEINT) AS k
+       FROM d GROUP BY 1, 2),
+ c AS (SELECT v, CAST(sum(k) AS HUGEINT) AS c FROM j GROUP BY v),
+ nn AS (SELECT CAST(sum(c) AS HUGEINT) AS n FROM c),
+ ty AS (SELECT event_type, CAST(sum(k) AS HUGEINT) AS n1
+        FROM j GROUP BY 1),
+ grid AS (SELECT ty.event_type, ty.n1, c.v, c.c AS call FROM ty
+          CROSS JOIN c),
+ tc AS (SELECT g.event_type, g.n1, g.v,
+               CAST(sum(coalesce(j.k, 0)) OVER (
+                 PARTITION BY g.event_type ORDER BY g.v)
+                 AS HUGEINT) AS cumt,
+               CAST(sum(g.call) OVER (
+                 PARTITION BY g.event_type ORDER BY g.v)
+                 AS HUGEINT) AS cumall
+        FROM grid g LEFT JOIN j ON j.event_type = g.event_type
+                               AND j.v = g.v),
+ m AS (SELECT tc.event_type, tc.n1,
+              CAST(max(abs(tc.cumt * (nn.n - tc.n1)
+                           - (tc.cumall - tc.cumt) * tc.n1))
+                AS HUGEINT) AS d_num
+       FROM tc CROSS JOIN nn GROUP BY 1, 2)
+SELECT m.event_type, CAST(m.n1 AS BIGINT) AS n_type,
+       CAST(m.d_num AS BIGINT) AS d_num,
+       CASE WHEN m.n1 * (nn.n - m.n1) > 0
+            THEN round(CAST(m.d_num AS DOUBLE)
+                       / CAST(m.n1 * (nn.n - m.n1) AS DOUBLE), 4)
+            ELSE NULL END AS d_r
+FROM m CROSS JOIN nn ORDER BY m.event_type""",
+        # zero-filled joint calendar, one lag-offset self-join per lag
+        # via the lags scaffold; the corr expression is the engine's
+        "cross_corr_types": """
+WITH c AS (SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS d,
+                  event_type, CAST(count(*) AS BIGINT) AS n
+           FROM events
+           WHERE event_type IN ('click', 'purchase') AND ts IS NOT NULL
+           GROUP BY 1, 2),
+ b AS (SELECT min(d) AS lo, max(d) AS hi FROM c),
+ g AS (SELECT CAST(t.h AS BIGINT) AS d
+       FROM b, LATERAL unnest(range(lo, hi + 86400000000,
+                                    86400000000)) AS t(h)),
+ f AS (SELECT g.d,
+              CAST(coalesce(x.n, 0) AS BIGINT) AS x,
+              CAST(coalesce(y.n, 0) AS BIGINT) AS y
+       FROM g LEFT JOIN c x ON x.d = g.d AND x.event_type = 'click'
+              LEFT JOIN c y ON y.d = g.d AND y.event_type = 'purchase'),
+ lags AS (SELECT CAST(t.l AS BIGINT) AS lag
+          FROM LATERAL unnest(range(-3, 4)) AS t(l)),
+ p AS (SELECT lags.lag, f.x AS x, f2.y AS y
+       FROM lags CROSS JOIN f
+       JOIN f f2 ON f2.d = f.d + lags.lag * 86400000000),
+ s AS (SELECT lag, CAST(count(*) AS BIGINT) AS m,
+              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+              CAST(sum(x * y) AS BIGINT) AS sxy,
+              CAST(sum(x * x) AS BIGINT) AS sxx,
+              CAST(sum(y * y) AS BIGINT) AS syy
+       FROM p GROUP BY lag)
+SELECT lags.lag, CAST(coalesce(s.m, 0) AS BIGINT) AS n_pairs,
+       CASE WHEN s.m IS NULL OR (s.m * s.sxx - s.sx * s.sx)
+                 * (s.m * s.syy - s.sy * s.sy) <= 0 THEN NULL
+            ELSE round((s.m * s.sxy - s.sx * s.sy)
+                       / sqrt(CAST((s.m * s.sxx - s.sx * s.sx)
+                                   * (s.m * s.syy - s.sy * s.sy)
+                                   AS DOUBLE)), 4) END AS xcorr_r
+FROM lags LEFT JOIN s USING (lag) ORDER BY lags.lag""",
+        # exact D·cum − i·S integer CUSUM; earliest-day argmax via
+        # ORDER BY peak DESC, day ASC LIMIT 1
+        "cusum_changepoint": """
+WITH c AS (SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS d,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events WHERE ts IS NOT NULL GROUP BY 1),
+ b AS (SELECT min(d) AS lo, max(d) AS hi FROM c),
+ g AS (SELECT CAST(t.h AS BIGINT) AS d
+       FROM b, LATERAL unnest(range(lo, hi + 86400000000,
+                                    86400000000)) AS t(h)),
+ f AS (SELECT g.d, CAST(coalesce(c.n, 0) AS HUGEINT) AS n
+       FROM g LEFT JOIN c USING (d)),
+ t AS (SELECT CAST(count(*) AS HUGEINT) AS dd,
+              CAST(sum(n) AS HUGEINT) AS s FROM f),
+ w AS (SELECT f.d,
+              CAST(sum(f.n) OVER (ORDER BY f.d) AS HUGEINT) AS cum,
+              CAST(row_number() OVER (ORDER BY f.d) AS HUGEINT) AS i
+       FROM f)
+SELECT CAST(t.dd AS BIGINT) AS n_days,
+       w.d AS change_day_us,
+       CAST(abs(t.dd * w.cum - w.i * t.s) AS BIGINT) AS peak_num,
+       round(CAST(abs(t.dd * w.cum - w.i * t.s) AS DOUBLE)
+             / CAST(t.dd AS DOUBLE), 4) AS peak_r
+FROM w CROSS JOIN t
+ORDER BY abs(t.dd * w.cum - w.i * t.s) DESC, w.d ASC LIMIT 1""",
+        # leading decimal digit of the positive cent value by string
+        # head; Benford expectation from identical small doubles
+        "benford_values": """
+WITH d AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events WHERE value IS NOT NULL),
+ p AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+              AS digit
+       FROM d WHERE cents > 0),
+ g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1),
+ t AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM g)
+SELECT g.digit, g.n,
+       round(CAST(g.n AS DOUBLE) / CAST(t.nn AS DOUBLE), 4) AS pct_r,
+       round(log10(1.0 + 1.0 / CAST(g.digit AS DOUBLE)), 4) AS benford_r
+FROM g CROSS JOIN t ORDER BY g.digit""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -6998,3 +6998,293 @@ def spearman_corr(sf_dir: str):
             / float(np.sqrt(float(f1) * float(f2))), 4)
     return pa.table({"n_events": pa.array([n], type=pa.int64()),
                      "rho_r": pa.array([rho], type=pa.float64())})
+
+
+def ks_test_value(sf_dir: str):
+    """(event_type, n_type, d_num, d_r): two-sample Kolmogorov–Smirnov
+    statistic of each event type's value distribution vs ALL OTHER
+    types — the ECDF-extremum test surface (mannwhitney_value asks
+    "is one sample shifted?"; KS asks "do the distributions differ
+    ANYWHERE?"). D = max_v |F_t(v) − F_rest(v)|; the maximum occurs at
+    histogram support points, and each candidate is EXACT:
+    d_num(v) = |cum_t(v)·n₂ − (cum(v) − cum_t(v))·n₁| with
+    D = d_num / (n₁·n₂). d_num publishes as an exact integer; the
+    division is the ONLY float, 4 dp; an empty rest side publishes
+    NULL via the integer guard.
+
+    Scale shape: the same single (cent, type) histogram exchange as
+    mannwhitney_value; the driver walks the domain-bounded frame once
+    per type (|domain| × |types| candidates, independent of row
+    count) with Python-int accumulators."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def cent_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_numpy(
+                zero_copy_only=False),
+            "value": batch["value"].to_numpy(zero_copy_only=False),
+        }).dropna()
+        g = (pd.DataFrame({"v": _cents_i64(df["value"].to_numpy()),
+                           "event_type": df["event_type"].to_numpy()})
+             .groupby(["v", "event_type"], as_index=False).size())
+        return pa.table({
+            "v": pa.array(g["v"].to_numpy(dtype=np.int64)),
+            "event_type": pa.array(g["event_type"].tolist(),
+                                   type=pa.string()),
+            "k": pa.array(g["size"].to_numpy(dtype=np.int64)),
+        })
+
+    j = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["event_type", "value"])
+        .map_batches(cent_partial, batch_format="pyarrow",
+                     batch_size=8192)
+        .groupby(["v", "event_type"]).aggregate(Sum("k", alias_name="k"))
+        .to_pandas()
+    )
+    empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                      "n_type": pa.array([], type=pa.int64()),
+                      "d_num": pa.array([], type=pa.int64()),
+                      "d_r": pa.array([], type=pa.float64())})
+    if j.empty:
+        return empty
+    support = sorted(int(v) for v in j["v"].unique())
+    call = {v: 0 for v in support}
+    per_type: dict[str, dict[int, int]] = {}
+    for v, et, k in zip(j["v"].tolist(), j["event_type"].tolist(),
+                        j["k"].tolist()):
+        v, k = int(v), int(k)
+        call[v] += k
+        per_type.setdefault(et, {})[v] = k
+    N = sum(call.values())
+    types, n1s, dnums, drs = [], [], [], []
+    for et in sorted(per_type):
+        hist = per_type[et]
+        n1 = sum(hist.values())
+        n2 = N - n1
+        cum = cumt = best = 0
+        for v in support:
+            cum += call[v]
+            cumt += hist.get(v, 0)
+            cand = abs(cumt * n2 - (cum - cumt) * n1)
+            if cand > best:
+                best = cand
+        types.append(et)
+        n1s.append(n1)
+        dnums.append(best)
+        drs.append(round_half_away(float(best) / float(n1 * n2), 4)
+                   if n1 * n2 > 0 else None)
+    return pa.table({"event_type": pa.array(types, type=pa.string()),
+                     "n_type": pa.array(n1s, type=pa.int64()),
+                     "d_num": pa.array(dnums, type=pa.int64()),
+                     "d_r": pa.array(drs, type=pa.float64())})
+
+
+def cross_corr_types(sf_dir: str):
+    """(lag, n_pairs, xcorr_r): lead-lag Pearson cross-correlation
+    between the daily 'click' count series and the daily 'purchase'
+    count series at lags −3…+3 days — the LEAD-LAG diagnostics
+    surface extending events_autocorr's single-series lag-1 to two
+    series and a lag sweep (do clicks today predict purchases in L
+    days?). Both series are zero-filled over the JOINT calendar range;
+    at lag L the D−|L| aligned pairs (x_d, y_{d+L}) contribute five
+    EXACT int64 Σ terms; the textbook expression is the only float,
+    token-identical on both sides, 4 dp; degenerate variance (either
+    side constant over the window) publishes NULL.
+
+    Scale shape: one map-side (day, type) count partial pass over the
+    two gated types, a ≤|days|·2 Sum exchange, then 7 lag evaluations
+    over the calendar-bounded frame on the driver."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    X_TYPE, Y_TYPE = "click", "purchase"
+    MAX_LAG = 3
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_numpy(
+                zero_copy_only=False),
+            "ts": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False),
+        }).dropna()
+        df = df[df["event_type"].isin([X_TYPE, Y_TYPE])]
+        g = (pd.DataFrame({
+            "d": (df["ts"].to_numpy(dtype=np.int64) // DAY_US) * DAY_US,
+            "event_type": df["event_type"].to_numpy()})
+            .groupby(["d", "event_type"], as_index=False).size())
+        return pa.table({
+            "d": pa.array(g["d"].to_numpy(dtype=np.int64)),
+            "event_type": pa.array(g["event_type"].tolist(),
+                                   type=pa.string()),
+            "n": pa.array(g["size"].to_numpy(dtype=np.int64)),
+        })
+
+    daily = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["event_type", "ts"])
+        .map_batches(day_partial, batch_format="pyarrow",
+                     batch_size=8192)
+        .groupby(["d", "event_type"]).aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    empty = pa.table({"lag": pa.array([], type=pa.int64()),
+                      "n_pairs": pa.array([], type=pa.int64()),
+                      "xcorr_r": pa.array([], type=pa.float64())})
+    if daily.empty:
+        return empty
+    lo, hi = int(daily["d"].min()), int(daily["d"].max())
+    days = np.arange(lo, hi + DAY_US, DAY_US, dtype=np.int64)
+    x = np.zeros(days.size, dtype=np.int64)
+    y = np.zeros(days.size, dtype=np.int64)
+    for d, et, n in zip(daily["d"].tolist(),
+                        daily["event_type"].tolist(),
+                        daily["n"].tolist()):
+        i = (int(d) - lo) // DAY_US
+        if et == X_TYPE:
+            x[i] = int(n)
+        else:
+            y[i] = int(n)
+    lags, npairs, rs = [], [], []
+    for L in range(-MAX_LAG, MAX_LAG + 1):
+        if L >= 0:
+            a, b = x[:days.size - L] if L else x, y[L:]
+        else:
+            a, b = x[-L:], y[:days.size + L]
+        lags.append(L)
+        m = int(a.size)
+        npairs.append(m)
+        if m == 0:
+            rs.append(None)
+            continue
+        sx, sy = int(a.sum()), int(b.sum())
+        sxy = int((a * b).sum())
+        sxx, syy = int((a * a).sum()), int((b * b).sum())
+        den2 = (m * sxx - sx * sx) * (m * syy - sy * sy)
+        rs.append(round_half_away(
+            float(m * sxy - sx * sy) / float(np.sqrt(float(den2))), 4)
+            if den2 > 0 else None)
+    return pa.table({"lag": pa.array(lags, type=pa.int64()),
+                     "n_pairs": pa.array(npairs, type=pa.int64()),
+                     "xcorr_r": pa.array(rs, type=pa.float64())})
+
+
+def cusum_changepoint(sf_dir: str):
+    """(n_days, change_day_us, peak_num, peak_r): CUSUM changepoint
+    detection over the zero-filled daily event-count series — the
+    structural-break surface (when did the level shift?). The CUSUM
+    at day index i (1-based) is C_i = cum_i − i·S/D; scaling by D
+    keeps it EXACT: peak_num = max_i |D·cum_i − i·S| (an exact
+    integer), the changepoint is the EARLIEST day attaining it, and
+    peak_r = peak_num / D is the one float (the actual max |C_i|),
+    4 dp. Single-day series: C_1 = 0 by construction (peak 0).
+
+    Scale shape: one map-side day-count partial pass, a ≤|days| Sum
+    exchange, one calendar-bounded driver scan — the argmax is
+    order-independent integer comparison with the earliest-day
+    tiebreak, so no global sort anywhere."""
+    from ray.data.aggregate import Sum
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        ts = (batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+              .drop_null().to_numpy(zero_copy_only=False))
+        vals, counts = np.unique((ts // DAY_US) * DAY_US,
+                                 return_counts=True)
+        return pa.table({"d": pa.array(vals.astype(np.int64)),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    daily = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["ts"])
+        .map_batches(day_partial, batch_format="pyarrow",
+                     batch_size=8192)
+        .groupby("d").aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    if daily.empty:
+        return pa.table({"n_days": pa.array([], type=pa.int64()),
+                         "change_day_us": pa.array([], type=pa.int64()),
+                         "peak_num": pa.array([], type=pa.int64()),
+                         "peak_r": pa.array([], type=pa.float64())})
+    daily = daily.sort_values("d")
+    days = np.arange(int(daily["d"].min()),
+                     int(daily["d"].max()) + DAY_US, DAY_US,
+                     dtype=np.int64)
+    cnt = np.zeros(days.size, dtype=np.int64)
+    cnt[(daily["d"].to_numpy(dtype=np.int64) - days[0]) // DAY_US] = (
+        daily["n"].to_numpy(dtype=np.int64))
+    D = int(days.size)
+    S = int(cnt.sum())
+    cum = best = 0
+    best_day = int(days[0])
+    for i, n in enumerate(cnt.tolist(), start=1):
+        cum += int(n)
+        cand = abs(D * cum - i * S)
+        if cand > best:
+            best = cand
+            best_day = int(days[i - 1])
+    return pa.table({
+        "n_days": pa.array([D], type=pa.int64()),
+        "change_day_us": pa.array([best_day], type=pa.int64()),
+        "peak_num": pa.array([best], type=pa.int64()),
+        "peak_r": pa.array([round_half_away(float(best) / float(D), 4)],
+                           type=pa.float64()),
+    })
+
+
+def benford_values(sf_dir: str):
+    """(digit, n, pct_r, benford_r): first-significant-digit
+    distribution of the (positive) cent-quantized values against
+    Benford's law — the forensic data-quality audit surface. The
+    leading digit extracts by pure integer division (d //= 10 until
+    d < 10, vectorized); counts are exact; pct_r = n/N and
+    benford_r = log10(1 + 1/digit) are the two mirrored floats, 4 dp.
+    Zero and negative cents drop on both sides (no leading digit).
+
+    Scale shape: per-batch digit counts → one ≤9-key Sum exchange;
+    the Benford expectation evaluates per digit from identical small
+    doubles on both sides."""
+    import math
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def digit_partial(batch: pa.Table) -> pa.Table:
+        v = pd.Series(batch["value"].to_numpy(
+            zero_copy_only=False)).dropna().to_numpy()
+        cents = _cents_i64(v)
+        cents = cents[cents > 0]
+        while cents.size and int(cents.max()) >= 10:
+            big = cents >= 10
+            cents = np.where(big, cents // 10, cents)
+        vals, counts = np.unique(cents, return_counts=True)
+        return pa.table({"digit": pa.array(vals.astype(np.int64)),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    g = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["value"])
+        .map_batches(digit_partial, batch_format="pyarrow",
+                     batch_size=8192)
+        .groupby("digit").aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    if g.empty:
+        return pa.table({"digit": pa.array([], type=pa.int64()),
+                         "n": pa.array([], type=pa.int64()),
+                         "pct_r": pa.array([], type=pa.float64()),
+                         "benford_r": pa.array([], type=pa.float64())})
+    g = g.sort_values("digit")
+    N = int(g["n"].sum())
+    digits = [int(d) for d in g["digit"].tolist()]
+    ns = [int(n) for n in g["n"].tolist()]
+    return pa.table({
+        "digit": pa.array(digits, type=pa.int64()),
+        "n": pa.array(ns, type=pa.int64()),
+        "pct_r": pa.array([round_half_away(float(n) / float(N), 4)
+                           for n in ns], type=pa.float64()),
+        "benford_r": pa.array(
+            [round_half_away(math.log10(1.0 + 1.0 / float(d)), 4)
+             for d in digits], type=pa.float64()),
+    })

@@ -5986,3 +5986,166 @@ class TestSpearmanCorr:
             f"{tmp_path}/events.parquet", index=False)
         got = spearman_corr(str(tmp_path)).to_pandas()
         assert got["rho_r"].isna().all()
+
+
+class TestKsTestValue:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import ks_test_value
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["event_type", "value"]).to_pandas()
+        ev = ev.dropna()
+        cents = np.copysign(np.floor(np.abs(ev["value"].to_numpy()
+                                            * 100.0) + 0.5),
+                            ev["value"].to_numpy()).astype(np.int64)
+        got = ks_test_value(SF).to_pandas()
+        support = np.unique(cents)
+        N = len(ev)
+        for _, r in got.iterrows():
+            m = (ev["event_type"] == r["event_type"]).to_numpy()
+            n1, n2 = int(m.sum()), N - int(m.sum())
+            cumt = np.searchsorted(np.sort(cents[m]), support, "right")
+            cum = np.searchsorted(np.sort(cents), support, "right")
+            d_num = int(np.max(np.abs(cumt * n2 - (cum - cumt) * n1)))
+            assert r["n_type"] == n1
+            assert r["d_num"] == d_num
+            assert abs(r["d_r"] - d_num / (n1 * n2)) < 5e-5
+        assert len(got) == ev["event_type"].nunique()
+
+    def test_planted_disjoint(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import ks_test_value
+
+        t = pd.Timestamp("2024-01-01")
+        # 'a' entirely below 'b' -> D = 1.0 exactly
+        pd.DataFrame({"ts": t, "user_id": 1,
+                      "event_type": list("aabb"),
+                      "value": [1.0, 2.0, 3.0, 4.0]}).to_parquet(
+            f"{tmp_path}/events.parquet", index=False)
+        got = ks_test_value(str(tmp_path)).to_pandas().set_index(
+            "event_type")
+        assert got.loc["a", "d_num"] == 4 and got.loc["a", "d_r"] == 1.0
+        assert got.loc["b", "d_num"] == 4 and got.loc["b", "d_r"] == 1.0
+        # identical distributions -> D = 0
+        pd.DataFrame({"ts": t, "user_id": 1,
+                      "event_type": list("abab"),
+                      "value": [5.0, 5.0, 6.0, 6.0]}).to_parquet(
+            f"{tmp_path}/events.parquet", index=False)
+        got = ks_test_value(str(tmp_path)).to_pandas()
+        assert (got["d_num"] == 0).all() and (got["d_r"] == 0.0).all()
+
+
+class TestCrossCorrTypes:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            DAY_US, cross_corr_types)
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["event_type", "ts"]).to_pandas()
+        ev = ev.dropna()
+        ev = ev[ev["event_type"].isin(["click", "purchase"])]
+        day = ev["ts"].astype("int64") // DAY_US
+        lo, hi = int(day.min()), int(day.max())
+        size = hi - lo + 1
+        x = np.zeros(size, dtype=np.int64)
+        y = np.zeros(size, dtype=np.int64)
+        for (d, et), n in ev.groupby([day, "event_type"]).size().items():
+            (x if et == "click" else y)[int(d) - lo] = n
+        got = cross_corr_types(SF).to_pandas().set_index("lag")
+        for L in range(-3, 4):
+            a = x[:size - L] if L > 0 else x[-L:]
+            b = y[L:] if L > 0 else y[:size + L] if L < 0 else y
+            assert got.loc[L, "n_pairs"] == a.size
+            if a.size > 1 and a.std() > 0 and b.std() > 0:
+                want = np.corrcoef(a, b)[0, 1]
+                assert abs(got.loc[L, "xcorr_r"] - want) < 5e-4
+
+    def test_planted_lead(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import cross_corr_types
+
+        t0 = pd.Timestamp("1970-01-01")
+        rows = []
+        for d in range(5):  # clicks ramp on days 0-4
+            rows += [(t0 + pd.Timedelta(days=d), "click")] * (d + 1)
+        for d in range(5):  # purchases repeat the ramp on days 2-6
+            rows += [(t0 + pd.Timedelta(days=d + 2), "purchase")] * (d + 1)
+        pd.DataFrame({"ts": [r[0] for r in rows],
+                      "event_type": [r[1] for r in rows],
+                      "user_id": 1, "value": 0.0}).to_parquet(
+            f"{tmp_path}/events.parquet", index=False)
+        got = cross_corr_types(str(tmp_path)).to_pandas().set_index("lag")
+        assert got.loc[2, "xcorr_r"] == 1.0   # clicks lead by 2 days
+        assert got.loc[2, "n_pairs"] == 5
+        assert got.loc[-3, "xcorr_r"] < 1.0
+
+
+class TestCusumChangepoint:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            DAY_US, cusum_changepoint)
+
+        ts = pq.read_table(f"{SF}/events.parquet",
+                           columns=["ts"]).to_pandas()["ts"].dropna()
+        day = ts.astype("int64") // DAY_US
+        lo, hi = int(day.min()), int(day.max())
+        cnt = np.zeros(hi - lo + 1, dtype=np.int64)
+        for d, n in day.value_counts().items():
+            cnt[int(d) - lo] = n
+        D, S = cnt.size, int(cnt.sum())
+        cum = np.cumsum(cnt)
+        stat = np.abs(D * cum - np.arange(1, D + 1) * S)
+        best = int(stat.max())
+        got = cusum_changepoint(SF).to_pandas()
+        assert got["n_days"].iloc[0] == D
+        assert got["peak_num"].iloc[0] == best
+        assert got["change_day_us"].iloc[0] == (
+            (lo + int(np.argmax(stat))) * DAY_US)
+        assert abs(got["peak_r"].iloc[0] - best / D) < 5e-5
+
+    def test_planted_level_shift(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import (
+            DAY_US, cusum_changepoint)
+
+        t0 = pd.Timestamp("1970-01-01")
+        rows = []
+        for d, n in enumerate([1, 1, 1, 5, 5, 5]):
+            rows += [t0 + pd.Timedelta(days=d)] * n
+        pd.DataFrame({"ts": rows, "user_id": 1, "event_type": "e",
+                      "value": 0.0}).to_parquet(
+            f"{tmp_path}/events.parquet", index=False)
+        got = cusum_changepoint(str(tmp_path)).to_pandas()
+        # D=6, S=18, peak |6·3 − 3·18| = 36 at day 2 (the last low day)
+        assert got["peak_num"].iloc[0] == 36
+        assert got["change_day_us"].iloc[0] == 2 * DAY_US
+        assert got["peak_r"].iloc[0] == 6.0
+
+
+class TestBenfordValues:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import benford_values
+
+        v = pq.read_table(f"{SF}/events.parquet",
+                          columns=["value"]).to_pandas()["value"].dropna()
+        cents = np.copysign(np.floor(np.abs(v.to_numpy() * 100.0) + 0.5),
+                            v.to_numpy()).astype(np.int64)
+        cents = cents[cents > 0]
+        digits = np.array([int(str(c)[0]) for c in cents.tolist()])
+        got = benford_values(SF).to_pandas()
+        want = pd.Series(digits).value_counts().sort_index()
+        assert got["digit"].tolist() == want.index.tolist()
+        assert got["n"].tolist() == want.tolist()
+        for _, r in got.iterrows():
+            assert abs(r["benford_r"]
+                       - np.log10(1 + 1 / r["digit"])) < 5e-5
+
+    def test_planted_digits(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import benford_values
+
+        t = pd.Timestamp("2024-01-01")
+        # cents: 100 -> 1, 200 -> 2, 999 -> 9; 0.004 -> cents 0 dropped
+        pd.DataFrame({"ts": t, "user_id": 1, "event_type": "e",
+                      "value": [1.0, 2.0, 9.99, 0.004]}).to_parquet(
+            f"{tmp_path}/events.parquet", index=False)
+        got = benford_values(str(tmp_path)).to_pandas()
+        assert got["digit"].tolist() == [1, 2, 9]
+        assert got["n"].tolist() == [1, 1, 1]
+        assert (got["pct_r"] == 0.3333).all()
