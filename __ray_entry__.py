@@ -533,6 +533,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # of positive cent values vs Benford's law — ≤9-key exchange
         # (oracle: leading-char digit extraction; r4)
         "benford_values": relational.benford_values,
+        # sequence-pattern RLE: maximal consecutive-'error' run-length
+        # distribution over (ts, event_id)-ordered per-user streams —
+        # user co-partition, vectorized shifted-mask runs (oracle:
+        # row_number-difference idiom; r4)
+        "error_bursts": relational.error_bursts,
+        # robust regression: Theil–Sen median-of-pairwise-slopes over
+        # the zero-filled daily value series — calendar-bounded O(D²)
+        # driver enumeration, quantile_cont median interpolation
+        # (oracle: pair self-join + median; r4)
+        "theilsen_trend": relational.theilsen_trend,
+        # relational division (FOR ALL): users active in EVERY event
+        # type — distinct combiner, per-user distinct count vs the
+        # broadcast divisor cardinality (oracle: HAVING count(DISTINCT)
+        # = global count(DISTINCT); r4)
+        "division_users": relational.division_users,
+        # inter-arrival cadence: exact p50/p90 of per-user consecutive
+        # event gaps (whole seconds) — co-partition lexsort + distinct
+        # gap histogram exchange + counting selection, all-integer
+        # output (oracle: lead() window + quantile_disc; r4)
+        "user_gap_quantiles": relational.user_gap_quantiles,
         # JSON schema-on-read: aggregate over a value extracted from the
         # semi-structured props bag — TRY_CAST(json_extract) semantics,
         # int64 partials per type (oracle: DuckDB json functions; r4)
@@ -3119,6 +3139,67 @@ SELECT g.digit, g.n,
        round(CAST(g.n AS DOUBLE) / CAST(t.nn AS DOUBLE), 4) AS pct_r,
        round(log10(1.0 + 1.0 / CAST(g.digit AS DOUBLE)), 4) AS benford_r
 FROM g CROSS JOIN t ORDER BY g.digit""",
+        # gaps-and-islands over ORDERED EVENTS: rn-difference groups
+        # consecutive 'error' rows per user, runs histogrammed
+        "error_bursts": """
+WITH e AS (SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events WHERE user_id IS NOT NULL),
+ r AS (SELECT user_id,
+              rn - row_number() OVER (PARTITION BY user_id
+                                      ORDER BY rn) AS grp
+       FROM e WHERE event_type = 'error'),
+ runs AS (SELECT CAST(count(*) AS BIGINT) AS run_len
+          FROM r GROUP BY user_id, grp)
+SELECT run_len, CAST(count(*) AS BIGINT) AS n_runs
+FROM runs GROUP BY run_len ORDER BY run_len""",
+        # every (earlier, later) day pair of the zero-filled grid; the
+        # slope expression and the quantile_cont median interpolation
+        # mirror the engine token-for-token
+        "theilsen_trend": """
+WITH c AS (SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS d,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+           GROUP BY 1),
+ b AS (SELECT min(d) AS lo, max(d) AS hi FROM c),
+ g AS (SELECT CAST(t.h AS BIGINT) AS d
+       FROM b, LATERAL unnest(range(lo, hi + 86400000000,
+                                    86400000000)) AS t(h)),
+ f AS (SELECT (g.d - b.lo) // 86400000000 AS i,
+              CAST(coalesce(c.cents, 0) AS BIGINT) AS cents
+       FROM g CROSS JOIN b LEFT JOIN c ON c.d = g.d),
+ p AS (SELECT CAST(q.cents - a.cents AS DOUBLE)
+              / CAST(q.i - a.i AS DOUBLE) / 100.0 AS slope
+       FROM f a JOIN f q ON q.i > a.i),
+ nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM f)
+SELECT nd.n_days, CAST(count(p.slope) AS BIGINT) AS n_pairs,
+       round(median(p.slope), 4) AS slope_r
+FROM p CROSS JOIN nd GROUP BY nd.n_days""",
+        # relational division: per-user distinct types equals the
+        # global distinct-type cardinality
+        "division_users": """
+WITH t AS (SELECT count(DISTINCT event_type) AS k FROM events
+           WHERE event_type IS NOT NULL),
+ u AS (SELECT user_id, count(DISTINCT event_type) AS k FROM events
+       WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+       GROUP BY 1)
+SELECT u.user_id, CAST(u.k AS BIGINT) AS n_types
+FROM u, t WHERE u.k = t.k ORDER BY u.user_id""",
+        # lead() per user in (ts, event_id) order; floor-second gaps;
+        # quantile_disc ranks are exact integers
+        "user_gap_quantiles": """
+WITH e AS (SELECT user_id, epoch_us(ts) AS t,
+                  lead(epoch_us(ts)) OVER (
+                    PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id) AS nt
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+ g AS (SELECT (nt - t) // 1000000 AS gap FROM e WHERE nt IS NOT NULL)
+SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(quantile_disc(gap, 0.5) AS BIGINT) AS p50_gap_s,
+       CAST(quantile_disc(gap, 0.9) AS BIGINT) AS p90_gap_s
+FROM g""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

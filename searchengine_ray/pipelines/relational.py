@@ -149,7 +149,9 @@ def _user_part_table(batch: pa.Table, extra: dict) -> pa.Table:
     cols = {
         "q": pa.array((u % _USER_PARTITIONS).astype(np.int64)),
         "user_id": batch["user_id"],
-        "ts_us": batch["ts"].cast(pa.int64()),
+        # normalize resolution BEFORE the int cast: a timestamp[ns]
+        # input (e.g. pandas-written parquet) must still yield µs
+        "ts_us": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
     }
     cols.update(extra)
     return pa.table(cols)
@@ -7288,3 +7290,269 @@ def benford_values(sf_dir: str):
             [round_half_away(math.log10(1.0 + 1.0 / float(d)), 4)
              for d in digits], type=pa.float64()),
     })
+
+
+def error_bursts(sf_dir: str):
+    """(run_len, n_runs): distribution of MAXIMAL consecutive-'error'
+    run lengths across every user's (ts, event_id)-ordered event
+    stream — the sequence-pattern / run-length-encoding surface
+    (activity_islands runs over calendar DAYS; this runs over ordered
+    EVENTS, the MATCH_RECOGNIZE-lite shape reliability pipelines ask
+    for: how often do errors come in bursts of k?). Exact int64
+    counts over ≤ max-run-length rows.
+
+    Scale shape: ONE user-hash co-partition exchange (the
+    event_transitions machinery); inside each partition a single
+    lexsort orders every user's events and TWO shifted masks find run
+    starts/ends vectorized (no per-user loop); each partition emits a
+    ≤max-run-length histogram partial and the driver sums the tiny
+    frame. Users never split across partitions, so runs can't split
+    either."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return _user_part_table(batch, {
+            "eid": batch["event_id"].cast(pa.int64()),
+            "et": batch["event_type"].cast(pa.string()),
+        })
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        ts = group["ts_us"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        eid = group["eid"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        is_err = pc.fill_null(
+            pc.equal(group["et"].combine_chunks(), "error"),
+            False).to_numpy(zero_copy_only=False)
+        empty = pa.table({"run_len": pa.array([], type=pa.int64()),
+                          "n_runs": pa.array([], type=pa.int64())})
+        if u.size == 0 or not is_err.any():
+            return empty
+        order = np.lexsort((eid, ts, u))
+        u, is_err = u[order], is_err[order]
+        same_prev = np.concatenate(([False], u[1:] == u[:-1]))
+        prev_err = np.concatenate(([False], is_err[:-1]))
+        start = is_err & ~(prev_err & same_prev)
+        same_next = np.concatenate((u[1:] == u[:-1], [False]))
+        next_err = np.concatenate((is_err[1:], [False]))
+        end = is_err & ~(next_err & same_next)
+        lens = np.flatnonzero(end) - np.flatnonzero(start) + 1
+        cnt = np.bincount(lens)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"run_len": pa.array(nz.astype(np.int64)),
+                         "n_runs": pa.array(cnt[nz].astype(np.int64))})
+
+    parts = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["user_id", "ts", "event_id",
+                                    "event_type"])
+        .map_batches(tag, batch_format="pyarrow", batch_size=8192)
+        .groupby("q").map_groups(per_partition, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if parts.empty:
+        return pa.table({"run_len": pa.array([], type=pa.int64()),
+                         "n_runs": pa.array([], type=pa.int64())})
+    agg = (parts.groupby("run_len", as_index=False)["n_runs"].sum()
+           .sort_values("run_len"))
+    return pa.table({
+        "run_len": pa.array(agg["run_len"].to_numpy(dtype=np.int64)),
+        "n_runs": pa.array(agg["n_runs"].to_numpy(dtype=np.int64)),
+    })
+
+
+def theilsen_trend(sf_dir: str):
+    """(n_days, n_pairs, slope_r): Theil–Sen robust trend of daily
+    total event value — the MEDIAN of all pairwise slopes over the
+    zero-filled daily series (the robust-regression complement of
+    regr_value_trend's least squares: one wild day cannot move it).
+    Each slope is the identical IEEE expression on both sides
+    (Δcents as double / Δdays as double / 100.0); the median follows
+    DuckDB's quantile_cont interpolation v_lo·(1−frac) + v_hi·frac
+    (the interp_quantiles-verified form), 4 dp.
+
+    Scale shape: one map-side day-count partial pass + a ≤|days| Sum
+    exchange; the O(D²) pair enumeration runs on the driver over the
+    CALENDAR-bounded series (D days → D(D−1)/2 slopes; ~60M doubles
+    for 30 YEARS of data — bounded by time, not corpus size)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def cent_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "ts": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "value": batch["value"].to_numpy(zero_copy_only=False),
+        }).dropna()
+        d = (df["ts"].to_numpy(dtype=np.int64) // DAY_US) * DAY_US
+        g = pd.DataFrame({"d": d, "cents": _cents_i64(
+            df["value"].to_numpy())}).groupby(
+            "d", as_index=False)["cents"].sum()
+        return pa.table({"d": pa.array(g["d"].to_numpy(dtype=np.int64)),
+                         "cents": pa.array(g["cents"]
+                                           .to_numpy(dtype=np.int64))})
+
+    daily = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["ts", "value"])
+        .map_batches(cent_partial, batch_format="pyarrow",
+                     batch_size=8192)
+        .groupby("d").aggregate(Sum("cents", alias_name="cents"))
+        .to_pandas()
+    )
+    if daily.empty:
+        return pa.table({"n_days": pa.array([], type=pa.int64()),
+                         "n_pairs": pa.array([], type=pa.int64()),
+                         "slope_r": pa.array([], type=pa.float64())})
+    daily = daily.sort_values("d")
+    days = np.arange(int(daily["d"].min()),
+                     int(daily["d"].max()) + DAY_US, DAY_US,
+                     dtype=np.int64)
+    cents = np.zeros(days.size, dtype=np.int64)
+    cents[(daily["d"].to_numpy(dtype=np.int64) - days[0]) // DAY_US] = (
+        daily["cents"].to_numpy(dtype=np.int64))
+    D = int(days.size)
+    if D < 2:
+        return pa.table({"n_days": pa.array([D], type=pa.int64()),
+                         "n_pairs": pa.array([0], type=pa.int64()),
+                         "slope_r": pa.array([None], type=pa.float64())})
+    ia, ib = np.triu_indices(D, k=1)
+    slopes = ((cents[ib] - cents[ia]).astype(np.float64)
+              / (ib - ia).astype(np.float64) / 100.0)
+    slopes.sort()
+    m = slopes.size
+    h = 0.5 * (m - 1)
+    f = int(np.floor(h))
+    frac = h - f
+    med = (slopes[f] if frac == 0.0
+           else slopes[f] * (1.0 - frac) + slopes[f + 1] * frac)
+    return pa.table({
+        "n_days": pa.array([D], type=pa.int64()),
+        "n_pairs": pa.array([m], type=pa.int64()),
+        "slope_r": pa.array([round_half_away(float(med), 4)],
+                            type=pa.float64()),
+    })
+
+
+def division_users(sf_dir: str):
+    """(user_id, n_types): RELATIONAL DIVISION — users active in
+    EVERY event type present in the corpus (the universal-quantifier
+    / FOR-ALL surface: q21 asks "exists another"; division asks
+    "covers ALL of a data-derived divisor set"). The divisor is the
+    global distinct-type set, computed once from the same distinct
+    stream.
+
+    Scale shape: distinct (user, type) via a combiner exchange, a
+    per-user distinct-count exchange (≤|types| addends per user), and
+    a broadcast scalar |types| compared locally — the quotient
+    filter never joins user-cardinality rows against anything.
+    Exact integers throughout."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            "event_type": batch["event_type"].to_numpy(
+                zero_copy_only=False),
+        }).dropna().drop_duplicates()
+        return pa.table({
+            "user_id": pa.array(df["user_id"].to_numpy(dtype=np.int64)),
+            "event_type": pa.array(df["event_type"].tolist(),
+                                   type=pa.string()),
+        })
+
+    pairs = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["user_id", "event_type"])
+        .map_batches(pair_partial, batch_format="pyarrow",
+                     batch_size=8192)
+        .groupby(["user_id", "event_type"])
+        .aggregate(Count(alias_name="_c"))
+        .to_pandas()
+    )
+    if pairs.empty:
+        return pa.table({"user_id": pa.array([], type=pa.int64()),
+                         "n_types": pa.array([], type=pa.int64())})
+    k = pairs["event_type"].nunique()
+    per_user = pairs.groupby("user_id").size()
+    win = per_user[per_user == k].sort_index()
+    return pa.table({
+        "user_id": pa.array(win.index.to_numpy(dtype=np.int64)),
+        "n_types": pa.array(np.full(win.size, k, dtype=np.int64)),
+    })
+
+
+def user_gap_quantiles(sf_dir: str):
+    """(n_gaps, p50_gap_s, p90_gap_s): exact discrete quantiles of the
+    inter-arrival gap (whole seconds, floor) between each user's
+    consecutive events in (ts, event_id) order — the inter-arrival /
+    cadence-analysis surface (bot-vs-human timing forensics;
+    sessionize CONSUMES gaps, nothing publishes their distribution).
+    quantile_disc convention: rank ceil(n·q), 1-indexed — both
+    quantiles are exact integers, so every output cell hash-compares
+    exactly (no floats anywhere).
+
+    Scale shape: the user-hash co-partition + lexsort + shifted-mask
+    pass (event_transitions machinery) reduces each partition to a
+    distinct-gap histogram partial; one ≤|distinct gaps| Sum exchange
+    and a driver counting-selection walk — no global sort, gaps never
+    leave their partition row-by-row."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return _user_part_table(batch, {
+            "eid": batch["event_id"].cast(pa.int64()),
+        })
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        ts = group["ts_us"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        eid = group["eid"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        empty = pa.table({"gap_s": pa.array([], type=pa.int64()),
+                          "n": pa.array([], type=pa.int64())})
+        if u.size < 2:
+            return empty
+        order = np.lexsort((eid, ts, u))
+        u, ts = u[order], ts[order]
+        same = u[1:] == u[:-1]
+        gaps = (ts[1:] - ts[:-1])[same] // 1_000_000
+        if gaps.size == 0:
+            return empty
+        vals, counts = np.unique(gaps, return_counts=True)
+        return pa.table({"gap_s": pa.array(vals.astype(np.int64)),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    hist = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["user_id", "ts", "event_id"])
+        .map_batches(tag, batch_format="pyarrow", batch_size=8192)
+        .groupby("q").map_groups(per_partition, batch_format="pyarrow")
+        .groupby("gap_s").aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    if hist.empty:
+        return pa.table({"n_gaps": pa.array([0], type=pa.int64()),
+                         "p50_gap_s": pa.array([None], type=pa.int64()),
+                         "p90_gap_s": pa.array([None], type=pa.int64())})
+    hist = hist.sort_values("gap_s")
+    gs = hist["gap_s"].to_numpy(dtype=np.int64)
+    ns = hist["n"].to_numpy(dtype=np.int64)
+    cum = np.cumsum(ns)
+    n = int(cum[-1])
+
+    def disc(q: float) -> int:
+        rank = int(np.ceil(n * q)) or 1
+        return int(gs[np.searchsorted(cum, rank)])
+
+    return pa.table({"n_gaps": pa.array([n], type=pa.int64()),
+                     "p50_gap_s": pa.array([disc(0.5)], type=pa.int64()),
+                     "p90_gap_s": pa.array([disc(0.9)],
+                                           type=pa.int64())})

@@ -6149,3 +6149,151 @@ class TestBenfordValues:
         assert got["digit"].tolist() == [1, 2, 9]
         assert got["n"].tolist() == [1, 1, 1]
         assert (got["pct_r"] == 0.3333).all()
+
+
+class TestErrorBursts:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import error_bursts
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["user_id", "ts", "event_id",
+                                    "event_type"]).to_pandas()
+        ev = ev.sort_values(["user_id", "ts", "event_id"])
+        want: dict[int, int] = {}
+        for _, sub in ev.groupby("user_id"):
+            run = 0
+            for et in sub["event_type"]:
+                if et == "error":
+                    run += 1
+                elif run:
+                    want[run] = want.get(run, 0) + 1
+                    run = 0
+            if run:
+                want[run] = want.get(run, 0) + 1
+        got = error_bursts(SF).to_pandas()
+        assert dict(zip(got["run_len"], got["n_runs"])) == want
+
+    def test_planted_runs(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import error_bursts
+
+        t0 = pd.Timestamp("1970-01-01")
+        rows = [(1, 0, "error"), (1, 1, "error"), (1, 2, "click"),
+                (1, 3, "error"),
+                (2, 0, "error"), (2, 1, "error"), (2, 2, "error")]
+        pd.DataFrame({
+            "user_id": [r[0] for r in rows],
+            "ts": [t0 + pd.Timedelta(seconds=r[1]) for r in rows],
+            "event_id": range(len(rows)),
+            "event_type": [r[2] for r in rows],
+            "value": 0.0}).to_parquet(f"{tmp_path}/events.parquet",
+                                      index=False)
+        got = error_bursts(str(tmp_path)).to_pandas()
+        assert dict(zip(got["run_len"], got["n_runs"])) == {1: 1, 2: 1,
+                                                            3: 1}
+
+
+class TestTheilsenTrend:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            DAY_US, theilsen_trend)
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["ts", "value"]).to_pandas().dropna()
+        day = ev["ts"].astype("int64") // DAY_US
+        cents = np.copysign(np.floor(np.abs(ev["value"].to_numpy()
+                                            * 100.0) + 0.5),
+                            ev["value"].to_numpy()).astype(np.int64)
+        per = pd.Series(cents).groupby(day.to_numpy()).sum()
+        lo, hi = int(day.min()), int(day.max())
+        c = np.zeros(hi - lo + 1, dtype=np.int64)
+        for d, s in per.items():
+            c[int(d) - lo] = s
+        ia, ib = np.triu_indices(c.size, k=1)
+        slopes = (c[ib] - c[ia]) / (ib - ia) / 100.0
+        got = theilsen_trend(SF).to_pandas()
+        assert got["n_days"].iloc[0] == c.size
+        assert got["n_pairs"].iloc[0] == slopes.size
+        assert abs(got["slope_r"].iloc[0] - np.median(slopes)) < 5e-4
+
+    def test_planted_outlier_robust(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import theilsen_trend
+
+        t0 = pd.Timestamp("1970-01-01")
+        # perfect unit line for 4 days, then a wild day-5 spike: the
+        # median slope ignores it (least squares would not)
+        pd.DataFrame({
+            "ts": [t0 + pd.Timedelta(days=d) for d in range(5)],
+            "user_id": 1, "event_type": "e",
+            "value": [1.0, 2.0, 3.0, 4.0, 1000.0]}).to_parquet(
+            f"{tmp_path}/events.parquet", index=False)
+        got = theilsen_trend(str(tmp_path)).to_pandas()
+        assert got["n_pairs"].iloc[0] == 10
+        assert got["slope_r"].iloc[0] == 1.0
+
+
+class TestDivisionUsers:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import division_users
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["user_id", "event_type"]).to_pandas()
+        ev = ev.dropna()
+        k = ev["event_type"].nunique()
+        per = ev.groupby("user_id")["event_type"].nunique()
+        want = sorted(per[per == k].index.tolist())
+        got = division_users(SF).to_pandas()
+        assert got["user_id"].tolist() == want
+        assert (got["n_types"] == k).all()
+
+    def test_planted_division(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import division_users
+
+        t = pd.Timestamp("2024-01-01")
+        pd.DataFrame({"user_id": [1, 1, 2], "ts": t,
+                      "event_type": ["a", "b", "a"], "value": 0.0,
+                      "event_id": [0, 1, 2]}).to_parquet(
+            f"{tmp_path}/events.parquet", index=False)
+        got = division_users(str(tmp_path)).to_pandas()
+        assert got["user_id"].tolist() == [1]
+        assert got["n_types"].tolist() == [2]
+
+
+class TestUserGapQuantiles:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            user_gap_quantiles)
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["user_id", "ts", "event_id"]
+                           ).to_pandas()
+        ev = ev.sort_values(["user_id", "ts", "event_id"])
+        gaps = []
+        for _, sub in ev.groupby("user_id"):
+            t = sub["ts"].astype("int64").to_numpy()
+            gaps += (np.diff(t) // 1_000_000).tolist()
+        gaps = np.sort(np.array(gaps))
+        got = user_gap_quantiles(SF).to_pandas()
+        assert got["n_gaps"].iloc[0] == gaps.size
+        n = gaps.size
+        assert got["p50_gap_s"].iloc[0] == gaps[
+            max(int(np.ceil(n * 0.5)), 1) - 1]
+        assert got["p90_gap_s"].iloc[0] == gaps[
+            max(int(np.ceil(n * 0.9)), 1) - 1]
+
+    def test_planted_gaps(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import (
+            user_gap_quantiles)
+
+        t0 = pd.Timestamp("1970-01-01")
+        pd.DataFrame({
+            "user_id": 1,
+            "ts": [t0 + pd.Timedelta(seconds=s) for s in
+                   [0, 1, 3, 10]],
+            "event_id": range(4), "event_type": "e",
+            "value": 0.0}).to_parquet(f"{tmp_path}/events.parquet",
+                                      index=False)
+        got = user_gap_quantiles(str(tmp_path)).to_pandas()
+        # gaps [1, 2, 7]: p50 rank ceil(1.5)=2 -> 2, p90 ceil(2.7)=3 -> 7
+        assert got["n_gaps"].iloc[0] == 3
+        assert got["p50_gap_s"].iloc[0] == 2
+        assert got["p90_gap_s"].iloc[0] == 7
