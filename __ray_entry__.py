@@ -553,6 +553,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gap histogram exchange + counting selection, all-integer
         # output (oracle: lead() window + quantile_disc; r4)
         "user_gap_quantiles": relational.user_gap_quantiles,
+        # last-write-wins compaction: newest event per (user, type)
+        # under (ts, event_id) order — map-side argmax combiner +
+        # user-hash co-partition final (oracle: row_number desc; r4)
+        "latest_events": relational.latest_events,
+        # parametric two-sample test: Welch t + Satterthwaite df
+        # between purchase and click values — exact 4-dp moment
+        # partials, shuffle-free (oracle: identical exact-integer
+        # moment expressions; r4)
+        "welch_ttest": relational.welch_ttest,
+        # market-basket association rules: top-20 part pairs by lift
+        # with support ≥ 2 — order-hash pair enumeration (baskets
+        # bounded), pair-hash combine, broadcast item counts (oracle:
+        # distinct self-join + exact-int lift; r4)
+        "basket_lift": relational.basket_lift,
+        # moving order statistic: trailing 7-day median of daily value
+        # over the zero-filled calendar grid — daily cent partials +
+        # driver rolling pass, quantile_cont interpolation (oracle:
+        # windowed median over the same grid; r4)
+        "rolling_median_value": relational.rolling_median_value,
         # JSON schema-on-read: aggregate over a value extracted from the
         # semi-structured props bag — TRY_CAST(json_extract) semantics,
         # int64 partials per type (oracle: DuckDB json functions; r4)
@@ -3200,6 +3219,97 @@ SELECT CAST(count(*) AS BIGINT) AS n_gaps,
        CAST(quantile_disc(gap, 0.5) AS BIGINT) AS p50_gap_s,
        CAST(quantile_disc(gap, 0.9) AS BIGINT) AS p90_gap_s
 FROM g""",
+        # last-write-wins compaction: newest row per (user, type)
+        "latest_events": """
+SELECT user_id, event_type,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       CAST(event_id AS BIGINT) AS event_id, value
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY user_id, event_type
+        ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        AND ts IS NOT NULL)
+WHERE rn = 1 ORDER BY user_id, event_type""",
+        # Welch t: exact 4-dp integer moments, then the identical
+        # IEEE expression sequence (se, t, Satterthwaite df)
+        "welch_ttest": """
+WITH q AS (SELECT event_type,
+                  CAST(round(value * 10000) AS BIGINT) AS vi
+           FROM events WHERE value IS NOT NULL
+             AND event_type IN ('purchase', 'click')),
+ s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+              sum(vi) AS s1, sum(vi * vi) AS s2
+       FROM q GROUP BY 1),
+ w AS (SELECT
+    max(CASE WHEN event_type = 'purchase' THEN n END) AS n1,
+    max(CASE WHEN event_type = 'click' THEN n END) AS n2,
+    max(CASE WHEN event_type = 'purchase' THEN s1 END) AS s11,
+    max(CASE WHEN event_type = 'click' THEN s1 END) AS s12,
+    max(CASE WHEN event_type = 'purchase' THEN s2 END) AS s21,
+    max(CASE WHEN event_type = 'click' THEN s2 END) AS s22
+    FROM s),
+ m AS (SELECT n1, n2,
+    CAST(s11 AS DOUBLE) / CAST(n1 * 10000 AS DOUBLE) AS m1,
+    CAST(s12 AS DOUBLE) / CAST(n2 * 10000 AS DOUBLE) AS m2,
+    CAST(n1 * s21 - s11 * s11 AS DOUBLE)
+      / (CAST(n1 * (n1 - 1) AS DOUBLE) * 100000000.0) AS v1,
+    CAST(n2 * s22 - s12 * s12 AS DOUBLE)
+      / (CAST(n2 * (n2 - 1) AS DOUBLE) * 100000000.0) AS v2,
+    (n1 * s21 - s11 * s11 = 0 AND n2 * s22 - s12 * s12 = 0) AS zv
+    FROM w),
+ e AS (SELECT n1, n2, m1, m2,
+    v1 / CAST(n1 AS DOUBLE) AS se1,
+    v2 / CAST(n2 AS DOUBLE) AS se2, zv FROM m)
+SELECT coalesce(n1, 0) AS n_purchase, coalesce(n2, 0) AS n_click,
+       round(m1, 4) AS mean_purchase_r, round(m2, 4) AS mean_click_r,
+       CASE WHEN n1 >= 2 AND n2 >= 2 AND NOT zv
+            THEN round((m1 - m2) / sqrt(se1 + se2), 4) END AS t_r,
+       CASE WHEN n1 >= 2 AND n2 >= 2 AND NOT zv
+            THEN round((se1 + se2) * (se1 + se2)
+                 / (se1 * se1 / CAST(n1 - 1 AS DOUBLE)
+                    + se2 * se2 / CAST(n2 - 1 AS DOUBLE)), 4)
+       END AS df_r
+FROM e""",
+        # market-basket lift over distinct (order, part) baskets;
+        # lift is one double division of exact int64 products
+        "basket_lift": """
+WITH bp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM lineitem
+            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+ n AS (SELECT count(DISTINCT ok) AS nn FROM bp),
+ pc AS (SELECT pk, CAST(count(*) AS BIGINT) AS np FROM bp GROUP BY 1),
+ pr AS (SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT) AS nab
+        FROM bp a JOIN bp b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT pr.pa AS part_a, pr.pb AS part_b, pr.nab AS n_ab,
+       ca.np AS n_a, cb.np AS n_b,
+       round(CAST(pr.nab * n.nn AS DOUBLE)
+             / CAST(ca.np * cb.np AS DOUBLE), 4) AS lift_r
+FROM pr CROSS JOIN n
+JOIN pc ca ON ca.pk = pr.pa JOIN pc cb ON cb.pk = pr.pb
+ORDER BY lift_r DESC, part_a, part_b LIMIT 20""",
+        # trailing 7-day windowed median (quantile_cont) over the
+        # zero-filled daily grid — x = exact cents / 100.0
+        "rolling_median_value": """
+WITH c AS (SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS d,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+           GROUP BY 1),
+ b AS (SELECT min(d) AS lo, max(d) AS hi FROM c),
+ g AS (SELECT CAST(t.h AS BIGINT) AS d
+       FROM b, LATERAL unnest(range(lo, hi + 86400000000,
+                                    86400000000)) AS t(h)),
+ f AS (SELECT g.d,
+              CAST(coalesce(c.cents, 0) AS DOUBLE) / 100.0 AS x
+       FROM g LEFT JOIN c ON c.d = g.d)
+SELECT d AS day_us,
+       CAST(count(*) OVER w AS BIGINT) AS n_win,
+       round(median(x) OVER w, 4) AS med_r
+FROM f WINDOW w AS (ORDER BY d
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY day_us""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

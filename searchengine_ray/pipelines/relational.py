@@ -7556,3 +7556,404 @@ def user_gap_quantiles(sf_dir: str):
                      "p50_gap_s": pa.array([disc(0.5)], type=pa.int64()),
                      "p90_gap_s": pa.array([disc(0.9)],
                                            type=pa.int64())})
+
+
+def latest_events(sf_dir: str):
+    """(user_id, event_type, ts_us, event_id, value): the LAST event
+    per (user, type) under (ts, event_id) order — the last-write-wins
+    compaction / CDC-snapshot surface (dedup_turns keeps the FIRST
+    occurrence of identical content; this keeps the NEWEST row per
+    logical key, the upsert-log → current-state materialization every
+    changelog consumer runs). Values pass through untouched, so every
+    output cell is bit-identical to the input row the oracle picks.
+
+    Scale shape: each batch first compacts to ≤ one row per (user,
+    type) present (a map-side argmax combiner — the exchange carries
+    key-cardinality rows, not event rows), then ONE user-hash
+    co-partition exchange and a per-partition vectorized final argmax
+    (one lexsort + group-boundary mask, no per-key Python). Output
+    stays a distributed Dataset sized by live keys."""
+    import pandas as pd
+
+    def _last_per_key(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["user_id", "event_type", "ts_us",
+                             "event_id"], kind="mergesort")
+        return df.drop_duplicates(subset=["user_id", "event_type"],
+                                  keep="last")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            "event_type": batch["event_type"].to_numpy(
+                zero_copy_only=False),
+            "ts_us": batch["ts"].cast(pa.timestamp("us"))
+            .cast(pa.int64()).to_numpy(zero_copy_only=False),
+            "event_id": batch["event_id"].to_numpy(zero_copy_only=False),
+            "value": batch["value"].to_numpy(zero_copy_only=False),
+        }).dropna(subset=["user_id", "event_type", "ts_us"])
+        if df.empty:
+            return pa.table({
+                "q": pa.array([], type=pa.int64()),
+                "user_id": pa.array([], type=pa.int64()),
+                "event_type": pa.array([], type=pa.string()),
+                "ts_us": pa.array([], type=pa.int64()),
+                "event_id": pa.array([], type=pa.int64()),
+                "value": pa.array([], type=pa.float64()),
+            })
+        g = _last_per_key(df)
+        u = g["user_id"].to_numpy(dtype=np.int64)
+        return pa.table({
+            "q": pa.array((u % _USER_PARTITIONS).astype(np.int64)),
+            "user_id": pa.array(u),
+            "event_type": pa.array(g["event_type"].tolist(),
+                                   type=pa.string()),
+            "ts_us": pa.array(g["ts_us"].to_numpy(dtype=np.int64)),
+            "event_id": pa.array(g["event_id"].to_numpy(dtype=np.int64)),
+            "value": pa.array(g["value"].to_numpy(dtype=np.float64)),
+        })
+
+    def final(group: pa.Table) -> pa.Table:
+        g = _last_per_key(group.to_pandas())
+        return pa.table({
+            "user_id": pa.array(g["user_id"].to_numpy(dtype=np.int64)),
+            "event_type": pa.array(g["event_type"].tolist(),
+                                   type=pa.string()),
+            "ts_us": pa.array(g["ts_us"].to_numpy(dtype=np.int64)),
+            "event_id": pa.array(g["event_id"].to_numpy(dtype=np.int64)),
+            "value": pa.array(g["value"].to_numpy(dtype=np.float64)),
+        })
+
+    return (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["user_id", "event_type", "ts",
+                                    "event_id", "value"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("q").map_groups(final, batch_format="pyarrow")
+    )
+
+
+def welch_ttest(sf_dir: str):
+    """(n_purchase, n_click, mean_purchase_r, mean_click_r, t_r, df_r):
+    Welch's unequal-variance t statistic between 'purchase' and
+    'click' event values, with the Welch–Satterthwaite effective
+    degrees of freedom — the PARAMETRIC two-sample-test surface
+    (mannwhitney_value is the rank test; ks_test_value the
+    distribution test; this is the classic mean-difference test).
+
+    Exactness contract (the group_moments scheme): values quantize to
+    4-dp integers, Σv and Σv² accumulate exactly (``_sq_split``
+    int64-safe partials, Python-int driver combine), and sample
+    variance (n·Σv² − (Σv)²) / (n·(n−1)·SCALE²) is ONE double
+    division of exact integers. t and df then follow the identical
+    IEEE expression sequence on both sides (se = var/n double ops),
+    4-dp publish. Degenerate inputs (n < 2 either side, zero pooled
+    se) publish NULL t/df via exact-integer guards.
+
+    Scale shape: one streaming pass, ≤ 2 partial rows per batch, no
+    shuffle at all — driver folds batches × 2 tiny rows."""
+    import pandas as pd
+
+    TYPES = ("purchase", "click")
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "et": batch["event_type"].to_numpy(zero_copy_only=False),
+            "v": batch["value"].to_numpy(zero_copy_only=False),
+        }).dropna()
+        df = df[df["et"].isin(TYPES)]
+        if df.empty:
+            return pa.table({
+                "et": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+                "s1": pa.array([], type=pa.int64()),
+                "s2hh": pa.array([], type=pa.int64()),
+                "s2hl": pa.array([], type=pa.int64()),
+                "s2ll": pa.array([], type=pa.int64()),
+            })
+        v = df["v"].to_numpy(dtype=np.float64)
+        vi = (np.floor(np.abs(v) * _MOM_SCALE + 0.5)
+              * np.sign(v)).astype(np.int64)
+        s2hh, s2hl, s2ll = _sq_split(np.abs(vi))
+        g = pd.DataFrame({
+            "et": df["et"].to_numpy(),
+            "n": np.ones(vi.size, dtype=np.int64),
+            "s1": vi, "s2hh": s2hh, "s2hl": s2hl, "s2ll": s2ll,
+        }).groupby("et", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["event_type", "value"])
+        .map_batches(partials, batch_format="pyarrow", batch_size=8192)
+        .to_pandas()
+    )
+
+    def _stats(et: str):
+        sub = parts[parts["et"] == et] if not parts.empty else parts
+        if parts.empty or sub.empty:
+            return 0, 0, 0
+        n = int(sub["n"].sum())
+        s1 = _pyint_sum(sub["s1"])
+        s2 = _sq_split_combine(sub["s2hh"], sub["s2hl"], sub["s2ll"])
+        return n, s1, s2
+
+    n1, s11, s21 = _stats(TYPES[0])
+    n2, s12, s22 = _stats(TYPES[1])
+
+    def _mean(n: int, s1: int):
+        return float(s1) / float(n * _MOM_SCALE) if n else None
+
+    def _var(n: int, s1: int, s2: int):
+        if n < 2:
+            return None
+        return (float(n * s2 - s1 * s1)
+                / (float(n * (n - 1)) * float(_MOM_SCALE * _MOM_SCALE)))
+
+    m1, m2 = _mean(n1, s11), _mean(n2, s12)
+    v1, v2 = _var(n1, s11, s21), _var(n2, s12, s22)
+    t = df = None
+    if v1 is not None and v2 is not None:
+        se1, se2 = v1 / float(n1), v2 / float(n2)
+        s = se1 + se2
+        # exact-integer zero-variance guard: both n·Σv² == (Σv)²
+        if n1 * s21 - s11 * s11 == 0 and n2 * s22 - s12 * s12 == 0:
+            s = 0.0
+        if s > 0.0:
+            t = (m1 - m2) / float(np.sqrt(s))
+            df = (s * s) / (se1 * se1 / float(n1 - 1)
+                            + se2 * se2 / float(n2 - 1))
+
+    def _opt(x):
+        return pa.array([None if x is None else round_half_away(x, 4)],
+                        type=pa.float64())
+
+    return pa.table({
+        "n_purchase": pa.array([n1], type=pa.int64()),
+        "n_click": pa.array([n2], type=pa.int64()),
+        "mean_purchase_r": _opt(m1),
+        "mean_click_r": _opt(m2),
+        "t_r": _opt(t),
+        "df_r": _opt(df),
+    })
+
+
+BASKET_MIN_SUPPORT = 2
+BASKET_TOPK = 20
+
+
+def basket_lift(sf_dir: str):
+    """(part_a, part_b, n_ab, n_a, n_b, lift_r): the top-20
+    association rules over parts co-occurring in the same order —
+    market-basket lift = P(a∧b)/(P(a)·P(b)) = n_ab·N/(n_a·n_b), pairs
+    with support ≥ BASKET_MIN_SUPPORT, ranked (lift_r desc, a, b) —
+    the frequent-itemset / recommendation surface
+    (supplier_affinity counts raw co-occurrence; lift NORMALIZES by
+    item popularity, the actual association-rule metric). lift is ONE
+    double division of exact int64 products, identical both sides,
+    4-dp publish.
+
+    Scale shape: baskets are bounded (parts per order ≤ the order's
+    line count), so pair enumeration is linear in lineitems; distinct
+    (order, part) dedups map-side, co-locates by hash(order), pairs
+    combine map-side per partition, then ONE pair-hash Sum exchange.
+    Item counts ride the same distinct stream through a ≤|parts|
+    exchange and broadcast as one int64 array (parts ≪ lineitems; at
+    a scale where the part dimension itself outgrows broadcast this
+    becomes a pair-hash join on part_a/part_b). Per-partition top-k
+    under the final total order collects ≤ partitions × k rows."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    P = 64
+
+    def op_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "ok": batch["l_orderkey"].to_numpy(zero_copy_only=False),
+            "pk": batch["l_partkey"].to_numpy(zero_copy_only=False),
+        }).dropna().drop_duplicates()
+        ok = df["ok"].to_numpy(dtype=np.int64)
+        return pa.table({
+            "q": pa.array((ok % P).astype(np.int64)),
+            "ok": pa.array(ok),
+            "pk": pa.array(df["pk"].to_numpy(dtype=np.int64)),
+        })
+
+    def pairs_in_partition(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().drop_duplicates(subset=["ok", "pk"])
+        df = df.sort_values(["ok", "pk"], kind="mergesort")
+        ok = df["ok"].to_numpy(dtype=np.int64)
+        pk = df["pk"].to_numpy(dtype=np.int64)
+        starts = np.flatnonzero(
+            np.concatenate(([True], ok[1:] != ok[:-1])))
+        ends = np.concatenate((starts[1:], [ok.size]))
+        pa_l, pb_l = [], []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            if e - s < 2:
+                continue
+            seg = pk[s:e]
+            ia, ib = np.triu_indices(seg.size, k=1)
+            pa_l.append(seg[ia])
+            pb_l.append(seg[ib])
+        if not pa_l:
+            return pa.table({"pa": pa.array([], type=pa.int64()),
+                             "pb": pa.array([], type=pa.int64()),
+                             "nab": pa.array([], type=pa.int64()),
+                             "qq": pa.array([], type=pa.int64())})
+        a = np.concatenate(pa_l)
+        b = np.concatenate(pb_l)
+        g = pd.DataFrame({"pa": a, "pb": b}).groupby(
+            ["pa", "pb"], as_index=False).size()
+        av = g["pa"].to_numpy(dtype=np.int64)
+        bv = g["pb"].to_numpy(dtype=np.int64)
+        return pa.table({
+            "pa": pa.array(av), "pb": pa.array(bv),
+            "nab": pa.array(g["size"].to_numpy(dtype=np.int64)),
+            "qq": pa.array(((av * 1_000_003 + bv) % P).astype(np.int64)),
+        })
+
+    bp = (
+        read_parquet_clean(os.path.join(sf_dir, "lineitem.parquet"),
+                           columns=["l_orderkey", "l_partkey"])
+        .map_batches(op_partial, batch_format="pyarrow",
+                     batch_size=8192)
+        .groupby("q").map_groups(pairs_in_partition,
+                                 batch_format="pyarrow")
+        .materialize()
+    )
+
+    # item counts + N from the same distinct stream (separate pass —
+    # the distinct (ok, pk) rows are consumed by the pair stage above)
+    def item_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "ok": batch["l_orderkey"].to_numpy(zero_copy_only=False),
+            "pk": batch["l_partkey"].to_numpy(zero_copy_only=False),
+        }).dropna().drop_duplicates()
+        return pa.table({
+            "ok": pa.array(df["ok"].to_numpy(dtype=np.int64)),
+            "pk": pa.array(df["pk"].to_numpy(dtype=np.int64)),
+            "_c": pa.array(np.ones(len(df), dtype=np.int64)),
+        })
+
+    items = (
+        read_parquet_clean(os.path.join(sf_dir, "lineitem.parquet"),
+                           columns=["l_orderkey", "l_partkey"])
+        .map_batches(item_partial, batch_format="pyarrow",
+                     batch_size=8192)
+        .groupby(["ok", "pk"]).aggregate(Sum("_c", alias_name="_c"))
+        .to_pandas()
+    )
+    empty = pa.table({
+        "part_a": pa.array([], type=pa.int64()),
+        "part_b": pa.array([], type=pa.int64()),
+        "n_ab": pa.array([], type=pa.int64()),
+        "n_a": pa.array([], type=pa.int64()),
+        "n_b": pa.array([], type=pa.int64()),
+        "lift_r": pa.array([], type=pa.float64()),
+    })
+    if items.empty:
+        return empty
+    n_orders = int(items["ok"].nunique())
+    pc = items.groupby("pk").size()
+    pk_keys = pc.index.to_numpy(dtype=np.int64)
+    pk_cnt = pc.to_numpy(dtype=np.int64)
+
+    def topk_in_partition(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().groupby(
+            ["pa", "pb"], as_index=False)["nab"].sum()
+        df = df[df["nab"] >= BASKET_MIN_SUPPORT]
+        if df.empty:
+            return empty
+        a = df["pa"].to_numpy(dtype=np.int64)
+        b = df["pb"].to_numpy(dtype=np.int64)
+        nab = df["nab"].to_numpy(dtype=np.int64)
+        na = pk_cnt[np.searchsorted(pk_keys, a)]
+        nb = pk_cnt[np.searchsorted(pk_keys, b)]
+        lift = _round_vec((nab * n_orders).astype(np.float64)
+                          / (na * nb).astype(np.float64))
+        order = np.lexsort((b, a, -lift))[:BASKET_TOPK]
+        return pa.table({
+            "part_a": pa.array(a[order]), "part_b": pa.array(b[order]),
+            "n_ab": pa.array(nab[order]), "n_a": pa.array(na[order]),
+            "n_b": pa.array(nb[order]),
+            "lift_r": pa.array(lift[order], type=pa.float64()),
+        })
+
+    cand = bp.groupby("qq").map_groups(
+        topk_in_partition, batch_format="pyarrow").to_pandas()
+    if cand.empty:
+        return empty
+    cand = cand.sort_values(
+        ["lift_r", "part_a", "part_b"],
+        ascending=[False, True, True]).head(BASKET_TOPK)
+    return pa.Table.from_pandas(cand, preserve_index=False).cast(
+        empty.schema)
+
+
+ROLL_MED_WINDOW = 7
+
+
+def rolling_median_value(sf_dir: str):
+    """(day_us, n_win, med_r): trailing 7-day MEDIAN of daily total
+    event value over the zero-filled calendar grid — the moving
+    ORDER-STATISTIC window surface (sliding_window_events moves sums;
+    ema_daily_value smooths; a moving median is the robust trend line
+    dashboards actually draw). Daily values are exact summed cents /
+    100.0; each window median follows the verified quantile_cont
+    interpolation h = q·(n−1), v⌊h⌋·(1−frac) + v⌈h⌉·frac (DuckDB's
+    windowed median is quantile_cont(0.5)), 4-dp publish.
+
+    Scale shape: the ema_daily_value machinery — map-side per-day
+    cent partials, ONE ≤|days| Sum exchange, then the rolling pass on
+    the driver over the CALENDAR-BOUNDED frame (7-element partial
+    sort per day; thousands of rows for decades)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def cent_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "ts": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "value": batch["value"].to_numpy(zero_copy_only=False),
+        }).dropna()
+        d = (df["ts"].to_numpy(dtype=np.int64) // DAY_US) * DAY_US
+        cents = _cents_i64(df["value"].to_numpy())
+        g = pd.DataFrame({"d": d, "cents": cents}).groupby(
+            "d", as_index=False)["cents"].sum()
+        return pa.table({"d": pa.array(g["d"].to_numpy(dtype=np.int64)),
+                         "cents": pa.array(g["cents"]
+                                           .to_numpy(dtype=np.int64))})
+
+    daily = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["ts", "value"])
+        .map_batches(cent_partial, batch_format="pyarrow",
+                     batch_size=8192)
+        .groupby("d").aggregate(Sum("cents", alias_name="cents"))
+        .to_pandas()
+    )
+    if daily.empty:
+        return pa.table({"day_us": pa.array([], type=pa.int64()),
+                         "n_win": pa.array([], type=pa.int64()),
+                         "med_r": pa.array([], type=pa.float64())})
+    daily = daily.sort_values("d")
+    days = np.arange(int(daily["d"].min()),
+                     int(daily["d"].max()) + DAY_US, DAY_US,
+                     dtype=np.int64)
+    cents = np.zeros(days.size, dtype=np.int64)
+    cents[(daily["d"].to_numpy(dtype=np.int64) - days[0]) // DAY_US] = (
+        daily["cents"].to_numpy(dtype=np.int64))
+    x = cents.astype(np.float64) / 100.0
+    n_win = np.minimum(np.arange(days.size) + 1, ROLL_MED_WINDOW)
+    meds = np.empty(days.size, dtype=np.float64)
+    for i in range(days.size):
+        w = np.sort(x[max(0, i - ROLL_MED_WINDOW + 1):i + 1])
+        h = 0.5 * (w.size - 1)
+        f = int(np.floor(h))
+        frac = h - f
+        meds[i] = (w[f] if frac == 0.0
+                   else w[f] * (1.0 - frac) + w[f + 1] * frac)
+    return pa.table({
+        "day_us": pa.array(days),
+        "n_win": pa.array(n_win.astype(np.int64)),
+        "med_r": pa.array(_round_vec(meds), type=pa.float64()),
+    })

@@ -6297,3 +6297,172 @@ class TestUserGapQuantiles:
         assert got["n_gaps"].iloc[0] == 3
         assert got["p50_gap_s"].iloc[0] == 2
         assert got["p90_gap_s"].iloc[0] == 7
+
+
+class TestLatestEvents:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import latest_events
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["user_id", "event_type", "ts",
+                                    "event_id", "value"]).to_pandas()
+        want = (ev.sort_values(["user_id", "event_type", "ts",
+                                "event_id"])
+                .drop_duplicates(subset=["user_id", "event_type"],
+                                 keep="last")
+                .sort_values(["user_id", "event_type"]))
+        got = (latest_events(SF).to_pandas()
+               .sort_values(["user_id", "event_type"]))
+        assert got["event_id"].tolist() == want["event_id"].tolist()
+        assert got["value"].tolist() == want["value"].tolist()
+        assert got["ts_us"].tolist() == (
+            want["ts"].astype("int64") // 1000).tolist() or \
+            got["ts_us"].tolist() == want["ts"].astype("int64").tolist()
+
+    def test_tie_break_on_event_id(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import latest_events
+
+        t0 = pd.Timestamp("1970-01-02")
+        pd.DataFrame({
+            "user_id": [7, 7, 7],
+            "event_type": ["click", "click", "click"],
+            "ts": [t0, t0, t0 - pd.Timedelta(seconds=1)],
+            "event_id": [3, 9, 11],
+            "value": [1.0, 2.0, 3.0],
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = latest_events(str(tmp_path)).to_pandas()
+        # same ts: larger event_id wins; later ts beats larger id
+        assert len(got) == 1
+        assert got["event_id"].iloc[0] == 9
+        assert got["value"].iloc[0] == 2.0
+
+
+class TestWelchTtest:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import welch_ttest
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["event_type", "value"]).to_pandas()
+        a = ev.loc[ev["event_type"] == "purchase", "value"].to_numpy()
+        b = ev.loc[ev["event_type"] == "click", "value"].to_numpy()
+        # quantize at 4 dp like the engine contract
+        a = np.round(np.copysign(np.floor(np.abs(a) * 1e4 + 0.5), a)) / 1e4
+        b = np.round(np.copysign(np.floor(np.abs(b) * 1e4 + 0.5), b)) / 1e4
+        v1, v2 = a.var(ddof=1), b.var(ddof=1)
+        se1, se2 = v1 / a.size, v2 / b.size
+        t = (a.mean() - b.mean()) / np.sqrt(se1 + se2)
+        df = (se1 + se2) ** 2 / (se1 ** 2 / (a.size - 1)
+                                 + se2 ** 2 / (b.size - 1))
+        got = welch_ttest(SF).to_pandas()
+        assert got["n_purchase"].iloc[0] == a.size
+        assert got["n_click"].iloc[0] == b.size
+        assert abs(got["t_r"].iloc[0] - t) < 1e-3
+        assert abs(got["df_r"].iloc[0] - df) < max(1e-3 * df, 1e-3)
+
+    def test_degenerate_missing_side(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import welch_ttest
+
+        t0 = pd.Timestamp("1970-01-01")
+        pd.DataFrame({
+            "user_id": [1, 2, 3],
+            "event_type": ["purchase", "purchase", "view"],
+            "ts": [t0] * 3, "event_id": [1, 2, 3],
+            "value": [1.0, 2.0, 3.0],
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = welch_ttest(str(tmp_path)).to_pandas()
+        assert got["n_purchase"].iloc[0] == 2
+        assert got["n_click"].iloc[0] == 0
+        assert pd.isna(got["t_r"].iloc[0])
+        assert pd.isna(got["df_r"].iloc[0])
+
+
+class TestBasketLift:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            BASKET_MIN_SUPPORT, BASKET_TOPK, basket_lift)
+
+        li = pq.read_table(f"{SF}/lineitem.parquet",
+                           columns=["l_orderkey", "l_partkey"]
+                           ).to_pandas().drop_duplicates()
+        n_orders = li["l_orderkey"].nunique()
+        pc = li.groupby("l_partkey").size()
+        pair_count: dict[tuple[int, int], int] = {}
+        for _, seg in li.groupby("l_orderkey"):
+            parts = sorted(seg["l_partkey"].tolist())
+            for x, y in itertools.combinations(parts, 2):
+                pair_count[(x, y)] = pair_count.get((x, y), 0) + 1
+        rows = []
+        for (x, y), nab in pair_count.items():
+            if nab < BASKET_MIN_SUPPORT:
+                continue
+            lift = round(float(nab * n_orders)
+                         / float(int(pc[x]) * int(pc[y])), 4)
+            rows.append((x, y, nab, int(pc[x]), int(pc[y]), lift))
+        rows.sort(key=lambda r: (-r[5], r[0], r[1]))
+        want = rows[:BASKET_TOPK]
+        got = basket_lift(SF).to_pandas()
+        assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+    def test_planted_baskets(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import basket_lift
+
+        # parts 1,2 co-occur in 2 of 4 baskets; each appears twice
+        rows = [(100, 1), (100, 2), (101, 1), (101, 2),
+                (102, 3), (103, 3), (102, 4), (103, 4)]
+        pd.DataFrame({
+            "l_orderkey": [r[0] for r in rows],
+            "l_partkey": [r[1] for r in rows],
+        }).to_parquet(f"{tmp_path}/lineitem.parquet", index=False)
+        got = basket_lift(str(tmp_path)).to_pandas()
+        # (1,2): lift = 2*4/(2*2) = 2.0 ; (3,4): same
+        assert len(got) == 2
+        assert set(zip(got["part_a"], got["part_b"])) == {(1, 2), (3, 4)}
+        assert (got["lift_r"] == 2.0).all()
+
+
+class TestRollingMedianValue:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            DAY_US, ROLL_MED_WINDOW, rolling_median_value)
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["ts", "value"]).to_pandas().dropna()
+        day = (ev["ts"].astype("int64") // DAY_US) * DAY_US
+        cents = np.copysign(
+            np.floor(np.abs(ev["value"].to_numpy() * 100.0) + 0.5),
+            ev["value"].to_numpy()).astype(np.int64)
+        daily = pd.DataFrame({"d": day, "c": cents}).groupby("d")["c"].sum()
+        days = np.arange(daily.index.min(),
+                         daily.index.max() + DAY_US, DAY_US)
+        x = pd.Series(0.0, index=days)
+        x.loc[daily.index] = daily.to_numpy() / 100.0
+        got = rolling_median_value(SF).to_pandas()
+        assert got["day_us"].tolist() == days.tolist()
+        for i in range(len(days)):
+            w = np.sort(x.iloc[max(0, i - ROLL_MED_WINDOW + 1):i + 1]
+                        .to_numpy())
+            h = 0.5 * (w.size - 1)
+            f = int(np.floor(h))
+            frac = h - f
+            med = w[f] if frac == 0.0 else (w[f] * (1 - frac)
+                                            + w[f + 1] * frac)
+            assert got["n_win"].iloc[i] == min(i + 1, ROLL_MED_WINDOW)
+            assert abs(got["med_r"].iloc[i] - med) < 1e-6
+
+    def test_planted_series(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import (
+            rolling_median_value)
+
+        t0 = pd.Timestamp("1970-01-01")
+        # daily totals 1,2,...,10 — trailing-7 median of day i (1-based,
+        # i>=7) is i-3
+        pd.DataFrame({
+            "user_id": 1,
+            "ts": [t0 + pd.Timedelta(days=i) for i in range(10)],
+            "event_id": range(10), "event_type": "e",
+            "value": [float(i + 1) for i in range(10)],
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = rolling_median_value(str(tmp_path)).to_pandas()
+        assert got["med_r"].tolist()[6:] == [4.0, 5.0, 6.0, 7.0]
+        # day 2 (n=2): interpolated median of {1,2} = 1.5
+        assert got["med_r"].iloc[1] == 1.5
