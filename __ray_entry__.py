@@ -572,6 +572,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver rolling pass, quantile_cont interpolation (oracle:
         # windowed median over the same grid; r4)
         "rolling_median_value": relational.rolling_median_value,
+        # triadic closure: triangle census + global clustering
+        # coefficient of the part co-purchase graph — degree-oriented
+        # node-iterator, wedge/edge pair-hash meet (oracle: edge CTE
+        # 3-way self-join; r4)
+        "triangle_count": relational.triangle_count,
+        # k-sample parametric test: one-way ANOVA F + eta² across all
+        # event types — exact 4-dp moment partials, the one float fold
+        # sequenced identically via recursive CTE (oracle: same
+        # expressions; r4)
+        "anova_f": relational.anova_f,
+        # funnel timing: first view → first purchase-at-or-after lag
+        # per user, exact discrete p50/p90 seconds — user co-partition
+        # + lag histogram exchange + counting selection (oracle:
+        # min-filter join + quantile_disc; r4)
+        "conversion_lag": relational.conversion_lag,
         # JSON schema-on-read: aggregate over a value extracted from the
         # semi-structured props bag — TRY_CAST(json_extract) semantics,
         # int64 partials per type (oracle: DuckDB json functions; r4)
@@ -3310,6 +3325,90 @@ SELECT d AS day_us,
 FROM f WINDOW w AS (ORDER BY d
                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 ORDER BY day_us""",
+        # triangle census over support-≥2 co-purchase edges; each
+        # triangle (x<y<z) counted once by the oriented 3-way join
+        "triangle_count": """
+WITH bp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM lineitem
+            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+ e AS (SELECT a.pk AS a, b.pk AS b
+       FROM bp a JOIN bp b ON a.ok = b.ok AND a.pk < b.pk
+       GROUP BY 1, 2 HAVING count(*) >= 2),
+ deg AS (SELECT x, CAST(count(*) AS BIGINT) AS n
+         FROM (SELECT a AS x FROM e UNION ALL SELECT b AS x FROM e)
+         GROUP BY 1),
+ w AS (SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT)
+                AS wedges,
+              CAST(count(*) AS BIGINT) AS nodes FROM deg),
+ t AS (SELECT CAST(count(*) AS BIGINT) AS tri
+       FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+       JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+ m AS (SELECT CAST(count(*) AS BIGINT) AS edges FROM e)
+SELECT w.nodes AS n_nodes, m.edges AS n_edges,
+       w.wedges AS n_wedges, t.tri AS n_triangles,
+       CASE WHEN w.wedges > 0
+            THEN round(CAST(3 * t.tri AS DOUBLE)
+                       / CAST(w.wedges AS DOUBLE), 4)
+       END AS gcc_r
+FROM w, t, m""",
+        # one-way ANOVA: exact per-type integer moments; the single
+        # order-sensitive float fold runs in event_type ASC order via
+        # a recursive CTE (the ema_daily_value sequencing convention)
+        "anova_f": """
+WITH RECURSIVE s AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           sum(vi) AS s1, sum(vi * vi) AS s2,
+           row_number() OVER (ORDER BY event_type) AS rn
+    FROM (SELECT event_type,
+                 CAST(round(value * 10000) AS BIGINT) AS vi
+          FROM events
+          WHERE value IS NOT NULL AND event_type IS NOT NULL)
+    GROUP BY event_type),
+ fold AS (
+    SELECT rn, CAST(s1 * s1 AS DOUBLE) / CAST(n AS DOUBLE) AS b
+    FROM s WHERE rn = 1
+    UNION ALL
+    SELECT s.rn, f.b + CAST(s.s1 * s.s1 AS DOUBLE)
+                       / CAST(s.n AS DOUBLE)
+    FROM fold f JOIN s ON s.rn = f.rn + 1),
+ tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                CAST(count(*) AS BIGINT) AS k,
+                sum(s1) AS ss1, sum(s2) AS ss2 FROM s),
+ lastb AS (SELECT b FROM fold ORDER BY rn DESC LIMIT 1),
+ x AS (SELECT tot.k, tot.nn,
+              lastb.b - CAST(tot.ss1 * tot.ss1 AS DOUBLE)
+                        / CAST(tot.nn AS DOUBLE) AS ssb,
+              CAST(tot.ss2 AS DOUBLE) - lastb.b AS ssw,
+              CAST(tot.ss2 AS DOUBLE)
+                - CAST(tot.ss1 * tot.ss1 AS DOUBLE)
+                  / CAST(tot.nn AS DOUBLE) AS sst
+       FROM tot, lastb)
+SELECT coalesce((SELECT k FROM x), 0) AS k_groups,
+       coalesce((SELECT nn FROM x), 0) AS n_total,
+       (SELECT CASE WHEN k >= 2 AND nn > k AND ssw > 0.0
+               THEN round((ssb / CAST(k - 1 AS DOUBLE))
+                          / (ssw / CAST(nn - k AS DOUBLE)), 4)
+               END FROM x) AS f_r,
+       (SELECT CASE WHEN k >= 2 AND nn > k AND sst > 0.0
+               THEN round(ssb / sst, 4) END FROM x) AS eta2_r""",
+        # first view → first purchase at-or-after it; floor-second
+        # lags; quantile_disc ranks are exact integers
+        "conversion_lag": """
+WITH v AS (SELECT user_id, min(epoch_us(ts)) AS vt FROM events
+           WHERE event_type = 'view' AND user_id IS NOT NULL
+             AND ts IS NOT NULL GROUP BY 1),
+ p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS pt
+       FROM events e JOIN v ON v.user_id = e.user_id
+       WHERE e.event_type = 'purchase' AND e.ts IS NOT NULL
+         AND epoch_us(e.ts) >= v.vt
+       GROUP BY 1),
+ l AS (SELECT (p.pt - v.vt) // 1000000 AS lag
+       FROM v JOIN p ON p.user_id = v.user_id)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_viewers,
+       CAST(count(*) AS BIGINT) AS n_converted,
+       CAST(quantile_disc(lag, 0.5) AS BIGINT) AS p50_lag_s,
+       CAST(quantile_disc(lag, 0.9) AS BIGINT) AS p90_lag_s
+FROM l""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

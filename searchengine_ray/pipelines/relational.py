@@ -7739,32 +7739,20 @@ def welch_ttest(sf_dir: str):
 
 BASKET_MIN_SUPPORT = 2
 BASKET_TOPK = 20
+_PAIR_PARTITIONS = 64
 
 
-def basket_lift(sf_dir: str):
-    """(part_a, part_b, n_ab, n_a, n_b, lift_r): the top-20
-    association rules over parts co-occurring in the same order —
-    market-basket lift = P(a∧b)/(P(a)·P(b)) = n_ab·N/(n_a·n_b), pairs
-    with support ≥ BASKET_MIN_SUPPORT, ranked (lift_r desc, a, b) —
-    the frequent-itemset / recommendation surface
-    (supplier_affinity counts raw co-occurrence; lift NORMALIZES by
-    item popularity, the actual association-rule metric). lift is ONE
-    double division of exact int64 products, identical both sides,
-    4-dp publish.
-
-    Scale shape: baskets are bounded (parts per order ≤ the order's
-    line count), so pair enumeration is linear in lineitems; distinct
-    (order, part) dedups map-side, co-locates by hash(order), pairs
-    combine map-side per partition, then ONE pair-hash Sum exchange.
-    Item counts ride the same distinct stream through a ≤|parts|
-    exchange and broadcast as one int64 array (parts ≪ lineitems; at
-    a scale where the part dimension itself outgrows broadcast this
-    becomes a pair-hash join on part_a/part_b). Per-partition top-k
-    under the final total order collects ≤ partitions × k rows."""
+def _order_part_pairs(sf_dir: str):
+    """Shared co-occurrence pair stream for the market-basket family
+    (basket_lift, triangle_count): distinct (order, part) dedups
+    map-side, co-locates by hash(order), each order's bounded basket
+    enumerates its pairs vectorized, counts combine map-side per
+    partition — returns a Dataset of PARTIAL (pa, pb, nab) rows keyed
+    by the pair hash ``qq`` (a groupby("qq") finishes the global
+    combine; every copy of a pair lands in one qq partition)."""
     import pandas as pd
-    from ray.data.aggregate import Sum
 
-    P = 64
+    P = _PAIR_PARTITIONS
 
     def op_partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame({
@@ -7811,7 +7799,7 @@ def basket_lift(sf_dir: str):
             "qq": pa.array(((av * 1_000_003 + bv) % P).astype(np.int64)),
         })
 
-    bp = (
+    return (
         read_parquet_clean(os.path.join(sf_dir, "lineitem.parquet"),
                            columns=["l_orderkey", "l_partkey"])
         .map_batches(op_partial, batch_format="pyarrow",
@@ -7820,6 +7808,32 @@ def basket_lift(sf_dir: str):
                                  batch_format="pyarrow")
         .materialize()
     )
+
+
+def basket_lift(sf_dir: str):
+    """(part_a, part_b, n_ab, n_a, n_b, lift_r): the top-20
+    association rules over parts co-occurring in the same order —
+    market-basket lift = P(a∧b)/(P(a)·P(b)) = n_ab·N/(n_a·n_b), pairs
+    with support ≥ BASKET_MIN_SUPPORT, ranked (lift_r desc, a, b) —
+    the frequent-itemset / recommendation surface
+    (supplier_affinity counts raw co-occurrence; lift NORMALIZES by
+    item popularity, the actual association-rule metric). lift is ONE
+    double division of exact int64 products, identical both sides,
+    4-dp publish.
+
+    Scale shape: baskets are bounded (parts per order ≤ the order's
+    line count), so pair enumeration is linear in lineitems; distinct
+    (order, part) dedups map-side, co-locates by hash(order), pairs
+    combine map-side per partition, then ONE pair-hash Sum exchange.
+    Item counts ride the same distinct stream through a ≤|parts|
+    exchange and broadcast as one int64 array (parts ≪ lineitems; at
+    a scale where the part dimension itself outgrows broadcast this
+    becomes a pair-hash join on part_a/part_b). Per-partition top-k
+    under the final total order collects ≤ partitions × k rows."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    bp = _order_part_pairs(sf_dir)
 
     # item counts + N from the same distinct stream (separate pass —
     # the distinct (ok, pk) rows are consumed by the pair stage above)
@@ -7956,4 +7970,346 @@ def rolling_median_value(sf_dir: str):
         "day_us": pa.array(days),
         "n_win": pa.array(n_win.astype(np.int64)),
         "med_r": pa.array(_round_vec(meds), type=pa.float64()),
+    })
+
+
+TRI_MIN_SUPPORT = 2
+
+
+def triangle_count(sf_dir: str):
+    """(n_nodes, n_edges, n_wedges, n_triangles, gcc_r): triangle
+    census of the part co-purchase graph (undirected edges = part
+    pairs co-ordered in ≥ TRI_MIN_SUPPORT orders) plus the global
+    clustering coefficient 3·triangles/wedges — the triadic-closure /
+    motif-counting surface (pagerank walks, kcore peels, CC labels;
+    none counts closed triples). Exact integers end-to-end; gcc is
+    ONE double division, 4-dp.
+
+    Scale shape: edges come from the shared :func:`_order_part_pairs`
+    combine. Triangles use the DEGREE-ORIENTED node-iterator: orient
+    every edge from its lower (degree, id) endpoint, co-partition
+    out-edges by hash(source), enumerate each source's out-neighbor
+    pairs (out-degree ≤ O(√m) by orientation, so wedge volume is
+    O(m^1.5) worst-case, not Σdeg²), then ONE pair-hash exchange
+    where wedges meet the edge set and a vectorized merge counts the
+    closures — each triangle closes exactly once, at its minimum-
+    order vertex. Degrees broadcast as one sorted int64 array
+    (bounded by the part dimension, the basket_lift convention)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    P = _PAIR_PARTITIONS
+
+    def combine_edges(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().groupby(
+            ["pa", "pb"], as_index=False)["nab"].sum()
+        df = df[df["nab"] >= TRI_MIN_SUPPORT]
+        return pa.table({
+            "a": pa.array(df["pa"].to_numpy(dtype=np.int64)),
+            "b": pa.array(df["pb"].to_numpy(dtype=np.int64)),
+        })
+
+    edges = (_order_part_pairs(sf_dir)
+             .groupby("qq").map_groups(combine_edges,
+                                       batch_format="pyarrow")
+             .materialize())
+
+    def degree_partial(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        v, c = np.unique(np.concatenate((a, b)), return_counts=True)
+        return pa.table({"v": pa.array(v.astype(np.int64)),
+                         "deg": pa.array(c.astype(np.int64))})
+
+    deg = (edges.map_batches(degree_partial, batch_format="pyarrow")
+           .groupby("v").aggregate(Sum("deg", alias_name="deg"))
+           .to_pandas())
+    if deg.empty:
+        return pa.table({
+            "n_nodes": pa.array([0], type=pa.int64()),
+            "n_edges": pa.array([0], type=pa.int64()),
+            "n_wedges": pa.array([0], type=pa.int64()),
+            "n_triangles": pa.array([0], type=pa.int64()),
+            "gcc_r": pa.array([None], type=pa.float64()),
+        })
+    deg = deg.sort_values("v")
+    vk = deg["v"].to_numpy(dtype=np.int64)
+    dk = deg["deg"].to_numpy(dtype=np.int64)
+    n_nodes = int(vk.size)
+    n_wedges = int((dk * (dk - 1) // 2).sum())
+
+    def orient(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        da = dk[np.searchsorted(vk, a)]
+        db = dk[np.searchsorted(vk, b)]
+        # a < b already; a leads unless its (deg, id) order is higher
+        swap = (db < da) | ((db == da) & (b < a))
+        src = np.where(swap, b, a)
+        dst = np.where(swap, a, b)
+        return pa.table({
+            "qs": pa.array((src % P).astype(np.int64)),
+            "src": pa.array(src), "dst": pa.array(dst),
+            "n_edges": pa.array(np.ones(src.size, dtype=np.int64)),
+        })
+
+    def wedges_in_partition(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(["src", "dst"],
+                                           kind="mergesort")
+        src = df["src"].to_numpy(dtype=np.int64)
+        dst = df["dst"].to_numpy(dtype=np.int64)
+        starts = np.flatnonzero(
+            np.concatenate(([True], src[1:] != src[:-1])))
+        ends = np.concatenate((starts[1:], [src.size]))
+        xs, ys = [], []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            if e - s < 2:
+                continue
+            seg = dst[s:e]
+            ia, ib = np.triu_indices(seg.size, k=1)
+            xs.append(seg[ia])
+            ys.append(seg[ib])
+        if not xs:
+            return pa.table({"x": pa.array([], type=pa.int64()),
+                             "y": pa.array([], type=pa.int64()),
+                             "w": pa.array([], type=pa.int64()),
+                             "is_edge": pa.array([], type=pa.int64()),
+                             "qq": pa.array([], type=pa.int64())})
+        x = np.concatenate(xs)
+        y = np.concatenate(ys)
+        lo = np.minimum(x, y)
+        hi = np.maximum(x, y)
+        g = pd.DataFrame({"x": lo, "y": hi}).groupby(
+            ["x", "y"], as_index=False).size()
+        xv = g["x"].to_numpy(dtype=np.int64)
+        yv = g["y"].to_numpy(dtype=np.int64)
+        return pa.table({
+            "x": pa.array(xv), "y": pa.array(yv),
+            "w": pa.array(g["size"].to_numpy(dtype=np.int64)),
+            "is_edge": pa.array(np.zeros(xv.size, dtype=np.int64)),
+            "qq": pa.array(((xv * 1_000_003 + yv) % P)
+                           .astype(np.int64)),
+        })
+
+    def edge_probe(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "x": pa.array(a), "y": pa.array(b),
+            "w": pa.array(np.zeros(a.size, dtype=np.int64)),
+            "is_edge": pa.array(np.ones(a.size, dtype=np.int64)),
+            "qq": pa.array(((a * 1_000_003 + b) % P).astype(np.int64)),
+        })
+
+    oriented = edges.map_batches(orient, batch_format="pyarrow")
+    n_edges = int(oriented.sum("n_edges") or 0)
+    wedges = (oriented
+              .groupby("qs").map_groups(wedges_in_partition,
+                                        batch_format="pyarrow"))
+    probes = edges.map_batches(edge_probe, batch_format="pyarrow")
+
+    def close_in_partition(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        g = df.groupby(["x", "y"], as_index=False).agg(
+            w=("w", "sum"), is_edge=("is_edge", "max"))
+        tri = int(g.loc[g["is_edge"] == 1, "w"].sum())
+        return pa.table({"tri": pa.array([tri], type=pa.int64())})
+
+    tri_parts = (wedges.union(probes)
+                 .groupby("qq").map_groups(close_in_partition,
+                                           batch_format="pyarrow")
+                 .to_pandas())
+    n_tri = int(tri_parts["tri"].sum()) if not tri_parts.empty else 0
+    gcc = (round_half_away(3.0 * float(n_tri) / float(n_wedges), 4)
+           if n_wedges > 0 else None)
+    return pa.table({
+        "n_nodes": pa.array([n_nodes], type=pa.int64()),
+        "n_edges": pa.array([n_edges], type=pa.int64()),
+        "n_wedges": pa.array([n_wedges], type=pa.int64()),
+        "n_triangles": pa.array([n_tri], type=pa.int64()),
+        "gcc_r": pa.array([gcc], type=pa.float64()),
+    })
+
+
+def anova_f(sf_dir: str):
+    """(k_groups, n_total, f_r, eta2_r): one-way ANOVA of event value
+    across ALL event types — the K-SAMPLE parametric test surface
+    (welch_ttest compares two fixed types; this tests all k at once)
+    plus the η² effect size SSB/SST.
+
+    Exactness contract: per-type (n, Σv, Σv²) accumulate exactly over
+    4-dp quantized values (the welch/group_moments scheme). The one
+    order-sensitive float reduction — B = Σ_t (Σv_t)²/n_t — folds
+    SEQUENTIALLY in event_type ASC order on both sides (engine:
+    Python loop; oracle: recursive CTE, the ema_daily_value
+    convention), so every IEEE add happens in the same sequence.
+    SSB = B − S1²/N, SSW = S2 − B (scale cancels in F and η²), one
+    double division each, 4-dp publish; k < 2, N ≤ k or SSW ≤ 0
+    publish NULL F via the same expressions both sides.
+
+    Scale shape: one streaming pass, ≤ k partial rows per batch, no
+    shuffle at all."""
+    import pandas as pd
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "et": batch["event_type"].to_numpy(zero_copy_only=False),
+            "v": batch["value"].to_numpy(zero_copy_only=False),
+        }).dropna()
+        if df.empty:
+            return pa.table({
+                "et": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+                "s1": pa.array([], type=pa.int64()),
+                "s2hh": pa.array([], type=pa.int64()),
+                "s2hl": pa.array([], type=pa.int64()),
+                "s2ll": pa.array([], type=pa.int64()),
+            })
+        v = df["v"].to_numpy(dtype=np.float64)
+        vi = (np.floor(np.abs(v) * _MOM_SCALE + 0.5)
+              * np.sign(v)).astype(np.int64)
+        s2hh, s2hl, s2ll = _sq_split(np.abs(vi))
+        g = pd.DataFrame({
+            "et": df["et"].to_numpy(),
+            "n": np.ones(vi.size, dtype=np.int64),
+            "s1": vi, "s2hh": s2hh, "s2hl": s2hl, "s2ll": s2ll,
+        }).groupby("et", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["event_type", "value"])
+        .map_batches(partials, batch_format="pyarrow", batch_size=8192)
+        .to_pandas()
+    )
+    if parts.empty:
+        return pa.table({
+            "k_groups": pa.array([0], type=pa.int64()),
+            "n_total": pa.array([0], type=pa.int64()),
+            "f_r": pa.array([None], type=pa.float64()),
+            "eta2_r": pa.array([None], type=pa.float64()),
+        })
+    N = 0
+    S1 = 0
+    S2 = 0
+    B = 0.0
+    k = 0
+    for et in sorted(parts["et"].unique().tolist()):
+        sub = parts[parts["et"] == et]
+        n = int(sub["n"].sum())
+        s1 = _pyint_sum(sub["s1"])
+        s2 = _sq_split_combine(sub["s2hh"], sub["s2hl"], sub["s2ll"])
+        # the sequential fold — same IEEE add order as the oracle CTE
+        B = B + float(s1 * s1) / float(n)
+        N += n
+        S1 += s1
+        S2 += s2
+        k += 1
+    f = eta2 = None
+    if k >= 2 and N > k:
+        ssb = B - float(S1 * S1) / float(N)
+        ssw = float(S2) - B
+        sst = float(S2) - float(S1 * S1) / float(N)
+        if ssw > 0.0:
+            f = (ssb / float(k - 1)) / (ssw / float(N - k))
+        if sst > 0.0:
+            eta2 = ssb / sst
+
+    def _opt(x):
+        return pa.array([None if x is None else round_half_away(x, 4)],
+                        type=pa.float64())
+
+    return pa.table({
+        "k_groups": pa.array([k], type=pa.int64()),
+        "n_total": pa.array([N], type=pa.int64()),
+        "f_r": _opt(f),
+        "eta2_r": _opt(eta2),
+    })
+
+
+def conversion_lag(sf_dir: str):
+    """(n_viewers, n_converted, p50_lag_s, p90_lag_s): per-user time
+    from FIRST 'view' to the first 'purchase' AT OR AFTER it, exact
+    discrete quantiles in whole seconds — the funnel-TIMING surface
+    (funnel_depth counts who converts; this measures how long
+    conversion takes, the product-analytics latency question).
+    quantile_disc convention (rank ceil(n·q), 1-indexed) — all-integer
+    output.
+
+    Scale shape: ONE user-hash co-partition exchange; per partition a
+    vectorized pandas pass finds each user's first view and first
+    qualifying purchase, emits a distinct-lag histogram partial plus a
+    viewer-count sentinel row (lag −1); one ≤|distinct lags| Sum
+    exchange and a driver counting-selection walk."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return _user_part_table(batch, {
+            "et": batch["event_type"].cast(pa.string()),
+        })
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        df = df[df["et"].isin(("view", "purchase"))]
+        empty = pa.table({"lag_s": pa.array([], type=pa.int64()),
+                          "n": pa.array([], type=pa.int64())})
+        if df.empty:
+            return empty
+        v = (df[df["et"] == "view"].groupby("user_id")["ts_us"].min())
+        if v.empty:
+            return empty
+        p = df[df["et"] == "purchase"][["user_id", "ts_us"]].copy()
+        p["vt"] = p["user_id"].map(v)
+        p = p[p["vt"].notna() & (p["ts_us"] >= p["vt"])]
+        first_p = p.groupby("user_id")["ts_us"].min()
+        lag = (first_p - v.reindex(first_p.index)) // 1_000_000
+        vals, counts = np.unique(lag.to_numpy(dtype=np.int64),
+                                 return_counts=True)
+        return pa.table({
+            "lag_s": pa.array(np.concatenate(
+                ([-1], vals)).astype(np.int64)),
+            "n": pa.array(np.concatenate(
+                ([v.size], counts)).astype(np.int64)),
+        })
+
+    hist = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["user_id", "ts", "event_type"])
+        .map_batches(tag, batch_format="pyarrow", batch_size=8192)
+        .groupby("q").map_groups(per_partition, batch_format="pyarrow")
+        .groupby("lag_s").aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    if hist.empty:
+        return pa.table({
+            "n_viewers": pa.array([0], type=pa.int64()),
+            "n_converted": pa.array([0], type=pa.int64()),
+            "p50_lag_s": pa.array([None], type=pa.int64()),
+            "p90_lag_s": pa.array([None], type=pa.int64()),
+        })
+    hist = hist.sort_values("lag_s")
+    n_viewers = int(hist.loc[hist["lag_s"] == -1, "n"].sum())
+    hist = hist[hist["lag_s"] >= 0]
+    if hist.empty:
+        return pa.table({
+            "n_viewers": pa.array([n_viewers], type=pa.int64()),
+            "n_converted": pa.array([0], type=pa.int64()),
+            "p50_lag_s": pa.array([None], type=pa.int64()),
+            "p90_lag_s": pa.array([None], type=pa.int64()),
+        })
+    gs = hist["lag_s"].to_numpy(dtype=np.int64)
+    ns = hist["n"].to_numpy(dtype=np.int64)
+    cum = np.cumsum(ns)
+    n = int(cum[-1])
+
+    def disc(q: float) -> int:
+        rank = int(np.ceil(n * q)) or 1
+        return int(gs[np.searchsorted(cum, rank)])
+
+    return pa.table({
+        "n_viewers": pa.array([n_viewers], type=pa.int64()),
+        "n_converted": pa.array([n], type=pa.int64()),
+        "p50_lag_s": pa.array([disc(0.5)], type=pa.int64()),
+        "p90_lag_s": pa.array([disc(0.9)], type=pa.int64()),
     })

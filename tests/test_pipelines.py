@@ -6466,3 +6466,141 @@ class TestRollingMedianValue:
         assert got["med_r"].tolist()[6:] == [4.0, 5.0, 6.0, 7.0]
         # day 2 (n=2): interpolated median of {1,2} = 1.5
         assert got["med_r"].iloc[1] == 1.5
+
+
+class TestTriangleCount:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            TRI_MIN_SUPPORT, triangle_count)
+
+        li = pq.read_table(f"{SF}/lineitem.parquet",
+                           columns=["l_orderkey", "l_partkey"]
+                           ).to_pandas().drop_duplicates()
+        pair_count: dict[tuple[int, int], int] = {}
+        for _, seg in li.groupby("l_orderkey"):
+            for x, y in itertools.combinations(
+                    sorted(seg["l_partkey"].tolist()), 2):
+                pair_count[(x, y)] = pair_count.get((x, y), 0) + 1
+        edges = {p for p, n in pair_count.items()
+                 if n >= TRI_MIN_SUPPORT}
+        adj: dict[int, set[int]] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        wedges = sum(len(s) * (len(s) - 1) // 2 for s in adj.values())
+        tri = sum(1 for a, b in edges
+                  for c in adj[a] & adj[b] if c > b)
+        got = triangle_count(SF).to_pandas()
+        assert got["n_nodes"].iloc[0] == len(adj)
+        assert got["n_edges"].iloc[0] == len(edges)
+        assert got["n_wedges"].iloc[0] == wedges
+        assert got["n_triangles"].iloc[0] == tri
+
+    def test_planted_graph(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import triangle_count
+
+        # K4 on parts 1-4 (each pair in 2 orders) + pendant edge (4,5)
+        rows = []
+        ok = 0
+        for x, y in itertools.combinations([1, 2, 3, 4], 2):
+            for _ in range(2):
+                rows += [(ok, x), (ok, y)]
+                ok += 1
+        rows += [(ok, 4), (ok, 5), (ok + 1, 4), (ok + 1, 5)]
+        pd.DataFrame({
+            "l_orderkey": [r[0] for r in rows],
+            "l_partkey": [r[1] for r in rows],
+        }).to_parquet(f"{tmp_path}/lineitem.parquet", index=False)
+        got = triangle_count(str(tmp_path)).to_pandas()
+        # K4 has 4 triangles; wedges: deg(1..3)=3, deg(4)=4, deg(5)=1
+        assert got["n_edges"].iloc[0] == 7
+        assert got["n_triangles"].iloc[0] == 4
+        assert got["n_wedges"].iloc[0] == 3 * 3 + 6 + 0
+        assert got["gcc_r"].iloc[0] == round(12 / 15, 4)
+
+
+class TestAnovaF:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import anova_f
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["event_type", "value"]).to_pandas()
+        ev["v"] = np.round(np.copysign(
+            np.floor(np.abs(ev["value"].to_numpy()) * 1e4 + 0.5),
+            ev["value"].to_numpy())) / 1e4
+        groups = [g["v"].to_numpy() for _, g in ev.groupby("event_type")]
+        n = sum(g.size for g in groups)
+        k = len(groups)
+        gm = np.concatenate(groups).mean()
+        ssb = sum(g.size * (g.mean() - gm) ** 2 for g in groups)
+        ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+        f = (ssb / (k - 1)) / (ssw / (n - k))
+        got = anova_f(SF).to_pandas()
+        assert got["k_groups"].iloc[0] == k
+        assert got["n_total"].iloc[0] == n
+        assert abs(got["f_r"].iloc[0] - f) < max(1e-3, 1e-4 * abs(f))
+        assert abs(got["eta2_r"].iloc[0] - ssb / (ssb + ssw)) < 1e-3
+
+    def test_degenerate_one_group(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import anova_f
+
+        t0 = pd.Timestamp("1970-01-01")
+        pd.DataFrame({
+            "user_id": [1, 2], "event_type": ["view", "view"],
+            "ts": [t0] * 2, "event_id": [1, 2], "value": [1.0, 2.0],
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = anova_f(str(tmp_path)).to_pandas()
+        assert got["k_groups"].iloc[0] == 1
+        assert pd.isna(got["f_r"].iloc[0])
+
+
+class TestConversionLag:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import conversion_lag
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["user_id", "ts", "event_type"]
+                           ).to_pandas()
+        ev["t"] = ev["ts"].astype("int64")
+        lags = []
+        n_viewers = 0
+        for _, sub in ev.groupby("user_id"):
+            views = sub.loc[sub["event_type"] == "view", "t"]
+            if views.empty:
+                continue
+            n_viewers += 1
+            vt = views.min()
+            purch = sub.loc[(sub["event_type"] == "purchase")
+                            & (sub["t"] >= vt), "t"]
+            if not purch.empty:
+                lags.append((purch.min() - vt) // 1_000_000)
+        lags.sort()
+        got = conversion_lag(SF).to_pandas()
+        assert got["n_viewers"].iloc[0] == n_viewers
+        assert got["n_converted"].iloc[0] == len(lags)
+        assert got["p50_lag_s"].iloc[0] == lags[
+            int(np.ceil(len(lags) * 0.5)) - 1]
+        assert got["p90_lag_s"].iloc[0] == lags[
+            int(np.ceil(len(lags) * 0.9)) - 1]
+
+    def test_planted_funnel(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import conversion_lag
+
+        t0 = pd.Timestamp("1970-01-01")
+        rows = [
+            (1, 0, "view"), (1, 5, "purchase"),     # lag 5
+            (2, 10, "purchase"), (2, 20, "view"),   # purchase BEFORE
+            (3, 0, "view"),                          # never converts
+        ]
+        pd.DataFrame({
+            "user_id": [r[0] for r in rows],
+            "ts": [t0 + pd.Timedelta(seconds=r[1]) for r in rows],
+            "event_id": range(len(rows)),
+            "event_type": [r[2] for r in rows],
+            "value": 0.0,
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = conversion_lag(str(tmp_path)).to_pandas()
+        assert got["n_viewers"].iloc[0] == 3
+        assert got["n_converted"].iloc[0] == 1
+        assert got["p50_lag_s"].iloc[0] == 5
+        assert got["p90_lag_s"].iloc[0] == 5
