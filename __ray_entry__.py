@@ -587,6 +587,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # + lag histogram exchange + counting selection (oracle:
         # min-filter join + quantile_disc; r4)
         "conversion_lag": relational.conversion_lag,
+        # day-grain lifecycle ledger: active/retained/new/churned per
+        # calendar day — adjacent-day membership answered inside ONE
+        # user co-partition (oracle: adjacent-day self-join + FULL
+        # OUTER; r4)
+        "daily_churn": relational.daily_churn,
+        # censoring-correct survival curve: KM product-limit estimate
+        # of view→purchase time, never-converters censored at corpus
+        # end; cumprod sequenced lag ASC both sides (oracle: window
+        # suffix-sum + recursive product fold; r4)
+        "kaplan_meier": relational.kaplan_meier,
+        # distribution drift: PSI between first/second time halves over
+        # the value_histogram bin grid, both-sides-populated bins only
+        # (oracle: same bins, recursive term fold; r4)
+        "psi_drift": relational.psi_drift,
+        # apriori level 3: frequent part triples per order basket with
+        # support gate — memoized combination gather + triple-hash
+        # combine (oracle: oriented 3-way self-join; r4)
+        "frequent_triples": relational.frequent_triples,
         # JSON schema-on-read: aggregate over a value extracted from the
         # semi-structured props bag — TRY_CAST(json_extract) semantics,
         # int64 partials per type (oracle: DuckDB json functions; r4)
@@ -3409,6 +3427,118 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_viewers,
        CAST(quantile_disc(lag, 0.5) AS BIGINT) AS p50_lag_s,
        CAST(quantile_disc(lag, 0.9) AS BIGINT) AS p90_lag_s
 FROM l""",
+        # adjacent-day lifecycle: retained = self-join on day-1;
+        # churned attributes to the day the user FAILED to appear, so
+        # churn-only days survive the FULL OUTER JOIN
+        "daily_churn": """
+WITH a AS (SELECT DISTINCT user_id, epoch_us(date_trunc('day', ts)) AS d
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+ r AS (SELECT t.d, CAST(count(*) AS BIGINT) AS active,
+              CAST(count(y.user_id) AS BIGINT) AS retained
+       FROM a t LEFT JOIN a y
+         ON y.user_id = t.user_id AND y.d = t.d - 86400000000
+       GROUP BY 1),
+ c AS (SELECT y.d + 86400000000 AS d, CAST(count(*) AS BIGINT) AS churned
+       FROM a y LEFT JOIN a t
+         ON t.user_id = y.user_id AND t.d = y.d + 86400000000
+       WHERE t.user_id IS NULL GROUP BY 1)
+SELECT coalesce(r.d, c.d) AS day_us,
+       coalesce(r.active, 0) AS active,
+       coalesce(r.retained, 0) AS retained,
+       coalesce(r.active, 0) - coalesce(r.retained, 0) AS new_users,
+       coalesce(c.churned, 0) AS churned
+FROM r FULL OUTER JOIN c ON r.d = c.d
+ORDER BY day_us""",
+        # product-limit estimate: at-risk from a DESC window suffix
+        # sum; the survival product folds over event rows in lag ASC
+        # order via the recursive CTE (identical doubles, identical
+        # sequence as the engine cumprod)
+        "kaplan_meier": """
+WITH RECURSIVE v AS (
+    SELECT user_id, min(epoch_us(ts)) AS vt FROM events
+    WHERE event_type = 'view' AND user_id IS NOT NULL
+      AND ts IS NOT NULL
+    GROUP BY 1),
+ p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS pt
+       FROM events e JOIN v ON v.user_id = e.user_id
+       WHERE e.event_type = 'purchase' AND e.ts IS NOT NULL
+         AND epoch_us(e.ts) >= v.vt
+       GROUP BY 1),
+ mx AS (SELECT max(epoch_us(ts)) AS m FROM events
+        WHERE ts IS NOT NULL),
+ obs AS (SELECT CASE WHEN p.pt IS NOT NULL
+                     THEN (p.pt - v.vt) // 1000000
+                     ELSE (mx.m - v.vt) // 1000000 END AS t,
+                CASE WHEN p.pt IS NOT NULL THEN 1 ELSE 0 END AS ev
+         FROM v LEFT JOIN p ON p.user_id = v.user_id CROSS JOIN mx),
+ g AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+              CAST(count(*) AS BIGINT) AS c
+       FROM obs GROUP BY 1),
+ r AS (SELECT t, d,
+              CAST(sum(c) OVER (ORDER BY t DESC) AS BIGINT) AS n
+       FROM g),
+ e AS (SELECT t, d, n, row_number() OVER (ORDER BY t) AS rn
+       FROM r WHERE d > 0),
+ f AS (SELECT rn, 1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE) AS s
+       FROM e WHERE rn = 1
+       UNION ALL
+       SELECT e.rn,
+              f.s * (1.0 - CAST(e.d AS DOUBLE) / CAST(e.n AS DOUBLE))
+       FROM f JOIN e ON e.rn = f.rn + 1)
+SELECT e.t AS lag_s, e.n AS n_risk, e.d AS d_events,
+       round(f.s, 4) AS surv_r
+FROM e JOIN f ON f.rn = e.rn
+ORDER BY lag_s""",
+        # PSI over the value_histogram bin expression at 10 bins; the
+        # half split is pure int64 (2·ts ≥ min+max); only
+        # both-sides-populated bins contribute, folded bin ASC
+        "psi_drift": """
+WITH RECURSIVE v AS (
+    SELECT value, epoch_us(ts) AS tu FROM events
+    WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL),
+ b AS (SELECT min(value) AS lo, max(value) AS hi,
+              min(tu) AS mnt, max(tu) AS mxt FROM v),
+ c AS (SELECT CASE WHEN 2 * v.tu >= b.mnt + b.mxt THEN 1 ELSE 0 END
+                AS h,
+              CASE WHEN b.hi = b.lo THEN 0
+                   ELSE CAST(least(floor((v.value - b.lo)
+                                         / (b.hi - b.lo) * 10.0),
+                                   9.0) AS BIGINT) END AS bin
+       FROM v, b),
+ g AS (SELECT h, bin, CAST(count(*) AS BIGINT) AS n
+       FROM c GROUP BY 1, 2),
+ t AS (SELECT CAST(coalesce(sum(n) FILTER (WHERE h = 0), 0)
+                AS BIGINT) AS n1,
+              CAST(coalesce(sum(n) FILTER (WHERE h = 1), 0)
+                AS BIGINT) AS n2
+       FROM g),
+ u AS (SELECT a.bin,
+              CAST(a.n AS DOUBLE) / CAST(t.n1 AS DOUBLE) AS p1,
+              CAST(bb.n AS DOUBLE) / CAST(t.n2 AS DOUBLE) AS p2,
+              row_number() OVER (ORDER BY a.bin) AS rn
+       FROM (SELECT bin, n FROM g WHERE h = 0) a
+       JOIN (SELECT bin, n FROM g WHERE h = 1) bb USING (bin)
+       CROSS JOIN t),
+ f AS (SELECT rn, (p2 - p1) * ln(p2 / p1) AS s FROM u WHERE rn = 1
+       UNION ALL
+       SELECT u.rn, f.s + (u.p2 - u.p1) * ln(u.p2 / u.p1)
+       FROM f JOIN u ON u.rn = f.rn + 1)
+SELECT (SELECT n1 FROM t) AS n_first,
+       (SELECT n2 FROM t) AS n_second,
+       (SELECT CAST(count(*) AS BIGINT) FROM u) AS n_bins_used,
+       (SELECT round(s, 4) FROM f ORDER BY rn DESC LIMIT 1) AS psi_r""",
+        # oriented 3-way self-join on the distinct basket stream; each
+        # triple p1<p2<p3 counted once per order, support gate >= 2
+        "frequent_triples": """
+WITH bp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM lineitem
+            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL)
+SELECT a.pk AS p1, b.pk AS p2, c.pk AS p3,
+       CAST(count(*) AS BIGINT) AS support
+FROM bp a JOIN bp b ON b.ok = a.ok AND b.pk > a.pk
+JOIN bp c ON c.ok = a.ok AND c.ok = b.ok AND c.pk > b.pk
+GROUP BY 1, 2, 3 HAVING count(*) >= 2""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

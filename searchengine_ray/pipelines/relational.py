@@ -8313,3 +8313,404 @@ def conversion_lag(sf_dir: str):
         "p50_lag_s": pa.array([disc(0.5)], type=pa.int64()),
         "p90_lag_s": pa.array([disc(0.9)], type=pa.int64()),
     })
+
+
+def daily_churn(sf_dir: str):
+    """(day_us, active, retained, new_users, churned): the day-grain
+    lifecycle ledger — per calendar day, distinct active users, how
+    many of them were ALSO active the previous calendar day
+    (retained), the complement (new_users = active − retained), and
+    how many of the previous day's actives went silent (churned,
+    attributed to the day they FAILED to show). ``retention_cohorts``
+    answers the cohort-week question; this is the daily product-health
+    dashboard (DAU churn), a different grain and a different join
+    (adjacent-day self-join, not first-week anchor).
+
+    Scale shape: ONE user-hash co-partition exchange; each partition
+    dedups (user, day) and answers prev-day / next-day membership with
+    two vectorized searchsorted passes over the user-sorted day array
+    (a user's whole history lives in one partition, so adjacency never
+    crosses partitions); partials collapse to ≤|distinct days| rows per
+    partition before a tiny day-keyed Sum exchange. Days that only
+    CHURN (everyone quit) still appear — the churn partial creates the
+    day row, mirroring the oracle's FULL OUTER JOIN."""
+    from ray.data.aggregate import Sum
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return _user_part_table(batch.drop_null(), {})
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        empty = pa.table({"day_us": pa.array([], type=pa.int64()),
+                          "a": pa.array([], type=pa.int64()),
+                          "r": pa.array([], type=pa.int64()),
+                          "c": pa.array([], type=pa.int64())})
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        if uid.size == 0:
+            return empty
+        uid = uid.astype(np.int64)
+        ts = group["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = ts - (ts % DAY_US)
+        order = np.lexsort((day, uid))
+        uid, day = uid[order], day[order]
+        keep = np.concatenate(
+            ([True], (uid[1:] != uid[:-1]) | (day[1:] != day[:-1])))
+        uid, day = uid[keep], day[keep]
+        prev_same = np.concatenate(([False], uid[1:] == uid[:-1]))
+        retained = prev_same & (np.concatenate(([0], day[:-1]))
+                                == day - DAY_US)
+        next_same = np.concatenate((uid[:-1] == uid[1:], [False]))
+        cont = next_same & (np.concatenate((day[1:], [0])) == day + DAY_US)
+        churn_day = day[~cont] + DAY_US
+        ud = np.unique(np.concatenate((day, churn_day)))
+        act = np.zeros(ud.size, dtype=np.int64)
+        np.add.at(act, np.searchsorted(ud, day), 1)
+        ret = np.zeros(ud.size, dtype=np.int64)
+        np.add.at(ret, np.searchsorted(ud, day[retained]), 1)
+        chn = np.zeros(ud.size, dtype=np.int64)
+        np.add.at(chn, np.searchsorted(ud, churn_day), 1)
+        return pa.table({"day_us": pa.array(ud), "a": pa.array(act),
+                         "r": pa.array(ret), "c": pa.array(chn)})
+
+    def publish(batch: pa.Table) -> pa.Table:
+        a = batch["sum_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = batch["sum_r"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = batch["sum_c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "day_us": batch["day_us"],
+            "active": pa.array(a),
+            "retained": pa.array(r),
+            "new_users": pa.array(a - r),
+            "churned": pa.array(c),
+        })
+
+    return (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["user_id", "ts"])
+        .map_batches(tag, batch_format="pyarrow", batch_size=8192)
+        .groupby("q").map_groups(per_partition, batch_format="pyarrow")
+        .groupby("day_us")
+        .aggregate(Sum("a", alias_name="sum_a"),
+                   Sum("r", alias_name="sum_r"),
+                   Sum("c", alias_name="sum_c"))
+        .map_batches(publish, batch_format="pyarrow")
+    )
+
+
+def kaplan_meier(sf_dir: str):
+    """(lag_s, n_risk, d_events, surv_r): the Kaplan–Meier survival
+    curve of view→purchase conversion — time-to-event in whole seconds
+    from each user's FIRST 'view' to their first purchase at/after it,
+    with never-converting viewers RIGHT-CENSORED at the corpus end
+    (global max event timestamp). One row per distinct event time t:
+    at-risk count n_t, events d_t, and the product-limit estimate
+    S(t) = Π_{s≤t}(1 − d_s/n_s). ``conversion_lag`` reports two naive
+    quantiles over converters only; KM is the censoring-correct
+    estimator (the survival-analysis surface: churn modeling, time-to-
+    label). The float product folds in lag ASC order on both sides —
+    identical doubles multiplied in an identical sequence (the
+    ema_daily_value sequencing convention), 4-dp publish.
+
+    Scale shape: a ≤1-row-per-batch global-max pass, then ONE user-hash
+    co-partition exchange; each partition reduces to a distinct-lag
+    (d, c) histogram partial, a ≤|distinct seconds| Sum exchange, and a
+    driver suffix-sum + cumprod over the bounded-by-time-domain
+    histogram (the conversion_lag counting discipline)."""
+    from ray.data.aggregate import Sum
+
+    def max_partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].drop_null().cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if ts.size == 0:
+            return pa.table({"m": pa.array([], type=pa.int64())})
+        return pa.table({"m": pa.array([int(ts.max())], type=pa.int64())})
+
+    src = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "ts", "event_type"])
+    mm = (src.map_batches(max_partial, batch_format="pyarrow",
+                          batch_size=8192).to_pandas())
+    empty = pa.table({"lag_s": pa.array([], type=pa.int64()),
+                      "n_risk": pa.array([], type=pa.int64()),
+                      "d_events": pa.array([], type=pa.int64()),
+                      "surv_r": pa.array([], type=pa.float64())})
+    if mm.empty:
+        return empty
+    gmax = int(mm["m"].max())
+
+    def tag(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()
+        return _user_part_table(batch, {
+            "et": batch["event_type"].cast(pa.string()),
+        })
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = group.to_pandas()
+        df = df[df["et"].isin(("view", "purchase"))]
+        empty_p = pa.table({"t_s": pa.array([], type=pa.int64()),
+                            "d": pa.array([], type=pa.int64()),
+                            "c": pa.array([], type=pa.int64())})
+        if df.empty:
+            return empty_p
+        v = df[df["et"] == "view"].groupby("user_id")["ts_us"].min()
+        if v.empty:
+            return empty_p
+        p = df[df["et"] == "purchase"][["user_id", "ts_us"]].copy()
+        p["vt"] = p["user_id"].map(v)
+        p = p[p["vt"].notna() & (p["ts_us"] >= p["vt"])]
+        first_p = p.groupby("user_id")["ts_us"].min()
+        t_ev = ((first_p - v.reindex(first_p.index)) // 1_000_000) \
+            .to_numpy(dtype=np.int64)
+        cens = v[~v.index.isin(first_p.index)]
+        t_cs = ((gmax - cens) // 1_000_000).to_numpy(dtype=np.int64)
+        ut = np.unique(np.concatenate((t_ev, t_cs)))
+        d = np.zeros(ut.size, dtype=np.int64)
+        np.add.at(d, np.searchsorted(ut, t_ev), 1)
+        c = d.copy()
+        np.add.at(c, np.searchsorted(ut, t_cs), 1)
+        return pa.table({"t_s": pa.array(ut), "d": pa.array(d),
+                         "c": pa.array(c)})
+
+    hist = (
+        src.map_batches(tag, batch_format="pyarrow", batch_size=8192)
+        .groupby("q").map_groups(per_partition, batch_format="pyarrow")
+        .groupby("t_s")
+        .aggregate(Sum("d", alias_name="d"), Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    if hist.empty:
+        return empty
+    hist = hist.sort_values("t_s")
+    t = hist["t_s"].to_numpy(dtype=np.int64)
+    d = hist["d"].to_numpy(dtype=np.int64)
+    c = hist["c"].to_numpy(dtype=np.int64)
+    n_risk = int(c.sum()) - np.cumsum(c) + c
+    ev = d > 0
+    if not ev.any():
+        return empty
+    surv = np.cumprod(1.0 - d[ev].astype(np.float64)
+                      / n_risk[ev].astype(np.float64))
+    return pa.table({
+        "lag_s": pa.array(t[ev]),
+        "n_risk": pa.array(n_risk[ev]),
+        "d_events": pa.array(d[ev]),
+        "surv_r": pa.array(_round_vec(surv, 4)),
+    })
+
+
+PSI_NBINS = 10
+
+
+def psi_drift(sf_dir: str):
+    """(n_first, n_second, n_bins_used, psi_r): population stability
+    index of the event value distribution between the first and second
+    halves of the observed time range — THE production drift monitor
+    (did the feature distribution move between two windows?).
+    PSI = Σ_bins (p₂−p₁)·ln(p₂/p₁) over PSI_NBINS equi-width bins
+    spanning the GLOBAL [min, max] (the value_histogram bin expression
+    verbatim), restricted to bins populated on BOTH sides (the
+    standard zero-bin guard, count disclosed via n_bins_used). The
+    half split is 2·ts ≥ min_ts + max_ts — pure int64 arithmetic, no
+    division convention to drift. The ≤PSI_NBINS-term float fold runs
+    in bin ASC order on both sides (recursive-CTE sequencing), libm
+    ln on identical doubles, 4-dp publish.
+
+    Scale shape: a ≤1-row-per-batch (min,max)×(value,ts) pass, then a
+    per-batch 2×PSI_NBINS bincount partial into a ≤2·PSI_NBINS-group
+    Sum — no row-level shuffle anywhere; driver folds ≤PSI_NBINS
+    terms."""
+    import math
+    from ray.data.aggregate import Sum
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        v, ts = v[ok], ts[ok].astype(np.int64)
+        if v.size == 0:
+            return pa.table({"lo": pa.array([], type=pa.float64()),
+                             "hi": pa.array([], type=pa.float64()),
+                             "mnt": pa.array([], type=pa.int64()),
+                             "mxt": pa.array([], type=pa.int64())})
+        return pa.table({"lo": pa.array([float(v.min())]),
+                         "hi": pa.array([float(v.max())]),
+                         "mnt": pa.array([int(ts.min())],
+                                         type=pa.int64()),
+                         "mxt": pa.array([int(ts.max())],
+                                         type=pa.int64())})
+
+    src = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                             columns=["value", "ts"])
+    mm = (src.map_batches(stats_partial, batch_format="pyarrow",
+                          batch_size=8192).to_pandas())
+
+    def publish(n1: int, n2: int, used: int, psi) -> pa.Table:
+        return pa.table({
+            "n_first": pa.array([n1], type=pa.int64()),
+            "n_second": pa.array([n2], type=pa.int64()),
+            "n_bins_used": pa.array([used], type=pa.int64()),
+            "psi_r": pa.array([psi], type=pa.float64()),
+        })
+
+    if mm.empty:
+        return publish(0, 0, 0, None)
+    lo, hi = float(mm["lo"].min()), float(mm["hi"].max())
+    mnt, mxt = int(mm["mnt"].min()), int(mm["mxt"].max())
+    width = hi - lo
+
+    def bin_partial(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        v, ts = v[ok], ts[ok].astype(np.int64)
+        if v.size == 0:
+            return pa.table({"hb": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        if width == 0.0:
+            b = np.zeros(v.size, dtype=np.int64)
+        else:
+            b = np.minimum(np.floor((v - lo) / width * PSI_NBINS),
+                           PSI_NBINS - 1).astype(np.int64)
+        h = (2 * ts >= mnt + mxt).astype(np.int64)
+        hb = h * PSI_NBINS + b
+        counts = np.bincount(hb, minlength=2 * PSI_NBINS)
+        live = np.flatnonzero(counts)
+        return pa.table({"hb": pa.array(live.astype(np.int64)),
+                         "n": pa.array(counts[live].astype(np.int64))})
+
+    counted = (src.map_batches(bin_partial, batch_format="pyarrow",
+                               batch_size=8192)
+               .groupby("hb").aggregate(Sum("n", alias_name="n"))
+               .to_pandas())
+    n = np.zeros(2 * PSI_NBINS, dtype=np.int64)
+    if not counted.empty:
+        n[counted["hb"].to_numpy(dtype=np.int64)] = (
+            counted["n"].to_numpy(dtype=np.int64))
+    n1b, n2b = n[:PSI_NBINS], n[PSI_NBINS:]
+    n1, n2 = int(n1b.sum()), int(n2b.sum())
+    used = 0
+    s = None
+    for i in range(PSI_NBINS):
+        if n1b[i] > 0 and n2b[i] > 0:
+            used += 1
+            p1 = float(n1b[i]) / float(n1)
+            p2 = float(n2b[i]) / float(n2)
+            term = (p2 - p1) * math.log(p2 / p1)
+            s = term if s is None else s + term
+    psi = None if s is None else float(round_half_away(s, 4))
+    return publish(n1, n2, used, psi)
+
+
+TRIPLE_MIN_SUPPORT = 2
+TRIPLE_BASKET_CAP = 128
+
+
+def frequent_triples(sf_dir: str):
+    """(p1, p2, p3, support): frequent 3-itemsets over order baskets —
+    every ordered triple p1<p2<p3 of distinct parts co-occurring in at
+    least TRIPLE_MIN_SUPPORT distinct orders. ``basket_lift`` mines
+    pairs; 3-itemsets are the next apriori level (bundle discovery),
+    a combinatorially different enumeration, NOT derivable from the
+    pair stream.
+
+    Scale shape: distinct (order, part) dedups map-side and
+    co-locates by hash(order); each order's bounded basket enumerates
+    its C(b,3) triples through a memoized combination-index gather
+    (no per-triple Python), partials combine per partition, then ONE
+    triple-hash exchange finishes the count and applies the support
+    gate — the _order_part_pairs discipline one arity up. Baskets
+    above TRIPLE_BASKET_CAP parts (C(cap,3) ≈ 341k triples) are
+    skipped by design and disclosed here: TPC-H-shape baskets are
+    bounded by the order's line count (≤13 observed), so the cap is
+    unreachable on contract inputs; a corpus where single baskets
+    exceed it needs apriori pair-pruning first."""
+    import itertools
+
+    import pandas as pd
+
+    P = _PAIR_PARTITIONS
+
+    def op_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "ok": batch["l_orderkey"].to_numpy(zero_copy_only=False),
+            "pk": batch["l_partkey"].to_numpy(zero_copy_only=False),
+        }).dropna().drop_duplicates()
+        ok = df["ok"].to_numpy(dtype=np.int64)
+        return pa.table({
+            "q": pa.array((ok % P).astype(np.int64)),
+            "ok": pa.array(ok),
+            "pk": pa.array(df["pk"].to_numpy(dtype=np.int64)),
+        })
+
+    comb_cache: dict[int, np.ndarray] = {}
+
+    def combs(m: int) -> np.ndarray:
+        got = comb_cache.get(m)
+        if got is None:
+            got = np.array(list(itertools.combinations(range(m), 3)),
+                           dtype=np.int64)
+            comb_cache[m] = got
+        return got
+
+    empty_partial = pa.table({
+        "p1": pa.array([], type=pa.int64()),
+        "p2": pa.array([], type=pa.int64()),
+        "p3": pa.array([], type=pa.int64()),
+        "n": pa.array([], type=pa.int64()),
+        "qq": pa.array([], type=pa.int64()),
+    })
+
+    def triples_in_partition(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().drop_duplicates(subset=["ok", "pk"])
+        df = df.sort_values(["ok", "pk"], kind="mergesort")
+        ok = df["ok"].to_numpy(dtype=np.int64)
+        pk = df["pk"].to_numpy(dtype=np.int64)
+        starts = np.flatnonzero(
+            np.concatenate(([True], ok[1:] != ok[:-1])))
+        ends = np.concatenate((starts[1:], [ok.size]))
+        outs = []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            b = e - s
+            if b < 3 or b > TRIPLE_BASKET_CAP:
+                continue
+            outs.append(pk[s:e][combs(b)])
+        if not outs:
+            return empty_partial
+        tr = np.concatenate(outs)
+        g = pd.DataFrame({"p1": tr[:, 0], "p2": tr[:, 1],
+                          "p3": tr[:, 2]}).groupby(
+            ["p1", "p2", "p3"], as_index=False).size()
+        a = g["p1"].to_numpy(dtype=np.int64)
+        b2 = g["p2"].to_numpy(dtype=np.int64)
+        c = g["p3"].to_numpy(dtype=np.int64)
+        return pa.table({
+            "p1": pa.array(a), "p2": pa.array(b2), "p3": pa.array(c),
+            "n": pa.array(g["size"].to_numpy(dtype=np.int64)),
+            "qq": pa.array(
+                (((a * 1_000_003 + b2) * 1_000_003 + c) % P)
+                .astype(np.int64)),
+        })
+
+    def combine(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().groupby(
+            ["p1", "p2", "p3"], as_index=False)["n"].sum()
+        df = df[df["n"] >= TRIPLE_MIN_SUPPORT]
+        return pa.table({
+            "p1": pa.array(df["p1"].to_numpy(dtype=np.int64)),
+            "p2": pa.array(df["p2"].to_numpy(dtype=np.int64)),
+            "p3": pa.array(df["p3"].to_numpy(dtype=np.int64)),
+            "support": pa.array(df["n"].to_numpy(dtype=np.int64)),
+        })
+
+    return (
+        read_parquet_clean(os.path.join(sf_dir, "lineitem.parquet"),
+                           columns=["l_orderkey", "l_partkey"])
+        .map_batches(op_partial, batch_format="pyarrow",
+                     batch_size=8192)
+        .groupby("q").map_groups(triples_in_partition,
+                                 batch_format="pyarrow")
+        .groupby("qq").map_groups(combine, batch_format="pyarrow")
+    )

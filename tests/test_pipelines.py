@@ -6604,3 +6604,196 @@ class TestConversionLag:
         assert got["n_converted"].iloc[0] == 1
         assert got["p50_lag_s"].iloc[0] == 5
         assert got["p90_lag_s"].iloc[0] == 5
+
+
+class TestDailyChurn:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import daily_churn
+
+        DAY = 86_400_000_000
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["user_id", "ts"]).to_pandas()
+        ev["d"] = ev["ts"].astype("int64") // DAY * DAY
+        act = {d: set(g["user_id"]) for d, g in ev.groupby("d")}
+        rows = {}
+        for d, users in act.items():
+            prev = act.get(d - DAY, set())
+            rows[d] = [len(users), len(users & prev), 0]
+        for d, users in act.items():
+            gone = users - act.get(d + DAY, set())
+            rows.setdefault(d + DAY, [0, 0, 0])[2] += len(gone)
+        got = daily_churn(SF).to_pandas().sort_values("day_us")
+        assert got["day_us"].tolist() == sorted(rows)
+        for _, r in got.iterrows():
+            a, ret, chn = rows[r["day_us"]]
+            assert (r["active"], r["retained"], r["churned"]) == \
+                (a, ret, chn)
+            assert r["new_users"] == a - ret
+
+    def test_planted_lifecycle(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import daily_churn
+
+        t0 = pd.Timestamp("1970-01-01")
+        rows = [(1, 0), (1, 1), (1, 3), (2, 1)]
+        pd.DataFrame({
+            "user_id": [r[0] for r in rows],
+            "ts": [t0 + pd.Timedelta(days=r[1]) for r in rows],
+            "event_id": range(len(rows)), "event_type": "e",
+            "value": 0.0,
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = daily_churn(str(tmp_path)).to_pandas() \
+            .sort_values("day_us").reset_index(drop=True)
+        DAY = 86_400_000_000
+        assert got["day_us"].tolist() == [0, DAY, 2 * DAY, 3 * DAY,
+                                          4 * DAY]
+        assert got["active"].tolist() == [1, 2, 0, 1, 0]
+        assert got["retained"].tolist() == [0, 1, 0, 0, 0]
+        assert got["new_users"].tolist() == [1, 1, 0, 1, 0]
+        # both day-1 actives vanish on day 2; the day-3 return churns
+        # again past corpus end (the disclosed trailing row)
+        assert got["churned"].tolist() == [0, 0, 2, 0, 1]
+
+
+class TestKaplanMeier:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import kaplan_meier
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["user_id", "ts", "event_type"]
+                           ).to_pandas()
+        ev["t"] = ev["ts"].astype("int64")
+        gmax = ev["t"].max()
+        obs = []
+        for _, sub in ev.groupby("user_id"):
+            views = sub.loc[sub["event_type"] == "view", "t"]
+            if views.empty:
+                continue
+            vt = views.min()
+            purch = sub.loc[(sub["event_type"] == "purchase")
+                            & (sub["t"] >= vt), "t"]
+            if purch.empty:
+                obs.append(((gmax - vt) // 1_000_000, 0))
+            else:
+                obs.append(((purch.min() - vt) // 1_000_000, 1))
+        got = kaplan_meier(SF).to_pandas().sort_values("lag_s")
+        s = 1.0
+        exp = []
+        times = sorted({t for t, _ in obs})
+        for t in times:
+            n = sum(1 for tt, _ in obs if tt >= t)
+            d = sum(1 for tt, e in obs if tt == t and e)
+            if d:
+                s *= 1.0 - d / n
+                exp.append((t, n, d, s))
+        assert len(got) == len(exp)
+        for row, (t, n, d, sv) in zip(got.itertuples(), exp):
+            assert (row.lag_s, row.n_risk, row.d_events) == (t, n, d)
+            assert abs(row.surv_r - sv) < 1e-3
+
+    def test_planted_censoring(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import kaplan_meier
+
+        t0 = pd.Timestamp("1970-01-01")
+        rows = [
+            (1, 0, "view"), (1, 10, "purchase"),
+            (2, 0, "view"),                      # censored at 100
+            (3, 0, "view"), (3, 20, "purchase"),
+            (4, 100, "click"),                   # corpus end marker
+        ]
+        pd.DataFrame({
+            "user_id": [r[0] for r in rows],
+            "ts": [t0 + pd.Timedelta(seconds=r[1]) for r in rows],
+            "event_id": range(len(rows)),
+            "event_type": [r[2] for r in rows],
+            "value": 0.0,
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = kaplan_meier(str(tmp_path)).to_pandas() \
+            .sort_values("lag_s").reset_index(drop=True)
+        assert got["lag_s"].tolist() == [10, 20]
+        assert got["n_risk"].tolist() == [3, 2]
+        assert got["d_events"].tolist() == [1, 1]
+        assert got["surv_r"].tolist() == [round(2 / 3, 4),
+                                          round(1 / 3, 4)]
+
+
+class TestPsiDrift:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            PSI_NBINS, psi_drift)
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["value", "ts"]).to_pandas()
+        v = ev["value"].to_numpy()
+        tu = ev["ts"].astype("int64").to_numpy()
+        lo, hi = v.min(), v.max()
+        b = np.minimum(np.floor((v - lo) / (hi - lo) * PSI_NBINS),
+                       PSI_NBINS - 1).astype(int)
+        h = 2 * tu >= tu.min() + tu.max()
+        n1b = np.bincount(b[~h], minlength=PSI_NBINS)
+        n2b = np.bincount(b[h], minlength=PSI_NBINS)
+        psi = 0.0
+        used = 0
+        for i in range(PSI_NBINS):
+            if n1b[i] and n2b[i]:
+                used += 1
+                p1, p2 = n1b[i] / n1b.sum(), n2b[i] / n2b.sum()
+                psi += (p2 - p1) * np.log(p2 / p1)
+        got = psi_drift(SF).to_pandas()
+        assert got["n_first"].iloc[0] == int((~h).sum())
+        assert got["n_second"].iloc[0] == int(h.sum())
+        assert got["n_bins_used"].iloc[0] == used
+        assert abs(got["psi_r"].iloc[0] - psi) < 1e-3
+
+    def test_planted_no_drift(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import psi_drift
+
+        t0 = pd.Timestamp("1970-01-01")
+        secs = list(range(10)) + list(range(100, 110))
+        vals = [float(i + 1) for i in range(10)] * 2
+        pd.DataFrame({
+            "user_id": 1,
+            "ts": [t0 + pd.Timedelta(seconds=s) for s in secs],
+            "event_id": range(20), "event_type": "e", "value": vals,
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = psi_drift(str(tmp_path)).to_pandas()
+        assert got["n_first"].iloc[0] == 10
+        assert got["n_second"].iloc[0] == 10
+        assert got["psi_r"].iloc[0] == 0.0
+
+
+class TestFrequentTriples:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            TRIPLE_MIN_SUPPORT, frequent_triples)
+
+        li = pq.read_table(f"{SF}/lineitem.parquet",
+                           columns=["l_orderkey", "l_partkey"]
+                           ).to_pandas().drop_duplicates()
+        support: dict[tuple, int] = {}
+        for _, seg in li.groupby("l_orderkey"):
+            for tr in itertools.combinations(
+                    sorted(seg["l_partkey"].tolist()), 3):
+                support[tr] = support.get(tr, 0) + 1
+        exp = sorted(t for t, n in support.items()
+                     if n >= TRIPLE_MIN_SUPPORT)
+        got = frequent_triples(SF).to_pandas() \
+            .sort_values(["p1", "p2", "p3"])
+        assert [tuple(r) for r in
+                got[["p1", "p2", "p3"]].to_numpy()] == exp
+        for row in got.itertuples():
+            assert row.support == support[(row.p1, row.p2, row.p3)]
+
+    def test_planted_baskets(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import (
+            frequent_triples)
+
+        baskets = {1: [1, 2, 3, 4], 2: [1, 2, 3], 3: [2, 3, 4]}
+        rows = [(ok, pk) for ok, pks in baskets.items() for pk in pks]
+        pd.DataFrame({
+            "l_orderkey": [r[0] for r in rows],
+            "l_partkey": [r[1] for r in rows],
+        }).to_parquet(f"{tmp_path}/lineitem.parquet", index=False)
+        got = frequent_triples(str(tmp_path)).to_pandas() \
+            .sort_values(["p1", "p2", "p3"]).reset_index(drop=True)
+        assert [tuple(r) for r in got.to_numpy()] == [
+            (1, 2, 3, 2), (2, 3, 4, 2)]
