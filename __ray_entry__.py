@@ -605,6 +605,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # support gate — memoized combination gather + triple-hash
         # combine (oracle: oriented 3-way self-join; r4)
         "frequent_triples": relational.frequent_triples,
+        # time-in-state ledger: lead(ts)−ts per user under (ts,
+        # event_id) order, dwell totals per type — exact int64 µs, one
+        # double division (oracle: lead window; r4)
+        "state_durations": relational.state_durations,
+        # third-order sequence mining: consecutive type triples per
+        # user stream, ≤|types|³ output (oracle: double-lead window;
+        # r4)
+        "event_trigrams": relational.event_trigrams,
+        # all-pairs lag-0 Pearson of daily revenue between event types
+        # over the shared day grid — exact bigint moments both sides
+        # (oracle: grid self-join + HUGEINT moments; r4)
+        "type_corr_matrix": relational.type_corr_matrix,
+        # cohort lifetime value: signup-day cohorts, weekly purchase
+        # cents, gapless scaffold + per-cohort cumulative (oracle:
+        # range() scaffold + window sum; r4)
+        "cohort_ltv": relational.cohort_ltv,
         # JSON schema-on-read: aggregate over a value extracted from the
         # semi-structured props bag — TRY_CAST(json_extract) semantics,
         # int64 partials per type (oracle: DuckDB json functions; r4)
@@ -3539,6 +3555,108 @@ SELECT a.pk AS p1, b.pk AS p2, c.pk AS p3,
 FROM bp a JOIN bp b ON b.ok = a.ok AND b.pk > a.pk
 JOIN bp c ON c.ok = a.ok AND c.ok = b.ok AND c.pk > b.pk
 GROUP BY 1, 2, 3 HAVING count(*) >= 2""",
+        # lead(ts)−ts under the (ts, event_id) total order; the user's
+        # final event contributes no segment (lead NULL)
+        "state_durations": """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu, event_id
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             AND event_type IS NOT NULL AND event_id IS NOT NULL),
+ d AS (SELECT event_type,
+              lead(tu) OVER (PARTITION BY user_id
+                             ORDER BY tu, event_id) - tu AS dur
+       FROM e)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(dur) AS BIGINT) AS total_us,
+       round(CAST(sum(dur) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+         AS avg_us_r
+FROM d WHERE dur IS NOT NULL GROUP BY 1""",
+        # double lead under the same (ts, event_id) order; trailing
+        # NULLs mark the user's stream end
+        "event_trigrams": """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu, event_id
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             AND event_type IS NOT NULL AND event_id IS NOT NULL),
+ t AS (SELECT event_type AS t1,
+              lead(event_type, 1) OVER w AS t2,
+              lead(event_type, 2) OVER w AS t3
+       FROM e WINDOW w AS (PARTITION BY user_id
+                           ORDER BY tu, event_id))
+SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+FROM t WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+GROUP BY 1, 2, 3""",
+        # daily cents per (type, day), zero-filled grid, exact HUGEINT
+        # moments per pair; r is one double expression on identical
+        # integers, NULL for a constant series
+        "type_corr_matrix": """
+WITH v AS (SELECT event_type AS et,
+                  CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS d,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events
+           WHERE ts IS NOT NULL AND event_type IS NOT NULL
+             AND value IS NOT NULL AND NOT isnan(value)),
+ dt AS (SELECT et, d, CAST(sum(cents) AS BIGINT) AS c
+        FROM v GROUP BY 1, 2),
+ days AS (SELECT DISTINCT d FROM dt),
+ types AS (SELECT DISTINCT et FROM dt),
+ grid AS (SELECT t.et, dd.d, CAST(coalesce(dt.c, 0) AS BIGINT) AS c
+          FROM types t CROSS JOIN days dd
+          LEFT JOIN dt ON dt.et = t.et AND dt.d = dd.d),
+ m AS (SELECT a.et AS ea, b.et AS eb, CAST(count(*) AS BIGINT) AS n,
+              sum(CAST(a.c AS HUGEINT)) AS sx,
+              sum(CAST(b.c AS HUGEINT)) AS sy,
+              sum(CAST(a.c AS HUGEINT) * CAST(a.c AS HUGEINT)) AS sxx,
+              sum(CAST(b.c AS HUGEINT) * CAST(b.c AS HUGEINT)) AS syy,
+              sum(CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT)) AS sxy
+       FROM grid a JOIN grid b ON a.d = b.d AND a.et < b.et
+       GROUP BY 1, 2),
+ x AS (SELECT ea, eb, n, n * sxy - sx * sy AS num,
+              n * sxx - sx * sx AS d1, n * syy - sy * sy AS d2
+       FROM m)
+SELECT ea AS type_a, eb AS type_b, n AS n_days,
+       CASE WHEN d1 > 0 AND d2 > 0
+            THEN round(CAST(num AS DOUBLE)
+                       / sqrt(CAST(d1 AS DOUBLE)
+                              * CAST(d2 AS DOUBLE)), 4)
+       END AS r_r
+FROM x""",
+        # signup-day cohorts (retention_cohorts anchor), weekly
+        # purchase cents, gapless range() scaffold to the corpus-end
+        # day, per-cohort running sum of exact cents
+        "cohort_ltv": """
+WITH e AS (SELECT user_id, epoch_us(ts) AS tu, event_type,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+ s AS (SELECT user_id, min(tu) // 86400000000 * 86400000000 AS cd
+       FROM e WHERE event_type = 'signup' GROUP BY 1),
+ p AS (SELECT s.cd, e.user_id,
+              ((e.tu // 86400000000 * 86400000000) - s.cd)
+                // 604800000000 AS wo,
+              e.cents
+       FROM e JOIN s ON s.user_id = e.user_id
+       WHERE e.event_type = 'purchase' AND e.cents IS NOT NULL
+         AND (e.tu // 86400000000 * 86400000000) >= s.cd),
+ mx AS (SELECT max(tu) // 86400000000 * 86400000000 AS gd FROM e),
+ cohorts AS (SELECT DISTINCT cd FROM s),
+ grid AS (SELECT c.cd, CAST(t.o AS BIGINT) AS wo
+          FROM cohorts c, mx,
+               LATERAL unnest(range(0, (mx.gd - c.cd)
+                                       // 604800000000 + 1)) AS t(o)),
+ cell AS (SELECT cd, wo, CAST(sum(cents) AS BIGINT) AS cents,
+                 CAST(count(DISTINCT user_id) AS BIGINT) AS buyers
+          FROM p GROUP BY 1, 2),
+ f AS (SELECT g.cd, g.wo,
+              CAST(coalesce(cell.cents, 0) AS BIGINT) AS cents,
+              CAST(coalesce(cell.buyers, 0) AS BIGINT) AS buyers
+       FROM grid g LEFT JOIN cell
+         ON cell.cd = g.cd AND cell.wo = g.wo)
+SELECT cd AS cohort_day_us, wo AS week_offset, buyers AS n_buyers,
+       cents / 100.0 AS revenue_r,
+       CAST(sum(cents) OVER (PARTITION BY cd ORDER BY wo)
+            AS BIGINT) / 100.0 AS cum_revenue_r
+FROM f ORDER BY 1, 2""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -8714,3 +8714,373 @@ def frequent_triples(sf_dir: str):
                                  batch_format="pyarrow")
         .groupby("qq").map_groups(combine, batch_format="pyarrow")
     )
+
+
+def state_durations(sf_dir: str):
+    """(event_type, n_segments, total_us, avg_us_r): time-in-state —
+    each event opens a "state" that lasts until the SAME user's next
+    event (lead(ts) − ts under the (ts, event_id) total order); the
+    user's final event closes nothing and is excluded, exactly like
+    ``lead``'s trailing NULL. Aggregated per event_type: segment
+    count, total dwell µs (exact int64), and the mean dwell
+    (one double division, 4-dp publish). ``sessionize_events`` cuts
+    on a gap threshold; this is the SCD-style duration ledger every
+    event-sourced system needs (how long do users sit in each state?).
+
+    Scale shape: ONE user-hash co-partition exchange; adjacency is
+    per-user so the lead diff resolves locally in one lexsorted
+    vectorized pass; partials collapse to ≤|types| rows per partition
+    before a tiny type-keyed Sum exchange."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def tag(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()
+        return _user_part_table(batch, {
+            "et": batch["event_type"].cast(pa.string()),
+            "eid": batch["event_id"].cast(pa.int64()),
+        })
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                          "n": pa.array([], type=pa.int64()),
+                          "tot": pa.array([], type=pa.int64())})
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        if uid.size < 2:
+            return empty
+        uid = uid.astype(np.int64)
+        ts = group["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = group["eid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = np.asarray(group["et"].to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, et = uid[order], ts[order], et[order]
+        same = uid[:-1] == uid[1:]
+        dur = (ts[1:] - ts[:-1])[same]
+        if dur.size == 0:
+            return empty
+        g = pd.DataFrame({"et": et[:-1][same], "dur": dur}).groupby(
+            "et", as_index=False).agg(n=("dur", "size"),
+                                      tot=("dur", "sum"))
+        return pa.table({
+            "event_type": pa.array(g["et"].tolist(), type=pa.string()),
+            "n": pa.array(g["n"].to_numpy(dtype=np.int64)),
+            "tot": pa.array(g["tot"].to_numpy(dtype=np.int64)),
+        })
+
+    def publish(batch: pa.Table) -> pa.Table:
+        n = batch["sum_n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tot = batch["sum_tot"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        avg = _round_vec(tot.astype(np.float64) / n.astype(np.float64), 4)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "n_segments": pa.array(n),
+            "total_us": pa.array(tot),
+            "avg_us_r": pa.array(avg),
+        })
+
+    return (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["user_id", "ts", "event_type",
+                                    "event_id"])
+        .map_batches(tag, batch_format="pyarrow", batch_size=8192)
+        .groupby("q").map_groups(per_partition, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="sum_n"),
+                   Sum("tot", alias_name="sum_tot"))
+        .map_batches(publish, batch_format="pyarrow")
+    )
+
+
+def event_trigrams(sf_dir: str):
+    """(t1, t2, t3, n): third-order sequence mining — counts of every
+    consecutive event-type TRIPLE inside a user's stream under the
+    (ts, event_id) total order (``event_transitions`` is the bigram
+    Markov surface; trigrams expose second-order structure a
+    transition matrix cannot, e.g. view→click→purchase vs
+    click→view→purchase). Output cardinality is ≤|types|³ — bounded
+    by the type vocabulary, not the corpus.
+
+    Scale shape: ONE user-hash co-partition exchange; triples form
+    locally (two vectorized shifts, a same-user mask), collapse to
+    ≤|types|³ partial rows per partition, then a tiny key-hash
+    map_groups finishes the count."""
+    import pandas as pd
+
+    SEP = "\x1f"
+
+    def tag(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()
+        return _user_part_table(batch, {
+            "et": batch["event_type"].cast(pa.string()),
+            "eid": batch["event_id"].cast(pa.int64()),
+        })
+
+    empty = pa.table({"t1": pa.array([], type=pa.string()),
+                      "t2": pa.array([], type=pa.string()),
+                      "t3": pa.array([], type=pa.string()),
+                      "n": pa.array([], type=pa.int64()),
+                      "k": pa.array([], type=pa.string())})
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        if uid.size < 3:
+            return empty
+        uid = uid.astype(np.int64)
+        ts = group["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = group["eid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = np.asarray(group["et"].to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts, uid))
+        uid, et = uid[order], et[order]
+        ok = (uid[:-2] == uid[1:-1]) & (uid[1:-1] == uid[2:])
+        if not ok.any():
+            return empty
+        g = pd.DataFrame({
+            "t1": et[:-2][ok], "t2": et[1:-1][ok], "t3": et[2:][ok],
+        }).groupby(["t1", "t2", "t3"], as_index=False).size()
+        return pa.table({
+            "t1": pa.array(g["t1"].tolist(), type=pa.string()),
+            "t2": pa.array(g["t2"].tolist(), type=pa.string()),
+            "t3": pa.array(g["t3"].tolist(), type=pa.string()),
+            "n": pa.array(g["size"].to_numpy(dtype=np.int64)),
+            "k": pa.array((g["t1"] + SEP + g["t2"] + SEP
+                           + g["t3"]).tolist(), type=pa.string()),
+        })
+
+    def combine(group: pa.Table) -> pa.Table:
+        n = group["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "t1": group["t1"].slice(0, 1),
+            "t2": group["t2"].slice(0, 1),
+            "t3": group["t3"].slice(0, 1),
+            "n": pa.array([int(n.sum())], type=pa.int64()),
+        })
+
+    return (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["user_id", "ts", "event_type",
+                                    "event_id"])
+        .map_batches(tag, batch_format="pyarrow", batch_size=8192)
+        .groupby("q").map_groups(per_partition, batch_format="pyarrow")
+        .groupby("k").map_groups(combine, batch_format="pyarrow")
+    )
+
+
+def type_corr_matrix(sf_dir: str):
+    """(type_a, type_b, n_days, r_r): the Pearson correlation matrix
+    of DAILY REVENUE between every pair of event types over the
+    shared day grid (missing (day, type) cells are true zeros) —
+    ``cross_corr_types`` studies ONE anointed pair at many lags; this
+    is the all-pairs lag-0 covariance structure (which metrics move
+    together?). Every moment (Σx, Σx², Σxy) is an EXACT integer over
+    2-dp cents — Python bigints engine-side, HUGEINT oracle-side —
+    so no float accumulation order exists anywhere; r is one double
+    expression num/√(d1·d2) on identical ints, 4-dp publish,
+    NULL for a constant series (zero variance).
+
+    Scale shape: per-batch (type, day) cents partials collapse into a
+    ≤|types|·|days| Sum exchange (calendar-bounded, like
+    retention_cohorts); the driver crosses the tiny daily matrix —
+    pairs × days work, both factors bounded by schema and calendar,
+    not corpus."""
+    import itertools
+    import math
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        ok = ~np.isnan(v)
+        v, ts, et = v[ok], ts[ok].astype(np.int64), et[ok]
+        if v.size == 0:
+            return pa.table({"et": pa.array([], type=pa.string()),
+                             "d": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+        cents = np.rint(v * 100.0).astype(np.int64)
+        day = ts // DAY_US * DAY_US
+        g = pd.DataFrame({"et": et, "d": day, "c": cents}).groupby(
+            ["et", "d"], as_index=False)["c"].sum()
+        return pa.table({
+            "et": pa.array(g["et"].tolist(), type=pa.string()),
+            "d": pa.array(g["d"].to_numpy(dtype=np.int64)),
+            "c": pa.array(g["c"].to_numpy(dtype=np.int64)),
+        })
+
+    def combine_type(group: pa.Table) -> pa.Table:
+        g = group.to_pandas().groupby(
+            ["et", "d"], as_index=False)["c"].sum()
+        return pa.table({
+            "et": pa.array(g["et"].tolist(), type=pa.string()),
+            "d": pa.array(g["d"].to_numpy(dtype=np.int64)),
+            "c": pa.array(g["c"].to_numpy(dtype=np.int64)),
+        })
+
+    daily = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["event_type", "ts", "value"])
+        .map_batches(partials, batch_format="pyarrow", batch_size=8192)
+        .groupby("et")
+        .map_groups(combine_type, batch_format="pyarrow")
+        .to_pandas()
+    )
+    empty = pa.table({"type_a": pa.array([], type=pa.string()),
+                      "type_b": pa.array([], type=pa.string()),
+                      "n_days": pa.array([], type=pa.int64()),
+                      "r_r": pa.array([], type=pa.float64())})
+    if daily.empty:
+        return empty
+    grid = daily.pivot_table(index="d", columns="et", values="c",
+                             aggfunc="sum", fill_value=0).sort_index()
+    types = sorted(grid.columns)
+    n = len(grid)
+    series = {t: [int(x) for x in grid[t].to_numpy()] for t in types}
+    rows = []
+    for a, b in itertools.combinations(types, 2):
+        xs, ys = series[a], series[b]
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        num = n * sxy - sx * sy
+        d1 = n * sxx - sx * sx
+        d2 = n * syy - sy * sy
+        r = None
+        if d1 > 0 and d2 > 0:
+            r = float(round_half_away(
+                float(num) / math.sqrt(float(d1) * float(d2)), 4))
+        rows.append((a, b, r))
+    return pa.table({
+        "type_a": pa.array([r[0] for r in rows], type=pa.string()),
+        "type_b": pa.array([r[1] for r in rows], type=pa.string()),
+        "n_days": pa.array([n] * len(rows), type=pa.int64()),
+        "r_r": pa.array([r[2] for r in rows], type=pa.float64()),
+    })
+
+
+WEEK_US_LTV = 7 * 86_400_000_000
+
+
+def cohort_ltv(sf_dir: str):
+    """(cohort_day_us, week_offset, n_buyers, revenue_r,
+    cum_revenue_r): cohort lifetime value — users cohorted by the DAY
+    of their first 'signup' (the retention_cohorts anchor), purchase
+    revenue bucketed into week offsets from that day, and the running
+    cumulative per cohort over a GAPLESS offset scaffold reaching the
+    corpus end (zero-revenue weeks are explicit rows, so the curve is
+    directly plottable). ``retention_cohorts`` counts who came back;
+    LTV sums what they PAID — the unit-economics surface. Revenue
+    accumulates as exact int64 cents (2-dp contract), one /100.0
+    publish; no float order anywhere.
+
+    Scale shape: a ≤1-row-per-batch global-max pass, ONE user-hash
+    co-partition exchange (anchor + offsets + per-cell distinct-buyer
+    dedup all resolve locally), ≤cohorts×weeks partials to the
+    driver, which fills the calendar-bounded scaffold and cumsums
+    ints."""
+    import pandas as pd
+
+    def max_partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].drop_null().cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if ts.size == 0:
+            return pa.table({"m": pa.array([], type=pa.int64())})
+        return pa.table({"m": pa.array([int(ts.max())], type=pa.int64())})
+
+    src = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "ts", "event_type",
+                                      "value"])
+    mm = (src.map_batches(max_partial, batch_format="pyarrow",
+                          batch_size=8192).to_pandas())
+    empty = pa.table({
+        "cohort_day_us": pa.array([], type=pa.int64()),
+        "week_offset": pa.array([], type=pa.int64()),
+        "n_buyers": pa.array([], type=pa.int64()),
+        "revenue_r": pa.array([], type=pa.float64()),
+        "cum_revenue_r": pa.array([], type=pa.float64()),
+    })
+    if mm.empty:
+        return empty
+    gmax_day = int(mm["m"].max()) // DAY_US * DAY_US
+
+    def tag(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.and_(pc.is_valid(batch["user_id"]),
+                       pc.is_valid(batch["ts"]))
+        batch = batch.filter(keep)
+        return _user_part_table(batch, {
+            "et": batch["event_type"].cast(pa.string()),
+            "value": batch["value"],
+        })
+
+    def cells(group: pa.Table) -> pa.Table:
+        empty_p = pa.table({"cd": pa.array([], type=pa.int64()),
+                            "wo": pa.array([], type=pa.int64()),
+                            "cents": pa.array([], type=pa.int64()),
+                            "buyers": pa.array([], type=pa.int64())})
+        df = group.to_pandas()
+        if df.empty:
+            return empty_p
+        sign = df[df["et"] == "signup"]
+        if sign.empty:
+            return empty_p
+        cd = (sign.groupby("user_id")["ts_us"].min()
+              // DAY_US * DAY_US)
+        p = df[(df["et"] == "purchase") & df["value"].notna()].copy()
+        p["cd"] = p["user_id"].map(cd)
+        p = p[p["cd"].notna()]
+        if p.empty:
+            return empty_p
+        day = p["ts_us"].to_numpy(dtype=np.int64) // DAY_US * DAY_US
+        p["cd"] = p["cd"].astype(np.int64)
+        p = p[day >= p["cd"].to_numpy()]
+        if p.empty:
+            return empty_p
+        day = p["ts_us"].to_numpy(dtype=np.int64) // DAY_US * DAY_US
+        p["wo"] = (day - p["cd"].to_numpy()) // WEEK_US_LTV
+        p["cents"] = np.rint(
+            p["value"].to_numpy(dtype=np.float64) * 100.0
+        ).astype(np.int64)
+        g = p.groupby(["cd", "wo"], as_index=False).agg(
+            cents=("cents", "sum"), buyers=("user_id", "nunique"))
+        return pa.table({
+            "cd": pa.array(g["cd"].to_numpy(dtype=np.int64)),
+            "wo": pa.array(g["wo"].to_numpy(dtype=np.int64)),
+            "cents": pa.array(g["cents"].to_numpy(dtype=np.int64)),
+            "buyers": pa.array(g["buyers"].to_numpy(dtype=np.int64)),
+        })
+
+    parts = (
+        src.map_batches(tag, batch_format="pyarrow", batch_size=8192)
+        .groupby("q").map_groups(cells, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if parts.empty:
+        return empty
+    agg = parts.groupby(["cd", "wo"], as_index=False).sum()
+    out = {"cd": [], "wo": [], "buyers": [], "rev": [], "cum": []}
+    for cd, sub in agg.groupby("cd"):
+        max_wo = (gmax_day - int(cd)) // WEEK_US_LTV
+        cell = {int(w): (int(c), int(b)) for w, c, b in
+                zip(sub["wo"], sub["cents"], sub["buyers"])}
+        run = 0
+        for wo in range(max_wo + 1):
+            cents, buyers = cell.get(wo, (0, 0))
+            run += cents
+            out["cd"].append(int(cd))
+            out["wo"].append(wo)
+            out["buyers"].append(buyers)
+            out["rev"].append(cents / 100.0)
+            out["cum"].append(run / 100.0)
+    return pa.table({
+        "cohort_day_us": pa.array(out["cd"], type=pa.int64()),
+        "week_offset": pa.array(out["wo"], type=pa.int64()),
+        "n_buyers": pa.array(out["buyers"], type=pa.int64()),
+        "revenue_r": pa.array(out["rev"], type=pa.float64()),
+        "cum_revenue_r": pa.array(out["cum"], type=pa.float64()),
+    })

@@ -6797,3 +6797,192 @@ class TestFrequentTriples:
             .sort_values(["p1", "p2", "p3"]).reset_index(drop=True)
         assert [tuple(r) for r in got.to_numpy()] == [
             (1, 2, 3, 2), (2, 3, 4, 2)]
+
+
+class TestStateDurations:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import state_durations
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["user_id", "ts", "event_type",
+                                    "event_id"]).to_pandas()
+        ev["t"] = ev["ts"].astype("int64")
+        exp: dict[str, list[int]] = {}
+        for _, sub in ev.groupby("user_id"):
+            sub = sub.sort_values(["t", "event_id"])
+            t = sub["t"].to_numpy()
+            et = sub["event_type"].to_numpy()
+            for i in range(len(sub) - 1):
+                exp.setdefault(et[i], []).append(int(t[i + 1] - t[i]))
+        got = state_durations(SF).to_pandas()
+        assert sorted(got["event_type"]) == sorted(exp)
+        for row in got.itertuples():
+            durs = exp[row.event_type]
+            assert row.n_segments == len(durs)
+            assert row.total_us == sum(durs)
+            assert abs(row.avg_us_r - sum(durs) / len(durs)) < 1e-3
+
+    def test_planted_ties(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import state_durations
+
+        t0 = pd.Timestamp("1970-01-01")
+        rows = [(0, "x", 0), (0, "y", 1), (5, "z", 2)]
+        pd.DataFrame({
+            "user_id": 1,
+            "ts": [t0 + pd.Timedelta(seconds=r[0]) for r in rows],
+            "event_type": [r[1] for r in rows],
+            "event_id": [r[2] for r in rows], "value": 0.0,
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = state_durations(str(tmp_path)).to_pandas() \
+            .set_index("event_type")
+        # tie broken by event_id: x holds 0 µs, y holds 5 s
+        assert got.loc["x", "total_us"] == 0
+        assert got.loc["y", "total_us"] == 5_000_000
+        assert "z" not in got.index
+
+
+class TestEventTrigrams:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import event_trigrams
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["user_id", "ts", "event_type",
+                                    "event_id"]).to_pandas()
+        exp: dict[tuple, int] = {}
+        for _, sub in ev.groupby("user_id"):
+            et = sub.sort_values(["ts", "event_id"])["event_type"] \
+                .tolist()
+            for i in range(len(et) - 2):
+                k = (et[i], et[i + 1], et[i + 2])
+                exp[k] = exp.get(k, 0) + 1
+        got = event_trigrams(SF).to_pandas()
+        assert len(got) == len(exp)
+        for row in got.itertuples():
+            assert exp[(row.t1, row.t2, row.t3)] == row.n
+
+    def test_planted_sequence(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import event_trigrams
+
+        t0 = pd.Timestamp("1970-01-01")
+        types = ["a", "b", "c", "b", "c"]
+        pd.DataFrame({
+            "user_id": 1,
+            "ts": [t0 + pd.Timedelta(seconds=i) for i in range(5)],
+            "event_type": types, "event_id": range(5), "value": 0.0,
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = event_trigrams(str(tmp_path)).to_pandas()
+        assert sorted(map(tuple, got.to_numpy())) == [
+            ("a", "b", "c", 1), ("b", "c", "b", 1), ("c", "b", "c", 1)]
+
+
+class TestTypeCorrMatrix:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import type_corr_matrix
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["event_type", "ts", "value"]
+                           ).to_pandas()
+        ev["cents"] = np.rint(ev["value"].to_numpy() * 100).astype(
+            np.int64)
+        ev["d"] = ev["ts"].astype("int64") // 86_400_000_000
+        grid = ev.pivot_table(index="d", columns="event_type",
+                              values="cents", aggfunc="sum",
+                              fill_value=0)
+        got = type_corr_matrix(SF).to_pandas()
+        import itertools as it
+        pairs = list(it.combinations(sorted(grid.columns), 2))
+        assert len(got) == len(pairs)
+        for row in got.itertuples():
+            r = np.corrcoef(grid[row.type_a], grid[row.type_b])[0, 1]
+            assert row.n_days == len(grid)
+            assert abs(row.r_r - r) < 1e-3
+
+    def test_planted_perfect_corr(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import type_corr_matrix
+
+        t0 = pd.Timestamp("1970-01-01")
+        rows = []
+        for d in range(3):
+            rows.append((d, "a", float(d + 1)))          # 1, 2, 3
+            rows.append((d, "b", float(2 * (d + 1))))    # 2, 4, 6
+            rows.append((d, "c", float(3 - d)))          # 3, 2, 1
+        pd.DataFrame({
+            "user_id": 1,
+            "ts": [t0 + pd.Timedelta(days=r[0]) for r in rows],
+            "event_type": [r[1] for r in rows],
+            "event_id": range(len(rows)),
+            "value": [r[2] for r in rows],
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = type_corr_matrix(str(tmp_path)).to_pandas() \
+            .set_index(["type_a", "type_b"])
+        assert got.loc[("a", "b"), "r_r"] == 1.0
+        assert got.loc[("a", "c"), "r_r"] == -1.0
+        assert got.loc[("b", "c"), "r_r"] == -1.0
+
+
+class TestCohortLtv:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import cohort_ltv
+
+        DAY = 86_400_000_000
+        WEEK = 7 * DAY
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["user_id", "ts", "event_type",
+                                    "value"]).to_pandas()
+        ev["t"] = ev["ts"].astype("int64")
+        gd = ev["t"].max() // DAY * DAY
+        sign = ev[ev["event_type"] == "signup"]
+        cd = sign.groupby("user_id")["t"].min() // DAY * DAY
+        cells: dict[tuple, list] = {}
+        p = ev[ev["event_type"] == "purchase"].copy()
+        p["cd"] = p["user_id"].map(cd)
+        p = p[p["cd"].notna()]
+        p["day"] = p["t"] // DAY * DAY
+        p = p[p["day"] >= p["cd"]]
+        p["wo"] = ((p["day"] - p["cd"]) // WEEK).astype(int)
+        p["cents"] = np.rint(p["value"].to_numpy() * 100).astype(
+            np.int64)
+        agg = p.groupby(["cd", "wo"]).agg(
+            cents=("cents", "sum"), buyers=("user_id", "nunique"))
+        got = cohort_ltv(SF).to_pandas()
+        for cohort, sub in got.groupby("cohort_day_us"):
+            sub = sub.sort_values("week_offset")
+            assert sub["week_offset"].tolist() == list(
+                range((gd - cohort) // WEEK + 1))
+            run = 0.0
+            for row in sub.itertuples():
+                key = (cohort, row.week_offset)
+                cents = int(agg.loc[key, "cents"]) \
+                    if key in agg.index else 0
+                buyers = int(agg.loc[key, "buyers"]) \
+                    if key in agg.index else 0
+                run += cents / 100.0
+                assert row.n_buyers == buyers
+                assert abs(row.revenue_r - cents / 100.0) < 1e-9
+                assert abs(row.cum_revenue_r - run) < 1e-6
+
+    def test_planted_cohort(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import cohort_ltv
+
+        t0 = pd.Timestamp("1970-01-01")
+        rows = [
+            (1, 0, "signup", 0.0),
+            (1, 0, "purchase", 10.0),
+            (1, 8, "purchase", 5.0),
+            (2, 1, "purchase", 99.0),   # never signed up — excluded
+            (3, 15, "click", 0.0),      # corpus end marker
+        ]
+        pd.DataFrame({
+            "user_id": [r[0] for r in rows],
+            "ts": [t0 + pd.Timedelta(days=r[1]) for r in rows],
+            "event_id": range(len(rows)),
+            "event_type": [r[2] for r in rows],
+            "value": [r[3] for r in rows],
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = cohort_ltv(str(tmp_path)).to_pandas() \
+            .sort_values("week_offset").reset_index(drop=True)
+        assert got["cohort_day_us"].nunique() == 1
+        assert got["week_offset"].tolist() == [0, 1, 2]
+        assert got["revenue_r"].tolist() == [10.0, 5.0, 0.0]
+        assert got["cum_revenue_r"].tolist() == [10.0, 15.0, 15.0]
+        assert got["n_buyers"].tolist() == [1, 1, 0]
