@@ -621,6 +621,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cents, gapless scaffold + per-cohort cumulative (oracle:
         # range() scaffold + window sum; r4)
         "cohort_ltv": relational.cohort_ltv,
+        # fulfilment SLA: order→first-shipment lag quantiles — the
+        # fact-fact orderkey co-partition join feeding a counting
+        # quantile (oracle: join + quantile_disc; r4)
+        "ship_lag_quantiles": relational.ship_lag_quantiles,
+        # business-rule anomaly audit: >1 order same customer same day,
+        # all-integer output (oracle: composite-key HAVING; r4)
+        "same_day_orders": relational.same_day_orders,
+        # imputation: hourly purchase revenue, gap hours linearly
+        # interpolated between nearest observed neighbors (oracle:
+        # IGNORE NULLS windows; r4)
+        "linear_interp_hourly": relational.linear_interp_hourly,
+        # fact-dim broadcast ratio: return rate per part brand (oracle:
+        # dim join + FILTER count; r4)
+        "brand_return_rate": relational.brand_return_rate,
         # JSON schema-on-read: aggregate over a value extracted from the
         # semi-structured props bag — TRY_CAST(json_extract) semantics,
         # int64 partials per type (oracle: DuckDB json functions; r4)
@@ -3657,6 +3671,87 @@ SELECT cd AS cohort_day_us, wo AS week_offset, buyers AS n_buyers,
        CAST(sum(cents) OVER (PARTITION BY cd ORDER BY wo)
             AS BIGINT) / 100.0 AS cum_revenue_r
 FROM f ORDER BY 1, 2""",
+        # earliest shipment per order joined to the header; floor
+        # division keeps pre-dated shipments as negative lags;
+        # quantile_disc ranks are exact integers
+        "ship_lag_quantiles": """
+WITH o AS (SELECT o_orderkey AS ok, epoch_us(o_orderdate) AS ot
+           FROM orders
+           WHERE o_orderkey IS NOT NULL AND o_orderdate IS NOT NULL),
+ l AS (SELECT l_orderkey AS ok, min(epoch_us(l_shipdate)) AS st
+       FROM lineitem
+       WHERE l_orderkey IS NOT NULL AND l_shipdate IS NOT NULL
+       GROUP BY 1),
+ j AS (SELECT (l.st - o.ot) // 86400000000 AS lag
+       FROM o JOIN l ON l.ok = o.ok)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(lag) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+         AS avg_lag_d_r,
+       CAST(quantile_disc(lag, 0.5) AS BIGINT) AS p50_lag_d,
+       CAST(quantile_disc(lag, 0.9) AS BIGINT) AS p90_lag_d,
+       CAST(quantile_disc(lag, 0.99) AS BIGINT) AS p99_lag_d
+FROM j""",
+        # composite natural-key duplicate audit; all-integer output so
+        # no rounding surface exists
+        "same_day_orders": """
+SELECT o_custkey,
+       CAST(epoch_us(date_trunc('day', o_orderdate)) AS BIGINT)
+         AS order_day_us,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+            AS BIGINT) AS total_cents,
+       CAST(min(o_orderkey) AS BIGINT) AS min_orderkey
+FROM orders
+WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+  AND o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+GROUP BY 1, 2 HAVING count(*) > 1""",
+        # gapless hour scaffold; prev/next observed neighbors via
+        # IGNORE NULLS windows; interior gaps interpolate, endpoints
+        # are observed by construction
+        "linear_interp_hourly": """
+WITH v AS (SELECT epoch_us(date_trunc('hour', ts)) AS h,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events
+           WHERE event_type = 'purchase' AND ts IS NOT NULL
+             AND value IS NOT NULL AND NOT isnan(value)),
+ dt AS (SELECT h, CAST(sum(cents) AS BIGINT) AS c FROM v GROUP BY 1),
+ b AS (SELECT min(h) AS lo, max(h) AS hi FROM dt),
+ g AS (SELECT CAST(t.x AS BIGINT) AS h
+       FROM b, LATERAL unnest(range(lo, hi + 3600000000,
+                                    3600000000)) AS t(x)),
+ f AS (SELECT g.h, dt.c FROM g LEFT JOIN dt ON dt.h = g.h),
+ w AS (SELECT h, c,
+              last_value(c IGNORE NULLS) OVER wp AS pc,
+              last_value(CASE WHEN c IS NOT NULL THEN h END
+                         IGNORE NULLS) OVER wp AS pd,
+              first_value(c IGNORE NULLS) OVER wn AS nc,
+              first_value(CASE WHEN c IS NOT NULL THEN h END
+                          IGNORE NULLS) OVER wn AS nd
+       FROM f WINDOW
+         wp AS (ORDER BY h ROWS UNBOUNDED PRECEDING),
+         wn AS (ORDER BY h ROWS BETWEEN CURRENT ROW
+                AND UNBOUNDED FOLLOWING))
+SELECT h AS hour_us,
+       CASE WHEN c IS NOT NULL THEN round(c / 100.0, 4)
+            ELSE round((CAST(pc AS DOUBLE)
+                        + (CAST(nc AS DOUBLE) - CAST(pc AS DOUBLE))
+                          * (CAST(h - pd AS DOUBLE)
+                             / CAST(nd - pd AS DOUBLE))) / 100.0, 4)
+       END AS revenue_r,
+       CASE WHEN c IS NOT NULL THEN 0 ELSE 1 END AS interp
+FROM w ORDER BY h""",
+        # inner dim join: lines whose partkey is absent from part drop;
+        # the rate is one double division on exact counts
+        "brand_return_rate": """
+SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(*) FILTER (WHERE l.l_returnflag = 'R') AS BIGINT)
+         AS n_returned,
+       round(CAST(count(*) FILTER (WHERE l.l_returnflag = 'R')
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+         AS return_rate_r
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_partkey IS NOT NULL AND l.l_returnflag IS NOT NULL
+GROUP BY 1""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -9084,3 +9084,347 @@ def cohort_ltv(sf_dir: str):
         "revenue_r": pa.array(out["rev"], type=pa.float64()),
         "cum_revenue_r": pa.array(out["cum"], type=pa.float64()),
     })
+
+
+def ship_lag_quantiles(sf_dir: str):
+    """(n_orders, avg_lag_d_r, p50_lag_d, p90_lag_d, p99_lag_d):
+    order-to-first-shipment latency — per order, whole days from
+    o_orderdate to the EARLIEST l_shipdate of its lines (floor
+    division, so a pre-dated shipment yields a negative lag rather
+    than silently clamping), then the exact discrete p50/p90/p99 and
+    the mean over all shipped orders — the fulfilment-SLA surface and
+    the one entry joining the two FACT tables on orderkey to feed a
+    quantile (conversion_lag's counting discipline applied to a
+    fact-fact co-partition join instead of a single stream).
+
+    Scale shape: both fact streams tag q = hash(orderkey) and UNION
+    into ONE co-partition exchange (no broadcast — both sides are
+    fact-sized); each partition resolves min-ship per order and the
+    order-date lookup locally (an order's lines and its header share
+    the partition by construction), emits a distinct-lag histogram
+    partial, and a ≤|distinct days| Sum exchange plus a driver
+    counting-selection walk finish — no global sort, no row-level
+    driver pull. quantile_disc convention: rank ceil(n·q),
+    1-indexed."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    P = _PAIR_PARTITIONS
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()
+        ok = batch["o_orderkey"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "q": pa.array((ok % P).astype(np.int64)),
+            "ok": pa.array(ok),
+            "t_us": batch["o_orderdate"].cast(pa.timestamp("us"))
+            .cast(pa.int64()),
+            "side": pa.array(np.zeros(ok.size, dtype=np.int64)),
+        })
+
+    def tag_lines(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()
+        ok = batch["l_orderkey"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "q": pa.array((ok % P).astype(np.int64)),
+            "ok": pa.array(ok),
+            "t_us": batch["l_shipdate"].cast(pa.timestamp("us"))
+            .cast(pa.int64()),
+            "side": pa.array(np.ones(ok.size, dtype=np.int64)),
+        })
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        empty = pa.table({"lag_d": pa.array([], type=pa.int64()),
+                          "n": pa.array([], type=pa.int64())})
+        o = df[df["side"] == 0]
+        li = df[df["side"] == 1]
+        if o.empty or li.empty:
+            return empty
+        first_ship = li.groupby("ok")["t_us"].min()
+        od = o.set_index("ok")["t_us"]
+        common = first_ship.index.intersection(od.index)
+        if common.empty:
+            return empty
+        lag = ((first_ship.loc[common].to_numpy(dtype=np.int64)
+                - od.loc[common].to_numpy(dtype=np.int64))
+               // DAY_US)
+        vals, counts = np.unique(lag, return_counts=True)
+        return pa.table({"lag_d": pa.array(vals.astype(np.int64)),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(tag_orders, batch_format="pyarrow", batch_size=8192)
+    lines = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(tag_lines, batch_format="pyarrow", batch_size=8192)
+    hist = (
+        orders.union(lines)
+        .groupby("q").map_groups(per_partition, batch_format="pyarrow")
+        .groupby("lag_d").aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    if hist.empty:
+        return pa.table({
+            "n_orders": pa.array([0], type=pa.int64()),
+            "avg_lag_d_r": pa.array([None], type=pa.float64()),
+            "p50_lag_d": pa.array([None], type=pa.int64()),
+            "p90_lag_d": pa.array([None], type=pa.int64()),
+            "p99_lag_d": pa.array([None], type=pa.int64()),
+        })
+    hist = hist.sort_values("lag_d")
+    gs = hist["lag_d"].to_numpy(dtype=np.int64)
+    ns = hist["n"].to_numpy(dtype=np.int64)
+    cum = np.cumsum(ns)
+    n = int(cum[-1])
+    tot = int(np.sum(gs * ns))
+
+    def disc(q: float) -> int:
+        rank = int(np.ceil(n * q)) or 1
+        return int(gs[np.searchsorted(cum, rank)])
+
+    return pa.table({
+        "n_orders": pa.array([n], type=pa.int64()),
+        "avg_lag_d_r": pa.array(
+            [float(round_half_away(float(tot) / float(n), 4))],
+            type=pa.float64()),
+        "p50_lag_d": pa.array([disc(0.5)], type=pa.int64()),
+        "p90_lag_d": pa.array([disc(0.9)], type=pa.int64()),
+        "p99_lag_d": pa.array([disc(0.99)], type=pa.int64()),
+    })
+
+
+def same_day_orders(sf_dir: str):
+    """(o_custkey, order_day_us, n_orders, total_cents, min_orderkey):
+    customers who placed MORE THAN ONE order on the same calendar day,
+    with the day's order count, exact total cents, and the smallest
+    orderkey — the duplicate-submission / fraud-signal audit
+    (``fk_audit`` checks referential integrity; this checks a
+    BUSINESS-rule anomaly on a composite natural key). All-integer
+    output: no rounding surface at all.
+
+    Scale shape: per-batch (cust, day) partials (count, cents-sum,
+    min-key) combine map-side, co-locate by composite-key hash, and a
+    per-bucket vectorized combine applies the >1 gate — output is
+    bounded by the anomaly rate, not the table."""
+    import pandas as pd
+
+    P = _PAIR_PARTITIONS
+
+    empty_p = pa.table({"ck": pa.array([], type=pa.int64()),
+                        "d": pa.array([], type=pa.int64()),
+                        "n": pa.array([], type=pa.int64()),
+                        "cents": pa.array([], type=pa.int64()),
+                        "mok": pa.array([], type=pa.int64()),
+                        "kq": pa.array([], type=pa.int64())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()
+        if batch.num_rows == 0:
+            return empty_p
+        ck = batch["o_custkey"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ok = batch["o_orderkey"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ts = batch["o_orderdate"].cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        cents = np.rint(p * 100.0).astype(np.int64)
+        day = ts // DAY_US * DAY_US
+        g = pd.DataFrame({"ck": ck, "d": day, "cents": cents,
+                          "ok": ok}).groupby(
+            ["ck", "d"], as_index=False).agg(
+            n=("ok", "size"), cents=("cents", "sum"),
+            mok=("ok", "min"))
+        ckv = g["ck"].to_numpy(dtype=np.int64)
+        dv = g["d"].to_numpy(dtype=np.int64)
+        return pa.table({
+            "ck": pa.array(ckv), "d": pa.array(dv),
+            "n": pa.array(g["n"].to_numpy(dtype=np.int64)),
+            "cents": pa.array(g["cents"].to_numpy(dtype=np.int64)),
+            "mok": pa.array(g["mok"].to_numpy(dtype=np.int64)),
+            "kq": pa.array(((ckv * 1_000_003 + dv) % P)
+                           .astype(np.int64)),
+        })
+
+    def combine(group: pa.Table) -> pa.Table:
+        g = group.to_pandas().groupby(["ck", "d"], as_index=False).agg(
+            n=("n", "sum"), cents=("cents", "sum"), mok=("mok", "min"))
+        g = g[g["n"] > 1]
+        return pa.table({
+            "o_custkey": pa.array(g["ck"].to_numpy(dtype=np.int64)),
+            "order_day_us": pa.array(g["d"].to_numpy(dtype=np.int64)),
+            "n_orders": pa.array(g["n"].to_numpy(dtype=np.int64)),
+            "total_cents": pa.array(g["cents"].to_numpy(dtype=np.int64)),
+            "min_orderkey": pa.array(g["mok"].to_numpy(dtype=np.int64)),
+        })
+
+    return (
+        read_parquet_clean(os.path.join(sf_dir, "orders.parquet"),
+                           columns=["o_orderkey", "o_custkey",
+                                    "o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("kq").map_groups(combine, batch_format="pyarrow")
+    )
+
+
+HOUR_US = 3_600_000_000
+
+
+def linear_interp_hourly(sf_dir: str):
+    """(hour_us, revenue_r, interp): hourly purchase revenue over the
+    observed hour range with GAP HOURS LINEARLY INTERPOLATED between
+    their nearest observed neighbors — the imputation surface
+    (``hourly_gap_fill`` scaffolds zeros; real monitoring pipelines
+    impute, and interpolation needs the prev/next NON-NULL neighbor,
+    i.e. IGNORE NULLS window semantics, which no other entry
+    exercises). Endpoints are observed by construction (the grid spans
+    min..max observed hours) so every gap is interior — no
+    extrapolation branch exists. Observed rows publish exact
+    cents/100.0; interpolated rows publish
+    (pc + (nc−pc)·(h−pd)/(nd−pd))/100.0 — every operand an exact
+    int64 cast to double in the SAME expression shape as the oracle,
+    4-dp publish, interp flag 0/1.
+
+    Scale shape: per-batch cents partials into a ≤|hours|-group Sum
+    (calendar-bounded); the driver fills the scaffold and walks
+    prev/next with two searchsorted passes."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ok = (et == "purchase") & ~np.isnan(v)
+        v, ts = v[ok], ts[ok].astype(np.int64)
+        if v.size == 0:
+            return pa.table({"h": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+        cents = np.rint(v * 100.0).astype(np.int64)
+        hour = ts // HOUR_US * HOUR_US
+        uh, inv = np.unique(hour, return_inverse=True)
+        csum = np.zeros(uh.size, dtype=np.int64)
+        np.add.at(csum, inv, cents)
+        return pa.table({"h": pa.array(uh), "c": pa.array(csum)})
+
+    counted = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["event_type", "ts", "value"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("h").aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    empty = pa.table({"hour_us": pa.array([], type=pa.int64()),
+                      "revenue_r": pa.array([], type=pa.float64()),
+                      "interp": pa.array([], type=pa.int64())})
+    if counted.empty:
+        return empty
+    counted = counted.sort_values("h")
+    oh = counted["h"].to_numpy(dtype=np.int64)
+    oc = counted["c"].to_numpy(dtype=np.int64)
+    grid = np.arange(oh[0], oh[-1] + HOUR_US, HOUR_US, dtype=np.int64)
+    pos = np.searchsorted(oh, grid)
+    observed = (pos < oh.size) & (oh[np.minimum(pos, oh.size - 1)]
+                                  == grid)
+    # prev observed index per grid row (searchsorted right − 1), next
+    # observed index (searchsorted left); interior gaps have both
+    prev_i = np.searchsorted(oh, grid, side="right") - 1
+    next_i = np.searchsorted(oh, grid, side="left")
+    rev = np.empty(grid.size, dtype=np.float64)
+    rev[observed] = _round_vec(
+        oc[pos[observed]].astype(np.float64) / 100.0, 4)
+    gap = ~observed
+    if gap.any():
+        pc = oc[prev_i[gap]].astype(np.float64)
+        nc = oc[next_i[gap]].astype(np.float64)
+        pd_ = oh[prev_i[gap]].astype(np.float64)
+        nd = oh[next_i[gap]].astype(np.float64)
+        h = grid[gap].astype(np.float64)
+        rev[gap] = _round_vec(
+            (pc + (nc - pc) * ((h - pd_) / (nd - pd_))) / 100.0, 4)
+    return pa.table({
+        "hour_us": pa.array(grid),
+        "revenue_r": pa.array(rev),
+        "interp": pa.array(gap.astype(np.int64)),
+    })
+
+
+def brand_return_rate(sf_dir: str):
+    """(p_brand, n_lines, n_returned, return_rate_r): lineitem return
+    rate (l_returnflag = 'R') per part BRAND — the fact-dim broadcast
+    join feeding a ratio (``broadcast_join_orders`` proves the
+    two-hop dim broadcast; this is the merchandising-quality KPI on
+    the part dimension, inner-join semantics: lines whose partkey is
+    absent from part drop on both sides). Counts are exact ints; the
+    rate is one double division, 4-dp publish.
+
+    Scale shape: the part dim loads ONCE driver-side into two sorted
+    arrays captured by the batch closure (broadcast, not shuffled —
+    parts ≪ lineitems); each batch resolves brands via searchsorted
+    and collapses to ≤|brands| partial rows before a tiny brand-keyed
+    Sum exchange."""
+    import pyarrow.parquet as _pq
+    from ray.data.aggregate import Sum
+
+    dim = _pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_brand"])
+    pk = dim["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    br = np.asarray(dim["p_brand"].to_pylist(), dtype=object)
+    order = np.argsort(pk)
+    pk, br = pk[order], br[order]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        batch = batch.drop_null()
+        lp = batch["l_partkey"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        rf = np.asarray(batch["l_returnflag"].to_pylist(), dtype=object)
+        empty = pa.table({"p_brand": pa.array([], type=pa.string()),
+                          "n": pa.array([], type=pa.int64()),
+                          "nr": pa.array([], type=pa.int64())})
+        if lp.size == 0 or pk.size == 0:
+            return empty
+        pos = np.minimum(np.searchsorted(pk, lp), pk.size - 1)
+        hit = pk[pos] == lp
+        if not hit.any():
+            return empty
+        g = pd.DataFrame({
+            "b": br[pos[hit]],
+            "r": (rf[hit] == "R").astype(np.int64),
+        }).groupby("b", as_index=False).agg(n=("r", "size"),
+                                            nr=("r", "sum"))
+        return pa.table({
+            "p_brand": pa.array(g["b"].tolist(), type=pa.string()),
+            "n": pa.array(g["n"].to_numpy(dtype=np.int64)),
+            "nr": pa.array(g["nr"].to_numpy(dtype=np.int64)),
+        })
+
+    def publish(batch: pa.Table) -> pa.Table:
+        n = batch["sum_n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nr = batch["sum_nr"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "p_brand": batch["p_brand"],
+            "n_lines": pa.array(n),
+            "n_returned": pa.array(nr),
+            "return_rate_r": pa.array(_round_vec(
+                nr.astype(np.float64) / n.astype(np.float64), 4)),
+        })
+
+    return (
+        read_parquet_clean(os.path.join(sf_dir, "lineitem.parquet"),
+                           columns=["l_partkey", "l_returnflag"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("p_brand")
+        .aggregate(Sum("n", alias_name="sum_n"),
+                   Sum("nr", alias_name="sum_nr"))
+        .map_batches(publish, batch_format="pyarrow")
+    )

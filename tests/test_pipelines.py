@@ -6986,3 +6986,198 @@ class TestCohortLtv:
         assert got["revenue_r"].tolist() == [10.0, 5.0, 0.0]
         assert got["cum_revenue_r"].tolist() == [10.0, 15.0, 15.0]
         assert got["n_buyers"].tolist() == [1, 1, 0]
+
+
+class TestShipLagQuantiles:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            ship_lag_quantiles)
+
+        DAY = 86_400_000_000
+        o = pq.read_table(f"{SF}/orders.parquet",
+                          columns=["o_orderkey", "o_orderdate"]
+                          ).to_pandas()
+        li = pq.read_table(f"{SF}/lineitem.parquet",
+                           columns=["l_orderkey", "l_shipdate"]
+                           ).to_pandas()
+        first = li.groupby("l_orderkey")["l_shipdate"].min() \
+            .astype("int64")
+        od = o.set_index("o_orderkey")["o_orderdate"].astype("int64")
+        common = first.index.intersection(od.index)
+        lags = sorted((first.loc[common].to_numpy()
+                       - od.loc[common].to_numpy()) // DAY)
+        got = ship_lag_quantiles(SF).to_pandas()
+        n = len(lags)
+        assert got["n_orders"].iloc[0] == n
+        assert abs(got["avg_lag_d_r"].iloc[0] - sum(lags) / n) < 1e-3
+        for q, col in [(0.5, "p50_lag_d"), (0.9, "p90_lag_d"),
+                       (0.99, "p99_lag_d")]:
+            assert got[col].iloc[0] == lags[int(np.ceil(n * q)) - 1]
+
+    def test_planted_orders(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import (
+            ship_lag_quantiles)
+
+        t0 = pd.Timestamp("1970-01-01")
+        pd.DataFrame({
+            "o_orderkey": [1, 2, 3],
+            "o_orderdate": [t0, t0 + pd.Timedelta(days=10), t0],
+            "o_custkey": 1, "o_totalprice": 1.0,
+            "o_orderstatus": "O", "o_orderpriority": "1-URGENT",
+        }).to_parquet(f"{tmp_path}/orders.parquet", index=False)
+        pd.DataFrame({
+            "l_orderkey": [1, 1, 2],
+            "l_shipdate": [t0 + pd.Timedelta(days=5),
+                           t0 + pd.Timedelta(days=2),
+                           t0 + pd.Timedelta(days=10)],
+            "l_partkey": 1, "l_suppkey": 1, "l_linenumber": 1,
+            "l_quantity": 1.0, "l_extendedprice": 1.0,
+            "l_discount": 0.0, "l_tax": 0.0,
+            "l_returnflag": "N", "l_linestatus": "O",
+        }).to_parquet(f"{tmp_path}/lineitem.parquet", index=False)
+        got = ship_lag_quantiles(str(tmp_path)).to_pandas()
+        # order 1 lag = 2 (earliest line), order 2 lag = 0, order 3
+        # has no lines
+        assert got["n_orders"].iloc[0] == 2
+        assert got["avg_lag_d_r"].iloc[0] == 1.0
+        assert got["p50_lag_d"].iloc[0] == 0
+        assert got["p90_lag_d"].iloc[0] == 2
+
+
+class TestSameDayOrders:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import same_day_orders
+
+        DAY = 86_400_000_000
+        o = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+        o["d"] = o["o_orderdate"].astype("int64") // DAY * DAY
+        o["cents"] = np.rint(o["o_totalprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        agg = o.groupby(["o_custkey", "d"]).agg(
+            n=("o_orderkey", "size"), cents=("cents", "sum"),
+            mok=("o_orderkey", "min"))
+        agg = agg[agg["n"] > 1]
+        got = same_day_orders(SF).to_pandas()
+        assert len(got) == len(agg)
+        for row in got.itertuples():
+            e = agg.loc[(row.o_custkey, row.order_day_us)]
+            assert (row.n_orders, row.total_cents, row.min_orderkey) \
+                == (e["n"], e["cents"], e["mok"])
+
+    def test_planted_duplicates(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import same_day_orders
+
+        t0 = pd.Timestamp("1970-01-01")
+        pd.DataFrame({
+            "o_orderkey": [5, 9, 7],
+            "o_custkey": [1, 1, 2],
+            "o_orderdate": [t0, t0 + pd.Timedelta(hours=5), t0],
+            "o_totalprice": [1.0, 2.0, 3.0],
+            "o_orderstatus": "O", "o_orderpriority": "1-URGENT",
+        }).to_parquet(f"{tmp_path}/orders.parquet", index=False)
+        got = same_day_orders(str(tmp_path)).to_pandas()
+        assert len(got) == 1
+        r = got.iloc[0]
+        assert (r["o_custkey"], r["order_day_us"], r["n_orders"],
+                r["total_cents"], r["min_orderkey"]) == (1, 0, 2, 300, 5)
+
+
+class TestLinearInterpHourly:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            HOUR_US, linear_interp_hourly)
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["event_type", "ts", "value"]
+                           ).to_pandas()
+        p = ev[ev["event_type"] == "purchase"].copy()
+        p["h"] = p["ts"].astype("int64") // HOUR_US * HOUR_US
+        p["cents"] = np.rint(p["value"].to_numpy() * 100).astype(
+            np.int64)
+        dt = p.groupby("h")["cents"].sum()
+        got = linear_interp_hourly(SF).to_pandas() \
+            .sort_values("hour_us").reset_index(drop=True)
+        grid = np.arange(dt.index.min(), dt.index.max() + HOUR_US,
+                         HOUR_US)
+        assert got["hour_us"].tolist() == grid.tolist()
+        assert got["interp"].sum() == len(grid) - len(dt)
+        for row in got.itertuples():
+            if row.interp == 0:
+                assert abs(row.revenue_r
+                           - dt.loc[row.hour_us] / 100.0) < 1e-6
+            else:
+                oh = dt.index.to_numpy()
+                pi = oh[oh < row.hour_us].max()
+                ni = oh[oh > row.hour_us].min()
+                expect = (dt.loc[pi] + (dt.loc[ni] - dt.loc[pi])
+                          * (row.hour_us - pi) / (ni - pi)) / 100.0
+                assert abs(row.revenue_r - expect) < 1e-3
+
+    def test_planted_gap(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import (
+            linear_interp_hourly)
+
+        t0 = pd.Timestamp("1970-01-01")
+        rows = [
+            (0, "purchase", 100.0),
+            (1, "view", 999.0),       # non-purchase in the gap
+            (3, "purchase", 400.0),
+        ]
+        pd.DataFrame({
+            "user_id": 1,
+            "ts": [t0 + pd.Timedelta(hours=r[0]) for r in rows],
+            "event_id": range(len(rows)),
+            "event_type": [r[1] for r in rows],
+            "value": [r[2] for r in rows],
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = linear_interp_hourly(str(tmp_path)).to_pandas() \
+            .sort_values("hour_us").reset_index(drop=True)
+        assert got["revenue_r"].tolist() == [100.0, 200.0, 300.0, 400.0]
+        assert got["interp"].tolist() == [0, 1, 1, 0]
+
+
+class TestBrandReturnRate:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import brand_return_rate
+
+        part = pq.read_table(f"{SF}/part.parquet",
+                             columns=["p_partkey", "p_brand"]
+                             ).to_pandas()
+        li = pq.read_table(f"{SF}/lineitem.parquet",
+                           columns=["l_partkey", "l_returnflag"]
+                           ).to_pandas()
+        j = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+        exp = j.groupby("p_brand").agg(
+            n=("l_returnflag", "size"),
+            nr=("l_returnflag", lambda s: int((s == "R").sum())))
+        got = brand_return_rate(SF).to_pandas()
+        assert len(got) == len(exp)
+        for row in got.itertuples():
+            e = exp.loc[row.p_brand]
+            assert (row.n_lines, row.n_returned) == (e["n"], e["nr"])
+            assert abs(row.return_rate_r - e["nr"] / e["n"]) < 1e-4
+
+    def test_planted_brands(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import brand_return_rate
+
+        pd.DataFrame({
+            "p_partkey": [1, 2], "p_brand": ["B1", "B2"],
+            "p_name": "x", "p_mfgr": "m", "p_type": "t",
+            "p_size": 1, "p_retailprice": 1.0,
+        }).to_parquet(f"{tmp_path}/part.parquet", index=False)
+        pd.DataFrame({
+            "l_orderkey": [1, 1, 2, 3],
+            "l_partkey": [1, 1, 2, 3],   # partkey 3 has no dim row
+            "l_returnflag": ["R", "N", "N", "R"],
+            "l_suppkey": 1, "l_linenumber": 1, "l_quantity": 1.0,
+            "l_extendedprice": 1.0, "l_discount": 0.0, "l_tax": 0.0,
+            "l_linestatus": "O",
+            "l_shipdate": pd.Timestamp("1970-01-01"),
+        }).to_parquet(f"{tmp_path}/lineitem.parquet", index=False)
+        got = brand_return_rate(str(tmp_path)).to_pandas() \
+            .set_index("p_brand")
+        assert got.loc["B1", "n_lines"] == 2
+        assert got.loc["B1", "n_returned"] == 1
+        assert got.loc["B1", "return_rate_r"] == 0.5
+        assert got.loc["B2", "n_returned"] == 0
+        assert len(got) == 2
