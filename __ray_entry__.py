@@ -635,6 +635,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fact-dim broadcast ratio: return rate per part brand (oracle:
         # dim join + FILTER count; r4)
         "brand_return_rate": relational.brand_return_rate,
+        # RFM segmentation: per-customer recency/frequency/monetary,
+        # each globally NTILE-bucketed via the counting-selector
+        # boundary kernel, custkey tiebreak (oracle: three ntile
+        # windows; r4)
+        "rfm_segments": relational.rfm_segments,
+        # grouped robust stats: per-nation supplier-balance median,
+        # MAD, 3-MAD outlier count (oracle: two-level median CTE; r4)
+        "nation_balance_mad": relational.nation_balance_mad,
         # JSON schema-on-read: aggregate over a value extracted from the
         # semi-structured props bag — TRY_CAST(json_extract) semantics,
         # int64 partials per type (oracle: DuckDB json functions; r4)
@@ -3752,6 +3760,58 @@ SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_lines,
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE l.l_partkey IS NOT NULL AND l.l_returnflag IS NOT NULL
 GROUP BY 1""",
+        # three global ntile windows over the per-customer aggregate;
+        # orientations are the business convention (1 = best), every
+        # tie broken by custkey so the total order is unique
+        "rfm_segments": """
+WITH mx AS (SELECT max(epoch_us(o_orderdate)) // 86400000000
+                     * 86400000000 AS gd
+            FROM orders WHERE o_orderdate IS NOT NULL),
+ m AS (SELECT o_custkey AS ck,
+              (mx.gd - max(epoch_us(o_orderdate)) // 86400000000
+                         * 86400000000) // 86400000000 AS rec_d,
+              CAST(count(*) AS BIGINT) AS freq,
+              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS cents
+       FROM orders, mx
+       WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+         AND o_totalprice IS NOT NULL
+       GROUP BY 1, mx.gd),
+ s AS (SELECT ck, rec_d, freq, cents,
+              CAST(ntile(5) OVER (ORDER BY rec_d, ck) AS BIGINT)
+                AS r_score,
+              CAST(ntile(5) OVER (ORDER BY freq DESC, ck) AS BIGINT)
+                AS f_score,
+              CAST(ntile(5) OVER (ORDER BY cents DESC, ck) AS BIGINT)
+                AS m_score
+       FROM m)
+SELECT ck AS c_custkey, rec_d, freq AS n_orders,
+       cents AS total_cents, r_score, f_score, m_score,
+       r_score * 100 + f_score * 10 + m_score AS rfm
+FROM s ORDER BY c_custkey""",
+        # two-level median: per-nation median of cents, then median of
+        # absolute deviations, strict 3-MAD outlier gate; inner join
+        # drops suppliers of unknown nations
+        "nation_balance_mad": """
+WITH s AS (SELECT s_nationkey AS nk,
+                  CAST(round(s_acctbal * 100) AS BIGINT) AS c
+           FROM supplier
+           WHERE s_nationkey IS NOT NULL AND s_acctbal IS NOT NULL),
+ md AS (SELECT nk, median(c) AS m, CAST(count(*) AS BIGINT) AS n
+        FROM s GROUP BY 1),
+ dv AS (SELECT s.nk, abs(CAST(s.c AS DOUBLE) - md.m) AS d
+        FROM s JOIN md ON md.nk = s.nk),
+ md2 AS (SELECT nk, median(d) AS mad FROM dv GROUP BY 1),
+ o AS (SELECT dv.nk,
+              CAST(count(*) FILTER (WHERE dv.d > 3 * md2.mad)
+                   AS BIGINT) AS nout
+       FROM dv JOIN md2 ON md2.nk = dv.nk GROUP BY 1)
+SELECT n.n_name, md.n AS n_suppliers,
+       round(md.m / 100.0, 4) AS med_bal_r,
+       round(md2.mad / 100.0, 4) AS mad_r,
+       o.nout AS n_outliers
+FROM md JOIN md2 ON md2.nk = md.nk JOIN o ON o.nk = md.nk
+JOIN nation n ON n.n_nationkey = md.nk""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -9428,3 +9428,258 @@ def brand_return_rate(sf_dir: str):
                    Sum("nr", alias_name="sum_nr"))
         .map_batches(publish, batch_format="pyarrow")
     )
+
+
+RFM_NTILES = 5
+
+
+def _ntile_boundaries(ds, mcol: str, kcol: str, ntiles: int,
+                      n_buckets: int, max_pull: int):
+    """NTILE boundary rows of ``ds`` under the composite total order
+    (``mcol`` ASC, ``kcol`` ASC) WITHOUT a global sort — the
+    ntile_orders kernel factored out so one materialized dataset can
+    be bucketed along several metrics: ``_counting_selector`` resolves
+    the t−1 boundary RANKS to metric values (one histogram pass,
+    memoized), then ONE tie pass pulls just the boundary-valued keys
+    to break ties exactly. Returns (n, m_stars, k_stars) — assign a
+    row's bucket as 1 + #boundaries strictly below it."""
+    n, _lo, _hi, select = _counting_selector(ds, mcol, n_buckets,
+                                             max_pull)
+    if n == 0:
+        return 0, None, None
+    sizes = np.full(ntiles, n // ntiles, dtype=np.int64)
+    sizes[: n % ntiles] += 1
+    bounds_rank = np.cumsum(sizes)[:-1]
+    bounds_rank = bounds_rank[bounds_rank > 0]
+    m_stars = np.asarray([int(select(int(r))) for r in bounds_rank],
+                         dtype=np.int64)
+    uniq_m = np.unique(m_stars)
+
+    def tie_partial(batch: pa.Table) -> pa.Table:
+        m = batch[mcol].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = batch[kcol].to_numpy(zero_copy_only=False).astype(np.int64)
+        below = np.asarray([(m < ms).sum() for ms in uniq_m],
+                           dtype=np.int64)
+        pos = np.searchsorted(uniq_m, m).clip(0, uniq_m.size - 1)
+        hit = uniq_m[pos] == m
+        return pa.table({
+            "which": pa.array(np.concatenate(
+                [-1 - np.arange(uniq_m.size, dtype=np.int64),
+                 pos[hit]])),
+            "val": pa.array(np.concatenate([below, k[hit]])),
+        })
+
+    tie = ds.map_batches(tie_partial, batch_format="pyarrow",
+                         batch_size=8192).to_pandas()
+    which = tie["which"].to_numpy(dtype=np.int64)
+    val = tie["val"].to_numpy(dtype=np.int64)
+    below_by_m = {int(uniq_m[i]): int(val[which == -1 - i].sum())
+                  for i in range(uniq_m.size)}
+    keys_by_m = {int(uniq_m[i]): np.sort(val[which == i])
+                 for i in range(uniq_m.size)}
+    k_stars = np.asarray(
+        [int(keys_by_m[int(ms)][int(r) - below_by_m[int(ms)] - 1])
+         for ms, r in zip(m_stars, bounds_rank)], dtype=np.int64)
+    return n, m_stars, k_stars
+
+
+def rfm_segments(sf_dir: str, ntiles: int = RFM_NTILES,
+                 n_buckets: int = 8192, max_pull: int = 262_144):
+    """(c_custkey, rec_d, n_orders, total_cents, r_score, f_score,
+    m_score, rfm): the classic RFM customer segmentation — per
+    customer, Recency (whole days from their LAST order day to the
+    corpus-max order day), Frequency (order count) and Monetary
+    (exact total cents), each bucketed into ``ntiles`` GLOBAL NTILE
+    scores, plus the composite segment code r·100 + f·10 + m.
+    Orientations are the business convention (score 1 = best):
+    recency ASC, frequency DESC, monetary DESC, every tie broken by
+    custkey ASC so both sides realize the identical total order.
+    The one entry that ranks a derived PER-ENTITY aggregate along
+    THREE metrics at once — ntile_orders buckets raw fact rows on one
+    column; RFM buckets a groupby result on three.
+
+    Scale shape: a ≤1-row-per-batch corpus-max pass, ONE custkey
+    co-partition exchange builds the per-customer metric table
+    (customers ≪ orders), then per metric the factored
+    :func:`_ntile_boundaries` kernel (histogram + one tie pass, no
+    global sort) broadcasts t−1 composite boundaries; score
+    assignment is 3·(t−1) vectorized comparisons per batch. DESC
+    metrics ride the kernel negated — same ASC machinery."""
+    import pandas as pd
+
+    P = _PAIR_PARTITIONS
+
+    def max_partial(batch: pa.Table) -> pa.Table:
+        ts = batch["o_orderdate"].drop_null().cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if ts.size == 0:
+            return pa.table({"m": pa.array([], type=pa.int64())})
+        return pa.table({"m": pa.array([int(ts.max())], type=pa.int64())})
+
+    src = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    mm = src.map_batches(max_partial, batch_format="pyarrow",
+                         batch_size=8192).to_pandas()
+    empty = pa.table({
+        "c_custkey": pa.array([], type=pa.int64()),
+        "rec_d": pa.array([], type=pa.int64()),
+        "n_orders": pa.array([], type=pa.int64()),
+        "total_cents": pa.array([], type=pa.int64()),
+        "r_score": pa.array([], type=pa.int64()),
+        "f_score": pa.array([], type=pa.int64()),
+        "m_score": pa.array([], type=pa.int64()),
+        "rfm": pa.array([], type=pa.int64()),
+    })
+    if mm.empty:
+        return empty
+    gmax_day = int(mm["m"].max()) // DAY_US * DAY_US
+
+    def tag(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()
+        ck = batch["o_custkey"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ts = batch["o_orderdate"].cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "q": pa.array((ck % P).astype(np.int64)),
+            "ck": pa.array(ck),
+            "last_day": pa.array(ts // DAY_US * DAY_US),
+            "cents": pa.array(np.rint(p * 100.0).astype(np.int64)),
+        })
+
+    def metrics(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        if df.empty:
+            return pa.table({"ck": pa.array([], type=pa.int64()),
+                             "rec_d": pa.array([], type=pa.int64()),
+                             "fneg": pa.array([], type=pa.int64()),
+                             "mneg": pa.array([], type=pa.int64())})
+        g = df.groupby("ck", as_index=False).agg(
+            last=("last_day", "max"), n=("cents", "size"),
+            cents=("cents", "sum"))
+        return pa.table({
+            "ck": pa.array(g["ck"].to_numpy(dtype=np.int64)),
+            "rec_d": pa.array(
+                (gmax_day - g["last"].to_numpy(dtype=np.int64))
+                // DAY_US),
+            "fneg": pa.array(-g["n"].to_numpy(dtype=np.int64)),
+            "mneg": pa.array(-g["cents"].to_numpy(dtype=np.int64)),
+        })
+
+    ds = (src.map_batches(tag, batch_format="pyarrow", batch_size=8192)
+          .groupby("q").map_groups(metrics, batch_format="pyarrow")
+          .materialize())
+
+    bounds = {}
+    for col in ("rec_d", "fneg", "mneg"):
+        n, ms, ks = _ntile_boundaries(ds, col, "ck", ntiles,
+                                      n_buckets, max_pull)
+        if n == 0:
+            return empty
+        bounds[col] = (ms, ks)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ck = batch["ck"].to_numpy(zero_copy_only=False).astype(np.int64)
+        scores = {}
+        for col in ("rec_d", "fneg", "mneg"):
+            m = batch[col].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            s = np.ones(m.size, dtype=np.int64)
+            for bm, bk in zip(*bounds[col]):
+                s += (m > bm) | ((m == bm) & (ck > bk))
+            scores[col] = s
+        r, f, mo = scores["rec_d"], scores["fneg"], scores["mneg"]
+        return pa.table({
+            "c_custkey": pa.array(ck),
+            "rec_d": batch["rec_d"],
+            "n_orders": pa.array(
+                -batch["fneg"].to_numpy(zero_copy_only=False)
+                .astype(np.int64)),
+            "total_cents": pa.array(
+                -batch["mneg"].to_numpy(zero_copy_only=False)
+                .astype(np.int64)),
+            "r_score": pa.array(r), "f_score": pa.array(f),
+            "m_score": pa.array(mo),
+            "rfm": pa.array(r * 100 + f * 10 + mo),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          batch_size=8192)
+
+
+def nation_balance_mad(sf_dir: str):
+    """(n_name, n_suppliers, med_bal_r, mad_r, n_outliers): per-nation
+    ROBUST dispersion of supplier account balances — exact median
+    (quantile_cont convention: mean of the two middles on even n),
+    median absolute deviation around it, and the count of |x − med| >
+    3·MAD outliers. ``mad_outliers`` runs the global MAD over events;
+    this is the GROUPED robust-statistics surface over a dimension
+    table joined to its nation name (the fraud/anomaly screen per
+    region). Balances are 2-dp cents → the median lattice is exact
+    quarters of a cent, representable doubles everywhere; publishes
+    /100.0, 4-dp.
+
+    Scale shape: one groupby(nationkey) map_groups — groups are
+    bounded by the nation dimension's fan-in (suppliers per nation,
+    dimension-sized, not fact-sized); the 25-row nation name table
+    broadcasts as a closure dict. Per group two numpy median passes
+    and one vectorized comparison."""
+    import pyarrow.parquet as _pq
+
+    dim = _pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                         columns=["n_nationkey", "n_name"])
+    names = dict(zip(dim["n_nationkey"].to_pylist(),
+                     dim["n_name"].to_pylist()))
+
+    def clean(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()
+        return pa.table({
+            "nk": batch["s_nationkey"].cast(pa.int64()),
+            "c": pa.array(np.rint(
+                batch["s_acctbal"].to_numpy(zero_copy_only=False)
+                * 100.0).astype(np.int64)),
+        })
+
+    empty = pa.table({"n_name": pa.array([], type=pa.string()),
+                      "n_suppliers": pa.array([], type=pa.int64()),
+                      "med_bal_r": pa.array([], type=pa.float64()),
+                      "mad_r": pa.array([], type=pa.float64()),
+                      "n_outliers": pa.array([], type=pa.int64())})
+
+    def per_nation(group: pa.Table) -> pa.Table:
+        nk = int(group["nk"][0].as_py())
+        name = names.get(nk)
+        if name is None:
+            return empty
+        c = np.sort(group["c"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64))
+
+        def med(a: np.ndarray) -> float:
+            m = a.size // 2
+            if a.size % 2:
+                return float(a[m])
+            return (float(a[m - 1]) + float(a[m])) / 2.0
+
+        m0 = med(c)
+        dev = np.sort(np.abs(c.astype(np.float64) - m0))
+        mad = med(dev)
+        nout = int((np.abs(c.astype(np.float64) - m0)
+                    > 3.0 * mad).sum())
+        return pa.table({
+            "n_name": pa.array([name], type=pa.string()),
+            "n_suppliers": pa.array([c.size], type=pa.int64()),
+            "med_bal_r": pa.array(
+                [float(round_half_away(m0 / 100.0, 4))]),
+            "mad_r": pa.array(
+                [float(round_half_away(mad / 100.0, 4))]),
+            "n_outliers": pa.array([nout], type=pa.int64()),
+        })
+
+    return (
+        read_parquet_clean(os.path.join(sf_dir, "supplier.parquet"),
+                           columns=["s_nationkey", "s_acctbal"])
+        .map_batches(clean, batch_format="pyarrow", batch_size=8192)
+        .groupby("nk").map_groups(per_nation, batch_format="pyarrow")
+    )

@@ -7181,3 +7181,112 @@ class TestBrandReturnRate:
         assert got.loc["B1", "return_rate_r"] == 0.5
         assert got.loc["B2", "n_returned"] == 0
         assert len(got) == 2
+
+
+class TestRfmSegments:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import rfm_segments
+
+        DAY = 86_400_000_000
+        o = pq.read_table(f"{SF}/orders.parquet",
+                          columns=["o_custkey", "o_orderdate",
+                                   "o_totalprice"]).to_pandas()
+        o["t"] = o["o_orderdate"].astype("int64")
+        o["cents"] = np.rint(o["o_totalprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        gd = o["t"].max() // DAY * DAY
+        m = o.groupby("o_custkey").agg(
+            last=("t", "max"), freq=("t", "size"),
+            cents=("cents", "sum"))
+        m["rec_d"] = (gd - m["last"] // DAY * DAY) // DAY
+        n = len(m)
+
+        def ntile(order_cols, ascending):
+            idx = m.sort_values(order_cols, ascending=ascending).index
+            sizes = np.full(5, n // 5)
+            sizes[: n % 5] += 1
+            out = pd.Series(np.repeat(np.arange(1, 6), sizes),
+                            index=idx)
+            return out
+
+        m = m.reset_index()
+        m = m.set_index("o_custkey")
+        m["r"] = ntile(["rec_d", "o_custkey"], [True, True])
+        m["f"] = ntile(["freq", "o_custkey"], [False, True])
+        m["m"] = ntile(["cents", "o_custkey"], [False, True])
+        got = rfm_segments(SF).to_pandas().set_index("c_custkey")
+        assert len(got) == n
+        for ck, row in got.iterrows():
+            e = m.loc[ck]
+            assert (row["rec_d"], row["n_orders"],
+                    row["total_cents"]) == (e["rec_d"], e["freq"],
+                                            e["cents"])
+            assert (row["r_score"], row["f_score"],
+                    row["m_score"]) == (e["r"], e["f"], e["m"])
+            assert row["rfm"] == e["r"] * 100 + e["f"] * 10 + e["m"]
+
+    def test_planted_customers(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import rfm_segments
+
+        t0 = pd.Timestamp("1970-01-01")
+        # five customers, one order each on days 0..4, prices 1..5 —
+        # each lands alone in one ntile bucket per metric
+        pd.DataFrame({
+            "o_orderkey": range(5),
+            "o_custkey": [1, 2, 3, 4, 5],
+            "o_orderdate": [t0 + pd.Timedelta(days=d)
+                            for d in range(5)],
+            "o_totalprice": [float(i + 1) for i in range(5)],
+            "o_orderstatus": "O", "o_orderpriority": "1-URGENT",
+        }).to_parquet(f"{tmp_path}/orders.parquet", index=False)
+        got = rfm_segments(str(tmp_path)).to_pandas() \
+            .set_index("c_custkey")
+        # recency: cust5 most recent → r=1; monetary: cust5 biggest →
+        # m=1; frequency all tie at 1 → custkey ASC → f = custkey
+        assert got.loc[5, "r_score"] == 1 and got.loc[1, "r_score"] == 5
+        assert got.loc[5, "m_score"] == 1 and got.loc[1, "m_score"] == 5
+        assert got["f_score"].tolist() == [1, 2, 3, 4, 5]
+
+
+class TestNationBalanceMad:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            nation_balance_mad)
+
+        s = pq.read_table(f"{SF}/supplier.parquet").to_pandas()
+        nat = pq.read_table(f"{SF}/nation.parquet").to_pandas() \
+            .set_index("n_nationkey")["n_name"]
+        got = nation_balance_mad(SF).to_pandas().set_index("n_name")
+        for nk, sub in s.groupby("s_nationkey"):
+            c = np.sort(np.rint(sub["s_acctbal"].to_numpy() * 100)
+                        .astype(np.int64))
+            med = np.median(c)
+            mad = np.median(np.abs(c - med))
+            row = got.loc[nat.loc[nk]]
+            assert row["n_suppliers"] == len(c)
+            assert abs(row["med_bal_r"] - med / 100.0) < 1e-3
+            assert abs(row["mad_r"] - mad / 100.0) < 1e-3
+            assert row["n_outliers"] == int(
+                (np.abs(c - med) > 3 * mad).sum())
+
+    def test_planted_outlier(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import (
+            nation_balance_mad)
+
+        pd.DataFrame({
+            "n_nationkey": [0], "n_name": ["ATLANTIS"],
+            "n_regionkey": [0],
+        }).to_parquet(f"{tmp_path}/nation.parquet", index=False)
+        pd.DataFrame({
+            "s_suppkey": range(5), "s_nationkey": 0,
+            "s_name": "s",
+            "s_acctbal": [10.0, 11.0, 12.0, 13.0, 100.0],
+        }).to_parquet(f"{tmp_path}/supplier.parquet", index=False)
+        got = nation_balance_mad(str(tmp_path)).to_pandas()
+        r = got.iloc[0]
+        # median 12.00, deviations {2,1,0,1,88} → MAD 1.00; only the
+        # 100.00 balance exceeds 3 MAD
+        assert r["n_name"] == "ATLANTIS"
+        assert r["med_bal_r"] == 12.0
+        assert r["mad_r"] == 1.0
+        assert r["n_outliers"] == 1
