@@ -643,6 +643,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # grouped robust stats: per-nation supplier-balance median,
         # MAD, 3-MAD outlier count (oracle: two-level median CTE; r4)
         "nation_balance_mad": relational.nation_balance_mad,
+        # grouped OLS: per-brand price~size line from exact integer
+        # moments (decimal-string partials, Python bigint fold; oracle:
+        # HUGEINT moments; r4)
+        "brand_price_regr": relational.brand_price_regr,
+        # engagement depth: histogram of per-user distinct active
+        # weeks (oracle: two-level GROUP BY; r4)
+        "weekly_active_histogram": relational.weekly_active_histogram,
+        # trailing-digit audit: .00/.50 tail shares + modal tail,
+        # abs-before-mod on both sides (oracle: mod histogram; r4)
+        "cents_tail_bias": relational.cents_tail_bias,
+        # class-separation diagnostic: Euclidean distances between
+        # per-label embedding centroids (oracle: list-index unnest +
+        # avg + pair join; r4)
+        "label_centroid_dists": relational.label_centroid_dists,
         # JSON schema-on-read: aggregate over a value extracted from the
         # semi-structured props bag — TRY_CAST(json_extract) semantics,
         # int64 partials per type (oracle: DuckDB json functions; r4)
@@ -3812,6 +3826,93 @@ SELECT n.n_name, md.n AS n_suppliers,
        o.nout AS n_outliers
 FROM md JOIN md2 ON md2.nk = md.nk JOIN o ON o.nk = md.nk
 JOIN nation n ON n.n_nationkey = md.nk""",
+        # exact HUGEINT moments per brand; slope/intercept/r² are
+        # single double expressions over identical integers
+        "brand_price_regr": """
+WITH v AS (SELECT p_brand AS b, CAST(p_size AS BIGINT) AS x,
+                  CAST(round(p_retailprice * 100) AS BIGINT) AS y
+           FROM part
+           WHERE p_brand IS NOT NULL AND p_size IS NOT NULL
+             AND p_retailprice IS NOT NULL),
+ m AS (SELECT b, CAST(count(*) AS BIGINT) AS n,
+              sum(CAST(x AS HUGEINT)) AS sx,
+              sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+              sum(CAST(y AS HUGEINT)) AS sy,
+              sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+              sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+       FROM v GROUP BY 1),
+ x AS (SELECT b, n, sx, sy,
+              n * sxy - sx * sy AS num, n * sxx - sx * sx AS d1,
+              n * syy - sy * sy AS d2
+       FROM m)
+SELECT b AS p_brand, n AS n_parts,
+       CASE WHEN d1 > 0
+            THEN round(CAST(num AS DOUBLE) / CAST(d1 AS DOUBLE), 4)
+       END AS slope_r,
+       CASE WHEN d1 > 0
+            THEN round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                       - (CAST(num AS DOUBLE) / CAST(d1 AS DOUBLE))
+                         * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)),
+                       4)
+       END AS intercept_r,
+       CASE WHEN d1 > 0 AND d2 > 0
+            THEN round((CAST(num AS DOUBLE)
+                        / sqrt(CAST(d1 AS DOUBLE)
+                               * CAST(d2 AS DOUBLE)))
+                       * (CAST(num AS DOUBLE)
+                          / sqrt(CAST(d1 AS DOUBLE)
+                                 * CAST(d2 AS DOUBLE))), 4)
+       END AS r2_r
+FROM x ORDER BY p_brand""",
+        # histogram of a per-entity aggregate: distinct epoch-anchored
+        # weeks per user, then count users per depth
+        "weekly_active_histogram": """
+WITH w AS (SELECT user_id,
+                  CAST(count(DISTINCT epoch_us(ts) // 604800000000)
+                       AS BIGINT) AS k
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1)
+SELECT k AS n_active_weeks, CAST(count(*) AS BIGINT) AS n_users
+FROM w GROUP BY 1 ORDER BY 1""",
+        # abs before mod keeps numpy floor-mod and SQL truncated %
+        # identical; modal tail ties break to the smallest tail
+        "cents_tail_bias": """
+WITH v AS (SELECT abs(CAST(round(value * 100) AS BIGINT)) % 100 AS t
+           FROM events
+           WHERE value IS NOT NULL AND NOT isnan(value)),
+ h AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+ tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM h),
+ top AS (SELECT t, n FROM h ORDER BY n DESC, t LIMIT 1)
+SELECT (SELECT total FROM tot) AS n_values,
+       round(CAST(coalesce((SELECT n FROM h WHERE t = 0), 0)
+                  AS DOUBLE) / CAST((SELECT total FROM tot)
+                                    AS DOUBLE), 4) AS share_00_r,
+       round(CAST(coalesce((SELECT n FROM h WHERE t = 50), 0)
+                  AS DOUBLE) / CAST((SELECT total FROM tot)
+                                    AS DOUBLE), 4) AS share_50_r,
+       (SELECT t FROM top) AS top_tail,
+       (SELECT n FROM top) AS top_tail_n""",
+        # per-dim label means via 1-based list indexing over a derived
+        # dim range; pair distances sum (μa−μb)² in dim order
+        "label_centroid_dists": """
+WITH e AS (SELECT label, embedding FROM embeddings
+           WHERE embedding IS NOT NULL AND label IS NOT NULL),
+ mx AS (SELECT max(len(embedding)) AS L FROM e),
+ u AS (SELECT e.label, CAST(t.i AS BIGINT) AS dim,
+              CAST(e.embedding[CAST(t.i AS INT)] AS DOUBLE) AS v
+       FROM e, mx, LATERAL unnest(range(1, mx.L + 1)) AS t(i)),
+ m AS (SELECT label, dim, avg(v) AS mu FROM u GROUP BY 1, 2),
+ c AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1),
+ d AS (SELECT a.label AS la, b.label AS lb,
+              sqrt(sum((a.mu - b.mu) * (a.mu - b.mu))) AS dist
+       FROM m a JOIN m b ON a.dim = b.dim AND a.label < b.label
+       GROUP BY 1, 2)
+SELECT CAST(d.la AS BIGINT) AS label_a,
+       CAST(d.lb AS BIGINT) AS label_b,
+       ca.n AS n_a, cb.n AS n_b, round(d.dist, 4) AS dist_r
+FROM d JOIN c ca ON ca.label = d.la JOIN c cb ON cb.label = d.lb
+ORDER BY label_a, label_b""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -9683,3 +9683,307 @@ def nation_balance_mad(sf_dir: str):
         .map_batches(clean, batch_format="pyarrow", batch_size=8192)
         .groupby("nk").map_groups(per_nation, batch_format="pyarrow")
     )
+
+
+def brand_price_regr(sf_dir: str):
+    """(p_brand, n_parts, slope_r, intercept_r, r2_r): per-brand OLS
+    of retail price (cents) on part size — the GROUPED regression
+    surface (``regr_value_trend`` fits ONE global line; real
+    price-architecture analysis fits one per brand and compares).
+    Every moment (n, Σx, Σx², Σy, Σy², Σxy) is an EXACT integer —
+    engine partials ship Σy²/Σxy as decimal strings and fold as
+    Python bigints (the json_extract_stats discipline: cents² sums
+    pass int64 at any corpus size), oracle uses HUGEINT — so slope,
+    intercept and r² are single double expressions over identical
+    integers, 4-dp publish; slope/intercept NULL for a size-constant
+    brand, r² additionally NULL for a price-constant one.
+
+    Scale shape: per-batch ≤|brands| moment partials, driver fold
+    over a brand-bounded frame (25 groups) — no shuffle at all."""
+    import math
+
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()
+        empty = pa.table({"b": pa.array([], type=pa.string()),
+                          "n": pa.array([], type=pa.int64()),
+                          "sx": pa.array([], type=pa.string()),
+                          "sxx": pa.array([], type=pa.string()),
+                          "sy": pa.array([], type=pa.string()),
+                          "syy": pa.array([], type=pa.string()),
+                          "sxy": pa.array([], type=pa.string())})
+        if batch.num_rows == 0:
+            return empty
+        br = np.asarray(batch["p_brand"].to_pylist(), dtype=object)
+        x = batch["p_size"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        y = np.rint(batch["p_retailprice"]
+                    .to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        g = pd.DataFrame({
+            "b": br, "n": 1, "sx": x, "sxx": x * x, "sy": y,
+            "syy": y * y, "sxy": x * y,
+        }).groupby("b", as_index=False).sum()
+        return pa.table({
+            "b": pa.array(g["b"].tolist(), type=pa.string()),
+            "n": pa.array(g["n"].to_numpy(dtype=np.int64)),
+            "sx": pa.array([str(v) for v in g["sx"]],
+                           type=pa.string()),
+            "sxx": pa.array([str(v) for v in g["sxx"]],
+                            type=pa.string()),
+            "sy": pa.array([str(v) for v in g["sy"]],
+                           type=pa.string()),
+            "syy": pa.array([str(v) for v in g["syy"]],
+                            type=pa.string()),
+            "sxy": pa.array([str(v) for v in g["sxy"]],
+                            type=pa.string()),
+        })
+
+    parts = (
+        read_parquet_clean(os.path.join(sf_dir, "part.parquet"),
+                           columns=["p_brand", "p_size",
+                                    "p_retailprice"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .to_pandas()
+    )
+    empty = pa.table({"p_brand": pa.array([], type=pa.string()),
+                      "n_parts": pa.array([], type=pa.int64()),
+                      "slope_r": pa.array([], type=pa.float64()),
+                      "intercept_r": pa.array([], type=pa.float64()),
+                      "r2_r": pa.array([], type=pa.float64())})
+    if parts.empty:
+        return empty
+    acc: dict[str, list[int]] = {}
+    for row in parts.itertuples():
+        a = acc.setdefault(row.b, [0, 0, 0, 0, 0, 0])
+        a[0] += int(row.n)
+        a[1] += int(row.sx)
+        a[2] += int(row.sxx)
+        a[3] += int(row.sy)
+        a[4] += int(row.syy)
+        a[5] += int(row.sxy)
+    out = {"b": [], "n": [], "sl": [], "ic": [], "r2": []}
+    for b in sorted(acc):
+        n, sx, sxx, sy, syy, sxy = acc[b]
+        num = n * sxy - sx * sy
+        d1 = n * sxx - sx * sx
+        d2 = n * syy - sy * sy
+        sl = ic = r2 = None
+        if d1 > 0:
+            slope = float(num) / float(d1)
+            sl = float(round_half_away(slope, 4))
+            ic = float(round_half_away(
+                float(sy) / float(n) - slope * (float(sx) / float(n)),
+                4))
+            if d2 > 0:
+                r = float(num) / math.sqrt(float(d1) * float(d2))
+                r2 = float(round_half_away(r * r, 4))
+        out["b"].append(b)
+        out["n"].append(n)
+        out["sl"].append(sl)
+        out["ic"].append(ic)
+        out["r2"].append(r2)
+    return pa.table({
+        "p_brand": pa.array(out["b"], type=pa.string()),
+        "n_parts": pa.array(out["n"], type=pa.int64()),
+        "slope_r": pa.array(out["sl"], type=pa.float64()),
+        "intercept_r": pa.array(out["ic"], type=pa.float64()),
+        "r2_r": pa.array(out["r2"], type=pa.float64()),
+    })
+
+
+WEEK_ANCHOR_US = 7 * 86_400_000_000
+
+
+def weekly_active_histogram(sf_dir: str):
+    """(n_active_weeks, n_users): the engagement-depth distribution —
+    how many users were active in exactly k distinct (epoch-anchored)
+    calendar weeks. ``sliding_distinct_users`` counts users per
+    window; this inverts the lens to the DISTRIBUTION of a per-entity
+    aggregate (the histogram-of-a-groupby shape, the standard
+    engagement-tiering input). Pure int64 everywhere.
+
+    Scale shape: ONE user-hash co-partition exchange; distinct weeks
+    per user resolve locally (a user's events share the partition),
+    partials collapse to ≤|weeks| histogram rows per partition, then
+    a tiny Sum exchange."""
+    from ray.data.aggregate import Sum
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return _user_part_table(batch.drop_null(), {})
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        empty = pa.table({"n_active_weeks": pa.array([], type=pa.int64()),
+                          "n": pa.array([], type=pa.int64())})
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        if uid.size == 0:
+            return empty
+        uid = uid.astype(np.int64)
+        wk = group["ts_us"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64) // WEEK_ANCHOR_US
+        order = np.lexsort((wk, uid))
+        uid, wk = uid[order], wk[order]
+        keep = np.concatenate(
+            ([True], (uid[1:] != uid[:-1]) | (wk[1:] != wk[:-1])))
+        uid = uid[keep]
+        _, per_user = np.unique(uid, return_counts=True)
+        ks, n = np.unique(per_user, return_counts=True)
+        return pa.table({
+            "n_active_weeks": pa.array(ks.astype(np.int64)),
+            "n": pa.array(n.astype(np.int64)),
+        })
+
+    return (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["user_id", "ts"])
+        .map_batches(tag, batch_format="pyarrow", batch_size=8192)
+        .groupby("q").map_groups(per_partition, batch_format="pyarrow")
+        .groupby("n_active_weeks")
+        .aggregate(Sum("n", alias_name="n_users"))
+    )
+
+
+def cents_tail_bias(sf_dir: str):
+    """(n_values, share_00_r, share_50_r, top_tail, top_tail_n):
+    round-number bias audit over the event value stream — the share
+    of values ending in .00 and .50 (of |cents| mod 100) plus the
+    most common tail (ties → smallest tail). Psychological-pricing /
+    fabricated-data screens read exactly this (``benford_values``
+    audits LEADING digits; tails are the complementary trailing-digit
+    fingerprint). abs-before-mod keeps numpy's floor-mod and SQL's
+    truncated % identical on any sign. Two double divisions, 4-dp.
+
+    Scale shape: per-batch 100-bin bincount partials into a ≤100-group
+    Sum — no row-level shuffle."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"].drop_null().to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            return pa.table({"tail": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        tails = np.abs(np.rint(v * 100.0).astype(np.int64)) % 100
+        counts = np.bincount(tails, minlength=100)
+        live = np.flatnonzero(counts)
+        return pa.table({"tail": pa.array(live.astype(np.int64)),
+                         "n": pa.array(counts[live].astype(np.int64))})
+
+    hist = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["value"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("tail").aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    if hist.empty:
+        return pa.table({
+            "n_values": pa.array([0], type=pa.int64()),
+            "share_00_r": pa.array([None], type=pa.float64()),
+            "share_50_r": pa.array([None], type=pa.float64()),
+            "top_tail": pa.array([None], type=pa.int64()),
+            "top_tail_n": pa.array([None], type=pa.int64()),
+        })
+    hist = hist.sort_values("tail")
+    tails = hist["tail"].to_numpy(dtype=np.int64)
+    ns = hist["n"].to_numpy(dtype=np.int64)
+    total = int(ns.sum())
+
+    def share(t: int) -> float:
+        i = np.searchsorted(tails, t)
+        c = int(ns[i]) if i < tails.size and tails[i] == t else 0
+        return float(round_half_away(float(c) / float(total), 4))
+
+    top_i = int(np.argmax(ns))  # first max → smallest tail on ties
+    return pa.table({
+        "n_values": pa.array([total], type=pa.int64()),
+        "share_00_r": pa.array([share(0)], type=pa.float64()),
+        "share_50_r": pa.array([share(50)], type=pa.float64()),
+        "top_tail": pa.array([int(tails[top_i])], type=pa.int64()),
+        "top_tail_n": pa.array([int(ns[top_i])], type=pa.int64()),
+    })
+
+
+def label_centroid_dists(sf_dir: str):
+    """(label_a, label_b, n_a, n_b, dist_r): Euclidean distances
+    between per-label embedding CENTROIDS — the class-separation
+    diagnostic (are labels geometrically distinct before training?).
+    ``embedding_cluster`` groups by geometry; this audits the GIVEN
+    labels against geometry. Per-dim means fold float64 sums (the
+    embedding_dim_stats precedent: 4-dp publish absorbs sub-ulp
+    merge-order drift, as that entry's hash-green history proves);
+    the 64-term distance sum runs in dim order on both sides.
+
+    Scale shape: per-batch (label × dim) sum partials — bounded by
+    |labels|·dims, not rows — fold driver-side; pair distances are
+    |labels|² work on a tiny matrix."""
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.and_(pc.is_valid(batch["embedding"]),
+                       pc.is_valid(batch["label"]))
+        batch = batch.filter(keep)
+        empty = pa.table({"label": pa.array([], type=pa.int64()),
+                          "dim": pa.array([], type=pa.int64()),
+                          "n": pa.array([], type=pa.int64()),
+                          "s": pa.array([], type=pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        lab = batch["label"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        m = np.asarray(batch["embedding"].to_pylist(),
+                       dtype=np.float64)
+        ul, inv = np.unique(lab, return_inverse=True)
+        dims = m.shape[1]
+        sums = np.zeros((ul.size, dims), dtype=np.float64)
+        np.add.at(sums, inv, m)
+        counts = np.bincount(inv, minlength=ul.size)
+        return pa.table({
+            "label": pa.array(np.repeat(ul, dims)),
+            "dim": pa.array(np.tile(np.arange(dims, dtype=np.int64),
+                                    ul.size)),
+            "n": pa.array(np.repeat(counts, dims).astype(np.int64)),
+            "s": pa.array(sums.ravel()),
+        })
+
+    parts = (
+        read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                           columns=["label", "embedding"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()
+    )
+    empty = pa.table({"label_a": pa.array([], type=pa.int64()),
+                      "label_b": pa.array([], type=pa.int64()),
+                      "n_a": pa.array([], type=pa.int64()),
+                      "n_b": pa.array([], type=pa.int64()),
+                      "dist_r": pa.array([], type=pa.float64())})
+    if parts.empty:
+        return empty
+    agg = parts.groupby(["label", "dim"], as_index=False).agg(
+        n=("n", "sum"), s=("s", "sum"))
+    import itertools
+    import math
+
+    labels = sorted(agg["label"].unique())
+    mus = {}
+    ns = {}
+    for lb in labels:
+        sub = agg[agg["label"] == lb].sort_values("dim")
+        # n repeats per dim — each batch contributes the same count to
+        # every dim, so any dim's sum is the label's vector count
+        ns[lb] = int(sub["n"].iloc[0])
+        mus[lb] = sub["s"].to_numpy() / sub["n"].to_numpy()
+    rows = []
+    for a, b in itertools.combinations(labels, 2):
+        d = mus[a] - mus[b]
+        rows.append((int(a), int(b), ns[a], ns[b],
+                     float(round_half_away(
+                         math.sqrt(float(np.sum(d * d))), 4))))
+    return pa.table({
+        "label_a": pa.array([r[0] for r in rows], type=pa.int64()),
+        "label_b": pa.array([r[1] for r in rows], type=pa.int64()),
+        "n_a": pa.array([r[2] for r in rows], type=pa.int64()),
+        "n_b": pa.array([r[3] for r in rows], type=pa.int64()),
+        "dist_r": pa.array([r[4] for r in rows], type=pa.float64()),
+    })

@@ -7290,3 +7290,152 @@ class TestNationBalanceMad:
         assert r["med_bal_r"] == 12.0
         assert r["mad_r"] == 1.0
         assert r["n_outliers"] == 1
+
+
+class TestBrandPriceRegr:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import brand_price_regr
+
+        part = pq.read_table(f"{SF}/part.parquet",
+                             columns=["p_brand", "p_size",
+                                      "p_retailprice"]).to_pandas()
+        part["y"] = np.rint(part["p_retailprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        got = brand_price_regr(SF).to_pandas().set_index("p_brand")
+        for b, sub in part.groupby("p_brand"):
+            x = sub["p_size"].to_numpy(dtype=np.float64)
+            y = sub["y"].to_numpy(dtype=np.float64)
+            row = got.loc[b]
+            assert row["n_parts"] == len(sub)
+            if np.ptp(x) == 0:
+                assert pd.isna(row["slope_r"])
+                continue
+            slope, intercept = np.polyfit(x, y, 1)
+            assert abs(row["slope_r"] - slope) < 1e-2
+            assert abs(row["intercept_r"] - intercept) < 1.0
+            r = np.corrcoef(x, y)[0, 1]
+            assert abs(row["r2_r"] - r * r) < 1e-3
+
+    def test_planted_perfect_line(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import brand_price_regr
+
+        pd.DataFrame({
+            "p_partkey": range(5),
+            "p_brand": ["L", "L", "L", "C", "C"],
+            "p_size": [1, 2, 3, 7, 7],
+            "p_retailprice": [3.0, 5.0, 7.0, 1.0, 2.0],
+            "p_name": "x", "p_type": "t",
+        }).to_parquet(f"{tmp_path}/part.parquet", index=False)
+        got = brand_price_regr(str(tmp_path)).to_pandas() \
+            .set_index("p_brand")
+        assert got.loc["L", "slope_r"] == 200.0       # cents per size
+        assert got.loc["L", "intercept_r"] == 100.0
+        assert got.loc["L", "r2_r"] == 1.0
+        # constant size → undefined line
+        assert pd.isna(got.loc["C", "slope_r"])
+
+
+class TestWeeklyActiveHistogram:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            WEEK_ANCHOR_US, weekly_active_histogram)
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["user_id", "ts"]).to_pandas()
+        ev["w"] = ev["ts"].astype("int64") // WEEK_ANCHOR_US
+        per_user = ev.groupby("user_id")["w"].nunique()
+        exp = per_user.value_counts().sort_index()
+        got = weekly_active_histogram(SF).to_pandas() \
+            .sort_values("n_active_weeks")
+        assert got["n_active_weeks"].tolist() == exp.index.tolist()
+        assert got["n_users"].tolist() == exp.tolist()
+
+    def test_planted_depths(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import (
+            weekly_active_histogram)
+
+        t0 = pd.Timestamp("1970-01-01")
+        rows = [(1, 0), (1, 1), (1, 15), (2, 0)]  # u1: 2 weeks, u2: 1
+        pd.DataFrame({
+            "user_id": [r[0] for r in rows],
+            "ts": [t0 + pd.Timedelta(days=r[1]) for r in rows],
+            "event_id": range(len(rows)), "event_type": "e",
+            "value": 0.0,
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = weekly_active_histogram(str(tmp_path)).to_pandas() \
+            .sort_values("n_active_weeks")
+        assert got["n_active_weeks"].tolist() == [1, 2]
+        assert got["n_users"].tolist() == [1, 1]
+
+
+class TestCentsTailBias:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import cents_tail_bias
+
+        v = pq.read_table(f"{SF}/events.parquet",
+                          columns=["value"]).to_pandas()["value"] \
+            .to_numpy()
+        tails = np.abs(np.rint(v * 100).astype(np.int64)) % 100
+        counts = np.bincount(tails, minlength=100)
+        got = cents_tail_bias(SF).to_pandas()
+        assert got["n_values"].iloc[0] == len(v)
+        assert abs(got["share_00_r"].iloc[0]
+                   - counts[0] / len(v)) < 1e-4
+        assert abs(got["share_50_r"].iloc[0]
+                   - counts[50] / len(v)) < 1e-4
+        assert got["top_tail"].iloc[0] == int(np.argmax(counts))
+        assert got["top_tail_n"].iloc[0] == int(counts.max())
+
+    def test_planted_tails(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import cents_tail_bias
+
+        t0 = pd.Timestamp("1970-01-01")
+        pd.DataFrame({
+            "user_id": 1, "ts": t0, "event_id": range(4),
+            "event_type": "e",
+            "value": [1.0, 2.0, 2.5, 3.99],
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = cents_tail_bias(str(tmp_path)).to_pandas()
+        assert got["n_values"].iloc[0] == 4
+        assert got["share_00_r"].iloc[0] == 0.5
+        assert got["share_50_r"].iloc[0] == 0.25
+        assert got["top_tail"].iloc[0] == 0
+        assert got["top_tail_n"].iloc[0] == 2
+
+
+class TestLabelCentroidDists:
+    def test_matches_bruteforce(self, ray_session, emb):
+        from searchengine_ray.pipelines.relational import (
+            label_centroid_dists)
+
+        t = pq.read_table(f"{SF}/embeddings.parquet")
+        labels = t["label"].to_numpy()
+        m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        got = label_centroid_dists(SF).to_pandas()
+        uls = sorted(set(labels.tolist()))
+        assert len(got) == len(uls) * (len(uls) - 1) // 2
+        for row in got.itertuples():
+            ca = m[labels == row.label_a].mean(axis=0)
+            cb = m[labels == row.label_b].mean(axis=0)
+            assert row.n_a == int((labels == row.label_a).sum())
+            assert abs(row.dist_r
+                       - float(np.linalg.norm(ca - cb))) < 1e-3
+
+    def test_planted_triangle(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import (
+            label_centroid_dists)
+
+        tbl = pa.table({
+            "vec_id": pa.array([1, 2, 3], type=pa.int64()),
+            "embedding": pa.array(
+                [[0.0, 0.0], [3.0, 4.0], [3.0, 4.0]],
+                type=pa.list_(pa.float32())),
+            "label": pa.array([0, 1, 1], type=pa.int32()),
+        })
+        pq.write_table(tbl, f"{tmp_path}/embeddings.parquet")
+        got = label_centroid_dists(str(tmp_path)).to_pandas()
+        assert len(got) == 1
+        r = got.iloc[0]
+        assert (r["label_a"], r["label_b"], r["n_a"], r["n_b"]) \
+            == (0, 1, 1, 2)
+        assert r["dist_r"] == 5.0
