@@ -657,6 +657,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-label embedding centroids (oracle: list-index unnest +
         # avg + pair join; r4)
         "label_centroid_dists": relational.label_centroid_dists,
+        # weekly seasonality: per-dow daily-average revenue index,
+        # pure epoch arithmetic dow (oracle: same expressions; r4)
+        "seasonal_dow_index": relational.seasonal_dow_index,
+        # global adjacency without a global sort: longest silence via
+        # range-bucket partials + boundary stitching (oracle: lead()
+        # over the sorted stream; r4)
+        "max_event_gap": relational.max_event_gap,
+        # user-lifetime distribution: first→last span quantiles with
+        # single-event census (oracle: per-user span + quantile_disc;
+        # r4)
+        "user_lifespan_quantiles": relational.user_lifespan_quantiles,
         # JSON schema-on-read: aggregate over a value extracted from the
         # semi-structured props bag — TRY_CAST(json_extract) semantics,
         # int64 partials per type (oracle: DuckDB json functions; r4)
@@ -3913,6 +3924,54 @@ SELECT CAST(d.la AS BIGINT) AS label_a,
        ca.n AS n_a, cb.n AS n_b, round(d.dist, 4) AS dist_r
 FROM d JOIN c ca ON ca.label = d.la JOIN c cb ON cb.label = d.lb
 ORDER BY label_a, label_b""",
+        # dow via pure epoch arithmetic (0 = Monday); the index is the
+        # dow daily average over the overall daily average
+        "seasonal_dow_index": """
+WITH v AS (SELECT epoch_us(ts) // 86400000000 * 86400000000 AS d,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events
+           WHERE ts IS NOT NULL AND value IS NOT NULL
+             AND NOT isnan(value)),
+ dt AS (SELECT d, CAST(sum(cents) AS BIGINT) AS c FROM v GROUP BY 1),
+ tot AS (SELECT CAST(sum(c) AS BIGINT) AS tc,
+                CAST(count(*) AS BIGINT) AS td FROM dt),
+ w AS (SELECT (d // 86400000000 + 3) % 7 AS dow,
+              CAST(count(*) AS BIGINT) AS nd,
+              CAST(sum(c) AS BIGINT) AS cw
+       FROM dt GROUP BY 1)
+SELECT CAST(w.dow AS BIGINT) AS dow, w.nd AS n_days,
+       cw / 100.0 AS revenue_r,
+       round((CAST(cw AS DOUBLE) / CAST(nd AS DOUBLE))
+             / (CAST(tot.tc AS DOUBLE) / CAST(tot.td AS DOUBLE)), 4)
+         AS index_r
+FROM w, tot ORDER BY dow""",
+        # the longest silence: lead over the sorted stream, ties break
+        # to the earliest start; <2 events emit nothing
+        "max_event_gap": """
+WITH t AS (SELECT epoch_us(ts) AS u FROM events
+           WHERE ts IS NOT NULL),
+ g AS (SELECT u, lead(u) OVER (ORDER BY u) AS nu FROM t)
+SELECT CAST(nu - u AS BIGINT) AS gap_us,
+       CAST(u AS BIGINT) AS start_us,
+       CAST(nu AS BIGINT) AS end_us
+FROM g WHERE nu IS NOT NULL
+ORDER BY gap_us DESC, start_us LIMIT 1""",
+        # per-user first→last span in whole seconds; single-event
+        # users counted separately; quantile_disc ranks exact
+        "user_lifespan_quantiles": """
+WITH s AS (SELECT user_id,
+                  (max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000
+                    AS span,
+                  CAST(count(*) AS BIGINT) AS ne
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(count(*) FILTER (WHERE ne = 1) AS BIGINT) AS n_single,
+       CAST(quantile_disc(span, 0.5) AS BIGINT) AS p50_span_s,
+       CAST(quantile_disc(span, 0.9) AS BIGINT) AS p90_span_s,
+       CAST(max(span) AS BIGINT) AS max_span_s
+FROM s""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -9987,3 +9987,239 @@ def label_centroid_dists(sf_dir: str):
         "n_b": pa.array([r[3] for r in rows], type=pa.int64()),
         "dist_r": pa.array([r[4] for r in rows], type=pa.float64()),
     })
+
+
+def seasonal_dow_index(sf_dir: str):
+    """(dow, n_days, revenue_r, index_r): day-of-week seasonality of
+    event revenue — per weekday (0 = Monday, pure epoch arithmetic
+    (days + 3) % 7, no locale/timezone surface), the count of
+    distinct calendar days observed, total revenue, and the
+    seasonality INDEX = (dow daily average) / (overall daily
+    average); 1.0 means a flat week. ``wow_growth`` compares
+    week-over-week LEVELS; this extracts the repeating weekly SHAPE —
+    the first step of any seasonal decomposition. Cents are exact
+    ints; the index is one double expression, 4-dp.
+
+    Scale shape: per-batch (day, cents) partials into a
+    calendar-bounded day Sum; the driver folds ≤7 rows."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        v, ts = v[ok], ts[ok].astype(np.int64)
+        if v.size == 0:
+            return pa.table({"d": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+        cents = np.rint(v * 100.0).astype(np.int64)
+        day = ts // DAY_US * DAY_US
+        ud, inv = np.unique(day, return_inverse=True)
+        cs = np.zeros(ud.size, dtype=np.int64)
+        np.add.at(cs, inv, cents)
+        return pa.table({"d": pa.array(ud), "c": pa.array(cs)})
+
+    daily = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["ts", "value"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("d").aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    empty = pa.table({"dow": pa.array([], type=pa.int64()),
+                      "n_days": pa.array([], type=pa.int64()),
+                      "revenue_r": pa.array([], type=pa.float64()),
+                      "index_r": pa.array([], type=pa.float64())})
+    if daily.empty:
+        return empty
+    d = daily["d"].to_numpy(dtype=np.int64)
+    c = daily["c"].to_numpy(dtype=np.int64)
+    dow = (d // DAY_US + 3) % 7
+    tot_c, tot_d = int(c.sum()), int(d.size)
+    out = {"dow": [], "nd": [], "rev": [], "idx": []}
+    for w in sorted(set(dow.tolist())):
+        m = dow == w
+        cw, nw = int(c[m].sum()), int(m.sum())
+        out["dow"].append(int(w))
+        out["nd"].append(nw)
+        out["rev"].append(cw / 100.0)
+        out["idx"].append(float(round_half_away(
+            (float(cw) / float(nw)) / (float(tot_c) / float(tot_d)),
+            4)))
+    return pa.table({
+        "dow": pa.array(out["dow"], type=pa.int64()),
+        "n_days": pa.array(out["nd"], type=pa.int64()),
+        "revenue_r": pa.array(out["rev"], type=pa.float64()),
+        "index_r": pa.array(out["idx"], type=pa.float64()),
+    })
+
+
+GAP_BUCKETS = 1024
+
+
+def max_event_gap(sf_dir: str):
+    """(gap_us, start_us, end_us): the LONGEST silence in the global
+    event stream — the maximum gap between consecutive event
+    timestamps corpus-wide, with its endpoints (ties → earliest
+    start). The outage/liveness question, and the one entry needing
+    GLOBAL adjacency without a global sort: timestamps range-bucket
+    into GAP_BUCKETS fixed time slices, each slice resolves its
+    internal max gap locally, and the driver stitches the ≤buckets
+    BOUNDARY gaps (slice max → next slice min) — the peak_concurrency
+    timeline-partition discipline applied to order statistics of
+    differences. Empty or single-event corpora return 0 rows (the
+    oracle's lead() emits nothing).
+
+    Scale shape: one (min, max) pass, one range-partition exchange of
+    bare int64 timestamps, per-slice vectorized diff, driver folds
+    ≤GAP_BUCKETS summaries."""
+    def stats(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].drop_null().cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if ts.size == 0:
+            return pa.table({"lo": pa.array([], type=pa.int64()),
+                             "hi": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        return pa.table({"lo": pa.array([int(ts.min())], type=pa.int64()),
+                         "hi": pa.array([int(ts.max())], type=pa.int64()),
+                         "n": pa.array([int(ts.size)], type=pa.int64())})
+
+    src = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                             columns=["ts"])
+    st = src.map_batches(stats, batch_format="pyarrow",
+                         batch_size=8192).to_pandas()
+    empty = pa.table({"gap_us": pa.array([], type=pa.int64()),
+                      "start_us": pa.array([], type=pa.int64()),
+                      "end_us": pa.array([], type=pa.int64())})
+    if st.empty or int(st["n"].sum()) < 2:
+        return empty
+    lo, hi = int(st["lo"].min()), int(st["hi"].max())
+    span = max(hi - lo, 1)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].drop_null().cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b = ((ts - lo) * GAP_BUCKETS // (span + 1)).astype(np.int64)
+        return pa.table({"b": pa.array(b), "u": pa.array(ts)})
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        b = int(group["b"][0].as_py())
+        u = np.sort(group["u"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64))
+        if u.size >= 2:
+            d = np.diff(u)
+            i = int(np.argmax(d))  # first max → earliest start
+            g, s = int(d[i]), int(u[i])
+        else:
+            g, s = -1, -1
+        return pa.table({
+            "b": pa.array([b], type=pa.int64()),
+            "mn": pa.array([int(u[0])], type=pa.int64()),
+            "mx": pa.array([int(u[-1])], type=pa.int64()),
+            "g": pa.array([g], type=pa.int64()),
+            "s": pa.array([s], type=pa.int64()),
+        })
+
+    summ = (src.map_batches(bucketize, batch_format="pyarrow",
+                            batch_size=8192)
+            .groupby("b").map_groups(per_bucket, batch_format="pyarrow")
+            .to_pandas().sort_values("b"))
+    best_g, best_s = -1, -1
+    prev_mx = None
+    for row in summ.itertuples():
+        if prev_mx is not None:
+            bg = int(row.mn) - prev_mx
+            if bg > best_g:
+                best_g, best_s = bg, prev_mx
+        if row.g > best_g:
+            best_g, best_s = int(row.g), int(row.s)
+        prev_mx = int(row.mx)
+    return pa.table({
+        "gap_us": pa.array([best_g], type=pa.int64()),
+        "start_us": pa.array([best_s], type=pa.int64()),
+        "end_us": pa.array([best_s + best_g], type=pa.int64()),
+    })
+
+
+def user_lifespan_quantiles(sf_dir: str):
+    """(n_users, n_single, p50_span_s, p90_span_s, max_span_s): the
+    user-lifetime distribution — per user, whole seconds between
+    their FIRST and LAST event (0 for a one-event user, separately
+    counted via n_single), then exact discrete quantiles over ALL
+    users. ``user_gap_quantiles`` measures the rhythm WITHIN a
+    lifetime; this measures the lifetime itself (the churn-horizon
+    input). quantile_disc convention, all-integer output.
+
+    Scale shape: ONE user-hash co-partition exchange, per-user
+    (min, max) resolves locally, partials collapse to a distinct-span
+    histogram (plus a −1 sentinel carrying the single-event count),
+    then a ≤|distinct seconds| Sum exchange and a driver counting
+    walk."""
+    from ray.data.aggregate import Sum
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return _user_part_table(batch.drop_null(), {})
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        empty = pa.table({"span_s": pa.array([], type=pa.int64()),
+                          "n": pa.array([], type=pa.int64())})
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        if uid.size == 0:
+            return empty
+        uid = uid.astype(np.int64)
+        ts = group["ts_us"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.argsort(uid, kind="stable")
+        uid, ts = uid[order], ts[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], uid[1:] != uid[:-1])))
+        ends = np.concatenate((starts[1:], [uid.size]))
+        mins = np.minimum.reduceat(ts, starts)
+        maxs = np.maximum.reduceat(ts, starts)
+        span = (maxs - mins) // 1_000_000
+        n_single = int((ends - starts == 1).sum())
+        vals, counts = np.unique(span, return_counts=True)
+        return pa.table({
+            "span_s": pa.array(np.concatenate(
+                ([-1], vals)).astype(np.int64)),
+            "n": pa.array(np.concatenate(
+                ([n_single], counts)).astype(np.int64)),
+        })
+
+    hist = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["user_id", "ts"])
+        .map_batches(tag, batch_format="pyarrow", batch_size=8192)
+        .groupby("q").map_groups(per_partition, batch_format="pyarrow")
+        .groupby("span_s").aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    if hist.empty:
+        return pa.table({
+            "n_users": pa.array([0], type=pa.int64()),
+            "n_single": pa.array([0], type=pa.int64()),
+            "p50_span_s": pa.array([None], type=pa.int64()),
+            "p90_span_s": pa.array([None], type=pa.int64()),
+            "max_span_s": pa.array([None], type=pa.int64()),
+        })
+    hist = hist.sort_values("span_s")
+    n_single = int(hist.loc[hist["span_s"] == -1, "n"].sum())
+    hist = hist[hist["span_s"] >= 0]
+    gs = hist["span_s"].to_numpy(dtype=np.int64)
+    ns = hist["n"].to_numpy(dtype=np.int64)
+    cum = np.cumsum(ns)
+    n = int(cum[-1])
+
+    def disc(q: float) -> int:
+        rank = int(np.ceil(n * q)) or 1
+        return int(gs[np.searchsorted(cum, rank)])
+
+    return pa.table({
+        "n_users": pa.array([n], type=pa.int64()),
+        "n_single": pa.array([n_single], type=pa.int64()),
+        "p50_span_s": pa.array([disc(0.5)], type=pa.int64()),
+        "p90_span_s": pa.array([disc(0.9)], type=pa.int64()),
+        "max_span_s": pa.array([int(gs[-1])], type=pa.int64()),
+    })

@@ -7439,3 +7439,125 @@ class TestLabelCentroidDists:
         assert (r["label_a"], r["label_b"], r["n_a"], r["n_b"]) \
             == (0, 1, 1, 2)
         assert r["dist_r"] == 5.0
+
+
+class TestSeasonalDowIndex:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            seasonal_dow_index)
+
+        DAY = 86_400_000_000
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["ts", "value"]).to_pandas()
+        ev["d"] = ev["ts"].astype("int64") // DAY
+        ev["cents"] = np.rint(ev["value"].to_numpy() * 100).astype(
+            np.int64)
+        dt = ev.groupby("d")["cents"].sum()
+        dow = (dt.index.to_numpy() + 3) % 7
+        overall = dt.sum() / len(dt)
+        got = seasonal_dow_index(SF).to_pandas().set_index("dow")
+        for w in sorted(set(dow.tolist())):
+            m = dow == w
+            row = got.loc[w]
+            assert row["n_days"] == int(m.sum())
+            assert abs(row["revenue_r"]
+                       - dt[m].sum() / 100.0) < 1e-6
+            assert abs(row["index_r"]
+                       - (dt[m].mean() / overall)) < 1e-3
+
+    def test_planted_weekend_spike(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import (
+            seasonal_dow_index)
+
+        t0 = pd.Timestamp("1970-01-01")  # a Thursday → dow 3
+        pd.DataFrame({
+            "user_id": 1, "event_id": range(2), "event_type": "e",
+            "ts": [t0, t0 + pd.Timedelta(days=1)],
+            "value": [10.0, 30.0],
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = seasonal_dow_index(str(tmp_path)).to_pandas() \
+            .set_index("dow")
+        assert got.index.tolist() == [3, 4]  # Thursday, Friday
+        assert got.loc[3, "revenue_r"] == 10.0
+        # overall daily avg 20.0 → indices 0.5 and 1.5
+        assert got.loc[3, "index_r"] == 0.5
+        assert got.loc[4, "index_r"] == 1.5
+
+
+class TestMaxEventGap:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import max_event_gap
+
+        u = np.sort(pq.read_table(f"{SF}/events.parquet",
+                                  columns=["ts"]).to_pandas()["ts"]
+                    .astype("int64").to_numpy())
+        d = np.diff(u)
+        i = int(np.argmax(d))
+        got = max_event_gap(SF).to_pandas()
+        assert got["gap_us"].iloc[0] == d[i]
+        assert got["start_us"].iloc[0] == u[i]
+        assert got["end_us"].iloc[0] == u[i] + d[i]
+
+    def test_planted_gap(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import max_event_gap
+
+        t0 = pd.Timestamp("1970-01-01")
+        secs = [0, 1, 2, 100, 101, 500]
+        pd.DataFrame({
+            "user_id": 1, "event_id": range(len(secs)),
+            "event_type": "e", "value": 0.0,
+            "ts": [t0 + pd.Timedelta(seconds=s) for s in secs],
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = max_event_gap(str(tmp_path)).to_pandas()
+        assert got["gap_us"].iloc[0] == 399_000_000
+        assert got["start_us"].iloc[0] == 101_000_000
+
+    def test_single_event(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import max_event_gap
+
+        pd.DataFrame({
+            "user_id": [1], "event_id": [1], "event_type": "e",
+            "value": 0.0, "ts": [pd.Timestamp("1970-01-01")],
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        assert len(max_event_gap(str(tmp_path)).to_pandas()) == 0
+
+
+class TestUserLifespanQuantiles:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            user_lifespan_quantiles)
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["user_id", "ts"]).to_pandas()
+        ev["t"] = ev["ts"].astype("int64")
+        g = ev.groupby("user_id")["t"].agg(["min", "max", "size"])
+        spans = sorted((g["max"] - g["min"]) // 1_000_000)
+        got = user_lifespan_quantiles(SF).to_pandas()
+        n = len(spans)
+        assert got["n_users"].iloc[0] == n
+        assert got["n_single"].iloc[0] == int((g["size"] == 1).sum())
+        assert got["p50_span_s"].iloc[0] == spans[
+            int(np.ceil(n * 0.5)) - 1]
+        assert got["p90_span_s"].iloc[0] == spans[
+            int(np.ceil(n * 0.9)) - 1]
+        assert got["max_span_s"].iloc[0] == spans[-1]
+
+    def test_planted_lifespans(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import (
+            user_lifespan_quantiles)
+
+        t0 = pd.Timestamp("1970-01-01")
+        rows = [(1, 0), (1, 100), (2, 5), (3, 0), (3, 10)]
+        pd.DataFrame({
+            "user_id": [r[0] for r in rows],
+            "ts": [t0 + pd.Timedelta(seconds=r[1]) for r in rows],
+            "event_id": range(len(rows)), "event_type": "e",
+            "value": 0.0,
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = user_lifespan_quantiles(str(tmp_path)).to_pandas()
+        # spans: u1=100, u2=0 (single), u3=10 → sorted [0, 10, 100]
+        assert got["n_users"].iloc[0] == 3
+        assert got["n_single"].iloc[0] == 1
+        assert got["p50_span_s"].iloc[0] == 10
+        assert got["p90_span_s"].iloc[0] == 100
+        assert got["max_span_s"].iloc[0] == 100
