@@ -668,6 +668,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # single-event census (oracle: per-user span + quantile_disc;
         # r4)
         "user_lifespan_quantiles": relational.user_lifespan_quantiles,
+        # within-session conversion: gap-session assignment + first-
+        # view anchor + purchase-at-or-after probe, all partition-
+        # local (oracle: session CTE + two-level group; r4)
+        "session_funnel": relational.session_funnel,
+        # hive-layout roundtrip: write_parquet(partition_cols) then a
+        # partition-pruned read-back per key directory (oracle: plain
+        # group-by the roundtrip must reproduce; r4)
+        "hive_partition_roundtrip": relational.hive_partition_roundtrip,
         # JSON schema-on-read: aggregate over a value extracted from the
         # semi-structured props bag — TRY_CAST(json_extract) semantics,
         # int64 partials per type (oracle: DuckDB json functions; r4)
@@ -3972,6 +3980,57 @@ SELECT CAST(count(*) AS BIGINT) AS n_users,
        CAST(quantile_disc(span, 0.9) AS BIGINT) AS p90_span_s,
        CAST(max(span) AS BIGINT) AS max_span_s
 FROM s""",
+        # the sessionize_events assignment CTE, then first-view anchor
+        # per session and a purchase-at-or-after probe
+        "session_funnel": """
+WITH marked AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts)
+                   > 1800000000
+              OR lag(epoch_us(ts))
+                 OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL),
+ assigned AS (
+  SELECT user_id, ts_us, event_type,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked),
+ s AS (
+  SELECT user_id, sess_id,
+         min(CASE WHEN event_type = 'view' THEN ts_us END) AS vt
+  FROM assigned GROUP BY 1, 2),
+ c AS (
+  SELECT s.user_id, s.sess_id, s.vt,
+         max(CASE WHEN a.event_type = 'purchase'
+                  AND a.ts_us >= s.vt THEN 1 ELSE 0 END) AS conv
+  FROM s JOIN assigned a ON a.user_id = s.user_id
+                        AND a.sess_id = s.sess_id
+  GROUP BY 1, 2, 3)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(*) FILTER (WHERE vt IS NOT NULL) AS BIGINT)
+         AS n_with_view,
+       CAST(coalesce(sum(CASE WHEN vt IS NOT NULL
+                          THEN conv END), 0) AS BIGINT)
+         AS n_converted,
+       CASE WHEN count(*) FILTER (WHERE vt IS NOT NULL) > 0
+            THEN round(CAST(coalesce(sum(CASE WHEN vt IS NOT NULL
+                                          THEN conv END), 0)
+                            AS DOUBLE)
+                       / CAST(count(*) FILTER (WHERE vt IS NOT NULL)
+                              AS DOUBLE), 4)
+       END AS conv_rate_r
+FROM c""",
+        # the roundtrip contract: the partitioned write + pruned
+        # read-back must reproduce this plain group-by exactly
+        "hive_partition_roundtrip": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows
+FROM events
+WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+GROUP BY 1 ORDER BY 1""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -10223,3 +10223,126 @@ def user_lifespan_quantiles(sf_dir: str):
         "p90_span_s": pa.array([disc(0.9)], type=pa.int64()),
         "max_span_s": pa.array([int(gs[-1])], type=pa.int64()),
     })
+
+
+def session_funnel(sf_dir: str):
+    """(n_sessions, n_with_view, n_converted, conv_rate_r): WITHIN-
+    SESSION conversion — sessions are the gap-based
+    ``sessionize_events`` definition (30-min splits); a session
+    converts iff it contains a 'purchase' at-or-after its FIRST
+    'view'. ``funnel_depth`` and ``conversion_lag`` measure the
+    user-lifetime funnel; bounding the funnel to a session is the
+    stricter product metric (did THIS visit convert?). The rate is
+    one double division, 4-dp.
+
+    Scale shape: ONE user-hash co-partition exchange; session
+    assignment, the first-view anchor and the purchase-at-or-after
+    probe all resolve locally in one sorted vectorized pass; each
+    partition emits a 3-int partial."""
+    import pandas as pd
+
+    def tag(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()
+        return _user_part_table(batch, {
+            "et": batch["event_type"].cast(pa.string()),
+        })
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        empty = pa.table({"ns": pa.array([], type=pa.int64()),
+                          "nv": pa.array([], type=pa.int64()),
+                          "nc": pa.array([], type=pa.int64())})
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        if uid.size == 0:
+            return empty
+        uid = uid.astype(np.int64)
+        ts = group["ts_us"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        et = np.asarray(group["et"].to_pylist(), dtype=object)
+        order = np.lexsort((ts, uid))
+        uid, ts, et = uid[order], ts[order], et[order]
+        new_sess = np.empty(uid.size, dtype=bool)
+        new_sess[0] = True
+        new_sess[1:] = (uid[1:] != uid[:-1]) | \
+            ((ts[1:] - ts[:-1]) > SESSION_GAP_US)
+        sess = np.cumsum(new_sess) - 1
+        df = pd.DataFrame({"s": sess, "ts": ts, "et": et})
+        vt = df[df["et"] == "view"].groupby("s")["ts"].min()
+        n_sessions = int(sess[-1]) + 1
+        n_with_view = int(vt.size)
+        p = df[df["et"] == "purchase"].copy()
+        p["vt"] = p["s"].map(vt)
+        conv = p[p["vt"].notna() & (p["ts"] >= p["vt"])]["s"].nunique()
+        return pa.table({
+            "ns": pa.array([n_sessions], type=pa.int64()),
+            "nv": pa.array([n_with_view], type=pa.int64()),
+            "nc": pa.array([int(conv)], type=pa.int64()),
+        })
+
+    parts = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["user_id", "ts", "event_type"])
+        .map_batches(tag, batch_format="pyarrow", batch_size=8192)
+        .groupby("q").map_groups(per_partition, batch_format="pyarrow")
+        .to_pandas()
+    )
+    ns = int(parts["ns"].sum()) if not parts.empty else 0
+    nv = int(parts["nv"].sum()) if not parts.empty else 0
+    nc = int(parts["nc"].sum()) if not parts.empty else 0
+    rate = None if nv == 0 else float(round_half_away(
+        float(nc) / float(nv), 4))
+    return pa.table({
+        "n_sessions": pa.array([ns], type=pa.int64()),
+        "n_with_view": pa.array([nv], type=pa.int64()),
+        "n_converted": pa.array([nc], type=pa.int64()),
+        "conv_rate_r": pa.array([rate], type=pa.float64()),
+    })
+
+
+def hive_partition_roundtrip(sf_dir: str):
+    """(event_type, n_rows): Hive-style partitioned parquet write +
+    PARTITION-PRUNED read-back — events write once via
+    ``Dataset.write_parquet(partition_cols=["event_type"])`` into a
+    fresh scratch dir, then each ``event_type=<v>`` directory is read
+    back ALONE (the reader touches only that partition's files — the
+    layout a resumable 100-TB pipeline needs: one directory per key,
+    skippable on restart) and counted distributedly. The roundtrip
+    must reproduce the source group-by exactly — that equality IS the
+    checked contract. ``csv_roundtrip``/``jsonl_roundtrip`` prove
+    formats; this proves the PARTITIONED layout and the pruned read
+    path.
+
+    Scale shape: one streamed write (no driver materialization), one
+    column-pruned count per partition; scratch lives under /tmp and a
+    fresh directory per call keeps reruns idempotent."""
+    import tempfile
+
+    from ray.data.aggregate import Count
+
+    out = tempfile.mkdtemp(prefix="hive_rt_", dir="/tmp")
+
+    def clean(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()
+        return pa.table({
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "event_type": batch["event_type"].cast(pa.string()),
+        })
+
+    src = (read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                              columns=["event_id", "event_type"])
+           .map_batches(clean, batch_format="pyarrow",
+                        batch_size=8192))
+    src.write_parquet(out, partition_cols=["event_type"])
+    import ray.data as rd
+
+    types = sorted(d.split("=", 1)[1] for d in os.listdir(out)
+                   if d.startswith("event_type="))
+    rows = {"event_type": [], "n_rows": []}
+    for t in types:
+        n = rd.read_parquet(os.path.join(out, f"event_type={t}")) \
+            .count()
+        rows["event_type"].append(t)
+        rows["n_rows"].append(int(n))
+    return pa.table({
+        "event_type": pa.array(rows["event_type"], type=pa.string()),
+        "n_rows": pa.array(rows["n_rows"], type=pa.int64()),
+    })

@@ -7561,3 +7561,71 @@ class TestUserLifespanQuantiles:
         assert got["p50_span_s"].iloc[0] == 10
         assert got["p90_span_s"].iloc[0] == 100
         assert got["max_span_s"].iloc[0] == 100
+
+
+class TestSessionFunnel:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import session_funnel
+
+        GAP = 1_800_000_000
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["user_id", "ts", "event_type"]
+                           ).to_pandas()
+        ev["t"] = ev["ts"].astype("int64")
+        ns = nv = nc = 0
+        for _, sub in ev.groupby("user_id"):
+            sub = sub.sort_values("t")
+            t = sub["t"].to_numpy()
+            et = sub["event_type"].to_numpy()
+            new = np.concatenate(([True], np.diff(t) > GAP))
+            sess = np.cumsum(new) - 1
+            for s in range(sess[-1] + 1):
+                m = sess == s
+                ns += 1
+                views = t[m & (et == "view")]
+                if views.size:
+                    nv += 1
+                    if ((et[m] == "purchase")
+                            & (t[m] >= views.min())).any():
+                        nc += 1
+        got = session_funnel(SF).to_pandas()
+        assert got["n_sessions"].iloc[0] == ns
+        assert got["n_with_view"].iloc[0] == nv
+        assert got["n_converted"].iloc[0] == nc
+        assert abs(got["conv_rate_r"].iloc[0] - nc / nv) < 1e-4
+
+    def test_planted_sessions(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import session_funnel
+
+        t0 = pd.Timestamp("1970-01-01")
+        rows = [
+            (1, 0, "view"), (1, 60, "purchase"),        # converts
+            (1, 7200, "view"),                           # new session
+            (2, 0, "purchase"), (2, 30, "view"),         # view AFTER
+            (3, 0, "click"),                             # no view
+        ]
+        pd.DataFrame({
+            "user_id": [r[0] for r in rows],
+            "ts": [t0 + pd.Timedelta(seconds=r[1]) for r in rows],
+            "event_id": range(len(rows)),
+            "event_type": [r[2] for r in rows], "value": 0.0,
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = session_funnel(str(tmp_path)).to_pandas()
+        assert got["n_sessions"].iloc[0] == 4
+        assert got["n_with_view"].iloc[0] == 3
+        assert got["n_converted"].iloc[0] == 1
+        assert got["conv_rate_r"].iloc[0] == round(1 / 3, 4)
+
+
+class TestHivePartitionRoundtrip:
+    def test_matches_groupby(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            hive_partition_roundtrip)
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["event_type"]).to_pandas()
+        exp = ev["event_type"].value_counts().sort_index()
+        got = hive_partition_roundtrip(SF).to_pandas() \
+            .sort_values("event_type")
+        assert got["event_type"].tolist() == exp.index.tolist()
+        assert got["n_rows"].tolist() == exp.tolist()
