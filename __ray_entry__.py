@@ -676,6 +676,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # partition-pruned read-back per key directory (oracle: plain
         # group-by the roundtrip must reproduce; r4)
         "hive_partition_roundtrip": relational.hive_partition_roundtrip,
+        # SLA by class: ship-lag p50/p90 per order priority — grouped
+        # quantile over a fact-fact join (oracle: quantile_disc GROUP
+        # BY; r4)
+        "order_priority_sla": relational.order_priority_sla,
+        # label-noise diagnostic: per-label share of k-NN neighbors
+        # sharing the label, knn_cosine total order (oracle: pairwise
+        # list_cosine_similarity + window rank; r4)
+        "knn_label_purity": relational.knn_label_purity,
         # JSON schema-on-read: aggregate over a value extracted from the
         # semi-structured props bag — TRY_CAST(json_extract) semantics,
         # int64 partials per type (oracle: DuckDB json functions; r4)
@@ -4031,6 +4039,50 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows
 FROM events
 WHERE event_id IS NOT NULL AND event_type IS NOT NULL
 GROUP BY 1 ORDER BY 1""",
+        # grouped quantiles over the header↔earliest-shipment join;
+        # same floor-division lag as ship_lag_quantiles
+        "order_priority_sla": """
+WITH o AS (SELECT o_orderkey AS ok, epoch_us(o_orderdate) AS ot,
+                  o_orderpriority AS pr
+           FROM orders
+           WHERE o_orderkey IS NOT NULL AND o_orderdate IS NOT NULL
+             AND o_orderpriority IS NOT NULL),
+ l AS (SELECT l_orderkey AS ok, min(epoch_us(l_shipdate)) AS st
+       FROM lineitem
+       WHERE l_orderkey IS NOT NULL AND l_shipdate IS NOT NULL
+       GROUP BY 1),
+ j AS (SELECT o.pr, (l.st - o.ot) // 86400000000 AS lag
+       FROM o JOIN l ON l.ok = o.ok)
+SELECT pr AS o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(quantile_disc(lag, 0.5) AS BIGINT) AS p50_lag_d,
+       CAST(quantile_disc(lag, 0.9) AS BIGINT) AS p90_lag_d
+FROM j GROUP BY 1 ORDER BY 1""",
+        # pairwise cosine under the knn_cosine total order (round-4dp
+        # sim DESC, vec_id ASC), self excluded, top-5 per vector
+        "knn_label_purity": """
+WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                  CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND label IS NOT NULL),
+ p AS (SELECT a.vec_id AS qa, a.label AS la, b.vec_id AS vb,
+              b.label AS lb,
+              round(list_cosine_similarity(a.emb, b.emb), 4) AS s
+       FROM e a JOIN e b ON b.vec_id <> a.vec_id),
+ r AS (SELECT qa, la, lb,
+              row_number() OVER (PARTITION BY qa
+                                 ORDER BY s DESC, vb ASC) AS rn
+       FROM p),
+ m AS (SELECT qa, la,
+              CAST(sum(CASE WHEN lb = la THEN 1 ELSE 0 END)
+                   AS BIGINT) AS mt
+       FROM r WHERE rn <= 5 GROUP BY 1, 2),
+ g AS (SELECT la AS label, CAST(count(*) AS BIGINT) AS n_vecs,
+              CAST(sum(mt) AS BIGINT) AS matches
+       FROM m GROUP BY 1)
+SELECT label, n_vecs, matches,
+       round(CAST(matches AS DOUBLE)
+             / CAST(n_vecs * 5 AS DOUBLE), 4) AS purity_r
+FROM g ORDER BY label""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

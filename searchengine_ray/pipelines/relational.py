@@ -10346,3 +10346,210 @@ def hive_partition_roundtrip(sf_dir: str):
         "event_type": pa.array(rows["event_type"], type=pa.string()),
         "n_rows": pa.array(rows["n_rows"], type=pa.int64()),
     })
+
+
+def order_priority_sla(sf_dir: str):
+    """(o_orderpriority, n_orders, p50_lag_d, p90_lag_d): the
+    fulfilment SLA split by PRIORITY CLASS — order→first-shipment lag
+    days (the ship_lag_quantiles definition) with exact discrete
+    p50/p90 PER o_orderpriority. The ops question the global entry
+    can't answer: do urgent orders actually ship faster? The grouped-
+    quantile-over-a-join shape: ``group_quantiles`` buckets a raw
+    column, this buckets a JOIN-derived measure.
+
+    Scale shape: the same orderkey co-partition union; partials are
+    (priority, lag, n) histogram rows — bounded by classes × calendar
+    days — folded driver-side per class with the counting-selection
+    walk. quantile_disc convention."""
+    import pandas as pd
+
+    P = _PAIR_PARTITIONS
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()
+        ok = batch["o_orderkey"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "q": pa.array((ok % P).astype(np.int64)),
+            "ok": pa.array(ok),
+            "t_us": batch["o_orderdate"].cast(pa.timestamp("us"))
+            .cast(pa.int64()),
+            "pr": batch["o_orderpriority"].cast(pa.string()),
+            "side": pa.array(np.zeros(ok.size, dtype=np.int64)),
+        })
+
+    def tag_lines(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()
+        ok = batch["l_orderkey"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "q": pa.array((ok % P).astype(np.int64)),
+            "ok": pa.array(ok),
+            "t_us": batch["l_shipdate"].cast(pa.timestamp("us"))
+            .cast(pa.int64()),
+            "pr": pa.array([""] * ok.size, type=pa.string()),
+            "side": pa.array(np.ones(ok.size, dtype=np.int64)),
+        })
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        empty = pa.table({"pr": pa.array([], type=pa.string()),
+                          "lag_d": pa.array([], type=pa.int64()),
+                          "n": pa.array([], type=pa.int64())})
+        o = df[df["side"] == 0]
+        li = df[df["side"] == 1]
+        if o.empty or li.empty:
+            return empty
+        first_ship = li.groupby("ok")["t_us"].min()
+        o = o[o["ok"].isin(first_ship.index)].copy()
+        if o.empty:
+            return empty
+        o["lag_d"] = (first_ship.loc[o["ok"]].to_numpy(dtype=np.int64)
+                      - o["t_us"].to_numpy(dtype=np.int64)) // DAY_US
+        g = o.groupby(["pr", "lag_d"], as_index=False).size()
+        return pa.table({
+            "pr": pa.array(g["pr"].tolist(), type=pa.string()),
+            "lag_d": pa.array(g["lag_d"].to_numpy(dtype=np.int64)),
+            "n": pa.array(g["size"].to_numpy(dtype=np.int64)),
+        })
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(tag_orders, batch_format="pyarrow", batch_size=8192)
+    lines = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(tag_lines, batch_format="pyarrow", batch_size=8192)
+    parts = (
+        orders.union(lines)
+        .groupby("q").map_groups(per_partition, batch_format="pyarrow")
+        .to_pandas()
+    )
+    empty = pa.table({"o_orderpriority": pa.array([], type=pa.string()),
+                      "n_orders": pa.array([], type=pa.int64()),
+                      "p50_lag_d": pa.array([], type=pa.int64()),
+                      "p90_lag_d": pa.array([], type=pa.int64())})
+    if parts.empty:
+        return empty
+    hist = parts.groupby(["pr", "lag_d"], as_index=False)["n"].sum()
+    out = {"pr": [], "n": [], "p50": [], "p90": []}
+    for pr, sub in hist.groupby("pr"):
+        sub = sub.sort_values("lag_d")
+        gs = sub["lag_d"].to_numpy(dtype=np.int64)
+        ns = sub["n"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(ns)
+        n = int(cum[-1])
+        out["pr"].append(pr)
+        out["n"].append(n)
+        out["p50"].append(int(gs[np.searchsorted(
+            cum, int(np.ceil(n * 0.5)) or 1)]))
+        out["p90"].append(int(gs[np.searchsorted(
+            cum, int(np.ceil(n * 0.9)) or 1)]))
+    return pa.table({
+        "o_orderpriority": pa.array(out["pr"], type=pa.string()),
+        "n_orders": pa.array(out["n"], type=pa.int64()),
+        "p50_lag_d": pa.array(out["p50"], type=pa.int64()),
+        "p90_lag_d": pa.array(out["p90"], type=pa.int64()),
+    })
+
+
+PURITY_K = 5
+
+
+def knn_label_purity(sf_dir: str):
+    """(label, n_vecs, matches, purity_r): label-noise diagnostic —
+    for every vector, how many of its PURITY_K cosine nearest
+    neighbors (self excluded; round-4dp sims, vec_id tiebreak — the
+    knn_cosine total order) share its label; aggregated per label as
+    matches / (n·K). Low purity flags mislabeled or boundary classes
+    BEFORE training. ``label_centroid_dists`` audits class geometry
+    at the centroid grain; purity audits it at the NEIGHBORHOOD
+    grain.
+
+    Scale shape: the corpus matrix broadcasts once (closure capture,
+    the knn_cosine discipline) and every batch row scans it
+    vectorized (one b×N matmul per batch, argpartition prune, exact
+    composite sort only over the pruned candidates); partials
+    collapse to ≤|labels| rows. At a corpus where N outgrows the
+    broadcast this becomes the LSH-bucketed variant
+    (``embedding_neardup``'s path) under the same contract."""
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                       columns=["vec_id", "label", "embedding"])
+    mask = pa.compute.and_(pa.compute.is_valid(t["embedding"]),
+                           pa.compute.is_valid(t["label"]))
+    t = t.filter(mask)
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    empty = pa.table({"label": pa.array([], type=pa.int64()),
+                      "n_vecs": pa.array([], type=pa.int64()),
+                      "matches": pa.array([], type=pa.int64()),
+                      "purity_r": pa.array([], type=pa.float64())})
+    if ids.size < 2:
+        return empty
+    norms = np.sqrt((m * m).sum(axis=1))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        keep = pa.compute.and_(
+            pa.compute.is_valid(batch["embedding"]),
+            pa.compute.is_valid(batch["label"]))
+        batch = batch.filter(keep)
+        if batch.num_rows == 0:
+            return pa.table({"label": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64()),
+                             "mt": pa.array([], type=pa.int64())})
+        bids = batch["vec_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        blab = batch["label"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        bm = np.asarray(batch["embedding"].to_pylist(),
+                        dtype=np.float64)
+        bn = np.sqrt((bm * bm).sum(axis=1))
+        sims = (bm @ m.T) / (bn[:, None] * norms[None, :])
+        sims_r = _round_vec(sims.ravel()).reshape(sims.shape)
+        mt = np.zeros(bids.size, dtype=np.int64)
+        kk = min(PURITY_K, ids.size - 1)
+        for i in range(bids.size):
+            s = sims_r[i]
+            cand = np.flatnonzero(ids != bids[i])
+            # prune to a safe margin, then exact composite sort
+            take = min(cand.size, kk + 64)
+            pruned = cand[np.argpartition(-s[cand], take - 1)[:take]]
+            order = pruned[np.lexsort((ids[pruned], -s[pruned]))][:kk]
+            mt[i] = int((labels[order] == blab[i]).sum())
+        g = pd.DataFrame({"label": blab, "n": 1, "mt": mt}).groupby(
+            "label", as_index=False).sum()
+        return pa.table({
+            "label": pa.array(g["label"].to_numpy(dtype=np.int64)),
+            "n": pa.array(g["n"].to_numpy(dtype=np.int64)),
+            "mt": pa.array(g["mt"].to_numpy(dtype=np.int64)),
+        })
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                           columns=["vec_id", "label", "embedding"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=2048)
+        .groupby("label")
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("mt", alias_name="mt"))
+        .to_pandas().sort_values("label")
+    )
+    if agg.empty:
+        return empty
+    n = agg["n"].to_numpy(dtype=np.int64)
+    mt = agg["mt"].to_numpy(dtype=np.int64)
+    return pa.table({
+        "label": pa.array(agg["label"].to_numpy(dtype=np.int64)),
+        "n_vecs": pa.array(n),
+        "matches": pa.array(mt),
+        "purity_r": pa.array(_round_vec(
+            mt.astype(np.float64)
+            / (n * PURITY_K).astype(np.float64), 4)),
+    })

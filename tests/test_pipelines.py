@@ -7629,3 +7629,103 @@ class TestHivePartitionRoundtrip:
             .sort_values("event_type")
         assert got["event_type"].tolist() == exp.index.tolist()
         assert got["n_rows"].tolist() == exp.tolist()
+
+
+class TestOrderPrioritySla:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            order_priority_sla)
+
+        DAY = 86_400_000_000
+        o = pq.read_table(f"{SF}/orders.parquet",
+                          columns=["o_orderkey", "o_orderdate",
+                                   "o_orderpriority"]).to_pandas()
+        li = pq.read_table(f"{SF}/lineitem.parquet",
+                           columns=["l_orderkey", "l_shipdate"]
+                           ).to_pandas()
+        first = li.groupby("l_orderkey")["l_shipdate"].min() \
+            .astype("int64")
+        o["t"] = o["o_orderdate"].astype("int64")
+        o = o[o["o_orderkey"].isin(first.index)].copy()
+        o["lag"] = (first.loc[o["o_orderkey"]].to_numpy()
+                    - o["t"].to_numpy()) // DAY
+        got = order_priority_sla(SF).to_pandas() \
+            .set_index("o_orderpriority")
+        for pr, sub in o.groupby("o_orderpriority"):
+            lags = sorted(sub["lag"])
+            row = got.loc[pr]
+            assert row["n_orders"] == len(lags)
+            assert row["p50_lag_d"] == lags[
+                int(np.ceil(len(lags) * 0.5)) - 1]
+            assert row["p90_lag_d"] == lags[
+                int(np.ceil(len(lags) * 0.9)) - 1]
+
+    def test_planted_priorities(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import (
+            order_priority_sla)
+
+        t0 = pd.Timestamp("1970-01-01")
+        pd.DataFrame({
+            "o_orderkey": [1, 2], "o_custkey": 1,
+            "o_orderdate": [t0, t0],
+            "o_orderpriority": ["1-URGENT", "5-LOW"],
+            "o_totalprice": 1.0, "o_orderstatus": "O",
+        }).to_parquet(f"{tmp_path}/orders.parquet", index=False)
+        pd.DataFrame({
+            "l_orderkey": [1, 2],
+            "l_shipdate": [t0 + pd.Timedelta(days=1),
+                           t0 + pd.Timedelta(days=9)],
+            "l_partkey": 1, "l_suppkey": 1, "l_linenumber": 1,
+            "l_quantity": 1.0, "l_extendedprice": 1.0,
+            "l_discount": 0.0, "l_tax": 0.0, "l_returnflag": "N",
+            "l_linestatus": "O",
+        }).to_parquet(f"{tmp_path}/lineitem.parquet", index=False)
+        got = order_priority_sla(str(tmp_path)).to_pandas() \
+            .set_index("o_orderpriority")
+        assert got.loc["1-URGENT", "p50_lag_d"] == 1
+        assert got.loc["5-LOW", "p50_lag_d"] == 9
+
+
+class TestKnnLabelPurity:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            PURITY_K, knn_label_purity)
+
+        t = pq.read_table(f"{SF}/embeddings.parquet")
+        ids = t["vec_id"].to_numpy()
+        labels = t["label"].to_numpy()
+        m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        sims = np.round((m @ m.T) / np.outer(norms, norms), 4)
+        exp_n: dict[int, int] = {}
+        exp_mt: dict[int, int] = {}
+        for i in range(len(ids)):
+            cand = [j for j in range(len(ids)) if ids[j] != ids[i]]
+            cand.sort(key=lambda j: (-sims[i, j], ids[j]))
+            top = cand[:PURITY_K]
+            exp_n[labels[i]] = exp_n.get(labels[i], 0) + 1
+            exp_mt[labels[i]] = exp_mt.get(labels[i], 0) + sum(
+                1 for j in top if labels[j] == labels[i])
+        got = knn_label_purity(SF).to_pandas().set_index("label")
+        for lb in exp_n:
+            assert got.loc[lb, "n_vecs"] == exp_n[lb]
+            assert got.loc[lb, "matches"] == exp_mt[lb]
+
+    def test_planted_clusters(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import (
+            knn_label_purity)
+
+        rng = np.random.default_rng(7)
+        a = rng.normal(0, 0.01, (6, 4)) + np.array([1, 0, 0, 0])
+        b = rng.normal(0, 0.01, (6, 4)) + np.array([0, 1, 0, 0])
+        m = np.vstack([a, b]).astype(np.float32)
+        tbl = pa.table({
+            "vec_id": pa.array(range(12), type=pa.int64()),
+            "embedding": pa.array([list(r) for r in m],
+                                  type=pa.list_(pa.float32())),
+            "label": pa.array([0] * 6 + [1] * 6, type=pa.int32()),
+        })
+        pq.write_table(tbl, f"{tmp_path}/embeddings.parquet")
+        got = knn_label_purity(str(tmp_path)).to_pandas()
+        # two tight, well-separated clusters → perfect purity
+        assert got["purity_r"].tolist() == [1.0, 1.0]
