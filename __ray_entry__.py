@@ -684,6 +684,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sharing the label, knn_cosine total order (oracle: pairwise
         # list_cosine_similarity + window rank; r4)
         "knn_label_purity": relational.knn_label_purity,
+        # Pareto KPI: top-1%/10% customer revenue share via counting-
+        # selector boundary + prefix-sum-by-selection (oracle: window
+        # row_number prefix sums; r4)
+        "revenue_concentration": relational.revenue_concentration,
+        # percentile ribbons: per-day exact p10/p50/p90 of value from
+        # day×cent histograms (oracle: quantile_disc GROUP BY day; r4)
+        "daily_value_bands": relational.daily_value_bands,
+        # federated ingest: parquet+CSV+JSONL splits re-read through
+        # three readers and UNIONed (oracle: plain group-by; r4)
+        "multi_format_union": relational.multi_format_union,
         # JSON schema-on-read: aggregate over a value extracted from the
         # semi-structured props bag — TRY_CAST(json_extract) semantics,
         # int64 partials per type (oracle: DuckDB json functions; r4)
@@ -4083,6 +4093,49 @@ SELECT label, n_vecs, matches,
        round(CAST(matches AS DOUBLE)
              / CAST(n_vecs * 5 AS DOUBLE), 4) AS purity_r
 FROM g ORDER BY label""",
+        # top-k prefix sums under the exact (spend DESC, custkey ASC)
+        # total order; k = ceil(n·p)
+        "revenue_concentration": """
+WITH m AS (SELECT o_custkey AS ck,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS cents
+           FROM orders
+           WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+           GROUP BY 1),
+ r AS (SELECT cents,
+              row_number() OVER (ORDER BY cents DESC, ck) AS rn
+       FROM m),
+ t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(cents) AS BIGINT) AS total FROM m)
+SELECT t.n AS n_customers,
+       CAST(t.total AS BIGINT) / 100.0 AS total_r,
+       round(CAST((SELECT sum(cents) FROM r, t
+                   WHERE rn <= CAST(ceil(t.n * 0.01) AS BIGINT))
+                  AS DOUBLE) / CAST(t.total AS DOUBLE), 4)
+         AS top1_share_r,
+       round(CAST((SELECT sum(cents) FROM r, t
+                   WHERE rn <= CAST(ceil(t.n * 0.10) AS BIGINT))
+                  AS DOUBLE) / CAST(t.total AS DOUBLE), 4)
+         AS top10_share_r
+FROM t""",
+        # per-day discrete quantiles; values are exact cents
+        "daily_value_bands": """
+WITH v AS (SELECT epoch_us(ts) // 86400000000 * 86400000000 AS d,
+                  CAST(round(value * 100) AS BIGINT) AS c
+           FROM events
+           WHERE ts IS NOT NULL AND value IS NOT NULL
+             AND NOT isnan(value))
+SELECT d AS day_us, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(quantile_disc(c, 0.1) AS BIGINT) / 100.0 AS p10_r,
+       CAST(quantile_disc(c, 0.5) AS BIGINT) / 100.0 AS p50_r,
+       CAST(quantile_disc(c, 0.9) AS BIGINT) / 100.0 AS p90_r
+FROM v GROUP BY 1 ORDER BY 1""",
+        # the union over three formats must reproduce this group-by
+        "multi_format_union": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows
+FROM events
+WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+GROUP BY 1 ORDER BY 1""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -10553,3 +10553,256 @@ def knn_label_purity(sf_dir: str):
             mt.astype(np.float64)
             / (n * PURITY_K).astype(np.float64), 4)),
     })
+
+
+def revenue_concentration(sf_dir: str, n_buckets: int = 8192,
+                          max_pull: int = 262_144):
+    """(n_customers, total_r, top1_share_r, top10_share_r): revenue
+    Pareto concentration — the share of total order revenue owned by
+    the top ceil(1%·n) and top ceil(10%·n) customers under the exact
+    (spend DESC, custkey ASC) total order. ``gini_activity``
+    compresses inequality to one coefficient; the top-k% share is the
+    operational KPI executives actually quote. Spend is exact cents;
+    each share is one double division of exact ints, 4-dp.
+
+    Scale shape: ONE custkey co-partition builds per-customer cents;
+    the counting-selector resolves each boundary RANK to a (cents,
+    custkey) composite (histogram pass + one boundary-tie pull, no
+    global sort), then one vectorized pass sums cents strictly above
+    the boundary plus the boundary row itself — prefix SUM by
+    selection, the _ntile_boundaries discipline pointed at an
+    aggregate instead of a bucket id."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    P = _PAIR_PARTITIONS
+
+    def tag(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()
+        ck = batch["o_custkey"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "q": pa.array((ck % P).astype(np.int64)),
+            "ck": pa.array(ck),
+            "cents": pa.array(np.rint(p * 100.0).astype(np.int64)),
+        })
+
+    def per_customer(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        if df.empty:
+            return pa.table({"ck": pa.array([], type=pa.int64()),
+                             "mneg": pa.array([], type=pa.int64())})
+        g = df.groupby("ck", as_index=False)["cents"].sum()
+        return pa.table({
+            "ck": pa.array(g["ck"].to_numpy(dtype=np.int64)),
+            # negate so the selector's ASC order IS spend DESC; ck
+            # tiebreak stays ASC on both sides
+            "mneg": pa.array(-g["cents"].to_numpy(dtype=np.int64)),
+        })
+
+    ds = (
+        read_parquet_clean(os.path.join(sf_dir, "orders.parquet"),
+                           columns=["o_custkey", "o_totalprice"])
+        .map_batches(tag, batch_format="pyarrow", batch_size=8192)
+        .groupby("q").map_groups(per_customer, batch_format="pyarrow")
+        .materialize()
+    )
+    empty = pa.table({
+        "n_customers": pa.array([0], type=pa.int64()),
+        "total_r": pa.array([None], type=pa.float64()),
+        "top1_share_r": pa.array([None], type=pa.float64()),
+        "top10_share_r": pa.array([None], type=pa.float64()),
+    })
+    n, _lo, _hi, select = _counting_selector(ds, "mneg", n_buckets,
+                                             max_pull)
+    if n == 0:
+        return empty
+
+    def total_partial(batch: pa.Table) -> pa.Table:
+        m = batch["mneg"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"s": pa.array([int((-m).sum())],
+                                       type=pa.int64())})
+
+    total = int(ds.map_batches(total_partial, batch_format="pyarrow",
+                               batch_size=8192).to_pandas()["s"].sum())
+
+    def top_share(p: float) -> float:
+        k = int(np.ceil(n * p)) or 1
+        mstar = int(select(k))  # k-th smallest mneg = k-th biggest spend
+        # boundary custkey: ties at mstar resolve by ck ASC; pull them
+        def tie_partial(batch: pa.Table) -> pa.Table:
+            m = batch["mneg"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            ck = batch["ck"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            below = int((m < mstar).sum())
+            hit = m == mstar
+            above_sum = int((-m[m < mstar]).sum())
+            return pa.table({
+                "below": pa.array([below], type=pa.int64()),
+                "above_sum": pa.array([above_sum], type=pa.int64()),
+                "ties": pa.array([int(hit.sum())], type=pa.int64()),
+            })
+
+        tp = ds.map_batches(tie_partial, batch_format="pyarrow",
+                            batch_size=8192).to_pandas()
+        below = int(tp["below"].sum())
+        above_sum = int(tp["above_sum"].sum())
+        n_tie_take = k - below  # boundary-valued customers included
+        top_sum = above_sum + n_tie_take * (-mstar)
+        return float(round_half_away(float(top_sum) / float(total), 4))
+
+    return pa.table({
+        "n_customers": pa.array([n], type=pa.int64()),
+        "total_r": pa.array([total / 100.0], type=pa.float64()),
+        "top1_share_r": pa.array([top_share(0.01)], type=pa.float64()),
+        "top10_share_r": pa.array([top_share(0.10)],
+                                  type=pa.float64()),
+    })
+
+
+def daily_value_bands(sf_dir: str):
+    """(day_us, n_events, p10_r, p50_r, p90_r): per-day exact discrete
+    quantile BANDS of the event value stream — the percentile-ribbon
+    time series every monitoring dashboard draws.
+    ``group_quantiles`` buckets by type; bands bucket by DAY and feed
+    plots. Values quantize to exact cents; quantile_disc convention
+    (rank ceil(n·q)); publishes cents/100.0.
+
+    Scale shape: per-batch (day, cent) histogram partials into one
+    Sum exchange bounded by days × distinct cents (the value DOMAIN,
+    not the corpus); the driver walks each day's histogram."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        v, ts = v[ok], ts[ok].astype(np.int64)
+        if v.size == 0:
+            return pa.table({"d": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        g = pd.DataFrame({
+            "d": ts // DAY_US * DAY_US,
+            "c": np.rint(v * 100.0).astype(np.int64),
+        }).groupby(["d", "c"], as_index=False).size()
+        return pa.table({
+            "d": pa.array(g["d"].to_numpy(dtype=np.int64)),
+            "c": pa.array(g["c"].to_numpy(dtype=np.int64)),
+            "n": pa.array(g["size"].to_numpy(dtype=np.int64)),
+        })
+
+    hist = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["ts", "value"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("d")
+        .map_groups(lambda g: pa.Table.from_pandas(
+            g.to_pandas().groupby(["d", "c"], as_index=False)["n"]
+            .sum(), preserve_index=False), batch_format="pyarrow")
+        .to_pandas()
+    )
+    empty = pa.table({"day_us": pa.array([], type=pa.int64()),
+                      "n_events": pa.array([], type=pa.int64()),
+                      "p10_r": pa.array([], type=pa.float64()),
+                      "p50_r": pa.array([], type=pa.float64()),
+                      "p90_r": pa.array([], type=pa.float64())})
+    if hist.empty:
+        return empty
+    out = {"d": [], "n": [], "p10": [], "p50": [], "p90": []}
+    for d, sub in hist.groupby("d"):
+        sub = sub.sort_values("c")
+        cs = sub["c"].to_numpy(dtype=np.int64)
+        ns = sub["n"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(ns)
+        n = int(cum[-1])
+
+        def disc(q: float) -> float:
+            rank = int(np.ceil(n * q)) or 1
+            return int(cs[np.searchsorted(cum, rank)]) / 100.0
+
+        out["d"].append(int(d))
+        out["n"].append(n)
+        out["p10"].append(disc(0.1))
+        out["p50"].append(disc(0.5))
+        out["p90"].append(disc(0.9))
+    return pa.table({
+        "day_us": pa.array(out["d"], type=pa.int64()),
+        "n_events": pa.array(out["n"], type=pa.int64()),
+        "p10_r": pa.array(out["p10"], type=pa.float64()),
+        "p50_r": pa.array(out["p50"], type=pa.float64()),
+        "p90_r": pa.array(out["p90"], type=pa.float64()),
+    })
+
+
+def multi_format_union(sf_dir: str):
+    """(event_type, n_rows): heterogeneous-SOURCE union — events split
+    three ways by event_id mod 3, written as parquet, CSV and JSONL
+    respectively into a scratch dir, then read back through three
+    different readers, UNIONed into one Dataset and counted. The
+    federated-ingest surface (one pipeline over mixed-format
+    landings); the roundtrip must reproduce the source group-by
+    exactly. ``csv_roundtrip``/``jsonl_roundtrip`` prove each format
+    alone; this proves the union plan over all three.
+
+    Scale shape: three streamed writes, three streamed reads, one
+    union (no barrier beyond the final ≤|types| aggregate)."""
+    import tempfile
+
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    out = tempfile.mkdtemp(prefix="multifmt_", dir="/tmp")
+
+    def clean(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()
+        return pa.table({
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "event_type": batch["event_type"].cast(pa.string()),
+        })
+
+    src = (read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                              columns=["event_id", "event_type"])
+           .map_batches(clean, batch_format="pyarrow",
+                        batch_size=8192))
+
+    def part(i: int):
+        def keep(batch: pa.Table, i=i) -> pa.Table:
+            eid = batch["event_id"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(eid % 3 == i))
+
+        return src.map_batches(keep, batch_format="pyarrow",
+                               batch_size=8192)
+
+    os.makedirs(f"{out}/pq")
+    os.makedirs(f"{out}/csv")
+    os.makedirs(f"{out}/jsonl")
+    part(0).write_parquet(f"{out}/pq")
+    part(1).write_csv(f"{out}/csv")
+    part(2).write_json(f"{out}/jsonl")
+
+    def renorm(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"].cast(pa.string()),
+        })
+
+    u = (rd.read_parquet(f"{out}/pq")
+         .map_batches(renorm, batch_format="pyarrow")
+         .union(rd.read_csv(f"{out}/csv")
+                .map_batches(renorm, batch_format="pyarrow"))
+         .union(rd.read_json(f"{out}/jsonl")
+                .map_batches(renorm, batch_format="pyarrow")))
+    agg = u.groupby("event_type").count().to_pandas() \
+        .sort_values("event_type")
+    ncol = [c for c in agg.columns if c != "event_type"][0]
+    return pa.table({
+        "event_type": pa.array(agg["event_type"].tolist(),
+                               type=pa.string()),
+        "n_rows": pa.array(agg[ncol].to_numpy(dtype=np.int64)),
+    })

@@ -7729,3 +7729,94 @@ class TestKnnLabelPurity:
         got = knn_label_purity(str(tmp_path)).to_pandas()
         # two tight, well-separated clusters → perfect purity
         assert got["purity_r"].tolist() == [1.0, 1.0]
+
+
+class TestRevenueConcentration:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            revenue_concentration)
+
+        o = pq.read_table(f"{SF}/orders.parquet",
+                          columns=["o_custkey", "o_totalprice"]
+                          ).to_pandas()
+        o["cents"] = np.rint(o["o_totalprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        m = o.groupby("o_custkey", as_index=False)["cents"].sum() \
+            .sort_values(["cents", "o_custkey"],
+                         ascending=[False, True])
+        n = len(m)
+        total = int(m["cents"].sum())
+        got = revenue_concentration(SF).to_pandas()
+        assert got["n_customers"].iloc[0] == n
+        assert abs(got["total_r"].iloc[0] - total / 100.0) < 1e-6
+        for p, col in [(0.01, "top1_share_r"), (0.10, "top10_share_r")]:
+            k = int(np.ceil(n * p))
+            share = int(m["cents"].head(k).sum()) / total
+            assert abs(got[col].iloc[0] - share) < 1e-4
+
+    def test_planted_whale(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import (
+            revenue_concentration)
+
+        t0 = pd.Timestamp("1970-01-01")
+        # 10 customers: one whale with 910.00, nine with 10.00
+        pd.DataFrame({
+            "o_orderkey": range(10),
+            "o_custkey": range(10),
+            "o_orderdate": t0,
+            "o_totalprice": [910.0] + [10.0] * 9,
+            "o_orderstatus": "O", "o_orderpriority": "1-URGENT",
+        }).to_parquet(f"{tmp_path}/orders.parquet", index=False)
+        got = revenue_concentration(str(tmp_path)).to_pandas()
+        assert got["n_customers"].iloc[0] == 10
+        assert got["total_r"].iloc[0] == 1000.0
+        assert got["top1_share_r"].iloc[0] == 0.91   # ceil(0.1)=1 cust
+        assert got["top10_share_r"].iloc[0] == 0.91
+
+
+class TestDailyValueBands:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import daily_value_bands
+
+        DAY = 86_400_000_000
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["ts", "value"]).to_pandas()
+        ev["d"] = ev["ts"].astype("int64") // DAY * DAY
+        ev["c"] = np.rint(ev["value"].to_numpy() * 100).astype(np.int64)
+        got = daily_value_bands(SF).to_pandas().set_index("day_us")
+        for d, sub in ev.groupby("d"):
+            cs = np.sort(sub["c"].to_numpy())
+            row = got.loc[d]
+            assert row["n_events"] == len(cs)
+            for q, col in [(0.1, "p10_r"), (0.5, "p50_r"),
+                           (0.9, "p90_r")]:
+                assert row[col] == cs[
+                    int(np.ceil(len(cs) * q)) - 1] / 100.0
+
+    def test_planted_day(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import daily_value_bands
+
+        t0 = pd.Timestamp("1970-01-01")
+        pd.DataFrame({
+            "user_id": 1, "event_id": range(10), "event_type": "e",
+            "ts": [t0 + pd.Timedelta(minutes=i) for i in range(10)],
+            "value": [float(i + 1) for i in range(10)],
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = daily_value_bands(str(tmp_path)).to_pandas()
+        assert len(got) == 1
+        r = got.iloc[0]
+        assert (r["p10_r"], r["p50_r"], r["p90_r"]) == (1.0, 5.0, 9.0)
+
+
+class TestMultiFormatUnion:
+    def test_matches_groupby(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            multi_format_union)
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["event_type"]).to_pandas()
+        exp = ev["event_type"].value_counts().sort_index()
+        got = multi_format_union(SF).to_pandas() \
+            .sort_values("event_type")
+        assert got["event_type"].tolist() == exp.index.tolist()
+        assert got["n_rows"].tolist() == exp.tolist()
