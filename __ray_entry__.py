@@ -694,6 +694,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # federated ingest: parquet+CSV+JSONL splits re-read through
         # three readers and UNIONed (oracle: plain group-by; r4)
         "multi_format_union": relational.multi_format_union,
+        # volatility channel: trailing-7 rolling mean ± 2·sample-std
+        # over daily revenue, exact window moments (oracle: HUGEINT
+        # window sums; r4)
+        "bollinger_bands": relational.bollinger_bands,
+        # bipartite degree histogram: orders per distinct-part basket
+        # size (oracle: two-level GROUP BY; r4)
+        "basket_size_dist": relational.basket_size_dist,
         # JSON schema-on-read: aggregate over a value extracted from the
         # semi-structured props bag — TRY_CAST(json_extract) semantics,
         # int64 partials per type (oracle: DuckDB json functions; r4)
@@ -4136,6 +4143,57 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows
 FROM events
 WHERE event_id IS NOT NULL AND event_type IS NOT NULL
 GROUP BY 1 ORDER BY 1""",
+        # trailing-7 window moments as HUGEINT; mean and ±2σ bands are
+        # single double expressions; bands NULL on the 1-row frame
+        "bollinger_bands": """
+WITH v AS (SELECT epoch_us(ts) // 86400000000 * 86400000000 AS d,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events
+           WHERE ts IS NOT NULL AND value IS NOT NULL
+             AND NOT isnan(value)),
+ dt AS (SELECT d, CAST(sum(cents) AS BIGINT) AS c FROM v GROUP BY 1),
+ b AS (SELECT min(d) AS lo, max(d) AS hi FROM dt),
+ g AS (SELECT CAST(t.x AS BIGINT) AS d
+       FROM b, LATERAL unnest(range(lo, hi + 86400000000,
+                                    86400000000)) AS t(x)),
+ f AS (SELECT g.d, CAST(coalesce(dt.c, 0) AS BIGINT) AS c
+       FROM g LEFT JOIN dt ON dt.d = g.d),
+ w AS (SELECT d, c,
+              CAST(count(*) OVER win AS BIGINT) AS wn,
+              sum(CAST(c AS HUGEINT)) OVER win AS s1,
+              sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT))
+                OVER win AS s2
+       FROM f WINDOW win AS (ORDER BY d ROWS 6 PRECEDING))
+SELECT d AS day_us, c / 100.0 AS revenue_r,
+       round((CAST(s1 AS DOUBLE) / CAST(wn AS DOUBLE)) / 100.0, 4)
+         AS mean_r,
+       CASE WHEN wn > 1 THEN round(
+         ((CAST(s1 AS DOUBLE) / CAST(wn AS DOUBLE))
+          + 2 * sqrt(greatest(
+              (CAST(wn AS DOUBLE) * CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+              / (CAST(wn AS DOUBLE) * CAST(wn - 1 AS DOUBLE)),
+              0.0))) / 100.0, 4)
+            ELSE round((CAST(s1 AS DOUBLE) / CAST(wn AS DOUBLE))
+                       / 100.0, 4) END AS upper_r,
+       CASE WHEN wn > 1 THEN round(
+         ((CAST(s1 AS DOUBLE) / CAST(wn AS DOUBLE))
+          - 2 * sqrt(greatest(
+              (CAST(wn AS DOUBLE) * CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+              / (CAST(wn AS DOUBLE) * CAST(wn - 1 AS DOUBLE)),
+              0.0))) / 100.0, 4)
+            ELSE round((CAST(s1 AS DOUBLE) / CAST(wn AS DOUBLE))
+                       / 100.0, 4) END AS lower_r
+FROM w ORDER BY d""",
+        # distinct (order, part) then the per-order count histogram
+        "basket_size_dist": """
+WITH bp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM lineitem
+            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+ s AS (SELECT ok, CAST(count(*) AS BIGINT) AS k FROM bp GROUP BY 1)
+SELECT k AS n_parts, CAST(count(*) AS BIGINT) AS n_orders
+FROM s GROUP BY 1 ORDER BY 1""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -10806,3 +10806,152 @@ def multi_format_union(sf_dir: str):
                                type=pa.string()),
         "n_rows": pa.array(agg[ncol].to_numpy(dtype=np.int64)),
     })
+
+
+BOLL_WINDOW = 7
+BOLL_K = 2
+
+
+def bollinger_bands(sf_dir: str):
+    """(day_us, revenue_r, mean_r, upper_r, lower_r): Bollinger
+    envelope over daily revenue — trailing-BOLL_WINDOW rolling mean ±
+    BOLL_K·sample-std on the zero-filled day grid.
+    ``rolling_median_value`` gives the robust center; Bollinger adds
+    the rolling SECOND moment, the volatility channel every anomaly
+    dashboard overlays. Window sums (Σc, Σc²) are exact ints (cents²
+    fits: the window is ≤7 calendar days); mean and std are single
+    double expressions over those ints — std = √((wΣc²−(Σc)²)/
+    (w·(w−1))) — identical on both sides, 4-dp publish. Early days
+    use the ACTUAL frame length w_i = min(i+1, 7) (ROWS 6 PRECEDING
+    semantics); on the 1-row frame sample std is undefined and the
+    bands collapse to the mean (σ ≔ 0, NULL-free output). Σc² folds as Python objects engine-side and HUGEINT
+    oracle-side — cents² clears int64 only because the window is
+    bounded, so neither side trusts it.
+
+    Scale shape: daily cents via one calendar-bounded Sum; the
+    driver's rolling pass is over the day frame (the
+    rolling_median_value discipline)."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        v, ts = v[ok], ts[ok].astype(np.int64)
+        if v.size == 0:
+            return pa.table({"d": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+        cents = np.rint(v * 100.0).astype(np.int64)
+        day = ts // DAY_US * DAY_US
+        ud, inv = np.unique(day, return_inverse=True)
+        cs = np.zeros(ud.size, dtype=np.int64)
+        np.add.at(cs, inv, cents)
+        return pa.table({"d": pa.array(ud), "c": pa.array(cs)})
+
+    daily = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["ts", "value"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("d").aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    empty = pa.table({"day_us": pa.array([], type=pa.int64()),
+                      "revenue_r": pa.array([], type=pa.float64()),
+                      "mean_r": pa.array([], type=pa.float64()),
+                      "upper_r": pa.array([], type=pa.float64()),
+                      "lower_r": pa.array([], type=pa.float64())})
+    if daily.empty:
+        return empty
+    daily = daily.sort_values("d")
+    od = daily["d"].to_numpy(dtype=np.int64)
+    oc = daily["c"].to_numpy(dtype=np.int64)
+    grid = np.arange(od[0], od[-1] + DAY_US, DAY_US, dtype=np.int64)
+    c = np.zeros(grid.size, dtype=np.int64)
+    c[(od - grid[0]) // DAY_US] = oc
+    out = {"d": [], "rev": [], "mean": [], "up": [], "lo": []}
+    for i in range(grid.size):
+        w = min(i + 1, BOLL_WINDOW)
+        win = c[i - w + 1:i + 1]
+        s1 = int(win.sum())
+        s2 = int((win.astype(object) * win.astype(object)).sum())
+        mean = float(s1) / float(w)
+        out["d"].append(int(grid[i]))
+        out["rev"].append(int(c[i]) / 100.0)
+        out["mean"].append(float(round_half_away(mean / 100.0, 4)))
+        if w == 1:
+            # sample std undefined on a 1-row frame: bands collapse to
+            # the mean (σ ≔ 0) so the output stays NULL-free (the
+            # driver's value compare treats NaN ≠ NaN)
+            out["up"].append(float(round_half_away(mean / 100.0, 4)))
+            out["lo"].append(float(round_half_away(mean / 100.0, 4)))
+        else:
+            var = (float(w) * float(s2) - float(s1) * float(s1)) \
+                / (float(w) * float(w - 1))
+            sd = math.sqrt(var) if var > 0.0 else 0.0
+            out["up"].append(float(round_half_away(
+                (mean + BOLL_K * sd) / 100.0, 4)))
+            out["lo"].append(float(round_half_away(
+                (mean - BOLL_K * sd) / 100.0, 4)))
+    return pa.table({
+        "day_us": pa.array(out["d"], type=pa.int64()),
+        "revenue_r": pa.array(out["rev"], type=pa.float64()),
+        "mean_r": pa.array(out["mean"], type=pa.float64()),
+        "upper_r": pa.array(out["up"], type=pa.float64()),
+        "lower_r": pa.array(out["lo"], type=pa.float64()),
+    })
+
+
+def basket_size_dist(sf_dir: str):
+    """(n_parts, n_orders): the basket-size distribution — how many
+    orders contain exactly k DISTINCT parts. The degree histogram of
+    the order→part bipartite graph, the sanity input every
+    market-basket analysis (basket_lift, frequent_triples) should be
+    read against — and the profiling answer to "is pair/triple
+    enumeration bounded?". Pure int64.
+
+    Scale shape: distinct (order, part) dedups map-side, ONE
+    order-hash co-partition finishes the per-order distinct count
+    locally, partials collapse to ≤|max basket| histogram rows per
+    partition, tiny Sum exchange."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    P = _PAIR_PARTITIONS
+
+    def op_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "ok": batch["l_orderkey"].to_numpy(zero_copy_only=False),
+            "pk": batch["l_partkey"].to_numpy(zero_copy_only=False),
+        }).dropna().drop_duplicates()
+        ok = df["ok"].to_numpy(dtype=np.int64)
+        return pa.table({
+            "q": pa.array((ok % P).astype(np.int64)),
+            "ok": pa.array(ok),
+            "pk": pa.array(df["pk"].to_numpy(dtype=np.int64)),
+        })
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().drop_duplicates(subset=["ok", "pk"])
+        if df.empty:
+            return pa.table({"n_parts": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        sizes = df.groupby("ok")["pk"].size().to_numpy()
+        ks, n = np.unique(sizes, return_counts=True)
+        return pa.table({
+            "n_parts": pa.array(ks.astype(np.int64)),
+            "n": pa.array(n.astype(np.int64)),
+        })
+
+    return (
+        read_parquet_clean(os.path.join(sf_dir, "lineitem.parquet"),
+                           columns=["l_orderkey", "l_partkey"])
+        .map_batches(op_partial, batch_format="pyarrow",
+                     batch_size=8192)
+        .groupby("q").map_groups(per_partition, batch_format="pyarrow")
+        .groupby("n_parts")
+        .aggregate(Sum("n", alias_name="n_orders"))
+    )

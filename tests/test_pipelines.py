@@ -7820,3 +7820,77 @@ class TestMultiFormatUnion:
             .sort_values("event_type")
         assert got["event_type"].tolist() == exp.index.tolist()
         assert got["n_rows"].tolist() == exp.tolist()
+
+
+class TestBollingerBands:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            BOLL_K, BOLL_WINDOW, bollinger_bands)
+
+        DAY = 86_400_000_000
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["ts", "value"]).to_pandas()
+        ev["d"] = ev["ts"].astype("int64") // DAY * DAY
+        ev["c"] = np.rint(ev["value"].to_numpy() * 100).astype(np.int64)
+        dt = ev.groupby("d")["c"].sum()
+        grid = np.arange(dt.index.min(), dt.index.max() + DAY, DAY)
+        c = np.zeros(grid.size, dtype=np.int64)
+        c[(dt.index.to_numpy() - grid[0]) // DAY] = dt.to_numpy()
+        got = bollinger_bands(SF).to_pandas().sort_values("day_us") \
+            .reset_index(drop=True)
+        assert got["day_us"].tolist() == grid.tolist()
+        for i, row in got.iterrows():
+            w = c[max(0, i - BOLL_WINDOW + 1):i + 1]
+            mean = w.mean()
+            assert abs(row["mean_r"] - mean / 100.0) < 1e-3
+            if w.size > 1:
+                sd = w.std(ddof=1)
+                assert abs(row["upper_r"]
+                           - (mean + BOLL_K * sd) / 100.0) < 1e-3
+                assert abs(row["lower_r"]
+                           - (mean - BOLL_K * sd) / 100.0) < 1e-3
+            else:
+                assert row["upper_r"] == row["mean_r"]
+
+    def test_planted_series(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import bollinger_bands
+
+        t0 = pd.Timestamp("1970-01-01")
+        # constant 10.00/day → zero std, bands equal mean everywhere
+        pd.DataFrame({
+            "user_id": 1, "event_id": range(5), "event_type": "e",
+            "ts": [t0 + pd.Timedelta(days=i) for i in range(5)],
+            "value": 10.0,
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = bollinger_bands(str(tmp_path)).to_pandas()
+        assert got["mean_r"].tolist() == [10.0] * 5
+        assert got["upper_r"].tolist() == [10.0] * 5
+        assert got["lower_r"].tolist() == [10.0] * 5
+
+
+class TestBasketSizeDist:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import basket_size_dist
+
+        li = pq.read_table(f"{SF}/lineitem.parquet",
+                           columns=["l_orderkey", "l_partkey"]
+                           ).to_pandas().drop_duplicates()
+        sizes = li.groupby("l_orderkey")["l_partkey"].size()
+        exp = sizes.value_counts().sort_index()
+        got = basket_size_dist(SF).to_pandas().sort_values("n_parts")
+        assert got["n_parts"].tolist() == exp.index.tolist()
+        assert got["n_orders"].tolist() == exp.tolist()
+
+    def test_planted_baskets(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import basket_size_dist
+
+        rows = [(1, 1), (1, 2), (1, 2), (2, 7), (3, 1), (3, 2), (3, 9)]
+        pd.DataFrame({
+            "l_orderkey": [r[0] for r in rows],
+            "l_partkey": [r[1] for r in rows],
+        }).to_parquet(f"{tmp_path}/lineitem.parquet", index=False)
+        got = basket_size_dist(str(tmp_path)).to_pandas() \
+            .sort_values("n_parts")
+        # order 1 has 2 DISTINCT parts, order 2 has 1, order 3 has 3
+        assert got["n_parts"].tolist() == [1, 2, 3]
+        assert got["n_orders"].tolist() == [1, 1, 1]
