@@ -10484,6 +10484,12 @@ def knn_label_purity(sf_dir: str):
     ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
     m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    # sort the broadcast corpus by vec_id so a candidate's ARRAY INDEX
+    # is its id-rank — the composite sort key below then breaks sim
+    # ties by vec_id ASC without ever comparing raw (possibly huge)
+    # ids
+    order0 = np.argsort(ids, kind="stable")
+    ids, labels, m = ids[order0], labels[order0], m[order0]
     empty = pa.table({"label": pa.array([], type=pa.int64()),
                       "n_vecs": pa.array([], type=pa.int64()),
                       "matches": pa.array([], type=pa.int64()),
@@ -10512,16 +10518,23 @@ def knn_label_purity(sf_dir: str):
         bn = np.sqrt((bm * bm).sum(axis=1))
         sims = (bm @ m.T) / (bn[:, None] * norms[None, :])
         sims_r = _round_vec(sims.ravel()).reshape(sims.shape)
-        mt = np.zeros(bids.size, dtype=np.int64)
         kk = min(PURITY_K, ids.size - 1)
-        for i in range(bids.size):
-            s = sims_r[i]
-            cand = np.flatnonzero(ids != bids[i])
-            # prune to a safe margin, then exact composite sort
-            take = min(cand.size, kk + 64)
-            pruned = cand[np.argpartition(-s[cand], take - 1)[:take]]
-            order = pruned[np.lexsort((ids[pruned], -s[pruned]))][:kk]
-            mt[i] = int((labels[order] == blab[i]).sum())
+        # fully vectorized top-k under (sim_r DESC, vec_id ASC): 4-dp
+        # sims are exact multiples of 1e-4 in [−1, 1] → a single int64
+        # composite key (−sim·1e4 << 33) + id_rank orders every
+        # candidate exactly; self rows get +inf-equivalent keys
+        s_scaled = np.rint(sims_r * 1e4).astype(np.int64)
+        jrank = np.arange(ids.size, dtype=np.int64)
+        key = ((-s_scaled) << 33) + jrank[None, :]
+        self_mask = ids[None, :] == bids[:, None]
+        key[self_mask] = np.iinfo(np.int64).max
+        take = min(ids.size, kk + 1)
+        part = np.argpartition(key, take - 1, axis=1)[:, :take]
+        pkeys = np.take_along_axis(key, part, axis=1)
+        osort = np.argsort(pkeys, axis=1, kind="stable")[:, :kk]
+        top = np.take_along_axis(part, osort, axis=1)
+        mt = (labels[top] == blab[:, None]).sum(axis=1) \
+            .astype(np.int64)
         g = pd.DataFrame({"label": blab, "n": 1, "mt": mt}).groupby(
             "label", as_index=False).sum()
         return pa.table({
