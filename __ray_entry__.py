@@ -382,6 +382,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # aggregates on a string key, local top-k after 4-dp rounding
         # (oracle: unigram/bigram CTEs + double-identical ln; r4)
         "bigram_pmi": textstats.bigram_pmi,
+        # censoring-correct survival curve: KM product-limit estimate
+        # of view→purchase time, never-converters censored at corpus
+        # end; cumprod sequenced lag ASC both sides (oracle: window
+        # suffix-sum + recursive product fold; r4)
+        "kaplan_meier": relational.kaplan_meier,
+        # RFM segmentation: per-customer recency/frequency/monetary,
+        # each globally NTILE-bucketed via the counting-selector
+        # boundary kernel, custkey tiebreak (oracle: three ntile
+        # windows; r4)
+        "rfm_segments": relational.rfm_segments,
+        # triadic closure: triangle census + global clustering
+        # coefficient of the part co-purchase graph — degree-oriented
+        # node-iterator, wedge/edge pair-hash meet (oracle: edge CTE
+        # 3-way self-join; r4)
+        "triangle_count": relational.triangle_count,
+        # apriori level 3: frequent part triples per order basket with
+        # support gate — memoized combination gather + triple-hash
+        # combine (oracle: oriented 3-way self-join; r4)
+        "frequent_triples": relational.frequent_triples,
+        # cohort lifetime value: signup-day cohorts, weekly purchase
+        # cents, gapless scaffold + per-cohort cumulative (oracle:
+        # range() scaffold + window sum; r4)
+        "cohort_ltv": relational.cohort_ltv,
+        # Pareto KPI: top-1%/10% customer revenue share via counting-
+        # selector boundary + prefix-sum-by-selection (oracle: window
+        # row_number prefix sums; r4)
+        "revenue_concentration": relational.revenue_concentration,
+        # within-session conversion: gap-session assignment + first-
+        # view anchor + purchase-at-or-after probe, all partition-
+        # local (oracle: session CTE + two-level group; r4)
+        "session_funnel": relational.session_funnel,
+        # label-noise diagnostic: per-label share of k-NN neighbors
+        # sharing the label, knn_cosine total order (oracle: pairwise
+        # list_cosine_similarity + window rank; r4)
+        "knn_label_purity": relational.knn_label_purity,
         # embedding-space mislabel probe: per-label centroid (grouped
         # vector aggregate, 4-dp-quantized before use — the dim_stats
         # sum-order contract, not a persisted literal) rejoined against
@@ -572,11 +607,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver rolling pass, quantile_cont interpolation (oracle:
         # windowed median over the same grid; r4)
         "rolling_median_value": relational.rolling_median_value,
-        # triadic closure: triangle census + global clustering
-        # coefficient of the part co-purchase graph — degree-oriented
-        # node-iterator, wedge/edge pair-hash meet (oracle: edge CTE
-        # 3-way self-join; r4)
-        "triangle_count": relational.triangle_count,
         # k-sample parametric test: one-way ANOVA F + eta² across all
         # event types — exact 4-dp moment partials, the one float fold
         # sequenced identically via recursive CTE (oracle: same
@@ -592,19 +622,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # user co-partition (oracle: adjacent-day self-join + FULL
         # OUTER; r4)
         "daily_churn": relational.daily_churn,
-        # censoring-correct survival curve: KM product-limit estimate
-        # of view→purchase time, never-converters censored at corpus
-        # end; cumprod sequenced lag ASC both sides (oracle: window
-        # suffix-sum + recursive product fold; r4)
-        "kaplan_meier": relational.kaplan_meier,
         # distribution drift: PSI between first/second time halves over
         # the value_histogram bin grid, both-sides-populated bins only
         # (oracle: same bins, recursive term fold; r4)
         "psi_drift": relational.psi_drift,
-        # apriori level 3: frequent part triples per order basket with
-        # support gate — memoized combination gather + triple-hash
-        # combine (oracle: oriented 3-way self-join; r4)
-        "frequent_triples": relational.frequent_triples,
         # time-in-state ledger: lead(ts)−ts per user under (ts,
         # event_id) order, dwell totals per type — exact int64 µs, one
         # double division (oracle: lead window; r4)
@@ -617,10 +638,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # over the shared day grid — exact bigint moments both sides
         # (oracle: grid self-join + HUGEINT moments; r4)
         "type_corr_matrix": relational.type_corr_matrix,
-        # cohort lifetime value: signup-day cohorts, weekly purchase
-        # cents, gapless scaffold + per-cohort cumulative (oracle:
-        # range() scaffold + window sum; r4)
-        "cohort_ltv": relational.cohort_ltv,
         # fulfilment SLA: order→first-shipment lag quantiles — the
         # fact-fact orderkey co-partition join feeding a counting
         # quantile (oracle: join + quantile_disc; r4)
@@ -635,11 +652,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fact-dim broadcast ratio: return rate per part brand (oracle:
         # dim join + FILTER count; r4)
         "brand_return_rate": relational.brand_return_rate,
-        # RFM segmentation: per-customer recency/frequency/monetary,
-        # each globally NTILE-bucketed via the counting-selector
-        # boundary kernel, custkey tiebreak (oracle: three ntile
-        # windows; r4)
-        "rfm_segments": relational.rfm_segments,
         # grouped robust stats: per-nation supplier-balance median,
         # MAD, 3-MAD outlier count (oracle: two-level median CTE; r4)
         "nation_balance_mad": relational.nation_balance_mad,
@@ -668,10 +680,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # single-event census (oracle: per-user span + quantile_disc;
         # r4)
         "user_lifespan_quantiles": relational.user_lifespan_quantiles,
-        # within-session conversion: gap-session assignment + first-
-        # view anchor + purchase-at-or-after probe, all partition-
-        # local (oracle: session CTE + two-level group; r4)
-        "session_funnel": relational.session_funnel,
         # hive-layout roundtrip: write_parquet(partition_cols) then a
         # partition-pruned read-back per key directory (oracle: plain
         # group-by the roundtrip must reproduce; r4)
@@ -680,14 +688,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # quantile over a fact-fact join (oracle: quantile_disc GROUP
         # BY; r4)
         "order_priority_sla": relational.order_priority_sla,
-        # label-noise diagnostic: per-label share of k-NN neighbors
-        # sharing the label, knn_cosine total order (oracle: pairwise
-        # list_cosine_similarity + window rank; r4)
-        "knn_label_purity": relational.knn_label_purity,
-        # Pareto KPI: top-1%/10% customer revenue share via counting-
-        # selector boundary + prefix-sum-by-selection (oracle: window
-        # row_number prefix sums; r4)
-        "revenue_concentration": relational.revenue_concentration,
         # percentile ribbons: per-day exact p10/p50/p90 of value from
         # day×cent histograms (oracle: quantile_disc GROUP BY day; r4)
         "daily_value_bands": relational.daily_value_bands,
