@@ -701,6 +701,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bipartite degree histogram: orders per distinct-part basket
         # size (oracle: two-level GROUP BY; r4)
         "basket_size_dist": relational.basket_size_dist,
+        # forecasting baseline: Holt double exponential smoothing —
+        # the COUPLED (level, trend) recurrence carried as a tuple by
+        # the recursive-CTE oracle (r4)
+        "holt_trend": relational.holt_trend,
+        # dim-attributed dispersion: order-value CV per market segment
+        # from exact bigint moments after a customer broadcast join
+        # (oracle: HUGEINT moments; r4)
+        "segment_value_cv": relational.segment_value_cv,
         # JSON schema-on-read: aggregate over a value extracted from the
         # semi-structured props bag — TRY_CAST(json_extract) semantics,
         # int64 partials per type (oracle: DuckDB json functions; r4)
@@ -4194,6 +4202,69 @@ WITH bp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
  s AS (SELECT ok, CAST(count(*) AS BIGINT) AS k FROM bp GROUP BY 1)
 SELECT k AS n_parts, CAST(count(*) AS BIGINT) AS n_orders
 FROM s GROUP BY 1 ORDER BY 1""",
+        # Holt recurrence carried as a (level, trend) tuple; every
+        # coefficient is CAST to DOUBLE so both sides run the
+        # identical IEEE sequence (1.0 − 0.3 ≠ literal 0.7 in binary)
+        "holt_trend": """
+WITH RECURSIVE v AS (
+    SELECT epoch_us(ts) // 86400000000 * 86400000000 AS d,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+    WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)),
+ dt AS (SELECT d, CAST(sum(cents) AS BIGINT) AS c FROM v GROUP BY 1),
+ b AS (SELECT min(d) AS lo, max(d) AS hi FROM dt),
+ g AS (SELECT CAST(t.x AS BIGINT) AS d
+       FROM b, LATERAL unnest(range(lo, hi + 86400000000,
+                                    86400000000)) AS t(x)),
+ f AS (SELECT g.d, CAST(coalesce(dt.c, 0) AS BIGINT) AS c,
+              row_number() OVER (ORDER BY g.d) AS rn
+       FROM g LEFT JOIN dt ON dt.d = g.d),
+ f2 AS (SELECT d, rn, CAST(c AS DOUBLE) / 100.0 AS x FROM f),
+ r AS (SELECT rn, x AS l,
+              coalesce((SELECT x FROM f2 WHERE rn = 2), x) - x AS b
+       FROM f2 WHERE rn = 1
+       UNION ALL
+       SELECT f2.rn,
+              CAST(0.5 AS DOUBLE) * f2.x
+                + (CAST(1.0 AS DOUBLE) - CAST(0.5 AS DOUBLE))
+                  * (r.l + r.b) AS l,
+              CAST(0.3 AS DOUBLE)
+                * ((CAST(0.5 AS DOUBLE) * f2.x
+                    + (CAST(1.0 AS DOUBLE) - CAST(0.5 AS DOUBLE))
+                      * (r.l + r.b)) - r.l)
+                + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * r.b
+                AS b
+       FROM r JOIN f2 ON f2.rn = r.rn + 1)
+SELECT f2.d AS day_us, round(f2.x, 4) AS x_r,
+       round(r.l, 4) AS level_r, round(r.b, 4) AS trend_r
+FROM f2 JOIN r ON r.rn = f2.rn
+ORDER BY day_us""",
+        # exact HUGEINT moments after the segment dim join; cv is the
+        # scale-free ratio sd/mean (cents cancel)
+        "segment_value_cv": """
+WITH j AS (SELECT c.c_mktsegment AS s,
+                  CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+           WHERE o.o_custkey IS NOT NULL
+             AND o.o_totalprice IS NOT NULL
+             AND c.c_mktsegment IS NOT NULL),
+ m AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+              sum(CAST(cents AS HUGEINT)) AS s1,
+              sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT))
+                AS s2
+       FROM j GROUP BY 1)
+SELECT s AS c_mktsegment, n AS n_orders,
+       round((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0, 4)
+         AS mean_r,
+       CASE WHEN n > 1 AND s1 <> 0 THEN
+         round(sqrt(greatest(
+                 (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)),
+                 0.0))
+               / (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 4)
+       END AS cv_r
+FROM m ORDER BY 1""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -10968,3 +10968,175 @@ def basket_size_dist(sf_dir: str):
         .groupby("n_parts")
         .aggregate(Sum("n", alias_name="n_orders"))
     )
+
+
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.3
+
+
+def holt_trend(sf_dir: str):
+    """(day_us, x_r, level_r, trend_r): Holt double exponential
+    smoothing over the zero-filled daily revenue series — the COUPLED
+    two-variable linear recurrence (level ℓ_t = α·x_t + (1−α)·(ℓ_{t−1}
+    + b_{t−1}); trend b_t = β·(ℓ_t − ℓ_{t−1}) + (1−β)·b_{t−1};
+    ℓ_0 = x_0, b_0 = x_1 − x_0, or 0 on a one-day series).
+    ``ema_daily_value`` proves the one-variable recurrence; Holt adds
+    the state COUPLING a recursive CTE must carry as a tuple — the
+    forecasting-baseline surface. Every step is the identical IEEE
+    double sequence on both sides (x = exact cents / 100.0), 4-dp
+    publish.
+
+    Scale shape: daily cents via one calendar-bounded Sum; the driver
+    scan is over the day frame (ema's disclosed discipline — the
+    affine-composition two-pass is the unbounded-series path)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        v, ts = v[ok], ts[ok].astype(np.int64)
+        if v.size == 0:
+            return pa.table({"d": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+        cents = np.rint(v * 100.0).astype(np.int64)
+        day = ts // DAY_US * DAY_US
+        ud, inv = np.unique(day, return_inverse=True)
+        cs = np.zeros(ud.size, dtype=np.int64)
+        np.add.at(cs, inv, cents)
+        return pa.table({"d": pa.array(ud), "c": pa.array(cs)})
+
+    daily = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["ts", "value"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("d").aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    empty = pa.table({"day_us": pa.array([], type=pa.int64()),
+                      "x_r": pa.array([], type=pa.float64()),
+                      "level_r": pa.array([], type=pa.float64()),
+                      "trend_r": pa.array([], type=pa.float64())})
+    if daily.empty:
+        return empty
+    daily = daily.sort_values("d")
+    od = daily["d"].to_numpy(dtype=np.int64)
+    oc = daily["c"].to_numpy(dtype=np.int64)
+    grid = np.arange(od[0], od[-1] + DAY_US, DAY_US, dtype=np.int64)
+    c = np.zeros(grid.size, dtype=np.int64)
+    c[(od - grid[0]) // DAY_US] = oc
+    x = c.astype(np.float64) / 100.0
+    a, b = HOLT_ALPHA, HOLT_BETA
+    lev = x[0]
+    tr = (x[1] - x[0]) if x.size > 1 else 0.0
+    out_l, out_t = [lev], [tr]
+    for i in range(1, x.size):
+        prev = lev
+        lev = a * x[i] + (1.0 - a) * (lev + tr)
+        tr = b * (lev - prev) + (1.0 - b) * tr
+        out_l.append(lev)
+        out_t.append(tr)
+    return pa.table({
+        "day_us": pa.array(grid),
+        "x_r": pa.array(_round_vec(x, 4)),
+        "level_r": pa.array(_round_vec(np.asarray(out_l), 4)),
+        "trend_r": pa.array(_round_vec(np.asarray(out_t), 4)),
+    })
+
+
+def segment_value_cv(sf_dir: str):
+    """(c_mktsegment, n_orders, mean_r, cv_r): order-value dispersion
+    per MARKET SEGMENT — the coefficient of variation (sample
+    std / mean) of order totals after a customer-dimension broadcast
+    join. ``group_moments`` proves grouped moments on a raw fact
+    column; this computes them on a DIM-ATTRIBUTED measure and
+    publishes the scale-free ratio analysts compare across segments.
+    Moments are exact ints (decimal-string partials, Python-bigint
+    fold — cents² clears int64 at any N), HUGEINT oracle-side; mean
+    and cv are single double expressions, 4-dp; cv NULL when n < 2 or
+    mean = 0.
+
+    Scale shape: the customer→segment map broadcasts once (sorted
+    arrays, searchsorted per batch); ≤|segments| moment partials, no
+    shuffle at all."""
+    import math
+
+    import pandas as pd
+    import pyarrow.parquet as _pq
+
+    dim = _pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"]) \
+        .drop_null()
+    ck = dim["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    seg = np.asarray(dim["c_mktsegment"].to_pylist(), dtype=object)
+    order0 = np.argsort(ck)
+    ck, seg = ck[order0], seg[order0]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()
+        empty = pa.table({"s": pa.array([], type=pa.string()),
+                          "n": pa.array([], type=pa.int64()),
+                          "s1": pa.array([], type=pa.string()),
+                          "s2": pa.array([], type=pa.string())})
+        if batch.num_rows == 0 or ck.size == 0:
+            return empty
+        oc = batch["o_custkey"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(ck, oc), ck.size - 1)
+        hit = ck[pos] == oc
+        if not hit.any():
+            return empty
+        cents = np.rint(p[hit] * 100.0).astype(np.int64)
+        g = pd.DataFrame({"s": seg[pos[hit]], "n": 1, "s1": cents,
+                          "s2": cents.astype(object) ** 2}).groupby(
+            "s", as_index=False).sum()
+        return pa.table({
+            "s": pa.array(g["s"].tolist(), type=pa.string()),
+            "n": pa.array(g["n"].to_numpy(dtype=np.int64)),
+            "s1": pa.array([str(v) for v in g["s1"]],
+                           type=pa.string()),
+            "s2": pa.array([str(v) for v in g["s2"]],
+                           type=pa.string()),
+        })
+
+    parts = (
+        read_parquet_clean(os.path.join(sf_dir, "orders.parquet"),
+                           columns=["o_custkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .to_pandas()
+    )
+    empty = pa.table({"c_mktsegment": pa.array([], type=pa.string()),
+                      "n_orders": pa.array([], type=pa.int64()),
+                      "mean_r": pa.array([], type=pa.float64()),
+                      "cv_r": pa.array([], type=pa.float64())})
+    if parts.empty:
+        return empty
+    acc: dict[str, list[int]] = {}
+    for row in parts.itertuples():
+        a = acc.setdefault(row.s, [0, 0, 0])
+        a[0] += int(row.n)
+        a[1] += int(row.s1)
+        a[2] += int(row.s2)
+    out = {"s": [], "n": [], "mean": [], "cv": []}
+    for s in sorted(acc):
+        n, s1, s2 = acc[s]
+        mean = float(s1) / float(n)
+        cv = None
+        if n > 1 and s1 != 0:
+            var = (float(n) * float(s2) - float(s1) * float(s1)) \
+                / (float(n) * float(n - 1))
+            sd = math.sqrt(var) if var > 0.0 else 0.0
+            cv = float(round_half_away(sd / mean, 4))
+        out["s"].append(s)
+        out["n"].append(n)
+        out["mean"].append(float(round_half_away(mean / 100.0, 4)))
+        out["cv"].append(cv)
+    return pa.table({
+        "c_mktsegment": pa.array(out["s"], type=pa.string()),
+        "n_orders": pa.array(out["n"], type=pa.int64()),
+        "mean_r": pa.array(out["mean"], type=pa.float64()),
+        "cv_r": pa.array(out["cv"], type=pa.float64()),
+    })

@@ -7894,3 +7894,99 @@ class TestBasketSizeDist:
         # order 1 has 2 DISTINCT parts, order 2 has 1, order 3 has 3
         assert got["n_parts"].tolist() == [1, 2, 3]
         assert got["n_orders"].tolist() == [1, 1, 1]
+
+
+class TestHoltTrend:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            HOLT_ALPHA, HOLT_BETA, holt_trend)
+
+        DAY = 86_400_000_000
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["ts", "value"]).to_pandas()
+        ev["d"] = ev["ts"].astype("int64") // DAY * DAY
+        ev["c"] = np.rint(ev["value"].to_numpy() * 100).astype(np.int64)
+        dt = ev.groupby("d")["c"].sum()
+        grid = np.arange(dt.index.min(), dt.index.max() + DAY, DAY)
+        c = np.zeros(grid.size, dtype=np.int64)
+        c[(dt.index.to_numpy() - grid[0]) // DAY] = dt.to_numpy()
+        x = c / 100.0
+        lev, tr = x[0], (x[1] - x[0]) if x.size > 1 else 0.0
+        exp_l, exp_t = [lev], [tr]
+        for i in range(1, x.size):
+            prev = lev
+            lev = HOLT_ALPHA * x[i] + (1 - HOLT_ALPHA) * (lev + tr)
+            tr = HOLT_BETA * (lev - prev) + (1 - HOLT_BETA) * tr
+            exp_l.append(lev)
+            exp_t.append(tr)
+        got = holt_trend(SF).to_pandas().sort_values("day_us") \
+            .reset_index(drop=True)
+        assert got["day_us"].tolist() == grid.tolist()
+        assert np.allclose(got["level_r"], np.round(exp_l, 4),
+                           atol=1e-6)
+        assert np.allclose(got["trend_r"], np.round(exp_t, 4),
+                           atol=1e-6)
+
+    def test_planted_linear_series(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import holt_trend
+
+        t0 = pd.Timestamp("1970-01-01")
+        # perfectly linear series 10, 20, 30, ... — Holt tracks it
+        # exactly: level = x, trend = 10
+        pd.DataFrame({
+            "user_id": 1, "event_id": range(6), "event_type": "e",
+            "ts": [t0 + pd.Timedelta(days=i) for i in range(6)],
+            "value": [10.0 * (i + 1) for i in range(6)],
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = holt_trend(str(tmp_path)).to_pandas()
+        assert got["level_r"].tolist() == [
+            10.0, 20.0, 30.0, 40.0, 50.0, 60.0]
+        assert got["trend_r"].tolist() == [10.0] * 6
+
+
+class TestSegmentValueCv:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import segment_value_cv
+
+        o = pq.read_table(f"{SF}/orders.parquet",
+                          columns=["o_custkey", "o_totalprice"]
+                          ).to_pandas()
+        c = pq.read_table(f"{SF}/customer.parquet",
+                          columns=["c_custkey", "c_mktsegment"]
+                          ).to_pandas()
+        j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+        j["cents"] = np.rint(j["o_totalprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        got = segment_value_cv(SF).to_pandas().set_index("c_mktsegment")
+        for s, sub in j.groupby("c_mktsegment"):
+            cents = sub["cents"].to_numpy(dtype=np.float64)
+            row = got.loc[s]
+            assert row["n_orders"] == len(cents)
+            assert abs(row["mean_r"] - cents.mean() / 100.0) < 1e-2
+            cv = cents.std(ddof=1) / cents.mean()
+            assert abs(row["cv_r"] - cv) < 1e-3
+
+    def test_planted_segments(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import segment_value_cv
+
+        pd.DataFrame({
+            "c_custkey": [1, 2], "c_mktsegment": ["A", "B"],
+            "c_name": "c", "c_nationkey": 0, "c_acctbal": 0.0,
+        }).to_parquet(f"{tmp_path}/customer.parquet", index=False)
+        t0 = pd.Timestamp("1970-01-01")
+        pd.DataFrame({
+            "o_orderkey": range(4),
+            "o_custkey": [1, 1, 2, 3],    # custkey 3 has no dim row
+            "o_orderdate": t0,
+            "o_totalprice": [10.0, 30.0, 5.0, 99.0],
+            "o_orderstatus": "O", "o_orderpriority": "1-URGENT",
+        }).to_parquet(f"{tmp_path}/orders.parquet", index=False)
+        got = segment_value_cv(str(tmp_path)).to_pandas() \
+            .set_index("c_mktsegment")
+        assert got.loc["A", "n_orders"] == 2
+        assert got.loc["A", "mean_r"] == 20.0
+        # sd of {1000, 3000} cents = 1414.21…, cv ≈ 0.7071
+        assert got.loc["A", "cv_r"] == 0.7071
+        assert got.loc["B", "n_orders"] == 1
+        assert pd.isna(got.loc["B", "cv_r"])
+        assert len(got) == 2
