@@ -709,6 +709,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # from exact bigint moments after a customer broadcast join
         # (oracle: HUGEINT moments; r4)
         "segment_value_cv": relational.segment_value_cv,
+        # marketing attribution: every purchase credits the user's
+        # most recent strictly-preceding non-purchase touch —
+        # segmented forward-fill, ≤|types| output (oracle: IGNORE
+        # NULLS window with a 1-PRECEDING frame; r4)
+        "last_touch_attribution": relational.last_touch_attribution,
         # JSON schema-on-read: aggregate over a value extracted from the
         # semi-structured props bag — TRY_CAST(json_extract) semantics,
         # int64 partials per type (oracle: DuckDB json functions; r4)
@@ -4265,6 +4270,28 @@ SELECT s AS c_mktsegment, n AS n_orders,
                / (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 4)
        END AS cv_r
 FROM m ORDER BY 1""",
+        # strictly-preceding last touch via a 1-PRECEDING IGNORE NULLS
+        # frame under the (ts, event_id) total order; untouched
+        # purchases drop
+        "last_touch_attribution": """
+WITH e AS (SELECT user_id, epoch_us(ts) AS tu, event_id, event_type,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             AND event_type IS NOT NULL AND event_id IS NOT NULL
+             AND value IS NOT NULL),
+ w AS (SELECT event_type, cents,
+              last_value(CASE WHEN event_type <> 'purchase'
+                          THEN event_type END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY tu, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS touch
+       FROM e)
+SELECT touch AS attributed_type,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(cents) AS BIGINT) / 100.0 AS revenue_r
+FROM w WHERE event_type = 'purchase' AND touch IS NOT NULL
+GROUP BY 1 ORDER BY 1""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -11140,3 +11140,104 @@ def segment_value_cv(sf_dir: str):
         "mean_r": pa.array(out["mean"], type=pa.float64()),
         "cv_r": pa.array(out["cv"], type=pa.float64()),
     })
+
+
+def last_touch_attribution(sf_dir: str):
+    """(attributed_type, n_purchases, revenue_r): last-touch
+    attribution — every 'purchase' credits the SAME user's most
+    recent PRECEDING non-purchase event (strictly before under the
+    (ts, event_id) total order); purchases with no prior touch drop.
+    The marketing-attribution surface: ``asof_join_events`` proves
+    the row-level as-of lookup between two anointed types; this is
+    the any-type attribution AGGREGATE (which channel gets credit for
+    revenue?). Revenue folds as exact cents, one /100.0 publish.
+
+    Scale shape: ONE user-hash co-partition exchange; the per-user
+    last-touch resolves with a segmented forward-fill
+    (maximum.accumulate over masked indices — no per-row Python),
+    partials collapse to ≤|types| rows before a tiny Sum exchange."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def tag(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()
+        cents = np.rint(batch["value"].to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
+        return _user_part_table(batch, {
+            "et": batch["event_type"].cast(pa.string()),
+            "eid": batch["event_id"].cast(pa.int64()),
+            "cents": pa.array(cents),
+        })
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        empty = pa.table({"attributed_type": pa.array([], type=pa.string()),
+                          "n": pa.array([], type=pa.int64()),
+                          "cents": pa.array([], type=pa.int64())})
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        if uid.size == 0:
+            return empty
+        uid = uid.astype(np.int64)
+        ts = group["ts_us"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        eid = group["eid"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = group["cents"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        et = np.asarray(group["et"].to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts, uid))
+        uid, cents, et = uid[order], cents[order], et[order]
+        n = uid.size
+        idx = np.arange(n, dtype=np.int64)
+        touch = np.where(et != "purchase", idx, -1)
+        # segmented forward-fill: reset the running max at each new
+        # user by lifting indices with a per-segment offset
+        seg_start = np.concatenate(
+            ([0], np.flatnonzero(uid[1:] != uid[:-1]) + 1))
+        seg_of = np.repeat(np.arange(seg_start.size, dtype=np.int64),
+                           np.diff(np.concatenate((seg_start, [n]))))
+        base = seg_start[seg_of]
+        # one global maximum.accumulate serves every segment: keys are
+        # lifted by segment·BIG so a previous segment's fill can never
+        # win inside the current one
+        BIG = np.int64(n + 1)
+        keyed = np.where(touch >= 0, seg_of * BIG + (touch - base),
+                         np.int64(-1))
+        run = np.maximum.accumulate(keyed)
+        valid = (run >= seg_of * BIG) & (run != -1)
+        src = np.where(valid, run - seg_of * BIG + base, -1)
+        is_p = et == "purchase"
+        m = is_p & (src >= 0) & (src < idx)
+        if not m.any():
+            return empty
+        g = pd.DataFrame({
+            "t": et[src[m]],
+            "n": 1,
+            "cents": cents[m],
+        }).groupby("t", as_index=False).sum()
+        return pa.table({
+            "attributed_type": pa.array(g["t"].tolist(),
+                                        type=pa.string()),
+            "n": pa.array(g["n"].to_numpy(dtype=np.int64)),
+            "cents": pa.array(g["cents"].to_numpy(dtype=np.int64)),
+        })
+
+    def publish(batch: pa.Table) -> pa.Table:
+        c = batch["sum_cents"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "attributed_type": batch["attributed_type"],
+            "n_purchases": batch["sum_n"],
+            "revenue_r": pa.array(c.astype(np.float64) / 100.0),
+        })
+
+    return (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["user_id", "ts", "event_type",
+                                    "event_id", "value"])
+        .map_batches(tag, batch_format="pyarrow", batch_size=8192)
+        .groupby("q").map_groups(per_partition, batch_format="pyarrow")
+        .groupby("attributed_type")
+        .aggregate(Sum("n", alias_name="sum_n"),
+                   Sum("cents", alias_name="sum_cents"))
+        .map_batches(publish, batch_format="pyarrow")
+    )

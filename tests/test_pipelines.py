@@ -7990,3 +7990,61 @@ class TestSegmentValueCv:
         assert got.loc["B", "n_orders"] == 1
         assert pd.isna(got.loc["B", "cv_r"])
         assert len(got) == 2
+
+
+class TestLastTouchAttribution:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            last_touch_attribution)
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["user_id", "ts", "event_type",
+                                    "event_id", "value"]).to_pandas()
+        ev["t"] = ev["ts"].astype("int64")
+        ev["cents"] = np.rint(ev["value"].to_numpy() * 100).astype(
+            np.int64)
+        exp_n: dict[str, int] = {}
+        exp_c: dict[str, int] = {}
+        for _, sub in ev.groupby("user_id"):
+            sub = sub.sort_values(["t", "event_id"])
+            touch = None
+            for row in sub.itertuples():
+                if row.event_type == "purchase":
+                    if touch is not None:
+                        exp_n[touch] = exp_n.get(touch, 0) + 1
+                        exp_c[touch] = exp_c.get(touch, 0) + row.cents
+                else:
+                    touch = row.event_type
+        got = last_touch_attribution(SF).to_pandas() \
+            .set_index("attributed_type")
+        assert sorted(got.index) == sorted(exp_n)
+        for t in exp_n:
+            assert got.loc[t, "n_purchases"] == exp_n[t]
+            assert abs(got.loc[t, "revenue_r"]
+                       - exp_c[t] / 100.0) < 1e-6
+
+    def test_planted_journey(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import (
+            last_touch_attribution)
+
+        t0 = pd.Timestamp("1970-01-01")
+        rows = [
+            (1, 0, "click", 0.0), (1, 1, "purchase", 10.0),
+            (1, 2, "view", 0.0), (1, 3, "purchase", 5.0),
+            (2, 0, "purchase", 99.0),          # no prior touch — drops
+            (3, 0, "view", 0.0), (3, 1, "purchase", 1.0),
+        ]
+        pd.DataFrame({
+            "user_id": [r[0] for r in rows],
+            "ts": [t0 + pd.Timedelta(seconds=r[1]) for r in rows],
+            "event_id": range(len(rows)),
+            "event_type": [r[2] for r in rows],
+            "value": [r[3] for r in rows],
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = last_touch_attribution(str(tmp_path)).to_pandas() \
+            .set_index("attributed_type")
+        assert got.loc["click", "n_purchases"] == 1
+        assert got.loc["click", "revenue_r"] == 10.0
+        assert got.loc["view", "n_purchases"] == 2
+        assert got.loc["view", "revenue_r"] == 6.0
+        assert len(got) == 2
