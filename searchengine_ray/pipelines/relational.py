@@ -10517,21 +10517,23 @@ def knn_label_purity(sf_dir: str):
                         dtype=np.float64)
         bn = np.sqrt((bm * bm).sum(axis=1))
         sims = (bm @ m.T) / (bn[:, None] * norms[None, :])
-        sims_r = _round_vec(sims.ravel()).reshape(sims.shape)
         kk = min(PURITY_K, ids.size - 1)
-        # fully vectorized top-k under (sim_r DESC, vec_id ASC): 4-dp
-        # sims are exact multiples of 1e-4 in [−1, 1] → a single int64
-        # composite key (−sim·1e4 << 33) + id_rank orders every
-        # candidate exactly; self rows get +inf-equivalent keys
-        s_scaled = np.rint(sims_r * 1e4).astype(np.int64)
-        jrank = np.arange(ids.size, dtype=np.int64)
-        key = ((-s_scaled) << 33) + jrank[None, :]
-        self_mask = ids[None, :] == bids[:, None]
-        key[self_mask] = np.iinfo(np.int64).max
-        take = min(ids.size, kk + 1)
-        part = np.argpartition(key, take - 1, axis=1)[:, :take]
-        pkeys = np.take_along_axis(key, part, axis=1)
-        osort = np.argsort(pkeys, axis=1, kind="stable")[:, :kk]
+        # raw-sim argpartition prunes each row to kk+65 candidates
+        # (the repo's knn margin convention — knn_cosine prunes on raw
+        # sims before rounding), then ONLY the pruned set rounds and
+        # sorts under the exact composite key (−sim·1e4 << 33) +
+        # id-rank: 4-dp sims are exact multiples of 1e-4 in [−1, 1],
+        # and the corpus is vec_id-sorted so the column index IS the
+        # tiebreak; self rows get +inf-equivalent keys
+        take = min(ids.size, kk + 65)
+        part = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+        ps = np.take_along_axis(sims, part, axis=1)
+        s_scaled = np.rint(
+            _round_vec(ps.ravel()).reshape(ps.shape) * 1e4
+        ).astype(np.int64)
+        key = ((-s_scaled) << 33) + part
+        key[ids[part] == bids[:, None]] = np.iinfo(np.int64).max
+        osort = np.argsort(key, axis=1, kind="stable")[:, :kk]
         top = np.take_along_axis(part, osort, axis=1)
         mt = (labels[top] == blab[:, None]).sum(axis=1) \
             .astype(np.int64)
