@@ -714,6 +714,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # segmented forward-fill, ≤|types| output (oracle: IGNORE
         # NULLS window with a 1-PRECEDING frame; r4)
         "last_touch_attribution": relational.last_touch_attribution,
+        # SCD type-2 reconstruction: per-event validity intervals
+        # [ts, lead(ts)), final state closed at corpus end — NULL-free
+        # (oracle: lead + coalesce to global max; r4)
+        "scd2_intervals": relational.scd2_intervals,
         # JSON schema-on-read: aggregate over a value extracted from the
         # semi-structured props bag — TRY_CAST(json_extract) semantics,
         # int64 partials per type (oracle: DuckDB json functions; r4)
@@ -4292,6 +4296,22 @@ SELECT touch AS attributed_type,
        CAST(sum(cents) AS BIGINT) / 100.0 AS revenue_r
 FROM w WHERE event_type = 'purchase' AND touch IS NOT NULL
 GROUP BY 1 ORDER BY 1""",
+        # validity intervals via lead under the (ts, event_id) total
+        # order; the final state closes at the corpus-max timestamp
+        "scd2_intervals": """
+WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events
+            WHERE ts IS NOT NULL),
+ e AS (SELECT user_id, event_type, epoch_us(ts) AS tu, event_id
+       FROM events
+       WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         AND event_type IS NOT NULL AND event_id IS NOT NULL)
+SELECT e.user_id, e.event_type,
+       CAST(e.tu AS BIGINT) AS valid_from_us,
+       CAST(coalesce(lead(e.tu) OVER (PARTITION BY e.user_id
+                                      ORDER BY e.tu, e.event_id),
+                     mx.m) AS BIGINT) AS valid_to_us
+FROM e CROSS JOIN mx
+ORDER BY user_id, valid_from_us, event_type""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

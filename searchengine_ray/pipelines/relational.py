@@ -11243,3 +11243,74 @@ def last_touch_attribution(sf_dir: str):
                    Sum("cents", alias_name="sum_cents"))
         .map_batches(publish, batch_format="pyarrow")
     )
+
+
+def scd2_intervals(sf_dir: str):
+    """(user_id, event_type, valid_from_us, valid_to_us): the SCD
+    type-2 reconstruction — each event opens a state VALIDITY
+    interval [ts, next-event ts) under the (ts, event_id) total
+    order; the user's final state closes at the corpus end (global
+    max event timestamp), so every interval is closed and the output
+    is NULL-free. ``state_durations`` aggregates these into dwell
+    totals; the raw interval table IS the slowly-changing-dimension
+    surface (point-in-time joins, history reconstruction,
+    ``latest_events``' full history complement). One row per event —
+    a Dataset, never a driver pull.
+
+    Scale shape: a ≤1-row-per-batch global-max pass, then ONE
+    user-hash co-partition exchange; adjacency is per-user so the
+    lead(ts) resolves locally in a lexsorted vectorized pass."""
+    def max_partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].drop_null().cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if ts.size == 0:
+            return pa.table({"m": pa.array([], type=pa.int64())})
+        return pa.table({"m": pa.array([int(ts.max())], type=pa.int64())})
+
+    src = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "ts", "event_type",
+                                      "event_id"])
+    mm = src.map_batches(max_partial, batch_format="pyarrow",
+                         batch_size=8192).to_pandas()
+    empty = pa.table({"user_id": pa.array([], type=pa.int64()),
+                      "event_type": pa.array([], type=pa.string()),
+                      "valid_from_us": pa.array([], type=pa.int64()),
+                      "valid_to_us": pa.array([], type=pa.int64())})
+    if mm.empty:
+        return empty
+    gmax = int(mm["m"].max())
+
+    def tag(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()
+        return _user_part_table(batch, {
+            "et": batch["event_type"].cast(pa.string()),
+            "eid": batch["event_id"].cast(pa.int64()),
+        })
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        if uid.size == 0:
+            return empty
+        uid = uid.astype(np.int64)
+        ts = group["ts_us"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        eid = group["eid"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        et = np.asarray(group["et"].to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, et = uid[order], ts[order], et[order]
+        nxt = np.empty(uid.size, dtype=np.int64)
+        same = uid[:-1] == uid[1:]
+        nxt[:-1] = np.where(same, ts[1:], gmax)
+        nxt[-1] = gmax
+        return pa.table({
+            "user_id": pa.array(uid),
+            "event_type": pa.array(et.tolist(), type=pa.string()),
+            "valid_from_us": pa.array(ts),
+            "valid_to_us": pa.array(nxt),
+        })
+
+    return (
+        src.map_batches(tag, batch_format="pyarrow", batch_size=8192)
+        .groupby("q").map_groups(per_partition, batch_format="pyarrow")
+    )

@@ -8048,3 +8048,44 @@ class TestLastTouchAttribution:
         assert got.loc["view", "n_purchases"] == 2
         assert got.loc["view", "revenue_r"] == 6.0
         assert len(got) == 2
+
+
+class TestScd2Intervals:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import scd2_intervals
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["user_id", "ts", "event_type",
+                                    "event_id"]).to_pandas()
+        ev["t"] = ev["ts"].astype("int64")
+        gmax = ev["t"].max()
+        exp = []
+        for uid, sub in ev.groupby("user_id"):
+            sub = sub.sort_values(["t", "event_id"])
+            t = sub["t"].tolist()
+            et = sub["event_type"].tolist()
+            for i in range(len(t)):
+                to = t[i + 1] if i + 1 < len(t) else gmax
+                exp.append((uid, et[i], t[i], to))
+        got = scd2_intervals(SF).to_pandas()
+        got_set = sorted(map(tuple, got.to_numpy()))
+        assert got_set == sorted(exp)
+
+    def test_planted_history(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import scd2_intervals
+
+        t0 = pd.Timestamp("1970-01-01")
+        rows = [(1, 0, "a", 0), (1, 10, "b", 1), (2, 5, "c", 2),
+                (3, 20, "d", 3)]   # corpus end = 20 s
+        pd.DataFrame({
+            "user_id": [r[0] for r in rows],
+            "ts": [t0 + pd.Timedelta(seconds=r[1]) for r in rows],
+            "event_type": [r[2] for r in rows],
+            "event_id": [r[3] for r in rows], "value": 0.0,
+        }).to_parquet(f"{tmp_path}/events.parquet", index=False)
+        got = scd2_intervals(str(tmp_path)).to_pandas()
+        got = sorted(map(tuple, got.to_numpy()))
+        S = 1_000_000
+        assert got == [
+            (1, "a", 0, 10 * S), (1, "b", 10 * S, 20 * S),
+            (2, "c", 5 * S, 20 * S), (3, "d", 20 * S, 20 * S)]
