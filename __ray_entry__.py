@@ -718,6 +718,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # [ts, lead(ts)), final state closed at corpus end — NULL-free
         # (oracle: lead + coalesce to global max; r4)
         "scd2_intervals": relational.scd2_intervals,
+        # cluster-quality score: centroid-based silhouette per label
+        # under cosine distance (oracle: per-dim centroid CTE + dot
+        # join; r4)
+        "label_silhouette": relational.label_silhouette,
         # JSON schema-on-read: aggregate over a value extracted from the
         # semi-structured props bag — TRY_CAST(json_extract) semantics,
         # int64 partials per type (oracle: DuckDB json functions; r4)
@@ -4312,6 +4316,36 @@ SELECT e.user_id, e.event_type,
                      mx.m) AS BIGINT) AS valid_to_us
 FROM e CROSS JOIN mx
 ORDER BY user_id, valid_from_us, event_type""",
+        # centroid silhouette: per-dim label means, per-vector cosine
+        # distance to every centroid via a dim join, s = (b−a)/max;
+        # degenerate rows drop, single-label corpora emit nothing
+        "label_silhouette": """
+WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label, embedding
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND label IS NOT NULL),
+ mx AS (SELECT max(len(embedding)) AS L FROM e),
+ u AS (SELECT e.vec_id, e.label, CAST(t.i AS BIGINT) AS dim,
+              CAST(e.embedding[CAST(t.i AS INT)] AS DOUBLE) AS v
+       FROM e, mx, LATERAL unnest(range(1, mx.L + 1)) AS t(i)),
+ m AS (SELECT label, dim, avg(v) AS mu FROM u GROUP BY 1, 2),
+ vn AS (SELECT vec_id, sqrt(sum(v * v)) AS nv FROM u GROUP BY 1),
+ cn AS (SELECT label, sqrt(sum(mu * mu)) AS nc FROM m GROUP BY 1),
+ dots AS (SELECT u.vec_id, u.label AS own, m.label AS cl,
+                 sum(u.v * m.mu) AS dp
+          FROM u JOIN m ON m.dim = u.dim GROUP BY 1, 2, 3),
+ dist AS (SELECT d.vec_id, d.own, d.cl,
+                 1.0 - d.dp / (vn.nv * cn.nc) AS dd
+          FROM dots d JOIN vn ON vn.vec_id = d.vec_id
+          JOIN cn ON cn.label = d.cl),
+ ab AS (SELECT vec_id, own,
+               max(CASE WHEN cl = own THEN dd END) AS a,
+               min(CASE WHEN cl <> own THEN dd END) AS b
+        FROM dist GROUP BY 1, 2),
+ s AS (SELECT own AS label, (b - a) / greatest(a, b) AS sil
+       FROM ab WHERE greatest(a, b) > 0)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(sil), 4) AS mean_sil_r
+FROM s GROUP BY 1 ORDER BY 1""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

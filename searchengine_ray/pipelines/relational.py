@@ -11314,3 +11314,126 @@ def scd2_intervals(sf_dir: str):
         src.map_batches(tag, batch_format="pyarrow", batch_size=8192)
         .groupby("q").map_groups(per_partition, batch_format="pyarrow")
     )
+
+
+def label_silhouette(sf_dir: str):
+    """(label, n_vecs, mean_sil_r): centroid-based (simplified)
+    silhouette of the GIVEN labels under cosine distance — per
+    vector, a = distance to its OWN label centroid, b = distance to
+    the NEAREST other centroid, s = (b − a)/max(a, b); averaged per
+    label. The single-number separation score sitting between
+    ``label_centroid_dists`` (geometry only) and
+    ``knn_label_purity`` (neighborhoods only): high purity with low
+    silhouette flags compact-but-adjacent classes. Degenerate rows
+    (max(a, b) = 0) drop on both sides; a single-label corpus emits
+    nothing (no "other" centroid exists). Mean publishes 4-dp — the
+    embedding_dim_stats precedent absorbs float merge-order drift.
+
+    Scale shape: one bounded (label × dim) centroid-partial pass
+    (driver-folded — labels × dims, never rows), then the tiny
+    centroid matrix broadcasts and every batch scores vectorized
+    (one b×L matmul); partials collapse to ≤|labels| rows."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def cpartial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch["embedding"]),
+                       pc.is_valid(batch["label"]))
+        batch = batch.filter(keep)
+        empty = pa.table({"label": pa.array([], type=pa.int64()),
+                          "dim": pa.array([], type=pa.int64()),
+                          "n": pa.array([], type=pa.int64()),
+                          "s": pa.array([], type=pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        lab = batch["label"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        m = np.asarray(batch["embedding"].to_pylist(),
+                       dtype=np.float64)
+        ul, inv = np.unique(lab, return_inverse=True)
+        dims = m.shape[1]
+        sums = np.zeros((ul.size, dims), dtype=np.float64)
+        np.add.at(sums, inv, m)
+        counts = np.bincount(inv, minlength=ul.size)
+        return pa.table({
+            "label": pa.array(np.repeat(ul, dims)),
+            "dim": pa.array(np.tile(np.arange(dims, dtype=np.int64),
+                                    ul.size)),
+            "n": pa.array(np.repeat(counts, dims).astype(np.int64)),
+            "s": pa.array(sums.ravel()),
+        })
+
+    src = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id", "label", "embedding"])
+    parts = (src.map_batches(cpartial, batch_format="pyarrow",
+                             batch_size=4096).to_pandas())
+    empty = pa.table({"label": pa.array([], type=pa.int64()),
+                      "n_vecs": pa.array([], type=pa.int64()),
+                      "mean_sil_r": pa.array([], type=pa.float64())})
+    if parts.empty:
+        return empty
+    agg = parts.groupby(["label", "dim"], as_index=False).agg(
+        n=("n", "sum"), s=("s", "sum"))
+    labels_u = np.asarray(sorted(agg["label"].unique()),
+                          dtype=np.int64)
+    if labels_u.size < 2:
+        return empty
+    dims = int(agg["dim"].max()) + 1
+    C = np.zeros((labels_u.size, dims), dtype=np.float64)
+    for i, lb in enumerate(labels_u):
+        sub = agg[agg["label"] == lb].sort_values("dim")
+        C[i] = sub["s"].to_numpy() / sub["n"].to_numpy()
+    cn = np.sqrt((C * C).sum(axis=1))
+
+    def score(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch["embedding"]),
+                       pc.is_valid(batch["label"]))
+        batch = batch.filter(keep)
+        empty_p = pa.table({"label": pa.array([], type=pa.int64()),
+                            "n": pa.array([], type=pa.int64()),
+                            "ssum": pa.array([], type=pa.float64())})
+        if batch.num_rows == 0:
+            return empty_p
+        lab = batch["label"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        bm = np.asarray(batch["embedding"].to_pylist(),
+                        dtype=np.float64)
+        bn = np.sqrt((bm * bm).sum(axis=1))
+        dd = 1.0 - (bm @ C.T) / (bn[:, None] * cn[None, :])
+        own_idx = np.searchsorted(labels_u, lab)
+        rows = np.arange(lab.size)
+        a = dd[rows, own_idx]
+        dd_other = dd.copy()
+        dd_other[rows, own_idx] = np.inf
+        b = dd_other.min(axis=1)
+        mx = np.maximum(a, b)
+        ok = mx > 0.0
+        if not ok.any():
+            return empty_p
+        sil = (b[ok] - a[ok]) / mx[ok]
+        lo = lab[ok]
+        ul, inv = np.unique(lo, return_inverse=True)
+        ssum = np.zeros(ul.size, dtype=np.float64)
+        np.add.at(ssum, inv, sil)
+        return pa.table({
+            "label": pa.array(ul),
+            "n": pa.array(np.bincount(inv, minlength=ul.size)
+                          .astype(np.int64)),
+            "ssum": pa.array(ssum),
+        })
+
+    agg2 = (src.map_batches(score, batch_format="pyarrow",
+                            batch_size=4096)
+            .groupby("label")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("ssum", alias_name="ssum"))
+            .to_pandas().sort_values("label"))
+    if agg2.empty:
+        return empty
+    n = agg2["n"].to_numpy(dtype=np.int64)
+    ssum = agg2["ssum"].to_numpy(dtype=np.float64)
+    return pa.table({
+        "label": pa.array(agg2["label"].to_numpy(dtype=np.int64)),
+        "n_vecs": pa.array(n),
+        "mean_sil_r": pa.array(_round_vec(ssum / n, 4)),
+    })

@@ -8089,3 +8089,60 @@ class TestScd2Intervals:
         assert got == [
             (1, "a", 0, 10 * S), (1, "b", 10 * S, 20 * S),
             (2, "c", 5 * S, 20 * S), (3, "d", 20 * S, 20 * S)]
+
+
+class TestLabelSilhouette:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import label_silhouette
+
+        t = pq.read_table(f"{SF}/embeddings.parquet")
+        labels = t["label"].to_numpy().astype(np.int64)
+        m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        uls = np.asarray(sorted(set(labels.tolist())))
+        C = np.vstack([m[labels == lb].mean(axis=0) for lb in uls])
+        cn = np.linalg.norm(C, axis=1)
+        bn = np.linalg.norm(m, axis=1)
+        dd = 1.0 - (m @ C.T) / (bn[:, None] * cn[None, :])
+        own = np.searchsorted(uls, labels)
+        rows = np.arange(len(labels))
+        a = dd[rows, own]
+        do = dd.copy()
+        do[rows, own] = np.inf
+        b = do.min(axis=1)
+        sil = (b - a) / np.maximum(a, b)
+        got = label_silhouette(SF).to_pandas().set_index("label")
+        for i, lb in enumerate(uls):
+            msk = labels == lb
+            assert got.loc[lb, "n_vecs"] == int(msk.sum())
+            assert abs(got.loc[lb, "mean_sil_r"]
+                       - sil[msk].mean()) < 1e-3
+
+    def test_planted_orthogonal(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import label_silhouette
+
+        tbl = pa.table({
+            "vec_id": pa.array([1, 2, 3], type=pa.int64()),
+            "embedding": pa.array(
+                [[1.0, 0.0], [0.0, 1.0], [0.0, 1.0]],
+                type=pa.list_(pa.float32())),
+            "label": pa.array([0, 1, 1], type=pa.int32()),
+        })
+        pq.write_table(tbl, f"{tmp_path}/embeddings.parquet")
+        got = label_silhouette(str(tmp_path)).to_pandas() \
+            .set_index("label")
+        # orthogonal clusters, every vector AT its centroid → a = 0,
+        # b = 1, silhouette 1.0
+        assert got.loc[0, "mean_sil_r"] == 1.0
+        assert got.loc[1, "mean_sil_r"] == 1.0
+
+    def test_single_label_empty(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import label_silhouette
+
+        tbl = pa.table({
+            "vec_id": pa.array([1, 2], type=pa.int64()),
+            "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]],
+                                  type=pa.list_(pa.float32())),
+            "label": pa.array([7, 7], type=pa.int32()),
+        })
+        pq.write_table(tbl, f"{tmp_path}/embeddings.parquet")
+        assert len(label_silhouette(str(tmp_path)).to_pandas()) == 0
