@@ -722,6 +722,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # under cosine distance (oracle: per-dim centroid CTE + dot
         # join; r4)
         "label_silhouette": relational.label_silhouette,
+        # MERGE-style CDC apply: events as a keyed changelog with
+        # 'error' = DELETE tombstone, last-op-wins current-state table
+        # (oracle: row_number DESC = 1 + tombstone filter; r4)
+        "cdc_apply": relational.cdc_apply,
+        # categorical dependence: mutual information (nats) + NMI
+        # between event type and day-of-week over the tiny joint
+        # histogram (oracle: joint/marginal CTE arithmetic; r4)
+        "type_dow_mi": relational.type_dow_mi,
+        # risk KPI: maximum drawdown of the zero-filled daily revenue
+        # series — earliest trough, earliest governing peak, all-cent
+        # integer output (oracle: running-max window + argmax; r4)
+        "max_drawdown": relational.max_drawdown,
         # JSON schema-on-read: aggregate over a value extracted from the
         # semi-structured props bag — TRY_CAST(json_extract) semantics,
         # int64 partials per type (oracle: DuckDB json functions; r4)
@@ -4346,6 +4358,84 @@ WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label, embedding
 SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
        round(avg(sil), 4) AS mean_sil_r
 FROM s GROUP BY 1 ORDER BY 1""",
+        # CDC apply: last op per key under (ts, event_id), tombstone
+        # ('error') keys absent; n_ops counts every op incl. deletes
+        "cdc_apply": """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+                  event_id, value
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             AND event_type IS NOT NULL AND event_id IS NOT NULL),
+ r AS (SELECT *,
+              row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts_us DESC,
+                                          event_id DESC) AS rn,
+              count(*) OVER (PARTITION BY user_id) AS n_ops
+       FROM e)
+SELECT user_id, event_type AS state_type,
+       CAST(ts_us AS BIGINT) AS ts_us, event_id,
+       value AS state_value, CAST(n_ops AS BIGINT) AS n_ops
+FROM r WHERE rn = 1 AND event_type <> 'error'
+ORDER BY user_id""",
+        # MI over the (type, dow) joint histogram; dow is the repo's
+        # pure epoch convention; NMI degenerates to 0 with a
+        # single-category marginal
+        "type_dow_mi": """
+WITH e AS (SELECT event_type,
+                  (epoch_us(ts) // 86400000000 + 3) % 7 AS dow
+           FROM events
+           WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+ j AS (SELECT event_type, dow,
+              CAST(count(*) AS DOUBLE) AS nxy
+       FROM e GROUP BY 1, 2),
+ n AS (SELECT sum(nxy) AS n FROM j),
+ mx AS (SELECT event_type, sum(nxy) AS nx FROM j GROUP BY 1),
+ my AS (SELECT dow, sum(nxy) AS ny FROM j GROUP BY 1),
+ mi AS (SELECT sum((j.nxy / n.n)
+                   * ln(j.nxy * n.n / (mx.nx * my.ny))) AS mi
+        FROM j CROSS JOIN n
+        JOIN mx USING (event_type) JOIN my USING (dow)),
+ hx AS (SELECT -sum((nx / n.n) * ln(nx / n.n)) AS hx
+        FROM mx CROSS JOIN n),
+ hy AS (SELECT -sum((ny / n.n) * ln(ny / n.n)) AS hy
+        FROM my CROSS JOIN n)
+SELECT CAST(n.n AS BIGINT) AS n_events, round(mi.mi, 4) AS mi_r,
+       round(CASE WHEN hx.hx > 0 AND hy.hy > 0
+                  THEN mi.mi / sqrt(hx.hx * hy.hy)
+                  ELSE 0 END, 4) AS nmi_r
+FROM n CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy""",
+        # max drawdown over the zero-filled daily cents series:
+        # earliest trough (ORDER tie-break), earliest peak <= trough
+        # attaining the running max; all-integer output
+        "max_drawdown": """
+WITH v AS (SELECT epoch_us(ts) // 86400000000 * 86400000000 AS d,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events
+           WHERE ts IS NOT NULL AND value IS NOT NULL
+             AND NOT isnan(value)),
+ dt AS (SELECT d, CAST(sum(cents) AS BIGINT) AS c FROM v GROUP BY 1),
+ b AS (SELECT min(d) AS lo, max(d) AS hi FROM dt),
+ g AS (SELECT CAST(t.x AS BIGINT) AS day_us
+       FROM b, LATERAL unnest(range(lo, hi + 86400000000,
+                                    86400000000)) AS t(x)),
+ s AS (SELECT g.day_us, CAST(coalesce(dt.c, 0) AS BIGINT) AS v
+       FROM g LEFT JOIN dt ON dt.d = g.day_us),
+ r AS (SELECT day_us, v,
+              max(v) OVER (ORDER BY day_us
+                           ROWS UNBOUNDED PRECEDING) AS rm
+       FROM s),
+ t AS (SELECT day_us AS trough_day_us, v AS trough_cents,
+              rm AS peak_cents, rm - v AS drawdown_cents
+       FROM r ORDER BY drawdown_cents DESC, day_us ASC LIMIT 1)
+SELECT CAST((SELECT min(day_us) FROM r
+             WHERE r.v = t.peak_cents
+               AND r.day_us <= t.trough_day_us) AS BIGINT)
+         AS peak_day_us,
+       CAST(t.trough_day_us AS BIGINT) AS trough_day_us,
+       CAST(t.peak_cents AS BIGINT) AS peak_cents,
+       CAST(t.trough_cents AS BIGINT) AS trough_cents,
+       CAST(t.drawdown_cents AS BIGINT) AS drawdown_cents
+FROM t""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

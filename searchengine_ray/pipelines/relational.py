@@ -11437,3 +11437,241 @@ def label_silhouette(sf_dir: str):
         "n_vecs": pa.array(n),
         "mean_sil_r": pa.array(_round_vec(ssum / n, 4)),
     })
+
+
+def cdc_apply(sf_dir: str):
+    """(user_id, state_type, ts_us, event_id, state_value, n_ops):
+    MERGE-style CDC apply — the events stream is a keyed changelog on
+    ``user_id`` where an ``'error'`` event is a DELETE tombstone and
+    every other type an UPSERT of (type, value); ops apply in
+    (ts, event_id) order and the output is the CURRENT state table:
+    one row per surviving key carrying its last upsert, keys whose
+    final op is a delete are ABSENT, and ``n_ops`` counts every op
+    (deletes included) that touched the key. ``latest_events`` is the
+    per-(user, type) LWW compaction; this adds the tombstone
+    semantics every changelog consumer (Debezium-style sink, iceberg
+    MERGE INTO) actually applies. Values pass through untouched.
+
+    Scale shape: each batch compacts map-side to ≤ one row per user
+    present (argmax by (ts, event_id)) plus a per-user op count, so
+    the exchange carries key-cardinality rows; ONE user-hash
+    co-partition exchange, then a per-partition vectorized final
+    argmax + segmented count sum (lexsort + boundary mask, no
+    per-key Python). Output stays a distributed Dataset sized by
+    live keys."""
+    import pandas as pd
+
+    _empty = {
+        "q": pa.array([], type=pa.int64()),
+        "user_id": pa.array([], type=pa.int64()),
+        "event_type": pa.array([], type=pa.string()),
+        "ts_us": pa.array([], type=pa.int64()),
+        "event_id": pa.array([], type=pa.int64()),
+        "value": pa.array([], type=pa.float64()),
+        "n_part": pa.array([], type=pa.int64()),
+    }
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            "event_type": batch["event_type"].to_numpy(
+                zero_copy_only=False),
+            "ts_us": batch["ts"].cast(pa.timestamp("us"))
+            .cast(pa.int64()).to_numpy(zero_copy_only=False),
+            "event_id": batch["event_id"].to_numpy(zero_copy_only=False),
+            "value": batch["value"].to_numpy(zero_copy_only=False),
+        }).dropna(subset=["user_id", "event_type", "ts_us", "event_id"])
+        if df.empty:
+            return pa.table(_empty)
+        counts = df.groupby("user_id").size()
+        g = df.sort_values(["user_id", "ts_us", "event_id"],
+                           kind="mergesort") \
+            .drop_duplicates(subset=["user_id"], keep="last")
+        u = g["user_id"].to_numpy(dtype=np.int64)
+        return pa.table({
+            "q": pa.array((u % _USER_PARTITIONS).astype(np.int64)),
+            "user_id": pa.array(u),
+            "event_type": pa.array(g["event_type"].tolist(),
+                                   type=pa.string()),
+            "ts_us": pa.array(g["ts_us"].to_numpy(dtype=np.int64)),
+            "event_id": pa.array(g["event_id"].to_numpy(dtype=np.int64)),
+            "value": pa.array(g["value"].to_numpy(dtype=np.float64)),
+            "n_part": pa.array(counts.loc[u].to_numpy(dtype=np.int64)),
+        })
+
+    def final(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = group["ts_us"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        eid = group["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        npart = group["n_part"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid_s, ts_s, eid_s = uid[order], ts[order], eid[order]
+        last = np.empty(uid_s.size, dtype=bool)
+        last[-1] = True
+        last[:-1] = uid_s[1:] != uid_s[:-1]
+        # per-user total op count: segmented sum of the map-side partials
+        starts = np.nonzero(np.concatenate(
+            ([True], uid_s[1:] != uid_s[:-1])))[0]
+        nsum = np.add.reduceat(npart[order], starts)
+        idx = order[last]
+        et = group["event_type"].to_numpy(zero_copy_only=False)[idx]
+        keep = et != "error"
+        return pa.table({
+            "user_id": pa.array(uid[idx][keep]),
+            "state_type": pa.array(et[keep].tolist(), type=pa.string()),
+            "ts_us": pa.array(ts[idx][keep]),
+            "event_id": pa.array(eid[idx][keep]),
+            "state_value": pa.array(
+                group["value"].to_numpy(zero_copy_only=False)[idx][keep]
+                .astype(np.float64)),
+            "n_ops": pa.array(nsum[keep]),
+        })
+
+    return (
+        read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_type", "ts", "event_id", "value"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("q").map_groups(final, batch_format="pyarrow")
+    )
+
+
+def type_dow_mi(sf_dir: str):
+    """(n_events, mi_r, nmi_r): mutual information between the
+    event-type and day-of-week columns — the categorical-dependence
+    audit (is traffic mix weekday-stable?) that the per-cell views
+    (``pivot_events``, ``seasonal_dow_index``) summarize but never
+    score. MI in nats over the joint (type, dow) histogram; NMI
+    normalizes by sqrt(H(type)·H(dow)) and publishes 0 when either
+    marginal is degenerate (single type or single dow — MI is 0
+    there too). Cells sum in sorted (type, dow) order so the ≤
+    |types|×7 float fold is deterministic; 4-dp publish absorbs the
+    engine-vs-SQL association drift. Day-of-week uses the repo's
+    pure epoch convention ((d // DAY + 3) % 7, 0 = Monday) — no
+    datetime parsing per row.
+
+    Scale shape: map-side (type, dow) count partials inside each
+    batch → a ≤ 7·|types|-group combine → driver math on the tiny
+    contingency matrix. One pruned-column pass, no exchange wider
+    than the cell count."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = (batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        dow = ((ts // DAY_US) + 3) % 7
+        g = pd.DataFrame({"event_type": et, "dow": dow, "n": 1}) \
+            .groupby(["event_type", "dow"], as_index=False).agg(
+                n=("n", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby(["event_type", "dow"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    if cells.empty:
+        return pa.table({"n_events": pa.array([], type=pa.int64()),
+                         "mi_r": pa.array([], type=pa.float64()),
+                         "nmi_r": pa.array([], type=pa.float64())})
+    cells = cells.sort_values(["event_type", "dow"],
+                              kind="mergesort").reset_index(drop=True)
+    nxy = cells["n"].to_numpy(dtype=np.float64)
+    n = nxy.sum()
+    nx = cells.groupby("event_type")["n"].transform("sum") \
+        .to_numpy(dtype=np.float64)
+    ny = cells.groupby("dow")["n"].transform("sum") \
+        .to_numpy(dtype=np.float64)
+    mi = float(((nxy / n) * np.log(nxy * n / (nx * ny))).sum())
+    px = cells.groupby("event_type")["n"].sum() \
+        .to_numpy(dtype=np.float64) / n
+    py = cells.groupby("dow")["n"].sum() \
+        .to_numpy(dtype=np.float64) / n
+    hx = float(-(px * np.log(px)).sum())
+    hy = float(-(py * np.log(py)).sum())
+    nmi = mi / np.sqrt(hx * hy) if hx > 0.0 and hy > 0.0 else 0.0
+    return pa.table({
+        "n_events": pa.array([int(n)], type=pa.int64()),
+        "mi_r": pa.array([round_half_away(mi, 4)]),
+        "nmi_r": pa.array([round_half_away(float(nmi), 4)]),
+    })
+
+
+def max_drawdown(sf_dir: str):
+    """(peak_day_us, trough_day_us, peak_cents, trough_cents,
+    drawdown_cents): maximum drawdown of the zero-filled daily
+    revenue series — the largest peak-to-trough fall (running-max
+    minus current, maximized), the risk-style KPI complement of
+    ``bollinger_bands``' envelope and ``cusum_changepoint``'s mean
+    shift. Ties break to the EARLIEST trough day; the governing peak
+    is the EARLIEST day ≤ trough attaining the running max. All-cent
+    integer output → hash-exact, no float publish at all. A monotone
+    non-decreasing series emits drawdown 0 anchored at day 0 (both
+    sides agree by the same tie-break).
+
+    Scale shape: the daily-cents Sum is the only exchange
+    (calendar-bounded groups); the running max / argmax scan runs on
+    the driver over the day frame — the ema/holt disclosed
+    discipline."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        v, ts = v[ok], ts[ok].astype(np.int64)
+        if v.size == 0:
+            return pa.table({"d": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+        cents = np.rint(v * 100.0).astype(np.int64)
+        day = ts // DAY_US * DAY_US
+        ud, inv = np.unique(day, return_inverse=True)
+        cs = np.zeros(ud.size, dtype=np.int64)
+        np.add.at(cs, inv, cents)
+        return pa.table({"d": pa.array(ud), "c": pa.array(cs)})
+
+    daily = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["ts", "value"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("d").aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    empty = pa.table({
+        "peak_day_us": pa.array([], type=pa.int64()),
+        "trough_day_us": pa.array([], type=pa.int64()),
+        "peak_cents": pa.array([], type=pa.int64()),
+        "trough_cents": pa.array([], type=pa.int64()),
+        "drawdown_cents": pa.array([], type=pa.int64()),
+    })
+    if daily.empty:
+        return empty
+    daily = daily.sort_values("d")
+    od = daily["d"].to_numpy(dtype=np.int64)
+    oc = daily["c"].to_numpy(dtype=np.int64)
+    grid = np.arange(od[0], od[-1] + DAY_US, DAY_US, dtype=np.int64)
+    v = np.zeros(grid.size, dtype=np.int64)
+    v[(od - grid[0]) // DAY_US] = oc
+    rm = np.maximum.accumulate(v)
+    dd = rm - v
+    ti = int(np.argmax(dd))  # argmax takes the FIRST max — earliest trough
+    peak_cents = int(rm[ti])
+    pi = int(np.nonzero(v[: ti + 1] == peak_cents)[0][0])
+    return pa.table({
+        "peak_day_us": pa.array([int(grid[pi])], type=pa.int64()),
+        "trough_day_us": pa.array([int(grid[ti])], type=pa.int64()),
+        "peak_cents": pa.array([peak_cents], type=pa.int64()),
+        "trough_cents": pa.array([int(v[ti])], type=pa.int64()),
+        "drawdown_cents": pa.array([int(dd[ti])], type=pa.int64()),
+    })

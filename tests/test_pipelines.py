@@ -8146,3 +8146,211 @@ class TestLabelSilhouette:
         })
         pq.write_table(tbl, f"{tmp_path}/embeddings.parquet")
         assert len(label_silhouette(str(tmp_path)).to_pandas()) == 0
+
+
+class TestCdcApply:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import cdc_apply
+
+        ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+        ev = ev.dropna(subset=["user_id", "ts", "event_type",
+                               "event_id"])
+        ev["ts_us"] = ev["ts"].astype("int64")
+        got = cdc_apply(SF).to_pandas().set_index("user_id") \
+            .sort_index()
+        exp_rows = {}
+        for uid, g in ev.groupby("user_id"):
+            g = g.sort_values(["ts_us", "event_id"], kind="mergesort")
+            last = g.iloc[-1]
+            if last["event_type"] != "error":
+                exp_rows[int(uid)] = (last["event_type"],
+                                      int(last["ts_us"]),
+                                      int(last["event_id"]),
+                                      float(last["value"]), len(g))
+        assert sorted(got.index.tolist()) == sorted(exp_rows)
+        for uid, (st, ts, eid, val, nops) in exp_rows.items():
+            row = got.loc[uid]
+            assert row["state_type"] == st
+            assert row["ts_us"] == ts
+            assert row["event_id"] == eid
+            assert row["state_value"] == val
+            assert row["n_ops"] == nops
+
+    def test_planted_tombstone(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import cdc_apply
+
+        S = 1_000_000
+        tbl = pa.table({
+            "event_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+            "ts": pa.array([1 * S, 2 * S, 3 * S, 1 * S, 2 * S],
+                           type=pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 1, 2, 2], type=pa.int64()),
+            "event_type": pa.array(
+                ["view", "error", "purchase", "view", "error"]),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0]),
+            "props": pa.array(["{}"] * 5),
+        })
+        pq.write_table(tbl, f"{tmp_path}/events.parquet")
+        got = cdc_apply(str(tmp_path)).to_pandas()
+        # user 1 ends on an upsert (revived after a delete); user 2's
+        # final op is the tombstone -> absent
+        assert got["user_id"].tolist() == [1]
+        assert got.iloc[0]["state_type"] == "purchase"
+        assert got.iloc[0]["state_value"] == 3.0
+        assert got.iloc[0]["n_ops"] == 3
+
+    def test_tie_breaks_on_event_id(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import cdc_apply
+
+        S = 1_000_000
+        tbl = pa.table({
+            "event_id": pa.array([7, 9, 8], type=pa.int64()),
+            "ts": pa.array([S, S, S], type=pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 1], type=pa.int64()),
+            "event_type": pa.array(["view", "click", "purchase"]),
+            "value": pa.array([1.0, 2.0, 3.0]),
+            "props": pa.array(["{}"] * 3),
+        })
+        pq.write_table(tbl, f"{tmp_path}/events.parquet")
+        got = cdc_apply(str(tmp_path)).to_pandas()
+        # same ts: highest event_id (9, 'click') wins
+        assert got.iloc[0]["state_type"] == "click"
+        assert got.iloc[0]["n_ops"] == 3
+
+
+class TestTypeDowMi:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import type_dow_mi
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["ts", "event_type"]).to_pandas()
+        ev = ev.dropna()
+        dow = (ev["ts"].astype("int64") // 86_400_000_000 + 3) % 7
+        joint = pd.crosstab(ev["event_type"], dow).to_numpy() \
+            .astype(float)
+        n = joint.sum()
+        px = joint.sum(axis=1) / n
+        py = joint.sum(axis=0) / n
+        p = joint / n
+        with np.errstate(divide="ignore", invalid="ignore"):
+            terms = p * np.log(p / np.outer(px, py))
+        mi = np.nansum(terms)
+        hx = -(px * np.log(px)).sum()
+        hy = -(py * np.log(py)).sum()
+        got = type_dow_mi(SF).to_pandas().iloc[0]
+        assert got["n_events"] == int(n)
+        assert abs(got["mi_r"] - mi) < 1e-3
+        assert abs(got["nmi_r"] - mi / np.sqrt(hx * hy)) < 1e-3
+
+    def test_independent_is_zero(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import type_dow_mi
+
+        DAY = 86_400_000_000
+        # 2 types x 2 days, perfectly balanced -> MI = 0
+        ts, et = [], []
+        for d in range(2):
+            for t in ("a", "b"):
+                for _ in range(5):
+                    ts.append(d * DAY + len(ts))
+                    et.append(t)
+        tbl = pa.table({
+            "event_id": pa.array(range(len(ts)), type=pa.int64()),
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+            "user_id": pa.array([1] * len(ts), type=pa.int64()),
+            "event_type": pa.array(et),
+            "value": pa.array([1.0] * len(ts)),
+            "props": pa.array(["{}"] * len(ts)),
+        })
+        pq.write_table(tbl, f"{tmp_path}/events.parquet")
+        got = type_dow_mi(str(tmp_path)).to_pandas().iloc[0]
+        assert got["mi_r"] == 0.0
+        assert got["nmi_r"] == 0.0
+
+    def test_deterministic_is_full_dependence(self, ray_session,
+                                              tmp_path):
+        from searchengine_ray.pipelines.relational import type_dow_mi
+
+        DAY = 86_400_000_000
+        # type fully determined by day -> NMI = 1 (symmetric 2x2)
+        ts = [0] * 5 + [DAY] * 5
+        et = ["a"] * 5 + ["b"] * 5
+        tbl = pa.table({
+            "event_id": pa.array(range(10), type=pa.int64()),
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+            "user_id": pa.array([1] * 10, type=pa.int64()),
+            "event_type": pa.array(et),
+            "value": pa.array([1.0] * 10),
+            "props": pa.array(["{}"] * 10),
+        })
+        pq.write_table(tbl, f"{tmp_path}/events.parquet")
+        got = type_dow_mi(str(tmp_path)).to_pandas().iloc[0]
+        assert got["nmi_r"] == 1.0
+
+
+class TestMaxDrawdown:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import max_drawdown
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["ts", "value"]).to_pandas()
+        ev = ev.dropna()
+        day = (ev["ts"].astype("int64") // 86_400_000_000
+               * 86_400_000_000)
+        cents = np.rint(ev["value"].to_numpy() * 100).astype(np.int64)
+        daily = pd.DataFrame({"d": day, "c": cents}) \
+            .groupby("d")["c"].sum().sort_index()
+        grid = np.arange(daily.index[0],
+                         daily.index[-1] + 86_400_000_000,
+                         86_400_000_000, dtype=np.int64)
+        v = np.zeros(grid.size, dtype=np.int64)
+        v[(daily.index.to_numpy() - grid[0]) // 86_400_000_000] = \
+            daily.to_numpy()
+        rm = np.maximum.accumulate(v)
+        dd = rm - v
+        ti = int(np.argmax(dd))
+        got = max_drawdown(SF).to_pandas().iloc[0]
+        assert got["trough_day_us"] == grid[ti]
+        assert got["drawdown_cents"] == dd[ti]
+        assert got["peak_cents"] == rm[ti]
+
+    def test_planted_series(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import max_drawdown
+
+        DAY = 86_400_000_000
+        # daily cents: 100, 300, 50, 300, 20 -> max dd = 300-20 = 280
+        vals = [1.0, 3.0, 0.5, 3.0, 0.2]
+        tbl = pa.table({
+            "event_id": pa.array(range(5), type=pa.int64()),
+            "ts": pa.array([i * DAY for i in range(5)],
+                           type=pa.timestamp("us")),
+            "user_id": pa.array([1] * 5, type=pa.int64()),
+            "event_type": pa.array(["view"] * 5),
+            "value": pa.array(vals),
+            "props": pa.array(["{}"] * 5),
+        })
+        pq.write_table(tbl, f"{tmp_path}/events.parquet")
+        got = max_drawdown(str(tmp_path)).to_pandas().iloc[0]
+        assert got["drawdown_cents"] == 280
+        assert got["trough_day_us"] == 4 * DAY
+        # earliest peak attaining 300 is day 1, not day 3
+        assert got["peak_day_us"] == 1 * DAY
+        assert got["trough_cents"] == 20
+
+    def test_monotone_zero(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import max_drawdown
+
+        DAY = 86_400_000_000
+        tbl = pa.table({
+            "event_id": pa.array(range(3), type=pa.int64()),
+            "ts": pa.array([i * DAY for i in range(3)],
+                           type=pa.timestamp("us")),
+            "user_id": pa.array([1] * 3, type=pa.int64()),
+            "event_type": pa.array(["view"] * 3),
+            "value": pa.array([1.0, 2.0, 3.0]),
+            "props": pa.array(["{}"] * 3),
+        })
+        pq.write_table(tbl, f"{tmp_path}/events.parquet")
+        got = max_drawdown(str(tmp_path)).to_pandas().iloc[0]
+        assert got["drawdown_cents"] == 0
+        assert got["peak_day_us"] == 0
+        assert got["trough_day_us"] == 0
