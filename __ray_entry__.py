@@ -734,6 +734,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # series — earliest trough, earliest governing peak, all-cent
         # integer output (oracle: running-max window + argmax; r4)
         "max_drawdown": relational.max_drawdown,
+        # classical additive decomposition: centered 7-day trend +
+        # centered per-dow seasonal + residual with integer detrended
+        # numerators (oracle: window sums + dow CTE; r4)
+        "seasonal_decompose": relational.seasonal_decompose,
+        # bounded inventory ledger: clamped integer running stock —
+        # non-linear recurrence, all-int output (oracle: recursive
+        # CTE with greatest/least clamp; r4)
+        "capped_inventory": relational.capped_inventory,
+        # graph mixing: degree assortativity of the purchase graph
+        # from exact integer moments over edges (oracle: edge CTE +
+        # degree joins + Pearson arithmetic; r4)
+        "degree_assortativity": graph.degree_assortativity,
         # JSON schema-on-read: aggregate over a value extracted from the
         # semi-structured props bag — TRY_CAST(json_extract) semantics,
         # int64 partials per type (oracle: DuckDB json functions; r4)
@@ -4436,6 +4448,104 @@ SELECT CAST((SELECT min(day_us) FROM r
        CAST(t.trough_cents AS BIGINT) AS trough_cents,
        CAST(t.drawdown_cents AS BIGINT) AS drawdown_cents
 FROM t""",
+        # additive decomposition: exact 7-day cent window sums, the
+        # detrended value is the rational (7c - s7)/700 with integer
+        # numerator so per-dow means fold exact ints both sides
+        "seasonal_decompose": """
+WITH v AS (SELECT epoch_us(ts) // 86400000000 * 86400000000 AS d,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events
+           WHERE ts IS NOT NULL AND value IS NOT NULL
+             AND NOT isnan(value)),
+ dt AS (SELECT d, CAST(sum(cents) AS BIGINT) AS c FROM v GROUP BY 1),
+ b AS (SELECT min(d) AS lo, max(d) AS hi FROM dt),
+ g AS (SELECT CAST(t.x AS BIGINT) AS d
+       FROM b, LATERAL unnest(range(lo, hi + 86400000000,
+                                    86400000000)) AS t(x)),
+ f AS (SELECT g.d, CAST(coalesce(dt.c, 0) AS BIGINT) AS c,
+              row_number() OVER (ORDER BY g.d) AS rn
+       FROM g LEFT JOIN dt ON dt.d = g.d),
+ w AS (SELECT d, c, rn,
+              CAST(sum(c) OVER (ORDER BY rn ROWS BETWEEN 3 PRECEDING
+                                AND 3 FOLLOWING) AS BIGINT) AS s7,
+              count(*) OVER (ORDER BY rn ROWS BETWEEN 3 PRECEDING
+                             AND 3 FOLLOWING) AS n7
+       FROM f),
+ det AS (SELECT d, (d // 86400000000 + 3) % 7 AS dow, c, s7,
+                7 * c - s7 AS u
+         FROM w WHERE n7 = 7),
+ m AS (SELECT dow, CAST(sum(u) AS BIGINT) AS su,
+              CAST(count(*) AS BIGINT) AS nd
+       FROM det GROUP BY 1),
+ md AS (SELECT dow, CAST(su AS DOUBLE) / (700.0 * nd) AS md FROM m),
+ gm AS (SELECT avg(md) AS gm FROM md),
+ se AS (SELECT md.dow, md.md - gm.gm AS seas FROM md CROSS JOIN gm)
+SELECT det.d AS day_us, CAST(det.dow AS BIGINT) AS dow,
+       round(det.c / 100.0, 4) AS x_r,
+       round(det.s7 / 700.0, 4) AS trend_r,
+       round(se.seas, 4) AS seasonal_r,
+       round(det.u / 700.0 - se.seas, 4) AS resid_r
+FROM det JOIN se ON se.dow = det.dow
+ORDER BY day_us""",
+        # clamped integer inventory walk: the recursive CTE carries the
+        # same greatest/least recurrence over the zero-filled day grid
+        "capped_inventory": """
+WITH RECURSIVE v AS (
+    SELECT epoch_us(l_shipdate) // 86400000000 * 86400000000 AS d,
+           CASE WHEN l_returnflag = 'R'
+                THEN CAST(round(l_quantity) AS BIGINT)
+                ELSE -CAST(round(l_quantity) AS BIGINT) END AS q
+    FROM lineitem
+    WHERE l_shipdate IS NOT NULL AND l_quantity IS NOT NULL
+      AND l_returnflag IN ('R', 'A')),
+ dt AS (SELECT d, CAST(sum(q) AS BIGINT) AS f FROM v GROUP BY 1),
+ b AS (SELECT min(d) AS lo, max(d) AS hi FROM dt),
+ g AS (SELECT CAST(t.x AS BIGINT) AS d
+       FROM b, LATERAL unnest(range(lo, hi + 86400000000,
+                                    86400000000)) AS t(x)),
+ f AS (SELECT g.d, CAST(coalesce(dt.f, 0) AS BIGINT) AS fl,
+              row_number() OVER (ORDER BY g.d) AS rn
+       FROM g LEFT JOIN dt ON dt.d = g.d),
+ r AS (SELECT rn, fl,
+              greatest(CAST(0 AS BIGINT),
+                       least(CAST(2000 AS BIGINT),
+                             1000 + fl)) AS s
+       FROM f WHERE rn = 1
+       UNION ALL
+       SELECT f.rn, f.fl,
+              greatest(CAST(0 AS BIGINT),
+                       least(CAST(2000 AS BIGINT), r.s + f.fl)) AS s
+       FROM r JOIN f ON f.rn = r.rn + 1)
+SELECT f.d AS day_us, CAST(f.fl AS BIGINT) AS flow_units,
+       CAST(r.s AS BIGINT) AS stock_units
+FROM f JOIN r ON r.rn = f.rn
+ORDER BY day_us""",
+        # degree assortativity: distinct purchase edges, endpoint
+        # degrees, Pearson over edges from exact HUGEINT moments;
+        # zero variance publishes 0
+        "degree_assortativity": """
+WITH e AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+           FROM orders o
+           JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+ dc AS (SELECT c, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+ ds AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+ xy AS (SELECT dc.d AS x, ds.d AS y
+        FROM e JOIN dc ON dc.c = e.c JOIN ds ON ds.s = e.s),
+ m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+              CAST(sum(x) AS HUGEINT) AS sx,
+              CAST(sum(y) AS HUGEINT) AS sy,
+              CAST(sum(x * x) AS HUGEINT) AS sxx,
+              CAST(sum(y * y) AS HUGEINT) AS syy,
+              CAST(sum(x * y) AS HUGEINT) AS sxy
+       FROM xy)
+SELECT CAST(n AS BIGINT) AS n_edges,
+       round(CASE WHEN n * sxx - sx * sx > 0
+                   AND n * syy - sy * sy > 0
+                  THEN (n * sxy - sx * sy)
+                       / sqrt(CAST((n * sxx - sx * sx)
+                                   * (n * syy - sy * sy) AS DOUBLE))
+                  ELSE 0 END, 4) AS assort_r
+FROM m""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

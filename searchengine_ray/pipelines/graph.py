@@ -698,3 +698,66 @@ def kcore_purchases(sf_dir: str, k: int = KCORE_K,
         "key": pa.array(out["key"].to_numpy(dtype=np.int64)),
         "degree": pa.array(out["degree"].to_numpy(dtype=np.int64)),
     })
+
+
+def degree_assortativity(sf_dir: str):
+    """(n_edges, assort_r): degree assortativity of the distinct
+    customer→supplier purchase graph — the Pearson correlation,
+    over edges, between the customer endpoint's degree and the
+    supplier endpoint's degree. Negative = high-degree customers
+    buy from low-degree suppliers (hub-to-leaf mixing), the one
+    global mixing number the per-node views (``kcore_purchases``,
+    ``pagerank_purchases``) don't expose. Moments fold EXACT
+    integers (degrees are counts): Σx, Σy, Σx², Σy², Σxy per batch
+    in int64, Python-int fold on the driver, one float division at
+    the end — 4-dp publish. Zero variance on either side (a
+    degree-regular graph) publishes 0.
+
+    Scale shape: the edge build is ``_build_edges``' shared
+    orderkey co-partition + src-hash distinct (out-degree arrives
+    free on every edge row); supplier in-degrees are one
+    ≤|suppliers|-group combine broadcast back as a sorted lookup;
+    the moment pass is map-side partials only — no further
+    exchange. Reference parity: the graph is the same distinct
+    purchase relation ``pagerank_purchases`` walks."""
+    import math
+
+    edges = _build_edges(sf_dir)
+    sd = edges.groupby("dst").count().to_pandas()
+    if sd.empty:
+        return pa.table({"n_edges": pa.array([], type=pa.int64()),
+                         "assort_r": pa.array([], type=pa.float64())})
+    dst_keys = np.sort(sd["dst"].to_numpy(dtype=np.int64))
+    deg_s = sd.sort_values("dst")["count()"] \
+        .to_numpy(dtype=np.int64)
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = batch["od"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = batch["dst"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        y = deg_s[np.searchsorted(dst_keys, dst)]
+        return pa.table({
+            "n": pa.array([x.size], type=pa.int64()),
+            "sx": pa.array([int(x.sum())], type=pa.int64()),
+            "sy": pa.array([int(y.sum())], type=pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], type=pa.int64()),
+            "syy": pa.array([int((y * y).sum())], type=pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], type=pa.int64()),
+        })
+
+    parts = edges.map_batches(moments, batch_format="pyarrow",
+                              batch_size=8192).to_pandas()
+    n = int(parts["n"].sum())
+    sx, sy = int(parts["sx"].sum()), int(parts["sy"].sum())
+    sxx, syy = int(parts["sxx"].sum()), int(parts["syy"].sum())
+    sxy = int(parts["sxy"].sum())
+    num = n * sxy - sx * sy
+    d1 = n * sxx - sx * sx
+    d2 = n * syy - sy * sy
+    r = float(num) / math.sqrt(float(d1 * d2)) \
+        if d1 > 0 and d2 > 0 else 0.0
+    from searchengine_ray.pipelines.fulltext import round_half_away
+    return pa.table({
+        "n_edges": pa.array([n], type=pa.int64()),
+        "assort_r": pa.array([round_half_away(r, 4)]),
+    })

@@ -11675,3 +11675,167 @@ def max_drawdown(sf_dir: str):
         "trough_cents": pa.array([int(v[ti])], type=pa.int64()),
         "drawdown_cents": pa.array([int(dd[ti])], type=pa.int64()),
     })
+
+
+def seasonal_decompose(sf_dir: str):
+    """(day_us, dow, x_r, trend_r, seasonal_r, resid_r): classical
+    additive decomposition of the zero-filled daily revenue series —
+    trend = centered 7-day moving mean (full windows only, edge days
+    drop), seasonal = per-dow mean of the detrended series centered
+    to zero across the present dows, residual = the rest. The
+    STL-lite surface between ``seasonal_dow_index`` (dow index only)
+    and ``holt_trend`` (recursive smoothing): it SPLITS the series
+    into components instead of summarizing or forecasting it.
+
+    Exactness: the detrended value is the rational (7·c_t − s7_t)/700
+    with an INTEGER numerator (c = day cents, s7 = exact 7-day cent
+    sum), so the per-dow means fold exact int64 sums on both sides
+    and only the final ≤7-term centering and the publishes are
+    float — 4-dp absorbs that. Series shorter than 7 days emit
+    nothing.
+
+    Scale shape: daily cents via one calendar-bounded Sum; the
+    sliding sum / dow fold runs on the driver over the day frame
+    (the ema/holt disclosed discipline)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        v, ts = v[ok], ts[ok].astype(np.int64)
+        if v.size == 0:
+            return pa.table({"d": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+        cents = np.rint(v * 100.0).astype(np.int64)
+        day = ts // DAY_US * DAY_US
+        ud, inv = np.unique(day, return_inverse=True)
+        cs = np.zeros(ud.size, dtype=np.int64)
+        np.add.at(cs, inv, cents)
+        return pa.table({"d": pa.array(ud), "c": pa.array(cs)})
+
+    daily = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["ts", "value"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("d").aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    empty = pa.table({
+        "day_us": pa.array([], type=pa.int64()),
+        "dow": pa.array([], type=pa.int64()),
+        "x_r": pa.array([], type=pa.float64()),
+        "trend_r": pa.array([], type=pa.float64()),
+        "seasonal_r": pa.array([], type=pa.float64()),
+        "resid_r": pa.array([], type=pa.float64()),
+    })
+    if daily.empty:
+        return empty
+    daily = daily.sort_values("d")
+    od = daily["d"].to_numpy(dtype=np.int64)
+    oc = daily["c"].to_numpy(dtype=np.int64)
+    grid = np.arange(od[0], od[-1] + DAY_US, DAY_US, dtype=np.int64)
+    c = np.zeros(grid.size, dtype=np.int64)
+    c[(od - grid[0]) // DAY_US] = oc
+    if grid.size < 7:
+        return empty
+    cs = np.concatenate(([0], np.cumsum(c)))
+    s7 = cs[7:] - cs[:-7]  # exact int 7-day sums, aligned to idx 3..n-4
+    mid = np.arange(3, grid.size - 3)
+    cm = c[mid]
+    u = 7 * cm - s7  # integer detrended numerator (units: cents/700)
+    dow = ((grid[mid] // DAY_US) + 3) % 7
+    S = np.zeros(7, dtype=np.int64)
+    np.add.at(S, dow, u)
+    n_dow = np.bincount(dow, minlength=7)
+    present = n_dow > 0
+    md = np.full(7, np.nan)
+    md[present] = S[present] / (700.0 * n_dow[present])
+    gm = float(md[present].mean())
+    seas = md - gm
+    x = cm / 100.0
+    trend = s7 / 700.0
+    det = u / 700.0
+    return pa.table({
+        "day_us": pa.array(grid[mid]),
+        "dow": pa.array(dow.astype(np.int64)),
+        "x_r": pa.array(_round_vec(x, 4)),
+        "trend_r": pa.array(_round_vec(trend, 4)),
+        "seasonal_r": pa.array(_round_vec(seas[dow], 4)),
+        "resid_r": pa.array(_round_vec(det - seas[dow], 4)),
+    })
+
+
+INV_CAP = 2_000  # clamp ceiling (units)
+INV_START = 1_000  # opening stock
+
+
+def capped_inventory(sf_dir: str):
+    """(day_us, flow_units, stock_units): bounded inventory ledger —
+    daily net unit flow from lineitem (returnflag 'R' receives +qty,
+    'A' issues −qty, 'N' doesn't move stock) applied to a running
+    level CLAMPED into [0, INV_CAP] from an opening stock of
+    INV_START. The clamp makes the recurrence NON-LINEAR — unlike
+    ``ema_daily_value``/``holt_trend`` no affine composition exists,
+    which is exactly the stockout/capacity semantics every inventory
+    system carries; the oracle must walk the same recursive CTE. All
+    integer end-to-end → hash-exact, no float anywhere. Days inside
+    the [min, max] ship-date span with no R/A rows zero-fill (stock
+    carries).
+
+    Scale shape: daily signed-unit Sum partials (calendar-bounded
+    groups) are the only exchange; the clamp scan runs on the driver
+    over the day frame (the recurrence disciplines' disclosed
+    shape)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()
+        rf = batch["l_returnflag"].to_numpy(zero_copy_only=False)
+        keep = (rf == "R") | (rf == "A")
+        if not keep.any():
+            return pa.table({"d": pa.array([], type=pa.int64()),
+                             "f": pa.array([], type=pa.int64())})
+        qty = np.rint(batch["l_quantity"].to_numpy(
+            zero_copy_only=False)[keep]).astype(np.int64)
+        sign = np.where(rf[keep] == "R", 1, -1)
+        ts = (batch["l_shipdate"].cast(pa.timestamp("us"))
+              .cast(pa.int64()).to_numpy(zero_copy_only=False)[keep]
+              .astype(np.int64))
+        day = ts // DAY_US * DAY_US
+        ud, inv = np.unique(day, return_inverse=True)
+        fs = np.zeros(ud.size, dtype=np.int64)
+        np.add.at(fs, inv, sign * qty)
+        return pa.table({"d": pa.array(ud), "f": pa.array(fs)})
+
+    daily = (
+        read_parquet_clean(os.path.join(sf_dir, "lineitem.parquet"),
+                           columns=["l_shipdate", "l_returnflag",
+                                    "l_quantity"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("d").aggregate(Sum("f", alias_name="f"))
+        .to_pandas()
+    )
+    empty = pa.table({"day_us": pa.array([], type=pa.int64()),
+                      "flow_units": pa.array([], type=pa.int64()),
+                      "stock_units": pa.array([], type=pa.int64())})
+    if daily.empty:
+        return empty
+    daily = daily.sort_values("d")
+    od = daily["d"].to_numpy(dtype=np.int64)
+    of = daily["f"].to_numpy(dtype=np.int64)
+    grid = np.arange(od[0], od[-1] + DAY_US, DAY_US, dtype=np.int64)
+    f = np.zeros(grid.size, dtype=np.int64)
+    f[(od - grid[0]) // DAY_US] = of
+    stock = np.empty(grid.size, dtype=np.int64)
+    s = INV_START
+    for i in range(grid.size):
+        s = max(0, min(INV_CAP, s + int(f[i])))
+        stock[i] = s
+    return pa.table({
+        "day_us": pa.array(grid),
+        "flow_units": pa.array(f),
+        "stock_units": pa.array(stock),
+    })

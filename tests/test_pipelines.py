@@ -8354,3 +8354,176 @@ class TestMaxDrawdown:
         assert got["drawdown_cents"] == 0
         assert got["peak_day_us"] == 0
         assert got["trough_day_us"] == 0
+
+
+class TestSeasonalDecompose:
+    def test_components_sum_back(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            seasonal_decompose)
+
+        got = seasonal_decompose(SF).to_pandas()
+        assert len(got) > 0
+        # x = trend + seasonal + resid (to publish rounding)
+        recon = got["trend_r"] + got["seasonal_r"] + got["resid_r"]
+        assert np.allclose(recon, got["x_r"], atol=5e-4)
+        # seasonal is a pure function of dow
+        per_dow = got.groupby("dow")["seasonal_r"].nunique()
+        assert (per_dow == 1).all()
+
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            seasonal_decompose)
+
+        DAY = 86_400_000_000
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["ts", "value"]).to_pandas().dropna()
+        day = ev["ts"].astype("int64") // DAY * DAY
+        cents = np.rint(ev["value"].to_numpy() * 100).astype(np.int64)
+        daily = pd.DataFrame({"d": day, "c": cents}) \
+            .groupby("d")["c"].sum().sort_index()
+        grid = np.arange(daily.index[0], daily.index[-1] + DAY, DAY,
+                         dtype=np.int64)
+        c = np.zeros(grid.size, dtype=np.int64)
+        c[(daily.index.to_numpy() - grid[0]) // DAY] = daily.to_numpy()
+        x = pd.Series(c, index=grid) / 100.0
+        trend = x.rolling(7, center=True).mean()
+        det = (x - trend).dropna()
+        dow = (det.index.to_numpy() // DAY + 3) % 7
+        md = pd.Series(det.to_numpy()).groupby(dow).mean()
+        seas = md - md.mean()
+        got = seasonal_decompose(SF).to_pandas().set_index("day_us")
+        assert len(got) == len(det)
+        for d in got.index:
+            assert abs(got.loc[d, "trend_r"] - trend[d]) < 1e-3
+            assert abs(got.loc[d, "seasonal_r"]
+                       - seas[(d // DAY + 3) % 7]) < 1e-3
+
+    def test_short_series_empty(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import (
+            seasonal_decompose)
+
+        DAY = 86_400_000_000
+        tbl = pa.table({
+            "event_id": pa.array(range(3), type=pa.int64()),
+            "ts": pa.array([i * DAY for i in range(3)],
+                           type=pa.timestamp("us")),
+            "user_id": pa.array([1] * 3, type=pa.int64()),
+            "event_type": pa.array(["view"] * 3),
+            "value": pa.array([1.0, 2.0, 3.0]),
+            "props": pa.array(["{}"] * 3),
+        })
+        pq.write_table(tbl, f"{tmp_path}/events.parquet")
+        assert len(seasonal_decompose(str(tmp_path)).to_pandas()) == 0
+
+
+class TestCappedInventory:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            INV_CAP, INV_START, capped_inventory)
+
+        DAY = 86_400_000_000
+        li = pq.read_table(
+            f"{SF}/lineitem.parquet",
+            columns=["l_shipdate", "l_returnflag", "l_quantity"]
+        ).to_pandas().dropna()
+        li = li[li["l_returnflag"].isin(["R", "A"])]
+        q = np.rint(li["l_quantity"].to_numpy()).astype(np.int64)
+        sign = np.where(li["l_returnflag"].to_numpy() == "R", 1, -1)
+        day = li["l_shipdate"].astype("int64") // DAY * DAY
+        flows = pd.DataFrame({"d": day, "f": sign * q}) \
+            .groupby("d")["f"].sum().sort_index()
+        grid = np.arange(flows.index[0], flows.index[-1] + DAY, DAY,
+                         dtype=np.int64)
+        f = np.zeros(grid.size, dtype=np.int64)
+        f[(flows.index.to_numpy() - grid[0]) // DAY] = flows.to_numpy()
+        s, exp = INV_START, []
+        for fl in f:
+            s = max(0, min(INV_CAP, s + int(fl)))
+            exp.append(s)
+        got = capped_inventory(SF).to_pandas()
+        assert got["day_us"].tolist() == grid.tolist()
+        assert got["flow_units"].tolist() == f.tolist()
+        assert got["stock_units"].tolist() == exp
+
+    def test_planted_clamps_both_ways(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import (
+            capped_inventory)
+
+        DAY = 86_400_000_000
+        # start 1000: +5000 (clamp to 2000), -9999 (clamp to 0), +500
+        rows = [("R", 50.0, 0), ("R", 4950.0, 0),
+                ("A", 9999.0, 1 * DAY), ("R", 500.0, 2 * DAY)]
+        tbl = pa.table({
+            "l_orderkey": pa.array(range(len(rows)), type=pa.int64()),
+            "l_partkey": pa.array([1] * len(rows), type=pa.int64()),
+            "l_suppkey": pa.array([1] * len(rows), type=pa.int64()),
+            "l_linenumber": pa.array([1] * len(rows), type=pa.int32()),
+            "l_quantity": pa.array([r[1] for r in rows]),
+            "l_extendedprice": pa.array([1.0] * len(rows)),
+            "l_discount": pa.array([0.0] * len(rows)),
+            "l_tax": pa.array([0.0] * len(rows)),
+            "l_returnflag": pa.array([r[0] for r in rows]),
+            "l_linestatus": pa.array(["O"] * len(rows)),
+            "l_shipdate": pa.array([r[2] for r in rows],
+                                   type=pa.timestamp("us")),
+        })
+        pq.write_table(tbl, f"{tmp_path}/lineitem.parquet")
+        got = capped_inventory(str(tmp_path)).to_pandas()
+        assert got["stock_units"].tolist() == [2000, 0, 500]
+        assert got["flow_units"].tolist() == [5000, -9999, 500]
+
+
+class TestDegreeAssortativity:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.graph import (
+            degree_assortativity)
+
+        o = pq.read_table(f"{SF}/orders.parquet",
+                          columns=["o_orderkey", "o_custkey"]) \
+            .to_pandas()
+        li = pq.read_table(f"{SF}/lineitem.parquet",
+                           columns=["l_orderkey", "l_suppkey"]) \
+            .to_pandas()
+        e = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")[
+            ["o_custkey", "l_suppkey"]].drop_duplicates()
+        dc = e.groupby("o_custkey").size()
+        ds = e.groupby("l_suppkey").size()
+        x = dc.loc[e["o_custkey"]].to_numpy(dtype=float)
+        y = ds.loc[e["l_suppkey"]].to_numpy(dtype=float)
+        exp = np.corrcoef(x, y)[0, 1]
+        got = degree_assortativity(SF).to_pandas().iloc[0]
+        assert got["n_edges"] == len(e)
+        assert abs(got["assort_r"] - exp) < 1e-3
+
+    def test_regular_graph_zero(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.graph import (
+            degree_assortativity)
+
+        # 2 customers x 2 suppliers complete bipartite: all degrees 2
+        orders = pa.table({
+            "o_orderkey": pa.array([1, 2], type=pa.int64()),
+            "o_custkey": pa.array([10, 20], type=pa.int64()),
+            "o_orderstatus": pa.array(["F", "F"]),
+            "o_totalprice": pa.array([1.0, 1.0]),
+            "o_orderdate": pa.array([0, 0], type=pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT"] * 2),
+        })
+        li = pa.table({
+            "l_orderkey": pa.array([1, 1, 2, 2], type=pa.int64()),
+            "l_partkey": pa.array([1] * 4, type=pa.int64()),
+            "l_suppkey": pa.array([100, 200, 100, 200],
+                                  type=pa.int64()),
+            "l_linenumber": pa.array([1, 2, 1, 2], type=pa.int32()),
+            "l_quantity": pa.array([1.0] * 4),
+            "l_extendedprice": pa.array([1.0] * 4),
+            "l_discount": pa.array([0.0] * 4),
+            "l_tax": pa.array([0.0] * 4),
+            "l_returnflag": pa.array(["N"] * 4),
+            "l_linestatus": pa.array(["O"] * 4),
+            "l_shipdate": pa.array([0] * 4, type=pa.timestamp("us")),
+        })
+        pq.write_table(orders, f"{tmp_path}/orders.parquet")
+        pq.write_table(li, f"{tmp_path}/lineitem.parquet")
+        got = degree_assortativity(str(tmp_path)).to_pandas().iloc[0]
+        assert got["n_edges"] == 4
+        assert got["assort_r"] == 0.0
