@@ -746,6 +746,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # from exact integer moments over edges (oracle: edge CTE +
         # degree joins + Pearson arithmetic; r4)
         "degree_assortativity": graph.degree_assortativity,
+        # declarative DQ framework: 8 range/enum/cross-table rules as
+        # vectorized predicates, NULL-as-violation, all-int output
+        # (oracle: CASE-sum UNION ALL; r4)
+        "dq_rules": relational.dq_rules,
+        # calendar arithmetic: order→first-ship lag in BUSINESS days
+        # via the closed-form weekday-counting kernel, histogram
+        # output (oracle: identical floor arithmetic; r4)
+        "business_day_lag": relational.business_day_lag,
+        # multivariate OLS: extendedprice ~ quantity + retailprice by
+        # Cramer over exact integer moments after a part-dim broadcast
+        # (oracle: identical HUGEINT→DOUBLE determinant tree; r4)
+        "price_model_ols": relational.price_model_ols,
+        # lexical statistics: Zipf rank-frequency slope over the
+        # top-100 lemmas by explicit OLS moments (oracle: toks CTE +
+        # identical moment formula; r4)
+        "zipf_slope": fulltext.zipf_slope,
         # JSON schema-on-read: aggregate over a value extracted from the
         # semi-structured props bag — TRY_CAST(json_extract) semantics,
         # int64 partials per type (oracle: DuckDB json functions; r4)
@@ -1712,6 +1728,36 @@ WITH {_TOKS},
 SELECT CAST(row_number() OVER (ORDER BY cf DESC, lemma ASC) - 1 AS BIGINT) AS rank,
        lemma, df, cf
 FROM d QUALIFY rank < 20""",
+        # Zipf fit: top-100 under the top_terms total order, explicit
+        # OLS moment formula (identical expression tree both sides)
+        "zipf_slope": f"""
+WITH {_TOKS},
+ d AS (SELECT token AS lemma, CAST(sum(tf) AS BIGINT) AS cf
+       FROM toks GROUP BY token),
+ rk AS (SELECT lemma, cf,
+               row_number() OVER (ORDER BY cf DESC, lemma ASC)
+                 AS rank
+        FROM d QUALIFY rank <= 100),
+ xy AS (SELECT ln(CAST(rank AS DOUBLE)) AS x,
+               ln(CAST(cf AS DOUBLE)) AS y FROM rk),
+ m AS (SELECT CAST(count(*) AS DOUBLE) AS fn, sum(x) AS sx,
+              sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy,
+              sum(y * y) AS syy, CAST(count(*) AS BIGINT) AS nn
+       FROM xy),
+ c AS (SELECT *,
+              (fn * sxy - sx * sy) / (fn * sxx - sx * sx) AS slope
+       FROM m WHERE nn >= 2 AND fn * sxx - sx * sx <> 0),
+ c2 AS (SELECT *, (sy - slope * sx) / fn AS a FROM c),
+ c3 AS (SELECT *, syy - sy * sy / fn AS ss_tot,
+               syy + fn * a * a + slope * slope * sxx
+                 + 2.0 * a * slope * sx - 2.0 * a * sy
+                 - 2.0 * slope * sxy AS ss_res
+        FROM c2)
+SELECT nn AS n_terms, round(slope, 4) AS slope_r,
+       round(a, 4) AS intercept_r,
+       round(CASE WHEN ss_tot > 0 THEN 1.0 - ss_res / ss_tot
+                  ELSE 0.0 END, 4) AS r2_r
+FROM c3""",
         "bm25_adhoc": _bm25_sql(["column", "scan"], k=10),
         # per-doc top-5 tf-idf terms; scores rounded before ranking, ties by
         # term asc — the same rule the engine applies
@@ -4546,6 +4592,130 @@ SELECT CAST(n AS BIGINT) AS n_edges,
                                    * (n * syy - sy * sy) AS DOUBLE))
                   ELSE 0 END, 4) AS assort_r
 FROM m""",
+        # declarative DQ rules: CASE treats NULL (and NaN, explicitly)
+        # as a violation for range rules; J1 joins the two fact tables
+        "dq_rules": """
+WITH l AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 50
+                           THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+             CAST(sum(CASE WHEN l_discount >= 0 AND l_discount <= 0.1
+                           THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+             CAST(sum(CASE WHEN l_tax >= 0 AND NOT isnan(l_tax)
+                           THEN 0 ELSE 1 END) AS BIGINT) AS v3
+           FROM lineitem),
+ o AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN o_totalprice > 0
+                            AND NOT isnan(o_totalprice)
+                           THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+             CAST(sum(CASE WHEN o_orderpriority IN
+                             ('1-URGENT', '2-HIGH', '3-MEDIUM',
+                              '4-NOT SPECIFIED', '5-LOW')
+                           THEN 0 ELSE 1 END) AS BIGINT) AS v2
+       FROM orders),
+ e AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN value >= 0 AND NOT isnan(value)
+                           THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+             CAST(sum(CASE WHEN event_type IN
+                             ('click', 'error', 'purchase',
+                              'signup', 'view')
+                           THEN 0 ELSE 1 END) AS BIGINT) AS v2
+       FROM events),
+ j AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN li.l_shipdate >= oo.o_orderdate
+                           THEN 0 ELSE 1 END) AS BIGINT) AS v
+       FROM lineitem li
+       JOIN orders oo ON oo.o_orderkey = li.l_orderkey
+       WHERE li.l_shipdate IS NOT NULL
+         AND oo.o_orderdate IS NOT NULL)
+SELECT * FROM (
+  SELECT 'E1' AS rule_id, 'events' AS table_name, n AS n_checked,
+         v1 AS n_violations FROM e
+  UNION ALL
+  SELECT 'E2', 'events', n, v2 FROM e
+  UNION ALL
+  SELECT 'J1', 'lineitem+orders', n, v FROM j
+  UNION ALL
+  SELECT 'L1', 'lineitem', n, v1 FROM l
+  UNION ALL
+  SELECT 'L2', 'lineitem', n, v2 FROM l
+  UNION ALL
+  SELECT 'L3', 'lineitem', n, v3 FROM l
+  UNION ALL
+  SELECT 'O1', 'orders', n, v1 FROM o
+  UNION ALL
+  SELECT 'O2', 'orders', n, v2 FROM o)
+ORDER BY rule_id""",
+        # business-day lag: identical closed-form weekday kernel
+        # f(d) = 5*((d+3)//7) + least((d+3)%7, 5) - 3 on both sides
+        "business_day_lag": """
+WITH o AS (SELECT o_orderkey,
+                  epoch_us(o_orderdate) // 86400000000 AS ad
+           FROM orders
+           WHERE o_orderkey IS NOT NULL
+             AND o_orderdate IS NOT NULL),
+ l AS (SELECT l_orderkey,
+              min(epoch_us(l_shipdate)) // 86400000000 AS sd
+       FROM lineitem
+       WHERE l_orderkey IS NOT NULL AND l_shipdate IS NOT NULL
+       GROUP BY 1),
+ j AS (SELECT (5 * ((sd + 4) // 7) + least((sd + 4) % 7, 5) - 3)
+            - (5 * ((ad + 4) // 7) + least((ad + 4) % 7, 5) - 3)
+              AS bd
+       FROM o JOIN l ON l.l_orderkey = o.o_orderkey)
+SELECT CAST(bd AS BIGINT) AS bd_lag,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM j GROUP BY 1 ORDER BY 1""",
+        # two-feature OLS: exact HUGEINT moments cast to DOUBLE, then
+        # the identical Cramer expression tree the engine evaluates
+        "price_model_ols": """
+WITH jx AS (SELECT CAST(round(l.l_quantity) AS BIGINT) AS x1,
+                   CAST(round(p.p_retailprice * 100) AS BIGINT) AS x2,
+                   CAST(round(l.l_extendedprice * 100) AS BIGINT) AS y
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE l.l_partkey IS NOT NULL
+              AND l.l_quantity IS NOT NULL
+              AND l.l_extendedprice IS NOT NULL),
+ m AS (SELECT CAST(count(*) AS DOUBLE) AS fn,
+              CAST(CAST(sum(x1) AS HUGEINT) AS DOUBLE) AS sx1,
+              CAST(CAST(sum(x2) AS HUGEINT) AS DOUBLE) AS sx2,
+              CAST(CAST(sum(y) AS HUGEINT) AS DOUBLE) AS sy,
+              CAST(CAST(sum(x1 * x1) AS HUGEINT) AS DOUBLE) AS s11,
+              CAST(CAST(sum(x2 * x2) AS HUGEINT) AS DOUBLE) AS s22,
+              CAST(CAST(sum(x1 * x2) AS HUGEINT) AS DOUBLE) AS s12,
+              CAST(CAST(sum(x1 * y) AS HUGEINT) AS DOUBLE) AS s1y,
+              CAST(CAST(sum(x2 * y) AS HUGEINT) AS DOUBLE) AS s2y,
+              CAST(CAST(sum(y * y) AS HUGEINT) AS DOUBLE) AS syy,
+              CAST(count(*) AS BIGINT) AS nn
+       FROM jx),
+ c AS (SELECT *,
+              fn * (s11 * s22 - s12 * s12)
+                - sx1 * (sx1 * s22 - s12 * sx2)
+                + sx2 * (sx1 * s12 - s11 * sx2) AS det
+       FROM m WHERE nn > 0),
+ c2 AS (SELECT *,
+              CASE WHEN det = 0 THEN 0.0 ELSE
+                (sy * (s11 * s22 - s12 * s12)
+                 - sx1 * (s1y * s22 - s12 * s2y)
+                 + sx2 * (s1y * s12 - s11 * s2y)) / det END AS b0,
+              CASE WHEN det = 0 THEN 0.0 ELSE
+                (fn * (s1y * s22 - s12 * s2y)
+                 - sy * (sx1 * s22 - s12 * sx2)
+                 + sx2 * (sx1 * s2y - s1y * sx2)) / det END AS b1,
+              CASE WHEN det = 0 THEN 0.0 ELSE
+                (fn * (s11 * s2y - s1y * s12)
+                 - sx1 * (sx1 * s2y - s1y * sx2)
+                 + sy * (sx1 * s12 - s11 * sx2)) / det END AS b2
+        FROM c),
+ c3 AS (SELECT *, syy - b0 * sy - b1 * s1y - b2 * s2y AS ss_res,
+               syy - sy * sy / fn AS ss_tot
+        FROM c2)
+SELECT nn AS n, round(b0, 4) AS b0_r, round(b1, 4) AS b1_r,
+       round(b2, 4) AS b2_r,
+       round(CASE WHEN det = 0 THEN 0.0
+                  WHEN ss_tot > 0 THEN 1.0 - ss_res / ss_tot
+                  ELSE 0.0 END, 4) AS r2_r
+FROM c3""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -560,3 +560,56 @@ def html_extract(sf_dir: str):
         .to_pandas()
     )
     return out.sort_values("doc_id", kind="stable").reset_index(drop=True)
+
+
+ZIPF_TOPK = 100
+
+
+def zipf_slope(sf_dir: str, k: int = ZIPF_TOPK):
+    """(n_terms, slope_r, intercept_r, r2_r): Zipf's-law fit over the
+    corpus vocabulary — OLS of ln(cf) on ln(rank) for the top-k
+    lemmas under ``top_terms``' total order (cf desc, lemma asc,
+    rank 1-based). English-like corpora sit near slope −1; the
+    exponent is the one-number lexical-diversity summary
+    ``top_terms`` (the ranked list) and ``token_count`` (volume)
+    don't expose. Explicit moment formula (n·Σxy − ΣxΣy)/(n·Σxx −
+    (Σx)²) on both sides — no library regression — so the only
+    divergence risk is float association over ≤k terms, absorbed by
+    the 4-dp publish.
+
+    Scale shape: rides ``lemma_df``'s distributed aggregation and
+    ``top_terms``' per-batch local top-k bound — only k rows reach
+    the driver regardless of vocabulary size."""
+    t = top_terms(sf_dir, k=k)
+    n = len(t)
+    empty = pa.table({"n_terms": pa.array([], type=pa.int64()),
+                      "slope_r": pa.array([], type=pa.float64()),
+                      "intercept_r": pa.array([], type=pa.float64()),
+                      "r2_r": pa.array([], type=pa.float64())})
+    if n < 2:
+        return empty
+    x = np.log(t["rank"].to_numpy(dtype=np.int64) + 1.0)
+    y = np.log(t["cf"].to_numpy(dtype=np.float64))
+    fn = float(n)
+    sx, sy = float(x.sum()), float(y.sum())
+    sxx, sxy = float((x * x).sum()), float((x * y).sum())
+    syy = float((y * y).sum())
+    den = fn * sxx - sx * sx
+    if den == 0.0:
+        return empty
+    slope = (fn * sxy - sx * sy) / den
+    intercept = (sy - slope * sx) / fn
+    ss_tot = syy - sy * sy / fn
+    # ss_res = Σ(y - a - bx)² expanded to moment form so the oracle
+    # can evaluate the identical expression tree
+    ss_res = (syy + fn * intercept * intercept
+              + slope * slope * sxx
+              + 2.0 * intercept * slope * sx
+              - 2.0 * intercept * sy - 2.0 * slope * sxy)
+    r2 = 1.0 - ss_res / ss_tot if ss_tot > 0.0 else 0.0
+    return pa.table({
+        "n_terms": pa.array([n], type=pa.int64()),
+        "slope_r": pa.array([round_half_away(float(slope), 4)]),
+        "intercept_r": pa.array([round_half_away(float(intercept), 4)]),
+        "r2_r": pa.array([round_half_away(float(r2), 4)]),
+    })

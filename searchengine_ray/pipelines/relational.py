@@ -11839,3 +11839,355 @@ def capped_inventory(sf_dir: str):
         "flow_units": pa.array(f),
         "stock_units": pa.array(stock),
     })
+
+
+_DQ_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM",
+                  "4-NOT SPECIFIED", "5-LOW")
+_DQ_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def dq_rules(sf_dir: str):
+    """(rule_id, table_name, n_checked, n_violations): declarative
+    data-quality rule audit — the contract-check framework sitting
+    above the single-purpose audits (``fk_audit`` = referential
+    integrity, ``daily_reconcile`` = cross-table totals,
+    ``table_profile`` = statistics): each rule is a vectorized
+    predicate evaluated over every row of its table, including one
+    CROSS-TABLE ordering rule (a line never ships before its order)
+    resolved on the orderkey co-partition. NULL counts as a
+    violation for range/enum rules (a constraint a NULL can't
+    satisfy). All-integer output → hash-exact.
+
+    Rules: L1 quantity ∈ [1, 50]; L2 discount ∈ [0, 0.1]; L3
+    tax ≥ 0; O1 totalprice > 0; O2 priority ∈ the 5-value enum;
+    E1 value ≥ 0 (and not NaN); E2 type ∈ the 5-type enum;
+    J1 l_shipdate ≥ o_orderdate (checked over lines whose order
+    header exists and both dates present).
+
+    Scale shape: one pruned-column pass per table emitting a
+    per-batch (rule, checked, violations) partial — the exchange
+    carries rule-cardinality rows; J1 rides the ship-lag orderkey
+    co-partition (both sides fact-sized, no broadcast)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    P = _PAIR_PARTITIONS
+
+    def _partial_rows(rules: list[tuple[str, str, int, int]]) -> pa.Table:
+        return pa.table({
+            "rule_id": pa.array([r[0] for r in rules],
+                                type=pa.string()),
+            "table_name": pa.array([r[1] for r in rules],
+                                   type=pa.string()),
+            "nc": pa.array([r[2] for r in rules], type=pa.int64()),
+            "nv": pa.array([r[3] for r in rules], type=pa.int64()),
+        })
+
+    def lineitem_rules(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        d = batch["l_discount"].to_numpy(zero_copy_only=False)
+        t = batch["l_tax"].to_numpy(zero_copy_only=False)
+        v1 = int((~((q >= 1.0) & (q <= 50.0))).sum())  # NaN fails both
+        v2 = int((~((d >= 0.0) & (d <= 0.1))).sum())
+        v3 = int((~(t >= 0.0)).sum())
+        return _partial_rows([("L1", "lineitem", n, v1),
+                              ("L2", "lineitem", n, v2),
+                              ("L3", "lineitem", n, v3)])
+
+    def orders_rules(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        pr = batch["o_orderpriority"].to_numpy(zero_copy_only=False)
+        v1 = int((~(p > 0.0)).sum())
+        v2 = int((~np.isin(pr, _DQ_PRIORITIES)).sum())
+        return _partial_rows([("O1", "orders", n, v1),
+                              ("O2", "orders", n, v2)])
+
+    def events_rules(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        v1 = int((~(v >= 0.0)).sum())
+        v2 = int((~np.isin(et, _DQ_EVENT_TYPES)).sum())
+        return _partial_rows([("E1", "events", n, v1),
+                              ("E2", "events", n, v2)])
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()
+        ok = batch["o_orderkey"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "q": pa.array((ok % P).astype(np.int64)),
+            "ok": pa.array(ok),
+            "t_us": batch["o_orderdate"].cast(pa.timestamp("us"))
+            .cast(pa.int64()),
+            "side": pa.array(np.zeros(ok.size, dtype=np.int64)),
+        })
+
+    def tag_lines(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()
+        ok = batch["l_orderkey"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "q": pa.array((ok % P).astype(np.int64)),
+            "ok": pa.array(ok),
+            "t_us": batch["l_shipdate"].cast(pa.timestamp("us"))
+            .cast(pa.int64()),
+            "side": pa.array(np.ones(ok.size, dtype=np.int64)),
+        })
+
+    def j1_partition(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        o = df[df["side"] == 0].set_index("ok")["t_us"]
+        li = df[df["side"] == 1]
+        hit = li["ok"].isin(o.index)
+        li = li[hit]
+        if li.empty:
+            return _partial_rows([("J1", "lineitem+orders", 0, 0)])
+        od = o.loc[li["ok"]].to_numpy(dtype=np.int64)
+        sd = li["t_us"].to_numpy(dtype=np.int64)
+        return _partial_rows([
+            ("J1", "lineitem+orders", int(sd.size),
+             int((sd < od).sum()))])
+
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_quantity", "l_discount", "l_tax"]
+    ).map_batches(lineitem_rules, batch_format="pyarrow",
+                  batch_size=8192)
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_totalprice", "o_orderpriority"]
+    ).map_batches(orders_rules, batch_format="pyarrow",
+                  batch_size=8192)
+    ev = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["value", "event_type"]
+    ).map_batches(events_rules, batch_format="pyarrow",
+                  batch_size=8192)
+    j1 = (read_parquet_clean(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_orderdate"])
+          .map_batches(tag_orders, batch_format="pyarrow",
+                       batch_size=8192)
+          .union(read_parquet_clean(
+              os.path.join(sf_dir, "lineitem.parquet"),
+              columns=["l_orderkey", "l_shipdate"])
+              .map_batches(tag_lines, batch_format="pyarrow",
+                           batch_size=8192))
+          .groupby("q").map_groups(j1_partition,
+                                   batch_format="pyarrow"))
+    out = (li.union(orders).union(ev).union(j1)
+           .groupby(["rule_id", "table_name"])
+           .aggregate(Sum("nc", alias_name="n_checked"),
+                      Sum("nv", alias_name="n_violations"))
+           .to_pandas().sort_values("rule_id"))
+    return pa.table({
+        "rule_id": pa.array(out["rule_id"].tolist(),
+                            type=pa.string()),
+        "table_name": pa.array(out["table_name"].tolist(),
+                               type=pa.string()),
+        "n_checked": pa.array(out["n_checked"]
+                              .to_numpy(dtype=np.int64)),
+        "n_violations": pa.array(out["n_violations"]
+                                 .to_numpy(dtype=np.int64)),
+    })
+
+
+def _weekdays_before(d: np.ndarray) -> np.ndarray:
+    """Count of weekdays among epoch days [0, d) — the closed-form
+    calendar kernel both sides of ``business_day_lag`` share
+    (epoch day 0 = Thursday; shift +3 aligns to Monday weeks):
+    5·((d+3)//7) + min((d+3)%7, 5) − 3. Valid for d ≥ 0."""
+    m = d + 3
+    return 5 * (m // 7) + np.minimum(m % 7, 5) - 3
+
+
+def business_day_lag(sf_dir: str):
+    """(bd_lag, n_orders): fulfilment latency in BUSINESS days — per
+    order, the count of weekdays (Mon-Fri) in the half-open
+    (order-day, first-ship-day] interval, as a histogram.
+    ``ship_lag_quantiles`` measures calendar days; real SLAs are
+    quoted in business days, which needs the closed-form
+    weekday-counting kernel (no per-row calendar walk, no datetime
+    objects) — pure int64 floor arithmetic on both sides, identical
+    formula, all-integer output → hash-exact.
+
+    Scale shape: the ship-lag orderkey co-partition (both fact
+    sides), per-partition min-ship + lag histogram partials, one
+    ≤|distinct lags| Sum exchange."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    P = _PAIR_PARTITIONS
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()
+        ok = batch["o_orderkey"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "q": pa.array((ok % P).astype(np.int64)),
+            "ok": pa.array(ok),
+            "t_us": batch["o_orderdate"].cast(pa.timestamp("us"))
+            .cast(pa.int64()),
+            "side": pa.array(np.zeros(ok.size, dtype=np.int64)),
+        })
+
+    def tag_lines(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()
+        ok = batch["l_orderkey"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "q": pa.array((ok % P).astype(np.int64)),
+            "ok": pa.array(ok),
+            "t_us": batch["l_shipdate"].cast(pa.timestamp("us"))
+            .cast(pa.int64()),
+            "side": pa.array(np.ones(ok.size, dtype=np.int64)),
+        })
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        empty = pa.table({"bd_lag": pa.array([], type=pa.int64()),
+                          "n": pa.array([], type=pa.int64())})
+        o = df[df["side"] == 0]
+        li = df[df["side"] == 1]
+        if o.empty or li.empty:
+            return empty
+        first_ship = li.groupby("ok")["t_us"].min()
+        od = o.set_index("ok")["t_us"]
+        common = first_ship.index.intersection(od.index)
+        if common.empty:
+            return empty
+        a_day = od.loc[common].to_numpy(dtype=np.int64) // DAY_US
+        s_day = first_ship.loc[common].to_numpy(dtype=np.int64) \
+            // DAY_US
+        lag = _weekdays_before(s_day + 1) - _weekdays_before(a_day + 1)
+        vals, counts = np.unique(lag, return_counts=True)
+        return pa.table({"bd_lag": pa.array(vals.astype(np.int64)),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(tag_orders, batch_format="pyarrow", batch_size=8192)
+    lines = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(tag_lines, batch_format="pyarrow", batch_size=8192)
+    out = (orders.union(lines).groupby("q")
+           .map_groups(per_partition, batch_format="pyarrow")
+           .groupby("bd_lag").aggregate(Sum("n", alias_name="n_orders"))
+           .to_pandas().sort_values("bd_lag"))
+    return pa.table({
+        "bd_lag": pa.array(out["bd_lag"].to_numpy(dtype=np.int64)),
+        "n_orders": pa.array(out["n_orders"]
+                             .to_numpy(dtype=np.int64)),
+    })
+
+
+def price_model_ols(sf_dir: str):
+    """(n, b0_r, b1_r, b2_r, r2_r): TWO-feature linear model —
+    l_extendedprice (cents) ~ b0 + b1·quantity + b2·p_retailprice
+    (cents) — solved in closed form from the 3×3 normal equations.
+    ``brand_price_regr`` proves grouped ONE-feature OLS; this adds
+    the multivariate surface (Cramer determinants over exact
+    integer moments) plus a dimension join feeding a regression.
+    Moments fold exact Python ints on the driver (int64 partials
+    per batch); determinants and coefficients then evaluate the
+    SAME IEEE double expression tree on both sides, 4-dp publish.
+    A singular system (collinear features) publishes all-zero
+    coefficients with r2 0.
+
+    Scale shape: the part dimension broadcasts as a sorted
+    (p_partkey → cents) lookup into every fact batch (the
+    brand_return_rate pattern); the exchange carries one 10-column
+    moment row per batch."""
+    import math
+
+    part = read_parquet_clean(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_retailprice"]).to_pandas()
+    pk = np.sort(part["p_partkey"].to_numpy(dtype=np.int64))
+    rp = np.rint(part.sort_values("p_partkey")["p_retailprice"]
+                 .to_numpy() * 100.0).astype(np.int64)
+
+    def moments(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()
+        lp = batch["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pos = np.searchsorted(pk, lp)
+        pos = np.clip(pos, 0, pk.size - 1)
+        hit = pk[pos] == lp
+        if not hit.any():
+            z = [0] * 10
+            return pa.table({k: pa.array([v], type=pa.int64())
+                             for k, v in zip(
+                ["n", "sx1", "sx2", "sy", "s11", "s22", "s12",
+                 "s1y", "s2y", "syy"], z)})
+        x1 = np.rint(batch["l_quantity"].to_numpy(
+            zero_copy_only=False)[hit]).astype(np.int64)
+        x2 = rp[pos[hit]]
+        y = np.rint(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False)[hit] * 100.0).astype(np.int64)
+        vals = [int(x1.size), int(x1.sum()), int(x2.sum()),
+                int(y.sum()), int((x1 * x1).sum()),
+                int((x2 * x2).sum()), int((x1 * x2).sum()),
+                int((x1 * y).sum()), int((x2 * y).sum()),
+                int((y * y).sum())]
+        return pa.table({k: pa.array([v], type=pa.int64())
+                         for k, v in zip(
+            ["n", "sx1", "sx2", "sy", "s11", "s22", "s12",
+             "s1y", "s2y", "syy"], vals)})
+
+    parts = (read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice"])
+        .map_batches(moments, batch_format="pyarrow",
+                     batch_size=8192).to_pandas())
+    n = int(parts["n"].sum())
+    empty = pa.table({"n": pa.array([], type=pa.int64()),
+                      "b0_r": pa.array([], type=pa.float64()),
+                      "b1_r": pa.array([], type=pa.float64()),
+                      "b2_r": pa.array([], type=pa.float64()),
+                      "r2_r": pa.array([], type=pa.float64())})
+    if n == 0:
+        return empty
+    sx1 = float(int(parts["sx1"].sum()))
+    sx2 = float(int(parts["sx2"].sum()))
+    sy = float(int(parts["sy"].sum()))
+    s11 = float(int(parts["s11"].sum()))
+    s22 = float(int(parts["s22"].sum()))
+    s12 = float(int(parts["s12"].sum()))
+    s1y = float(int(parts["s1y"].sum()))
+    s2y = float(int(parts["s2y"].sum()))
+    syy = float(int(parts["syy"].sum()))
+    fn = float(n)
+    # Cramer over the symmetric normal matrix — the identical
+    # expression tree the SQL oracle evaluates
+    det = (fn * (s11 * s22 - s12 * s12)
+           - sx1 * (sx1 * s22 - s12 * sx2)
+           + sx2 * (sx1 * s12 - s11 * sx2))
+    if det == 0.0:
+        b0 = b1 = b2 = 0.0
+        r2 = 0.0
+    else:
+        d0 = (sy * (s11 * s22 - s12 * s12)
+              - sx1 * (s1y * s22 - s12 * s2y)
+              + sx2 * (s1y * s12 - s11 * s2y))
+        d1 = (fn * (s1y * s22 - s12 * s2y)
+              - sy * (sx1 * s22 - s12 * sx2)
+              + sx2 * (sx1 * s2y - s1y * sx2))
+        d2 = (fn * (s11 * s2y - s1y * s12)
+              - sx1 * (sx1 * s2y - s1y * sx2)
+              + sy * (sx1 * s12 - s11 * sx2))
+        b0, b1, b2 = d0 / det, d1 / det, d2 / det
+        ss_res = (syy - b0 * sy - b1 * s1y - b2 * s2y)
+        ss_tot = syy - sy * sy / fn
+        r2 = 1.0 - ss_res / ss_tot if ss_tot > 0.0 else 0.0
+    return pa.table({
+        "n": pa.array([n], type=pa.int64()),
+        "b0_r": pa.array([round_half_away(b0, 4)]),
+        "b1_r": pa.array([round_half_away(b1, 4)]),
+        "b2_r": pa.array([round_half_away(b2, 4)]),
+        "r2_r": pa.array([round_half_away(r2, 4)]),
+    })

@@ -8527,3 +8527,233 @@ class TestDegreeAssortativity:
         got = degree_assortativity(str(tmp_path)).to_pandas().iloc[0]
         assert got["n_edges"] == 4
         assert got["assort_r"] == 0.0
+
+
+class TestDqRules:
+    def test_clean_corpus_matches_counts(self, ray_session):
+        from searchengine_ray.pipelines.relational import dq_rules
+
+        got = dq_rules(SF).to_pandas().set_index("rule_id")
+        li = pq.read_table(f"{SF}/lineitem.parquet")
+        o = pq.read_table(f"{SF}/orders.parquet")
+        ev = pq.read_table(f"{SF}/events.parquet")
+        assert got.index.tolist() == ["E1", "E2", "J1", "L1", "L2",
+                                      "L3", "O1", "O2"]
+        assert got.loc["L1", "n_checked"] == li.num_rows
+        assert got.loc["O1", "n_checked"] == o.num_rows
+        assert got.loc["E1", "n_checked"] == ev.num_rows
+        # the synthetic corpus satisfies the range/enum contracts...
+        assert (got.drop("J1")["n_violations"] == 0).all()
+        # ...but its ship dates are NOT correlated with order dates,
+        # so J1 (line ships before its order) fires — check exactly
+        od = dict(zip(o["o_orderkey"].to_pylist(),
+                      o["o_orderdate"].to_pylist()))
+        lo = li["l_orderkey"].to_pylist()
+        sd = li["l_shipdate"].to_pylist()
+        checked = [(k, s) for k, s in zip(lo, sd) if k in od]
+        assert got.loc["J1", "n_checked"] == len(checked)
+        assert got.loc["J1", "n_violations"] == sum(
+            1 for k, s in checked if s < od[k])
+
+    def test_planted_violations(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import dq_rules
+
+        DAY = 86_400_000_000
+        li = pa.table({
+            "l_orderkey": pa.array([1, 1, 2], type=pa.int64()),
+            "l_partkey": pa.array([1] * 3, type=pa.int64()),
+            "l_suppkey": pa.array([1] * 3, type=pa.int64()),
+            "l_linenumber": pa.array([1, 2, 1], type=pa.int32()),
+            "l_quantity": pa.array([0.0, 25.0, 99.0]),   # 2 x L1
+            "l_discount": pa.array([0.5, 0.05, None]),    # 2 x L2
+            "l_tax": pa.array([-1.0, 0.0, 0.0]),          # 1 x L3
+            "l_returnflag": pa.array(["N"] * 3),
+            "l_linestatus": pa.array(["O"] * 3),
+            # line 1 of order 1 ships BEFORE the order date
+            "l_shipdate": pa.array([0, 5 * DAY, 5 * DAY],
+                                   type=pa.timestamp("us")),
+        })
+        orders = pa.table({
+            "o_orderkey": pa.array([1, 2], type=pa.int64()),
+            "o_custkey": pa.array([1, 1], type=pa.int64()),
+            "o_orderstatus": pa.array(["F", "F"]),
+            "o_totalprice": pa.array([-5.0, 10.0]),       # 1 x O1
+            "o_orderdate": pa.array([2 * DAY, 2 * DAY],
+                                    type=pa.timestamp("us")),
+            "o_orderpriority": pa.array(["9-BOGUS", "2-HIGH"]),  # 1 x O2
+        })
+        ev = pa.table({
+            "event_id": pa.array([1, 2], type=pa.int64()),
+            "ts": pa.array([0, 0], type=pa.timestamp("us")),
+            "user_id": pa.array([1, 1], type=pa.int64()),
+            "event_type": pa.array(["view", "teleport"]),  # 1 x E2
+            "value": pa.array([-3.0, 1.0]),                # 1 x E1
+            "props": pa.array(["{}"] * 2),
+        })
+        pq.write_table(li, f"{tmp_path}/lineitem.parquet")
+        pq.write_table(orders, f"{tmp_path}/orders.parquet")
+        pq.write_table(ev, f"{tmp_path}/events.parquet")
+        got = dq_rules(str(tmp_path)).to_pandas().set_index("rule_id")
+        assert got.loc["L1", "n_violations"] == 2
+        assert got.loc["L2", "n_violations"] == 2  # null counts
+        assert got.loc["L3", "n_violations"] == 1
+        assert got.loc["O1", "n_violations"] == 1
+        assert got.loc["O2", "n_violations"] == 1
+        assert got.loc["E1", "n_violations"] == 1
+        assert got.loc["E2", "n_violations"] == 1
+        assert got.loc["J1", "n_violations"] == 1
+        assert got.loc["J1", "n_checked"] == 3
+
+
+class TestBusinessDayLag:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            business_day_lag)
+
+        DAY = 86_400_000_000
+        o = pq.read_table(f"{SF}/orders.parquet",
+                          columns=["o_orderkey", "o_orderdate"]) \
+            .to_pandas().dropna()
+        li = pq.read_table(f"{SF}/lineitem.parquet",
+                           columns=["l_orderkey", "l_shipdate"]) \
+            .to_pandas().dropna()
+        first = li.groupby("l_orderkey")["l_shipdate"].min()
+        j = o.set_index("o_orderkey").join(first.rename("ship"),
+                                           how="inner")
+        a = j["o_orderdate"].astype("int64").to_numpy() // DAY
+        s = j["ship"].astype("int64").to_numpy() // DAY
+
+        def wb(d):
+            m = d + 3
+            return 5 * (m // 7) + np.minimum(m % 7, 5) - 3
+
+        lag = wb(s + 1) - wb(a + 1)
+        exp = pd.Series(lag).value_counts().sort_index()
+        got = business_day_lag(SF).to_pandas().set_index("bd_lag")
+        assert got["n_orders"].to_dict() == exp.to_dict()
+
+    def test_weekend_span_zero(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import (
+            business_day_lag)
+
+        DAY = 86_400_000_000
+        # epoch day 2 = Saturday, day 3 = Sunday: order Fri(1),
+        # ship Sun(3) -> 0 business days elapse after Friday
+        # (Sat/Sun are not business days)
+        orders = pa.table({
+            "o_orderkey": pa.array([1, 2], type=pa.int64()),
+            "o_custkey": pa.array([1, 1], type=pa.int64()),
+            "o_orderstatus": pa.array(["F", "F"]),
+            "o_totalprice": pa.array([1.0, 1.0]),
+            # order 1: Friday (day 1); order 2: Thursday (day 0)
+            "o_orderdate": pa.array([1 * DAY, 0],
+                                    type=pa.timestamp("us")),
+            "o_orderpriority": pa.array(["2-HIGH"] * 2),
+        })
+        li = pa.table({
+            "l_orderkey": pa.array([1, 2], type=pa.int64()),
+            "l_partkey": pa.array([1] * 2, type=pa.int64()),
+            "l_suppkey": pa.array([1] * 2, type=pa.int64()),
+            "l_linenumber": pa.array([1, 1], type=pa.int32()),
+            "l_quantity": pa.array([1.0] * 2),
+            "l_extendedprice": pa.array([1.0] * 2),
+            "l_discount": pa.array([0.0] * 2),
+            "l_tax": pa.array([0.0] * 2),
+            "l_returnflag": pa.array(["N"] * 2),
+            "l_linestatus": pa.array(["O"] * 2),
+            # order 1 ships Sunday (day 3): Sat+Sun = 0 bd;
+            # order 2 ships next Thursday (day 7): Fri+Mon+Tue+Wed+Thu = 5 bd
+            "l_shipdate": pa.array([3 * DAY, 7 * DAY],
+                                   type=pa.timestamp("us")),
+        })
+        pq.write_table(orders, f"{tmp_path}/orders.parquet")
+        pq.write_table(li, f"{tmp_path}/lineitem.parquet")
+        got = business_day_lag(str(tmp_path)).to_pandas() \
+            .set_index("bd_lag")["n_orders"].to_dict()
+        assert got == {0: 1, 5: 1}
+
+
+class TestPriceModelOls:
+    def test_matches_lstsq(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            price_model_ols)
+
+        li = pq.read_table(
+            f"{SF}/lineitem.parquet",
+            columns=["l_partkey", "l_quantity", "l_extendedprice"]
+        ).to_pandas().dropna()
+        part = pq.read_table(f"{SF}/part.parquet",
+                             columns=["p_partkey", "p_retailprice"]) \
+            .to_pandas()
+        j = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+        x1 = np.rint(j["l_quantity"].to_numpy())
+        x2 = np.rint(j["p_retailprice"].to_numpy() * 100)
+        y = np.rint(j["l_extendedprice"].to_numpy() * 100)
+        A = np.column_stack([np.ones(len(j)), x1, x2])
+        coef, *_ = np.linalg.lstsq(A, y, rcond=None)
+        got = price_model_ols(SF).to_pandas().iloc[0]
+        assert got["n"] == len(j)
+        assert abs(got["b0_r"] - coef[0]) < max(1e-2 * abs(coef[0]),
+                                                1e-2)
+        assert abs(got["b1_r"] - coef[1]) < max(1e-3 * abs(coef[1]),
+                                                1e-3)
+        assert abs(got["b2_r"] - coef[2]) < max(1e-3 * abs(coef[2]),
+                                                1e-3)
+        pred = A @ coef
+        r2 = 1 - ((y - pred) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+        assert abs(got["r2_r"] - r2) < 1e-3
+
+    def test_planted_exact_plane(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import (
+            price_model_ols)
+
+        # y = 100 + 2*x1 + 3*x2 exactly -> r2 = 1, coefs recovered
+        x1 = np.array([1, 2, 3, 4, 5, 6], dtype=float)
+        x2c = np.array([100, 200, 100, 300, 200, 400], dtype=float)
+        y_c = 100 + 2 * x1 + 3 * x2c
+        part = pa.table({
+            "p_partkey": pa.array(range(6), type=pa.int64()),
+            "p_name": pa.array(["p"] * 6),
+            "p_brand": pa.array(["b"] * 6),
+            "p_type": pa.array(["t"] * 6),
+            "p_size": pa.array([1] * 6, type=pa.int32()),
+            "p_retailprice": pa.array(x2c / 100.0),
+        })
+        li = pa.table({
+            "l_orderkey": pa.array(range(6), type=pa.int64()),
+            "l_partkey": pa.array(range(6), type=pa.int64()),
+            "l_suppkey": pa.array([1] * 6, type=pa.int64()),
+            "l_linenumber": pa.array([1] * 6, type=pa.int32()),
+            "l_quantity": pa.array(x1),
+            "l_extendedprice": pa.array(y_c / 100.0),
+            "l_discount": pa.array([0.0] * 6),
+            "l_tax": pa.array([0.0] * 6),
+            "l_returnflag": pa.array(["N"] * 6),
+            "l_linestatus": pa.array(["O"] * 6),
+            "l_shipdate": pa.array([0] * 6, type=pa.timestamp("us")),
+        })
+        pq.write_table(part, f"{tmp_path}/part.parquet")
+        pq.write_table(li, f"{tmp_path}/lineitem.parquet")
+        got = price_model_ols(str(tmp_path)).to_pandas().iloc[0]
+        assert abs(got["b0_r"] - 100.0) < 1e-3
+        assert abs(got["b1_r"] - 2.0) < 1e-3
+        assert abs(got["b2_r"] - 3.0) < 1e-3
+        assert got["r2_r"] == 1.0
+
+
+class TestZipfSlope:
+    def test_matches_polyfit(self, ray_session):
+        from searchengine_ray.pipelines.fulltext import (
+            top_terms, zipf_slope)
+
+        t = top_terms(SF, k=100)
+        x = np.log(t["rank"].to_numpy() + 1.0)
+        y = np.log(t["cf"].to_numpy().astype(float))
+        slope, intercept = np.polyfit(x, y, 1)
+        got = zipf_slope(SF).to_pandas().iloc[0]
+        assert got["n_terms"] == len(t)
+        assert abs(got["slope_r"] - slope) < 1e-3
+        assert abs(got["intercept_r"] - intercept) < 1e-3
+        # a natural-ish corpus decays: slope must be negative
+        assert got["slope_r"] < 0
+        assert 0 <= got["r2_r"] <= 1
