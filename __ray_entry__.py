@@ -72,6 +72,49 @@ QUALIFY rank < {k}
 """
 
 
+def _pca_sql(iters: int = 100) -> str:
+    """Unrolled power-iteration oracle for ``pca_top_component`` —
+    the pagerank discipline: each iteration is a (matvec, norm,
+    normalize) CTE triple over the covariance CTE, the identical
+    10-step recurrence the engine runs on its driver-side d×d
+    matrix."""
+    steps = []
+    prev = "v0"
+    for kk in range(1, iters + 1):
+        steps.append(f""",
+ w{kk} AS MATERIALIZED (SELECT c.i AS dim, sum(c.cv * p.val) AS w
+       FROM c JOIN {prev} p ON p.dim = c.j GROUP BY 1),
+ n{kk} AS MATERIALIZED (SELECT sqrt(sum(w * w)) AS nv FROM w{kk}),
+ v{kk} AS MATERIALIZED (SELECT w{kk}.dim AS dim,
+               w{kk}.w / n{kk}.nv AS val
+       FROM w{kk} CROSS JOIN n{kk})""")
+        prev = f"v{kk}"
+    return f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings
+           WHERE embedding IS NOT NULL),
+ mxl AS (SELECT max(len(embedding)) AS L FROM e),
+ u AS (SELECT e.vec_id, CAST(t.i AS BIGINT) - 1 AS dim,
+              CAST(e.embedding[CAST(t.i AS INT)] AS DOUBLE) AS v
+       FROM e, mxl, LATERAL unnest(range(1, mxl.L + 1)) AS t(i)),
+ cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+ mu AS (SELECT dim, sum(v) AS sv FROM u GROUP BY 1),
+ g AS (SELECT a.dim AS i, b.dim AS j, sum(a.v * b.v) AS s
+       FROM u a JOIN u b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+ c AS MATERIALIZED (SELECT g.i, g.j,
+              g.s / cnt.n - (ma.sv / cnt.n) * (mb.sv / cnt.n) AS cv
+       FROM g CROSS JOIN cnt
+       JOIN mu ma ON ma.dim = g.i JOIN mu mb ON mb.dim = g.j),
+ v0 AS MATERIALIZED (SELECT mu.dim AS dim,
+               1.0 / sqrt(CAST(mxl.L AS DOUBLE)) AS val
+        FROM mu CROSS JOIN mxl){''.join(steps)},
+ sg AS (SELECT CASE WHEN val < 0 THEN -1.0 ELSE 1.0 END AS sg
+        FROM {prev} ORDER BY abs(val) DESC, dim ASC LIMIT 1)
+SELECT p.dim, round(p.val * sg.sg, 4) AS loading_r,
+       round(n{iters}.nv, 4) AS eigval_r
+FROM {prev} p CROSS JOIN sg CROSS JOIN n{iters}
+ORDER BY p.dim"""
+
+
 _TS_DOCS = """
 tdocs AS (
   SELECT 'conv-' || lpad(CAST(doc_id // 8 AS VARCHAR), 6, '0') AS conv_id,
@@ -762,6 +805,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # top-100 lemmas by explicit OLS moments (oracle: toks CTE +
         # identical moment formula; r4)
         "zipf_slope": fulltext.zipf_slope,
+        # distributed PCA: covariance partials + 100 driver power
+        # iterations, sign-normalized loadings (oracle: unrolled
+        # matvec/norm CTE triples — the pagerank discipline; r4)
+        "pca_top_component": similarity.pca_top_component,
+        # vector compression: per-dim [min,max] scalar quantization,
+        # floor-exact int codes (code_sum) + 4-dp reconstruction MSE
+        # (oracle: identical floor/clip/recon tree; r4)
+        "embedding_quantize": similarity.embedding_quantize,
+        # multiple testing: per-brand return-rate z-tests through the
+        # shared A&S-7.1.26 erf kernel, BH step-up adjustment
+        # (oracle: identical polynomial + suffix-min window; r4)
+        "bh_brand_returns": relational.bh_brand_returns,
         # JSON schema-on-read: aggregate over a value extracted from the
         # semi-structured props bag — TRY_CAST(json_extract) semantics,
         # int64 partials per type (oracle: DuckDB json functions; r4)
@@ -4716,6 +4771,83 @@ SELECT nn AS n, round(b0, 4) AS b0_r, round(b1, 4) AS b1_r,
                   WHEN ss_tot > 0 THEN 1.0 - ss_res / ss_tot
                   ELSE 0.0 END, 4) AS r2_r
 FROM c3""",
+        "pca_top_component": _pca_sql(100),
+        # scalar quantization: floor of the identical IEEE quotient
+        # is bit-stable, so code_sum is an exact integer check;
+        # constant dims code 0 and reconstruct at mn
+        "embedding_quantize": """
+WITH e AS (SELECT vec_id, embedding FROM embeddings
+           WHERE embedding IS NOT NULL),
+ mxl AS (SELECT max(len(embedding)) AS L FROM e),
+ u AS (SELECT e.vec_id, CAST(t.i AS BIGINT) - 1 AS dim,
+              CAST(e.embedding[CAST(t.i AS INT)] AS DOUBLE) AS v
+       FROM e, mxl, LATERAL unnest(range(1, mxl.L + 1)) AS t(i)),
+ r AS (SELECT dim, min(v) AS mn, max(v) - min(v) AS span
+       FROM u GROUP BY 1),
+ cq AS (SELECT u.vec_id, u.dim, u.v, r.mn, r.span,
+               CASE WHEN r.span > 0
+                    THEN least(255.0, greatest(0.0,
+                         floor((u.v - r.mn) * 256.0 / r.span)))
+                    ELSE 0.0 END AS code
+        FROM u JOIN r ON r.dim = u.dim),
+ re AS (SELECT vec_id, code, v,
+               CASE WHEN span > 0
+                    THEN mn + (code + 0.5) * (span / 256.0)
+                    ELSE mn END AS recon
+        FROM cq)
+SELECT re.vec_id, CAST(sum(re.code) AS BIGINT) AS code_sum,
+       round(sum((re.v - re.recon) * (re.v - re.recon))
+             / CAST(mxl.L AS DOUBLE), 4) AS mse_r
+FROM re CROSS JOIN mxl GROUP BY re.vec_id, mxl.L
+ORDER BY re.vec_id""",
+        # BH screen: one-proportion z per brand vs the global rate,
+        # p through the shared A&S 7.1.26 polynomial (the repo's
+        # normal-CDF spec — DuckDB has no erf), step-up suffix min
+        "bh_brand_returns": """
+WITH j AS (SELECT p.p_brand AS brand,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN l.l_returnflag = 'R'
+                                THEN 1 ELSE 0 END) AS BIGINT) AS k
+           FROM lineitem l
+           JOIN part p ON p.p_partkey = l.l_partkey
+           WHERE l.l_partkey IS NOT NULL
+             AND l.l_returnflag IS NOT NULL
+           GROUP BY 1),
+ g AS (SELECT CAST(sum(n) AS DOUBLE) AS nn,
+              CAST(sum(k) AS DOUBLE) AS kk FROM j),
+ z AS (SELECT brand, n, k,
+              CASE WHEN g.kk > 0 AND g.kk < g.nn
+                   THEN (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                         - g.kk / g.nn)
+                        / sqrt(g.kk / g.nn * (1.0 - g.kk / g.nn)
+                               / CAST(n AS DOUBLE))
+                   ELSE 0.0 END AS zv,
+              CASE WHEN g.kk > 0 AND g.kk < g.nn
+                   THEN 0.0 ELSE 1.0 END AS degen
+       FROM j CROSS JOIN g),
+ px AS (SELECT *, abs(zv) / sqrt(2.0) AS x FROM z),
+ t1 AS (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS t FROM px),
+ t2 AS (SELECT *,
+               ((((1.061405429 * t - 1.453152027) * t
+                  + 1.421413741) * t - 0.284496736) * t
+                + 0.254829592) * t AS poly
+        FROM t1),
+ pr AS (SELECT brand, n, k, zv,
+               CASE WHEN degen = 1.0 THEN 1.0
+                    ELSE 1.0 - (1.0 - poly * exp(-x * x)) END AS p
+        FROM t2),
+ rk AS (SELECT *, row_number() OVER (ORDER BY p ASC, brand ASC)
+                    AS rkn,
+              CAST(count(*) OVER () AS DOUBLE) AS m
+        FROM pr),
+ rw AS (SELECT *, m * p / CAST(rkn AS DOUBLE) AS rawv FROM rk),
+ ad AS (SELECT *, least(1.0, min(rawv) OVER (ORDER BY rkn DESC
+                        ROWS UNBOUNDED PRECEDING)) AS padj
+        FROM rw)
+SELECT brand AS p_brand, n AS n_lines, k AS n_returns,
+       round(zv, 4) AS z_r, round(p, 4) AS p_r,
+       round(padj, 4) AS p_adj_r
+FROM ad ORDER BY p_brand""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

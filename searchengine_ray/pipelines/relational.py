@@ -12191,3 +12191,103 @@ def price_model_ols(sf_dir: str):
         "b2_r": pa.array([round_half_away(b2, 4)]),
         "r2_r": pa.array([round_half_away(r2, 4)]),
     })
+
+
+def _erf_as7(x: np.ndarray) -> np.ndarray:
+    """Abramowitz–Stegun 7.1.26 erf approximation (|err| < 1.5e-7),
+    written as the exact expression tree the SQL oracle evaluates —
+    the closed-form normal-CDF kernel shared by the multiple-testing
+    entries (DuckDB has no erf, so the SPEC is this polynomial)."""
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+             - 0.284496736) * t + 0.254829592) * t
+    return 1.0 - poly * np.exp(-x * x)
+
+
+def bh_brand_returns(sf_dir: str):
+    """(p_brand, n_lines, n_returns, z_r, p_r, p_adj_r): per-brand
+    return-rate anomaly screen with Benjamini–Hochberg correction —
+    each brand's two-sided one-proportion z-test against the global
+    return rate, p-values via the shared A&S erf kernel, then the
+    BH step-up adjustment (suffix-min of m·p/rank, capped at 1)
+    over the brand family. The multiple-testing surface the single
+    tests (``welch_ttest``, ``chi2_events``, ``anova_f``) stop
+    short of: with 25 brands, ~1 false positive at α = 0.05 is
+    EXPECTED — BH is what makes the screen actionable. A degenerate
+    global rate (0 or 1) publishes z 0 / p 1 everywhere.
+
+    Scale shape: the part dimension broadcasts into one lineitem
+    counting pass (≤|brands| partial rows per batch); everything
+    after is driver math over the bounded brand family."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    part = read_parquet_clean(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand"]).to_pandas()
+    pk = np.sort(part["p_partkey"].to_numpy(dtype=np.int64))
+    brands = part.sort_values("p_partkey")["p_brand"].to_numpy()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()
+        lp = batch["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pos = np.searchsorted(pk, lp)
+        pos = np.clip(pos, 0, pk.size - 1)
+        hit = pk[pos] == lp
+        empty = pa.table({"brand": pa.array([], type=pa.string()),
+                          "n": pa.array([], type=pa.int64()),
+                          "k": pa.array([], type=pa.int64())})
+        if not hit.any():
+            return empty
+        b = brands[pos[hit]]
+        r = (batch["l_returnflag"].to_numpy(
+            zero_copy_only=False)[hit] == "R").astype(np.int64)
+        g = pd.DataFrame({"brand": b, "n": 1, "k": r}) \
+            .groupby("brand", as_index=False).agg(n=("n", "sum"),
+                                                  k=("k", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_returnflag"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("brand")
+        .aggregate(Sum("n", alias_name="n"), Sum("k", alias_name="k"))
+        .to_pandas())
+    empty = pa.table({"p_brand": pa.array([], type=pa.string()),
+                      "n_lines": pa.array([], type=pa.int64()),
+                      "n_returns": pa.array([], type=pa.int64()),
+                      "z_r": pa.array([], type=pa.float64()),
+                      "p_r": pa.array([], type=pa.float64()),
+                      "p_adj_r": pa.array([], type=pa.float64())})
+    if agg.empty:
+        return empty
+    n = agg["n"].to_numpy(dtype=np.int64)
+    k = agg["k"].to_numpy(dtype=np.int64)
+    nn, kk = float(n.sum()), float(k.sum())
+    if kk > 0.0 and kk < nn:
+        p0 = kk / nn
+        z = (k / n - p0) / np.sqrt(p0 * (1.0 - p0) / n)
+        p = 1.0 - _erf_as7(np.abs(z) / np.sqrt(2.0))
+    else:
+        z = np.zeros(n.size)
+        p = np.ones(n.size)
+    df = pd.DataFrame({"brand": agg["brand"].to_numpy(), "n": n,
+                       "k": k, "z": z, "p": p})
+    df = df.sort_values(["p", "brand"], kind="mergesort") \
+        .reset_index(drop=True)
+    m = float(len(df))
+    rk = np.arange(1, len(df) + 1, dtype=np.float64)
+    raw = m * df["p"].to_numpy() / rk
+    adj = np.minimum(1.0, np.minimum.accumulate(raw[::-1])[::-1])
+    df["padj"] = adj
+    df = df.sort_values("brand", kind="mergesort")
+    return pa.table({
+        "p_brand": pa.array(df["brand"].tolist(), type=pa.string()),
+        "n_lines": pa.array(df["n"].to_numpy(dtype=np.int64)),
+        "n_returns": pa.array(df["k"].to_numpy(dtype=np.int64)),
+        "z_r": pa.array(_round_vec(df["z"].to_numpy(), 4)),
+        "p_r": pa.array(_round_vec(df["p"].to_numpy(), 4)),
+        "p_adj_r": pa.array(_round_vec(df["padj"].to_numpy(), 4)),
+    })

@@ -1180,3 +1180,183 @@ def embedding_outliers(sf_dir: str, k: int = OUTLIER_TOP_K):
         "label": pa.array(out["label"].to_numpy(dtype=np.int64)),
         "dist_r": pa.array(out["dist_r"].to_numpy(dtype=np.float64)),
     })
+
+
+PCA_ITERS = 100
+
+
+def pca_top_component(sf_dir: str, iters: int = PCA_ITERS):
+    """(dim, loading_r, eigval_r): top principal component of the
+    embedding cloud — distributed covariance (per-batch Gram + mean
+    partials, the only data-sized pass) followed by ``iters`` power
+    iterations on the driver's tiny d×d matrix (100 by default —
+    the synthetic corpus's spectrum is nearly flat, λ2/λ1 ≈ 0.93,
+    so convergence needs ~100 contractions; each is a d² matvec,
+    free at any corpus size). The
+    dimensionality-reduction surface ``embedding_dim_stats``
+    (per-dim moments) and ``label_centroid_dists`` (class geometry)
+    lead up to: the direction of maximum variance itself. Sign
+    convention: the component with the largest |loading| (lowest
+    dim on ties) is made positive. Both sides run the IDENTICAL
+    k-step recurrence from the same uniform start vector
+    1/√d — the oracle unrolls it as sequential
+    MATERIALIZED CTEs (the ``pagerank_purchases`` discipline —
+    materialization keeps DuckDB from exponentially re-inlining the
+    iteration chain), so the only divergence is
+    float association inside the covariance sums, absorbed by the
+    4-dp publish. Eigval publishes the final iteration's
+    normalization constant ‖C·v‖.
+
+    Scale shape: one pruned pass emitting d² + d partial cells per
+    batch (d = 64 → 4160 floats, data-independent); a ≤d²-group
+    combine; everything after is O(d²) driver math — no N×N or
+    N×d materialization anywhere."""
+    from ray.data.aggregate import Sum
+
+    from searchengine_ray.sources import read_parquet_clean
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        batch = batch.filter(pc.is_valid(batch["embedding"]))
+        if batch.num_rows == 0:
+            return pa.table({"i": pa.array([], type=pa.int64()),
+                             "j": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.float64())})
+        m = np.asarray(batch["embedding"].to_pylist(),
+                       dtype=np.float64)
+        d = m.shape[1]
+        g = m.T @ m  # d×d Gram partial
+        mu = m.sum(axis=0)  # d mean partials (j = -1)
+        n = float(m.shape[0])  # count partial (i = -1, j = -1)
+        ii = np.repeat(np.arange(d, dtype=np.int64), d)
+        jj = np.tile(np.arange(d, dtype=np.int64), d)
+        return pa.table({
+            "i": pa.array(np.concatenate(
+                [ii, np.arange(d, dtype=np.int64), [-1]])),
+            "j": pa.array(np.concatenate(
+                [jj, np.full(d, -1, dtype=np.int64), [-1]])),
+            "s": pa.array(np.concatenate([g.ravel(), mu, [n]])),
+        })
+
+    parts = (
+        read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                           columns=["embedding"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=4096)
+        .groupby(["i", "j"]).aggregate(Sum("s", alias_name="s"))
+        .to_pandas()
+    )
+    empty = pa.table({"dim": pa.array([], type=pa.int64()),
+                      "loading_r": pa.array([], type=pa.float64()),
+                      "eigval_r": pa.array([], type=pa.float64())})
+    if parts.empty:
+        return empty
+    n = float(parts.loc[(parts["i"] == -1) & (parts["j"] == -1),
+                        "s"].iloc[0])
+    if n == 0:
+        return empty
+    mu_rows = parts[(parts["i"] >= 0) & (parts["j"] == -1)] \
+        .sort_values("i")
+    mu = mu_rows["s"].to_numpy() / n
+    d = mu.size
+    g_rows = parts[(parts["i"] >= 0) & (parts["j"] >= 0)] \
+        .sort_values(["i", "j"])
+    C = (g_rows["s"].to_numpy().reshape(d, d) / n
+         - np.outer(mu, mu))
+    v = np.full(d, 1.0 / np.sqrt(float(d)))
+    nv = 0.0
+    for _ in range(iters):
+        w = C @ v
+        nv = float(np.sqrt((w * w).sum()))
+        if nv == 0.0:
+            break
+        v = w / nv
+    # sign: the largest-|loading| dim (lowest dim on ties) goes positive
+    top = np.lexsort((np.arange(d), -np.abs(v)))[0]
+    sg = -1.0 if v[top] < 0 else 1.0
+    return pa.table({
+        "dim": pa.array(np.arange(d, dtype=np.int64)),
+        "loading_r": pa.array(_round_vec(v * sg, 4)),
+        "eigval_r": pa.array(_round_vec(np.full(d, nv), 4)),
+    })
+
+
+def embedding_quantize(sf_dir: str):
+    """(vec_id, code_sum, mse_r): int8-style scalar quantization of
+    the embedding column — per-dim [min, max] ranges learned over
+    the corpus, codes = floor((v − mn)·256/(mx − mn)) clipped to
+    [0, 255], reconstruction at bin centers. The vector-compression
+    surface every ANN-at-scale system puts in front of its index
+    (the IVF/LSH entries store raw floats; this is the PQ/SQ
+    preprocessing stage). FLOOR, not round: floor of the identical
+    IEEE quotient is bit-stable across both sides, so ``code_sum``
+    (per-vector Σ codes) is an EXACT integer check of all 64 codes,
+    and only ``mse_r`` (mean squared reconstruction error, 4-dp)
+    carries float. A constant dim (mx = mn) codes 0 and
+    reconstructs at mn exactly.
+
+    Scale shape: one Min/Max aggregate per dim (bounded d-row
+    combine), broadcast of the tiny range table into a second
+    vectorized pass; output is one row per vector, distributed."""
+    from ray.data.aggregate import Max, Min
+
+    from searchengine_ray.sources import read_parquet_clean
+
+    def range_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        batch = batch.filter(pc.is_valid(batch["embedding"]))
+        if batch.num_rows == 0:
+            return pa.table({"dim": pa.array([], type=pa.int64()),
+                             "mn": pa.array([], type=pa.float64()),
+                             "mx": pa.array([], type=pa.float64())})
+        m = np.asarray(batch["embedding"].to_pylist(),
+                       dtype=np.float64)
+        d = m.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(d, dtype=np.int64)),
+            "mn": pa.array(m.min(axis=0)),
+            "mx": pa.array(m.max(axis=0)),
+        })
+
+    src = read_parquet_clean(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+    rng = (src.map_batches(range_partial, batch_format="pyarrow",
+                           batch_size=4096)
+           .groupby("dim")
+           .aggregate(Min("mn", alias_name="mn"),
+                      Max("mx", alias_name="mx"))
+           .to_pandas().sort_values("dim"))
+    empty = pa.table({"vec_id": pa.array([], type=pa.int64()),
+                      "code_sum": pa.array([], type=pa.int64()),
+                      "mse_r": pa.array([], type=pa.float64())})
+    if rng.empty:
+        return empty
+    mn = rng["mn"].to_numpy()
+    mx = rng["mx"].to_numpy()
+    span = mx - mn
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        batch = batch.filter(pc.is_valid(batch["embedding"]))
+        if batch.num_rows == 0:
+            return empty
+        m = np.asarray(batch["embedding"].to_pylist(),
+                       dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            q = np.floor((m - mn[None, :]) * 256.0 / span[None, :])
+        q = np.where(span[None, :] > 0.0, q, 0.0)
+        codes = np.clip(q, 0.0, 255.0)
+        recon = np.where(span[None, :] > 0.0,
+                         mn[None, :] + (codes + 0.5)
+                         * (span[None, :] / 256.0),
+                         mn[None, :])
+        err = m - recon
+        mse = (err * err).sum(axis=1) / m.shape[1]
+        return pa.table({
+            "vec_id": batch["vec_id"].cast(pa.int64()),
+            "code_sum": pa.array(codes.sum(axis=1).astype(np.int64)),
+            "mse_r": pa.array(_round_vec(mse, 4)),
+        })
+
+    return src.map_batches(quantize, batch_format="pyarrow",
+                           batch_size=4096)

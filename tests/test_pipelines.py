@@ -8757,3 +8757,184 @@ class TestZipfSlope:
         # a natural-ish corpus decays: slope must be negative
         assert got["slope_r"] < 0
         assert 0 <= got["r2_r"] <= 1
+
+
+class TestPcaTopComponent:
+    def test_matches_eigh(self, ray_session, emb):
+        from searchengine_ray.pipelines.similarity import (
+            pca_top_component)
+
+        _, m = emb
+        C = np.cov(m, rowvar=False, bias=True)
+        w, v = np.linalg.eigh(C)
+        top = v[:, -1]
+        top = top if np.abs(top).max() == top[np.abs(top).argmax()] \
+            else -top
+        got = pca_top_component(SF).to_pandas()
+        assert len(got) == m.shape[1]
+        lo = got["loading_r"].to_numpy()
+        # direction matches the dominant eigenvector up to rounding
+        # and power-iteration residual (10 iters)
+        cos = abs(float(lo @ top)
+                  / (np.linalg.norm(lo) * np.linalg.norm(top)))
+        assert cos > 0.999
+        assert abs(got["eigval_r"].iloc[0] - w[-1]) < 1e-2 * w[-1] \
+            + 1e-3
+
+    def test_sign_convention(self, ray_session):
+        from searchengine_ray.pipelines.similarity import (
+            pca_top_component)
+
+        got = pca_top_component(SF).to_pandas()
+        lo = got["loading_r"].to_numpy()
+        assert lo[np.abs(lo).argmax()] > 0
+
+    def test_planted_axis(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.similarity import (
+            pca_top_component)
+
+        # variance concentrated on dim 1: loadings ≈ e1
+        rng = np.random.default_rng(7)
+        m = np.zeros((50, 4))
+        m[:, 1] = rng.normal(0, 10.0, 50)
+        m[:, 0] = rng.normal(0, 0.1, 50)
+        tbl = pa.table({
+            "vec_id": pa.array(range(50), type=pa.int64()),
+            "embedding": pa.array([r.tolist() for r in m],
+                                  type=pa.list_(pa.float32())),
+            "label": pa.array([0] * 50, type=pa.int32()),
+        })
+        pq.write_table(tbl, f"{tmp_path}/embeddings.parquet")
+        got = pca_top_component(str(tmp_path)).to_pandas()
+        lo = got["loading_r"].to_numpy()
+        assert abs(lo[1]) > 0.99
+        assert lo[1] > 0  # sign convention: dominant dim positive
+
+
+class TestEmbeddingQuantize:
+    def test_matches_bruteforce(self, ray_session, emb):
+        from searchengine_ray.pipelines.similarity import (
+            embedding_quantize)
+
+        ids, m = emb
+        mn = m.min(axis=0)
+        span = m.max(axis=0) - mn
+        q = np.floor((m - mn) * 256.0 / np.where(span > 0, span, 1.0))
+        codes = np.where(span > 0, np.clip(q, 0, 255), 0.0)
+        recon = np.where(span > 0, mn + (codes + 0.5) * (span / 256.0),
+                         mn)
+        mse = ((m - recon) ** 2).sum(axis=1) / m.shape[1]
+        got = embedding_quantize(SF).to_pandas().set_index("vec_id")
+        assert len(got) == len(ids)
+        for i, vid in enumerate(ids):
+            assert got.loc[vid, "code_sum"] == int(codes[i].sum())
+            assert abs(got.loc[vid, "mse_r"] - mse[i]) < 1e-3
+
+    def test_quantization_error_bounded(self, ray_session, emb):
+        from searchengine_ray.pipelines.similarity import (
+            embedding_quantize)
+
+        _, m = emb
+        span = m.max(axis=0) - m.min(axis=0)
+        # per-dim error <= half a bin -> mse <= mean((span/256)^2)/4
+        bound = float(((span / 256.0) ** 2).mean()) / 4.0 + 1e-9
+        got = embedding_quantize(SF).to_pandas()
+        assert (got["mse_r"] <= bound + 5e-5).all()
+
+    def test_constant_dim_codes_zero(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.similarity import (
+            embedding_quantize)
+
+        tbl = pa.table({
+            "vec_id": pa.array([1, 2], type=pa.int64()),
+            "embedding": pa.array([[5.0, 0.0], [5.0, 1.0]],
+                                  type=pa.list_(pa.float32())),
+            "label": pa.array([0, 0], type=pa.int32()),
+        })
+        pq.write_table(tbl, f"{tmp_path}/embeddings.parquet")
+        got = embedding_quantize(str(tmp_path)).to_pandas() \
+            .set_index("vec_id")
+        # dim 0 constant -> code 0, exact reconstruction at mn;
+        # dim 1: vec 1 at min (code 0), vec 2 at max (code 255)
+        assert got.loc[1, "code_sum"] == 0
+        assert got.loc[2, "code_sum"] == 255
+
+
+class TestBhBrandReturns:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            _erf_as7, bh_brand_returns)
+
+        li = pq.read_table(f"{SF}/lineitem.parquet",
+                           columns=["l_partkey", "l_returnflag"]) \
+            .to_pandas().dropna()
+        part = pq.read_table(f"{SF}/part.parquet",
+                             columns=["p_partkey", "p_brand"]) \
+            .to_pandas()
+        j = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+        g = j.groupby("p_brand").agg(
+            n=("l_returnflag", "size"),
+            k=("l_returnflag", lambda s: (s == "R").sum()))
+        p0 = g["k"].sum() / g["n"].sum()
+        z = (g["k"] / g["n"] - p0) / np.sqrt(p0 * (1 - p0) / g["n"])
+        p = 1.0 - _erf_as7(np.abs(z.to_numpy()) / np.sqrt(2.0))
+        got = bh_brand_returns(SF).to_pandas().set_index("p_brand")
+        assert sorted(got.index) == sorted(g.index)
+        for b in g.index:
+            assert got.loc[b, "n_lines"] == g.loc[b, "n"]
+            assert got.loc[b, "n_returns"] == g.loc[b, "k"]
+            assert abs(got.loc[b, "z_r"] - z[b]) < 1e-3
+        # BH invariants: adj >= raw p, adj <= 1, monotone in p order
+        srt = got.sort_values("p_r")
+        assert (srt["p_adj_r"] >= srt["p_r"] - 1e-9).all()
+        assert (srt["p_adj_r"] <= 1.0).all()
+        assert (np.diff(srt["p_adj_r"].to_numpy()) >= -1e-9).all()
+
+    def test_erf_kernel_accuracy(self):
+        from math import erf
+
+        from searchengine_ray.pipelines.relational import _erf_as7
+
+        xs = np.linspace(0, 4, 200)
+        approx = _erf_as7(xs)
+        exact = np.array([erf(x) for x in xs])
+        assert np.abs(approx - exact).max() < 1.5e-7
+
+    def test_planted_outlier_brand(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import (
+            bh_brand_returns)
+
+        # brand B returns everything, brand A nothing, 200 lines each
+        nper = 200
+        part = pa.table({
+            "p_partkey": pa.array([1, 2], type=pa.int64()),
+            "p_name": pa.array(["x", "y"]),
+            "p_brand": pa.array(["A", "B"]),
+            "p_type": pa.array(["t"] * 2),
+            "p_size": pa.array([1] * 2, type=pa.int32()),
+            "p_retailprice": pa.array([1.0, 1.0]),
+        })
+        li = pa.table({
+            "l_orderkey": pa.array(range(2 * nper), type=pa.int64()),
+            "l_partkey": pa.array([1] * nper + [2] * nper,
+                                  type=pa.int64()),
+            "l_suppkey": pa.array([1] * (2 * nper), type=pa.int64()),
+            "l_linenumber": pa.array([1] * (2 * nper),
+                                     type=pa.int32()),
+            "l_quantity": pa.array([1.0] * (2 * nper)),
+            "l_extendedprice": pa.array([1.0] * (2 * nper)),
+            "l_discount": pa.array([0.0] * (2 * nper)),
+            "l_tax": pa.array([0.0] * (2 * nper)),
+            "l_returnflag": pa.array(["N"] * nper + ["R"] * nper),
+            "l_linestatus": pa.array(["O"] * (2 * nper)),
+            "l_shipdate": pa.array([0] * (2 * nper),
+                                   type=pa.timestamp("us")),
+        })
+        pq.write_table(part, f"{tmp_path}/part.parquet")
+        pq.write_table(li, f"{tmp_path}/lineitem.parquet")
+        got = bh_brand_returns(str(tmp_path)).to_pandas() \
+            .set_index("p_brand")
+        # z = +-sqrt(n) = +-14.1: p ~ 0 -> both reject after BH
+        assert got.loc["B", "z_r"] > 14
+        assert got.loc["A", "z_r"] < -14
+        assert (got["p_adj_r"] < 1e-4).all()
