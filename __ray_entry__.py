@@ -817,6 +817,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # shared A&S-7.1.26 erf kernel, BH step-up adjustment
         # (oracle: identical polynomial + suffix-min window; r4)
         "bh_brand_returns": relational.bh_brand_returns,
+        # density-relative anomaly: Local Outlier Factor under
+        # int-scaled rounded cosine distance — exact integer k-dist /
+        # reachability, float only at lrd/LOF publish (oracle:
+        # all-pairs CTE + window k-select + identical joins; r4)
+        "lof_outliers": similarity.lof_outliers,
+        # small-sample inference: Fisher's exact 2×2 on user
+        # error-exposure × purchase-outcome, lgamma hypergeometric
+        # (oracle: generate_series + identical log-space terms; r4)
+        "fisher_exact": relational.fisher_exact,
         # JSON schema-on-read: aggregate over a value extracted from the
         # semi-structured props bag — TRY_CAST(json_extract) semantics,
         # int64 partials per type (oracle: DuckDB json functions; r4)
@@ -4848,6 +4857,93 @@ SELECT brand AS p_brand, n AS n_lines, k AS n_returns,
        round(zv, 4) AS z_r, round(p, 4) AS p_r,
        round(padj, 4) AS p_adj_r
 FROM ad ORDER BY p_brand""",
+        # LOF: int×10⁴ rounded cosine metric end-to-end; k-dist by
+        # value (rounded ties collapse), N(a) = all d <= k-dist,
+        # zero-reach vectors (and their dependents) drop identically
+        "lof_outliers": """
+WITH p AS MATERIALIZED (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         CAST(round(round(1.0 - list_cosine_similarity(
+                CAST(a.embedding AS DOUBLE[]),
+                CAST(b.embedding AS DOUBLE[])), 4) * 10000)
+              AS BIGINT) AS di
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL),
+ kd AS MATERIALIZED (
+  SELECT ia, di AS kdist FROM (
+    SELECT ia, di,
+           row_number() OVER (PARTITION BY ia
+                              ORDER BY di ASC, ib ASC) AS rn
+    FROM p) WHERE rn = 5),
+ nb AS MATERIALIZED (
+  SELECT p.ia, p.ib, p.di
+  FROM p JOIN kd ON kd.ia = p.ia WHERE p.di <= kd.kdist),
+ nn AS (SELECT ia, CAST(count(*) AS BIGINT) AS n_nb
+        FROM nb GROUP BY 1),
+ rc AS (SELECT nb.ia, greatest(kb.kdist, nb.di) AS reach
+        FROM nb JOIN kd kb ON kb.ia = nb.ib),
+ sr AS (SELECT ia, CAST(sum(reach) AS BIGINT) AS sumreach
+        FROM rc GROUP BY 1),
+ ld AS MATERIALIZED (
+   SELECT nn.ia, nn.n_nb, kd.kdist, sr.sumreach,
+          CAST(nn.n_nb AS DOUBLE) * 10000.0
+            / CAST(sr.sumreach AS DOUBLE) AS lrd
+   FROM nn JOIN sr ON sr.ia = nn.ia JOIN kd ON kd.ia = nn.ia
+   WHERE sr.sumreach > 0),
+ lf AS (SELECT nb.ia, sum(lb.lrd) AS slrd,
+               CAST(count(*) AS BIGINT) AS nhit
+        FROM nb JOIN ld lb ON lb.ia = nb.ib GROUP BY 1)
+SELECT ld.ia AS vec_id, ld.kdist / 10000.0 AS k_dist_r, ld.n_nb,
+       round(ld.lrd, 4) AS lrd_r,
+       round((lf.slrd / CAST(ld.n_nb AS DOUBLE)) / ld.lrd, 4)
+         AS lof_r
+FROM ld JOIN lf ON lf.ia = ld.ia
+WHERE lf.nhit = ld.n_nb
+ORDER BY vec_id""",
+        # Fisher exact: hypergeometric log-masses over the support,
+        # two-sided inclusion P(k) <= P(a)*(1+1e-7) — the identical
+        # lgamma expression tree and slack the engine evaluates
+        "fisher_exact": """
+WITH u AS (SELECT user_id,
+                  max(CASE WHEN event_type = 'error'
+                           THEN 1 ELSE 0 END) AS ex,
+                  max(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS oc
+           FROM events
+           WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+           GROUP BY 1),
+ ct AS (SELECT CAST(sum(ex * oc) AS BIGINT) AS a,
+               CAST(sum(ex * (1 - oc)) AS BIGINT) AS b,
+               CAST(sum((1 - ex) * oc) AS BIGINT) AS c,
+               CAST(sum((1 - ex) * (1 - oc)) AS BIGINT) AS d
+        FROM u),
+ mm AS (SELECT a, b, c, d, a + b AS r1, a + c AS c1,
+               a + b + c + d AS n FROM ct),
+ ks AS (SELECT mm.*, CAST(t.x AS BIGINT) AS k
+        FROM mm, LATERAL unnest(range(greatest(0, r1 + c1 - n),
+                                      least(r1, c1) + 1)) AS t(x)),
+ lp AS (SELECT *,
+          lgamma(CAST(r1 + 1 AS DOUBLE))
+            - lgamma(CAST(k + 1 AS DOUBLE))
+            - lgamma(CAST(r1 - k + 1 AS DOUBLE))
+            + lgamma(CAST(n - r1 + 1 AS DOUBLE))
+            - lgamma(CAST(c1 - k + 1 AS DOUBLE))
+            - lgamma(CAST(n - r1 - (c1 - k) + 1 AS DOUBLE))
+            - (lgamma(CAST(n + 1 AS DOUBLE))
+               - lgamma(CAST(c1 + 1 AS DOUBLE))
+               - lgamma(CAST(n - c1 + 1 AS DOUBLE))) AS l
+        FROM ks),
+ po AS (SELECT l AS lobs FROM lp, mm WHERE lp.k = mm.a),
+ s AS (SELECT sum(CASE WHEN exp(l) <= exp(po.lobs) * (1.0 + 1e-7)
+                       THEN exp(l) ELSE 0 END) AS p
+       FROM lp CROSS JOIN po)
+SELECT mm.n AS n_users, mm.a, mm.b, mm.c, mm.d,
+       round(CASE WHEN mm.b * mm.c > 0
+                  THEN CAST(mm.a * mm.d AS DOUBLE)
+                       / CAST(mm.b * mm.c AS DOUBLE)
+                  ELSE 0.0 END, 4) AS odds_r,
+       round(s.p, 4) AS p_r
+FROM mm CROSS JOIN s""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -12291,3 +12291,110 @@ def bh_brand_returns(sf_dir: str):
         "p_r": pa.array(_round_vec(df["p"].to_numpy(), 4)),
         "p_adj_r": pa.array(_round_vec(df["padj"].to_numpy(), 4)),
     })
+
+
+def fisher_exact(sf_dir: str):
+    """(n_users, a, b, c, d, odds_r, p_r): Fisher's EXACT test on the
+    2×2 user contingency table (exposure = user has ≥1 'error'
+    event; outcome = user has ≥1 'purchase') — the small-sample
+    complement of the asymptotic tests (``chi2_events``,
+    ``bh_brand_returns``' z): the two-sided p sums hypergeometric
+    point masses P(k) ≤ P(a)·(1+1e-7) over the support, every term
+    from lgamma (binomial coefficients in log space) — the 1e-7
+    slack is the standard equality guard, identical on both sides.
+    Odds ratio (a·d)/(b·c) publishes 0 on a zero denominator.
+
+    Scale shape: per-batch (user → flag-max) partials, one
+    user-hash combine to the per-user flag table, then a ≤4-cell
+    counting pass; the hypergeometric loop is O(min(r1, c1)) driver
+    math (bounded by distinct users, trivially so after the log
+    transform)."""
+    import math
+
+    import pandas as pd
+    from ray.data.aggregate import Max
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            "et": batch["event_type"].to_numpy(zero_copy_only=False),
+        }).dropna()
+        if df.empty:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "ex": pa.array([], type=pa.int64()),
+                             "oc": pa.array([], type=pa.int64())})
+        df["ex"] = (df["et"] == "error").astype(np.int64)
+        df["oc"] = (df["et"] == "purchase").astype(np.int64)
+        g = df.groupby("user_id", as_index=False).agg(
+            ex=("ex", "max"), oc=("oc", "max"))
+        return pa.table({
+            "user_id": pa.array(g["user_id"].to_numpy(dtype=np.int64)),
+            "ex": pa.array(g["ex"].to_numpy(dtype=np.int64)),
+            "oc": pa.array(g["oc"].to_numpy(dtype=np.int64)),
+        })
+
+    def cells(batch: pa.Table) -> pa.Table:
+        ex = batch["ex"].to_numpy(zero_copy_only=False)
+        oc = batch["oc"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "a": pa.array([int((ex * oc).sum())], type=pa.int64()),
+            "b": pa.array([int((ex * (1 - oc)).sum())],
+                          type=pa.int64()),
+            "c": pa.array([int(((1 - ex) * oc).sum())],
+                          type=pa.int64()),
+            "d": pa.array([int(((1 - ex) * (1 - oc)).sum())],
+                          type=pa.int64()),
+        })
+
+    parts = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["user_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("user_id")
+        .aggregate(Max("ex", alias_name="ex"),
+                   Max("oc", alias_name="oc"))
+        .map_batches(cells, batch_format="pyarrow", batch_size=8192)
+        .to_pandas()
+    )
+    empty = pa.table({"n_users": pa.array([], type=pa.int64()),
+                      "a": pa.array([], type=pa.int64()),
+                      "b": pa.array([], type=pa.int64()),
+                      "c": pa.array([], type=pa.int64()),
+                      "d": pa.array([], type=pa.int64()),
+                      "odds_r": pa.array([], type=pa.float64()),
+                      "p_r": pa.array([], type=pa.float64())})
+    if parts.empty:
+        return empty
+    a = int(parts["a"].sum())
+    b = int(parts["b"].sum())
+    c = int(parts["c"].sum())
+    d = int(parts["d"].sum())
+    n = a + b + c + d
+    if n == 0:
+        return empty
+    r1, c1 = a + b, a + c
+    lg = math.lgamma
+
+    def logp(kk: int) -> float:
+        return (lg(r1 + 1.0) - lg(kk + 1.0) - lg(r1 - kk + 1.0)
+                + lg(n - r1 + 1.0) - lg(c1 - kk + 1.0)
+                - lg(n - r1 - (c1 - kk) + 1.0)
+                - (lg(n + 1.0) - lg(c1 + 1.0) - lg(n - c1 + 1.0)))
+
+    lobs = logp(a)
+    lim = math.exp(lobs) * (1.0 + 1e-7)
+    p = 0.0
+    for kk in range(max(0, r1 + c1 - n), min(r1, c1) + 1):
+        pk = math.exp(logp(kk))
+        if pk <= lim:
+            p += pk
+    odds = (float(a * d) / float(b * c)) if b * c > 0 else 0.0
+    return pa.table({
+        "n_users": pa.array([n], type=pa.int64()),
+        "a": pa.array([a], type=pa.int64()),
+        "b": pa.array([b], type=pa.int64()),
+        "c": pa.array([c], type=pa.int64()),
+        "d": pa.array([d], type=pa.int64()),
+        "odds_r": pa.array([round_half_away(odds, 4)]),
+        "p_r": pa.array([round_half_away(p, 4)]),
+    })

@@ -1360,3 +1360,125 @@ def embedding_quantize(sf_dir: str):
 
     return src.map_batches(quantize, batch_format="pyarrow",
                            batch_size=4096)
+
+
+LOF_K = 5
+
+
+def lof_outliers(sf_dir: str, k: int = LOF_K):
+    """(vec_id, k_dist_r, n_nb, lrd_r, lof_r): Local Outlier Factor
+    over the embedding cloud under rounded cosine distance — the
+    DENSITY-relative anomaly score (``embedding_outliers`` flags
+    global centroid distance; LOF flags points sparse RELATIVE to
+    their own neighborhood, the standard Breunig et al. semantics).
+    The metric is round(1 − cos, 4) scaled to int ×10⁴, which makes
+    every k-distance, neighborhood-membership test and
+    reachability sum EXACT integer arithmetic on both sides; only
+    the final lrd/LOF divisions are float (4-dp publish).
+    Standard definitional details both sides share: k-dist = the
+    k-th smallest distance (value-based, so rounded ties collapse),
+    N(a) = ALL points with d ≤ k-dist (may exceed k on ties),
+    reach(a,b) = max(k-dist(b), d(a,b)), lrd = |N|·10⁴/Σreach,
+    LOF = (Σ_{b∈N} lrd(b) / |N|) / lrd(a). Zero-reach vectors
+    (exact duplicates) drop, and so does any vector whose
+    neighborhood lost a member to that rule — identically on both
+    sides.
+
+    Scale shape: the corpus matrix broadcasts into every batch (the
+    ``knn_batch`` bounded-embedding-table caveat — the LSH/IVF
+    entries are the unbounded-N path); each batch computes its rows'
+    full distance slice, k-selects locally, and emits only the
+    O(rows·k) neighbor edges. The lrd/LOF joins run on the driver
+    over those edges."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.sources import read_parquet_clean
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    keep = np.asarray([e is not None for e in t["embedding"]
+                       .to_pylist()])
+    ids_all = t["vec_id"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)[keep]
+    order = np.argsort(ids_all)
+    ids = ids_all[order]
+    M = np.asarray([e for e in t["embedding"].to_pylist()
+                    if e is not None], dtype=np.float64)[order]
+    Mn = np.sqrt((M * M).sum(axis=1))
+    empty = pa.table({"vec_id": pa.array([], type=pa.int64()),
+                      "k_dist_r": pa.array([], type=pa.float64()),
+                      "n_nb": pa.array([], type=pa.int64()),
+                      "lrd_r": pa.array([], type=pa.float64()),
+                      "lof_r": pa.array([], type=pa.float64())})
+    if ids.size <= k:
+        return empty
+
+    def edges(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        batch = batch.filter(pc.is_valid(batch["embedding"]))
+        if batch.num_rows == 0:
+            return pa.table({"ia": pa.array([], type=pa.int64()),
+                             "ib": pa.array([], type=pa.int64()),
+                             "di": pa.array([], type=pa.int64()),
+                             "kdist": pa.array([], type=pa.int64())})
+        ba = batch["vec_id"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        m = np.asarray(batch["embedding"].to_pylist(),
+                       dtype=np.float64)
+        bn = np.sqrt((m * m).sum(axis=1))
+        sims = (m @ M.T) / (bn[:, None] * Mn[None, :])
+        di = np.rint(_round_vec((1.0 - sims).ravel(), 4)
+                     .reshape(sims.shape) * 10000.0).astype(np.int64)
+        self_col = np.searchsorted(ids, ba)
+        di[np.arange(di.shape[0]), self_col] = np.iinfo(np.int64).max
+        kdist = np.partition(di, k - 1, axis=1)[:, k - 1]
+        ra, ci = np.nonzero(di <= kdist[:, None])
+        return pa.table({
+            "ia": pa.array(ba[ra]),
+            "ib": pa.array(ids[ci]),
+            "di": pa.array(di[ra, ci]),
+            "kdist": pa.array(kdist[ra]),
+        })
+
+    ed = (read_parquet_clean(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+        .map_batches(edges, batch_format="pyarrow", batch_size=1024)
+        .to_pandas())
+    if ed.empty:
+        return empty
+    kd = ed.groupby("ia")["kdist"].first()
+    nnb = ed.groupby("ia").size()
+    reach = np.maximum(kd.loc[ed["ib"]].to_numpy(dtype=np.int64),
+                       ed["di"].to_numpy(dtype=np.int64))
+    sr = pd.DataFrame({"ia": ed["ia"], "reach": reach}) \
+        .groupby("ia")["reach"].sum()
+    ok = sr > 0
+    lrd = pd.Series(np.where(
+        ok, nnb.to_numpy(dtype=np.float64) * 10000.0
+        / sr.to_numpy(dtype=np.float64), np.nan), index=sr.index)
+    lrd = lrd.dropna()
+    has = ed["ib"].isin(lrd.index)
+    ed2 = ed[has]
+    slrd = pd.DataFrame({"ia": ed2["ia"],
+                         "l": lrd.loc[ed2["ib"]].to_numpy()}) \
+        .groupby("ia")["l"].agg(["sum", "size"])
+    # a vector survives iff it has an lrd AND every neighbor does
+    out_ids = sorted(set(lrd.index)
+                     & set(slrd.index[slrd["size"]
+                                      == nnb.loc[slrd.index]]))
+    if not out_ids:
+        return empty
+    oi = pd.Index(out_ids)
+    n_nb = nnb.loc[oi].to_numpy(dtype=np.int64)
+    lrda = lrd.loc[oi].to_numpy()
+    lof = (slrd.loc[oi, "sum"].to_numpy() / n_nb) / lrda
+    return pa.table({
+        "vec_id": pa.array(np.asarray(out_ids, dtype=np.int64)),
+        "k_dist_r": pa.array(kd.loc[oi].to_numpy(dtype=np.int64)
+                             / 10000.0),
+        "n_nb": pa.array(n_nb),
+        "lrd_r": pa.array(_round_vec(lrda, 4)),
+        "lof_r": pa.array(_round_vec(lof, 4)),
+    })

@@ -8938,3 +8938,136 @@ class TestBhBrandReturns:
         assert got.loc["B", "z_r"] > 14
         assert got.loc["A", "z_r"] < -14
         assert (got["p_adj_r"] < 1e-4).all()
+
+
+class TestLofOutliers:
+    def test_matches_bruteforce(self, ray_session, emb):
+        from searchengine_ray.pipelines.fulltext import _round_vec
+        from searchengine_ray.pipelines.similarity import (
+            LOF_K, lof_outliers)
+
+        ids, m = emb
+        order = np.argsort(ids)
+        ids_s, ms = ids[order], m[order]
+        nrm = np.linalg.norm(ms, axis=1)
+        sims = (ms @ ms.T) / np.outer(nrm, nrm)
+        di = np.rint(_round_vec((1.0 - sims).ravel(), 4)
+                     .reshape(sims.shape) * 10000).astype(np.int64)
+        np.fill_diagonal(di, np.iinfo(np.int64).max)
+        k = LOF_K
+        kdist = np.partition(di, k - 1, axis=1)[:, k - 1]
+        got = lof_outliers(SF).to_pandas().set_index("vec_id")
+        assert len(got) == len(ids_s)
+        for i, vid in enumerate(ids_s[:50]):
+            nb = np.nonzero(di[i] <= kdist[i])[0]
+            assert got.loc[vid, "n_nb"] == nb.size
+            assert got.loc[vid, "k_dist_r"] == kdist[i] / 10000.0
+            reach = np.maximum(kdist[nb], di[i, nb])
+            lrd_i = nb.size * 10000.0 / reach.sum()
+            assert abs(got.loc[vid, "lrd_r"] - lrd_i) < 1e-3
+        # LOF of a uniform cloud hovers near 1
+        assert 0.5 < got["lof_r"].median() < 2.0
+
+    def test_planted_outlier(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.similarity import lof_outliers
+
+        rng = np.random.default_rng(3)
+        # loose-but-coherent cluster + one isolated far point (noise
+        # wide enough that rounded 4-dp cosine distances stay nonzero
+        # — an ultra-tight cluster trips the zero-reach drop rule)
+        base = np.tile([10.0, 0.0, 0.0], (30, 1)) \
+            + rng.normal(0, 0.8, (30, 3))
+        far = np.array([[0.0, 10.0, 0.1]])
+        m = np.vstack([base, far])
+        tbl = pa.table({
+            "vec_id": pa.array(range(31), type=pa.int64()),
+            "embedding": pa.array([r.tolist() for r in m],
+                                  type=pa.list_(pa.float32())),
+            "label": pa.array([0] * 31, type=pa.int32()),
+        })
+        pq.write_table(tbl, f"{tmp_path}/embeddings.parquet")
+        got = lof_outliers(str(tmp_path)).to_pandas() \
+            .set_index("vec_id")
+        # the isolated vector's LOF dominates the cluster's
+        assert got.loc[30, "lof_r"] == got["lof_r"].max()
+        assert got.loc[30, "lof_r"] > 2.0
+
+    def test_too_few_vectors_empty(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.similarity import lof_outliers
+
+        tbl = pa.table({
+            "vec_id": pa.array(range(3), type=pa.int64()),
+            "embedding": pa.array([[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]],
+                                  type=pa.list_(pa.float32())),
+            "label": pa.array([0] * 3, type=pa.int32()),
+        })
+        pq.write_table(tbl, f"{tmp_path}/embeddings.parquet")
+        assert len(lof_outliers(str(tmp_path)).to_pandas()) == 0
+
+
+class TestFisherExact:
+    def test_matches_scipy_free_reference(self, ray_session):
+        from math import exp, lgamma
+
+        from searchengine_ray.pipelines.relational import fisher_exact
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["user_id", "event_type"]) \
+            .to_pandas().dropna()
+        g = ev.groupby("user_id")["event_type"].agg(
+            ex=lambda s: int((s == "error").any()),
+            oc=lambda s: int((s == "purchase").any()))
+        a = int(((g["ex"] == 1) & (g["oc"] == 1)).sum())
+        b = int(((g["ex"] == 1) & (g["oc"] == 0)).sum())
+        c = int(((g["ex"] == 0) & (g["oc"] == 1)).sum())
+        d = int(((g["ex"] == 0) & (g["oc"] == 0)).sum())
+        n, r1, c1 = a + b + c + d, a + b, a + c
+
+        def lp(k):
+            return (lgamma(r1 + 1) - lgamma(k + 1)
+                    - lgamma(r1 - k + 1) + lgamma(n - r1 + 1)
+                    - lgamma(c1 - k + 1)
+                    - lgamma(n - r1 - (c1 - k) + 1)
+                    - (lgamma(n + 1) - lgamma(c1 + 1)
+                       - lgamma(n - c1 + 1)))
+
+        lim = exp(lp(a)) * (1 + 1e-7)
+        p = sum(exp(lp(k))
+                for k in range(max(0, r1 + c1 - n),
+                               min(r1, c1) + 1)
+                if exp(lp(k)) <= lim)
+        got = fisher_exact(SF).to_pandas().iloc[0]
+        assert (got["a"], got["b"], got["c"], got["d"]) == (a, b, c, d)
+        assert got["n_users"] == n
+        assert abs(got["p_r"] - p) < 1e-3
+        assert 0.0 <= got["p_r"] <= 1.0
+
+    def test_planted_association(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import fisher_exact
+
+        # 40 users: 20 exposed all purchase, 20 unexposed none ->
+        # strongest possible association, tiny p
+        rows = []
+        eid = 0
+        for u in range(20):
+            rows.append((eid, u, "error")); eid += 1
+            rows.append((eid, u, "purchase")); eid += 1
+        for u in range(20, 40):
+            rows.append((eid, u, "view")); eid += 1
+        tbl = pa.table({
+            "event_id": pa.array([r[0] for r in rows],
+                                 type=pa.int64()),
+            "ts": pa.array([0] * len(rows), type=pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows],
+                                type=pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        })
+        pq.write_table(tbl, f"{tmp_path}/events.parquet")
+        got = fisher_exact(str(tmp_path)).to_pandas().iloc[0]
+        assert (got["a"], got["b"], got["c"], got["d"]) \
+            == (20, 0, 0, 20)
+        # p = 2/C(40,20) ~ 1.45e-11 -> rounds to 0; odds 0 (b*c = 0)
+        assert got["p_r"] == 0.0
+        assert got["odds_r"] == 0.0
