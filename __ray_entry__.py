@@ -826,6 +826,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # error-exposure × purchase-outcome, lgamma hypergeometric
         # (oracle: generate_series + identical log-space terms; r4)
         "fisher_exact": relational.fisher_exact,
+        # shape-constrained regression: PAVA isotonic fit of daily
+        # revenue, exact integer violation tests (oracle: the O(n³)
+        # minimax characterization over prefix sums; r4)
+        "isotonic_daily": relational.isotonic_daily,
+        # time-decay scoring: per-user half-life-weighted value beside
+        # exact raw cents (oracle: identical power(0.5, Δ/7); r4)
+        "recency_weighted_value": relational.recency_weighted_value,
+        # windowed bivariate stats: trailing-7-day Pearson between two
+        # type series from exact int window moments (oracle: window
+        # sums + identical division tree; r4)
+        "rolling_type_corr": relational.rolling_type_corr,
         # JSON schema-on-read: aggregate over a value extracted from the
         # semi-structured props bag — TRY_CAST(json_extract) semantics,
         # int64 partials per type (oracle: DuckDB json functions; r4)
@@ -4944,6 +4955,91 @@ SELECT mm.n AS n_users, mm.a, mm.b, mm.c, mm.d,
                   ELSE 0.0 END, 4) AS odds_r,
        round(s.p, 4) AS p_r
 FROM mm CROSS JOIN s""",
+        # isotonic via the minimax characterization: every candidate
+        # mean is an exact-int division, so PAVA (engine) and minimax
+        # (oracle) agree to the ulp
+        "isotonic_daily": """
+WITH v AS (SELECT epoch_us(ts) // 86400000000 * 86400000000 AS d,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events
+           WHERE ts IS NOT NULL AND value IS NOT NULL
+             AND NOT isnan(value)),
+ dt AS (SELECT d, CAST(sum(cents) AS BIGINT) AS c FROM v GROUP BY 1),
+ b AS (SELECT min(d) AS lo, max(d) AS hi FROM dt),
+ g AS (SELECT CAST(t.x AS BIGINT) AS d
+       FROM b, LATERAL unnest(range(lo, hi + 86400000000,
+                                    86400000000)) AS t(x)),
+ f AS (SELECT g.d, CAST(coalesce(dt.c, 0) AS BIGINT) AS c,
+              row_number() OVER (ORDER BY g.d) AS rn
+       FROM g LEFT JOIN dt ON dt.d = g.d),
+ cum AS (SELECT rn, CAST(sum(c) OVER (ORDER BY rn) AS BIGINT) AS cps
+         FROM f),
+ pairs AS (SELECT i.rn AS i, j.rn AS j,
+                  CAST(cj.cps - coalesce(ci.cps, 0) AS DOUBLE)
+                    / CAST(j.rn - i.rn + 1 AS DOUBLE) AS m
+           FROM f i JOIN f j ON j.rn >= i.rn
+           JOIN cum cj ON cj.rn = j.rn
+           LEFT JOIN cum ci ON ci.rn = i.rn - 1),
+ inn AS (SELECT t.rn AS t, p.i, min(p.m) AS lo
+         FROM f t JOIN pairs p ON p.i <= t.rn AND p.j >= t.rn
+         GROUP BY 1, 2),
+ ft AS (SELECT t, max(lo) AS fit FROM inn GROUP BY 1)
+SELECT f.d AS day_us, round(f.c / 100.0, 4) AS x_r,
+       round(ft.fit / 100.0, 4) AS fit_r
+FROM f JOIN ft ON ft.t = f.rn ORDER BY day_us""",
+        # identical half-life weight both sides; raw cents exact int
+        "recency_weighted_value": """
+WITH mt AS (SELECT max(epoch_us(ts)) AS T FROM events
+            WHERE ts IS NOT NULL),
+ e AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+              (mt.T - epoch_us(ts)) / 86400000000.0 AS dtd
+       FROM events CROSS JOIN mt
+       WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         AND value IS NOT NULL AND NOT isnan(value))
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS raw_cents,
+       round(sum(cents * power(0.5, dtd / 7.0)), 4) AS decayed_r
+FROM e GROUP BY 1 ORDER BY 1""",
+        # exact int window moments over the shared zero-filled grid;
+        # zero-variance windows publish 0; complete windows only
+        "rolling_type_corr": """
+WITH e AS (SELECT epoch_us(ts) // 86400000000 * 86400000000 AS d,
+                  event_type AS et,
+                  CAST(round(value * 100) AS BIGINT) AS c
+           FROM events
+           WHERE ts IS NOT NULL AND value IS NOT NULL
+             AND NOT isnan(value)
+             AND event_type IN ('click', 'view')),
+ dt AS (SELECT d, et, CAST(sum(c) AS BIGINT) AS c
+        FROM e GROUP BY 1, 2),
+ b AS (SELECT min(d) AS lo, max(d) AS hi FROM dt),
+ g AS (SELECT CAST(t.x AS BIGINT) AS d
+       FROM b, LATERAL unnest(range(lo, hi + 86400000000,
+                                    86400000000)) AS t(x)),
+ s AS (SELECT g.d,
+              CAST(coalesce(ca.c, 0) AS BIGINT) AS a,
+              CAST(coalesce(cb.c, 0) AS BIGINT) AS bb,
+              row_number() OVER (ORDER BY g.d) AS rn
+       FROM g
+       LEFT JOIN dt ca ON ca.d = g.d AND ca.et = 'click'
+       LEFT JOIN dt cb ON cb.d = g.d AND cb.et = 'view'),
+ w AS (SELECT d, rn,
+              CAST(sum(a) OVER win AS BIGINT) AS sa,
+              CAST(sum(bb) OVER win AS BIGINT) AS sb,
+              CAST(sum(a * a) OVER win AS BIGINT) AS saa,
+              CAST(sum(bb * bb) OVER win AS BIGINT) AS sbb,
+              CAST(sum(a * bb) OVER win AS BIGINT) AS sab,
+              count(*) OVER win AS nw
+       FROM s WINDOW win AS (ORDER BY rn ROWS BETWEEN 6 PRECEDING
+                             AND CURRENT ROW))
+SELECT d AS day_us,
+       round(CASE WHEN 7 * saa - sa * sa > 0
+                   AND 7 * sbb - sb * sb > 0
+                  THEN CAST(7 * sab - sa * sb AS DOUBLE)
+                       / sqrt(CAST(7 * saa - sa * sa AS DOUBLE)
+                              * CAST(7 * sbb - sb * sb AS DOUBLE))
+                  ELSE 0.0 END, 4) AS corr_r
+FROM w WHERE nw = 7 ORDER BY day_us""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

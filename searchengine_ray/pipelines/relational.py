@@ -12398,3 +12398,249 @@ def fisher_exact(sf_dir: str):
         "odds_r": pa.array([round_half_away(odds, 4)]),
         "p_r": pa.array([round_half_away(p, 4)]),
     })
+
+
+def isotonic_daily(sf_dir: str):
+    """(day_us, x_r, fit_r): isotonic (monotone non-decreasing) PAVA
+    fit of the zero-filled daily revenue series — the calibration /
+    shape-constrained-regression surface: ``theilsen_trend`` fits
+    one robust LINE, ``holt_trend`` smooths recursively; PAVA finds
+    the closest non-decreasing step function in L². Engine runs the
+    O(n) pool-adjacent-violators stack over exact (cent-sum, count)
+    integer blocks; the oracle evaluates the minimax
+    characterization fit(t) = max_{i≤t} min_{j≥t} mean(x[i..j])
+    (every candidate mean is the SAME exact-int division both
+    sides, so agreement is to the ulp and 4-dp publish is safe).
+
+    Scale shape: the daily-cents Sum is the only exchange; the PAVA
+    stack runs on the driver over the day frame (the recurrence
+    disciplines' disclosed shape — the oracle's O(n³) minimax is
+    oracle-only, the engine is linear)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        v, ts = v[ok], ts[ok].astype(np.int64)
+        if v.size == 0:
+            return pa.table({"d": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+        cents = np.rint(v * 100.0).astype(np.int64)
+        day = ts // DAY_US * DAY_US
+        ud, inv = np.unique(day, return_inverse=True)
+        cs = np.zeros(ud.size, dtype=np.int64)
+        np.add.at(cs, inv, cents)
+        return pa.table({"d": pa.array(ud), "c": pa.array(cs)})
+
+    daily = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["ts", "value"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("d").aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    empty = pa.table({"day_us": pa.array([], type=pa.int64()),
+                      "x_r": pa.array([], type=pa.float64()),
+                      "fit_r": pa.array([], type=pa.float64())})
+    if daily.empty:
+        return empty
+    daily = daily.sort_values("d")
+    od = daily["d"].to_numpy(dtype=np.int64)
+    oc = daily["c"].to_numpy(dtype=np.int64)
+    grid = np.arange(od[0], od[-1] + DAY_US, DAY_US, dtype=np.int64)
+    c = np.zeros(grid.size, dtype=np.int64)
+    c[(od - grid[0]) // DAY_US] = oc
+    # PAVA over exact integer (sum, count) blocks: merge while the
+    # previous block mean exceeds the current (cross-multiplied in
+    # int, so the violation test is exact)
+    sums: list[int] = []
+    cnts: list[int] = []
+    for ci in c:
+        s, n = int(ci), 1
+        while sums and sums[-1] * n > s * cnts[-1]:
+            s += sums.pop()
+            n += cnts.pop()
+        sums.append(s)
+        cnts.append(n)
+    fit = np.concatenate([
+        np.full(n, float(s) / float(n))
+        for s, n in zip(sums, cnts)]) / 100.0
+    return pa.table({
+        "day_us": pa.array(grid),
+        "x_r": pa.array(_round_vec(c / 100.0, 4)),
+        "fit_r": pa.array(_round_vec(fit, 4)),
+    })
+
+
+DECAY_HALF_LIFE_DAYS = 7.0
+
+
+def recency_weighted_value(sf_dir: str):
+    """(user_id, n_events, raw_cents, decayed_r): per-user
+    exponentially time-decayed value — each event contributes
+    cents · 0.5^(Δdays / 7) where Δ is measured back from the
+    corpus-max timestamp; the recency-weighted engagement score
+    every recommender / churn model keeps beside the raw totals
+    (``running_user_totals`` is cumulative-forward; this is
+    decayed-backward). ``raw_cents`` stays exact int; the decayed
+    sum is float with the identical power(0.5, Δ/7) weight both
+    sides, 4-dp publish.
+
+    Scale shape: one Max aggregate for the anchor timestamp, then
+    one map pass with per-batch (user → partial sums) combine and a
+    user groupby — no driver row-level pull; output sized by
+    users."""
+    import pandas as pd
+    from ray.data.aggregate import Max, Sum
+
+    src = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "value"])
+
+    def ts_max(batch: pa.Table) -> pa.Table:
+        t = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        t = t[~np.isnan(t)] if t.dtype.kind == "f" else t
+        if t.size == 0:
+            return pa.table({"m": pa.array([], type=pa.int64())})
+        return pa.table({"m": pa.array([int(t.max())],
+                                       type=pa.int64())})
+
+    mt = src.map_batches(ts_max, batch_format="pyarrow",
+                         batch_size=8192) \
+        .aggregate(Max("m", alias_name="m"))
+    empty = pa.table({"user_id": pa.array([], type=pa.int64()),
+                      "n_events": pa.array([], type=pa.int64()),
+                      "raw_cents": pa.array([], type=pa.int64()),
+                      "decayed_r": pa.array([], type=pa.float64())})
+    if mt is None or mt.get("m") is None:
+        return empty
+    T = int(mt["m"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            "ts": batch["ts"].cast(pa.timestamp("us"))
+            .cast(pa.int64()).to_numpy(zero_copy_only=False),
+            "v": batch["value"].to_numpy(zero_copy_only=False),
+        }).dropna()
+        if df.empty:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64()),
+                             "rc": pa.array([], type=pa.int64()),
+                             "dv": pa.array([], type=pa.float64())})
+        cents = np.rint(df["v"].to_numpy() * 100.0).astype(np.int64)
+        dt_days = (T - df["ts"].to_numpy(dtype=np.int64)) \
+            / float(DAY_US)
+        w = cents * np.power(0.5, dt_days / DECAY_HALF_LIFE_DAYS)
+        g = pd.DataFrame({"user_id": df["user_id"]
+                          .to_numpy(dtype=np.int64),
+                          "n": 1, "rc": cents, "dv": w}) \
+            .groupby("user_id", as_index=False).agg(
+                n=("n", "sum"), rc=("rc", "sum"), dv=("dv", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (src.map_batches(partial, batch_format="pyarrow",
+                           batch_size=8192)
+           .groupby("user_id")
+           .aggregate(Sum("n", alias_name="n_events"),
+                      Sum("rc", alias_name="raw_cents"),
+                      Sum("dv", alias_name="dv"))
+           .to_pandas().sort_values("user_id"))
+    if out.empty:
+        return empty
+    return pa.table({
+        "user_id": pa.array(out["user_id"].to_numpy(dtype=np.int64)),
+        "n_events": pa.array(out["n_events"]
+                             .to_numpy(dtype=np.int64)),
+        "raw_cents": pa.array(out["raw_cents"]
+                              .to_numpy(dtype=np.int64)),
+        "decayed_r": pa.array(_round_vec(out["dv"].to_numpy(), 4)),
+    })
+
+
+ROLL_CORR_TYPES = ("click", "view")
+ROLL_CORR_WIN = 7
+
+
+def rolling_type_corr(sf_dir: str):
+    """(day_us, corr_r): trailing-7-day Pearson correlation between
+    the 'click' and 'view' daily revenue series — the WINDOWED
+    bivariate complement of ``type_corr_matrix`` (one global
+    coefficient) and ``bollinger_bands`` (univariate window
+    moments): does the co-movement of two streams drift over time?
+    Every window moment (Sa, Sb, Saa, Sbb, Sab) is an exact int64
+    cent sum via cumulative differences, so the only float is the
+    final correlation division — identical tree both sides, 4-dp,
+    zero-variance windows publish 0. Emits one row per complete
+    window over the zero-filled shared day grid.
+
+    Scale shape: one (day × 2-type)-bounded Sum exchange; window
+    cumsums on the driver over the day frame."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    tset = ROLL_CORR_TYPES
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "ts": batch["ts"].cast(pa.timestamp("us"))
+            .cast(pa.int64()).to_numpy(zero_copy_only=False),
+            "et": batch["event_type"].to_numpy(zero_copy_only=False),
+            "v": batch["value"].to_numpy(zero_copy_only=False),
+        }).dropna()
+        df = df[df["et"].isin(tset)]
+        if df.empty:
+            return pa.table({"d": pa.array([], type=pa.int64()),
+                             "et": pa.array([], type=pa.string()),
+                             "c": pa.array([], type=pa.int64())})
+        cents = np.rint(df["v"].to_numpy() * 100.0).astype(np.int64)
+        day = df["ts"].to_numpy(dtype=np.int64) // DAY_US * DAY_US
+        g = pd.DataFrame({"d": day, "et": df["et"].to_numpy(),
+                          "c": cents}) \
+            .groupby(["d", "et"], as_index=False).agg(c=("c", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    daily = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["ts", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby(["d", "et"]).aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    empty = pa.table({"day_us": pa.array([], type=pa.int64()),
+                      "corr_r": pa.array([], type=pa.float64())})
+    if daily.empty:
+        return empty
+    lo, hi = int(daily["d"].min()), int(daily["d"].max())
+    grid = np.arange(lo, hi + DAY_US, DAY_US, dtype=np.int64)
+    W = ROLL_CORR_WIN
+    if grid.size < W:
+        return empty
+    a = np.zeros(grid.size, dtype=np.int64)
+    b = np.zeros(grid.size, dtype=np.int64)
+    for arr, name in ((a, tset[0]), (b, tset[1])):
+        sub = daily[daily["et"] == name]
+        arr[(sub["d"].to_numpy(dtype=np.int64) - lo) // DAY_US] = \
+            sub["c"].to_numpy(dtype=np.int64)
+
+    def winsum(x: np.ndarray) -> np.ndarray:
+        cs = np.concatenate(([0], np.cumsum(x)))
+        return cs[W:] - cs[:-W]
+
+    Sa, Sb = winsum(a), winsum(b)
+    Saa, Sbb = winsum(a * a), winsum(b * b)
+    Sab = winsum(a * b)
+    num = (W * Sab - Sa * Sb).astype(np.float64)
+    d1 = (W * Saa - Sa * Sa).astype(np.float64)
+    d2 = (W * Sbb - Sb * Sb).astype(np.float64)
+    den = np.sqrt(d1 * d2)
+    corr = np.where((d1 > 0) & (d2 > 0), num / np.where(den > 0, den,
+                                                        1.0), 0.0)
+    return pa.table({
+        "day_us": pa.array(grid[W - 1:]),
+        "corr_r": pa.array(_round_vec(corr, 4)),
+    })

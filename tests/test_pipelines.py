@@ -9071,3 +9071,167 @@ class TestFisherExact:
         # p = 2/C(40,20) ~ 1.45e-11 -> rounds to 0; odds 0 (b*c = 0)
         assert got["p_r"] == 0.0
         assert got["odds_r"] == 0.0
+
+
+class TestIsotonicDaily:
+    def test_matches_minimax(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            isotonic_daily)
+
+        DAY = 86_400_000_000
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["ts", "value"]).to_pandas() \
+            .dropna()
+        day = ev["ts"].astype("int64") // DAY * DAY
+        cents = np.rint(ev["value"].to_numpy() * 100).astype(np.int64)
+        daily = pd.DataFrame({"d": day, "c": cents}) \
+            .groupby("d")["c"].sum().sort_index()
+        grid = np.arange(daily.index[0], daily.index[-1] + DAY, DAY,
+                         dtype=np.int64)
+        c = np.zeros(grid.size, dtype=np.int64)
+        c[(daily.index.to_numpy() - grid[0]) // DAY] = daily.to_numpy()
+        n = c.size
+        ps = np.concatenate(([0], np.cumsum(c)))
+        fit = np.empty(n)
+        for t in range(n):
+            best = -np.inf
+            for i in range(t + 1):
+                lo = min((ps[j + 1] - ps[i]) / (j - i + 1)
+                         for j in range(t, n))
+                best = max(best, lo)
+            fit[t] = best / 100.0
+        got = isotonic_daily(SF).to_pandas()
+        assert np.allclose(got["fit_r"], fit, atol=1e-3)
+        # isotonic invariants
+        f = got["fit_r"].to_numpy()
+        assert (np.diff(f) >= -1e-9).all()
+        # means are preserved blockwise: total fit mass = total mass
+        assert abs(f.sum() - (c / 100.0).sum()) < 1e-2
+
+    def test_planted_violation_pool(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import (
+            isotonic_daily)
+
+        DAY = 86_400_000_000
+        # series 1, 5, 3 -> pool (5,3) -> fit 1, 4, 4
+        tbl = pa.table({
+            "event_id": pa.array(range(3), type=pa.int64()),
+            "ts": pa.array([0, DAY, 2 * DAY],
+                           type=pa.timestamp("us")),
+            "user_id": pa.array([1] * 3, type=pa.int64()),
+            "event_type": pa.array(["view"] * 3),
+            "value": pa.array([1.0, 5.0, 3.0]),
+            "props": pa.array(["{}"] * 3),
+        })
+        pq.write_table(tbl, f"{tmp_path}/events.parquet")
+        got = isotonic_daily(str(tmp_path)).to_pandas()
+        assert got["fit_r"].tolist() == [1.0, 4.0, 4.0]
+
+
+class TestRecencyWeightedValue:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            recency_weighted_value)
+
+        DAY = 86_400_000_000
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["user_id", "ts", "value"]) \
+            .to_pandas().dropna()
+        T = ev["ts"].astype("int64").max()
+        cents = np.rint(ev["value"].to_numpy() * 100).astype(np.int64)
+        dtd = (T - ev["ts"].astype("int64").to_numpy()) / DAY
+        w = cents * np.power(0.5, dtd / 7.0)
+        exp = pd.DataFrame({"u": ev["user_id"].to_numpy(),
+                            "rc": cents, "dv": w}) \
+            .groupby("u").agg(rc=("rc", "sum"), dv=("dv", "sum"))
+        got = recency_weighted_value(SF).to_pandas() \
+            .set_index("user_id")
+        assert len(got) == len(exp)
+        for u in exp.index:
+            assert got.loc[u, "raw_cents"] == exp.loc[u, "rc"]
+            assert abs(got.loc[u, "decayed_r"]
+                       - exp.loc[u, "dv"]) < 1e-3
+        # decayed value never exceeds raw value
+        assert (got["decayed_r"]
+                <= got["raw_cents"] + 1e-9).all()
+
+    def test_planted_half_life(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import (
+            recency_weighted_value)
+
+        DAY = 86_400_000_000
+        # user 1: 100 cents at T (weight 1) + 100 cents 7 days
+        # earlier (weight 0.5) -> decayed 150
+        tbl = pa.table({
+            "event_id": pa.array([1, 2], type=pa.int64()),
+            "ts": pa.array([7 * DAY, 0], type=pa.timestamp("us")),
+            "user_id": pa.array([1, 1], type=pa.int64()),
+            "event_type": pa.array(["view"] * 2),
+            "value": pa.array([1.0, 1.0]),
+            "props": pa.array(["{}"] * 2),
+        })
+        pq.write_table(tbl, f"{tmp_path}/events.parquet")
+        got = recency_weighted_value(str(tmp_path)).to_pandas()
+        assert got.iloc[0]["raw_cents"] == 200
+        assert abs(got.iloc[0]["decayed_r"] - 150.0) < 1e-9
+
+
+class TestRollingTypeCorr:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            rolling_type_corr)
+
+        DAY = 86_400_000_000
+        ev = pq.read_table(
+            f"{SF}/events.parquet",
+            columns=["ts", "event_type", "value"]).to_pandas().dropna()
+        ev = ev[ev["event_type"].isin(["click", "view"])]
+        day = ev["ts"].astype("int64") // DAY * DAY
+        cents = np.rint(ev["value"].to_numpy() * 100).astype(np.int64)
+        piv = pd.DataFrame({"d": day, "et": ev["event_type"],
+                            "c": cents}) \
+            .groupby(["d", "et"])["c"].sum().unstack(fill_value=0)
+        grid = np.arange(piv.index.min(), piv.index.max() + DAY, DAY,
+                         dtype=np.int64)
+        piv = piv.reindex(grid, fill_value=0)
+        a = piv.get("click", pd.Series(0, index=grid)).to_numpy(
+            dtype=float)
+        b = piv.get("view", pd.Series(0, index=grid)).to_numpy(
+            dtype=float)
+        got = rolling_type_corr(SF).to_pandas().set_index("day_us")
+        assert len(got) == grid.size - 6
+        for t in range(6, grid.size):
+            wa, wb = a[t - 6:t + 1], b[t - 6:t + 1]
+            if wa.std() > 0 and wb.std() > 0:
+                exp = np.corrcoef(wa, wb)[0, 1]
+            else:
+                exp = 0.0
+            assert abs(got.loc[grid[t], "corr_r"] - exp) < 1e-3
+
+    def test_planted_perfect_corr(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import (
+            rolling_type_corr)
+
+        DAY = 86_400_000_000
+        # view = 2 x click on every day -> corr 1 everywhere
+        rows = []
+        eid = 0
+        for dd in range(8):
+            rows.append((eid, dd * DAY, "click", float(dd + 1)))
+            eid += 1
+            rows.append((eid, dd * DAY, "view", 2.0 * (dd + 1)))
+            eid += 1
+        tbl = pa.table({
+            "event_id": pa.array([r[0] for r in rows],
+                                 type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows],
+                           type=pa.timestamp("us")),
+            "user_id": pa.array([1] * len(rows), type=pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+            "value": pa.array([r[3] for r in rows]),
+            "props": pa.array(["{}"] * len(rows)),
+        })
+        pq.write_table(tbl, f"{tmp_path}/events.parquet")
+        got = rolling_type_corr(str(tmp_path)).to_pandas()
+        assert len(got) == 2
+        assert (got["corr_r"] == 1.0).all()
