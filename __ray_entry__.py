@@ -115,6 +115,97 @@ FROM {prev} p CROSS JOIN sg CROSS JOIN n{iters}
 ORDER BY p.dim"""
 
 
+def _markov_sql(iters: int = 60) -> str:
+    """Unrolled absorption-iteration oracle for
+    ``markov_attribution``: one MATERIALIZED CTE chain per run
+    (base + one per removed channel), each step a matvec over the
+    transition CTE with the removed channel's state forced to 0 —
+    the identical 60-step recurrence the engine runs."""
+    channels = ("click", "error", "signup", "view")
+    runs = [("b", None)] + [(f"r{i}", c)
+                            for i, c in enumerate(channels)]
+    chains = []
+    final = {}
+    for tag, masked in runs:
+        prev = f"v0{tag}"
+        steps = [f""",
+ v0{tag} AS (SELECT state, val FROM vinit)"""]
+        for k in range(1, iters + 1):
+            mask = ("w.val" if masked is None else
+                    f"CASE WHEN w.state = '{masked}' "
+                    f"THEN 0.0 ELSE w.val END")
+            steps.append(f""",
+ w{k}{tag} AS MATERIALIZED (
+   SELECT m.s AS state, sum(m.p * v.val) AS val
+   FROM m JOIN {prev} v ON v.state = m.t GROUP BY 1),
+ v{k}{tag} AS MATERIALIZED (
+   SELECT state, val FROM absorbv
+   UNION ALL SELECT w.state, {mask} FROM w{k}{tag} w)""")
+            prev = f"v{k}{tag}"
+        chains.append("".join(steps))
+        final[tag] = prev
+    pr_rows = "\n   UNION ALL ".join(
+        f"SELECT '{c}' AS channel, coalesce((SELECT val FROM "
+        f"{final[f'r{i}']} WHERE state = 'START'), 0.0) AS prem"
+        for i, c in enumerate(channels))
+    return f"""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu, event_id
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             AND event_type IS NOT NULL AND event_id IS NOT NULL),
+ r AS (SELECT user_id, event_type,
+              row_number() OVER (PARTITION BY user_id
+                                 ORDER BY tu, event_id) AS rn
+       FROM e),
+ fp AS (SELECT user_id, min(rn) AS prn FROM r
+        WHERE event_type = 'purchase' GROUP BY 1),
+ kept AS (SELECT r.user_id, r.event_type, r.rn
+          FROM r LEFT JOIN fp ON fp.user_id = r.user_id
+          WHERE fp.prn IS NULL OR r.rn <= fp.prn),
+ mx2 AS (SELECT user_id, max(rn) AS mrn,
+                bool_or(event_type = 'purchase') AS has_p
+         FROM kept GROUP BY 1),
+ tr AS (
+   SELECT 'START' AS s, k.event_type AS t FROM kept k
+   WHERE k.rn = 1
+   UNION ALL
+   SELECT k.event_type, k2.event_type
+   FROM kept k JOIN kept k2 ON k2.user_id = k.user_id
+                           AND k2.rn = k.rn + 1
+   UNION ALL
+   SELECT k.event_type, 'NULL'
+   FROM kept k JOIN mx2 ON mx2.user_id = k.user_id
+                       AND k.rn = mx2.mrn AND NOT mx2.has_p),
+ cnt AS (SELECT s, t, CAST(count(*) AS BIGINT) AS n
+         FROM tr GROUP BY 1, 2),
+ tot AS (SELECT s, CAST(sum(n) AS BIGINT) AS ns FROM cnt GROUP BY 1),
+ m AS MATERIALIZED (
+   SELECT cnt.s, cnt.t,
+          CAST(cnt.n AS DOUBLE) / CAST(tot.ns AS DOUBLE) AS p
+   FROM cnt JOIN tot ON tot.s = cnt.s),
+ absorbv AS (SELECT 'purchase' AS state, 1.0 AS val
+             UNION ALL SELECT 'NULL', 0.0),
+ vinit AS (SELECT state, val FROM absorbv
+           UNION ALL SELECT s AS state, 0.0 AS val FROM tot)\
+{''.join(chains)},
+ pb AS (SELECT coalesce((SELECT val FROM {final['b']}
+                         WHERE state = 'START'), 0.0) AS val),
+ pr AS ({pr_rows}),
+ ef AS (SELECT pr.channel, pr.prem,
+               CASE WHEN pb.val > 0
+                    THEN (pb.val - pr.prem) / pb.val
+                    ELSE 0.0 END AS eff
+        FROM pr CROSS JOIN pb),
+ sef AS (SELECT sum(eff) AS se FROM ef)
+SELECT ef.channel, round(pb.val, 4) AS p_base_r,
+       round(ef.prem, 4) AS p_removed_r,
+       round(ef.eff, 4) AS effect_r,
+       round(CASE WHEN sef.se > 0 THEN ef.eff / sef.se
+                  ELSE 0.0 END, 4) AS attribution_r
+FROM ef CROSS JOIN pb CROSS JOIN sef
+ORDER BY ef.channel"""
+
+
 _TS_DOCS = """
 tdocs AS (
   SELECT 'conv-' || lpad(CAST(doc_id // 8 AS VARCHAR), 6, '0') AS conv_id,
@@ -837,6 +928,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # type series from exact int window moments (oracle: window
         # sums + identical division tree; r4)
         "rolling_type_corr": relational.rolling_type_corr,
+        # data-driven attribution: first-order Markov removal effects
+        # per channel over truncated user journeys — identical 60-step
+        # absorption iteration both sides (oracle: per-run unrolled
+        # MATERIALIZED CTE chains; r4)
+        "markov_attribution": relational.markov_attribution,
+        # corpus diversity: per-doc fraction of word-3-gram shingles
+        # first seen in that doc — gram-hash co-partition min-doc
+        # (oracle: shared word-shingle CTE + min join; r4)
+        "ngram_novelty": dedup.ngram_novelty,
         # JSON schema-on-read: aggregate over a value extracted from the
         # semi-structured props bag — TRY_CAST(json_extract) semantics,
         # int64 partials per type (oracle: DuckDB json functions; r4)
@@ -5040,6 +5140,7 @@ SELECT d AS day_us,
                               * CAST(7 * sbb - sb * sb AS DOUBLE))
                   ELSE 0.0 END, 4) AS corr_r
 FROM w WHERE nw = 7 ORDER BY day_us""",
+        "markov_attribution": _markov_sql(60),
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -5152,6 +5253,22 @@ JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE 4 * i.c * i.c >= sa.n * sb.n
 ORDER BY doc_a, doc_b""",
+        # novelty over the SHARED word-shingle CTE (literal strings vs
+        # the engine's 64-bit hashes — the family's injectivity
+        # assumption); zero-shingle docs absent on both sides
+        "ngram_novelty": f"""
+WITH {_WORD_SHINGLE_CTE},
+ mind AS (SELECT g, min(doc_id) AS md FROM sh GROUP BY 1),
+ pern AS (SELECT sh.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_grams,
+                 CAST(sum(CASE WHEN mind.md = sh.doc_id
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_novel
+          FROM sh JOIN mind ON mind.g = sh.g GROUP BY 1)
+SELECT doc_id, n_grams, n_novel,
+       round(CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE), 4)
+         AS novelty_r
+FROM pern ORDER BY doc_id""",
         # all-pairs Hamming ≤ 3 over SQL-rebuilt md5-prefix signatures; the
         # engine's 4×16-bit pigeonhole banding is exact at this radius
         "dedup_simhash": _simhash_pairs_sql(),

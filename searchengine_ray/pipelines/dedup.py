@@ -2288,3 +2288,89 @@ def cosine_shingle_join(sf_dir: str, df_cap: int = _COS_DF_CAP):
         .groupby("q3")
         .map_groups(gate, batch_format="pyarrow")
     )
+
+
+def ngram_novelty(sf_dir: str):
+    """(doc_id, n_grams, n_novel, novelty_r): corpus novelty curve —
+    per document, the fraction of its DISTINCT word-3-gram shingles
+    whose global FIRST occurrence (min doc_id) is this document.
+    The training-data diversity metric the dedup family implies but
+    never publishes: a crawl whose novelty collapses is re-crawling
+    itself (``duplication_ratio`` sees only exact dups; this sees
+    phrase-level exhaustion). Shares ``word_shingle_array``'s
+    hashed-shingle space with the MinHash/Jaccard entries (the
+    oracle uses literal shingle strings — injectivity on these
+    corpora is the family's disclosed assumption). Docs with zero
+    shingles (empty text) emit nothing on both sides.
+
+    Scale shape: one shingle-explode pass → ONE gram-hash
+    co-partition exchange; each partition resolves min-doc per gram
+    AND folds per-doc (total, novel) counts locally, so the second
+    exchange carries ≤2 rows per (partition, doc) — never gram
+    rows; a doc groupby finishes. Output sized by documents."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    P = _DEDUP_PARTITIONS
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids_out: list[np.ndarray] = []
+        gs: list[np.ndarray] = []
+        for did, text in zip(batch["doc_id"].to_pylist(),
+                             batch["text"].to_pylist()):
+            arr = word_shingle_array(text or "")
+            if arr.size == 0:
+                continue
+            gs.append(arr)
+            ids_out.append(np.full(arr.size, did, dtype=np.int64))
+        if not gs:
+            return pa.table({"q": pa.array([], type=pa.int64()),
+                             "g": pa.array([], type=pa.uint64()),
+                             "doc_id": pa.array([], type=pa.int64())})
+        g = np.concatenate(gs)
+        return pa.table({
+            "q": pa.array((g % np.uint64(P)).astype(np.int64)),
+            "g": pa.array(g),
+            "doc_id": pa.array(np.concatenate(ids_out)),
+        })
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        g = group["g"].to_numpy(zero_copy_only=False)
+        d = group["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        df = pd.DataFrame({"g": g, "d": d})
+        mind = df.groupby("g")["d"].min()
+        novel = df["d"][df["d"].to_numpy()
+                        == mind.loc[df["g"]].to_numpy()]
+        tot = df.groupby("d").size()
+        nov = novel.groupby(novel).size() if len(novel) else \
+            pd.Series(dtype=np.int64)
+        out = pd.DataFrame({"doc_id": tot.index,
+                            "t": tot.to_numpy(dtype=np.int64)})
+        out["nv"] = out["doc_id"].map(nov).fillna(0).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    out = (read_documents(sf_dir)
+           .map_batches(explode, batch_format="pyarrow",
+                        batch_size=1024)
+           .groupby("q").map_groups(per_partition,
+                                    batch_format="pyarrow")
+           .groupby("doc_id")
+           .aggregate(Sum("t", alias_name="n_grams"),
+                      Sum("nv", alias_name="n_novel"))
+           .to_pandas().sort_values("doc_id"))
+    from searchengine_ray.pipelines.fulltext import _round_vec
+    if out.empty:
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "n_grams": pa.array([], type=pa.int64()),
+                         "n_novel": pa.array([], type=pa.int64()),
+                         "novelty_r": pa.array([],
+                                               type=pa.float64())})
+    ng = out["n_grams"].to_numpy(dtype=np.int64)
+    nv = out["n_novel"].to_numpy(dtype=np.int64)
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].to_numpy(dtype=np.int64)),
+        "n_grams": pa.array(ng),
+        "n_novel": pa.array(nv),
+        "novelty_r": pa.array(_round_vec(nv / ng, 4)),
+    })

@@ -9235,3 +9235,139 @@ class TestRollingTypeCorr:
         got = rolling_type_corr(str(tmp_path)).to_pandas()
         assert len(got) == 2
         assert (got["corr_r"] == 1.0).all()
+
+
+class TestMarkovAttribution:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            MARKOV_CHANNELS, MARKOV_ITERS, markov_attribution)
+
+        ev = pq.read_table(
+            f"{SF}/events.parquet",
+            columns=["user_id", "event_type", "ts", "event_id"]) \
+            .to_pandas().dropna()
+        ev["ts_us"] = ev["ts"].astype("int64")
+        trans = {}
+        for _, g in ev.groupby("user_id"):
+            g = g.sort_values(["ts_us", "event_id"], kind="mergesort")
+            seq = g["event_type"].tolist()
+            if "purchase" in seq:
+                seq = seq[: seq.index("purchase") + 1]
+                path = ["START"] + seq
+            else:
+                path = ["START"] + seq + ["NULL"]
+            for s, t in zip(path[:-1], path[1:]):
+                trans[(s, t)] = trans.get((s, t), 0) + 1
+        tot = {}
+        for (s, _), n in trans.items():
+            tot[s] = tot.get(s, 0) + n
+        edges = [(s, t, n / tot[s]) for (s, t), n in trans.items()]
+        sources = sorted(tot)
+
+        def absorb(masked):
+            val = {s: 0.0 for s in sources}
+            val["purchase"], val["NULL"] = 1.0, 0.0
+            for _ in range(MARKOV_ITERS):
+                new = {s: 0.0 for s in sources}
+                for s, t, p in edges:
+                    new[s] += p * val[t]
+                if masked in new:
+                    new[masked] = 0.0
+                val.update(new)
+            return val.get("START", 0.0)
+
+        pb = absorb(None)
+        got = markov_attribution(SF).to_pandas().set_index("channel")
+        assert abs(got["p_base_r"].iloc[0] - pb) < 1e-3
+        effs = {}
+        for c in MARKOV_CHANNELS:
+            pc = absorb(c)
+            assert abs(got.loc[c, "p_removed_r"] - pc) < 1e-3
+            effs[c] = (pb - pc) / pb if pb > 0 else 0.0
+        se = sum(effs.values())
+        for c in MARKOV_CHANNELS:
+            assert abs(got.loc[c, "attribution_r"]
+                       - (effs[c] / se if se > 0 else 0.0)) < 1e-3
+        # shares sum to ~1 when any effect exists
+        if se > 0:
+            assert abs(got["attribution_r"].sum() - 1.0) < 5e-3
+
+    def test_planted_single_gate(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import (
+            markov_attribution)
+
+        # every conversion goes START->click->purchase; view users
+        # never convert: click gets 100% attribution
+        rows = []
+        eid = 0
+        for u in range(10):
+            rows.append((eid, u, "click", 2 * eid)); eid += 1
+            rows.append((eid, u, "purchase", 2 * eid)); eid += 1
+        for u in range(10, 20):
+            rows.append((eid, u, "view", 2 * eid)); eid += 1
+        tbl = pa.table({
+            "event_id": pa.array([r[0] for r in rows],
+                                 type=pa.int64()),
+            "ts": pa.array([r[3] * 1_000_000 for r in rows],
+                           type=pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows],
+                                type=pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        })
+        pq.write_table(tbl, f"{tmp_path}/events.parquet")
+        got = markov_attribution(str(tmp_path)).to_pandas() \
+            .set_index("channel")
+        assert abs(got["p_base_r"].iloc[0] - 0.5) < 1e-9
+        assert got.loc["click", "p_removed_r"] == 0.0
+        assert got.loc["click", "attribution_r"] == 1.0
+        assert got.loc["view", "attribution_r"] == 0.0
+        # removing 'view' doesn't touch the converting path
+        assert abs(got.loc["view", "p_removed_r"] - 0.5) < 1e-9
+
+
+class TestNgramNovelty:
+    def test_matches_bruteforce(self, ray_session, docs):
+        from searchengine_ray.pipelines.dedup import (
+            ngram_novelty, word_shingles)
+
+        sh = {d: word_shingles(t or "") for d, t in docs.items()}
+        first = {}
+        for d in sorted(sh):
+            for g in sh[d]:
+                first.setdefault(g, d)
+        got = ngram_novelty(SF).to_pandas().set_index("doc_id")
+        for d, grams in sh.items():
+            if not grams:
+                assert d not in got.index
+                continue
+            novel = sum(1 for g in grams if first[g] == d)
+            assert got.loc[d, "n_grams"] == len(grams)
+            assert got.loc[d, "n_novel"] == novel
+        # doc 0 (no earlier docs) is fully novel
+        d0 = min(d for d in sh if sh[d])
+        assert got.loc[d0, "novelty_r"] == 1.0
+
+    def test_planted_repeat(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.dedup import ngram_novelty
+
+        tbl = pa.table({
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array([
+                "alpha beta gamma delta",
+                "alpha beta gamma delta",          # pure repeat
+                "alpha beta gamma epsilon zeta",   # partial repeat
+            ]),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["s"] * 3),
+            "n_chars": pa.array([10, 10, 10], type=pa.int64()),
+        })
+        pq.write_table(tbl, f"{tmp_path}/documents.parquet")
+        got = ngram_novelty(str(tmp_path)).to_pandas() \
+            .set_index("doc_id")
+        assert got.loc[1, "novelty_r"] == 1.0
+        assert got.loc[2, "novelty_r"] == 0.0
+        # doc 3: grams {abg, bge, gez} — abg seen in doc 1
+        assert got.loc[3, "n_grams"] == 3
+        assert got.loc[3, "n_novel"] == 2
