@@ -937,6 +937,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # first seen in that doc — gram-hash co-partition min-doc
         # (oracle: shared word-shingle CTE + min join; r4)
         "ngram_novelty": dedup.ngram_novelty,
+        # stylometry: Burrows' Delta between document sources over the
+        # top-50 term z-scored frequency profiles (oracle: source-
+        # tokenized CTE + identical z/Delta folds; r4)
+        "burrows_delta": textstats.burrows_delta,
+        # sketch algebra: per-type HLL user sketches, union by register
+        # max-merge, intersection by inclusion-exclusion, exact counts
+        # beside the estimates (oracle: md5 register rebuild + the
+        # identical estimator tree; r4)
+        "hll_set_algebra": relational.hll_set_algebra,
         # JSON schema-on-read: aggregate over a value extracted from the
         # semi-structured props bag — TRY_CAST(json_extract) semantics,
         # int64 partials per type (oracle: DuckDB json functions; r4)
@@ -5141,6 +5150,142 @@ SELECT d AS day_us,
                   ELSE 0.0 END, 4) AS corr_r
 FROM w WHERE nw = 7 ORDER BY day_us""",
         "markov_attribution": _markov_sql(60),
+        # Burrows' Delta: shared significant-token space, zero-filled
+        # source×term matrix, explicit population-variance z-scores
+        "burrows_delta": f"""
+WITH tl AS (SELECT d.source,
+                   unnest(regexp_extract_all(lower(d.text),
+                                             '[a-z0-9]+')) AS token
+            FROM documents d),
+ sig AS (SELECT source, token FROM tl
+         WHERE length(token) >= 2 AND token NOT IN ({_STOP_SQL})),
+ tot AS (SELECT source, CAST(count(*) AS BIGINT) AS nt
+         FROM sig GROUP BY 1),
+ d2 AS (SELECT token, count(*) AS cf FROM sig GROUP BY 1),
+ top AS (SELECT token FROM d2
+         QUALIFY row_number() OVER (ORDER BY cf DESC, token ASC)
+                 <= 50),
+ srcs AS (SELECT DISTINCT source FROM tot),
+ ctab AS (SELECT sr.source, tp.token,
+                 CAST(coalesce(c.n, 0) AS BIGINT) AS n
+          FROM srcs sr CROSS JOIN top tp
+          LEFT JOIN (SELECT source, token,
+                            CAST(count(*) AS BIGINT) AS n
+                     FROM sig GROUP BY 1, 2) c
+            ON c.source = sr.source AND c.token = tp.token),
+ freq AS (SELECT ctab.source, ctab.token,
+                 CAST(ctab.n AS DOUBLE) / CAST(tot.nt AS DOUBLE)
+                   AS f
+          FROM ctab JOIN tot ON tot.source = ctab.source),
+ mu AS (SELECT token, sum(f) / count(*) AS mu,
+               CAST(count(*) AS BIGINT) AS ns
+        FROM freq GROUP BY 1),
+ va AS (SELECT freq.token,
+               sum((freq.f - mu.mu) * (freq.f - mu.mu))
+                 / CAST(mu.ns AS DOUBLE) AS v
+        FROM freq JOIN mu ON mu.token = freq.token
+        GROUP BY freq.token, mu.ns),
+ z AS (SELECT freq.source, freq.token,
+              (freq.f - mu.mu) / sqrt(va.v) AS z
+       FROM freq JOIN mu ON mu.token = freq.token
+       JOIN va ON va.token = freq.token
+       WHERE va.v > 0),
+ pd2 AS (SELECT a.source AS sa, b.source AS sb,
+                abs(a.z - b.z) AS az
+         FROM z a JOIN z b ON a.token = b.token
+                          AND a.source < b.source)
+SELECT sa AS source_a, sb AS source_b,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       round(sum(az) / count(*), 4) AS delta_r
+FROM pd2 GROUP BY 1, 2 ORDER BY 1, 2""",
+        # HLL algebra: md5 register rebuild per type, union = dense
+        # register max, identical estimator expression; exact side
+        # via distinct user sets
+        "hll_set_algebra": """
+WITH ty AS (SELECT unnest(['click', 'error', 'purchase', 'signup',
+                           'view']) AS et),
+ u AS (SELECT DISTINCT event_type AS et, user_id FROM events
+       WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+         AND event_type IN ('click', 'error', 'purchase',
+                            'signup', 'view')),
+ h AS (SELECT et, md5(CAST(user_id AS VARCHAR)) AS hx FROM u),
+ parts AS (
+  SELECT et, hx,
+         (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)
+           AS reg_idx,
+         CAST(sum((strpos('0123456789abcdef',
+                          substr(hx, CAST(3 + t.i AS INT), 1)) - 1)
+                  * (CAST(1 AS BIGINT)
+                     << CAST(4 * (13 - t.i) AS INT)))
+              AS BIGINT) AS rem
+  FROM h, LATERAL unnest(range(0, 14)) AS t(i)
+  GROUP BY et, hx),
+ rr AS (SELECT et, reg_idx,
+               CAST(max(CASE WHEN rem = 0 THEN 57
+                             ELSE 57 - length(bin(rem)) END)
+                    AS BIGINT) AS mr
+        FROM parts GROUP BY 1, 2),
+ dense AS (SELECT ty.et, CAST(t.i AS BIGINT) AS reg,
+                  coalesce(rr.mr, 0) AS rho
+           FROM ty CROSS JOIN unnest(range(0, 256)) AS t(i)
+           LEFT JOIN rr ON rr.et = ty.et AND rr.reg_idx = t.i),
+ est1 AS (SELECT et,
+                 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+                   / sum(power(2.0, -CAST(rho AS DOUBLE))) AS raw,
+                 CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS z
+          FROM dense GROUP BY 1),
+ estf AS (SELECT et,
+                 CASE WHEN raw <= 2.5 * 256.0 AND z > 0
+                      THEN 256.0 * ln(256.0 / z) ELSE raw END AS est
+          FROM est1),
+ prs AS (SELECT a.et AS ta, b.et AS tb
+         FROM ty a JOIN ty b ON a.et < b.et),
+ du AS (SELECT prs.ta, prs.tb, da.reg,
+               greatest(da.rho, db.rho) AS rho
+        FROM prs JOIN dense da ON da.et = prs.ta
+        JOIN dense db ON db.et = prs.tb AND db.reg = da.reg),
+ estu1 AS (SELECT ta, tb,
+                  0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+                    / sum(power(2.0, -CAST(rho AS DOUBLE))) AS raw,
+                  CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS z
+           FROM du GROUP BY 1, 2),
+ estu AS (SELECT ta, tb,
+                 CASE WHEN raw <= 2.5 * 256.0 AND z > 0
+                      THEN 256.0 * ln(256.0 / z) ELSE raw END AS est
+          FROM estu1),
+ exa AS (SELECT ty.et, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+         FROM ty LEFT JOIN (SELECT et, count(*) AS n FROM u
+                            GROUP BY 1) c ON c.et = ty.et),
+ exu AS (SELECT prs.ta, prs.tb,
+                CAST(count(DISTINCT u.user_id) AS BIGINT) AS nu
+         FROM prs LEFT JOIN u ON u.et IN (prs.ta, prs.tb)
+         GROUP BY 1, 2),
+ exi AS (SELECT prs.ta, prs.tb,
+                CAST(count(j.user_id) AS BIGINT) AS ni
+         FROM prs LEFT JOIN (SELECT ua.et AS eta, ub.et AS etb,
+                                    ua.user_id
+                             FROM u ua JOIN u ub
+                               ON ub.user_id = ua.user_id) j
+           ON j.eta = prs.ta AND j.etb = prs.tb
+         GROUP BY 1, 2)
+SELECT prs.ta AS type_a, prs.tb AS type_b,
+       ea.n AS exact_a, eb.n AS exact_b,
+       exu.nu AS exact_union, exi.ni AS exact_inter,
+       round(efa.est, 4) AS est_a_r, round(efb.est, 4) AS est_b_r,
+       round(estu.est, 4) AS est_union_r,
+       round(efa.est + efb.est - estu.est, 4) AS est_inter_r
+FROM prs
+JOIN exa ea ON ea.et = prs.ta
+JOIN exa eb ON eb.et = prs.tb
+JOIN exu ON exu.ta = prs.ta AND exu.tb = prs.tb
+JOIN exi ON exi.ta = prs.ta AND exi.tb = prs.tb
+JOIN estf efa ON efa.et = prs.ta
+JOIN estf efb ON efb.et = prs.tb
+JOIN estu ON estu.ta = prs.ta AND estu.tb = prs.tb
+ORDER BY type_a, type_b""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -12812,3 +12812,167 @@ def markov_attribution(sf_dir: str, iters: int = MARKOV_ITERS):
         "attribution_r": pa.array(
             [round_half_away(att[c], 4) for c in chans]),
     })
+
+
+HLL_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _hll_est_from_regs(regs: np.ndarray) -> float:
+    """The hll_estimate estimator over a dense register array — shared
+    by ``hll_set_algebra`` so per-type, union and the SQL oracle all
+    evaluate the identical expression tree."""
+    m = float(_HLL_M)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0,
+                                          -regs.astype(np.float64)))
+    zeros = int(np.sum(regs == 0))
+    if est <= 2.5 * m and zeros:
+        return float(m * np.log(m / zeros))
+    return float(est)
+
+
+def hll_set_algebra(sf_dir: str):
+    """(type_a, type_b, exact_a, exact_b, exact_union, exact_inter,
+    est_a_r, est_b_r, est_union_r, est_inter_r): HyperLogLog SET
+    ALGEBRA — per event type a user-set sketch, then for every type
+    pair the union estimate by register max-merge and the
+    intersection by inclusion–exclusion, PUBLISHED NEXT TO THE
+    EXACT counts so the sketch error is visible in the output. The
+    reason sketches exist at 100 TB is exactly this: union merges
+    are lossless on the register state, so cross-segment audience
+    overlap costs 5 × 256 ints, not a distinct-set shuffle.
+    ``hll_registers`` proves the build; this is the algebra layer
+    on top. Estimates are deterministic (md5 hash, identical
+    estimator tree both sides, the hll_estimate formula); exact
+    counts ride a per-user type-bitmask pass (≤32-combo exchange).
+    The fixed 5-type universe always publishes all 10 pairs —
+    absent types estimate 0 via linear counting.
+
+    Scale shape: sketch partials collapse to ≤5·256 (type, reg)
+    rows per batch (max-merge); the exact side collapses to ≤32
+    bitmask-combo counts after one user-hash groupby; everything
+    downstream is driver math over those bounded tables."""
+    import pandas as pd
+    from ray.data.aggregate import Max, Sum
+
+    types = list(HLL_TYPES)
+    tidx = {t: i for i, t in enumerate(types)}
+
+    def sketch_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "et": batch["event_type"].to_numpy(zero_copy_only=False),
+            "u": batch["user_id"].to_numpy(zero_copy_only=False),
+        }).dropna()
+        df = df[df["et"].isin(types)].drop_duplicates()
+        out_et, out_reg, out_rho = [], [], []
+        for et, g in df.groupby("et"):
+            regs = np.zeros(_HLL_M, dtype=np.int64)
+            for x in g["u"].astype(np.int64).tolist():
+                h = _hll_hash64(str(x))
+                idx = h >> 56
+                rem = h & ((1 << 56) - 1)
+                rho = 57 - rem.bit_length() if rem else 57
+                if rho > regs[idx]:
+                    regs[idx] = rho
+            nz = np.nonzero(regs)[0]
+            out_et.extend([et] * nz.size)
+            out_reg.extend(nz.tolist())
+            out_rho.extend(regs[nz].tolist())
+        return pa.table({
+            "et": pa.array(out_et, type=pa.string()),
+            "reg_idx": pa.array(out_reg, type=pa.int64()),
+            "rho": pa.array(out_rho, type=pa.int64()),
+        })
+
+    src = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type"])
+    sk = (src.map_batches(sketch_partial, batch_format="pyarrow",
+                          batch_size=8192)
+          .groupby(["et", "reg_idx"])
+          .aggregate(Max("rho", alias_name="rho")).to_pandas())
+    dense = {t: np.zeros(_HLL_M, dtype=np.int64) for t in types}
+    for _, row in sk.iterrows():
+        dense[row["et"]][int(row["reg_idx"])] = int(row["rho"])
+
+    # exact side: per-user type bitmask -> <=32 combo counts
+    bit_cols = [f"b{i}" for i in range(len(types))]
+
+    def flags_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "et": batch["event_type"].to_numpy(zero_copy_only=False),
+            "user_id": batch["user_id"]
+            .to_numpy(zero_copy_only=False),
+        }).dropna()
+        df = df[df["et"].isin(types)]
+        if df.empty:
+            return pa.table(
+                {"user_id": pa.array([], type=pa.int64()),
+                 **{c: pa.array([], type=pa.int64())
+                    for c in bit_cols}})
+        for t, c in zip(types, bit_cols):
+            df[c] = (df["et"] == t).astype(np.int64)
+        g = df.groupby("user_id", as_index=False)[bit_cols].max()
+        g["user_id"] = g["user_id"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def combo_partial(batch: pa.Table) -> pa.Table:
+        bits = np.zeros(batch.num_rows, dtype=np.int64)
+        for i, c in enumerate(bit_cols):
+            bits |= (batch[c].to_numpy(zero_copy_only=False)
+                     .astype(np.int64) << i)
+        uv, cn = np.unique(bits, return_counts=True)
+        return pa.table({"combo": pa.array(uv),
+                         "n": pa.array(cn.astype(np.int64))})
+
+    combos = (src.map_batches(flags_partial, batch_format="pyarrow",
+                              batch_size=8192)
+              .groupby("user_id")
+              .aggregate(*[Max(c, alias_name=c) for c in bit_cols])
+              .map_batches(combo_partial, batch_format="pyarrow",
+                           batch_size=8192)
+              .groupby("combo").aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+    cmap = dict(zip(combos["combo"].astype(int),
+                    combos["n"].astype(int))) if not combos.empty \
+        else {}
+
+    def exact_over(mask_any: int, mask_all: int = 0) -> int:
+        tot = 0
+        for cb, n in cmap.items():
+            if mask_any and not (cb & mask_any):
+                continue
+            if mask_all and (cb & mask_all) != mask_all:
+                continue
+            tot += n
+        return tot
+
+    est = {t: _hll_est_from_regs(dense[t]) for t in types}
+    rows = []
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            eu = _hll_est_from_regs(np.maximum(dense[a], dense[b]))
+            ea, eb = est[a], est[b]
+            ba, bb = 1 << tidx[a], 1 << tidx[b]
+            rows.append((
+                a, b, exact_over(ba), exact_over(bb),
+                exact_over(ba | bb), exact_over(0, ba | bb),
+                ea, eb, eu, ea + eb - eu))
+    return pa.table({
+        "type_a": pa.array([r[0] for r in rows], type=pa.string()),
+        "type_b": pa.array([r[1] for r in rows], type=pa.string()),
+        "exact_a": pa.array([r[2] for r in rows], type=pa.int64()),
+        "exact_b": pa.array([r[3] for r in rows], type=pa.int64()),
+        "exact_union": pa.array([r[4] for r in rows],
+                                type=pa.int64()),
+        "exact_inter": pa.array([r[5] for r in rows],
+                                type=pa.int64()),
+        "est_a_r": pa.array(_round_vec(
+            np.asarray([r[6] for r in rows]), 4)),
+        "est_b_r": pa.array(_round_vec(
+            np.asarray([r[7] for r in rows]), 4)),
+        "est_union_r": pa.array(_round_vec(
+            np.asarray([r[8] for r in rows]), 4)),
+        "est_inter_r": pa.array(_round_vec(
+            np.asarray([r[9] for r in rows]), 4)),
+    })

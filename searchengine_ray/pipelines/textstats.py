@@ -921,3 +921,108 @@ def bigram_pmi(sf_dir: str, k: int = PMI_TOP_K, min_n12: int = PMI_MIN_N12):
         "pmi_r": pa.array(out["pmi_r"].to_numpy(dtype=np.float64)),
         "n12": pa.array(out["n12"].to_numpy(dtype=np.int64)),
     })
+
+
+BURROWS_TOPK = 50
+
+
+def burrows_delta(sf_dir: str, k: int = BURROWS_TOPK):
+    """(source_a, source_b, n_terms, delta_r): Burrows' Delta
+    stylometric distance between document SOURCES — for the corpus's
+    top-k terms (the ``top_terms`` total order), each source's
+    relative term frequency is z-scored across sources and Delta is
+    the mean |z_a − z_b| per pair. The authorship/provenance surface
+    (which crawl sources write alike?) that the per-doc scores
+    (``quality_score``, ``langid``) can't see. Terms with zero
+    cross-source variance drop on both sides (the all-equal case is
+    exactly 0 in IEEE regardless of fold order, so the drop is
+    deterministic). Frequencies are exact-int ratios; the z/Delta
+    folds run over the ≤|sources|×k bounded table, 4-dp publish.
+
+    Scale shape: one flat-token pass emitting per-batch (source,
+    term) partials for the broadcast top-k set plus per-source
+    totals — exchange bounded by |sources|·(k+1) rows per batch;
+    driver math on the tiny matrix. Reference tokenizer parity: the
+    same simple-mode significant-token space every _TOKS-oracle
+    entry shares."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from searchengine_ray.pipelines.fulltext import (_round_vec,
+                                                     read_documents,
+                                                     top_terms)
+    from searchengine_ray.textproc import is_significant_simple
+
+    top = set(top_terms(sf_dir, k=k)["lemma"].tolist())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        parents, idx, vocab, _ = _flat_tokens(batch)
+        sig = np.asarray([is_significant_simple(w) for w in vocab],
+                         dtype=bool) if vocab else np.zeros(0, bool)
+        keep = sig[idx] if vocab else np.zeros(0, bool)
+        rows = parents[keep]
+        vids = idx[keep]
+        src = np.asarray(batch["source"].to_pylist(),
+                         dtype=object)[rows]
+        if rows.size == 0:
+            return pa.table({"source": pa.array([], type=pa.string()),
+                             "term": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        words = np.asarray(vocab, dtype=object)[vids]
+        df = pd.DataFrame({"source": src, "term": words})
+        tot = df.groupby("source").size().reset_index(name="n")
+        tot["term"] = ""
+        hits = df[df["term"].isin(top)] \
+            .groupby(["source", "term"], as_index=False) \
+            .size().rename(columns={"size": "n"})
+        out = pd.concat([hits, tot[["source", "term", "n"]]],
+                        ignore_index=True)
+        return pa.table({
+            "source": pa.array(out["source"].tolist(),
+                               type=pa.string()),
+            "term": pa.array(out["term"].tolist(), type=pa.string()),
+            "n": pa.array(out["n"].to_numpy(dtype=np.int64)),
+        })
+
+    agg = (read_documents(sf_dir, columns=["doc_id", "text", "source"])
+           .map_batches(partial, batch_format="pyarrow",
+                        batch_size=2048)
+           .groupby(["source", "term"])
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    empty = pa.table({"source_a": pa.array([], type=pa.string()),
+                      "source_b": pa.array([], type=pa.string()),
+                      "n_terms": pa.array([], type=pa.int64()),
+                      "delta_r": pa.array([], type=pa.float64())})
+    if agg.empty:
+        return empty
+    totals = agg[agg["term"] == ""].set_index("source")["n"]
+    srcs = sorted(totals.index)
+    terms = sorted(top)
+    if len(srcs) < 2 or not terms:
+        return empty
+    cnt = agg[agg["term"] != ""] \
+        .set_index(["source", "term"])["n"]
+    F = np.zeros((len(srcs), len(terms)))
+    for i, s in enumerate(srcs):
+        nt = float(totals.loc[s])
+        for j, w in enumerate(terms):
+            F[i, j] = float(cnt.get((s, w), 0)) / nt
+    ns = float(len(srcs))
+    mu = F.sum(axis=0) / ns
+    var = ((F - mu) * (F - mu)).sum(axis=0) / ns
+    ok = var > 0.0
+    Z = (F[:, ok] - mu[ok]) / np.sqrt(var[ok])
+    rows = []
+    for i in range(len(srcs)):
+        for j in range(i + 1, len(srcs)):
+            dz = np.abs(Z[i] - Z[j])
+            rows.append((srcs[i], srcs[j], int(dz.size),
+                         float(dz.sum() / dz.size)))
+    return pa.table({
+        "source_a": pa.array([r[0] for r in rows], type=pa.string()),
+        "source_b": pa.array([r[1] for r in rows], type=pa.string()),
+        "n_terms": pa.array([r[2] for r in rows], type=pa.int64()),
+        "delta_r": pa.array(_round_vec(
+            np.asarray([r[3] for r in rows]), 4)),
+    })

@@ -9371,3 +9371,85 @@ class TestNgramNovelty:
         # doc 3: grams {abg, bge, gez} — abg seen in doc 1
         assert got.loc[3, "n_grams"] == 3
         assert got.loc[3, "n_novel"] == 2
+
+
+class TestBurrowsDelta:
+    def test_metric_properties(self, ray_session):
+        from searchengine_ray.pipelines.textstats import burrows_delta
+
+        got = burrows_delta(SF).to_pandas()
+        # all source pairs present, delta symmetric-positive
+        n_src = len(set(got["source_a"]) | set(got["source_b"]))
+        assert len(got) == n_src * (n_src - 1) // 2
+        assert (got["delta_r"] >= 0).all()
+        assert (got["n_terms"] <= 50).all()
+
+    def test_planted_styles(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.textstats import burrows_delta
+
+        # two sources share a style (identical term mix), the third
+        # is distinct -> within-style delta < cross-style delta
+        style_a = "apple banana cherry date " * 20
+        style_b = "xylophone yacht zebra walnut " * 20
+        tbl = pa.table({
+            "doc_id": pa.array(range(6), type=pa.int64()),
+            "text": pa.array([style_a, style_a] * 2 + [style_b] * 2),
+            "lang": pa.array(["en"] * 6),
+            "source": pa.array(["s1", "s2", "s1", "s2", "s3", "s3"]),
+            "n_chars": pa.array([100] * 6, type=pa.int64()),
+        })
+        pq.write_table(tbl, f"{tmp_path}/documents.parquet")
+        got = burrows_delta(str(tmp_path)).to_pandas() \
+            .set_index(["source_a", "source_b"])
+        d12 = got.loc[("s1", "s2"), "delta_r"]
+        d13 = got.loc[("s1", "s3"), "delta_r"]
+        d23 = got.loc[("s2", "s3"), "delta_r"]
+        assert d12 < d13 and d12 < d23
+
+
+class TestHllSetAlgebra:
+    def test_exact_side_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            HLL_TYPES, hll_set_algebra)
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["user_id", "event_type"]) \
+            .to_pandas().dropna()
+        sets = {t: set(ev.loc[ev["event_type"] == t, "user_id"])
+                for t in HLL_TYPES}
+        got = hll_set_algebra(SF).to_pandas() \
+            .set_index(["type_a", "type_b"])
+        assert len(got) == 10
+        for (a, b), row in got.iterrows():
+            assert row["exact_a"] == len(sets[a])
+            assert row["exact_b"] == len(sets[b])
+            assert row["exact_union"] == len(sets[a] | sets[b])
+            assert row["exact_inter"] == len(sets[a] & sets[b])
+            # inclusion-exclusion holds exactly on the exact side
+            assert (row["exact_a"] + row["exact_b"]
+                    - row["exact_union"] == row["exact_inter"])
+
+    def test_estimator_accuracy(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            hll_set_algebra)
+
+        got = hll_set_algebra(SF).to_pandas()
+        # 256-register HLL: relative error ~6.5%; allow 3 sigma and
+        # small-count slack on every published estimate
+        for _, r in got.iterrows():
+            for est, exact in (("est_a_r", "exact_a"),
+                               ("est_b_r", "exact_b"),
+                               ("est_union_r", "exact_union")):
+                if r[exact] > 0:
+                    rel = abs(r[est] - r[exact]) / r[exact]
+                    assert rel < 0.25, (r[est], r[exact])
+
+    def test_union_register_merge_monotone(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            hll_set_algebra)
+
+        got = hll_set_algebra(SF).to_pandas()
+        # union estimate >= each side's estimate (register max-merge
+        # can only raise the estimate)
+        assert (got["est_union_r"] >= got["est_a_r"] - 1e-9).all()
+        assert (got["est_union_r"] >= got["est_b_r"] - 1e-9).all()
