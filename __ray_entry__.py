@@ -434,6 +434,97 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # var/std exact under any summation order (oracle: HUGEINT sums of
         # the same quantized values; r4)
         "group_moments": relational.group_moments,
+        # --- r4 eighteenth-session additions (driver window) ---
+        # MERGE-style CDC apply: events as a keyed changelog with
+        # 'error' = DELETE tombstone, last-op-wins current-state table
+        # (oracle: row_number DESC = 1 + tombstone filter; r4)
+        "cdc_apply": relational.cdc_apply,
+        # categorical dependence: mutual information (nats) + NMI
+        # between event type and day-of-week over the tiny joint
+        # histogram (oracle: joint/marginal CTE arithmetic; r4)
+        "type_dow_mi": relational.type_dow_mi,
+        # risk KPI: maximum drawdown of the zero-filled daily revenue
+        # series — earliest trough, earliest governing peak, all-cent
+        # integer output (oracle: running-max window + argmax; r4)
+        "max_drawdown": relational.max_drawdown,
+        # classical additive decomposition: centered 7-day trend +
+        # centered per-dow seasonal + residual with integer detrended
+        # numerators (oracle: window sums + dow CTE; r4)
+        "seasonal_decompose": relational.seasonal_decompose,
+        # bounded inventory ledger: clamped integer running stock —
+        # non-linear recurrence, all-int output (oracle: recursive
+        # CTE with greatest/least clamp; r4)
+        "capped_inventory": relational.capped_inventory,
+        # graph mixing: degree assortativity of the purchase graph
+        # from exact integer moments over edges (oracle: edge CTE +
+        # degree joins + Pearson arithmetic; r4)
+        "degree_assortativity": graph.degree_assortativity,
+        # declarative DQ framework: 8 range/enum/cross-table rules as
+        # vectorized predicates, NULL-as-violation, all-int output
+        # (oracle: CASE-sum UNION ALL; r4)
+        "dq_rules": relational.dq_rules,
+        # calendar arithmetic: order→first-ship lag in BUSINESS days
+        # via the closed-form weekday-counting kernel, histogram
+        # output (oracle: identical floor arithmetic; r4)
+        "business_day_lag": relational.business_day_lag,
+        # multivariate OLS: extendedprice ~ quantity + retailprice by
+        # Cramer over exact integer moments after a part-dim broadcast
+        # (oracle: identical HUGEINT→DOUBLE determinant tree; r4)
+        "price_model_ols": relational.price_model_ols,
+        # lexical statistics: Zipf rank-frequency slope over the
+        # top-100 lemmas by explicit OLS moments (oracle: toks CTE +
+        # identical moment formula; r4)
+        "zipf_slope": fulltext.zipf_slope,
+        # distributed PCA: covariance partials + 100 driver power
+        # iterations, sign-normalized loadings (oracle: unrolled
+        # matvec/norm CTE triples — the pagerank discipline; r4)
+        "pca_top_component": similarity.pca_top_component,
+        # vector compression: per-dim [min,max] scalar quantization,
+        # floor-exact int codes (code_sum) + 4-dp reconstruction MSE
+        # (oracle: identical floor/clip/recon tree; r4)
+        "embedding_quantize": similarity.embedding_quantize,
+        # multiple testing: per-brand return-rate z-tests through the
+        # shared A&S-7.1.26 erf kernel, BH step-up adjustment
+        # (oracle: identical polynomial + suffix-min window; r4)
+        "bh_brand_returns": relational.bh_brand_returns,
+        # density-relative anomaly: Local Outlier Factor under
+        # int-scaled rounded cosine distance — exact integer k-dist /
+        # reachability, float only at lrd/LOF publish (oracle:
+        # all-pairs CTE + window k-select + identical joins; r4)
+        "lof_outliers": similarity.lof_outliers,
+        # small-sample inference: Fisher's exact 2×2 on user
+        # error-exposure × purchase-outcome, lgamma hypergeometric
+        # (oracle: generate_series + identical log-space terms; r4)
+        "fisher_exact": relational.fisher_exact,
+        # shape-constrained regression: PAVA isotonic fit of daily
+        # revenue, exact integer violation tests (oracle: the O(n³)
+        # minimax characterization over prefix sums; r4)
+        "isotonic_daily": relational.isotonic_daily,
+        # time-decay scoring: per-user half-life-weighted value beside
+        # exact raw cents (oracle: identical power(0.5, Δ/7); r4)
+        "recency_weighted_value": relational.recency_weighted_value,
+        # windowed bivariate stats: trailing-7-day Pearson between two
+        # type series from exact int window moments (oracle: window
+        # sums + identical division tree; r4)
+        "rolling_type_corr": relational.rolling_type_corr,
+        # data-driven attribution: first-order Markov removal effects
+        # per channel over truncated user journeys — identical 60-step
+        # absorption iteration both sides (oracle: per-run unrolled
+        # MATERIALIZED CTE chains; r4)
+        "markov_attribution": relational.markov_attribution,
+        # corpus diversity: per-doc fraction of word-3-gram shingles
+        # first seen in that doc — gram-hash co-partition min-doc
+        # (oracle: shared word-shingle CTE + min join; r4)
+        "ngram_novelty": dedup.ngram_novelty,
+        # stylometry: Burrows' Delta between document sources over the
+        # top-50 term z-scored frequency profiles (oracle: source-
+        # tokenized CTE + identical z/Delta folds; r4)
+        "burrows_delta": textstats.burrows_delta,
+        # sketch algebra: per-type HLL user sketches, union by register
+        # max-merge, intersection by inclusion-exclusion, exact counts
+        # beside the estimates (oracle: md5 register rebuild + the
+        # identical estimator tree; r4)
+        "hll_set_algebra": relational.hll_set_algebra,
         # robust outlier scrub: per-type median + MAD via two composed
         # grouped counting selections, realized-value gate (oracle:
         # quantile_disc medians + abs-deviation join; r4)
@@ -856,96 +947,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # under cosine distance (oracle: per-dim centroid CTE + dot
         # join; r4)
         "label_silhouette": relational.label_silhouette,
-        # MERGE-style CDC apply: events as a keyed changelog with
-        # 'error' = DELETE tombstone, last-op-wins current-state table
-        # (oracle: row_number DESC = 1 + tombstone filter; r4)
-        "cdc_apply": relational.cdc_apply,
-        # categorical dependence: mutual information (nats) + NMI
-        # between event type and day-of-week over the tiny joint
-        # histogram (oracle: joint/marginal CTE arithmetic; r4)
-        "type_dow_mi": relational.type_dow_mi,
-        # risk KPI: maximum drawdown of the zero-filled daily revenue
-        # series — earliest trough, earliest governing peak, all-cent
-        # integer output (oracle: running-max window + argmax; r4)
-        "max_drawdown": relational.max_drawdown,
-        # classical additive decomposition: centered 7-day trend +
-        # centered per-dow seasonal + residual with integer detrended
-        # numerators (oracle: window sums + dow CTE; r4)
-        "seasonal_decompose": relational.seasonal_decompose,
-        # bounded inventory ledger: clamped integer running stock —
-        # non-linear recurrence, all-int output (oracle: recursive
-        # CTE with greatest/least clamp; r4)
-        "capped_inventory": relational.capped_inventory,
-        # graph mixing: degree assortativity of the purchase graph
-        # from exact integer moments over edges (oracle: edge CTE +
-        # degree joins + Pearson arithmetic; r4)
-        "degree_assortativity": graph.degree_assortativity,
-        # declarative DQ framework: 8 range/enum/cross-table rules as
-        # vectorized predicates, NULL-as-violation, all-int output
-        # (oracle: CASE-sum UNION ALL; r4)
-        "dq_rules": relational.dq_rules,
-        # calendar arithmetic: order→first-ship lag in BUSINESS days
-        # via the closed-form weekday-counting kernel, histogram
-        # output (oracle: identical floor arithmetic; r4)
-        "business_day_lag": relational.business_day_lag,
-        # multivariate OLS: extendedprice ~ quantity + retailprice by
-        # Cramer over exact integer moments after a part-dim broadcast
-        # (oracle: identical HUGEINT→DOUBLE determinant tree; r4)
-        "price_model_ols": relational.price_model_ols,
-        # lexical statistics: Zipf rank-frequency slope over the
-        # top-100 lemmas by explicit OLS moments (oracle: toks CTE +
-        # identical moment formula; r4)
-        "zipf_slope": fulltext.zipf_slope,
-        # distributed PCA: covariance partials + 100 driver power
-        # iterations, sign-normalized loadings (oracle: unrolled
-        # matvec/norm CTE triples — the pagerank discipline; r4)
-        "pca_top_component": similarity.pca_top_component,
-        # vector compression: per-dim [min,max] scalar quantization,
-        # floor-exact int codes (code_sum) + 4-dp reconstruction MSE
-        # (oracle: identical floor/clip/recon tree; r4)
-        "embedding_quantize": similarity.embedding_quantize,
-        # multiple testing: per-brand return-rate z-tests through the
-        # shared A&S-7.1.26 erf kernel, BH step-up adjustment
-        # (oracle: identical polynomial + suffix-min window; r4)
-        "bh_brand_returns": relational.bh_brand_returns,
-        # density-relative anomaly: Local Outlier Factor under
-        # int-scaled rounded cosine distance — exact integer k-dist /
-        # reachability, float only at lrd/LOF publish (oracle:
-        # all-pairs CTE + window k-select + identical joins; r4)
-        "lof_outliers": similarity.lof_outliers,
-        # small-sample inference: Fisher's exact 2×2 on user
-        # error-exposure × purchase-outcome, lgamma hypergeometric
-        # (oracle: generate_series + identical log-space terms; r4)
-        "fisher_exact": relational.fisher_exact,
-        # shape-constrained regression: PAVA isotonic fit of daily
-        # revenue, exact integer violation tests (oracle: the O(n³)
-        # minimax characterization over prefix sums; r4)
-        "isotonic_daily": relational.isotonic_daily,
-        # time-decay scoring: per-user half-life-weighted value beside
-        # exact raw cents (oracle: identical power(0.5, Δ/7); r4)
-        "recency_weighted_value": relational.recency_weighted_value,
-        # windowed bivariate stats: trailing-7-day Pearson between two
-        # type series from exact int window moments (oracle: window
-        # sums + identical division tree; r4)
-        "rolling_type_corr": relational.rolling_type_corr,
-        # data-driven attribution: first-order Markov removal effects
-        # per channel over truncated user journeys — identical 60-step
-        # absorption iteration both sides (oracle: per-run unrolled
-        # MATERIALIZED CTE chains; r4)
-        "markov_attribution": relational.markov_attribution,
-        # corpus diversity: per-doc fraction of word-3-gram shingles
-        # first seen in that doc — gram-hash co-partition min-doc
-        # (oracle: shared word-shingle CTE + min join; r4)
-        "ngram_novelty": dedup.ngram_novelty,
-        # stylometry: Burrows' Delta between document sources over the
-        # top-50 term z-scored frequency profiles (oracle: source-
-        # tokenized CTE + identical z/Delta folds; r4)
-        "burrows_delta": textstats.burrows_delta,
-        # sketch algebra: per-type HLL user sketches, union by register
-        # max-merge, intersection by inclusion-exclusion, exact counts
-        # beside the estimates (oracle: md5 register rebuild + the
-        # identical estimator tree; r4)
-        "hll_set_algebra": relational.hll_set_algebra,
         # JSON schema-on-read: aggregate over a value extracted from the
         # semi-structured props bag — TRY_CAST(json_extract) semantics,
         # int64 partials per type (oracle: DuckDB json functions; r4)
