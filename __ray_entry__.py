@@ -525,6 +525,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # beside the estimates (oracle: md5 register rebuild + the
         # identical estimator tree; r4)
         "hll_set_algebra": relational.hll_set_algebra,
+        # spectral seasonality: 7-point DFT of daily revenue with
+        # mod-reduced angles (oracle: identical trig fold; r4)
+        "dft_weekly_power": relational.dft_weekly_power,
+        # nearest-in-time join (bidirectional asof): click → nearest
+        # view, ties backward, all-int output (oracle: running
+        # max/min view-ts windows + nearer-side CASE; r4)
+        "nearest_event_join": relational.nearest_event_join,
+        # composed anomaly screen: seasonal residual × median/MAD
+        # rule — flags only (oracle: decompose chain + quantile_disc
+        # median CTEs; r4)
+        "seasonal_anomalies": relational.seasonal_anomalies,
+        # RANK() WITH TIES top-k per group — no arbitrary row cut,
+        # all-int output (oracle: RANK window <= 3; r4)
+        "group_topk_ties": relational.group_topk_ties,
         # robust outlier scrub: per-type median + MAD via two composed
         # grouped counting selections, realized-value gate (oracle:
         # quantile_disc medians + abs-deviation join; r4)
@@ -5287,6 +5301,123 @@ JOIN estf efa ON efa.et = prs.ta
 JOIN estf efb ON efb.et = prs.tb
 JOIN estu ON estu.ta = prs.ta AND estu.tb = prs.tb
 ORDER BY type_a, type_b""",
+        # 7-point DFT over the zero-filled daily grid; angles reduce
+        # mod 7 before the trig call on both sides
+        "dft_weekly_power": """
+WITH v AS (SELECT epoch_us(ts) // 86400000000 * 86400000000 AS d,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events
+           WHERE ts IS NOT NULL AND value IS NOT NULL
+             AND NOT isnan(value)),
+ dt AS (SELECT d, CAST(sum(cents) AS BIGINT) AS c FROM v GROUP BY 1),
+ b AS (SELECT min(d) AS lo, max(d) AS hi FROM dt),
+ g AS (SELECT CAST(t.x AS BIGINT) AS d
+       FROM b, LATERAL unnest(range(lo, hi + 86400000000,
+                                    86400000000)) AS t(x)),
+ f AS (SELECT g.d, CAST(coalesce(dt.c, 0) AS BIGINT) AS c,
+              row_number() OVER (ORDER BY g.d) AS rn
+       FROM g LEFT JOIN dt ON dt.d = g.d),
+ tt AS (SELECT rn - 1 AS t, c / 100.0 AS v FROM f),
+ kk AS (SELECT CAST(x.i AS BIGINT) AS k
+        FROM unnest(range(0, 7)) AS x(i)),
+ terms AS (SELECT kk.k,
+                  tt.v * cos(2.0 * pi() * ((kk.k * tt.t) % 7)
+                             / 7.0) AS re,
+                  tt.v * sin(2.0 * pi() * ((kk.k * tt.t) % 7)
+                             / 7.0) AS im
+           FROM kk CROSS JOIN tt),
+ agg AS (SELECT k, sum(re) AS re, sum(im) AS im
+         FROM terms GROUP BY 1)
+SELECT k, round(re, 4) AS re_r, round(im, 4) AS im_r,
+       round(re * re + im * im, 4) AS power_r
+FROM agg ORDER BY k""",
+        # nearest view per click: backward running max / forward
+        # running min of view timestamps; ties to the earlier view
+        "nearest_event_join": """
+WITH e AS (SELECT event_id, user_id, event_type,
+                  epoch_us(ts) AS tu
+           FROM events
+           WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+             AND ts IS NOT NULL AND event_type IS NOT NULL
+             AND event_type IN ('view', 'click')),
+ s AS (SELECT *, CASE WHEN event_type = 'click'
+                      THEN 1 ELSE 0 END AS ic FROM e),
+ w AS (SELECT *,
+              max(CASE WHEN ic = 0 THEN tu END)
+                OVER (PARTITION BY user_id ORDER BY tu, ic
+                      ROWS UNBOUNDED PRECEDING) AS bk,
+              min(CASE WHEN ic = 0 THEN tu END)
+                OVER (PARTITION BY user_id ORDER BY tu, ic
+                      ROWS BETWEEN CURRENT ROW
+                      AND UNBOUNDED FOLLOWING) AS fw
+       FROM s)
+SELECT event_id, user_id, CAST(tu AS BIGINT) AS ts_us,
+       CAST(CASE WHEN fw IS NULL
+                   OR (bk IS NOT NULL AND tu - bk <= fw - tu)
+                 THEN bk ELSE fw END AS BIGINT) AS view_ts_us,
+       CAST(CASE WHEN fw IS NULL
+                   OR (bk IS NOT NULL AND tu - bk <= fw - tu)
+                 THEN tu - bk ELSE fw - tu END AS BIGINT) AS dt_us
+FROM w WHERE ic = 1 AND (bk IS NOT NULL OR fw IS NOT NULL)
+ORDER BY event_id""",
+        # decompose chain + robust median/MAD screen over the
+        # published (rounded) residuals; quantile_disc median
+        "seasonal_anomalies": """
+WITH v AS (SELECT epoch_us(ts) // 86400000000 * 86400000000 AS d,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events
+           WHERE ts IS NOT NULL AND value IS NOT NULL
+             AND NOT isnan(value)),
+ dt AS (SELECT d, CAST(sum(cents) AS BIGINT) AS c FROM v GROUP BY 1),
+ b AS (SELECT min(d) AS lo, max(d) AS hi FROM dt),
+ g AS (SELECT CAST(t.x AS BIGINT) AS d
+       FROM b, LATERAL unnest(range(lo, hi + 86400000000,
+                                    86400000000)) AS t(x)),
+ f AS (SELECT g.d, CAST(coalesce(dt.c, 0) AS BIGINT) AS c,
+              row_number() OVER (ORDER BY g.d) AS rn
+       FROM g LEFT JOIN dt ON dt.d = g.d),
+ w AS (SELECT d, c, rn,
+              CAST(sum(c) OVER (ORDER BY rn ROWS BETWEEN 3 PRECEDING
+                                AND 3 FOLLOWING) AS BIGINT) AS s7,
+              count(*) OVER (ORDER BY rn ROWS BETWEEN 3 PRECEDING
+                             AND 3 FOLLOWING) AS n7
+       FROM f),
+ det AS (SELECT d, (d // 86400000000 + 3) % 7 AS dow, c, s7,
+                7 * c - s7 AS u
+         FROM w WHERE n7 = 7),
+ m AS (SELECT dow, CAST(sum(u) AS BIGINT) AS su,
+              CAST(count(*) AS BIGINT) AS nd
+       FROM det GROUP BY 1),
+ md AS (SELECT dow, CAST(su AS DOUBLE) / (700.0 * nd) AS md FROM m),
+ gm AS (SELECT avg(md) AS gm FROM md),
+ se AS (SELECT md.dow, md.md - gm.gm AS seas FROM md CROSS JOIN gm),
+ res AS (SELECT det.d AS day_us,
+                round(det.u / 700.0 - se.seas, 4) AS resid
+         FROM det JOIN se ON se.dow = det.dow),
+ med AS (SELECT quantile_disc(resid, 0.5) AS m FROM res),
+ ad AS (SELECT res.day_us, res.resid,
+               abs(res.resid - med.m) AS a
+        FROM res CROSS JOIN med),
+ mad AS (SELECT quantile_disc(a, 0.5) AS m FROM ad)
+SELECT ad.day_us, ad.resid AS resid_r,
+       round(ad.a / mad.m, 4) AS score_r
+FROM ad CROSS JOIN mad
+WHERE mad.m > 0 AND ad.a / mad.m > 3.0
+ORDER BY day_us""",
+        # RANK() <= 3 keeps every tied row — no arbitrary selection
+        "group_topk_ties": """
+WITH o AS (SELECT o_orderpriority, o_orderkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders
+           WHERE o_orderpriority IS NOT NULL
+             AND o_orderkey IS NOT NULL
+             AND o_totalprice IS NOT NULL),
+ r AS (SELECT *, rank() OVER (PARTITION BY o_orderpriority
+                              ORDER BY c DESC) AS rnk FROM o)
+SELECT o_orderpriority, o_orderkey, c AS total_cents,
+       CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3
+ORDER BY o_orderpriority, total_cents DESC, o_orderkey""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

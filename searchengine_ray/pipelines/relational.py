@@ -12976,3 +12976,286 @@ def hll_set_algebra(sf_dir: str):
         "est_inter_r": pa.array(_round_vec(
             np.asarray([r[9] for r in rows]), 4)),
     })
+
+
+def dft_weekly_power(sf_dir: str):
+    """(k, re_r, im_r, power_r): 7-point discrete Fourier transform
+    of the zero-filled daily revenue series folded at period 7 — the
+    SPECTRAL view of weekly seasonality (``seasonal_dow_index``
+    measures it by grouping; the DFT separates the harmonics, and
+    power at k=1..6 vs k=0 is the classic periodicity detector).
+    The angle reduces mod 7 BEFORE the trig call (2π·((k·t) mod 7)/7
+    hits only 7 distinct arguments), so both sides evaluate cos/sin
+    on identical small values — no large-angle reduction divergence.
+    Series values in dollars; 4-dp publish.
+
+    Scale shape: daily-cents Sum exchange, then O(7·days) driver
+    math over the day frame."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        v, ts = v[ok], ts[ok].astype(np.int64)
+        if v.size == 0:
+            return pa.table({"d": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+        cents = np.rint(v * 100.0).astype(np.int64)
+        day = ts // DAY_US * DAY_US
+        ud, inv = np.unique(day, return_inverse=True)
+        cs = np.zeros(ud.size, dtype=np.int64)
+        np.add.at(cs, inv, cents)
+        return pa.table({"d": pa.array(ud), "c": pa.array(cs)})
+
+    daily = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["ts", "value"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("d").aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    empty = pa.table({"k": pa.array([], type=pa.int64()),
+                      "re_r": pa.array([], type=pa.float64()),
+                      "im_r": pa.array([], type=pa.float64()),
+                      "power_r": pa.array([], type=pa.float64())})
+    if daily.empty:
+        return empty
+    daily = daily.sort_values("d")
+    od = daily["d"].to_numpy(dtype=np.int64)
+    oc = daily["c"].to_numpy(dtype=np.int64)
+    grid = np.arange(od[0], od[-1] + DAY_US, DAY_US, dtype=np.int64)
+    c = np.zeros(grid.size, dtype=np.int64)
+    c[(od - grid[0]) // DAY_US] = oc
+    v = c / 100.0
+    t = np.arange(grid.size, dtype=np.int64)
+    rows = []
+    for k in range(7):
+        ang = 2.0 * np.pi * ((k * t) % 7) / 7.0
+        re = float((v * np.cos(ang)).sum())
+        im = float((v * np.sin(ang)).sum())
+        rows.append((k, re, im, re * re + im * im))
+    return pa.table({
+        "k": pa.array([r[0] for r in rows], type=pa.int64()),
+        "re_r": pa.array(_round_vec(
+            np.asarray([r[1] for r in rows]), 4)),
+        "im_r": pa.array(_round_vec(
+            np.asarray([r[2] for r in rows]), 4)),
+        "power_r": pa.array(_round_vec(
+            np.asarray([r[3] for r in rows]), 4)),
+    })
+
+
+def nearest_event_join(sf_dir: str):
+    """(event_id, user_id, ts_us, view_ts_us, dt_us): NEAREST-in-time
+    join — each 'click' matched to the same user's view with the
+    smallest |Δt|, ties broken BACKWARD (the earlier view). The
+    bidirectional complement of ``asof_join_events`` (backward-only):
+    sensor alignment and sessionless attribution both want nearest,
+    not last. Clicks from users with no views drop on both sides.
+    All-integer output → hash-exact.
+
+    Scale shape: the asof user-hash co-partition discipline — one
+    vectorized pass per partition (sort by (user, ts, view-first),
+    running max of view-ts forward + running min backward, pick the
+    nearer side)."""
+    import ray.data as rd
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        mask = (et == "view") | (et == "click")
+        sub = batch.filter(pa.array(mask))
+        u = sub["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": sub["event_id"],
+            "user_id": sub["user_id"],
+            "ts_us": sub["ts"].cast(pa.timestamp("us"))
+            .cast(pa.int64()),
+            "is_click": pa.array(
+                sub["event_type"].to_numpy(zero_copy_only=False)
+                == "click"),
+            "q": pa.array((u % _USER_PARTITIONS).astype(np.int64)),
+        })
+
+    BIG = np.int64(1) << 62
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = group["ts_us"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ic = group["is_click"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        empty = pa.table({
+            "event_id": pa.array([], type=pa.int64()),
+            "user_id": pa.array([], type=pa.int64()),
+            "ts_us": pa.array([], type=pa.int64()),
+            "view_ts_us": pa.array([], type=pa.int64()),
+            "dt_us": pa.array([], type=pa.int64()),
+        })
+        if uid.size == 0:
+            return empty
+        order = np.lexsort((ic, ts, uid))  # views before clicks
+        uid, ts, ic, eid = (uid[order], ts[order], ic[order],
+                            eid[order])
+        n = uid.size
+        idx = np.arange(n)
+        # backward: latest view POSITION at-or-before each row,
+        # invalidated across user boundaries by the uid check (the
+        # asof_join_events accumulate-positions discipline)
+        vpos = np.where(~ic, idx, -1)
+        bkpos = np.maximum.accumulate(vpos)
+        has_bk = (bkpos >= 0) & (uid[np.clip(bkpos, 0, n - 1)]
+                                 == uid)
+        # forward: earliest view position at-or-after each row
+        vposf = np.where(~ic, idx, n)
+        fwpos = np.minimum.accumulate(vposf[::-1])[::-1]
+        has_fw = (fwpos < n) & (uid[np.clip(fwpos, 0, n - 1)]
+                                == uid)
+        keep = ic & (has_bk | has_fw)
+        if not keep.any():
+            return empty
+        cts = ts[keep]
+        b = ts[np.clip(bkpos[keep], 0, n - 1)]
+        f = ts[np.clip(fwpos[keep], 0, n - 1)]
+        hb, hf = has_bk[keep], has_fw[keep]
+        db = np.where(hb, cts - b, BIG)
+        df = np.where(hf, f - cts, BIG)
+        pick_b = db <= df  # tie -> backward (earlier view)
+        vsel = np.where(pick_b, b, f)
+        dsel = np.where(pick_b, db, df)
+        return pa.table({
+            "event_id": pa.array(eid[keep]),
+            "user_id": pa.array(uid[keep]),
+            "ts_us": pa.array(cts),
+            "view_ts_us": pa.array(vsel),
+            "dt_us": pa.array(dsel),
+        })
+
+    return (
+        read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "user_id", "ts", "event_type"])
+        .map_batches(prep, batch_format="pyarrow", batch_size=8192)
+        .groupby("q").map_groups(per_partition,
+                                 batch_format="pyarrow")
+    )
+
+
+def seasonal_anomalies(sf_dir: str):
+    """(day_us, resid_r, score_r): calendar-aware anomaly days —
+    ``seasonal_decompose``'s residual screened by the robust
+    median/MAD rule (|resid − median| > 3·MAD), publishing only the
+    flagged days with their robust z-score. The composition entry:
+    decomposition removes the weekly pattern FIRST, so a high
+    Saturday doesn't alarm just for being Saturday (which is
+    exactly what ``mad_outliers`` on raw values would do). MAD = 0
+    (an ultra-regular series) flags nothing. Median convention:
+    rank ceil(n·0.5), 1-indexed — the repo's quantile_disc
+    discipline.
+
+    Scale shape: inherits seasonal_decompose's one-exchange shape;
+    the screen is O(days) driver math."""
+    dec = seasonal_decompose(sf_dir)
+    empty = pa.table({"day_us": pa.array([], type=pa.int64()),
+                      "resid_r": pa.array([], type=pa.float64()),
+                      "score_r": pa.array([], type=pa.float64())})
+    if dec.num_rows == 0:
+        return empty
+    day = dec["day_us"].to_numpy()
+    resid = dec["resid_r"].to_numpy()
+    n = resid.size
+    srt = np.sort(resid, kind="stable")
+    med = srt[int(np.ceil(n * 0.5)) - 1]
+    ad = np.abs(resid - med)
+    sad = np.sort(ad, kind="stable")
+    mad = sad[int(np.ceil(n * 0.5)) - 1]
+    if mad <= 0.0:
+        return empty
+    score = ad / mad
+    flag = score > 3.0
+    if not flag.any():
+        return empty
+    return pa.table({
+        "day_us": pa.array(day[flag]),
+        "resid_r": pa.array(resid[flag]),
+        "score_r": pa.array(_round_vec(score[flag], 4)),
+    })
+
+
+def group_topk_ties(sf_dir: str, k: int = 3):
+    """(o_orderpriority, o_orderkey, total_cents, rnk): top-k order
+    totals per priority WITH TIES — RANK() semantics (every row
+    whose value ties a top-k value is kept, so groups can exceed k
+    rows), the deterministic-completeness complement of
+    ``group_topk_docs``' ROW_NUMBER cut: WITH TIES output has NO
+    arbitrary row selection at all, which is why hashable top-k on
+    2-dp money columns should always prefer it. All-integer output.
+
+    Scale shape: per-batch local prune to rows matching the batch's
+    top-k DISTINCT values per priority (a superset of the global
+    answer), then exact rank over the bounded candidate pool on the
+    driver."""
+    import pandas as pd
+
+    def local(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()
+        df = pd.DataFrame({
+            "p": batch["o_orderpriority"]
+            .to_numpy(zero_copy_only=False),
+            "ok": batch["o_orderkey"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "c": np.rint(batch["o_totalprice"]
+                         .to_numpy(zero_copy_only=False) * 100.0)
+            .astype(np.int64),
+        })
+        keep = []
+        for p, g in df.groupby("p"):
+            thresh = np.sort(g["c"].unique())[::-1][:k][-1]
+            keep.append(g[g["c"] >= thresh])
+        out = pd.concat(keep, ignore_index=True) if keep else df
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    cand = (read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderpriority", "o_orderkey", "o_totalprice"])
+        .map_batches(local, batch_format="pyarrow", batch_size=8192)
+        .to_pandas())
+    empty = pa.table({
+        "o_orderpriority": pa.array([], type=pa.string()),
+        "o_orderkey": pa.array([], type=pa.int64()),
+        "total_cents": pa.array([], type=pa.int64()),
+        "rnk": pa.array([], type=pa.int64()),
+    })
+    if cand.empty:
+        return empty
+    rows = []
+    for p, g in cand.groupby("p"):
+        vals = np.sort(g["c"].unique())[::-1][:k]
+        thresh = vals[-1]
+        gg = g[g["c"] >= thresh].sort_values(
+            ["c", "ok"], ascending=[False, True], kind="mergesort")
+        # RANK(): 1 + count of rows with strictly greater value
+        counts = g["c"].value_counts()
+        rank_of = {}
+        r = 1
+        for v in vals:
+            rank_of[v] = r
+            r += int(counts.loc[v])
+        for _, row in gg.iterrows():
+            rows.append((p, int(row["ok"]), int(row["c"]),
+                         rank_of[int(row["c"])]))
+    rows.sort()
+    return pa.table({
+        "o_orderpriority": pa.array([r[0] for r in rows],
+                                    type=pa.string()),
+        "o_orderkey": pa.array([r[1] for r in rows],
+                               type=pa.int64()),
+        "total_cents": pa.array([r[2] for r in rows],
+                                type=pa.int64()),
+        "rnk": pa.array([r[3] for r in rows], type=pa.int64()),
+    })

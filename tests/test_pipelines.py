@@ -9453,3 +9453,202 @@ class TestHllSetAlgebra:
         # can only raise the estimate)
         assert (got["est_union_r"] >= got["est_a_r"] - 1e-9).all()
         assert (got["est_union_r"] >= got["est_b_r"] - 1e-9).all()
+
+
+class TestDftWeeklyPower:
+    def test_matches_numpy_fft(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            dft_weekly_power)
+
+        DAY = 86_400_000_000
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["ts", "value"]).to_pandas() \
+            .dropna()
+        day = ev["ts"].astype("int64") // DAY * DAY
+        cents = np.rint(ev["value"].to_numpy() * 100).astype(np.int64)
+        daily = pd.DataFrame({"d": day, "c": cents}) \
+            .groupby("d")["c"].sum().sort_index()
+        grid = np.arange(daily.index[0], daily.index[-1] + DAY, DAY,
+                         dtype=np.int64)
+        v = np.zeros(grid.size)
+        v[(daily.index.to_numpy() - grid[0]) // DAY] = \
+            daily.to_numpy() / 100.0
+        got = dft_weekly_power(SF).to_pandas().set_index("k")
+        assert len(got) == 7
+        t = np.arange(grid.size)
+        for k in range(7):
+            z = (v * np.exp(2j * np.pi * (k * t % 7) / 7)).sum()
+            assert abs(got.loc[k, "re_r"] - z.real) < 1e-2
+            assert abs(got.loc[k, "im_r"] - z.imag) < 1e-2
+        # k=0 is the plain sum
+        assert abs(got.loc[0, "re_r"] - v.sum()) < 1e-2
+        assert got.loc[0, "im_r"] == 0.0
+
+    def test_planted_pure_weekly(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import (
+            dft_weekly_power)
+
+        DAY = 86_400_000_000
+        # cos wave with period 7 (+ constant offset): power
+        # concentrates at k=0 and k=1/k=6
+        n = 28
+        vals = 10.0 + 5.0 * np.cos(2 * np.pi * np.arange(n) / 7)
+        tbl = pa.table({
+            "event_id": pa.array(range(n), type=pa.int64()),
+            "ts": pa.array([i * DAY for i in range(n)],
+                           type=pa.timestamp("us")),
+            "user_id": pa.array([1] * n, type=pa.int64()),
+            "event_type": pa.array(["view"] * n),
+            "value": pa.array(np.round(vals, 2)),
+            "props": pa.array(["{}"] * n),
+        })
+        pq.write_table(tbl, f"{tmp_path}/events.parquet")
+        got = dft_weekly_power(str(tmp_path)).to_pandas() \
+            .set_index("k")["power_r"]
+        assert got.loc[1] > 100 * max(got.loc[2], got.loc[3])
+
+
+class TestNearestEventJoin:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            nearest_event_join)
+
+        ev = pq.read_table(
+            f"{SF}/events.parquet",
+            columns=["event_id", "user_id", "ts", "event_type"]) \
+            .to_pandas().dropna()
+        ev["tu"] = ev["ts"].astype("int64")
+        views = ev[ev["event_type"] == "view"]
+        clicks = ev[ev["event_type"] == "click"]
+        vmap = {u: np.sort(g["tu"].to_numpy())
+                for u, g in views.groupby("user_id")}
+        got = nearest_event_join(SF).to_pandas() \
+            .set_index("event_id")
+        n_expected = 0
+        for _, c in clicks.iterrows():
+            vt = vmap.get(c["user_id"])
+            if vt is None:
+                assert c["event_id"] not in got.index
+                continue
+            n_expected += 1
+            back = vt[vt <= c["tu"]]
+            fwd = vt[vt > c["tu"]]
+            cands = []
+            if back.size:
+                cands.append((c["tu"] - back[-1], back[-1]))
+            if fwd.size:
+                cands.append((fwd[0] - c["tu"], fwd[0]))
+            # min dt; ties -> the backward (earlier) candidate,
+            # which sorts first because its ts is smaller
+            dt, vts = min(cands, key=lambda x: (x[0], x[1]))
+            assert got.loc[c["event_id"], "view_ts_us"] == vts
+            assert got.loc[c["event_id"], "dt_us"] == dt
+        assert len(got) == n_expected
+
+    def test_planted_tie_backward(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import (
+            nearest_event_join)
+
+        S = 1_000_000
+        # views at t=10 and t=30; click at t=20 -> equidistant,
+        # must pick the earlier view (t=10)
+        tbl = pa.table({
+            "event_id": pa.array([1, 2, 3], type=pa.int64()),
+            "ts": pa.array([10 * S, 30 * S, 20 * S],
+                           type=pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 1], type=pa.int64()),
+            "event_type": pa.array(["view", "view", "click"]),
+            "value": pa.array([1.0] * 3),
+            "props": pa.array(["{}"] * 3),
+        })
+        pq.write_table(tbl, f"{tmp_path}/events.parquet")
+        got = nearest_event_join(str(tmp_path)).to_pandas()
+        assert len(got) == 1
+        assert got.iloc[0]["view_ts_us"] == 10 * S
+        assert got.iloc[0]["dt_us"] == 10 * S
+
+
+class TestSeasonalAnomalies:
+    def test_consistent_with_decompose(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            seasonal_anomalies, seasonal_decompose)
+
+        dec = seasonal_decompose(SF).to_pandas()
+        resid = dec["resid_r"].to_numpy()
+        n = resid.size
+        med = np.sort(resid)[int(np.ceil(n * 0.5)) - 1]
+        ad = np.abs(resid - med)
+        mad = np.sort(ad)[int(np.ceil(n * 0.5)) - 1]
+        got = seasonal_anomalies(SF).to_pandas()
+        if mad > 0:
+            exp_days = dec["day_us"].to_numpy()[ad / mad > 3.0]
+            assert got["day_us"].tolist() == sorted(exp_days)
+            assert (got["score_r"] > 3.0).all()
+        else:
+            assert len(got) == 0
+
+    def test_planted_spike(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import (
+            seasonal_anomalies)
+
+        DAY = 86_400_000_000
+        rng = np.random.default_rng(11)
+        n = 28
+        vals = 100.0 + rng.normal(0, 1.0, n)
+        vals[14] = 1000.0  # massive mid-series spike
+        tbl = pa.table({
+            "event_id": pa.array(range(n), type=pa.int64()),
+            "ts": pa.array([i * DAY for i in range(n)],
+                           type=pa.timestamp("us")),
+            "user_id": pa.array([1] * n, type=pa.int64()),
+            "event_type": pa.array(["view"] * n),
+            "value": pa.array(np.round(vals, 2)),
+            "props": pa.array(["{}"] * n),
+        })
+        pq.write_table(tbl, f"{tmp_path}/events.parquet")
+        got = seasonal_anomalies(str(tmp_path)).to_pandas()
+        assert 14 * DAY in got["day_us"].tolist()
+
+
+class TestGroupTopkTies:
+    def test_matches_rank(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            group_topk_ties)
+
+        o = pq.read_table(
+            f"{SF}/orders.parquet",
+            columns=["o_orderpriority", "o_orderkey", "o_totalprice"]
+        ).to_pandas().dropna()
+        o["c"] = np.rint(o["o_totalprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        got = group_topk_ties(SF).to_pandas()
+        for p, g in o.groupby("o_orderpriority"):
+            g = g.sort_values("c", ascending=False)
+            ranks = g["c"].rank(method="min", ascending=False)
+            exp = set(g.loc[ranks <= 3, "o_orderkey"])
+            sub = got[got["o_orderpriority"] == p]
+            assert set(sub["o_orderkey"]) == exp
+            assert (sub["rnk"] <= 3).all()
+
+    def test_planted_ties_kept(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import (
+            group_topk_ties)
+
+        # four orders tie at rank 3 -> six rows returned
+        prices = [100.0, 90.0, 80.0, 80.0, 80.0, 80.0, 10.0]
+        tbl = pa.table({
+            "o_orderkey": pa.array(range(len(prices)),
+                                   type=pa.int64()),
+            "o_custkey": pa.array([1] * len(prices),
+                                  type=pa.int64()),
+            "o_orderstatus": pa.array(["F"] * len(prices)),
+            "o_totalprice": pa.array(prices),
+            "o_orderdate": pa.array([0] * len(prices),
+                                    type=pa.timestamp("us")),
+            "o_orderpriority": pa.array(["2-HIGH"] * len(prices)),
+        })
+        pq.write_table(tbl, f"{tmp_path}/orders.parquet")
+        got = group_topk_ties(str(tmp_path)).to_pandas()
+        assert len(got) == 6
+        assert (got["rnk"].tolist().count(3)) == 4
+        assert 6 not in got["o_orderkey"].tolist()
