@@ -539,6 +539,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # RANK() WITH TIES top-k per group — no arbitrary row cut,
         # all-int output (oracle: RANK window <= 3; r4)
         "group_topk_ties": relational.group_topk_ties,
+        # corpus drift: Monroe Dirichlet-smoothed log-odds z between
+        # corpus halves over the top-200 terms, top-20 by rounded |z|
+        # (oracle: half-split token CTE + identical formula; r4)
+        "trending_terms": textstats.trending_terms,
+        # ordinal association: Kendall τ-b between two type series —
+        # exact integer pair combinatorics, one final division
+        # (oracle: day-grid self-join + tie CTEs; r4)
+        "kendall_tau_types": relational.kendall_tau_types,
+        # randomness gate: Wald–Wolfowitz runs test on daily revenue
+        # vs its median (oracle: filtered lag + closed-form z; r4)
+        "runs_test_daily": relational.runs_test_daily,
         # robust outlier scrub: per-type median + MAD via two composed
         # grouped counting selections, realized-value gate (oracle:
         # quantile_disc medians + abs-deviation join; r4)
@@ -5418,6 +5429,139 @@ SELECT o_orderpriority, o_orderkey, c AS total_cents,
        CAST(rnk AS BIGINT) AS rnk
 FROM r WHERE rnk <= 3
 ORDER BY o_orderpriority, total_cents DESC, o_orderkey""",
+        # Monroe log-odds: shared significant-token space, half split
+        # at (max_doc_id+1)//2, identical smoothing arithmetic
+        "trending_terms": f"""
+WITH sp AS (SELECT (max(doc_id) + 1) // 2 AS split FROM documents),
+ tl AS (SELECT d.doc_id,
+               unnest(regexp_extract_all(lower(d.text),
+                                         '[a-z0-9]+')) AS token
+        FROM documents d),
+ sig AS (SELECT doc_id, token FROM tl
+         WHERE length(token) >= 2 AND token NOT IN ({_STOP_SQL})),
+ hf AS (SELECT CASE WHEN sig.doc_id >= sp.split
+                    THEN 1 ELSE 0 END AS half, token
+        FROM sig CROSS JOIN sp),
+ d2 AS (SELECT token, count(*) AS cf FROM sig GROUP BY 1),
+ top AS (SELECT token FROM d2
+         QUALIFY row_number() OVER (ORDER BY cf DESC, token ASC)
+                 <= 200),
+ tot AS (SELECT half, CAST(count(*) AS DOUBLE) AS nt
+         FROM hf GROUP BY 1),
+ na AS (SELECT coalesce((SELECT nt FROM tot WHERE half = 0), 0)
+                 AS n_a,
+               coalesce((SELECT nt FROM tot WHERE half = 1), 0)
+                 AS n_b),
+ aa AS (SELECT 0.5 * CAST(count(*) AS DOUBLE) AS a0 FROM top),
+ cnts AS (SELECT top.token,
+                 CAST(coalesce(c0.n, 0) AS BIGINT) AS ya,
+                 CAST(coalesce(c1.n, 0) AS BIGINT) AS yb
+          FROM top
+          LEFT JOIN (SELECT token, count(*) AS n FROM hf
+                     WHERE half = 0 GROUP BY 1) c0
+            ON c0.token = top.token
+          LEFT JOIN (SELECT token, count(*) AS n FROM hf
+                     WHERE half = 1 GROUP BY 1) c1
+            ON c1.token = top.token),
+ z AS (SELECT token, ya, yb,
+              (ln((ya + 0.5) / (n_a + a0 - ya - 0.5))
+               - ln((yb + 0.5) / (n_b + a0 - yb - 0.5)))
+              / sqrt(1.0 / (ya + 0.5) + 1.0 / (yb + 0.5)) AS z
+       FROM cnts CROSS JOIN na CROSS JOIN aa
+       WHERE n_a > 0 AND n_b > 0)
+SELECT token AS term, ya AS y_a, yb AS y_b, round(z, 4) AS z_r
+FROM z
+QUALIFY row_number() OVER (ORDER BY round(abs(z), 4) DESC,
+                           token ASC) <= 20
+ORDER BY round(abs(z), 4) DESC, term ASC""",
+        # Kendall τ-b: integer pair products over the shared grid,
+        # tie corrections by value multiplicity, one final division
+        "kendall_tau_types": """
+WITH e AS (SELECT epoch_us(ts) // 86400000000 * 86400000000 AS d,
+                  event_type AS et,
+                  CAST(round(value * 100) AS BIGINT) AS c
+           FROM events
+           WHERE ts IS NOT NULL AND value IS NOT NULL
+             AND NOT isnan(value)
+             AND event_type IN ('click', 'view')),
+ dt AS (SELECT d, et, CAST(sum(c) AS BIGINT) AS c
+        FROM e GROUP BY 1, 2),
+ b AS (SELECT min(d) AS lo, max(d) AS hi FROM dt),
+ g AS (SELECT CAST(t.x AS BIGINT) AS d
+       FROM b, LATERAL unnest(range(lo, hi + 86400000000,
+                                    86400000000)) AS t(x)),
+ s AS (SELECT g.d,
+              CAST(coalesce(ca.c, 0) AS BIGINT) AS a,
+              CAST(coalesce(cb.c, 0) AS BIGINT) AS bb,
+              row_number() OVER (ORDER BY g.d) AS rn
+       FROM g
+       LEFT JOIN dt ca ON ca.d = g.d AND ca.et = 'click'
+       LEFT JOIN dt cb ON cb.d = g.d AND cb.et = 'view'),
+ pr AS (SELECT x.a AS xa, x.bb AS xb, y.a AS ya, y.bb AS yb
+        FROM s x JOIN s y ON y.rn > x.rn),
+ cd AS (SELECT CAST(sum(CASE WHEN (xa - ya) * (xb - yb) > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c,
+               CAST(sum(CASE WHEN (xa - ya) * (xb - yb) < 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS d
+        FROM pr),
+ nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+ t1 AS (SELECT CAST(coalesce(sum(cc * (cc - 1) // 2), 0)
+                    AS BIGINT) AS n1
+        FROM (SELECT count(*) AS cc FROM s GROUP BY a)),
+ t2 AS (SELECT CAST(coalesce(sum(cc * (cc - 1) // 2), 0)
+                    AS BIGINT) AS n2
+        FROM (SELECT count(*) AS cc FROM s GROUP BY bb))
+SELECT nn.n AS n_days, cd.c AS concordant, cd.d AS discordant,
+       round(CASE WHEN CAST(nn.n * (nn.n - 1) // 2 - t1.n1
+                            AS DOUBLE)
+                       * CAST(nn.n * (nn.n - 1) // 2 - t2.n2
+                              AS DOUBLE) > 0
+                  THEN (cd.c - cd.d)
+                       / sqrt(CAST(nn.n * (nn.n - 1) // 2 - t1.n1
+                                   AS DOUBLE)
+                              * CAST(nn.n * (nn.n - 1) // 2 - t2.n2
+                                     AS DOUBLE))
+                  ELSE 0.0 END, 4) AS tau_r
+FROM nn CROSS JOIN cd CROSS JOIN t1 CROSS JOIN t2
+WHERE nn.n >= 2""",
+        # runs test: dichotomize vs quantile_disc median (equals
+        # drop), runs via filtered lag, closed-form z moments
+        "runs_test_daily": """
+WITH v AS (SELECT epoch_us(ts) // 86400000000 * 86400000000 AS d,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events
+           WHERE ts IS NOT NULL AND value IS NOT NULL
+             AND NOT isnan(value)),
+ dt AS (SELECT d, CAST(sum(cents) AS BIGINT) AS c FROM v GROUP BY 1),
+ b AS (SELECT min(d) AS lo, max(d) AS hi FROM dt),
+ g AS (SELECT CAST(t.x AS BIGINT) AS d
+       FROM b, LATERAL unnest(range(lo, hi + 86400000000,
+                                    86400000000)) AS t(x)),
+ f AS (SELECT g.d, CAST(coalesce(dt.c, 0) AS BIGINT) AS c,
+              row_number() OVER (ORDER BY g.d) AS rn
+       FROM g LEFT JOIN dt ON dt.d = g.d),
+ med AS (SELECT quantile_disc(c, 0.5) AS m FROM f),
+ s0 AS (SELECT rn, CASE WHEN c > med.m THEN 1
+                        WHEN c < med.m THEN -1 ELSE 0 END AS sg
+        FROM f CROSS JOIN med),
+ s2 AS (SELECT sg, lag(sg) OVER (ORDER BY rn) AS prev
+        FROM s0 WHERE sg <> 0),
+ st AS (SELECT CAST(sum(CASE WHEN sg = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN sg = -1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n2,
+               CAST(1 + sum(CASE WHEN prev IS NOT NULL
+                                  AND sg <> prev
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS r
+        FROM s2)
+SELECT n1 + n2 AS n_used, n1 AS n_above, n2 AS n_below,
+       r AS n_runs,
+       round(CASE WHEN n1 * n2 = 0 THEN 0.0 ELSE
+         (r - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+         / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)))
+         END, 4) AS z_r
+FROM st WHERE n1 + n2 > 0""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -13259,3 +13259,164 @@ def group_topk_ties(sf_dir: str, k: int = 3):
                                 type=pa.int64()),
         "rnk": pa.array([r[3] for r in rows], type=pa.int64()),
     })
+
+
+def kendall_tau_types(sf_dir: str):
+    """(n_days, concordant, discordant, tau_r): Kendall's τ-b
+    between the 'click' and 'view' daily revenue series over the
+    shared zero-filled day grid — the ordinal-association
+    complement of ``spearman_corr`` (ranks) and
+    ``rolling_type_corr`` (windowed Pearson): τ counts pair
+    ORDER agreements, so it is exact integer combinatorics until
+    the single final division (tie-corrected τ-b). The day frame
+    is calendar-bounded, so the O(days²) pair count is driver-trivial
+    at any corpus size.
+
+    Scale shape: one (day × 2-type) Sum exchange; pair counting on
+    the driver over the day frame."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    tset = ROLL_CORR_TYPES
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "ts": batch["ts"].cast(pa.timestamp("us"))
+            .cast(pa.int64()).to_numpy(zero_copy_only=False),
+            "et": batch["event_type"].to_numpy(zero_copy_only=False),
+            "v": batch["value"].to_numpy(zero_copy_only=False),
+        }).dropna()
+        df = df[df["et"].isin(tset)]
+        if df.empty:
+            return pa.table({"d": pa.array([], type=pa.int64()),
+                             "et": pa.array([], type=pa.string()),
+                             "c": pa.array([], type=pa.int64())})
+        cents = np.rint(df["v"].to_numpy() * 100.0).astype(np.int64)
+        day = df["ts"].to_numpy(dtype=np.int64) // DAY_US * DAY_US
+        g = pd.DataFrame({"d": day, "et": df["et"].to_numpy(),
+                          "c": cents}) \
+            .groupby(["d", "et"], as_index=False).agg(c=("c", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    daily = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["ts", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby(["d", "et"]).aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    empty = pa.table({"n_days": pa.array([], type=pa.int64()),
+                      "concordant": pa.array([], type=pa.int64()),
+                      "discordant": pa.array([], type=pa.int64()),
+                      "tau_r": pa.array([], type=pa.float64())})
+    if daily.empty:
+        return empty
+    lo, hi = int(daily["d"].min()), int(daily["d"].max())
+    grid = np.arange(lo, hi + DAY_US, DAY_US, dtype=np.int64)
+    a = np.zeros(grid.size, dtype=np.int64)
+    b = np.zeros(grid.size, dtype=np.int64)
+    for arr, name in ((a, tset[0]), (b, tset[1])):
+        sub = daily[daily["et"] == name]
+        arr[(sub["d"].to_numpy(dtype=np.int64) - lo) // DAY_US] = \
+            sub["c"].to_numpy(dtype=np.int64)
+    n = grid.size
+    if n < 2:
+        return empty
+    da = np.sign(a[:, None] - a[None, :])
+    db = np.sign(b[:, None] - b[None, :])
+    iu = np.triu_indices(n, 1)
+    prod = da[iu] * db[iu]
+    C = int((prod > 0).sum())
+    D = int((prod < 0).sum())
+    n0 = n * (n - 1) // 2
+    # tie corrections from value multiplicities
+    def tsum(x):
+        _, c = np.unique(x, return_counts=True)
+        return int((c * (c - 1) // 2).sum())
+    n1, n2 = tsum(a), tsum(b)
+    den = float(n0 - n1) * float(n0 - n2)
+    tau = (C - D) / np.sqrt(den) if den > 0 else 0.0
+    return pa.table({
+        "n_days": pa.array([n], type=pa.int64()),
+        "concordant": pa.array([C], type=pa.int64()),
+        "discordant": pa.array([D], type=pa.int64()),
+        "tau_r": pa.array([round_half_away(float(tau), 4)]),
+    })
+
+
+def runs_test_daily(sf_dir: str):
+    """(n_used, n_above, n_below, n_runs, z_r): Wald–Wolfowitz runs
+    test for randomness of the daily revenue series — days
+    dichotomize above/below the median (equal-to-median days drop,
+    the standard treatment), R = count of sign runs, z = (R − μ)/σ
+    with the closed-form run moments. The "is this series actually
+    random?" gate that should precede every trend entry
+    (``theilsen_trend``, ``holt_trend``). Counts are exact ints;
+    the z formula is the identical expression tree both sides.
+    Degenerate splits (n_above·n_below = 0) publish z 0. Median:
+    rank ceil(n·0.5) — the repo's quantile_disc convention.
+
+    Scale shape: daily-cents Sum exchange, O(days) driver scan."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        v, ts = v[ok], ts[ok].astype(np.int64)
+        if v.size == 0:
+            return pa.table({"d": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+        cents = np.rint(v * 100.0).astype(np.int64)
+        day = ts // DAY_US * DAY_US
+        ud, inv = np.unique(day, return_inverse=True)
+        cs = np.zeros(ud.size, dtype=np.int64)
+        np.add.at(cs, inv, cents)
+        return pa.table({"d": pa.array(ud), "c": pa.array(cs)})
+
+    daily = (
+        read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                           columns=["ts", "value"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("d").aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    empty = pa.table({"n_used": pa.array([], type=pa.int64()),
+                      "n_above": pa.array([], type=pa.int64()),
+                      "n_below": pa.array([], type=pa.int64()),
+                      "n_runs": pa.array([], type=pa.int64()),
+                      "z_r": pa.array([], type=pa.float64())})
+    if daily.empty:
+        return empty
+    daily = daily.sort_values("d")
+    od = daily["d"].to_numpy(dtype=np.int64)
+    oc = daily["c"].to_numpy(dtype=np.int64)
+    grid = np.arange(od[0], od[-1] + DAY_US, DAY_US, dtype=np.int64)
+    c = np.zeros(grid.size, dtype=np.int64)
+    c[(od - grid[0]) // DAY_US] = oc
+    n = c.size
+    med = np.sort(c, kind="stable")[int(np.ceil(n * 0.5)) - 1]
+    sgn = np.sign(c - med)
+    sgn = sgn[sgn != 0]
+    n1 = int((sgn > 0).sum())
+    n2 = int((sgn < 0).sum())
+    if sgn.size == 0:
+        return empty
+    R = int(1 + (sgn[1:] != sgn[:-1]).sum()) if sgn.size else 0
+    if n1 * n2 == 0:
+        z = 0.0
+    else:
+        fn1, fn2 = float(n1), float(n2)
+        mu = 2.0 * fn1 * fn2 / (fn1 + fn2) + 1.0
+        var = (2.0 * fn1 * fn2 * (2.0 * fn1 * fn2 - fn1 - fn2)
+               / ((fn1 + fn2) * (fn1 + fn2) * (fn1 + fn2 - 1.0)))
+        z = (R - mu) / np.sqrt(var)
+    return pa.table({
+        "n_used": pa.array([n1 + n2], type=pa.int64()),
+        "n_above": pa.array([n1], type=pa.int64()),
+        "n_below": pa.array([n2], type=pa.int64()),
+        "n_runs": pa.array([R], type=pa.int64()),
+        "z_r": pa.array([round_half_away(float(z), 4)]),
+    })

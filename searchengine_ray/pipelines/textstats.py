@@ -1026,3 +1026,116 @@ def burrows_delta(sf_dir: str, k: int = BURROWS_TOPK):
         "delta_r": pa.array(_round_vec(
             np.asarray([r[3] for r in rows]), 4)),
     })
+
+
+TREND_VOCAB = 200
+TREND_TOPK = 20
+TREND_ALPHA = 0.5
+
+
+def trending_terms(sf_dir: str, vocab_k: int = TREND_VOCAB,
+                   k: int = TREND_TOPK):
+    """(term, y_a, y_b, z_r): corpus drift — the top-k terms by
+    |log-odds z| between the first and second half of the corpus
+    (doc_id < split vs ≥, split = (max_doc_id + 1) // 2 — the
+    ``dedup_incremental`` convention), scored with Monroe et al.'s
+    Dirichlet-smoothed log-odds-ratio (α = 0.5 per term):
+    δ = ln((y_a+α)/(n_a+α₀−y_a−α)) − ln((y_b+α)/(n_b+α₀−y_b−α)),
+    z = δ/√(1/(y_a+α) + 1/(y_b+α)). The "what changed between
+    crawls" monitor ``psi_drift`` gives for a numeric column, done
+    properly for text. Scored over the top-``vocab_k`` corpus terms
+    (the ``top_terms`` total order); ranked by (round(|z|, 4) desc,
+    term asc) — the knn margin convention, so the cut is identical
+    on both sides.
+
+    Scale shape: one flat-token pass with per-batch (half, term)
+    partials over the broadcast vocab set plus per-half totals;
+    driver math on the 2×vocab_k matrix."""
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    from searchengine_ray.pipelines.fulltext import (_round_vec,
+                                                     read_documents,
+                                                     top_terms)
+    from searchengine_ray.textproc import is_significant_simple
+
+    top = set(top_terms(sf_dir, k=vocab_k)["lemma"].tolist())
+    md = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id"])
+    if md.num_rows == 0:
+        return pa.table({"term": pa.array([], type=pa.string()),
+                         "y_a": pa.array([], type=pa.int64()),
+                         "y_b": pa.array([], type=pa.int64()),
+                         "z_r": pa.array([], type=pa.float64())})
+    split = (int(pa.compute.max(md["doc_id"]).as_py()) + 1) // 2
+
+    def partial(batch: pa.Table) -> pa.Table:
+        parents, idx, vocab, _ = _flat_tokens(batch)
+        sig = np.asarray([is_significant_simple(w) for w in vocab],
+                         dtype=bool) if vocab else np.zeros(0, bool)
+        keep = sig[idx] if vocab else np.zeros(0, bool)
+        rows = parents[keep]
+        vids = idx[keep]
+        if rows.size == 0:
+            return pa.table({"half": pa.array([], type=pa.int64()),
+                             "term": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        did = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[rows]
+        half = (did >= split).astype(np.int64)
+        words = np.asarray(vocab, dtype=object)[vids]
+        df = pd.DataFrame({"half": half, "term": words})
+        tot = df.groupby("half").size().reset_index(name="n")
+        tot["term"] = ""
+        hits = df[df["term"].isin(top)] \
+            .groupby(["half", "term"], as_index=False) \
+            .size().rename(columns={"size": "n"})
+        out = pd.concat([hits, tot[["half", "term", "n"]]],
+                        ignore_index=True)
+        return pa.table({
+            "half": pa.array(out["half"].to_numpy(dtype=np.int64)),
+            "term": pa.array(out["term"].tolist(), type=pa.string()),
+            "n": pa.array(out["n"].to_numpy(dtype=np.int64)),
+        })
+
+    agg = (read_documents(sf_dir)
+           .map_batches(partial, batch_format="pyarrow",
+                        batch_size=2048)
+           .groupby(["half", "term"])
+           .aggregate(Sum("n", alias_name="n")).to_pandas())
+    empty = pa.table({"term": pa.array([], type=pa.string()),
+                      "y_a": pa.array([], type=pa.int64()),
+                      "y_b": pa.array([], type=pa.int64()),
+                      "z_r": pa.array([], type=pa.float64())})
+    if agg.empty:
+        return empty
+    tot = agg[agg["term"] == ""].set_index("half")["n"]
+    n_a = float(tot.get(0, 0))
+    n_b = float(tot.get(1, 0))
+    if n_a == 0.0 or n_b == 0.0:
+        return empty
+    terms = sorted(top)
+    cnt = agg[agg["term"] != ""].set_index(["half", "term"])["n"]
+    a0 = TREND_ALPHA * len(terms)
+    al = TREND_ALPHA
+    rows = []
+    for w in terms:
+        ya = float(cnt.get((0, w), 0))
+        yb = float(cnt.get((1, w), 0))
+        d = (np.log((ya + al) / (n_a + a0 - ya - al))
+             - np.log((yb + al) / (n_b + a0 - yb - al)))
+        z = d / np.sqrt(1.0 / (ya + al) + 1.0 / (yb + al))
+        rows.append((w, int(ya), int(yb), float(z)))
+    df = pd.DataFrame(rows, columns=["term", "y_a", "y_b", "z"])
+    df["za"] = _round_vec(np.abs(df["z"].to_numpy()), 4)
+    df = df.sort_values(["za", "term"], ascending=[False, True],
+                        kind="mergesort").head(k)
+    return pa.table({
+        "term": pa.array(df["term"].tolist(), type=pa.string()),
+        "y_a": pa.array(df["y_a"].to_numpy(dtype=np.int64)),
+        "y_b": pa.array(df["y_b"].to_numpy(dtype=np.int64)),
+        "z_r": pa.array(_round_vec(df["z"].to_numpy(), 4)),
+    })

@@ -9652,3 +9652,186 @@ class TestGroupTopkTies:
         assert len(got) == 6
         assert (got["rnk"].tolist().count(3)) == 4
         assert 6 not in got["o_orderkey"].tolist()
+
+
+class TestTrendingTerms:
+    def test_matches_bruteforce(self, ray_session, docs):
+        from searchengine_ray.pipelines.fulltext import top_terms
+        from searchengine_ray.pipelines.textstats import (
+            TREND_ALPHA, trending_terms)
+        from searchengine_ray.textproc import (is_significant_simple,
+                                               tokenize_simple)
+
+        split = (max(docs) + 1) // 2
+        top = set(top_terms(SF, k=200)["lemma"].tolist())
+        from collections import Counter
+        ca, cb = Counter(), Counter()
+        na = nb = 0
+        for d, t in docs.items():
+            toks = [w for w in tokenize_simple(t or "")
+                    if is_significant_simple(w)]
+            tgt, _ = (ca, 0) if d < split else (cb, 1)
+            if d < split:
+                na += len(toks)
+            else:
+                nb += len(toks)
+            for w in toks:
+                if w in top:
+                    tgt[w] += 1
+        a0 = TREND_ALPHA * len(top)
+        got = trending_terms(SF).to_pandas().set_index("term")
+        assert len(got) == 20
+        for w in got.index:
+            ya, yb = ca.get(w, 0), cb.get(w, 0)
+            assert got.loc[w, "y_a"] == ya
+            assert got.loc[w, "y_b"] == yb
+            d = (np.log((ya + 0.5) / (na + a0 - ya - 0.5))
+                 - np.log((yb + 0.5) / (nb + a0 - yb - 0.5)))
+            z = d / np.sqrt(1 / (ya + 0.5) + 1 / (yb + 0.5))
+            assert abs(got.loc[w, "z_r"] - z) < 1e-3
+
+    def test_planted_drift(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.textstats import (
+            trending_terms)
+
+        # 'legacy' dominates the first half, 'shiny' the second
+        texts = (["legacy system old stable " * 5] * 10
+                 + ["shiny feature new launch " * 5] * 10)
+        tbl = pa.table({
+            "doc_id": pa.array(range(20), type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 20),
+            "source": pa.array(["s"] * 20),
+            "n_chars": pa.array([50] * 20, type=pa.int64()),
+        })
+        pq.write_table(tbl, f"{tmp_path}/documents.parquet")
+        got = trending_terms(str(tmp_path)).to_pandas() \
+            .set_index("term")
+        assert got.loc["legacy", "z_r"] > 0   # first-half term
+        assert got.loc["shiny", "z_r"] < 0    # second-half term
+
+
+class TestKendallTauTypes:
+    def test_matches_scipy_free_reference(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            kendall_tau_types)
+
+        DAY = 86_400_000_000
+        ev = pq.read_table(
+            f"{SF}/events.parquet",
+            columns=["ts", "event_type", "value"]).to_pandas().dropna()
+        ev = ev[ev["event_type"].isin(["click", "view"])]
+        day = ev["ts"].astype("int64") // DAY * DAY
+        cents = np.rint(ev["value"].to_numpy() * 100).astype(np.int64)
+        piv = pd.DataFrame({"d": day, "et": ev["event_type"],
+                            "c": cents}) \
+            .groupby(["d", "et"])["c"].sum().unstack(fill_value=0)
+        grid = np.arange(piv.index.min(), piv.index.max() + DAY, DAY,
+                         dtype=np.int64)
+        piv = piv.reindex(grid, fill_value=0)
+        a = piv["click"].to_numpy()
+        b = piv["view"].to_numpy()
+        # brute-force tau-b (scipy is not in this container)
+        n = a.size
+        C = D = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                p = np.sign(a[i] - a[j]) * np.sign(b[i] - b[j])
+                C += p > 0
+                D += p < 0
+        n0 = n * (n - 1) // 2
+
+        def tsum(x):
+            _, cc = np.unique(x, return_counts=True)
+            return int((cc * (cc - 1) // 2).sum())
+
+        exp = (C - D) / np.sqrt(float(n0 - tsum(a))
+                                * float(n0 - tsum(b)))
+        got = kendall_tau_types(SF).to_pandas().iloc[0]
+        assert got["n_days"] == grid.size
+        assert abs(got["tau_r"] - exp) < 1e-3
+
+    def test_planted_perfect_order(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import (
+            kendall_tau_types)
+
+        DAY = 86_400_000_000
+        rows = []
+        eid = 0
+        for dd in range(6):
+            rows.append((eid, dd * DAY, "click", float(dd + 1)))
+            eid += 1
+            rows.append((eid, dd * DAY, "view", float(10 * (dd + 1))))
+            eid += 1
+        tbl = pa.table({
+            "event_id": pa.array([r[0] for r in rows],
+                                 type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows],
+                           type=pa.timestamp("us")),
+            "user_id": pa.array([1] * len(rows), type=pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+            "value": pa.array([r[3] for r in rows]),
+            "props": pa.array(["{}"] * len(rows)),
+        })
+        pq.write_table(tbl, f"{tmp_path}/events.parquet")
+        got = kendall_tau_types(str(tmp_path)).to_pandas().iloc[0]
+        assert got["tau_r"] == 1.0
+        assert got["discordant"] == 0
+
+
+class TestRunsTestDaily:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            runs_test_daily)
+
+        DAY = 86_400_000_000
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["ts", "value"]).to_pandas() \
+            .dropna()
+        day = ev["ts"].astype("int64") // DAY * DAY
+        cents = np.rint(ev["value"].to_numpy() * 100).astype(np.int64)
+        daily = pd.DataFrame({"d": day, "c": cents}) \
+            .groupby("d")["c"].sum().sort_index()
+        grid = np.arange(daily.index[0], daily.index[-1] + DAY, DAY,
+                         dtype=np.int64)
+        c = np.zeros(grid.size, dtype=np.int64)
+        c[(daily.index.to_numpy() - grid[0]) // DAY] = daily.to_numpy()
+        n = c.size
+        med = np.sort(c)[int(np.ceil(n * 0.5)) - 1]
+        sgn = np.sign(c - med)
+        sgn = sgn[sgn != 0]
+        n1, n2 = int((sgn > 0).sum()), int((sgn < 0).sum())
+        R = int(1 + (sgn[1:] != sgn[:-1]).sum())
+        got = runs_test_daily(SF).to_pandas().iloc[0]
+        assert got["n_above"] == n1
+        assert got["n_below"] == n2
+        assert got["n_runs"] == R
+        if n1 * n2:
+            mu = 2 * n1 * n2 / (n1 + n2) + 1
+            var = (2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+                   / ((n1 + n2) ** 2 * (n1 + n2 - 1)))
+            assert abs(got["z_r"] - (R - mu) / np.sqrt(var)) < 1e-3
+
+    def test_planted_alternating(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import (
+            runs_test_daily)
+
+        DAY = 86_400_000_000
+        # alternating high/low (jittered so no day ties the median
+        # and drops) -> near-maximum runs, z >> 0
+        n = 20
+        vals = [(10.0 if i % 2 == 0 else 1.0) + i * 0.01
+                for i in range(n)]
+        tbl = pa.table({
+            "event_id": pa.array(range(n), type=pa.int64()),
+            "ts": pa.array([i * DAY for i in range(n)],
+                           type=pa.timestamp("us")),
+            "user_id": pa.array([1] * n, type=pa.int64()),
+            "event_type": pa.array(["view"] * n),
+            "value": pa.array(vals),
+            "props": pa.array(["{}"] * n),
+        })
+        pq.write_table(tbl, f"{tmp_path}/events.parquet")
+        got = runs_test_daily(str(tmp_path)).to_pandas().iloc[0]
+        assert got["n_runs"] >= got["n_used"] - 2
+        assert got["z_r"] > 3.0
