@@ -412,23 +412,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CUBE(event_type, day): all four grouping sets, margins derived
         # from the published finest cells (oracle: UNION ALL of levels; r4)
         "cube_events": relational.cube_events,
-        # TPC-H Q5 shape: CHAINED co-partition joins (orders⋈customer on
-        # custkey → stream⋈lineitem on orderkey) + broadcast supplier/nation
-        # dims + same-nation gate (oracle: 6-table SQL; r4)
-        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
-        # TPC-H Q18 shape: HAVING SEMI-JOIN — qualifying set defined by an
-        # aggregate over the fact table (sum(l_quantity) > t per order),
-        # joined back through orders to customer; deterministic top-100 (r4)
-        "q18_large_orders": relational.q18_large_orders,
-        # TPC-H Q12 shape: CONDITIONAL-AGGREGATE fact-fact join (CASE WHEN
-        # inside sum over the o_orderkey co-partition), exact int64 counts
-        # (oracle: CASE sums over the 2-table join; r4)
-        "q12_priority_lines": relational.q12_priority_lines,
-        # TPC-H Q13 shape: LEFT OUTER fact-fact join + two-level
-        # aggregation (orders per customer, zero-extended, then the
-        # histogram of those counts) — the distribution-of-group-sizes
-        # surface (oracle: LEFT JOIN + double GROUP BY; r4)
-        "q13_customer_distribution": relational.q13_customer_distribution,
         # exact second moments per type: 4-dp integer images, int64 batch
         # partials, Python-int (HUGEINT-analogue) driver combine — mean/
         # var/std exact under any summation order (oracle: HUGEINT sums of
@@ -550,6 +533,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # randomness gate: Wald–Wolfowitz runs test on daily revenue
         # vs its median (oracle: filtered lag + closed-form z; r4)
         "runs_test_daily": relational.runs_test_daily,
+        # --- rotated past the window: unchanged-since-green TPC-H
+        # entries whose kernels have r2-r4 driver hash rows ---
+        # TPC-H Q5 shape: CHAINED co-partition joins (orders⋈customer on
+        # custkey → stream⋈lineitem on orderkey) + broadcast supplier/nation
+        # dims + same-nation gate (oracle: 6-table SQL; r4)
+        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+        # TPC-H Q18 shape: HAVING SEMI-JOIN — qualifying set defined by an
+        # aggregate over the fact table (sum(l_quantity) > t per order),
+        # joined back through orders to customer; deterministic top-100 (r4)
+        "q18_large_orders": relational.q18_large_orders,
+        # TPC-H Q12 shape: CONDITIONAL-AGGREGATE fact-fact join (CASE WHEN
+        # inside sum over the o_orderkey co-partition), exact int64 counts
+        # (oracle: CASE sums over the 2-table join; r4)
+        "q12_priority_lines": relational.q12_priority_lines,
+        # TPC-H Q13 shape: LEFT OUTER fact-fact join + two-level
+        # aggregation (orders per customer, zero-extended, then the
+        # histogram of those counts) — the distribution-of-group-sizes
+        # surface (oracle: LEFT JOIN + double GROUP BY; r4)
+        "q13_customer_distribution": relational.q13_customer_distribution,
         # robust outlier scrub: per-type median + MAD via two composed
         # grouped counting selections, realized-value gate (oracle:
         # quantile_disc medians + abs-deviation join; r4)
