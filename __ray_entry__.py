@@ -533,6 +533,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # randomness gate: Wald–Wolfowitz runs test on daily revenue
         # vs its median (oracle: filtered lag + closed-form z; r4)
         "runs_test_daily": relational.runs_test_daily,
+        # state integral: per-user time-weighted value over scd2-style
+        # validity intervals, exact int durations (oracle: lead +
+        # corpus-end close-out + weighted avg; r4)
+        "time_weighted_value": relational.time_weighted_value,
+        # storage layout: per-type user bitmaps as 32-bit bucket
+        # masks, all-int (oracle: bit_or aggregate; r4)
+        "bitmap_index": relational.bitmap_index,
+        # multiplicity-aware set similarity: weighted Jaccard
+        # (Ruzicka) over per-user count vectors per type pair
+        # (oracle: pivot + least/greatest sums; r4)
+        "weighted_jaccard_types": relational.weighted_jaccard_types,
         # --- rotated past the window: unchanged-since-green TPC-H
         # entries whose kernels have r2-r4 driver hash rows ---
         # TPC-H Q5 shape: CHAINED co-partition joins (orders⋈customer on
@@ -5564,6 +5575,91 @@ SELECT n1 + n2 AS n_used, n1 AS n_above, n2 AS n_below,
                 / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)))
          END, 4) AS z_r
 FROM st WHERE n1 + n2 > 0""",
+        # TWAP over validity intervals: lead under (ts, event_id),
+        # final interval closes at the corpus max; zero-duration
+        # users drop
+        "time_weighted_value": """
+WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events
+            WHERE ts IS NOT NULL),
+ e AS (SELECT user_id, epoch_us(ts) AS tu, event_id, value
+       FROM events
+       WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         AND event_id IS NOT NULL AND value IS NOT NULL),
+ iv AS (SELECT e.user_id, e.value,
+               coalesce(lead(e.tu) OVER (PARTITION BY e.user_id
+                                         ORDER BY e.tu, e.event_id),
+                        mx.m) - e.tu AS dur
+        FROM e CROSS JOIN mx)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(dur) AS BIGINT) AS dur_us,
+       round(sum(value * dur) / CAST(sum(dur) AS DOUBLE), 4)
+         AS twap_r
+FROM iv GROUP BY 1 HAVING sum(dur) > 0 ORDER BY 1""",
+        # 32-bit bucket masks inside int64 words (bit-63 sign-wrap
+        # avoided by construction); bit_or aggregate
+        "bitmap_index": """
+SELECT event_type, CAST(user_id // 32 AS BIGINT) AS bucket,
+       CAST(bit_or(CAST(1 AS BIGINT)
+                   << CAST(user_id % 32 AS INT)) AS BIGINT) AS mask
+FROM (SELECT DISTINCT event_type, user_id FROM events
+      WHERE event_type IS NOT NULL AND user_id IS NOT NULL)
+GROUP BY 1, 2 ORDER BY 1, 2""",
+        # Ruzicka similarity over the per-user count pivot:
+        # least/greatest sums per pair, one final division
+        "weighted_jaccard_types": """
+WITH p AS (SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'click'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+             CAST(sum(CASE WHEN event_type = 'error'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+             CAST(sum(CASE WHEN event_type = 'signup'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+             CAST(sum(CASE WHEN event_type = 'view'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c4
+           FROM events
+           WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+             AND event_type IN ('click', 'error', 'purchase',
+                                'signup', 'view')
+           GROUP BY 1),
+ u AS (
+  SELECT 'click' AS type_a, 'error' AS type_b,
+         CAST(sum(least(c0, c1)) AS BIGINT) AS sum_min,
+         CAST(sum(greatest(c0, c1)) AS BIGINT) AS sum_max FROM p
+  UNION ALL SELECT 'click', 'purchase',
+         CAST(sum(least(c0, c2)) AS BIGINT),
+         CAST(sum(greatest(c0, c2)) AS BIGINT) FROM p
+  UNION ALL SELECT 'click', 'signup',
+         CAST(sum(least(c0, c3)) AS BIGINT),
+         CAST(sum(greatest(c0, c3)) AS BIGINT) FROM p
+  UNION ALL SELECT 'click', 'view',
+         CAST(sum(least(c0, c4)) AS BIGINT),
+         CAST(sum(greatest(c0, c4)) AS BIGINT) FROM p
+  UNION ALL SELECT 'error', 'purchase',
+         CAST(sum(least(c1, c2)) AS BIGINT),
+         CAST(sum(greatest(c1, c2)) AS BIGINT) FROM p
+  UNION ALL SELECT 'error', 'signup',
+         CAST(sum(least(c1, c3)) AS BIGINT),
+         CAST(sum(greatest(c1, c3)) AS BIGINT) FROM p
+  UNION ALL SELECT 'error', 'view',
+         CAST(sum(least(c1, c4)) AS BIGINT),
+         CAST(sum(greatest(c1, c4)) AS BIGINT) FROM p
+  UNION ALL SELECT 'purchase', 'signup',
+         CAST(sum(least(c2, c3)) AS BIGINT),
+         CAST(sum(greatest(c2, c3)) AS BIGINT) FROM p
+  UNION ALL SELECT 'purchase', 'view',
+         CAST(sum(least(c2, c4)) AS BIGINT),
+         CAST(sum(greatest(c2, c4)) AS BIGINT) FROM p
+  UNION ALL SELECT 'signup', 'view',
+         CAST(sum(least(c3, c4)) AS BIGINT),
+         CAST(sum(greatest(c3, c4)) AS BIGINT) FROM p)
+SELECT type_a, type_b, sum_min, sum_max,
+       round(CASE WHEN sum_max > 0
+                  THEN CAST(sum_min AS DOUBLE)
+                       / CAST(sum_max AS DOUBLE)
+                  ELSE 0.0 END, 4) AS wjacc_r
+FROM u ORDER BY type_a, type_b""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -13420,3 +13420,270 @@ def runs_test_daily(sf_dir: str):
         "n_runs": pa.array([R], type=pa.int64()),
         "z_r": pa.array([round_half_away(float(z), 4)]),
     })
+
+
+def time_weighted_value(sf_dir: str):
+    """(user_id, n_events, dur_us, twap_r): per-user TIME-WEIGHTED
+    average value — each event's value HOLDS until the user's next
+    event (the ``scd2_intervals`` validity convention, final state
+    closed at the corpus-max timestamp), and the average weights by
+    holding duration, not event count. The state-integral/TWAP
+    surface every pricing and telemetry system needs where plain
+    AVG over-counts bursts. Durations are exact int64 µs; only the
+    weighted sum and final division are float (4-dp). Users whose
+    total duration is 0 (single event at the corpus max) drop on
+    both sides.
+
+    Scale shape: one Max aggregate anchors the corpus end; one
+    user-hash co-partition pass computes segmented durations
+    vectorized and folds per-user sums — output sized by users."""
+    import pandas as pd
+    from ray.data.aggregate import Max, Sum
+
+    src = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "value"])
+
+    def ts_max(batch: pa.Table) -> pa.Table:
+        t = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        if t.dtype.kind == "f":
+            t = t[~np.isnan(t)]
+        if t.size == 0:
+            return pa.table({"m": pa.array([], type=pa.int64())})
+        return pa.table({"m": pa.array([int(t.max())],
+                                       type=pa.int64())})
+
+    mt = src.map_batches(ts_max, batch_format="pyarrow",
+                         batch_size=8192) \
+        .aggregate(Max("m", alias_name="m"))
+    empty = pa.table({"user_id": pa.array([], type=pa.int64()),
+                      "n_events": pa.array([], type=pa.int64()),
+                      "dur_us": pa.array([], type=pa.int64()),
+                      "twap_r": pa.array([], type=pa.float64())})
+    if mt is None or mt.get("m") is None:
+        return empty
+    T = int(mt["m"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            "ts_us": batch["ts"].cast(pa.timestamp("us"))
+            .cast(pa.int64()).to_numpy(zero_copy_only=False),
+            "event_id": batch["event_id"]
+            .to_numpy(zero_copy_only=False),
+            "v": batch["value"].to_numpy(zero_copy_only=False),
+        }).dropna()
+        if df.empty:
+            return pa.table({"q": pa.array([], type=pa.int64()),
+                             "user_id": pa.array([], type=pa.int64()),
+                             "ts_us": pa.array([], type=pa.int64()),
+                             "event_id": pa.array([],
+                                                  type=pa.int64()),
+                             "v": pa.array([], type=pa.float64())})
+        u = df["user_id"].to_numpy(dtype=np.int64)
+        return pa.table({
+            "q": pa.array((u % _USER_PARTITIONS).astype(np.int64)),
+            "user_id": pa.array(u),
+            "ts_us": pa.array(df["ts_us"].to_numpy(dtype=np.int64)),
+            "event_id": pa.array(df["event_id"]
+                                 .to_numpy(dtype=np.int64)),
+            "v": pa.array(df["v"].to_numpy(dtype=np.float64)),
+        })
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = group["ts_us"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        eid = group["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = group["v"].to_numpy(zero_copy_only=False)
+        if uid.size == 0:
+            return empty
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, v = uid[order], ts[order], v[order]
+        last = np.concatenate((uid[1:] != uid[:-1], [True]))
+        nxt = np.empty_like(ts)
+        nxt[:-1] = ts[1:]
+        nxt[last] = T
+        dur = nxt - ts
+        ug, inv = np.unique(uid, return_inverse=True)
+        dsum = np.zeros(ug.size, dtype=np.int64)
+        np.add.at(dsum, inv, dur)
+        wsum = np.zeros(ug.size)
+        np.add.at(wsum, inv, v * dur)
+        cnt = np.bincount(inv, minlength=ug.size)
+        keep = dsum > 0
+        if not keep.any():
+            return empty
+        return pa.table({
+            "user_id": pa.array(ug[keep]),
+            "n_events": pa.array(cnt[keep].astype(np.int64)),
+            "dur_us": pa.array(dsum[keep]),
+            "twap_r": pa.array(_round_vec(
+                wsum[keep] / dsum[keep], 4)),
+        })
+
+    return (src.map_batches(partial, batch_format="pyarrow",
+                            batch_size=8192)
+            .groupby("q").map_groups(per_partition,
+                                     batch_format="pyarrow"))
+
+
+_BITMAP_WIDTH = 32
+
+
+def bitmap_index(sf_dir: str):
+    """(event_type, bucket, mask): bitmap-index build — for every
+    event type, the set of active users encoded as 32-bit bucket
+    masks (bucket = user_id // 32, bit = user_id % 32), the
+    roaring-bitmap-style layout real engines put behind categorical
+    predicates. All-integer output → hash-exact, and the layout IS
+    the operator: bitmap AND/OR across types answers the
+    ``type_overlap`` family in O(buckets) words. 32-bit bits inside
+    int64 words keep every mask positive on both sides (bit 63
+    sign-wrap is the classic cross-engine trap).
+
+    Scale shape: per-batch (type, bucket) mask partials (OR inside
+    the batch), one bucket-hash co-partition exchange, vectorized
+    OR-reduce per partition (lexsort + reduceat) — the exchange
+    carries masks, never user rows."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "et": batch["event_type"].to_numpy(zero_copy_only=False),
+            "u": batch["user_id"].to_numpy(zero_copy_only=False),
+        }).dropna().drop_duplicates()
+        if df.empty:
+            return pa.table({"q": pa.array([], type=pa.int64()),
+                             "et": pa.array([], type=pa.string()),
+                             "bucket": pa.array([], type=pa.int64()),
+                             "mask": pa.array([], type=pa.int64())})
+        u = df["u"].to_numpy(dtype=np.int64)
+        bucket = u // _BITMAP_WIDTH
+        bit = (np.int64(1) << (u % _BITMAP_WIDTH)).astype(np.int64)
+        g = pd.DataFrame({"et": df["et"].to_numpy(),
+                          "bucket": bucket, "mask": bit}) \
+            .groupby(["et", "bucket"], as_index=False)["mask"] \
+            .agg(lambda s: int(np.bitwise_or.reduce(
+                s.to_numpy(dtype=np.int64))))
+        return pa.table({
+            "q": pa.array((g["bucket"].to_numpy(dtype=np.int64)
+                           % _USER_PARTITIONS)),
+            "et": pa.array(g["et"].tolist(), type=pa.string()),
+            "bucket": pa.array(g["bucket"].to_numpy(dtype=np.int64)),
+            "mask": pa.array(g["mask"].to_numpy(dtype=np.int64)),
+        })
+
+    def orreduce(group: pa.Table) -> pa.Table:
+        et = group["et"].to_numpy(zero_copy_only=False)
+        bucket = group["bucket"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        mask = group["mask"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        codes, uniq = pd.factorize(
+            pd.MultiIndex.from_arrays([et, bucket]))
+        order = np.argsort(codes, kind="stable")
+        starts = np.nonzero(np.concatenate(
+            ([True], np.diff(codes[order]) != 0)))[0]
+        om = np.bitwise_or.reduceat(mask[order], starts)
+        keys = [uniq[i] for i in codes[order][starts]]
+        return pa.table({
+            "event_type": pa.array([k[0] for k in keys],
+                                   type=pa.string()),
+            "bucket": pa.array([int(k[1]) for k in keys],
+                               type=pa.int64()),
+            "mask": pa.array(om),
+        })
+
+    return (read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "user_id"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("q").map_groups(orreduce, batch_format="pyarrow"))
+
+
+def weighted_jaccard_types(sf_dir: str):
+    """(type_a, type_b, sum_min, sum_max, wjacc_r): WEIGHTED Jaccard
+    (Ruzicka) similarity between event-type pairs over per-user
+    event-count vectors — Σ min(cₐ(u), c_b(u)) / Σ max(...), the
+    multiplicity-aware refinement of ``type_overlap``'s binary
+    Jaccard (a user with 100 clicks and 1 view stops counting as
+    full overlap). Integer min/max sums → the single division is
+    the only float, 4-dp. An empty denominator publishes 0.
+
+    Scale shape: per-batch (user, type) count partials → one user
+    groupby to the 5-column count vectors → per-batch 10-pair
+    min/max partial sums → a ≤10-group combine."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    types = list(HLL_TYPES)
+    cols = [f"c{i}" for i in range(len(types))]
+
+    def counts_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "et": batch["event_type"].to_numpy(zero_copy_only=False),
+            "user_id": batch["user_id"]
+            .to_numpy(zero_copy_only=False),
+        }).dropna()
+        df = df[df["et"].isin(types)]
+        if df.empty:
+            return pa.table(
+                {"user_id": pa.array([], type=pa.int64()),
+                 **{c: pa.array([], type=pa.int64())
+                    for c in cols}})
+        for t, c in zip(types, cols):
+            df[c] = (df["et"] == t).astype(np.int64)
+        g = df.groupby("user_id", as_index=False)[cols].sum()
+        g["user_id"] = g["user_id"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        arrs = [batch[c].to_numpy(zero_copy_only=False)
+                .astype(np.int64) for c in cols]
+        ta, tb, smin, smax = [], [], [], []
+        for i in range(len(types)):
+            for j in range(i + 1, len(types)):
+                ta.append(types[i])
+                tb.append(types[j])
+                smin.append(int(np.minimum(arrs[i], arrs[j]).sum()))
+                smax.append(int(np.maximum(arrs[i], arrs[j]).sum()))
+        return pa.table({
+            "type_a": pa.array(ta, type=pa.string()),
+            "type_b": pa.array(tb, type=pa.string()),
+            "smin": pa.array(smin, type=pa.int64()),
+            "smax": pa.array(smax, type=pa.int64()),
+        })
+
+    out = (read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "user_id"])
+        .map_batches(counts_partial, batch_format="pyarrow",
+                     batch_size=8192)
+        .groupby("user_id")
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+        .map_batches(pair_partial, batch_format="pyarrow",
+                     batch_size=8192)
+        .groupby(["type_a", "type_b"])
+        .aggregate(Sum("smin", alias_name="sum_min"),
+                   Sum("smax", alias_name="sum_max"))
+        .to_pandas().sort_values(["type_a", "type_b"]))
+    if out.empty:
+        return pa.table({"type_a": pa.array([], type=pa.string()),
+                         "type_b": pa.array([], type=pa.string()),
+                         "sum_min": pa.array([], type=pa.int64()),
+                         "sum_max": pa.array([], type=pa.int64()),
+                         "wjacc_r": pa.array([], type=pa.float64())})
+    smin = out["sum_min"].to_numpy(dtype=np.int64)
+    smax = out["sum_max"].to_numpy(dtype=np.int64)
+    wj = np.where(smax > 0, smin / np.where(smax > 0, smax, 1), 0.0)
+    return pa.table({
+        "type_a": pa.array(out["type_a"].tolist(), type=pa.string()),
+        "type_b": pa.array(out["type_b"].tolist(), type=pa.string()),
+        "sum_min": pa.array(smin),
+        "sum_max": pa.array(smax),
+        "wjacc_r": pa.array(_round_vec(wj, 4)),
+    })

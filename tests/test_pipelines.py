@@ -9835,3 +9835,123 @@ class TestRunsTestDaily:
         got = runs_test_daily(str(tmp_path)).to_pandas().iloc[0]
         assert got["n_runs"] >= got["n_used"] - 2
         assert got["z_r"] > 3.0
+
+
+class TestTimeWeightedValue:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            time_weighted_value)
+
+        ev = pq.read_table(
+            f"{SF}/events.parquet",
+            columns=["user_id", "ts", "event_id", "value"]) \
+            .to_pandas().dropna()
+        ev["tu"] = ev["ts"].astype("int64")
+        T = ev["tu"].max()
+        got = time_weighted_value(SF).to_pandas() \
+            .set_index("user_id")
+        for u, g in ev.groupby("user_id"):
+            g = g.sort_values(["tu", "event_id"], kind="mergesort")
+            tu = g["tu"].to_numpy()
+            dur = np.concatenate((np.diff(tu), [T - tu[-1]]))
+            if dur.sum() == 0:
+                assert u not in got.index
+                continue
+            twap = (g["value"].to_numpy() * dur).sum() / dur.sum()
+            assert got.loc[u, "dur_us"] == dur.sum()
+            assert abs(got.loc[u, "twap_r"] - twap) < 1e-3
+
+    def test_planted_holding(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import (
+            time_weighted_value)
+
+        S = 1_000_000
+        # value 10 held 1s, value 2 held 9s (to corpus max) ->
+        # twap = (10*1 + 2*9)/10 = 2.8
+        tbl = pa.table({
+            "event_id": pa.array([1, 2], type=pa.int64()),
+            "ts": pa.array([0, 1 * S], type=pa.timestamp("us")),
+            "user_id": pa.array([1, 1], type=pa.int64()),
+            "event_type": pa.array(["view"] * 2),
+            "value": pa.array([10.0, 2.0]),
+            "props": pa.array(["{}"] * 2),
+        })
+        # second user pins the corpus max at t=10s
+        tbl2 = pa.table({
+            "event_id": pa.array([3], type=pa.int64()),
+            "ts": pa.array([10 * S], type=pa.timestamp("us")),
+            "user_id": pa.array([2], type=pa.int64()),
+            "event_type": pa.array(["view"]),
+            "value": pa.array([5.0]),
+            "props": pa.array(["{}"]),
+        })
+        pq.write_table(pa.concat_tables([tbl, tbl2]),
+                       f"{tmp_path}/events.parquet")
+        got = time_weighted_value(str(tmp_path)).to_pandas() \
+            .set_index("user_id")
+        assert abs(got.loc[1, "twap_r"] - 2.8) < 1e-9
+        # user 2's single event sits AT the corpus max: zero
+        # duration, dropped
+        assert 2 not in got.index
+
+
+class TestBitmapIndex:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import bitmap_index
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["event_type", "user_id"]) \
+            .to_pandas().dropna().drop_duplicates()
+        got = bitmap_index(SF).to_pandas() \
+            .set_index(["event_type", "bucket"])
+        exp = {}
+        for _, r in ev.iterrows():
+            u = int(r["user_id"])
+            key = (r["event_type"], u // 32)
+            exp[key] = exp.get(key, 0) | (1 << (u % 32))
+        assert len(got) == len(exp)
+        for key, m in exp.items():
+            assert got.loc[key, "mask"] == m
+
+    def test_bitmap_answers_overlap(self, ray_session):
+        from searchengine_ray.pipelines.relational import bitmap_index
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["event_type", "user_id"]) \
+            .to_pandas().dropna()
+        got = bitmap_index(SF).to_pandas()
+        piv = got.pivot(index="bucket", columns="event_type",
+                        values="mask").fillna(0).astype(np.int64)
+        # AND of the click/view bitmaps == exact user intersection
+        inter_bits = int(sum(bin(int(a) & int(b)).count("1")
+                             for a, b in zip(piv["click"],
+                                             piv["view"])))
+        sc = set(ev.loc[ev["event_type"] == "click", "user_id"])
+        sv = set(ev.loc[ev["event_type"] == "view", "user_id"])
+        assert inter_bits == len(sc & sv)
+
+
+class TestWeightedJaccardTypes:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            weighted_jaccard_types)
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["event_type", "user_id"]) \
+            .to_pandas().dropna()
+        piv = ev.groupby(["user_id", "event_type"]).size() \
+            .unstack(fill_value=0)
+        got = weighted_jaccard_types(SF).to_pandas() \
+            .set_index(["type_a", "type_b"])
+        assert len(got) == 10
+        for (a, b), row in got.iterrows():
+            ca = piv.get(a, pd.Series(0, index=piv.index))
+            cb = piv.get(b, pd.Series(0, index=piv.index))
+            smin = int(np.minimum(ca, cb).sum())
+            smax = int(np.maximum(ca, cb).sum())
+            assert row["sum_min"] == smin
+            assert row["sum_max"] == smax
+            if smax:
+                assert abs(row["wjacc_r"] - smin / smax) < 1e-3
+        # weighted jaccard <= 1, >= 0
+        assert ((got["wjacc_r"] >= 0) & (got["wjacc_r"] <= 1)).all()
