@@ -400,18 +400,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # filter state hash-checks (membership probe = no false negatives,
         # pytest-verified; oracle: salted md5-prefix buckets; r4)
         "bloom_bits": relational.bloom_bits,
-        # KMV / bottom-k distinct sketch BUILD: per-batch local bottom-k
-        # (distributive) + 16-way bucketed combine; 16-hex-char hash
-        # strings order as their uint64 values so the sketch state is
-        # directly SQL-checkable (oracle: row_number over md5 order;
-        # estimator pytest-bounded vs exact; r4)
-        "kmv_distinct": relational.kmv_distinct,
-        # hash ANTI-join at fact scale: customers with no order after the
-        # cutoff, per nation (oracle: NOT EXISTS; r4)
-        "anti_join_customers": relational.anti_join_customers,
-        # CUBE(event_type, day): all four grouping sets, margins derived
-        # from the published finest cells (oracle: UNION ALL of levels; r4)
-        "cube_events": relational.cube_events,
         # exact second moments per type: 4-dp integer images, int64 batch
         # partials, Python-int (HUGEINT-analogue) driver combine — mean/
         # var/std exact under any summation order (oracle: HUGEINT sums of
@@ -544,6 +532,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (Ruzicka) over per-user count vectors per type pair
         # (oracle: pivot + least/greatest sums; r4)
         "weighted_jaccard_types": relational.weighted_jaccard_types,
+        # KMV / bottom-k distinct sketch BUILD: per-batch local bottom-k
+        # (distributive) + 16-way bucketed combine; 16-hex-char hash
+        # strings order as their uint64 values so the sketch state is
+        # directly SQL-checkable (oracle: row_number over md5 order;
+        # estimator pytest-bounded vs exact; r4)
+        "kmv_distinct": relational.kmv_distinct,
+        # hash ANTI-join at fact scale: customers with no order after the
+        # cutoff, per nation (oracle: NOT EXISTS; r4)
+        "anti_join_customers": relational.anti_join_customers,
+        # CUBE(event_type, day): all four grouping sets, margins derived
+        # from the published finest cells (oracle: UNION ALL of levels; r4)
+        "cube_events": relational.cube_events,
         # --- rotated past the window: unchanged-since-green TPC-H
         # entries whose kernels have r2-r4 driver hash rows ---
         # TPC-H Q5 shape: CHAINED co-partition joins (orders⋈customer on
