@@ -386,20 +386,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact distributed COUNT(DISTINCT): map-side pair dedup →
         # hash-co-partition on user → per-partition counts (r4)
         "ndistinct_users": relational.ndistinct_users,
-        # Count-Min sketch BUILD: per-batch sum-merged cells, ≤256-group
-        # exchange; the integer cell table is the output so the sketch
-        # state hash-checks (point-query bound pytest-verified; r4)
-        "countmin_cells": relational.countmin_cells,
-        # HyperLogLog sketch BUILD: per-batch max-merged registers,
-        # ≤256-group exchange; the integer register table is the output,
-        # so the sketch state itself hash-checks (estimator pytest-bounded
-        # vs exact; oracle: md5-prefix bit arithmetic; r4)
-        "hll_registers": relational.hll_registers,
-        # Bloom filter BUILD: per-batch OR-merged bits, ≤512-group
-        # max-merge exchange; the integer bit table is the output so the
-        # filter state hash-checks (membership probe = no false negatives,
-        # pytest-verified; oracle: salted md5-prefix buckets; r4)
-        "bloom_bits": relational.bloom_bits,
         # exact second moments per type: 4-dp integer images, int64 batch
         # partials, Python-int (HUGEINT-analogue) driver combine — mean/
         # var/std exact under any summation order (oracle: HUGEINT sums of
@@ -532,6 +518,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (Ruzicka) over per-user count vectors per type pair
         # (oracle: pivot + least/greatest sums; r4)
         "weighted_jaccard_types": relational.weighted_jaccard_types,
+        # joint distribution: 2-D (quantity × discount-percent)
+        # histogram, bounded cells, all-int (oracle: GROUP BY; r4)
+        "hist2d_qty_discount": relational.hist2d_qty_discount,
+        # interval estimation: Wilson 95% score CIs for exposed vs
+        # unexposed conversion — closed-form, fixed z literal
+        # (oracle: identical arithmetic; r4)
+        "wilson_ci": relational.wilson_ci,
+        # cell diagnostics: adjusted standardized residuals of the
+        # type×dow contingency table (oracle: marginal CTEs +
+        # identical residual tree; r4)
+        "chi2_residuals": relational.chi2_residuals,
+        # Count-Min sketch BUILD: per-batch sum-merged cells, ≤256-group
+        # exchange; the integer cell table is the output so the sketch
+        # state hash-checks (point-query bound pytest-verified; r4)
+        "countmin_cells": relational.countmin_cells,
+        # HyperLogLog sketch BUILD: per-batch max-merged registers,
+        # ≤256-group exchange; the integer register table is the output,
+        # so the sketch state itself hash-checks (estimator pytest-bounded
+        # vs exact; oracle: md5-prefix bit arithmetic; r4)
+        "hll_registers": relational.hll_registers,
+        # Bloom filter BUILD: per-batch OR-merged bits, ≤512-group
+        # max-merge exchange; the integer bit table is the output so the
+        # filter state hash-checks (membership probe = no false negatives,
+        # pytest-verified; oracle: salted md5-prefix buckets; r4)
+        "bloom_bits": relational.bloom_bits,
         # KMV / bottom-k distinct sketch BUILD: per-batch local bottom-k
         # (distributive) + 16-way bucketed combine; 16-hex-char hash
         # strings order as their uint64 values so the sketch state is
@@ -5660,6 +5671,71 @@ SELECT type_a, type_b, sum_min, sum_max,
                        / CAST(sum_max AS DOUBLE)
                   ELSE 0.0 END, 4) AS wjacc_r
 FROM u ORDER BY type_a, type_b""",
+        "hist2d_qty_discount": """
+SELECT CAST(round(l_quantity) AS BIGINT) AS qty_bin,
+       CAST(round(l_discount * 100) AS BIGINT) AS disc_bin,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2""",
+        # Wilson score intervals: fixed z literal, identical
+        # closed-form center/half expressions
+        "wilson_ci": """
+WITH u AS (SELECT user_id,
+                  max(CASE WHEN event_type = 'error'
+                           THEN 1 ELSE 0 END) AS ex,
+                  max(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS oc
+           FROM events
+           WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+           GROUP BY 1),
+ c AS (SELECT CASE WHEN ex = 1 THEN 'exposed'
+                   ELSE 'unexposed' END AS cohort,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(oc) AS BIGINT) AS k
+       FROM u GROUP BY 1),
+ w AS (SELECT cohort, n, k,
+              CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+              1.959963984540054 AS z, CAST(n AS DOUBLE) AS fn
+       FROM c),
+ w2 AS (SELECT *,
+               (p + z * z / (2.0 * fn)) / (1.0 + z * z / fn)
+                 AS center,
+               (z * sqrt(p * (1.0 - p) / fn
+                         + z * z / (4.0 * fn * fn)))
+                 / (1.0 + z * z / fn) AS half
+        FROM w)
+SELECT cohort, n AS n_users, k AS n_converted,
+       round(p, 4) AS rate_r, round(center - half, 4) AS lo_r,
+       round(center + half, 4) AS hi_r
+FROM w2 ORDER BY cohort""",
+        # adjusted standardized residuals from exact integer
+        # marginals; zero-denominator cells publish 0
+        "chi2_residuals": """
+WITH e AS (SELECT event_type,
+                  (epoch_us(ts) // 86400000000 + 3) % 7 AS dow
+           FROM events
+           WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+ j AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n
+       FROM e GROUP BY 1, 2),
+ nn AS (SELECT CAST(sum(n) AS DOUBLE) AS n FROM j),
+ rm AS (SELECT event_type, CAST(sum(n) AS DOUBLE) AS rm
+        FROM j GROUP BY 1),
+ cm AS (SELECT dow, CAST(sum(n) AS DOUBLE) AS cm FROM j GROUP BY 1),
+ x AS (SELECT j.event_type, j.dow, j.n,
+              rm.rm * cm.cm / nn.n AS e2, rm.rm, cm.cm,
+              nn.n AS tot
+       FROM j JOIN rm USING (event_type) JOIN cm USING (dow)
+       CROSS JOIN nn),
+ r AS (SELECT *,
+              sqrt(e2 * (1.0 - rm / tot) * (1.0 - cm / tot)) AS den
+       FROM x)
+SELECT event_type, CAST(dow AS BIGINT) AS dow, n AS n_obs,
+       round(e2, 4) AS exp_r,
+       round(CASE WHEN den > 0
+                  THEN (CAST(n AS DOUBLE) - e2) / den
+                  ELSE 0.0 END, 4) AS resid_r
+FROM r ORDER BY event_type, dow""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -13687,3 +13687,181 @@ def weighted_jaccard_types(sf_dir: str):
         "sum_max": pa.array(smax),
         "wjacc_r": pa.array(_round_vec(wj, 4)),
     })
+
+
+def hist2d_qty_discount(sf_dir: str):
+    """(qty_bin, disc_bin, n): 2-D histogram of lineitem
+    (quantity × discount) — quantity at unit grain, discount at
+    percent grain — the joint-distribution view the 1-D histograms
+    (``value_histogram``, ``basket_size_dist``) can't show (is the
+    discount schedule quantity-dependent?). All-integer output →
+    hash-exact.
+
+    Scale shape: per-batch (qb, db) count partials (bounded
+    50×11 cells) → one tiny Sum combine."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()
+        q = np.rint(batch["l_quantity"].to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        d = np.rint(batch["l_discount"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        g = pd.DataFrame({"qty_bin": q, "disc_bin": d, "n": 1}) \
+            .groupby(["qty_bin", "disc_bin"], as_index=False) \
+            .agg(n=("n", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_quantity", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby(["qty_bin", "disc_bin"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas().sort_values(["qty_bin", "disc_bin"]))
+    return pa.table({
+        "qty_bin": pa.array(out["qty_bin"].to_numpy(dtype=np.int64)),
+        "disc_bin": pa.array(out["disc_bin"]
+                             .to_numpy(dtype=np.int64)),
+        "n": pa.array(out["n"].to_numpy(dtype=np.int64)),
+    })
+
+
+WILSON_Z = 1.959963984540054  # 97.5th normal quantile, fixed literal
+
+
+def wilson_ci(sf_dir: str):
+    """(cohort, n_users, n_converted, rate_r, lo_r, hi_r): Wilson
+    95% score intervals for the purchase-conversion rate of the
+    error-exposed vs unexposed user cohorts — INTERVAL estimation,
+    the complement every p-value entry (``fisher_exact``,
+    ``bh_brand_returns``) stops short of: how big is the effect,
+    not just is it there. The Wilson form is closed-form arithmetic
+    (no erf), z fixed at the shared literal, identical expression
+    tree both sides; counts are exact ints from the same per-user
+    flag pass ``fisher_exact`` uses. Empty cohorts emit no row.
+
+    Scale shape: per-batch user-flag partials → one user-hash
+    combine → a 4-cell counting pass; the interval math is two rows
+    of driver arithmetic."""
+    import pandas as pd
+    from ray.data.aggregate import Max
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            "et": batch["event_type"].to_numpy(zero_copy_only=False),
+        }).dropna()
+        if df.empty:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "ex": pa.array([], type=pa.int64()),
+                             "oc": pa.array([], type=pa.int64())})
+        df["ex"] = (df["et"] == "error").astype(np.int64)
+        df["oc"] = (df["et"] == "purchase").astype(np.int64)
+        g = df.groupby("user_id", as_index=False).agg(
+            ex=("ex", "max"), oc=("oc", "max"))
+        return pa.table({
+            "user_id": pa.array(g["user_id"].to_numpy(dtype=np.int64)),
+            "ex": pa.array(g["ex"].to_numpy(dtype=np.int64)),
+            "oc": pa.array(g["oc"].to_numpy(dtype=np.int64)),
+        })
+
+    flags = (read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("user_id")
+        .aggregate(Max("ex", alias_name="ex"),
+                   Max("oc", alias_name="oc"))
+        .to_pandas())
+    rows = []
+    z = WILSON_Z
+    for name, mask in (("exposed", flags["ex"] == 1),
+                       ("unexposed", flags["ex"] == 0)):
+        sub = flags[mask]
+        n = len(sub)
+        if n == 0:
+            continue
+        k = int(sub["oc"].sum())
+        fn = float(n)
+        p = k / fn
+        denom = 1.0 + z * z / fn
+        center = (p + z * z / (2.0 * fn)) / denom
+        half = (z * np.sqrt(p * (1.0 - p) / fn
+                            + z * z / (4.0 * fn * fn))) / denom
+        rows.append((name, n, k, p, center - half, center + half))
+    return pa.table({
+        "cohort": pa.array([r[0] for r in rows], type=pa.string()),
+        "n_users": pa.array([r[1] for r in rows], type=pa.int64()),
+        "n_converted": pa.array([r[2] for r in rows],
+                                type=pa.int64()),
+        "rate_r": pa.array(_round_vec(
+            np.asarray([r[3] for r in rows]), 4)),
+        "lo_r": pa.array(_round_vec(
+            np.asarray([r[4] for r in rows]), 4)),
+        "hi_r": pa.array(_round_vec(
+            np.asarray([r[5] for r in rows]), 4)),
+    })
+
+
+def chi2_residuals(sf_dir: str):
+    """(event_type, dow, n_obs, exp_r, resid_r): standardized
+    (adjusted) residuals of the (type × day-of-week) contingency
+    table — the CELL-level diagnostic ``chi2_events`` (one global
+    statistic) and ``type_dow_mi`` (one global score) both hide:
+    WHICH cells drive the dependence. resid = (o − e)/√(e·(1 −
+    rm/n)·(1 − cm/n)) with e = rm·cm/n — all from exact integer
+    marginals, identical expression tree, 4-dp publish. |resid| > 2
+    is the classic cell-significance rule (left to the reader — the
+    full table publishes).
+
+    Scale shape: map-side (type, dow) count partials → a ≤7·|types|
+    combine → driver arithmetic on the tiny table."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = (batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        dow = ((ts // DAY_US) + 3) % 7
+        g = pd.DataFrame({"event_type": et, "dow": dow, "n": 1}) \
+            .groupby(["event_type", "dow"], as_index=False) \
+            .agg(n=("n", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = (read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby(["event_type", "dow"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas())
+    empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                      "dow": pa.array([], type=pa.int64()),
+                      "n_obs": pa.array([], type=pa.int64()),
+                      "exp_r": pa.array([], type=pa.float64()),
+                      "resid_r": pa.array([], type=pa.float64())})
+    if cells.empty:
+        return empty
+    cells = cells.sort_values(["event_type", "dow"]) \
+        .reset_index(drop=True)
+    n = float(cells["n"].sum())
+    rm = cells.groupby("event_type")["n"].transform("sum") \
+        .to_numpy(dtype=np.float64)
+    cm = cells.groupby("dow")["n"].transform("sum") \
+        .to_numpy(dtype=np.float64)
+    o = cells["n"].to_numpy(dtype=np.float64)
+    e = rm * cm / n
+    den = np.sqrt(e * (1.0 - rm / n) * (1.0 - cm / n))
+    resid = np.where(den > 0.0, (o - e) / np.where(den > 0.0, den,
+                                                   1.0), 0.0)
+    return pa.table({
+        "event_type": pa.array(cells["event_type"].tolist(),
+                               type=pa.string()),
+        "dow": pa.array(cells["dow"].to_numpy(dtype=np.int64)),
+        "n_obs": pa.array(cells["n"].to_numpy(dtype=np.int64)),
+        "exp_r": pa.array(_round_vec(e, 4)),
+        "resid_r": pa.array(_round_vec(resid, 4)),
+    })

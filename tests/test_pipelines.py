@@ -9955,3 +9955,146 @@ class TestWeightedJaccardTypes:
                 assert abs(row["wjacc_r"] - smin / smax) < 1e-3
         # weighted jaccard <= 1, >= 0
         assert ((got["wjacc_r"] >= 0) & (got["wjacc_r"] <= 1)).all()
+
+
+class TestHist2dQtyDiscount:
+    def test_matches_crosstab(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            hist2d_qty_discount)
+
+        li = pq.read_table(f"{SF}/lineitem.parquet",
+                           columns=["l_quantity", "l_discount"]) \
+            .to_pandas().dropna()
+        qb = np.rint(li["l_quantity"].to_numpy()).astype(np.int64)
+        db = np.rint(li["l_discount"].to_numpy() * 100) \
+            .astype(np.int64)
+        exp = pd.DataFrame({"q": qb, "d": db}).groupby(["q", "d"]) \
+            .size()
+        got = hist2d_qty_discount(SF).to_pandas() \
+            .set_index(["qty_bin", "disc_bin"])["n"]
+        assert got.sum() == len(li)
+        assert got.to_dict() == exp.to_dict()
+
+
+class TestWilsonCi:
+    def test_matches_closed_form(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            WILSON_Z, wilson_ci)
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["user_id", "event_type"]) \
+            .to_pandas().dropna()
+        g = ev.groupby("user_id")["event_type"].agg(
+            ex=lambda s: int((s == "error").any()),
+            oc=lambda s: int((s == "purchase").any()))
+        got = wilson_ci(SF).to_pandas().set_index("cohort")
+        z = WILSON_Z
+        for name, sub in (("exposed", g[g["ex"] == 1]),
+                          ("unexposed", g[g["ex"] == 0])):
+            if len(sub) == 0:
+                assert name not in got.index
+                continue
+            n, k = len(sub), int(sub["oc"].sum())
+            p = k / n
+            denom = 1 + z * z / n
+            center = (p + z * z / (2 * n)) / denom
+            half = z * np.sqrt(p * (1 - p) / n
+                               + z * z / (4 * n * n)) / denom
+            assert got.loc[name, "n_users"] == n
+            assert got.loc[name, "n_converted"] == k
+            assert abs(got.loc[name, "lo_r"] - (center - half)) < 1e-3
+            assert abs(got.loc[name, "hi_r"] - (center + half)) < 1e-3
+            # the interval contains the point estimate
+            assert got.loc[name, "lo_r"] <= got.loc[name, "rate_r"] \
+                <= got.loc[name, "hi_r"]
+
+    def test_planted_cohorts(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import wilson_ci
+
+        rows = []
+        eid = 0
+        # 50 exposed users, 40 convert; 50 unexposed, 10 convert
+        for u in range(50):
+            rows.append((eid, u, "error")); eid += 1
+            if u < 40:
+                rows.append((eid, u, "purchase")); eid += 1
+        for u in range(50, 100):
+            rows.append((eid, u, "view")); eid += 1
+            if u < 60:
+                rows.append((eid, u, "purchase")); eid += 1
+        tbl = pa.table({
+            "event_id": pa.array([r[0] for r in rows],
+                                 type=pa.int64()),
+            "ts": pa.array([0] * len(rows), type=pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows],
+                                type=pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        })
+        pq.write_table(tbl, f"{tmp_path}/events.parquet")
+        got = wilson_ci(str(tmp_path)).to_pandas() \
+            .set_index("cohort")
+        assert got.loc["exposed", "rate_r"] == 0.8
+        assert got.loc["unexposed", "rate_r"] == 0.2
+        # clearly separated intervals
+        assert got.loc["exposed", "lo_r"] \
+            > got.loc["unexposed", "hi_r"]
+
+
+class TestChi2Residuals:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            chi2_residuals)
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["ts", "event_type"]).to_pandas() \
+            .dropna()
+        dow = (ev["ts"].astype("int64") // 86_400_000_000 + 3) % 7
+        ct = pd.crosstab(ev["event_type"], dow)
+        n = ct.to_numpy().sum()
+        got = chi2_residuals(SF).to_pandas() \
+            .set_index(["event_type", "dow"])
+        for et in ct.index:
+            for d in ct.columns:
+                o = ct.loc[et, d]
+                if o == 0:
+                    continue
+                rm, cm = ct.loc[et].sum(), ct[d].sum()
+                e = rm * cm / n
+                den = np.sqrt(e * (1 - rm / n) * (1 - cm / n))
+                assert abs(got.loc[(et, d), "resid_r"]
+                           - (o - e) / den) < 1e-3
+        # adjusted residuals are ~N(0,1) under independence: the
+        # observed table's residuals stay in a sane range
+        assert got["resid_r"].abs().max() < 50
+
+    def test_planted_hot_cell(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import (
+            chi2_residuals)
+
+        DAY = 86_400_000_000
+        rows = []
+        eid = 0
+        # background: types a/b uniform over Mon/Tue; hot cell:
+        # type a massively overloaded on Monday (epoch day 4 = Mon)
+        for d, t, k in ((4, "a", 50), (4, "b", 10), (5, "a", 10),
+                        (5, "b", 10)):
+            for _ in range(k):
+                rows.append((eid, d * DAY, t)); eid += 1
+        tbl = pa.table({
+            "event_id": pa.array([r[0] for r in rows],
+                                 type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows],
+                           type=pa.timestamp("us")),
+            "user_id": pa.array([1] * len(rows), type=pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        })
+        pq.write_table(tbl, f"{tmp_path}/events.parquet")
+        got = chi2_residuals(str(tmp_path)).to_pandas() \
+            .set_index(["event_type", "dow"])
+        # the (a, Monday) cell is the positive outlier
+        assert got["resid_r"].idxmax() == ("a", 0)
+        assert got.loc[("a", 0), "resid_r"] > 2.0
