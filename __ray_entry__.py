@@ -372,20 +372,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ROWS-frame window functions: per-user running count/sum/max and a
         # 3-PRECEDING moving sum, exact int64 cents (oracle: OVER w; r4)
         "running_user_totals": relational.running_user_totals,
-        # ordered event-sequence matching (view→click→signup→purchase
-        # funnel): greedy-earliest per-step frontier, one vectorized pass
-        # per user partition (oracle: chained correlated-min CTEs; r4)
-        "funnel_depth": relational.funnel_depth,
-        # cohort retention matrix: first-signup day anchor + distinct
-        # weekly activity per cohort, all local to one user co-partition
-        # (oracle: min-signup CTE + DISTINCT join; r4)
-        "retention_cohorts": relational.retention_cohorts,
         # TPC-H Q1 multi-aggregate in one pass: exact integer money partials
         # (cents / cents×hundredths / cents×hundredths²), ≤6-group exchange (r4)
         "q1_pricing_summary": relational.q1_pricing_summary,
-        # exact distributed COUNT(DISTINCT): map-side pair dedup →
-        # hash-co-partition on user → per-partition counts (r4)
-        "ndistinct_users": relational.ndistinct_users,
         # exact second moments per type: 4-dp integer images, int64 batch
         # partials, Python-int (HUGEINT-analogue) driver combine — mean/
         # var/std exact under any summation order (oracle: HUGEINT sums of
@@ -529,6 +518,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # type×dow contingency table (oracle: marginal CTEs +
         # identical residual tree; r4)
         "chi2_residuals": relational.chi2_residuals,
+        # diversity monitor: daily Shannon entropy of the type mix
+        # (oracle: per-day -Σ p ln p; r4)
+        "event_entropy_daily": relational.event_entropy_daily,
+        # heavy-tail diagnostic: CCDF at decade thresholds, exact
+        # exceedance counts (oracle: threshold cross join; r4)
+        "value_ccdf": relational.value_ccdf,
+        # normality gate: Jarque–Bera on daily revenue from power
+        # sums (oracle: identical moment algebra; r4)
+        "jarque_bera_daily": relational.jarque_bera_daily,
+        # exact distributed COUNT(DISTINCT): map-side pair dedup →
+        # hash-co-partition on user → per-partition counts (r4)
+        "ndistinct_users": relational.ndistinct_users,
+        # ordered event-sequence matching (view→click→signup→purchase
+        # funnel): greedy-earliest per-step frontier, one vectorized pass
+        # per user partition (oracle: chained correlated-min CTEs; r4)
+        "funnel_depth": relational.funnel_depth,
+        # cohort retention matrix: first-signup day anchor + distinct
+        # weekly activity per cohort, all local to one user co-partition
+        # (oracle: min-signup CTE + DISTINCT join; r4)
+        "retention_cohorts": relational.retention_cohorts,
         # Count-Min sketch BUILD: per-batch sum-merged cells, ≤256-group
         # exchange; the integer cell table is the output so the sketch
         # state hash-checks (point-query bound pytest-verified; r4)
@@ -5736,6 +5745,79 @@ SELECT event_type, CAST(dow AS BIGINT) AS dow, n AS n_obs,
                   THEN (CAST(n AS DOUBLE) - e2) / den
                   ELSE 0.0 END, 4) AS resid_r
 FROM r ORDER BY event_type, dow""",
+        # per-day -Σ p ln p over exact count ratios
+        "event_entropy_daily": """
+WITH e AS (SELECT epoch_us(ts) // 86400000000 * 86400000000
+                    AS day_us, event_type
+           FROM events
+           WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+ j AS (SELECT day_us, event_type, CAST(count(*) AS BIGINT) AS n
+       FROM e GROUP BY 1, 2),
+ t AS (SELECT day_us, CAST(sum(n) AS DOUBLE) AS nt,
+              CAST(sum(n) AS BIGINT) AS ni
+       FROM j GROUP BY 1)
+SELECT t.day_us, t.ni AS n_events,
+       round(-sum((j.n / t.nt) * ln(j.n / t.nt)), 4) AS entropy_r
+FROM j JOIN t ON t.day_us = j.day_us
+GROUP BY t.day_us, t.ni ORDER BY 1""",
+        # exact exceedance counts at decade thresholds; an all-null
+        # value column emits nothing on both sides
+        "value_ccdf": """
+WITH v AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events
+           WHERE value IS NOT NULL AND NOT isnan(value)),
+ t AS (SELECT CAST(x.i AS BIGINT) AS threshold_cents
+       FROM unnest([100, 1000, 10000, 100000]) AS x(i)),
+ c AS (SELECT t.threshold_cents,
+              CAST(sum(CASE WHEN v.cents > t.threshold_cents
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_exceed,
+              CAST(count(*) AS BIGINT) AS nt
+       FROM t CROSS JOIN v GROUP BY 1)
+SELECT threshold_cents, n_exceed,
+       round(CASE WHEN nt > 0
+                  THEN CAST(n_exceed AS DOUBLE)
+                       / CAST(nt AS DOUBLE)
+                  ELSE 0.0 END, 4) AS frac_r
+FROM c ORDER BY 1""",
+        # JB from power sums over the zero-filled daily grid — the
+        # identical central-moment algebra the engine evaluates
+        "jarque_bera_daily": """
+WITH v AS (SELECT epoch_us(ts) // 86400000000 * 86400000000 AS d,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events
+           WHERE ts IS NOT NULL AND value IS NOT NULL
+             AND NOT isnan(value)),
+ dt AS (SELECT d, CAST(sum(cents) AS BIGINT) AS c FROM v GROUP BY 1),
+ b AS (SELECT min(d) AS lo, max(d) AS hi FROM dt),
+ g AS (SELECT CAST(t.x AS BIGINT) AS d
+       FROM b, LATERAL unnest(range(lo, hi + 86400000000,
+                                    86400000000)) AS t(x)),
+ f AS (SELECT g.d, CAST(coalesce(dt.c, 0) AS BIGINT) AS c
+       FROM g LEFT JOIN dt ON dt.d = g.d),
+ xx AS (SELECT CAST(c AS DOUBLE) / 100.0 AS x FROM f),
+ m AS (SELECT CAST(count(*) AS DOUBLE) AS fn,
+              CAST(count(*) AS BIGINT) AS nn,
+              sum(x) AS s1, sum(x * x) AS s2,
+              sum(x * x * x) AS s3, sum(x * x * x * x) AS s4
+       FROM xx),
+ c2 AS (SELECT *, s1 / fn AS mu FROM m),
+ c3 AS (SELECT *, s2 / fn - mu * mu AS m2,
+               s3 / fn - 3.0 * mu * s2 / fn
+                 + 2.0 * mu * mu * mu AS m3,
+               s4 / fn - 4.0 * mu * s3 / fn
+                 + 6.0 * mu * mu * s2 / fn
+                 - 3.0 * mu * mu * mu * mu AS m4
+        FROM c2),
+ c4 AS (SELECT *, m3 / power(m2, 1.5) AS g1,
+               m4 / (m2 * m2) AS g2
+        FROM c3 WHERE nn >= 3 AND m2 > 0)
+SELECT nn AS n_days, round(g1, 4) AS skew_r,
+       round(g2, 4) AS kurt_r,
+       round(fn / 6.0 * (g1 * g1
+                         + (g2 - 3.0) * (g2 - 3.0) / 4.0), 4)
+         AS jb_r
+FROM c4""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

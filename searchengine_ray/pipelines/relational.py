@@ -13865,3 +13865,189 @@ def chi2_residuals(sf_dir: str):
         "exp_r": pa.array(_round_vec(e, 4)),
         "resid_r": pa.array(_round_vec(resid, 4)),
     })
+
+
+def event_entropy_daily(sf_dir: str):
+    """(day_us, n_events, entropy_r): daily Shannon entropy (nats)
+    of the event-type mix — the diversity-over-time monitor
+    (``user_entropy`` scores users; this watches the TRAFFIC MIX
+    drift day by day: a collapsing entropy means one event type is
+    eating the stream). Cells fold in sorted (day, type) order so
+    the ≤|types|-term float sum per day is deterministic; counts
+    exact ints; 4-dp publish.
+
+    Scale shape: map-side (day, type) count partials → a bounded
+    combine → per-day driver arithmetic over the day frame."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = (batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        day = (ts // DAY_US) * DAY_US
+        g = pd.DataFrame({"day_us": day, "event_type": et, "n": 1}) \
+            .groupby(["day_us", "event_type"], as_index=False) \
+            .agg(n=("n", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = (read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby(["day_us", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas())
+    empty = pa.table({"day_us": pa.array([], type=pa.int64()),
+                      "n_events": pa.array([], type=pa.int64()),
+                      "entropy_r": pa.array([], type=pa.float64())})
+    if cells.empty:
+        return empty
+    cells = cells.sort_values(["day_us", "event_type"],
+                              kind="mergesort")
+    rows = []
+    for d, g in cells.groupby("day_us", sort=True):
+        n = float(g["n"].sum())
+        p = g["n"].to_numpy(dtype=np.float64) / n
+        h = float(-(p * np.log(p)).sum())
+        rows.append((int(d), int(n), h))
+    return pa.table({
+        "day_us": pa.array([r[0] for r in rows], type=pa.int64()),
+        "n_events": pa.array([r[1] for r in rows], type=pa.int64()),
+        "entropy_r": pa.array(_round_vec(
+            np.asarray([r[2] for r in rows]), 4)),
+    })
+
+
+CCDF_DECADES = (100, 1_000, 10_000, 100_000)  # cents thresholds
+
+
+def value_ccdf(sf_dir: str):
+    """(threshold_cents, n_exceed, frac_r): the event-value tail —
+    complementary CDF P(value > 10^k cents) at decade thresholds,
+    the heavy-tail diagnostic behind ``benford_values`` and
+    ``winsorized_stats``: how much of the stream lives beyond each
+    decade. Exact integer exceedance counts; one division per row.
+
+    Scale shape: per-batch threshold-count partials (4 ints) → a
+    tiny Sum combine."""
+    from ray.data.aggregate import Sum
+
+    ths = list(CCDF_DECADES)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        cents = np.rint(v * 100.0).astype(np.int64)
+        return pa.table({
+            "threshold_cents": pa.array(ths, type=pa.int64()),
+            "ne": pa.array([int((cents > t).sum()) for t in ths],
+                           type=pa.int64()),
+            "nt": pa.array([int(cents.size)] * len(ths),
+                           type=pa.int64()),
+        })
+
+    out = (read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"), columns=["value"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("threshold_cents")
+        .aggregate(Sum("ne", alias_name="n_exceed"),
+                   Sum("nt", alias_name="n_total"))
+        .to_pandas().sort_values("threshold_cents"))
+    if out.empty:
+        return pa.table({
+            "threshold_cents": pa.array([], type=pa.int64()),
+            "n_exceed": pa.array([], type=pa.int64()),
+            "frac_r": pa.array([], type=pa.float64())})
+    ne = out["n_exceed"].to_numpy(dtype=np.int64)
+    nt = out["n_total"].to_numpy(dtype=np.int64)
+    if int(nt.sum()) == 0:  # all-null value column: nothing measured
+        return pa.table({
+            "threshold_cents": pa.array([], type=pa.int64()),
+            "n_exceed": pa.array([], type=pa.int64()),
+            "frac_r": pa.array([], type=pa.float64())})
+    frac = np.where(nt > 0, ne / np.where(nt > 0, nt, 1), 0.0)
+    return pa.table({
+        "threshold_cents": pa.array(out["threshold_cents"]
+                                    .to_numpy(dtype=np.int64)),
+        "n_exceed": pa.array(ne),
+        "frac_r": pa.array(_round_vec(frac, 4)),
+    })
+
+
+def jarque_bera_daily(sf_dir: str):
+    """(n_days, skew_r, kurt_r, jb_r): Jarque–Bera normality check
+    on the zero-filled daily revenue series — sample skewness g₁,
+    excess kurtosis g₂ − 3, JB = n/6·(g₁² + (g₂−3)²/4). The
+    distributional-assumption gate for the parametric entries
+    (``bollinger_bands``' ±2σ only means 95% under normality).
+    Central moments fold on the driver over the day frame in the
+    identical float sequence both sides (m_k = Σ(x−x̄)^k/n over the
+    day-ordered series — the oracle mirrors with power sums), 4-dp
+    publish. Fewer than 3 days emits nothing.
+
+    Scale shape: daily-cents Sum exchange, O(days) driver math."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        v, ts = v[ok], ts[ok].astype(np.int64)
+        if v.size == 0:
+            return pa.table({"d": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+        cents = np.rint(v * 100.0).astype(np.int64)
+        day = ts // DAY_US * DAY_US
+        ud, inv = np.unique(day, return_inverse=True)
+        cs = np.zeros(ud.size, dtype=np.int64)
+        np.add.at(cs, inv, cents)
+        return pa.table({"d": pa.array(ud), "c": pa.array(cs)})
+
+    daily = (read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "value"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("d").aggregate(Sum("c", alias_name="c"))
+        .to_pandas())
+    empty = pa.table({"n_days": pa.array([], type=pa.int64()),
+                      "skew_r": pa.array([], type=pa.float64()),
+                      "kurt_r": pa.array([], type=pa.float64()),
+                      "jb_r": pa.array([], type=pa.float64())})
+    if daily.empty:
+        return empty
+    daily = daily.sort_values("d")
+    od = daily["d"].to_numpy(dtype=np.int64)
+    oc = daily["c"].to_numpy(dtype=np.int64)
+    grid = np.arange(od[0], od[-1] + DAY_US, DAY_US, dtype=np.int64)
+    c = np.zeros(grid.size, dtype=np.int64)
+    c[(od - grid[0]) // DAY_US] = oc
+    n = c.size
+    if n < 3:
+        return empty
+    x = c / 100.0
+    fn = float(n)
+    # power sums (exact-order parity with the SQL oracle): central
+    # moments via s1..s4 algebra, not np.mean chains
+    s1 = float(x.sum())
+    s2 = float((x * x).sum())
+    s3 = float((x * x * x).sum())
+    s4 = float((x * x * x * x).sum())
+    mu = s1 / fn
+    m2 = s2 / fn - mu * mu
+    m3 = s3 / fn - 3.0 * mu * s2 / fn + 2.0 * mu * mu * mu
+    m4 = (s4 / fn - 4.0 * mu * s3 / fn
+          + 6.0 * mu * mu * s2 / fn - 3.0 * mu * mu * mu * mu)
+    if m2 <= 0.0:
+        return empty
+    g1 = m3 / (m2 ** 1.5)
+    g2 = m4 / (m2 * m2)
+    jb = fn / 6.0 * (g1 * g1 + (g2 - 3.0) * (g2 - 3.0) / 4.0)
+    return pa.table({
+        "n_days": pa.array([n], type=pa.int64()),
+        "skew_r": pa.array([round_half_away(float(g1), 4)]),
+        "kurt_r": pa.array([round_half_away(float(g2), 4)]),
+        "jb_r": pa.array([round_half_away(float(jb), 4)]),
+    })

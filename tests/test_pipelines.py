@@ -10098,3 +10098,123 @@ class TestChi2Residuals:
         # the (a, Monday) cell is the positive outlier
         assert got["resid_r"].idxmax() == ("a", 0)
         assert got.loc[("a", 0), "resid_r"] > 2.0
+
+
+class TestEventEntropyDaily:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            event_entropy_daily)
+
+        DAY = 86_400_000_000
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["ts", "event_type"]).to_pandas() \
+            .dropna()
+        day = ev["ts"].astype("int64") // DAY * DAY
+        got = event_entropy_daily(SF).to_pandas() \
+            .set_index("day_us")
+        for d, g in ev.groupby(day):
+            p = g["event_type"].value_counts(normalize=True) \
+                .to_numpy()
+            h = float(-(p * np.log(p)).sum())
+            assert got.loc[d, "n_events"] == len(g)
+            assert abs(got.loc[d, "entropy_r"] - h) < 1e-3
+        # entropy bounded by ln(5) with 5 types
+        assert (got["entropy_r"] <= np.log(5) + 1e-9).all()
+
+    def test_planted_uniform_vs_point(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import (
+            event_entropy_daily)
+
+        DAY = 86_400_000_000
+        rows = []
+        eid = 0
+        # day 0: uniform over 4 types -> ln(4); day 1: single type -> 0
+        for t in ("a", "b", "c", "d"):
+            rows.append((eid, 0, t)); eid += 1
+        rows.append((eid, DAY, "a")); eid += 1
+        tbl = pa.table({
+            "event_id": pa.array([r[0] for r in rows],
+                                 type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows],
+                           type=pa.timestamp("us")),
+            "user_id": pa.array([1] * len(rows), type=pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        })
+        pq.write_table(tbl, f"{tmp_path}/events.parquet")
+        got = event_entropy_daily(str(tmp_path)).to_pandas() \
+            .set_index("day_us")
+        assert abs(got.loc[0, "entropy_r"] - np.log(4)) < 1e-3
+        assert got.loc[DAY, "entropy_r"] == 0.0
+
+
+class TestValueCcdf:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            CCDF_DECADES, value_ccdf)
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["value"]).to_pandas().dropna()
+        cents = np.rint(ev["value"].to_numpy() * 100).astype(np.int64)
+        got = value_ccdf(SF).to_pandas() \
+            .set_index("threshold_cents")
+        for t in CCDF_DECADES:
+            ne = int((cents > t).sum())
+            assert got.loc[t, "n_exceed"] == ne
+            assert abs(got.loc[t, "frac_r"] - ne / cents.size) < 1e-3
+        # CCDF is non-increasing in the threshold
+        assert (np.diff(got["n_exceed"].to_numpy()) <= 0).all()
+
+
+class TestJarqueBeraDaily:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            jarque_bera_daily)
+
+        DAY = 86_400_000_000
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["ts", "value"]).to_pandas() \
+            .dropna()
+        day = ev["ts"].astype("int64") // DAY * DAY
+        cents = np.rint(ev["value"].to_numpy() * 100).astype(np.int64)
+        daily = pd.DataFrame({"d": day, "c": cents}) \
+            .groupby("d")["c"].sum().sort_index()
+        grid = np.arange(daily.index[0], daily.index[-1] + DAY, DAY,
+                         dtype=np.int64)
+        c = np.zeros(grid.size, dtype=np.int64)
+        c[(daily.index.to_numpy() - grid[0]) // DAY] = daily.to_numpy()
+        x = c / 100.0
+        n = x.size
+        mu = x.mean()
+        m2 = ((x - mu) ** 2).mean()
+        m3 = ((x - mu) ** 3).mean()
+        m4 = ((x - mu) ** 4).mean()
+        g1, g2 = m3 / m2 ** 1.5, m4 / m2 ** 2
+        jb = n / 6 * (g1 ** 2 + (g2 - 3) ** 2 / 4)
+        got = jarque_bera_daily(SF).to_pandas().iloc[0]
+        assert got["n_days"] == n
+        assert abs(got["skew_r"] - g1) < 1e-3
+        assert abs(got["kurt_r"] - g2) < 1e-3
+        assert abs(got["jb_r"] - jb) < max(1e-2, 1e-3 * jb)
+
+    def test_planted_symmetric(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import (
+            jarque_bera_daily)
+
+        DAY = 86_400_000_000
+        # symmetric two-point series: skew exactly 0, kurtosis 1
+        vals = [1.0, 3.0] * 6
+        tbl = pa.table({
+            "event_id": pa.array(range(12), type=pa.int64()),
+            "ts": pa.array([i * DAY for i in range(12)],
+                           type=pa.timestamp("us")),
+            "user_id": pa.array([1] * 12, type=pa.int64()),
+            "event_type": pa.array(["view"] * 12),
+            "value": pa.array(vals),
+            "props": pa.array(["{}"] * 12),
+        })
+        pq.write_table(tbl, f"{tmp_path}/events.parquet")
+        got = jarque_bera_daily(str(tmp_path)).to_pandas().iloc[0]
+        assert abs(got["skew_r"]) < 1e-9
+        assert abs(got["kurt_r"] - 1.0) < 1e-9
