@@ -362,16 +362,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- windowed aggregate + broadcast join (wide-op patterns) ---
         # fact-fact co-partition join + broadcast semi-join (TPC-H Q3 shape)
         "q3_shipping_priority": relational.q3_shipping_priority,
-        # grouped counting-selection quantiles: ONE histogram pass for all
-        # groups (oracle: quantile_disc ... GROUP BY)
-        "group_quantiles": relational.group_quantiles,
-        # next-event transition counts: lexsort + shifted compare per user
-        # partition — the lead() window surface (oracle: lead() OVER
-        # PARTITION BY user ORDER BY ts, event_id; r4)
-        "event_transitions": relational.event_transitions,
-        # ROWS-frame window functions: per-user running count/sum/max and a
-        # 3-PRECEDING moving sum, exact int64 cents (oracle: OVER w; r4)
-        "running_user_totals": relational.running_user_totals,
         # TPC-H Q1 multi-aggregate in one pass: exact integer money partials
         # (cents / cents×hundredths / cents×hundredths²), ≤6-group exchange (r4)
         "q1_pricing_summary": relational.q1_pricing_summary,
@@ -527,6 +517,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # normality gate: Jarque–Bera on daily revenue from power
         # sums (oracle: identical moment algebra; r4)
         "jarque_bera_daily": relational.jarque_bera_daily,
+        # serial-structure table: sample ACF of daily revenue at
+        # lags 1-10, fixed-mean fixed-denominator estimator (oracle:
+        # lag self-join + identical centered products; r4)
+        "acf_daily": relational.acf_daily,
+        # portmanteau gate: Ljung–Box Q over those ACFs (oracle:
+        # same CTEs + n(n+2)Σr²/(n−k); r4)
+        "ljung_box_daily": relational.ljung_box_daily,
+        # count-data burstiness: variance-to-mean ratio + index of
+        # dispersion of daily event counts (oracle: power sums; r4)
+        "dispersion_index": relational.dispersion_index,
+        # next-event transition counts: lexsort + shifted compare per user
+        # partition — the lead() window surface (oracle: lead() OVER
+        # PARTITION BY user ORDER BY ts, event_id; r4)
+        "event_transitions": relational.event_transitions,
+        # ROWS-frame window functions: per-user running count/sum/max and a
+        # 3-PRECEDING moving sum, exact int64 cents (oracle: OVER w; r4)
+        "running_user_totals": relational.running_user_totals,
+        # grouped counting-selection quantiles: ONE histogram pass for all
+        # groups (oracle: quantile_disc ... GROUP BY)
+        "group_quantiles": relational.group_quantiles,
         # exact distributed COUNT(DISTINCT): map-side pair dedup →
         # hash-co-partition on user → per-partition counts (r4)
         "ndistinct_users": relational.ndistinct_users,
@@ -5818,6 +5828,97 @@ SELECT nn AS n_days, round(g1, 4) AS skew_r,
                          + (g2 - 3.0) * (g2 - 3.0) / 4.0), 4)
          AS jb_r
 FROM c4""",
+        # ACF: centered lag products over the zero-filled grid,
+        # shared mean/denominator CTEs
+        "acf_daily": """
+WITH v AS (SELECT epoch_us(ts) // 86400000000 * 86400000000 AS d,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events
+           WHERE ts IS NOT NULL AND value IS NOT NULL
+             AND NOT isnan(value)),
+ dt AS (SELECT d, CAST(sum(cents) AS BIGINT) AS c FROM v GROUP BY 1),
+ b AS (SELECT min(d) AS lo, max(d) AS hi FROM dt),
+ g AS (SELECT CAST(t.x AS BIGINT) AS d
+       FROM b, LATERAL unnest(range(lo, hi + 86400000000,
+                                    86400000000)) AS t(x)),
+ f AS (SELECT g.d, CAST(coalesce(dt.c, 0) AS BIGINT) AS c,
+              row_number() OVER (ORDER BY g.d) AS rn
+       FROM g LEFT JOIN dt ON dt.d = g.d),
+ xx AS (SELECT rn, CAST(c AS DOUBLE) / 100.0 AS x FROM f),
+ st AS (SELECT CAST(count(*) AS DOUBLE) AS fn, sum(x) AS s1
+        FROM xx),
+ mu AS (SELECT s1 / fn AS mu FROM st),
+ d0 AS (SELECT sum((x - mu.mu) * (x - mu.mu)) AS d0
+        FROM xx CROSS JOIN mu),
+ ks AS (SELECT CAST(t.i AS BIGINT) AS lag
+        FROM unnest(range(1, 11)) AS t(i)),
+ nums AS (SELECT ks.lag,
+                 sum((a.x - mu.mu) * (b.x - mu.mu)) AS num
+          FROM ks JOIN xx a ON TRUE
+          JOIN xx b ON b.rn = a.rn - ks.lag
+          CROSS JOIN mu GROUP BY 1)
+SELECT nums.lag, round(nums.num / d0.d0, 4) AS acf_r
+FROM nums CROSS JOIN d0 WHERE d0.d0 > 0 ORDER BY lag""",
+        # Ljung–Box over the same ACF CTEs
+        "ljung_box_daily": """
+WITH v AS (SELECT epoch_us(ts) // 86400000000 * 86400000000 AS d,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events
+           WHERE ts IS NOT NULL AND value IS NOT NULL
+             AND NOT isnan(value)),
+ dt AS (SELECT d, CAST(sum(cents) AS BIGINT) AS c FROM v GROUP BY 1),
+ b AS (SELECT min(d) AS lo, max(d) AS hi FROM dt),
+ g AS (SELECT CAST(t.x AS BIGINT) AS d
+       FROM b, LATERAL unnest(range(lo, hi + 86400000000,
+                                    86400000000)) AS t(x)),
+ f AS (SELECT g.d, CAST(coalesce(dt.c, 0) AS BIGINT) AS c,
+              row_number() OVER (ORDER BY g.d) AS rn
+       FROM g LEFT JOIN dt ON dt.d = g.d),
+ xx AS (SELECT rn, CAST(c AS DOUBLE) / 100.0 AS x FROM f),
+ st AS (SELECT CAST(count(*) AS DOUBLE) AS fn,
+               CAST(count(*) AS BIGINT) AS nn, sum(x) AS s1
+        FROM xx),
+ mu AS (SELECT s1 / fn AS mu FROM st),
+ d0 AS (SELECT sum((x - mu.mu) * (x - mu.mu)) AS d0
+        FROM xx CROSS JOIN mu),
+ ks AS (SELECT CAST(t.i AS BIGINT) AS lag
+        FROM unnest(range(1, 11)) AS t(i)),
+ nums AS (SELECT ks.lag,
+                 sum((a.x - mu.mu) * (b.x - mu.mu)) AS num
+          FROM ks JOIN xx a ON TRUE
+          JOIN xx b ON b.rn = a.rn - ks.lag
+          CROSS JOIN mu GROUP BY 1),
+ rs AS (SELECT lag, num / d0.d0 AS rk
+        FROM nums CROSS JOIN d0 WHERE d0.d0 > 0),
+ qq AS (SELECT CAST(count(*) AS BIGINT) AS used,
+               sum(rk * rk / (st.fn - lag)) AS s
+        FROM rs CROSS JOIN st)
+SELECT st.nn AS n_days, qq.used AS n_lags,
+       round(st.fn * (st.fn + 2.0) * qq.s, 4) AS q_r
+FROM st CROSS JOIN qq WHERE st.nn >= 2 AND qq.used > 0""",
+        # index of dispersion from exact integer power sums over the
+        # zero-filled daily count grid
+        "dispersion_index": """
+WITH e AS (SELECT epoch_us(ts) // 86400000000 * 86400000000 AS d
+           FROM events WHERE ts IS NOT NULL),
+ dt AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1),
+ b AS (SELECT min(d) AS lo, max(d) AS hi FROM dt),
+ g AS (SELECT CAST(t.x AS BIGINT) AS d
+       FROM b, LATERAL unnest(range(lo, hi + 86400000000,
+                                    86400000000)) AS t(x)),
+ f AS (SELECT g.d, CAST(coalesce(dt.n, 0) AS BIGINT) AS n
+       FROM g LEFT JOIN dt ON dt.d = g.d),
+ m AS (SELECT CAST(count(*) AS DOUBLE) AS dd,
+              CAST(count(*) AS BIGINT) AS nd,
+              CAST(sum(n) AS BIGINT) AS s1,
+              CAST(sum(n * n) AS BIGINT) AS s2
+       FROM f),
+ c2 AS (SELECT *, s1 / dd AS mean,
+               s2 / dd - (s1 / dd) * (s1 / dd) AS var FROM m)
+SELECT nd AS n_days, round(mean, 4) AS mean_r,
+       round(var, 4) AS var_r, round(var / mean, 4) AS vmr_r,
+       round(var * dd / mean, 4) AS chi2_r
+FROM c2 WHERE mean > 0""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -14051,3 +14051,191 @@ def jarque_bera_daily(sf_dir: str):
         "kurt_r": pa.array([round_half_away(float(g2), 4)]),
         "jb_r": pa.array([round_half_away(float(jb), 4)]),
     })
+
+
+ACF_MAX_LAG = 10
+
+
+def _daily_cents_series(sf_dir: str):
+    """Shared zero-filled daily cents series for the ACF-family
+    entries: one calendar-bounded Sum exchange, driver grid fill.
+    Returns (grid_day_us, cents) or (None, None) on an empty
+    table."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        v, ts = v[ok], ts[ok].astype(np.int64)
+        if v.size == 0:
+            return pa.table({"d": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+        cents = np.rint(v * 100.0).astype(np.int64)
+        day = ts // DAY_US * DAY_US
+        ud, inv = np.unique(day, return_inverse=True)
+        cs = np.zeros(ud.size, dtype=np.int64)
+        np.add.at(cs, inv, cents)
+        return pa.table({"d": pa.array(ud), "c": pa.array(cs)})
+
+    daily = (read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "value"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("d").aggregate(Sum("c", alias_name="c"))
+        .to_pandas())
+    if daily.empty:
+        return None, None
+    daily = daily.sort_values("d")
+    od = daily["d"].to_numpy(dtype=np.int64)
+    oc = daily["c"].to_numpy(dtype=np.int64)
+    grid = np.arange(od[0], od[-1] + DAY_US, DAY_US, dtype=np.int64)
+    c = np.zeros(grid.size, dtype=np.int64)
+    c[(od - grid[0]) // DAY_US] = oc
+    return grid, c
+
+
+def acf_daily(sf_dir: str, max_lag: int = ACF_MAX_LAG):
+    """(lag, acf_r): the sample autocorrelation FUNCTION of daily
+    revenue at lags 1..10 — the standard fixed-mean, fixed-
+    denominator estimator r_k = Σ(x_t−x̄)(x_{t−k}−x̄)/Σ(x−x̄)².
+    ``events_autocorr`` publishes one lag; the full ACF table is
+    what actually diagnoses seasonality order and MA structure.
+    Lags ≥ n or with zero total variance emit nothing. Centered
+    products fold in day order; 4-dp publish.
+
+    Scale shape: the shared daily-cents Sum exchange; O(lags·days)
+    driver math."""
+    grid, c = _daily_cents_series(sf_dir)
+    empty = pa.table({"lag": pa.array([], type=pa.int64()),
+                      "acf_r": pa.array([], type=pa.float64())})
+    if grid is None:
+        return empty
+    x = c / 100.0
+    n = x.size
+    mu = float(x.sum()) / float(n)
+    d0 = float(((x - mu) * (x - mu)).sum())
+    if d0 <= 0.0:
+        return empty
+    rows = []
+    for k in range(1, max_lag + 1):
+        if k >= n:
+            break
+        num = float(((x[k:] - mu) * (x[:-k] - mu)).sum())
+        rows.append((k, num / d0))
+    if not rows:
+        return empty
+    return pa.table({
+        "lag": pa.array([r[0] for r in rows], type=pa.int64()),
+        "acf_r": pa.array(_round_vec(
+            np.asarray([r[1] for r in rows]), 4)),
+    })
+
+
+def ljung_box_daily(sf_dir: str, max_lag: int = ACF_MAX_LAG):
+    """(n_days, n_lags, q_r): Ljung–Box portmanteau statistic over
+    the first 10 daily-revenue autocorrelations — Q = n(n+2)·
+    Σ r_k²/(n−k), the one-number "is there ANY serial structure"
+    gate that complements ``runs_test_daily`` (signs only) and
+    ``acf_daily`` (per-lag detail). Shares the exact acf
+    expressions; the ≤10-term fold runs in lag order. Degenerate
+    series emit nothing.
+
+    Scale shape: the shared daily-cents Sum exchange; O(lags·days)
+    driver math."""
+    grid, c = _daily_cents_series(sf_dir)
+    empty = pa.table({"n_days": pa.array([], type=pa.int64()),
+                      "n_lags": pa.array([], type=pa.int64()),
+                      "q_r": pa.array([], type=pa.float64())})
+    if grid is None:
+        return empty
+    x = c / 100.0
+    n = x.size
+    mu = float(x.sum()) / float(n)
+    d0 = float(((x - mu) * (x - mu)).sum())
+    if d0 <= 0.0 or n < 2:
+        return empty
+    fn = float(n)
+    q = 0.0
+    used = 0
+    for k in range(1, max_lag + 1):
+        if k >= n:
+            break
+        rk = float(((x[k:] - mu) * (x[:-k] - mu)).sum()) / d0
+        q += rk * rk / (fn - k)
+        used += 1
+    if used == 0:
+        return empty
+    q = fn * (fn + 2.0) * q
+    return pa.table({
+        "n_days": pa.array([n], type=pa.int64()),
+        "n_lags": pa.array([used], type=pa.int64()),
+        "q_r": pa.array([round_half_away(float(q), 4)]),
+    })
+
+
+def dispersion_index(sf_dir: str):
+    """(n_days, mean_r, var_r, vmr_r, chi2_r): variance-to-mean
+    ratio of DAILY EVENT COUNTS (zero-filled) — the over/under-
+    dispersion diagnostic for count data (Poisson arrivals ⇒ VMR 1;
+    VMR ≫ 1 = bursty traffic, the count-domain counterpart of
+    ``error_bursts``). Counts are exact ints; mean/variance fold
+    from power sums in the identical order both sides; chi2 is the
+    classical index-of-dispersion Σ(n_d − m)²/m. A zero-mean
+    (empty) series emits nothing.
+
+    Scale shape: per-batch (day, count) partials → calendar-bounded
+    Sum → O(days) driver arithmetic."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = (batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        if ts.dtype.kind == "f":
+            ts = ts[~np.isnan(ts)]
+        ts = ts.astype(np.int64)
+        if ts.size == 0:
+            return pa.table({"d": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        day = ts // DAY_US * DAY_US
+        ud, cnt = np.unique(day, return_counts=True)
+        return pa.table({"d": pa.array(ud),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    daily = (read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("d").aggregate(Sum("n", alias_name="n"))
+        .to_pandas())
+    empty = pa.table({"n_days": pa.array([], type=pa.int64()),
+                      "mean_r": pa.array([], type=pa.float64()),
+                      "var_r": pa.array([], type=pa.float64()),
+                      "vmr_r": pa.array([], type=pa.float64()),
+                      "chi2_r": pa.array([], type=pa.float64())})
+    if daily.empty:
+        return empty
+    daily = daily.sort_values("d")
+    od = daily["d"].to_numpy(dtype=np.int64)
+    on = daily["n"].to_numpy(dtype=np.int64)
+    grid = np.arange(od[0], od[-1] + DAY_US, DAY_US, dtype=np.int64)
+    cnt = np.zeros(grid.size, dtype=np.int64)
+    cnt[(od - grid[0]) // DAY_US] = on
+    d = float(cnt.size)
+    s1 = int(cnt.sum())
+    s2 = int((cnt * cnt).sum())
+    m = s1 / d
+    var = s2 / d - m * m
+    if m <= 0.0:
+        return empty
+    vmr = var / m
+    chi2 = (var * d) / m
+    return pa.table({
+        "n_days": pa.array([cnt.size], type=pa.int64()),
+        "mean_r": pa.array([round_half_away(float(m), 4)]),
+        "var_r": pa.array([round_half_away(float(var), 4)]),
+        "vmr_r": pa.array([round_half_away(float(vmr), 4)]),
+        "chi2_r": pa.array([round_half_away(float(chi2), 4)]),
+    })

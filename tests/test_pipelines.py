@@ -10218,3 +10218,141 @@ class TestJarqueBeraDaily:
         got = jarque_bera_daily(str(tmp_path)).to_pandas().iloc[0]
         assert abs(got["skew_r"]) < 1e-9
         assert abs(got["kurt_r"] - 1.0) < 1e-9
+
+
+class TestAcfDaily:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import acf_daily
+
+        DAY = 86_400_000_000
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["ts", "value"]).to_pandas() \
+            .dropna()
+        day = ev["ts"].astype("int64") // DAY * DAY
+        cents = np.rint(ev["value"].to_numpy() * 100).astype(np.int64)
+        daily = pd.DataFrame({"d": day, "c": cents}) \
+            .groupby("d")["c"].sum().sort_index()
+        grid = np.arange(daily.index[0], daily.index[-1] + DAY, DAY,
+                         dtype=np.int64)
+        c = np.zeros(grid.size, dtype=np.int64)
+        c[(daily.index.to_numpy() - grid[0]) // DAY] = daily.to_numpy()
+        x = c / 100.0
+        mu = x.mean()
+        d0 = ((x - mu) ** 2).sum()
+        got = acf_daily(SF).to_pandas().set_index("lag")
+        for k in got.index:
+            exp = ((x[k:] - mu) * (x[:-k] - mu)).sum() / d0
+            assert abs(got.loc[k, "acf_r"] - exp) < 1e-3
+        assert (got["acf_r"].abs() <= 1.0 + 1e-9).all()
+
+    def test_planted_period_two(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import acf_daily
+
+        DAY = 86_400_000_000
+        n = 20
+        vals = [10.0 if i % 2 == 0 else 1.0 for i in range(n)]
+        tbl = pa.table({
+            "event_id": pa.array(range(n), type=pa.int64()),
+            "ts": pa.array([i * DAY for i in range(n)],
+                           type=pa.timestamp("us")),
+            "user_id": pa.array([1] * n, type=pa.int64()),
+            "event_type": pa.array(["view"] * n),
+            "value": pa.array(vals),
+            "props": pa.array(["{}"] * n),
+        })
+        pq.write_table(tbl, f"{tmp_path}/events.parquet")
+        got = acf_daily(str(tmp_path)).to_pandas().set_index("lag")
+        # period-2 signal: strongly negative at lag 1, positive at 2
+        assert got.loc[1, "acf_r"] < -0.8
+        assert got.loc[2, "acf_r"] > 0.8
+
+
+class TestLjungBoxDaily:
+    def test_consistent_with_acf(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            acf_daily, ljung_box_daily)
+
+        acf = acf_daily(SF).to_pandas()
+        lb = ljung_box_daily(SF).to_pandas().iloc[0]
+        n = lb["n_days"]
+        q = n * (n + 2) * sum(
+            r * r / (n - k)
+            for k, r in zip(acf["lag"], acf["acf_r"]))
+        # acf_r is rounded, so allow a loose but meaningful band
+        assert abs(lb["q_r"] - q) < max(0.05 * abs(q), 0.5)
+        assert lb["n_lags"] == len(acf)
+
+    def test_planted_structure_vs_flatline(self, ray_session,
+                                           tmp_path):
+        from searchengine_ray.pipelines.relational import (
+            ljung_box_daily)
+
+        DAY = 86_400_000_000
+        n = 28
+        vals = [10.0 if i % 2 == 0 else 1.0 for i in range(n)]
+        tbl = pa.table({
+            "event_id": pa.array(range(n), type=pa.int64()),
+            "ts": pa.array([i * DAY for i in range(n)],
+                           type=pa.timestamp("us")),
+            "user_id": pa.array([1] * n, type=pa.int64()),
+            "event_type": pa.array(["view"] * n),
+            "value": pa.array(vals),
+            "props": pa.array(["{}"] * n),
+        })
+        pq.write_table(tbl, f"{tmp_path}/events.parquet")
+        got = ljung_box_daily(str(tmp_path)).to_pandas().iloc[0]
+        # alternating series has massive serial structure:
+        # Q far beyond any chi2(10) quantile
+        assert got["q_r"] > 100.0
+
+
+class TestDispersionIndex:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            dispersion_index)
+
+        DAY = 86_400_000_000
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["ts"]).to_pandas().dropna()
+        day = ev["ts"].astype("int64") // DAY * DAY
+        daily = day.value_counts().sort_index()
+        grid = np.arange(daily.index[0], daily.index[-1] + DAY, DAY,
+                         dtype=np.int64)
+        cnt = np.zeros(grid.size, dtype=np.int64)
+        cnt[(daily.index.to_numpy() - grid[0]) // DAY] = \
+            daily.to_numpy()
+        m = cnt.mean()
+        var = cnt.var()
+        got = dispersion_index(SF).to_pandas().iloc[0]
+        assert got["n_days"] == cnt.size
+        assert abs(got["mean_r"] - m) < 1e-3
+        assert abs(got["var_r"] - var) < max(1e-3, 1e-4 * var)
+        assert abs(got["vmr_r"] - var / m) < 1e-2
+
+    def test_planted_constant_underdispersed(self, ray_session,
+                                             tmp_path):
+        from searchengine_ray.pipelines.relational import (
+            dispersion_index)
+
+        DAY = 86_400_000_000
+        # exactly 3 events every day -> variance 0, VMR 0
+        rows = []
+        eid = 0
+        for d in range(10):
+            for _ in range(3):
+                rows.append((eid, d * DAY)); eid += 1
+        tbl = pa.table({
+            "event_id": pa.array([r[0] for r in rows],
+                                 type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows],
+                           type=pa.timestamp("us")),
+            "user_id": pa.array([1] * len(rows), type=pa.int64()),
+            "event_type": pa.array(["view"] * len(rows)),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        })
+        pq.write_table(tbl, f"{tmp_path}/events.parquet")
+        got = dispersion_index(str(tmp_path)).to_pandas().iloc[0]
+        assert got["mean_r"] == 3.0
+        assert got["var_r"] == 0.0
+        assert got["vmr_r"] == 0.0
