@@ -359,9 +359,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_search": transcript_search,
         "transcript_search_site": transcript_search_site,  # per-site scoping
         "transcript_upsert_search": transcript_upsert_search,  # doc-level delta upserts
-        # --- windowed aggregate + broadcast join (wide-op patterns) ---
-        # fact-fact co-partition join + broadcast semi-join (TPC-H Q3 shape)
-        "q3_shipping_priority": relational.q3_shipping_priority,
         # TPC-H Q1 multi-aggregate in one pass: exact integer money partials
         # (cents / cents×hundredths / cents×hundredths²), ≤6-group exchange (r4)
         "q1_pricing_summary": relational.q1_pricing_summary,
@@ -527,6 +524,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # count-data burstiness: variance-to-mean ratio + index of
         # dispersion of daily event counts (oracle: power sums; r4)
         "dispersion_index": relational.dispersion_index,
+        # categorical drift: smoothed PSI of the priority mix between
+        # order-date halves (oracle: midpoint split + identical
+        # smoothing; r4)
+        "priority_psi": relational.priority_psi,
+        # top-of-funnel: first-touch type distribution per user
+        # (oracle: row_number = 1 under (ts, event_id); r4)
+        "first_touch_dist": relational.first_touch_dist,
+        # --- windowed aggregate + broadcast join (wide-op patterns) ---
+        # fact-fact co-partition join + broadcast semi-join (TPC-H Q3 shape)
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        # collocation mining: PMI joins the bigram aggregate against TWO
+        # vocabulary-scale unigram marginals — distributed join of
+        # aggregates on a string key, local top-k after 4-dp rounding
+        # (oracle: unigram/bigram CTEs + double-identical ln; r4)
+        "bigram_pmi": textstats.bigram_pmi,
         # next-event transition counts: lexsort + shifted compare per user
         # partition — the lead() window surface (oracle: lead() OVER
         # PARTITION BY user ORDER BY ts, event_id; r4)
@@ -670,11 +682,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the integer floor-threshold gate) (oracle: HAVING > total/den
         # via HUGEINT; r4)
         "q11_important_parts": relational.q11_important_parts,
-        # collocation mining: PMI joins the bigram aggregate against TWO
-        # vocabulary-scale unigram marginals — distributed join of
-        # aggregates on a string key, local top-k after 4-dp rounding
-        # (oracle: unigram/bigram CTEs + double-identical ln; r4)
-        "bigram_pmi": textstats.bigram_pmi,
         # censoring-correct survival curve: KM product-limit estimate
         # of view→purchase time, never-converters censored at corpus
         # end; cumprod sequenced lag ASC both sides (oracle: window
@@ -5919,6 +5926,48 @@ SELECT nd AS n_days, round(mean, 4) AS mean_r,
        round(var, 4) AS var_r, round(var / mean, 4) AS vmr_r,
        round(var * dd / mean, 4) AS chi2_r
 FROM c2 WHERE mean > 0""",
+        # smoothed categorical PSI: midpoint date split, +0.5 count
+        # smoothing with k = category count — identical arithmetic
+        "priority_psi": """
+WITH mm AS (SELECT min(epoch_us(o_orderdate)) AS lo,
+                   max(epoch_us(o_orderdate)) AS hi
+            FROM orders WHERE o_orderdate IS NOT NULL),
+ sp AS (SELECT (lo + hi) // 2 AS split FROM mm),
+ c AS (SELECT o_orderpriority AS p,
+              CAST(sum(CASE WHEN epoch_us(o_orderdate) < sp.split
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+              CAST(sum(CASE WHEN epoch_us(o_orderdate) >= sp.split
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+       FROM orders CROSS JOIN sp
+       WHERE o_orderdate IS NOT NULL
+         AND o_orderpriority IS NOT NULL
+       GROUP BY 1),
+ t AS (SELECT CAST(sum(n_a) AS DOUBLE) AS ta,
+              CAST(sum(n_b) AS DOUBLE) AS tb,
+              CAST(count(*) AS DOUBLE) AS k FROM c),
+ z AS (SELECT c.p, c.n_a, c.n_b,
+              (c.n_a + 0.5) / (t.ta + 0.5 * t.k) AS pa,
+              (c.n_b + 0.5) / (t.tb + 0.5 * t.k) AS pb
+       FROM c CROSS JOIN t)
+SELECT p AS o_orderpriority, n_a, n_b,
+       round((pa - pb) * ln(pa / pb), 4) AS contrib_r
+FROM z ORDER BY p""",
+        # first event per user under the (ts, event_id) total order
+        "first_touch_dist": """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu, event_id
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             AND event_type IS NOT NULL AND event_id IS NOT NULL),
+ r AS (SELECT user_id, event_type,
+              row_number() OVER (PARTITION BY user_id
+                                 ORDER BY tu, event_id) AS rn
+       FROM e),
+ f AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+       FROM r WHERE rn = 1 GROUP BY 1),
+ t AS (SELECT CAST(sum(n_users) AS DOUBLE) AS tot FROM f)
+SELECT f.event_type, f.n_users,
+       round(f.n_users / t.tot, 4) AS share_r
+FROM f CROSS JOIN t ORDER BY f.event_type""",
         "anti_join_customers": """
 SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

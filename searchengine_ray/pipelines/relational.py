@@ -14239,3 +14239,168 @@ def dispersion_index(sf_dir: str):
         "vmr_r": pa.array([round_half_away(float(vmr), 4)]),
         "chi2_r": pa.array([round_half_away(float(chi2), 4)]),
     })
+
+
+def priority_psi(sf_dir: str):
+    """(o_orderpriority, n_a, n_b, contrib_r): population-stability
+    index of the ORDER-PRIORITY mix between the first and second
+    half of the order-date span (split at the midpoint of
+    [min, max]) — ``psi_drift`` watches a numeric column's bins;
+    this is the categorical-mix version with +0.5 count smoothing
+    (so an absent category contributes a finite, correctly-signed
+    term instead of ±inf). contrib = (p_a − p_b)·ln(p_a/p_b) per
+    category; Σ contrib is the PSI. Counts exact ints; identical
+    smoothing arithmetic both sides; 4-dp publish.
+
+    Scale shape: one min/max date pass + one bounded (priority ×
+    half) counting pass; driver math over ≤5 categories."""
+    import pandas as pd
+    from ray.data.aggregate import Max, Min, Sum
+
+    src = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderdate", "o_orderpriority"])
+
+    def dminmax(batch: pa.Table) -> pa.Table:
+        t = batch["o_orderdate"].cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if t.dtype.kind == "f":
+            t = t[~np.isnan(t)]
+        t = t.astype(np.int64)
+        if t.size == 0:
+            return pa.table({"lo": pa.array([], type=pa.int64()),
+                             "hi": pa.array([], type=pa.int64())})
+        return pa.table({"lo": pa.array([int(t.min())],
+                                        type=pa.int64()),
+                         "hi": pa.array([int(t.max())],
+                                        type=pa.int64())})
+
+    mm = src.map_batches(dminmax, batch_format="pyarrow",
+                         batch_size=8192) \
+        .aggregate(Min("lo", alias_name="lo"),
+                   Max("hi", alias_name="hi"))
+    empty = pa.table({
+        "o_orderpriority": pa.array([], type=pa.string()),
+        "n_a": pa.array([], type=pa.int64()),
+        "n_b": pa.array([], type=pa.int64()),
+        "contrib_r": pa.array([], type=pa.float64())})
+    if mm is None or mm.get("lo") is None:
+        return empty
+    split = (int(mm["lo"]) + int(mm["hi"])) // 2
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "t": batch["o_orderdate"].cast(pa.timestamp("us"))
+            .cast(pa.int64()).to_numpy(zero_copy_only=False),
+            "p": batch["o_orderpriority"]
+            .to_numpy(zero_copy_only=False),
+        }).dropna()
+        if df.empty:
+            return pa.table({"p": pa.array([], type=pa.string()),
+                             "na": pa.array([], type=pa.int64()),
+                             "nb": pa.array([], type=pa.int64())})
+        half = (df["t"].to_numpy(dtype=np.int64)
+                >= split).astype(np.int64)
+        g = pd.DataFrame({"p": df["p"].to_numpy(), "na": 1 - half,
+                          "nb": half}) \
+            .groupby("p", as_index=False).agg(na=("na", "sum"),
+                                              nb=("nb", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (src.map_batches(partial, batch_format="pyarrow",
+                           batch_size=8192)
+           .groupby("p")
+           .aggregate(Sum("na", alias_name="n_a"),
+                      Sum("nb", alias_name="n_b"))
+           .to_pandas().sort_values("p"))
+    if agg.empty:
+        return empty
+    na = agg["n_a"].to_numpy(dtype=np.int64)
+    nb = agg["n_b"].to_numpy(dtype=np.int64)
+    ta, tb = float(na.sum()), float(nb.sum())
+    k = float(len(agg))
+    pa_ = (na + 0.5) / (ta + 0.5 * k)
+    pb_ = (nb + 0.5) / (tb + 0.5 * k)
+    contrib = (pa_ - pb_) * np.log(pa_ / pb_)
+    return pa.table({
+        "o_orderpriority": pa.array(agg["p"].tolist(),
+                                    type=pa.string()),
+        "n_a": pa.array(na),
+        "n_b": pa.array(nb),
+        "contrib_r": pa.array(_round_vec(contrib, 4)),
+    })
+
+
+def first_touch_dist(sf_dir: str):
+    """(event_type, n_users, share_r): the FIRST-touch distribution
+    — each user's very first event (under the (ts, event_id) total
+    order) classified by type, as counts and shares of all users.
+    The top-of-funnel acquisition mix ``last_touch_attribution``
+    (conversion credit) and ``session_funnel`` (within-session)
+    both skip. Exact integer counts; one division per row.
+
+    Scale shape: per-batch first-per-user compaction (the
+    latest_events argmin mirror — exchange carries key-cardinality
+    rows), one user-hash co-partition final argmin, then a
+    ≤|types| counting combine."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            "et": batch["event_type"].to_numpy(zero_copy_only=False),
+            "ts_us": batch["ts"].cast(pa.timestamp("us"))
+            .cast(pa.int64()).to_numpy(zero_copy_only=False),
+            "event_id": batch["event_id"]
+            .to_numpy(zero_copy_only=False),
+        }).dropna()
+        if df.empty:
+            return pa.table({"q": pa.array([], type=pa.int64()),
+                             "user_id": pa.array([], type=pa.int64()),
+                             "et": pa.array([], type=pa.string()),
+                             "ts_us": pa.array([], type=pa.int64()),
+                             "event_id": pa.array([],
+                                                  type=pa.int64())})
+        g = df.sort_values(["user_id", "ts_us", "event_id"],
+                           kind="mergesort") \
+            .drop_duplicates(subset=["user_id"], keep="first")
+        u = g["user_id"].to_numpy(dtype=np.int64)
+        return pa.table({
+            "q": pa.array((u % _USER_PARTITIONS).astype(np.int64)),
+            "user_id": pa.array(u),
+            "et": pa.array(g["et"].tolist(), type=pa.string()),
+            "ts_us": pa.array(g["ts_us"].to_numpy(dtype=np.int64)),
+            "event_id": pa.array(g["event_id"]
+                                 .to_numpy(dtype=np.int64)),
+        })
+
+    def final(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        g = df.sort_values(["user_id", "ts_us", "event_id"],
+                           kind="mergesort") \
+            .drop_duplicates(subset=["user_id"], keep="first")
+        c = g.groupby("et").size().reset_index(name="n")
+        return pa.table({
+            "et": pa.array(c["et"].tolist(), type=pa.string()),
+            "n": pa.array(c["n"].to_numpy(dtype=np.int64)),
+        })
+
+    out = (read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "ts", "event_id"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("q").map_groups(final, batch_format="pyarrow")
+        .groupby("et").aggregate(Sum("n", alias_name="n_users"))
+        .to_pandas().sort_values("et"))
+    if out.empty:
+        return pa.table({"event_type": pa.array([], type=pa.string()),
+                         "n_users": pa.array([], type=pa.int64()),
+                         "share_r": pa.array([], type=pa.float64())})
+    n = out["n_users"].to_numpy(dtype=np.int64)
+    tot = float(n.sum())
+    return pa.table({
+        "event_type": pa.array(out["et"].tolist(), type=pa.string()),
+        "n_users": pa.array(n),
+        "share_r": pa.array(_round_vec(n / tot, 4)),
+    })

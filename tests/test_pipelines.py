@@ -10356,3 +10356,105 @@ class TestDispersionIndex:
         assert got["mean_r"] == 3.0
         assert got["var_r"] == 0.0
         assert got["vmr_r"] == 0.0
+
+
+class TestPriorityPsi:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import priority_psi
+
+        o = pq.read_table(f"{SF}/orders.parquet",
+                          columns=["o_orderdate", "o_orderpriority"]) \
+            .to_pandas().dropna()
+        t = o["o_orderdate"].astype("int64")
+        split = (t.min() + t.max()) // 2
+        ga = o[t < split]["o_orderpriority"].value_counts()
+        gb = o[t >= split]["o_orderpriority"].value_counts()
+        cats = sorted(set(ga.index) | set(gb.index))
+        na = np.array([ga.get(c, 0) for c in cats], dtype=float)
+        nb = np.array([gb.get(c, 0) for c in cats], dtype=float)
+        k = len(cats)
+        pa_ = (na + 0.5) / (na.sum() + 0.5 * k)
+        pb_ = (nb + 0.5) / (nb.sum() + 0.5 * k)
+        exp = (pa_ - pb_) * np.log(pa_ / pb_)
+        got = priority_psi(SF).to_pandas() \
+            .set_index("o_orderpriority")
+        assert sorted(got.index) == cats
+        for i, c in enumerate(cats):
+            assert got.loc[c, "n_a"] == na[i]
+            assert got.loc[c, "n_b"] == nb[i]
+            assert abs(got.loc[c, "contrib_r"] - exp[i]) < 1e-3
+        # every PSI contribution is non-negative by construction
+        assert (got["contrib_r"] >= -1e-9).all()
+
+    def test_planted_stable_mix_near_zero(self, ray_session,
+                                          tmp_path):
+        from searchengine_ray.pipelines.relational import priority_psi
+
+        DAY = 86_400_000_000
+        # identical mix in both halves -> PSI ~ 0
+        rows = []
+        ok = 0
+        for half_start in (0, 100 * DAY):
+            for p, cnt in (("1-URGENT", 30), ("5-LOW", 70)):
+                for i in range(cnt):
+                    rows.append((ok, half_start + i * 60_000_000, p))
+                    ok += 1
+        tbl = pa.table({
+            "o_orderkey": pa.array([r[0] for r in rows],
+                                   type=pa.int64()),
+            "o_custkey": pa.array([1] * len(rows), type=pa.int64()),
+            "o_orderstatus": pa.array(["F"] * len(rows)),
+            "o_totalprice": pa.array([1.0] * len(rows)),
+            "o_orderdate": pa.array([r[1] for r in rows],
+                                    type=pa.timestamp("us")),
+            "o_orderpriority": pa.array([r[2] for r in rows]),
+        })
+        pq.write_table(tbl, f"{tmp_path}/orders.parquet")
+        got = priority_psi(str(tmp_path)).to_pandas()
+        assert got["contrib_r"].abs().sum() < 1e-3
+
+
+class TestFirstTouchDist:
+    def test_matches_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.relational import (
+            first_touch_dist)
+
+        ev = pq.read_table(
+            f"{SF}/events.parquet",
+            columns=["user_id", "event_type", "ts", "event_id"]) \
+            .to_pandas().dropna()
+        ev["tu"] = ev["ts"].astype("int64")
+        first = ev.sort_values(["user_id", "tu", "event_id"],
+                               kind="mergesort") \
+            .drop_duplicates(subset=["user_id"], keep="first")
+        exp = first["event_type"].value_counts()
+        got = first_touch_dist(SF).to_pandas() \
+            .set_index("event_type")
+        assert got["n_users"].sum() == first["user_id"].nunique()
+        for t in exp.index:
+            assert got.loc[t, "n_users"] == exp[t]
+        assert abs(got["share_r"].sum() - 1.0) < 5e-3
+
+    def test_planted_first_event(self, ray_session, tmp_path):
+        from searchengine_ray.pipelines.relational import (
+            first_touch_dist)
+
+        S = 1_000_000
+        # user 1 starts with a view; user 2's first (by event_id
+        # tie-break at equal ts) is a signup
+        tbl = pa.table({
+            "event_id": pa.array([2, 1, 5, 4], type=pa.int64()),
+            "ts": pa.array([2 * S, 1 * S, 3 * S, 3 * S],
+                           type=pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 2, 2], type=pa.int64()),
+            "event_type": pa.array(["purchase", "view", "click",
+                                    "signup"]),
+            "value": pa.array([1.0] * 4),
+            "props": pa.array(["{}"] * 4),
+        })
+        pq.write_table(tbl, f"{tmp_path}/events.parquet")
+        got = first_touch_dist(str(tmp_path)).to_pandas() \
+            .set_index("event_type")
+        assert got.loc["view", "n_users"] == 1
+        assert got.loc["signup", "n_users"] == 1
+        assert "purchase" not in got.index
