@@ -359,9 +359,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_search": transcript_search,
         "transcript_search_site": transcript_search_site,  # per-site scoping
         "transcript_upsert_search": transcript_upsert_search,  # doc-level delta upserts
-        # TPC-H Q1 multi-aggregate in one pass: exact integer money partials
-        # (cents / cents×hundredths / cents×hundredths²), ≤6-group exchange (r4)
-        "q1_pricing_summary": relational.q1_pricing_summary,
         # exact second moments per type: 4-dp integer images, int64 batch
         # partials, Python-int (HUGEINT-analogue) driver combine — mean/
         # var/std exact under any summation order (oracle: HUGEINT sums of
@@ -531,6 +528,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # top-of-funnel: first-touch type distribution per user
         # (oracle: row_number = 1 under (ts, event_id); r4)
         "first_touch_dist": relational.first_touch_dist,
+        # TPC-H Q1 multi-aggregate in one pass: exact integer money partials
+        # (cents / cents×hundredths / cents×hundredths²), ≤6-group exchange (r4)
+        "q1_pricing_summary": relational.q1_pricing_summary,
         # --- windowed aggregate + broadcast join (wide-op patterns) ---
         # fact-fact co-partition join + broadcast semi-join (TPC-H Q3 shape)
         "q3_shipping_priority": relational.q3_shipping_priority,
