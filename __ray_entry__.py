@@ -334,6 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         transcript_search,
         transcript_search_actor,
         transcript_search_site,
+        transcript_snippets,
         transcript_upsert_search,
     )
 
@@ -359,6 +360,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_search": transcript_search,
         "transcript_search_site": transcript_search_site,  # per-site scoping
         "transcript_upsert_search": transcript_upsert_search,  # doc-level delta upserts
+        # M8 snippet surface in the hash window (r5): planted-fixture
+        # snippets with the exact reference window/merge/cap semantics
+        "transcript_snippets": transcript_snippets,
         # exact second moments per type: 4-dp integer images, int64 batch
         # partials, Python-int (HUGEINT-analogue) driver combine — mean/
         # var/std exact under any summation order (oracle: HUGEINT sums of
@@ -1160,6 +1164,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # grouped top-k without a global sort: per-batch local top-k per
         # lang, tiny driver final (oracle: row_number() window; r4)
         "group_topk_docs": textstats.group_topk_docs,
+        # canonical entries (r5) for the folded list/binary originals —
+        # same values, exploded to hashable scalars; see the note at the
+        # registry tail
         "fingerprint_rolling_flat": textstats.fingerprint_rolling_flat,  # oracle: HUGEINT-mod hash
         # --- multimodal plumbing (stubbed decoder) ---
         "multimodal_features_flat": multimodal.multimodal_features_flat,  # oracle: byte histogram
@@ -1331,12 +1338,80 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # single-row exact count over the same CTE surface as the in-window
         # bm25_adhoc entry; hash-green r1-r3
         "search_count": lambda sf: fulltext.search_count(sf, "hash join"),
-        # list-typed originals whose VALUES are hash-checked in-window by
-        # their flat/hex projections
-        "fingerprint_rolling": textstats.fingerprint_rolling,
-        "multimodal_features": multimodal.multimodal_features,
-        "frame_sample": multimodal.frame_sample,
+        # NOTE (r5, VERDICT r4 item 7): the list/binary-typed originals
+        # fingerprint_rolling / multimodal_features / frame_sample are no
+        # longer separate registry entries — their flat/hex projections
+        # (fingerprint_rolling_flat, multimodal_features_flat,
+        # frame_sample_hex, all oracle-backed above) are the CANONICAL
+        # entries for those value surfaces, so every registry entry now
+        # has an oracle. The original list-shaped functions remain public
+        # library API (searchengine_ray.pipelines.textstats/multimodal)
+        # and stay pytest-covered.
     }
+
+
+def _transcript_snippets_sql() -> str:
+    """Closed-form snippet reconstruction over the planted layouts of
+    ``pipelines.transcripts.transcript_snippets`` (the pii_scrub fixture
+    discipline): every planted word is pure doc_id arithmetic, and the
+    window bounds per class are derived INDEPENDENTLY here from the
+    reference rule (±5 around each hit, extend when adjacent, ≤3 windows
+    — SearchServiceImpl.java:218-267) rather than calling the engine's
+    builder."""
+
+    def frag(lo: int, hi: int, specials: dict, bold: set) -> str:
+        arms = "".join(
+            f" WHEN i = {p} THEN '{('<b>' + w + '</b>') if p in bold else w}'"
+            for p, w in sorted(specials.items())
+            if lo <= p < hi
+        )
+        return (
+            f"array_to_string(list_transform(range({lo}, {hi}), "
+            f"i -> CASE{arms} ELSE 'w' || did || 'x' || i END), ' ')"
+        )
+
+    def snip(*frags: str) -> str:
+        return "'...' || " + " || ' ... ' || ".join(frags) + " || '...'"
+
+    # window bounds by hand from the rule: hit h → [max(0, h-5),
+    # min(len, h+6)); adjacent lo ≤ prev hi extends; stop at 3 windows
+    per_query = {
+        "q_single": {
+            1: snip(frag(1, 12, {6: "needle"}, {6})),
+            2: snip(frag(1, 12, {6: "needle", 10: "thread"}, {6})),
+            3: snip(frag(1, 12, {6: "needle"}, {6}),
+                    frag(25, 36, {30: "needle"}, {30})),
+            4: snip(frag(1, 12, {6: "needle"}, {6}),
+                    frag(15, 26, {20: "needle"}, {20}),
+                    frag(29, 40, {34: "needle"}, {34})),
+        },
+        "q_multi": {
+            1: snip(frag(1, 12, {6: "needle"}, {6})),
+            # hits 6 and 10: the second window's lo (5) falls inside the
+            # first (hi=12) → ONE extended fragment [1, 16)
+            2: snip(frag(1, 16, {6: "needle", 10: "thread"}, {6, 10})),
+            3: snip(frag(1, 12, {6: "needle"}, {6}),
+                    frag(25, 36, {30: "needle"}, {30})),
+            4: snip(frag(1, 12, {6: "needle"}, {6}),
+                    frag(15, 26, {20: "needle"}, {20}),
+                    frag(29, 40, {34: "needle"}, {34})),
+        },
+    }
+    selects = []
+    for qid, by_cls in per_query.items():
+        arms = "".join(
+            f"\n         WHEN {c} THEN {expr}" for c, expr in sorted(by_cls.items())
+        )
+        selects.append(f"""
+SELECT '{qid}' AS query_id,
+       'conv-' || lpad(CAST(did // 8 AS VARCHAR), 6, '0') AS conv_id,
+       CAST(did % 8 AS INTEGER) AS turn_idx,
+       CASE CAST(did % 5 AS INTEGER){arms}
+       END AS snippet
+FROM (SELECT doc_id AS did FROM documents) WHERE did % 5 IN (1, 2, 3, 4)""")
+    return ("SELECT query_id, conv_id, turn_idx, snippet FROM ("
+            + "\nUNION ALL".join(selects)
+            + "\n) ORDER BY query_id, conv_id, turn_idx")
 
 
 def _dedup_turns_sql() -> str:
@@ -2045,6 +2120,7 @@ SELECT CAST(count(*) AS BIGINT) AS n_matches FROM (
         "transcript_search_actor": _transcript_search_sql(),
         "transcript_search_site": _transcript_search_sql(site="assistant"),
         "transcript_upsert_search": _transcript_search_sql(upsert=True),
+        "transcript_snippets": _transcript_snippets_sql(),
         "dedup_turns": _dedup_turns_sql(),
         # conversation-level curation over the derived transcript turns;
         # role = _ROLES[doc_id % 4] (DuckDB list indexing is 1-based)

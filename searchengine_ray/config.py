@@ -86,6 +86,16 @@ class EngineConfig:
     # --- snippet semantics (services/SearchServiceImpl.java:237-249) ---
     snippet_window: int = 5
     snippet_max_windows: int = 3
+    # --- HTTP auth (config/SecurityConfig.java:21-32) ---
+    # (username, password, role) triples for the API server. The reference
+    # guards /api/startIndexing, /api/stopIndexing, /api/indexPage,
+    # /api/deleteAll and /api/admin/** behind ROLE_ADMIN; search and
+    # statistics stay readable (the graft keeps them unauthenticated so
+    # the driver/CLI envelopes are unchanged). Empty tuple = auth
+    # disabled (library/test default); ``server.make_server(auth=True)``
+    # with no users seeds the reference's default admin/changeme
+    # (config/DataInitializer.java:32-42).
+    auth_users: tuple = ()
 
     def replace(self, **kw) -> "EngineConfig":
         from dataclasses import replace

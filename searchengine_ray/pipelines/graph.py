@@ -323,9 +323,140 @@ def pagerank_purchases(sf_dir: str, iters: int = PR_ITERS):
 
 AFFINITY_TOPK = 20
 _PAIR_SHIFT = 32  # suppkey < 2^31 at any TPC-H scale factor; pair packs
+# Hot-customer escape hatch: a customer with more than AFFINITY_DEGREE_CAP
+# distinct suppliers does NOT enumerate its C(d, 2) pairs in one task —
+# its (sorted) supplier list splits into ⌈d / CAP⌉ chunks and each grid
+# cell (i, j), i ≤ j, becomes one deferred unit of ≤ CAP² pair work,
+# salted across partitions by hash(customer, i, j). This is the dedup
+# grid-cell deferral discipline (dedup.py hot-bucket split) applied to
+# the butterfly join: per-task pair work ≤ max(C(CAP, 2), CAP²) by
+# construction, regardless of the degree distribution. Cell metadata is
+# cheap relative to the unavoidable pair volume: a degree-d hot customer
+# ships each supplier id in ⌈d/CAP⌉ cells ⇒ O(d²/CAP) ints, a 1/CAP
+# fraction of the d²/2 pairs stage 2 must enumerate anyway.
+AFFINITY_DEGREE_CAP = 64
+_AFF_MIX = 0x9E3779B97F4A7C15  # cell-salt mixer (the splitmix64 increment)
 
 
-def supplier_affinity(sf_dir: str, k: int = AFFINITY_TOPK):
+def _affinity_stage1(df, degree_cap: int):
+    """Split one customer-co-located (c, s) frame into direct pair
+    partials (light customers) and deferred grid cells (hot customers).
+    Pure pandas/numpy so the adversarial tests can drive it without Ray.
+    Returns an Arrow table with the unified stage-1 exchange schema
+    (q, tag, k, n, sa, sb): tag 0 = combined pair partial keyed by the
+    packed pair (q = pair-hash), tag 1 = deferred cell (sa/sb = the two
+    sorted supplier chunks, sb empty ⇒ within-chunk cell, q = salted
+    cell hash)."""
+    import pandas as pd
+
+    deg = df.groupby("c")["s"].transform("size")
+    light = df[deg <= degree_cap]
+    hot = df[deg > degree_cap]
+
+    qs: list[np.ndarray] = []
+    tags: list[np.ndarray] = []
+    ks: list[np.ndarray] = []
+    ns: list[np.ndarray] = []
+    sas: list = []
+    sbs: list = []
+
+    if not light.empty:
+        m = light.merge(light, on="c")
+        m = m[m["s_x"] < m["s_y"]]
+        if not m.empty:
+            g = m.groupby(["s_x", "s_y"], as_index=False).size()
+            key = (g["s_x"].to_numpy(dtype=np.int64) << _PAIR_SHIFT) \
+                | g["s_y"].to_numpy(dtype=np.int64)
+            qs.append(_hash_partition(key))
+            tags.append(np.zeros(key.size, dtype=np.int64))
+            ks.append(key)
+            ns.append(g["size"].to_numpy(dtype=np.int64))
+            sas.extend([None] * key.size)
+            sbs.extend([None] * key.size)
+
+    if not hot.empty:
+        for c, sub in hot.groupby("c"):
+            s = np.sort(sub["s"].to_numpy(dtype=np.int64))
+            chunks = [s[i:i + degree_cap]
+                      for i in range(0, s.size, degree_cap)]
+            ncells = 0
+            cell_q = []
+            for i in range(len(chunks)):
+                for j in range(i, len(chunks)):
+                    salt = (int(c) * _AFF_MIX
+                            + i * len(chunks) + j) & ((1 << 63) - 1)
+                    cell_q.append(int(_hash_partition(
+                        np.array([salt], dtype=np.int64))[0]))
+                    sas.append(chunks[i])
+                    sbs.append(chunks[j] if j > i else None)
+                    ncells += 1
+            qs.append(np.array(cell_q, dtype=np.int64))
+            tags.append(np.ones(ncells, dtype=np.int64))
+            ks.append(np.full(ncells, int(c), dtype=np.int64))
+            ns.append(np.zeros(ncells, dtype=np.int64))
+
+    if not qs:
+        z = pa.array([], type=pa.int64())
+        zl = pa.array([], type=pa.list_(pa.int64()))
+        return pa.table({"q": z, "tag": z, "k": z, "n": z,
+                         "sa": zl, "sb": zl})
+    return pa.table({
+        "q": pa.array(np.concatenate(qs)),
+        "tag": pa.array(np.concatenate(tags)),
+        "k": pa.array(np.concatenate(ks)),
+        "n": pa.array(np.concatenate(ns)),
+        "sa": pa.array(sas, type=pa.list_(pa.int64())),
+        "sb": pa.array(sbs, type=pa.list_(pa.int64())),
+    })
+
+
+def _affinity_resolve(group: pa.Table) -> pa.Table:
+    """Stage 2: enumerate each deferred cell's pairs (≤ CAP² vectorized
+    pair work per cell row; the Python loop is over CELLS, not pairs),
+    pass direct partials through, and map-side-combine everything into
+    (q, k, n) partials keyed by the packed pair for the total exchange."""
+    import pandas as pd
+
+    tag = group["tag"].to_numpy(zero_copy_only=False).astype(np.int64)
+    keys: list[np.ndarray] = []
+    cnts: list[np.ndarray] = []
+    direct = np.flatnonzero(tag == 0)
+    if direct.size:
+        keys.append(group["k"].take(pa.array(direct))
+                    .to_numpy(zero_copy_only=False).astype(np.int64))
+        cnts.append(group["n"].take(pa.array(direct))
+                    .to_numpy(zero_copy_only=False).astype(np.int64))
+    cells = np.flatnonzero(tag == 1)
+    if cells.size:
+        sa_col = group["sa"].take(pa.array(cells))
+        sb_col = group["sb"].take(pa.array(cells))
+        for i in range(len(cells)):
+            a = np.asarray(sa_col[i].as_py(), dtype=np.int64)
+            b_raw = sb_col[i].as_py()
+            if b_raw is None:  # within-chunk cell: pairs inside a
+                ia, ib = np.triu_indices(a.size, k=1)
+                px, py = a[ia], a[ib]
+            else:  # cross cell: every a < every b (chunks sorted by rank)
+                b = np.asarray(b_raw, dtype=np.int64)
+                px = np.repeat(a, b.size)
+                py = np.tile(b, a.size)
+            if px.size:
+                keys.append((px << _PAIR_SHIFT) | py)
+                cnts.append(np.ones(px.size, dtype=np.int64))
+    if not keys:
+        z = pa.array([], type=pa.int64())
+        return pa.table({"q": z, "k": z, "n": z})
+    g = pd.DataFrame({"k": np.concatenate(keys),
+                      "n": np.concatenate(cnts)}) \
+        .groupby("k", as_index=False)["n"].sum()
+    key = g["k"].to_numpy(dtype=np.int64)
+    return pa.table({"q": pa.array(_hash_partition(key)),
+                     "k": pa.array(key),
+                     "n": pa.array(g["n"].to_numpy(dtype=np.int64))})
+
+
+def supplier_affinity(sf_dir: str, k: int = AFFINITY_TOPK,
+                      degree_cap: int = AFFINITY_DEGREE_CAP):
     """(supp_a, supp_b, n_customers): the ``k`` supplier pairs sharing the
     most distinct purchasing customers, ties to the smaller (a, b) — the
     bipartite co-occurrence / butterfly self-join (graph family #2: the
@@ -333,15 +464,18 @@ def supplier_affinity(sf_dir: str, k: int = AFFINITY_TOPK):
     purchase graph instead of signatures).
 
     Scale shape: the distinct customer→supplier edges come co-located by
-    hash(customer) from ``_build_edges``; each partition self-merges on
-    the customer key locally (pair volume = Σ_c C(d_c, 2), bounded by the
-    per-customer DISTINCT supplier count — a hot customer's quadratic
-    cost lands in one task, and at 100 TB a degree threshold would split
-    enumeration above it into a salted two-round join, the dedup
-    hot-bucket discipline), combines per-pair counts map-side, then ONE
-    pair-hash exchange totals them. Per-partition top-k under the final
-    total order (n desc, a asc, b asc) collect ≤ partitions × k rows to
-    the driver for the global cut — never the pair table."""
+    hash(customer) from ``_build_edges``. Stage 1 splits by per-customer
+    distinct-supplier degree: customers with d ≤ ``degree_cap`` self-merge
+    locally (pair volume Σ_c C(d_c, 2) with d_c bounded) and their pair
+    counts combine map-side; customers above it emit ⌈d/CAP⌉²/2 deferred
+    grid cells salted by hash(customer, i, j) — so a mega-degree customer
+    spreads its quadratic pair work across the cluster in ≤ CAP²-pair
+    units instead of one unbounded task (the dedup hot-bucket grid-cell
+    discipline; see AFFINITY_DEGREE_CAP). Stage 2 enumerates the cells
+    and combines; stage 3 is ONE pair-hash exchange totaling the
+    partials. Per-partition top-k under the final total order (n desc,
+    a asc, b asc) collect ≤ partitions × k rows to the driver for the
+    global cut — never the pair table."""
     import pandas as pd
 
     edges = _build_edges(sf_dir)
@@ -349,23 +483,13 @@ def supplier_affinity(sf_dir: str, k: int = AFFINITY_TOPK):
                           "supp_b": pd.array([], dtype="int64"),
                           "n_customers": pd.array([], dtype="int64")})
 
-    def pair_partials(group: pa.Table) -> pa.Table:
+    def pair_or_defer(group: pa.Table) -> pa.Table:
         df = pd.DataFrame({
             "c": group["src"].to_numpy(zero_copy_only=False).astype(np.int64),
             "s": group["dst"].to_numpy(
                 zero_copy_only=False).astype(np.int64) >> 1,
         })
-        m = df.merge(df, on="c")
-        m = m[m["s_x"] < m["s_y"]]
-        if m.empty:
-            z = pa.array([], type=pa.int64())
-            return pa.table({"q": z, "k": z, "n": z})
-        g = m.groupby(["s_x", "s_y"], as_index=False).size()
-        key = (g["s_x"].to_numpy(dtype=np.int64) << _PAIR_SHIFT) \
-            | g["s_y"].to_numpy(dtype=np.int64)
-        return pa.table({"q": pa.array(_hash_partition(key)),
-                         "k": pa.array(key),
-                         "n": pa.array(g["size"].to_numpy(dtype=np.int64))})
+        return _affinity_stage1(df, degree_cap)
 
     def total_topk(group: pa.Table) -> pa.Table:
         df = pd.DataFrame({
@@ -383,7 +507,9 @@ def supplier_affinity(sf_dir: str, k: int = AFFINITY_TOPK):
             "n_customers": pa.array(df["n"].to_numpy(dtype=np.int64))})
 
     cand = (edges.groupby("q")
-            .map_groups(pair_partials, batch_format="pyarrow")
+            .map_groups(pair_or_defer, batch_format="pyarrow")
+            .groupby("q")
+            .map_groups(_affinity_resolve, batch_format="pyarrow")
             .groupby("q")
             .map_groups(total_topk, batch_format="pyarrow")).to_pandas()
     if cand.empty:

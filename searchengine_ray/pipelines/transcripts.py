@@ -291,6 +291,108 @@ def dedup_turns_check(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Snippet surface (M8): planted-fixture oracle entry
+# ---------------------------------------------------------------------------
+
+# Fixed snippet queries over the planted corpus: one single-lemma query and
+# one multi-lemma query (the two bold sets differ on class-2 docs, which is
+# exactly the adjacent-window EXTEND branch the merge rule guards).
+SNIPPET_QUERIES: list[tuple[str, str]] = [
+    ("q_single", "needle"),
+    ("q_multi", "needle thread"),
+]
+
+# Planted word layouts per doc class (doc_id % 5) — pure doc_id arithmetic,
+# so the SQL oracle reconstructs every word. Each class exercises one branch
+# of the reference snippet algorithm (SearchServiceImpl.java:218-267):
+#   0: no hits (build_snippet returns "" → no row)
+#   1: one mid-doc hit → single ±5 window
+#   2: needle@6 + thread@10 → single window for q_single; the adjacent-
+#      window EXTEND (merge) branch for q_multi (:242-248)
+#   3: needle@6 + needle@30 → two disjoint fragments joined by " ... "
+#   4: needle@{6,20,34,48} → the ≤3-window cap (4th hit never opens)
+_SNIPPET_LAYOUT: dict[int, tuple[int, dict[int, str]]] = {
+    0: (20, {}),
+    1: (13, {6: "needle"}),
+    2: (20, {6: "needle", 10: "thread"}),
+    3: (40, {6: "needle", 30: "needle"}),
+    4: (60, {6: "needle", 20: "needle", 34: "needle", 48: "needle"}),
+}
+
+
+def _planted_snippet_words(doc_id: int) -> list[str]:
+    """The planted token list of one doc: filler word ``w<id>x<pos>`` at
+    every position except the class's hit positions."""
+    n, hits = _SNIPPET_LAYOUT[doc_id % 5]
+    return [hits.get(p, f"w{doc_id}x{p}") for p in range(n)]
+
+
+def transcript_snippets(sf_dir: str) -> pd.DataFrame:
+    """(query_id, conv_id, turn_idx, snippet): the reference snippet
+    builder's exact output — window=±5 words around each hit, at most 3
+    windows, adjacent/overlapping windows EXTEND the previous one, hit
+    words wrapped in ``<b>``, fragments joined by ``" ... "`` and the
+    whole snippet framed by ``"..."`` (SearchServiceImpl.java:218-267 via
+    :mod:`searchengine_ray.snippets`) — over a PLANTED corpus whose word
+    layout is pure ``doc_id`` arithmetic (the ``dedup_turns_check`` /
+    ``pii_scrub`` fixture discipline), so a closed-form SQL oracle
+    reconstructs every snippet string. Docs whose class has no hit for a
+    query emit no row, mirroring the empty-snippet gate.
+
+    Shape: one stateless-analyzer actor pool pass over pruned doc_ids;
+    per-row Python is the snippet string assembly itself (the same
+    per-final-page cost the serving path pays — never a corpus-wide sort
+    or shuffle)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from searchengine_ray.snippets import build_snippet
+    from searchengine_ray.textproc import Analyzer
+
+    class SnippetStage:
+        def __init__(self) -> None:
+            self.an = Analyzer("simple")
+            self.qsets = [
+                (qid, self.an.query_lemmas(qt)) for qid, qt in SNIPPET_QUERIES
+            ]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            out_q: list[str] = []
+            out_c: list[int] = []
+            out_t: list[int] = []
+            out_s: list[str] = []
+            for did in ids.tolist():
+                # round-trip through text → tokens: the serving path's
+                # hydration tokenization, not a shortcut over the word list
+                toks = self.an.tokens(" ".join(_planted_snippet_words(did)))
+                for qid, qset in self.qsets:
+                    snip = build_snippet(toks, qset, self.an,
+                                         window=5, max_windows=3)
+                    if snip:
+                        out_q.append(qid)
+                        out_c.append(did // 8)
+                        out_t.append(did % 8)
+                        out_s.append(snip)
+            return pa.table({
+                "query_id": pa.array(out_q, type=pa.string()),
+                "conv": pa.array(out_c, type=pa.int64()),
+                "turn_idx": pa.array(np.array(out_t, dtype=np.int32)),
+                "snippet": pa.array(out_s, type=pa.string()),
+            })
+
+    df = (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id"])
+          .map_batches(SnippetStage, batch_format="pyarrow",
+                       batch_size=4096, concurrency=(1, 4))
+          .to_pandas())
+    df["conv_id"] = _conv_id_strings(df["conv"].to_numpy(dtype=np.int64))
+    df = df[["query_id", "conv_id", "turn_idx", "snippet"]]
+    return (df.sort_values(["query_id", "conv_id", "turn_idx"], kind="stable")
+            .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
 # Conversation-level operators (SFT-formatting / curation passes)
 # ---------------------------------------------------------------------------
 

@@ -34,6 +34,9 @@ with ``actors > 1``.
 
 from __future__ import annotations
 
+import base64
+import hashlib
+import hmac
 import json
 import os
 import shutil
@@ -45,6 +48,44 @@ ERROR_ALREADY_INDEXING = "indexing already running"  # "Ð˜Ð½Ð´ÐµÐºÑÐ°Ñ†Ð¸Ñ ÑƒÐ
 ERROR_NOT_INDEXING = "indexing is not running"  # "Ð˜Ð½Ð´ÐµÐºÑÐ°Ñ†Ð¸Ñ Ð½Ðµ Ð·Ð°Ð¿ÑƒÑ‰ÐµÐ½Ð°"
 ERROR_NO_INPUT = "no input corpus configured for this server"
 ERROR_NO_INDEX = "index not built"
+ERROR_UNAUTHORIZED = "authentication required"
+ERROR_FORBIDDEN = "admin role required"
+
+# The reference's seeded default admin (config/DataInitializer.java:32-42:
+# admin/changeme, ROLE_ADMIN, created when no users exist).
+DEFAULT_ADMIN = ("admin", "changeme", "ROLE_ADMIN")
+
+
+class _AuthTable:
+    """Basic-auth user table (config/SecurityConfig.java:21-32 semantics:
+    the four mutating endpoints need ROLE_ADMIN; search/statistics stay
+    open â€” the graft keeps them unauthenticated so driver/CLI envelopes
+    never change). Passwords are held as sha256 digests and compared
+    constant-time â€” the stdlib stand-in for the reference's
+    BCryptPasswordEncoder (SecurityConfig.java:49-52)."""
+
+    def __init__(self, users) -> None:
+        self._users = {
+            u: (hashlib.sha256(p.encode("utf-8")).digest(), role)
+            for u, p, role in users
+        }
+
+    def role_of(self, auth_header: str | None) -> str | None:
+        """Role for an ``Authorization: Basic ...`` header, or None when
+        absent/invalid."""
+        if not auth_header or not auth_header.startswith("Basic "):
+            return None
+        try:
+            raw = base64.b64decode(auth_header[6:], validate=True).decode("utf-8")
+            user, _, password = raw.partition(":")
+        except (ValueError, UnicodeDecodeError):
+            return None
+        rec = self._users.get(user)
+        if rec is None:
+            return None
+        digest, role = rec
+        got = hashlib.sha256(password.encode("utf-8")).digest()
+        return role if hmac.compare_digest(digest, got) else None
 
 
 def index_statistics(index_dir: str) -> dict:
@@ -313,22 +354,42 @@ class EngineService:
 
 class _Handler(BaseHTTPRequestHandler):
     service: EngineService  # set on the subclass by make_server
+    auth: _AuthTable | None = None  # None = auth disabled
 
     # -- plumbing ------------------------------------------------------------
 
     def log_message(self, fmt, *args):  # quiet by default
         pass
 
-    def _send(self, code: int, payload: dict, ensure_ascii: bool = True) -> None:
+    def _send(self, code: int, payload: dict, ensure_ascii: bool = True,
+              challenge: bool = False) -> None:
         body = json.dumps(payload, ensure_ascii=ensure_ascii).encode("utf-8")
         self.send_response(code)
         self.send_header("Content-Type", "application/json; charset=utf-8")
         self.send_header("Content-Length", str(len(body)))
+        if challenge:
+            self.send_header("WWW-Authenticate", 'Basic realm="searchengine"')
         self.end_headers()
         self.wfile.write(body)
 
     def _not_found(self) -> None:
         self._send(404, {"result": False, "error": "unknown endpoint"})
+
+    def _admin_ok(self) -> bool:
+        """Gate for the mutating endpoints (SecurityConfig.java:23-29:
+        startIndexing / stopIndexing / indexPage / deleteAll need
+        ROLE_ADMIN). Sends the 401/403 envelope itself on failure."""
+        if self.auth is None:
+            return True
+        role = self.auth.role_of(self.headers.get("Authorization"))
+        if role is None:
+            self._send(401, {"result": False, "error": ERROR_UNAUTHORIZED},
+                       challenge=True)
+            return False
+        if role != "ROLE_ADMIN":
+            self._send(403, {"result": False, "error": ERROR_FORBIDDEN})
+            return False
+        return True
 
     # -- routing -------------------------------------------------------------
 
@@ -362,9 +423,13 @@ class _Handler(BaseHTTPRequestHandler):
                 return
             self._send(200 if out.get("result") else 400, out)
         elif url.path == "/api/startIndexing":
+            if not self._admin_ok():
+                return
             code, out = self.service.start_indexing()
             self._send(code, out)
         elif url.path == "/api/stopIndexing":
+            if not self._admin_ok():
+                return
             code, out = self.service.stop_indexing()
             self._send(code, out)
         else:
@@ -374,6 +439,8 @@ class _Handler(BaseHTTPRequestHandler):
         url = urlparse(self.path)
         if url.path != "/api/indexPage":
             self._not_found()
+            return
+        if not self._admin_ok():
             return
         try:
             n = int(self.headers.get("Content-Length", "0"))
@@ -394,6 +461,8 @@ class _Handler(BaseHTTPRequestHandler):
         if url.path != "/api/deleteAll":
             self._not_found()
             return
+        if not self._admin_ok():
+            return
         code, out = self.service.delete_all()
         self._send(code, out)
 
@@ -405,12 +474,24 @@ def make_server(
     input_dir: str | None = None,
     actors: int = 1,
     config=None,
+    auth: bool | None = None,
 ) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server; ``port=0`` picks a free
     port (read it back from ``server.server_address``). The caller owns the
-    Ray session when ``actors > 1`` or indexing is used."""
+    Ray session when ``actors > 1`` or indexing is used.
+
+    ``auth``: None (default) enables basic auth iff ``config.auth_users``
+    is non-empty; True forces it on, seeding the reference's default
+    admin/changeme when no users are configured
+    (config/DataInitializer.java:32-42); False forces it off."""
     service = EngineService(index_dir, input_dir=input_dir, actors=actors, config=config)
-    handler = type("Handler", (_Handler,), {"service": service})
+    users = tuple(getattr(service.config, "auth_users", ()) or ())
+    if auth is None:
+        auth = bool(users)
+    table = None
+    if auth:
+        table = _AuthTable(users or (DEFAULT_ADMIN,))
+    handler = type("Handler", (_Handler,), {"service": service, "auth": table})
     srv = ThreadingHTTPServer((host, port), handler)
     srv.service = service  # type: ignore[attr-defined]
     return srv

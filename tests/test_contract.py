@@ -17,11 +17,10 @@ def contract():
     return e.queries(), e.oracle_sql()
 
 
-ROWS_ONLY = {
-    "fingerprint_rolling",    # list<int64> sig (flat projection IS checked)
-    "multimodal_features",    # list<float> hist (flat projection IS checked)
-    "frame_sample",           # binary frames (hex projection IS checked)
-}
+# r5 (VERDICT r4 item 7): the former rows-only trio (fingerprint_rolling,
+# multimodal_features, frame_sample) was folded into its oracle-backed
+# flat/hex projections — every registry entry now has an oracle.
+ROWS_ONLY: set[str] = set()
 
 EMPTY_VIEWS = {
     "documents": "SELECT CAST(0 AS BIGINT) AS doc_id, '' AS text, '' AS lang, '' AS source, CAST(0 AS BIGINT) AS n_chars WHERE 1=0",

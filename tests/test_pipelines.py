@@ -4167,6 +4167,102 @@ class TestSupplierAffinity:
         assert len(got) == 0
         assert list(got.columns) == ["supp_a", "supp_b", "n_customers"]
 
+    def test_hot_customer_split_parity(self, ray_session, tmp_path):
+        """Adversarial one-customer-buys-everything: customer 1's degree
+        (20 suppliers) blows past a forced degree_cap=3, so its pairs go
+        through the grid-cell deferral; light customers share some of the
+        same pairs, so deferred and direct partials must total correctly.
+        The output must be identical to the pure-direct path (huge cap)
+        and to brute force."""
+        from searchengine_ray.pipelines.graph import supplier_affinity
+
+        orders, items = [], []
+        orders.append({"o_orderkey": 100, "o_custkey": 1})
+        for s in range(1, 21):  # hot: customer 1 buys suppliers 1..20
+            items.append({"l_orderkey": 100, "l_suppkey": s})
+        for c in range(2, 8):  # light: customer c buys {c, c+1, c+2}
+            orders.append({"o_orderkey": 100 + c, "o_custkey": c})
+            for s in (c, c + 1, c + 2):
+                items.append({"l_orderkey": 100 + c, "l_suppkey": s})
+        pd.DataFrame(orders).to_parquet(f"{tmp_path}/orders.parquet",
+                                        index=False)
+        pd.DataFrame(items).to_parquet(f"{tmp_path}/lineitem.parquet",
+                                       index=False)
+
+        e = pd.DataFrame([(o["o_custkey"], i["l_suppkey"])
+                          for o in orders for i in items
+                          if i["l_orderkey"] == o["o_orderkey"]],
+                         columns=["c", "s"]).drop_duplicates()
+        m = e.merge(e, on="c")
+        m = m[m["s_x"] < m["s_y"]]
+        exp = (m.groupby(["s_x", "s_y"], as_index=False).size()
+               .sort_values(["size", "s_x", "s_y"],
+                            ascending=[False, True, True], kind="stable")
+               .head(50))
+        hot = supplier_affinity(str(tmp_path), k=50, degree_cap=3)
+        direct = supplier_affinity(str(tmp_path), k=50, degree_cap=1 << 40)
+        for got in (hot, direct):
+            assert got["supp_a"].tolist() == exp["s_x"].tolist()
+            assert got["supp_b"].tolist() == exp["s_y"].tolist()
+            assert got["n_customers"].tolist() == exp["size"].tolist()
+
+    def test_stage1_cell_bound_by_construction(self):
+        """No Ray: drive the stage-1 splitter directly and assert the
+        per-task bound — every deferred cell carries ≤ cap suppliers per
+        side (so stage-2 pair work per cell ≤ cap²), the cell count is
+        exactly the ⌈d/cap⌉-triangle number, and the salted q values
+        spread cells over multiple partitions."""
+        from searchengine_ray.pipelines.graph import (
+            _affinity_resolve,
+            _affinity_stage1,
+        )
+
+        cap, d = 16, 1000  # one customer, degree 1000
+        df = pd.DataFrame({"c": np.zeros(d, dtype=np.int64),
+                           "s": np.arange(d, dtype=np.int64)})
+        t = _affinity_stage1(df, cap)
+        assert t["tag"].to_pandas().eq(1).all()  # no direct rows
+        g = int(np.ceil(d / cap))
+        assert len(t) == g * (g + 1) // 2
+        sa, sb = t["sa"].to_pylist(), t["sb"].to_pylist()
+        for a, b in zip(sa, sb):
+            assert len(a) <= cap
+            assert b is None or len(b) <= cap
+        assert t["q"].to_pandas().nunique() > 8  # salt spreads the cells
+
+        # resolving every cell reproduces the exact C(d, 2) pair multiset
+        out = _affinity_resolve(t).to_pandas().groupby(
+            "k", as_index=False)["n"].sum()
+        assert len(out) == d * (d - 1) // 2
+        assert out["n"].eq(1).all()
+
+    def test_stage1_mixed_light_and_hot(self):
+        """Light rows combine map-side (tag 0) while hot rows defer; the
+        resolved union must equal the brute-force pair multiset."""
+        from searchengine_ray.pipelines.graph import (
+            _affinity_resolve,
+            _affinity_stage1,
+            _PAIR_SHIFT,
+        )
+
+        df = pd.DataFrame({
+            "c": [1, 1, 1, 1, 1, 2, 2, 3, 3, 3],
+            "s": [10, 11, 12, 13, 14, 10, 11, 10, 11, 12],
+        })
+        t = _affinity_stage1(df, 2)  # customer 1 (d=5) and 3 (d=3) are hot
+        tags = t["tag"].to_pandas()
+        assert (tags == 0).sum() == 1  # customer 2's single pair, combined
+        out = _affinity_resolve(t).to_pandas().groupby(
+            "k", as_index=False)["n"].sum()
+        m = df.merge(df, on="c")
+        m = m[m["s_x"] < m["s_y"]]
+        exp = m.groupby(["s_x", "s_y"], as_index=False).size()
+        exp["k"] = (exp["s_x"].to_numpy(dtype=np.int64) << _PAIR_SHIFT) \
+            | exp["s_y"].to_numpy(dtype=np.int64)
+        merged = out.merge(exp[["k", "size"]], on="k", how="outer")
+        assert len(merged) == len(exp)
+        assert (merged["n"] == merged["size"]).all()
+
 
 class TestPurchaseHops:
     @staticmethod
@@ -10458,3 +10554,65 @@ class TestFirstTouchDist:
         assert got.loc["view", "n_users"] == 1
         assert got.loc["signup", "n_users"] == 1
         assert "purchase" not in got.index
+
+
+class TestTranscriptSnippets:
+    """M8 snippet surface (SearchServiceImpl.java:218-267 semantics) over
+    the planted per-class layouts — the hash-window entry added in r5."""
+
+    def test_planted_classes(self, ray_session):
+        from searchengine_ray.pipelines.transcripts import transcript_snippets
+
+        got = transcript_snippets(SF)
+        assert list(got.columns) == ["query_id", "conv_id", "turn_idx",
+                                     "snippet"]
+        # every doc of class 1-4 emits one row per query; class 0 none
+        import pyarrow.parquet as _pq
+
+        ids = _pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id"])["doc_id"].to_pylist()
+        n_hit = sum(1 for i in ids if i % 5 != 0)
+        assert len(got) == 2 * n_hit
+
+        by = {(r.query_id, r.conv_id, r.turn_idx): r.snippet
+              for r in got.itertuples()}
+        # pick one doc per class and check the exact reference semantics
+        def doc(cls):
+            did = next(i for i in ids if i % 5 == cls)
+            return did, f"conv-{did // 8:06d}", did % 8
+
+        did, cid, t = doc(1)  # single ±5 window, hit bolded
+        assert by[("q_single", cid, t)] == (
+            "..." + " ".join(
+                [f"w{did}x{p}" for p in range(1, 6)] + ["<b>needle</b>"]
+                + [f"w{did}x{p}" for p in range(7, 12)]) + "...")
+
+        did, cid, t = doc(2)  # merge rule: q_multi extends, q_single not
+        s1 = by[("q_single", cid, t)]
+        s2 = by[("q_multi", cid, t)]
+        assert "thread" in s1 and "<b>thread</b>" not in s1
+        assert "<b>thread</b>" in s2
+        assert " ... " not in s2  # extended into ONE fragment
+        assert s1.count("<b>") == 1 and s2.count("<b>") == 2
+        assert s2.endswith(f"w{did}x15...")  # hi extended to 10+5+1
+
+        _, cid, t = doc(3)  # two disjoint fragments
+        assert by[("q_single", cid, t)].count(" ... ") == 1
+
+        _, cid, t = doc(4)  # 3-window cap: 4 hits, only 3 bolded
+        s4 = by[("q_single", cid, t)]
+        assert s4.count(" ... ") == 2
+        assert s4.count("<b>needle</b>") == 3
+
+    def test_class0_docs_emit_nothing(self, ray_session):
+        from searchengine_ray.pipelines.transcripts import transcript_snippets
+
+        got = transcript_snippets(SF)
+        convs_turns = set(zip(got["conv_id"], got["turn_idx"]))
+        import pyarrow.parquet as _pq
+
+        ids = _pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id"])["doc_id"].to_pylist()
+        for i in ids:
+            key = (f"conv-{i // 8:06d}", i % 8)
+            assert (key in convs_turns) == (i % 5 != 0)

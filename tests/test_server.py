@@ -238,3 +238,118 @@ class TestShardedServing:
             srv2.service.close()
             srv2.shutdown()
             srv2.server_close()
+
+
+class TestAuth:
+    """Basic-auth gate on the mutating endpoints
+    (config/SecurityConfig.java:21-32; seeded users
+    config/DataInitializer.java:27-68). Search/statistics stay open so the
+    driver/CLI envelopes never change."""
+
+    @pytest.fixture(scope="class")
+    def auth_server(self, http_index):
+        from searchengine_ray.config import EngineConfig
+
+        cfg = EngineConfig(
+            num_shards=2,
+            lemmatizer_concurrency=(1, 2),
+            auth_users=(
+                ("admin", "changeme", "ROLE_ADMIN"),
+                ("reader", "readonly", "ROLE_USER"),
+            ),
+        )
+        srv = make_server(
+            str(http_index / "index"), port=0,
+            input_dir=str(http_index / "corpus"), config=cfg,
+        )
+        start_in_thread(srv)
+        yield srv
+        srv.service.close()
+        srv.shutdown()
+        srv.server_close()
+
+    @staticmethod
+    def _basic(user, password):
+        import base64
+
+        tok = base64.b64encode(f"{user}:{password}".encode()).decode()
+        return {"Authorization": f"Basic {tok}"}
+
+    def _get_h(self, port, path, headers=None):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}", headers=headers or {})
+        try:
+            with urllib.request.urlopen(req) as r:
+                return r.status, r.read().decode("utf-8"), dict(r.headers)
+        except HTTPError as e:
+            return e.code, e.read().decode("utf-8"), dict(e.headers)
+
+    def test_mutators_401_without_credentials(self, auth_server):
+        port = _port(auth_server)
+        for method, path in (
+            ("GET", "/api/startIndexing"),
+            ("GET", "/api/stopIndexing"),
+            ("POST", "/api/indexPage"),
+            ("DELETE", "/api/deleteAll"),
+        ):
+            if method == "GET":
+                code, body, headers = self._get_h(port, path)
+            elif method == "POST":
+                code, body = _post(port, path, {"conv_id": "c", "turn_idx": 0,
+                                                "role": "user", "text": "x"})
+                headers = {}
+            else:
+                code, body = _delete(port, path)
+                headers = {}
+            assert code == 401, (path, code, body)
+            out = json.loads(body)
+            assert out["result"] is False
+            assert out["error"] == "authentication required"
+            if headers:
+                assert headers.get("WWW-Authenticate", "").startswith("Basic")
+
+    def test_wrong_password_401_and_non_admin_403(self, auth_server):
+        port = _port(auth_server)
+        code, body, _ = self._get_h(port, "/api/stopIndexing",
+                                    self._basic("admin", "wrong"))
+        assert code == 401
+        code, body, _ = self._get_h(port, "/api/stopIndexing",
+                                    self._basic("reader", "readonly"))
+        assert code == 403
+        assert json.loads(body)["error"] == "admin role required"
+
+    def test_admin_envelope_unchanged(self, auth_server, server):
+        """With admin credentials the mutator envelope is byte-identical to
+        the unauthenticated server's (the auth layer only gates)."""
+        port = _port(auth_server)
+        code, body, _ = self._get_h(port, "/api/stopIndexing",
+                                    self._basic("admin", "changeme"))
+        code0, body0 = _get(_port(server), "/api/stopIndexing")
+        assert (code, body) == (code0, body0)
+
+    def test_search_and_statistics_stay_open(self, auth_server, server):
+        port = _port(auth_server)
+        q = "/api/search?query=%D1%81%D1%83%D0%B4&limit=3"
+        code, body, _ = self._get_h(port, q)
+        assert code == 200
+        assert json.loads(body) == json.loads(_get(_port(server), q)[1])
+        code, body, _ = self._get_h(port, "/api/statistics")
+        assert code == 200 and json.loads(body)["result"] is True
+
+    def test_auth_true_seeds_default_admin(self, http_index):
+        """make_server(auth=True) with no configured users seeds the
+        reference's admin/changeme (DataInitializer.java:32-42)."""
+        srv = make_server(str(http_index / "index"), port=0, auth=True)
+        start_in_thread(srv)
+        try:
+            port = _port(srv)
+            code, _, _ = self._get_h(port, "/api/stopIndexing")
+            assert code == 401
+            code, body, _ = self._get_h(port, "/api/stopIndexing",
+                                        self._basic("admin", "changeme"))
+            assert code == 400  # authenticated; not indexing → domain 400
+            assert json.loads(body)["error"] == "indexing is not running"
+        finally:
+            srv.service.close()
+            srv.shutdown()
+            srv.server_close()
