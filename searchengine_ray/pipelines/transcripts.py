@@ -46,10 +46,18 @@ TRANSCRIPT_CFG = EngineConfig(
 )
 
 
-def ensure_transcript_index(sf_dir: str, root: str = "/tmp/searchengine_ray_idx") -> str:
-    """Build (once per sf_dir; resumable) the engine index over the derived
-    transcripts. Returns the index directory."""
-    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|v3".encode()).hexdigest()[:12]
+def ensure_transcript_index(
+    sf_dir: str,
+    root: str = "/tmp/searchengine_ray_idx",
+    variant: str = "v3",
+    config: EngineConfig | None = None,
+) -> str:
+    """Build (once per (sf_dir, variant); resumable) the engine index over
+    the derived transcripts. Returns the index directory. ``variant`` keys
+    the cache dir so alternate-layout builds (e.g. the block_size=8
+    ``transcript_blockmax`` audit index) coexist with the serving index."""
+    cfg = TRANSCRIPT_CFG if config is None else config
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|{variant}".encode()).hexdigest()[:12]
     base = os.path.join(root, key)
     corpus_dir = os.path.join(base, "corpus")
     index_dir = os.path.join(base, "index")
@@ -64,7 +72,7 @@ def ensure_transcript_index(sf_dir: str, root: str = "/tmp/searchengine_ray_idx"
         chunk = table.slice(i * per, min(per, n - i * per))
         if chunk.num_rows:
             pq.write_table(chunk, os.path.join(corpus_dir, f"part-{i:05d}.parquet"))
-    build_index(corpus_dir, index_dir, TRANSCRIPT_CFG)
+    build_index(corpus_dir, index_dir, cfg)
     return index_dir
 
 
@@ -241,6 +249,73 @@ def transcript_index_dictionary(sf_dir: str) -> pd.DataFrame:
     index_dir = ensure_transcript_index(sf_dir)
     t = pq.read_table(os.path.join(index_dir, "dictionary.parquet"))
     return t.to_pandas()
+
+
+BLOCKMAX_BLOCK_SIZE = 8  # audit-index block size: small → many multi-block
+#                          lists even on the 500-doc corpora, so the oracle
+#                          exercises real block boundaries, not 1-block lists
+
+
+def transcript_blockmax(sf_dir: str) -> pd.DataFrame:
+    """(lemma, site, shard, seg, block_ord, last_docid, max_tf,
+    n_postings): the per-block skip metadata of the ACTUAL stored
+    compressed posting segments — A6's block-max surface
+    (``codec.encode_postings``: per-block ``last_docid`` / ``max_tf``,
+    the WAND bound data) read back from the on-disk index and
+    oracle-checked against a from-first-principles SQL reconstruction
+    (dense conv ranks → docids → file/shard split → range-salted
+    segments → 8-posting blocks). A green hash here certifies the whole
+    index-content chain: tokenizer, significance, docid assignment,
+    shard/segment partitioning, docid-sorted encode order AND the codec's
+    block metadata — bit-for-bit.
+
+    Built over its own cached block_size=8 audit index (many multi-block
+    lists at 500 docs; the serving index's 128-posting blocks would
+    collapse to one block per list and test nothing). The scan below
+    reads only the metadata columns of the posting parquet — never the
+    blobs — and is O(vocabulary), not O(postings)."""
+    import glob as _glob
+
+    cfg = TRANSCRIPT_CFG.replace(block_size=BLOCKMAX_BLOCK_SIZE)
+    index_dir = ensure_transcript_index(sf_dir, variant="blockmax8", config=cfg)
+    out: dict[str, list] = {k: [] for k in
+                            ("lemma", "site", "shard", "seg", "block_ord",
+                             "last_docid", "max_tf", "n_postings")}
+    for path in sorted(_glob.glob(
+            os.path.join(index_dir, "shards", "shard=*", "postings",
+                         "*.parquet"))):
+        shard = int(path.split("shard=")[1].split(os.sep)[0])
+        t = pq.read_table(path, columns=["lemma", "site", "seg", "df",
+                                         "block_last_docid", "block_max_tf"])
+        lem = t["lemma"].to_pylist()
+        site = t["site"].to_pylist()
+        seg = t["seg"].to_pylist()
+        df = t["df"].to_pylist()
+        bld = t["block_last_docid"].to_pylist()
+        bmt = t["block_max_tf"].to_pylist()
+        for i in range(t.num_rows):
+            if lem[i].startswith("\x00"):  # doc-length sentinel postings
+                continue
+            last = np.frombuffer(bld[i], dtype="<i8")
+            mx = np.frombuffer(bmt[i], dtype="<i4")
+            nb = last.size
+            for k in range(nb):
+                out["lemma"].append(lem[i])
+                out["site"].append(site[i])
+                out["shard"].append(shard)
+                out["seg"].append(int(seg[i]))
+                out["block_ord"].append(k)
+                out["last_docid"].append(int(last[k]))
+                out["max_tf"].append(int(mx[k]))
+                out["n_postings"].append(
+                    min(BLOCKMAX_BLOCK_SIZE,
+                        int(df[i]) - k * BLOCKMAX_BLOCK_SIZE))
+    df_out = pd.DataFrame(out)
+    for c in ("shard", "seg", "block_ord", "last_docid", "max_tf",
+              "n_postings"):
+        df_out[c] = df_out[c].astype("int64")
+    return (df_out.sort_values(["lemma", "site", "shard", "seg", "block_ord"],
+                               kind="stable").reset_index(drop=True))
 
 
 DUP_LOSER_EVERY = 10   # planted later-ts duplicate (loses first-wins)

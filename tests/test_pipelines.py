@@ -10616,3 +10616,43 @@ class TestTranscriptSnippets:
         for i in ids:
             key = (f"conv-{i // 8:06d}", i % 8)
             assert (key in convs_turns) == (i % 5 != 0)
+
+
+class TestTranscriptBlockmax:
+    """A6 block-max surface: the stored per-block skip metadata read back
+    from the on-disk audit index (block_size=8)."""
+
+    def test_metadata_matches_decoded_postings(self, ray_session):
+        from searchengine_ray.pipelines.transcripts import (
+            BLOCKMAX_BLOCK_SIZE,
+            TRANSCRIPT_CFG,
+            ensure_transcript_index,
+            transcript_blockmax,
+        )
+        from searchengine_ray.index_store import IndexReader
+
+        got = transcript_blockmax(SF)
+        assert (got["n_postings"] <= BLOCKMAX_BLOCK_SIZE).all()
+        assert (got["n_postings"] >= 1).all()
+        # the small block size must actually produce multi-block lists
+        assert (got["block_ord"] > 0).any()
+
+        # per-list invariants: last_docid strictly increasing over blocks
+        for _, sub in got.groupby(["lemma", "site", "shard", "seg"]):
+            ld = sub.sort_values("block_ord")["last_docid"].to_numpy()
+            assert (np.diff(ld) > 0).all()
+
+        # cross-check the metadata against fully decoded postings for a
+        # sample of real lemmas (the codec's own ground truth)
+        idx = ensure_transcript_index(
+            SF, variant="blockmax8",
+            config=TRANSCRIPT_CFG.replace(block_size=BLOCKMAX_BLOCK_SIZE))
+        reader = IndexReader(idx)
+        sample = got["lemma"].drop_duplicates().head(5).tolist()
+        for lemma in sample:
+            docids, tfs = reader.decode_lemma(lemma)
+            sub = got[got["lemma"] == lemma]
+            # block metadata totals the full posting list
+            assert int(sub["n_postings"].sum()) == docids.size
+            assert int(sub["last_docid"].max()) == int(docids.max())
+            assert int(sub["max_tf"].max()) == int(tfs.max())

@@ -20,7 +20,7 @@ import sys
 
 
 def main(sf: str, json_out: str | None = None,
-         only: str | None = None) -> int:
+         only: str | None = None, first: int | None = None) -> int:
     import duckdb
     import ray
 
@@ -31,6 +31,8 @@ def main(sf: str, json_out: str | None = None,
     import __ray_entry__ as entry
 
     qs, osql = entry.queries(), entry.oracle_sql()
+    if first:
+        qs = {k: v for i, (k, v) in enumerate(qs.items()) if i < first}
     if only:
         qs = {k: v for k, v in qs.items() if only in k}
     con = duckdb.connect()
@@ -101,5 +103,8 @@ if __name__ == "__main__":
     ap.add_argument("--json", dest="json_out", default=None)
     ap.add_argument("--only", default=None,
                     help="run only entries whose name contains this")
+    ap.add_argument("--first", type=int, default=None,
+                    help="run only the first N registry entries (the "
+                         "driver's window discipline)")
     ns = ap.parse_args()
-    sys.exit(main(ns.sf, ns.json_out, ns.only))
+    sys.exit(main(ns.sf, ns.json_out, ns.only, ns.first))
