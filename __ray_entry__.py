@@ -321,6 +321,7 @@ def entry() -> Any:
 _R5_WINDOW = [
     "transcript_snippets",
     "transcript_blockmax",
+    "transcript_build_manifest",
     "supplier_affinity",
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -368,7 +369,6 @@ _R5_WINDOW = [
     "embedding_outliers",
     "value_histogram",
     "peak_concurrency",
-    "winsorized_stats",
 ]
 
 
@@ -394,6 +394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         transcript_search_actor,
         transcript_search_site,
         transcript_blockmax,
+        transcript_build_manifest,
         transcript_snippets,
         transcript_upsert_search,
     )
@@ -438,6 +439,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # A6 block-max skip metadata of the stored index, oracle-checked
         # from first principles (r5)
         "transcript_blockmax": transcript_blockmax,
+        # lineage/metrics surface: stored shard checkpoints + manifest
+        # stats vs SQL ground truth (r5)
+        "transcript_build_manifest": transcript_build_manifest,
         # exact second moments per type: 4-dp integer images, int64 batch
         # partials, Python-int (HUGEINT-analogue) driver combine — mean/
         # var/std exact under any summation order (oracle: HUGEINT sums of
@@ -1475,6 +1479,55 @@ GROUP BY lemma, site, shard, seg, block_ord
 ORDER BY lemma, site, shard, seg, block_ord"""
 
 
+def _transcript_build_manifest_sql() -> str:
+    """Ground-truth reconstruction of the persisted lineage/metrics
+    surface: global + per-site BM25 stats from the token stream, per-shard
+    input row counts from the deterministic 4-file/2-shard split, with
+    literal ``-1`` sentinels for metrics a lineage grain does not track
+    (mirroring ``pipelines.transcripts.transcript_build_manifest``)."""
+    return f"""
+WITH {_TS_DOCS}, {_TS_TOKS},
+ dl AS (SELECT conv_id, turn_idx, CAST(sum(tf) AS BIGINT) AS dl
+        FROM ttoks GROUP BY conv_id, turn_idx),
+ base AS (
+   SELECT t.conv_id, t.turn_idx, t.role_idx,
+          row_number() OVER (ORDER BY t.conv_id, t.turn_idx) - 1 AS pos,
+          coalesce(d.dl, 0) AS dl
+   FROM tdocs t LEFT JOIN dl d
+     ON d.conv_id = t.conv_id AND d.turn_idx = t.turn_idx),
+ nn AS (SELECT count(*) AS n FROM base),
+ total AS (
+   SELECT 'total' AS scope, 'complete' AS status,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(dl) AS BIGINT) AS total_len,
+          CAST((SELECT count(DISTINCT token) FROM ttoks) AS BIGINT)
+            AS n_lemmas,
+          round(CAST(sum(dl) AS DOUBLE) / count(*), 4) AS avgdl_r
+   FROM base),
+ sites AS (
+   SELECT 'site:' || CASE role_idx WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+               WHEN 2 THEN 'tool' ELSE 'system' END AS scope,
+          '' AS status,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(dl) AS BIGINT) AS total_len,
+          CAST(-1 AS BIGINT) AS n_lemmas,
+          round(CAST(sum(dl) AS DOUBLE) / count(*), 4) AS avgdl_r
+   FROM base GROUP BY role_idx),
+ shards AS (
+   SELECT 'shard=' || lpad(CAST(sh AS VARCHAR), 5, '0') AS scope,
+          'complete' AS status,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(-1 AS BIGINT) AS total_len,
+          CAST(-1 AS BIGINT) AS n_lemmas,
+          -1.0 AS avgdl_r
+   FROM (SELECT (pos // ((nn.n + 3) // 4)) // 2 AS sh
+         FROM base CROSS JOIN nn)
+   GROUP BY sh)
+SELECT * FROM total UNION ALL SELECT * FROM sites
+UNION ALL SELECT * FROM shards
+ORDER BY scope"""
+
+
 def _transcript_snippets_sql() -> str:
     """Closed-form snippet reconstruction over the planted layouts of
     ``pipelines.transcripts.transcript_snippets`` (the pii_scrub fixture
@@ -2247,6 +2300,7 @@ SELECT CAST(count(*) AS BIGINT) AS n_matches FROM (
         "transcript_upsert_search": _transcript_search_sql(upsert=True),
         "transcript_snippets": _transcript_snippets_sql(),
         "transcript_blockmax": _transcript_blockmax_sql(),
+        "transcript_build_manifest": _transcript_build_manifest_sql(),
         "dedup_turns": _dedup_turns_sql(),
         # conversation-level curation over the derived transcript turns;
         # role = _ROLES[doc_id % 4] (DuckDB list indexing is 1-based)

@@ -334,7 +334,16 @@ _PAIR_SHIFT = 32  # suppkey < 2^31 at any TPC-H scale factor; pair packs
 # cheap relative to the unavoidable pair volume: a degree-d hot customer
 # ships each supplier id in ⌈d/CAP⌉ cells ⇒ O(d²/CAP) ints, a 1/CAP
 # fraction of the d²/2 pairs stage 2 must enumerate anyway.
-AFFINITY_DEGREE_CAP = 64
+#
+# Cap sizing: the unit of deferral should be the LARGEST pair volume one
+# vectorized task handles comfortably, not the smallest — 1024 bounds a
+# cell at ~1M int64 ops (milliseconds), while a tighter cap (64 was the
+# first draft) pushes ordinary heavy-tail customers (TPC-H sf0.1: p99
+# degree 74, max 102) through the deferral exchange and pays a full
+# extra shuffle for skew that was never dangerous. Only genuine
+# mega-degree keys (the 2M-order Zipf probe's ~194k-customer hot pair
+# regime) clear 1024 and activate the split.
+AFFINITY_DEGREE_CAP = 1024
 _AFF_MIX = 0x9E3779B97F4A7C15  # cell-salt mixer (the splitmix64 increment)
 
 
@@ -475,13 +484,53 @@ def supplier_affinity(sf_dir: str, k: int = AFFINITY_TOPK,
     and combines; stage 3 is ONE pair-hash exchange totaling the
     partials. Per-partition top-k under the final total order (n desc,
     a asc, b asc) collect ≤ partitions × k rows to the driver for the
-    global cut — never the pair table."""
+    global cut — never the pair table.
+
+    The deferral exchange is GATED on the graph's actual skew: edges
+    carry the per-customer distinct degree (``od`` from
+    ``_build_edges``'s one exchange), so one cheap partial-max pass
+    decides up front whether any customer exceeds the cap. A
+    homogeneous-degree corpus keeps the original two-exchange plan
+    (defer-only-when-hot, the dedup discipline); the three-exchange
+    split activates exactly when the unbounded-task risk exists."""
     import pandas as pd
 
     edges = _build_edges(sf_dir)
     empty = pd.DataFrame({"supp_a": pd.array([], dtype="int64"),
                           "supp_b": pd.array([], dtype="int64"),
                           "n_customers": pd.array([], dtype="int64")})
+
+    def dmax_partial(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        od = batch["od"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cust = od[src % 2 == 0]
+        return pa.table({"m": pa.array(
+            [int(cust.max()) if cust.size else 0], type=pa.int64())})
+
+    dmax = max((r["m"] for r in
+                edges.map_batches(dmax_partial,
+                                  batch_format="pyarrow").take_all()),
+               default=0)
+
+    def pair_direct(group: pa.Table) -> pa.Table:
+        # no customer above the cap: the original single-task-per-customer
+        # self-merge, keyed by pair hash for the one total exchange
+        df = pd.DataFrame({
+            "c": group["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+            "s": group["dst"].to_numpy(
+                zero_copy_only=False).astype(np.int64) >> 1,
+        })
+        m = df.merge(df, on="c")
+        m = m[m["s_x"] < m["s_y"]]
+        if m.empty:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"q": z, "k": z, "n": z})
+        g = m.groupby(["s_x", "s_y"], as_index=False).size()
+        key = (g["s_x"].to_numpy(dtype=np.int64) << _PAIR_SHIFT) \
+            | g["s_y"].to_numpy(dtype=np.int64)
+        return pa.table({"q": pa.array(_hash_partition(key)),
+                         "k": pa.array(key),
+                         "n": pa.array(g["size"].to_numpy(dtype=np.int64))})
 
     def pair_or_defer(group: pa.Table) -> pa.Table:
         df = pd.DataFrame({
@@ -506,11 +555,15 @@ def supplier_affinity(sf_dir: str, k: int = AFFINITY_TOPK,
             "supp_b": pa.array(df["supp_b"].to_numpy(dtype=np.int64)),
             "n_customers": pa.array(df["n"].to_numpy(dtype=np.int64))})
 
-    cand = (edges.groupby("q")
-            .map_groups(pair_or_defer, batch_format="pyarrow")
-            .groupby("q")
-            .map_groups(_affinity_resolve, batch_format="pyarrow")
-            .groupby("q")
+    if dmax > degree_cap:
+        partials = (edges.groupby("q")
+                    .map_groups(pair_or_defer, batch_format="pyarrow")
+                    .groupby("q")
+                    .map_groups(_affinity_resolve, batch_format="pyarrow"))
+    else:
+        partials = edges.groupby("q").map_groups(pair_direct,
+                                                 batch_format="pyarrow")
+    cand = (partials.groupby("q")
             .map_groups(total_topk, batch_format="pyarrow")).to_pandas()
     if cand.empty:
         return empty

@@ -318,6 +318,52 @@ def transcript_blockmax(sf_dir: str) -> pd.DataFrame:
                                kind="stable").reset_index(drop=True))
 
 
+def transcript_build_manifest(sf_dir: str) -> pd.DataFrame:
+    """(scope, status, n_docs, total_len, n_lemmas, avgdl_r): the build's
+    stored LINEAGE + METRICS surface — the north rule's "per-partition
+    lineage, metrics" read back from what the build actually persisted
+    and oracle-checked against SQL ground truth recomputed from the raw
+    corpus. Scopes: ``total`` (global manifest: doc count, Σ doc length,
+    vocabulary size, 4-dp avgdl), ``site:<role>`` (per-corpus-partition
+    stats the manifest tracks for site-scoped BM25), ``shard=NNNNN``
+    (per-shard checkpoint manifests: completion status + input row
+    lineage — the resume unit). Metrics a grain does not track are the
+    explicit ``-1`` sentinel (mirrored literally in SQL), so the hash
+    also pins WHICH metrics each lineage grain records.
+
+    A green hash certifies: every shard checkpoint says ``complete`` with
+    the exact input row counts of its file split, and the global/per-site
+    BM25 statistics the query engine serves from equal the corpus truth."""
+    import json as _json
+
+    index_dir = ensure_transcript_index(sf_dir)
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        m = _json.load(f)
+    from searchengine_ray.pipelines.fulltext import round_half_away
+
+    rows = [("total", "complete", int(m["n_docs"]), int(m["total_len"]),
+             int(m["n_lemmas"]), round_half_away(m["avgdl"], 4))]
+    for site in sorted(m["sites"]):
+        s = m["sites"][site]
+        rows.append((f"site:{site}", "", int(s["n_docs"]),
+                     int(s["total_len"]), -1,
+                     round_half_away(s["avgdl"], 4)))
+    shards_root = os.path.join(index_dir, "shards")
+    for name in sorted(os.listdir(shards_root)):
+        mpath = os.path.join(shards_root, name, "_MANIFEST.json")
+        if not os.path.exists(mpath):
+            continue
+        with open(mpath) as f:
+            sm = _json.load(f)
+        rows.append((name, sm["status"], int(sm["n_input_rows"]),
+                     -1, -1, -1.0))
+    df = pd.DataFrame(rows, columns=["scope", "status", "n_docs",
+                                     "total_len", "n_lemmas", "avgdl_r"])
+    for c in ("n_docs", "total_len", "n_lemmas"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("scope", kind="stable").reset_index(drop=True)
+
+
 DUP_LOSER_EVERY = 10   # planted later-ts duplicate (loses first-wins)
 DUP_WINNER_EVERY = 40  # planted earlier-ts duplicate (wins first-wins)
 

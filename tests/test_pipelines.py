@@ -10656,3 +10656,24 @@ class TestTranscriptBlockmax:
             assert int(sub["n_postings"].sum()) == docids.size
             assert int(sub["last_docid"].max()) == int(docids.max())
             assert int(sub["max_tf"].max()) == int(tfs.max())
+
+
+class TestTranscriptBuildManifest:
+    def test_lineage_surface(self, ray_session):
+        from searchengine_ray.pipelines.transcripts import (
+            transcript_build_manifest,
+        )
+
+        got = transcript_build_manifest(SF)
+        scopes = got["scope"].tolist()
+        assert "total" in scopes
+        shard_rows = got[got["scope"].str.startswith("shard=")]
+        assert len(shard_rows) == 2
+        assert (shard_rows["status"] == "complete").all()
+        total = got[got["scope"] == "total"].iloc[0]
+        # shard input lineage partitions the corpus exactly
+        assert int(shard_rows["n_docs"].sum()) == int(total["n_docs"])
+        site_rows = got[got["scope"].str.startswith("site:")]
+        assert len(site_rows) == 4
+        assert int(site_rows["n_docs"].sum()) == int(total["n_docs"])
+        assert int(site_rows["total_len"].sum()) == int(total["total_len"])
