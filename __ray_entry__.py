@@ -322,6 +322,7 @@ _R5_WINDOW = [
     "transcript_snippets",
     "transcript_blockmax",
     "transcript_build_manifest",
+    "transcript_resume_build",
     "supplier_affinity",
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -368,7 +369,6 @@ _R5_WINDOW = [
     "knn_label_purity",
     "embedding_outliers",
     "value_histogram",
-    "peak_concurrency",
 ]
 
 
@@ -395,6 +395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         transcript_search_site,
         transcript_blockmax,
         transcript_build_manifest,
+        transcript_resume_build,
         transcript_snippets,
         transcript_upsert_search,
     )
@@ -442,6 +443,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lineage/metrics surface: stored shard checkpoints + manifest
         # stats vs SQL ground truth (r5)
         "transcript_build_manifest": transcript_build_manifest,
+        # partition-exact resume, end to end: stop after one shard
+        # checkpoint, resume, publish the resumed index's stats (r5)
+        "transcript_resume_build": transcript_resume_build,
         # exact second moments per type: 4-dp integer images, int64 batch
         # partials, Python-int (HUGEINT-analogue) driver combine — mean/
         # var/std exact under any summation order (oracle: HUGEINT sums of
@@ -1479,12 +1483,13 @@ GROUP BY lemma, site, shard, seg, block_ord
 ORDER BY lemma, site, shard, seg, block_ord"""
 
 
-def _transcript_build_manifest_sql() -> str:
+def _transcript_build_manifest_sql(extra: str = "") -> str:
     """Ground-truth reconstruction of the persisted lineage/metrics
     surface: global + per-site BM25 stats from the token stream, per-shard
     input row counts from the deterministic 4-file/2-shard split, with
     literal ``-1`` sentinels for metrics a lineage grain does not track
-    (mirroring ``pipelines.transcripts.transcript_build_manifest``)."""
+    (mirroring ``pipelines.transcripts.transcript_build_manifest``).
+    ``extra`` appends protocol rows (the resume entry)."""
     return f"""
 WITH {_TS_DOCS}, {_TS_TOKS},
  dl AS (SELECT conv_id, turn_idx, CAST(sum(tf) AS BIGINT) AS dl
@@ -1524,8 +1529,18 @@ WITH {_TS_DOCS}, {_TS_TOKS},
          FROM base CROSS JOIN nn)
    GROUP BY sh)
 SELECT * FROM total UNION ALL SELECT * FROM sites
-UNION ALL SELECT * FROM shards
+UNION ALL SELECT * FROM shards{extra}
 ORDER BY scope"""
+
+
+def _transcript_resume_build_sql() -> str:
+    """The manifest ground truth PLUS the literal resume-protocol row
+    (1 shard completed in the stopped pass, 1 built by the resume — fixed
+    by ``build_concurrency=1`` over the deterministic 2-shard split)."""
+    return _transcript_build_manifest_sql(extra="""
+UNION ALL SELECT 'resume' AS scope, 'stopped_then_resumed' AS status,
+       CAST(1 AS BIGINT) AS n_docs, CAST(1 AS BIGINT) AS total_len,
+       CAST(-1 AS BIGINT) AS n_lemmas, -1.0 AS avgdl_r""")
 
 
 def _transcript_snippets_sql() -> str:
@@ -2301,6 +2316,7 @@ SELECT CAST(count(*) AS BIGINT) AS n_matches FROM (
         "transcript_snippets": _transcript_snippets_sql(),
         "transcript_blockmax": _transcript_blockmax_sql(),
         "transcript_build_manifest": _transcript_build_manifest_sql(),
+        "transcript_resume_build": _transcript_resume_build_sql(),
         "dedup_turns": _dedup_turns_sql(),
         # conversation-level curation over the derived transcript turns;
         # role = _ROLES[doc_id % 4] (DuckDB list indexing is 1-based)

@@ -364,6 +364,83 @@ def transcript_build_manifest(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("scope", kind="stable").reset_index(drop=True)
 
 
+def transcript_resume_build(sf_dir: str) -> pd.DataFrame:
+    """The north rule's "resumable from checkpoint" as an oracle-checked
+    surface: build the index, COOPERATIVELY STOP it after exactly one
+    shard checkpoint (build_index's stop_check, polled at shard launch —
+    build.py:1355-1363), resume with a second ``build_index`` call, and
+    publish the RESUMED index's lineage/metrics surface — the same
+    (scope, status, …) rows as :func:`transcript_build_manifest`, which
+    the SQL oracle recomputes from the raw corpus, plus one ``resume``
+    row pinning the interruption protocol (shards completed in the
+    stopped pass / in the resume pass — 1 and 1 by construction with
+    ``build_concurrency=1`` over 2 shards, mirrored as SQL literals).
+
+    A green hash certifies partition-exact resume end-to-end: the
+    stopped pass persisted shard 0's checkpoint, the resume pass reused
+    it (it builds only the remaining shard) and finalized, and the
+    resulting index stats equal an uninterrupted build's ground truth.
+    The resumed-shard REUSE (not rebuilt) is additionally pinned by
+    pytest via the shard manifest's wall-clock identity."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from searchengine_ray.pipelines.fulltext import round_half_away
+
+    cfg = TRANSCRIPT_CFG.replace(build_concurrency=1)
+    tmp = tempfile.mkdtemp(prefix="resume_build_")
+    corpus_dir = os.path.join(tmp, "corpus")
+    index_dir = os.path.join(tmp, "index")
+    os.makedirs(corpus_dir)
+    table = transcripts_from_documents(sf_dir)
+    n = table.num_rows
+    per = (n + 3) // 4
+    for i in range(4):
+        chunk = table.slice(i * per, min(per, n - i * per))
+        if chunk.num_rows:
+            pq.write_table(chunk, os.path.join(corpus_dir, f"part-{i:05d}.parquet"))
+
+    calls = {"n": 0}
+
+    def stop_after_first() -> bool:
+        # polls: 1 = build entry, 2 = shard-0 launch, 3 = shard-1 launch
+        calls["n"] += 1
+        return calls["n"] >= 3  # shard 0 launches; shard 1 is skipped
+
+    first = build_index(corpus_dir, index_dir, cfg, stop_check=stop_after_first)
+    assert first.get("stopped") and len(first["shards"]) == 1
+    second = build_index(corpus_dir, index_dir, cfg)
+    n_first = len(first["shards"])
+    n_second = len(second["shards"]) - n_first  # shards BUILT by the resume
+
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        m = _json.load(f)
+    rows = [("resume", "stopped_then_resumed", n_first, n_second, -1, -1.0),
+            ("total", "complete", int(m["n_docs"]), int(m["total_len"]),
+             int(m["n_lemmas"]), round_half_away(m["avgdl"], 4))]
+    for site in sorted(m["sites"]):
+        s = m["sites"][site]
+        rows.append((f"site:{site}", "", int(s["n_docs"]),
+                     int(s["total_len"]), -1,
+                     round_half_away(s["avgdl"], 4)))
+    shards_root = os.path.join(index_dir, "shards")
+    for name in sorted(os.listdir(shards_root)):
+        mpath = os.path.join(shards_root, name, "_MANIFEST.json")
+        if not os.path.exists(mpath):
+            continue
+        with open(mpath) as f:
+            sm = _json.load(f)
+        rows.append((name, sm["status"], int(sm["n_input_rows"]),
+                     -1, -1, -1.0))
+    shutil.rmtree(tmp, ignore_errors=True)
+    df = pd.DataFrame(rows, columns=["scope", "status", "n_docs",
+                                     "total_len", "n_lemmas", "avgdl_r"])
+    for c in ("n_docs", "total_len", "n_lemmas"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("scope", kind="stable").reset_index(drop=True)
+
+
 DUP_LOSER_EVERY = 10   # planted later-ts duplicate (loses first-wins)
 DUP_WINNER_EVERY = 40  # planted earlier-ts duplicate (wins first-wins)
 

@@ -10677,3 +10677,52 @@ class TestTranscriptBuildManifest:
         assert len(site_rows) == 4
         assert int(site_rows["n_docs"].sum()) == int(total["n_docs"])
         assert int(site_rows["total_len"].sum()) == int(total["total_len"])
+
+
+class TestTranscriptResumeBuild:
+    def test_stop_then_resume_reuses_checkpoint(self, ray_session, tmp_path):
+        """The stopped pass persists shard 0; the resume builds ONLY shard 1
+        — shard 0's checkpoint manifest is byte-identical after resume."""
+        import os
+
+        from searchengine_ray.build import build_index
+        from searchengine_ray.corpus import write_transcripts
+        from searchengine_ray.pipelines.transcripts import TRANSCRIPT_CFG
+
+        corpus = str(tmp_path / "corpus")
+        idx = str(tmp_path / "index")
+        write_transcripts(corpus, n_convs=30, n_files=4)
+        cfg = TRANSCRIPT_CFG.replace(build_concurrency=1,
+                                     site_column=None, analyzer="ru")
+        calls = {"n": 0}
+
+        def stop_late():
+            calls["n"] += 1
+            return calls["n"] >= 3
+
+        first = build_index(corpus, idx, cfg, stop_check=stop_late)
+        assert first["stopped"] and len(first["shards"]) == 1
+        m0 = open(f"{idx}/shards/shard=00000/_MANIFEST.json").read()
+        assert not os.path.exists(f"{idx}/manifest.json")  # no finalize
+
+        second = build_index(corpus, idx, cfg)
+        assert len(second["shards"]) == 2
+        # shard 0 was REUSED, not rebuilt: checkpoint bytes unchanged
+        assert open(f"{idx}/shards/shard=00000/_MANIFEST.json").read() == m0
+        # resumed index equals an uninterrupted build of the same corpus
+        idx2 = str(tmp_path / "index2")
+        clean = build_index(corpus, idx2, cfg)
+        assert (second["n_docs"], second["total_len"], second["n_lemmas"]) \
+            == (clean["n_docs"], clean["total_len"], clean["n_lemmas"])
+
+    def test_resume_entry_shape(self, ray_session):
+        from searchengine_ray.pipelines.transcripts import (
+            transcript_resume_build,
+        )
+
+        got = transcript_resume_build(SF)
+        r = got[got["scope"] == "resume"].iloc[0]
+        assert r["status"] == "stopped_then_resumed"
+        assert (int(r["n_docs"]), int(r["total_len"])) == (1, 1)
+        assert (got[got["scope"].str.startswith("shard=")]["status"]
+                == "complete").all()
