@@ -225,7 +225,8 @@ ttoks AS (
 )"""
 
 
-def _transcript_search_sql(site: str | None = None, upsert: bool = False) -> str:
+def _transcript_search_sql(site: str | None = None, upsert: bool = False,
+                           parity: bool = False) -> str:
     """UNION ALL of the fixed query set over the derived transcripts —
     mirrors pipelines.transcripts.transcript_search (engine path). With
     ``site``, every input (docs, df, N, avgdl, dl join) is restricted to the
@@ -233,7 +234,10 @@ def _transcript_search_sql(site: str | None = None, upsert: bool = False) -> str
     the engine's per-site scoping — BUT dl stays the doc's own length, which
     is site-neutral in both paths. With ``upsert``, the corpus CTE overlays
     ``transcripts.UPSERT_ROWS`` as literals (replace-by-key + append),
-    mirroring the engine's delta-generation doc upserts (delta.py)."""
+    mirroring the engine's delta-generation doc upserts (delta.py). With
+    ``parity``, the score is the REFERENCE's ranking instead of BM25:
+    absolute relevance Σ tf max-normalized over the query's matching docs
+    (SearchServiceImpl.java:135-165), everything else identical."""
     from searchengine_ray.pipelines.transcripts import (
         FIXED_QUERIES,
         UPSERT_QUERIES,
@@ -272,13 +276,23 @@ def _transcript_search_sql(site: str | None = None, upsert: bool = False) -> str
             continue  # engine emits no rows; omit from the union
         tl = ", ".join(f"'{t}'" for t in terms)
         n = len(terms)
+        score_expr = (
+            "sum( ln(1 + (s.n_docs - f.df + 0.5)/(f.df + 0.5))"
+            " * (t.tf*(1.2+1.0)) / (t.tf + 1.2*(1.0 - 0.75 + 0.75*(d.dl/(s.total/s.n_docs)))) )"
+            if not parity else "CAST(sum(t.tf) AS DOUBLE)")
+        # the parity score normalizes by the per-query max — a window fn,
+        # which DuckDB forbids inside another window's ORDER BY, so it gets
+        # its own layer between scoring and ranking
+        mid = ("SELECT conv_id, turn_idx, score / max(score) OVER () AS score FROM (\n"
+               if parity else "")
+        mid_close = "\n)" if parity else ""
         parts.append(
             f"""
 SELECT '{qid}' AS query_id,
        CAST(row_number() OVER (ORDER BY round(score, 4) DESC, conv_id ASC, turn_idx ASC) - 1 AS BIGINT) AS rank,
        conv_id, turn_idx, round(score, 4) AS score_r,
        CAST(count(*) OVER () AS BIGINT) AS count
-FROM (
+FROM ({mid}
   WITH {docs_cte}, {site_docs}, {_TS_TOKS},
    stoks AS (SELECT t.* FROM ttoks t
              JOIN sdocs sd ON t.conv_id = sd.conv_id AND t.turn_idx = sd.turn_idx),
@@ -288,15 +302,14 @@ FROM (
    dfs AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM stoks
            WHERE token IN ({tl}) GROUP BY token)
   SELECT t.conv_id, t.turn_idx,
-         sum( ln(1 + (s.n_docs - f.df + 0.5)/(f.df + 0.5))
-              * (t.tf*(1.2+1.0)) / (t.tf + 1.2*(1.0 - 0.75 + 0.75*(d.dl/(s.total/s.n_docs)))) ) AS score
+         {score_expr} AS score
   FROM stoks t
   JOIN dfs f ON t.token = f.token
   JOIN dl d ON t.conv_id = d.conv_id AND t.turn_idx = d.turn_idx
   CROSS JOIN stats s
   GROUP BY t.conv_id, t.turn_idx
   HAVING count(*) = {n} AND (SELECT count(*) FROM dfs) = {n}
-)
+{mid_close})
 QUALIFY rank < 10"""
         )
     return "\nUNION ALL\n".join(parts)
@@ -323,6 +336,7 @@ _R5_WINDOW = [
     "transcript_blockmax",
     "transcript_build_manifest",
     "transcript_resume_build",
+    "transcript_search_parity",
     "supplier_affinity",
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -368,7 +382,6 @@ _R5_WINDOW = [
     "session_funnel",
     "knn_label_purity",
     "embedding_outliers",
-    "value_histogram",
 ]
 
 
@@ -392,6 +405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         transcript_index_dictionary,
         transcript_search,
         transcript_search_actor,
+        transcript_search_parity,
         transcript_search_site,
         transcript_blockmax,
         transcript_build_manifest,
@@ -446,6 +460,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # partition-exact resume, end to end: stop after one shard
         # checkpoint, resume, publish the resumed index's stats (r5)
         "transcript_resume_build": transcript_resume_build,
+        # A5: the reference's max-normalized tf-sum ranking as its own
+        # hash surface (r5) — BM25's oracle twin with the parity score
+        "transcript_search_parity": transcript_search_parity,
         # exact second moments per type: 4-dp integer images, int64 batch
         # partials, Python-int (HUGEINT-analogue) driver combine — mean/
         # var/std exact under any summation order (oracle: HUGEINT sums of
@@ -2317,6 +2334,7 @@ SELECT CAST(count(*) AS BIGINT) AS n_matches FROM (
         "transcript_blockmax": _transcript_blockmax_sql(),
         "transcript_build_manifest": _transcript_build_manifest_sql(),
         "transcript_resume_build": _transcript_resume_build_sql(),
+        "transcript_search_parity": _transcript_search_sql(parity=True),
         "dedup_turns": _dedup_turns_sql(),
         # conversation-level curation over the derived transcript turns;
         # role = _ROLES[doc_id % 4] (DuckDB list indexing is 1-based)

@@ -139,6 +139,22 @@ def transcript_upsert_search(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return _search_frame(QueryEngine(idx), UPSERT_QUERIES, k=k)
 
 
+def transcript_search_parity(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """(query_id, rank, conv_id, turn_idx, score_r, count): the fixed query
+    set under the REFERENCE's ranking — absolute relevance Σ tf over the
+    query lemmas, max-normalized over the matching docs (A4/A5 tf_sum
+    parity mode: ``SearchServiceImpl.java:135-160`` relevance accumulation
+    + :165 max normalization) — rather than the north-star BM25. Same
+    AND-gate and rounding/tie-break discipline as ``transcript_search``,
+    so the SQL oracle differs ONLY in the score expression: the one
+    surface that was pytest-only (A5) now hash-checks end to end."""
+    from searchengine_ray.query import QueryEngine
+
+    index_dir = ensure_transcript_index(sf_dir)
+    return _search_frame(QueryEngine(index_dir, mode="tf_sum"),
+                         FIXED_QUERIES, k=k)
+
+
 def transcript_search_actor(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """The distributed serving path (ST7): the fixed query set evaluated by a
     ``QueryActor`` POOL via ``map_batches`` over a query table — each actor

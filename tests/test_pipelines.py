@@ -10726,3 +10726,31 @@ class TestTranscriptResumeBuild:
         assert (int(r["n_docs"]), int(r["total_len"])) == (1, 1)
         assert (got[got["scope"].str.startswith("shard=")]["status"]
                 == "complete").all()
+
+
+class TestTranscriptSearchParity:
+    def test_parity_scores_are_max_normalized(self, ray_session):
+        from searchengine_ray.pipelines.transcripts import (
+            transcript_search,
+            transcript_search_parity,
+        )
+
+        par = transcript_search_parity(SF)
+        bm = transcript_search(SF)
+        assert list(par.columns) == list(bm.columns)
+        # relative relevance: (0, 1], and every query's top hit scores 1.0
+        assert (par["score_r"] > 0).all() and (par["score_r"] <= 1.0).all()
+        tops = par[par["rank"] == 0]
+        assert (tops["score_r"] == 1.0).all()
+        # same AND-gate: each query matches the same doc SET as BM25
+        for qid in par["query_id"].unique():
+            p = set(zip(par[par.query_id == qid]["conv_id"],
+                        par[par.query_id == qid]["turn_idx"]))
+            b = set(zip(bm[bm.query_id == qid]["conv_id"],
+                        bm[bm.query_id == qid]["turn_idx"]))
+            # top-10 cut can differ in membership only if > 10 matches;
+            # counts (pre-cut totals) must agree exactly
+            assert (par[par.query_id == qid]["count"].iloc[0]
+                    == bm[bm.query_id == qid]["count"].iloc[0])
+            if par[par.query_id == qid]["count"].iloc[0] <= 10:
+                assert p == b
