@@ -429,16 +429,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sweep (tools/side_by_side.py → CORRECTNESS_full_r5.json) every round.
     #
     # r5 ROTATION PLAN (VERDICT r4 item 2): rounds 1-4 driver-checked 99
-    # distinct entries; 146 have only local-sweep green rows. Starting
-    # this round the window is re-aimed at burning that backlog down:
-    # _R5_WINDOW below = the 2 entries new/changed this session
-    # (transcript_snippets, supplier_affinity — both also first-timers)
-    # + the first 48 never-driver-checked entries in registry (age)
-    # order, so all 50 driver rows this round are FIRST-TIME checks.
-    # Remaining backlog after r5: ~96 entries — two further rounds of the
-    # same rotation exhaust it. The dict literal below keeps its stable
-    # documented grouping; the window is applied by the reorder at the
-    # function tail.
+    # distinct entries; 146 had only local-sweep green rows (143 after
+    # the rows-only trio folded). This round's window = the 6 entries
+    # new/changed this session (transcript_snippets, transcript_blockmax,
+    # transcript_build_manifest, transcript_resume_build,
+    # transcript_search_parity, supplier_affinity) + the first 44
+    # never-driver-checked entries in registry (age) order — all 50
+    # driver rows this round are FIRST-TIME checks. Remaining backlog
+    # after r5: ~99 entries (two further 50-rotations exhaust it). The
+    # dict literal below keeps its stable documented grouping; the window
+    # is applied by the reorder at the function tail.
     d = {
         # --- inverted-index data flows over documents (SURVEY.md §2) ---
         "postings": fulltext.postings,

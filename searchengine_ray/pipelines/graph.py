@@ -503,6 +503,9 @@ def supplier_affinity(sf_dir: str, k: int = AFFINITY_TOPK,
     def dmax_partial(batch: pa.Table) -> pa.Table:
         src = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
         od = batch["od"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # defensive: _build_edges emits only customer-src rows today
+        # (src = custkey * 2, always even); the filter future-proofs the
+        # gate against a bidirectional edge table
         cust = od[src % 2 == 0]
         return pa.table({"m": pa.array(
             [int(cust.max()) if cust.size else 0], type=pa.int64())})

@@ -57,23 +57,34 @@ def ensure_transcript_index(
     the cache dir so alternate-layout builds (e.g. the block_size=8
     ``transcript_blockmax`` audit index) coexist with the serving index."""
     cfg = TRANSCRIPT_CFG if config is None else config
-    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|{variant}".encode()).hexdigest()[:12]
+    # the cache key folds in the config's repr so a layout change (e.g.
+    # BLOCKMAX_BLOCK_SIZE) can never serve a stale-layout cached index
+    # under an unchanged variant name (review r5)
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{variant}|{cfg!r}".encode()
+    ).hexdigest()[:12]
     base = os.path.join(root, key)
     corpus_dir = os.path.join(base, "corpus")
     index_dir = os.path.join(base, "index")
     if os.path.exists(os.path.join(index_dir, "manifest.json")):
         return index_dir
     os.makedirs(corpus_dir, exist_ok=True)
+    _write_corpus_split(sf_dir, corpus_dir)
+    build_index(corpus_dir, index_dir, cfg)
+    return index_dir
+
+
+def _write_corpus_split(sf_dir: str, corpus_dir: str) -> None:
+    """The deterministic 4-file layout (→ 2 build shards) every transcript
+    index build uses — the ONE copy of the split the blockmax/manifest
+    oracles mirror as ``per = (n + 3) // 4``."""
     table = transcripts_from_documents(sf_dir)
-    # deterministic 4-file layout → 2 build shards
     n = table.num_rows
     per = (n + 3) // 4
     for i in range(4):
         chunk = table.slice(i * per, min(per, n - i * per))
         if chunk.num_rows:
             pq.write_table(chunk, os.path.join(corpus_dir, f"part-{i:05d}.parquet"))
-    build_index(corpus_dir, index_dir, cfg)
-    return index_dir
 
 
 def transcript_search(sf_dir: str, k: int = 10, site: str | None = None) -> pd.DataFrame:
@@ -353,12 +364,23 @@ def transcript_build_manifest(sf_dir: str) -> pd.DataFrame:
     import json as _json
 
     index_dir = ensure_transcript_index(sf_dir)
-    with open(os.path.join(index_dir, "manifest.json")) as f:
-        m = _json.load(f)
+    return _manifest_rows(index_dir)
+
+
+def _manifest_rows(index_dir: str, extra: list[tuple] | None = None) -> pd.DataFrame:
+    """The (scope, status, n_docs, total_len, n_lemmas, avgdl_r) lineage
+    surface of one built index — the ONE row-assembly shared by
+    ``transcript_build_manifest`` and ``transcript_resume_build``
+    (review r5: the two copies must never drift)."""
+    import json as _json
+
     from searchengine_ray.pipelines.fulltext import round_half_away
 
-    rows = [("total", "complete", int(m["n_docs"]), int(m["total_len"]),
-             int(m["n_lemmas"]), round_half_away(m["avgdl"], 4))]
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        m = _json.load(f)
+    rows = list(extra or [])
+    rows.append(("total", "complete", int(m["n_docs"]), int(m["total_len"]),
+                 int(m["n_lemmas"]), round_half_away(m["avgdl"], 4)))
     for site in sorted(m["sites"]):
         s = m["sites"][site]
         rows.append((f"site:{site}", "", int(s["n_docs"]),
@@ -398,63 +420,37 @@ def transcript_resume_build(sf_dir: str) -> pd.DataFrame:
     resulting index stats equal an uninterrupted build's ground truth.
     The resumed-shard REUSE (not rebuilt) is additionally pinned by
     pytest via the shard manifest's wall-clock identity."""
-    import json as _json
     import shutil
     import tempfile
 
-    from searchengine_ray.pipelines.fulltext import round_half_away
-
     cfg = TRANSCRIPT_CFG.replace(build_concurrency=1)
     tmp = tempfile.mkdtemp(prefix="resume_build_")
-    corpus_dir = os.path.join(tmp, "corpus")
-    index_dir = os.path.join(tmp, "index")
-    os.makedirs(corpus_dir)
-    table = transcripts_from_documents(sf_dir)
-    n = table.num_rows
-    per = (n + 3) // 4
-    for i in range(4):
-        chunk = table.slice(i * per, min(per, n - i * per))
-        if chunk.num_rows:
-            pq.write_table(chunk, os.path.join(corpus_dir, f"part-{i:05d}.parquet"))
+    try:
+        corpus_dir = os.path.join(tmp, "corpus")
+        index_dir = os.path.join(tmp, "index")
+        os.makedirs(corpus_dir)
+        _write_corpus_split(sf_dir, corpus_dir)
 
-    calls = {"n": 0}
+        calls = {"n": 0}
 
-    def stop_after_first() -> bool:
-        # polls: 1 = build entry, 2 = shard-0 launch, 3 = shard-1 launch
-        calls["n"] += 1
-        return calls["n"] >= 3  # shard 0 launches; shard 1 is skipped
+        def stop_after_first() -> bool:
+            # polls: 1 = build entry, 2 = shard-0 launch, 3 = shard-1 launch
+            calls["n"] += 1
+            return calls["n"] >= 3  # shard 0 launches; shard 1 is skipped
 
-    first = build_index(corpus_dir, index_dir, cfg, stop_check=stop_after_first)
-    assert first.get("stopped") and len(first["shards"]) == 1
-    second = build_index(corpus_dir, index_dir, cfg)
-    n_first = len(first["shards"])
-    n_second = len(second["shards"]) - n_first  # shards BUILT by the resume
-
-    with open(os.path.join(index_dir, "manifest.json")) as f:
-        m = _json.load(f)
-    rows = [("resume", "stopped_then_resumed", n_first, n_second, -1, -1.0),
-            ("total", "complete", int(m["n_docs"]), int(m["total_len"]),
-             int(m["n_lemmas"]), round_half_away(m["avgdl"], 4))]
-    for site in sorted(m["sites"]):
-        s = m["sites"][site]
-        rows.append((f"site:{site}", "", int(s["n_docs"]),
-                     int(s["total_len"]), -1,
-                     round_half_away(s["avgdl"], 4)))
-    shards_root = os.path.join(index_dir, "shards")
-    for name in sorted(os.listdir(shards_root)):
-        mpath = os.path.join(shards_root, name, "_MANIFEST.json")
-        if not os.path.exists(mpath):
-            continue
-        with open(mpath) as f:
-            sm = _json.load(f)
-        rows.append((name, sm["status"], int(sm["n_input_rows"]),
-                     -1, -1, -1.0))
-    shutil.rmtree(tmp, ignore_errors=True)
-    df = pd.DataFrame(rows, columns=["scope", "status", "n_docs",
-                                     "total_len", "n_lemmas", "avgdl_r"])
-    for c in ("n_docs", "total_len", "n_lemmas"):
-        df[c] = df[c].astype("int64")
-    return df.sort_values("scope", kind="stable").reset_index(drop=True)
+        first = build_index(corpus_dir, index_dir, cfg,
+                            stop_check=stop_after_first)
+        if not first.get("stopped") or len(first["shards"]) != 1:
+            raise RuntimeError(
+                f"stop protocol did not land: {first.get('status')} with "
+                f"{len(first.get('shards', []))} shards complete")
+        second = build_index(corpus_dir, index_dir, cfg)
+        n_first = len(first["shards"])
+        n_second = len(second["shards"]) - n_first  # shards BUILT by resume
+        return _manifest_rows(index_dir, extra=[
+            ("resume", "stopped_then_resumed", n_first, n_second, -1, -1.0)])
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 DUP_LOSER_EVERY = 10   # planted later-ts duplicate (loses first-wins)

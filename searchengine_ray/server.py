@@ -73,7 +73,8 @@ class _AuthTable:
     def role_of(self, auth_header: str | None) -> str | None:
         """Role for an ``Authorization: Basic ...`` header, or None when
         absent/invalid."""
-        if not auth_header or not auth_header.startswith("Basic "):
+        # RFC 7235: the auth scheme token is case-insensitive
+        if not auth_header or not auth_header[:6].lower() == "basic ":
             return None
         try:
             raw = base64.b64decode(auth_header[6:], validate=True).decode("utf-8")

@@ -31,7 +31,7 @@ def main(sf: str, json_out: str | None = None,
     import __ray_entry__ as entry
 
     qs, osql = entry.queries(), entry.oracle_sql()
-    if first:
+    if first is not None:
         qs = {k: v for i, (k, v) in enumerate(qs.items()) if i < first}
     if only:
         qs = {k: v for k, v in qs.items() if only in k}
