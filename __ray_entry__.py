@@ -338,6 +338,8 @@ _R5_WINDOW = [
     "transcript_resume_build",
     "transcript_search_parity",
     "transcript_posting_bytes",
+    "conversation_windows",
+    "dialogue_lint",
     "supplier_affinity",
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -380,8 +382,6 @@ _R5_WINDOW = [
     "frequent_triples",
     "cohort_ltv",
     "revenue_concentration",
-    "session_funnel",
-    "knn_label_purity",
 ]
 
 
@@ -401,6 +401,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         conv_prefix_dedup,
         conversation_assemble,
         conversation_stats,
+        conversation_windows,
+        dialogue_lint,
         dedup_turns_check,
         transcript_index_dictionary,
         transcript_search,
@@ -1329,6 +1331,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # conv-partition assemble surface stays exercised in-window by the
         # flagship transcript_search build path
         "conversation_assemble": conversation_assemble,
+        # context-window chunking + per-conv curation lint (r5, tdocs
+        # surface — the conversation-level training-data passes)
+        "conversation_windows": conversation_windows,
+        "dialogue_lint": dialogue_lint,
         # inclusive-lookback interval join; kernel unchanged since r3
         # (driver-green in CORRECTNESS_r03.json) — the primary rotation
         # category; the packed-key interval searchsorted is UNIQUE to this
@@ -2383,6 +2389,37 @@ WITH {_TS_DOCS}
 SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
        string_agg(['user','assistant','tool','system'][role_idx + 1]
                   || ': ' || text, chr(10) ORDER BY turn_idx) AS convo
+FROM tdocs GROUP BY conv_id""",
+        "conversation_windows": f"""
+WITH {_TS_DOCS},
+ t AS (SELECT conv_id, turn_idx,
+              row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1
+                AS pos,
+              CAST(length(text) AS BIGINT) AS chars
+       FROM tdocs),
+ nc AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY conv_id),
+ ws AS (SELECT conv_id, n, unnest(range(0, n, 2)) AS start FROM nc),
+ w AS (SELECT conv_id, CAST(start // 2 AS BIGINT) AS window_id, start,
+              least(start + 4, n) AS end_excl FROM ws)
+SELECT w.conv_id, w.window_id,
+       CAST(min(t.turn_idx) AS BIGINT) AS start_turn,
+       CAST(max(t.turn_idx) AS BIGINT) AS end_turn,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(t.chars) AS BIGINT) AS n_chars
+FROM w JOIN t ON t.conv_id = w.conv_id
+              AND t.pos >= w.start AND t.pos < w.end_excl
+GROUP BY w.conv_id, w.window_id""",
+        "dialogue_lint": f"""
+WITH {_TS_DOCS}
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_empty_turns,
+       CAST(max(length(text)) AS BIGINT) AS longest_turn_chars,
+       round(CASE WHEN sum(length(text)) > 0
+                  THEN CAST(sum(CASE WHEN role_idx = 1 THEN length(text)
+                                     ELSE 0 END) AS DOUBLE)
+                       / sum(length(text))
+                  ELSE 0.0 END, 4) AS assistant_char_share_r
 FROM tdocs GROUP BY conv_id""",
         "conversation_stats": f"""
 WITH {_TS_DOCS}

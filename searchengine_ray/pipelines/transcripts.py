@@ -820,6 +820,134 @@ def conversation_stats(sf_dir: str):
     )
 
 
+WINDOW_TURNS = 4   # context-window chunking: turns per training window
+WINDOW_STRIDE = 2  # overlap stride (< WINDOW_TURNS ⇒ overlapping windows)
+
+
+def conversation_windows(sf_dir: str, window: int = WINDOW_TURNS,
+                         stride: int = WINDOW_STRIDE):
+    """(conv_id, window_id, start_turn, end_turn, n_turns, n_chars): each
+    conversation chunked into overlapping turn windows — ``window`` turns
+    per chunk, a new chunk every ``stride`` turns, trailing partial chunks
+    kept — the context-window assembly pass that turns long conversations
+    into training-sized samples while preserving local dialogue context
+    (the conversation-level analogue of ``pack_sequences``).
+
+    Shape: conversations hash into fixed partitions; per partition ONE
+    vectorized pass — lexsort by (conv, turn), per-conv window starts from
+    pure offset arithmetic (repeat/cumsum, no per-conv Python), window
+    char sums from a prefix-sum difference. Output is O(turns / stride)
+    rows and stays a Dataset."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    empty = pa.table({
+        "conv_id": pa.array([], type=pa.string()),
+        "window_id": pa.array([], type=pa.int64()),
+        "start_turn": pa.array([], type=pa.int64()),
+        "end_turn": pa.array([], type=pa.int64()),
+        "n_turns": pa.array([], type=pa.int64()),
+        "n_chars": pa.array([], type=pa.int64()),
+    })
+
+    def windows(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        conv = group["conv"].to_numpy(zero_copy_only=False)
+        turn = group["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        chars = pc.utf8_length(group["text"]).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((turn, conv))
+        conv, turn, chars = conv[order], turn[order], chars[order]
+        uconv, offs, n_c = np.unique(conv, return_index=True,
+                                     return_counts=True)
+        prefix = np.concatenate(([0], np.cumsum(chars)))
+        # per-conv window count ⌈n/stride⌉; window w of conv c covers sorted
+        # rows [off_c + w·stride, off_c + min(w·stride + window, n_c))
+        nw = -(-n_c // stride)
+        conv_rep = np.repeat(uconv, nw)
+        off_rep = np.repeat(offs, nw)
+        n_rep = np.repeat(n_c, nw)
+        gidx = np.arange(int(nw.sum()), dtype=np.int64)
+        w_id = gidx - np.repeat(np.concatenate(([0], np.cumsum(nw[:-1]))), nw)
+        start = w_id * stride
+        end_excl = np.minimum(start + window, n_rep)
+        return pa.table({
+            "conv_id": pa.array(_conv_id_strings(conv_rep), type=pa.string()),
+            "window_id": pa.array(w_id),
+            "start_turn": pa.array(turn[off_rep + start]),
+            "end_turn": pa.array(turn[off_rep + end_excl - 1]),
+            "n_turns": pa.array(end_excl - start),
+            "n_chars": pa.array(prefix[off_rep + end_excl]
+                                - prefix[off_rep + start]),
+        })
+
+    return (
+        read_transcript_turns(sf_dir)
+        .map_batches(_add_conv_part, batch_format="pyarrow")
+        .groupby("q")
+        .map_groups(windows, batch_format="pyarrow")
+    )
+
+
+def dialogue_lint(sf_dir: str):
+    """(conv_id, n_turns, n_empty_turns, longest_turn_chars,
+    assistant_char_share_r): per-conversation curation lint — empty/
+    whitespace-only turns, the longest single turn, and the assistant's
+    share of total characters (4 dp) — the feature row a conversation-
+    level SFT quality gate filters on (degenerate conversations: all-
+    assistant monologues, empty turns, one giant pasted blob).
+
+    Shape: same fixed-partition + per-partition vectorized reduceat pass
+    as :func:`conversation_stats` (one exchange of turn rows, O(convs)
+    output)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def lint(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({
+                "conv_id": pa.array([], type=pa.string()),
+                "n_turns": pa.array([], type=pa.int64()),
+                "n_empty_turns": pa.array([], type=pa.int64()),
+                "longest_turn_chars": pa.array([], type=pa.int64()),
+                "assistant_char_share_r": pa.array([], type=pa.float64()),
+            })
+        conv = group["conv"].to_numpy(zero_copy_only=False)
+        role_idx = group["role_idx"].to_numpy(zero_copy_only=False)
+        text = group["text"]
+        chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        stripped = pc.utf8_trim_whitespace(text)
+        is_empty = (pc.utf8_length(stripped).to_numpy(zero_copy_only=False)
+                    == 0).astype(np.int64)
+        order = np.argsort(conv, kind="stable")
+        conv, chars = conv[order], chars[order]
+        is_empty = is_empty[order]
+        asst_chars = np.where(role_idx[order] == 1, chars, 0)
+        uconv, starts = np.unique(conv, return_index=True)
+        n_turns = np.diff(np.concatenate((starts, [conv.size])))
+        total = np.add.reduceat(chars, starts)
+        asst = np.add.reduceat(asst_chars, starts)
+        from searchengine_ray.pipelines.fulltext import _round_vec
+
+        share = np.where(total > 0, asst / np.maximum(total, 1), 0.0)
+        return pa.table({
+            "conv_id": pa.array(_conv_id_strings(uconv), type=pa.string()),
+            "n_turns": pa.array(n_turns.astype(np.int64)),
+            "n_empty_turns": pa.array(np.add.reduceat(is_empty, starts)),
+            "longest_turn_chars": pa.array(
+                np.maximum.reduceat(chars, starts)),
+            "assistant_char_share_r": pa.array(_round_vec(share)),
+        })
+
+    return (
+        read_transcript_turns(sf_dir)
+        .map_batches(_add_conv_part, batch_format="pyarrow")
+        .groupby("q")
+        .map_groups(lint, batch_format="pyarrow")
+    )
+
+
 def conv_prefix_dedup(sf_dir: str, k: int = 2):
     """(prefix_md5, n_convs, rep_conv_id): conversation-level dedup by the
     md5 of the first ``k`` turns' text (newline-joined, turn order) — the

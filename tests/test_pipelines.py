@@ -10785,3 +10785,77 @@ class TestTranscriptPostingBytes:
             assert int(sub["df"].sum()) == docids.size
             assert int(sub["tf_bytes"].sum()) == len(
                 vb_encode(tfs.astype(np.uint64)))
+
+
+class TestConversationWindows:
+    def test_windows_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.transcripts import (
+            WINDOW_STRIDE,
+            WINDOW_TURNS,
+            conversation_windows,
+        )
+
+        got = conversation_windows(SF).to_pandas().sort_values(
+            ["conv_id", "window_id"]).reset_index(drop=True)
+        # brute force over the derived corpus
+        import pyarrow.parquet as _pq
+
+        docs = _pq.read_table(f"{SF}/documents.parquet",
+                              columns=["doc_id", "text"]).to_pandas()
+        docs["conv"] = docs["doc_id"] // 8
+        docs["turn"] = docs["doc_id"] % 8
+        rows = []
+        for conv, sub in docs.groupby("conv"):
+            sub = sub.sort_values("turn")
+            turns = sub["turn"].tolist()
+            chars = sub["text"].str.len().tolist()
+            n = len(turns)
+            for w, start in enumerate(range(0, n, WINDOW_STRIDE)):
+                end = min(start + WINDOW_TURNS, n)
+                rows.append((f"conv-{conv:06d}", w, turns[start],
+                             turns[end - 1], end - start,
+                             sum(chars[start:end])))
+        exp = pd.DataFrame(rows, columns=["conv_id", "window_id",
+                                          "start_turn", "end_turn",
+                                          "n_turns", "n_chars"])
+        exp = exp.sort_values(["conv_id", "window_id"]).reset_index(drop=True)
+        assert got["conv_id"].tolist() == exp["conv_id"].tolist()
+        for c in ("window_id", "start_turn", "end_turn", "n_turns",
+                  "n_chars"):
+            assert got[c].astype("int64").tolist() == exp[c].tolist(), c
+
+    def test_overlap_and_tail(self, ray_session):
+        from searchengine_ray.pipelines.transcripts import (
+            conversation_windows,
+        )
+
+        got = conversation_windows(SF).to_pandas()
+        full = got[got["conv_id"] == "conv-000000"].sort_values("window_id")
+        # 8 turns, window 4, stride 2 → 4 windows, last one partial (2)
+        assert full["n_turns"].tolist() == [4, 4, 4, 2]
+        assert full["start_turn"].tolist() == [0, 2, 4, 6]
+
+
+class TestDialogueLint:
+    def test_lint_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.transcripts import dialogue_lint
+
+        got = dialogue_lint(SF).to_pandas().sort_values(
+            "conv_id").reset_index(drop=True)
+        import pyarrow.parquet as _pq
+
+        docs = _pq.read_table(f"{SF}/documents.parquet",
+                              columns=["doc_id", "text"]).to_pandas()
+        docs["conv"] = docs["doc_id"] // 8
+        docs["role_idx"] = docs["doc_id"] % 4
+        docs["chars"] = docs["text"].str.len()
+        for conv, sub in docs.groupby("conv"):
+            row = got[got["conv_id"] == f"conv-{conv:06d}"].iloc[0]
+            assert int(row["n_turns"]) == len(sub)
+            assert int(row["longest_turn_chars"]) == int(sub["chars"].max())
+            assert int(row["n_empty_turns"]) == int(
+                (sub["text"].str.strip() == "").sum())
+            total = int(sub["chars"].sum())
+            asst = int(sub.loc[sub["role_idx"] == 1, "chars"].sum())
+            assert abs(float(row["assistant_char_share_r"])
+                       - round(asst / total, 4)) < 1e-9
