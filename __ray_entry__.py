@@ -340,6 +340,7 @@ _R5_WINDOW = [
     "transcript_posting_bytes",
     "conversation_windows",
     "dialogue_lint",
+    "tool_call_stats",
     "supplier_affinity",
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -381,7 +382,6 @@ _R5_WINDOW = [
     "triangle_count",
     "frequent_triples",
     "cohort_ltv",
-    "revenue_concentration",
 ]
 
 
@@ -403,6 +403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         conversation_stats,
         conversation_windows,
         dialogue_lint,
+        tool_call_stats,
         dedup_turns_check,
         transcript_index_dictionary,
         transcript_search,
@@ -1335,6 +1336,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # surface — the conversation-level training-data passes)
         "conversation_windows": conversation_windows,
         "dialogue_lint": dialogue_lint,
+        # tool-column analytics over planted tool names (r5) — the one
+        # entry exercising the input schema's tool column
+        "tool_call_stats": tool_call_stats,
         # inclusive-lookback interval join; kernel unchanged since r3
         # (driver-green in CORRECTNESS_r03.json) — the primary rotation
         # category; the packed-key interval searchsorted is UNIQUE to this
@@ -2390,6 +2394,24 @@ SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
        string_agg(['user','assistant','tool','system'][role_idx + 1]
                   || ': ' || text, chr(10) ORDER BY turn_idx) AS convo
 FROM tdocs GROUP BY conv_id""",
+        "tool_call_stats": """
+WITH tt AS (
+  SELECT doc_id // 8 AS conv, CAST(doc_id % 8 AS INTEGER) AS turn,
+         CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'search'
+              WHEN 1 THEN 'python' ELSE 'browse' END AS tool
+  FROM documents WHERE doc_id % 4 = 2),
+ counts AS (SELECT conv, tool, count(*) AS n FROM tt GROUP BY conv, tool),
+ top AS (SELECT conv, tool,
+                row_number() OVER (PARTITION BY conv
+                                   ORDER BY n DESC, tool ASC) AS rn
+         FROM counts)
+SELECT 'conv-' || lpad(CAST(a.conv AS VARCHAR), 6, '0') AS conv_id,
+       CAST(count(*) AS BIGINT) AS n_tool_calls,
+       CAST(count(DISTINCT a.tool) AS BIGINT) AS n_distinct_tools,
+       any_value(t.tool) AS top_tool,
+       CAST(min(a.turn) AS BIGINT) AS first_tool_turn
+FROM tt a JOIN top t ON t.conv = a.conv AND t.rn = 1
+GROUP BY a.conv, t.tool""",
         "conversation_windows": f"""
 WITH {_TS_DOCS},
  t AS (SELECT conv_id, turn_idx,

@@ -820,6 +820,78 @@ def conversation_stats(sf_dir: str):
     )
 
 
+# Planted tool names for the tool-column analytics surface: the derived
+# corpus leaves ``tool`` empty (corpus.py:282), so the entry plants the
+# synthetic-corpus convention (tool-role turns carry a tool name) by pure
+# doc_id arithmetic — tool-role turns (doc_id % 4 == 2) get
+# _PLANT_TOOLS[doc_id % 3], everything else stays "".
+_PLANT_TOOLS = ["search", "python", "browse"]
+
+
+def tool_call_stats(sf_dir: str):
+    """(conv_id, n_tool_calls, n_distinct_tools, top_tool,
+    first_tool_turn): per-conversation tool-use analytics over the
+    ``tool`` column of the transcript schema — call volume, tool
+    diversity, the dominant tool (ties to the lexicographically smallest)
+    and the first turn that called one (-1 / '' for conversations with no
+    tool calls) — the agent-behavior feature row a transcript curation
+    pass filters on. The only registry entry exercising the input
+    schema's ``tool`` column; values are PLANTED by doc_id arithmetic
+    (the snippet/pii fixture discipline) since the derived corpus leaves
+    the column empty.
+
+    Shape: one fixed-partition exchange of tool-role turns only (75% of
+    rows drop map-side), per-partition pandas aggregation over O(convs)
+    rows."""
+    import pyarrow as pa
+
+    def plant_and_partial(batch: pa.Table) -> pa.Table:
+        conv = batch["conv"].to_numpy(zero_copy_only=False).astype(np.int64)
+        turn = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        did = conv * 8 + turn
+        mask = did % 4 == 2  # tool-role turns
+        conv, turn, did = conv[mask], turn[mask], did[mask]
+        tools = np.array(_PLANT_TOOLS, dtype=object)[did % 3]
+        return pa.table({
+            "conv": pa.array(conv),
+            "turn_idx": pa.array(turn),
+            "tool": pa.array(tools, type=pa.string()),
+        })
+
+    def combine(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        counts = (df.groupby(["conv", "tool"], as_index=False)
+                  .agg(n=("turn_idx", "size")))
+        top = (counts.sort_values(["conv", "n", "tool"],
+                                  ascending=[True, False, True],
+                                  kind="stable")
+               .groupby("conv", as_index=False).first())
+        agg = df.groupby("conv", as_index=False).agg(
+            n_tool_calls=("turn_idx", "size"),
+            n_distinct_tools=("tool", "nunique"),
+            first_tool_turn=("turn_idx", "min"))
+        out = agg.merge(top[["conv", "tool"]], on="conv")
+        return pa.table({
+            "conv_id": pa.array(_conv_id_strings(
+                out["conv"].to_numpy(dtype=np.int64)), type=pa.string()),
+            "n_tool_calls": pa.array(
+                out["n_tool_calls"].to_numpy(dtype=np.int64)),
+            "n_distinct_tools": pa.array(
+                out["n_distinct_tools"].to_numpy(dtype=np.int64)),
+            "top_tool": pa.array(out["tool"], type=pa.string()),
+            "first_tool_turn": pa.array(
+                out["first_tool_turn"].to_numpy(dtype=np.int64)),
+        })
+
+    return (
+        read_transcript_turns(sf_dir)
+        .map_batches(plant_and_partial, batch_format="pyarrow")
+        .map_batches(_add_conv_part, batch_format="pyarrow")
+        .groupby("q")
+        .map_groups(combine, batch_format="pyarrow")
+    )
+
+
 WINDOW_TURNS = 4   # context-window chunking: turns per training window
 WINDOW_STRIDE = 2  # overlap stride (< WINDOW_TURNS ⇒ overlapping windows)
 

@@ -10859,3 +10859,34 @@ class TestDialogueLint:
             asst = int(sub.loc[sub["role_idx"] == 1, "chars"].sum())
             assert abs(float(row["assistant_char_share_r"])
                        - round(asst / total, 4)) < 1e-9
+
+
+class TestToolCallStats:
+    def test_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.transcripts import (
+            _PLANT_TOOLS,
+            tool_call_stats,
+        )
+
+        got = tool_call_stats(SF).to_pandas().sort_values(
+            "conv_id").reset_index(drop=True)
+        import collections
+
+        import pyarrow.parquet as _pq
+
+        ids = _pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id"])["doc_id"].to_pylist()
+        per_conv = collections.defaultdict(list)
+        for did in ids:
+            if did % 4 == 2:
+                per_conv[did // 8].append((did % 8, _PLANT_TOOLS[did % 3]))
+        assert len(got) == len(per_conv)
+        for conv, calls in per_conv.items():
+            row = got[got["conv_id"] == f"conv-{conv:06d}"].iloc[0]
+            assert int(row["n_tool_calls"]) == len(calls)
+            tools = [t for _, t in calls]
+            assert int(row["n_distinct_tools"]) == len(set(tools))
+            cnt = collections.Counter(tools)
+            best = min(cnt, key=lambda t: (-cnt[t], t))
+            assert row["top_tool"] == best
+            assert int(row["first_tool_turn"]) == min(t for t, _ in calls)
