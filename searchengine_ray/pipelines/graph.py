@@ -357,14 +357,17 @@ _PAIR_SHIFT = 32  # suppkey < 2^31 at any TPC-H scale factor; pair packs
 # fraction of the d²/2 pairs stage 2 must enumerate anyway.
 #
 # Cap sizing: the unit of deferral should be the LARGEST pair volume one
-# vectorized task handles comfortably, not the smallest — 1024 bounds a
-# cell at ~1M int64 ops (milliseconds), while a tighter cap (64 was the
-# first draft) pushes ordinary heavy-tail customers (TPC-H sf0.1: p99
-# degree 74, max 102) through the deferral exchange and pays a full
-# extra shuffle for skew that was never dangerous. Only genuine
-# mega-degree keys (the 2M-order Zipf probe's ~194k-customer hot pair
-# regime) clear 1024 and activate the split.
-AFFINITY_DEGREE_CAP = 1024
+# vectorized task handles comfortably, not the smallest — 4096 bounds a
+# cell at ≤ 16.7M int64 pairs (~270 MB of transient arrays, well inside
+# a worker heap), while a tighter cap (64 was the first draft, 1024 the
+# second) pushes merely-heavy customers through the deferral exchange
+# and pays a full extra shuffle + cell fan-out for skew one pandas merge
+# handles fine (C(4096, 2) ≈ 8.4M pairs ≈ milliseconds). Only genuine
+# mega-degree keys — the r5 200k-order Zipf probe's 9.8k-degree hot
+# customer, or a boilerplate-buyer at web scale — clear 4096 and
+# activate the split, and the probe verifies the split's top-k EXACTLY
+# against a full-scale DuckDB brute force (tools/scale_probe_graph.py).
+AFFINITY_DEGREE_CAP = 4096
 _AFF_MIX = 0x9E3779B97F4A7C15  # cell-salt mixer (the splitmix64 increment)
 
 
@@ -458,16 +461,23 @@ def _affinity_resolve(group: pa.Table) -> pa.Table:
                     .to_numpy(zero_copy_only=False).astype(np.int64))
     cells = np.flatnonzero(tag == 1)
     if cells.size:
-        sa_col = group["sa"].take(pa.array(cells))
-        sb_col = group["sb"].take(pa.array(cells))
+        # zero-copy cell access: flatten the list columns ONCE and slice
+        # numpy views by offset — per-element as_py() conversion was the
+        # hot-path cost at probe scale (Python object churn per supplier)
+        sa_col = group["sa"].take(pa.array(cells)).combine_chunks()
+        sb_col = group["sb"].take(pa.array(cells)).combine_chunks()
+        sa_flat = sa_col.flatten().to_numpy(zero_copy_only=False)
+        sb_flat = sb_col.flatten().to_numpy(zero_copy_only=False)
+        sa_off = sa_col.offsets.to_numpy(zero_copy_only=False)
+        sb_off = sb_col.offsets.to_numpy(zero_copy_only=False)
+        sb_null = pc.is_null(sb_col).to_numpy(zero_copy_only=False)
         for i in range(len(cells)):
-            a = np.asarray(sa_col[i].as_py(), dtype=np.int64)
-            b_raw = sb_col[i].as_py()
-            if b_raw is None:  # within-chunk cell: pairs inside a
+            a = sa_flat[sa_off[i]:sa_off[i + 1]]
+            if sb_null[i]:  # within-chunk cell: pairs inside a
                 ia, ib = np.triu_indices(a.size, k=1)
                 px, py = a[ia], a[ib]
             else:  # cross cell: every a < every b (chunks sorted by rank)
-                b = np.asarray(b_raw, dtype=np.int64)
+                b = sb_flat[sb_off[i]:sb_off[i + 1]]
                 px = np.repeat(a, b.size)
                 py = np.tile(b, a.size)
             if px.size:
@@ -580,10 +590,32 @@ def supplier_affinity(sf_dir: str, k: int = AFFINITY_TOPK,
             "n_customers": pa.array(df["n"].to_numpy(dtype=np.int64))})
 
     if dmax > degree_cap:
-        partials = (edges.groupby("q")
+        # Split by degree so the deferral exchanges touch ONLY the hot
+        # slice: a customer's edges carry its distinct degree (od), so a
+        # cheap filter cleaves the corpus all-or-none per customer. Light
+        # customers keep the original one-pair-exchange plan; hot
+        # customers' cells + resolved pairs flow through the two extra
+        # exchanges, whose volume is proportional to the SKEW, not the
+        # corpus (the first draft pushed every pair partial through the
+        # resolve exchange — 2× the full pair volume shuffled; probe
+        # r5: 74 s → this design at the same scale).
+        def _keep_light(batch: pa.Table) -> pa.Table:
+            od = batch["od"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(od <= degree_cap))
+
+        def _keep_hot(batch: pa.Table) -> pa.Table:
+            od = batch["od"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(od > degree_cap))
+
+        light_part = (edges.map_batches(_keep_light, batch_format="pyarrow")
+                      .groupby("q")
+                      .map_groups(pair_direct, batch_format="pyarrow"))
+        hot_part = (edges.map_batches(_keep_hot, batch_format="pyarrow")
+                    .groupby("q")
                     .map_groups(pair_or_defer, batch_format="pyarrow")
                     .groupby("q")
                     .map_groups(_affinity_resolve, batch_format="pyarrow"))
+        partials = light_part.union(hot_part)
     else:
         partials = edges.groupby("q").map_groups(pair_direct,
                                                  batch_format="pyarrow")
