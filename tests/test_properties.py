@@ -160,3 +160,77 @@ def test_topk_order_equals_full_lexsort_prefix(scores, k):
     got = _topk_order(s, docids, k)[:k]
     want = np.lexsort((docids, -s))[:k]
     assert np.array_equal(got, want)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=6),
+                  st.integers(min_value=0, max_value=400)),
+        min_size=1, max_size=300, unique=True,
+    ),
+    st.integers(min_value=2, max_value=16),
+)
+def test_affinity_split_reproduces_pair_multiset(edges, cap):
+    """For ANY (customer, supplier) edge set and ANY cap, stage-1 split +
+    cell resolution reproduces exactly the brute-force per-customer pair
+    multiset, and every deferred cell stays within the cap bound."""
+    import pandas as pd
+
+    from searchengine_ray.pipelines.graph import (
+        _affinity_resolve,
+        _affinity_stage1,
+        _PAIR_SHIFT,
+    )
+
+    df = pd.DataFrame(edges, columns=["c", "s"]).drop_duplicates()
+    t = _affinity_stage1(df, cap)
+    # cap bound on every deferred cell
+    for a, b in zip(t["sa"].to_pylist(), t["sb"].to_pylist()):
+        if a is not None:
+            assert len(a) <= cap
+        if b is not None:
+            assert len(b) <= cap
+    out = _affinity_resolve(t).to_pandas().groupby(
+        "k", as_index=False)["n"].sum()
+    m = df.merge(df, on="c")
+    m = m[m["s_x"] < m["s_y"]]
+    exp = m.groupby(["s_x", "s_y"], as_index=False).size()
+    want = {
+        (int(a) << _PAIR_SHIFT) | int(b): int(n)
+        for a, b, n in zip(exp["s_x"], exp["s_y"], exp["size"])
+    }
+    got = dict(zip(out["k"].astype(int), out["n"].astype(int)))
+    assert got == want
+
+
+_snippet_word = st.one_of(
+    st.sampled_from(["needle", "thread", "the", "a"]),
+    st.text(alphabet="abcdefg", min_size=2, max_size=6),
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_snippet_word, min_size=0, max_size=60))
+def test_snippet_invariants(words):
+    """Reference snippet-rule invariants for ANY word sequence: at most 3
+    fragments, every <b>-wrapped token is a query lemma, non-hit docs
+    yield the empty snippet, and the snippet is framed by '...'."""
+    from searchengine_ray.snippets import build_snippet
+    from searchengine_ray.textproc import Analyzer
+
+    an = Analyzer("simple")
+    q = {"needle", "thread"}
+    s = build_snippet(words, q, an, window=5, max_windows=3)
+    hits = [w for w in words if an.safe_lemma(w) in q]
+    if not hits:
+        assert s == ""
+        return
+    assert s.startswith("...") and s.endswith("...")
+    assert s.count(" ... ") <= 2  # ≤ 3 fragments
+    import re
+
+    for frag in re.findall(r"<b>([^<]*)</b>", s):
+        assert an.safe_lemma(frag) in q
+    # bold count never exceeds the number of hit tokens in the doc
+    assert s.count("<b>") <= len(hits)
