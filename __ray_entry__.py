@@ -341,6 +341,7 @@ _R5_WINDOW = [
     "conversation_windows",
     "dialogue_lint",
     "tool_call_stats",
+    "image_pixel_stats",
     "supplier_affinity",
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -381,7 +382,6 @@ _R5_WINDOW = [
     "rfm_segments",
     "triangle_count",
     "frequent_triples",
-    "cohort_ltv",
 ]
 
 
@@ -1339,6 +1339,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tool-column analytics over planted tool names (r5) — the one
         # entry exercising the input schema's tool column
         "tool_call_stats": tool_call_stats,
+        # per-image channel means through the REAL netpbm codec (r5) —
+        # the multimodal decode step certified end to end
+        "image_pixel_stats": multimodal.image_pixel_stats,
         # inclusive-lookback interval join; kernel unchanged since r3
         # (driver-green in CORRECTNESS_r03.json) — the primary rotation
         # category; the packed-key interval searchsorted is UNIQUE to this
@@ -2394,6 +2397,18 @@ SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
        string_agg(['user','assistant','tool','system'][role_idx + 1]
                   || ': ' || text, chr(10) ORDER BY turn_idx) AS convo
 FROM tdocs GROUP BY conv_id""",
+        "image_pixel_stats": """
+WITH dims AS (
+  SELECT doc_id AS d, 4 + CAST(doc_id % 5 AS INTEGER) AS w,
+         3 + CAST(doc_id % 4 AS INTEGER) AS h
+  FROM documents),
+ px AS (SELECT d, w, h, unnest(range(0, CAST(w * h AS BIGINT))) AS k
+        FROM dims)
+SELECT d AS media_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       round(avg(CAST((d * 7 + k * 3 + 0) % 256 AS DOUBLE)), 4) AS mean_r_r,
+       round(avg(CAST((d * 7 + k * 3 + 1) % 256 AS DOUBLE)), 4) AS mean_g_r,
+       round(avg(CAST((d * 7 + k * 3 + 2) % 256 AS DOUBLE)), 4) AS mean_b_r
+FROM px GROUP BY d, w, h""",
         "tool_call_stats": """
 WITH tt AS (
   SELECT doc_id // 8 AS conv, CAST(doc_id % 8 AS INTEGER) AS turn,

@@ -48,10 +48,19 @@ def media_from_documents(sf_dir: str):
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """STUB — real image decode needs a codec library not present in this
-    container. The Ray-side plumbing calls ``FeatureExtract`` with a
-    deterministic fake decoder instead."""
-    raise NotImplementedError("image decode requires a codec library (not in this container)")
+    """Image decode: REAL for binary Netpbm (P5 grayscale / P6 RGB — the
+    pure-numpy codec in :mod:`searchengine_ray.imagecodec`, exercised
+    end-to-end by the ``image_pixel_stats`` oracle entry); compressed
+    formats (JPEG/PNG magic bytes) still raise ``NotImplementedError``
+    because their codecs are not in this container — swapping in a real
+    codec callable is the documented one-line change at scale."""
+    from searchengine_ray.imagecodec import decode_netpbm
+
+    if payload[:2] in (b"P5", b"P6"):
+        return decode_netpbm(payload)
+    raise NotImplementedError(
+        "non-netpbm image decode requires a codec library (not in this container)"
+    )
 
 
 def fake_decode(payload: bytes) -> np.ndarray:
@@ -266,6 +275,55 @@ class ImageResize:
             "h_in": pa.array(h_ins, type=pa.int64()),
             "resized_hex": pa.array(hexes, type=pa.string()),
         })
+
+
+def image_pixel_stats(sf_dir: str):
+    """(media_id, width, height, mean_r_r, mean_g_r, mean_b_r): per-image
+    channel means through the REAL image codec — deterministic P6 RGB
+    images are synthesized per doc (dims and every pixel value are pure
+    doc_id arithmetic), round-tripped through
+    ``imagecodec.encode_netpbm`` → :func:`decode_image` (header parse,
+    raster reshape), and reduced per channel. The SQL oracle recomputes
+    the means from the generator arithmetic alone, so a green hash
+    certifies the codec's decode (dims, channel interleave, byte order)
+    end to end — the multimodal family's decode step is no longer a
+    stub for this format family.
+
+    Shape: actor-pool stage (codec bound once per actor), per-payload
+    decode loop (inherent to image work), small batches."""
+
+    class PixelStats:
+        def __init__(self) -> None:
+            from searchengine_ray.imagecodec import encode_netpbm
+
+            self.encode = encode_netpbm
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            w_out, h_out, means = [], [], []
+            for d in ids.tolist():
+                w = 4 + d % 5
+                h = 3 + d % 4
+                flat = (d * 7 + np.arange(w * h * 3, dtype=np.int64)) % 256
+                arr = flat.astype(np.uint8).reshape(h, w, 3)
+                img = decode_image(self.encode(arr))  # the real codec path
+                assert img.shape == (h, w, 3)
+                w_out.append(w)
+                h_out.append(h)
+                means.append(img.reshape(-1, 3).mean(axis=0))
+            m = np.asarray(means, dtype=np.float64).reshape(-1, 3)
+            return pa.table({
+                "media_id": pa.array(ids),
+                "width": pa.array(np.array(w_out, dtype=np.int64)),
+                "height": pa.array(np.array(h_out, dtype=np.int64)),
+                "mean_r_r": pa.array(_round_vec(m[:, 0])),
+                "mean_g_r": pa.array(_round_vec(m[:, 1])),
+                "mean_b_r": pa.array(_round_vec(m[:, 2])),
+            })
+
+    return read_documents(sf_dir, columns=("doc_id",)).map_batches(
+        PixelStats, batch_format="pyarrow", batch_size=2048,
+        concurrency=(1, 4))
 
 
 def image_resize(sf_dir: str):

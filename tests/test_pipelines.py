@@ -10890,3 +10890,48 @@ class TestToolCallStats:
             best = min(cnt, key=lambda t: (-cnt[t], t))
             assert row["top_tool"] == best
             assert int(row["first_tool_turn"]) == min(t for t, _ in calls)
+
+
+class TestImageCodec:
+    def test_netpbm_roundtrip_and_errors(self):
+        from searchengine_ray.imagecodec import decode_netpbm, encode_netpbm
+
+        rgb = np.arange(60, dtype=np.uint8).reshape(4, 5, 3)
+        assert np.array_equal(decode_netpbm(encode_netpbm(rgb)), rgb)
+        gray = np.arange(20, dtype=np.uint8).reshape(4, 5)
+        assert np.array_equal(decode_netpbm(encode_netpbm(gray)), gray)
+        # comments and extra whitespace in the header are legal netpbm
+        with_comment = b"P6 # trailing\n# full-line comment\n 5\t4\n255\n" \
+            + rgb.tobytes()
+        assert np.array_equal(decode_netpbm(with_comment), rgb)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            decode_netpbm(b"\x89PNG....")
+        with _pytest.raises(ValueError):
+            decode_netpbm(encode_netpbm(rgb)[:-1])  # truncated raster
+
+    def test_decode_image_routes(self):
+        from searchengine_ray.imagecodec import encode_netpbm
+        from searchengine_ray.pipelines.multimodal import decode_image
+
+        rgb = np.zeros((2, 2, 3), dtype=np.uint8)
+        assert decode_image(encode_netpbm(rgb)).shape == (2, 2, 3)
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError):
+            decode_image(b"\xff\xd8\xff\xe0jpeg...")
+
+    def test_pixel_stats_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.multimodal import image_pixel_stats
+
+        got = image_pixel_stats(SF).to_pandas().sort_values(
+            "media_id").reset_index(drop=True)
+        for _, row in got.head(20).iterrows():
+            d = int(row["media_id"])
+            w, h = 4 + d % 5, 3 + d % 4
+            assert (int(row["width"]), int(row["height"])) == (w, h)
+            flat = (d * 7 + np.arange(w * h * 3)) % 256
+            exp = flat.reshape(-1, 3).mean(axis=0)
+            for c, col in enumerate(("mean_r_r", "mean_g_r", "mean_b_r")):
+                assert abs(float(row[col]) - round(exp[c], 4)) < 1e-9
