@@ -342,6 +342,7 @@ _R5_WINDOW = [
     "dialogue_lint",
     "tool_call_stats",
     "image_pixel_stats",
+    "audio_clip_stats",
     "supplier_affinity",
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -381,7 +382,6 @@ _R5_WINDOW = [
     "kaplan_meier",
     "rfm_segments",
     "triangle_count",
-    "frequent_triples",
 ]
 
 
@@ -1342,6 +1342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-image channel means through the REAL netpbm codec (r5) —
         # the multimodal decode step certified end to end
         "image_pixel_stats": multimodal.image_pixel_stats,
+        "audio_clip_stats": multimodal.audio_clip_stats,
         # inclusive-lookback interval join; kernel unchanged since r3
         # (driver-green in CORRECTNESS_r03.json) — the primary rotation
         # category; the packed-key interval searchsorted is UNIQUE to this
@@ -2397,6 +2398,16 @@ SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
        string_agg(['user','assistant','tool','system'][role_idx + 1]
                   || ': ' || text, chr(10) ORDER BY turn_idx) AS convo
 FROM tdocs GROUP BY conv_id""",
+        "audio_clip_stats": """
+WITH clips AS (
+  SELECT doc_id AS d, 64 + CAST(doc_id % 37 AS BIGINT) AS n FROM documents),
+ smp AS (SELECT d, n, abs(((d * 31 + unnest(range(0, n)) * 7) % 2048) - 1024)
+                 AS a
+         FROM clips)
+SELECT d AS media_id, CAST(n AS BIGINT) AS n_samples,
+       CAST(max(a) AS BIGINT) AS peak,
+       round(avg(CAST(a AS DOUBLE)), 4) AS mean_abs_r
+FROM smp GROUP BY d, n""",
         "image_pixel_stats": """
 WITH dims AS (
   SELECT doc_id AS d, 4 + CAST(doc_id % 5 AS INTEGER) AS w,

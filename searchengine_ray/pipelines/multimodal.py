@@ -277,6 +277,66 @@ class ImageResize:
         })
 
 
+def decode_audio(payload: bytes) -> np.ndarray:
+    """Audio decode: REAL for RIFF/WAVE 16-bit PCM
+    (:mod:`searchengine_ray.audiocodec`, certified by the
+    ``audio_clip_stats`` oracle entry); compressed audio raises
+    ``NotImplementedError`` — the codec-swap contract mirrors
+    :func:`decode_image`."""
+    from searchengine_ray.audiocodec import decode_wav
+
+    if payload[:4] == b"RIFF":
+        return decode_wav(payload)[0]
+    raise NotImplementedError(
+        "non-PCM audio decode requires a codec library (not in this container)"
+    )
+
+
+def audio_clip_stats(sf_dir: str):
+    """(media_id, n_samples, peak, mean_abs_r): per-clip amplitude stats
+    through the REAL WAV codec — deterministic 16-bit PCM clips are
+    synthesized per doc (length and every sample pure doc_id
+    arithmetic), round-tripped through ``audiocodec.encode_wav`` →
+    :func:`decode_audio` (RIFF chunk walk, PCM reshape), and reduced.
+    The SQL oracle recomputes the stats from the generator arithmetic,
+    certifying the audio decode end to end — the second modality of the
+    codec-swap contract, after :func:`image_pixel_stats`.
+
+    Shape: actor-pool stage, per-payload decode loop (inherent), small
+    batches."""
+
+    class ClipStats:
+        def __init__(self) -> None:
+            from searchengine_ray.audiocodec import encode_wav
+
+            self.encode = encode_wav
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            n_out, peak_out, mean_out = [], [], []
+            for d in ids.tolist():
+                n = 64 + d % 37
+                s = (((d * 31 + np.arange(n, dtype=np.int64) * 7) % 2048)
+                     - 1024).astype(np.int16)
+                clip = decode_audio(self.encode(s))  # the real codec path
+                assert clip.shape == (n, 1)
+                a = np.abs(clip[:, 0].astype(np.int64))
+                n_out.append(n)
+                peak_out.append(int(a.max()))
+                mean_out.append(a.mean())
+            return pa.table({
+                "media_id": pa.array(ids),
+                "n_samples": pa.array(np.array(n_out, dtype=np.int64)),
+                "peak": pa.array(np.array(peak_out, dtype=np.int64)),
+                "mean_abs_r": pa.array(
+                    _round_vec(np.asarray(mean_out, dtype=np.float64))),
+            })
+
+    return read_documents(sf_dir, columns=("doc_id",)).map_batches(
+        ClipStats, batch_format="pyarrow", batch_size=2048,
+        concurrency=(1, 4))
+
+
 def image_pixel_stats(sf_dir: str):
     """(media_id, width, height, mean_r_r, mean_g_r, mean_b_r): per-image
     channel means through the REAL image codec — deterministic P6 RGB

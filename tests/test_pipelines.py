@@ -10935,3 +10935,47 @@ class TestImageCodec:
             exp = flat.reshape(-1, 3).mean(axis=0)
             for c, col in enumerate(("mean_r_r", "mean_g_r", "mean_b_r")):
                 assert abs(float(row[col]) - round(exp[c], 4)) < 1e-9
+
+
+class TestAudioCodec:
+    def test_wav_roundtrip_and_errors(self):
+        from searchengine_ray.audiocodec import decode_wav, encode_wav
+
+        mono = (np.arange(100, dtype=np.int64) * 99 % 2048 - 1024).astype(
+            np.int16)
+        out, rate = decode_wav(encode_wav(mono, sample_rate=16000))
+        assert rate == 16000
+        assert np.array_equal(out[:, 0], mono)
+        stereo = np.stack([mono, -mono], axis=1).astype(np.int16)
+        out2, _ = decode_wav(encode_wav(stereo))
+        assert np.array_equal(out2, stereo)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            decode_wav(b"OggS....not riff")
+        with _pytest.raises(ValueError):
+            decode_wav(encode_wav(mono)[:-1])  # truncated data chunk
+
+    def test_decode_audio_routes(self):
+        from searchengine_ray.audiocodec import encode_wav
+        from searchengine_ray.pipelines.multimodal import decode_audio
+
+        s = np.zeros(8, dtype=np.int16)
+        assert decode_audio(encode_wav(s)).shape == (8, 1)
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError):
+            decode_audio(b"\xff\xfb\x90mp3frame")
+
+    def test_clip_stats_bruteforce(self, ray_session):
+        from searchengine_ray.pipelines.multimodal import audio_clip_stats
+
+        got = audio_clip_stats(SF).to_pandas().sort_values(
+            "media_id").reset_index(drop=True)
+        for _, row in got.head(20).iterrows():
+            d = int(row["media_id"])
+            n = 64 + d % 37
+            a = np.abs(((d * 31 + np.arange(n) * 7) % 2048) - 1024)
+            assert int(row["n_samples"]) == n
+            assert int(row["peak"]) == int(a.max())
+            assert abs(float(row["mean_abs_r"]) - round(a.mean(), 4)) < 1e-9
