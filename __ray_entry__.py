@@ -434,15 +434,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #
     # r5 ROTATION PLAN (VERDICT r4 item 2): rounds 1-4 driver-checked 99
     # distinct entries; 146 had only local-sweep green rows (143 after
-    # the rows-only trio folded). This round's window = the 6 entries
-    # new/changed this session (transcript_snippets, transcript_blockmax,
-    # transcript_build_manifest, transcript_resume_build,
-    # transcript_search_parity, supplier_affinity) + the first 44
-    # never-driver-checked entries in registry (age) order — all 50
-    # driver rows this round are FIRST-TIME checks. Remaining backlog
-    # after r5: ~99 entries (two further 50-rotations exhaust it). The
-    # dict literal below keeps its stable documented grouping; the window
-    # is applied by the reorder at the function tail.
+    # the rows-only trio folded). This round's window = the 14 entries
+    # new or kernel-changed this session (the transcript_* index-content
+    # family, the conversation/tool/codec entries, supplier_affinity) +
+    # the first 36 never-driver-checked backlog entries in registry
+    # (age) order — ALL 50 driver rows this round are FIRST-TIME checks
+    # (the r4 verdict's ≥40 bar). Remaining backlog after r5: ~107
+    # entries (three further 50-rotations exhaust it; prioritize backlog
+    # over new entries in r6+ windows). The dict literal below keeps its
+    # stable documented grouping; the window is applied by the reorder
+    # at the function tail.
     d = {
         # --- inverted-index data flows over documents (SURVEY.md §2) ---
         "postings": fulltext.postings,
