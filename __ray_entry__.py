@@ -1532,9 +1532,14 @@ def _transcript_posting_bytes_sql() -> str:
     byte (codec.vb_encode_with_offsets:36-38). Block boundaries do not
     change the stream length (per-block encodes concatenate), so the
     serving index's sizes are block-size-independent."""
+    # full ceil(bits/7) ladder to 9 bytes — vb_encode emits up to 9 for
+    # values ≥ 2^56, and first-gaps reach cr·2^20 (review r5: a 6-byte
+    # ELSE undercounts past ~4M conversations)
     vb = ("CASE WHEN {v} < 128 THEN 1 WHEN {v} < 16384 THEN 2 "
           "WHEN {v} < 2097152 THEN 3 WHEN {v} < 268435456 THEN 4 "
-          "WHEN {v} < 34359738368 THEN 5 ELSE 6 END")
+          "WHEN {v} < 34359738368 THEN 5 WHEN {v} < 4398046511104 THEN 6 "
+          "WHEN {v} < 562949953421312 THEN 7 "
+          "WHEN {v} < 72057594037927936 THEN 8 ELSE 9 END")
     vb_gap = vb.format(v="gap")
     vb_tf = vb.format(v="tf")
     return f"""
@@ -2461,7 +2466,9 @@ GROUP BY w.conv_id, w.window_id""",
         "dialogue_lint": f"""
 WITH {_TS_DOCS}
 SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
-       CAST(sum(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(sum(CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13)
+                                 || chr(11) || chr(12)) = ''
+                     THEN 1 ELSE 0 END) AS BIGINT)
          AS n_empty_turns,
        CAST(max(length(text)) AS BIGINT) AS longest_turn_chars,
        round(CASE WHEN sum(length(text)) > 0

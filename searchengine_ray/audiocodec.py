@@ -43,6 +43,9 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         cid = payload[pos:pos + 4]
         (clen,) = struct.unpack("<I", payload[pos + 4:pos + 8])
         body = payload[pos + 8:pos + 8 + clen]
+        if len(body) != clen:  # declared length past end-of-buffer
+            raise ValueError(
+                f"wav: truncated {cid!r} chunk ({len(body)} of {clen} bytes)")
         if cid == b"fmt ":
             if clen < 16:
                 raise ValueError("wav: short fmt chunk")

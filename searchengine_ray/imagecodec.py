@@ -64,6 +64,8 @@ def decode_netpbm(payload: bytes) -> np.ndarray:
     maxval, pos = _read_header_token(payload, pos)
     if maxval <= 0 or maxval > 255:
         raise ValueError(f"netpbm: unsupported maxval {maxval}")
+    if pos >= len(payload) or payload[pos] not in b" \t\r\n\x0b\x0c":
+        raise ValueError("netpbm: missing whitespace before raster")
     pos += 1  # the single whitespace byte separating header from raster
     need = w * h * channels
     raster = payload[pos:pos + need]

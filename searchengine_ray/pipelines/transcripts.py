@@ -833,9 +833,10 @@ def tool_call_stats(sf_dir: str):
     first_tool_turn): per-conversation tool-use analytics over the
     ``tool`` column of the transcript schema — call volume, tool
     diversity, the dominant tool (ties to the lexicographically smallest)
-    and the first turn that called one (-1 / '' for conversations with no
-    tool calls) — the agent-behavior feature row a transcript curation
-    pass filters on. The only registry entry exercising the input
+    and the first turn that called one — the agent-behavior feature row a
+    transcript curation pass filters on. Conversations with NO tool
+    calls emit no row (the output is keyed to tool activity; join on
+    conv_id with a left join to recover the zero rows). The only registry entry exercising the input
     schema's ``tool`` column; values are PLANTED by doc_id arithmetic
     (the snippet/pii fixture discipline) since the derived corpus leaves
     the column empty.
@@ -989,7 +990,10 @@ def dialogue_lint(sf_dir: str):
         role_idx = group["role_idx"].to_numpy(zero_copy_only=False)
         text = group["text"]
         chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
-        stripped = pc.utf8_trim_whitespace(text)
+        # ASCII whitespace only, mirrored literally by the SQL oracle's
+        # trim(text, <same set>) — Arrow's unicode trim counts NBSP-style
+        # whitespace DuckDB's trim never strips (review r5)
+        stripped = pc.utf8_trim(text, characters=" \t\n\r\x0b\x0c")
         is_empty = (pc.utf8_length(stripped).to_numpy(zero_copy_only=False)
                     == 0).astype(np.int64)
         order = np.argsort(conv, kind="stable")

@@ -40,26 +40,21 @@ def build_corpus(out_dir: str, n_orders: int, mega_degree: int) -> None:
     # Zipf-ish skew: customer/supplier ranks drawn from a truncated zipf
     cust = (rng.zipf(1.3, size=n_orders) - 1) % N_CUSTOMERS
     okey = np.arange(n_orders, dtype=np.int64) + 1
-    pq.write_table(
-        pa.table({"o_orderkey": okey,
-                  "o_custkey": pa.array(cust.astype(np.int64))}),
-        os.path.join(out_dir, "orders.parquet"),
-    )
+    base_orders = pa.table({"o_orderkey": okey,
+                            "o_custkey": pa.array(cust.astype(np.int64))})
     n_items = n_orders * ITEMS_PER_ORDER
     supp = (rng.zipf(1.2, size=n_items) - 1) % N_SUPPLIERS
     l_okey = np.repeat(okey, ITEMS_PER_ORDER)
-    # plant the mega customers: their FIRST order's items are replaced by
-    # mega_degree distinct suppliers (extra rows appended, same orderkey)
+    # plant the mega customers as extra orders carrying mega_degree
+    # distinct suppliers each
     extra_ok, extra_sk = [], []
     for m in range(MEGA_CUSTOMERS):
         c = 10_000_000 + m  # ids outside the zipf range: unambiguous
         ok = n_orders + 1 + m
-        extra_orders = pa.table({
+        extra_ok.append(pa.table({
             "o_orderkey": pa.array([ok], type=pa.int64()),
             "o_custkey": pa.array([c], type=pa.int64()),
-        })
-        # append to orders file? simpler: collect and write one combined
-        extra_ok.append(extra_orders)
+        }))
         sks = (np.arange(mega_degree, dtype=np.int64) * (m + 1)) \
             % (N_SUPPLIERS * 4)
         sks = np.unique(sks)[:mega_degree]
@@ -67,9 +62,8 @@ def build_corpus(out_dir: str, n_orders: int, mega_degree: int) -> None:
             "l_orderkey": pa.array(np.full(sks.size, ok, dtype=np.int64)),
             "l_suppkey": pa.array(sks),
         }))
-    orders_all = pa.concat_tables(
-        [pq.read_table(os.path.join(out_dir, "orders.parquet"))] + extra_ok)
-    pq.write_table(orders_all, os.path.join(out_dir, "orders.parquet"))
+    pq.write_table(pa.concat_tables([base_orders] + extra_ok),
+                   os.path.join(out_dir, "orders.parquet"))
     items_all = pa.concat_tables(
         [pa.table({"l_orderkey": pa.array(l_okey),
                    "l_suppkey": pa.array(supp.astype(np.int64))})] + extra_sk)
