@@ -761,8 +761,16 @@ def _build_shard(
     fingerprint = _input_fingerprint(files)
     cfg_sig = _config_signature(config, morph_sig=morph_sig)
     if os.path.exists(manifest_path):
-        with open(manifest_path) as f:
-            m = json.load(f)
+        # A corrupt checkpoint (half-written JSON from a crash mid-rename
+        # window, disk-full truncation) must mean "this shard is not
+        # complete — rebuild it", never a raw JSONDecodeError that kills
+        # the whole resume (review r5: resume exists precisely for the
+        # crash case).
+        try:
+            with open(manifest_path) as f:
+                m = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            m = {}
         if (
             m.get("status") == "complete"
             and m.get("input_fingerprint") == fingerprint

@@ -10979,3 +10979,33 @@ class TestAudioCodec:
             assert int(row["n_samples"]) == n
             assert int(row["peak"]) == int(a.max())
             assert abs(float(row["mean_abs_r"]) - round(a.mean(), 4)) < 1e-9
+
+
+class TestCorruptCheckpointResume:
+    def test_corrupt_shard_manifest_rebuilds_not_crashes(self, ray_session,
+                                                         tmp_path):
+        """A half-written shard checkpoint (crash mid-write, disk full)
+        must read as 'shard incomplete' → that shard rebuilds and the
+        resumed index equals the clean build — never a JSONDecodeError
+        that kills the whole resume."""
+        from searchengine_ray.build import build_index
+        from searchengine_ray.config import EngineConfig
+        from searchengine_ray.corpus import write_transcripts
+
+        corpus = str(tmp_path / "corpus")
+        idx = str(tmp_path / "index")
+        write_transcripts(corpus, n_convs=30, n_files=4)
+        cfg = EngineConfig(num_shards=2, lemmatizer_concurrency=(1, 2))
+        m1 = build_index(corpus, idx, cfg)
+
+        p = f"{idx}/shards/shard=00000/_MANIFEST.json"
+        data = open(p).read()
+        open(p, "w").write(data[: len(data) // 2])  # truncated JSON
+
+        m2 = build_index(corpus, idx, cfg)
+        assert (m2["n_docs"], m2["total_len"], m2["n_lemmas"]) \
+            == (m1["n_docs"], m1["total_len"], m1["n_lemmas"])
+        # the rebuilt checkpoint is whole again
+        import json as _json
+
+        assert _json.load(open(p))["status"] == "complete"
