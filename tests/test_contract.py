@@ -92,3 +92,17 @@ def test_documented_registry_counts_match(contract):
     n_entries, n_oracle = map(int, matches[-1])
     assert n_entries == len(qs), (n_entries, len(qs))
     assert n_oracle == len(osql), (n_oracle, len(osql))
+
+
+def test_r5_window_is_exactly_the_first_50(contract):
+    """The driver checks the FIRST 50 queries() entries; the window list
+    must resolve completely (a typo'd name would silently shrink the
+    window) and must be exactly the registry's head."""
+    import __ray_entry__ as e
+
+    qs, _ = contract
+    assert len(e._R5_WINDOW) == 50
+    assert len(set(e._R5_WINDOW)) == 50
+    missing = [n for n in e._R5_WINDOW if n not in qs]
+    assert not missing, missing
+    assert list(qs)[:50] == e._R5_WINDOW
